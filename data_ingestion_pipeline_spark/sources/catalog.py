@@ -1,0 +1,64 @@
+"""Parquet table catalog for the benchmark star schema.
+
+The driver fixtures (TESTDATA.md) are one parquet file per table under
+``/root/testdata/sf{N}/``. ``register_views`` exposes them as temp views so
+both the DataFrame API and ``spark.sql`` resolve the same relations — the
+dual query surface the reference offers via psql (SURVEY.md §3, entry 3).
+
+Scale note: these are plain ``spark.read.parquet`` scans — Catalyst pushes
+filters and prunes columns into the parquet reader, and at cluster scale the
+same code reads a directory of thousands of files with partition pruning if
+the layout is partitioned. Nothing here materializes data on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["TABLES", "DIM_TABLES", "load_table", "load_tables", "register_views", "default_sf_dir"]
+
+# Every driver-provided table (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension-sized tables: safe and profitable to broadcast in joins.
+# (region/nation are tiny; part/supplier/customer scale with SF but stay
+# orders of magnitude below lineitem — at very large SF Catalyst's size
+# estimate + AQE makes the final call, broadcast() is only a hint.)
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table as a DataFrame (lazy — no action triggered)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    sf_dir = sf_dir or default_sf_dir()
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    """Register every table as a temp view; returns the DataFrames too."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
