@@ -1,0 +1,162 @@
+"""Driver-checkable ingestion operators (SURVEY.md §2.1 S1/S2, §2.2, §2.6).
+
+The CSV scan → normalize and MERGE operators act on *files and table state*,
+not on the pre-registered oracle views — so to put them under the DuckDB
+oracle, each query here materializes its own deterministic input FROM a
+driver table, runs the real operator, and returns a result the oracle can
+recompute directly from the source table with ANSI SQL. That makes the
+ingestion path hash-checkable instead of rows-only.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_ingestion_pipeline_spark.functions.normalize import (
+    parse_iso8601,
+    rename_columns_snake_case,
+)
+from data_ingestion_pipeline_spark.plans.merge import merge_upsert
+from data_ingestion_pipeline_spark.plans.table import ManagedTable
+from data_ingestion_pipeline_spark.sources.catalog import load_table
+
+__all__ = ["csv_ingest_events", "merge_upsert_events"]
+
+_SCRATCH = "/tmp/spark_graft_scratch"
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(_SCRATCH, tag, name)
+
+
+# CSV shape for the round-trip: camelCase headers + ISO8601 string timestamps,
+# mirroring the reference CSV quirks (mixed second/minute precision,
+# SURVEY.md §1.4.2).
+_EVENTS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("eventId", T.LongType(), False),
+        T.StructField("ts", T.StringType(), True),
+        T.StructField("userId", T.LongType(), True),
+        T.StructField("eventType", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def csv_ingest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 + P1-P3 end-to-end: export events to a reference-shaped CSV
+    (camelCase headers, Z-suffixed ISO8601 with minute-precision rows where
+    seconds are zero), then run the schema'd CSV scan + normalizer over it.
+
+    Oracle: the same rows straight from the parquet table with timestamps
+    truncated to seconds — if rename/cast/parse are correct, the round trip
+    is lossless.
+    """
+    events = load_table(spark, sf_dir, "events")
+    out = _scratch(sf_dir, "events_csv")
+    formatted = events.select(
+        F.col("event_id").alias("eventId"),
+        F.when(
+            F.second("ts") == 0, F.date_format("ts", "yyyy-MM-dd'T'HH:mm'Z'")
+        )
+        .otherwise(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .alias("ts"),
+        F.col("user_id").alias("userId"),
+        F.col("event_type").alias("eventType"),
+        F.col("value").alias("value"),
+        F.col("props").alias("props"),
+    )
+    formatted.write.mode("overwrite").option("header", "true").csv(out)
+
+    raw = (
+        spark.read.option("header", "true")
+        .option("nullValue", "")
+        .schema(_EVENTS_CSV_SCHEMA)
+        .csv(out)
+    )
+    df = rename_columns_snake_case(raw)
+    return df.select(
+        "event_id",
+        parse_iso8601(F.col("ts")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+CSV_INGEST_EVENTS_ORACLE = """
+SELECT event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+       user_id, event_type, value, props
+FROM events
+"""
+
+
+def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1-U3 — the full MERGE under the oracle.
+
+    Deterministic scenario built from ``events``:
+    - stored  = events with ``event_id % 3 = 0``
+    - batch   = events with ``event_id % 2 = 0`` at value×2, UNION the
+      ``% 4 = 0`` subset again one hour later at value×3 (an in-batch
+      duplicate whose later timestamp must win)
+    Merge by event_id, last-wins by ts, committed through ManagedTable's
+    atomic swap. The oracle recomputes the expected table with a window +
+    anti-join in pure SQL.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    stored = events.filter(F.col("event_id") % 3 == 0).select(*cols)
+    batch = (
+        events.filter(F.col("event_id") % 2 == 0)
+        .select(
+            "event_id", "ts", "user_id", "event_type",
+            (F.col("value") * 2).alias("value"),
+        )
+        .unionByName(
+            events.filter(F.col("event_id") % 4 == 0).select(
+                "event_id",
+                (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+                "user_id",
+                "event_type",
+                (F.col("value") * 3).alias("value"),
+            )
+        )
+    )
+
+    root = _scratch(sf_dir, "merge_demo")
+    shutil.rmtree(root, ignore_errors=True)
+    table = ManagedTable(spark, root)
+    table.overwrite(stored)
+    merge_upsert(table, batch, keys=["event_id"], order_col="ts")
+    return table.read()
+
+
+MERGE_UPSERT_EVENTS_ORACLE = """
+WITH stored AS (
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE event_id % 3 = 0
+), batch AS (
+    SELECT event_id, ts, user_id, event_type, value * 2 AS value
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, ts + INTERVAL 1 HOUR, user_id, event_type, value * 3
+    FROM events WHERE event_id % 4 = 0
+), dedup AS (
+    SELECT event_id, ts, user_id, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn
+        FROM batch
+    ) WHERE rn = 1
+)
+SELECT event_id, ts, user_id, event_type, value FROM stored
+WHERE event_id NOT IN (SELECT event_id FROM dedup)
+UNION ALL
+SELECT event_id, ts, user_id, event_type, value FROM dedup
+"""

@@ -1,0 +1,169 @@
+"""General relational operators beyond the six reports (SURVEY.md §2.3-2.4).
+
+The reference implements existence checks procedurally (dict membership per
+row, ``flows/data_ingestion.py:116-122``) and IN-list/OR-of-ANDs predicates
+whose SQL text grows with the batch (``:19``, ``:41-48``) — both collapse
+here into set-based semi/anti joins that shuffle-or-broadcast on the key
+regardless of batch size. The window/top-k operators generalize the report
+queries' sort+aggregate shapes into per-group rankings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.sources.catalog import load_table
+
+__all__ = [
+    "customers_with_orders",
+    "customers_without_orders",
+    "in_list_filter",
+    "composite_key_semi_join",
+    "customer_order_enrichment",
+    "top_parts_per_brand",
+    "customer_order_ranks",
+    "brand_share_of_revenue",
+]
+
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — existence semi-join, the set-based form of the reference's
+    per-key lookup (``flows/data_ingestion.py:12-32``). EXISTS ≡ left_semi."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — anti-join: the insert-set complement (``flows/data_ingestion.py:121-122``).
+
+    Scoped to finished ('F') orders so the anti side is non-empty at every
+    fixture SF — a 0-row result would make the oracle check vacuous.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def in_list_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — literal IN-list predicate (reference ``flows/data_ingestion.py:19``).
+
+    For literal lists Catalyst folds this into the parquet scan; the
+    batch-vs-table form of the same operator is the semi-join above — never
+    an O(batch) SQL string.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey", "p_name", "p_brand", "p_size")
+
+
+def composite_key_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/J3 — multi-column-key membership as a single equi-semi-join.
+
+    The reference builds OR(AND(=,=),...) with one disjunct per key pair
+    (``flows/data_ingestion.py:41-48``) — O(batch) SQL text. Set-based form:
+    join on both key columns; cost is one hash join independent of key count.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    batch_keys = (
+        lineitem.filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_linenumber")
+        .distinct()
+    )
+    return lineitem.join(
+        batch_keys, ["l_orderkey", "l_linenumber"], "left_semi"
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+
+def customer_order_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop dimension enrichment: orders ⋈ customer ⋈ nation ⋈ region.
+
+    Catalyst chains broadcast joins over the progressively smaller dims — no
+    fact-table shuffle at any hop; at 100 TB each hop stays a map-side join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-K per group via ranking window — the distributed form of
+    "most sold per category" when only the leaders are wanted.
+
+    The window shuffles once on the group key; per-partition sort is local.
+    rank() keeps ties (deterministic result even when quantities tie).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey", "p_name")
+        .agg(F.sum("l_quantity").alias("total_sold"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("total_sold").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        per_part.withColumn("brand_rank", F.row_number().over(w))
+        .filter(F.col("brand_rank") <= k)
+    )
+
+
+def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions over a partitioned sort: per-customer order
+    sequence numbers, running spend, and gap-to-previous-order in days."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_spend"),
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("days_since_prev"),
+    )
+
+
+def brand_share_of_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + global-window share-of-total: percent of revenue per brand.
+
+    The share is computed over the already-aggregated (tiny) relation, so the
+    unpartitioned window is safe at any fact-table scale.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_brand = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    return per_brand.select(
+        "p_brand",
+        F.round("rev", 2).alias("brand_revenue"),
+        F.round(F.col("rev") * 100.0 / F.sum("rev").over(Window.partitionBy()), 4).alias(
+            "revenue_share_pct"
+        ),
+    )

@@ -1,0 +1,98 @@
+"""ManagedTable — a minimal versioned parquet table with atomic swap.
+
+The reference gets transactionality from Postgres (commit/rollback per batch,
+``flows/data_ingestion.py:181-185``). Vanilla Spark-on-parquet has no
+transactions and no in-place update, so every mutating plan (MERGE, schema
+evolution) writes a **new immutable version directory** and then atomically
+repoints a tiny ``_LATEST`` pointer file — the same write-new-then-swap idea
+Delta Lake's transaction log generalizes (SURVEY.md §4.3). Readers resolve
+the pointer once per read, never see partial writes, and concurrent readers
+of the old version are undisturbed because old versions are immutable.
+
+Layout::
+
+    <root>/
+      _LATEST            # text file: name of the current version dir
+      v00000001/...parquet
+      v00000002/...parquet
+
+Scale notes: version data is written by executors (a normal distributed
+``df.write.parquet``); only the pointer flip is a driver-side metadata
+operation (O(1), independent of data size). On HDFS/S3 the pointer write
+relies on rename-atomicity; production systems use a log/commit protocol
+(Delta/Iceberg) — the interface here is deliberately narrow so a Delta
+backend could slot in behind it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["ManagedTable"]
+
+_POINTER = "_LATEST"
+
+
+class ManagedTable:
+    def __init__(self, spark: SparkSession, root: str, keep_versions: int = 3) -> None:
+        self.spark = spark
+        self.root = root
+        self.keep_versions = keep_versions
+        os.makedirs(root, exist_ok=True)
+
+    # -- pointer management -------------------------------------------------
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, _POINTER)
+
+    def current_version(self) -> str | None:
+        try:
+            with open(self._pointer_path()) as f:
+                v = f.read().strip()
+            return v or None
+        except FileNotFoundError:
+            return None
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    def _next_version(self) -> str:
+        cur = self.current_version()
+        n = int(cur[1:]) + 1 if cur else 1
+        return f"v{n:08d}"
+
+    def _swap_pointer(self, version: str) -> None:
+        # POSIX rename is atomic within a filesystem: readers see either the
+        # old pointer or the new one, never a torn write.
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._ptr")
+        with os.fdopen(fd, "w") as f:
+            f.write(version)
+        os.replace(tmp, self._pointer_path())
+
+    # -- read / write -------------------------------------------------------
+
+    def read(self) -> DataFrame:
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table {self.root} has no committed version")
+        return self.spark.read.parquet(os.path.join(self.root, v))
+
+    def overwrite(self, df: DataFrame) -> str:
+        """Commit ``df`` as the new table contents (write-new-then-swap)."""
+        version = self._next_version()
+        df.write.mode("overwrite").parquet(os.path.join(self.root, version))
+        self._swap_pointer(version)
+        self._vacuum()
+        return version
+
+    def _vacuum(self) -> None:
+        cur = self.current_version()
+        versions = sorted(
+            d for d in os.listdir(self.root) if d.startswith("v") and d != cur
+        )
+        for stale in versions[: max(0, len(versions) - (self.keep_versions - 1))]:
+            shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)

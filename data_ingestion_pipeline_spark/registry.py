@@ -14,7 +14,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_ingestion_pipeline_spark.operators import reports
+from data_ingestion_pipeline_spark.operators import (
+    ingestion_checks,
+    relational,
+    reports,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -103,4 +107,124 @@ register(
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand, p_partkey, p_name
     """,
+)
+
+# --------------------------------------------------------------------------
+# §2.3-2.4 predicates and joins (F1/F2, J3/J4) + window operators
+# --------------------------------------------------------------------------
+
+register(
+    "exists_semi_join",
+    relational.customers_with_orders,
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+
+register(
+    "anti_join_new_keys",
+    relational.customers_without_orders,
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+    )
+    """,
+)
+
+register(
+    "in_list_filter",
+    relational.in_list_filter,
+    """
+    SELECT p_partkey, p_name, p_brand, p_size FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+    """,
+)
+
+register(
+    "composite_key_semi_join",
+    relational.composite_key_semi_join,
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    """,
+)
+
+register(
+    "customer_order_enrichment",
+    relational.customer_order_enrichment,
+    """
+    SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_value
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+
+register(
+    "top_parts_per_brand",
+    relational.top_parts_per_brand,
+    """
+    SELECT p_brand, p_partkey, p_name, total_sold, brand_rank FROM (
+        SELECT p_brand, p_partkey, p_name, SUM(l_quantity) AS total_sold,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY SUM(l_quantity) DESC, p_partkey ASC
+               ) AS brand_rank
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey, p_name
+    ) WHERE brand_rank <= 3
+    """,
+)
+
+register(
+    "customer_order_ranks",
+    relational.customer_order_ranks,
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS order_seq,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_spend,
+           CAST(DATEDIFF('day', LAG(o_orderdate) OVER w, o_orderdate) AS INTEGER)
+               AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+
+register(
+    "brand_share_of_revenue",
+    relational.brand_share_of_revenue,
+    """
+    WITH per_brand AS (
+        SELECT p_brand, SUM(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    )
+    SELECT p_brand, ROUND(rev, 2) AS brand_revenue,
+           ROUND(rev * 100.0 / SUM(rev) OVER (), 4) AS revenue_share_pct
+    FROM per_brand
+    """,
+)
+
+# --------------------------------------------------------------------------
+# §2.1/§2.6 ingestion + MERGE, oracle-checked end-to-end
+# --------------------------------------------------------------------------
+
+register(
+    "csv_ingest_events",
+    ingestion_checks.csv_ingest_events,
+    ingestion_checks.CSV_INGEST_EVENTS_ORACLE,
+)
+
+register(
+    "merge_upsert_events",
+    ingestion_checks.merge_upsert_events,
+    ingestion_checks.MERGE_UPSERT_EVENTS_ORACLE,
 )

@@ -63,6 +63,9 @@ def get_spark(
         # Files at 100 TB: bound scan-task size so a task's input fits in memory.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
+        # Parquet TIMESTAMP(NANOS) (the events fixture) is otherwise a hard
+        # error; read as long and convert in the catalog loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
     )
     if extra_conf:

@@ -1,0 +1,59 @@
+"""Schema'd CSV sources (SURVEY.md §2.1 S1/S2).
+
+The reference reads CSV with pandas and post-hoc coercion
+(``flows/data_ingestion.py:68-96``); here the reader is ``spark.read.csv``
+with an explicit schema — no inference pass (inference = an extra full scan
+at 100 TB), malformed rows quarantined instead of failing the job.
+
+``mode="PERMISSIVE"`` + ``columnNameOfCorruptRecord`` keeps bad rows
+inspectable; at scale you route them to a dead-letter sink rather than
+aborting a multi-hour ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from data_ingestion_pipeline_spark import schemas
+from data_ingestion_pipeline_spark.functions.normalize import (
+    normalize_inventory,
+    normalize_orders,
+)
+
+__all__ = ["read_orders_csv", "read_inventory_csv"]
+
+_CSV_OPTIONS = {
+    "header": "true",
+    "mode": "PERMISSIVE",
+    # Reference data quotes empty strings (""); treat both as null at the
+    # reader, the normalizer additionally nulls whitespace-only values.
+    "nullValue": "",
+    "emptyValue": "",
+}
+
+
+def _read(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    # StructType.add mutates in place — copy so the module-level schema
+    # constants stay pristine.
+    corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    return (
+        spark.read.options(**_CSV_OPTIONS)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(corrupt)
+        .csv(path)
+    )
+
+
+def read_orders_csv(spark: SparkSession, path: str, normalized: bool = True) -> DataFrame:
+    """S1 — orders CSV scan (reference ``flows/data_ingestion.py:80-96``)."""
+    raw = _read(spark, path, schemas.ORDERS_CSV_RAW).drop("_corrupt_record")
+    return normalize_orders(raw) if normalized else raw
+
+
+def read_inventory_csv(spark: SparkSession, path: str, normalized: bool = True) -> DataFrame:
+    """S2 — inventory CSV scan (reference ``flows/data_ingestion.py:68-77``)."""
+    raw = _read(spark, path, schemas.INVENTORY_CSV_RAW).drop("_corrupt_record")
+    return normalize_inventory(raw) if normalized else raw

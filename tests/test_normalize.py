@@ -1,0 +1,78 @@
+"""M1 — normalization layer (SURVEY.md §2.2 P1-P4) on reference-shaped CSVs."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from data_ingestion_pipeline_spark import schemas
+from data_ingestion_pipeline_spark.functions.normalize import camel_to_snake
+from data_ingestion_pipeline_spark.sources.csv_reader import (
+    read_inventory_csv,
+    read_orders_csv,
+)
+from tests.fixtures import write_fixture_csvs
+
+
+@pytest.fixture(scope="module")
+def csvs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("refdata")
+    return write_fixture_csvs(str(d))
+
+
+def test_camel_to_snake():
+    # reference flows/utils.py:4-5 behavior
+    assert camel_to_snake("orderId") == "order_id"
+    assert camel_to_snake("channelGroup") == "channel_group"
+    assert camel_to_snake("subCategory") == "sub_category"
+    assert camel_to_snake("already_snake") == "already_snake"
+    assert camel_to_snake("shippingCost") == "shipping_cost"
+
+
+def test_orders_schema_and_rename(spark, csvs):
+    orders_csv, _ = csvs
+    df = read_orders_csv(spark, orders_csv)
+    assert [f.name for f in df.schema.fields] == [f.name for f in schemas.ORDERS.fields]
+    assert dict((f.name, f.dataType) for f in df.schema.fields) == dict(
+        (f.name, f.dataType) for f in schemas.ORDERS.fields
+    )
+
+
+def test_timestamp_parse_mixed_precision(spark):
+    """§1.4.2 — minute-precision rows must parse, not null out or fail."""
+    raw = spark.createDataFrame(
+        [
+            ("o1", "p1", "2023-02-01T06:16Z"),
+            ("o2", "p2", "2023-02-01T17:12:52Z"),
+        ],
+        "orderId string, productId string, dateTime string",
+    )
+    from data_ingestion_pipeline_spark.functions.normalize import parse_iso8601
+
+    out = raw.select(parse_iso8601(raw.dateTime).alias("ts")).collect()
+    assert out[0].ts == datetime.datetime(2023, 2, 1, 6, 16)
+    assert out[1].ts == datetime.datetime(2023, 2, 1, 17, 12, 52)
+
+
+def test_empty_campaign_becomes_null(spark, csvs):
+    orders_csv, _ = csvs
+    df = read_orders_csv(spark, orders_csv)
+    n_null = df.filter(df.campaign.isNull()).count()
+    assert n_null > 0
+    assert df.filter(df.campaign == "").count() == 0
+
+
+def test_no_timestamp_lost(spark, csvs):
+    orders_csv, _ = csvs
+    df = read_orders_csv(spark, orders_csv)
+    assert df.filter(df.date_time.isNull()).count() == 0
+
+
+def test_inventory_normalized(spark, csvs):
+    _, inv_csv = csvs
+    df = read_inventory_csv(spark, inv_csv)
+    assert df.columns == ["product_id", "name", "quantity", "category", "sub_category"]
+    assert df.count() == 40
+    # composite product id format preserved as string (§1.4.3)
+    assert all("#prod" in r.product_id for r in df.select("product_id").collect())
