@@ -1,0 +1,148 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All hot-path functions are built-in Spark SQL expressions (JVM-side,
+whole-stage-codegen) — no Python UDFs: at 100 TB a row-at-a-time UDF on the
+documents table is the difference between hours and days. The operators
+composed from these live in ``dedup/`` and the registry.
+
+Function surface: tokenization (whitespace + BPE-ish regex), n-gram
+shingling, quality metrics (length/ratio features), md5 fingerprinting,
+and a rule-based language-ID heuristic (script ranges + stopword voting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "bpe_ish_tokens",
+    "token_count",
+    "shingles",
+    "fingerprint_md5",
+    "quality_features",
+    "lang_id",
+]
+
+# A BPE-ish pre-tokenizer: word pieces or single non-space punctuation —
+# the classic GPT-2-style split, minus byte fallback (regex kept portable
+# across Spark/DuckDB/RE2 dialects).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of already-clean text (array<string>)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """Subword-ish tokenization: letter runs, digit runs, punctuation marks."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """n-gram shingles over a token array (array<string> of space-joined
+    n-grams) — the unit set for Jaccard/MinHash near-dup detection.
+
+    Pure expression: sequence + transform + slice, no UDF. A document with
+    fewer than ``n`` tokens yields its whole text as the single shingle.
+    """
+    joined = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+    )
+    return joined
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text. md5 (not xxhash64) so external engines can recompute it
+    byte-for-byte — the exact-dedup key."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Length/ratio quality signals used for corpus filtering.
+
+    Returns named expressions; callers select the ones they need. All are
+    deterministic arithmetic on counts, so an external SQL engine reproduces
+    them exactly (division on identical operands is IEEE-identical).
+    """
+    tok = tokens(col)
+    n_tok = F.size(tok)
+    n_chars = F.length(col)
+    alpha_chars = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    punct_chars = F.length(F.regexp_replace(col, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "n_distinct_tokens": F.size(F.array_distinct(tok)).cast("long"),
+        "type_token_ratio": F.round(
+            F.size(F.array_distinct(tok)).cast("double") / n_tok.cast("double"), 6
+        ),
+        "mean_token_len": F.round(
+            F.aggregate(
+                tok, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / n_tok.cast("double"),
+            6,
+        ),
+        "alpha_ratio": F.round(alpha_chars.cast("double") / n_chars.cast("double"), 6),
+        "punct_ratio": F.round(punct_chars.cast("double") / n_chars.cast("double"), 6),
+    }
+
+
+# --- language identification (rule-based, script ranges + stopword voting) --
+
+# Minimal, high-precision stopword sets for latin-script voting. Sets are
+# disjoint where possible so a single hit is a strong vote.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "with"],
+    "es": ["el", "la", "los", "las", "una", "por", "con", "para", "es", "como"],
+    "fr": ["le", "les", "des", "une", "est", "dans", "pour", "que", "qui", "avec"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "auf"],
+    "pt": ["os", "um", "uma", "com", "não", "por", "mais", "dos", "como", "mas"],
+    "it": ["il", "di", "che", "non", "per", "sono", "della", "con", "una", "più"],
+}
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: script-range detection first (CJK, kana,
+    hangul, cyrillic, arabic, devanagari, greek), then stopword voting among
+    latin-script languages; 'und' when nothing matches.
+
+    Entirely JVM-side: regexp_count for script ranges, array_intersect for
+    votes — O(tokens) per row, no shuffle, no UDF.
+    """
+    n_chars = F.greatest(F.length(col), F.lit(1))
+
+    def ratio(pattern: str) -> Column:
+        return F.regexp_count(col, F.lit(pattern)).cast("double") / n_chars
+
+    tok = F.array_distinct(tokens(F.lower(col)))
+    votes = {
+        lang: F.size(F.array_intersect(tok, F.array(*[F.lit(w) for w in words])))
+        for lang, words in _STOPWORDS.items()
+    }
+    best_latin = F.greatest(*votes.values())
+    latin_pick = F.lit("und")
+    # later entries win ties only if strictly greater → deterministic order
+    for lang in reversed(list(_STOPWORDS)):
+        latin_pick = F.when(votes[lang] == best_latin, F.lit(lang)).otherwise(latin_pick)
+
+    return (
+        F.when(ratio(r"[぀-ヿ]") > 0.05, F.lit("ja"))
+        .when(ratio(r"[一-鿿]") > 0.10, F.lit("zh"))
+        .when(ratio(r"[가-힯]") > 0.10, F.lit("ko"))
+        .when(ratio(r"[Ѐ-ӿ]") > 0.10, F.lit("ru"))
+        .when(ratio(r"[؀-ۿ]") > 0.10, F.lit("ar"))
+        .when(ratio(r"[ऀ-ॿ]") > 0.10, F.lit("hi"))
+        .when(ratio(r"[Ͱ-Ͽ]") > 0.10, F.lit("el"))
+        .when(best_latin > 0, latin_pick)
+        .otherwise(F.lit("und"))
+    )

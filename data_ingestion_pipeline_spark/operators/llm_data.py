@@ -1,0 +1,242 @@
+"""LLM-training-data operators over the documents/embeddings/events tables.
+
+These are the north-star additions (BASELINE.json): dedup, similarity
+search, text analysis, JSON extraction — each as a driver-checkable query.
+The fixture corpus has no natural duplicates, so dedup queries *plant*
+deterministic duplicates derived from the table itself (a union with
+transformed copies) — both the engine and the SQL oracle build the same
+augmented corpus, which keeps the check non-vacuous and exact.
+
+Hash-seeded operators (MinHash, SimHash, hyperplane LSH) can't be
+recomputed by an external SQL engine; they register rows-only and get their
+semantics tested in pytest with planted near-duplicates (tests/test_llm_data.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.dedup.minhash import minhash_near_dup_pairs
+from data_ingestion_pipeline_spark.dedup.ngram import jaccard_pairs
+from data_ingestion_pipeline_spark.dedup.simhash import simhash_near_dup_pairs
+from data_ingestion_pipeline_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    fingerprint_md5,
+    lang_id,
+    quality_features,
+)
+from data_ingestion_pipeline_spark.similarity.brute_force import topk_cosine
+from data_ingestion_pipeline_spark.similarity.lsh import ann_topk
+from data_ingestion_pipeline_spark.sources.catalog import load_table
+
+__all__ = [
+    "text_stats",
+    "exact_dedup_documents",
+    "ngram_jaccard_documents",
+    "minhash_near_dup_documents",
+    "simhash_near_dup_documents",
+    "cosine_topk_embeddings",
+    "ann_lsh_topk_embeddings",
+    "json_extract_events",
+    "lang_id_documents",
+]
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + fingerprint + BPE-ish token count —
+    the standard filtering signal set, all codegen'd expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars_calc"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_distinct_tokens"].alias("n_distinct_tokens"),
+        feats["type_token_ratio"].alias("type_token_ratio"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        fingerprint_md5(F.col("text")).alias("fingerprint"),
+    )
+
+
+TEXT_STATS_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
+           AS type_token_ratio,
+       ROUND(CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len,
+       ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM t
+"""
+
+
+def _augmented_docs(docs: DataFrame) -> DataFrame:
+    """documents ∪ exact copies of every 10th doc (ids shifted by 100000) —
+    the planted-duplicate corpus used by the exact-dedup check."""
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionByName(copies)
+
+
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the planted-duplicate corpus: one surviving (min) id
+    per fingerprint. Copies must collapse onto their originals."""
+    aug = _augmented_docs(load_table(spark, sf_dir, "documents"))
+    return (
+        aug.select(fingerprint_md5(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+
+
+EXACT_DEDUP_DOCUMENTS_ORACLE = r"""
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS doc_id
+FROM aug GROUP BY 1
+"""
+
+
+def _near_dup_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ 80%-prefix copies of every 20th doc (ids +1000000) —
+    planted near-duplicates with shingle-Jaccard ≈ 0.8."""
+    tok = F.split(F.trim(F.col("text")), r"\s+")
+    prefix_len = F.greatest(
+        F.ceil(F.size(tok) * 0.8).cast("int"), F.lit(1)
+    )
+    mutated = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(tok, F.lit(1), prefix_len)).alias("text"),
+        )
+    )
+    return docs.select("doc_id", "text").unionByName(mutated)
+
+
+def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs on the planted corpus."""
+    aug = _near_dup_corpus(load_table(spark, sf_dir, "documents"))
+    return jaccard_pairs(aug, "text", "doc_id", n=3, threshold=0.4)
+
+
+NGRAM_JACCARD_DOCUMENTS_ORACLE = r"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), aug AS (
+    SELECT doc_id, toks FROM base
+    UNION ALL
+    SELECT doc_id + 1000000,
+           toks[1:GREATEST(CAST(CEIL(len(toks) * 0.8) AS INTEGER), 1)]
+    FROM base WHERE doc_id % 20 = 0
+), sets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, GREATEST(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+           )) AS sset
+    FROM aug
+), exploded AS (
+    SELECT doc_id, unnest(sset) AS shingle FROM sets
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+    FROM exploded a JOIN exploded b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_common AS DOUBLE) /
+             CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN (SELECT doc_id, len(sset) AS sz FROM sets) sa ON sa.doc_id = id_a
+JOIN (SELECT doc_id, len(sset) AS sz FROM sets) sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.4
+"""
+
+
+def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs on the planted corpus (rows-only check:
+    seeded xxhash64 signatures aren't reproducible in an external engine;
+    recall/precision asserted in pytest)."""
+    aug = _near_dup_corpus(load_table(spark, sf_dir, "documents"))
+    return minhash_near_dup_pairs(aug, "text", "doc_id", threshold=0.5)
+
+
+def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on the planted corpus (rows-only; see above)."""
+    aug = _near_dup_corpus(load_table(spark, sf_dir, "documents"))
+    return simhash_near_dup_pairs(aug, "text", "doc_id", max_hamming=3)
+
+
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-20 for the vec_id=0 query vector.
+
+    Exactness across engines holds because both fold the dot product
+    sequentially in double (verified bitwise; see functions/vector.py).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return topk_cosine(emb, q, k=20)
+
+
+COSINE_TOPK_EMBEDDINGS_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS score
+FROM embeddings, q
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id
+LIMIT 20
+"""
+
+
+def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 for a small query batch (rows-only:
+    approximate by construction; recall vs brute force asserted in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann_topk(emb, q, k=10, n_planes=8)
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props payload column."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+JSON_EXTRACT_EVENTS_ORACLE = """
+SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_value FROM events
+"""
+
+
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID per document (rows-only: the script/stopword
+    rules are exercised against real multilingual samples in pytest; the
+    fixture corpus is same-vocabulary word soup for every lang label)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_ingestion_pipeline_spark.operators import (
     ingestion_checks,
+    llm_data,
     relational,
     reports,
 )
@@ -228,3 +229,41 @@ register(
     ingestion_checks.merge_upsert_events,
     ingestion_checks.MERGE_UPSERT_EVENTS_ORACLE,
 )
+
+# --------------------------------------------------------------------------
+# North-star LLM-data operators (BASELINE.json): dedup, similarity, text
+# --------------------------------------------------------------------------
+
+register("text_stats", llm_data.text_stats, llm_data.TEXT_STATS_ORACLE)
+
+register(
+    "exact_dedup_documents",
+    llm_data.exact_dedup_documents,
+    llm_data.EXACT_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "ngram_jaccard_documents",
+    llm_data.ngram_jaccard_documents,
+    llm_data.NGRAM_JACCARD_DOCUMENTS_ORACLE,
+)
+
+register("minhash_near_dup_documents", llm_data.minhash_near_dup_documents, None)
+
+register("simhash_near_dup_documents", llm_data.simhash_near_dup_documents, None)
+
+register(
+    "cosine_topk_embeddings",
+    llm_data.cosine_topk_embeddings,
+    llm_data.COSINE_TOPK_EMBEDDINGS_ORACLE,
+)
+
+register("ann_lsh_topk_embeddings", llm_data.ann_lsh_topk_embeddings, None)
+
+register(
+    "json_extract_events",
+    llm_data.json_extract_events,
+    llm_data.JSON_EXTRACT_EVENTS_ORACLE,
+)
+
+register("lang_id_documents", llm_data.lang_id_documents, None)

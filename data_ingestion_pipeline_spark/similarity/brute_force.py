@@ -1,0 +1,64 @@
+"""Brute-force cosine similarity search — the exact baseline.
+
+Single query: broadcast the query vector, one pass over the corpus with a
+codegen'd cosine expression, global top-k. The scan parallelizes perfectly
+(no shuffle until the final k-row ordering), so at 100 TB this is
+bandwidth-bound — the right baseline to beat with the LSH variant.
+
+Batch of queries: broadcast the (small) query set and crossJoin — each
+corpus partition scores all queries locally; top-k per query via a ranking
+window over the (still corpus-sized) scored relation. When the query set
+stops fitting in a broadcast, that's the cue for the bucketed variant.
+
+Kept as pure SQL expressions (functions/vector.py) rather than a pandas UDF:
+the expression path is bit-reproducible across engines and avoids Arrow
+transfer; a matrix-multiply pandas UDF wins only when scoring many queries
+at once against each batch — noted as the escalation path, not the default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.functions.vector import as_double_array, cosine
+
+__all__ = ["cosine_scores", "topk_cosine", "topk_cosine_batch"]
+
+
+def cosine_scores(corpus: DataFrame, query_df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Score every corpus vector against every query row (query side must be
+    broadcast-small). query_df: (query_id, qvec array)."""
+    return corpus.crossJoin(F.broadcast(query_df)).select(
+        F.col("query_id"),
+        F.col(id_col),
+        cosine(as_double_array(F.col("embedding")), as_double_array(F.col("qvec"))).alias(
+            "score"
+        ),
+    )
+
+
+def topk_cosine(
+    corpus: DataFrame, query_df: DataFrame, k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k for a single query: full scan + orderBy().limit(k) —
+    Spark runs this as per-partition top-k then a k-row merge on the driver
+    side of the exchange (TakeOrderedAndProject), not a global sort."""
+    scored = cosine_scores(corpus, query_df, id_col).drop("query_id")
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k).select(
+        id_col, F.round("score", 6).alias("score")
+    )
+
+
+def topk_cosine_batch(
+    corpus: DataFrame, query_df: DataFrame, k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Top-k per query for a broadcastable query batch (ranking window over
+    the scored relation, partitioned by query)."""
+    scored = cosine_scores(corpus, query_df, id_col)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("score", 6).alias("score"), "rank")
+    )

@@ -1,0 +1,102 @@
+"""LSH-bucketed approximate nearest neighbors — the scale path for ANN.
+
+Random-hyperplane LSH (Charikar): sign of ⟨v, h_j⟩ for H deterministic
+hyperplanes gives an H-bit bucket id; cosine-close vectors collide with
+probability 1 − θ/π per bit. Search only scores the query's bucket (and
+optionally neighboring buckets by Hamming distance), turning a full-corpus
+scan into a bucket-sized one.
+
+Design for 100 TB:
+- Hyperplanes are derived deterministically from a seed (hash-based, no RNG
+  state) so every executor — and every future run — agrees on the bucketing
+  without shipping model state. They're tiny literal arrays baked into the
+  plan.
+- Bucket assignment is a one-pass expression over the corpus; in production
+  you'd persist the bucketed corpus partitioned by bucket id so a query
+  reads exactly one partition (partition pruning does the candidate
+  selection for free).
+- Multi-probe: flip the lowest-margin bits to visit adjacent buckets,
+  trading recall for extra bucket reads without re-bucketing the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.functions.vector import as_double_array, cosine, dot
+
+__all__ = ["hyperplanes", "bucket_expr", "bucketize", "ann_topk"]
+
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 20240601) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes.
+
+    Components are derived from md5(seed, plane, coord) mapped to [-1, 1) —
+    reproducible everywhere (no numpy/RNG), statistically adequate for LSH
+    (only the sign structure matters).
+    """
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            digest = hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()
+            (u,) = struct.unpack("<Q", digest[:8])
+            row.append(u / float(1 << 63) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """H-bit bucket id: bit j = sign(⟨vec, plane_j⟩)."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec, lit_plane) >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def bucketize(
+    corpus: DataFrame, planes: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    return corpus.withColumn("bucket", bucket_expr(as_double_array(F.col(vec_col)), planes))
+
+
+def ann_topk(
+    corpus: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing the query's bucket.
+
+    query_df: (query_id, qvec). Equi-join on bucket replaces the cross join —
+    the recall/coverage trade dials with n_planes (fewer planes → bigger
+    buckets → higher recall, more compute).
+    """
+    planes = hyperplanes(dim, n_planes)
+    bucketed = bucketize(corpus, planes)
+    q = query_df.withColumn("bucket", bucket_expr(as_double_array(F.col("qvec")), planes))
+    from pyspark.sql import Window
+
+    scored = bucketed.join(F.broadcast(q), ["bucket"]).select(
+        "query_id",
+        F.col(id_col),
+        cosine(as_double_array(F.col("embedding")), as_double_array(F.col("qvec"))).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("score", 6).alias("score"), "rank")
+    )

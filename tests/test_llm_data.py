@@ -1,0 +1,170 @@
+"""M5 — LLM-data operators: planted-duplicate recall, similarity parity,
+language-ID rules, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.dedup.exact import exact_dedup
+from data_ingestion_pipeline_spark.dedup.minhash import minhash_near_dup_pairs
+from data_ingestion_pipeline_spark.dedup.ngram import jaccard_pairs
+from data_ingestion_pipeline_spark.dedup.simhash import simhash_near_dup_pairs
+from data_ingestion_pipeline_spark.functions.text import lang_id
+from data_ingestion_pipeline_spark.functions.vector import as_double_array, cosine
+from data_ingestion_pipeline_spark.similarity.brute_force import topk_cosine_batch
+from data_ingestion_pipeline_spark.similarity.lsh import ann_topk
+from tests.conftest import SF_SMOKE
+
+WORDS = (
+    "spark batch window join filter agg table row scan merge query value "
+    "hash sort key vector data stream group order column line part fast slow"
+).split()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 random-ish docs + exact copies of 0-9 (+100) + 85%-prefix near-dups
+    of 10-19 (+200)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        toks = [rng.choice(WORDS) for _ in range(rng.randint(40, 80))]
+        rows.append((i, " ".join(toks)))
+    base = dict(rows)
+    for i in range(10):
+        rows.append((100 + i, base[i]))  # exact copies
+    for i in range(10, 20):
+        toks = base[i].split()
+        rows.append((200 + i, " ".join(toks[: int(len(toks) * 0.85)])))  # near dups
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_collapses_copies(corpus):
+    out = exact_dedup(corpus, "text", "doc_id")
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert len(ids) == 70  # 80 rows - 10 exact copies
+    assert all(i < 100 or i >= 210 or not (100 <= i < 110) for i in ids)
+    # survivors are the originals (min id wins)
+    assert all(not (100 <= i < 110) for i in ids)
+
+
+def test_ngram_jaccard_finds_planted_pairs(corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.4).collect()
+    }
+    for i in range(10):  # exact copies: jaccard 1.0
+        assert pairs.get((i, 100 + i)) == pytest.approx(1.0)
+    for i in range(10, 20):  # prefix copies: high jaccard
+        assert pairs.get((i, 200 + i), 0) >= 0.6
+
+
+def test_minhash_recall_on_planted_pairs(corpus):
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(corpus, "text", "doc_id", threshold=0.5).collect()
+    }
+    exact_planted = {(i, 100 + i) for i in range(10)}
+    near_planted = {(i, 200 + i) for i in range(10, 20)}
+    # all exact copies must be found; near-dups with J≈0.85 at worst miss
+    # with P < 1e-2 each under (K=32, B=8, R=4) — allow one miss
+    assert exact_planted <= got
+    assert len(near_planted & got) >= 9
+    # verified jaccard means no false positives below threshold
+    for r in minhash_near_dup_pairs(corpus, "text", "doc_id", threshold=0.5).collect():
+        assert r.jaccard >= 0.5
+
+
+def test_simhash_exact_copies_distance_zero(corpus):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(corpus, "text", "doc_id", max_hamming=3).collect()
+    }
+    for i in range(10):
+        assert pairs.get((i, 100 + i)) == 0  # identical text → identical signature
+
+
+def test_cosine_self_similarity(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    row = emb.select(
+        cosine(
+            as_double_array(F.col("embedding")), as_double_array(F.col("embedding"))
+        ).alias("c")
+    ).first()
+    assert row.c == pytest.approx(1.0, abs=1e-12)
+
+
+def test_ann_scores_match_brute_force(spark):
+    """ANN returns a subset of the corpus with *correct* scores; its rank-1
+    for each query is the query itself (always in its own bucket)."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    ann = ann_topk(emb, q, k=5, n_planes=6)
+    brute = topk_cosine_batch(emb, q, k=500)
+    brute_scores = {(r.query_id, r.vec_id): r.score for r in brute.collect()}
+    for r in ann.collect():
+        assert brute_scores[(r.query_id, r.vec_id)] == pytest.approx(r.score, abs=1e-9)
+        if r.rank == 1:
+            assert r.vec_id == r.query_id and r.score == pytest.approx(1.0)
+
+
+def test_lang_id_rules(spark):
+    samples = [
+        (1, "the cat sat on the mat and it was happy with the result", "en"),
+        (2, "el perro corre por la calle con una pelota para jugar", "es"),
+        (3, "le chat est dans la maison avec une souris pour jouer", "fr"),
+        (4, "der Hund ist nicht mit der Katze und ein Vogel auf dem Dach", "de"),
+        (5, "这是一个中文句子用来测试语言识别功能是否正常工作", "zh"),
+        (6, "これは日本語のテストですとても簡単な文章です", "ja"),
+        (7, "이것은 한국어 테스트 문장입니다 언어 감지가 잘 되는지 확인합니다", "ko"),
+        (8, "это русское предложение для проверки определения языка", "ru"),
+        (9, "xyzzy qwerty plugh", "und"),
+    ]
+    df = spark.createDataFrame(samples, "id long, text string, expected string")
+    out = df.select("id", "expected", lang_id(F.col("text")).alias("got")).collect()
+    for r in out:
+        assert r.got == r.expected, f"id={r.id}: got {r.got}, want {r.expected}"
+
+
+def test_multimodal_plumbing(spark):
+    from data_ingestion_pipeline_spark.multimodal.binary_ops import (
+        attach_media_metadata,
+        decode_image_features,
+        sample_video_frames,
+    )
+
+    rows = [
+        (1, b"fake-image-bytes-aaaa", ("image/png", 64, 64, None)),
+        (2, b"fake-video-bytes-bbbb", ("video/mp4", 640, 480, 3500)),
+        (3, None, ("image/png", 0, 0, None)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<mime string, width int, height int, duration_ms long>",
+    )
+    meta = attach_media_metadata(df)
+    got = {r.media_id: r.payload_bytes for r in meta.collect()}
+    assert got[1] == 21 and got[3] is None
+
+    feats = decode_image_features(df).collect()
+    assert {r.media_id for r in feats} == {1, 2, 3}
+    assert all(len(r.feature) == 8 for r in feats)
+    # deterministic: same payload → same features
+    feats2 = decode_image_features(df).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+
+    frames = sample_video_frames(df, every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    assert sorted(by_id[2]) == [0, 1000, 2000, 3000]
+    assert 1 not in by_id  # no duration → no frames
+
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        sample_video_frames(df, strict=True).collect()
