@@ -1,0 +1,132 @@
+"""Driver-checkable streaming/window operators over the events table.
+
+Window semantics are identical for batch and streaming frames, so the batch
+SQL oracle validates the streaming plan shape; ``streaming_tumbling_events``
+additionally runs a REAL Structured Streaming job (file source → watermarked
+window agg → memory sink, availableNow trigger) whose drained output is
+hash-checked against the same oracle — an end-to-end streaming correctness
+gate, not just a batch stand-in.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_ingestion_pipeline_spark.sources.catalog import load_table
+from data_ingestion_pipeline_spark.streaming.windows import (
+    sessionize_gaps_and_islands,
+    sliding_event_stats,
+    tumbling_event_stats,
+)
+
+__all__ = [
+    "tumbling_window_events",
+    "sliding_window_events",
+    "sessionize_events",
+    "streaming_tumbling_events",
+]
+
+
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_event_stats(load_table(spark, sf_dir, "events"))
+
+
+TUMBLING_WINDOW_EVENTS_ORACLE = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_event_stats(load_table(spark, sf_dir, "events"))
+
+
+SLIDING_WINDOW_EVENTS_ORACLE = """
+WITH assigned AS (
+    SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, value FROM events
+    UNION ALL
+    SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value FROM events
+)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM assigned GROUP BY 1, 2
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = sessionize_gaps_and_islands(load_table(spark, sf_dir, "events"), gap_minutes=5)
+    return df.withColumn("session_seq", F.col("session_seq").cast("long"))
+
+
+SESSIONIZE_EVENTS_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 300 THEN 1 ELSE 0 END
+               AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts, value,
+           CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_seq
+    FROM flagged
+)
+SELECT user_id, session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       ROUND(SUM(value), 2) AS session_value
+FROM numbered GROUP BY 1, 2
+"""
+
+_EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as long
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Structured Streaming run: file source over events.parquet →
+    event-time watermark → tumbling window agg → memory sink, drained with
+    an availableNow trigger. Output mode 'complete' so windows still inside
+    the watermark are emitted too (static input never advances past them).
+    """
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    name = f"stream_tumbling_{tag}"
+    # The streaming file source requires a directory; glob-filter it down to
+    # the events file so the other tables in sf_dir aren't picked up.
+    raw = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = tumbling_event_stats(events, duration="1 hour", watermark="2 hours")
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    if query.isActive:
+        query.stop()
+    return spark.table(name)

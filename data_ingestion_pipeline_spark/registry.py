@@ -19,6 +19,7 @@ from data_ingestion_pipeline_spark.operators import (
     llm_data,
     relational,
     reports,
+    streaming_checks,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -267,3 +268,31 @@ register(
 )
 
 register("lang_id_documents", llm_data.lang_id_documents, None)
+
+# --------------------------------------------------------------------------
+# Streaming & event-time windows (SURVEY.md §7 M4)
+# --------------------------------------------------------------------------
+
+register(
+    "tumbling_window_events",
+    streaming_checks.tumbling_window_events,
+    streaming_checks.TUMBLING_WINDOW_EVENTS_ORACLE,
+)
+
+register(
+    "sliding_window_events",
+    streaming_checks.sliding_window_events,
+    streaming_checks.SLIDING_WINDOW_EVENTS_ORACLE,
+)
+
+register(
+    "sessionize_events",
+    streaming_checks.sessionize_events,
+    streaming_checks.SESSIONIZE_EVENTS_ORACLE,
+)
+
+register(
+    "streaming_tumbling_events",
+    streaming_checks.streaming_tumbling_events,
+    streaming_checks.TUMBLING_WINDOW_EVENTS_ORACLE,
+)

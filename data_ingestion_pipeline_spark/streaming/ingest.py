@@ -1,0 +1,65 @@
+"""Streaming ingestion: file source → normalize → foreachBatch MERGE.
+
+The north-star composition (SURVEY.md §7 M4): the batch ingestion pipeline's
+normalize + MERGE become the per-micro-batch function of a Structured
+Streaming job. ``foreachBatch`` is the escape hatch that lets an
+append-oriented streaming writer drive an upsert sink (SURVEY.md §4.3);
+checkpointing makes delivery effectively exactly-once into the versioned
+table (each epoch's MERGE is idempotent, so replays converge).
+
+At scale the file source is a drop-in for Kafka/queue sources — the
+transformation graph is identical; only ``readStream.format(...)`` changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from data_ingestion_pipeline_spark import schemas
+from data_ingestion_pipeline_spark.functions.normalize import normalize_orders
+from data_ingestion_pipeline_spark.plans.merge import merge_upsert
+from data_ingestion_pipeline_spark.plans.table import ManagedTable
+
+__all__ = ["stream_orders_csv", "run_stream_to_completion"]
+
+
+def stream_orders_csv(
+    spark: SparkSession,
+    input_dir: str,
+    table: ManagedTable,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuously ingest order CSVs dropped into ``input_dir``.
+
+    Each micro-batch runs the same deterministic MERGE as the batch pipeline
+    (dedup last-wins → anti-join → atomic version swap), so stream-then-batch
+    and batch-then-stream converge to the same table state.
+    """
+    reader = (
+        spark.readStream.schema(schemas.ORDERS_CSV_RAW)
+        .option("header", "true")
+        .option("nullValue", "")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.csv(input_dir)
+    normalized = normalize_orders(raw)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_upsert(table, batch_df, keys=schemas.ORDERS_KEY, order_col="date_time")
+
+    return (
+        normalized.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_stream_to_completion(query: StreamingQuery, timeout_s: float = 120.0) -> None:
+    """Drain an availableNow query synchronously (test/driver helper)."""
+    query.awaitTermination(timeout_s)
+    if query.isActive:
+        query.stop()

@@ -1,0 +1,145 @@
+"""Event-time windowed aggregation — works on both streaming and batch frames.
+
+The reference has no streaming surface; "real-time stock alerts" is an
+aspiration (reference ``README.md:161-197``) that BASELINE.json directs us to
+realize idiomatically. All builders here take a DataFrame that may be a
+streaming frame (``readStream``) or a batch frame — ``window()``/
+``session_window()`` and the aggregates behave identically, which is what
+makes the batch SQL oracle a valid check for the streaming plan.
+
+Watermarks bound state: a tumbling/sliding aggregation keeps one state row
+per (window, key) until the watermark passes the window end; at 100 TB-rate
+streams the watermark delay × key cardinality is the state budget, so it is
+a required argument rather than a default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tumbling_event_stats",
+    "sliding_event_stats",
+    "sessionize_gaps_and_islands",
+    "session_window_stats",
+    "dedup_events_stream",
+]
+
+
+def _with_optional_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    return df.withWatermark(ts_col, watermark) if watermark and df.isStreaming else df
+
+
+def tumbling_event_stats(
+    events: DataFrame, duration: str = "1 hour", watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Tumbling window × event_type: count + sum(value). Streaming state is
+    bounded by the watermark; batch mode computes the same relation."""
+    df = _with_optional_watermark(events, "ts", watermark)
+    return (
+        df.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_stats(
+    events: DataFrame,
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Sliding window: each event lands in duration/slide windows — the
+    fan-out happens at aggregation time (no row duplication in the scan)."""
+    df = _with_optional_watermark(events, "ts", watermark)
+    return (
+        df.groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_gaps_and_islands(events: DataFrame, gap_minutes: int = 5) -> DataFrame:
+    """Batch sessionization via gaps-and-islands window functions: a new
+    session starts when the gap to the previous event exceeds the threshold.
+
+    This is the *batch* formulation (lag + conditional cumsum), chosen over
+    ``session_window`` here because it is expressible in ANSI SQL — the
+    oracle recomputes it verbatim. The streaming formulation is
+    session_window_stats below; on the same batch input they agree.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    new_session = (
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > gap_s,
+            1,
+        )
+        .otherwise(0)
+    )
+    with_session = events.select(
+        "user_id", "event_id", "ts", "value",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_seq"),
+    )
+    return (
+        with_session.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame, gap: str = "5 minutes", watermark: str | None = "30 minutes"
+) -> DataFrame:
+    """Streaming-native sessionization: ``session_window`` merges events into
+    dynamic-length windows per key; state closes when the watermark passes
+    session end + gap."""
+    df = _with_optional_watermark(events, "ts", watermark)
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup by event_id: dropDuplicates keeps one state row
+    per id until the watermark expires it — the streaming counterpart of the
+    batch exact-dedup operator (dedup/exact.py)."""
+    df = _with_optional_watermark(events, "ts", watermark)
+    return df.dropDuplicates(["event_id"])
