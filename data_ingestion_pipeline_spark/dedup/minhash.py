@@ -31,7 +31,11 @@ from data_ingestion_pipeline_spark.functions.text import shingles, tokens
 
 __all__ = ["minhash_signatures", "lsh_candidate_pairs", "minhash_near_dup_pairs"]
 
-_P = (1 << 61) - 1  # Mersenne prime for universal hashing
+# Mersenne prime 2^31-1: the base hash is folded to 31 bits so a·x + b stays
+# within a 64-bit long (a < p, x < 2^31 → product < 2^62) — pure long
+# arithmetic inside codegen. A 31-bit min-hash space is ample for Jaccard
+# estimation (collisions within a document's shingle set are ~|set|²/2³¹).
+_P = (1 << 31) - 1
 
 
 def _perm_params(k: int, seed: int = 1337) -> list[tuple[int, int]]:
@@ -56,16 +60,23 @@ def minhash_signatures(
     exploded = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(tok, shingle_n))).alias("shingle"),
-    ).withColumn("h", F.xxhash64("shingle").cast("decimal(38,0)"))
-    # decimal(38,0) intermediate: a_i·x needs ~124 bits before the mod — long
-    # would overflow. The result is cast back to long (fits: < 2^61).
+    )
+    return _signatures_from_exploded(exploded, id_col, num_hashes)
+
+
+def _signatures_from_exploded(
+    exploded: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """K min() aggregates over permuted 31-bit hashes — map-side partial mins
+    make the shuffle O(docs·K) regardless of document length."""
+    hashed = exploded.withColumn(
+        "h", F.xxhash64("shingle").bitwiseAND(F.lit((1 << 31) - 1))
+    )
     aggs = []
     for i, (a, b) in enumerate(_perm_params(num_hashes)):
-        perm = ((F.lit(a).cast("decimal(38,0)") * F.col("h") + F.lit(b)) % F.lit(_P)).cast(
-            "long"
-        )
+        perm = (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)
         aggs.append(F.min(perm).alias(f"sig_{i}"))
-    return exploded.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -104,10 +115,12 @@ def minhash_near_dup_pairs(
     Jaccard on every pair is O(n²), on LSH candidates it's O(near-dups).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # One shingle explode feeds both the signature aggregation and the
+    # verification sets — cached so the corpus is shingled exactly once.
+    sets = shingle_sets(df, text_col, id_col, shingle_n).cache()
+    sigs = _signatures_from_exploded(sets, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
 
-    sets = shingle_sets(df, text_col, id_col, shingle_n)
     grouped = sets.groupBy(id_col).agg(F.collect_set("shingle").alias("sset"))
     ga = grouped.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
     gb = grouped.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
