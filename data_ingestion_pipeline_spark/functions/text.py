@@ -21,6 +21,7 @@ __all__ = [
     "token_count",
     "shingles",
     "fingerprint_md5",
+    "rolling_fingerprint",
     "quality_features",
     "lang_id",
 ]
@@ -64,6 +65,30 @@ def fingerprint_md5(col: Column) -> Column:
     lowercased text. md5 (not xxhash64) so external engines can recompute it
     byte-for-byte — the exact-dedup key."""
     return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
+
+
+def rolling_fingerprint(col: Column, base: int = 31, mod: int = 2147483647) -> Column:
+    """Polynomial rolling-hash fingerprint: fold (acc·base + codepoint) mod M
+    over the characters — the classic Rabin-Karp document signature.
+
+    Pure codegen'd expression (sequence → per-char codepoint → aggregate
+    fold); mod 2³¹−1 keeps every intermediate within long range (acc < 2³¹,
+    acc·31 + 127 < 2³⁶). Deterministic and recomputable by external SQL
+    engines (DuckDB: list_reduce over the same codepoint list), unlike
+    seeded xxhash. Empty/null-safe: empty text fingerprints to 0.
+    """
+    codes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col), F.lit(1))),
+        lambda i: F.ascii(F.substr(col, i, F.lit(1))).cast("long"),
+    )
+    h = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, c: (acc * base + c) % mod
+    )
+    return (
+        F.when(col.isNull(), F.lit(None).cast("long"))
+        .when(F.length(col) > 0, h)
+        .otherwise(F.lit(0).cast("long"))
+    )
 
 
 def quality_features(col: Column) -> dict[str, Column]:

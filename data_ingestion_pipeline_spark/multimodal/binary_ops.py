@@ -68,9 +68,10 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 
 def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Cheap metadata that does not require decoding: size + content digest.
-    Pure expressions — stays JVM-side even for binary columns."""
+    Pure expressions — stays JVM-side even for binary columns. sha256 (not
+    xxhash) so external engines can recompute the digest for oracle checks."""
     return df.withColumn("payload_bytes", F.length(F.col(payload_col)).cast("long")).withColumn(
-        "payload_sha1", F.sha1(F.col(payload_col))
+        "payload_sha256", F.sha2(F.col(payload_col), 256)
     )
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_pipeline_spark.dedup.embedding import cosine_pairs, lsh_cosine_pairs
 from data_ingestion_pipeline_spark.dedup.minhash import minhash_near_dup_pairs
 from data_ingestion_pipeline_spark.dedup.ngram import jaccard_pairs
 from data_ingestion_pipeline_spark.dedup.simhash import simhash_near_dup_pairs
@@ -25,8 +26,10 @@ from data_ingestion_pipeline_spark.functions.text import (
     fingerprint_md5,
     lang_id,
     quality_features,
+    rolling_fingerprint,
 )
 from data_ingestion_pipeline_spark.similarity.brute_force import topk_cosine
+from data_ingestion_pipeline_spark.similarity.ivf import ivf_topk
 from data_ingestion_pipeline_spark.similarity.lsh import ann_topk
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
@@ -36,10 +39,14 @@ __all__ = [
     "ngram_jaccard_documents",
     "minhash_near_dup_documents",
     "simhash_near_dup_documents",
+    "embedding_cosine_dedup",
+    "embedding_lsh_near_dup",
     "cosine_topk_embeddings",
     "ann_lsh_topk_embeddings",
+    "ann_ivf_topk_embeddings",
     "json_extract_events",
     "lang_id_documents",
+    "doc_fingerprint_rolling",
 ]
 
 
@@ -187,6 +194,57 @@ def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(aug, "text", "doc_id", max_hamming=3)
 
 
+def _near_dup_embeddings(emb: DataFrame) -> DataFrame:
+    """embeddings ∪ perturbed copies of every 10th vector (ids +100000):
+    first coordinate +0.25 → cosine ≈ 0.99 against the original, far above
+    the corpus's natural max pair similarity (0.513 at sf0.01), so the 0.8
+    threshold splits planted from natural pairs with a wide margin on every
+    engine."""
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: F.when(i == 0, x + F.lit(0.25)).otherwise(x),
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(
+        copies
+    )
+
+
+def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs on the planted corpus — the
+    semantic-dedup correctness baseline (all-pairs; the scale path is
+    ``embedding_lsh_near_dup``)."""
+    aug = _near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return cosine_pairs(aug, "vec_id", "embedding", threshold=0.8)
+
+
+EMBEDDING_COSINE_DEDUP_ORACLE = """
+WITH aug AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_transform(range(1, len(embedding) + 1),
+                          i -> CASE WHEN i = 1 THEN (embedding::DOUBLE[])[i] + 0.25
+                               ELSE (embedding::DOUBLE[])[i] END)
+    FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS score
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.8
+"""
+
+
+def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded embedding near-dup on the planted corpus (rows-only:
+    approximate candidate generation; recall vs the exact pairs asserted in
+    pytest). This is the O(N·bucket) scale path for semantic dedup."""
+    aug = _near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return lsh_cosine_pairs(aug, "vec_id", "embedding", threshold=0.8)
+
+
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-20 for the vec_id=0 query vector.
 
@@ -218,6 +276,40 @@ def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return ann_topk(emb, q, k=10, n_planes=8)
+
+
+def ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-10 for a small query batch (rows-only:
+    approximate by construction; recall vs brute force asserted in pytest).
+    Complements the LSH variant — data-adaptive cells, partition-prunable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4)
+
+
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint per document — the cheap
+    content-defined signature (vs the md5 fingerprint in text_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+DOC_FINGERPRINT_ROLLING_ORACLE = r"""
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL
+            WHEN length(text) > 0 THEN
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(text) + 1),
+                       i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 2147483647)
+       ELSE 0 END AS fingerprint
+FROM documents
+"""
 
 
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:

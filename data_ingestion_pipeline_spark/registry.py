@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from data_ingestion_pipeline_spark.operators import (
     ingestion_checks,
     llm_data,
+    multimodal_checks,
     relational,
     reports,
     streaming_checks,
@@ -254,12 +255,28 @@ register("minhash_near_dup_documents", llm_data.minhash_near_dup_documents, None
 register("simhash_near_dup_documents", llm_data.simhash_near_dup_documents, None)
 
 register(
+    "embedding_cosine_dedup",
+    llm_data.embedding_cosine_dedup,
+    llm_data.EMBEDDING_COSINE_DEDUP_ORACLE,
+)
+
+register("embedding_lsh_near_dup", llm_data.embedding_lsh_near_dup, None)
+
+register(
+    "doc_fingerprint_rolling",
+    llm_data.doc_fingerprint_rolling,
+    llm_data.DOC_FINGERPRINT_ROLLING_ORACLE,
+)
+
+register(
     "cosine_topk_embeddings",
     llm_data.cosine_topk_embeddings,
     llm_data.COSINE_TOPK_EMBEDDINGS_ORACLE,
 )
 
 register("ann_lsh_topk_embeddings", llm_data.ann_lsh_topk_embeddings, None)
+
+register("ann_ivf_topk_embeddings", llm_data.ann_ivf_topk_embeddings, None)
 
 register(
     "json_extract_events",
@@ -268,6 +285,28 @@ register(
 )
 
 register("lang_id_documents", llm_data.lang_id_documents, None)
+
+# --------------------------------------------------------------------------
+# Multimodal binary-column pipeline (opaque payloads + typed metadata)
+# --------------------------------------------------------------------------
+
+register(
+    "multimodal_metadata",
+    multimodal_checks.multimodal_metadata,
+    multimodal_checks.MULTIMODAL_METADATA_ORACLE,
+)
+
+register(
+    "multimodal_image_features",
+    multimodal_checks.multimodal_image_features,
+    multimodal_checks.MULTIMODAL_IMAGE_FEATURES_ORACLE,
+)
+
+register(
+    "multimodal_frame_sample",
+    multimodal_checks.multimodal_frame_sample,
+    multimodal_checks.MULTIMODAL_FRAME_SAMPLE_ORACLE,
+)
 
 # --------------------------------------------------------------------------
 # Streaming & event-time windows (SURVEY.md §7 M4)

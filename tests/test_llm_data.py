@@ -168,3 +168,80 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|not available"):
         sample_video_frames(df, strict=True).collect()
+
+
+def test_embedding_cosine_dedup_finds_planted_pairs(spark):
+    from data_ingestion_pipeline_spark.dedup.embedding import cosine_pairs
+    from data_ingestion_pipeline_spark.operators.llm_data import _near_dup_embeddings
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    aug = _near_dup_embeddings(emb)
+    pairs = {(r.id_a, r.id_b): r.score for r in cosine_pairs(aug, threshold=0.8).collect()}
+    planted = {r.vec_id for r in emb.filter(F.col("vec_id") % 10 == 0).collect()}
+    # every planted (original, perturbed-copy) pair crosses the threshold
+    for vid in planted:
+        assert pairs.get((vid, vid + 100000), 0) >= 0.8
+    # and nothing else does (natural max pair cosine is ~0.51)
+    assert set(pairs) == {(vid, vid + 100000) for vid in planted}
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    from data_ingestion_pipeline_spark.dedup.embedding import cosine_pairs, lsh_cosine_pairs
+    from data_ingestion_pipeline_spark.operators.llm_data import _near_dup_embeddings
+
+    aug = _near_dup_embeddings(spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet"))
+    exact = {(r.id_a, r.id_b) for r in cosine_pairs(aug, threshold=0.8).collect()}
+    got = {(r.id_a, r.id_b) for r in lsh_cosine_pairs(aug, threshold=0.8).collect()}
+    # candidates are verified with exact cosine → no false positives
+    assert got <= exact
+    # cosine≈0.99 pairs collide in one 6-bit band w.p. ~(1-acos(.99)/pi)^6≈0.76,
+    # in ≥1 of 4 bands w.p. ~99.7% → expect ≥80% recall with margin
+    assert len(got) >= 0.8 * len(exact)
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from data_ingestion_pipeline_spark.similarity.ivf import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    brute = topk_cosine_batch(emb, q, k=10)
+    ivf = ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4)
+    brute_sets: dict[int, set] = {}
+    for r in brute.collect():
+        brute_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    ivf_sets: dict[int, set] = {}
+    ivf_scores = {}
+    for r in ivf.collect():
+        ivf_sets.setdefault(r.query_id, set()).add(r.vec_id)
+        ivf_scores[(r.query_id, r.vec_id)] = r.score
+    brute_scores = {(r.query_id, r.vec_id): r.score for r in brute.collect()}
+    for qid, bset in brute_sets.items():
+        # rank-1 is the query itself (its own list is always probed)
+        assert qid in ivf_sets[qid]
+        # recall@10 with nprobe=4/16 lists: expect at least 40% overlap
+        assert len(ivf_sets[qid] & bset) >= 4
+    # scores of returned candidates are exact (same cosine expression)
+    for key, s in ivf_scores.items():
+        if key in brute_scores:
+            assert brute_scores[key] == pytest.approx(s, abs=1e-9)
+
+
+def test_rolling_fingerprint_properties(spark):
+    from data_ingestion_pipeline_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abc"), (3, "acb"), (4, ""), (5, None)],
+        "id long, text string",
+    )
+    got = {r.id: r.fp for r in df.select("id", rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    # deterministic, matches the direct computation
+    expected = 0
+    for ch in "abc":
+        expected = (expected * 31 + ord(ch)) % 2147483647
+    assert got[1] == expected
+    assert got[1] == got[2]          # same text, same hash
+    assert got[1] != got[3]          # order-sensitive
+    assert got[4] == 0               # empty → 0
+    assert got[5] is None            # null propagates
