@@ -115,15 +115,16 @@ def minhash_near_dup_pairs(
     Jaccard on every pair is O(n²), on LSH candidates it's O(near-dups).
     """
     rows_per_band = num_hashes // bands
-    # One shingle explode feeds both the signature aggregation and the
-    # verification sets — cached so the corpus is shingled exactly once.
+    # One shingle-array pass feeds both the signature aggregation (via
+    # explode) and the verification sets (arrays as-is, no collect_set
+    # round-trip) — cached so the corpus is shingled exactly once.
     sets = shingle_sets(df, text_col, id_col, shingle_n).cache()
-    sigs = _signatures_from_exploded(sets, id_col, num_hashes)
+    exploded = sets.select(F.col(id_col), F.explode("sset").alias("shingle"))
+    sigs = _signatures_from_exploded(exploded, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
 
-    grouped = sets.groupBy(id_col).agg(F.collect_set("shingle").alias("sset"))
-    ga = grouped.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
-    gb = grouped.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
+    ga = sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
+    gb = sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     union = F.size(F.array_union("set_a", "set_b")).cast("double")
     return (

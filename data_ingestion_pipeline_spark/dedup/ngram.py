@@ -1,16 +1,42 @@
 """n-gram Jaccard near-duplicate pairs — exact, via a shingle inverted index.
 
 The naive near-dup check is O(n²) document pairs; the inverted index makes
-it O(co-occurring pairs): explode distinct shingles → self-join on shingle →
-count shared shingles per pair → Jaccard from |A|, |B|, |A∩B|. Random text
-shares almost no 3-gram shingles, so the pair space stays sparse; for
-adversarially common shingles (boilerplate), drop the hottest shingles first
-(a standard df-cut) — exposed via ``max_shingle_df``.
+it O(co-occurring pairs): explode shingles → self-join on shingle → count
+shared shingles per pair → Jaccard from |A|, |B|, |A∩B|. Three scale
+decisions shape the plan:
 
-This is the *exact* verifier; MinHash-LSH (dedup/minhash.py) is the
-approximate candidate generator for scales where even the inverted index is
-too hot. Jaccard here is bigint-count arithmetic → identical across engines
-(oracle-checkable, unlike hash-seeded MinHash).
+- **Hashed join key.** The self-join runs on xxhash64(shingle) (8 bytes)
+  instead of the ~20-byte shingle string — less shuffle IO, faster
+  compares. A cross-document collision would inflate one pair's overlap
+  count with probability ~|A|·|B|/2⁶⁴ ≈ 1e-16 per pair — far below any
+  operational concern (and deterministic for a given dataset).
+- **Sizes ride along.** Set sizes are carried through the exploded rows and
+  the groupBy key, so Jaccard needs no join back to a per-doc size table —
+  one exchange fewer. The exploded relation is already distinct per
+  (id, shingle) because shingle arrays are de-duplicated *before* the
+  explode (array_distinct is a narrow op; a distinct() here would be a
+  whole extra shuffle).
+- **Size filter in the join.** J ≥ t forces t·|B| ≤ |A| ≤ |B|/t; pairs
+  violating it are dropped inside the join before they reach the
+  aggregation.
+
+The two join sides are identical subplans, so Spark reuses one shuffle
+exchange for both (ReusedExchange) — the index is shuffled once, not twice.
+For adversarially hot shingles (boilerplate), ``max_shingle_df`` applies
+the standard df-cut before the self-join; it bounds the worst key's fan-out
+at the cost of ignoring ubiquitous shingles (off by default; Jaccard then
+deviates from the brute-force definition, so leave it off when
+oracle-checking). This is the *exact* verifier; MinHash-LSH
+(dedup/minhash.py) is the approximate candidate generator for scales where
+even the inverted index is too hot. Jaccard here is bigint-count
+arithmetic → identical across engines.
+
+For high thresholds (t ≳ 0.7, the usual dedup regime) the prefix-filtered
+AllPairs join would beat plain counting — only the first
+|S| − ⌈t·|S|⌉ + 1 shingles of each sorted set need indexing for exact
+candidate generation. At t = 0.4 (this fixture's setting) the prefix is
+60% of the set and the extra verify join costs more than it prunes —
+measured, not guessed — so counting stays the default.
 """
 
 from __future__ import annotations
@@ -18,18 +44,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_ingestion_pipeline_spark.functions.partitioning import fan_out
 from data_ingestion_pipeline_spark.functions.text import shingles, tokens
 
 __all__ = ["shingle_sets", "jaccard_pairs"]
 
 
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs + per-doc set sizes kept alongside."""
+    """(id, distinct shingle array, set size) per document — the set
+    representation shared by the Jaccard join, MinHash, and their tests.
+    Fans the (narrow) input out across cores first: shingling is the
+    CPU-dense step and single-file fixtures otherwise pin it to one task."""
+    df = fan_out(df)
     tok = tokens(F.col(text_col))
-    return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles(tok, n))).alias("shingle"))
-        .distinct()
-    )
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(tok, n)).alias("sset"),
+    ).withColumn("set_size", F.size("sset"))
 
 
 def jaccard_pairs(
@@ -40,47 +71,39 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Pairs (id_a < id_b, jaccard) with Jaccard ≥ threshold.
+    """Pairs (id_a < id_b, jaccard) with Jaccard ≥ threshold — exact."""
+    sets = shingle_sets(df, text_col, id_col, n)
+    ex = sets.select(
+        F.col(id_col), F.col("set_size"), F.explode("sset").alias("shingle")
+    ).select(F.col(id_col), F.col("set_size"), F.xxhash64("shingle").alias("sh"))
 
-    Plan: one explode + distinct (shuffle on shingle), one self-join on
-    shingle (co-occurrence counts), one join back to set sizes. The
-    ``max_shingle_df`` cut drops degenerate ubiquitous shingles before the
-    self-join — the skew guard that keeps the hottest key from dominating a
-    single reducer at scale.
-    """
-    sets = shingle_sets(df, text_col, id_col, n).cache()
-    sizes = sets.groupBy(id_col).agg(F.count("*").alias("set_size"))
-
-    filtered = sets
     if max_shingle_df is not None:
         hot = (
-            sets.groupBy("shingle")
+            ex.groupBy("sh")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
+            .select("sh")
         )
-        filtered = sets.join(hot, ["shingle"], "left_anti")
+        ex = ex.join(hot, ["sh"], "left_anti")
 
-    a = filtered.select(F.col(id_col).alias("id_a"), "shingle")
-    b = filtered.select(F.col(id_col).alias("id_b"), "shingle")
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "sh")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "sh")
     inter = (
-        a.join(b, ["shingle"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        a.join(b, ["sh"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("size_a") * threshold <= F.col("size_b"))
+            & (F.col("size_b") * threshold <= F.col("size_a"))
+        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count("*").alias("n_common"))
     )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    return (
-        inter.join(sz_a, ["id_a"]).join(sz_b, ["id_b"])
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_ingestion_pipeline_spark.functions.partitioning import fan_out
 from data_ingestion_pipeline_spark.functions.text import tokens
 
 __all__ = ["simhash_signatures", "simhash_near_dup_pairs"]
@@ -27,7 +28,7 @@ _CHUNKS = 4  # finds all pairs with hamming distance <= _CHUNKS - 1
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash long) per document."""
-    exploded = df.select(
+    exploded = fan_out(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = [

@@ -28,10 +28,15 @@ from data_ingestion_pipeline_spark.functions.text import (
     quality_features,
     rolling_fingerprint,
 )
+from data_ingestion_pipeline_spark.functions.partitioning import fan_out
 from data_ingestion_pipeline_spark.similarity.brute_force import topk_cosine
 from data_ingestion_pipeline_spark.similarity.ivf import ivf_topk
 from data_ingestion_pipeline_spark.similarity.lsh import ann_topk
 from data_ingestion_pipeline_spark.sources.catalog import load_table
+
+# Embedding width of the fixture corpus — known at plan time, which lets
+# every vector expression unroll into codegen'd multiply-adds.
+EMB_DIM = 64
 
 __all__ = [
     "text_stats",
@@ -53,7 +58,7 @@ __all__ = [
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features + fingerprint + BPE-ish token count —
     the standard filtering signal set, all codegen'd expressions."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     feats = quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -217,7 +222,7 @@ def embedding_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic-dedup correctness baseline (all-pairs; the scale path is
     ``embedding_lsh_near_dup``)."""
     aug = _near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
-    return cosine_pairs(aug, "vec_id", "embedding", threshold=0.8)
+    return cosine_pairs(aug, "vec_id", "embedding", threshold=0.8, dim=EMB_DIM)
 
 
 EMBEDDING_COSINE_DEDUP_ORACLE = """
@@ -242,7 +247,7 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate candidate generation; recall vs the exact pairs asserted in
     pytest). This is the O(N·bucket) scale path for semantic dedup."""
     aug = _near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
-    return lsh_cosine_pairs(aug, "vec_id", "embedding", threshold=0.8)
+    return lsh_cosine_pairs(aug, "vec_id", "embedding", threshold=0.8, dim=EMB_DIM)
 
 
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,7 +280,7 @@ def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return ann_topk(emb, q, k=10, n_planes=8)
+    return ann_topk(emb, q, k=10, n_planes=8, dim=EMB_DIM)
 
 
 def ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,7 +297,7 @@ def ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling-hash fingerprint per document — the cheap
     content-defined signature (vs the md5 fingerprint in text_stats)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint")
     )
@@ -330,5 +335,5 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID per document (rows-only: the script/stopword
     rules are exercised against real multilingual samples in pytest; the
     fixture corpus is same-vocabulary word soup for every lang label)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))

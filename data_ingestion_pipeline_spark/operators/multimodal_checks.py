@@ -25,6 +25,7 @@ from data_ingestion_pipeline_spark.multimodal.binary_ops import (
     decode_image_features,
     sample_video_frames,
 )
+from data_ingestion_pipeline_spark.functions.partitioning import fan_out
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
@@ -39,7 +40,7 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → media rows: payload = encode(text, UTF-8), typed meta
     struct. Every 3rd doc plays a "video" (duration from n_chars) so the
     frame-sampling explosion path sees real work."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     is_video = F.col("doc_id") % 3 == 0
     return docs.select(
         F.col("doc_id").alias("media_id"),

@@ -51,6 +51,12 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local[N] runs driver + executors in ONE JVM; the 1g default heap
+        # is sized for a thin cluster driver, not for N executor threads.
+        # Ignored (harmlessly) once a JVM is already up.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
@@ -60,8 +66,25 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # Files at 100 TB: bound scan-task size so a task's input fits in memory.
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan-task sizing. Two regimes:
+        # - cluster, 100 TB: 128-512 MB per task (set via env) so task count
+        #   stays bounded and each task's input fits executor memory;
+        # - local bench: the fixtures are SINGLE small parquet files, so the
+        #   128 MB default yields 1-2 scan partitions and every CPU-heavy
+        #   expression pipeline (shingling, minhash, vector math) serializes
+        #   onto 2 of 32 cores. A small split size restores scan parallelism.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4194304"),
+        )
+        # Same trade for AQE: its 64 MB advisory target would coalesce the
+        # small-but-CPU-dense shuffles of the local bench to 1-2 partitions.
+        # Sized in bytes of shuffle data, not compute — keep it small locally,
+        # raise via env on a real cluster where shuffle volume dominates.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "4194304"),
+        )
         .config("spark.ui.enabled", "false")
         # Parquet TIMESTAMP(NANOS) (the events fixture) is otherwise a hard
         # error; read as long and convert in the catalog loader.

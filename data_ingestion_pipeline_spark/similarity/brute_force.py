@@ -21,41 +21,60 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_ingestion_pipeline_spark.functions.partitioning import fan_out
 from data_ingestion_pipeline_spark.functions.vector import as_double_array, cosine
 
 __all__ = ["cosine_scores", "topk_cosine", "topk_cosine_batch"]
 
 
-def cosine_scores(corpus: DataFrame, query_df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+def cosine_scores(
+    corpus: DataFrame,
+    query_df: DataFrame,
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
     """Score every corpus vector against every query row (query side must be
-    broadcast-small). query_df: (query_id, qvec array)."""
-    return corpus.crossJoin(F.broadcast(query_df)).select(
+    broadcast-small). query_df: (query_id, qvec array). Pass ``dim`` when
+    the embedding width is known — unrolled codegen vs interpreted fold.
+    Double-casts are projected to bound columns before the join so the
+    unrolled dot indexes attributes, not cast expressions."""
+    corpus_d = fan_out(corpus).select(
+        F.col(id_col), as_double_array(F.col("embedding")).alias("_v")
+    )
+    q = query_df.select("query_id", as_double_array(F.col("qvec")).alias("_qv"))
+    return corpus_d.crossJoin(F.broadcast(q)).select(
         F.col("query_id"),
         F.col(id_col),
-        cosine(as_double_array(F.col("embedding")), as_double_array(F.col("qvec"))).alias(
-            "score"
-        ),
+        cosine(F.col("_v"), F.col("_qv"), dim).alias("score"),
     )
 
 
 def topk_cosine(
-    corpus: DataFrame, query_df: DataFrame, k: int = 10, id_col: str = "vec_id"
+    corpus: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k for a single query: full scan + orderBy().limit(k) —
     Spark runs this as per-partition top-k then a k-row merge on the driver
     side of the exchange (TakeOrderedAndProject), not a global sort."""
-    scored = cosine_scores(corpus, query_df, id_col).drop("query_id")
+    scored = cosine_scores(corpus, query_df, id_col, dim).drop("query_id")
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k).select(
         id_col, F.round("score", 6).alias("score")
     )
 
 
 def topk_cosine_batch(
-    corpus: DataFrame, query_df: DataFrame, k: int = 10, id_col: str = "vec_id"
+    corpus: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k per query for a broadcastable query batch (ranking window over
     the scored relation, partitioned by query)."""
-    scored = cosine_scores(corpus, query_df, id_col)
+    scored = cosine_scores(corpus, query_df, id_col, dim)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

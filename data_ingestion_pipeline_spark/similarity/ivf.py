@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_ingestion_pipeline_spark.functions.partitioning import fan_out
 from data_ingestion_pipeline_spark.functions.vector import as_double_array, cosine, dot
 
 __all__ = ["sample_centroids", "assign_expr", "ivf_assign", "ivf_topk"]
@@ -55,7 +56,9 @@ def sample_centroids(
 
 def assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid id (argmax of dot products, first-wins on ties) —
-    one codegen'd expression, no UDF, no shuffle."""
+    one expression, no UDF, no shuffle. Fold-form dots: assignment is
+    once-per-row, where a C×dim unrolled expression would cost more in
+    plan compile time than it saves in eval (see lsh.bucket_expr)."""
     scores = F.array(
         *[dot(vec, F.array(*[F.lit(x) for x in c])) for c in centroids]
     )
@@ -66,8 +69,15 @@ def ivf_assign(
     corpus: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
     """Corpus → corpus + ``list_id``: the inverted-file assignment. Persist
-    this partitioned by list_id to make probes partition-pruned reads."""
-    return corpus.withColumn("list_id", assign_expr(as_double_array(F.col(vec_col)), centroids))
+    this partitioned by list_id to make probes partition-pruned reads.
+    The double-cast is projected to a bound column first — the unrolled
+    centroid dots index it element-wise, and indexing a cast expression
+    would re-cast the array per term (O(C·dim²)/row)."""
+    return (
+        corpus.withColumn("_vd", as_double_array(F.col(vec_col)))
+        .withColumn("list_id", assign_expr(F.col("_vd"), centroids))
+        .drop("_vd")
+    )
 
 
 def ivf_topk(
@@ -85,19 +95,22 @@ def ivf_topk(
     corpus on list_id — broadcast, since queries are few.
     """
     centroids = sample_centroids(corpus, n_centroids, id_col=id_col)
-    assigned = ivf_assign(corpus, centroids)
+    corpus_d = fan_out(corpus).select(
+        F.col(id_col), as_double_array(F.col("embedding")).alias("_v")
+    )
+    assigned = corpus_d.withColumn("list_id", assign_expr(F.col("_v"), centroids))
 
-    qvec = as_double_array(F.col("qvec"))
+    q = query_df.select("query_id", as_double_array(F.col("qvec")).alias("_qv"))
     cscores = F.array(
         *[
             F.struct(
-                dot(qvec, F.array(*[F.lit(x) for x in c])).alias("s"),
+                dot(F.col("_qv"), F.array(*[F.lit(x) for x in c])).alias("s"),
                 F.lit(i).cast("int").alias("list_id"),
             )
             for i, c in enumerate(centroids)
         ]
     )
-    probes = query_df.withColumn(
+    probes = q.withColumn(
         "list_id",
         F.explode(
             F.transform(
@@ -110,9 +123,7 @@ def ivf_topk(
     scored = assigned.join(F.broadcast(probes), ["list_id"]).select(
         "query_id",
         F.col(id_col),
-        cosine(as_double_array(F.col("embedding")), as_double_array(F.col("qvec"))).alias(
-            "score"
-        ),
+        cosine(F.col("_v"), F.col("_qv")).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (

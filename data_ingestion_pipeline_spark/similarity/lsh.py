@@ -27,6 +27,7 @@ import struct
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_ingestion_pipeline_spark.functions.partitioning import fan_out
 from data_ingestion_pipeline_spark.functions.vector import as_double_array, cosine, dot
 
 __all__ = ["hyperplanes", "bucket_expr", "bucketize", "ann_topk"]
@@ -51,13 +52,19 @@ def hyperplanes(dim: int, n_planes: int = 12, seed: int = 20240601) -> list[list
 
 
 def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """H-bit bucket id: bit j = sign(⟨vec, plane_j⟩)."""
+    """H-bit bucket id: bit j = sign(⟨vec, plane_j⟩).
+
+    Deliberately the compact ``aggregate``-fold dot, NOT the unrolled form:
+    bucketing runs once per row (not per pair), so per-row eval cost is
+    small, while an H×dim unrolled expression adds seconds of plan/codegen
+    compile time to every query that embeds it (measured: ~3× end-to-end
+    slowdown at bench scale). See functions/vector.py for the trade."""
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot(vec, lit_plane) >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            dot(vec, lit_plane) >= 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseOR(bit)
     return bucket
 
@@ -65,7 +72,14 @@ def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
 def bucketize(
     corpus: DataFrame, planes: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
-    return corpus.withColumn("bucket", bucket_expr(as_double_array(F.col(vec_col)), planes))
+    """The double-cast is projected to a bound column FIRST: the unrolled
+    per-plane dots index it element-wise, and indexing a cast *expression*
+    would re-cast the whole array per term (O(dim²)/row)."""
+    return (
+        corpus.withColumn("_vd", as_double_array(F.col(vec_col)))
+        .withColumn("bucket", bucket_expr(F.col("_vd"), planes))
+        .drop("_vd")
+    )
 
 
 def ann_topk(
@@ -83,16 +97,19 @@ def ann_topk(
     buckets → higher recall, more compute).
     """
     planes = hyperplanes(dim, n_planes)
-    bucketed = bucketize(corpus, planes)
-    q = query_df.withColumn("bucket", bucket_expr(as_double_array(F.col("qvec")), planes))
+    corpus_d = fan_out(corpus).select(
+        F.col(id_col), as_double_array(F.col("embedding")).alias("_v")
+    )
+    bucketed = corpus_d.withColumn("bucket", bucket_expr(F.col("_v"), planes))
+    q = query_df.select(
+        "query_id", as_double_array(F.col("qvec")).alias("_qv")
+    ).withColumn("bucket", bucket_expr(F.col("_qv"), planes))
     from pyspark.sql import Window
 
     scored = bucketed.join(F.broadcast(q), ["bucket"]).select(
         "query_id",
         F.col(id_col),
-        cosine(as_double_array(F.col("embedding")), as_double_array(F.col("qvec"))).alias(
-            "score"
-        ),
+        cosine(F.col("_v"), F.col("_qv")).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
