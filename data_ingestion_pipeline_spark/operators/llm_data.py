@@ -52,6 +52,7 @@ __all__ = [
     "json_extract_events",
     "lang_id_documents",
     "doc_fingerprint_rolling",
+    "quality_filter_documents",
 ]
 
 
@@ -314,6 +315,48 @@ SELECT doc_id,
                (acc, c) -> (acc * 31 + c) % 2147483647)
        ELSE 0 END AS fingerprint
 FROM documents
+"""
+
+
+def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality gate: keep documents passing the standard filter
+    thresholds (length window, lexical diversity, alphabetic ratio) — the
+    composition of the text_stats signals into an actual filter, which is
+    how a training-data pipeline consumes them. All codegen'd expressions;
+    the filter runs pre-shuffle, so at scale rejected rows never leave
+    their scan task."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    feats = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["type_token_ratio"].alias("type_token_ratio"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+    )
+    return scored.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 2000)
+        & (F.col("type_token_ratio") >= 0.2)
+        & (F.col("alpha_ratio") >= 0.6)
+    )
+
+
+QUALITY_FILTER_DOCUMENTS_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+), scored AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE), 6) AS type_token_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio
+    FROM t
+)
+SELECT * FROM scored
+WHERE n_tokens BETWEEN 20 AND 2000
+  AND type_token_ratio >= 0.2 AND alpha_ratio >= 0.6
 """
 
 

@@ -28,6 +28,7 @@ __all__ = [
     "sliding_window_events",
     "sessionize_events",
     "streaming_tumbling_events",
+    "streaming_dedup_events",
 ]
 
 
@@ -130,3 +131,57 @@ def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if query.isActive:
         query.stop()
     return spark.table(name)
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming dedup run: events duplicated 2× into a scratch dir
+    (two parquet files with identical rows → two input batches), file
+    source → watermarked dropDuplicates(event_id) → memory sink. The dedup
+    state spans micro-batches, so the second copy deduplicates against
+    state built from the first — exactly once per event_id survives.
+
+    Oracle: the events table itself (every column identical across planted
+    copies, so which copy wins is immaterial).
+    """
+    import shutil
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    src_dir = f"/tmp/spark_graft_scratch/{tag}/stream_dedup_src"
+    marker = os.path.join(src_dir, "_planted")
+    if not os.path.exists(marker):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        os.makedirs(src_dir, exist_ok=True)
+        events_path = os.path.join(sf_dir, "events.parquet")
+        shutil.copy(events_path, os.path.join(src_dir, "copy_a.parquet"))
+        shutil.copy(events_path, os.path.join(src_dir, "copy_b.parquet"))
+        open(marker, "w").close()
+
+    name = f"stream_dedup_{tag}"
+    raw = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    from data_ingestion_pipeline_spark.streaming.windows import dedup_events_stream
+
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = dedup_events_stream(events, watermark="24 hours").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    query = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    if query.isActive:
+        query.stop()
+    return spark.table(name)
+
+
+STREAMING_DEDUP_EVENTS_ORACLE = """
+SELECT event_id, user_id, event_type, value FROM events
+"""

@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from data_ingestion_pipeline_spark.operators import (
+    evolution_checks,
     ingestion_checks,
     llm_data,
     multimodal_checks,
@@ -232,6 +233,18 @@ register(
     ingestion_checks.MERGE_UPSERT_EVENTS_ORACLE,
 )
 
+register(
+    "schema_evolution_sync",
+    evolution_checks.schema_evolution_sync,
+    evolution_checks.SCHEMA_EVOLUTION_SYNC_ORACLE,
+)
+
+register(
+    "partitioned_orders_yearly",
+    evolution_checks.partitioned_orders_yearly,
+    evolution_checks.PARTITIONED_ORDERS_YEARLY_ORACLE,
+)
+
 # --------------------------------------------------------------------------
 # North-star LLM-data operators (BASELINE.json): dedup, similarity, text
 # --------------------------------------------------------------------------
@@ -286,6 +299,12 @@ register(
 
 register("lang_id_documents", llm_data.lang_id_documents, None)
 
+register(
+    "quality_filter_documents",
+    llm_data.quality_filter_documents,
+    llm_data.QUALITY_FILTER_DOCUMENTS_ORACLE,
+)
+
 # --------------------------------------------------------------------------
 # Multimodal binary-column pipeline (opaque payloads + typed metadata)
 # --------------------------------------------------------------------------
@@ -334,4 +353,10 @@ register(
     "streaming_tumbling_events",
     streaming_checks.streaming_tumbling_events,
     streaming_checks.TUMBLING_WINDOW_EVENTS_ORACLE,
+)
+
+register(
+    "streaming_dedup_events",
+    streaming_checks.streaming_dedup_events,
+    streaming_checks.STREAMING_DEDUP_EVENTS_ORACLE,
 )
