@@ -16,9 +16,12 @@ the pipeline), never the exploded/widened intermediates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
 
-__all__ = ["fan_out"]
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["fan_out", "salted_join"]
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -29,3 +32,37 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: scatter the big side's hot keys over ``salt``
+    sub-keys and replicate the small side to match.
+
+    A plain shuffle join sends every row of a hot key to ONE reducer; one
+    straggler task then bounds the stage. Salting appends a pseudo-random
+    salt to the big side's key and explodes the small side ``salt``× (one
+    row per salt value), so a hot key's rows spread over ``salt`` reducers.
+    Join output is identical to the unsalted join — the salt column is an
+    equi-key on both sides and dropped afterward.
+
+    Complements AQE's skew-join splitting (which only handles *sort-merge*
+    joins post-shuffle): salting also works for shuffled-hash joins,
+    streaming joins, and cases where one key alone exceeds a task's memory.
+    Use for big⋈medium where broadcast is off the table; ``how`` supports
+    the big-side-preserving joins (inner / left).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError("salted_join preserves the big side: inner/left only")
+    salt_col = F.pmod(F.xxhash64(F.rand(seed=41)), F.lit(salt)).cast("int")
+    big_s = big.withColumn("_salt", salt_col)
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = big_s.join(small_s, [*keys, "_salt"], how)
+    return out.drop("_salt")

@@ -24,6 +24,8 @@ __all__ = [
     "top_parts_per_brand",
     "customer_order_ranks",
     "brand_share_of_revenue",
+    "distinct_users_daily",
+    "approx_distinct_users_daily",
 ]
 
 
@@ -166,4 +168,40 @@ def brand_share_of_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev") * 100.0 / F.sum("rev").over(Window.partitionBy()), 4).alias(
             "revenue_share_pct"
         ),
+    )
+
+
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-day distinct-user cardinality over the events stream table.
+
+    COUNT(DISTINCT) is the expensive-but-exact baseline: Spark expands it
+    to a two-phase aggregate (partial distinct per partition, exchange on
+    the group key, final merge). The HLL variant below is the sketch path
+    whose memory is O(groups·sketch) instead of O(groups·distinct-users).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+
+DISTINCT_USERS_DAILY_ORACLE = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ per-day user cardinality (rsd 2%) — the sketch that
+    survives 100 TB: constant-size state per group, mergeable across
+    partitions, single shuffle of sketches instead of user ids. Rows-only
+    driver check (approximate by construction); the relative-error bound
+    vs the exact counts is asserted in pytest.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
     )

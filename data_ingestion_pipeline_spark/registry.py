@@ -203,6 +203,14 @@ register(
 )
 
 register(
+    "distinct_users_daily",
+    relational.distinct_users_daily,
+    relational.DISTINCT_USERS_DAILY_ORACLE,
+)
+
+register("approx_distinct_users_daily", relational.approx_distinct_users_daily, None)
+
+register(
     "brand_share_of_revenue",
     relational.brand_share_of_revenue,
     """

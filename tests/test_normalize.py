@@ -76,3 +76,36 @@ def test_inventory_normalized(spark, csvs):
     assert df.count() == 40
     # composite product id format preserved as string (§1.4.3)
     assert all("#prod" in r.product_id for r in df.select("product_id").collect())
+
+
+def test_salted_join_matches_plain_join(spark):
+    from data_ingestion_pipeline_spark.functions.partitioning import salted_join
+
+    # skewed big side: key 1 holds 90% of rows
+    big = spark.range(0, 10000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 1 ELSE id END AS k", "id AS payload"
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (17, "cold"), (999999, "unmatched")], "k long, label string"
+    )
+    for how in ("inner", "left"):
+        plain = big.join(small, ["k"], how).orderBy("payload").collect()
+        salted = salted_join(big, small, ["k"], how, salt=8).orderBy("payload").collect()
+        assert [tuple(r) for r in plain] == [tuple(r) for r in salted], how
+
+
+def test_approx_distinct_within_rsd(spark):
+    from data_ingestion_pipeline_spark.operators.relational import (
+        approx_distinct_users_daily,
+        distinct_users_daily,
+    )
+    from tests.conftest import SF_SMOKE
+
+    exact = {r.day: r.n_users for r in distinct_users_daily(spark, SF_SMOKE).collect()}
+    approx = {
+        r.day: r.n_users_approx
+        for r in approx_distinct_users_daily(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(0.1 * n, 3), (day, n, approx[day])
