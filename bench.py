@@ -37,8 +37,12 @@ def main() -> None:
     spark = get_spark("bench")
 
     # JVM/codegen warmup so the first timed query isn't charged for session
-    # startup (measures the engine, not the cold JIT).
+    # startup (measures the engine, not the cold JIT), plus one tiny Arrow
+    # round-trip so the Python-worker pool exists before the first pandas op.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

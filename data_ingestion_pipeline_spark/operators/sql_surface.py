@@ -1,0 +1,87 @@
+"""The Spark-SQL query surface — the reference's psql entry point, rebuilt.
+
+The reference ships its six report queries as SQL text the operator runs in
+``psql`` (/root/reference/README.md:26-30, :36-149). Here the same SQL runs
+through ``spark.sql`` over the catalog's registered views — one set of
+relations resolving for BOTH the DataFrame builders (operators/reports.py)
+and SQL text, as SURVEY.md §3 requires. Both routes feed the identical
+Catalyst pipeline (parse → analyze → optimize → physical plan), so plan
+quality is surface-independent; pytest asserts result identity per query.
+
+Spark-SQL dialect notes vs the reference's Postgres text: EXTRACT exists in
+Spark SQL but returns different widths across engines, so the canonical
+casts from the DataFrame builders are replicated here verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_ingestion_pipeline_spark.sources.catalog import load_table
+
+__all__ = ["REPORT_SQL", "run_report_sql", "revenue_per_product_sql"]
+
+# Translation of /root/reference/README.md:36-149 onto the star schema —
+# text-identical semantics to operators/reports.py's DataFrame builders.
+REPORT_SQL: dict[str, str] = {
+    "revenue_per_product": """
+        SELECT p_partkey, p_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_partkey, p_name
+        ORDER BY total_revenue DESC, p_partkey
+    """,
+    "low_stock": """
+        SELECT p_partkey, p_name, p_brand, p_type, p_size
+        FROM part WHERE p_size < 10
+        ORDER BY p_size, p_partkey
+    """,
+    "orders_per_product_month": """
+        SELECT p_partkey, p_name,
+               CAST(MONTH(l_shipdate) AS INT) AS ship_month,
+               CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+               SUM(l_quantity) AS total_quantity
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_partkey, p_name, MONTH(l_shipdate), YEAR(l_shipdate)
+        ORDER BY ship_year DESC, ship_month DESC, total_quantity DESC, p_partkey
+    """,
+    "revenue_per_category": """
+        SELECT p_brand,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+        ORDER BY total_revenue DESC
+    """,
+    "inventory_status": """
+        SELECT p_partkey, p_name,
+               CAST(p_size AS DOUBLE) AS current_stock,
+               SUM(l_quantity) AS total_sold,
+               CAST(p_size AS DOUBLE) - SUM(l_quantity) AS remaining_stock
+        FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_partkey = 1
+        GROUP BY p_partkey, p_name, p_size
+    """,
+    "most_sold_per_category": """
+        SELECT p_brand, p_partkey, p_name, SUM(l_quantity) AS total_sold
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey, p_name
+        ORDER BY total_sold DESC, p_partkey
+    """,
+}
+
+
+def _register(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> None:
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def run_report_sql(spark: SparkSession, sf_dir: str, report: str) -> DataFrame:
+    """Register the needed views and run one report as SQL text."""
+    _register(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(REPORT_SQL[report])
+
+
+def revenue_per_product_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 through the SQL-text surface — registered in the driver contract to
+    prove both surfaces stay in lock-step (same oracle as the builder form)."""
+    return run_report_sql(spark, sf_dir, "revenue_per_product")

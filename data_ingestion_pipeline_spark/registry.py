@@ -21,6 +21,7 @@ from data_ingestion_pipeline_spark.operators import (
     multimodal_checks,
     relational,
     reports,
+    sql_surface,
     streaming_checks,
 )
 
@@ -49,6 +50,17 @@ def oracle_sql() -> dict[str, str]:
 register(
     "revenue_per_product",
     reports.revenue_per_product,
+    """
+    SELECT p_partkey, p_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_partkey, p_name
+    """,
+)
+
+register(
+    "revenue_per_product_sql",
+    sql_surface.revenue_per_product_sql,
     """
     SELECT p_partkey, p_name,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue

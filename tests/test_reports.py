@@ -83,3 +83,17 @@ def test_orders_per_product_month_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == exp
+
+
+def test_sql_surface_matches_dataframe_builders(spark):
+    """Both query surfaces (SQL text via spark.sql, DataFrame builders) must
+    produce identical rows for every report — SURVEY.md §3 entry 3."""
+    from data_ingestion_pipeline_spark.operators import sql_surface
+
+    qs = entrymod.queries()
+    for report in sql_surface.REPORT_SQL:
+        via_sql = sql_surface.run_report_sql(spark, SF_SMOKE, report)
+        via_df = qs[report](spark, SF_SMOKE)
+        a = sorted(map(tuple, via_sql.collect()))
+        b = sorted(map(tuple, via_df.collect()))
+        assert a == b, f"{report}: SQL and DataFrame surfaces diverge"
