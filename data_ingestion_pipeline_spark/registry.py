@@ -23,6 +23,7 @@ from data_ingestion_pipeline_spark.operators import (
     reports,
     sql_surface,
     streaming_checks,
+    temporal_checks,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -323,6 +324,23 @@ register(
     "quality_filter_documents",
     llm_data.quality_filter_documents,
     llm_data.QUALITY_FILTER_DOCUMENTS_ORACLE,
+)
+
+# --------------------------------------------------------------------------
+# Temporal joins (as-of, bounded range) — absent from the reference (§2.4),
+# added as first-class feature-pipeline primitives
+# --------------------------------------------------------------------------
+
+register(
+    "asof_prev_view_per_purchase",
+    temporal_checks.asof_prev_view_per_purchase,
+    temporal_checks.ASOF_PREV_VIEW_PER_PURCHASE_ORACLE,
+)
+
+register(
+    "views_within_hour_of_purchase",
+    temporal_checks.views_within_hour_of_purchase,
+    temporal_checks.VIEWS_WITHIN_HOUR_OF_PURCHASE_ORACLE,
 )
 
 # --------------------------------------------------------------------------
