@@ -53,6 +53,7 @@ __all__ = [
     "lang_id_documents",
     "doc_fingerprint_rolling",
     "quality_filter_documents",
+    "stratified_sample_documents",
 ]
 
 
@@ -357,6 +358,34 @@ WITH t AS (
 SELECT * FROM scored
 WHERE n_tokens BETWEEN 20 AND 2000
   AND type_token_ratio >= 0.2 AND alpha_ratio >= 0.6
+"""
+
+
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample: every 5th document per language
+    stratum in doc_id order (row_number % k). Unlike rand()-based sampling
+    this is reproducible across engines, runs, and partitionings — the
+    property a training-data pipeline needs for auditable subsets. One
+    shuffle (the per-stratum window)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % 5 == 0)
+        .select("doc_id", "lang", F.col("rn").cast("int").alias("stratum_rank"))
+    )
+
+
+STRATIFIED_SAMPLE_DOCUMENTS_ORACLE = """
+WITH ranked AS (
+    SELECT doc_id, lang,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS INT)
+               AS stratum_rank
+    FROM documents
+)
+SELECT doc_id, lang, stratum_rank FROM ranked WHERE (stratum_rank - 1) % 5 = 0
 """
 
 

@@ -26,6 +26,10 @@ __all__ = [
     "brand_share_of_revenue",
     "distinct_users_daily",
     "approx_distinct_users_daily",
+    "revenue_rollup_brand_size",
+    "set_ops_customer_segments",
+    "top_revenue_orders",
+    "event_type_pivot",
 ]
 
 
@@ -205,3 +209,100 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy(F.to_date("ts").alias("day")).agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
     )
+
+
+def revenue_rollup_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: revenue at (brand, size), (brand), and grand-total
+    levels in one pass — Spark expands grouping sets into a single shuffle
+    with a grouping-id, not one job per level."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .rollup("p_brand", "p_size")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            ),
+            F.grouping_id().cast("int").alias("level"),
+        )
+    )
+
+
+REVENUE_ROLLUP_BRAND_SIZE_ORACLE = """
+SELECT p_brand, p_size,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       CAST(GROUPING(p_brand) * 2 + GROUPING(p_size) AS INT) AS level
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ROLLUP (p_brand, p_size)
+"""
+
+
+def set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations over customer key sets: buyers INTERSECT/EXCEPT the
+    'BUILDING' market segment, plus their UNION — one labeled relation.
+    Spark plans INTERSECT/EXCEPT as left-semi/anti under distinct."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    buyers = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    both = buyers.intersect(building).withColumn("set_label", F.lit("both"))
+    buyers_only = buyers.exceptAll(building).withColumn("set_label", F.lit("buyers_only"))
+    building_only = building.exceptAll(buyers).withColumn(
+        "set_label", F.lit("building_only")
+    )
+    return both.unionByName(buyers_only).unionByName(building_only)
+
+
+SET_OPS_CUSTOMER_SEGMENTS_ORACLE = """
+WITH buyers AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+     building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT c_custkey, 'both' AS set_label FROM buyers INTERSECT SELECT c_custkey, 'both' FROM building
+UNION ALL
+SELECT c_custkey, 'buyers_only' FROM (SELECT c_custkey FROM buyers EXCEPT SELECT c_custkey FROM building)
+UNION ALL
+SELECT c_custkey, 'building_only' FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM buyers)
+"""
+
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY ... LIMIT compiles to TakeOrderedAndProject —
+    per-partition heaps + a k-row merge, never a full global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+TOP_REVENUE_ORDERS_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+"""
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per event type. Explicit
+    value list keeps the plan a single two-phase aggregate (no extra
+    distinct-values job) and pins the output schema."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .select("user_id", *[F.col(t).cast("bigint").alias(f"n_{t}") for t in types])
+    )
+
+
+EVENT_TYPE_PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""

@@ -224,6 +224,30 @@ register(
 register("approx_distinct_users_daily", relational.approx_distinct_users_daily, None)
 
 register(
+    "revenue_rollup_brand_size",
+    relational.revenue_rollup_brand_size,
+    relational.REVENUE_ROLLUP_BRAND_SIZE_ORACLE,
+)
+
+register(
+    "set_ops_customer_segments",
+    relational.set_ops_customer_segments,
+    relational.SET_OPS_CUSTOMER_SEGMENTS_ORACLE,
+)
+
+register(
+    "top_revenue_orders",
+    relational.top_revenue_orders,
+    relational.TOP_REVENUE_ORDERS_ORACLE,
+)
+
+register(
+    "event_type_pivot",
+    relational.event_type_pivot,
+    relational.EVENT_TYPE_PIVOT_ORACLE,
+)
+
+register(
     "brand_share_of_revenue",
     relational.brand_share_of_revenue,
     """
@@ -324,6 +348,12 @@ register(
     "quality_filter_documents",
     llm_data.quality_filter_documents,
     llm_data.QUALITY_FILTER_DOCUMENTS_ORACLE,
+)
+
+register(
+    "stratified_sample_documents",
+    llm_data.stratified_sample_documents,
+    llm_data.STRATIFIED_SAMPLE_DOCUMENTS_ORACLE,
 )
 
 # --------------------------------------------------------------------------
