@@ -1,0 +1,61 @@
+"""Physical-plan regression tests: the plans we audited and want to KEEP.
+
+A correctness-green query can still silently regress to a bad plan (lost
+broadcast, dropped pushdown, full sort instead of top-k). These assertions
+pin the load-bearing plan features at fixture scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "revenue_per_product",
+        "orders_per_product_month",
+        "inventory_status",
+        "most_sold_per_category",
+        "customer_order_enrichment",
+    ],
+)
+def test_dim_joins_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filters_reach_parquet_scan(spark):
+    # Q2's p_size predicate and Q5's key predicate must be in PushedFilters.
+    assert "PushedFilters: [IsNotNull(p_size), LessThan(p_size,10)]" in _plan(
+        spark, "low_stock"
+    )
+    plan = _plan(spark, "inventory_status")
+    assert "EqualTo(p_partkey,1)" in plan
+    # and the key filter crosses the outer join into the lineitem scan
+    assert "EqualTo(l_partkey,1)" in plan
+
+
+def test_aggregates_are_two_phase(spark):
+    plan = _plan(spark, "revenue_per_product")
+    assert "partial_sum" in plan, "map-side partial aggregation missing"
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = _plan(spark, "top_revenue_orders")
+    assert "TakeOrderedAndProject" in plan, "LIMIT degraded to a full global sort"
+
+
+def test_semi_anti_join_strategies(spark):
+    assert "LeftSemi" in _plan(spark, "exists_semi_join")
+    assert "LeftAnti" in _plan(spark, "anti_join_new_keys")
