@@ -25,7 +25,7 @@ from data_ingestion_pipeline_spark.plans.merge import merge_upsert
 from data_ingestion_pipeline_spark.plans.table import ManagedTable
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
-__all__ = ["csv_ingest_events", "merge_upsert_events"]
+__all__ = ["csv_ingest_events", "merge_upsert_events", "jsonl_roundtrip_events"]
 
 _SCRATCH = "/tmp/spark_graft_scratch"
 
@@ -159,4 +159,41 @@ SELECT event_id, ts, user_id, event_type, value FROM stored
 WHERE event_id NOT IN (SELECT event_id FROM dedup)
 UNION ALL
 SELECT event_id, ts, user_id, event_type, value FROM dedup
+"""
+
+
+def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink → schema'd JSONL source round trip on the events table.
+
+    Timestamps are exported at microsecond precision with an explicit
+    format (JSONL stringifies them — the reason it's an interchange format,
+    not a store); value doubles survive because Spark's JSON writer emits
+    shortest-round-trip decimals. Oracle: the source rows, with ts
+    truncated identically.
+    """
+    from data_ingestion_pipeline_spark.sources.jsonl_reader import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    path = _scratch(sf_dir, "events_jsonl")
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    write_jsonl(events, path, timestamp_format=fmt)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    return read_jsonl(spark, path, schema, timestamp_format=fmt)
+
+
+JSONL_ROUNDTRIP_EVENTS_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value FROM events
 """

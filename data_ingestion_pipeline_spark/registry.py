@@ -279,6 +279,12 @@ register(
 )
 
 register(
+    "jsonl_roundtrip_events",
+    ingestion_checks.jsonl_roundtrip_events,
+    ingestion_checks.JSONL_ROUNDTRIP_EVENTS_ORACLE,
+)
+
+register(
     "schema_evolution_sync",
     evolution_checks.schema_evolution_sync,
     evolution_checks.SCHEMA_EVOLUTION_SYNC_ORACLE,
