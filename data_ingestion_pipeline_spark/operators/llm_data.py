@@ -54,6 +54,7 @@ __all__ = [
     "doc_fingerprint_rolling",
     "quality_filter_documents",
     "stratified_sample_documents",
+    "near_dup_clusters_documents",
 ]
 
 
@@ -358,6 +359,43 @@ WITH t AS (
 SELECT * FROM scored
 WHERE n_tokens BETWEEN 20 AND 2000
   AND type_token_ratio >= 0.2 AND alpha_ratio >= 0.6
+"""
+
+
+def near_dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → groups: connected components over the exact n-gram Jaccard
+    near-dup pairs on the planted corpus; each member labeled with its
+    cluster's canonical (min) doc id and the survivor flag. The iterative
+    min-label propagation is the non-SQL-expressible part on the Spark
+    side; the oracle recomputes components with a recursive CTE over the
+    same pair set (the graph is transitively closed in SQL — fine at
+    fixture scale, which is exactly what oracles are for)."""
+    from data_ingestion_pipeline_spark.dedup.clustering import dedup_groups
+
+    aug = _near_dup_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(aug, "text", "doc_id", n=3, threshold=0.4)
+    return dedup_groups(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id", "keep"
+    )
+
+
+NEAR_DUP_CLUSTERS_DOCUMENTS_ORACLE = rf"""
+WITH RECURSIVE pairs AS (
+    {NGRAM_JACCARD_DOCUMENTS_ORACLE}
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), nodes AS (
+    SELECT DISTINCT u AS node FROM edges
+), reach(node, other) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.other
+)
+SELECT node AS doc_id, MIN(other) AS cluster_id,
+       (node = MIN(other)) AS keep
+FROM reach GROUP BY node
 """
 
 

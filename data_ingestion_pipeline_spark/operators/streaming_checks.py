@@ -29,6 +29,7 @@ __all__ = [
     "sessionize_events",
     "streaming_tumbling_events",
     "streaming_dedup_events",
+    "stateful_user_profile_events",
 ]
 
 
@@ -133,16 +134,10 @@ def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real streaming dedup run: events duplicated 2× into a scratch dir
-    (two parquet files with identical rows → two input batches), file
-    source → watermarked dropDuplicates(event_id) → memory sink. The dedup
-    state spans micro-batches, so the second copy deduplicates against
-    state built from the first — exactly once per event_id survives.
-
-    Oracle: the events table itself (every column identical across planted
-    copies, so which copy wins is immaterial).
-    """
+def _planted_dup_source(sf_dir: str) -> tuple[str, str]:
+    """events.parquet duplicated into two files under scratch — a streaming
+    source whose second batch replays the first (state must span batches).
+    Returns (sf tag, source dir). Idempotent per sf_dir."""
     import shutil
 
     tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
@@ -155,7 +150,20 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(events_path, os.path.join(src_dir, "copy_a.parquet"))
         shutil.copy(events_path, os.path.join(src_dir, "copy_b.parquet"))
         open(marker, "w").close()
+    return tag, src_dir
 
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming dedup run: events duplicated 2× into a scratch dir
+    (two parquet files with identical rows → two input batches), file
+    source → watermarked dropDuplicates(event_id) → memory sink. The dedup
+    state spans micro-batches, so the second copy deduplicates against
+    state built from the first — exactly once per event_id survives.
+
+    Oracle: the events table itself (every column identical across planted
+    copies, so which copy wins is immaterial).
+    """
+    tag, src_dir = _planted_dup_source(sf_dir)
     name = f"stream_dedup_{tag}"
     raw = (
         spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
@@ -184,4 +192,63 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAMING_DEDUP_EVENTS_ORACLE = """
 SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
+def stateful_user_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state streaming (applyInPandasWithState): per-user running
+    profile over the duplicated two-batch source — the second batch folds
+    into state built from the first, so final counts are exactly 2× the
+    table's. The memory sink (update mode) holds one emission per user per
+    batch; the final profile is the row with that user's max n_events
+    (monotone across emissions).
+
+    Oracle: closed-form profile over events ×2. value_sum rounded: pandas
+    folds each batch with pairwise summation, DuckDB sequentially — equal
+    to well past 2 decimals, not bitwise.
+    """
+    from data_ingestion_pipeline_spark.streaming.stateful import user_profile_stream
+
+    tag, src_dir = _planted_dup_source(sf_dir)
+    name = f"stream_profile_{tag}"
+    raw = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    profiles = user_profile_stream(events)
+    query = (
+        profiles.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    if query.isActive:
+        query.stop()
+    emitted = spark.table(name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("value_sum", 2).alias("value_sum"),
+            "last_ts_us",
+        )
+    )
+
+
+STATEFUL_USER_PROFILE_EVENTS_ORACLE = """
+SELECT user_id,
+       CAST(2 * COUNT(*) AS BIGINT) AS n_events,
+       ROUND(2 * SUM(COALESCE(value, 0)), 2) AS value_sum,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_ts_us
+FROM events GROUP BY user_id
 """

@@ -362,6 +362,12 @@ register(
     llm_data.STRATIFIED_SAMPLE_DOCUMENTS_ORACLE,
 )
 
+register(
+    "near_dup_clusters_documents",
+    llm_data.near_dup_clusters_documents,
+    llm_data.NEAR_DUP_CLUSTERS_DOCUMENTS_ORACLE,
+)
+
 # --------------------------------------------------------------------------
 # Temporal joins (as-of, bounded range) — absent from the reference (§2.4),
 # added as first-class feature-pipeline primitives
@@ -433,4 +439,10 @@ register(
     "streaming_dedup_events",
     streaming_checks.streaming_dedup_events,
     streaming_checks.STREAMING_DEDUP_EVENTS_ORACLE,
+)
+
+register(
+    "stateful_user_profile_events",
+    streaming_checks.stateful_user_profile_events,
+    streaming_checks.STATEFUL_USER_PROFILE_EVENTS_ORACLE,
 )

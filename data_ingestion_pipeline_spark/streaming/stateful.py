@@ -1,0 +1,88 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+``dropDuplicates``/windowed aggs cover the declarative stateful cases;
+anything with bespoke per-key state (running profiles, decayed counters,
+cross-batch accumulators) needs the arbitrary-state API. The shape:
+
+- state is keyed by the groupBy key and lives in the state store
+  (checkpointed, partitioned with the shuffle — scales horizontally with
+  key cardinality, not event volume);
+- each micro-batch delivers that key's new rows as pandas batches; the
+  handler folds them into state and emits whatever the operator defines;
+- a GroupStateTimeout policy bounds state lifetime (here: no timeout —
+  the profile is meant to live as long as the user does; production would
+  expire on event-time watermark).
+
+``user_profile_stream`` keeps a per-user running profile (event count,
+value sum, latest timestamp) and emits the UPDATED profile each batch —
+the downstream table is an upsert target keyed by user (foreachBatch MERGE
+composes with it, streaming/ingest.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+__all__ = ["user_profile_stream", "PROFILE_SCHEMA", "STATE_SCHEMA"]
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+
+def _update_profile(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total, last_us = state.get
+    else:
+        n, total, last_us = 0, 0.0, None
+    for pdf in batches:
+        n += len(pdf)
+        # pandas sum over float64 batch, folded batch-by-batch into state —
+        # deterministic given deterministic batch contents.
+        total += float(pdf["value"].fillna(0.0).sum())
+        ts_us = pdf["ts"].astype("int64") // 1000  # datetime64[ns] → µs
+        batch_max = int(ts_us.max()) if len(ts_us) else None
+        if batch_max is not None:
+            last_us = batch_max if last_us is None else max(last_us, batch_max)
+    state.update((n, total, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "value_sum": [total],
+            "last_ts_us": [last_us],
+        }
+    )
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """events (streaming, cols user_id/ts/value) → updated per-user profile
+    rows per micro-batch. One shuffle on user_id; state size O(users)."""
+    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
+        _update_profile,
+        outputStructType=PROFILE_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

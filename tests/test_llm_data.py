@@ -245,3 +245,21 @@ def test_rolling_fingerprint_properties(spark):
     assert got[1] != got[3]          # order-sensitive
     assert got[4] == 0               # empty → 0
     assert got[5] is None            # null propagates
+
+
+def test_connected_components_chains_and_cliques(spark):
+    from data_ingestion_pipeline_spark.dedup.clustering import (
+        connected_components,
+        dedup_groups,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),          # chain 1-2-3 → cluster 1
+         (10, 11), (10, 12), (11, 12),   # clique → cluster 10
+         (20, 21)],               # pair → cluster 20
+        "id_a long, id_b long",
+    )
+    cc = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    keep = {r.node: r.keep for r in dedup_groups(pairs).collect()}
+    assert [n for n, k in sorted(keep.items()) if k] == [1, 10, 20]
