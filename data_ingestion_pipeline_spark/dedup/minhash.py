@@ -2,7 +2,7 @@
 
 Pipeline (all built-in expressions, one narrow explode + two shuffles):
 
-1. shingle each document (functions/text.shingles);
+1. shingle each document to hashed token windows (dedup/ngram.shingle_sets);
 2. base-hash each shingle (xxhash64) and derive K permuted hashes
    ``h_i(x) = (a_i·x + b_i) mod p`` (universal hashing, p = 2^61-1);
 3. per-document MinHash signature = element-wise min over shingles —
@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.dedup.ngram import shingle_sets
-from data_ingestion_pipeline_spark.functions.text import shingles, tokens
 
 __all__ = ["minhash_signatures", "lsh_candidate_pairs", "minhash_near_dup_pairs"]
 
@@ -56,11 +55,8 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
     """(id, sig_0..sig_{K-1}) — one row per document."""
-    tok = tokens(F.col(text_col))
-    exploded = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(tok, shingle_n))).alias("shingle"),
-    )
+    sets = shingle_sets(df, text_col, id_col, shingle_n)
+    exploded = sets.select(F.col(id_col), F.explode("sset").alias("sh"))
     return _signatures_from_exploded(exploded, id_col, num_hashes)
 
 
@@ -68,10 +64,10 @@ def _signatures_from_exploded(
     exploded: DataFrame, id_col: str, num_hashes: int
 ) -> DataFrame:
     """K min() aggregates over permuted 31-bit hashes — map-side partial mins
-    make the shuffle O(docs·K) regardless of document length."""
-    hashed = exploded.withColumn(
-        "h", F.xxhash64("shingle").bitwiseAND(F.lit((1 << 31) - 1))
-    )
+    make the shuffle O(docs·K) regardless of document length. Input rows
+    carry the 64-bit hashed shingle (``sh``, dedup/ngram.shingle_sets);
+    folding to 31 bits keeps a·x + b inside long arithmetic."""
+    hashed = exploded.withColumn("h", F.col("sh").bitwiseAND(F.lit((1 << 31) - 1)))
     aggs = []
     for i, (a, b) in enumerate(_perm_params(num_hashes)):
         perm = (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)
@@ -119,7 +115,7 @@ def minhash_near_dup_pairs(
     # explode) and the verification sets (arrays as-is, no collect_set
     # round-trip) — cached so the corpus is shingled exactly once.
     sets = shingle_sets(df, text_col, id_col, shingle_n).cache()
-    exploded = sets.select(F.col(id_col), F.explode("sset").alias("shingle"))
+    exploded = sets.select(F.col(id_col), F.explode("sset").alias("sh"))
     sigs = _signatures_from_exploded(exploded, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
 

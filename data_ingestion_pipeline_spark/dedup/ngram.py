@@ -5,11 +5,12 @@ it O(co-occurring pairs): explode shingles → self-join on shingle → count
 shared shingles per pair → Jaccard from |A|, |B|, |A∩B|. Three scale
 decisions shape the plan:
 
-- **Hashed join key.** The self-join runs on xxhash64(shingle) (8 bytes)
-  instead of the ~20-byte shingle string — less shuffle IO, faster
-  compares. A cross-document collision would inflate one pair's overlap
-  count with probability ~|A|·|B|/2⁶⁴ ≈ 1e-16 per pair — far below any
-  operational concern (and deterministic for a given dataset).
+- **Hashed shingles end to end.** Shingles are 8-byte xxhash64 values of
+  the token windows (never materialized as strings, see ``shingle_sets``)
+  — less CPU to build, less shuffle IO, faster compares. A cross-document
+  collision would inflate one pair's overlap count with probability
+  ~|A|·|B|/2⁶⁴ ≈ 1e-16 per pair — far below any operational concern (and
+  deterministic for a given dataset).
 - **Sizes ride along.** Set sizes are carried through the exploded rows and
   the groupBy key, so Jaccard needs no join back to a per-doc size table —
   one exchange fewer. The exploded relation is already distinct per
@@ -45,22 +46,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.functions.partitioning import fan_out
-from data_ingestion_pipeline_spark.functions.text import shingles, tokens
+from data_ingestion_pipeline_spark.functions.text import tokens
 
 __all__ = ["shingle_sets", "jaccard_pairs"]
 
 
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """(id, distinct shingle array, set size) per document — the set
-    representation shared by the Jaccard join, MinHash, and their tests.
-    Fans the (narrow) input out across cores first: shingling is the
-    CPU-dense step and single-file fixtures otherwise pin it to one task."""
+    """(id, distinct HASHED shingle array<long>, set size) per document —
+    the set representation shared by the Jaccard join, MinHash, and their
+    tests. Shingles are n-token windows hashed directly from the token
+    columns (multi-arg xxhash64) — the n-gram *string* is never built,
+    which halves the shingling cost and makes every downstream set op
+    (distinct, join keys, array_intersect) long-typed instead of
+    string-typed. Set membership is equivalent to string shingles: two
+    windows hash equal iff their token tuples are equal (modulo 2⁻⁶⁴
+    collisions; past-end positions hash as absent/NULL consistently on
+    both sides of any comparison). Fans the (narrow) input out across
+    cores first: shingling is the CPU-dense step and single-file fixtures
+    otherwise pin it to one task."""
     df = fan_out(df)
     tok = tokens(F.col(text_col))
-    return df.select(
-        F.col(id_col),
-        F.array_distinct(shingles(tok, n)).alias("sset"),
-    ).withColumn("set_size", F.size("sset"))
+    win = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("_tok")) - (n - 1), F.lit(1))),
+        lambda i: F.xxhash64(
+            *[F.element_at(F.col("_tok"), i + j) for j in range(n)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col), tok.alias("_tok"))
+        .select(F.col(id_col), F.array_distinct(win).alias("sset"))
+        .withColumn("set_size", F.size("sset"))
+    )
 
 
 def jaccard_pairs(
@@ -74,8 +90,8 @@ def jaccard_pairs(
     """Pairs (id_a < id_b, jaccard) with Jaccard ≥ threshold — exact."""
     sets = shingle_sets(df, text_col, id_col, n)
     ex = sets.select(
-        F.col(id_col), F.col("set_size"), F.explode("sset").alias("shingle")
-    ).select(F.col(id_col), F.col("set_size"), F.xxhash64("shingle").alias("sh"))
+        F.col(id_col), F.col("set_size"), F.explode("sset").alias("sh")
+    )
 
     if max_shingle_df is not None:
         hot = (
