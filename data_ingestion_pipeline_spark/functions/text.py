@@ -22,6 +22,9 @@ __all__ = [
     "shingles",
     "fingerprint_md5",
     "rolling_fingerprint",
+    "clean_text",
+    "redact_pii",
+    "repetition_ratio",
     "quality_features",
     "lang_id",
 ]
@@ -65,6 +68,46 @@ def fingerprint_md5(col: Column) -> Column:
     lowercased text. md5 (not xxhash64) so external engines can recompute it
     byte-for-byte — the exact-dedup key."""
     return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
+
+
+def clean_text(col: Column) -> Column:
+    """Interchange-grade text cleanup: strip HTML-ish tags, collapse
+    whitespace runs, trim. Patterns are deliberately RE2-safe (no
+    backrefs/lookaround) so external engines running the same regexes get
+    byte-identical output — cleanup must be reproducible wherever the
+    corpus is reprocessed."""
+    no_tags = F.regexp_replace(col, r"<[^>]*>", " ")
+    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+
+
+# Conservative, RE2-safe PII patterns (emails, international-ish phone
+# numbers). Conservative on purpose: a redaction pass wants precision —
+# recall comes from stacking more patterns, not loosening these.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+[0-9]{1,3}[- ]?[0-9]{3}[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails/phones with typed placeholder tokens (not deletion —
+    downstream tokenization keeps sentence structure)."""
+    no_email = F.regexp_replace(col, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_PATTERN, "<PHONE>")
+
+
+def repetition_ratio(col: Column, n: int = 2) -> Column:
+    """Share of duplicate n-grams: 1 − distinct/total over token n-grams —
+    the standard repetition-quality signal (boilerplate and degenerate
+    generations score high). Pure count arithmetic → engine-reproducible."""
+    tok = tokens(col)
+    total = F.greatest(F.size(tok) - (n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), total),
+        lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+    )
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total.cast("double"),
+        6,
+    )
 
 
 def rolling_fingerprint(col: Column, base: int = 31, mod: int = 2147483647) -> Column:

@@ -23,9 +23,14 @@ from data_ingestion_pipeline_spark.dedup.ngram import jaccard_pairs
 from data_ingestion_pipeline_spark.dedup.simhash import simhash_near_dup_pairs
 from data_ingestion_pipeline_spark.functions.text import (
     BPE_ISH_PATTERN,
+    EMAIL_PATTERN,
+    PHONE_PATTERN,
+    clean_text,
     fingerprint_md5,
     lang_id,
     quality_features,
+    redact_pii,
+    repetition_ratio,
     rolling_fingerprint,
 )
 from data_ingestion_pipeline_spark.functions.partitioning import fan_out
@@ -55,6 +60,7 @@ __all__ = [
     "quality_filter_documents",
     "stratified_sample_documents",
     "near_dup_clusters_documents",
+    "text_hygiene_documents",
 ]
 
 
@@ -359,6 +365,71 @@ WITH t AS (
 SELECT * FROM scored
 WHERE n_tokens BETWEEN 20 AND 2000
   AND type_token_ratio >= 0.2 AND alpha_ratio >= 0.6
+"""
+
+
+def text_hygiene_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleanup + redaction + repetition signal in one pass over a corpus
+    with planted mess: every 4th doc gets HTML tags, an email, a phone
+    number, and doubled-up whitespace spliced in (built identically in the
+    oracle). Output: cleaned+redacted text's fingerprint (not the text —
+    keeps the hash small), PII hit counts, and the bigram repetition ratio."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    dirty = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit("<div class='x'>Contact bob.smith@example.com  or "
+                  "+1 555-123-4567 now!</div>  "),
+            F.col("text"),
+        ),
+    ).otherwise(F.col("text"))
+    staged = docs.select("doc_id", dirty.alias("dirty"))
+    cleaned = staged.select(
+        "doc_id",
+        clean_text(F.col("dirty")).alias("cleaned"),
+    )
+    return cleaned.select(
+        "doc_id",
+        fingerprint_md5(redact_pii(F.col("cleaned"))).alias("redacted_fp"),
+        F.regexp_count("cleaned", F.lit(EMAIL_PATTERN)).cast("int").alias("n_emails"),
+        F.regexp_count("cleaned", F.lit(PHONE_PATTERN)).cast("int").alias("n_phones"),
+        repetition_ratio(F.col("cleaned"), n=2).alias("bigram_repetition"),
+    )
+
+
+TEXT_HYGIENE_DOCUMENTS_ORACLE = r"""
+WITH dirty AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN
+               '<div class=''x''>Contact bob.smith@example.com  or '
+               || '+1 555-123-4567 now!</div>  ' || text
+           ELSE text END AS dirty
+    FROM documents
+), cleaned AS (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(dirty, '<[^>]*>', ' ', 'g'),
+                               '\s+', ' ', 'g')) AS cleaned
+    FROM dirty
+), toks AS (
+    SELECT doc_id, cleaned, regexp_split_to_array(trim(cleaned), '\s+') AS t
+    FROM cleaned
+)
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(
+           regexp_replace(regexp_replace(cleaned,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+[0-9]{1,3}[- ]?[0-9]{3}[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}', '<PHONE>', 'g')
+       ), '\s+', ' ', 'g'))) AS redacted_fp,
+       CAST(len(regexp_extract_all(cleaned,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(cleaned,
+           '\+[0-9]{1,3}[- ]?[0-9]{3}[- ]?[0-9]{3,4}[- ]?[0-9]{3,4}')) AS INT) AS n_phones,
+       ROUND(1.0 - CAST(len(list_distinct(list_transform(
+               range(1, GREATEST(len(t) - 1, 1) + 1),
+               i -> array_to_string(t[i:i+1], ' ')
+           ))) AS DOUBLE) / CAST(GREATEST(len(t) - 1, 1) AS DOUBLE), 6)
+           AS bigram_repetition
+FROM toks
 """
 
 

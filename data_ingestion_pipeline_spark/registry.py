@@ -363,6 +363,12 @@ register(
 )
 
 register(
+    "text_hygiene_documents",
+    llm_data.text_hygiene_documents,
+    llm_data.TEXT_HYGIENE_DOCUMENTS_ORACLE,
+)
+
+register(
     "near_dup_clusters_documents",
     llm_data.near_dup_clusters_documents,
     llm_data.NEAR_DUP_CLUSTERS_DOCUMENTS_ORACLE,

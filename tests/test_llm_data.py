@@ -263,3 +263,35 @@ def test_connected_components_chains_and_cliques(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     keep = {r.node: r.keep for r in dedup_groups(pairs).collect()}
     assert [n for n, k in sorted(keep.items()) if k] == [1, 10, 20]
+
+
+def test_text_hygiene_functions(spark):
+    from data_ingestion_pipeline_spark.functions.text import (
+        clean_text,
+        redact_pii,
+        repetition_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>Hello   <b>world</b></p>  extra"),
+            (2, "mail me at a.b@example.org or call +1 555-123-4567 ok"),
+            (3, "spam spam spam spam spam"),
+            (4, "all words here are distinct tokens"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r.id: (r.clean, r.redacted, r.rep)
+        for r in df.select(
+            "id",
+            clean_text(F.col("text")).alias("clean"),
+            redact_pii(F.col("text")).alias("redacted"),
+            repetition_ratio(F.col("text"), 1).alias("rep"),
+        ).collect()
+    }
+    assert out[1][0] == "Hello world extra"
+    assert "<EMAIL>" in out[2][1] and "<PHONE>" in out[2][1]
+    assert "a.b@example.org" not in out[2][1]
+    assert out[3][2] == pytest.approx(0.8)   # 5 tokens, 1 distinct → 1 - 1/5
+    assert out[4][2] == pytest.approx(0.0)
