@@ -64,9 +64,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         df = fn(spark, sf_dir)
         sp_rows = df.collect()
@@ -108,7 +110,10 @@ def main() -> int:
         if problems:
             failures.append((name, problems[0]))
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass" + (f" — FAILURES: {[f[0] for f in failures]}" if failures else ""))
+    print(
+        f"\n{n_run - len(failures)}/{n_run} queries pass"
+        + (f" — FAILURES: {[f[0] for f in failures]}" if failures else "")
+    )
     return 1 if failures else 0
 
 
