@@ -33,6 +33,7 @@ __all__ = [
     "schema_evolution_sync",
     "partitioned_orders_yearly",
     "partitioned_orders_path",
+    "data_quality_orders",
 ]
 
 _SCRATCH = "/tmp/spark_graft_scratch"
@@ -117,4 +118,78 @@ SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
 FROM orders
 WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
 GROUP BY o_orderpriority
+"""
+
+
+def data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's data-quality aspiration (README.md:167-169) as a
+    one-pass rule suite over orders + an FK existence check against
+    customer — violation counts per named rule."""
+    from data_ingestion_pipeline_spark.plans.quality import check_rules, fk_violations
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rules = {
+        "totalprice_positive": F.col("o_totalprice") > 0,
+        "orderkey_not_null": F.col("o_orderkey").isNotNull(),
+        "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+        "orderdate_in_range": (F.col("o_orderdate") >= F.lit("1990-01-01"))
+        & (F.col("o_orderdate") < F.lit("2030-01-01")),
+    }
+    counts = check_rules(orders, rules)
+    fk = fk_violations(orders, customer, "o_custkey", "c_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_violations")
+    )
+    n_orders = orders.count()
+    fk_row = fk.select(
+        F.lit("custkey_exists").alias("rule"),
+        F.lit(n_orders).cast("bigint").alias("n_rows"),
+        "n_violations",
+        F.round(F.col("n_violations") / n_orders, 6).alias("violation_rate"),
+    )
+    return counts.unionByName(fk_row)
+
+
+DATA_QUALITY_ORDERS_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+SELECT 'totalprice_positive' AS rule, n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_totalprice IS NULL OR NOT (o_totalprice > 0)) AS n_violations,
+       ROUND((SELECT COUNT(*) FROM orders
+              WHERE o_totalprice IS NULL OR NOT (o_totalprice > 0)) * 1.0 / n_rows, 6)
+           AS violation_rate
+FROM n
+UNION ALL
+SELECT 'orderkey_not_null', n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey IS NULL),
+       ROUND((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) * 1.0 / n_rows, 6)
+FROM n
+UNION ALL
+SELECT 'status_known', n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F', 'P')),
+       ROUND((SELECT COUNT(*) FROM orders
+              WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F', 'P'))
+             * 1.0 / n_rows, 6)
+FROM n
+UNION ALL
+SELECT 'orderdate_in_range', n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        WHERE o_orderdate IS NULL
+           OR NOT (o_orderdate >= '1990-01-01' AND o_orderdate < '2030-01-01')),
+       ROUND((SELECT COUNT(*) FROM orders
+              WHERE o_orderdate IS NULL
+                 OR NOT (o_orderdate >= '1990-01-01' AND o_orderdate < '2030-01-01'))
+             * 1.0 / n_rows, 6)
+FROM n
+UNION ALL
+SELECT 'custkey_exists', n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+       ROUND((SELECT COUNT(*) FROM orders o
+              WHERE o.o_custkey IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             * 1.0 / n_rows, 6)
+FROM n
 """

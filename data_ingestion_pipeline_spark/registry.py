@@ -291,6 +291,12 @@ register(
 )
 
 register(
+    "data_quality_orders",
+    evolution_checks.data_quality_orders,
+    evolution_checks.DATA_QUALITY_ORDERS_ORACLE,
+)
+
+register(
     "partitioned_orders_yearly",
     evolution_checks.partitioned_orders_yearly,
     evolution_checks.PARTITIONED_ORDERS_YEARLY_ORACLE,

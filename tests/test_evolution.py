@@ -35,3 +35,31 @@ def test_schema_evolution_add_drop_cast(spark):
     assert evolved.filter(F.col("p_container").isNotNull()).count() == 0
     raw = spark.read.parquet(f"{SF_SMOKE}/part.parquet")
     assert evolved.count() == raw.count()
+
+
+def test_quality_violations_quarantine_route(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipeline_spark.plans.quality import (
+        check_rules,
+        fk_violations,
+        violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "O"), (3, None, "X"), (4, 7.0, "F")],
+        "id long, price double, status string",
+    )
+    rules = {
+        "price_positive": F.col("price") > 0,
+        "status_known": F.col("status").isin("O", "F"),
+    }
+    counts = {r.rule: r.n_violations for r in check_rules(df, rules).collect()}
+    assert counts == {"price_positive": 2, "status_known": 1}  # NULL counts as violation
+    bad = {r.id: sorted(r.broken_rules) for r in violations(df, rules).collect()}
+    assert bad == {2: ["price_positive"], 3: ["price_positive", "status_known"]}
+
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    child = spark.createDataFrame([(1,), (3,), (None,)], "k long")
+    orphans = [r.k for r in fk_violations(child, parent, "k", "k").collect()]
+    assert orphans == [3]  # NULL keys are not FK violations
