@@ -34,6 +34,7 @@ __all__ = [
     "partitioned_orders_yearly",
     "partitioned_orders_path",
     "data_quality_orders",
+    "bucketed_colocated_join",
 ]
 
 _SCRATCH = "/tmp/spark_graft_scratch"
@@ -192,4 +193,45 @@ SELECT 'custkey_exists', n_rows,
                 AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
              * 1.0 / n_rows, 6)
 FROM n
+"""
+
+
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big⋈big join over tables bucketed on the join key: SortMergeJoin
+    with NO Exchange on either side (asserted in pytest) — write-once
+    shuffle, join-many-times-free. Result is layout-independent, so the
+    oracle recomputes it from the raw tables."""
+    from data_ingestion_pipeline_spark.plans.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    lt, ot = f"b_lineitem_{tag}", f"b_orders_{tag}"
+    if not (spark.catalog.tableExists(lt) and spark.catalog.tableExists(ot)):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        write_bucketed(li, lt, buckets=8, keys=["l_orderkey"])
+        write_bucketed(orders, ot, buckets=8, keys=["o_orderkey"])
+    j = read_bucketed(spark, lt).join(
+        read_bucketed(spark, ot),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.round(F.sum(F.col("l_quantity") * F.col("l_extendedprice")), 2).alias(
+            "gross_value"
+        ),
+    )
+
+
+BUCKETED_COLOCATED_JOIN_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l_quantity * l_extendedprice), 2) AS gross_value
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
 """

@@ -291,6 +291,12 @@ register(
 )
 
 register(
+    "bucketed_colocated_join",
+    evolution_checks.bucketed_colocated_join,
+    evolution_checks.BUCKETED_COLOCATED_JOIN_ORACLE,
+)
+
+register(
     "data_quality_orders",
     evolution_checks.data_quality_orders,
     evolution_checks.DATA_QUALITY_ORDERS_ORACLE,

@@ -58,6 +58,14 @@ def get_spark(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # Managed-table warehouse (bucketed tables, saveAsTable) — under
+        # /tmp so the repo/CWD never collects spark-warehouse/ droppings.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_scratch/warehouse"
+            ),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -63,3 +63,29 @@ def test_quality_violations_quarantine_route(spark):
     child = spark.createDataFrame([(1,), (3,), (None,)], "k long")
     orphans = [r.k for r in fk_violations(child, parent, "k", "k").collect()]
     assert orphans == [3]  # NULL keys are not FK violations
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipeline_spark.operators.evolution_checks import (
+        bucketed_colocated_join,
+    )
+    from tests.conftest import SF_SMOKE
+
+    # materialize the bucketed tables, then inspect the join-only plan with
+    # broadcast disabled so the bucketed SortMergeJoin is what we see
+    bucketed_colocated_join(spark, SF_SMOKE).collect()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tag = "sf0_001"
+        j = spark.table(f"b_lineitem_{tag}").join(
+            spark.table(f"b_orders_{tag}"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
