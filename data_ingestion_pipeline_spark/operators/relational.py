@@ -30,6 +30,11 @@ __all__ = [
     "set_ops_customer_segments",
     "top_revenue_orders",
     "event_type_pivot",
+    "price_quantiles_by_priority",
+    "approx_price_quantiles_by_priority",
+    "acctbal_full_outer_reconciliation",
+    "latest_event_per_user",
+    "order_price_histogram",
 ]
 
 
@@ -305,4 +310,153 @@ SELECT user_id,
        CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
        CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error
 FROM events GROUP BY user_id
+"""
+
+
+def price_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-statistics per group: interpolated percentiles of order
+    value by priority. Spark's ``percentile`` is the exact (sort-based)
+    aggregate — the per-group baseline the sketch variant below approximates.
+    Groups are few (5 priorities), so the exact global sort per group is
+    affordable; at high-cardinality groups the approx variant is the one
+    that scales."""
+    orders = load_table(spark, sf_dir, "orders")
+    pcts = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95}
+    return orders.groupBy("o_orderpriority").agg(
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(p)), 2).alias(name)
+            for name, p in pcts.items()
+        ],
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+
+
+PRICE_QUANTILES_BY_PRIORITY_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+       ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def approx_price_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch: ``approx_percentile`` (Greenwald-Khanna) — mergeable
+    bounded-memory state per group, the form that survives 100 TB where the
+    exact aggregate would sort each group. Rows-only driver check
+    (approximate by construction); rank-error bound vs the exact quantiles
+    is asserted in pytest."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_percentile(
+            "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)), F.lit(10_000)
+        ).alias("quantiles_approx")
+    )
+
+
+def acctbal_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the reconciliation shape (rows present on either
+    side survive): customer vs supplier account-balance distributions on
+    50-unit buckets. Both aggregates are tiny post-group relations, so the
+    full-outer SortMergeJoin runs on already-reduced inputs — aggregate
+    first, then outer-join, never the reverse at scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = (
+        customer.filter(F.col("c_mktsegment") == "MACHINERY")
+        .groupBy(F.floor(F.col("c_acctbal") / 50).cast("bigint").alias("bal_bucket"))
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+    s = supplier.groupBy(
+        F.floor(F.col("s_acctbal") / 50).cast("bigint").alias("bal_bucket")
+    ).agg(F.count("*").cast("bigint").alias("n_suppliers"))
+    return (
+        c.join(s, "bal_bucket", "full_outer")
+        .select(
+            "bal_bucket",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+ACCTBAL_FULL_OUTER_RECONCILIATION_ORACLE = """
+WITH c AS (
+  SELECT CAST(floor(c_acctbal / 50) AS BIGINT) AS bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM customer WHERE c_mktsegment = 'MACHINERY' GROUP BY 1
+), s AS (
+  SELECT CAST(floor(s_acctbal / 50) AS BIGINT) AS bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM supplier GROUP BY 1
+)
+SELECT COALESCE(c.bal_bucket, s.bal_bucket) AS bal_bucket,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM c FULL JOIN s ON c.bal_bucket = s.bal_bucket
+"""
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax via struct-max aggregation: the latest event per user WITHOUT
+    a ranking window. max(struct(ts, event_id, ...)) is an ordinary
+    hash-aggregate — partial max per partition before the shuffle moves one
+    row per (partition, user) instead of every event, and no per-group sort.
+    The window form ships all rows to the sort; this form is the one to
+    reach for at 100 TB when only the extreme row is wanted. event_id
+    breaks ts ties deterministically (it is unique)."""
+    events = load_table(spark, sf_dir, "events")
+    latest = F.max(
+        F.struct("ts", "event_id", "event_type", "value")
+    ).alias("latest")
+    return (
+        events.groupBy("user_id")
+        .agg(latest)
+        .select(
+            "user_id",
+            F.col("latest.ts").alias("last_ts"),
+            F.col("latest.event_id").alias("last_event_id"),
+            F.col("latest.event_type").alias("last_event_type"),
+            F.round("latest.value", 2).alias("last_value"),
+        )
+    )
+
+
+LATEST_EVENT_PER_USER_ORACLE = """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_event_type, ROUND(value, 2) AS last_value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn FROM events
+) WHERE rn = 1
+"""
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram by arithmetic binning — one hash-aggregate, no
+    sort, bin count independent of data size. The binning expression stays
+    in whole-stage codegen (pure arithmetic, no UDF)."""
+    orders = load_table(spark, sf_dir, "orders")
+    width = 25_000
+    return (
+        orders.groupBy(
+            (F.floor(F.col("o_totalprice") / width) * width)
+            .cast("bigint")
+            .alias("price_bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+ORDER_PRICE_HISTOGRAM_ORACLE = """
+SELECT CAST(floor(o_totalprice / 25000) * 25000 AS BIGINT) AS price_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM orders GROUP BY 1
 """

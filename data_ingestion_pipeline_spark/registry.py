@@ -248,6 +248,36 @@ register(
 )
 
 register(
+    "price_quantiles_by_priority",
+    relational.price_quantiles_by_priority,
+    relational.PRICE_QUANTILES_BY_PRIORITY_ORACLE,
+)
+
+register(
+    "approx_price_quantiles_by_priority",
+    relational.approx_price_quantiles_by_priority,
+    None,
+)
+
+register(
+    "acctbal_full_outer_reconciliation",
+    relational.acctbal_full_outer_reconciliation,
+    relational.ACCTBAL_FULL_OUTER_RECONCILIATION_ORACLE,
+)
+
+register(
+    "latest_event_per_user",
+    relational.latest_event_per_user,
+    relational.LATEST_EVENT_PER_USER_ORACLE,
+)
+
+register(
+    "order_price_histogram",
+    relational.order_price_histogram,
+    relational.ORDER_PRICE_HISTOGRAM_ORACLE,
+)
+
+register(
     "brand_share_of_revenue",
     relational.brand_share_of_revenue,
     """

@@ -109,3 +109,57 @@ def test_approx_distinct_within_rsd(spark):
     assert set(exact) == set(approx)
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(0.1 * n, 3), (day, n, approx[day])
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    from data_ingestion_pipeline_spark.operators.relational import (
+        approx_price_quantiles_by_priority,
+        price_quantiles_by_priority,
+    )
+    from tests.conftest import SF_SMOKE
+
+    exact = {
+        r.o_orderpriority: (r.p25, r.p50, r.p75, r.p95)
+        for r in price_quantiles_by_priority(spark, SF_SMOKE).collect()
+    }
+    approx = {
+        r.o_orderpriority: r.quantiles_approx
+        for r in approx_price_quantiles_by_priority(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(approx)
+    for prio, qs in exact.items():
+        for e, a in zip(qs, approx[prio]):
+            # GK with accuracy 10k: generous value tolerance (quantiles of a
+            # smooth-ish price distribution move little per rank step)
+            assert abs(a - e) <= max(0.05 * abs(e), 1.0), (prio, e, a)
+
+
+def test_latest_event_struct_max_matches_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipeline_spark.operators.relational import (
+        latest_event_per_user,
+    )
+    from data_ingestion_pipeline_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    agg = latest_event_per_user(spark, SF_SMOKE)
+    events = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    via_window = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+    a = sorted(tuple(r) for r in agg.collect())
+    b = sorted(tuple(r) for r in via_window.collect())
+    assert a == b
