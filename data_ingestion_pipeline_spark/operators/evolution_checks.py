@@ -35,6 +35,8 @@ __all__ = [
     "partitioned_orders_path",
     "data_quality_orders",
     "bucketed_colocated_join",
+    "compacted_sorted_orders",
+    "compacted_sorted_orders_table",
 ]
 
 _SCRATCH = "/tmp/spark_graft_scratch"
@@ -234,4 +236,59 @@ SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
        ROUND(SUM(l_quantity * l_extendedprice), 2) AS gross_value
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
+"""
+
+
+def compacted_sorted_orders_table(spark: SparkSession, sf_dir: str) -> ManagedTable:
+    """Build (once per sf_dir) a ManagedTable exercising the three layout
+    rewrites: v1 = fragmented ingest (64 small files, the shape streaming
+    ingestion accretes), v2 = compact() bin-packing to ~target-size files,
+    v3 = sorted_overwrite() range-clustering on o_orderdate so parquet
+    footers carry disjoint min/max stats. Separate so pytest can inspect
+    versions and footers."""
+    root = _scratch(sf_dir, "orders_layout")
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        table = ManagedTable(spark, root, keep_versions=3)
+        orders = load_table(spark, sf_dir, "orders")
+        table.overwrite(orders.repartition(64))
+        table.compact(target_file_bytes=128 * 1024 * 1024)
+        table.sorted_overwrite(table.read(), ["o_orderdate"], num_files=4)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return ManagedTable(spark, root, keep_versions=3)
+
+
+def compacted_sorted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range query over the range-clustered current version. The
+    pushed-down o_orderdate predicate hits disjoint per-file min/max stats,
+    so non-matching files are skipped at row-group level (footer disjointness
+    asserted in pytest). The result is layout-independent — the oracle
+    recomputes from the raw table; time-travel consistency (the fragmented
+    v1 snapshot still readable, same cardinality) is asserted here."""
+    table = compacted_sorted_orders_table(spark, sf_dir)
+    versions = table.versions()
+    assert table.read(versions[0]).count() == table.read().count()
+    return (
+        table.read()
+        .filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .groupBy(F.month("o_orderdate").cast("int").alias("order_month"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+COMPACTED_SORTED_ORDERS_ORACLE = """
+SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_value
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+GROUP BY 1
 """

@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -73,18 +74,75 @@ class ManagedTable:
             f.write(version)
         os.replace(tmp, self._pointer_path())
 
+    def versions(self) -> list[str]:
+        """Retained version directories, oldest first (time-travel targets)."""
+        return sorted(d for d in os.listdir(self.root) if d.startswith("v"))
+
     # -- read / write -------------------------------------------------------
 
-    def read(self) -> DataFrame:
-        v = self.current_version()
+    def read(self, version: str | None = None) -> DataFrame:
+        """Read the current version, or a retained older one (time travel).
+
+        Versions are immutable once the pointer moves past them, so reading
+        ``version="v00000001"`` after later commits is a consistent snapshot
+        — the poor man's Delta ``VERSION AS OF``, bounded by keep_versions.
+        """
+        v = version or self.current_version()
         if v is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
-        return self.spark.read.parquet(os.path.join(self.root, v))
+        path = os.path.join(self.root, v)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"version {v} not retained in {self.root}")
+        return self.spark.read.parquet(path)
 
     def overwrite(self, df: DataFrame) -> str:
         """Commit ``df`` as the new table contents (write-new-then-swap)."""
         version = self._next_version()
         df.write.mode("overwrite").parquet(os.path.join(self.root, version))
+        self._swap_pointer(version)
+        self._vacuum()
+        return version
+
+    def _data_bytes(self, version: str) -> int:
+        path = os.path.join(self.root, version)
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> str:
+        """Rewrite the current version into ~target-sized files (OPTIMIZE).
+
+        Streaming/incremental ingestion accretes many small files; at 100 TB
+        the scan-planning and open() overhead of millions of tiny files
+        dominates. Sizing from the actual on-disk bytes of the current
+        version, ``coalesce`` (no shuffle) bin-packs partitions down to
+        ``ceil(bytes / target)`` files. Data is unchanged — only layout.
+        """
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.root} has no committed version")
+        n_files = max(1, -(-self._data_bytes(cur) // target_file_bytes))
+        return self.overwrite(self.read().coalesce(n_files))
+
+    def sorted_overwrite(
+        self, df: DataFrame, sort_cols: Sequence[str], num_files: int
+    ) -> str:
+        """Commit ``df`` range-clustered on ``sort_cols`` (Z-order lite).
+
+        ``repartitionByRange`` gives files with DISJOINT value ranges and
+        ``sortWithinPartitions`` orders rows inside each, so every parquet
+        footer carries tight non-overlapping min/max stats — a pushed-down
+        range predicate then skips whole files/row-groups instead of
+        scanning them (asserted from the footers in pytest). At cluster
+        scale, size num_files from plan stats or a prior version's bytes.
+        """
+        version = self._next_version()
+        clustered = df.repartitionByRange(num_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+        clustered.write.mode("overwrite").parquet(os.path.join(self.root, version))
         self._swap_pointer(version)
         self._vacuum()
         return version

@@ -327,6 +327,12 @@ register(
 )
 
 register(
+    "compacted_sorted_orders",
+    evolution_checks.compacted_sorted_orders,
+    evolution_checks.COMPACTED_SORTED_ORDERS_ORACLE,
+)
+
+register(
     "data_quality_orders",
     evolution_checks.data_quality_orders,
     evolution_checks.DATA_QUALITY_ORDERS_ORACLE,

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.operators.evolution_checks import (
@@ -89,3 +90,48 @@ def test_bucketed_join_has_no_exchange(spark):
         assert "Exchange" not in plan, "bucketed join should not shuffle"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_layout_versions_compact_and_cluster(spark):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_ingestion_pipeline_spark.operators.evolution_checks import (
+        compacted_sorted_orders,
+        compacted_sorted_orders_table,
+    )
+    from tests.conftest import SF_SMOKE
+
+    compacted_sorted_orders(spark, SF_SMOKE).collect()  # builds + self-checks
+    table = compacted_sorted_orders_table(spark, SF_SMOKE)
+    v1, v2, v3 = table.versions()
+
+    def files(v):
+        return sorted(glob.glob(os.path.join(table.root, v, "*.parquet")))
+
+    assert len(files(v1)) == 64  # fragmented ingest
+    assert len(files(v2)) == 1  # compacted: tiny data bin-packs to one file
+    assert len(files(v3)) == 4  # range-clustered
+
+    # range clustering ⇒ per-file o_orderdate [min, max] are disjoint
+    spans = []
+    for f in files(v3):
+        meta = pq.ParquetFile(f).metadata
+        idx = meta.schema.names.index("o_orderdate")
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo, spans
+
+    # time travel: all retained versions hold identical data cardinality
+    n = table.read().count()
+    assert table.read(v1).count() == n
+    with pytest.raises(FileNotFoundError):
+        table.read("v99999999")
