@@ -30,6 +30,8 @@ __all__ = [
     "streaming_tumbling_events",
     "streaming_dedup_events",
     "stateful_user_profile_events",
+    "streaming_interval_join_events",
+    "streaming_enriched_events",
 ]
 
 
@@ -251,4 +253,89 @@ SELECT user_id,
        ROUND(2 * SUM(COALESCE(value, 0)), 2) AS value_sum,
        CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_ts_us
 FROM events GROUP BY user_id
+"""
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(query, spark: SparkSession, name: str) -> DataFrame:
+    query.awaitTermination(120)
+    if query.isActive:
+        query.stop()
+    return spark.table(name)
+
+
+def streaming_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real stream-stream interval join: purchases ⋈ same-user views within
+    the hour before, both sides file-source streams with 2h watermarks so
+    join state is evicted once the band can no longer match (bounded state
+    at any rate). Memory sink, availableNow. Oracle: the identical interval
+    join computed batch-side by DuckDB."""
+    from data_ingestion_pipeline_spark.streaming.joins import (
+        purchases_with_recent_views,
+    )
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    name = f"stream_ivjoin_{tag}"
+    purchases = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    views = _events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    joined = purchases_with_recent_views(purchases, views)
+    query = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return _drain(query, spark, name)
+
+
+STREAMING_INTERVAL_JOIN_EVENTS_ORACLE = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT) AS secs_before
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+"""
+
+
+def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: every micro-batch broadcast-joins the customer
+    dimension — stateless enrichment; a dim swapped between batches (atomic
+    ManagedTable pointer) is re-read. Oracle: the same join batch-side."""
+    from data_ingestion_pipeline_spark.streaming.joins import enrich_events_with_dim
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    name = f"stream_enrich_{tag}"
+    events = _events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_events_with_dim(events, dim, "user_id").select(
+        "event_id", "user_id", "c_mktsegment", "event_type",
+        F.round("value", 2).alias("value"),
+    )
+    query = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return _drain(query, spark, name)
+
+
+STREAMING_ENRICHED_EVENTS_ORACLE = """
+SELECT event_id, user_id, c_mktsegment, event_type, ROUND(value, 2) AS value
+FROM events JOIN customer ON user_id = c_custkey
 """

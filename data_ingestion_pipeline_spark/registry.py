@@ -350,6 +350,7 @@ register(
 
 register("text_stats", llm_data.text_stats, llm_data.TEXT_STATS_ORACLE)
 
+
 register(
     "exact_dedup_documents",
     llm_data.exact_dedup_documents,
@@ -493,6 +494,18 @@ register(
     "streaming_dedup_events",
     streaming_checks.streaming_dedup_events,
     streaming_checks.STREAMING_DEDUP_EVENTS_ORACLE,
+)
+
+register(
+    "streaming_interval_join_events",
+    streaming_checks.streaming_interval_join_events,
+    streaming_checks.STREAMING_INTERVAL_JOIN_EVENTS_ORACLE,
+)
+
+register(
+    "streaming_enriched_events",
+    streaming_checks.streaming_enriched_events,
+    streaming_checks.STREAMING_ENRICHED_EVENTS_ORACLE,
 )
 
 register(

@@ -124,3 +124,28 @@ def test_session_window_matches_gaps_and_islands(spark):
     }
     assert gi_sessions == sw_sessions
     assert len(gi_sessions) == 3
+
+
+def test_interval_join_batch_stream_parity(spark):
+    """The same purchases_with_recent_views plan over batch frames equals
+    the drained stream-stream join output (row multiset)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipeline_spark.operators.streaming_checks import (
+        streaming_interval_join_events,
+    )
+    from data_ingestion_pipeline_spark.sources.catalog import load_table
+    from data_ingestion_pipeline_spark.streaming.joins import (
+        purchases_with_recent_views,
+    )
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events")
+    batch = purchases_with_recent_views(
+        events.filter(F.col("event_type") == "purchase"),
+        events.filter(F.col("event_type") == "view"),
+    )
+    streamed = streaming_interval_join_events(spark, SF_SMOKE)
+    a = sorted(tuple(r) for r in batch.collect())
+    b = sorted(tuple(r) for r in streamed.collect())
+    assert a == b and len(a) > 0
