@@ -25,7 +25,12 @@ from data_ingestion_pipeline_spark.plans.merge import merge_upsert
 from data_ingestion_pipeline_spark.plans.table import ManagedTable
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
-__all__ = ["csv_ingest_events", "merge_upsert_events", "jsonl_roundtrip_events"]
+__all__ = [
+    "csv_ingest_events",
+    "merge_upsert_events",
+    "jsonl_roundtrip_events",
+    "orc_roundtrip_events",
+]
 
 _SCRATCH = "/tmp/spark_graft_scratch"
 
@@ -195,5 +200,26 @@ def jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JSONL_ROUNDTRIP_EVENTS_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
+def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → ORC source round trip on the events table — the second
+    columnar format (Spark ships the reader/writer natively; same
+    predicate-pushdown + column-pruning story as parquet). Binary-faithful
+    for every type including timestamps, so the oracle is simply the source
+    rows."""
+    path = _scratch(sf_dir, "events_orc")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        events.write.mode("overwrite").orc(path)
+    return spark.read.schema(events.schema).orc(path)
+
+
+ORC_ROUNDTRIP_EVENTS_ORACLE = """
 SELECT event_id, ts, user_id, event_type, value FROM events
 """

@@ -14,7 +14,7 @@ semantics tested in pytest with planted near-duplicates (tests/test_llm_data.py)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.dedup.embedding import cosine_pairs, lsh_cosine_pairs
@@ -44,6 +44,8 @@ from data_ingestion_pipeline_spark.sources.catalog import load_table
 EMB_DIM = 64
 
 __all__ = [
+    "doc_tokens_exploded",
+    "tfidf_top_terms",
     "text_stats",
     "exact_dedup_documents",
     "ngram_jaccard_documents",
@@ -518,3 +520,80 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture corpus is same-vocabulary word soup for every lang label)."""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def doc_tokens_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral flatten: one row per token with its position (posexplode) —
+    the table-generating shape every token-level pipeline starts from.
+    Stays JVM-side: split + posexplode are codegen'd, no Python in the
+    per-token path. Positions index the raw split (empties filtered after),
+    so token_idx is stable under tokenizer changes that only drop tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\s+")).alias("token_idx", "token"),
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", F.col("token_idx").cast("int").alias("token_idx"), "token")
+    )
+
+
+DOC_TOKENS_EXPLODED_ORACLE = r"""
+SELECT doc_id, CAST(idx AS INT) AS token_idx, token
+FROM (
+  SELECT doc_id,
+         unnest(range(len(regexp_split_to_array(text, '\s+')))) AS idx,
+         unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+) WHERE token <> ''
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """TF-IDF per document, top-k terms: the classic relevance weighting as
+    three aggregates over the exploded token table — tf per (doc, term), df
+    per term, idf = ln((N+1)/(df+1)) — then a ranking window per doc. All
+    shuffles key on doc or term; the df relation (one row per distinct
+    term) broadcasts back onto tf. No UDF anywhere."""
+    tokens = doc_tokens_exploded(spark, sf_dir).select("doc_id", "token")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("term_rank") <= k)
+    )
+
+
+TFIDF_TOP_TERMS_ORACLE = r"""
+WITH tokens AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tokens WHERE token <> ''
+  GROUP BY doc_id, token
+), df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, token, tfidf, CAST(term_rank AS INT) AS term_rank FROM (
+  SELECT tf.doc_id, tf.token,
+         ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf,
+         ROW_NUMBER() OVER (
+             PARTITION BY tf.doc_id
+             ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) DESC,
+                      tf.token ASC
+         ) AS term_rank
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+) WHERE term_rank <= 5
+"""

@@ -35,6 +35,7 @@ __all__ = [
     "acctbal_full_outer_reconciliation",
     "latest_event_per_user",
     "order_price_histogram",
+    "order_status_priority_cube",
 ]
 
 
@@ -459,4 +460,26 @@ SELECT CAST(floor(o_totalprice / 25000) * 25000 AS BIGINT) AS price_bin,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        ROUND(AVG(o_totalprice), 2) AS avg_price
 FROM orders GROUP BY 1
+"""
+
+
+def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: totals at every subset of (status, priority) —
+    all four grouping sets in ONE shuffle with a grouping-id, the
+    complement of the hierarchical ROLLUP above."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        F.grouping_id().cast("int").alias("level"),
+    )
+
+
+ORDER_STATUS_PRIORITY_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_value,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS level
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """

@@ -278,6 +278,12 @@ register(
 )
 
 register(
+    "order_status_priority_cube",
+    relational.order_status_priority_cube,
+    relational.ORDER_STATUS_PRIORITY_CUBE_ORACLE,
+)
+
+register(
     "brand_share_of_revenue",
     relational.brand_share_of_revenue,
     """
@@ -315,6 +321,12 @@ register(
 )
 
 register(
+    "orc_roundtrip_events",
+    ingestion_checks.orc_roundtrip_events,
+    ingestion_checks.ORC_ROUNDTRIP_EVENTS_ORACLE,
+)
+
+register(
     "schema_evolution_sync",
     evolution_checks.schema_evolution_sync,
     evolution_checks.SCHEMA_EVOLUTION_SYNC_ORACLE,
@@ -349,6 +361,18 @@ register(
 # --------------------------------------------------------------------------
 
 register("text_stats", llm_data.text_stats, llm_data.TEXT_STATS_ORACLE)
+
+register(
+    "doc_tokens_exploded",
+    llm_data.doc_tokens_exploded,
+    llm_data.DOC_TOKENS_EXPLODED_ORACLE,
+)
+
+register(
+    "tfidf_top_terms",
+    llm_data.tfidf_top_terms,
+    llm_data.TFIDF_TOP_TERMS_ORACLE,
+)
 
 
 register(
