@@ -295,3 +295,26 @@ def test_text_hygiene_functions(spark):
     assert "a.b@example.org" not in out[2][1]
     assert out[3][2] == pytest.approx(0.8)   # 5 tokens, 1 distinct → 1 - 1/5
     assert out[4][2] == pytest.approx(0.0)
+
+
+def test_cosine_blas_matches_expression_form(spark):
+    """The cogrouped BLAS kernel and the per-pair expression form emit the
+    same pairs with the same 6-decimal scores."""
+    from data_ingestion_pipeline_spark.dedup.embedding import (
+        cosine_pairs,
+        cosine_pairs_blas,
+    )
+    from data_ingestion_pipeline_spark.operators.llm_data import (
+        EMB_DIM,
+        _near_dup_embeddings,
+    )
+    from data_ingestion_pipeline_spark.sources.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    aug = _near_dup_embeddings(load_table(spark, SF_SMOKE, "embeddings"))
+    expr = sorted(
+        tuple(r)
+        for r in cosine_pairs(aug, threshold=0.8, dim=EMB_DIM).collect()
+    )
+    blas = sorted(tuple(r) for r in cosine_pairs_blas(aug, threshold=0.8).collect())
+    assert expr == blas and len(blas) > 0
