@@ -36,6 +36,7 @@ __all__ = [
     "latest_event_per_user",
     "order_price_histogram",
     "order_status_priority_cube",
+    "event_counts_unpivot",
 ]
 
 
@@ -482,4 +483,31 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS level
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def event_counts_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-user event-count matrix back to long
+    (user_id, event_type, n_events) rows — the inverse of the pivot above,
+    zero cells preserved. Unpivot is a plan-only projection (each input row
+    expands to one row per value column); no shuffle beyond the pivot's."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = event_type_pivot(spark, sf_dir)
+    return wide.unpivot(
+        "user_id", [f"n_{t}" for t in types], "event_type", "n_events"
+    ).select(
+        "user_id",
+        F.expr("substring(event_type, 3)").alias("event_type"),
+        "n_events",
+    )
+
+
+EVENT_COUNTS_UNPIVOT_ORACLE = """
+WITH types(event_type) AS (
+    VALUES ('click'), ('view'), ('purchase'), ('signup'), ('error')
+), u AS (SELECT DISTINCT user_id FROM events),
+c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
+SELECT u.user_id, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM u CROSS JOIN types t
+LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
 """

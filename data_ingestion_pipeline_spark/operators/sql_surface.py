@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
-__all__ = ["REPORT_SQL", "run_report_sql", "revenue_per_product_sql"]
+__all__ = [
+    "REPORT_SQL",
+    "run_report_sql",
+    "revenue_per_product_sql",
+    "orders_above_customer_avg",
+]
 
 # Translation of /root/reference/README.md:36-149 onto the star schema —
 # text-identical semantics to operators/reports.py's DataFrame builders.
@@ -85,3 +90,31 @@ def revenue_per_product_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1 through the SQL-text surface — registered in the driver contract to
     prove both surfaces stay in lock-step (same oracle as the builder form)."""
     return run_report_sql(spark, sf_dir, "revenue_per_product")
+
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: orders whose
+    value exceeds their customer's average. Catalyst decorrelates this into
+    the aggregate-then-join plan you would write by hand (per-customer AVG,
+    broadcast/shuffle join back on o_custkey) — no per-row subquery
+    execution survives optimization."""
+    _register(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 1.5 * (
+            SELECT AVG(i.o_totalprice) FROM orders i
+            WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+ORDERS_ABOVE_CUSTOMER_AVG_ORACLE = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+    SELECT AVG(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+"""

@@ -284,6 +284,18 @@ register(
 )
 
 register(
+    "event_counts_unpivot",
+    relational.event_counts_unpivot,
+    relational.EVENT_COUNTS_UNPIVOT_ORACLE,
+)
+
+register(
+    "orders_above_customer_avg",
+    sql_surface.orders_above_customer_avg,
+    sql_surface.ORDERS_ABOVE_CUSTOMER_AVG_ORACLE,
+)
+
+register(
     "brand_share_of_revenue",
     relational.brand_share_of_revenue,
     """
