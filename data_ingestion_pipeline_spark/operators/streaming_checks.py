@@ -11,6 +11,7 @@ gate, not just a batch stand-in.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -106,6 +107,23 @@ _EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
+@contextmanager
+def _stream_state_partitions(spark: SparkSession):
+    """Pin shuffle partitions (= state-store partitions, fixed at first
+    query start) for a stateful streaming run. Per-partition state commit
+    is a fixed cost per micro-batch — at fixture volumes 32 partitions pay
+    32 commits for ~3k rows of state (measured 8.6s → 2.9s on the
+    stream-stream join at 8). On a real cluster size this to state volume /
+    executor count instead (SPARK_GRAFT_STREAM_PARTS)."""
+    n = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real Structured Streaming run: file source over events.parquet →
     event-time watermark → tumbling window agg → memory sink, drained with
@@ -123,14 +141,15 @@ def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = tumbling_event_stats(events, duration="1 hour", watermark="2 hours")
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(120)
+    with _stream_state_partitions(spark):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
     if query.isActive:
         query.stop()
     return spark.table(name)
@@ -179,14 +198,15 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_events_stream(events, watermark="24 hours").select(
         "event_id", "user_id", "event_type", "value"
     )
-    query = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(120)
+    with _stream_state_partitions(spark):
+        query = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
     if query.isActive:
         query.stop()
     return spark.table(name)
@@ -221,14 +241,15 @@ def stateful_user_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     profiles = user_profile_stream(events)
-    query = (
-        profiles.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(120)
+    with _stream_state_partitions(spark):
+        query = (
+            profiles.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
     if query.isActive:
         query.stop()
     emitted = spark.table(name)
@@ -287,14 +308,15 @@ def streaming_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFram
     purchases = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
     views = _events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
     joined = purchases_with_recent_views(purchases, views)
-    query = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    return _drain(query, spark, name)
+    with _stream_state_partitions(spark):
+        query = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        return _drain(query, spark, name)
 
 
 STREAMING_INTERVAL_JOIN_EVENTS_ORACLE = """
