@@ -49,6 +49,7 @@ EMB_DIM = 64
 __all__ = [
     "doc_tokens_exploded",
     "tfidf_top_terms",
+    "curation_pipeline_documents",
     "text_stats",
     "exact_dedup_documents",
     "ngram_jaccard_documents",
@@ -601,4 +602,74 @@ SELECT doc_id, token, tfidf, CAST(term_rank AS INT) AS term_rank FROM (
          ) AS term_rank
   FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
 ) WHERE term_rank <= 5
+"""
+
+
+def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composition a training-data
+    pipeline actually runs, as ONE lazy plan: exact dedup (min-id survivor
+    per fingerprint, planted copies collapse onto originals) → quality gate
+    (length window, lexical diversity, alphabetic ratio) → deterministic
+    ~80% sample keyed on md5(doc_id) so the subset is stable across runs
+    and engines. Catalyst pipelines all three into two stages: the
+    fingerprint groupBy is the only shuffle; the gate and sample run
+    map-side on survivors."""
+    aug = _augmented_docs(load_table(spark, sf_dir, "documents"))
+    survivor = (
+        aug.select(fingerprint_md5(F.col("text")).alias("fingerprint"), "doc_id", "text")
+        .groupBy("fingerprint")
+        .agg(F.min(F.struct("doc_id", "text")).alias("s"))
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.text").alias("text"))
+    )
+    feats = quality_features(F.col("text"))
+    scored = survivor.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["type_token_ratio"].alias("type_token_ratio"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+    )
+    gated = scored.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 2000)
+        & (F.col("type_token_ratio") >= 0.2)
+        & (F.col("alpha_ratio") >= 0.6)
+    )
+    sample_byte = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    return gated.filter(sample_byte < 205)
+
+
+CURATION_PIPELINE_DOCUMENTS_ORACLE = r"""
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+), survivor AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text, ROW_NUMBER() OVER (
+            PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+            ORDER BY doc_id
+        ) AS rn FROM aug
+    ) WHERE rn = 1
+), scored AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           ROUND(CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+                 / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6)
+               AS type_token_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+           (CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) * 16
+            + CAST(strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT))
+               AS sample_byte
+    FROM survivor
+)
+SELECT doc_id, n_tokens, type_token_ratio, alpha_ratio
+FROM scored
+WHERE n_tokens BETWEEN 20 AND 2000
+  AND type_token_ratio >= 0.2 AND alpha_ratio >= 0.6
+  AND sample_byte < 205
 """

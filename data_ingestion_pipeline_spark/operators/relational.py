@@ -37,6 +37,7 @@ __all__ = [
     "order_price_histogram",
     "order_status_priority_cube",
     "event_counts_unpivot",
+    "daily_user_activity_gapfilled",
 ]
 
 
@@ -510,4 +511,51 @@ c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2)
 SELECT u.user_id, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
 FROM u CROSS JOIN types t
 LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+"""
+
+
+def daily_user_activity_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: the dense (user × day) grid with zero rows for
+    inactive days — sequence() + explode builds the calendar from the data's
+    own bounds (one aggregated row, broadcast), cross-joined with the user
+    dimension and left-joined back onto per-day aggregates. The fact table
+    shuffles once (the groupBy); the grid sides are broadcast-sized."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    users = events.select("user_id").distinct()
+    daily = events.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return (
+        users.crossJoin(F.broadcast(days))
+        .join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+DAILY_USER_ACTIVITY_GAPFILLED_ORACLE = """
+WITH b AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events),
+days AS (
+    SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+), u AS (SELECT DISTINCT user_id FROM events),
+daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+)
+SELECT u.user_id, days.day,
+       COALESCE(daily.n_events, 0) AS n_events,
+       COALESCE(daily.total_value, 0.0) AS total_value
+FROM u CROSS JOIN days
+LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = days.day
 """

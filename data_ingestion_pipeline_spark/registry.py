@@ -290,6 +290,12 @@ register(
 )
 
 register(
+    "daily_user_activity_gapfilled",
+    relational.daily_user_activity_gapfilled,
+    relational.DAILY_USER_ACTIVITY_GAPFILLED_ORACLE,
+)
+
+register(
     "orders_above_customer_avg",
     sql_surface.orders_above_customer_avg,
     sql_surface.ORDERS_ABOVE_CUSTOMER_AVG_ORACLE,
@@ -384,6 +390,12 @@ register(
     "tfidf_top_terms",
     llm_data.tfidf_top_terms,
     llm_data.TFIDF_TOP_TERMS_ORACLE,
+)
+
+register(
+    "curation_pipeline_documents",
+    llm_data.curation_pipeline_documents,
+    llm_data.CURATION_PIPELINE_DOCUMENTS_ORACLE,
 )
 
 
