@@ -38,6 +38,7 @@ __all__ = [
     "order_status_priority_cube",
     "event_counts_unpivot",
     "daily_user_activity_gapfilled",
+    "event_value_outliers",
 ]
 
 
@@ -558,4 +559,40 @@ SELECT u.user_id, days.day,
        COALESCE(daily.total_value, 0.0) AS total_value
 FROM u CROSS JOIN days
 LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = days.day
+"""
+
+
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection: events whose value sits 2.5+ sample
+    standard deviations from their type's mean. Statistics come from a
+    groupBy aggregate broadcast back onto the fact stream — partial
+    aggregation shapes the stats pass, and the scoring join is map-side;
+    a Window.partitionBy(event_type) would funnel each type's full volume
+    through one sort partition at scale."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .withColumn("zscore", (F.col("value") - F.col("mu")) / F.col("sigma"))
+        .filter(F.abs(F.col("zscore")) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round("zscore", 4).alias("zscore"),
+        )
+    )
+
+
+EVENT_VALUE_OUTLIERS_ORACLE = """
+WITH stats AS (
+    SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+    FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, ROUND(value, 2) AS value,
+       ROUND((value - mu) / sigma, 4) AS zscore
+FROM events e JOIN stats USING (event_type)
+WHERE ABS((value - mu) / sigma) > 2.5
 """

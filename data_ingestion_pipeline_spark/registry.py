@@ -296,6 +296,12 @@ register(
 )
 
 register(
+    "event_value_outliers",
+    relational.event_value_outliers,
+    relational.EVENT_VALUE_OUTLIERS_ORACLE,
+)
+
+register(
     "orders_above_customer_avg",
     sql_surface.orders_above_customer_avg,
     sql_surface.ORDERS_ABOVE_CUSTOMER_AVG_ORACLE,
