@@ -30,6 +30,7 @@ __all__ = [
     "merge_upsert_events",
     "jsonl_roundtrip_events",
     "orc_roundtrip_events",
+    "python_datasource_agg",
 ]
 
 _SCRATCH = "/tmp/spark_graft_scratch"
@@ -222,4 +223,34 @@ def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORC_ROUNDTRIP_EVENTS_ORACLE = """
 SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
+def python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a CUSTOM Python data source (Spark 4 DataSource API):
+    8 InputPartitions → 8 parallel scan tasks, each yielding one Arrow
+    batch of arithmetic-derived rows. The oracle recomputes the identical
+    stream from DuckDB's range() — a cross-engine check that the connector
+    extension point itself produces correct, deterministic data."""
+    from data_ingestion_pipeline_spark.sources.python_datasource import (
+        read_synthetic_events,
+    )
+
+    df = read_synthetic_events(spark, n=100_000, parts=8)
+    return df.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum("score"), 2).alias("total_score"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+PYTHON_DATASOURCE_AGG_ORACLE = """
+SELECT CAST(i % 7 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(CAST((i * 2654435761) % 100000 AS DOUBLE) / 100000.0), 2)
+           AS total_score,
+       MIN(i) AS min_id, MAX(i) AS max_id
+FROM range(100000) t(i)
+GROUP BY 1
 """

@@ -50,6 +50,7 @@ __all__ = [
     "doc_tokens_exploded",
     "tfidf_top_terms",
     "curation_pipeline_documents",
+    "chunk_documents",
     "text_stats",
     "exact_dedup_documents",
     "ngram_jaccard_documents",
@@ -672,4 +673,58 @@ FROM scored
 WHERE n_tokens BETWEEN 20 AND 2000
   AND type_token_ratio >= 0.2 AND alpha_ratio >= 0.6
   AND sample_byte < 205
+"""
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document split into 32-token chunks
+    with 8-token overlap (stride 24) — the standard training-data prep for
+    bounded-context models. Entirely JVM-side: sequence() builds the chunk
+    starts, posexplode fans them out, slice() cuts each window from the
+    one tokenization. Rows carry the chunk's md5 (not its text) so the
+    result stays narrow. Every document yields at least one chunk."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    size, overlap = 32, 8
+    stride = size - overlap
+    tok = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", tok.alias("_tok"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("_tok") - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    chunk_tok = F.slice(F.col("_tok"), F.col("chunk_start"), size)
+    return (
+        base.select(
+            "doc_id",
+            F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+            "_tok",
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.size(chunk_tok).cast("int").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk_tok)).alias("chunk_md5"),
+        )
+    )
+
+
+CHUNK_DOCUMENTS_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+), s AS (
+    SELECT doc_id, toks,
+           unnest(range(0, len(range(1, GREATEST(len(toks) - 8, 1) + 1, 24))))
+               AS chunk_idx,
+           unnest(range(1, GREATEST(len(toks) - 8, 1) + 1, 24)) AS chunk_start
+    FROM t
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_start AS INT) AS chunk_start,
+       CAST(len(toks[chunk_start:chunk_start + 31]) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(toks[chunk_start:chunk_start + 31], ' ')) AS chunk_md5
+FROM s
 """

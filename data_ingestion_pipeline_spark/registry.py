@@ -351,6 +351,12 @@ register(
 )
 
 register(
+    "python_datasource_agg",
+    ingestion_checks.python_datasource_agg,
+    ingestion_checks.PYTHON_DATASOURCE_AGG_ORACLE,
+)
+
+register(
     "schema_evolution_sync",
     evolution_checks.schema_evolution_sync,
     evolution_checks.SCHEMA_EVOLUTION_SYNC_ORACLE,
@@ -402,6 +408,12 @@ register(
     "curation_pipeline_documents",
     llm_data.curation_pipeline_documents,
     llm_data.CURATION_PIPELINE_DOCUMENTS_ORACLE,
+)
+
+register(
+    "chunk_documents",
+    llm_data.chunk_documents,
+    llm_data.CHUNK_DOCUMENTS_ORACLE,
 )
 
 
