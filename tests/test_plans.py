@@ -59,3 +59,38 @@ def test_global_topk_avoids_full_sort(spark):
 def test_semi_anti_join_strategies(spark):
     assert "LeftSemi" in _plan(spark, "exists_semi_join")
     assert "LeftAnti" in _plan(spark, "anti_join_new_keys")
+
+
+def test_latest_event_aggregates_before_shuffle(spark):
+    """Argmax-by-agg must keep its map-side partial max (the whole point
+    vs the window form: one row per (partition, key) crosses the wire)."""
+    plan = _plan(spark, "latest_event_per_user")
+    assert "partial_max" in plan
+    assert "Window" not in plan
+
+
+def test_gapfill_grid_sides_broadcast(spark):
+    """The calendar × user grid must broadcast; a shuffled cross join of
+    the grid would dominate at scale."""
+    plan = _plan(spark, "daily_user_activity_gapfilled")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_outlier_stats_join_broadcasts(spark):
+    plan = _plan(spark, "event_value_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_tfidf_df_relation_broadcasts(spark):
+    plan = _plan(spark, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan, "df(term) relation lost its broadcast"
+
+
+def test_curation_pipeline_single_wide_shuffle(spark):
+    """Dedup → gate → sample must stay one shuffle (the fingerprint
+    groupBy): gate and sample are post-aggregation projections."""
+    plan = _plan(spark, "curation_pipeline_documents")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 hash exchange, saw {n_exchanges}"
