@@ -19,7 +19,12 @@ from data_ingestion_pipeline_spark.functions.temporal import (
 )
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
-__all__ = ["asof_prev_view_per_purchase", "views_within_hour_of_purchase"]
+__all__ = [
+    "asof_prev_view_per_purchase",
+    "views_within_hour_of_purchase",
+    "purchase_funnel_users",
+    "daily_cohort_retention",
+]
 
 
 def asof_prev_view_per_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,4 +86,96 @@ FROM p JOIN v ON p.user_id = v.user_id
  AND v.ts >= p.ts + INTERVAL 1 SECOND
  AND v.ts <= p.ts + INTERVAL 3600 SECOND
 GROUP BY p.event_id
+"""
+
+
+def purchase_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per user, first view → first purchase AT OR AFTER
+    that view, with conversion flag and seconds-to-convert. Two keyed
+    aggregates and one broadcast-back join — the funnel never materializes
+    per-event pairs, so the plan is volume-proportional to users, not to
+    view×purchase combinations."""
+    events = load_table(spark, sf_dir, "events")
+    first_view = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view_ts"))
+    )
+    first_purchase = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first_view), "user_id")
+        .filter(F.col("ts") >= F.col("first_view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return (
+        first_view.join(first_purchase, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view_ts",
+            "first_purchase_ts",
+            F.col("first_purchase_ts").isNotNull().alias("converted"),
+            (
+                (
+                    F.unix_micros("first_purchase_ts")
+                    - F.unix_micros("first_view_ts")
+                )
+                / 1_000_000
+            )
+            .cast("bigint")
+            .alias("secs_to_convert"),
+        )
+    )
+
+
+PURCHASE_FUNNEL_USERS_ORACLE = """
+WITH fv AS (
+    SELECT user_id, MIN(ts) AS first_view_ts FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), fp AS (
+    SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+    FROM events e JOIN fv ON e.user_id = fv.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view_ts
+    GROUP BY e.user_id
+)
+SELECT fv.user_id, fv.first_view_ts, fp.first_purchase_ts,
+       fp.first_purchase_ts IS NOT NULL AS converted,
+       CAST((epoch_us(fp.first_purchase_ts) - epoch_us(fv.first_view_ts))
+            // 1000000 AS BIGINT) AS secs_to_convert
+FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id
+"""
+
+
+def daily_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active day, counted
+    on each later active day as an offset from their cohort day. The
+    cohort assignment is a keyed aggregate broadcast back onto the
+    distinct (user, day) activity set — one wide shuffle on user_id, then
+    a small groupBy on (cohort_day, offset)."""
+    events = load_table(spark, sf_dir, "events")
+    activity = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(F.broadcast(cohorts), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active_users"))
+    )
+
+
+DAILY_COHORT_RETENTION_ORACLE = """
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cohorts AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT c.cohort_day,
+       CAST(date_diff('day', c.cohort_day, a.day) AS INT) AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active_users
+FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY 1, 2
 """

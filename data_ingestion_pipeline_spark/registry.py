@@ -495,6 +495,18 @@ register(
 # --------------------------------------------------------------------------
 
 register(
+    "purchase_funnel_users",
+    temporal_checks.purchase_funnel_users,
+    temporal_checks.PURCHASE_FUNNEL_USERS_ORACLE,
+)
+
+register(
+    "daily_cohort_retention",
+    temporal_checks.daily_cohort_retention,
+    temporal_checks.DAILY_COHORT_RETENTION_ORACLE,
+)
+
+register(
     "asof_prev_view_per_purchase",
     temporal_checks.asof_prev_view_per_purchase,
     temporal_checks.ASOF_PREV_VIEW_PER_PURCHASE_ORACLE,
