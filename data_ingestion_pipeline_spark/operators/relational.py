@@ -39,6 +39,7 @@ __all__ = [
     "event_counts_unpivot",
     "daily_user_activity_gapfilled",
     "event_value_outliers",
+    "frequent_users_sketch",
 ]
 
 
@@ -596,3 +597,18 @@ SELECT event_id, e.event_type, ROUND(value, 2) AS value,
 FROM events e JOIN stats USING (event_type)
 WHERE ABS((value - mu) / sigma) > 2.5
 """
+
+
+def frequent_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the frequent-items sketch (Karp-Papadimitriou-
+    Shenker single pass, mergeable partial state): users holding >5% of an
+    event stream with one planted hot user (every 7th event reassigned to
+    user 0, so user 0 carries ~14% plus its organic share). Rows-only
+    driver check (the sketch may over-report, never under-report); the
+    must-contain guarantee is asserted in pytest."""
+    events = load_table(spark, sf_dir, "events")
+    skewed = events.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    return skewed.select("user_id").stat.freqItems(["user_id"], support=0.05)

@@ -301,6 +301,8 @@ register(
     relational.EVENT_VALUE_OUTLIERS_ORACLE,
 )
 
+register("frequent_users_sketch", relational.frequent_users_sketch, None)
+
 register(
     "orders_above_customer_avg",
     sql_surface.orders_above_customer_avg,

@@ -163,3 +163,15 @@ def test_latest_event_struct_max_matches_window(spark):
     a = sorted(tuple(r) for r in agg.collect())
     b = sorted(tuple(r) for r in via_window.collect())
     assert a == b
+
+
+def test_frequent_users_sketch_contains_planted_heavy_hitter(spark):
+    from data_ingestion_pipeline_spark.operators.relational import (
+        frequent_users_sketch,
+    )
+    from tests.conftest import SF_SMOKE
+
+    row = frequent_users_sketch(spark, SF_SMOKE).collect()[0]
+    items = row["user_id_freqItems"]
+    assert 0 in items  # the planted ~14% user must be reported
+    assert len(items) < 50  # and the sketch doesn't degenerate to everyone
