@@ -40,6 +40,7 @@ __all__ = [
     "daily_user_activity_gapfilled",
     "event_value_outliers",
     "frequent_users_sketch",
+    "trailing_spend_30d",
 ]
 
 
@@ -612,3 +613,35 @@ def frequent_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 7 == 0, F.lit(0)).otherwise(F.col("user_id")),
     )
     return skewed.select("user_id").stat.freqItems(["user_id"], support=0.05)
+
+
+def trailing_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: each order's trailing-30-day customer spend.
+    Unlike the ROWS frame in customer_order_ranks, the frame edge here is
+    a VALUE bound on the ordering key (days since epoch), so all peer rows
+    at a boundary date enter the frame together and gaps in the order
+    history shrink the frame instead of sliding a fixed row count."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+    )
+
+
+TRAILING_SPEND_30D_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       ROUND(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+           RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+       ), 2) AS trailing_30d_spend
+FROM orders
+"""

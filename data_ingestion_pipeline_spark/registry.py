@@ -304,6 +304,12 @@ register(
 register("frequent_users_sketch", relational.frequent_users_sketch, None)
 
 register(
+    "trailing_spend_30d",
+    relational.trailing_spend_30d,
+    relational.TRAILING_SPEND_30D_ORACLE,
+)
+
+register(
     "orders_above_customer_avg",
     sql_surface.orders_above_customer_avg,
     sql_surface.ORDERS_ABOVE_CUSTOMER_AVG_ORACLE,
