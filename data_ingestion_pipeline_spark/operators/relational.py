@@ -41,6 +41,8 @@ __all__ = [
     "event_value_outliers",
     "frequent_users_sketch",
     "trailing_spend_30d",
+    "customer_spend_deciles",
+    "user_event_type_sets",
 ]
 
 
@@ -644,4 +646,56 @@ SELECT o_orderkey, o_custkey, o_orderdate,
            RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
        ), 2) AS trailing_30d_spend
 FROM orders
+"""
+
+
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) over per-customer total spend: equal-population decile
+    buckets. The window is global (single ORDER BY over the aggregated
+    per-customer relation, customer-count-sized) — ntile on the raw fact
+    table would be a full-data global sort; aggregate first."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
+    return spend.select(
+        "o_custkey", "total_spend", F.ntile(10).over(w).cast("int").alias("decile")
+    )
+
+
+CUSTOMER_SPEND_DECILES_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend
+    FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total_spend,
+       CAST(NTILE(10) OVER (ORDER BY total_spend DESC, o_custkey ASC) AS INT)
+           AS decile
+FROM spend
+"""
+
+
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: each user's distinct event types as a SORTED
+    array (collect_set order is partition-dependent; sort_array pins it)
+    plus the distinct count derived from the same array — no second
+    aggregate pass."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("event_types"))
+        .select(
+            "user_id",
+            "event_types",
+            F.size("event_types").cast("int").alias("n_types"),
+        )
+    )
+
+
+USER_EVENT_TYPE_SETS_ORACLE = """
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS event_types,
+       CAST(len(list_sort(list(DISTINCT event_type))) AS INT) AS n_types
+FROM events GROUP BY user_id
 """

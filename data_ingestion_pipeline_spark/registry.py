@@ -310,6 +310,18 @@ register(
 )
 
 register(
+    "customer_spend_deciles",
+    relational.customer_spend_deciles,
+    relational.CUSTOMER_SPEND_DECILES_ORACLE,
+)
+
+register(
+    "user_event_type_sets",
+    relational.user_event_type_sets,
+    relational.USER_EVENT_TYPE_SETS_ORACLE,
+)
+
+register(
     "orders_above_customer_avg",
     sql_surface.orders_above_customer_avg,
     sql_surface.ORDERS_ABOVE_CUSTOMER_AVG_ORACLE,
