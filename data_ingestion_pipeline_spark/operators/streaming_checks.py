@@ -33,6 +33,7 @@ __all__ = [
     "stateful_user_profile_events",
     "streaming_interval_join_events",
     "streaming_enriched_events",
+    "streaming_session_window_events",
 ]
 
 
@@ -360,4 +361,54 @@ def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAMING_ENRICHED_EVENTS_ORACLE = """
 SELECT event_id, user_id, c_mktsegment, event_type, ROUND(value, 2) AS value
 FROM events JOIN customer ON user_id = c_custkey
+"""
+
+
+def streaming_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real streaming run of NATIVE session windows (session_window):
+    dynamic-length windows that merge while events keep arriving within
+    the gap — state for a key closes only when the watermark passes its
+    session end. Complements sessionize_events' batch gaps-and-islands
+    form. Oracle: islands computed in SQL with Spark's exact merge rule
+    (a session absorbs an event iff ts < current end, so a gap of exactly
+    the 5-minute threshold starts a NEW session) and end = last ts + gap.
+    """
+    from data_ingestion_pipeline_spark.streaming.windows import session_window_stats
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    name = f"stream_session_{tag}"
+    events = _events_stream(spark, sf_dir)
+    agg = session_window_stats(events, gap="5 minutes", watermark="30 minutes")
+    with _stream_state_partitions(spark):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        return _drain(query, spark, name)
+
+
+STREAMING_SESSION_WINDOW_EVENTS_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 300000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS session_value
+FROM numbered GROUP BY user_id, session_seq
 """

@@ -607,6 +607,12 @@ register(
 )
 
 register(
+    "streaming_session_window_events",
+    streaming_checks.streaming_session_window_events,
+    streaming_checks.STREAMING_SESSION_WINDOW_EVENTS_ORACLE,
+)
+
+register(
     "stateful_user_profile_events",
     streaming_checks.stateful_user_profile_events,
     streaming_checks.STATEFUL_USER_PROFILE_EVENTS_ORACLE,
