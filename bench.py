@@ -48,8 +48,16 @@ def main() -> None:
     # of 2-4x observed run-to-run) and min-of-2 measures the engine rather
     # than the neighbors. Pass 1 also warms scratch/stream state for the
     # table-state queries, so the min reflects steady-state query cost.
+    # Excluded from timing: queries whose cost is an external fixture store,
+    # not this engine (embedded Derby serializes inserts through one
+    # connection — benching it measures Derby). They stay in the CORRECTNESS
+    # surface; they just don't belong in an engine-throughput number.
+    bench_exclude = {"jdbc_roundtrip_orders"}
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
+        if name in bench_exclude:
+            continue
         best = float("inf")
         for _ in range(2):
             t0 = time.time()

@@ -65,6 +65,15 @@ def connected_components(
         labels = joined.select("node", "label")
         if changed == 0:
             break
+    else:
+        # Returning partial labels would silently keep extra duplicate
+        # survivors downstream; a component with diameter > max_iter is a
+        # correctness error, not a degraded answer.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); raise max_iter — the dup "
+            "graph has a component with a larger diameter"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -25,11 +25,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_ingestion_pipeline_spark.functions.numeric import dec_sum2
 from data_ingestion_pipeline_spark.plans.schema_evolution import sync_table_schema
 from data_ingestion_pipeline_spark.plans.table import ManagedTable
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
+    "catalog_database_roundtrip",
     "schema_evolution_sync",
     "partitioned_orders_yearly",
     "partitioned_orders_path",
@@ -110,14 +112,15 @@ def partitioned_orders_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+            dec_sum2(F.col("o_totalprice")).alias("total_value"),
         )
     )
 
 
 PARTITIONED_ORDERS_YEARLY_ORACLE = """
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_value
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_value
 FROM orders
 WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
 GROUP BY o_orderpriority
@@ -225,15 +228,14 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n_items"),
-        F.round(F.sum(F.col("l_quantity") * F.col("l_extendedprice")), 2).alias(
-            "gross_value"
-        ),
+        dec_sum2(F.col("l_quantity") * F.col("l_extendedprice")).alias("gross_value"),
     )
 
 
 BUCKETED_COLOCATED_JOIN_ORACLE = """
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
-       ROUND(SUM(l_quantity * l_extendedprice), 2) AS gross_value
+       CAST(ROUND(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS gross_value
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
@@ -279,7 +281,7 @@ def compacted_sorted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.month("o_orderdate").cast("int").alias("order_month"))
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+            dec_sum2(F.col("o_totalprice")).alias("total_value"),
         )
     )
 
@@ -287,8 +289,40 @@ def compacted_sorted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 COMPACTED_SORTED_ORDERS_ORACLE = """
 SELECT CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_value
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_value
 FROM orders
 WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
 GROUP BY 1
+"""
+
+
+def catalog_database_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S8 via the session catalog proper: ``CREATE DATABASE`` (explicit
+    LOCATION so the warehouse dir of the caller's session doesn't matter) +
+    ``saveAsTable`` + ``spark.table`` read-back — the namespace the
+    reference creates in Postgres (``flows/schema_sync.py:33-78``), here as
+    a real catalog database complementing ManagedTable's versioned roots.
+    Oracle recomputes the aggregate straight from ``part``."""
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    db = f"graft_catalog_{tag}"
+    loc = _scratch(sf_dir, "catalog_db")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    summary = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            dec_sum2(F.col("p_retailprice")).alias("total_retail"),
+        )
+    )
+    summary.write.mode("overwrite").saveAsTable(f"{db}.brand_summary")
+    return spark.table(f"{db}.brand_summary")
+
+
+CATALOG_DATABASE_ROUNDTRIP_ORACLE = """
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_retail
+FROM part GROUP BY p_brand
 """

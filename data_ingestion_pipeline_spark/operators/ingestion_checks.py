@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_ingestion_pipeline_spark.functions.numeric import dec_sum2
 from data_ingestion_pipeline_spark.functions.normalize import (
     parse_iso8601,
     rename_columns_snake_case,
@@ -31,6 +32,7 @@ __all__ = [
     "jsonl_roundtrip_events",
     "orc_roundtrip_events",
     "python_datasource_agg",
+    "jdbc_roundtrip_orders",
 ]
 
 _SCRATCH = "/tmp/spark_graft_scratch"
@@ -239,7 +241,7 @@ def python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_synthetic_events(spark, n=100_000, parts=8)
     return df.groupBy("bucket").agg(
         F.count("*").cast("bigint").alias("n_rows"),
-        F.round(F.sum("score"), 2).alias("total_score"),
+        dec_sum2(F.col("score")).alias("total_score"),
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
@@ -248,9 +250,47 @@ def python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 PYTHON_DATASOURCE_AGG_ORACLE = """
 SELECT CAST(i % 7 AS INT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       ROUND(SUM(CAST((i * 2654435761) % 100000 AS DOUBLE) / 100000.0), 2)
+       CAST(ROUND(SUM(CAST(CAST((i * 2654435761) % 100000 AS DOUBLE) / 100000.0
+                              AS DECIMAL(18,6))), 2) AS DOUBLE)
            AS total_score,
        MIN(i) AS min_id, MAX(i) AS max_id
 FROM range(100000) t(i)
 GROUP BY 1
+"""
+
+
+def jdbc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 JDBC sink parity end to end: orders → ``df.write.jdbc`` into an
+    embedded Derby database (the reference's Postgres sink shape, reference
+    ``flows/data_ingestion.py:164-216``) → partitioned ``spark.read.jdbc``
+    back (range predicates on o_orderkey split the scan across tasks).
+    Oracle: the source rows — the relational round trip must be lossless
+    for BIGINT/DOUBLE/VARCHAR/TIMESTAMP alike."""
+    from data_ingestion_pipeline_spark.sources.jdbc import (
+        derby_url,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    url = derby_url(_scratch(sf_dir, "derby_orders_db"))
+    write_jdbc(orders, url, "orders_sink", mode="overwrite")
+    lo, hi = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).first()  # two scalars — bounded driver pull for the range split
+    return read_jdbc(
+        spark,
+        url,
+        "orders_sink",
+        partition_column="o_orderkey",
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
+        num_partitions=8,
+    )
+
+
+JDBC_ROUNDTRIP_ORDERS_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders
 """

@@ -557,7 +557,13 @@ FROM (
 """
 
 
-def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+# Top-k cut shared by the builder and its oracle text — a caller-tunable k
+# would silently diverge from the registered oracle (the registry always ran
+# the default), so the cut is a single module constant instead of a parameter.
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per document, top-k terms: the classic relevance weighting as
     three aggregates over the exploded token table — tf per (doc, term), df
     per term, idf = ln((N+1)/(df+1)) — then a ranking window per doc. All
@@ -579,11 +585,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     )
     return (
         scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("term_rank") <= k)
+        .filter(F.col("term_rank") <= TFIDF_TOP_K)
     )
 
 
-TFIDF_TOP_TERMS_ORACLE = r"""
+TFIDF_TOP_TERMS_ORACLE = rf"""
 WITH tokens AS (
   SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
   FROM documents
@@ -602,7 +608,7 @@ SELECT doc_id, token, tfidf, CAST(term_rank AS INT) AS term_rank FROM (
                       tf.token ASC
          ) AS term_rank
   FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
-) WHERE term_rank <= 5
+) WHERE term_rank <= {TFIDF_TOP_K}
 """
 
 

@@ -76,23 +76,32 @@ FROM documents
 
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas "decode": deterministic md5-derived fake
-    features (the stubbed codec kernel), real distributed plumbing."""
+    features (the stubbed codec kernel), real distributed plumbing. The
+    8-dim feature vector is indexed into scalar f1..f8 columns at the
+    contract boundary (array-typed outputs crash the driver's pandas
+    canonicalizer; the array form stays available via decode_image_features)."""
     media = media_from_documents(spark, sf_dir)
-    return decode_image_features(media).select(
-        "media_id", F.transform("feature", lambda x: F.round(x, 6)).alias("feature")
+    feats = decode_image_features(media)
+    return feats.select(
+        "media_id",
+        *[F.round(F.col("feature")[i], 6).alias(f"f{i + 1}") for i in range(8)],
     )
 
 
 # byte i of md5(payload), via hex-pair parsing, scaled to [0, 1] — matches
 # _fake_image_features (md5 of the same UTF-8 bytes) exactly.
-MULTIMODAL_IMAGE_FEATURES_ORACLE = """
-SELECT doc_id AS media_id,
-       list_transform(range(1, 9), i -> ROUND(
-           (CAST(strpos('0123456789abcdef', substr(md5(text), 2*i - 1, 1)) - 1 AS DOUBLE) * 16
-            + CAST(strpos('0123456789abcdef', substr(md5(text), 2*i, 1)) - 1 AS DOUBLE))
-           / 255.0, 6)) AS feature
-FROM documents
-"""
+_FEATURE_BYTE_SQL = """ROUND(
+    (CAST(strpos('0123456789abcdef', substr(md5(text), {hi}, 1)) - 1 AS DOUBLE) * 16
+     + CAST(strpos('0123456789abcdef', substr(md5(text), {lo}, 1)) - 1 AS DOUBLE))
+    / 255.0, 6) AS f{i}"""
+
+MULTIMODAL_IMAGE_FEATURES_ORACLE = (
+    "SELECT doc_id AS media_id,\n"
+    + ",\n".join(
+        _FEATURE_BYTE_SQL.format(i=i, hi=2 * i - 1, lo=2 * i) for i in range(1, 9)
+    )
+    + "\nFROM documents"
+)
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_ingestion_pipeline_spark.functions.numeric import dec_sum, dec_sum2
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
@@ -117,7 +118,7 @@ def customer_order_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+            dec_sum2(F.col("o_totalprice")).alias("total_value"),
         )
     )
 
@@ -154,12 +155,17 @@ def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.row_number().over(w).alias("order_seq"),
+        # Decimal window sum: the running frame order is pinned by the window
+        # sort, but decimal keeps the accumulated value exact so the rounded
+        # cents agree with the oracle regardless of internal accumulation.
         F.round(
-            F.sum("o_totalprice").over(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
             2,
-        ).alias("running_spend"),
+        )
+        .cast("double")
+        .alias("running_spend"),
         F.datediff(
             "o_orderdate", F.lag("o_orderdate").over(w)
         ).alias("days_since_prev"),
@@ -177,14 +183,18 @@ def brand_share_of_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_brand = (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .groupBy("p_brand")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
     )
+    # rev is an exact decimal on both engines; the share division runs in
+    # double over those identical inputs (same expression structure as the
+    # oracle → same IEEE result), so the 4-decimal round is deterministic.
+    total = F.sum("rev").over(Window.partitionBy())
     return per_brand.select(
         "p_brand",
-        F.round("rev", 2).alias("brand_revenue"),
-        F.round(F.col("rev") * 100.0 / F.sum("rev").over(Window.partitionBy()), 4).alias(
-            "revenue_share_pct"
-        ),
+        F.round("rev", 2).cast("double").alias("brand_revenue"),
+        F.round(
+            F.col("rev").cast("double") * 100.0 / total.cast("double"), 4
+        ).alias("revenue_share_pct"),
     )
 
 
@@ -234,7 +244,7 @@ def revenue_rollup_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .rollup("p_brand", "p_size")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            dec_sum2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "total_revenue"
             ),
             F.grouping_id().cast("int").alias("level"),
@@ -244,7 +254,8 @@ def revenue_rollup_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REVENUE_ROLLUP_BRAND_SIZE_ORACLE = """
 SELECT p_brand, p_size,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS total_revenue,
        CAST(GROUPING(p_brand) * 2 + GROUPING(p_size) AS INT) AS level
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY ROLLUP (p_brand, p_size)
@@ -355,12 +366,24 @@ def approx_price_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> Data
     bounded-memory state per group, the form that survives 100 TB where the
     exact aggregate would sort each group. Rows-only driver check
     (approximate by construction); rank-error bound vs the exact quantiles
-    is asserted in pytest."""
+    is asserted in pytest.
+
+    The sketch returns one ``array<double>``; the registry surface indexes it
+    into scalar p25/p50/p75/p95 columns (array-typed outputs crash the
+    driver's pandas canonicalizer — flatten at the contract boundary, keep
+    arrays internal)."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
+    q = orders.groupBy("o_orderpriority").agg(
         F.approx_percentile(
             "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)), F.lit(10_000)
         ).alias("quantiles_approx")
+    )
+    return q.select(
+        "o_orderpriority",
+        F.col("quantiles_approx")[0].alias("p25_approx"),
+        F.col("quantiles_approx")[1].alias("p50_approx"),
+        F.col("quantiles_approx")[2].alias("p75_approx"),
+        F.col("quantiles_approx")[3].alias("p95_approx"),
     )
 
 
@@ -457,7 +480,12 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            # AVG(double) is sum-order-dependent; exact decimal sum / count is
+            # the deterministic form (division runs in double over identical
+            # inputs on both engines).
+            F.round(
+                dec_sum(F.col("o_totalprice")).cast("double") / F.count("*"), 2
+            ).alias("avg_price"),
         )
     )
 
@@ -465,7 +493,8 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORDER_PRICE_HISTOGRAM_ORACLE = """
 SELECT CAST(floor(o_totalprice / 25000) * 25000 AS BIGINT) AS price_bin,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(AVG(o_totalprice), 2) AS avg_price
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 2)
+           AS avg_price
 FROM orders GROUP BY 1
 """
 
@@ -477,7 +506,7 @@ def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        dec_sum2(F.col("o_totalprice")).alias("total_value"),
         F.grouping_id().cast("int").alias("level"),
     )
 
@@ -485,7 +514,8 @@ def order_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORDER_STATUS_PRIORITY_CUBE_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_value,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_value,
        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS level
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -533,7 +563,7 @@ def daily_user_activity_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame
     users = events.select("user_id").distinct()
     daily = events.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.count("*").cast("bigint").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        dec_sum2(F.col("value")).alias("total_value"),
     )
     return (
         users.crossJoin(F.broadcast(days))
@@ -555,7 +585,7 @@ days AS (
 daily AS (
     SELECT user_id, CAST(ts AS DATE) AS day,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
 )
 SELECT u.user_id, days.day,
@@ -574,12 +604,24 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a Window.partitionBy(event_type) would funnel each type's full volume
     through one sort partition at scale."""
     events = load_table(spark, sf_dir, "events")
+    # mu/sigma from AVG/STDDEV over doubles are accumulation-order-dependent,
+    # and a value within ulps of the 2.5σ boundary would flip row membership
+    # between engines. Instead both moments come from EXACT decimal sums
+    # (value and value² are bitwise-identical doubles per row on both
+    # engines), and mu/sigma/zscore are derived in double with the identical
+    # expression structure the oracle uses → deterministic membership.
     stats = events.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+        dec_sum(F.col("value"), 27, 12).cast("double").alias("s1"),
+        dec_sum(F.col("value") * F.col("value"), 27, 12).cast("double").alias("s2"),
+        F.count("value").alias("n"),
+    )
+    mu = F.col("s1") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
     )
     return (
         events.join(F.broadcast(stats), "event_type")
-        .withColumn("zscore", (F.col("value") - F.col("mu")) / F.col("sigma"))
+        .withColumn("zscore", (F.col("value") - mu) / sigma)
         .filter(F.abs(F.col("zscore")) > 2.5)
         .select(
             "event_id",
@@ -592,13 +634,16 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENT_VALUE_OUTLIERS_ORACLE = """
 WITH stats AS (
-    SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(27,12))) AS DOUBLE) AS s2,
+           COUNT(value) AS n
     FROM events GROUP BY event_type
 )
 SELECT event_id, e.event_type, ROUND(value, 2) AS value,
-       ROUND((value - mu) / sigma, 4) AS zscore
+       ROUND((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS zscore
 FROM events e JOIN stats USING (event_type)
-WHERE ABS((value - mu) / sigma) > 2.5
+WHERE ABS((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 2.5
 """
 
 
@@ -614,7 +659,12 @@ def frequent_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.when(F.col("event_id") % 7 == 0, F.lit(0)).otherwise(F.col("user_id")),
     )
-    return skewed.select("user_id").stat.freqItems(["user_id"], support=0.05)
+    sketch = skewed.select("user_id").stat.freqItems(["user_id"], support=0.05)
+    # freqItems yields a single row holding an array; explode it to scalar
+    # rows — array-typed outputs crash the driver's pandas canonicalizer.
+    return sketch.select(
+        F.explode("user_id_freqItems").alias("frequent_user_id")
+    ).orderBy("frequent_user_id")
 
 
 def trailing_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,17 +684,20 @@ def trailing_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+        # RANGE-frame accumulation order is engine-internal → sum in decimal.
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2)
+        .cast("double")
+        .alias("trailing_30d_spend"),
     )
 
 
 TRAILING_SPEND_30D_ORACLE = """
 SELECT o_orderkey, o_custkey, o_orderdate,
-       ROUND(SUM(o_totalprice) OVER (
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
            PARTITION BY o_custkey
            ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
            RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
-       ), 2) AS trailing_30d_spend
+       ), 2) AS DOUBLE) AS trailing_30d_spend
 FROM orders
 """
 
@@ -656,7 +709,7 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     table would be a full-data global sort; aggregate first."""
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+        dec_sum2(F.col("o_totalprice")).alias("total_spend")
     )
     w = Window.orderBy(F.col("total_spend").desc(), F.col("o_custkey").asc())
     return spend.select(
@@ -666,7 +719,9 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUSTOMER_SPEND_DECILES_ORACLE = """
 WITH spend AS (
-    SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend
+    SELECT o_custkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_spend
     FROM orders GROUP BY o_custkey
 )
 SELECT o_custkey, total_spend,
@@ -684,18 +739,20 @@ def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("user_id")
-        .agg(F.sort_array(F.collect_set("event_type")).alias("event_types"))
+        .agg(F.sort_array(F.collect_set("event_type")).alias("types_arr"))
         .select(
             "user_id",
-            "event_types",
-            F.size("event_types").cast("int").alias("n_types"),
+            # Serialize the sorted set to CSV at the contract boundary —
+            # array-typed outputs crash the driver's pandas canonicalizer.
+            F.concat_ws(",", "types_arr").alias("event_types"),
+            F.size("types_arr").cast("int").alias("n_types"),
         )
     )
 
 
 USER_EVENT_TYPE_SETS_ORACLE = """
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS event_types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
        CAST(len(list_sort(list(DISTINCT event_type))) AS INT) AS n_types
 FROM events GROUP BY user_id
 """

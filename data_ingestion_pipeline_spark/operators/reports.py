@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_ingestion_pipeline_spark.functions.numeric import dec_sum2
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
@@ -66,7 +67,7 @@ def revenue_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "inner")
         .groupBy("p_partkey", "p_name")
-        .agg(_round2(F.sum(_revenue())).alias("total_revenue"))
+        .agg(dec_sum2(_revenue()).alias("total_revenue"))
         .orderBy(F.col("total_revenue").desc(), F.col("p_partkey").asc())
     )
 
@@ -131,7 +132,7 @@ def revenue_per_category(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "inner")
         .groupBy("p_brand")
-        .agg(_round2(F.sum(_revenue())).alias("total_revenue"))
+        .agg(dec_sum2(_revenue()).alias("total_revenue"))
         .orderBy(F.col("total_revenue").desc())
     )
 

@@ -31,7 +31,9 @@ __all__ = [
 REPORT_SQL: dict[str, str] = {
     "revenue_per_product": """
         SELECT p_partkey, p_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_partkey, p_name
         ORDER BY total_revenue DESC, p_partkey
@@ -52,7 +54,9 @@ REPORT_SQL: dict[str, str] = {
     """,
     "revenue_per_category": """
         SELECT p_brand,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
         ORDER BY total_revenue DESC
@@ -99,12 +103,19 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast/shuffle join back on o_custkey) — no per-row subquery
     execution survives optimization."""
     _register(spark, sf_dir, ("orders",))
+    # The per-customer mean is SUM(decimal)/COUNT, not AVG(double): float-sum
+    # accumulation order differs between Spark and the DuckDB oracle, and an
+    # order straddling ulps of the 1.5×avg boundary would flip row membership
+    # (latent per-round flake). Decimal summation is exact → the comparison
+    # operand is bitwise-deterministic on both engines.
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
         FROM orders o
         WHERE o_totalprice > 1.5 * (
-            SELECT AVG(i.o_totalprice) FROM orders i
+            SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*)
+            FROM orders i
             WHERE i.o_custkey = o.o_custkey
         )
         """
@@ -115,6 +126,7 @@ ORDERS_ABOVE_CUSTOMER_AVG_ORACLE = """
 SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
 FROM orders o
 WHERE o_totalprice > 1.5 * (
-    SELECT AVG(i.o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+    SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+    FROM orders i WHERE i.o_custkey = o.o_custkey
 )
 """

@@ -46,7 +46,7 @@ SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2, 3
 """
 
@@ -63,7 +63,7 @@ WITH assigned AS (
 )
 SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2) AS total_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
 FROM assigned GROUP BY 1, 2
 """
 
@@ -92,7 +92,7 @@ SELECT user_id, session_seq,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        MIN(ts) AS session_start,
        MAX(ts) AS session_end,
-       ROUND(SUM(value), 2) AS session_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
 FROM numbered GROUP BY 1, 2
 """
 
@@ -226,9 +226,10 @@ def stateful_user_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch; the final profile is the row with that user's max n_events
     (monotone across emissions).
 
-    Oracle: closed-form profile over events ×2. value_sum rounded: pandas
-    folds each batch with pairwise summation, DuckDB sequentially — equal
-    to well past 2 decimals, not bitwise.
+    Oracle: closed-form profile over events ×2. value_sum is carried as
+    exact integer micro-units (each value rounded to 6 decimals, summed in
+    int64 — see streaming/stateful.py), so the DuckDB DECIMAL(18,6) sum
+    matches bitwise regardless of batch fold order.
     """
     from data_ingestion_pipeline_spark.streaming.stateful import user_profile_stream
 
@@ -263,7 +264,7 @@ def stateful_user_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n_events",
-            F.round("value_sum", 2).alias("value_sum"),
+            "value_sum_micros",
             "last_ts_us",
         )
     )
@@ -272,7 +273,8 @@ def stateful_user_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 STATEFUL_USER_PROFILE_EVENTS_ORACLE = """
 SELECT user_id,
        CAST(2 * COUNT(*) AS BIGINT) AS n_events,
-       ROUND(2 * SUM(COALESCE(value, 0)), 2) AS value_sum,
+       CAST(2 * SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+           AS value_sum_micros,
        CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_ts_us
 FROM events GROUP BY user_id
 """
@@ -409,6 +411,6 @@ SELECT user_id,
        MIN(ts) AS session_start,
        MAX(ts) + INTERVAL 5 MINUTE AS session_end,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 2) AS session_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
 FROM numbered GROUP BY user_id, session_seq
 """

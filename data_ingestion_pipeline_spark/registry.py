@@ -36,12 +36,92 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
     _REGISTRY[name] = (fn, oracle)
 
 
+# The driver verifies queries in REGISTRATION ORDER and has a finite budget
+# (round 1: it stopped after the first 50 of 82, leaving the entire
+# streaming/dedup/similarity/temporal/multimodal surface unverified). The
+# registration calls below stay grouped by subject; this list re-orders the
+# exported dicts so the driver spends its budget where evidence is thinnest:
+#   1. queries with NO green CORRECTNESS row yet (round-1 positions 51-82),
+#   2. round-1 failures (nanos ERRs, hash fails, canonicalizer crashes),
+#   3. queries already driver-green in round 1.
+# Within each tier, original registration order. Maintained per round from
+# the latest CORRECTNESS_r{N}.json; tests assert it stays in sync with the
+# registry contents.
+_NEVER_VERIFIED = [
+    # new this round — no driver row can exist yet
+    "jdbc_roundtrip_orders",
+    "catalog_database_roundtrip",
+    "exact_dedup_documents",
+    "ngram_jaccard_documents",
+    "minhash_near_dup_documents",
+    "simhash_near_dup_documents",
+    "embedding_cosine_dedup",
+    "embedding_lsh_near_dup",
+    "doc_fingerprint_rolling",
+    "cosine_topk_embeddings",
+    "ann_lsh_topk_embeddings",
+    "ann_ivf_topk_embeddings",
+    "json_extract_events",
+    "lang_id_documents",
+    "quality_filter_documents",
+    "stratified_sample_documents",
+    "text_hygiene_documents",
+    "near_dup_clusters_documents",
+    "purchase_funnel_users",
+    "daily_cohort_retention",
+    "asof_prev_view_per_purchase",
+    "views_within_hour_of_purchase",
+    "multimodal_metadata",
+    "multimodal_image_features",
+    "multimodal_frame_sample",
+    "tumbling_window_events",
+    "sliding_window_events",
+    "sessionize_events",
+    "streaming_tumbling_events",
+    "streaming_dedup_events",
+    "streaming_interval_join_events",
+    "streaming_enriched_events",
+    "streaming_session_window_events",
+    "stateful_user_profile_events",
+]
+_ROUND1_FAILED = [
+    "revenue_per_product",
+    "revenue_per_product_sql",
+    "distinct_users_daily",
+    "approx_distinct_users_daily",
+    "event_type_pivot",
+    "approx_price_quantiles_by_priority",
+    "latest_event_per_user",
+    "event_counts_unpivot",
+    "daily_user_activity_gapfilled",
+    "event_value_outliers",
+    "frequent_users_sketch",
+    "user_event_type_sets",
+    "csv_ingest_events",
+    "merge_upsert_events",
+    "jsonl_roundtrip_events",
+    "orc_roundtrip_events",
+]
+
+
+def _ordered_names() -> list[str]:
+    front = [*_NEVER_VERIFIED, *_ROUND1_FAILED]
+    seen = set(front)
+    return [n for n in front if n in _REGISTRY] + [
+        n for n in _REGISTRY if n not in seen
+    ]
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        name: _REGISTRY[name][1]
+        for name in _ordered_names()
+        if _REGISTRY[name][1] is not None
+    }
 
 
 # --------------------------------------------------------------------------
@@ -53,7 +133,8 @@ register(
     reports.revenue_per_product,
     """
     SELECT p_partkey, p_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_partkey, p_name
     """,
@@ -64,7 +145,8 @@ register(
     sql_surface.revenue_per_product_sql,
     """
     SELECT p_partkey, p_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_partkey, p_name
     """,
@@ -96,7 +178,9 @@ register(
     "revenue_per_category",
     reports.revenue_per_category,
     """
-    SELECT p_brand, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    SELECT p_brand,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """,
@@ -173,7 +257,8 @@ register(
     relational.customer_order_enrichment,
     """
     SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_value
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS total_value
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -204,10 +289,10 @@ register(
     """
     SELECT o_custkey, o_orderkey,
            CAST(ROW_NUMBER() OVER w AS INTEGER) AS order_seq,
-           ROUND(SUM(o_totalprice) OVER (
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ), 2) AS running_spend,
+           ), 2) AS DOUBLE) AS running_spend,
            CAST(DATEDIFF('day', LAG(o_orderdate) OVER w, o_orderdate) AS INTEGER)
                AS days_since_prev
     FROM orders
@@ -332,12 +417,14 @@ register(
     relational.brand_share_of_revenue,
     """
     WITH per_brand AS (
-        SELECT p_brand, SUM(l_extendedprice * (1 - l_discount)) AS rev
+        SELECT p_brand,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
     )
-    SELECT p_brand, ROUND(rev, 2) AS brand_revenue,
-           ROUND(rev * 100.0 / SUM(rev) OVER (), 4) AS revenue_share_pct
+    SELECT p_brand, CAST(ROUND(rev, 2) AS DOUBLE) AS brand_revenue,
+           ROUND(CAST(rev AS DOUBLE) * 100.0 / CAST(SUM(rev) OVER () AS DOUBLE), 4)
+               AS revenue_share_pct
     FROM per_brand
     """,
 )
@@ -374,6 +461,18 @@ register(
     "python_datasource_agg",
     ingestion_checks.python_datasource_agg,
     ingestion_checks.PYTHON_DATASOURCE_AGG_ORACLE,
+)
+
+register(
+    "jdbc_roundtrip_orders",
+    ingestion_checks.jdbc_roundtrip_orders,
+    ingestion_checks.JDBC_ROUNDTRIP_ORDERS_ORACLE,
+)
+
+register(
+    "catalog_database_roundtrip",
+    evolution_checks.catalog_database_roundtrip,
+    evolution_checks.CATALOG_DATABASE_ROUNDTRIP_ORACLE,
 )
 
 register(

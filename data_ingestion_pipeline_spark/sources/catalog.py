@@ -48,13 +48,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table as a DataFrame (lazy — no action triggered)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS). Spark can only read it as a
+        # nanos-since-epoch long under spark.sql.legacy.parquet.nanosAsLong.
+        # session.py sets this for our own sessions, but callers (the driver
+        # harness) may hand us a bare SparkSession — set it at runtime here so
+        # every entry point can read events.parquet.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark reads as a
-        # nanos-since-epoch long under spark.sql.legacy.parquet.nanosAsLong
-        # (set in session.py). Convert to a microsecond TimestampType the
-        # rest of the engine (and the DuckDB oracle, which truncates ns→µs
-        # on fetch) agrees on.
+        # Convert the nanos long to a microsecond TimestampType the rest of
+        # the engine (and the DuckDB oracle, which truncates ns→µs on fetch)
+        # agrees on.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -33,7 +34,7 @@ __all__ = ["user_profile_stream", "PROFILE_SCHEMA", "STATE_SCHEMA"]
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),
-        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("value_sum_micros", T.LongType()),
         T.StructField("last_ts_us", T.LongType()),
     ]
 )
@@ -42,7 +43,7 @@ PROFILE_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("value_sum_micros", T.LongType()),
         T.StructField("last_ts_us", T.LongType()),
     ]
 )
@@ -53,24 +54,29 @@ def _update_profile(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
-        n, total, last_us = state.get
+        n, total_micros, last_us = state.get
     else:
-        n, total, last_us = 0, 0.0, None
+        n, total_micros, last_us = 0, 0, None
     for pdf in batches:
         n += len(pdf)
-        # pandas sum over float64 batch, folded batch-by-batch into state —
-        # deterministic given deterministic batch contents.
-        total += float(pdf["value"].fillna(0.0).sum())
+        # Accumulate value in integer micro-units: a float running sum folded
+        # batch-by-batch is accumulation-order-dependent and can't be matched
+        # by a SQL oracle. Rounding each value to 6 decimals (half away from
+        # zero — DECIMAL(18,6) cast semantics) then summing int64 is exact
+        # and associative, so the cross-batch fold is order-independent.
+        v = pdf["value"].fillna(0.0).to_numpy()
+        micros = (np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)).astype("int64")
+        total_micros += int(micros.sum())
         ts_us = pdf["ts"].astype("int64") // 1000  # datetime64[ns] → µs
         batch_max = int(ts_us.max()) if len(ts_us) else None
         if batch_max is not None:
             last_us = batch_max if last_us is None else max(last_us, batch_max)
-    state.update((n, total, last_us))
+    state.update((n, total_micros, last_us))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "value_sum": [total],
+            "value_sum_micros": [total_micros],
             "last_ts_us": [last_us],
         }
     )

@@ -41,7 +41,11 @@ def tumbling_event_stats(
         df.groupBy(F.window("ts", duration).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # Decimal sum: exact, accumulation-order-independent → the batch
+            # SQL oracle's cents match bitwise (functions/numeric.py).
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -66,7 +70,11 @@ def sliding_event_stats(
         df.groupBy(F.window("ts", duration, slide).alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # Decimal sum: exact, accumulation-order-independent → the batch
+            # SQL oracle's cents match bitwise (functions/numeric.py).
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -109,7 +117,9 @@ def sessionize_gaps_and_islands(events: DataFrame, gap_minutes: int = 5) -> Data
             F.count("*").cast("long").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("session_value"),
         )
     )
 
@@ -125,7 +135,9 @@ def session_window_stats(
         df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("session_value"),
         )
         .select(
             "user_id",

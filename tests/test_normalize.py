@@ -123,7 +123,7 @@ def test_approx_quantiles_within_rank_error(spark):
         for r in price_quantiles_by_priority(spark, SF_SMOKE).collect()
     }
     approx = {
-        r.o_orderpriority: r.quantiles_approx
+        r.o_orderpriority: (r.p25_approx, r.p50_approx, r.p75_approx, r.p95_approx)
         for r in approx_price_quantiles_by_priority(spark, SF_SMOKE).collect()
     }
     assert set(exact) == set(approx)
@@ -171,7 +171,6 @@ def test_frequent_users_sketch_contains_planted_heavy_hitter(spark):
     )
     from tests.conftest import SF_SMOKE
 
-    row = frequent_users_sketch(spark, SF_SMOKE).collect()[0]
-    items = row["user_id_freqItems"]
+    items = [r.frequent_user_id for r in frequent_users_sketch(spark, SF_SMOKE).collect()]
     assert 0 in items  # the planted ~14% user must be reported
     assert len(items) < 50  # and the sketch doesn't degenerate to everyone

@@ -94,3 +94,22 @@ def test_curation_pipeline_single_wide_shuffle(spark):
     plan = _plan(spark, "curation_pipeline_documents")
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 hash exchange, saw {n_exchanges}"
+
+
+def test_simhash_candidates_are_banded_not_all_pairs(spark):
+    """The signature self-join must stay an equi-join on (chunk_idx,
+    chunk_val) — pigeonhole banding. A cartesian/BNLJ here is the O(N²)
+    popcount comparison that cannot survive corpus scale."""
+    plan = _plan(spark, "simhash_near_dup_documents")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), "banded equi-join missing from simhash plan"
+
+
+def test_minhash_candidates_are_banded_not_all_pairs(spark):
+    """Same banding guarantee for MinHash-LSH candidate generation."""
+    plan = _plan(spark, "minhash_near_dup_documents")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

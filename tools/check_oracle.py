@@ -19,8 +19,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import __spark_entry__ as entrymod  # noqa: E402
-from data_ingestion_pipeline_spark.session import get_spark  # noqa: E402
 from data_ingestion_pipeline_spark.sources.catalog import TABLES  # noqa: E402
+
+
+def bare_spark():
+    """A session WITHOUT session.py's conf (the driver builds its own bare
+    SparkSession, so every query must work on one — round 1's nanosAsLong
+    blind spot came from checking with our own tuned session)."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("check_oracle_bare")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
 
 
 def norm_cell(v) -> str:
@@ -32,12 +48,27 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}" if abs(v) < 1e15 else f"{v:.6e}"
+        # Full shortest-round-trip precision: the round-1 checker normalized
+        # floats at :.6g, strictly weaker than the driver's hash — it passed
+        # a 1326982.01-vs-.00 cents mismatch the driver failed. repr() is at
+        # least as strict as any decimal formatting the driver can use.
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, list):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, (list, dict, set)):
+        # The driver's pandas canonicalizer dies on unhashable cells — so do we.
+        raise TypeError(f"unhashable cell type {type(v).__name__}: {v!r}")
     return str(v)
+
+
+def driver_canonicalize(rows: list[tuple], colnames: list[str]) -> None:
+    """Reproduce the driver's pandas sort_values canonicalization, which
+    raises TypeError on array-typed cells — any query whose output would
+    crash the driver must crash here first."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=colnames)
+    pdf.sort_values(by=sorted(colnames), inplace=True, kind="mergesort")
 
 
 def value_hash(rows: list[tuple], colnames: list[str]) -> str:
@@ -54,7 +85,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("check_oracle")
+    spark = bare_spark()
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -84,6 +115,10 @@ def main() -> int:
         dk_rows = res.fetchall()
 
         problems = []
+        try:
+            driver_canonicalize([tuple(r) for r in sp_rows], sp_cols)
+        except TypeError as e:
+            problems.append(f"canonicalizer crash (driver would ERR): {e}")
         if sorted(sp_cols) != sorted(dk_cols):
             problems.append(f"cols spark={sorted(sp_cols)} duck={sorted(dk_cols)}")
         if len(sp_rows) != len(dk_rows):
