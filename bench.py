@@ -67,6 +67,10 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # Isolate queries: a few operators cache()/localCheckpoint() and the
+        # blocks otherwise accumulate across the 2×N runs, so later queries
+        # pay earlier queries' eviction churn.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -56,7 +56,12 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig_0..sig_{K-1}) — one row per document."""
     sets = shingle_sets(df, text_col, id_col, shingle_n)
-    exploded = sets.select(F.col(id_col), F.explode("sset").alias("sh"))
+    # explode_outer + null-filter: see dedup/ngram.jaccard_pairs — a plain
+    # explode's inferred size()>0 filter re-runs the shingle transform
+    # below the fan_out exchange, single-threaded.
+    exploded = sets.select(
+        F.col(id_col), F.explode_outer("sset").alias("sh")
+    ).filter(F.col("sh").isNotNull())
     return _signatures_from_exploded(exploded, id_col, num_hashes)
 
 
@@ -115,7 +120,9 @@ def minhash_near_dup_pairs(
     # explode) and the verification sets (arrays as-is, no collect_set
     # round-trip) — cached so the corpus is shingled exactly once.
     sets = shingle_sets(df, text_col, id_col, shingle_n).cache()
-    exploded = sets.select(F.col(id_col), F.explode("sset").alias("sh"))
+    exploded = sets.select(
+        F.col(id_col), F.explode_outer("sset").alias("sh")
+    ).filter(F.col("sh").isNotNull())
     sigs = _signatures_from_exploded(exploded, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
 

@@ -89,9 +89,15 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with Jaccard ≥ threshold — exact."""
     sets = shingle_sets(df, text_col, id_col, n)
+    # explode_outer, not explode: Catalyst infers `size(sset) > 0` from a
+    # plain explode and pushes it below the fan_out exchange into the scan,
+    # re-evaluating the whole shingle transform single-threaded on the
+    # un-fanned input (measured: ~7 s of the pipeline's 12 s at sf0.1).
+    # explode_outer admits no such inference; the null row from an empty
+    # set is dropped right here instead.
     ex = sets.select(
-        F.col(id_col), F.col("set_size"), F.explode("sset").alias("sh")
-    )
+        F.col(id_col), F.col("set_size"), F.explode_outer("sset").alias("sh")
+    ).filter(F.col("sh").isNotNull())
 
     if max_shingle_df is not None:
         hot = (

@@ -28,9 +28,12 @@ _CHUNKS = 4  # finds all pairs with hamming distance <= _CHUNKS - 1
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, simhash long) per document."""
+    # explode_outer + null-filter: a plain explode's inferred size()>0
+    # filter would re-split the text below the fan_out exchange (see
+    # dedup/ngram.jaccard_pairs).
     exploded = fan_out(df).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok").isNotNull()).withColumn("h", F.xxhash64("tok"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -308,6 +308,11 @@ def catalog_database_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = f"graft_catalog_{tag}"
     loc = _scratch(sf_dir, "catalog_db")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    # Idempotent across fresh sessions: the in-memory catalog forgets the
+    # table but its location directory persists — drop both before the
+    # managed-table write or saveAsTable raises LOCATION_ALREADY_EXISTS.
+    spark.sql(f"DROP TABLE IF EXISTS {db}.brand_summary")
+    shutil.rmtree(os.path.join(loc, "brand_summary"), ignore_errors=True)
     summary = (
         load_table(spark, sf_dir, "part")
         .groupBy("p_brand")

@@ -35,6 +35,7 @@ from data_ingestion_pipeline_spark.functions.text import (
     redact_pii,
     repetition_ratio,
     rolling_fingerprint,
+    token_count,
 )
 from data_ingestion_pipeline_spark.functions.partitioning import fan_out
 from data_ingestion_pipeline_spark.similarity.brute_force import topk_cosine
@@ -288,6 +289,37 @@ SELECT vec_id,
 FROM embeddings, q
 ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id
 LIMIT 20
+"""
+
+
+def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine kNN graph (top-5 neighbors for EVERY vector) via the
+    B×B blocked cogrouped-BLAS kernel + a per-source ranking window — the
+    batch similarity primitive behind semantic dedup and retrieval-index
+    bootstrapping (similarity/knn.py). Never materializes the N² pair
+    relation: each block pair emits only its local top-5."""
+    from data_ingestion_pipeline_spark.similarity.knn import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, "vec_id", "embedding", k=5)
+
+
+# Ranking on the 6-decimal ROUNDED score with nbr_id tiebreak on both sides
+# makes the order engine-independent (matmul vs sequential-fold summation
+# agree at 6 decimals; see cosine_pairs_blas).
+KNN_GRAPH_EMBEDDINGS_ORACLE = """
+SELECT src_id, nbr_id, score, CAST(rnk AS INT) AS rnk FROM (
+  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS score,
+         ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                   b.embedding::DOUBLE[]), 6) DESC,
+                      b.vec_id
+         ) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rnk <= 5
 """
 
 
@@ -733,4 +765,84 @@ SELECT doc_id,
        CAST(len(toks[chunk_start:chunk_start + 31]) AS INT) AS n_chunk_tokens,
        md5(array_to_string(toks[chunk_start:chunk_start + 31], ' ')) AS chunk_md5
 FROM s
+"""
+
+
+def pack_documents_context_windows(
+    spark: SparkSession, sf_dir: str, budget_tokens: int = 2048
+) -> DataFrame:
+    """Training-batch assembly: assign documents to context-window packs by
+    a running token budget per source — the deterministic sequential-fill
+    form of sample packing (a doc goes to the pack its running-total start
+    offset falls in; doc order pinned by doc_id). One window shuffle keyed
+    on source; token counting stays in codegen. At corpus scale the
+    partition key is (source, day-bucket) so no single source funnels
+    through one task."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = F.sum(n_tok).over(w)
+    return docs.select(
+        "source",
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.floor((running - n_tok) / budget_tokens).cast("int").alias("pack_id"),
+    )
+
+
+PACK_DOCUMENTS_CONTEXT_WINDOWS_ORACLE = r"""
+SELECT source, doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(FLOOR(
+           (SUM(len(regexp_split_to_array(trim(text), '\s+'))) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - len(regexp_split_to_array(trim(text), '\s+'))) / 2048.0
+       ) AS INT) AS pack_id
+FROM documents
+"""
+
+
+def corpus_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: each source tier gets a sampling rate
+    (pretraining mixtures up/down-weight sources) and membership is decided
+    by a deterministic hash byte of doc_id — the same subset on every run,
+    every engine, every cluster size. Pure map-side filter: no shuffle, no
+    RNG state, trivially resumable."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_replace("source", "[^0-9]", "").cast("int")
+    rate_byte = (
+        F.when(src_num % 4 == 0, 230)  # ~0.9
+        .when(src_num % 4 == 1, 128)   # ~0.5
+        .when(src_num % 4 == 2, 64)    # ~0.25
+        .otherwise(26)                 # ~0.1
+    )
+    hash_byte = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            rate_byte.cast("int").alias("rate_byte"),
+        )
+        .filter(hash_byte < F.col("rate_byte"))
+    )
+
+
+CORPUS_MIXTURE_DOCUMENTS_ORACLE = """
+SELECT doc_id, source, lang,
+       CAST(CASE CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 4
+            WHEN 0 THEN 230 WHEN 1 THEN 128 WHEN 2 THEN 64 ELSE 26 END AS INT)
+           AS rate_byte
+FROM documents
+WHERE (CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) * 16
+       + CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT))
+      < CASE CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 4
+        WHEN 0 THEN 230 WHEN 1 THEN 128 WHEN 2 THEN 64 ELSE 26 END
 """

@@ -25,6 +25,7 @@ from data_ingestion_pipeline_spark.streaming.windows import (
 )
 
 __all__ = [
+    "streaming_ingest_merge_events",
     "tumbling_window_events",
     "sliding_window_events",
     "sessionize_events",
@@ -413,4 +414,100 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
 FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+def _shifted_update_source(spark: SparkSession, sf_dir: str) -> str:
+    """Two-file streaming source with a forced arrival order: file A = the
+    events table as-is, file B (newer mtime) = the same events one hour
+    later at value×2 — an update batch for every stored key. Built once per
+    sf_dir (mtimes pinned so the file source's modification-time ordering is
+    deterministic)."""
+    import shutil
+    import glob
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    src_dir = f"/tmp/spark_graft_scratch/{tag}/stream_ingest_src"
+    marker = os.path.join(src_dir, "_planted")
+    if not os.path.exists(marker):
+        shutil.rmtree(src_dir, ignore_errors=True)
+        os.makedirs(src_dir, exist_ok=True)
+        base = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        shifted = base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")).withColumn(
+            "value", F.col("value") * 2
+        )
+        for name, df, mtime in (("copy_a", base, 1_000_000_000), ("copy_b", shifted, 1_000_000_100)):
+            tmp = os.path.join(src_dir, f"_tmp_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(src_dir, f"{name}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (mtime, mtime))
+            shutil.rmtree(tmp, ignore_errors=True)
+        open(marker, "w").close()
+    return src_dir
+
+
+def streaming_ingest_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole job in streaming form (SURVEY.md §7 M4 +
+    §2.6): file source → per-micro-batch MERGE (dedup last-wins → anti-join
+    split → atomic version swap) via foreachBatch, with checkpointing. Two
+    ordered micro-batches: the insert batch bootstraps the table, the
+    update batch (same keys, later event time, value×2) overwrites every
+    row — so the final table state proves cross-batch upsert, not append.
+
+    Oracle: the closed-form post-update table. The update file always wins
+    (batch-over-stored MERGE semantics + forced file order), making the
+    check deterministic."""
+    from data_ingestion_pipeline_spark.plans.merge import merge_upsert
+    from data_ingestion_pipeline_spark.plans.table import ManagedTable
+
+    import shutil
+
+    src_dir = _shifted_update_source(spark, sf_dir)
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    root = f"/tmp/spark_graft_scratch/{tag}/stream_ingest_table"
+    ckpt = f"/tmp/spark_graft_scratch/{tag}/stream_ingest_ckpt"
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    table = ManagedTable(spark, root)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_upsert(table, batch_df, keys=["event_id"], order_col="ts")
+
+    with _stream_state_partitions(spark):
+        query = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+    if query.isActive:
+        query.stop()
+    return table.read()
+
+
+STREAMING_INGEST_MERGE_EVENTS_ORACLE = """
+SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
+       value * 2 AS value
+FROM events
 """

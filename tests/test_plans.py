@@ -113,3 +113,24 @@ def test_minhash_candidates_are_banded_not_all_pairs(spark):
     plan = _plan(spark, "minhash_near_dup_documents")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_mixture_is_map_only_and_prunes_text(spark):
+    """Hash-based mixture sampling must stay a shuffle-free map-side filter
+    that never reads the text column."""
+    plan = _plan(spark, "corpus_mixture_documents")
+    assert "Exchange hashpartitioning" not in plan
+    assert "text" not in plan.split("ReadSchema:")[-1]
+
+
+def test_pack_documents_single_window_shuffle(spark):
+    plan = _plan(spark, "pack_documents_context_windows")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_knn_graph_no_cartesian(spark):
+    """The B×B block grid must replicate via broadcast joins, never a
+    cartesian/BNLJ of the vector relation against itself."""
+    plan = _plan(spark, "knn_graph_embeddings")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -101,9 +101,14 @@ def main() -> int:
             continue
         n_run += 1
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        sp_rows = df.collect()
-        sp_cols = df.columns
+        try:
+            df = fn(spark, sf_dir)
+            sp_rows = df.collect()
+            sp_cols = df.columns
+        except Exception as e:  # driver records ERR and moves on; so do we
+            print(f"  {name}: ERROR {type(e).__name__}: {str(e)[:200]}")
+            failures.append((name, f"ERROR {type(e).__name__}"))
+            continue
         sp_secs = time.time() - t0
         if name not in oracles:
             print(f"  {name}: rows-only check — {len(sp_rows)} rows ({sp_secs:.1f}s)")
