@@ -636,7 +636,7 @@ SELECT doc_id, token, tfidf, CAST(term_rank AS INT) AS term_rank FROM (
          ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf,
          ROW_NUMBER() OVER (
              PARTITION BY tf.doc_id
-             ORDER BY tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) DESC,
+             ORDER BY ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) DESC,
                       tf.token ASC
          ) AS term_rank
   FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
