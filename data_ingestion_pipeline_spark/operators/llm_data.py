@@ -21,7 +21,10 @@ from data_ingestion_pipeline_spark.dedup.embedding import (
     cosine_pairs_blas,
     lsh_cosine_pairs,
 )
-from data_ingestion_pipeline_spark.dedup.minhash import minhash_near_dup_pairs
+from data_ingestion_pipeline_spark.dedup.minhash import (
+    minhash_near_dup_pairs,
+    minhash_verified_pairs_complete,
+)
 from data_ingestion_pipeline_spark.dedup.ngram import jaccard_pairs
 from data_ingestion_pipeline_spark.dedup.simhash import simhash_near_dup_pairs
 from data_ingestion_pipeline_spark.functions.text import (
@@ -69,6 +72,10 @@ __all__ = [
     "stratified_sample_documents",
     "near_dup_clusters_documents",
     "text_hygiene_documents",
+    "knn_graph_embeddings",
+    "pack_documents_context_windows",
+    "corpus_mixture_documents",
+    "dedup_survivor_quality_documents",
 ]
 
 
@@ -145,6 +152,54 @@ FROM aug GROUP BY 1
 """
 
 
+def dedup_survivor_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a QUALITY survivor policy: instead of min-id, each
+    fingerprint group keeps its longest (most tokens) member, doc_id as the
+    deterministic tie-break. Real pipelines choose survivors by quality
+    (longest, highest score, freshest) — expressed as the same struct-max
+    argmax aggregate as latest_event_per_user: one two-phase hash agg, no
+    ranking window, shuffle ∝ distinct fingerprints."""
+    aug = _augmented_docs(load_table(spark, sf_dir, "documents"))
+    best = F.max(
+        F.struct(
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            # negated id: struct-max then prefers the SMALLEST id on token ties
+            (-F.col("doc_id")).alias("neg_id"),
+        )
+    ).alias("best")
+    return (
+        aug.select(fingerprint_md5(F.col("text")).alias("fingerprint"), "doc_id", "text")
+        .groupBy("fingerprint")
+        .agg(best)
+        .select(
+            "fingerprint",
+            (-F.col("best.neg_id")).alias("survivor_id"),
+            F.col("best.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+DEDUP_SURVIVOR_QUALITY_DOCUMENTS_ORACLE = r"""
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+), scored AS (
+    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+           doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+    FROM aug
+)
+SELECT fingerprint, survivor_id, n_tokens FROM (
+    SELECT fingerprint, doc_id AS survivor_id, n_tokens,
+           ROW_NUMBER() OVER (
+               PARTITION BY fingerprint ORDER BY n_tokens DESC, doc_id ASC
+           ) AS rn
+    FROM scored
+) WHERE rn = 1
+"""
+
+
 def _near_dup_corpus(docs: DataFrame) -> DataFrame:
     """documents ∪ 80%-prefix copies of every 20th doc (ids +1000000) —
     planted near-duplicates with shingle-Jaccard ≈ 0.8."""
@@ -208,6 +263,26 @@ def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/precision asserted in pytest)."""
     aug = _near_dup_corpus(load_table(spark, sf_dir, "documents"))
     return minhash_near_dup_pairs(aug, "text", "doc_id", threshold=0.5)
+
+
+def minhash_verified_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH in the recall-complete configuration (B=16, R=2 —
+    dedup/minhash.py): candidates verified with exact Jaccard ≥ 0.7
+    reproduce the full exact pair relation, so this seeded-hash pipeline
+    gets a real DuckDB oracle (the exact J ≥ 0.7 SQL) instead of a
+    rows-only check. The scale-tuned (B=8, R=4) variant stays registered
+    as `minhash_near_dup_documents`."""
+    aug = _near_dup_corpus(load_table(spark, sf_dir, "documents"))
+    return minhash_verified_pairs_complete(aug, "text", "doc_id", threshold=0.7)
+
+
+# Same pair relation as NGRAM_JACCARD_DOCUMENTS_ORACLE but cut at 0.7 —
+# candidate recall at the cut is 1 − 2e-5 per pair (see minhash.py), so the
+# verified LSH output and the exhaustive SQL agree.
+MINHASH_VERIFIED_NEAR_DUP_DOCUMENTS_ORACLE = NGRAM_JACCARD_DOCUMENTS_ORACLE.replace(
+    ">= 0.4", ">= 0.7"
+)
+assert ">= 0.7" in MINHASH_VERIFIED_NEAR_DUP_DOCUMENTS_ORACLE
 
 
 def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

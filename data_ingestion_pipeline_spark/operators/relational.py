@@ -44,6 +44,7 @@ __all__ = [
     "trailing_spend_30d",
     "customer_spend_deciles",
     "user_event_type_sets",
+    "salted_skew_join_events",
 ]
 
 
@@ -665,6 +666,38 @@ def frequent_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.select(
         F.explode("user_id_freqItems").alias("frequent_user_id")
     ).orderBy("frequent_user_id")
+
+
+def salted_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join under a planted hot key: every 7th event is reassigned
+    to user 0 (~14% of the stream on one key), then events ⋈ customer runs
+    through ``salted_join`` — the big side's hot key scatters over 8 salt
+    sub-keys so no single reducer owns it. Output is identical to the plain
+    join (the oracle computes exactly that), which is the point: salting is
+    a physical rebalance, not a semantic change."""
+    from data_ingestion_pipeline_spark.functions.partitioning import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    skewed = events.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(skewed, dim, ["user_id"], "inner", salt=8)
+    return joined.select(
+        "event_id", "user_id", "c_mktsegment", F.round("value", 2).alias("value")
+    )
+
+
+SALTED_SKEW_JOIN_EVENTS_ORACLE = """
+SELECT event_id,
+       CASE WHEN event_id % 7 = 0 THEN 0 ELSE user_id END AS user_id,
+       c_mktsegment, ROUND(value, 2) AS value
+FROM events JOIN customer
+  ON (CASE WHEN event_id % 7 = 0 THEN 0 ELSE user_id END) = c_custkey
+"""
 
 
 def trailing_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,11 +43,10 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # exported dicts so the driver spends its budget where evidence is thinnest:
 #   1. round-1 failures (nanos ERRs, hash fails, canonicalizer crashes) —
 #      every one flips a red SURVEY §2 / driver row to green;
-#   2. queries with NO driver row yet (round-1 positions 51-82 + new ops),
-#      hash-checked oracles before rows-only approximates — a rows-only row
-#      carries the weakest signal and each approximate op already has a
-#      pytest recall/error-bound test, so those sit last and the final few
-#      may fall outside a 50-query budget.
+#   2. queries with NO driver row yet (round-1 positions 51-82 + new ops).
+# Within the combined priority tier, hash-checked oracles sort before
+# rows-only approximates (see _ordered_names) — a rows-only row carries the
+# weakest signal, so those are the entries allowed past a 50-query budget.
 # Maintained per round from the latest CORRECTNESS_r{N}.json; tests assert
 # the lists stay in sync with the registry contents.
 _ROUND1_FAILED = [
@@ -77,6 +76,9 @@ _NEVER_VERIFIED = [
     "pack_documents_context_windows",
     "corpus_mixture_documents",
     "exact_dedup_documents",
+    "dedup_survivor_quality_documents",
+    "minhash_verified_near_dup_documents",
+    "salted_skew_join_events",
     "ngram_jaccard_documents",
     "embedding_cosine_dedup",
     "doc_fingerprint_rolling",
@@ -114,11 +116,15 @@ _NEVER_VERIFIED = [
 
 
 def _ordered_names() -> list[str]:
-    front = [*_ROUND1_FAILED, *_NEVER_VERIFIED]
+    front = [n for n in [*_ROUND1_FAILED, *_NEVER_VERIFIED] if n in _REGISTRY]
+    # Hash-checked oracles before rows-only checks WITHIN the priority
+    # tier: a rows-only row is the weakest driver signal (every approximate
+    # op already has a pytest recall/error-bound test), so those are the
+    # ones allowed to fall outside a 50-query verify budget.
+    oracled = [n for n in front if _REGISTRY[n][1] is not None]
+    rows_only = [n for n in front if _REGISTRY[n][1] is None]
     seen = set(front)
-    return [n for n in front if n in _REGISTRY] + [
-        n for n in _REGISTRY if n not in seen
-    ]
+    return oracled + rows_only + [n for n in _REGISTRY if n not in seen]
 
 
 def queries() -> dict[str, QueryFn]:
@@ -416,6 +422,12 @@ register(
 )
 
 register(
+    "salted_skew_join_events",
+    relational.salted_skew_join_events,
+    relational.SALTED_SKEW_JOIN_EVENTS_ORACLE,
+)
+
+register(
     "orders_above_customer_avg",
     sql_surface.orders_above_customer_avg,
     sql_surface.ORDERS_ABOVE_CUSTOMER_AVG_ORACLE,
@@ -552,12 +564,24 @@ register(
 )
 
 register(
+    "dedup_survivor_quality_documents",
+    llm_data.dedup_survivor_quality_documents,
+    llm_data.DEDUP_SURVIVOR_QUALITY_DOCUMENTS_ORACLE,
+)
+
+register(
     "ngram_jaccard_documents",
     llm_data.ngram_jaccard_documents,
     llm_data.NGRAM_JACCARD_DOCUMENTS_ORACLE,
 )
 
 register("minhash_near_dup_documents", llm_data.minhash_near_dup_documents, None)
+
+register(
+    "minhash_verified_near_dup_documents",
+    llm_data.minhash_verified_near_dup_documents,
+    llm_data.MINHASH_VERIFIED_NEAR_DUP_DOCUMENTS_ORACLE,
+)
 
 register("simhash_near_dup_documents", llm_data.simhash_near_dup_documents, None)
 

@@ -20,18 +20,17 @@ def test_export_order_spends_driver_budget_on_thin_evidence():
     ordered = list(registry.queries())
     assert set(ordered) == set(registry._REGISTRY)
     budget = set(ordered[:50])
-    # every round-1 failure re-verifies inside the budget
-    for n in registry._ROUND1_FAILED:
-        assert n in budget, f"{n!r} fell outside the driver's 50-query budget"
-    # anything unverified that overflows the budget must be a rows-only
-    # approximate (weak driver signal, pytest-bounded) — never an
-    # oracle-hash-checked query
     oracled = set(registry.oracle_sql())
-    for n in registry._NEVER_VERIFIED:
-        if n not in budget:
-            assert n not in oracled, (
-                f"{n!r} is oracle-checked but ordered outside the budget"
-            )
+    priority = registry._ROUND1_FAILED + registry._NEVER_VERIFIED
+    # every oracle-hash-checked priority query verifies inside the budget;
+    # only rows-only approximates (weak driver signal, pytest-bounded) may
+    # overflow it
+    for n in priority:
+        if n in oracled:
+            assert n in budget, f"{n!r} is oracle-checked but outside the budget"
+    # and the priority tier strictly precedes the already-green tier
+    n_priority = len(priority)
+    assert set(ordered[:n_priority]) == set(priority)
 
 
 def test_oracles_reference_registered_queries():
