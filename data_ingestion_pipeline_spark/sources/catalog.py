@@ -48,6 +48,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table as a DataFrame (lazy — no action triggered)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Fixture timestamps are naive UTC instants and every oracle renders
+    # them as stored; a caller session inheriting a non-UTC JVM zone would
+    # shift to_date()/date_format()/window() results (verified: New_York
+    # session flips 3 of 6 timestamp queries). Pin UTC at runtime so the
+    # engine's results don't depend on the host's timezone — session.py
+    # sessions already run UTC; this covers bare driver sessions.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS). Spark can only read it as a
         # nanos-since-epoch long under spark.sql.legacy.parquet.nanosAsLong.
