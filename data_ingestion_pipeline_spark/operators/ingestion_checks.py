@@ -28,6 +28,7 @@ from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
     "csv_ingest_events",
+    "csv_ingest_inventory",
     "merge_upsert_events",
     "jsonl_roundtrip_events",
     "orc_roundtrip_events",
@@ -104,6 +105,42 @@ CSV_INGEST_EVENTS_ORACLE = """
 SELECT event_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
        user_id, event_type, value, props
 FROM events
+"""
+
+
+def csv_ingest_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 + P1/P2/P4 end-to-end on the inventory CSV shape (reference
+    ``flows/data_ingestion.py:68-77``, ``data/inventory.csv``): export
+    ``part`` as a camelCase inventory CSV — every 5th subCategory written
+    as the empty string the reference data uses for missing values — then
+    run the schema'd scan + normalizer (rename, string-cast id,
+    empty→NULL). Oracle recomputes the normalized table from ``part``."""
+    from data_ingestion_pipeline_spark.sources.csv_reader import read_inventory_csv
+
+    part = load_table(spark, sf_dir, "part")
+    out = _scratch(sf_dir, "inventory_csv")
+    formatted = part.select(
+        F.col("p_partkey").cast("string").alias("productId"),
+        F.col("p_name").alias("name"),
+        F.col("p_size").cast("long").alias("quantity"),
+        F.col("p_brand").alias("category"),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("")).otherwise(
+            F.col("p_type")
+        ).alias("subCategory"),
+    )
+    formatted.write.mode("overwrite").option("header", "true").option(
+        "emptyValue", '""'
+    ).csv(out)
+    return read_inventory_csv(spark, out)
+
+
+CSV_INGEST_INVENTORY_ORACLE = """
+SELECT CAST(p_partkey AS VARCHAR) AS product_id,
+       p_name AS name,
+       CAST(p_size AS BIGINT) AS quantity,
+       p_brand AS category,
+       CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_type END AS sub_category
+FROM part
 """
 
 

@@ -79,6 +79,7 @@ _NEVER_VERIFIED = [
     "dedup_survivor_quality_documents",
     "minhash_verified_near_dup_documents",
     "salted_skew_join_events",
+    "csv_ingest_inventory",
     "ngram_jaccard_documents",
     "embedding_cosine_dedup",
     "doc_fingerprint_rolling",
@@ -458,6 +459,12 @@ register(
     "csv_ingest_events",
     ingestion_checks.csv_ingest_events,
     ingestion_checks.CSV_INGEST_EVENTS_ORACLE,
+)
+
+register(
+    "csv_ingest_inventory",
+    ingestion_checks.csv_ingest_inventory,
+    ingestion_checks.CSV_INGEST_INVENTORY_ORACLE,
 )
 
 register(
