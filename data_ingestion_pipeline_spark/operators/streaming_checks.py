@@ -26,6 +26,7 @@ from data_ingestion_pipeline_spark.streaming.windows import (
 
 __all__ = [
     "streaming_ingest_merge_events",
+    "streaming_incremental_agg_events",
     "tumbling_window_events",
     "sliding_window_events",
     "sessionize_events",
@@ -510,4 +511,70 @@ STREAMING_INGEST_MERGE_EVENTS_ORACLE = """
 SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
        value * 2 AS value
 FROM events
+"""
+
+
+def streaming_incremental_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the duplicated two-batch
+    source streams through foreachBatch; each batch's per-user partial
+    aggregates (count + exact integer-micro value sum) fold ADDITIVELY into
+    a versioned summary table (streaming/ingest.py::merge_additive_aggregates).
+    Running state lives in the table — not the state store — so the summary
+    is restart-safe and batch-readable mid-stream. Two identical batches ⇒
+    final summary is exactly 2× the table's per-user aggregates, which is
+    the closed form the oracle computes."""
+    from data_ingestion_pipeline_spark.plans.table import ManagedTable
+    from data_ingestion_pipeline_spark.streaming.ingest import (
+        merge_additive_aggregates,
+    )
+
+    import shutil
+
+    tag, src_dir = _planted_dup_source(sf_dir)
+    root = f"/tmp/spark_graft_scratch/{tag}/stream_incr_agg_table"
+    ckpt = f"/tmp/spark_graft_scratch/{tag}/stream_incr_agg_ckpt"
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    table = ManagedTable(spark, root)
+
+    raw = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            # exact integer micro-units (value rounded at 6 decimals, the
+            # DECIMAL(18,6) cast) — additive across batches, engine-exact
+            F.sum(
+                (F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,6)") * 1000000)
+                .cast("long")
+            ).alias("value_sum_micros"),
+        )
+        merge_additive_aggregates(
+            table, partial, keys=["user_id"], sum_cols=["n_events", "value_sum_micros"]
+        )
+
+    with _stream_state_partitions(spark):
+        query = (
+            raw.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+    if query.isActive:
+        query.stop()
+    return table.read()
+
+
+STREAMING_INCREMENTAL_AGG_EVENTS_ORACLE = """
+SELECT user_id,
+       CAST(2 * COUNT(*) AS BIGINT) AS n_events,
+       CAST(2 * SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+           AS value_sum_micros
+FROM events GROUP BY user_id
 """

@@ -72,6 +72,7 @@ _NEVER_VERIFIED = [
     "jdbc_roundtrip_orders",
     "catalog_database_roundtrip",
     "streaming_ingest_merge_events",
+    "streaming_incremental_agg_events",
     "knn_graph_embeddings",
     "pack_documents_context_windows",
     "corpus_mixture_documents",
@@ -779,4 +780,10 @@ register(
     "streaming_ingest_merge_events",
     streaming_checks.streaming_ingest_merge_events,
     streaming_checks.STREAMING_INGEST_MERGE_EVENTS_ORACLE,
+)
+
+register(
+    "streaming_incremental_agg_events",
+    streaming_checks.streaming_incremental_agg_events,
+    streaming_checks.STREAMING_INCREMENTAL_AGG_EVENTS_ORACLE,
 )

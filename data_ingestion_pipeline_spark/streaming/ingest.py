@@ -21,7 +21,11 @@ from data_ingestion_pipeline_spark.functions.normalize import normalize_orders
 from data_ingestion_pipeline_spark.plans.merge import merge_upsert
 from data_ingestion_pipeline_spark.plans.table import ManagedTable
 
-__all__ = ["stream_orders_csv", "run_stream_to_completion"]
+__all__ = [
+    "stream_orders_csv",
+    "run_stream_to_completion",
+    "merge_additive_aggregates",
+]
 
 
 def stream_orders_csv(
@@ -63,3 +67,35 @@ def run_stream_to_completion(query: StreamingQuery, timeout_s: float = 120.0) ->
     query.awaitTermination(timeout_s)
     if query.isActive:
         query.stop()
+
+
+def merge_additive_aggregates(
+    table: ManagedTable,
+    batch_agg: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+) -> None:
+    """Fold a micro-batch's partial aggregates into a persistent summary
+    table — incremental materialized-view maintenance. Unlike the
+    state-store form (streaming/stateful.py) the running state lives in the
+    versioned TABLE: restart-safe without a state store, readable by any
+    batch consumer mid-stream, and the merge is a plain keyed aggregation
+    (sum of longs — exact, associative, so batch arrival order and
+    partitioning cannot change the result).
+
+    At scale the union+groupBy shuffles current-summary + batch partials on
+    the key — bound it by partitioning the summary on the key so only
+    touched partitions rewrite (same lever as plans/merge.py).
+    """
+    from pyspark.sql import functions as F
+
+    if not table.exists():
+        table.overwrite(batch_agg)
+        return
+    current = table.read()
+    merged = (
+        current.unionByName(batch_agg)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )
+    table.overwrite(merged)
