@@ -344,6 +344,21 @@ def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_pairs(aug, "vec_id", "embedding", threshold=0.8, dim=EMB_DIM)
 
 
+def embedding_lsh_verified_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane LSH in a recall-complete configuration (16 bands × 3
+    planes): a pair at cosine 0.8 collides in ≥1 band with
+    1 − (1 − 0.795³)¹⁶ ≈ 1 − 1.5e-5, and the planted near-dups sit at
+    ≈0.99 (miss ~6e-15) — so exact-cosine verification of the candidates
+    reproduces the full ≥0.8 pair relation and the seeded pipeline gets the
+    SAME SQL oracle as the exact blocked-BLAS path. The scale-tuned (4×6)
+    variant stays registered as `embedding_lsh_near_dup` (rows-only)."""
+    aug = _near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
+    return lsh_cosine_pairs(
+        aug, "vec_id", "embedding", threshold=0.8, n_bands=16, planes_per_band=3,
+        dim=EMB_DIM,
+    )
+
+
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-20 for the vec_id=0 query vector.
 

@@ -21,12 +21,17 @@ def test_export_order_spends_driver_budget_on_thin_evidence():
     assert set(ordered) == set(registry._REGISTRY)
     budget = set(ordered[:50])
     oracled = set(registry.oracle_sql())
-    priority = registry._ROUND1_FAILED + registry._NEVER_VERIFIED
+    priority = (
+        registry._ROUND1_FAILED
+        + registry._NEVER_VERIFIED
+        + registry._COVERED_BY_TWIN
+    )
     # every oracle-hash-checked priority query verifies inside the budget;
     # only rows-only approximates (weak driver signal, pytest-bounded) may
     # overflow it
+    twin_ok = set(registry._COVERED_BY_TWIN)
     for n in priority:
-        if n in oracled:
+        if n in oracled and n not in twin_ok:
             assert n in budget, f"{n!r} is oracle-checked but outside the budget"
     # and the priority tier strictly precedes the already-green tier
     n_priority = len(priority)

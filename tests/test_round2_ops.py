@@ -117,6 +117,25 @@ def test_minhash_verified_equals_exact_jaccard(spark):
     assert exact, "fixture must plant at least one J>=0.7 pair"
 
 
+def test_embedding_lsh_verified_equals_exact_cosine(spark):
+    """Recall-complete hyperplane banding must reproduce the exact ≥0.8
+    cosine pair set (the property justifying its SQL oracle)."""
+    from data_ingestion_pipeline_spark.dedup.embedding import cosine_pairs_blas
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    aug = llm_data._near_dup_embeddings(emb)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_blas(aug, "vec_id", "embedding", threshold=0.8).collect()
+    }
+    verified = {
+        (r.id_a, r.id_b)
+        for r in llm_data.embedding_lsh_verified_near_dup(spark, SF_SMOKE).collect()
+    }
+    assert verified == exact
+    assert exact, "fixture must plant at least one >=0.8 pair"
+
+
 @pytest.mark.parametrize("n_parts", [1, 3, 32])
 def test_dec_sum2_is_partitioning_invariant(spark, n_parts):
     """Decimal summation must yield identical cents for ANY partitioning —
