@@ -629,6 +629,38 @@ SELECT doc_id, lang, stratum_rank FROM ranked WHERE (stratum_rank - 1) % 5 = 0
 """
 
 
+def ann_ivf_exhaustive_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe = n_centroids: every inverted list is probed, so the
+    result must EQUAL brute force — which makes the whole IVF plumbing
+    (centroid sampling, batched assignment, probe join, ranking) provable
+    against the brute-force SQL oracle. The pruned (nprobe=4) variant stays
+    registered rows-only as the scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(emb, q, k=10, n_centroids=16, nprobe=16)
+
+
+ANN_IVF_EXHAUSTIVE_TOPK_EMBEDDINGS_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+)
+SELECT query_id, vec_id, ROUND(score, 6) AS score, CAST(rnk AS INT) AS rank
+FROM (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score,
+         ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                      e.vec_id
+         ) AS rnk
+  FROM embeddings e CROSS JOIN q
+) WHERE rnk <= 10
+"""
+
+
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from the events.props payload column."""
     events = load_table(spark, sf_dir, "events")

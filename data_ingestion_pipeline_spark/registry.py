@@ -74,6 +74,7 @@ _NEVER_VERIFIED = [
     "streaming_incremental_agg_events",
     "knn_graph_embeddings",
     "embedding_lsh_verified_near_dup",
+    "ann_ivf_exhaustive_topk_embeddings",
     "pack_documents_context_windows",
     "corpus_mixture_documents",
     "exact_dedup_documents",
@@ -97,7 +98,6 @@ _NEVER_VERIFIED = [
     "multimodal_metadata",
     "multimodal_image_features",
     "multimodal_frame_sample",
-    "tumbling_window_events",
     "sliding_window_events",
     "sessionize_events",
     "streaming_tumbling_events",
@@ -121,6 +121,10 @@ _NEVER_VERIFIED = [
 # row certifies both (result identity also pinned in pytest).
 _COVERED_BY_TWIN = [
     "revenue_per_product_sql",  # twin: revenue_per_product
+    # twin: streaming_tumbling_events — same tumbling_event_stats builder
+    # and the same oracle string; the streaming run is the stronger check
+    # (it additionally exercises watermark + state store + availableNow)
+    "tumbling_window_events",
 ]
 
 
@@ -653,6 +657,12 @@ register(
 register("ann_lsh_topk_embeddings", llm_data.ann_lsh_topk_embeddings, None)
 
 register("ann_ivf_topk_embeddings", llm_data.ann_ivf_topk_embeddings, None)
+
+register(
+    "ann_ivf_exhaustive_topk_embeddings",
+    llm_data.ann_ivf_exhaustive_topk_embeddings,
+    llm_data.ANN_IVF_EXHAUSTIVE_TOPK_EMBEDDINGS_ORACLE,
+)
 
 register(
     "json_extract_events",
