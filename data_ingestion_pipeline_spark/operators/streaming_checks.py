@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from data_ingestion_pipeline_spark.sources.catalog import load_table
+from data_ingestion_pipeline_spark.sources.catalog import load_table, normalize_event_ts
 from data_ingestion_pipeline_spark.streaming.windows import (
     sessionize_gaps_and_islands,
     sliding_event_stats,
@@ -98,16 +98,14 @@ SELECT user_id, session_seq,
 FROM numbered GROUP BY 1, 2
 """
 
-_EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as long
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_stream_schema(spark: SparkSession, sample_file: str) -> T.StructType:
+    """Schema for the streaming file source, probed from one batch read of
+    the actual fixture file. The streaming source requires a user-supplied
+    schema; deriving it from the file keeps the checks working across
+    fixture vintages (ts as TIMESTAMP(NANOS)-long vs native timestamp[us]).
+    One footer read, driver-side, O(1)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(sample_file).schema
 
 
 @contextmanager
@@ -137,12 +135,13 @@ def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_tumbling_{tag}"
     # The streaming file source requires a directory; glob-filter it down to
     # the events file so the other tables in sf_dir aren't picked up.
+    events_file = os.path.join(sf_dir, "events.parquet")
     raw = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(spark, events_file))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_event_ts(raw)
     agg = tumbling_event_stats(events, duration="1 hour", watermark="2 hours")
     with _stream_state_partitions(spark):
         query = (
@@ -167,13 +166,23 @@ def _planted_dup_source(sf_dir: str) -> tuple[str, str]:
     tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
     src_dir = f"/tmp/spark_graft_scratch/{tag}/stream_dedup_src"
     marker = os.path.join(src_dir, "_planted")
-    if not os.path.exists(marker):
+    events_path = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(events_path)
+    # The marker records the source file's identity so a regenerated fixture
+    # (new size/mtime) invalidates stale copies instead of silently replaying
+    # old data against the new oracle tables.
+    stamp = f"{st.st_size}:{int(st.st_mtime)}"
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if current != stamp:
         shutil.rmtree(src_dir, ignore_errors=True)
         os.makedirs(src_dir, exist_ok=True)
-        events_path = os.path.join(sf_dir, "events.parquet")
         shutil.copy(events_path, os.path.join(src_dir, "copy_a.parquet"))
         shutil.copy(events_path, os.path.join(src_dir, "copy_b.parquet"))
-        open(marker, "w").close()
+        with open(marker, "w") as f:
+            f.write(stamp)
     return tag, src_dir
 
 
@@ -190,14 +199,16 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag, src_dir = _planted_dup_source(sf_dir)
     name = f"stream_dedup_{tag}"
     raw = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(
+            _events_stream_schema(spark, os.path.join(src_dir, "copy_a.parquet"))
+        )
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
     from data_ingestion_pipeline_spark.streaming.windows import dedup_events_stream
 
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_event_ts(raw)
     deduped = dedup_events_stream(events, watermark="24 hours").select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -238,12 +249,14 @@ def stateful_user_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag, src_dir = _planted_dup_source(sf_dir)
     name = f"stream_profile_{tag}"
     raw = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(
+            _events_stream_schema(spark, os.path.join(src_dir, "copy_a.parquet"))
+        )
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_event_ts(raw)
     profiles = user_profile_stream(events)
     with _stream_state_partitions(spark):
         query = (
@@ -283,12 +296,13 @@ FROM events GROUP BY user_id
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events_file = os.path.join(sf_dir, "events.parquet")
     raw = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(spark, events_file))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def _drain(query, spark: SparkSession, name: str) -> DataFrame:
@@ -430,7 +444,14 @@ def _shifted_update_source(spark: SparkSession, sf_dir: str) -> str:
     tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
     src_dir = f"/tmp/spark_graft_scratch/{tag}/stream_ingest_src"
     marker = os.path.join(src_dir, "_planted")
-    if not os.path.exists(marker):
+    events_path = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(events_path)
+    stamp = f"{st.st_size}:{int(st.st_mtime)}"
+    current = None
+    if os.path.exists(marker):
+        with open(marker) as f:
+            current = f.read().strip()
+    if current != stamp:
         shutil.rmtree(src_dir, ignore_errors=True)
         os.makedirs(src_dir, exist_ok=True)
         base = load_table(spark, sf_dir, "events").select(
@@ -447,7 +468,8 @@ def _shifted_update_source(spark: SparkSession, sf_dir: str) -> str:
             shutil.move(part, dst)
             os.utime(dst, (mtime, mtime))
             shutil.rmtree(tmp, ignore_errors=True)
-        open(marker, "w").close()
+        with open(marker, "w") as f:
+            f.write(stamp)
     return src_dir
 
 
@@ -538,7 +560,9 @@ def streaming_incremental_agg_events(spark: SparkSession, sf_dir: str) -> DataFr
     table = ManagedTable(spark, root)
 
     raw = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(
+            _events_stream_schema(spark, os.path.join(src_dir, "copy_a.parquet"))
+        )
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)

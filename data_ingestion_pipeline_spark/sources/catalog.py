@@ -17,7 +17,15 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["TABLES", "DIM_TABLES", "load_table", "load_tables", "register_views", "default_sf_dir"]
+__all__ = [
+    "TABLES",
+    "DIM_TABLES",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "default_sf_dir",
+    "normalize_event_ts",
+]
 
 # Every driver-provided table (TESTDATA.md).
 TABLES = (
@@ -56,22 +64,39 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # sessions already run UTC; this covers bare driver sessions.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS). Spark can only read it as a
-        # nanos-since-epoch long under spark.sql.legacy.parquet.nanosAsLong.
-        # session.py sets this for our own sessions, but callers (the driver
-        # harness) may hand us a bare SparkSession — set it at runtime here so
-        # every entry point can read events.parquet.
+        # Older fixture generations wrote events.ts as parquet
+        # TIMESTAMP(NANOS), readable only as a nanos-since-epoch long under
+        # spark.sql.legacy.parquet.nanosAsLong. session.py sets this for our
+        # own sessions, but callers (the driver harness) may hand us a bare
+        # SparkSession — set it at runtime so either fixture vintage reads.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # Convert the nanos long to a microsecond TimestampType the rest of
-        # the engine (and the DuckDB oracle, which truncates ns→µs on fetch)
-        # agrees on.
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
+        df = normalize_event_ts(df)
+    return df
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Coerce the events timestamp to a microsecond ``TimestampType`` UTC
+    instant regardless of how the fixture vintage stored it:
+
+    - parquet TIMESTAMP(NANOS) read as long (``nanosAsLong``) → µs instant;
+    - parquet timestamp[us] without timezone → Spark ``TIMESTAMP_NTZ``; the
+      fixture values are naive UTC, and the session tz is pinned UTC above,
+      so a plain cast re-labels the same wall-clock as the same instant;
+    - already ``TimestampType`` → untouched.
+
+    Everything downstream (event-time windows, ``unix_micros`` temporal
+    joins, the DuckDB oracle which renders naive UTC) agrees on this form.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
