@@ -37,77 +37,25 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 
 
 # The driver verifies queries in REGISTRATION ORDER and has a finite budget
-# (round 1: it stopped after the first 50 of 82, leaving the entire
-# streaming/dedup/similarity/temporal/multimodal surface unverified). The
-# registration calls below stay grouped by subject; these lists re-order the
-# exported dicts so the driver spends its budget where evidence is thinnest:
-#   1. round-1 failures (nanos ERRs, hash fails, canonicalizer crashes) —
-#      every one flips a red SURVEY §2 / driver row to green;
-#   2. queries with NO driver row yet (round-1 positions 51-82 + new ops).
-# Within the combined priority tier, hash-checked oracles sort before
-# rows-only approximates (see _ordered_names) — a rows-only row carries the
-# weakest signal, so those are the entries allowed past a 50-query budget.
-# Maintained per round from the latest CORRECTNESS_r{N}.json; tests assert
-# the lists stay in sync with the registry contents.
-_ROUND1_FAILED = [
-    "csv_ingest_events",
-    "merge_upsert_events",
-    "revenue_per_product",
-    "distinct_users_daily",
-    "event_type_pivot",
-    "latest_event_per_user",
-    "event_counts_unpivot",
-    "daily_user_activity_gapfilled",
-    "event_value_outliers",
-    "user_event_type_sets",
-    "jsonl_roundtrip_events",
-    "orc_roundtrip_events",
+# (it checks the first 50). The registration calls below stay grouped by
+# subject; these lists re-order the exported dicts so the driver spends its
+# budget where evidence is thinnest. Maintained per round from the latest
+# CORRECTNESS_r{N}.json; tests assert the lists stay in sync with the
+# registry contents.
+#
+# Round-3 state: rounds 1+2 together produced a green row for 84 of 91
+# then-registered queries (r2 was 50/50 green). The thin spots are:
+_UNVERIFIED = [
+    # r1 failures whose fixes (array flattening, decimal sums) have never
+    # been driver-rechecked — r2's budget went to the streaming/dedup tier
     "approx_price_quantiles_by_priority",
     "frequent_users_sketch",
     "approx_distinct_users_daily",
-]
-_NEVER_VERIFIED = [
-    # oracle-hash-checked first
-    "jdbc_roundtrip_orders",
-    "catalog_database_roundtrip",
-    "streaming_ingest_merge_events",
-    "streaming_incremental_agg_events",
-    "knn_graph_embeddings",
-    "embedding_lsh_verified_near_dup",
-    "ann_ivf_exhaustive_topk_embeddings",
-    "pack_documents_context_windows",
-    "corpus_mixture_documents",
-    "exact_dedup_documents",
-    "dedup_survivor_quality_documents",
-    "minhash_verified_near_dup_documents",
-    "salted_skew_join_events",
-    "csv_ingest_inventory",
-    "ngram_jaccard_documents",
-    "embedding_cosine_dedup",
-    "doc_fingerprint_rolling",
-    "cosine_topk_embeddings",
-    "json_extract_events",
-    "quality_filter_documents",
-    "stratified_sample_documents",
-    "text_hygiene_documents",
-    "near_dup_clusters_documents",
-    "purchase_funnel_users",
-    "daily_cohort_retention",
-    "asof_prev_view_per_purchase",
-    "views_within_hour_of_purchase",
-    "multimodal_metadata",
-    "multimodal_image_features",
-    "multimodal_frame_sample",
-    "sliding_window_events",
-    "sessionize_events",
-    "streaming_tumbling_events",
-    "streaming_dedup_events",
-    "streaming_interval_join_events",
-    "streaming_enriched_events",
-    "streaming_session_window_events",
-    "stateful_user_profile_events",
-    # rows-only approximates (pytest-bounded); the judge flagged simhash +
-    # minhash explicitly, so they lead this tail
+    "revenue_per_product_sql",
+    # never checked in any round. tumbling_window_events is oracled (its
+    # twin streaming_tumbling_events ran the same builder + oracle in r2);
+    # the rest are rows-only approximates, pytest-bounded by recall tests
+    "tumbling_window_events",
     "simhash_near_dup_documents",
     "minhash_near_dup_documents",
     "embedding_lsh_near_dup",
@@ -115,35 +63,57 @@ _NEVER_VERIFIED = [
     "ann_ivf_topk_embeddings",
     "lang_id_documents",
 ]
-# Oracled queries allowed past the budget because an in-budget twin runs the
-# IDENTICAL Catalyst pipeline against the IDENTICAL oracle — the SQL-text
-# surface and the DataFrame builder converge in the analyzer, so one green
-# row certifies both (result identity also pinned in pytest).
-_COVERED_BY_TWIN = [
-    "revenue_per_product_sql",  # twin: revenue_per_product
-    # twin: streaming_tumbling_events — same tumbling_event_stats builder
-    # and the same oracle string; the streaming run is the stronger check
-    # (it additionally exercises watermark + state store + availableNow)
-    "tumbling_window_events",
+# Operators added this round — each needs its first driver row.
+_ROUND3_NEW: list[str] = []
+# Green in round 1 only; round 2's budget went elsewhere and the fixtures
+# were since regenerated, so a fresh row on the new fixture ranks above
+# re-verifying round 2's (newer) rows.
+_R1_GREEN_ONLY = [
+    "low_stock",
+    "orders_per_product_month",
+    "revenue_per_category",
+    "inventory_status",
+    "most_sold_per_category",
+    "exists_semi_join",
+    "anti_join_new_keys",
+    "in_list_filter",
+    "composite_key_semi_join",
+    "customer_order_enrichment",
+    "top_parts_per_brand",
+    "customer_order_ranks",
+    "revenue_rollup_brand_size",
+    "set_ops_customer_segments",
+    "top_revenue_orders",
+    "price_quantiles_by_priority",
+    "acctbal_full_outer_reconciliation",
+    "order_price_histogram",
+    "order_status_priority_cube",
+    "trailing_spend_30d",
+    "customer_spend_deciles",
+    "orders_above_customer_avg",
+    "brand_share_of_revenue",
+    "python_datasource_agg",
+    "schema_evolution_sync",
+    "bucketed_colocated_join",
+    "compacted_sorted_orders",
+    "data_quality_orders",
+    "partitioned_orders_yearly",
+    "text_stats",
+    "doc_tokens_exploded",
+    "tfidf_top_terms",
+    "curation_pipeline_documents",
+    "chunk_documents",
 ]
 
 
 def _ordered_names() -> list[str]:
     front = [
-        n
-        for n in [*_ROUND1_FAILED, *_NEVER_VERIFIED, *_COVERED_BY_TWIN]
-        if n in _REGISTRY
+        n for n in [*_UNVERIFIED, *_ROUND3_NEW, *_R1_GREEN_ONLY] if n in _REGISTRY
     ]
-    # Hash-checked oracles before rows-only checks WITHIN the priority
-    # tier: a rows-only row is the weakest driver signal (every approximate
-    # op already has a pytest recall/error-bound test), so those are the
-    # ones allowed to fall outside a 50-query verify budget.
-    twin = set(_COVERED_BY_TWIN)
-    oracled = [n for n in front if _REGISTRY[n][1] is not None and n not in twin]
-    rows_only = [n for n in front if _REGISTRY[n][1] is None]
-    covered = [n for n in front if n in twin]
     seen = set(front)
-    return oracled + rows_only + covered + [n for n in _REGISTRY if n not in seen]
+    # remainder: round-2 greens — the freshest driver evidence, so the tier
+    # most safely parked outside the verify budget
+    return front + [n for n in _REGISTRY if n not in seen]
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,41 +1,41 @@
 """Structural checks on the query registry / driver contract surface.
 
 The driver verifies queries in registration order with a finite budget
-(round 1: first 50 only), so the export order is part of the contract:
-evidence-thinnest queries must come first, and the priority lists must stay
-in sync with what is actually registered.
+(first 50), so the export order is part of the contract: evidence-thinnest
+queries must come first, and the priority lists must stay in sync with what
+is actually registered.
 """
 
 from data_ingestion_pipeline_spark import registry
 
 
+def _priority_lists():
+    return (
+        registry._UNVERIFIED,
+        registry._ROUND3_NEW,
+        registry._R1_GREEN_ONLY,
+    )
+
+
 def test_priority_lists_cover_registry_names():
     names = set(registry._REGISTRY)
-    for n in registry._NEVER_VERIFIED + registry._ROUND1_FAILED:
+    all_priority = [n for lst in _priority_lists() for n in lst]
+    for n in all_priority:
         assert n in names, f"priority list names unknown query {n!r}"
-    assert not set(registry._NEVER_VERIFIED) & set(registry._ROUND1_FAILED)
+    assert len(all_priority) == len(set(all_priority)), "duplicate priority entries"
 
 
 def test_export_order_spends_driver_budget_on_thin_evidence():
     ordered = list(registry.queries())
     assert set(ordered) == set(registry._REGISTRY)
     budget = set(ordered[:50])
-    oracled = set(registry.oracle_sql())
-    priority = (
-        registry._ROUND1_FAILED
-        + registry._NEVER_VERIFIED
-        + registry._COVERED_BY_TWIN
-    )
-    # every oracle-hash-checked priority query verifies inside the budget;
-    # only rows-only approximates (weak driver signal, pytest-bounded) may
-    # overflow it
-    twin_ok = set(registry._COVERED_BY_TWIN)
-    for n in priority:
-        if n in oracled and n not in twin_ok:
-            assert n in budget, f"{n!r} is oracle-checked but outside the budget"
-    # and the priority tier strictly precedes the already-green tier
-    n_priority = len(priority)
-    assert set(ordered[:n_priority]) == set(priority)
+    # every query with no driver row yet — the r1-fixed batch and this
+    # round's new operators — must verify inside the budget
+    for n in [*registry._UNVERIFIED, *registry._ROUND3_NEW]:
+        assert n in budget, f"{n!r} has no driver row but sits outside the budget"
+    # and the priority tiers strictly precede the already-green remainder
+    priority = [n for lst in _priority_lists() for n in lst]
+    assert ordered[: len(priority)] == priority
 
 
 def test_oracles_reference_registered_queries():
