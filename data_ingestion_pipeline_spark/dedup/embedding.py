@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.functions.partitioning import fan_out
 from data_ingestion_pipeline_spark.functions.vector import as_double_array, cosine, dot, l2_norm
-from data_ingestion_pipeline_spark.similarity.lsh import bucket_expr, hyperplanes
+from data_ingestion_pipeline_spark.similarity.lsh import band_buckets
 
 __all__ = ["cosine_pairs", "cosine_pairs_blas", "lsh_cosine_pairs"]
 
@@ -218,50 +218,55 @@ def lsh_cosine_pairs(
     then computed only for candidates, and a distinct() collapses pairs that
     collide in several bands.
     """
-    banded = fan_out(df).select(
+    vecs = fan_out(df).select(
         F.col(id_col).alias("_id"),
         as_double_array(F.col(vec_col)).alias("_v"),
     )
-    banded = banded.select(
+    # All band buckets in one Arrow-batched matmul (similarity/lsh.py::
+    # band_buckets) — the expression form is O(B·planes·dim) codegen terms
+    # and its compile time alone dominates at recall-complete band counts.
+    # The banded table is materialized once (localCheckpoint): Spark plans
+    # the self-join below as two copies of the subtree, so an un-pinned
+    # banding would re-run the Python kernel per branch (measured 6 ArrowEval
+    # nodes in the executed plan). The pinned form is N×(B longs) — the same
+    # "persist the bucketed corpus" step a production pipeline does anyway.
+    banded = vecs.select(
         "_id",
-        "_v",
-        *[
-            bucket_expr(
-                F.col("_v"), hyperplanes(dim, planes_per_band, seed=971 + band)
-            ).alias(f"b{band}")
-            for band in range(n_bands)
-        ],
-    )
+        band_buckets(F.col("_v"), dim, n_bands, planes_per_band).alias("_bkts"),
+    ).localCheckpoint()
+    # Candidates-first: only (id, band, bucket) flows through the banding
+    # self-join — the collision volume is B × Σ bucket², and a collision row
+    # is 3 longs, not two dim-wide vectors. Carrying vectors through this
+    # join is the difference between a ~16-byte and a ~1 KB shuffle row; at
+    # any scale the id-only form wins, and the vectors are joined back
+    # exactly once per *distinct* candidate pair below.
     bands = banded.select(
-        "_id",
-        "_v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(band).alias("band"), F.col(f"b{band}").alias("bucket"))
-                    for band in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "_v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "_id", F.posexplode("_bkts").alias("band", "bucket")
+    )
 
-    left = bands.select(
-        "band", "bucket", F.col("_id").alias("id_a"), F.col("_v").alias("va")
-    )
-    right = bands.select(
-        "band", "bucket", F.col("_id").alias("id_b"), F.col("_v").alias("vb")
-    )
-    # Score per collision, threshold, THEN dedup: a pair colliding in
-    # several bands re-scores (cheap unrolled dot) instead of flowing
-    # vector-carrying rows through a wide dropDuplicates aggregate — the
-    # distinct() runs on the tiny post-threshold (id, id, score) output.
-    scored = (
+    left = bands.select("band", "bucket", F.col("_id").alias("id_a"))
+    right = bands.select("band", "bucket", F.col("_id").alias("id_b"))
+    candidates = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # One exact score per candidate pair (not per collision): two hash
+    # equi-joins on id re-attach the vectors, then the unrolled dot runs
+    # once. Both joins shuffle on the id key — no broadcast assumption, so
+    # the same plan survives when N no longer fits an executor.
+    scored = (
+        candidates.join(
+            vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("va")), "id_a"
+        )
+        .join(
+            vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb")), "id_b"
+        )
         .select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("va"), F.col("vb")), 6).alias("score"),
         )
     )
-    return scored.filter(F.col("score") >= threshold).distinct()
+    return scored.filter(F.col("score") >= threshold)
