@@ -1,0 +1,214 @@
+"""Driver-checkable lakehouse-maintenance queries: SCD2 history, CDC MERGE
+feed, delete-by-key rewrite, multi-resolution rollup.
+
+These generalize the reference's in-place upsert (SURVEY.md §2.6,
+/root/reference/flows/data_ingestion.py:99-216) to the table-maintenance
+operations a warehouse actually runs: keep attribute history instead of
+losing it (SCD2), publish the change feed instead of swallowing it (CDC),
+erase keys under a retention contract (GDPR delete), and serve coarse
+aggregates from finer pre-aggregates (rollup) instead of rescanning raw.
+
+Every query derives its change batches deterministically from the fixture
+tables, so a plain-SQL DuckDB oracle can recompute the closed-form result.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.functions.numeric import dec_sum2
+from data_ingestion_pipeline_spark.plans.scd import merge_changes, scd2_apply
+from data_ingestion_pipeline_spark.plans.table import ManagedTable
+from data_ingestion_pipeline_spark.sources.catalog import load_table
+
+__all__ = [
+    "scd2_customer_dimension",
+    "merge_cdc_orders",
+    "gdpr_delete_events",
+    "daily_rollup_from_hourly_events",
+]
+
+_SCRATCH = "/tmp/spark_graft_scratch"
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(_SCRATCH, tag, name)
+
+
+def scd2_customer_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 customer dimension after one change batch.
+
+    Bootstrap: every customer current since 2023-01-01. The 2023-06-01
+    batch re-states every 7th customer's segment (changed → close + open),
+    re-sends every 7th+1 customer unchanged (must be a no-op), and adds new
+    customers (key + 1_000_000) for every 13th (insert). One key join, no
+    per-row logic — plans/scd.py.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    dim = cust.select(
+        "*",
+        F.lit("2023-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_mktsegment", F.concat(F.lit("SEG_"), F.col("c_mktsegment"))
+    )
+    unchanged = cust.filter(F.col("c_custkey") % 7 == 1)
+    new = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+    )
+    batch = changed.unionByName(unchanged).unionByName(new)
+    return scd2_apply(
+        dim, batch, "c_custkey", ["c_name", "c_mktsegment"], "2023-06-01"
+    )
+
+
+SCD2_CUSTOMER_DIMENSION_ORACLE = """
+WITH cust AS (SELECT c_custkey, c_name, c_mktsegment FROM customer)
+-- closed-out prior versions of changed keys
+SELECT c_custkey, c_name, c_mktsegment,
+       TIMESTAMP '2023-01-01' AS valid_from,
+       TIMESTAMP '2023-06-01' AS valid_to,
+       FALSE AS is_current
+FROM cust WHERE c_custkey % 7 = 0
+UNION ALL
+-- untouched current rows (unchanged re-sends are no-ops)
+SELECT c_custkey, c_name, c_mktsegment,
+       TIMESTAMP '2023-01-01', NULL, TRUE
+FROM cust WHERE c_custkey % 7 <> 0
+UNION ALL
+-- new current version of changed keys
+SELECT c_custkey, c_name, 'SEG_' || c_mktsegment,
+       TIMESTAMP '2023-06-01', NULL, TRUE
+FROM cust WHERE c_custkey % 7 = 0
+UNION ALL
+-- brand-new keys
+SELECT c_custkey + 1000000, 'NEW ' || c_name, 'NEWSEG',
+       TIMESTAMP '2023-06-01', NULL, TRUE
+FROM cust WHERE c_custkey % 13 = 0
+"""
+
+
+def merge_cdc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture feed of MERGEing a deterministic batch into
+    orders: every 7th order re-priced (+100, status 'X') → pre+post image
+    rows; every 7th+1 re-sent unchanged → no feed rows; every 13th cloned
+    to a new key (+100_000_000) → insert rows. plans/scd.py::merge_changes.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    changed = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        F.lit("X").alias("o_orderstatus"),
+    )
+    unchanged = orders.filter(F.col("o_orderkey") % 7 == 1)
+    new = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    batch = changed.unionByName(unchanged).unionByName(new)
+    return merge_changes(
+        orders, batch, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    )
+
+
+MERGE_CDC_ORDERS_ORACLE = """
+SELECT 'insert' AS op, o_orderkey + 100000000 AS o_orderkey,
+       o_totalprice, 'N' AS o_orderstatus
+FROM orders WHERE o_orderkey % 13 = 0
+UNION ALL
+SELECT 'update_preimage', o_orderkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT 'update_postimage', o_orderkey, o_totalprice + 100.0, 'X'
+FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+
+def gdpr_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure: events for every 17th user are deleted via
+    ManagedTable.delete_where (projecting rewrite + atomic version swap;
+    prior versions stay readable as the bounded audit window — asserted in
+    pytest). Returns the post-delete per-type profile; the oracle
+    recomputes it from the raw table with the same predicate."""
+    root = _scratch(sf_dir, "gdpr_events")
+    shutil.rmtree(root, ignore_errors=True)
+    table = ManagedTable(spark, root, keep_versions=3)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    table.overwrite(events)
+    table.delete_where(F.col("user_id") % 17 == 0)
+    return (
+        table.read()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            dec_sum2(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+        )
+    )
+
+
+GDPR_DELETE_EVENTS_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(ROUND(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_value
+FROM events WHERE user_id % 17 <> 0
+GROUP BY event_type
+"""
+
+
+def daily_rollup_from_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup: the daily level is computed by re-aggregating
+    the HOURLY pre-aggregate, not the raw events — the hypertable/cube
+    pattern where each coarser resolution reads the finer one (hours/day
+    rows instead of events/day). Works because the partial states compose:
+    counts add, and the value sum is an exact DECIMAL(18,6), associative
+    across any regrouping — the same property that makes the result
+    engine-identical. The oracle computes the daily level directly from raw
+    events; equality proves the two-level derivation lossless. At scale
+    each level is a materialized table maintained incrementally
+    (streaming/ingest.py::merge_additive_aggregates does exactly this for
+    the streaming case)."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,6)")).alias(
+            "value_dec"
+        ),
+    )
+    return (
+        hourly.groupBy(F.to_date("hour").alias("day"))
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.round(F.sum("value_dec"), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+DAILY_ROLLUP_FROM_HOURLY_EVENTS_ORACLE = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_value
+FROM events
+GROUP BY 1
+"""

@@ -25,7 +25,7 @@ from data_ingestion_pipeline_spark.dedup.minhash import (
     minhash_near_dup_pairs,
     minhash_verified_pairs_complete,
 )
-from data_ingestion_pipeline_spark.dedup.ngram import jaccard_pairs
+from data_ingestion_pipeline_spark.dedup.ngram import jaccard_pairs, shingle_sets
 from data_ingestion_pipeline_spark.dedup.simhash import simhash_near_dup_pairs
 from data_ingestion_pipeline_spark.functions.text import (
     BPE_ISH_PATTERN,
@@ -76,6 +76,8 @@ __all__ = [
     "pack_documents_context_windows",
     "corpus_mixture_documents",
     "dedup_survivor_quality_documents",
+    "decontaminate_documents",
+    "ann_pq_topk_embeddings",
 ]
 
 
@@ -221,6 +223,91 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs on the planted corpus."""
     aug = _near_dup_corpus(load_table(spark, sf_dir, "documents"))
     return jaccard_pairs(aug, "text", "doc_id", n=3, threshold=0.4)
+
+
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    8-token window with a held-out benchmark set.
+
+    Benchmark = every 97th document. Training corpus = the rest, plus
+    planted leaks (80%-prefix copies of each benchmark doc, ids
+    +2_000_000) so the check has positives by construction. Both sides
+    shingle through the shared hashed-window representation
+    (dedup/ngram.py::shingle_sets); the benchmark's distinct shingles are
+    BROADCAST into an inner join against the exploded corpus shingles — the
+    100 TB shape, since benchmark suites are KBs while the corpus is the
+    big side: the corpus is scanned once, never shuffled on the pair key.
+    Output: (doc_id, n_hits, contamination-fraction of the doc's windows).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    tok = F.split(F.trim(F.col("text")), r"\s+")
+    prefix_len = F.greatest(F.ceil(F.size(tok) * 0.8).cast("int"), F.lit(1))
+    leaked = bench_docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(tok, F.lit(1), prefix_len)).alias("text"),
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "text")
+        .unionByName(leaked)
+    )
+    bench_sh = (
+        shingle_sets(bench_docs, "text", "doc_id", n=8)
+        .select(F.explode_outer("sset").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .distinct()
+    )
+    corpus_sh = (
+        shingle_sets(corpus, "text", "doc_id", n=8)
+        .select("doc_id", "set_size", F.explode_outer("sset").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id", "set_size")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("set_size").cast("double"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+DECONTAMINATE_DOCUMENTS_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), corpus_toks AS (
+    SELECT doc_id, toks FROM toks WHERE doc_id % 97 <> 0
+    UNION ALL
+    SELECT doc_id + 2000000,
+           toks[1:GREATEST(CAST(CEIL(len(toks) * 0.8) AS INTEGER), 1)]
+    FROM toks WHERE doc_id % 97 = 0
+), sets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, GREATEST(len(toks) - 7, 1) + 1),
+               i -> array_to_string(toks[i:i+7], ' ')
+           )) AS sset
+    FROM corpus_toks
+), bench AS (
+    SELECT DISTINCT unnest(list_transform(
+               range(1, GREATEST(len(toks) - 7, 1) + 1),
+               i -> array_to_string(toks[i:i+7], ' ')
+           )) AS sh
+    FROM toks WHERE doc_id % 97 = 0
+), corpus AS (
+    SELECT doc_id, len(sset) AS sz, unnest(sset) AS sh FROM sets
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(sz AS DOUBLE), 6) AS contamination
+FROM corpus JOIN bench USING (sh)
+GROUP BY doc_id, sz
+"""
 
 
 NGRAM_JACCARD_DOCUMENTS_ORACLE = r"""
@@ -439,6 +526,29 @@ def ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4)
+
+
+def ann_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-20 for the vec_id=0 query (rows-only:
+    approximate by construction; recall vs brute force asserted in pytest).
+
+    The third ANN leg beside LSH (data-independent buckets) and IVF
+    (coarse cells): PQ compresses every vector to 16 one-byte subspace
+    codes — a 16× scan-size reduction, which is what makes exhaustive
+    *approximate* scoring affordable at corpus scale — and answers with one
+    S×K lookup table per query (similarity/pq.py). Vectors are unit-norm,
+    so the asymmetric inner product approximates cosine directly
+    (recall@20 ≈ 0.8 vs brute force on this corpus, pinned in pytest)."""
+    from data_ingestion_pipeline_spark.similarity.pq import (
+        pq_encode,
+        pq_topk,
+        train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_codebooks(emb)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return pq_topk(pq_encode(emb, books), q, books, k=20)
 
 
 def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,6 +103,21 @@ class ManagedTable:
         self._vacuum()
         return version
 
+    def delete_where(self, condition) -> str:
+        """Delete matching rows (GDPR/right-to-erasure): commit a new
+        version holding only the survivors.
+
+        Parquet files are immutable, so deletion is a projecting rewrite —
+        the same move as schema-evolution drops — committed atomically via
+        the pointer swap. Prior retained versions still contain the rows
+        (time travel is the audit trail); `_vacuum` bounds how long they
+        survive, which is exactly the `keep_versions`-sized retention window
+        a compliance pipeline tunes. At cluster scale, key-partitioned
+        layout turns this into a partial rewrite of only the partitions
+        whose min/max overlap the predicate.
+        """
+        return self.overwrite(self.read().filter(~condition))
+
     def _data_bytes(self, version: str) -> int:
         path = os.path.join(self.root, version)
         return sum(

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from data_ingestion_pipeline_spark.operators import (
     evolution_checks,
     ingestion_checks,
+    lakehouse_checks,
     llm_data,
     multimodal_checks,
     relational,
@@ -64,7 +65,14 @@ _UNVERIFIED = [
     "lang_id_documents",
 ]
 # Operators added this round — each needs its first driver row.
-_ROUND3_NEW: list[str] = []
+_ROUND3_NEW: list[str] = [
+    "scd2_customer_dimension",
+    "merge_cdc_orders",
+    "gdpr_delete_events",
+    "daily_rollup_from_hourly_events",
+    "decontaminate_documents",
+    "ann_pq_topk_embeddings",
+]
 # Green in round 1 only; round 2's budget went elsewhere and the fixtures
 # were since regenerated, so a fresh row on the new fixture ranks above
 # re-verifying round 2's (newer) rows.
@@ -786,3 +794,37 @@ register(
     streaming_checks.streaming_incremental_agg_events,
     streaming_checks.STREAMING_INCREMENTAL_AGG_EVENTS_ORACLE,
 )
+
+# --- round 3: lakehouse maintenance + decontamination ---
+
+register(
+    "scd2_customer_dimension",
+    lakehouse_checks.scd2_customer_dimension,
+    lakehouse_checks.SCD2_CUSTOMER_DIMENSION_ORACLE,
+)
+
+register(
+    "merge_cdc_orders",
+    lakehouse_checks.merge_cdc_orders,
+    lakehouse_checks.MERGE_CDC_ORDERS_ORACLE,
+)
+
+register(
+    "gdpr_delete_events",
+    lakehouse_checks.gdpr_delete_events,
+    lakehouse_checks.GDPR_DELETE_EVENTS_ORACLE,
+)
+
+register(
+    "daily_rollup_from_hourly_events",
+    lakehouse_checks.daily_rollup_from_hourly_events,
+    lakehouse_checks.DAILY_ROLLUP_FROM_HOURLY_EVENTS_ORACLE,
+)
+
+register(
+    "decontaminate_documents",
+    llm_data.decontaminate_documents,
+    llm_data.DECONTAMINATE_DOCUMENTS_ORACLE,
+)
+
+register("ann_pq_topk_embeddings", llm_data.ann_pq_topk_embeddings, None)
