@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_ingestion_pipeline_spark.functions.numeric import dec_sum2
+from data_ingestion_pipeline_spark.operators.scratch import (
+    marker_current,
+    source_stamp,
+    write_marker,
+)
 from data_ingestion_pipeline_spark.plans.schema_evolution import sync_table_schema
 from data_ingestion_pipeline_spark.plans.table import ManagedTable
 from data_ingestion_pipeline_spark.sources.catalog import load_table
@@ -92,12 +97,14 @@ def partitioned_orders_path(spark: SparkSession, sf_dir: str) -> str:
     """Write ``orders`` partitioned by order-year (idempotent per sf_dir);
     returns the dataset path. Separate so tests can inspect the layout."""
     path = _scratch(sf_dir, "orders_by_year")
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    marker = os.path.join(path, "_STAMP")
+    stamp = source_stamp(os.path.join(sf_dir, "orders.parquet"))
+    if not marker_current(marker, stamp):
         orders = load_table(spark, sf_dir, "orders").withColumn(
             "o_year", F.year("o_orderdate")
         )
         orders.write.partitionBy("o_year").mode("overwrite").parquet(path)
+        write_marker(marker, stamp)
     return path
 
 
@@ -250,15 +257,15 @@ def compacted_sorted_orders_table(spark: SparkSession, sf_dir: str) -> ManagedTa
     versions and footers."""
     root = _scratch(sf_dir, "orders_layout")
     marker = os.path.join(root, "_BUILT")
-    if not os.path.exists(marker):
+    stamp = source_stamp(os.path.join(sf_dir, "orders.parquet"))
+    if not marker_current(marker, stamp):
         shutil.rmtree(root, ignore_errors=True)
         table = ManagedTable(spark, root, keep_versions=3)
         orders = load_table(spark, sf_dir, "orders")
         table.overwrite(orders.repartition(64))
         table.compact(target_file_bytes=128 * 1024 * 1024)
         table.sorted_overwrite(table.read(), ["o_orderdate"], num_files=4)
-        with open(marker, "w") as f:
-            f.write("ok")
+        write_marker(marker, stamp)
     return ManagedTable(spark, root, keep_versions=3)
 
 

@@ -22,6 +22,11 @@ from data_ingestion_pipeline_spark.functions.normalize import (
     parse_iso8601,
     rename_columns_snake_case,
 )
+from data_ingestion_pipeline_spark.operators.scratch import (
+    marker_current,
+    source_stamp,
+    write_marker,
+)
 from data_ingestion_pipeline_spark.plans.merge import merge_upsert
 from data_ingestion_pipeline_spark.plans.table import ManagedTable
 from data_ingestion_pipeline_spark.sources.catalog import load_table
@@ -32,6 +37,7 @@ __all__ = [
     "merge_upsert_events",
     "jsonl_roundtrip_events",
     "orc_roundtrip_events",
+    "xml_roundtrip_events",
     "python_datasource_agg",
     "jdbc_roundtrip_orders",
 ]
@@ -254,13 +260,54 @@ def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    marker = os.path.join(path, "_STAMP")
+    stamp = source_stamp(os.path.join(sf_dir, "events.parquet"))
+    if not marker_current(marker, stamp):
         events.write.mode("overwrite").orc(path)
+        write_marker(marker, stamp)
     return spark.read.schema(events.schema).orc(path)
 
 
 ORC_ROUNDTRIP_EVENTS_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
+def xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink → XML source round trip (Spark 4 ships the spark-xml
+    datasource natively). Row-oriented text format — the interchange-format
+    counterpart to the columnar ORC/parquet paths; schema-on-read with an
+    explicit schema, same as the CSV/JSONL ingests. Timestamps round-trip
+    through ISO-8601 text under the pinned UTC session."""
+    path = _scratch(sf_dir, "events_xml")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # default XML timestamp rendering truncates to milliseconds; pin a
+    # microsecond format on both sides so the round trip is lossless
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    marker = os.path.join(path, "_STAMP")
+    stamp = source_stamp(os.path.join(sf_dir, "events.parquet"))
+    if not marker_current(marker, stamp):
+        (
+            events.write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "events")
+            .option("rowTag", "event")
+            .option("timestampFormat", ts_fmt)
+            .save(path)
+        )
+        write_marker(marker, stamp)
+    return (
+        spark.read.schema(events.schema)
+        .format("xml")
+        .option("rowTag", "event")
+        .option("timestampFormat", ts_fmt)
+        .load(path)
+    )
+
+
+XML_ROUNDTRIP_EVENTS_ORACLE = """
 SELECT event_id, ts, user_id, event_type, value FROM events
 """
 

@@ -78,6 +78,7 @@ __all__ = [
     "dedup_survivor_quality_documents",
     "decontaminate_documents",
     "ann_pq_topk_embeddings",
+    "variant_shred_events",
 ]
 
 
@@ -785,6 +786,37 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_value"),
     )
+
+
+def variant_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over Spark 4's VARIANT type: the props
+    JSON parses ONCE into the binary variant encoding (``parse_json``) and
+    typed paths shred out with ``variant_get`` — repeated path access reads
+    the binary form instead of re-parsing text, which is the point at
+    scale (get_json_object re-parses the string per extraction;
+    ``json_extract_events`` keeps that baseline registered). Aggregates
+    per k-decade so the check exercises extraction + downstream grouping."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        events.select((k - k % 10).alias("k_decade"), k.alias("_k"))
+        .groupBy("k_decade")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("_k").alias("k_min"),
+            F.max("_k").alias("k_max"),
+        )
+    )
+
+
+VARIANT_SHRED_EVENTS_ORACLE = """
+WITH shred AS (SELECT CAST(props->>'k' AS BIGINT) AS k FROM events)
+SELECT k - k % 10 AS k_decade,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(k) AS k_min,
+       MAX(k) AS k_max
+FROM shred GROUP BY 1
+"""
 
 
 JSON_EXTRACT_EVENTS_ORACLE = """

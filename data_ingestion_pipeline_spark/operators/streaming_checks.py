@@ -33,6 +33,7 @@ __all__ = [
     "streaming_tumbling_events",
     "streaming_dedup_events",
     "stateful_user_profile_events",
+    "stateful_event_type_counts_events",
     "streaming_interval_join_events",
     "streaming_enriched_events",
     "streaming_session_window_events",
@@ -292,6 +293,56 @@ SELECT user_id,
            AS value_sum_micros,
        CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_ts_us
 FROM events GROUP BY user_id
+"""
+
+
+def stateful_event_type_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4 arbitrary-state API) over the
+    planted two-batch source: per-user MapState event-type counters whose
+    second batch replays the first — the final emission per (user, type)
+    must be exactly 2× the base count, proving typed MapState survives
+    micro-batch boundaries. Same drain-then-take-final-row pattern as the
+    applyInPandasWithState profile check above."""
+    from data_ingestion_pipeline_spark.streaming.stateful import (
+        user_event_type_counts_stream,
+    )
+
+    tag, src_dir = _planted_dup_source(sf_dir)
+    name = f"stream_tws_counts_{tag}"
+    raw = (
+        spark.readStream.schema(
+            _events_stream_schema(spark, os.path.join(src_dir, "copy_a.parquet"))
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    counts = user_event_type_counts_stream(normalize_event_ts(raw))
+    with _stream_state_partitions(spark):
+        query = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+    if query.isActive:
+        query.stop()
+    emitted = spark.table(name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "n_events")
+    )
+
+
+STATEFUL_EVENT_TYPE_COUNTS_EVENTS_ORACLE = """
+SELECT user_id, event_type, CAST(2 * COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id, event_type
 """
 
 

@@ -72,6 +72,9 @@ _ROUND3_NEW: list[str] = [
     "daily_rollup_from_hourly_events",
     "decontaminate_documents",
     "ann_pq_topk_embeddings",
+    "xml_roundtrip_events",
+    "variant_shred_events",
+    "stateful_event_type_counts_events",
 ]
 # Green in round 1 only; round 2's budget went elsewhere and the fixtures
 # were since regenerated, so a fresh row on the new fixture ranks above
@@ -828,3 +831,31 @@ register(
 )
 
 register("ann_pq_topk_embeddings", llm_data.ann_pq_topk_embeddings, None)
+
+register(
+    "xml_roundtrip_events",
+    ingestion_checks.xml_roundtrip_events,
+    ingestion_checks.XML_ROUNDTRIP_EVENTS_ORACLE,
+)
+
+register(
+    "variant_shred_events",
+    llm_data.variant_shred_events,
+    llm_data.VARIANT_SHRED_EVENTS_ORACLE,
+)
+
+# The transformWithStateInPandas check registers only where its python
+# protobuf dependency exists (absent in this sandbox — no installs). The
+# operator itself (streaming/stateful.py::user_event_type_counts_stream)
+# is environment-independent code; the gate is on the RUNTIME dependency,
+# mirroring multimodal/binary_ops.py's strict-codec policy.
+from data_ingestion_pipeline_spark.streaming.stateful import (  # noqa: E402
+    transform_with_state_available,
+)
+
+if transform_with_state_available():
+    register(
+        "stateful_event_type_counts_events",
+        streaming_checks.stateful_event_type_counts_events,
+        streaming_checks.STATEFUL_EVENT_TYPE_COUNTS_EVENTS_ORACLE,
+    )

@@ -29,7 +29,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-__all__ = ["user_profile_stream", "PROFILE_SCHEMA", "STATE_SCHEMA"]
+__all__ = [
+    "user_profile_stream",
+    "user_event_type_counts_stream",
+    "transform_with_state_available",
+    "PROFILE_SCHEMA",
+    "STATE_SCHEMA",
+]
 
 STATE_SCHEMA = T.StructType(
     [
@@ -91,4 +97,78 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def transform_with_state_available() -> bool:
+    """``transformWithStateInPandas`` speaks protobuf between the JVM state
+    server and the Python worker; without the ``protobuf`` package the
+    driver worker crashes at init. Gate (no install allowed in this
+    sandbox): the operator registers as a driver-checkable query only where
+    the dependency exists."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_event_type_counts_stream(events: DataFrame) -> DataFrame:
+    """Per-user event-type counters on the ``transformWithStateInPandas``
+    API (Spark 4's arbitrary-state processor, successor to
+    ``applyInPandasWithState``): state is a typed MapState keyed by
+    event_type — the state store holds one map entry per (user, type)
+    instead of one serialized blob per user, so single-type updates touch
+    one entry and the state model composes (value/list/map states, timers)
+    where the old API offered a single tuple.
+
+    Emits the UPDATED per-type counts each micro-batch (update semantics;
+    the final emission per key is the cross-batch total — exactly how the
+    profile stream is checked). Requires python-protobuf at runtime — see
+    ``transform_with_state_available``."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    class EventTypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            for pdf in rows:
+                for et, c in pdf["event_type"].value_counts().items():
+                    prev = self._counts.getValue((et,))
+                    n = (prev[0] if prev else 0) + int(c)
+                    self._counts.updateValue((et,), (n,))
+            out = [
+                (user_id, et_key[0], n_val[0])
+                for et_key, n_val in self._counts.iterator()
+            ]
+            yield pd.DataFrame(out, columns=["user_id", "event_type", "n_events"])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=EventTypeCounts(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
     )

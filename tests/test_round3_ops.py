@@ -106,6 +106,35 @@ def test_pq_topk_recall_vs_brute_force(spark):
     assert best.vec_id == 0
 
 
+def test_transform_with_state_gated_on_protobuf(spark):
+    """The transformWithStateInPandas check registers only where its
+    protobuf runtime dependency exists; in this sandbox the gate must keep
+    it OUT of the driver contract (an ERR row is worse than absence). Where
+    protobuf IS present the streaming check itself runs."""
+    import pytest
+
+    from data_ingestion_pipeline_spark import registry
+    from data_ingestion_pipeline_spark.streaming.stateful import (
+        transform_with_state_available,
+    )
+
+    registered = "stateful_event_type_counts_events" in registry.queries()
+    assert registered == transform_with_state_available()
+    if not transform_with_state_available():
+        pytest.skip("python-protobuf absent — transformWithState cannot run here")
+    from data_ingestion_pipeline_spark.operators.streaming_checks import (
+        stateful_event_type_counts_events,
+    )
+
+    out = stateful_event_type_counts_events(spark, SF_SMOKE)
+    direct = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id", "event_type")
+        .agg((2 * F.count("*")).cast("bigint").alias("n_events"))
+    )
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in direct.collect()}
+
+
 def test_decontamination_catches_all_planted_leaks(spark):
     out = llm_data.decontaminate_documents(spark, SF_SMOKE)
     rows = {r["doc_id"]: r for r in out.collect()}
