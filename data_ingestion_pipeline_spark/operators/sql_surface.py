@@ -24,6 +24,7 @@ __all__ = [
     "run_report_sql",
     "revenue_per_product_sql",
     "orders_above_customer_avg",
+    "recursive_orderkey_hierarchy",
 ]
 
 # Translation of /root/reference/README.md:36-149 onto the star schema —
@@ -130,3 +131,47 @@ WHERE o_totalprice > 1.5 * (
     FROM orders i WHERE i.o_custkey = o.o_custkey
 )
 """
+
+
+# Identical text runs on Spark (spark.sql) AND DuckDB: ANSI WITH RECURSIVE
+# with UNION ALL over a strictly-shrinking ancestor chain (anc → anc/10),
+# so termination is structural — Spark 4's recursion operator doesn't yet
+# support UNION-dedup recursion, which rules out cyclic-graph closures but
+# not DAG/chain walks like this one.
+_RECURSIVE_HIERARCHY_SQL = """
+WITH RECURSIVE chain(orderkey, anc, depth) AS (
+    SELECT o_orderkey, o_orderkey, 0 FROM orders
+    UNION ALL
+    SELECT orderkey, CAST(FLOOR(anc / 10) AS BIGINT), depth + 1
+    FROM chain WHERE anc >= 10
+),
+terminal AS (
+    SELECT orderkey, anc AS root_digit, depth AS chain_len
+    FROM chain WHERE anc < 10
+)
+SELECT t.root_digit,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MAX(t.chain_len) AS INT) AS max_chain_len,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_value
+FROM terminal t JOIN orders o ON o.o_orderkey = t.orderkey
+GROUP BY t.root_digit
+"""
+
+
+def recursive_orderkey_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's UnionLoop operator) walking each order key's
+    decimal-digit ancestor chain to its root digit, then aggregating per
+    root — the hierarchy-walk shape (org charts, bill-of-materials,
+    category trees) that plain SQL could not express before recursion
+    landed. The oracle is the SAME recursive text executed by DuckDB, so
+    the check certifies Spark's recursion operator itself, not a
+    hand-unrolled equivalent. Each iteration shrinks every live row's
+    ancestor by 10×, so the loop depth is ⌈log₁₀(max key)⌉ — bounded and
+    data-independent of row COUNT: at 100 TB the recursion adds ~7 joins,
+    each a shuffle on the (small) live frontier."""
+    _register(spark, sf_dir, ("orders",))
+    return spark.sql(_RECURSIVE_HIERARCHY_SQL)
+
+
+RECURSIVE_ORDERKEY_HIERARCHY_ORACLE = _RECURSIVE_HIERARCHY_SQL

@@ -74,6 +74,7 @@ _ROUND3_NEW: list[str] = [
     "ann_pq_topk_embeddings",
     "xml_roundtrip_events",
     "variant_shred_events",
+    "recursive_orderkey_hierarchy",
     "stateful_event_type_counts_events",
 ]
 # Green in round 1 only; round 2's budget went elsewhere and the fixtures
@@ -842,6 +843,12 @@ register(
     "variant_shred_events",
     llm_data.variant_shred_events,
     llm_data.VARIANT_SHRED_EVENTS_ORACLE,
+)
+
+register(
+    "recursive_orderkey_hierarchy",
+    sql_surface.recursive_orderkey_hierarchy,
+    sql_surface.RECURSIVE_ORDERKEY_HIERARCHY_ORACLE,
 )
 
 # The transformWithStateInPandas check registers only where its python

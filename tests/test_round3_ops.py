@@ -106,6 +106,29 @@ def test_pq_topk_recall_vs_brute_force(spark):
     assert best.vec_id == 0
 
 
+def test_recursive_hierarchy_matches_closed_form(spark):
+    """The recursive digit-chain walk equals the closed form: root = leading
+    digit, chain_len = number of digits − 1."""
+    from data_ingestion_pipeline_spark.operators.sql_surface import (
+        recursive_orderkey_hierarchy,
+    )
+
+    got = {r["root_digit"]: r for r in recursive_orderkey_hierarchy(spark, SF_SMOKE).collect()}
+    orders = load_table(spark, SF_SMOKE, "orders")
+    closed = (
+        orders.select(
+            F.substring(F.col("o_orderkey").cast("string"), 1, 1).cast("bigint").alias("root_digit"),
+            (F.length(F.col("o_orderkey").cast("string")) - 1).alias("chain_len"),
+        )
+        .groupBy("root_digit")
+        .agg(F.count("*").cast("bigint").alias("n_orders"), F.max("chain_len").cast("int").alias("max_chain_len"))
+    )
+    for r in closed.collect():
+        g = got[r["root_digit"]]
+        assert g["n_orders"] == r["n_orders"]
+        assert g["max_chain_len"] == r["max_chain_len"]
+
+
 def test_transform_with_state_gated_on_protobuf(spark):
     """The transformWithStateInPandas check registers only where its
     protobuf runtime dependency exists; in this sandbox the gate must keep
