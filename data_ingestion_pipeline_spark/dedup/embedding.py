@@ -233,7 +233,7 @@ def lsh_cosine_pairs(
     banded = vecs.select(
         "_id",
         band_buckets(F.col("_v"), dim, n_bands, planes_per_band).alias("_bkts"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # Candidates-first: only (id, band, bucket) flows through the banding
     # self-join — the collision volume is B × Σ bucket², and a collision row
     # is 3 longs, not two dim-wide vectors. Carrying vectors through this

@@ -25,6 +25,7 @@ __all__ = [
     "revenue_per_product_sql",
     "orders_above_customer_avg",
     "recursive_orderkey_hierarchy",
+    "udtf_part_type_words",
 ]
 
 # Translation of /root/reference/README.md:36-149 onto the star schema —
@@ -175,3 +176,43 @@ def recursive_orderkey_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RECURSIVE_ORDERKEY_HIERARCHY_ORACLE = _RECURSIVE_HIERARCHY_SQL
+
+
+def udtf_part_type_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (user-defined TABLE function, Spark 3.5+/4 API) through
+    a LATERAL join: one input row fans out to one row per word of p_type
+    with its position. This is the set-returning extension point — the
+    Spark analog of a Postgres SRF — registered over the dim-sized part
+    table. It is deliberately NOT the bulk fan-out path: a UDTF evaluates
+    row-at-a-time in Python, so corpus-scale explosion stays on the
+    codegen'd posexplode route (doc_tokens_exploded); what this certifies
+    is that the extension API itself produces engine-correct rows."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="p_partkey bigint, pos int, word string")
+    class TypeWords:
+        def eval(self, p_partkey, p_type):
+            for i, w in enumerate(str(p_type).split()):
+                yield (p_partkey, i, w)
+
+    spark.udtf.register("type_words", TypeWords)
+    _register(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        SELECT t.p_partkey, t.pos, t.word
+        FROM part, LATERAL type_words(p_partkey, p_type) t
+        """
+    )
+
+
+UDTF_PART_TYPE_WORDS_ORACLE = """
+WITH t AS (
+    SELECT p_partkey, regexp_split_to_array(p_type, ' ') AS toks FROM part
+), fanned AS (
+    SELECT p_partkey,
+           unnest(list_transform(range(1, len(toks) + 1),
+                                 i -> struct_pack(pos := i - 1, word := toks[i]))) AS u
+    FROM t
+)
+SELECT p_partkey, CAST(u.pos AS INT) AS pos, u.word AS word FROM fanned
+"""

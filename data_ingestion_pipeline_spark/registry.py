@@ -75,6 +75,7 @@ _ROUND3_NEW: list[str] = [
     "xml_roundtrip_events",
     "variant_shred_events",
     "recursive_orderkey_hierarchy",
+    "udtf_part_type_words",
     "stateful_event_type_counts_events",
 ]
 # Green in round 1 only; round 2's budget went elsewhere and the fixtures
@@ -849,6 +850,12 @@ register(
     "recursive_orderkey_hierarchy",
     sql_surface.recursive_orderkey_hierarchy,
     sql_surface.RECURSIVE_ORDERKEY_HIERARCHY_ORACLE,
+)
+
+register(
+    "udtf_part_type_words",
+    sql_surface.udtf_part_type_words,
+    sql_surface.UDTF_PART_TYPE_WORDS_ORACLE,
 )
 
 # The transformWithStateInPandas check registers only where its python
