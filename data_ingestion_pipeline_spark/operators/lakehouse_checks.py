@@ -30,6 +30,8 @@ __all__ = [
     "merge_cdc_orders",
     "gdpr_delete_events",
     "daily_rollup_from_hourly_events",
+    "zorder_clustered_orders",
+    "zorder_orders_path",
 ]
 
 _SCRATCH = "/tmp/spark_graft_scratch"
@@ -211,4 +213,67 @@ SELECT CAST(ts AS DATE) AS day,
            AS total_value
 FROM events
 GROUP BY 1
+"""
+
+
+def zorder_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """orders re-laid-out as 8 files z-ordered on (o_custkey, o_orderdate)
+    — built once per fixture vintage (source-stamped marker). Separate so
+    pytest can read the parquet footers and measure per-file min/max
+    overlap on BOTH dimensions."""
+    from data_ingestion_pipeline_spark.operators.scratch import (
+        marker_current,
+        source_stamp,
+        write_marker,
+    )
+    from data_ingestion_pipeline_spark.plans.zorder import zorder_frame
+
+    path = _scratch(sf_dir, "orders_zorder")
+    marker = os.path.join(path, "_STAMP")
+    stamp = source_stamp(os.path.join(sf_dir, "orders.parquet"))
+    if not marker_current(marker, stamp):
+        orders = load_table(spark, sf_dir, "orders").withColumn(
+            "o_orderdate_days", F.datediff("o_orderdate", F.lit("1990-01-01"))
+        )
+        laid_out = zorder_frame(
+            orders, ["o_custkey", "o_orderdate_days"], num_files=8
+        ).drop("o_orderdate_days")
+        laid_out.write.mode("overwrite").parquet(path)
+        write_marker(marker, stamp)
+    return path
+
+
+def zorder_clustered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D box query over the z-ordered layout: a selective predicate on
+    BOTH o_custkey and o_orderdate. On the Morton layout each file covers
+    a small hyper-rectangle, so the pushed-down conjunction skips most
+    files from footer min/max alone — a single-key sort can only skip on
+    its one sort column (overlap measured in pytest). The result is
+    layout-independent; the oracle recomputes from the raw table."""
+    df = spark.read.parquet(zorder_orders_path(spark, sf_dir))
+    return (
+        df.filter(
+            (F.col("o_custkey") >= 100)
+            & (F.col("o_custkey") < 200)
+            & (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            dec_sum2(F.col("o_totalprice")).alias("total_value"),
+        )
+    )
+
+
+ZORDER_CLUSTERED_ORDERS_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_value
+FROM orders
+WHERE o_custkey >= 100 AND o_custkey < 200
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY o_orderstatus
 """

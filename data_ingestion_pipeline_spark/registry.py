@@ -76,6 +76,7 @@ _ROUND3_NEW: list[str] = [
     "variant_shred_events",
     "recursive_orderkey_hierarchy",
     "udtf_part_type_words",
+    "zorder_clustered_orders",
     "stateful_event_type_counts_events",
 ]
 # Green in round 1 only; round 2's budget went elsewhere and the fixtures
@@ -856,6 +857,12 @@ register(
     "udtf_part_type_words",
     sql_surface.udtf_part_type_words,
     sql_surface.UDTF_PART_TYPE_WORDS_ORACLE,
+)
+
+register(
+    "zorder_clustered_orders",
+    lakehouse_checks.zorder_clustered_orders,
+    lakehouse_checks.ZORDER_CLUSTERED_ORDERS_ORACLE,
 )
 
 # The transformWithStateInPandas check registers only where its python

@@ -106,6 +106,67 @@ def test_pq_topk_recall_vs_brute_force(spark):
     assert best.vec_id == 0
 
 
+def test_zorder_skips_files_on_both_dimensions(spark):
+    """Footer min/max proof: on the Morton layout, a selective 2-D box
+    overlaps FEWER files than on a single-key (o_orderdate) sort, and
+    single-dim pruning still works on both z-ordered columns."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_ingestion_pipeline_spark.operators.lakehouse_checks import (
+        zorder_orders_path,
+    )
+
+    zpath = zorder_orders_path(spark, SF_SMOKE)
+    orders = load_table(spark, SF_SMOKE, "orders")
+    # single-key comparison layout: same file count, sorted by date only
+    import tempfile
+
+    sdir = tempfile.mkdtemp()
+    orders.repartitionByRange(8, "o_orderdate").sortWithinPartitions(
+        "o_orderdate"
+    ).write.mode("overwrite").parquet(sdir)
+
+    def overlaps(path, custkey_box, date_box):
+        n = 0
+        files = glob.glob(f"{path}/part-*.parquet")
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            cmin = cmax = dmin = dmax = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    name = col.path_in_schema
+                    if name == "o_custkey":
+                        cmin = st.min if cmin is None else min(cmin, st.min)
+                        cmax = st.max if cmax is None else max(cmax, st.max)
+                    if name == "o_orderdate":
+                        dmin = st.min if dmin is None else min(dmin, st.min)
+                        dmax = st.max if dmax is None else max(dmax, st.max)
+            if cmin is None or dmin is None:
+                n += 1  # no stats → must read
+                continue
+            c_over = cmax >= custkey_box[0] and cmin < custkey_box[1]
+            d_over = str(dmax) >= date_box[0] and str(dmin) < date_box[1]
+            if c_over and d_over:
+                n += 1
+        return n, len(files)
+
+    box_c = (100, 200)
+    box_d = ("1995-01-01", "1996-01-01")
+    z_hit, z_total = overlaps(zpath, box_c, box_d)
+    s_hit, s_total = overlaps(sdir, box_c, box_d)
+    assert z_total == 8 and s_total == 8
+    # the date-sorted layout prunes on date only → every date-overlapping
+    # file also custkey-overlaps (custkey spans the full range per file);
+    # the z-ordered layout must strictly beat it on the 2-D box
+    assert z_hit < s_hit, f"zorder {z_hit}/{z_total} vs sorted {s_hit}/{s_total}"
+
+
 def test_recursive_hierarchy_matches_closed_form(spark):
     """The recursive digit-chain walk equals the closed form: root = leading
     digit, chain_len = number of digits − 1."""
