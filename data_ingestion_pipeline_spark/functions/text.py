@@ -178,6 +178,19 @@ _STOPWORDS = {
     "it": ["il", "di", "che", "non", "per", "sono", "della", "con", "una", "più"],
 }
 
+# Script-range rules checked before stopword voting, in precedence order:
+# (lang, single-char class pattern, char-ratio threshold). Shared with the
+# generated DuckDB oracle so both engines evaluate the identical rule table.
+_SCRIPT_RULES = [
+    ("ja", r"[぀-ヿ]", 0.05),
+    ("zh", r"[一-鿿]", 0.10),
+    ("ko", r"[가-힯]", 0.10),
+    ("ru", r"[Ѐ-ӿ]", 0.10),
+    ("ar", r"[؀-ۿ]", 0.10),
+    ("hi", r"[ऀ-ॿ]", 0.10),
+    ("el", r"[Ͱ-Ͽ]", 0.10),
+]
+
 
 def lang_id(col: Column) -> Column:
     """Heuristic language ID: script-range detection first (CJK, kana,
@@ -203,14 +216,8 @@ def lang_id(col: Column) -> Column:
     for lang in reversed(list(_STOPWORDS)):
         latin_pick = F.when(votes[lang] == best_latin, F.lit(lang)).otherwise(latin_pick)
 
-    return (
-        F.when(ratio(r"[぀-ヿ]") > 0.05, F.lit("ja"))
-        .when(ratio(r"[一-鿿]") > 0.10, F.lit("zh"))
-        .when(ratio(r"[가-힯]") > 0.10, F.lit("ko"))
-        .when(ratio(r"[Ѐ-ӿ]") > 0.10, F.lit("ru"))
-        .when(ratio(r"[؀-ۿ]") > 0.10, F.lit("ar"))
-        .when(ratio(r"[ऀ-ॿ]") > 0.10, F.lit("hi"))
-        .when(ratio(r"[Ͱ-Ͽ]") > 0.10, F.lit("el"))
-        .when(best_latin > 0, latin_pick)
-        .otherwise(F.lit("und"))
-    )
+    out = None
+    for lang, pattern, threshold in _SCRIPT_RULES:
+        cond = ratio(pattern) > threshold
+        out = F.when(cond, F.lit(lang)) if out is None else out.when(cond, F.lit(lang))
+    return out.when(best_latin > 0, latin_pick).otherwise(F.lit("und"))

@@ -825,11 +825,66 @@ SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_value FROM events
 
 
 def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID per document (rows-only: the script/stopword
-    rules are exercised against real multilingual samples in pytest; the
-    fixture corpus is same-vocabulary word soup for every lang label)."""
+    """Heuristic language ID per document. The script-range + stopword-vote
+    rule tables live once in functions/text.py and the DuckDB oracle below
+    is GENERATED from them, so both engines evaluate the identical ruleset
+    — no transcription drift. (Real multilingual samples additionally
+    exercise the script branches in pytest; the fixture corpus itself is
+    latin word soup, so those branches must fire 0 on both engines.)"""
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB SQL generated from functions/text.py's rule tables: same
+    script thresholds, same stopword sets, same first-entry-wins tie-break
+    (the Spark expression's nested CASE resolves ties to the FIRST dict
+    entry with the max vote; CASE order below replicates that)."""
+    from data_ingestion_pipeline_spark.functions.text import (
+        _SCRIPT_RULES,
+        _STOPWORDS,
+    )
+
+    vote_exprs = ",\n           ".join(
+        "len(list_intersect(toks, [{}])) AS v_{}".format(
+            ", ".join(f"'{w}'" for w in words), lang
+        )
+        for lang, words in _STOPWORDS.items()
+    )
+    script_cases = "\n        ".join(
+        "WHEN CAST(len(regexp_extract_all(text, '{}')) AS DOUBLE) / n_chars > {}"
+        " THEN '{}'".format(pattern, threshold, lang)
+        for lang, pattern, threshold in _SCRIPT_RULES
+    )
+    langs = list(_STOPWORDS)
+    best = "GREATEST({})".format(", ".join(f"v_{lang}" for lang in langs))
+    tie_cases = "\n                 ".join(
+        f"WHEN v_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return rf"""
+WITH t AS (
+    SELECT doc_id, lang, text,
+           GREATEST(length(text), 1) AS n_chars,
+           list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+    FROM documents
+), votes AS (
+    SELECT doc_id, lang, text, n_chars,
+           {vote_exprs}
+    FROM t
+)
+SELECT doc_id, lang,
+    CASE
+        {script_cases}
+        WHEN {best} > 0 THEN
+            CASE {tie_cases}
+            END
+        ELSE 'und'
+    END AS lang_pred
+FROM votes
+"""
+
+
+LANG_ID_DOCUMENTS_ORACLE = _lang_id_oracle()
 
 
 def doc_tokens_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:

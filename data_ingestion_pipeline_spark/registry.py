@@ -654,7 +654,11 @@ register(
     llm_data.JSON_EXTRACT_EVENTS_ORACLE,
 )
 
-register("lang_id_documents", llm_data.lang_id_documents, None)
+register(
+    "lang_id_documents",
+    llm_data.lang_id_documents,
+    llm_data.LANG_ID_DOCUMENTS_ORACLE,
+)
 
 register(
     "quality_filter_documents",
