@@ -134,3 +134,46 @@ def test_knn_graph_no_cartesian(spark):
     plan = _plan(spark, "knn_graph_embeddings")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontamination_benchmark_side_broadcasts(spark):
+    """The benchmark shingle set must be the broadcast side — the corpus is
+    the big side at scale and must never shuffle on the shingle key."""
+    plan = _plan(spark, "decontaminate_documents")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_embedding_lsh_candidates_carry_ids_not_vectors(spark):
+    """The banding self-join must exchange only (id, band, bucket) rows —
+    vectors re-attach after the distinct. A vector-carrying exchange shows
+    up as the array column inside the hashpartitioning exchange subtree."""
+    df = entrymod.queries()["embedding_lsh_verified_near_dup"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "_v" not in keys, f"vector column in a shuffle key: {keys}"
+
+
+def test_zorder_box_predicates_push_down(spark):
+    """Both dimensions of the 2-D box must reach the parquet scan as pushed
+    filters over the z-ordered layout."""
+    plan = _plan(spark, "zorder_clustered_orders")
+    pushed = plan.split("PushedFilters")[1].split("ReadSchema")[0]
+    # the rendered filter list truncates, so pin the leading entries
+    assert "GreaterThanOrEqual(o_custkey,100)" in pushed
+    assert "IsNotNull(o_orderdate)" in pushed
+
+
+def test_scd2_no_cartesian_and_one_batch_join(spark):
+    plan = _plan(spark, "scd2_customer_dimension")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_rollup_reaggregates_partials_two_phase(spark):
+    plan = _plan(spark, "daily_rollup_from_hourly_events")
+    # both levels are hash aggregates; no sort-based fallback
+    assert plan.count("HashAggregate") >= 4  # partial+final at each level
