@@ -32,6 +32,7 @@ __all__ = [
     "daily_rollup_from_hourly_events",
     "zorder_clustered_orders",
     "zorder_orders_path",
+    "observed_metrics_orders",
 ]
 
 _SCRATCH = "/tmp/spark_graft_scratch"
@@ -276,4 +277,51 @@ WHERE o_custkey >= 100 AND o_custkey < 200
   AND o_orderdate >= TIMESTAMP '1995-01-01'
   AND o_orderdate < TIMESTAMP '1996-01-01'
 GROUP BY o_orderstatus
+"""
+
+
+def observed_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via the Observation API: quality metrics
+    (row count, null rate, exact value sum, max) ride along on a REAL
+    action over orders — Spark folds them into the same scan, so at scale
+    a production write gets its audit metrics for free, with NO second
+    pass over the data (contrast data_quality_orders, which is its own
+    query). The observed values are returned as a one-row frame; the
+    oracle recomputes them from the raw table."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_quality")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("n_null_custkey"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,6)") * 1000000).cast("long")
+        ).alias("total_price_micros"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the riding action
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_null_custkey"]),
+                int(m["total_price_micros"]),
+                int(m["max_orderkey"]),
+            )
+        ],
+        "n_rows bigint, n_null_custkey bigint, total_price_micros bigint, max_orderkey bigint",
+    )
+
+
+OBSERVED_METRICS_ORDERS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_custkey,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+           AS BIGINT) AS total_price_micros,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
+FROM orders
 """

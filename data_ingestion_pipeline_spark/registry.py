@@ -77,6 +77,7 @@ _ROUND3_NEW: list[str] = [
     "recursive_orderkey_hierarchy",
     "udtf_part_type_words",
     "zorder_clustered_orders",
+    "observed_metrics_orders",
     "stateful_event_type_counts_events",
 ]
 # Green in round 1 only; round 2's budget went elsewhere and the fixtures
@@ -867,6 +868,12 @@ register(
     "zorder_clustered_orders",
     lakehouse_checks.zorder_clustered_orders,
     lakehouse_checks.ZORDER_CLUSTERED_ORDERS_ORACLE,
+)
+
+register(
+    "observed_metrics_orders",
+    lakehouse_checks.observed_metrics_orders,
+    lakehouse_checks.OBSERVED_METRICS_ORDERS_ORACLE,
 )
 
 # The transformWithStateInPandas check registers only where its python
