@@ -81,15 +81,27 @@ def merge_upsert(
     batch: DataFrame,
     keys: Sequence[str],
     order_col: str,
+    evolve_schema: bool = False,
 ) -> str:
     """Upsert ``batch`` into ``table`` by ``keys`` with last-wins semantics.
 
     Returns the committed version name. First run bootstraps the table.
+
+    ``evolve_schema=True`` composes the reference's two flows in one commit
+    (schema sync THEN ingest, ``main.py:9-26``): columns new in the batch
+    are added to kept stored rows as typed NULLs, and columns the batch
+    lacks are carried as NULLs on its rows — Delta's
+    ``mergeSchema``/auto-evolution semantics on the versioned parquet
+    table. Off by default: an unexpected column drifting in silently is
+    usually a bug, so widening is opt-in per pipeline.
     """
     deduped = dedupe_last_wins(batch, keys, order_col)
     if not table.exists():
         return table.overwrite(deduped)
     stored = table.read()
     kept = stored.join(deduped.select(*keys), list(keys), "left_anti")
-    merged = kept.unionByName(deduped)
+    if evolve_schema:
+        merged = kept.unionByName(deduped, allowMissingColumns=True)
+    else:
+        merged = kept.unionByName(deduped)
     return table.overwrite(merged)

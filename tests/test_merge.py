@@ -153,3 +153,36 @@ def test_full_pipeline_reference_shape(spark, tmp_path):
     ).collect()
     low = spark.sql("SELECT * FROM ref_inventories WHERE quantity < 10").count()
     assert low > 0
+
+
+def test_merge_upsert_evolves_schema(spark, tmp_path):
+    """evolve_schema=True: a batch with a NEW column widens the table (old
+    rows get typed NULLs); without the flag the widening batch is rejected
+    (silent drift stays opt-in)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipeline_spark.plans.merge import merge_upsert
+    from data_ingestion_pipeline_spark.plans.table import ManagedTable
+
+    table = ManagedTable(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, s string, ord long"
+    )
+    merge_upsert(table, base, keys=["k"], order_col="ord")
+
+    widened = spark.createDataFrame(
+        [(2, "b2", 21, 0.5), (3, "c", 30, 0.7)],
+        "k long, s string, ord long, score double",
+    )
+    with pytest.raises(Exception):
+        merge_upsert(table, widened, keys=["k"], order_col="ord")
+    merge_upsert(table, widened, keys=["k"], order_col="ord", evolve_schema=True)
+    got = {r.k: (r.s, r.score) for r in table.read().collect()}
+    assert got == {1: ("a", None), 2: ("b2", 0.5), 3: ("c", 0.7)}
+
+    # and the inverse: a NARROW batch merges into the widened table, its
+    # rows carrying NULL for the column it lacks
+    narrow = spark.createDataFrame([(4, "d", 40)], "k long, s string, ord long")
+    merge_upsert(table, narrow, keys=["k"], order_col="ord", evolve_schema=True)
+    assert table.read().filter(F.col("k") == 4).collect()[0].score is None
