@@ -17,6 +17,8 @@ from data_ingestion_pipeline_spark.functions.numeric import dec_sum, dec_sum2
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
+    "hll_merge_users_weekly",
+    "approx_top_k_event_types",
     "customers_with_orders",
     "customers_without_orders",
     "in_list_filter",
@@ -788,4 +790,52 @@ SELECT user_id,
        array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
        CAST(len(list_sort(list(DISTINCT event_type))) AS INT) AS n_types
 FROM events GROUP BY user_id
+"""
+
+
+def hll_merge_users_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DataSketches HLL: per-DAY user sketches (hll_sketch_agg —
+    a serialized binary state, not just an estimate) re-aggregated to
+    per-WEEK cardinalities by merging the day sketches (hll_union_agg),
+    never re-reading raw events. This is the warehouse sketch pattern at
+    100 TB: materialize a sketch column per partition/day once, answer any
+    coarser rollup by unioning sketches — state is KBs per group and the
+    merge is associative across executors. Rows-only driver check
+    (estimates are approximate by construction); pytest pins exactness at
+    fixture cardinalities (the sketch is in exact sparse mode) and that
+    day-merge equals direct-week aggregation."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.weekofyear("ts").cast("int").alias("week"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("day_sketch"))
+    return daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("day_sketch"))
+        .cast("bigint")
+        .alias("n_users_est")
+    )
+
+
+def approx_top_k_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k frequency sketch (Spark 4), flattened to scalar rows at
+    the contract boundary (arrays crash the driver canonicalizer). k and
+    maxItemsTracked exceed the column's true cardinality, so tracked counts
+    are EXACT and the full set is emitted — which is what makes the sketch
+    output oracle-checkable against a plain GROUP BY; at real cardinality
+    the same plan returns the approximate heavy hitters with bounded
+    memory."""
+    events = load_table(spark, sf_dir, "events")
+    sk = events.agg(F.expr("approx_top_k(event_type, 10, 10000)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+APPROX_TOP_K_EVENT_TYPES_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
 """

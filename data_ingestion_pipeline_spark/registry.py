@@ -78,6 +78,8 @@ _ROUND3_NEW: list[str] = [
     "udtf_part_type_words",
     "zorder_clustered_orders",
     "observed_metrics_orders",
+    "hll_merge_users_weekly",
+    "approx_top_k_event_types",
     "stateful_event_type_counts_events",
 ]
 # Green in round 1 only; round 2's budget went elsewhere and the fixtures
@@ -874,6 +876,14 @@ register(
     "observed_metrics_orders",
     lakehouse_checks.observed_metrics_orders,
     lakehouse_checks.OBSERVED_METRICS_ORDERS_ORACLE,
+)
+
+register("hll_merge_users_weekly", relational.hll_merge_users_weekly, None)
+
+register(
+    "approx_top_k_event_types",
+    relational.approx_top_k_event_types,
+    relational.APPROX_TOP_K_EVENT_TYPES_ORACLE,
 )
 
 # The transformWithStateInPandas check registers only where its python

@@ -106,6 +106,25 @@ def test_pq_topk_recall_vs_brute_force(spark):
     assert best.vec_id == 0
 
 
+def test_hll_day_merge_equals_direct_week(spark):
+    """Merging per-day HLL sketches must equal aggregating the week
+    directly, and at fixture cardinality (sparse-exact mode) both equal
+    the exact distinct count."""
+    from data_ingestion_pipeline_spark.operators.relational import (
+        hll_merge_users_weekly,
+    )
+
+    merged = {r.week: r.n_users_est for r in hll_merge_users_weekly(spark, SF_SMOKE).collect()}
+    events = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r.week: r.n
+        for r in events.groupBy(F.weekofyear("ts").cast("int").alias("week"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n"))
+        .collect()
+    }
+    assert merged == exact
+
+
 def test_zorder_skips_files_on_both_dimensions(spark):
     """Footer min/max proof: on the Morton layout, a selective 2-D box
     overlaps FEWER files than on a single-key (o_orderdate) sort, and
