@@ -32,6 +32,7 @@ __all__ = [
     "sessionize_events",
     "streaming_tumbling_events",
     "streaming_dedup_events",
+    "streaming_dedup_within_watermark_events",
     "stateful_user_profile_events",
     "stateful_event_type_counts_events",
     "streaming_interval_join_events",
@@ -652,4 +653,47 @@ SELECT user_id,
        CAST(2 * SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,6))) * 1000000 AS BIGINT)
            AS value_sum_micros
 FROM events GROUP BY user_id
+"""
+
+
+def streaming_dedup_within_watermark_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over the planted two-batch replay
+    source: same exactly-once output as the unbounded dropDuplicates check
+    (replays land well inside the 24h delay), but with GUARANTEED state
+    eviction — the state-bounded dedup that holds at unbounded key
+    cardinality. Oracle: the events table itself."""
+    from data_ingestion_pipeline_spark.streaming.windows import (
+        dedup_events_stream_within_watermark,
+    )
+
+    tag, src_dir = _planted_dup_source(sf_dir)
+    name = f"stream_dedup_wm_{tag}"
+    raw = (
+        spark.readStream.schema(
+            _events_stream_schema(spark, os.path.join(src_dir, "copy_a.parquet"))
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    events = normalize_event_ts(raw)
+    deduped = dedup_events_stream_within_watermark(events, watermark="24 hours").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    with _stream_state_partitions(spark):
+        query = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+    if query.isActive:
+        query.stop()
+    return spark.table(name)
+
+
+STREAMING_DEDUP_WITHIN_WATERMARK_EVENTS_ORACLE = """
+SELECT event_id, user_id, event_type, value FROM events
 """

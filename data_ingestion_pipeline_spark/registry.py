@@ -80,6 +80,7 @@ _ROUND3_NEW: list[str] = [
     "observed_metrics_orders",
     "hll_merge_users_weekly",
     "approx_top_k_event_types",
+    "streaming_dedup_within_watermark_events",
     "stateful_event_type_counts_events",
 ]
 # Green in round 1 only; round 2's budget went elsewhere and the fixtures
@@ -884,6 +885,12 @@ register(
     "approx_top_k_event_types",
     relational.approx_top_k_event_types,
     relational.APPROX_TOP_K_EVENT_TYPES_ORACLE,
+)
+
+register(
+    "streaming_dedup_within_watermark_events",
+    streaming_checks.streaming_dedup_within_watermark_events,
+    streaming_checks.STREAMING_DEDUP_WITHIN_WATERMARK_EVENTS_ORACLE,
 )
 
 # The transformWithStateInPandas check registers only where its python

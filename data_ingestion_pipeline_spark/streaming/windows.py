@@ -24,6 +24,7 @@ __all__ = [
     "sessionize_gaps_and_islands",
     "session_window_stats",
     "dedup_events_stream",
+    "dedup_events_stream_within_watermark",
 ]
 
 
@@ -155,3 +156,17 @@ def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
     batch exact-dedup operator (dedup/exact.py)."""
     df = _with_optional_watermark(events, "ts", watermark)
     return df.dropDuplicates(["event_id"])
+
+
+def dedup_events_stream_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """State-BOUNDED streaming dedup (``dropDuplicatesWithinWatermark``,
+    Spark 3.5+): a key's state row is guaranteed evicted once the watermark
+    passes its event time + delay, trading "dedup forever" for provably
+    bounded state — the variant that survives unbounded key cardinality at
+    100 TB/day. Duplicates must arrive within the watermark delay to be
+    caught (true for replay/at-least-once-delivery dedup, the dominant
+    production case)."""
+    df = _with_optional_watermark(events, "ts", watermark)
+    return df.dropDuplicatesWithinWatermark(["event_id"])
