@@ -79,6 +79,7 @@ __all__ = [
     "decontaminate_documents",
     "ann_pq_topk_embeddings",
     "variant_shred_events",
+    "dup_span_profile_documents",
 ]
 
 
@@ -276,6 +277,79 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination"),
         )
     )
+
+
+def dup_span_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication profile — the signal behind exact-substring
+    dedup of training corpora (drop repeated long spans, keep the first
+    occurrence): for every document, how many of its 8-token windows
+    already occurred earlier in the corpus (corpus order = (doc_id,
+    position); first occurrence wins). Runs on the planted near-dup corpus
+    so prefix copies produce fully-duplicated span profiles.
+
+    Shape: positional windows explode to (doc_id, pos, hash); one groupBy
+    per hash computes the global first occurrence as a struct-min (no
+    ranking window over a hot key); an id-join marks each window dup/first.
+    Shuffle ∝ windows, state ∝ distinct spans — the same inverted-index
+    economics as the shingle dedup family."""
+    aug = fan_out(_near_dup_corpus(load_table(spark, sf_dir, "documents")))
+    tok = F.split(F.trim(F.col("text")), r"\s+")
+    win = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("_tok")) - 7, F.lit(1))),
+        lambda i: F.xxhash64(*[F.element_at(F.col("_tok"), i + j) for j in range(8)]),
+    )
+    windows = (
+        aug.select("doc_id", tok.alias("_tok"))
+        .select("doc_id", F.posexplode_outer(win).alias("pos", "sh"))
+        .filter(F.col("sh").isNotNull())
+    )
+    # corpus order encoded as one long (pos < 1e6 at any fixture SF) so the
+    # first occurrence is a plain MIN — portable to the SQL oracle verbatim
+    occ = (F.col("doc_id") * 1000000 + F.col("pos")).alias("occ")
+    windows = windows.select("doc_id", "sh", occ)
+    first = windows.groupBy("sh").agg(F.min("occ").alias("first_occ"))
+    marked = windows.join(first, "sh").select(
+        "doc_id",
+        (F.col("occ") > F.col("first_occ")).cast("long").alias("is_dup"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_spans"),
+        F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_frac"),
+    )
+
+
+DUP_SPAN_PROFILE_DOCUMENTS_ORACLE = r"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), aug AS (
+    SELECT doc_id, toks FROM base
+    UNION ALL
+    SELECT doc_id + 1000000,
+           toks[1:GREATEST(CAST(CEIL(len(toks) * 0.8) AS INTEGER), 1)]
+    FROM base WHERE doc_id % 20 = 0
+), windows AS (
+    SELECT doc_id, doc_id * 1000000 + (u.pos) AS occ, u.sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, GREATEST(len(toks) - 7, 1) + 1),
+                   i -> struct_pack(pos := i - 1,
+                                    sh := array_to_string(toks[i:i+7], ' '))
+               )) AS u
+        FROM aug
+    )
+), first_occ AS (
+    SELECT sh, MIN(occ) AS first_occ FROM windows GROUP BY sh
+)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN w.occ > f.first_occ THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans,
+       ROUND(SUM(CASE WHEN w.occ > f.first_occ THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+FROM windows w JOIN first_occ f USING (sh)
+GROUP BY w.doc_id
+"""
 
 
 DECONTAMINATE_DOCUMENTS_ORACLE = r"""

@@ -81,6 +81,7 @@ _ROUND3_NEW: list[str] = [
     "hll_merge_users_weekly",
     "approx_top_k_event_types",
     "streaming_dedup_within_watermark_events",
+    "dup_span_profile_documents",
     "stateful_event_type_counts_events",
 ]
 # Green in round 1 only; round 2's budget went elsewhere and the fixtures
@@ -891,6 +892,12 @@ register(
     "streaming_dedup_within_watermark_events",
     streaming_checks.streaming_dedup_within_watermark_events,
     streaming_checks.STREAMING_DEDUP_WITHIN_WATERMARK_EVENTS_ORACLE,
+)
+
+register(
+    "dup_span_profile_documents",
+    llm_data.dup_span_profile_documents,
+    llm_data.DUP_SPAN_PROFILE_DOCUMENTS_ORACLE,
 )
 
 # The transformWithStateInPandas check registers only where its python
