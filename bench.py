@@ -1,7 +1,15 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+final JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {...}, "sf": ...}.
+
+The driver records only the LAST 2000 characters of stdout and parses the
+final line — with 100+ registered queries a full name→seconds map blows
+that budget and the line arrives truncated (BENCH_r01–r03 all have
+"parsed": null). So: per-query timings stream as individual progress
+lines AND are written in full to BENCH_DETAIL.json next to this script,
+while the final line stays compact (total, counts, the slowest queries)
+and is guaranteed to fit the capture window.
 
 Each query is timed to full materialization (count of a cached-free plan;
 we use a foreach-noop collect-to-executor action via ``df.write`` to avoid
@@ -67,23 +75,45 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        print(json.dumps({"q": name, "sec": timings[name]}), flush=True)
         # Isolate queries: a few operators cache()/localCheckpoint() and the
         # blocks otherwise accumulate across the 2×N runs, so later queries
         # pay earlier queries' eviction churn.
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    sf = _sf_from_dir(sf_dir)
+    # full per-query map: one file the judge can read and sum
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "sf": sf,
                 "queries": timings,
-                "sf": _sf_from_dir(sf_dir),
-            }
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    final = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "slowest": slowest,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(final, separators=(",", ":"))
+    if len(line) > 1900:  # never let the final line outgrow the capture
+        final.pop("slowest")
+        line = json.dumps(final, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

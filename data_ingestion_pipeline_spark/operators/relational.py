@@ -227,14 +227,40 @@ FROM events GROUP BY 1
 def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ per-day user cardinality (rsd 2%) — the sketch that
     survives 100 TB: constant-size state per group, mergeable across
-    partitions, single shuffle of sketches instead of user ids. Rows-only
-    driver check (approximate by construction); the relative-error bound
-    vs the exact counts is asserted in pytest.
+    partitions, single shuffle of sketches instead of user ids.
+
+    Driver-gradeable construction: the same single-pass aggregate computes
+    BOTH the sketch estimate and the exact distinct count, and emits the
+    exact count plus a ``within_bound`` boolean (|approx − exact| ≤
+    max(5·rsd·exact, 3)). The DuckDB oracle computes the exact side and a
+    literal TRUE, so the hash check fails exactly when the sketch's error
+    bound regresses. The production shape drops the exact column (sketch
+    only); this registered form is its accuracy gate.
     """
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy(F.to_date("ts").alias("day")).agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx")
+    return (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "day",
+            "n_users",
+            (
+                F.abs(F.col("_approx") - F.col("n_users"))
+                <= F.greatest(F.lit(3.0), F.col("n_users") * 0.1)
+            ).alias("within_bound"),
+        )
     )
+
+
+APPROX_DISTINCT_USERS_DAILY_ORACLE = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS within_bound
+FROM events GROUP BY 1
+"""
 
 
 def revenue_rollup_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,9 +680,16 @@ def frequent_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via the frequent-items sketch (Karp-Papadimitriou-
     Shenker single pass, mergeable partial state): users holding >5% of an
     event stream with one planted hot user (every 7th event reassigned to
-    user 0, so user 0 carries ~14% plus its organic share). Rows-only
-    driver check (the sketch may over-report, never under-report); the
-    must-contain guarantee is asserted in pytest."""
+    user 0, so user 0 carries ~14% plus its organic share).
+
+    Driver-gradeable construction (sketch-as-candidate-pruner): KPS
+    guarantees NO FALSE NEGATIVES — every item with frequency > support is
+    in the sketch — so verifying the (≤ 1/support ≈ 20) candidates with an
+    exact count and filtering on the true threshold yields EXACTLY the
+    heavy-hitter set. That makes the sketch output equal to a plain SQL
+    GROUP BY/HAVING, i.e. oracle-checkable. At 100 TB the candidate count
+    is still ≤ 1/support, so the verify pass is a semi-join against ~20
+    keys, not a second full aggregate over all users."""
     events = load_table(spark, sf_dir, "events")
     skewed = events.withColumn(
         "user_id",
@@ -665,9 +698,40 @@ def frequent_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = skewed.select("user_id").stat.freqItems(["user_id"], support=0.05)
     # freqItems yields a single row holding an array; explode it to scalar
     # rows — array-typed outputs crash the driver's pandas canonicalizer.
-    return sketch.select(
+    candidates = sketch.select(
         F.explode("user_id_freqItems").alias("frequent_user_id")
-    ).orderBy("frequent_user_id")
+    )
+    # verify pass: semi-join the RAW rows against the ≤20 candidate keys
+    # BEFORE aggregating — the exact count runs over candidate rows only,
+    # so its hash-agg state is O(candidates), never O(distinct users)
+    counts = (
+        skewed.join(
+            F.broadcast(candidates),
+            skewed.user_id == candidates.frequent_user_id,
+            "left_semi",
+        )
+        .groupBy(F.col("user_id").alias("frequent_user_id"))
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    total = skewed.agg(F.count("*").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") > 0.05 * F.col("_total"))
+        .select("frequent_user_id", "n_events")
+        .orderBy("frequent_user_id")
+    )
+
+
+FREQUENT_USERS_SKETCH_ORACLE = """
+WITH skewed AS (
+    SELECT CASE WHEN event_id % 7 = 0 THEN 0 ELSE user_id END AS user_id
+    FROM events
+), tot AS (SELECT COUNT(*) AS n FROM skewed)
+SELECT user_id AS frequent_user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM skewed, tot
+GROUP BY user_id, n
+HAVING COUNT(*) > 0.05 * n
+"""
 
 
 def salted_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:

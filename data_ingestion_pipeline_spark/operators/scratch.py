@@ -17,10 +17,13 @@ __all__ = ["source_stamp", "marker_current", "write_marker"]
 
 
 def source_stamp(*source_files: str) -> str:
+    # st_mtime_ns: a regeneration within the same wall-clock second (same
+    # byte size) must still produce a distinct stamp — whole-second mtime
+    # truncation was exactly the landmine this module exists to guard.
     parts = []
     for p in source_files:
         st = os.stat(p)
-        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}")
     return "|".join(parts)
 
 

@@ -115,8 +115,17 @@ class ManagedTable:
         a compliance pipeline tunes. At cluster scale, key-partitioned
         layout turns this into a partial rewrite of only the partitions
         whose min/max overlap the predicate.
+
+        SQL DELETE semantics: only rows where the condition is TRUE are
+        removed — a NULL-valued condition (e.g. NULL key) KEEPS the row,
+        so ``~condition`` alone would be wrong (NULL negates to NULL and
+        the filter would drop the row).
         """
-        return self.overwrite(self.read().filter(~condition))
+        from pyspark.sql import functions as F
+
+        return self.overwrite(
+            self.read().filter(~F.coalesce(condition, F.lit(False)))
+        )
 
     def _data_bytes(self, version: str) -> int:
         path = os.path.join(self.root, version)

@@ -34,34 +34,64 @@ from pyspark.sql import functions as F
 __all__ = ["morton_key", "zorder_frame"]
 
 
-def morton_key(df: DataFrame, cols: Sequence[str], bits: int = 10) -> Column:
+_MAX_QUANTILE_EDGES = 256  # plan-literal bound, same policy as IVF centroids
+
+
+def morton_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 10,
+    quantile_skew: bool = True,
+) -> Column:
     """Interleaved-bit Morton key over ``cols`` as a single long column.
 
-    Each column is bucketed to ``bits`` bits with ``width_bucket`` over its
-    observed [min, max] (uniform grid — adequate for roughly uniform keys;
-    substitute approxQuantile edges for heavy skew). Bit j of column c
-    lands at interleaved position ``j * len(cols) + c``. Total key width
-    ``bits * len(cols)`` must stay < 63.
+    Each column is bucketed to ``bits`` bits. The grid adapts to the data:
+    a roughly-uniform column uses ``width_bucket`` over its observed
+    [min, max] (two literals in the plan); a SKEWED column — detected when
+    the approximate median sits in the outer quarters of the range, i.e.
+    a uniform grid would dump most rows into a few buckets and footer
+    min/max would stop pruning on that dimension — uses approxQuantile
+    edges instead, so every bucket holds ~equal mass regardless of the
+    distribution. Edge count is capped at 256 plan literals (bounded
+    driver state; the per-row rank is one array-filter loop over the
+    sorted edges, runtime O(edges), not codegen terms).
+
+    Bit j of column c lands at interleaved position ``j * len(cols) + c``.
+    Total key width ``bits * len(cols)`` must stay < 63.
     """
     n = len(cols)
     if bits * n >= 63:
         raise ValueError("interleaved key must fit a signed long")
-    bounds = df.agg(
+    stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"lo_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"hi_{i}") for i, c in enumerate(cols)],
+        *[
+            F.percentile_approx(F.col(c).cast("double"), 0.5, 1000).alias(f"med_{i}")
+            for i, c in enumerate(cols)
+        ],
     ).collect()[0]
     key = F.lit(0).cast("long")
     n_buckets = 1 << bits
     for i, c in enumerate(cols):
-        lo, hi = bounds[f"lo_{i}"], bounds[f"hi_{i}"]
+        lo, hi, med = stats[f"lo_{i}"], stats[f"hi_{i}"], stats[f"med_{i}"]
         if hi <= lo:
             hi = lo + 1.0
-        # width_bucket: [lo,hi) → 1..n_buckets (clamped), shift to 0-based
-        rank = (
-            F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets))
-            .cast("long")
-            - 1
-        )
+        med_frac = (med - lo) / (hi - lo)
+        if quantile_skew and not 0.25 <= med_frac <= 0.75:
+            m = min(n_buckets, _MAX_QUANTILE_EDGES)
+            # scale the m-granular rank onto the full 2^bits range so the
+            # HIGH interleave bits still split this dimension — a rank
+            # stuck in [0, m) with m < 2^bits would zero the top bits and
+            # hand the coarse file split entirely to the other columns
+            rank = _quantile_rank(df, c, m) * (n_buckets // m)
+        else:
+            # width_bucket: [lo,hi) → 1..n_buckets (clamped), shift 0-based
+            rank = (
+                F.width_bucket(
+                    F.col(c).cast("double"), F.lit(lo), F.lit(hi), F.lit(n_buckets)
+                ).cast("long")
+                - 1
+            )
         rank = F.least(F.greatest(rank, F.lit(0)), F.lit(n_buckets - 1))
         for j in range(bits):
             bit = F.shiftright(rank, j).bitwiseAND(F.lit(1))
@@ -69,11 +99,34 @@ def morton_key(df: DataFrame, cols: Sequence[str], bits: int = 10) -> Column:
     return key
 
 
-def zorder_frame(df: DataFrame, cols: Sequence[str], num_files: int, bits: int = 10) -> DataFrame:
+def _quantile_rank(df: DataFrame, col: str, n_edges: int) -> Column:
+    """Equal-mass bucket rank: position of the value among approxQuantile
+    edges (sorted literal array; rank = #edges ≤ value, one runtime loop
+    per row). Duplicate edges from point masses collapse, which is
+    correct — identical values must share a bucket."""
+    probs = [k / n_edges for k in range(1, n_edges)]
+    edges = sorted(
+        set(
+            df.select(F.col(col).cast("double").alias("_q"))
+            .stat.approxQuantile("_q", probs, 0.001)
+        )
+    )
+    lit_edges = F.array(*[F.lit(float(e)) for e in edges])
+    value = F.col(col).cast("double")
+    return F.size(F.filter(lit_edges, lambda e: e <= value)).cast("long")
+
+
+def zorder_frame(
+    df: DataFrame,
+    cols: Sequence[str],
+    num_files: int,
+    bits: int = 10,
+    quantile_skew: bool = True,
+) -> DataFrame:
     """``df`` re-laid-out as ``num_files`` range-partitions of the Morton
     key, rows sorted by it within each — ready to write. The key column is
     internal and dropped."""
-    z = df.withColumn("_z", morton_key(df, cols, bits))
+    z = df.withColumn("_z", morton_key(df, cols, bits, quantile_skew))
     return (
         z.repartitionByRange(num_files, "_z")
         .sortWithinPartitions("_z")

@@ -44,73 +44,15 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # CORRECTNESS_r{N}.json; tests assert the lists stay in sync with the
 # registry contents.
 #
-# Round-3 state: rounds 1+2 together produced a green row for 84 of 91
-# then-registered queries (r2 was 50/50 green). The thin spots are:
-_UNVERIFIED = [
-    # r1 failures whose fixes (array flattening, decimal sums) have never
-    # been driver-rechecked — r2's budget went to the streaming/dedup tier
-    "approx_price_quantiles_by_priority",
-    "frequent_users_sketch",
-    "approx_distinct_users_daily",
-    "revenue_per_product_sql",
-    # never checked in any round. tumbling_window_events is oracled (its
-    # twin streaming_tumbling_events ran the same builder + oracle in r2);
-    # the rest are rows-only approximates, pytest-bounded by recall tests
-    "tumbling_window_events",
-    "simhash_near_dup_documents",
-    "minhash_near_dup_documents",
-    "embedding_lsh_near_dup",
-    "ann_lsh_topk_embeddings",
-    "ann_ivf_topk_embeddings",
-    "lang_id_documents",
-]
-# Operators added this round — each needs its first driver row.
-_ROUND3_NEW: list[str] = [
-    "scd2_customer_dimension",
-    "merge_cdc_orders",
-    "gdpr_delete_events",
-    "daily_rollup_from_hourly_events",
-    "decontaminate_documents",
-    "ann_pq_topk_embeddings",
-    "xml_roundtrip_events",
-    "variant_shred_events",
-    "recursive_orderkey_hierarchy",
-    "udtf_part_type_words",
-    "zorder_clustered_orders",
-    "observed_metrics_orders",
-    "hll_merge_users_weekly",
-    "approx_top_k_event_types",
-    "streaming_dedup_within_watermark_events",
-    "dup_span_profile_documents",
-    "stateful_event_type_counts_events",
-]
-# Green in round 1 only; round 2's budget went elsewhere and the fixtures
-# were since regenerated, so a fresh row on the new fixture ranks above
-# re-verifying round 2's (newer) rows.
-_R1_GREEN_ONLY = [
-    "low_stock",
-    "orders_per_product_month",
-    "revenue_per_category",
-    "inventory_status",
-    "most_sold_per_category",
-    "exists_semi_join",
-    "anti_join_new_keys",
-    "in_list_filter",
-    "composite_key_semi_join",
-    "customer_order_enrichment",
-    "top_parts_per_brand",
-    "customer_order_ranks",
-    "revenue_rollup_brand_size",
-    "set_ops_customer_segments",
-    "top_revenue_orders",
-    "price_quantiles_by_priority",
-    "acctbal_full_outer_reconciliation",
-    "order_price_histogram",
-    "order_status_priority_cube",
-    "trailing_spend_30d",
-    "customer_spend_deciles",
-    "orders_above_customer_avg",
-    "brand_share_of_revenue",
+# Round-4 state (from CORRECTNESS_r01-r03 + VERDICT r3): every registered
+# query has a cumulative green row, but evidence FRESHNESS varies. The
+# fixtures were regenerated on 2026-08-13; rows from r1 predate that, rows
+# from r2/r3 postdate it. Tiers, thinnest evidence first:
+#
+# 1) the 11 queries whose ONLY green row is r1 (pre-regeneration) — the
+#    judge's top next-round ask; S8-S11 operator coverage rides on
+#    schema_evolution_sync in this tier.
+_R1_STALE = [
     "python_datasource_agg",
     "schema_evolution_sync",
     "bucketed_colocated_join",
@@ -123,15 +65,88 @@ _R1_GREEN_ONLY = [
     "curation_pipeline_documents",
     "chunk_documents",
 ]
+# 2) queries new or materially changed in round 4 — each needs its first
+#    driver row (new operators) or a fresh row because the check itself
+#    changed (sketches that flipped from rows-only to oracle-checked).
+_ROUND4_NEW: list[str] = [
+    "frequent_users_sketch",
+    "approx_distinct_users_daily",
+    "ann_lsh_recall_embeddings",
+    "ann_ivf_recall_embeddings",
+    "ann_pq_recall_embeddings",
+    "near_dup_clusters_star_documents",
+]
+# 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
+#    surviving evidence; fills the rest of the ~50-query budget. Ordered so
+#    unique operator/subsystem coverage (ingest, MERGE, multimodal,
+#    streaming, dedup kernels) outranks variants of already-fresh families.
+_R2_GREEN_OLDEST = [
+    "csv_ingest_events",
+    "csv_ingest_inventory",
+    "merge_upsert_events",
+    "jdbc_roundtrip_orders",
+    "catalog_database_roundtrip",
+    "jsonl_roundtrip_events",
+    "orc_roundtrip_events",
+    "revenue_per_product",
+    "distinct_users_daily",
+    "event_type_pivot",
+    "latest_event_per_user",
+    "event_counts_unpivot",
+    "daily_user_activity_gapfilled",
+    "event_value_outliers",
+    "user_event_type_sets",
+    "salted_skew_join_events",
+    "streaming_ingest_merge_events",
+    "streaming_incremental_agg_events",
+    "sliding_window_events",
+    "sessionize_events",
+    "streaming_tumbling_events",
+    "streaming_dedup_events",
+    "streaming_interval_join_events",
+    "streaming_enriched_events",
+    "streaming_session_window_events",
+    "stateful_user_profile_events",
+    "exact_dedup_documents",
+    "dedup_survivor_quality_documents",
+    "minhash_verified_near_dup_documents",
+    "ngram_jaccard_documents",
+    "embedding_cosine_dedup",
+    "embedding_lsh_verified_near_dup",
+    "near_dup_clusters_documents",
+    "knn_graph_embeddings",
+    "ann_ivf_exhaustive_topk_embeddings",
+    "cosine_topk_embeddings",
+    "pack_documents_context_windows",
+    "corpus_mixture_documents",
+    "doc_fingerprint_rolling",
+    "json_extract_events",
+    "quality_filter_documents",
+    "stratified_sample_documents",
+    "text_hygiene_documents",
+    "purchase_funnel_users",
+    "daily_cohort_retention",
+    "asof_prev_view_per_purchase",
+    "views_within_hour_of_purchase",
+    "multimodal_metadata",
+    "multimodal_image_features",
+    "multimodal_frame_sample",
+]
+# NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
+# its transformWithStateInPandas runtime needs python-protobuf, absent in
+# this sandbox (streaming/stateful.py:105). It never registers locally, so
+# it must not occupy a front-tier slot; parity is pytest-covered.
 
 
 def _ordered_names() -> list[str]:
     front = [
-        n for n in [*_UNVERIFIED, *_ROUND3_NEW, *_R1_GREEN_ONLY] if n in _REGISTRY
+        n
+        for n in [*_R1_STALE, *_ROUND4_NEW, *_R2_GREEN_OLDEST]
+        if n in _REGISTRY
     ]
     seen = set(front)
-    # remainder: round-2 greens — the freshest driver evidence, so the tier
-    # most safely parked outside the verify budget
+    # remainder: r3 greens — the freshest driver evidence, so the tier most
+    # safely parked outside the verify budget
     return front + [n for n in _REGISTRY if n not in seen]
 
 
@@ -329,7 +344,11 @@ register(
     relational.DISTINCT_USERS_DAILY_ORACLE,
 )
 
-register("approx_distinct_users_daily", relational.approx_distinct_users_daily, None)
+register(
+    "approx_distinct_users_daily",
+    relational.approx_distinct_users_daily,
+    relational.APPROX_DISTINCT_USERS_DAILY_ORACLE,
+)
 
 register(
     "revenue_rollup_brand_size",
@@ -409,7 +428,11 @@ register(
     relational.EVENT_VALUE_OUTLIERS_ORACLE,
 )
 
-register("frequent_users_sketch", relational.frequent_users_sketch, None)
+register(
+    "frequent_users_sketch",
+    relational.frequent_users_sketch,
+    relational.FREQUENT_USERS_SKETCH_ORACLE,
+)
 
 register(
     "trailing_spend_30d",
@@ -647,6 +670,27 @@ register("ann_lsh_topk_embeddings", llm_data.ann_lsh_topk_embeddings, None)
 
 register("ann_ivf_topk_embeddings", llm_data.ann_ivf_topk_embeddings, None)
 
+# self-grading recall gates for the ANN trio: the only remaining rows-only
+# queries are the approximate top-k surfaces themselves; these gates give
+# the driver a hash-checkable row that flips red if ANN recall regresses
+register(
+    "ann_lsh_recall_embeddings",
+    llm_data.ann_lsh_recall_embeddings,
+    llm_data.ANN_LSH_RECALL_EMBEDDINGS_ORACLE,
+)
+
+register(
+    "ann_ivf_recall_embeddings",
+    llm_data.ann_ivf_recall_embeddings,
+    llm_data.ANN_IVF_RECALL_EMBEDDINGS_ORACLE,
+)
+
+register(
+    "ann_pq_recall_embeddings",
+    llm_data.ann_pq_recall_embeddings,
+    llm_data.ANN_PQ_RECALL_EMBEDDINGS_ORACLE,
+)
+
 register(
     "ann_ivf_exhaustive_topk_embeddings",
     llm_data.ann_ivf_exhaustive_topk_embeddings,
@@ -686,6 +730,12 @@ register(
 register(
     "near_dup_clusters_documents",
     llm_data.near_dup_clusters_documents,
+    llm_data.NEAR_DUP_CLUSTERS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "near_dup_clusters_star_documents",
+    llm_data.near_dup_clusters_star_documents,
     llm_data.NEAR_DUP_CLUSTERS_DOCUMENTS_ORACLE,
 )
 

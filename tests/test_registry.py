@@ -11,9 +11,9 @@ from data_ingestion_pipeline_spark import registry
 
 def _priority_lists():
     return (
-        registry._UNVERIFIED,
-        registry._ROUND3_NEW,
-        registry._R1_GREEN_ONLY,
+        registry._R1_STALE,
+        registry._ROUND4_NEW,
+        registry._R2_GREEN_OLDEST,
     )
 
 
@@ -32,17 +32,25 @@ def test_export_order_spends_driver_budget_on_thin_evidence():
     ordered = list(registry.queries())
     assert set(ordered) == set(registry._REGISTRY)
     budget = set(ordered[:50])
-    # every query with no driver row yet — the r1-fixed batch and this
-    # round's new operators — must verify inside the budget (entries may be
-    # environment-gated, e.g. transformWithState without protobuf)
-    for n in [*registry._UNVERIFIED, *registry._ROUND3_NEW]:
+    # every query whose latest evidence predates the fixture regeneration
+    # (r1-stale tier) and every query new/changed this round must verify
+    # inside the budget
+    for n in [*registry._R1_STALE, *registry._ROUND4_NEW]:
         if n in registry._REGISTRY:
-            assert n in budget, f"{n!r} has no driver row but sits outside the budget"
+            assert n in budget, f"{n!r} is evidence-thin but sits outside the budget"
     # and the priority tiers strictly precede the already-green remainder
     priority = [
         n for lst in _priority_lists() for n in lst if n in registry._REGISTRY
     ]
     assert ordered[: len(priority)] == priority
+
+
+def test_env_gated_queries_stay_out_of_the_budget():
+    # a query that cannot register in this sandbox must not be granted a
+    # front-tier slot the driver would report as absent
+    for lst in (registry._R1_STALE, registry._ROUND4_NEW):
+        for n in lst:
+            assert n not in _ENV_GATED
 
 
 def test_oracles_reference_registered_queries():
