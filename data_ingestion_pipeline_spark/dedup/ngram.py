@@ -66,10 +66,13 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     otherwise pin it to one task."""
     df = fan_out(df)
     tok = tokens(F.col(text_col))
+    # try_element_at, not element_at: a document shorter than n tokens
+    # still emits its one partial window (past-end → NULL, skipped by
+    # xxhash64) instead of INVALID_ARRAY_INDEX under ANSI mode
     win = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(F.col("_tok")) - (n - 1), F.lit(1))),
         lambda i: F.xxhash64(
-            *[F.element_at(F.col("_tok"), i + j) for j in range(n)]
+            *[F.try_element_at(F.col("_tok"), i + j) for j in range(n)]
         ),
     )
     return (

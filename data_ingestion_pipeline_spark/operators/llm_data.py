@@ -279,6 +279,155 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination behind a Bloom-filter pre-pass — the membership
+    sketch that changes the 100 TB economics: the benchmark's distinct
+    shingles build ONE fixed-size bitset (functions/bloom.py; ~1.2 MB for
+    1M items at 1% FPR) that ships once per executor; the probe then drops
+    the overwhelming majority of corpus shingles BEFORE the broadcast-hash
+    verify join, so join probe work scales with candidate hits (true
+    positives + ~1% FPs), not with corpus shingle volume. The exact join
+    then removes the Bloom's false positives, making the output identical
+    to ``decontaminate_documents`` — both run against the same SQL oracle,
+    which pins the sketch+verify composition to the exact semantics.
+
+    The bitset is built from a bounded collect of the BENCHMARK side only
+    (benchmark suites are KBs by definition — same bounded-driver-state
+    policy as IVF centroids and PQ codebooks); the corpus side never
+    leaves executors unreduced.
+
+    Same fixture construction as ``decontaminate_documents``: benchmark =
+    every 97th doc, corpus = the rest + planted 80%-prefix leaks."""
+    from data_ingestion_pipeline_spark.functions.bloom import (
+        bloom_build,
+        bloom_params,
+        bloom_probe_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    tok = F.split(F.trim(F.col("text")), r"\s+")
+    prefix_len = F.greatest(F.ceil(F.size(tok) * 0.8).cast("int"), F.lit(1))
+    leaked = bench_docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(tok, F.lit(1), prefix_len)).alias("text"),
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "text")
+        .unionByName(leaked)
+    )
+    bench_sh = (
+        shingle_sets(bench_docs, "text", "doc_id", n=8)
+        .select(F.explode_outer("sset").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .distinct()
+    )
+    bench_keys = [r.sh for r in bench_sh.collect()]  # bounded: bench side
+    m_bits, k = bloom_params(len(bench_keys), fpp=0.01)
+    bits = bloom_build(bench_keys, m_bits, k)
+    might_contain = bloom_probe_udf(bits, m_bits, k)
+    corpus_sh = (
+        shingle_sets(corpus, "text", "doc_id", n=8)
+        .select("doc_id", "set_size", F.explode_outer("sset").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+    )
+    candidates = corpus_sh.filter(might_contain(F.col("sh")))
+    return (
+        candidates.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id", "set_size")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("set_size").cast("double"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
+def build_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build — the tokenizer-training precursor: global
+    token counts (occurrences + document frequency) with the top-V tokens
+    ranked. One explode → two-phase hash aggregate; shuffle volume ∝
+    distinct tokens, never corpus size, and the top-V cut is a
+    TakeOrderedAndProject, not a global sort. At 100 TB this is exactly a
+    (sharded) wordpiece/BPE seed-vocab count job."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    # cut FIRST via sort-limit (TakeOrderedAndProject — per-partition top-V
+    # then a V-row merge), THEN rank: the single-partition ranking window
+    # only ever sees V rows, not the whole vocabulary
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(500)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return top.withColumn("vocab_rank", F.row_number().over(w).cast("int"))
+
+
+BUILD_VOCAB_DOCUMENTS_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+    FROM documents
+), counts AS (
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM tok WHERE token <> '' GROUP BY token
+)
+SELECT token, n_occurrences, n_docs,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS INT)
+           AS vocab_rank
+FROM counts
+QUALIFY vocab_rank <= 500
+"""
+
+
+def shard_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle into training shards — the step between
+    curation and the data loader: shard = hash(doc_id) mod N, position
+    within shard = rank of a second, independent hash. Every engine (and
+    every rerun) derives the same permutation from the data alone — no RNG
+    state to ship, resumable mid-epoch by (shard, pos).
+
+    Scale shape: the shard assignment is a map-side expression; the
+    within-shard ordering is a window PARTITIONED by shard (so each shard
+    ranks independently — never a single global sort). md5-derived keys
+    (not xxhash64) because the permutation must be reproducible outside
+    Spark too — the loader or another engine can recompute it."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % 8).cast("int")
+    order_key = F.substring(h, 7, 10)
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), order_key.alias("order_key"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("int"))
+        .drop("order_key")
+    )
+
+
+SHARD_SHUFFLE_DOCUMENTS_ORACLE = """
+WITH keyed AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 8
+                AS INTEGER) AS shard,
+           substr(md5(doc_id::VARCHAR), 7, 10) AS order_key
+    FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY shard ORDER BY order_key, doc_id
+       ) AS INT) AS pos_in_shard
+FROM keyed
+"""
+
+
 def dup_span_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level duplication profile — the signal behind exact-substring
     dedup of training corpora (drop repeated long spans, keep the first

@@ -393,27 +393,60 @@ FROM orders GROUP BY o_orderpriority
 def approx_price_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch: ``approx_percentile`` (Greenwald-Khanna) — mergeable
     bounded-memory state per group, the form that survives 100 TB where the
-    exact aggregate would sort each group. Rows-only driver check
-    (approximate by construction); rank-error bound vs the exact quantiles
-    is asserted in pytest.
+    exact aggregate would sort each group. The sketch returns one
+    ``array<double>``; the surface flattens it to scalars (array-typed
+    outputs crash the driver's pandas canonicalizer).
 
-    The sketch returns one ``array<double>``; the registry surface indexes it
-    into scalar p25/p50/p75/p95 columns (array-typed outputs crash the
-    driver's pandas canonicalizer — flatten at the contract boundary, keep
-    arrays internal)."""
+    Driver-gradeable construction: the same groupBy also computes the
+    EXACT bracket quantiles at ranks p ± 1% and publishes one
+    ``within_pXX`` boolean per requested quantile — GK's rank-error
+    guarantee (ε ≤ 1/accuracy = 1e-4 here) makes every bracket hold by a
+    100× margin, so the oracle pins literal TRUEs and the hash check
+    fails exactly when the sketch's rank error regresses past 1%. The
+    production shape keeps only the approx aggregate."""
     orders = load_table(spark, sf_dir, "orders")
+    probes = [("25", 0.25), ("50", 0.50), ("75", 0.75), ("95", 0.95)]
+    slack = 0.01
     q = orders.groupBy("o_orderpriority").agg(
         F.approx_percentile(
-            "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)), F.lit(10_000)
-        ).alias("quantiles_approx")
+            "o_totalprice",
+            F.array(*[F.lit(p) for _, p in probes]),
+            F.lit(10_000),
+        ).alias("_approx"),
+        *[
+            F.percentile(
+                "o_totalprice", F.lit(max(0.0, p - slack))
+            ).alias(f"_lo{name}")
+            for name, p in probes
+        ],
+        *[
+            F.percentile(
+                "o_totalprice", F.lit(min(1.0, p + slack))
+            ).alias(f"_hi{name}")
+            for name, p in probes
+        ],
+        F.count("*").cast("bigint").alias("n_orders"),
     )
     return q.select(
         "o_orderpriority",
-        F.col("quantiles_approx")[0].alias("p25_approx"),
-        F.col("quantiles_approx")[1].alias("p50_approx"),
-        F.col("quantiles_approx")[2].alias("p75_approx"),
-        F.col("quantiles_approx")[3].alias("p95_approx"),
+        *[
+            (
+                (F.col("_approx")[i] >= F.col(f"_lo{name}"))
+                & (F.col("_approx")[i] <= F.col(f"_hi{name}"))
+            ).alias(f"within_p{name}")
+            for i, (name, _) in enumerate(probes)
+        ],
+        "n_orders",
     )
+
+
+APPROX_PRICE_QUANTILES_BY_PRIORITY_ORACLE = """
+SELECT o_orderpriority,
+       TRUE AS within_p25, TRUE AS within_p50,
+       TRUE AS within_p75, TRUE AS within_p95,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
 
 
 def acctbal_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -864,20 +897,49 @@ def hll_merge_users_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     never re-reading raw events. This is the warehouse sketch pattern at
     100 TB: materialize a sketch column per partition/day once, answer any
     coarser rollup by unioning sketches — state is KBs per group and the
-    merge is associative across executors. Rows-only driver check
-    (estimates are approximate by construction); pytest pins exactness at
-    fixture cardinalities (the sketch is in exact sparse mode) and that
-    day-merge equals direct-week aggregation."""
+    merge is associative across executors.
+
+    Driver-gradeable construction (same pattern as
+    ``approx_distinct_users_daily``): alongside the merged-sketch estimate,
+    one exact per-week distinct count is computed and published with a
+    ``within_bound`` boolean (|est − exact| ≤ max(3, 10%·exact); the
+    sketch's own rsd at lgConfigK=12 is ~1.6%). The oracle computes the
+    exact side plus literal TRUE, so a sketch/merge regression flips the
+    hash check. Production shape keeps only the sketch path; pytest
+    additionally pins day-merge == direct-week aggregation."""
     events = load_table(spark, sf_dir, "events")
     daily = events.groupBy(
         F.weekofyear("ts").cast("int").alias("week"),
         F.to_date("ts").alias("day"),
     ).agg(F.hll_sketch_agg("user_id").alias("day_sketch"))
-    return daily.groupBy("week").agg(
+    merged = daily.groupBy("week").agg(
         F.hll_sketch_estimate(F.hll_union_agg("day_sketch"))
         .cast("bigint")
         .alias("n_users_est")
     )
+    exact = events.groupBy(F.weekofyear("ts").cast("int").alias("week")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    return (
+        exact.join(merged, "week")
+        .select(
+            "week",
+            "n_users",
+            (
+                F.abs(F.col("n_users_est") - F.col("n_users"))
+                <= F.greatest(F.lit(3.0), F.col("n_users") * 0.1)
+            ).alias("within_bound"),
+        )
+        .orderBy("week")
+    )
+
+
+HLL_MERGE_USERS_WEEKLY_ORACLE = """
+SELECT CAST(WEEKOFYEAR(ts) AS INT) AS week,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS within_bound
+FROM events GROUP BY 1
+"""
 
 
 def approx_top_k_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:

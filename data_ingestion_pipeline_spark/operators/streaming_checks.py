@@ -402,6 +402,64 @@ FROM events p JOIN events v
 """
 
 
+def streaming_interval_left_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase, with NULL
+    view columns when no same-user view landed in the hour before it —
+    null rows emitted only once the watermark PROVES no in-band view can
+    still arrive (state finalization, not a timing accident).
+
+    A finite availableNow run never finalizes purchases younger than
+    watermark+band at end-of-input (their null rows are still pending), so
+    the checkable region is purchases with p_ts ≤ max(ts) − 4h (2h
+    watermark + 1h band + 1h slack); both this query and the oracle apply
+    that same cutoff, making the streaming output equal the batch LEFT
+    JOIN on the finalized region."""
+    from data_ingestion_pipeline_spark.streaming.joins import (
+        purchases_with_recent_views_outer,
+    )
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    name = f"stream_ivljoin_{tag}"
+    purchases = _events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    views = _events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    joined = purchases_with_recent_views_outer(purchases, views)
+    with _stream_state_partitions(spark):
+        query = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        out = _drain(query, spark, name)
+    cutoff = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    import datetime
+
+    finalized = cutoff - datetime.timedelta(hours=4)
+    return out.filter(F.col("p_ts") <= F.lit(finalized)).drop("p_ts")
+
+
+STREAMING_INTERVAL_LEFT_JOIN_EVENTS_ORACLE = """
+WITH cutoff AS (SELECT MAX(ts) - INTERVAL 4 HOUR AS m FROM events),
+p AS (
+    SELECT user_id, ts, event_id FROM events, cutoff
+    WHERE event_type = 'purchase' AND ts <= m
+),
+v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view')
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT) AS secs_before
+FROM p LEFT JOIN v
+  ON p.user_id = v.user_id
+ AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+"""
+
+
 def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: every micro-batch broadcast-joins the customer
     dimension — stateless enrichment; a dim swapped between batches (atomic

@@ -75,6 +75,12 @@ _ROUND4_NEW: list[str] = [
     "ann_ivf_recall_embeddings",
     "ann_pq_recall_embeddings",
     "near_dup_clusters_star_documents",
+    "hll_merge_users_weekly",
+    "approx_price_quantiles_by_priority",
+    "bloom_decontaminate_documents",
+    "streaming_interval_left_join_events",
+    "build_vocab_documents",
+    "shard_shuffle_documents",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -383,7 +389,7 @@ register(
 register(
     "approx_price_quantiles_by_priority",
     relational.approx_price_quantiles_by_priority,
-    None,
+    relational.APPROX_PRICE_QUANTILES_BY_PRIORITY_ORACLE,
 )
 
 register(
@@ -831,6 +837,12 @@ register(
 )
 
 register(
+    "streaming_interval_left_join_events",
+    streaming_checks.streaming_interval_left_join_events,
+    streaming_checks.STREAMING_INTERVAL_LEFT_JOIN_EVENTS_ORACLE,
+)
+
+register(
     "streaming_enriched_events",
     streaming_checks.streaming_enriched_events,
     streaming_checks.STREAMING_ENRICHED_EVENTS_ORACLE,
@@ -892,6 +904,24 @@ register(
     llm_data.DECONTAMINATE_DOCUMENTS_ORACLE,
 )
 
+register(
+    "bloom_decontaminate_documents",
+    llm_data.bloom_decontaminate_documents,
+    llm_data.DECONTAMINATE_DOCUMENTS_ORACLE,
+)
+
+register(
+    "build_vocab_documents",
+    llm_data.build_vocab_documents,
+    llm_data.BUILD_VOCAB_DOCUMENTS_ORACLE,
+)
+
+register(
+    "shard_shuffle_documents",
+    llm_data.shard_shuffle_documents,
+    llm_data.SHARD_SHUFFLE_DOCUMENTS_ORACLE,
+)
+
 register("ann_pq_topk_embeddings", llm_data.ann_pq_topk_embeddings, None)
 
 register(
@@ -930,7 +960,11 @@ register(
     lakehouse_checks.OBSERVED_METRICS_ORDERS_ORACLE,
 )
 
-register("hll_merge_users_weekly", relational.hll_merge_users_weekly, None)
+register(
+    "hll_merge_users_weekly",
+    relational.hll_merge_users_weekly,
+    relational.HLL_MERGE_USERS_WEEKLY_ORACLE,
+)
 
 register(
     "approx_top_k_event_types",

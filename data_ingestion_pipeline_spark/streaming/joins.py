@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["purchases_with_recent_views", "enrich_events_with_dim"]
+__all__ = [
+    "purchases_with_recent_views",
+    "purchases_with_recent_views_outer",
+    "enrich_events_with_dim",
+]
 
 
 def purchases_with_recent_views(
@@ -57,6 +61,52 @@ def purchases_with_recent_views(
         # micros-diff then floor-divide: unix_timestamp() floors EACH side to
         # seconds first, which disagrees with an epoch-difference by ±1 when
         # the two fractional parts straddle a second boundary
+        ((F.unix_micros("p_ts") - F.unix_micros("v_ts")) / 1_000_000)
+        .cast("bigint")
+        .alias("secs_before"),
+    )
+
+
+def purchases_with_recent_views_outer(
+    purchases: DataFrame,
+    views: DataFrame,
+    band: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER interval join: every purchase, with NULL view columns when
+    no same-user view landed in the band before it.
+
+    The streaming-specific semantics ride on the watermark: an unmatched
+    purchase is held in state until the watermark proves no in-band view
+    can still arrive, THEN emits with nulls — so null rows are correct
+    statements, not timing accidents. Purchases younger than
+    watermark + band at end-of-input stay pending (a finite availableNow
+    run never finalizes them); callers comparing against a batch oracle
+    must restrict both sides to the finalized region (see
+    ``streaming_interval_left_join_events``)."""
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+        v = v.withWatermark("v_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {band}"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+    )
+    return p.join(v, cond, "left_outer").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        F.col("p_ts"),
+        "view_id",
         ((F.unix_micros("p_ts") - F.unix_micros("v_ts")) / 1_000_000)
         .cast("bigint")
         .alias("secs_before"),

@@ -114,7 +114,10 @@ def test_hll_day_merge_equals_direct_week(spark):
         hll_merge_users_weekly,
     )
 
-    merged = {r.week: r.n_users_est for r in hll_merge_users_weekly(spark, SF_SMOKE).collect()}
+    gated = {
+        r.week: (r.n_users, r.within_bound)
+        for r in hll_merge_users_weekly(spark, SF_SMOKE).collect()
+    }
     events = load_table(spark, SF_SMOKE, "events")
     exact = {
         r.week: r.n
@@ -122,7 +125,26 @@ def test_hll_day_merge_equals_direct_week(spark):
         .agg(F.countDistinct("user_id").cast("bigint").alias("n"))
         .collect()
     }
-    assert merged == exact
+    assert {w: n for w, (n, _) in gated.items()} == exact
+    assert all(ok for _, ok in gated.values())
+    # the merged-sketch estimate itself (pre-gate) equals the direct-week
+    # sketch estimate: day-merge loses nothing
+    daily = events.groupBy(
+        F.weekofyear("ts").cast("int").alias("week"), F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = {
+        r.week: r.est
+        for r in daily.groupBy("week")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est"))
+        .collect()
+    }
+    direct = {
+        r.week: r.est
+        for r in events.groupBy(F.weekofyear("ts").cast("int").alias("week"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("bigint").alias("est"))
+        .collect()
+    }
+    assert merged == direct
 
 
 def test_zorder_skips_files_on_both_dimensions(spark):

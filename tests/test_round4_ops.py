@@ -218,3 +218,33 @@ def test_zorder_quantile_ranks_on_lognormal_skew(spark, tmp_path):
     # to a few equal-mass buckets (measured 5 vs 15 of 16)
     assert hit_u >= 12, hit_u
     assert hit_q <= 8, hit_q
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_fpr(spark):
+    """Every inserted key must probe TRUE (no false negatives — the
+    property decontamination correctness rides on); non-members probe TRUE
+    at ≈ the configured FPR."""
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.functions.bloom import (
+        bloom_build,
+        bloom_params,
+        bloom_probe_udf,
+    )
+
+    rng = np.random.default_rng(7)
+    members = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+    others = rng.integers(-(2**62), 2**62, size=20000, dtype=np.int64)
+    others = np.setdiff1d(others, members)
+    m_bits, k = bloom_params(len(members), fpp=0.01)
+    bits = bloom_build(members, m_bits, k)
+    probe = bloom_probe_udf(bits, m_bits, k)
+    df = spark.createDataFrame(
+        [(int(v), True) for v in members] + [(int(v), False) for v in others],
+        "key long, is_member boolean",
+    ).repartition(8)
+    got = df.select("is_member", probe(F.col("key")).alias("hit")).collect()
+    fp = sum(1 for r in got if r.hit and not r.is_member)
+    fn = sum(1 for r in got if r.is_member and not r.hit)
+    assert fn == 0
+    assert fp / len(others) < 0.03, fp
