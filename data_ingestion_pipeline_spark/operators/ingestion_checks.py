@@ -378,3 +378,54 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
        o_orderpriority
 FROM orders
 """
+
+
+def python_datasource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same custom Python connector as a STREAMING source (Spark 4
+    SimpleDataSourceStreamReader): row-counter offsets, micro-batches of
+    10k rows, exactly-once replay via readBetweenOffsets. A complete-mode
+    aggregation drains the finite stream (processAllAvailable returns once
+    the offset stops advancing at n), so the final memory-sink table is
+    the full-stream aggregate — hash-checked against DuckDB recomputing
+    the identical arithmetic stream from range(). Proves the streaming
+    connector extension point end to end: offsets, replay, micro-batch
+    aggregation."""
+    from data_ingestion_pipeline_spark.sources.python_datasource import (
+        synthetic_events_stream,
+    )
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    name = f"pyds_stream_{tag}"
+    stream = synthetic_events_stream(spark, n=30_000, batch=10_000)
+    agg = stream.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        dec_sum2(F.col("score")).alias("total_score"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name)
+
+
+PYTHON_DATASOURCE_STREAM_AGG_ORACLE = """
+WITH ids AS (SELECT range AS id FROM range(0, 30000)),
+src AS (
+    SELECT id, CAST(id % 7 AS INT) AS bucket,
+           CAST((id * 2654435761) % 100000 AS DOUBLE) / 100000.0 AS score
+    FROM ids
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(score AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_score,
+       MIN(id) AS min_id, MAX(id) AS max_id
+FROM src GROUP BY bucket
+"""

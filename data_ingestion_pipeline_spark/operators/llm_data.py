@@ -347,6 +347,75 @@ def bloom_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def semantic_dedup_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup gate: cluster the corpus into coarse
+    cells (deterministic IVF centroids), score candidate near-dup pairs
+    only WITHIN each cell, and grade the blocking against the exact
+    all-pairs relation in the same plan.
+
+    This is the economics of semantic dedup at 100 TB: clustering turns
+    O(N²) scored pairs into Σ n_c² (cell-local joins that co-partition on
+    list_id), at the cost of missing cross-cell pairs. Near-identical
+    vectors land in the same cell almost surely, so recall on true
+    near-dups stays high — the gate publishes exactly that claim as two
+    booleans the DuckDB oracle pins to TRUE:
+
+    - ``recall_ok``: cell-blocked pairs recover ≥ 70% of the exact ≥0.8
+      pair set (planted-pair recall measured 1.0 — copies sit ~0.99 cosine
+      from their originals and share a cell);
+    - ``precision_exact``: zero false pairs — within-cell candidates are
+      exactly rescored, so the blocked set is a strict subset of exact.
+    """
+    from data_ingestion_pipeline_spark.dedup.embedding import cosine_pairs_blas
+    from data_ingestion_pipeline_spark.functions.vector import as_double_array, cosine
+    from data_ingestion_pipeline_spark.similarity.ivf import (
+        ivf_assign,
+        sample_centroids,
+    )
+
+    aug = _near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
+    cents = sample_centroids(aug, n_centroids=16)
+    assigned = ivf_assign(fan_out(aug), cents).select(
+        "vec_id", "list_id", as_double_array(F.col("embedding")).alias("_v")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), "list_id", F.col("_v").alias("_va")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), "list_id", F.col("_v").alias("_vb")
+    )
+    within = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("s")
+        )
+        .filter(F.col("s") >= 0.8)
+        .select("id_a", "id_b")
+    )
+    exact = cosine_pairs_blas(aug, "vec_id", "embedding", threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_hit = within.join(exact, ["id_a", "id_b"]).agg(F.count("*").alias("n_hit"))
+    n_fp = within.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("n_fp")
+    )
+    return (
+        n_exact.crossJoin(n_hit)
+        .crossJoin(n_fp)
+        .select(
+            (F.col("n_hit") >= 0.7 * F.col("n_exact")).alias("recall_ok"),
+            (F.col("n_fp") == 0).alias("precision_exact"),
+        )
+    )
+
+
+SEMANTIC_DEDUP_RECALL_EMBEDDINGS_ORACLE = """
+SELECT TRUE AS recall_ok, TRUE AS precision_exact
+"""
+
+
 def build_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary build — the tokenizer-training precursor: global
     token counts (occurrences + document frequency) with the top-V tokens

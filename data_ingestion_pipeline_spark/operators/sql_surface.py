@@ -16,6 +16,7 @@ casts from the DataFrame builders are replicated here verbatim.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
@@ -215,4 +216,83 @@ WITH t AS (
     FROM t
 )
 SELECT p_partkey, CAST(u.pos AS INT) AS pos, u.word AS word FROM fanned
+"""
+
+
+def parameterized_brand_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-marker API): the text contains
+    :brand / :max_size markers and values bind server-side as literals —
+    the injection-safe surface the reference's f-string DDL lacked
+    (flows/schema_sync.py:48,67-74 builds SQL by interpolation; SURVEY.md
+    §4.1). Binding as literals (not strings spliced into text) also keeps
+    the plan cacheable by structure and the filter pushdown-eligible."""
+    _register(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_brand, p_size
+        FROM part WHERE p_brand = :brand AND p_size < :max_size
+        """,
+        args={"brand": "Brand#3", "max_size": 25},
+    )
+
+
+PARAMETERIZED_BRAND_FILTER_ORACLE = """
+SELECT p_partkey, p_name, p_brand, p_size
+FROM part WHERE p_brand = 'Brand#3' AND p_size < 25
+"""
+
+
+def pandas_udaf_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a pandas grouped-agg UDF (Series → scalar, the
+    Arrow-batched UDAF surface): quantity-weighted mean lineitem price per
+    order priority. Accumulation uses ``math.fsum`` (exactly-rounded
+    summation), so the result is independent of partition/arrival order —
+    the same cross-engine float-parity policy as the decimal-sum
+    aggregates (functions/numeric.py), just realized on the Python side.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _wmean(price, qty):
+        num = math.fsum((price * qty).tolist())
+        den = math.fsum(qty.tolist())
+        return num / den if den else None
+
+    _wmean.__annotations__ = {
+        "price": pd.Series, "qty": pd.Series, "return": float
+    }
+    wmean = pandas_udf(_wmean, "double")
+
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in
+    # aggregates in one agg(), so the row count is a (trivial) second
+    # pandas aggregate
+    def _n(qty):
+        return len(qty)
+
+    _n.__annotations__ = {"qty": pd.Series, "return": int}
+    n_rows = pandas_udf(_n, "long")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(
+        F.broadcast(orders.select("o_orderkey", "o_orderpriority")),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(wmean(F.col("l_extendedprice"), F.col("l_quantity")), 4).alias(
+            "weighted_avg_price"
+        ),
+        n_rows(F.col("l_quantity")).alias("n_lineitems"),
+    )
+
+
+PANDAS_UDAF_PRICE_BY_PRIORITY_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(27,12)))
+             / SUM(CAST(l_quantity AS DECIMAL(27,12))), 4)::DOUBLE
+           AS weighted_avg_price,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
 """

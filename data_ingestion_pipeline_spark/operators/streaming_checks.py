@@ -233,6 +233,68 @@ SELECT event_id, user_id, event_type, value FROM events
 """
 
 
+@contextmanager
+def _rocksdb_state_store(spark: SparkSession):
+    """Run a stateful query on the RocksDB state-store provider — the
+    production choice once state outgrows the executor heap (HDFS-backed
+    in-memory maps OOM first; RocksDB spills to local disk and snapshots
+    incrementally). Provider is fixed per query at first start, so it's
+    scoped here and restored after."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if old:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+
+
+def streaming_dedup_rocksdb_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming dedup run on the ROCKSDB state-store provider: same
+    planted-duplicate source, same watermarked dropDuplicates, same oracle
+    — what changes is where cross-batch state lives (off-heap RocksDB with
+    incremental snapshots instead of the default HDFS-backed heap maps).
+    Registering both providers against one oracle pins that state-store
+    choice is a pure capacity/performance knob, never a semantics change;
+    at 100 TB-scale state (billions of live dedup keys) RocksDB is the
+    only one of the two that survives."""
+    tag, src_dir = _planted_dup_source(sf_dir)
+    name = f"stream_dedup_rocks_{tag}"
+    raw = (
+        spark.readStream.schema(
+            _events_stream_schema(spark, os.path.join(src_dir, "copy_a.parquet"))
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    from data_ingestion_pipeline_spark.streaming.windows import dedup_events_stream
+
+    events = normalize_event_ts(raw)
+    deduped = dedup_events_stream(events, watermark="24 hours").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    with _stream_state_partitions(spark), _rocksdb_state_store(spark):
+        query = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+    if query.isActive:
+        query.stop()
+    return spark.table(name)
+
+
 def stateful_user_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-state streaming (applyInPandasWithState): per-user running
     profile over the duplicated two-batch source — the second batch folds

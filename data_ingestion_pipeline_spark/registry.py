@@ -81,6 +81,11 @@ _ROUND4_NEW: list[str] = [
     "streaming_interval_left_join_events",
     "build_vocab_documents",
     "shard_shuffle_documents",
+    "parameterized_brand_filter",
+    "pandas_udaf_price_by_priority",
+    "python_datasource_stream_agg",
+    "streaming_dedup_rocksdb_events",
+    "semantic_dedup_recall_embeddings",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -528,6 +533,12 @@ register(
 )
 
 register(
+    "python_datasource_stream_agg",
+    ingestion_checks.python_datasource_stream_agg,
+    ingestion_checks.PYTHON_DATASOURCE_STREAM_AGG_ORACLE,
+)
+
+register(
     "jdbc_roundtrip_orders",
     ingestion_checks.jdbc_roundtrip_orders,
     ingestion_checks.JDBC_ROUNDTRIP_ORDERS_ORACLE,
@@ -837,6 +848,12 @@ register(
 )
 
 register(
+    "streaming_dedup_rocksdb_events",
+    streaming_checks.streaming_dedup_rocksdb_events,
+    streaming_checks.STREAMING_DEDUP_EVENTS_ORACLE,
+)
+
+register(
     "streaming_interval_left_join_events",
     streaming_checks.streaming_interval_left_join_events,
     streaming_checks.STREAMING_INTERVAL_LEFT_JOIN_EVENTS_ORACLE,
@@ -911,6 +928,12 @@ register(
 )
 
 register(
+    "semantic_dedup_recall_embeddings",
+    llm_data.semantic_dedup_recall_embeddings,
+    llm_data.SEMANTIC_DEDUP_RECALL_EMBEDDINGS_ORACLE,
+)
+
+register(
     "build_vocab_documents",
     llm_data.build_vocab_documents,
     llm_data.BUILD_VOCAB_DOCUMENTS_ORACLE,
@@ -946,6 +969,18 @@ register(
     "udtf_part_type_words",
     sql_surface.udtf_part_type_words,
     sql_surface.UDTF_PART_TYPE_WORDS_ORACLE,
+)
+
+register(
+    "parameterized_brand_filter",
+    sql_surface.parameterized_brand_filter,
+    sql_surface.PARAMETERIZED_BRAND_FILTER_ORACLE,
+)
+
+register(
+    "pandas_udaf_price_by_priority",
+    sql_surface.pandas_udaf_price_by_priority,
+    sql_surface.PANDAS_UDAF_PRICE_BY_PRIORITY_ORACLE,
 )
 
 register(

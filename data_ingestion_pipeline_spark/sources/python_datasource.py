@@ -20,9 +20,18 @@ same partition/read shape.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
-__all__ = ["SyntheticEventsDataSource", "read_synthetic_events"]
+__all__ = [
+    "SyntheticEventsDataSource",
+    "read_synthetic_events",
+    "synthetic_events_stream",
+]
 
 _MULT = 2654435761  # Knuth multiplicative hash constant
 _MOD = 100_000
@@ -68,6 +77,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _Reader(self.options)
 
+    def simpleStreamReader(self, schema) -> "_StreamReader":
+        return _StreamReader(self.options)
+
 
 def read_synthetic_events(
     spark: SparkSession, n: int = _MOD, parts: int = 8
@@ -77,5 +89,51 @@ def read_synthetic_events(
         spark.read.format("synthetic_events")
         .option("n", str(n))
         .option("parts", str(parts))
+        .load()
+    )
+
+
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Deterministic streaming variant: offsets are plain row counters, so
+    any micro-batch boundary yields the same union of rows, and
+    ``readBetweenOffsets`` replays a committed range bit-identically
+    (arithmetic source — replay IS recompute). A real connector keeps this
+    offset/replay contract and swaps arithmetic for IO."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", _MOD))
+        self.batch = int(options.get("batch", 10_000))
+
+    def initialOffset(self) -> dict:
+        return {"id": 0}
+
+    def _rows(self, lo: int, hi: int):
+        # a LIST iterator, not a generator: Spark's prefetch cache
+        # copy.copy()s and pickles the iterator for micro-batch replay,
+        # which list_iterator supports and generators do not
+        return iter(
+            [
+                (i, int(i % 7), float((i * _MULT) % _MOD) / float(_MOD))
+                for i in range(lo, hi)
+            ]
+        )
+
+    def read(self, start: dict):
+        lo = int(start["id"])
+        hi = min(lo + self.batch, self.n)
+        return self._rows(lo, hi), {"id": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["id"]), int(end["id"]))
+
+
+def synthetic_events_stream(
+    spark: SparkSession, n: int = _MOD, batch: int = 10_000
+) -> DataFrame:
+    spark.dataSource.register(SyntheticEventsDataSource)
+    return (
+        spark.readStream.format("synthetic_events")
+        .option("n", str(n))
+        .option("batch", str(batch))
         .load()
     )

@@ -177,3 +177,39 @@ def test_rollup_reaggregates_partials_two_phase(spark):
     plan = _plan(spark, "daily_rollup_from_hourly_events")
     # both levels are hash aggregates; no sort-based fallback
     assert plan.count("HashAggregate") >= 4  # partial+final at each level
+
+
+def test_multitable_ann_plan_shape(spark):
+    """The multi-table LSH candidate path must be hash joins end to end
+    (broadcast query index, id re-attach) — never a cartesian/NL join —
+    and the top-k per query must stay a ranking window, not a global sort."""
+    plan = _plan(spark, "ann_lsh_topk_embeddings")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_vocab_topv_avoids_full_sort(spark):
+    plan = _plan(spark, "build_vocab_documents")
+    assert "TakeOrderedAndProject" in plan, "top-V degraded to a full sort"
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_bloom_probe_runs_before_verify_join(spark):
+    """The Bloom probe must be a scan-side filter (ArrowEvalPython below
+    the verify join), so corpus shingles are pruned before any join."""
+    plan = _plan(spark, "bloom_decontaminate_documents")
+    assert "ArrowEvalPython" in plan
+    # the only joins are broadcast-hash (verify vs bench shingles)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shard_shuffle_window_is_partitioned(spark):
+    """The within-shard rank must be a PARTITIONED window — a global
+    (single-partition) window would serialize the corpus through one task."""
+    df = entrymod.queries()["shard_shuffle_documents"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # partition spec present: hashpartitioning on shard feeds the window
+    assert "hashpartitioning(shard" in plan
