@@ -347,6 +347,105 @@ def bloom_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def minhash_scale_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the scale-tuned MinHash-LSH variant (B=8, R=4,
+    J ≥ 0.5 verified): its pair set must recover ≥ 80% of the exact
+    J ≥ 0.7 relation computed in the same plan by the inverted-index
+    Jaccard verifier (pytest shows exact copies always collide and
+    J≈0.85 near-dups miss a band with P < 1e-2). Precision needs no gate:
+    every emitted pair carries an exactly-verified Jaccard ≥ 0.5 by
+    construction. Oracle pins the boolean to TRUE."""
+    aug = _near_dup_corpus(load_table(spark, sf_dir, "documents"))
+    scale = minhash_near_dup_pairs(aug, "text", "doc_id", threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    exact = jaccard_pairs(aug, "text", "doc_id", n=3, threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_hit = scale.join(exact, ["id_a", "id_b"]).agg(F.count("*").alias("n_hit"))
+    return n_exact.crossJoin(n_hit).select(
+        (F.col("n_hit") >= 0.8 * F.col("n_exact")).alias("recall_ok")
+    )
+
+
+MINHASH_SCALE_RECALL_DOCUMENTS_ORACLE = "SELECT TRUE AS recall_ok"
+
+
+def simhash_exact_copy_recall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural gate for SimHash: byte-identical documents hash to the
+    SAME 64-bit signature, so every identical-text pair MUST appear in
+    the hamming ≤ 3 pair set — zero misses, by construction, at any
+    scale. The fixture corpus plants only prefix copies (no byte-identical
+    pairs), so this gate plants its own: every 25th document duplicated
+    verbatim under id +3,000,000. The exact side (pairs grouped by text
+    hash) is computed in the same plan; the oracle pins TRUE."""
+    base = _near_dup_corpus(load_table(spark, sf_dir, "documents"))
+    aug = base.unionByName(
+        base.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+        )
+    )
+    sim = simhash_near_dup_pairs(aug, "text", "doc_id", max_hamming=3).select(
+        "id_a", "id_b"
+    )
+    by_text = aug.select("doc_id", F.md5("text").alias("_h"))
+    a = by_text.select(F.col("doc_id").alias("id_a"), "_h")
+    b = by_text.select(F.col("doc_id").alias("id_b"), "_h")
+    exact_copies = (
+        a.join(b, "_h").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    )
+    n_exact = exact_copies.agg(F.count("*").alias("n_exact"))
+    n_miss = exact_copies.join(sim, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("n_miss")
+    )
+    return n_exact.crossJoin(n_miss).select(
+        ((F.col("n_miss") == 0) & (F.col("n_exact") > 0)).alias(
+            "all_exact_copies_found"
+        )
+    )
+
+
+SIMHASH_EXACT_COPY_RECALL_DOCUMENTS_ORACLE = (
+    "SELECT TRUE AS all_exact_copies_found"
+)
+
+
+def embedding_lsh_pair_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall + precision gate for the scale-tuned (4 bands × 6 planes)
+    embedding-LSH near-dup variant against the exact blocked-BLAS ≥ 0.8
+    pair set in the same plan: candidates are exactly re-scored (precision
+    is structural), banding recall on the planted ≈0.97-cosine pairs
+    clears 0.8 with margin (miss probability per pair ≈ (1−0.36)⁴)."""
+    from data_ingestion_pipeline_spark.dedup.embedding import cosine_pairs_blas
+
+    aug = _near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
+    scale = lsh_cosine_pairs(
+        aug, "vec_id", "embedding", threshold=0.8, dim=EMB_DIM
+    ).select("id_a", "id_b")
+    exact = cosine_pairs_blas(aug, "vec_id", "embedding", threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_hit = scale.join(exact, ["id_a", "id_b"]).agg(F.count("*").alias("n_hit"))
+    n_fp = scale.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("n_fp")
+    )
+    return (
+        n_exact.crossJoin(n_hit)
+        .crossJoin(n_fp)
+        .select(
+            (F.col("n_hit") >= 0.7 * F.col("n_exact")).alias("recall_ok"),
+            (F.col("n_fp") == 0).alias("precision_exact"),
+        )
+    )
+
+
+EMBEDDING_LSH_PAIR_RECALL_EMBEDDINGS_ORACLE = """
+SELECT TRUE AS recall_ok, TRUE AS precision_exact
+"""
+
+
 def semantic_dedup_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup gate: cluster the corpus into coarse
     cells (deterministic IVF centroids), score candidate near-dup pairs

@@ -965,3 +965,34 @@ APPROX_TOP_K_EVENT_TYPES_ORACLE = """
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY event_type
 """
+
+
+def order_price_percentiles_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic ranking functions over a partitioned window: percent_rank,
+    cume_dist, and the gap to the next-larger order (lead) within each
+    order priority. One shuffle on the partition key, one sort per
+    partition — the distribution-function family the report queries
+    don't otherwise exercise."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(
+            F.lead("o_totalprice", 1).over(w) - F.col("o_totalprice"), 2
+        ).alias("gap_to_next"),
+    )
+
+
+ORDER_PRICE_PERCENTILES_WINDOW_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       ROUND(o_totalprice, 2) AS price,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       ROUND(LEAD(o_totalprice, 1) OVER w - o_totalprice, 2) AS gap_to_next
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""

@@ -86,6 +86,10 @@ _ROUND4_NEW: list[str] = [
     "python_datasource_stream_agg",
     "streaming_dedup_rocksdb_events",
     "semantic_dedup_recall_embeddings",
+    "order_price_percentiles_window",
+    "minhash_scale_recall_documents",
+    "simhash_exact_copy_recall_documents",
+    "embedding_lsh_pair_recall_embeddings",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -416,6 +420,12 @@ register(
 )
 
 register(
+    "order_price_percentiles_window",
+    relational.order_price_percentiles_window,
+    relational.ORDER_PRICE_PERCENTILES_WINDOW_ORACLE,
+)
+
+register(
     "order_status_priority_cube",
     relational.order_status_priority_cube,
     relational.ORDER_STATUS_PRIORITY_CUBE_ORACLE,
@@ -632,6 +642,12 @@ register(
 register("minhash_near_dup_documents", llm_data.minhash_near_dup_documents, None)
 
 register(
+    "minhash_scale_recall_documents",
+    llm_data.minhash_scale_recall_documents,
+    llm_data.MINHASH_SCALE_RECALL_DOCUMENTS_ORACLE,
+)
+
+register(
     "minhash_verified_near_dup_documents",
     llm_data.minhash_verified_near_dup_documents,
     llm_data.MINHASH_VERIFIED_NEAR_DUP_DOCUMENTS_ORACLE,
@@ -640,12 +656,24 @@ register(
 register("simhash_near_dup_documents", llm_data.simhash_near_dup_documents, None)
 
 register(
+    "simhash_exact_copy_recall_documents",
+    llm_data.simhash_exact_copy_recall_documents,
+    llm_data.SIMHASH_EXACT_COPY_RECALL_DOCUMENTS_ORACLE,
+)
+
+register(
     "embedding_cosine_dedup",
     llm_data.embedding_cosine_dedup,
     llm_data.EMBEDDING_COSINE_DEDUP_ORACLE,
 )
 
 register("embedding_lsh_near_dup", llm_data.embedding_lsh_near_dup, None)
+
+register(
+    "embedding_lsh_pair_recall_embeddings",
+    llm_data.embedding_lsh_pair_recall_embeddings,
+    llm_data.EMBEDDING_LSH_PAIR_RECALL_EMBEDDINGS_ORACLE,
+)
 
 register(
     "embedding_lsh_verified_near_dup",
