@@ -173,7 +173,7 @@ def _planted_dup_source(sf_dir: str) -> tuple[str, str]:
     # The marker records the source file's identity so a regenerated fixture
     # (new size/mtime) invalidates stale copies instead of silently replaying
     # old data against the new oracle tables.
-    stamp = f"{st.st_size}:{int(st.st_mtime)}"
+    stamp = f"{st.st_size}:{st.st_mtime_ns}"
     current = None
     if os.path.exists(marker):
         with open(marker) as f:
@@ -618,7 +618,7 @@ def _shifted_update_source(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(src_dir, "_planted")
     events_path = os.path.join(sf_dir, "events.parquet")
     st = os.stat(events_path)
-    stamp = f"{st.st_size}:{int(st.st_mtime)}"
+    stamp = f"{st.st_size}:{st.st_mtime_ns}"
     current = None
     if os.path.exists(marker):
         with open(marker) as f:
@@ -816,4 +816,55 @@ def streaming_dedup_within_watermark_events(spark: SparkSession, sf_dir: str) ->
 
 STREAMING_DEDUP_WITHIN_WATERMARK_EVENTS_ORACLE = """
 SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
+def streaming_observed_ingest_metrics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability: audit metrics (row count, decimal value
+    total) ride the stream itself via ``DataFrame.observe`` — computed on
+    the data as it flows through the micro-batches and surfaced through
+    the progress events, never a second read of the source. Per-batch
+    metrics fold additively across batches (count and an exact decimal
+    sum), so the accumulated totals are independent of how the input was
+    split into micro-batches — which is exactly what the batch-side DuckDB
+    oracle recomputes in one pass.
+
+    This is the streaming twin of ``observed_metrics_orders``
+    (Observation API on a batch scan): together they pin that ingest
+    auditing costs zero extra scans in either mode."""
+    from decimal import Decimal
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    name = f"stream_observe_{tag}"
+    src = _events_stream(spark, sf_dir)
+    observed = src.observe(
+        "ingest_audit",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+    ).select("event_id")
+    with _stream_state_partitions(spark):
+        query = (
+            observed.writeStream.outputMode("append")
+            .format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+    if query.isActive:
+        query.stop()
+    n_rows, total = 0, Decimal(0)
+    for progress in query.recentProgress:
+        metrics = (progress.get("observedMetrics") or {}).get("ingest_audit")
+        if metrics:
+            n_rows += int(metrics["n_rows"])
+            total += Decimal(str(metrics["total_value"]))
+    return spark.createDataFrame(
+        [(n_rows, float(round(total, 2)))], "n_rows long, total_value double"
+    )
+
+
+STREAMING_OBSERVED_INGEST_METRICS_EVENTS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM events
 """

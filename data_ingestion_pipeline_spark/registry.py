@@ -90,6 +90,7 @@ _ROUND4_NEW: list[str] = [
     "minhash_scale_recall_documents",
     "simhash_exact_copy_recall_documents",
     "embedding_lsh_pair_recall_embeddings",
+    "streaming_observed_ingest_metrics_events",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -915,6 +916,12 @@ register(
     "streaming_incremental_agg_events",
     streaming_checks.streaming_incremental_agg_events,
     streaming_checks.STREAMING_INCREMENTAL_AGG_EVENTS_ORACLE,
+)
+
+register(
+    "streaming_observed_ingest_metrics_events",
+    streaming_checks.streaming_observed_ingest_metrics_events,
+    streaming_checks.STREAMING_OBSERVED_INGEST_METRICS_EVENTS_ORACLE,
 )
 
 # --- round 3: lakehouse maintenance + decontamination ---
