@@ -1,0 +1,486 @@
+"""Statistical / sequence / entity-resolution / graph analytics.
+
+The reference's analytic surface is its six psql report queries
+(``README.md:36-149``) — group-aggregate-sort shapes. A training-data
+pipeline working the same tables needs the next tier up: grouped
+regression diagnostics, two-sample tests between event populations,
+sequence transition models, time-series interpolation, fuzzy entity
+matching, and link-analysis scores over co-occurrence graphs. Each query
+here is that tier, expressed Spark-first and oracle-checked.
+
+Cross-engine determinism follows the house rule (``functions/numeric.py``,
+proven by ``event_value_outliers``): every float statistic is derived from
+EXACT decimal sums of per-row terms that are bitwise-identical doubles on
+both engines, then combined in double with the *same expression structure*
+the DuckDB oracle uses — so the comparison hash never depends on float
+summation order. The PageRank loop extends the rule to iterative state:
+each iteration's per-node sum is a decimal aggregation, so every
+intermediate rank vector is bitwise-reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.functions.numeric import dec_sum
+from data_ingestion_pipeline_spark.sources.catalog import load_table
+
+__all__ = [
+    "regression_price_quantity_by_flag",
+    "welch_ttest_purchase_view_daily",
+    "markov_event_transitions",
+    "interpolated_daily_user_value",
+    "fuzzy_part_name_pairs",
+    "pagerank_copurchase_parts",
+]
+
+
+# ---------------------------------------------------------------------------
+# Grouped least-squares regression diagnostics
+# ---------------------------------------------------------------------------
+
+def regression_price_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS of extendedprice on quantity: slope, intercept, R²,
+    Pearson r — the ``REGR_*`` family, but derived from the five exact
+    decimal power sums (Σx Σy Σxy Σx² Σy²) instead of the built-in
+    accumulators, because the built-ins fold doubles in partial-aggregation
+    order and the oracle folds them in scan order. One shuffle (the
+    groupBy); the derived algebra is per-group scalar arithmetic.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(x, 27, 12).cast("double").alias("sx"),
+        dec_sum(y, 38, 12).cast("double").alias("sy"),
+        dec_sum(x * y, 38, 12).cast("double").alias("sxy"),
+        dec_sum(x * x, 38, 12).cast("double").alias("sxx"),
+        dec_sum(y * y, 38, 12).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / varx_n
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).cast("double").alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 6)
+        .cast("double")
+        .alias("intercept"),
+        F.round((cov_n * cov_n) / (varx_n * vary_n), 6).cast("double").alias("r2"),
+        F.round(cov_n / F.sqrt(varx_n * vary_n), 6)
+        .cast("double")
+        .alias("pearson_r"),
+    )
+
+
+REGRESSION_PRICE_QUANTITY_BY_FLAG_ORACLE = """
+WITH s AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS syy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS DOUBLE) AS slope,
+       CAST(ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                  / CAST(n AS DOUBLE), 6) AS DOUBLE) AS intercept,
+       CAST(ROUND(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                   * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                  / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS DOUBLE) AS r2,
+       CAST(ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                         * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS DOUBLE)
+           AS pearson_r
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Welch t-test per day
+# ---------------------------------------------------------------------------
+
+def welch_ttest_purchase_view_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Welch two-sample t between purchase and view event values —
+    the A/B-style significance scan a data pipeline runs over behavioral
+    populations. Moments per (day, type) come from exact decimal Σv / Σv²;
+    t and the Welch–Satterthwaite df are scalar algebra on the aggregate
+    row (identical expression tree in the oracle). Days where either side
+    has n<2 are dropped (sample variance undefined), which the inner join
+    on the filtered sides encodes.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    v = F.col("value")
+    g = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count("value").cast("bigint").alias("n"),
+            dec_sum(v, 27, 12).cast("double").alias("s1"),
+            dec_sum(v * v, 27, 12).cast("double").alias("s2"),
+        )
+        .filter(F.col("n") > 1)
+    )
+
+    def side(tag: str) -> DataFrame:
+        return g.filter(F.col("event_type") == tag).select(
+            "day",
+            F.col("n").alias(f"n_{tag}"),
+            F.col("s1").alias(f"s1_{tag}"),
+            F.col("s2").alias(f"s2_{tag}"),
+        )
+
+    j = side("purchase").join(side("view"), "day")
+
+    def moments(tag: str):
+        n = F.col(f"n_{tag}").cast("double")
+        s1, s2 = F.col(f"s1_{tag}"), F.col(f"s2_{tag}")
+        mean = s1 / n
+        var = (s2 - (s1 * s1) / n) / (n - F.lit(1.0))
+        return n, mean, var
+
+    n1, m1, v1 = moments("purchase")
+    n2, m2, v2 = moments("view")
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (v1 / n1) * (v1 / n1) / (n1 - F.lit(1.0))
+        + (v2 / n2) * (v2 / n2) / (n2 - F.lit(1.0))
+    )
+    return j.select(
+        "day",
+        "n_purchase",
+        "n_view",
+        F.round(t, 6).cast("double").alias("t_stat"),
+        F.round(df, 6).cast("double").alias("welch_df"),
+    )
+
+
+WELCH_TTEST_PURCHASE_VIEW_DAILY_ORACLE = """
+WITH g AS (
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(COUNT(value) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(27,12))) AS DOUBLE) AS s2
+    FROM events WHERE event_type IN ('purchase', 'view')
+    GROUP BY 1, 2 HAVING COUNT(value) > 1
+), p AS (SELECT day, n AS n1, s1 AS a1, s2 AS a2 FROM g WHERE event_type = 'purchase'),
+   v AS (SELECT day, n AS n2, s1 AS b1, s2 AS b2 FROM g WHERE event_type = 'view'),
+   m AS (
+    SELECT p.day, n1, n2,
+           a1 / CAST(n1 AS DOUBLE) AS m1,
+           (a2 - (a1 * a1) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+           b1 / CAST(n2 AS DOUBLE) AS m2,
+           (b2 - (b1 * b1) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+    FROM p JOIN v ON p.day = v.day
+)
+SELECT day, n1 AS n_purchase, n2 AS n_view,
+       CAST(ROUND((m1 - m2) / SQRT(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)), 6)
+            AS DOUBLE) AS t_stat,
+       CAST(ROUND(((v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE))
+                   * (v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)))
+                  / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+                         / (CAST(n1 AS DOUBLE) - 1.0)
+                     + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+                         / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS DOUBLE) AS welch_df
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(next event type | current) across per-user event sequences — the
+    transition matrix behind session modeling and next-action features.
+    ``lead()`` over (user, ts, event_id) builds the bigram stream in one
+    per-user sort (partition-parallel, never a global sort); the matrix is
+    a 25-row aggregate, and the row-normalizing window runs on that tiny
+    aggregate, not the fact stream. Probabilities are exact bigint ratios
+    divided in double → identical across engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("n_transitions")
+    )
+    total = Window.partitionBy("event_type")
+    return trans.select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(total).cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("prob"),
+    )
+
+
+MARKOV_EVENT_TRANSITIONS_ORACLE = """
+WITH seq AS (
+    SELECT event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+    FROM events
+), trans AS (
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, next_type, n_transitions,
+       CAST(ROUND(CAST(n_transitions AS DOUBLE)
+                  / CAST(SUM(n_transitions) OVER (PARTITION BY event_type)
+                         AS DOUBLE), 6) AS DOUBLE) AS prob
+FROM trans
+"""
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation gap fill
+# ---------------------------------------------------------------------------
+
+def interpolated_daily_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily value series with LINEAR interpolation across gap
+    days — the resample-and-interpolate step of feature pipelines
+    (``daily_user_activity_gapfilled`` is the zero-fill sibling). Each
+    user's grid spans their own [min_day, max_day] (endpoints observed, so
+    interpolation is always bracketed). Bracketing values come from
+    last/first IGNORE NULLS frames over the per-user day order — two
+    window passes over partition-local data, no self-join. The daily mean
+    is exact-decimal-sum / count, so the lerp inputs (and hence the IEEE
+    lerp arithmetic, structured identically in the oracle) match bitwise.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (dec_sum(F.col("value"), 27, 12).cast("double")
+         / F.count("value").cast("double")).alias("avg_value")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day")
+    wprev = w.rowsBetween(Window.unboundedPreceding, 0)
+    wnext = w.rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("avg_value").isNotNull(), F.col("day"))
+    prev_v = F.last("avg_value", ignorenulls=True).over(wprev)
+    prev_d = F.last(obs_day, ignorenulls=True).over(wprev)
+    next_v = F.first("avg_value", ignorenulls=True).over(wnext)
+    next_d = F.first(obs_day, ignorenulls=True).over(wnext)
+    frac = F.datediff(F.col("day"), prev_d).cast("double") / F.datediff(
+        next_d, prev_d
+    ).cast("double")
+    interp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
+        prev_v + (next_v - prev_v) * frac
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.round(interp, 6).cast("double").alias("value_interp"),
+        F.col("avg_value").isNotNull().alias("is_observed"),
+    )
+
+
+INTERPOLATED_DAILY_USER_VALUE_ORACLE = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE)
+               / CAST(COUNT(value) AS DOUBLE) AS avg_value
+    FROM events GROUP BY 1, 2
+), span AS (
+    SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+), grid AS (
+    SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM span
+), j AS (
+    SELECT g.user_id, g.day, d.avg_value FROM grid g
+    LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+), br AS (
+    SELECT user_id, day, avg_value,
+           LAST_VALUE(avg_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+           LAST_VALUE(CASE WHEN avg_value IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+           FIRST_VALUE(avg_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+           FIRST_VALUE(CASE WHEN avg_value IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+    FROM j
+)
+SELECT user_id, day,
+       CAST(ROUND(CASE WHEN avg_value IS NOT NULL THEN avg_value
+                       ELSE prev_v + (next_v - prev_v)
+                            * (CAST(date_diff('day', prev_d, day) AS DOUBLE)
+                               / CAST(date_diff('day', prev_d, next_d) AS DOUBLE))
+                  END, 6) AS DOUBLE) AS value_interp,
+       avg_value IS NOT NULL AS is_observed
+FROM br
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity matching with blocking
+# ---------------------------------------------------------------------------
+
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs: part names within edit distance 3,
+    blocked on p_size so the quadratic comparison runs per-block (classic
+    blocking — the equi-join shuffles on the block key and each block's
+    pair space is bounded, never an all-pairs cartesian; at corpus scale
+    the block key would be a coarser canonical-name signature). The
+    levenshtein filter runs JVM-side post-join. Distance-0 rows are exact
+    name duplicates, surfaced rather than dropped — the dedup signal.
+    """
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("a_partkey"),
+        F.col("p_name").alias("a_name"),
+        "p_size",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_partkey"),
+        F.col("p_name").alias("b_name"),
+        "p_size",
+    )
+    return (
+        a.join(b, "p_size")
+        .filter(F.col("a_partkey") < F.col("b_partkey"))
+        .select(
+            "p_size",
+            "a_partkey",
+            "b_partkey",
+            "a_name",
+            "b_name",
+            F.levenshtein("a_name", "b_name").cast("int").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 3)
+    )
+
+
+FUZZY_PART_NAME_PAIRS_ORACLE = """
+SELECT a.p_size,
+       a.p_partkey AS a_partkey, b.p_partkey AS b_partkey,
+       a.p_name AS a_name, b.p_name AS b_name,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_distance
+FROM part a JOIN part b
+  ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+def pagerank_copurchase_parts(
+    spark: SparkSession, sf_dir: str, iters: int = 3
+) -> DataFrame:
+    """PageRank (d=0.85, fixed {iters} iterations) over the part
+    co-purchase graph — link analysis beyond the connected-components the
+    dedup layer already runs. Edges: parts sharing an order (symmetric, so
+    no dangling mass). Each iteration is one join + one aggregation
+    shuffling on the edge key — the standard distributed PageRank shape;
+    rank state is O(nodes), edge state O(edges), both partitioned. The
+    edge/degree tables are localCheckpointed once so the per-iteration
+    plans reuse them instead of re-running the self-join; N arrives via a
+    single bounded scalar action (same policy as the z-order bounds row).
+
+    Per-iteration neighbor sums aggregate in DECIMAL(38,18) — each edge's
+    contribution pr/outdeg is a bitwise-identical double on both engines,
+    the decimal sum is order-independent, so every intermediate rank
+    vector (not just the rounded output) matches the oracle bitwise.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.col("src").cast("bigint"), F.col("dst").cast("bigint"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("outdeg"))
+    n = edges.select("src").distinct().count()  # bounded scalar action
+    base = F.lit(0.15 / n)
+    ranks = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.lit(1.0 / n).alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("pr") / F.col("outdeg")).alias("c"),
+            )
+        )
+        ranks = contrib.groupBy("id").agg(
+            (base + F.lit(0.85) * dec_sum(F.col("c"), 38, 18).cast("double")).alias(
+                "pr"
+            )
+        )
+    return ranks.select(
+        F.col("id").alias("p_partkey"),
+        F.round(F.col("pr") * F.lit(float(n)), 6).cast("double").alias("rank_scaled"),
+    )
+
+
+PAGERANK_COPURCHASE_PARTS_ORACLE = """
+WITH edges AS (
+    SELECT DISTINCT CAST(l1.l_partkey AS BIGINT) AS src,
+                    CAST(l2.l_partkey AS BIGINT) AS dst
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey
+), deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n FROM edges),
+r0 AS (SELECT DISTINCT src AS id, 1.0 / (SELECT n FROM nn) AS pr FROM edges),
+r1 AS (
+    SELECT e.dst AS id,
+           0.15 / (SELECT n FROM nn)
+           + 0.85 * CAST(SUM(CAST(r0.pr / d.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS pr
+    FROM edges e JOIN r0 ON e.src = r0.id JOIN deg d ON e.src = d.src GROUP BY e.dst
+), r2 AS (
+    SELECT e.dst AS id,
+           0.15 / (SELECT n FROM nn)
+           + 0.85 * CAST(SUM(CAST(r1.pr / d.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS pr
+    FROM edges e JOIN r1 ON e.src = r1.id JOIN deg d ON e.src = d.src GROUP BY e.dst
+), r3 AS (
+    SELECT e.dst AS id,
+           0.15 / (SELECT n FROM nn)
+           + 0.85 * CAST(SUM(CAST(r2.pr / d.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS pr
+    FROM edges e JOIN r2 ON e.src = r2.id JOIN deg d ON e.src = d.src GROUP BY e.dst
+)
+SELECT id AS p_partkey,
+       CAST(ROUND(pr * CAST((SELECT n FROM nn) AS DOUBLE), 6) AS DOUBLE)
+           AS rank_scaled
+FROM r3
+"""

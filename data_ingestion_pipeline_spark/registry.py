@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from data_ingestion_pipeline_spark.operators import (
+    analytics_checks,
     evolution_checks,
     ingestion_checks,
     lakehouse_checks,
@@ -91,6 +92,14 @@ _ROUND4_NEW: list[str] = [
     "simhash_exact_copy_recall_documents",
     "embedding_lsh_pair_recall_embeddings",
     "streaming_observed_ingest_metrics_events",
+    # round-4 continuation: the statistical/sequence/entity/graph analytics
+    # tier (operators/analytics_checks.py) — first driver rows needed
+    "regression_price_quantity_by_flag",
+    "welch_ttest_purchase_view_daily",
+    "markov_event_transitions",
+    "interpolated_daily_user_value",
+    "fuzzy_part_name_pairs",
+    "pagerank_copurchase_parts",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1052,6 +1061,48 @@ register(
     "dup_span_profile_documents",
     llm_data.dup_span_profile_documents,
     llm_data.DUP_SPAN_PROFILE_DOCUMENTS_ORACLE,
+)
+
+# --------------------------------------------------------------------------
+# Statistical / sequence / entity-resolution / graph analytics
+# (operators/analytics_checks.py — the tier above the reference's report
+# queries; exact-decimal moment parity throughout)
+# --------------------------------------------------------------------------
+
+register(
+    "regression_price_quantity_by_flag",
+    analytics_checks.regression_price_quantity_by_flag,
+    analytics_checks.REGRESSION_PRICE_QUANTITY_BY_FLAG_ORACLE,
+)
+
+register(
+    "welch_ttest_purchase_view_daily",
+    analytics_checks.welch_ttest_purchase_view_daily,
+    analytics_checks.WELCH_TTEST_PURCHASE_VIEW_DAILY_ORACLE,
+)
+
+register(
+    "markov_event_transitions",
+    analytics_checks.markov_event_transitions,
+    analytics_checks.MARKOV_EVENT_TRANSITIONS_ORACLE,
+)
+
+register(
+    "interpolated_daily_user_value",
+    analytics_checks.interpolated_daily_user_value,
+    analytics_checks.INTERPOLATED_DAILY_USER_VALUE_ORACLE,
+)
+
+register(
+    "fuzzy_part_name_pairs",
+    analytics_checks.fuzzy_part_name_pairs,
+    analytics_checks.FUZZY_PART_NAME_PAIRS_ORACLE,
+)
+
+register(
+    "pagerank_copurchase_parts",
+    analytics_checks.pagerank_copurchase_parts,
+    analytics_checks.PAGERANK_COPURCHASE_PARTS_ORACLE,
 )
 
 # The transformWithStateInPandas check registers only where its python

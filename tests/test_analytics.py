@@ -1,0 +1,179 @@
+"""Semantic checks for the analytics tier (operators/analytics_checks.py).
+
+Each test verifies the STATISTICS against an independent implementation
+(numpy / hand-rolled DP), not against the DuckDB oracle — the oracle sweep
+covers engine parity; these cover "is the math right".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.operators import analytics_checks
+from tests.conftest import SF_SMOKE
+
+
+def test_regression_matches_numpy_polyfit(spark):
+    got = {
+        r.l_returnflag: r
+        for r in analytics_checks.regression_price_quantity_by_flag(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    for flag, grp in li.groupby("l_returnflag"):
+        x = grp["l_quantity"].to_numpy(dtype=float)
+        y = grp["l_extendedprice"].to_numpy(dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        row = got[flag]
+        assert row.n == len(grp)
+        assert abs(row.slope - slope) < 1e-3 * max(1.0, abs(slope))
+        assert abs(row.intercept - intercept) < 1e-3 * max(1.0, abs(intercept))
+        assert abs(row.pearson_r - r) < 1e-6
+        assert abs(row.r2 - r * r) < 1e-6
+
+
+def test_welch_ttest_matches_numpy(spark):
+    got = {
+        r.day: r
+        for r in analytics_checks.welch_ttest_purchase_view_daily(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got, "no qualifying days at smoke SF"
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(F.to_date("ts").alias("day"), "event_type", "value")
+        .toPandas()
+    )
+    for day, row in got.items():
+        sub = ev[ev["day"] == day]
+        a = sub[sub["event_type"] == "purchase"]["value"].to_numpy(dtype=float)
+        b = sub[sub["event_type"] == "view"]["value"].to_numpy(dtype=float)
+        assert row.n_purchase == len(a) and row.n_view == len(b)
+        v1, v2 = a.var(ddof=1), b.var(ddof=1)
+        se2 = v1 / len(a) + v2 / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(se2)
+        df = se2**2 / (
+            (v1 / len(a)) ** 2 / (len(a) - 1) + (v2 / len(b)) ** 2 / (len(b) - 1)
+        )
+        assert abs(row.t_stat - t) < 1e-4, day
+        assert abs(row.welch_df - df) < 1e-3, day
+        # Welch df is bracketed by [min(n)-1, n1+n2-2]
+        assert min(len(a), len(b)) - 1 - 1e-6 <= row.welch_df <= len(a) + len(b) - 2
+
+
+def test_markov_transitions_match_pandas_bigrams(spark):
+    rows = analytics_checks.markov_event_transitions(spark, SF_SMOKE).collect()
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ev["next_type"] = ev.groupby("user_id")["event_type"].shift(-1)
+    expected = (
+        ev.dropna(subset=["next_type"])
+        .groupby(["event_type", "next_type"])
+        .size()
+        .to_dict()
+    )
+    got = {(r.event_type, r.next_type): r.n_transitions for r in rows}
+    assert got == expected
+    # each row of the transition matrix sums to 1 (up to rounding)
+    sums = pd.Series({k[0]: 0.0 for k in got})
+    for r in rows:
+        sums[r.event_type] += r.prob
+    assert ((sums - 1.0).abs() < 1e-4).all()
+
+
+def test_interpolation_brackets_and_grid_shape(spark):
+    df = analytics_checks.interpolated_daily_user_value(spark, SF_SMOKE)
+    pdf = df.toPandas()
+    assert pdf["value_interp"].notna().all()
+    # per-user grid is dense over the user's own span, endpoints observed
+    for uid, grp in pdf.groupby("user_id"):
+        days = grp["day"].sort_values().to_numpy()
+        assert (np.diff(days).astype("timedelta64[D]") == np.timedelta64(1, "D")).all()
+        grp = grp.sort_values("day").reset_index(drop=True)
+        assert bool(grp.loc[0, "is_observed"]) and bool(
+            grp.loc[len(grp) - 1, "is_observed"]
+        )
+        # every gap value lies within its bracketing observed values
+        obs_idx = grp.index[grp["is_observed"]].to_numpy()
+        vals = grp["value_interp"].to_numpy()
+        for lo, hi in zip(obs_idx[:-1], obs_idx[1:]):
+            lo_v, hi_v = vals[lo], vals[hi]
+            seg = vals[lo : hi + 1]
+            assert (seg >= min(lo_v, hi_v) - 1e-9).all()
+            assert (seg <= max(lo_v, hi_v) + 1e-9).all()
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_pairs_distances_and_completeness(spark):
+    rows = analytics_checks.fuzzy_part_name_pairs(spark, SF_SMOKE).collect()
+    assert rows, "no fuzzy pairs at smoke SF"
+    part = (
+        spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+        .select("p_partkey", "p_name", "p_size")
+        .toPandas()
+    )
+    names = dict(zip(part["p_partkey"], part["p_name"]))
+    for r in rows:
+        assert r.a_partkey < r.b_partkey
+        assert r.edit_distance == _levenshtein(names[r.a_partkey], names[r.b_partkey])
+        assert r.edit_distance <= 3
+    # completeness within one block: recompute the densest block by hand
+    got_pairs = {(r.a_partkey, r.b_partkey) for r in rows}
+    block_size = part.groupby("p_size").size().idxmax()
+    block = part[part["p_size"] == block_size].sort_values("p_partkey")
+    recs = block.to_dict("records")
+    for i, a in enumerate(recs):
+        for b in recs[i + 1 :]:
+            expected_in = _levenshtein(a["p_name"], b["p_name"]) <= 3
+            assert (
+                (a["p_partkey"], b["p_partkey"]) in got_pairs
+            ) == expected_in, (a, b)
+
+
+def test_pagerank_mass_conservation_and_determinism(spark):
+    df = analytics_checks.pagerank_copurchase_parts(spark, SF_SMOKE)
+    pdf = df.toPandas()
+    assert (pdf["rank_scaled"] > 0).all()
+    # symmetric co-occurrence graph has no dangling nodes, so total mass
+    # is conserved: sum(pr) == 1  ⇔  mean(rank_scaled) == 1
+    assert abs(pdf["rank_scaled"].mean() - 1.0) < 1e-6
+    # decimal per-iteration sums ⇒ bit-reproducible across runs
+    pdf2 = analytics_checks.pagerank_copurchase_parts(spark, SF_SMOKE).toPandas()
+    merged = pdf.merge(pdf2, on="p_partkey", suffixes=("_a", "_b"))
+    assert (merged["rank_scaled_a"] == merged["rank_scaled_b"]).all()
+    # a node sharing orders with many parts outranks the median node
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").toPandas()
+    deg = (
+        li.merge(li, on="l_orderkey")
+        .query("l_partkey_x != l_partkey_y")
+        .groupby("l_partkey_x")["l_partkey_y"]
+        .nunique()
+    )
+    top_deg_node = int(deg.idxmax())
+    ranks = dict(zip(pdf["p_partkey"], pdf["rank_scaled"]))
+    assert ranks[top_deg_node] > pdf["rank_scaled"].median()

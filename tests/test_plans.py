@@ -213,3 +213,26 @@ def test_shard_shuffle_window_is_partitioned(spark):
     assert "Window" in plan
     # partition spec present: hashpartitioning on shard feeds the window
     assert "hashpartitioning(shard" in plan
+
+
+def test_fuzzy_pairs_is_blocked_equi_join(spark):
+    """Entity matching must join on the blocking key — a cartesian or
+    nested-loop pair enumeration is the scale-killer blocking exists to
+    prevent."""
+    plan = _plan(spark, "fuzzy_part_name_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Join" in plan
+
+
+def test_markov_windows_are_user_partitioned(spark):
+    """The bigram lead() must partition by user — a global order-by window
+    would funnel the whole event stream through one task."""
+    plan = _plan(spark, "markov_event_transitions")
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_interpolation_windows_are_user_partitioned(spark):
+    plan = _plan(spark, "interpolated_daily_user_value")
+    assert "hashpartitioning(user_id" in plan
+    assert "CartesianProduct" not in plan
