@@ -33,6 +33,10 @@ __all__ = [
     "interpolated_daily_user_value",
     "fuzzy_part_name_pairs",
     "pagerank_copurchase_parts",
+    "chi_square_event_dow",
+    "robust_outliers_mad",
+    "twap_user_day",
+    "ewma_user_value",
 ]
 
 
@@ -483,4 +487,230 @@ SELECT id AS p_partkey,
        CAST(ROUND(pr * CAST((SELECT n FROM nn) AS DOUBLE), 6) AS DOUBLE)
            AS rank_scaled
 FROM r3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence scan (event type × ISO weekday)
+# ---------------------------------------------------------------------------
+
+def chi_square_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type chi-square contribution against the independence
+    hypothesis over ISO weekday — the contingency-table scan behind
+    seasonality QA. The contingency table is one shuffle (35 rows);
+    marginals come from window sums OVER THE AGGREGATE, so no second pass
+    over the facts. Cell terms (obs-exp)²/exp are doubles built from exact
+    bigint counts (identical in both engines); the 7-term per-type fold
+    sums in decimal. Weekday parity: Spark ``weekday()+1`` == DuckDB
+    ``isodow()`` (1=Monday..7) — the two engines' default DOW origins
+    differ, so neither default is used.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.weekday("ts") + F.lit(1)).cast("int").alias("isodow")
+    ).agg(F.count("*").cast("bigint").alias("obs"))
+    row_t = Window.partitionBy("event_type")
+    col_t = Window.partitionBy("isodow")
+    grand = Window.partitionBy()
+    exp = (
+        F.sum("obs").over(row_t).cast("double")
+        * F.sum("obs").over(col_t).cast("double")
+        / F.sum("obs").over(grand).cast("double")
+    )
+    term = (F.col("obs").cast("double") - exp) * (
+        F.col("obs").cast("double") - exp
+    ) / exp
+    return (
+        cells.select("event_type", term.alias("term"))
+        .groupBy("event_type")
+        .agg(
+            F.round(dec_sum(F.col("term"), 27, 12), 6)
+            .cast("double")
+            .alias("chi2_component")
+        )
+    )
+
+
+CHI_SQUARE_EVENT_DOW_ORACLE = """
+WITH cells AS (
+    SELECT event_type, CAST(isodow(ts) AS INTEGER) AS isodow,
+           CAST(COUNT(*) AS BIGINT) AS obs
+    FROM events GROUP BY 1, 2
+), terms AS (
+    SELECT event_type,
+           (CAST(obs AS DOUBLE)
+            - CAST(SUM(obs) OVER (PARTITION BY event_type) AS DOUBLE)
+              * CAST(SUM(obs) OVER (PARTITION BY isodow) AS DOUBLE)
+              / CAST(SUM(obs) OVER () AS DOUBLE))
+           * (CAST(obs AS DOUBLE)
+              - CAST(SUM(obs) OVER (PARTITION BY event_type) AS DOUBLE)
+                * CAST(SUM(obs) OVER (PARTITION BY isodow) AS DOUBLE)
+                / CAST(SUM(obs) OVER () AS DOUBLE))
+           / (CAST(SUM(obs) OVER (PARTITION BY event_type) AS DOUBLE)
+              * CAST(SUM(obs) OVER (PARTITION BY isodow) AS DOUBLE)
+              / CAST(SUM(obs) OVER () AS DOUBLE)) AS term
+    FROM cells
+)
+SELECT event_type,
+       CAST(ROUND(SUM(CAST(term AS DECIMAL(27,12))), 6) AS DOUBLE)
+           AS chi2_component
+FROM terms GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outlier profile
+# ---------------------------------------------------------------------------
+
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier profile per event type — the robust sibling of
+    ``event_value_outliers`` (whose mean/σ are dragged by the very points
+    being hunted). Two aggregate-then-broadcast-join passes (median, then
+    MAD of residuals) — the same no-Window-over-facts shape as the z-score
+    query. Exact interpolated percentiles are the fixture path; the
+    GK-sketch variant is the registered 100 TB path for quantiles. The
+    engines' interpolation arithmetic can differ in the last ulp, so med
+    and MAD are rounded to 6dp BEFORE the membership comparison on both
+    sides — membership is then a pure function of bitwise-equal inputs.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad")
+    )
+    scored = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.round(
+        F.col("adev") / (F.lit(1.4826) * F.col("mad")), 6
+    ) > F.lit(3.0)
+    return scored.groupBy("event_type").agg(
+        F.first("med").alias("median_value"),
+        F.first("mad").alias("mad_value"),
+        F.sum(is_out.cast("bigint")).cast("bigint").alias("n_outliers"),
+        F.count("*").cast("bigint").alias("n_total"),
+    )
+
+
+ROBUST_OUTLIERS_MAD_ORACLE = """
+WITH med AS (
+    SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+    FROM events GROUP BY 1
+), dev AS (
+    SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+    FROM events e JOIN med m ON e.event_type = m.event_type
+), mad AS (
+    SELECT event_type, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+    FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       ANY_VALUE(d.med) AS median_value,
+       ANY_VALUE(ma.mad) AS mad_value,
+       CAST(SUM(CASE WHEN ROUND(d.adev / (1.4826 * ma.mad), 6) > 3.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM dev d JOIN mad ma ON d.event_type = ma.event_type
+GROUP BY d.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average per user-day
+# ---------------------------------------------------------------------------
+
+def twap_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user-day (each reading weighted by
+    how long it was 'current' — until the next event that day). The gap
+    comes from one lead() over the per-user-day sort; the weighted sum
+    aggregates exactly in decimal (value × µs-gap are bitwise-identical
+    doubles both sides). Days with a single event have no weighted segment
+    and drop out — same as the oracle's NULL-gap filter. Spark
+    ``unix_micros`` == DuckDB ``epoch_us`` (µs since epoch, exact longs).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "value",
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id", "day").agg(
+        F.round(
+            dec_sum(F.col("value") * F.col("gap_us").cast("double"), 38, 12).cast(
+                "double"
+            )
+            / dec_sum(F.col("gap_us").cast("double"), 38, 12).cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("twap_value"),
+        F.count("*").cast("bigint").alias("n_segments"),
+    )
+
+
+TWAP_USER_DAY_ORACLE = """
+WITH gaps AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, value,
+           LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+           ) - epoch_us(ts) AS gap_us
+    FROM events
+)
+SELECT user_id, day,
+       CAST(ROUND(
+           CAST(SUM(CAST(value * CAST(gap_us AS DOUBLE) AS DECIMAL(38,12)))
+                AS DOUBLE)
+           / CAST(SUM(CAST(CAST(gap_us AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE),
+           6) AS DOUBLE) AS twap_value,
+       CAST(COUNT(*) AS BIGINT) AS n_segments
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# EWMA via sequential higher-order fold
+# ---------------------------------------------------------------------------
+
+def ewma_user_value(spark: SparkSession, sf_dir: str, alpha: float = 0.3) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values —
+    the recursive fold SQL aggregates can't express (EWMA_t depends on
+    EWMA_{t-1}), run as a sequential higher-order ``aggregate`` over the
+    user's time-ordered value array. Both engines fold left in index
+    order with the SAME lambda (init = first element), so the chain of
+    IEEE ops is identical — no decimal trick needed for parity. Per-key
+    state is the user's own series (bounded: ≤ a few thousand events);
+    the 100 TB shape chunks the fold by (user, month) and carries the
+    chunk-final EWMA forward, exactly like the streaming stateful fold
+    (``streaming/stateful.py``). collect_list + array_sort keeps the sort
+    partition-local; struct order (ts, event_id, value) makes it total.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s.value,
+    )
+    a = F.lit(alpha)
+    folded = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1).cast("double"),
+        lambda acc, x: a * x + (F.lit(1.0) - a) * acc,
+    )
+    return ev.groupBy("user_id").agg(
+        F.round(folded, 6).cast("double").alias("ewma_value"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+
+EWMA_USER_VALUE_ORACLE = """
+SELECT user_id,
+       CAST(ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                              (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc), 6)
+            AS DOUBLE) AS ewma_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
 """

@@ -100,6 +100,10 @@ _ROUND4_NEW: list[str] = [
     "interpolated_daily_user_value",
     "fuzzy_part_name_pairs",
     "pagerank_copurchase_parts",
+    "chi_square_event_dow",
+    "robust_outliers_mad",
+    "twap_user_day",
+    "ewma_user_value",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1103,6 +1107,30 @@ register(
     "pagerank_copurchase_parts",
     analytics_checks.pagerank_copurchase_parts,
     analytics_checks.PAGERANK_COPURCHASE_PARTS_ORACLE,
+)
+
+register(
+    "chi_square_event_dow",
+    analytics_checks.chi_square_event_dow,
+    analytics_checks.CHI_SQUARE_EVENT_DOW_ORACLE,
+)
+
+register(
+    "robust_outliers_mad",
+    analytics_checks.robust_outliers_mad,
+    analytics_checks.ROBUST_OUTLIERS_MAD_ORACLE,
+)
+
+register(
+    "twap_user_day",
+    analytics_checks.twap_user_day,
+    analytics_checks.TWAP_USER_DAY_ORACLE,
+)
+
+register(
+    "ewma_user_value",
+    analytics_checks.ewma_user_value,
+    analytics_checks.EWMA_USER_VALUE_ORACLE,
 )
 
 # The transformWithStateInPandas check registers only where its python

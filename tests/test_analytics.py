@@ -177,3 +177,83 @@ def test_pagerank_mass_conservation_and_determinism(spark):
     top_deg_node = int(deg.idxmax())
     ranks = dict(zip(pdf["p_partkey"], pdf["rank_scaled"]))
     assert ranks[top_deg_node] > pdf["rank_scaled"].median()
+
+
+def test_chi_square_matches_numpy_contingency(spark):
+    rows = analytics_checks.chi_square_event_dow(spark, SF_SMOKE).collect()
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_type", (F.weekday("ts") + F.lit(1)).alias("isodow"))
+        .toPandas()
+    )
+    tab = pd.crosstab(ev["event_type"], ev["isodow"]).astype(float)
+    exp = np.outer(tab.sum(axis=1), tab.sum(axis=0)) / tab.to_numpy().sum()
+    comp = (((tab.to_numpy() - exp) ** 2) / exp).sum(axis=1)
+    expected = dict(zip(tab.index, comp))
+    for r in rows:
+        assert abs(r.chi2_component - expected[r.event_type]) < 1e-4, r
+
+
+def test_robust_outliers_match_numpy(spark):
+    rows = analytics_checks.robust_outliers_mad(spark, SF_SMOKE).collect()
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    for r in rows:
+        vals = ev[ev["event_type"] == r.event_type]["value"].to_numpy(dtype=float)
+        med = round(float(np.median(vals)), 6)
+        mad = round(float(np.median(np.abs(vals - med))), 6)
+        assert abs(r.median_value - med) < 1e-9
+        assert abs(r.mad_value - mad) < 1e-9
+        n_out = int((np.round(np.abs(vals - med) / (1.4826 * mad), 6) > 3.0).sum())
+        assert r.n_outliers == n_out
+        assert r.n_total == len(vals)
+
+
+def test_twap_matches_pandas_single_day(spark):
+    df = analytics_checks.twap_user_day(spark, SF_SMOKE)
+    rows = df.collect()
+    assert rows
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+    )
+    ev["day"] = ev["ts"].dt.normalize()
+    got = {(r.user_id, pd.Timestamp(r.day)): r for r in rows}
+    checked = 0
+    for (uid, day), grp in ev.groupby(["user_id", "day"]):
+        grp = grp.sort_values(["ts", "event_id"])
+        if len(grp) < 2:
+            assert (uid, day) not in got
+            continue
+        us = grp["ts"].astype("int64").to_numpy() // 1000  # ns → µs
+        gaps = np.diff(us).astype(float)
+        vals = grp["value"].to_numpy(dtype=float)[:-1]
+        twap = float((vals * gaps).sum() / gaps.sum())
+        r = got[(uid, day)]
+        assert r.n_segments == len(gaps)
+        assert abs(r.twap_value - twap) < 1e-4
+        checked += 1
+        if checked >= 50:
+            break
+    assert checked
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    rows = analytics_checks.ewma_user_value(spark, SF_SMOKE).collect()
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    expected = {
+        uid: grp["value"].ewm(alpha=0.3, adjust=False).mean().iloc[-1]
+        for uid, grp in ev.groupby("user_id")
+    }
+    for r in rows:
+        assert abs(r.ewma_value - expected[r.user_id]) < 1e-6, r.user_id
+        assert r.n_events == (ev["user_id"] == r.user_id).sum()
