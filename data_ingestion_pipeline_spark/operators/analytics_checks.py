@@ -37,6 +37,11 @@ __all__ = [
     "robust_outliers_mad",
     "twap_user_day",
     "ewma_user_value",
+    "copurchase_lift_parts",
+    "triangle_count_copurchase",
+    "linear_attribution_daily",
+    "profile_columns_orders",
+    "canonical_entities_parts",
 ]
 
 
@@ -713,4 +718,429 @@ SELECT user_id,
             AS DOUBLE) AS ewma_value,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase association mining (support / lift / PMI)
+# ---------------------------------------------------------------------------
+
+def copurchase_lift_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over order baskets: support, lift and PMI for
+    part pairs co-purchased in ≥2 orders. The pair space is generated by
+    the per-order self-join (bounded by basket size, never cartesian) and
+    immediately aggregated with a HAVING-style support filter — the
+    standard frequent-itemset prune that keeps the candidate set sparse
+    at corpus scale. Marginal counts broadcast onto the surviving pairs;
+    the order total rides a broadcast single-row aggregate instead of a
+    driver-side count. lift is a pure bigint ratio in double; PMI rounds
+    away any libm log2 ulp skew.
+    """
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = po.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = po.select("l_orderkey", F.col("l_partkey").alias("b"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    cnt = po.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("c"))
+    tot = po.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    lift = (
+        F.col("support").cast("double") * F.col("n_orders").cast("double")
+    ) / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+    return (
+        co.join(F.broadcast(cnt.select(F.col("l_partkey").alias("a"), F.col("c").alias("ca"))), "a")
+        .join(F.broadcast(cnt.select(F.col("l_partkey").alias("b"), F.col("c").alias("cb"))), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "support",
+            F.round(lift, 6).cast("double").alias("lift"),
+            F.round(F.log2(lift), 6).cast("double").alias("pmi"),
+        )
+    )
+
+
+COPURCHASE_LIFT_PARTS_ORACLE = """
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM po),
+cnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM po GROUP BY 1),
+co AS (
+    SELECT p1.l_partkey AS a, p2.l_partkey AS b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM po p1 JOIN po p2
+      ON p1.l_orderkey = p2.l_orderkey AND p1.l_partkey < p2.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT co.a, co.b, co.support,
+       CAST(ROUND((CAST(co.support AS DOUBLE) * CAST(tot.n_orders AS DOUBLE))
+                  / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS DOUBLE)
+           AS lift,
+       CAST(ROUND(LOG2((CAST(co.support AS DOUBLE) * CAST(tot.n_orders AS DOUBLE))
+                       / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))), 6)
+            AS DOUBLE) AS pmi
+FROM co JOIN cnt ca ON ca.l_partkey = co.a
+        JOIN cnt cb ON cb.l_partkey = co.b
+        CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting with degree orientation
+# ---------------------------------------------------------------------------
+
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the support-≥2 co-purchase graph — the
+    clustering-structure statistic CC and PageRank don't give. Uses the
+    classic degree-orientation trick: orient every undirected edge from
+    the (degree, id)-smaller endpoint to the larger, so each triangle is
+    counted exactly once and the wedge join's fan-out is bounded by
+    out-degree ≤ O(√E) — the property that makes distributed triangle
+    counting feasible on skewed graphs (a hub's wedges collapse to the
+    orientation's small side). Two equi-joins, no cartesian; the support
+    threshold is the same sparsity prune the lift query applies.
+    """
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pa = po.select("l_orderkey", F.col("l_partkey").alias("a"))
+    pb = po.select("l_orderkey", F.col("l_partkey").alias("b"))
+    und = (
+        pa.join(pb, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    ori = (
+        und.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    e1 = ori.select(F.col("u").alias("u1"), F.col("v").alias("v1"))
+    e2 = ori.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    wedges = e1.join(e2, "v1")
+    closing = ori.select(F.col("u").alias("u1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["u1", "v2"]).agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+    n_nodes = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    n_edges = und.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(n_nodes)).crossJoin(F.broadcast(n_edges))
+    )
+
+
+TRIANGLE_COUNT_COPURCHASE_ORACLE = """
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+    SELECT p1.l_partkey AS a, p2.l_partkey AS b
+    FROM po p1 JOIN po p2
+      ON p1.l_orderkey = p2.l_orderkey AND p1.l_partkey < p2.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+    ) GROUP BY node
+), ori AS (
+    SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS u,
+           CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS v
+    FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ori e1
+        JOIN ori e2 ON e1.v = e2.u
+        JOIN ori e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch linear attribution
+# ---------------------------------------------------------------------------
+
+def linear_attribution_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style multi-touch attribution: every purchase splits one
+    unit of credit equally across the user's view/click touches in the
+    preceding 6 hours; credit rolls up per (purchase day, touch type).
+    The purchase↔touch pairing is a per-user banded join (equi on user +
+    time-range predicate — the as-of family's shape, state bounded by the
+    band); the per-purchase touch count is a window over the joined set
+    PARTITIONED BY purchase, so normalization never re-reads the facts.
+    1/n weights are exact rationals in double; the rollup sums in decimal.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    j = purch.join(
+        touch,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("t_ts") < F.col("p_ts")),
+    )
+    w = Window.partitionBy("p_id")
+    weighted = j.select(
+        F.to_date("p_ts").alias("day"),
+        "touch_type",
+        (F.lit(1.0) / F.count("*").over(w).cast("double")).alias("credit"),
+    )
+    return weighted.groupBy("day", "touch_type").agg(
+        F.round(dec_sum(F.col("credit"), 27, 12), 6)
+        .cast("double")
+        .alias("attributed_purchases"),
+        F.count("*").cast("bigint").alias("n_touches"),
+    )
+
+
+LINEAR_ATTRIBUTION_DAILY_ORACLE = """
+WITH j AS (
+    SELECT p.event_id AS p_id, CAST(p.ts AS DATE) AS day,
+           t.event_type AS touch_type
+    FROM events p JOIN events t
+      ON p.user_id = t.user_id
+     AND p.event_type = 'purchase'
+     AND t.event_type IN ('view', 'click')
+     AND t.ts >= p.ts - INTERVAL 6 HOUR
+     AND t.ts < p.ts
+), weighted AS (
+    SELECT day, touch_type,
+           1.0 / CAST(COUNT(*) OVER (PARTITION BY p_id) AS DOUBLE) AS credit
+    FROM j
+)
+SELECT day, touch_type,
+       CAST(ROUND(SUM(CAST(credit AS DECIMAL(27,12))), 6) AS DOUBLE)
+           AS attributed_purchases,
+       CAST(COUNT(*) AS BIGINT) AS n_touches
+FROM weighted GROUP BY day, touch_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dataset column profiling (Deequ-style profile, one pass)
+# ---------------------------------------------------------------------------
+
+def profile_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dataset profile of orders — n/nulls/distinct plus typed
+    min/max and string length stats, one row per column. The complement of
+    ``data_quality_orders`` (a named RULE suite): this is the unsupervised
+    profile a pipeline computes before anyone writes rules. All stats
+    come from ONE aggregation pass (Catalyst expands the multi-distinct
+    into a single Expand + aggregate — still two-phase, shuffle ∝ distinct
+    groups); the per-column rows are exploded from the single stats row,
+    never re-scanning. Numeric min/max normalize to double (exact for
+    keys < 2^53 and for µs timestamps); string formatting is never
+    compared across engines — VARCHAR min/max stay VARCHAR, numerics stay
+    numeric, avoiding double→text rendering skew.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    num_cols = {
+        "o_orderkey": F.col("o_orderkey").cast("double"),
+        "o_custkey": F.col("o_custkey").cast("double"),
+        "o_totalprice": F.col("o_totalprice"),
+        # fixture vintage stores the date as TIMESTAMP_NTZ; the session is
+        # pinned UTC (load_table), so the cast to TIMESTAMP is identity and
+        # unix_micros == DuckDB epoch_us on the naive value
+        "o_orderdate": F.unix_micros(
+            F.col("o_orderdate").cast("timestamp")
+        ).cast("double"),
+    }
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c, expr in num_cols.items():
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).cast("bigint").alias(f"nulls_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"dist_{c}"),
+            F.min(expr).alias(f"min_{c}"),
+            F.max(expr).alias(f"max_{c}"),
+        ]
+    for c in str_cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).cast("bigint").alias(f"nulls_{c}"),
+            F.countDistinct(c).cast("bigint").alias(f"dist_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.round(
+                dec_sum(F.length(c).cast("double"), 27, 12).cast("double")
+                / F.count(c).cast("double"),
+                6,
+            ).alias(f"avglen_{c}"),
+        ]
+    stats = orders.agg(*aggs)
+    rows = []
+    for c in num_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit("numeric").alias("kind"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"nulls_{c}").alias("n_nulls"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+                F.col(f"min_{c}").alias("min_num"),
+                F.col(f"max_{c}").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+                F.lit(None).cast("double").alias("avg_len"),
+            )
+        )
+    for c in str_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit("string").alias("kind"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"nulls_{c}").alias("n_nulls"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"min_{c}").alias("min_str"),
+                F.col(f"max_{c}").alias("max_str"),
+                F.col(f"avglen_{c}").alias("avg_len"),
+            )
+        )
+    return stats.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+PROFILE_COLUMNS_ORDERS_ORACLE = """
+WITH s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_ok,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d_ok,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS mn_ok, CAST(MAX(o_orderkey) AS DOUBLE) AS mx_ok,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_ck,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_ck,
+           CAST(MIN(o_custkey) AS DOUBLE) AS mn_ck, CAST(MAX(o_custkey) AS DOUBLE) AS mx_ck,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_tp,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS d_tp,
+           MIN(o_totalprice) AS mn_tp, MAX(o_totalprice) AS mx_tp,
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_od,
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS d_od,
+           CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE) AS mn_od,
+           CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE) AS mx_od,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_os,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d_os,
+           MIN(o_orderstatus) AS mn_os, MAX(o_orderstatus) AS mx_os,
+           CAST(ROUND(SUM(CAST(CAST(LENGTH(o_orderstatus) AS DOUBLE) AS DECIMAL(27,12)))
+                      / CAST(COUNT(o_orderstatus) AS DOUBLE), 6) AS DOUBLE) AS al_os,
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_op,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d_op,
+           MIN(o_orderpriority) AS mn_op, MAX(o_orderpriority) AS mx_op,
+           CAST(ROUND(SUM(CAST(CAST(LENGTH(o_orderpriority) AS DOUBLE) AS DECIMAL(27,12)))
+                      / CAST(COUNT(o_orderpriority) AS DOUBLE), 6) AS DOUBLE) AS al_op
+    FROM orders
+)
+SELECT 'o_orderkey' AS "column", 'numeric' AS kind, n_rows, nu_ok AS n_nulls,
+       d_ok AS n_distinct, mn_ok AS min_num, mx_ok AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+       CAST(NULL AS DOUBLE) AS avg_len FROM s
+UNION ALL
+SELECT 'o_custkey', 'numeric', n_rows, nu_ck, d_ck, mn_ck, mx_ck,
+       NULL, NULL, NULL FROM s
+UNION ALL
+SELECT 'o_totalprice', 'numeric', n_rows, nu_tp, d_tp, mn_tp, mx_tp,
+       NULL, NULL, NULL FROM s
+UNION ALL
+SELECT 'o_orderdate', 'numeric', n_rows, nu_od, d_od, mn_od, mx_od,
+       NULL, NULL, NULL FROM s
+UNION ALL
+SELECT 'o_orderstatus', 'string', n_rows, nu_os, d_os, NULL, NULL,
+       mn_os, mx_os, al_os FROM s
+UNION ALL
+SELECT 'o_orderpriority', 'string', n_rows, nu_op, d_op, NULL, NULL,
+       mn_op, mx_op, al_op FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Entity canonicalization: fuzzy pairs → connected components → canonical id
+# ---------------------------------------------------------------------------
+
+def canonical_entities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: the blocked fuzzy-match pairs
+    (``fuzzy_part_name_pairs``) become an identity graph whose connected
+    components are entities; every member maps to the component-minimum
+    partkey as its canonical id. Composition of two already-proven pieces:
+    the blocked levenshtein join and the star-contraction components
+    (O(log n) rounds — fuzzy name graphs chain, exactly the topology label
+    propagation is worst at). Output also carries the entity size, a window
+    over the (node, entity) table — facts never re-shuffle.
+    """
+    from data_ingestion_pipeline_spark.dedup.clustering import (
+        connected_components_star,
+    )
+
+    pairs = fuzzy_part_name_pairs(spark, sf_dir).select(
+        F.col("a_partkey").alias("id_a"), F.col("b_partkey").alias("id_b")
+    )
+    comp = connected_components_star(pairs)
+    size_w = Window.partitionBy("entity_id")
+    return (
+        comp.select(
+            F.col("node").alias("p_partkey"),
+            F.col("cluster_id").alias("entity_id"),
+        )
+        .withColumn("entity_size", F.count("*").over(size_w).cast("bigint"))
+        .withColumn("is_canonical", F.col("p_partkey") == F.col("entity_id"))
+    )
+
+
+CANONICAL_ENTITIES_PARTS_ORACLE = """
+WITH RECURSIVE pairs AS (
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+    FROM part a JOIN part b
+      ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), nodes AS (
+    SELECT DISTINCT u AS node FROM edges
+), reach(node, other) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.other
+), lab AS (
+    SELECT node AS p_partkey, MIN(other) AS entity_id FROM reach GROUP BY node
+)
+SELECT p_partkey, entity_id,
+       CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT) AS entity_size,
+       p_partkey = entity_id AS is_canonical
+FROM lab
 """

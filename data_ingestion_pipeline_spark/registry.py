@@ -104,6 +104,11 @@ _ROUND4_NEW: list[str] = [
     "robust_outliers_mad",
     "twap_user_day",
     "ewma_user_value",
+    "copurchase_lift_parts",
+    "triangle_count_copurchase",
+    "linear_attribution_daily",
+    "profile_columns_orders",
+    "canonical_entities_parts",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1131,6 +1136,36 @@ register(
     "ewma_user_value",
     analytics_checks.ewma_user_value,
     analytics_checks.EWMA_USER_VALUE_ORACLE,
+)
+
+register(
+    "copurchase_lift_parts",
+    analytics_checks.copurchase_lift_parts,
+    analytics_checks.COPURCHASE_LIFT_PARTS_ORACLE,
+)
+
+register(
+    "triangle_count_copurchase",
+    analytics_checks.triangle_count_copurchase,
+    analytics_checks.TRIANGLE_COUNT_COPURCHASE_ORACLE,
+)
+
+register(
+    "linear_attribution_daily",
+    analytics_checks.linear_attribution_daily,
+    analytics_checks.LINEAR_ATTRIBUTION_DAILY_ORACLE,
+)
+
+register(
+    "profile_columns_orders",
+    analytics_checks.profile_columns_orders,
+    analytics_checks.PROFILE_COLUMNS_ORDERS_ORACLE,
+)
+
+register(
+    "canonical_entities_parts",
+    analytics_checks.canonical_entities_parts,
+    analytics_checks.CANONICAL_ENTITIES_PARTS_ORACLE,
 )
 
 # The transformWithStateInPandas check registers only where its python

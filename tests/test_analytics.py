@@ -257,3 +257,111 @@ def test_ewma_matches_pandas_ewm(spark):
     for r in rows:
         assert abs(r.ewma_value - expected[r.user_id]) < 1e-6, r.user_id
         assert r.n_events == (ev["user_id"] == r.user_id).sum()
+
+
+def test_copurchase_lift_matches_pandas(spark):
+    rows = analytics_checks.copurchase_lift_parts(spark, SF_SMOKE).collect()
+    assert rows
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    n_orders = li["l_orderkey"].nunique()
+    cnt = li.groupby("l_partkey").size().to_dict()
+    pairs = li.merge(li, on="l_orderkey")
+    pairs = pairs[pairs["l_partkey_x"] < pairs["l_partkey_y"]]
+    support = pairs.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    expected = support[support >= 2].to_dict()
+    got = {(r.a, r.b): r for r in rows}
+    assert set(got) == set(expected)
+    for (a, b), s in expected.items():
+        r = got[(a, b)]
+        assert r.support == s
+        lift = s * n_orders / (cnt[a] * cnt[b])
+        assert abs(r.lift - lift) < 1e-5
+        assert abs(r.pmi - np.log2(lift)) < 1e-5
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    row = analytics_checks.triangle_count_copurchase(spark, SF_SMOKE).collect()[0]
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    pairs = li.merge(li, on="l_orderkey")
+    pairs = pairs[pairs["l_partkey_x"] < pairs["l_partkey_y"]]
+    support = pairs.groupby(["l_partkey_x", "l_partkey_y"]).size()
+    edges = set(support[support >= 2].index)
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = 0
+    for a, b in edges:
+        tri += len(adj[a] & adj[b])
+    tri //= 3  # each triangle counted once per edge
+    assert row.n_triangles == tri
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(adj)
+
+
+def test_linear_attribution_credit_totals(spark):
+    rows = analytics_checks.linear_attribution_daily(spark, SF_SMOKE).collect()
+    assert rows
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "event_id", "event_type", "ts")
+        .toPandas()
+    )
+    purch = ev[ev["event_type"] == "purchase"]
+    touch = ev[ev["event_type"].isin(["view", "click"])]
+    j = purch.merge(touch, on="user_id", suffixes=("_p", "_t"))
+    j = j[
+        (j["ts_t"] >= j["ts_p"] - pd.Timedelta(hours=6)) & (j["ts_t"] < j["ts_p"])
+    ]
+    # total attributed credit equals the number of purchases with >=1 touch
+    n_attributed = j["event_id_p"].nunique()
+    assert abs(sum(r.attributed_purchases for r in rows) - n_attributed) < 1e-3
+    assert sum(r.n_touches for r in rows) == len(j)
+
+
+def test_profile_columns_matches_pandas(spark):
+    rows = {r.column: r for r in analytics_checks.profile_columns_orders(spark, SF_SMOKE).collect()}
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    assert set(rows) == set(orders.columns)
+    for c, r in rows.items():
+        assert r.n_rows == len(orders)
+        assert r.n_nulls == orders[c].isna().sum()
+        assert r.n_distinct == orders[c].nunique()
+        if r.kind == "numeric":
+            col = orders[c]
+            if str(col.dtype).startswith("datetime"):
+                mn = col.min().value / 1000  # ns → µs
+                mx = col.max().value / 1000
+            else:
+                mn, mx = float(col.min()), float(col.max())
+            assert r.min_num == mn and r.max_num == mx
+        else:
+            assert r.min_str == orders[c].min()
+            assert r.max_str == orders[c].max()
+            assert abs(r.avg_len - orders[c].str.len().mean()) < 1e-6
+
+
+def test_canonical_entities_consistent_with_fuzzy_pairs(spark):
+    ents = analytics_checks.canonical_entities_parts(spark, SF_SMOKE).collect()
+    label = {r.p_partkey: r.entity_id for r in ents}
+    sizes: dict[int, int] = {}
+    for r in ents:
+        sizes[r.entity_id] = sizes.get(r.entity_id, 0) + 1
+    for r in ents:
+        assert r.entity_size == sizes[r.entity_id]
+        assert r.is_canonical == (r.p_partkey == r.entity_id)
+        assert label[r.entity_id] == r.entity_id  # canonical is its own entity
+    # every fuzzy pair's endpoints share an entity
+    pairs = analytics_checks.fuzzy_part_name_pairs(spark, SF_SMOKE).collect()
+    for p in pairs:
+        assert label[p.a_partkey] == label[p.b_partkey]
