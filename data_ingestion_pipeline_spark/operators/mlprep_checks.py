@@ -1,0 +1,532 @@
+"""Training-data preparation operators: clustering assignment, language-model
+scoring, deterministic splits/samples, scrubbing, and column diagnostics.
+
+These close the gap between curation (``operators/llm_data.py``) and the
+data loader: once a corpus is deduplicated and filtered, a training
+pipeline still needs cluster structure (k-means over embeddings), corpus
+statistics a loader consumes (bigram LM scores, correlation diagnostics,
+equi-depth histograms), reproducible train/val/test splits and weighted
+samples, and redaction of numeric tokens. All deterministic from the data
+alone (md5-derived keys, fixed seeds), all oracle-checked.
+
+Determinism notes follow the house rules: exact decimal sums for every
+aggregate that feeds the comparison hash (``functions/numeric.py``), and
+md5-hex→integer keys for anything sample- or shuffle-shaped so another
+engine reproduces the exact permutation (``llm_data.shard_shuffle_documents``
+established the construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.functions.numeric import dec_sum
+from data_ingestion_pipeline_spark.sources.catalog import load_table
+
+__all__ = [
+    "kmeans_assign_embeddings",
+    "bigram_lm_doc_scores",
+    "train_val_test_split_documents",
+    "scrub_numeric_tokens_events",
+    "weighted_sample_documents",
+    "corr_matrix_lineitem",
+    "equidepth_histogram_orders",
+    "khop_reach_copurchase",
+]
+
+EMBEDDING_DIM = 64  # fixture embedding width (TESTDATA.md; asserted in tests)
+
+
+# ---------------------------------------------------------------------------
+# K-means assignment step (one Lloyd iteration, data-derived centroids)
+# ---------------------------------------------------------------------------
+
+def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every embedding to its nearest of K=8 centroids (the 8
+    lowest-vec_id embeddings — deterministic, data-derived, no RNG state),
+    reporting per-cluster size and mean squared distance.
+
+    This is the exact-parity check for the assignment kernel: distances are
+    per-dimension squared differences (bitwise-identical doubles) summed in
+    decimal, so argmin ties and the comparison hash are engine-independent.
+    The production-scale path for repeated Lloyd iterations is the blocked
+    numpy matmul in ``dedup/embedding.py`` (O(N·K) Arrow-batched); this
+    query pins its semantics with a shape DuckDB can mirror. The centroid
+    side is K·dim rows and broadcasts; the explode is dim× the vector count
+    but carries only (id, dim, value) — never a cartesian over vectors.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.orderBy("vec_id").limit(8)
+    ce = cents.select(
+        F.col("vec_id").alias("cid"),
+        F.posexplode("embedding").alias("d", "c"),
+    )
+    ve = emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+    term = F.col("v").cast("double") - F.col("c").cast("double")
+    dist = (
+        ve.join(F.broadcast(ce), "d")
+        .select("vec_id", "cid", (term * term).cast("decimal(20,12)").alias("t2"))
+        .groupBy("vec_id", "cid")
+        .agg(F.sum("t2").alias("dist2"))
+    )
+    pick = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2").asc(), F.col("cid").asc()
+    )
+    best = dist.withColumn("rn", F.row_number().over(pick)).filter(F.col("rn") == 1)
+    return best.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(
+            F.sum("dist2").cast("double") / F.count("*").cast("double"), 6
+        )
+        .cast("double")
+        .alias("avg_dist2"),
+    )
+
+
+KMEANS_ASSIGN_EMBEDDINGS_ORACLE = """
+WITH cents AS (
+    SELECT vec_id AS cid, embedding FROM embeddings ORDER BY vec_id LIMIT 8
+), ce AS (
+    SELECT cid, CAST(i AS INT) AS d, CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS c
+    FROM cents CROSS JOIN range(64) t(i)
+), ve AS (
+    SELECT vec_id, CAST(i AS INT) AS d, CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN range(64) t(i)
+), dist AS (
+    SELECT vec_id, cid,
+           SUM(CAST((v - c) * (v - c) AS DECIMAL(20,12))) AS dist2
+    FROM ve JOIN ce USING (d) GROUP BY vec_id, cid
+), best AS (
+    SELECT vec_id, cid, dist2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist2 ASC, cid ASC) AS rn
+    FROM dist
+)
+SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(ROUND(CAST(SUM(dist2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+            AS DOUBLE) AS avg_dist2
+FROM best WHERE rn = 1 GROUP BY cid
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring (+0 smoothing not needed: scored on train set)
+# ---------------------------------------------------------------------------
+
+def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document by the mean conditional bigram probability of
+    its own tokens under the corpus-wide bigram model — the classic cheap
+    fluency/perplexity proxy for quality filtering (higher = more typical).
+
+    Probabilities are ratios of bigints (``count(w1,w2)/count(w1·)``) whose
+    double quotients are correctly rounded and therefore bitwise identical
+    across engines; the per-doc mean sums them in decimal. Shuffle shape:
+    tokenize → one groupBy for the model, then two key-joins to attach
+    counts (vocabulary-sized sides — at corpus scale the model tables are
+    the small sides and broadcast; here plain joins keep the oracle shape).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\s+")).alias("token_idx", "token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("token_idx")
+    big = (
+        toks.select(
+            "doc_id",
+            F.col("token").alias("w1"),
+            F.lead("token").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    p = F.col("c2").cast("double") / F.col("c1").cast("double")
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .select("doc_id", p.alias("p"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(
+                dec_sum(F.col("p"), 18, 12).cast("double")
+                / F.count("*").cast("double"),
+                8,
+            )
+            .cast("double")
+            .alias("avg_condprob"),
+        )
+    )
+
+
+BIGRAM_LM_DOC_SCORES_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, CAST(idx AS INT) AS token_idx, token
+    FROM (
+        SELECT doc_id,
+               unnest(range(len(regexp_split_to_array(text, '\s+')))) AS idx,
+               unnest(regexp_split_to_array(text, '\s+')) AS token
+        FROM documents
+    ) WHERE token <> ''
+), big AS (
+    SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, token AS w1,
+               LEAD(token) OVER (PARTITION BY doc_id ORDER BY token_idx) AS w2
+        FROM toks
+    ) WHERE w2 IS NOT NULL
+), c2 AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2
+), c1 AS (
+    SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(ROUND(CAST(SUM(CAST(CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+                                 AS DECIMAL(18,12))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 8) AS DOUBLE) AS avg_condprob
+FROM big b
+JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+JOIN c1 ON b.w1 = c1.w1
+GROUP BY b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+def train_val_test_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split by md5(doc_id) — stable under corpus growth (a doc's
+    split never changes when other docs are added, unlike randomSplit),
+    reproducible outside Spark, and skew-free. Reports per-split size and
+    mean length. Pure map-side expression + one tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+        "bigint"
+    ) % 100
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), F.col("n_chars").cast("double").alias("nc"))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                dec_sum(F.col("nc"), 27, 6).cast("double")
+                / F.count("*").cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("avg_chars"),
+        )
+    )
+
+
+TRAIN_VAL_TEST_SPLIT_DOCUMENTS_ORACLE = """
+WITH keyed AS (
+    SELECT CASE
+               WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 100 < 80
+                   THEN 'train'
+               WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 100 < 90
+                   THEN 'val'
+               ELSE 'test'
+           END AS split,
+           CAST(n_chars AS DOUBLE) AS nc
+    FROM documents
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(ROUND(CAST(SUM(CAST(nc AS DECIMAL(27,6))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE) AS avg_chars
+FROM keyed GROUP BY split
+"""
+
+
+# ---------------------------------------------------------------------------
+# Numeric-token scrubbing (PII-redaction shape over a text column)
+# ---------------------------------------------------------------------------
+
+def scrub_numeric_tokens_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact digit runs in the raw props payload (the PII-scrub shape:
+    same plan works for emails/phones — the pattern is the only knob, kept
+    to RE2∩Java syntax so any engine reproduces it). Emits the scrubbed
+    text and the redaction count per event. Pure map-side: two regex
+    expressions inside whole-stage codegen, no shuffle at all."""
+    ev = load_table(spark, sf_dir, "events")
+    pat = "[0-9]+"
+    return ev.select(
+        "event_id",
+        F.regexp_replace(F.col("props"), pat, "<NUM>").alias("scrubbed_props"),
+        F.size(F.regexp_extract_all(F.col("props"), F.lit(pat), 0))
+        .cast("int")
+        .alias("n_redacted"),
+    )
+
+
+SCRUB_NUMERIC_TOKENS_EVENTS_ORACLE = """
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed_props,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_redacted
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (A-ES / Efraimidis-Spirakis, deterministic keys)
+# ---------------------------------------------------------------------------
+
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample of 50 documents without replacement via the
+    Efraimidis–Spirakis key ``ln(u)/w`` (equivalent ordering to u^(1/w)),
+    with u derived from md5(doc_id) — the same deterministic-permutation
+    policy as ``shard_shuffle_documents``: no RNG state, reproducible
+    across engines and reruns, stable per doc under corpus growth.
+
+    Scale shape: the key is a map-side expression; the top-50 cut is a
+    rank, which Spark executes as per-partition top-k + merge (TakeOrdered)
+    rather than a full sort when a LIMIT-style cut follows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(16**13) + 2.0)  # strictly inside (0,1)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    ranked = docs.select(
+        "doc_id", "n_chars", key.alias("k")
+    ).withColumn(
+        "sample_rank",
+        F.row_number().over(Window.orderBy(F.col("k").desc(), F.col("doc_id").asc())),
+    )
+    return ranked.filter(F.col("sample_rank") <= 50).select(
+        F.col("sample_rank").cast("int").alias("sample_rank"),
+        "doc_id",
+        "n_chars",
+    )
+
+
+WEIGHTED_SAMPLE_DOCUMENTS_ORACLE = """
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           ln((CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT AS DOUBLE)
+               + 1.0) / 4503599627370498.0)
+               / CAST(n_chars AS DOUBLE) AS k
+    FROM documents
+)
+SELECT CAST(sample_rank AS INT) AS sample_rank, doc_id, n_chars FROM (
+    SELECT doc_id, n_chars,
+           ROW_NUMBER() OVER (ORDER BY k DESC, doc_id ASC) AS sample_rank
+    FROM keyed
+) WHERE sample_rank <= 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix (single-pass power sums)
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation for every pair of lineitem measures, computed
+    from ONE pass of exact decimal power sums (4 sums + 4 square sums + 6
+    cross sums in a single map-side-combined aggregate) — never one
+    ``corr()`` scan per pair, and never the built-in double accumulator
+    (summation-order-dependent). The 6-row pivot afterwards is driver-free
+    expression work on a 1-row frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {c: F.col(c).cast("double") for c in _CORR_COLS}
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for c, e in cols.items():
+        aggs.append(dec_sum(e, 38, 12).cast("double").alias(f"s_{c}"))
+        aggs.append(dec_sum(e * e, 38, 12).cast("double").alias(f"ss_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            dec_sum(cols[a] * cols[b], 38, 12).cast("double").alias(f"sp_{a}_{b}")
+        )
+    s = li.agg(*aggs)
+    nd = F.col("n").cast("double")
+    rows = []
+    for a, b in pairs:
+        cov_n = nd * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        va = nd * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        vb = nd * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").alias("n"),
+                F.round(cov_n / F.sqrt(va * vb), 6)
+                .cast("double")
+                .alias("pearson_r"),
+            )
+        )
+    return s.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def _corr_oracle() -> str:
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in _CORR_COLS:
+        sums.append(
+            f"CAST(SUM(CAST(CAST({c} AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS s_{c}"
+        )
+        sums.append(
+            f"CAST(SUM(CAST(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE)"
+            f" AS DECIMAL(38,12))) AS DOUBLE) AS ss_{c}"
+        )
+    pairs = [(a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]]
+    for a, b in pairs:
+        sums.append(
+            f"CAST(SUM(CAST(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE)"
+            f" AS DECIMAL(38,12))) AS DOUBLE) AS sp_{a}_{b}"
+        )
+    selects = []
+    for a, b in pairs:
+        cov = f"(CAST(n AS DOUBLE) * sp_{a}_{b} - s_{a} * s_{b})"
+        va = f"(CAST(n AS DOUBLE) * ss_{a} - s_{a} * s_{a})"
+        vb = f"(CAST(n AS DOUBLE) * ss_{b} - s_{b} * s_{b})"
+        selects.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n,"
+            f" CAST(ROUND({cov} / SQRT({va} * {vb}), 6) AS DOUBLE) AS pearson_r"
+            " FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+CORR_MATRIX_LINEITEM_ORACLE = _corr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Exact equi-depth histogram (NTILE)
+# ---------------------------------------------------------------------------
+
+def equidepth_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten exact equi-depth buckets of order value: NTILE over a total
+    order (tie-broken by key so bucket membership is deterministic), then
+    per-bucket bounds and exact-decimal means.
+
+    NTILE needs a global sort — the documented trade: this is the EXACT
+    histogram; the scale path for 100 TB is the approx-quantile bucketing
+    already registered (``price_quantiles_by_priority`` /
+    ``order_price_histogram``) whose boundaries come from a mergeable
+    sketch. Registering both pins that the sketch path approximates THIS.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .withColumn("bucket", F.ntile(10).over(w).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.round(
+                dec_sum(F.col("o_totalprice"), 27, 12).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("avg_price"),
+        )
+    )
+
+
+EQUIDEPTH_HISTOGRAM_ORDERS_ORACLE = """
+WITH ranked AS (
+    SELECT o_orderkey, o_totalprice,
+           CAST(NTILE(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC)
+                AS INT) AS bucket
+    FROM orders
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,12))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS avg_price
+FROM ranked GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS reach over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+def khop_reach_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance (≤3) from the lowest-keyed part to every part
+    reachable over the support≥2 co-purchase graph — the frontier-BFS
+    counterpart of the recursive-CTE oracle.
+
+    Spark side is level-synchronous BFS: each round joins the *deduplicated*
+    distance frontier to the edge list and folds with min — the frontier
+    never enumerates paths, so the work per round is O(edges touched), not
+    O(paths) like the naive recursive expansion. Three bounded rounds; the
+    loop is driver-side plan construction only (no collect). The same loop
+    with localCheckpoint-per-round is the unbounded-diameter pattern
+    (``dedup/clustering.py``).
+    """
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = po.select("l_orderkey", F.col("l_partkey").alias("s"))
+    b = po.select("l_orderkey", F.col("l_partkey").alias("t"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("s") < F.col("t"))
+        .groupBy("s", "t")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("s", "t")
+    )
+    edges = pairs.union(pairs.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    seed = edges.agg(F.min("s").alias("node")).select(
+        "node", F.lit(0).cast("int").alias("hop")
+    )
+    dist = seed
+    for k in range(1, 4):
+        frontier = dist.filter(F.col("hop") == k - 1).select("node")
+        reached = frontier.join(
+            edges, frontier["node"] == edges["s"]
+        ).select(F.col("t").alias("node"), F.lit(k).cast("int").alias("hop"))
+        dist = (
+            dist.union(reached)
+            .groupBy("node")
+            .agg(F.min("hop").cast("int").alias("hop"))
+        )
+    return dist.select(F.col("node").alias("part_id"), F.col("hop").alias("min_hop"))
+
+
+KHOP_REACH_COPURCHASE_ORACLE = """
+WITH RECURSIVE po AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+    SELECT a.l_partkey AS s, b.l_partkey AS t
+    FROM po a JOIN po b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), edges AS (
+    SELECT s, t FROM pairs UNION ALL SELECT t AS s, s AS t FROM pairs
+), seed AS (
+    SELECT MIN(s) AS node FROM edges
+), walk(node, hop) AS (
+    SELECT node, 0 FROM seed
+    UNION ALL
+    SELECT e.t, w.hop + 1 FROM walk w JOIN edges e ON e.s = w.node
+    WHERE w.hop < 3
+)
+SELECT node AS part_id, CAST(MIN(hop) AS INT) AS min_hop
+FROM walk GROUP BY node
+"""

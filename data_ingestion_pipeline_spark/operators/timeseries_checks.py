@@ -1,0 +1,331 @@
+"""Time-series diagnostics over the events stream.
+
+The reference's temporal surface is calendar extraction feeding GROUP BY
+(``flows/transformations.py`` month/year splits); a pipeline monitoring
+its own ingest volumes needs the next tier: autocorrelation structure,
+rolling anomaly scores, seasonal-naive forecast error, and changepoint
+detection. Each query here is that tier over the daily event series,
+Spark-first and oracle-checked.
+
+Cross-engine determinism: the house rule (``functions/numeric.py``). Every
+daily total is an exact decimal sum; every derived statistic combines the
+resulting bitwise-identical doubles with the same expression structure the
+DuckDB oracle uses. The CUSUM query extends the rule to a nonlinear
+recurrence: ``s_t = max(0, s_{t-1} + d_t)`` is rewritten as
+``prefix_t - min(0, min_{j<=t} prefix_j)`` (a standard identity), which
+turns a sequential fold into two exact decimal window aggregates — so the
+"iterative" statistic needs no iteration, no UDF, and no float ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.functions.numeric import dec_sum
+from data_ingestion_pipeline_spark.sources.catalog import load_table
+
+__all__ = [
+    "autocorr_daily_value",
+    "rolling_zscore_anomaly_daily",
+    "seasonal_naive_mape_events",
+    "cusum_changepoint_daily",
+]
+
+
+def _daily(spark: SparkSession, sf_dir: str, by_type: bool) -> DataFrame:
+    """Daily exact-decimal value totals (optionally per event_type).
+
+    One shuffle on the grouping key; the decimal sum is mergeable so the
+    map-side partial aggregation still applies. ``x`` is the decimal total
+    cast to double — bitwise-identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = (["event_type"] if by_type else []) + ["day"]
+    return (
+        ev.select(
+            *(["event_type"] if by_type else []),
+            F.col("ts").cast("date").alias("day"),
+            F.col("value"),
+        )
+        .groupBy(*keys)
+        .agg(dec_sum(F.col("value"), 27, 12).alias("xd"))
+        .withColumn("x", F.col("xd").cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily ingest-volume series
+# ---------------------------------------------------------------------------
+
+def autocorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1..7 of the global daily value series: Pearson r between
+    (x_t, x_{t+lag}) pairs, from exact decimal power sums.
+
+    The daily series is tiny relative to the event table (one row per day),
+    so the lag pairing is a self-join of the *aggregated* series — the
+    shuffle-heavy step is the single daily groupBy; everything after runs
+    on ~days×7 rows. The lag grid broadcasts.
+    """
+    daily = _daily(spark, sf_dir, by_type=False)
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    b = daily.select(F.col("day").alias("day2"), F.col("x").alias("y"))
+    pairs = daily.crossJoin(F.broadcast(lags)).join(
+        b, F.date_add(F.col("day"), F.col("lag")) == F.col("day2")
+    )
+    x, y = F.col("x"), F.col("y")
+    s = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(x, 38, 12).cast("double").alias("sx"),
+        dec_sum(y, 38, 12).cast("double").alias("sy"),
+        dec_sum(x * y, 38, 12).cast("double").alias("sxy"),
+        dec_sum(x * x, 38, 12).cast("double").alias("sxx"),
+        dec_sum(y * y, 38, 12).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "lag",
+        "n",
+        F.round(cov_n / F.sqrt(varx_n * vary_n), 6).cast("double").alias("acf"),
+    )
+
+
+AUTOCORR_DAILY_VALUE_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), lags AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS lag),
+pairs AS (
+    SELECT l.lag, a.x AS x, b.x AS y
+    FROM daily a CROSS JOIN lags l
+    JOIN daily b ON b.day = a.day + l.lag
+), s AS (
+    SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+    FROM pairs GROUP BY lag
+)
+SELECT lag, n,
+       CAST(ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                         * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS DOUBLE)
+           AS acf
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection (trailing-window, current day excluded)
+# ---------------------------------------------------------------------------
+
+def rolling_zscore_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily totals scored against their own trailing 7-day window
+    (current day excluded, so an anomaly can't suppress itself). The z-score
+    is derived from frame-local exact decimal power sums:
+    ``z = (m·x − Σx) / sqrt(m·Σx² − (Σx)²)`` — algebraically identical to
+    (x − mean)/σ_pop but built only from order-independent aggregates.
+
+    Scale shape: one shuffle to the daily grain, then a bounded ROWS frame
+    per event_type — window state is 7 rows regardless of history length.
+    """
+    daily = _daily(spark, sf_dir, by_type=True)
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    x = F.col("x")
+    m = F.count("x").over(w).cast("double")
+    sx = F.sum(x.cast("decimal(38,12)")).over(w).cast("double")
+    sxx = F.sum((x * x).cast("decimal(38,12)")).over(w).cast("double")
+    var_n = m * sxx - sx * sx
+    z = (m * x - sx) / F.sqrt(var_n)
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            x,
+            m.alias("m"),
+            sx.alias("sx"),
+            var_n.alias("var_n"),
+            z.alias("z_raw"),
+        )
+        .filter((F.col("m") >= 5) & (F.col("var_n") > 0))
+        .select(
+            "event_type",
+            "day",
+            F.round(F.col("z_raw"), 6).cast("double").alias("zscore"),
+            (F.abs(F.col("z_raw")) > F.lit(2.0)).alias("is_anomaly"),
+        )
+    )
+
+
+ROLLING_ZSCORE_ANOMALY_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1, 2
+), framed AS (
+    SELECT event_type, day, x,
+           CAST(COUNT(x) OVER w AS DOUBLE) AS m,
+           CAST(SUM(CAST(x AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sx,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sxx
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day,
+       CAST(ROUND((m * x - sx) / SQRT(m * sxx - sx * sx), 6) AS DOUBLE)
+           AS zscore,
+       ABS((m * x - sx) / SQRT(m * sxx - sx * sx)) > 2.0 AS is_anomaly
+FROM framed
+WHERE m >= 5 AND m * sxx - sx * sx > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (weekly seasonality, MAPE)
+# ---------------------------------------------------------------------------
+
+def seasonal_naive_mape_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the simplest seasonal forecaster — predict today's per-type
+    volume with the value from 7 days ago — reported as MAPE per event_type.
+    The forecast pairing is a calendar join (day = day−7), NOT a row-offset
+    LAG, so gaps in the series drop the pair instead of silently pairing
+    non-adjacent weeks. Per-day APE terms are exact-identical doubles; the
+    MAPE mean sums them in decimal.
+    """
+    daily = _daily(spark, sf_dir, by_type=True)
+    fc = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("fday"),
+        F.col("x").alias("f"),
+    )
+    pairs = daily.join(
+        fc,
+        (F.col("event_type") == F.col("et2"))
+        & (F.col("day") == F.date_add(F.col("fday"), 7)),
+    )
+    ape = F.abs(F.col("x") - F.col("f")) / F.col("x")
+    return pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(
+            dec_sum(ape, 18, 12).cast("double")
+            / F.count("*").cast("double")
+            * 100.0,
+            6,
+        )
+        .cast("double")
+        .alias("mape_pct"),
+    )
+
+
+SEASONAL_NAIVE_MAPE_EVENTS_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(ROUND(CAST(SUM(CAST(ABS(a.x - b.x) / a.x AS DECIMAL(18,12)))
+                       AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) * 100.0, 6) AS DOUBLE) AS mape_pct
+FROM daily a
+JOIN daily b ON b.event_type = a.event_type AND a.day = b.day + 7
+GROUP BY a.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint score via the prefix-min identity (no fold, no UDF)
+# ---------------------------------------------------------------------------
+
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper CUSUM of each event_type's daily series against its own mean:
+    ``s_t = max(0, s_{t-1} + (x_t − mean))``, peak value + peak day.
+
+    The recurrence is nonlinear, but ``s_t = prefix_t − min(0, min_{j≤t}
+    prefix_j)`` where ``prefix`` is the running sum of deviations — so the
+    whole statistic is two cumulative window aggregates over EXACT decimal
+    deviations (cast from bitwise-identical doubles), never a sequential
+    float fold. Two passes over the daily grain: one global mean per type
+    (broadcast back), one ordered cumulative window. State per partition is
+    O(1); no driver-side iteration.
+    """
+    daily = _daily(spark, sf_dir, by_type=True)
+    means = daily.groupBy(F.col("event_type").alias("et2")).agg(
+        (F.sum("xd").cast("double") / F.count("*").cast("double")).alias("mu"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    dev = (
+        daily.join(F.broadcast(means), F.col("event_type") == F.col("et2"))
+        .withColumn("d", (F.col("x") - F.col("mu")).cast("decimal(27,12)"))
+    )
+    cum = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_s = (
+        dev.withColumn("prefix", F.sum("d").over(cum))
+        .withColumn("minp", F.min(F.col("prefix")).over(cum))
+        .withColumn(
+            "s",
+            F.col("prefix")
+            - F.least(F.col("minp"), F.lit(0).cast("decimal(27,12)")),
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("s").desc(), F.col("day").asc()
+    )
+    return (
+        with_s.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.round(F.col("s").cast("double"), 6).alias("peak_cusum"),
+            F.col("day").alias("peak_day"),
+            "n_days",
+        )
+    )
+
+
+CUSUM_CHANGEPOINT_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(27,12))) AS xd
+    FROM events GROUP BY 1, 2
+), means AS (
+    SELECT event_type,
+           CAST(SUM(xd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY event_type
+), dev AS (
+    SELECT d.event_type, d.day, m.n_days,
+           CAST(CAST(d.xd AS DOUBLE) - m.mu AS DECIMAL(27,12)) AS dd
+    FROM daily d JOIN means m USING (event_type)
+), cum1 AS (
+    SELECT event_type, day, n_days,
+           SUM(dd) OVER (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prefix
+    FROM dev
+), cum AS (
+    SELECT event_type, day, n_days, prefix,
+           MIN(prefix) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS minp
+    FROM cum1
+), scored AS (
+    SELECT event_type, day, n_days,
+           prefix - LEAST(minp, CAST(0 AS DECIMAL(27,12))) AS s,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY prefix - LEAST(minp, CAST(0 AS DECIMAL(27,12))) DESC,
+                                       day ASC) AS rn
+    FROM cum
+)
+SELECT event_type,
+       CAST(ROUND(CAST(s AS DOUBLE), 6) AS DOUBLE) AS peak_cusum,
+       day AS peak_day, n_days
+FROM scored WHERE rn = 1
+"""

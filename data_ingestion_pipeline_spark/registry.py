@@ -20,12 +20,14 @@ from data_ingestion_pipeline_spark.operators import (
     ingestion_checks,
     lakehouse_checks,
     llm_data,
+    mlprep_checks,
     multimodal_checks,
     relational,
     reports,
     sql_surface,
     streaming_checks,
     temporal_checks,
+    timeseries_checks,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -110,6 +112,25 @@ _ROUND4_NEW: list[str] = [
     "profile_columns_orders",
     "canonical_entities_parts",
 ]
+# 2b) queries added late in round 4, AFTER the ~50-query budget above was
+#     already claimed by tiers 1-2: they queue here — ahead of everything
+#     that already holds a post-regeneration green row, behind the tiers
+#     whose verification this round was planned. They verify locally via
+#     tools/check_oracle.py now and get driver rows as the budget rotates.
+_ROUND4_LATE: list[str] = [
+    "autocorr_daily_value",
+    "rolling_zscore_anomaly_daily",
+    "seasonal_naive_mape_events",
+    "cusum_changepoint_daily",
+    "kmeans_assign_embeddings",
+    "bigram_lm_doc_scores",
+    "train_val_test_split_documents",
+    "scrub_numeric_tokens_events",
+    "weighted_sample_documents",
+    "corr_matrix_lineitem",
+    "equidepth_histogram_orders",
+    "khop_reach_copurchase",
+]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
 #    unique operator/subsystem coverage (ingest, MERGE, multimodal,
@@ -175,7 +196,7 @@ _R2_GREEN_OLDEST = [
 def _ordered_names() -> list[str]:
     front = [
         n
-        for n in [*_R1_STALE, *_ROUND4_NEW, *_R2_GREEN_OLDEST]
+        for n in [*_R1_STALE, *_ROUND4_NEW, *_ROUND4_LATE, *_R2_GREEN_OLDEST]
         if n in _REGISTRY
     ]
     seen = set(front)
@@ -1166,6 +1187,86 @@ register(
     "canonical_entities_parts",
     analytics_checks.canonical_entities_parts,
     analytics_checks.CANONICAL_ENTITIES_PARTS_ORACLE,
+)
+
+# --------------------------------------------------------------------------
+# Time-series diagnostics (operators/timeseries_checks.py)
+# --------------------------------------------------------------------------
+
+register(
+    "autocorr_daily_value",
+    timeseries_checks.autocorr_daily_value,
+    timeseries_checks.AUTOCORR_DAILY_VALUE_ORACLE,
+)
+
+register(
+    "rolling_zscore_anomaly_daily",
+    timeseries_checks.rolling_zscore_anomaly_daily,
+    timeseries_checks.ROLLING_ZSCORE_ANOMALY_DAILY_ORACLE,
+)
+
+register(
+    "seasonal_naive_mape_events",
+    timeseries_checks.seasonal_naive_mape_events,
+    timeseries_checks.SEASONAL_NAIVE_MAPE_EVENTS_ORACLE,
+)
+
+register(
+    "cusum_changepoint_daily",
+    timeseries_checks.cusum_changepoint_daily,
+    timeseries_checks.CUSUM_CHANGEPOINT_DAILY_ORACLE,
+)
+
+# --------------------------------------------------------------------------
+# ML data-prep tier (operators/mlprep_checks.py)
+# --------------------------------------------------------------------------
+
+register(
+    "kmeans_assign_embeddings",
+    mlprep_checks.kmeans_assign_embeddings,
+    mlprep_checks.KMEANS_ASSIGN_EMBEDDINGS_ORACLE,
+)
+
+register(
+    "bigram_lm_doc_scores",
+    mlprep_checks.bigram_lm_doc_scores,
+    mlprep_checks.BIGRAM_LM_DOC_SCORES_ORACLE,
+)
+
+register(
+    "train_val_test_split_documents",
+    mlprep_checks.train_val_test_split_documents,
+    mlprep_checks.TRAIN_VAL_TEST_SPLIT_DOCUMENTS_ORACLE,
+)
+
+register(
+    "scrub_numeric_tokens_events",
+    mlprep_checks.scrub_numeric_tokens_events,
+    mlprep_checks.SCRUB_NUMERIC_TOKENS_EVENTS_ORACLE,
+)
+
+register(
+    "weighted_sample_documents",
+    mlprep_checks.weighted_sample_documents,
+    mlprep_checks.WEIGHTED_SAMPLE_DOCUMENTS_ORACLE,
+)
+
+register(
+    "corr_matrix_lineitem",
+    mlprep_checks.corr_matrix_lineitem,
+    mlprep_checks.CORR_MATRIX_LINEITEM_ORACLE,
+)
+
+register(
+    "equidepth_histogram_orders",
+    mlprep_checks.equidepth_histogram_orders,
+    mlprep_checks.EQUIDEPTH_HISTOGRAM_ORDERS_ORACLE,
+)
+
+register(
+    "khop_reach_copurchase",
+    mlprep_checks.khop_reach_copurchase,
+    mlprep_checks.KHOP_REACH_COPURCHASE_ORACLE,
 )
 
 # The transformWithStateInPandas check registers only where its python

@@ -13,6 +13,7 @@ def _priority_lists():
     return (
         registry._R1_STALE,
         registry._ROUND4_NEW,
+        registry._ROUND4_LATE,
         registry._R2_GREEN_OLDEST,
     )
 
@@ -48,7 +49,7 @@ def test_export_order_spends_driver_budget_on_thin_evidence():
 def test_env_gated_queries_stay_out_of_the_budget():
     # a query that cannot register in this sandbox must not be granted a
     # front-tier slot the driver would report as absent
-    for lst in (registry._R1_STALE, registry._ROUND4_NEW):
+    for lst in (registry._R1_STALE, registry._ROUND4_NEW, registry._ROUND4_LATE):
         for n in lst:
             assert n not in _ENV_GATED
 
