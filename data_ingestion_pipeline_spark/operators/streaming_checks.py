@@ -868,3 +868,43 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
 FROM events
 """
+
+
+def streaming_chained_window_rollup_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Real streaming run of CHAINED stateful operators: hourly tumbling agg
+    → daily window-of-window agg in one query (multiple stateful operators,
+    Spark 3.4+; append mode is mandatory for chaining). Only watermark-sealed
+    days emit; the oracle applies the same day_end <= max(ts) − 2h cutoff,
+    computing each day total directly — equality also proves the two-level
+    decimal partial-sum rollup is lossless."""
+    from data_ingestion_pipeline_spark.streaming.windows import (
+        chained_daily_rollup_stream,
+    )
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    name = f"stream_chained_{tag}"
+    events = _events_stream(spark, sf_dir)
+    agg = chained_daily_rollup_stream(events, watermark="2 hours")
+    with _stream_state_partitions(spark):
+        query = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        return _drain(query, spark, name)
+
+
+STREAMING_CHAINED_WINDOW_ROLLUP_EVENTS_ORACLE = """
+WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events)
+SELECT time_bucket(INTERVAL 1 DAY, ts) AS day_start,
+       time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY AS day_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM events, wm
+GROUP BY 1, 2, wm.w
+HAVING time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY <= wm.w
+"""

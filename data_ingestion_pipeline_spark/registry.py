@@ -130,6 +130,7 @@ _ROUND4_LATE: list[str] = [
     "corr_matrix_lineitem",
     "equidepth_histogram_orders",
     "khop_reach_copurchase",
+    "streaming_chained_window_rollup_events",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -955,6 +956,12 @@ register(
     "streaming_incremental_agg_events",
     streaming_checks.streaming_incremental_agg_events,
     streaming_checks.STREAMING_INCREMENTAL_AGG_EVENTS_ORACLE,
+)
+
+register(
+    "streaming_chained_window_rollup_events",
+    streaming_checks.streaming_chained_window_rollup_events,
+    streaming_checks.STREAMING_CHAINED_WINDOW_ROLLUP_EVENTS_ORACLE,
 )
 
 register(

@@ -170,3 +170,44 @@ def dedup_events_stream_within_watermark(
     production case)."""
     df = _with_optional_watermark(events, "ts", watermark)
     return df.dropDuplicatesWithinWatermark(["event_id"])
+
+
+def chained_daily_rollup_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Hourly tumbling aggregation chained into a daily window-of-window
+    aggregation INSIDE one streaming query — the multiple-stateful-operators
+    pipeline (Spark 3.4+, append mode only). The second groupBy windows over
+    the first's window column (``F.window(w, '1 day')``), so the watermark
+    propagates through both operators and each day finalizes exactly when
+    the watermark passes its end.
+
+    Why it matters at scale: the alternative is two queries with an
+    intermediate sink — double the checkpoint I/O and an extra end-to-end
+    latency hop. Chaining keeps the hourly state and the daily state in one
+    state store lifecycle. The hourly partials are decimal sums (exact,
+    mergeable), so the day total is bitwise equal to a direct daily sum —
+    which is precisely what the batch oracle computes.
+
+    Batch semantics differ at the tail: a streaming append run only emits
+    days the final watermark has sealed (day_end <= max event time −
+    watermark delay); the oracle applies the same cutoff.
+    """
+    df = _with_optional_watermark(events, "ts", watermark)
+    hourly = df.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count("*").alias("n_hourly"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("vd"),
+    )
+    return (
+        hourly.groupBy(F.window(F.col("w"), "1 day").alias("d"))
+        .agg(
+            F.sum("n_hourly").cast("bigint").alias("n_events"),
+            F.round(F.sum("vd"), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("d.start").alias("day_start"),
+            F.col("d.end").alias("day_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -149,3 +149,36 @@ def test_interval_join_batch_stream_parity(spark):
     a = sorted(tuple(r) for r in batch.collect())
     b = sorted(tuple(r) for r in streamed.collect())
     assert a == b and len(a) > 0
+
+
+def test_chained_window_rollup_seals_complete_days_only(spark):
+    from data_ingestion_pipeline_spark.operators.streaming_checks import (
+        streaming_chained_window_rollup_events,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.day_start: r
+        for r in streaming_chained_window_rollup_events(spark, SF_SMOKE).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    import pyspark.sql.functions as F
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    batch = (
+        ev.groupBy(F.window("ts", "1 day").alias("d"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("tv"),
+        )
+        .select(F.col("d.start").alias("s"), F.col("d.end").alias("e"), "n", "tv")
+        .collect()
+    )
+    sealed = {r.s: r for r in batch if r.e <= max_ts - dt.timedelta(hours=2)}
+    assert set(got) == set(sealed)
+    for day, r in got.items():
+        assert r.n_events == sealed[day].n
+        assert r.total_value == sealed[day].tv
