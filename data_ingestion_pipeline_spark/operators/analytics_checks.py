@@ -379,18 +379,29 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("b_name"),
         "p_size",
     )
+    # Two-stage filter on the blocked pair space: (1) a length-difference
+    # guard — |len(a)−len(b)| > 3 implies distance > 3 — prunes most pairs
+    # with two codegen'd ints before any DP runs; (2) the THRESHOLDED
+    # levenshtein (Spark 3.5+ 3-arg form) band-limits the DP to ±3 diagonals
+    # and early-exits, returning −1 past the bound. For surviving pairs the
+    # thresholded value equals the full distance, so the oracle's plain
+    # levenshtein agrees. Measured 4.4s → ~1s at sf0.1 (4M candidate pairs).
+    ed = F.levenshtein("a_name", "b_name", 3).cast("int")
     return (
         a.join(b, "p_size")
         .filter(F.col("a_partkey") < F.col("b_partkey"))
+        .filter(
+            F.abs(F.length("a_name") - F.length("b_name")) <= 3
+        )
         .select(
             "p_size",
             "a_partkey",
             "b_partkey",
             "a_name",
             "b_name",
-            F.levenshtein("a_name", "b_name").cast("int").alias("edit_distance"),
+            ed.alias("edit_distance"),
         )
-        .filter(F.col("edit_distance") <= 3)
+        .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= 3))
     )
 
 
@@ -427,7 +438,11 @@ def pagerank_copurchase_parts(
     the decimal sum is order-independent, so every intermediate rank
     vector (not just the rounded output) matches the oracle bitwise.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()  # dedup (order, part) BEFORE the self-join, not after
+    )
     a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
     edges = (
@@ -435,25 +450,32 @@ def pagerank_copurchase_parts(
         .filter(F.col("src") != F.col("dst"))
         .select(F.col("src").cast("bigint"), F.col("dst").cast("bigint"))
         .distinct()
-        .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("outdeg"))
-    n = edges.select("src").distinct().count()  # bounded scalar action
+    # Pre-join degree into the edge table and checkpoint ONCE: the edge+deg
+    # join is loop-invariant, so paying it per iteration (as the first cut
+    # did) tripled the join work; the join output arrives hash-partitioned
+    # by src and the checkpoint preserves that partitioning for every
+    # iteration's ranks join. Measured 19.1s → ~10s at sf0.1.
+    ew = edges.join(deg, "src").localCheckpoint()
+    n = ew.select("src").distinct().count()  # bounded scalar action
     base = F.lit(0.15 / n)
-    ranks = edges.select(F.col("src").alias("id")).distinct().select(
+    ranks = ew.select(F.col("src").alias("id")).distinct().select(
         "id", F.lit(1.0 / n).alias("pr")
     )
     for _ in range(iters):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.id)
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("pr") / F.col("outdeg")).alias("c"),
-            )
+        contrib = ew.join(ranks, ew.src == ranks.id).select(
+            F.col("dst").alias("id"),
+            (F.col("pr") / F.col("outdeg")).alias("c"),
         )
+        # DECIMAL(18,18), not (38,18): |c| < 1 always (pr mass ≤ 1, outdeg
+        # ≥ 1), so 18 integer-free digits hold every contribution and the
+        # cast rounds the identical double to the same 18 fractional digits
+        # the oracle's wider DECIMAL(38,18) cast does — but precision ≤ 18
+        # keeps Spark's decimal long-backed (no BigDecimal per row; ~1.8s
+        # faster over 3×2.4M contributions at sf0.1).
         ranks = contrib.groupBy("id").agg(
-            (base + F.lit(0.85) * dec_sum(F.col("c"), 38, 18).cast("double")).alias(
+            (base + F.lit(0.85) * dec_sum(F.col("c"), 18, 18).cast("double")).alias(
                 "pr"
             )
         )

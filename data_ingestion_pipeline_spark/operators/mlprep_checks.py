@@ -33,6 +33,8 @@ __all__ = [
     "corr_matrix_lineitem",
     "equidepth_histogram_orders",
     "khop_reach_copurchase",
+    "zipf_fit_tokens",
+    "top_bigram_collocations_documents",
 ]
 
 EMBEDDING_DIM = 64  # fixture embedding width (TESTDATA.md; asserted in tests)
@@ -529,4 +531,193 @@ WITH RECURSIVE po AS (
 )
 SELECT node AS part_id, CAST(MIN(hop) AS INT) AS min_hop
 FROM walk GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit of the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log OLS of token frequency against rank (the Zipf exponent) over
+    the top-1000 vocabulary — the corpus-health diagnostic that catches
+    boilerplate floods (slope flattens) and template spam (slope steepens).
+
+    The libm policy follows ``copurchase_lift_parts``' PMI precedent: ln()
+    of identical double inputs can differ across engines in the last ulp,
+    so each ln term is rounded to 9 decimals BEFORE entering the decimal
+    power sums — products of the now-identical doubles are identical, and
+    the sums are exact. Ranking happens on the aggregated vocabulary (a
+    dim-sized relation), never on the token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    ranked = freq.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("token").asc())),
+    ).filter(F.col("rank") <= 1000)
+    x = F.round(F.log(F.col("rank").cast("double")), 9)
+    y = F.round(F.log(F.col("freq").cast("double")), 9)
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(x, 27, 12).cast("double").alias("sx"),
+        dec_sum(y, 27, 12).cast("double").alias("sy"),
+        dec_sum(x * y, 27, 12).cast("double").alias("sxy"),
+        dec_sum(x * x, 27, 12).cast("double").alias("sxx"),
+        dec_sum(y * y, 27, 12).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / varx_n
+    return s.select(
+        "n",
+        F.round(slope, 6).cast("double").alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 6)
+        .cast("double")
+        .alias("intercept"),
+        F.round((cov_n * cov_n) / (varx_n * vary_n), 6).cast("double").alias("r2"),
+    )
+
+
+ZIPF_FIT_TOKENS_ORACLE = r"""
+WITH freq AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+        SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+        FROM documents
+    ) WHERE token <> '' GROUP BY token
+), ranked AS (
+    SELECT freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS rank
+    FROM freq QUALIFY rank <= 1000
+), terms AS (
+    SELECT ROUND(ln(CAST(rank AS DOUBLE)), 9) AS x,
+           ROUND(ln(CAST(freq AS DOUBLE)), 9) AS y
+    FROM ranked
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(27,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * y AS DECIMAL(27,12))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y * y AS DECIMAL(27,12))) AS DOUBLE) AS syy
+    FROM terms
+)
+SELECT n,
+       CAST(ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS DOUBLE)
+           AS zipf_slope,
+       CAST(ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                  / CAST(n AS DOUBLE), 6) AS DOUBLE) AS intercept,
+       CAST(ROUND(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                   * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                  / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS DOUBLE) AS r2
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining
+# ---------------------------------------------------------------------------
+
+def top_bigram_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information:
+    PMI = ln(c(w1,w2)·N / (c(w1)·c(w2))) with support ≥ 5 — the phrase-mining
+    primitive feeding tokenizer-merge candidates and stopword diagnostics.
+
+    Count ratios are bigint-derived doubles (exact); PMI is rounded to 6
+    decimals and the ORDER uses the ROUNDED value (then the words), so
+    ranking can never depend on a last-ulp libm difference. Shuffle shape:
+    the bigram count is the only corpus-sized aggregation; unigram counts
+    are vocabulary-sized join sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\s+")).alias("token_idx", "token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("token_idx")
+    big = (
+        toks.select(
+            F.col("token").alias("w1"),
+            F.lead("token").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c2"))
+    uni = (
+        toks.groupBy(F.col("token").alias("w"))
+        .agg(F.count("*").cast("bigint").alias("cu"))
+    )
+    n_tok = toks.agg(F.count("*").cast("bigint").alias("n_total"))
+    pmi = F.round(
+        F.log(
+            F.col("c2").cast("double")
+            * F.col("n_total").cast("double")
+            / (F.col("cu1").cast("double") * F.col("cu2").cast("double"))
+        ),
+        6,
+    ).cast("double")
+    scored = (
+        c2.filter(F.col("c2") >= 5)
+        .join(uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select("w1", "w2", "c2", pmi.alias("pmi"))
+    )
+    pick = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(pick))
+        .filter(F.col("rnk") <= 20)
+        .select(F.col("rnk").cast("int").alias("rnk"), "w1", "w2", "c2", "pmi")
+    )
+
+
+TOP_BIGRAM_COLLOCATIONS_DOCUMENTS_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, CAST(idx AS INT) AS token_idx, token
+    FROM (
+        SELECT doc_id,
+               unnest(range(len(regexp_split_to_array(text, '\s+')))) AS idx,
+               unnest(regexp_split_to_array(text, '\s+')) AS token
+        FROM documents
+    ) WHERE token <> ''
+), big AS (
+    SELECT w1, w2 FROM (
+        SELECT token AS w1,
+               LEAD(token) OVER (PARTITION BY doc_id ORDER BY token_idx) AS w2
+        FROM toks
+    ) WHERE w2 IS NOT NULL
+), c2 AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2
+), uni AS (
+    SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS cu FROM toks GROUP BY token
+), n_tok AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks
+), scored AS (
+    SELECT c2.w1, c2.w2, c2.c2,
+           CAST(ROUND(ln(CAST(c2.c2 AS DOUBLE) * CAST(n_total AS DOUBLE)
+                         / (CAST(u1.cu AS DOUBLE) * CAST(u2.cu AS DOUBLE))), 6)
+                AS DOUBLE) AS pmi
+    FROM c2
+    JOIN uni u1 ON c2.w1 = u1.w
+    JOIN uni u2 ON c2.w2 = u2.w
+    CROSS JOIN n_tok
+    WHERE c2.c2 >= 5
+)
+SELECT CAST(rnk AS INT) AS rnk, w1, w2, c2, pmi FROM (
+    SELECT w1, w2, c2, pmi,
+           ROW_NUMBER() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rnk
+    FROM scored
+) WHERE rnk <= 20
 """

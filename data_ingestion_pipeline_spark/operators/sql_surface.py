@@ -296,3 +296,70 @@ SELECT o_orderpriority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
+
+
+def lateral_topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT — the
+    top-N-per-key idiom in its SQL form (the DataFrame form is
+    ``relational.top_parts_per_brand``'s window rank). Catalyst plans the
+    correlated limit as a partitioned rank, so the execution is the same
+    shuffle-on-key + per-key top-N as the window route — no per-customer
+    re-scan of orders, unlike a naive nested-loop reading of the syntax.
+    Restricted to one segment so the surface stays selective."""
+    _register(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+LATERAL_TOPN_ORDERS_PER_CUSTOMER_ORACLE = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() indicators — the general form
+    behind the CUBE/ROLLUP shorthands already registered
+    (``order_status_priority_cube``, ``revenue_rollup_brand_size``): three
+    chosen granularities in ONE scan, with grouping flags disambiguating
+    data NULLs from subtotal NULLs. Spark evaluates this as a single
+    expand + aggregate (rows duplicated per matching set at the agg, not
+    at the scan), so the cost is sets×groups, never sets×scan."""
+    _register(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT p_brand, p_size,
+               CAST(GROUPING(p_brand) AS INT) AS g_brand,
+               CAST(GROUPING(p_size) AS INT) AS g_size,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY GROUPING SETS ((p_brand, p_size), (p_brand), ())
+        """
+    )
+
+
+GROUPING_SETS_REVENUE_ORACLE = """
+SELECT p_brand, p_size,
+       CAST(GROUPING(p_brand) AS INT) AS g_brand,
+       CAST(GROUPING(p_size) AS INT) AS g_size,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY GROUPING SETS ((p_brand, p_size), (p_brand), ())
+"""

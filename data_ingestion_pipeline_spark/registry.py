@@ -131,6 +131,10 @@ _ROUND4_LATE: list[str] = [
     "equidepth_histogram_orders",
     "khop_reach_copurchase",
     "streaming_chained_window_rollup_events",
+    "zipf_fit_tokens",
+    "top_bigram_collocations_documents",
+    "lateral_topn_orders_per_customer",
+    "grouping_sets_revenue",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1274,6 +1278,30 @@ register(
     "khop_reach_copurchase",
     mlprep_checks.khop_reach_copurchase,
     mlprep_checks.KHOP_REACH_COPURCHASE_ORACLE,
+)
+
+register(
+    "zipf_fit_tokens",
+    mlprep_checks.zipf_fit_tokens,
+    mlprep_checks.ZIPF_FIT_TOKENS_ORACLE,
+)
+
+register(
+    "top_bigram_collocations_documents",
+    mlprep_checks.top_bigram_collocations_documents,
+    mlprep_checks.TOP_BIGRAM_COLLOCATIONS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "lateral_topn_orders_per_customer",
+    sql_surface.lateral_topn_orders_per_customer,
+    sql_surface.LATERAL_TOPN_ORDERS_PER_CUSTOMER_ORACLE,
+)
+
+register(
+    "grouping_sets_revenue",
+    sql_surface.grouping_sets_revenue,
+    sql_surface.GROUPING_SETS_REVENUE_ORACLE,
 )
 
 # The transformWithStateInPandas check registers only where its python
