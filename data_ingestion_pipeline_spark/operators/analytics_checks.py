@@ -42,6 +42,9 @@ __all__ = [
     "linear_attribution_daily",
     "profile_columns_orders",
     "canonical_entities_parts",
+    "ab_test_session_value",
+    "time_to_convert_quantiles",
+    "key_skew_report_events",
 ]
 
 
@@ -1165,4 +1168,251 @@ SELECT p_partkey, entity_id,
        CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT) AS entity_size,
        p_partkey = entity_id AS is_canonical
 FROM lab
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hash-armed A/B test over sessionized value (composition check)
+# ---------------------------------------------------------------------------
+
+def ab_test_session_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end experiment readout: users hash into two arms
+    (md5 — stable under data growth, reproducible outside Spark), their
+    events sessionize (5-minute gaps-and-islands), and per-session values
+    feed a Welch t-test between arms. Composes three already-proven pieces
+    — deterministic hash assignment, sessionization, decimal-moment Welch
+    — into the single query an experimentation pipeline actually runs.
+    One row out; both arm aggregates come from one pass (FILTER-style
+    conditional decimal sums, no per-arm rescan)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer-microsecond gap (never a double epoch): a session boundary at
+    # exactly 300s must classify identically on both engines
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap >= 300_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = numbered.groupBy("user_id", "session_seq").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sv")
+    )
+    arm_a = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0
+    )
+    x = F.col("sv")
+    agg = sessions.select(arm_a.alias("is_a"), x).agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+        dec_sum(F.when(F.col("is_a"), x), 27, 12).cast("double").alias("s1a"),
+        dec_sum(F.when(F.col("is_a"), x * x), 38, 12).cast("double").alias("s2a"),
+        dec_sum(F.when(~F.col("is_a"), x), 27, 12).cast("double").alias("s1b"),
+        dec_sum(F.when(~F.col("is_a"), x * x), 38, 12).cast("double").alias("s2b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma, mb = F.col("s1a") / na, F.col("s1b") / nb
+    va = (F.col("s2a") - F.col("s1a") * F.col("s1a") / na) / (na - F.lit(1.0))
+    vb = (F.col("s2b") - F.col("s1b") * F.col("s1b") / nb) / (nb - F.lit(1.0))
+    se2 = va / na + vb / nb
+    t = (ma - mb) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (va / na) * (va / na) / (na - F.lit(1.0))
+        + (vb / nb) * (vb / nb) / (nb - F.lit(1.0))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).cast("double").alias("mean_a"),
+        F.round(mb, 6).cast("double").alias("mean_b"),
+        F.round(t, 6).cast("double").alias("t_stat"),
+        F.round(df, 6).cast("double").alias("welch_df"),
+    )
+
+
+AB_TEST_SESSION_VALUE_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 300000000
+                     OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, value,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM flagged
+), sessions AS (
+    SELECT user_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sv,
+           ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT % 2 = 0 AS is_a
+    FROM numbered GROUP BY user_id, session_seq
+), agg AS (
+    SELECT CAST(COUNT(*) FILTER (is_a) AS BIGINT) AS n_a,
+           CAST(COUNT(*) FILTER (NOT is_a) AS BIGINT) AS n_b,
+           CAST(SUM(CAST(sv AS DECIMAL(27,12))) FILTER (is_a) AS DOUBLE) AS s1a,
+           CAST(SUM(CAST(sv * sv AS DECIMAL(38,12))) FILTER (is_a) AS DOUBLE) AS s2a,
+           CAST(SUM(CAST(sv AS DECIMAL(27,12))) FILTER (NOT is_a) AS DOUBLE) AS s1b,
+           CAST(SUM(CAST(sv * sv AS DECIMAL(38,12))) FILTER (NOT is_a) AS DOUBLE) AS s2b
+    FROM sessions
+)
+SELECT n_a, n_b,
+       CAST(ROUND(s1a / n_a, 6) AS DOUBLE) AS mean_a,
+       CAST(ROUND(s1b / n_b, 6) AS DOUBLE) AS mean_b,
+       CAST(ROUND((s1a / n_a - s1b / n_b)
+                  / SQRT(((s2a - s1a * s1a / n_a) / (n_a - 1.0)) / n_a
+                         + ((s2b - s1b * s1b / n_b) / (n_b - 1.0)) / n_b), 6)
+            AS DOUBLE) AS t_stat,
+       CAST(ROUND(
+           ((((s2a - s1a * s1a / n_a) / (n_a - 1.0)) / n_a
+             + ((s2b - s1b * s1b / n_b) / (n_b - 1.0)) / n_b)
+            * (((s2a - s1a * s1a / n_a) / (n_a - 1.0)) / n_a
+               + ((s2b - s1b * s1b / n_b) / (n_b - 1.0)) / n_b))
+           / ((((s2a - s1a * s1a / n_a) / (n_a - 1.0)) / n_a)
+              * (((s2a - s1a * s1a / n_a) / (n_a - 1.0)) / n_a) / (n_a - 1.0)
+              + (((s2b - s1b * s1b / n_b) / (n_b - 1.0)) / n_b)
+                * (((s2b - s1b * s1b / n_b) / (n_b - 1.0)) / n_b) / (n_b - 1.0)),
+           6) AS DOUBLE) AS welch_df
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Conversion-lag quantiles (first view → first purchase)
+# ---------------------------------------------------------------------------
+
+def time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of each user's first-view→first-purchase lag: exact
+    interpolated quantiles over the per-user delta. The per-user firsts
+    are one groupBy each (map-side-combined mins); the lag is integer
+    microseconds (exact) divided once into seconds. Exact percentile on
+    ONE global group is the documented non-scale path; the sketch twin for
+    high-cardinality grouping is ``approx_price_quantiles_by_priority``'s
+    construction."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_of(tag: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == tag)
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    j = (
+        first_of("view", "first_view")
+        .join(first_of("purchase", "first_purchase"), "user_id")
+        .filter(F.col("first_purchase") >= F.col("first_view"))
+    )
+    delta_s = (
+        F.unix_micros(F.col("first_purchase")) - F.unix_micros(F.col("first_view"))
+    ).cast("double") / F.lit(1000000.0)
+    pcts = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p90": 0.90}
+    return j.select(delta_s.alias("d")).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        *[
+            F.round(F.percentile("d", F.lit(p)), 4).cast("double").alias(name)
+            for name, p in pcts.items()
+        ],
+    )
+
+
+TIME_TO_CONVERT_QUANTILES_ORACLE = """
+WITH fv AS (
+    SELECT user_id, MIN(ts) AS first_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), fp AS (
+    SELECT user_id, MIN(ts) AS first_purchase FROM events
+    WHERE event_type = 'purchase' GROUP BY user_id
+), d AS (
+    SELECT CAST(epoch_us(first_purchase) - epoch_us(first_view) AS DOUBLE)
+           / 1000000.0 AS d
+    FROM fv JOIN fp USING (user_id)
+    WHERE first_purchase >= first_view
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(ROUND(quantile_cont(d, 0.25), 4) AS DOUBLE) AS p25,
+       CAST(ROUND(quantile_cont(d, 0.50), 4) AS DOUBLE) AS p50,
+       CAST(ROUND(quantile_cont(d, 0.75), 4) AS DOUBLE) AS p75,
+       CAST(ROUND(quantile_cont(d, 0.90), 4) AS DOUBLE) AS p90
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Key-skew report (Gini + top-share) — the "do I need salting?" diagnostic
+# ---------------------------------------------------------------------------
+
+def key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile of the user_id key: distinct keys, total rows, hottest
+    key's share, and the Gini coefficient of the per-key row counts — the
+    quantitative trigger for the salted-join path
+    (``salted_skew_join_events``). All-integer derivation: counts and the
+    rank-weighted sum are bigints, so every division is an exact-operand
+    double op and no decimal machinery is needed. The rank runs over the
+    AGGREGATED key table (|keys| rows), never the raw events."""
+    cnt = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ranked = cnt.withColumn(
+        "i",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").asc(), F.col("user_id").asc()))
+        .cast("bigint"),
+    )
+    agg = ranked.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.sum(F.col("i") * F.col("c")).cast("bigint").alias("iw"),
+        F.max("c").cast("bigint").alias("max_c"),
+    )
+    n = F.col("n_keys").cast("double")
+    tot = F.col("n_rows").cast("double")
+    gini = (F.lit(2.0) * F.col("iw").cast("double") - (n + F.lit(1.0)) * tot) / (
+        n * tot
+    )
+    return agg.select(
+        "n_keys",
+        "n_rows",
+        F.round(F.col("max_c").cast("double") / tot, 6)
+        .cast("double")
+        .alias("top_key_share"),
+        F.round(gini, 6).cast("double").alias("gini"),
+    )
+
+
+KEY_SKEW_REPORT_EVENTS_ORACLE = """
+WITH cnt AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+), ranked AS (
+    SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c ASC, user_id ASC) AS BIGINT) AS i
+    FROM cnt
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(SUM(i * c) AS BIGINT) AS iw,
+           CAST(MAX(c) AS BIGINT) AS max_c
+    FROM ranked
+)
+SELECT n_keys, n_rows,
+       CAST(ROUND(CAST(max_c AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS DOUBLE)
+           AS top_key_share,
+       CAST(ROUND((2.0 * CAST(iw AS DOUBLE)
+                   - (CAST(n_keys AS DOUBLE) + 1.0) * CAST(n_rows AS DOUBLE))
+                  / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6)
+            AS DOUBLE) AS gini
+FROM agg
 """

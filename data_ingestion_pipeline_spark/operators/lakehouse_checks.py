@@ -33,6 +33,8 @@ __all__ = [
     "zorder_clustered_orders",
     "zorder_orders_path",
     "observed_metrics_orders",
+    "scd2_asof_lookup",
+    "table_diff_snapshots",
 ]
 
 _SCRATCH = "/tmp/spark_graft_scratch"
@@ -324,4 +326,129 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            AS BIGINT) AS total_price_micros,
        CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey
 FROM orders
+"""
+
+
+def scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) fact→dimension lookup: every order joined to
+    the customer-segment version valid at its order date. The dimension is
+    an SCD2 build (bootstrap 1992, one re-segmentation batch effective
+    1998-01-01 for every 7th customer), so orders straddling the cut must
+    resolve to DIFFERENT versions of the same key — the correctness trap
+    naive current-row joins get wrong.
+
+    The join predicate is the half-open validity window
+    (valid_from <= ts < valid_to), an equi-join on the key plus a range
+    residual; the dimension side broadcasts (dims are always the small
+    side at fact scale). The oracle derives the expected segment CLOSED
+    FORM from the change rules — independent of scd2_apply — so equality
+    proves builder + as-of join against ground truth, not against itself.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim0 = cust.select(
+        "*",
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    batch = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_mktsegment", F.concat(F.lit("SEG_"), F.col("c_mktsegment"))
+    )
+    dim = scd2_apply(dim0, batch, "c_custkey", ["c_mktsegment"], "1998-01-01")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return orders.join(
+        F.broadcast(dim),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("valid_from") <= F.col("o_orderdate"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+    ).select("o_orderkey", "o_custkey", "o_orderdate",
+             F.col("c_mktsegment").alias("mktsegment_asof"))
+
+
+SCD2_ASOF_LOOKUP_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CASE WHEN c_custkey % 7 = 0 AND o_orderdate >= TIMESTAMP '1998-01-01'
+            THEN 'SEG_' || c_mktsegment ELSE c_mktsegment
+       END AS mktsegment_asof
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def table_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the audit view between two table versions: orders
+    vs orders after a deterministic maintenance pass (every 11th key
+    deleted, every surviving 7th repriced +100, every 13th cloned to a new
+    key). FULL OUTER join on the key classifies each row added / removed /
+    changed / unchanged; the summary carries counts and the exact net
+    price delta per class. One shuffle on the key; the class expression is
+    null-arithmetic over the two sides. The oracle computes every class
+    closed-form from the rules, so the diff operator is checked against
+    ground truth rather than a second diff."""
+    before = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    survivors = before.filter(F.col("o_orderkey") % 11 != 0)
+    after = (
+        survivors.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            before.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    b = before.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p_before")
+    )
+    a = after.select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p_after")
+    )
+    j = b.join(a, "k", "full_outer")
+    change = (
+        F.when(F.col("p_before").isNull(), F.lit("added"))
+        .when(F.col("p_after").isNull(), F.lit("removed"))
+        .when(F.col("p_before") != F.col("p_after"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    delta = F.coalesce(F.col("p_after"), F.lit(0.0)) - F.coalesce(
+        F.col("p_before"), F.lit(0.0)
+    )
+    return (
+        j.select(change.alias("change_type"), delta.alias("delta"))
+        .groupBy("change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dec_sum2(F.col("delta")).alias("net_price_delta"),
+        )
+    )
+
+
+TABLE_DIFF_SNAPSHOTS_ORACLE = """
+SELECT 'removed' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(-o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS net_price_delta
+FROM orders WHERE o_orderkey % 11 = 0
+UNION ALL
+SELECT 'added', CAST(COUNT(*) AS BIGINT),
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+FROM orders WHERE o_orderkey % 13 = 0
+UNION ALL
+-- (o_totalprice + 100.0) - o_totalprice, NOT the literal 100.0: the float
+-- round-trip is not exactly 100 for most prices, and the builder sums the
+-- round-tripped per-row deltas
+SELECT 'changed', CAST(COUNT(*) AS BIGINT),
+       CAST(ROUND(SUM(CAST((o_totalprice + 100.0) - o_totalprice
+                           AS DECIMAL(18,6))), 2) AS DOUBLE)
+FROM orders WHERE o_orderkey % 11 != 0 AND o_orderkey % 7 = 0
+UNION ALL
+SELECT 'unchanged', CAST(COUNT(*) AS BIGINT),
+       CAST(ROUND(SUM(CAST(0.0 AS DECIMAL(18,6))), 2) AS DOUBLE)
+FROM orders WHERE o_orderkey % 11 != 0 AND o_orderkey % 7 != 0
 """

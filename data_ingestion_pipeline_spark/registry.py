@@ -135,6 +135,11 @@ _ROUND4_LATE: list[str] = [
     "top_bigram_collocations_documents",
     "lateral_topn_orders_per_customer",
     "grouping_sets_revenue",
+    "ab_test_session_value",
+    "time_to_convert_quantiles",
+    "key_skew_report_events",
+    "scd2_asof_lookup",
+    "table_diff_snapshots",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1302,6 +1307,36 @@ register(
     "grouping_sets_revenue",
     sql_surface.grouping_sets_revenue,
     sql_surface.GROUPING_SETS_REVENUE_ORACLE,
+)
+
+register(
+    "ab_test_session_value",
+    analytics_checks.ab_test_session_value,
+    analytics_checks.AB_TEST_SESSION_VALUE_ORACLE,
+)
+
+register(
+    "time_to_convert_quantiles",
+    analytics_checks.time_to_convert_quantiles,
+    analytics_checks.TIME_TO_CONVERT_QUANTILES_ORACLE,
+)
+
+register(
+    "key_skew_report_events",
+    analytics_checks.key_skew_report_events,
+    analytics_checks.KEY_SKEW_REPORT_EVENTS_ORACLE,
+)
+
+register(
+    "scd2_asof_lookup",
+    lakehouse_checks.scd2_asof_lookup,
+    lakehouse_checks.SCD2_ASOF_LOOKUP_ORACLE,
+)
+
+register(
+    "table_diff_snapshots",
+    lakehouse_checks.table_diff_snapshots,
+    lakehouse_checks.TABLE_DIFF_SNAPSHOTS_ORACLE,
 )
 
 # The transformWithStateInPandas check registers only where its python

@@ -365,3 +365,94 @@ def test_canonical_entities_consistent_with_fuzzy_pairs(spark):
     pairs = analytics_checks.fuzzy_part_name_pairs(spark, SF_SMOKE).collect()
     for p in pairs:
         assert label[p.a_partkey] == label[p.b_partkey]
+
+
+def test_ab_test_matches_numpy_welch(spark):
+    import hashlib
+
+    row = analytics_checks.ab_test_session_value(spark, SF_SMOKE).first()
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    sessions = []
+    for uid, grp in ev.groupby("user_id"):
+        cur = None
+        prev = None
+        for _, r in grp.iterrows():
+            if prev is None or (r["ts"] - prev).total_seconds() >= 300:
+                if cur is not None:
+                    sessions.append((uid, cur))
+                cur = 0.0
+            cur += r["value"]
+            prev = r["ts"]
+        sessions.append((uid, cur))
+    a, b = [], []
+    for uid, sv in sessions:
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:6], 16)
+        (a if h % 2 == 0 else b).append(round(sv, 2))
+    a, b = np.array(a), np.array(b)
+    assert row.n_a == len(a) and row.n_b == len(b)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    assert abs(row.mean_a - a.mean()) < 1e-4
+    assert abs(row.t_stat - t) < 1e-4
+
+
+def test_key_skew_gini_matches_direct(spark):
+    row = analytics_checks.key_skew_report_events(spark, SF_SMOKE).first()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    counts = np.sort(ev.groupby("user_id").size().to_numpy())
+    n, tot = len(counts), counts.sum()
+    i = np.arange(1, n + 1)
+    gini = (2.0 * (i * counts).sum() - (n + 1) * tot) / (n * tot)
+    assert row.n_keys == n and row.n_rows == tot
+    assert abs(row.gini - gini) < 1e-6
+    assert 0.0 <= row.gini < 1.0
+    assert abs(row.top_key_share - counts.max() / tot) < 1e-6
+
+
+def test_time_to_convert_matches_numpy(spark):
+    row = analytics_checks.time_to_convert_quantiles(spark, SF_SMOKE).first()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    fv = ev[ev.event_type == "view"].groupby("user_id")["ts"].min()
+    fp = ev[ev.event_type == "purchase"].groupby("user_id")["ts"].min()
+    j = pd.concat([fv.rename("v"), fp.rename("p")], axis=1).dropna()
+    d = (j["p"] - j["v"]).dt.total_seconds()
+    d = d[d >= 0].to_numpy()
+    assert row.n_users == len(d)
+    for name, q in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p90", 0.9)]:
+        assert abs(getattr(row, name) - np.quantile(d, q)) < 1e-2
+
+
+def test_scd2_asof_straddles_the_cut(spark):
+    from data_ingestion_pipeline_spark.operators import lakehouse_checks
+
+    got = lakehouse_checks.scd2_asof_lookup(spark, SF_SMOKE).toPandas()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    assert len(got) == len(orders)  # every order resolves exactly one version
+    cust7 = got[got.o_custkey % 7 == 0]
+    pre = cust7[cust7.o_orderdate < pd.Timestamp("1998-01-01")]
+    post = cust7[cust7.o_orderdate >= pd.Timestamp("1998-01-01")]
+    assert (~pre.mktsegment_asof.str.startswith("SEG_")).all()
+    assert post.mktsegment_asof.str.startswith("SEG_").all()
+    assert len(pre) > 0 and len(post) > 0  # the fixture straddles the cut
+
+
+def test_table_diff_classes_match_rules(spark):
+    from data_ingestion_pipeline_spark.operators import lakehouse_checks
+
+    got = {
+        r.change_type: r
+        for r in lakehouse_checks.table_diff_snapshots(spark, SF_SMOKE).collect()
+    }
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").toPandas()
+    k = o["o_orderkey"]
+    assert got["removed"].n_rows == int((k % 11 == 0).sum())
+    assert got["added"].n_rows == int((k % 13 == 0).sum())
+    assert got["changed"].n_rows == int(((k % 11 != 0) & (k % 7 == 0)).sum())
+    assert got["unchanged"].n_rows == int(((k % 11 != 0) & (k % 7 != 0)).sum())
+    assert got["unchanged"].net_price_delta == 0.0
+    assert got["changed"].net_price_delta > 0
