@@ -236,3 +236,45 @@ def test_interpolation_windows_are_user_partitioned(spark):
     plan = _plan(spark, "interpolated_daily_user_value")
     assert "hashpartitioning(user_id" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_asof_dim_broadcasts(spark):
+    plan = _plan(spark, "scd2_asof_lookup")
+    assert "BroadcastHashJoin" in plan, "as-of dim join lost its broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_centroids_broadcast_no_cartesian(spark):
+    plan = _plan(spark, "kmeans_assign_embeddings")
+    assert "BroadcastHashJoin" in plan, "centroid side must broadcast"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_lateral_topn_plans_as_partitioned_rank(spark):
+    # the correlated LATERAL LIMIT must decorrelate to a window rank, never
+    # re-scan orders per customer row
+    plan = _plan(spark, "lateral_topn_orders_per_customer")
+    assert "Window" in plan, "LATERAL did not decorrelate to a window rank"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_grouping_sets_single_expand(spark):
+    plan = _plan(spark, "grouping_sets_revenue")
+    assert plan.count("Expand") >= 1, "grouping sets should plan one Expand"
+    assert "partial_" in plan, "two-phase aggregation lost under Expand"
+
+
+def test_pagerank_iterations_reuse_checkpointed_edges(spark):
+    # the loop-invariant edge+degree join is checkpointed: iterations must
+    # scan the RDD, not re-run the basket self-join (no parquet scan of
+    # lineitem may appear in the iterated plan)
+    plan = _plan(spark, "pagerank_copurchase_parts")
+    assert "Scan ExistingRDD" in plan, "edges lost their checkpoint"
+    assert "lineitem" not in plan, "an iteration re-reads the raw table"
+
+
+def test_weighted_sample_is_topk_not_full_sort(spark):
+    plan = _plan(spark, "weighted_sample_documents")
+    assert "CartesianProduct" not in plan
