@@ -35,6 +35,8 @@ __all__ = [
     "khop_reach_copurchase",
     "zipf_fit_tokens",
     "top_bigram_collocations_documents",
+    "rake_keywords_documents",
+    "arrow_vector_norms_embeddings",
 ]
 
 EMBEDDING_DIM = 64  # fixture embedding width (TESTDATA.md; asserted in tests)
@@ -720,4 +722,185 @@ SELECT CAST(rnk AS INT) AS rnk, w1, w2, c2, pmi FROM (
            ROW_NUMBER() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rnk
     FROM scored
 ) WHERE rnk <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (stopword-delimited phrases, degree/freq scores)
+# ---------------------------------------------------------------------------
+
+# Shared by the builder and the generated oracle SQL — the EN voting list
+# from functions/text.py plus the bare article, frozen here because RAKE's
+# output is defined by its delimiter set.
+RAKE_STOPWORDS = [
+    "the", "and", "of", "to", "in", "is", "that", "it", "was", "with", "a",
+]
+
+
+def rake_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.): candidate phrases are maximal
+    runs of non-stopword tokens (gaps-and-islands over the token stream,
+    stopwords as delimiters), each word scores degree/freq over the phrase
+    corpus, and a phrase scores the sum of its word scores. Top-15 phrases.
+
+    Cross-engine shape: phrase text is re-assembled with an ORDER
+    BY-token_idx aggregation on both engines; word scores are bigint
+    ratios (exact doubles); the phrase score sums them in decimal; the
+    final ranking orders by the ROUNDED score so it never rides a float
+    ulp. Shuffles: token islands (one window), phrase grouping, word
+    stats, and the score join — all on bounded keys.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\s+")).alias("token_idx", "token"),
+        )
+        .filter(F.col("token") != "")
+        .withColumn("is_stop", F.col("token").isin(RAKE_STOPWORDS))
+    )
+    w = Window.partitionBy("doc_id").orderBy("token_idx")
+    seg = F.sum(F.col("is_stop").cast("int")).over(w)
+    pw = (
+        toks.withColumn("seg", seg)
+        .filter(~F.col("is_stop"))
+        .select("doc_id", "seg", "token_idx", "token")
+    )
+    plen_w = Window.partitionBy("doc_id", "seg")
+    pw = pw.withColumn("plen", F.count("*").over(plen_w).cast("bigint"))
+    word_stats = pw.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+    )
+    scored_words = pw.join(word_stats, "token").withColumn(
+        "wscore", F.col("degree").cast("double") / F.col("freq").cast("double")
+    )
+    phrases = scored_words.groupBy("doc_id", "seg").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(token_idx, token))),"
+            " x -> x.token), ' ')"
+        ).alias("phrase"),
+        F.max("plen").alias("n_words"),
+        dec_sum(F.col("wscore"), 18, 12).cast("double").alias("pscore"),
+    )
+    agg = phrases.groupBy("phrase").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.round(F.max("pscore"), 6).cast("double").alias("score"),
+    )
+    pick = Window.orderBy(F.col("score").desc(), F.col("phrase").asc())
+    return (
+        agg.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") <= 15)
+        .select(F.col("rk").cast("int").alias("rk"), "phrase", "n_words",
+                "n_occurrences", "score")
+    )
+
+
+def _rake_oracle() -> str:
+    stoplist = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, CAST(idx AS INT) AS token_idx, token,
+           token IN ({stoplist}) AS is_stop
+    FROM (
+        SELECT doc_id,
+               unnest(range(len(regexp_split_to_array(text, '\s+')))) AS idx,
+               unnest(regexp_split_to_array(text, '\s+')) AS token
+        FROM documents
+    ) WHERE token <> ''
+), seg AS (
+    SELECT doc_id, token_idx, token, is_stop,
+           SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY token_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS seg
+    FROM toks
+), pw0 AS (
+    SELECT doc_id, seg, token_idx, token FROM seg WHERE NOT is_stop
+), pw AS (
+    SELECT doc_id, seg, token_idx, token,
+           CAST(COUNT(*) OVER (PARTITION BY doc_id, seg) AS BIGINT) AS plen
+    FROM pw0
+), word_stats AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(plen) AS BIGINT) AS degree
+    FROM pw GROUP BY token
+), scored AS (
+    SELECT pw.doc_id, pw.seg, pw.token_idx, pw.token, pw.plen,
+           CAST(ws.degree AS DOUBLE) / CAST(ws.freq AS DOUBLE) AS wscore
+    FROM pw JOIN word_stats ws ON pw.token = ws.token
+), phrases AS (
+    SELECT doc_id, seg,
+           string_agg(token, ' ' ORDER BY token_idx) AS phrase,
+           MAX(plen) AS n_words,
+           CAST(SUM(CAST(wscore AS DECIMAL(18,12))) AS DOUBLE) AS pscore
+    FROM scored GROUP BY doc_id, seg
+), agg AS (
+    SELECT phrase, CAST(MAX(n_words) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(ROUND(MAX(pscore), 6) AS DOUBLE) AS score
+    FROM phrases GROUP BY phrase
+)
+SELECT CAST(rk AS INT) AS rk, phrase, n_words, n_occurrences, score FROM (
+    SELECT phrase, n_words, n_occurrences, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, phrase ASC) AS rk
+    FROM agg
+) WHERE rk <= 15
+"""
+
+
+RAKE_KEYWORDS_DOCUMENTS_ORACLE = _rake_oracle()
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow kernel: exact per-vector L2 norms
+# ---------------------------------------------------------------------------
+
+def arrow_vector_norms_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm computed in a ``mapInArrow`` kernel — the
+    RecordBatch-iterator extension point one tier below mapInPandas (no
+    pandas Block manager, zero-copy Arrow buffers both directions). The
+    kernel accumulates each vector's Σx² with ``math.fsum`` (the EXACT
+    sum), so its result is bitwise the oracle's exact decimal-sum double
+    and the comparison never depends on accumulation order — the same
+    exactness contract the JVM-side operators carry, proven through the
+    Python boundary. Rounding happens JVM-side after the kernel (engine
+    ROUND semantics, not Python's banker's rounding).
+
+    Scale shape: embarrassingly parallel map over Arrow batches; no
+    shuffle at all.
+    """
+    import math
+
+    import pyarrow as pa
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            vecs = batch.column("embedding").to_pylist()
+            norms = [
+                math.sqrt(math.fsum(float(x) * float(x) for x in v)) for v in vecs
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(norms, type=pa.float64())],
+                names=["vec_id", "l2_raw"],
+            )
+
+    out = emb.mapInArrow(kernel, "vec_id bigint, l2_raw double")
+    return out.select(
+        "vec_id", F.round(F.col("l2_raw"), 6).cast("double").alias("l2_norm")
+    )
+
+
+ARROW_VECTOR_NORMS_EMBEDDINGS_ORACLE = """
+SELECT vec_id,
+       CAST(ROUND(SQRT(CAST(SUM(CAST(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                                     * CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                                     AS DECIMAL(38,20))) AS DOUBLE)), 6) AS DOUBLE)
+           AS l2_norm
+FROM embeddings CROSS JOIN range(64) t(i)
+GROUP BY vec_id
 """

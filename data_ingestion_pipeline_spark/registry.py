@@ -140,6 +140,8 @@ _ROUND4_LATE: list[str] = [
     "key_skew_report_events",
     "scd2_asof_lookup",
     "table_diff_snapshots",
+    "rake_keywords_documents",
+    "arrow_vector_norms_embeddings",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1295,6 +1297,18 @@ register(
     "top_bigram_collocations_documents",
     mlprep_checks.top_bigram_collocations_documents,
     mlprep_checks.TOP_BIGRAM_COLLOCATIONS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "rake_keywords_documents",
+    mlprep_checks.rake_keywords_documents,
+    mlprep_checks.RAKE_KEYWORDS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "arrow_vector_norms_embeddings",
+    mlprep_checks.arrow_vector_norms_embeddings,
+    mlprep_checks.ARROW_VECTOR_NORMS_EMBEDDINGS_ORACLE,
 )
 
 register(

@@ -249,3 +249,59 @@ def test_khop_matches_python_bfs(spark):
                 dist[m] = dist[n] + 1
                 q.append(m)
     assert got == dist
+
+
+def test_rake_matches_hand_rolled(spark):
+    from collections import Counter, defaultdict
+
+    got = sorted(
+        mlprep_checks.rake_keywords_documents(spark, SF_SMOKE).collect(),
+        key=lambda r: r.rk,
+    )
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    stop = set(mlprep_checks.RAKE_STOPWORDS)
+    freq: Counter = Counter()
+    degree: Counter = Counter()
+    phrase_occurrences = defaultdict(int)
+    all_phrases = []
+    for _, row in docs.iterrows():
+        toks = [t for t in row["text"].split() if t]
+        phrase = []
+        for t in toks + ["<END_STOP>"]:
+            if t in stop or t == "<END_STOP>":
+                if phrase:
+                    all_phrases.append(tuple(phrase))
+                    phrase_occurrences[" ".join(phrase)] += 1
+                phrase = []
+            else:
+                phrase.append(t)
+    for p in all_phrases:
+        for w in p:
+            freq[w] += 1
+            degree[w] += len(p)
+    scores = {}
+    for p in all_phrases:
+        text = " ".join(p)
+        scores[text] = (len(p), sum(degree[w] / freq[w] for w in p))
+    ranked = sorted(
+        ((round(s, 6), t) for t, (_, s) in scores.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:15]
+    assert len(got) == 15
+    for r, (score, text) in zip(got, ranked):
+        assert r.phrase == text
+        assert abs(r.score - score) < 1e-5
+        assert r.n_words == scores[text][0]
+        assert r.n_occurrences == phrase_occurrences[text]
+
+
+def test_arrow_norms_match_numpy(spark):
+    got = {
+        r.vec_id: r.l2_norm
+        for r in mlprep_checks.arrow_vector_norms_embeddings(spark, SF_SMOKE).collect()
+    }
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").toPandas()
+    assert len(got) == len(emb)
+    for _, row in emb.iterrows():
+        v = np.asarray(row["embedding"], dtype=np.float64)
+        assert abs(got[row["vec_id"]] - np.linalg.norm(v)) < 1e-6
