@@ -429,3 +429,68 @@ SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
        MIN(id) AS min_id, MAX(id) AS max_id
 FROM src GROUP BY bucket
 """
+
+
+def python_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE side of the Python DataSource API: events flow through the
+    custom ``jsonl_sink`` (per-partition JSON-lines files + two-phase
+    commit manifest), are read back from exactly the manifested files, and
+    aggregate — the oracle computes the same aggregate from the raw table,
+    so equality proves the executor-side writer, the commit protocol, and
+    the read-back are lossless. Timestamps ride as integer microseconds
+    (JSON has no timestamp type); the read-back asserts the manifest row
+    count before aggregating."""
+    import json as _json
+
+    from data_ingestion_pipeline_spark.sources.python_datasource import (
+        JsonlSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    root = _scratch(sf_dir, "pyds_write")
+    out = os.path.join(root, "events_jsonl")
+    # purchase slice only: the two-phase commit contract under test is
+    # volume-independent, and a Python row-at-a-time writer is the SLOW
+    # path by design (a real sink would serialize Arrow batches) — don't
+    # bench-tax every round for rows that prove nothing extra
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+    )
+    (
+        events.repartition(8)
+        .write.format("jsonl_sink")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    files = [os.path.join(out, name) for name in manifest["files"]]
+    back = spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, ts_us BIGINT, value DOUBLE"
+    ).json(files)
+    assert back.count() == manifest["rows"]
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.min("ts_us").alias("first_ts_us"),
+        F.max("ts_us").alias("last_ts_us"),
+        dec_sum2(F.col("value")).alias("total_value"),
+    )
+
+
+PYTHON_DATASOURCE_WRITE_ROUNDTRIP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       MIN(epoch_us(ts)) AS first_ts_us,
+       MAX(epoch_us(ts)) AS last_ts_us,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM events WHERE event_type = 'purchase' GROUP BY event_type
+"""

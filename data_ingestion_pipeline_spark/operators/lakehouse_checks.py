@@ -35,6 +35,7 @@ __all__ = [
     "observed_metrics_orders",
     "scd2_asof_lookup",
     "table_diff_snapshots",
+    "time_travel_orders_versions",
 ]
 
 _SCRATCH = "/tmp/spark_graft_scratch"
@@ -451,4 +452,53 @@ UNION ALL
 SELECT 'unchanged', CAST(COUNT(*) AS BIGINT),
        CAST(ROUND(SUM(CAST(0.0 AS DECIMAL(18,6))), 2) AS DOUBLE)
 FROM orders WHERE o_orderkey % 11 != 0 AND o_orderkey % 7 != 0
+"""
+
+
+def time_travel_orders_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (``VERSION AS OF``): two atomic overwrites of a managed
+    orders table (v2 reprices every 7th order), then BOTH versions are read
+    back concurrently through the retained-version window and diffed — the
+    audit query a lakehouse runs after a bad deploy. The version pointer
+    swap is what makes v1 still readable while v2 is current
+    (plans/table.py: immutable version directories + keep_versions
+    retention). Oracle derives the expected diff closed-form from the
+    reprice rule, checking the retention machinery against ground truth."""
+    root = _scratch(sf_dir, "timetravel_orders")
+    shutil.rmtree(root, ignore_errors=True)
+    table = ManagedTable(spark, root, keep_versions=3)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = table.overwrite(orders)
+    v2 = table.overwrite(
+        orders.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    old = table.read(version=v1).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p1")
+    )
+    cur = table.read(version=v2).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p2")
+    )
+    j = old.join(cur, "k")
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("p1") != F.col("p2"), 1)).cast("bigint").alias("n_changed"),
+        dec_sum2(F.col("p2") - F.col("p1")).alias("net_delta"),
+        F.lit(len(table.versions())).cast("int").alias("n_versions_retained"),
+    )
+
+
+TIME_TRAVEL_ORDERS_VERSIONS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN o_orderkey % 7 = 0 THEN 1 END) AS BIGINT) AS n_changed,
+       CAST(ROUND(SUM(CAST(CASE WHEN o_orderkey % 7 = 0
+                                THEN (o_totalprice + 100.0) - o_totalprice
+                                ELSE 0.0 END AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS net_delta,
+       CAST(2 AS INT) AS n_versions_retained
+FROM orders
 """

@@ -27,6 +27,9 @@ __all__ = [
     "orders_above_customer_avg",
     "recursive_orderkey_hierarchy",
     "udtf_part_type_words",
+    "lateral_topn_orders_per_customer",
+    "grouping_sets_revenue",
+    "session_variable_brand_report",
 ]
 
 # Translation of /root/reference/README.md:36-149 onto the star schema —
@@ -362,4 +365,59 @@ SELECT p_brand, p_size,
                            AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY GROUPING SETS ((p_brand, p_size), (p_brand), ())
+"""
+
+
+def session_variable_brand_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 DECLARE/SET VARIABLE) + EXECUTE
+    IMMEDIATE with a bound parameter — the stateful-session scripting
+    surface: a variable holds the report target, one statement references
+    it unqualified, and a dynamically-composed statement binds it
+    positionally. Both routes must agree; the output unions them with a
+    route tag so the oracle (plain SQL, twice) checks both."""
+    _register(spark, sf_dir, ("part", "lineitem"))
+    spark.sql("DECLARE OR REPLACE VARIABLE report_brand STRING")
+    spark.sql("SET VARIABLE report_brand = 'Brand#1'")
+    direct = spark.sql(
+        """
+        SELECT 'variable' AS route, p_brand,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = report_brand
+        GROUP BY p_brand
+        """
+    )
+    dynamic = spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT ''immediate'' AS route, p_brand,
+                CAST(COUNT(*) AS BIGINT) AS n_lines,
+                CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                    AS DECIMAL(18,6))), 2) AS DOUBLE)
+                    AS total_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = ? GROUP BY p_brand'
+        USING report_brand
+        """
+    )
+    return direct.unionByName(dynamic)
+
+
+SESSION_VARIABLE_BRAND_REPORT_ORACLE = """
+SELECT 'variable' AS route, p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1' GROUP BY p_brand
+UNION ALL
+SELECT 'immediate', p_brand,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))), 2) AS DOUBLE)
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1' GROUP BY p_brand
 """

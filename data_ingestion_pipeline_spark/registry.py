@@ -142,6 +142,9 @@ _ROUND4_LATE: list[str] = [
     "table_diff_snapshots",
     "rake_keywords_documents",
     "arrow_vector_norms_embeddings",
+    "python_datasource_write_roundtrip",
+    "time_travel_orders_versions",
+    "session_variable_brand_report",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1297,6 +1300,24 @@ register(
     "top_bigram_collocations_documents",
     mlprep_checks.top_bigram_collocations_documents,
     mlprep_checks.TOP_BIGRAM_COLLOCATIONS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "python_datasource_write_roundtrip",
+    ingestion_checks.python_datasource_write_roundtrip,
+    ingestion_checks.PYTHON_DATASOURCE_WRITE_ROUNDTRIP_ORACLE,
+)
+
+register(
+    "time_travel_orders_versions",
+    lakehouse_checks.time_travel_orders_versions,
+    lakehouse_checks.TIME_TRAVEL_ORDERS_VERSIONS_ORACLE,
+)
+
+register(
+    "session_variable_brand_report",
+    sql_surface.session_variable_brand_report,
+    sql_surface.SESSION_VARIABLE_BRAND_REPORT_ORACLE,
 )
 
 register(

@@ -23,12 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
 
 __all__ = [
     "SyntheticEventsDataSource",
+    "JsonlSinkDataSource",
     "read_synthetic_events",
     "synthetic_events_stream",
 ]
@@ -137,3 +139,73 @@ def synthetic_events_stream(
         .option("batch", str(batch))
         .load()
     )
+
+
+class JsonlSinkDataSource(DataSource):
+    """Python DataSource WRITER (the write side of the pyspark.sql.datasource
+    API): each executor partition serializes its rows to one JSON-lines file
+    under ``path`` and returns the file name as its commit message; commit()
+    publishes a manifest listing exactly the committed files, so readers see
+    an atomic, task-retry-safe file set (a retried task's orphan file is
+    never manifested — the same two-phase contract as the V2 sinks).
+    abort() removes any files the failed attempt reported."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def schema(self) -> str:  # write-only source; schema comes from the df
+        return "id BIGINT"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlWriter(self.options, overwrite)
+
+
+class _JsonlWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        import os
+        import shutil
+
+        self.path = options["path"]
+        if overwrite:
+            shutil.rmtree(self.path, ignore_errors=True)
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        fname = f"part-{uuid.uuid4().hex}.jsonl"
+        full = os.path.join(self.path, fname)
+        n = 0
+        with open(full, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        msg = WriterCommitMessage()
+        msg.file = fname  # type: ignore[attr-defined]
+        msg.rows = n  # type: ignore[attr-defined]
+        return msg
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.file for m in messages),
+            "rows": sum(m.rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages or []:
+            try:
+                os.remove(os.path.join(self.path, m.file))
+            except OSError:
+                pass

@@ -248,3 +248,59 @@ def test_bloom_filter_no_false_negatives_and_bounded_fpr(spark):
     fn = sum(1 for r in got if r.is_member and not r.hit)
     assert fn == 0
     assert fp / len(others) < 0.03, fp
+
+
+def test_jsonl_sink_manifest_is_the_commit_boundary(spark, tmp_path):
+    """commit() must manifest exactly the files the committed tasks wrote;
+    a stray file in the directory (e.g. a retried task's orphan) must not
+    be counted or read."""
+    import json
+    import os
+
+    from data_ingestion_pipeline_spark.sources.python_datasource import (
+        JsonlSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    df.repartition(4).write.format("jsonl_sink").mode("overwrite").option(
+        "path", out
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["rows"] == 100
+    listed = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert set(manifest["files"]) == listed
+    # plant an orphan: the manifest (the commit boundary) must not grow
+    with open(os.path.join(out, "part-orphan.jsonl"), "w") as f:
+        f.write('{"id": 999, "v": 0}\n')
+    manifest2 = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert "part-orphan.jsonl" not in manifest2["files"]
+
+
+def test_time_travel_reads_both_versions(spark):
+    from tests.conftest import SF_SMOKE
+
+    from data_ingestion_pipeline_spark.operators.lakehouse_checks import (
+        time_travel_orders_versions,
+    )
+
+    row = time_travel_orders_versions(spark, SF_SMOKE).first()
+    n_orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    assert row.n_rows == n_orders
+    assert row.n_versions_retained == 2
+    assert row.n_changed > 0
+    assert abs(row.net_delta - 100.0 * row.n_changed) < 1.0
+
+
+def test_session_variable_routes_agree(spark):
+    from tests.conftest import SF_SMOKE
+
+    from data_ingestion_pipeline_spark.operators.sql_surface import (
+        session_variable_brand_report,
+    )
+
+    rows = {r.route: r for r in session_variable_brand_report(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"variable", "immediate"}
+    assert rows["variable"].n_lines == rows["immediate"].n_lines
+    assert rows["variable"].total_revenue == rows["immediate"].total_revenue
