@@ -996,3 +996,142 @@ SELECT o_orderkey, o_orderpriority,
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 """
+
+
+def approx_distinct_users_trailing7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from MERGED daily HLL sketches —
+    the sliding-window cardinality no exact aggregate can compute
+    incrementally (distinct doesn't decompose over overlapping windows;
+    sketches do). One sketch per day materializes once; every trailing
+    window is a RANGE-framed union of ≤7 sketch states (KBs each), so the
+    window cost is independent of the raw row count — the 100 TB shape.
+
+    Driver-gradeable construction (the ``hll_merge_users_weekly`` pattern):
+    the exact trailing distinct rides a bounded calendar-grid join
+    (day_users × 7-day frame — |users|·7 rows, never re-scanning events)
+    and each day publishes a ``within_bound`` boolean; the oracle computes
+    the exact side plus literal TRUE. RANGE on days-since-epoch, not ROWS:
+    a gapped series must still window by CALENDAR days.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    dnum = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(dnum).rangeBetween(-6, 0)
+    est = daily.select(
+        "day",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+        .cast("bigint")
+        .alias("n_users_est"),
+    )
+    day_users = events.select(F.to_date("ts").alias("uday"), "user_id").distinct()
+    # banded-to-equi rewrite: explode each (day, user) into the 7 frame days
+    # it contributes to, then EQUI-join against the day grid — a hash join
+    # on day, never a nested-loop range join (the band is a constant, so
+    # the fan-out is exactly 7 and the rewrite is lossless)
+    contrib = day_users.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "uday", "user_id"
+    ).select(F.date_add(F.col("uday"), F.col("off")).alias("day"), "user_id")
+    exact = (
+        daily.select("day")
+        .join(contrib, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users_7d"))
+    )
+    return exact.join(est, "day").select(
+        "day",
+        "n_users_7d",
+        (
+            F.abs(F.col("n_users_est") - F.col("n_users_7d"))
+            <= F.greatest(F.lit(3.0), F.col("n_users_7d") * 0.1)
+        ).alias("within_bound"),
+    )
+
+
+APPROX_DISTINCT_USERS_TRAILING7D_ORACLE = """
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+day_users AS (SELECT DISTINCT CAST(ts AS DATE) AS uday, user_id FROM events)
+SELECT d.day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users_7d,
+       TRUE AS within_bound
+FROM days d
+JOIN day_users u ON u.uday <= d.day AND u.uday >= d.day - 6
+GROUP BY d.day
+"""
+
+
+def hll_intersection_weekday_weekend_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Set-intersection cardinality from sketches via inclusion–exclusion:
+    |A∩B| ≈ |A| + |B| − |A∪B| with all three terms HLL estimates — the
+    audience-overlap question (weekday-active ∩ weekend-active users)
+    answered without materializing either set. Union of sketches is exact
+    sketch algebra; the subtraction inherits both errors, so the
+    within-bound gate is wider (20%) than the union gates (10%) — the
+    honest caveat of sketch intersections, pinned in the check itself.
+    Weekday parity: Spark ``weekday()+1`` == DuckDB ``isodow()``.
+    """
+    events = load_table(spark, sf_dir, "events")
+    tagged = events.select(
+        "user_id",
+        ((F.weekday("ts") + F.lit(1)) >= 6).alias("is_weekend"),
+    )
+    per_side = tagged.groupBy("is_weekend").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+    )
+    union_est = per_side.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("n_union")
+    )
+    sides = per_side.select(
+        "is_weekend",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("n_est"),
+        "n_exact",
+    )
+    wd = sides.filter(~F.col("is_weekend")).select(
+        F.col("n_est").alias("wd_est"), F.col("n_exact").alias("n_weekday")
+    )
+    we = sides.filter(F.col("is_weekend")).select(
+        F.col("n_est").alias("we_est"), F.col("n_exact").alias("n_weekend")
+    )
+    both_exact = (
+        tagged.filter(~F.col("is_weekend"))
+        .select("user_id")
+        .distinct()
+        .join(
+            tagged.filter(F.col("is_weekend")).select("user_id").distinct(),
+            "user_id",
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    j = wd.crossJoin(we).crossJoin(F.broadcast(union_est)).crossJoin(
+        F.broadcast(both_exact)
+    )
+    inter_est = F.col("wd_est") + F.col("we_est") - F.col("n_union")
+    return j.select(
+        "n_weekday",
+        "n_weekend",
+        "n_both",
+        (
+            F.abs(inter_est - F.col("n_both"))
+            <= F.greatest(F.lit(5.0), F.col("n_both") * 0.2)
+        ).alias("within_bound"),
+    )
+
+
+HLL_INTERSECTION_WEEKDAY_WEEKEND_USERS_ORACLE = """
+WITH tagged AS (
+    SELECT user_id, isodow(ts) >= 6 AS is_weekend FROM events
+)
+SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM tagged
+        WHERE NOT is_weekend) AS n_weekday,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM tagged
+        WHERE is_weekend) AS n_weekend,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+           (SELECT DISTINCT user_id FROM tagged WHERE NOT is_weekend) a
+           JOIN (SELECT DISTINCT user_id FROM tagged WHERE is_weekend) b
+           USING (user_id)) AS n_both,
+       TRUE AS within_bound
+"""

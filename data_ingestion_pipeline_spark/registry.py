@@ -145,6 +145,8 @@ _ROUND4_LATE: list[str] = [
     "python_datasource_write_roundtrip",
     "time_travel_orders_versions",
     "session_variable_brand_report",
+    "approx_distinct_users_trailing7d",
+    "hll_intersection_weekday_weekend_users",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1300,6 +1302,18 @@ register(
     "top_bigram_collocations_documents",
     mlprep_checks.top_bigram_collocations_documents,
     mlprep_checks.TOP_BIGRAM_COLLOCATIONS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "approx_distinct_users_trailing7d",
+    relational.approx_distinct_users_trailing7d,
+    relational.APPROX_DISTINCT_USERS_TRAILING7D_ORACLE,
+)
+
+register(
+    "hll_intersection_weekday_weekend_users",
+    relational.hll_intersection_weekday_weekend_users,
+    relational.HLL_INTERSECTION_WEEKDAY_WEEKEND_USERS_ORACLE,
 )
 
 register(
