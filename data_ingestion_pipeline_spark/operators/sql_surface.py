@@ -30,6 +30,7 @@ __all__ = [
     "lateral_topn_orders_per_customer",
     "grouping_sets_revenue",
     "session_variable_brand_report",
+    "sql_scripting_size_report",
 ]
 
 # Translation of /root/reference/README.md:36-149 onto the star schema —
@@ -420,4 +421,45 @@ SELECT 'immediate', p_brand,
                            AS DECIMAL(18,6))), 2) AS DOUBLE)
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#1' GROUP BY p_brand
+"""
+
+
+def sql_scripting_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN…END, conf-gated): a script DECLAREs a
+    variable, computes it from the data (SET with a scalar subquery),
+    branches on an IF, and returns the taken branch's result set — the
+    procedural control-flow surface stored procedures cover elsewhere.
+    The oracle replays the taken branch closed-form (the data makes the
+    predicate true deterministically), so the script's variable binding,
+    branch selection, and final SELECT all gate on the hash."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    _register(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE lo INT DEFAULT 0;
+          SET lo = (SELECT CAST(MIN(p_size) AS INT) FROM part);
+          IF (SELECT COUNT(*) FROM part WHERE p_size <= lo + 4) > 0 THEN
+            SELECT p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n_small,
+                   CAST(MIN(p_size) AS INT) AS min_size,
+                   CAST(MAX(p_size) AS INT) AS max_size
+            FROM part WHERE p_size <= lo + 4 GROUP BY p_brand;
+          ELSE
+            SELECT 'none' AS p_brand, CAST(0 AS BIGINT) AS n_small,
+                   CAST(0 AS INT) AS min_size, CAST(0 AS INT) AS max_size;
+          END IF;
+        END
+        """
+    )
+
+
+SQL_SCRIPTING_SIZE_REPORT_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_small,
+       CAST(MIN(p_size) AS INT) AS min_size,
+       CAST(MAX(p_size) AS INT) AS max_size
+FROM part
+WHERE p_size <= (SELECT MIN(p_size) FROM part) + 4
+GROUP BY p_brand
 """

@@ -147,6 +147,7 @@ _ROUND4_LATE: list[str] = [
     "session_variable_brand_report",
     "approx_distinct_users_trailing7d",
     "hll_intersection_weekday_weekend_users",
+    "sql_scripting_size_report",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1302,6 +1303,12 @@ register(
     "top_bigram_collocations_documents",
     mlprep_checks.top_bigram_collocations_documents,
     mlprep_checks.TOP_BIGRAM_COLLOCATIONS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "sql_scripting_size_report",
+    sql_surface.sql_scripting_size_report,
+    sql_surface.SQL_SCRIPTING_SIZE_REPORT_ORACLE,
 )
 
 register(
