@@ -37,6 +37,7 @@ __all__ = [
     "top_bigram_collocations_documents",
     "rake_keywords_documents",
     "arrow_vector_norms_embeddings",
+    "kmeans_lloyd_embeddings",
 ]
 
 EMBEDDING_DIM = 64  # fixture embedding width (TESTDATA.md; asserted in tests)
@@ -904,3 +905,130 @@ SELECT vec_id,
 FROM embeddings CROSS JOIN range(64) t(i)
 GROUP BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Iterative k-means (3 Lloyd steps) with exact cross-engine parity
+# ---------------------------------------------------------------------------
+
+_LLOYD_ITERS = 3
+
+
+def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three full Lloyd iterations (assign → re-center → repeat) with the
+    same exact-decimal discipline as the one-step assignment check: every
+    distance is a decimal sum of identical per-dim doubles, every new
+    centroid coordinate is an exact decimal mean cast to double — so all
+    THREE intermediate centroid sets are bitwise engine-identical and the
+    oracle (the same recurrence unrolled into CTEs) hash-matches the final
+    clustering, not just its shape. PageRank proved the pattern for
+    iterative graph state; this extends it to iterative ML state.
+
+    Scale shape: per-iteration work is one equi-join against a broadcast
+    K·dim centroid relation plus two aggregations; the vector table is
+    never self-joined and iteration count is fixed. The production kernel
+    for big K remains the blocked numpy matmul (``dedup/embedding.py``);
+    this pins its semantics end-to-end.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ve = emb.select("vec_id", F.posexplode("embedding").alias("d", "v")).select(
+        "vec_id", "d", F.col("v").cast("double").alias("v")
+    )
+    ve = ve.localCheckpoint()  # scanned 3×: pin instead of re-exploding
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.posexplode("embedding").alias("d", "c"))
+        .select("cid", "d", F.col("c").cast("double").alias("c"))
+    )
+    assign = None
+    for _ in range(_LLOYD_ITERS):
+        term = F.col("v") - F.col("c")
+        dist = (
+            ve.join(F.broadcast(cents), "d")
+            .select(
+                "vec_id", "cid", (term * term).cast("decimal(20,12)").alias("t2")
+            )
+            .groupBy("vec_id", "cid")
+            .agg(F.sum("t2").alias("dist2"))
+        )
+        # argmin as min(struct(dist2, cid)) — one two-phase aggregate with
+        # exact decimal + tie-break ordering baked into the struct compare,
+        # instead of a per-iteration window sort (same result as the
+        # oracle's ROW_NUMBER, one less shuffle-and-sort per iteration)
+        assign = (
+            dist.groupBy("vec_id")
+            .agg(F.min(F.struct("dist2", "cid")).alias("best"))
+            .select("vec_id", F.col("best.cid").alias("cid"),
+                    F.col("best.dist2").alias("dist2"))
+        )
+        cents = (
+            assign.join(ve, "vec_id")
+            .groupBy("cid", "d")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(27,18)")).cast("double")
+                    / F.count("*").cast("double")
+                ).alias("c")
+            )
+        )
+        # Deliberately NOT checkpointed: within the single final action each
+        # iteration's shuffle executes once anyway (stage reuse), while an
+        # eager per-iteration checkpoint pays 3 extra jobs that replay the
+        # DAG — measured 5.0-5.5s vs 3.7-4.1s with only the ve checkpoint.
+    return assign.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.sum("dist2").cast("double") / F.count("*").cast("double"), 6)
+        .cast("double")
+        .alias("inertia"),
+    )
+
+
+def _lloyd_oracle() -> str:
+    parts = [
+        """WITH ve AS (
+    SELECT vec_id, CAST(i AS INT) AS d,
+           CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN range(64) t(i)
+), cents0 AS (
+    SELECT cid, CAST(i AS INT) AS d,
+           CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS c
+    FROM (SELECT vec_id AS cid, embedding FROM embeddings
+          ORDER BY vec_id LIMIT 8)
+    CROSS JOIN range(64) t(i)
+)"""
+    ]
+    prev = "cents0"
+    for i in range(1, _LLOYD_ITERS + 1):
+        parts.append(
+            f""", dist{i} AS (
+    SELECT vec_id, cid,
+           SUM(CAST((v - c) * (v - c) AS DECIMAL(20,12))) AS dist2
+    FROM ve JOIN {prev} USING (d) GROUP BY vec_id, cid
+), assign{i} AS (
+    SELECT vec_id, cid, dist2 FROM (
+        SELECT vec_id, cid, dist2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2 ASC, cid ASC) AS rn
+        FROM dist{i}
+    ) WHERE rn = 1
+), cents{i} AS (
+    SELECT a.cid, ve.d,
+           CAST(SUM(CAST(ve.v AS DECIMAL(27,18))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS c
+    FROM assign{i} a JOIN ve USING (vec_id)
+    GROUP BY a.cid, ve.d
+)"""
+        )
+        prev = f"cents{i}"
+    parts.append(
+        f"""
+SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(ROUND(CAST(SUM(dist2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+            AS DOUBLE) AS inertia
+FROM assign{_LLOYD_ITERS} GROUP BY cid"""
+    )
+    return "".join(parts)
+
+
+KMEANS_LLOYD_EMBEDDINGS_ORACLE = _lloyd_oracle()

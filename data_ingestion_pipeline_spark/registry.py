@@ -148,6 +148,7 @@ _ROUND4_LATE: list[str] = [
     "approx_distinct_users_trailing7d",
     "hll_intersection_weekday_weekend_users",
     "sql_scripting_size_report",
+    "kmeans_lloyd_embeddings",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1303,6 +1304,12 @@ register(
     "top_bigram_collocations_documents",
     mlprep_checks.top_bigram_collocations_documents,
     mlprep_checks.TOP_BIGRAM_COLLOCATIONS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "kmeans_lloyd_embeddings",
+    mlprep_checks.kmeans_lloyd_embeddings,
+    mlprep_checks.KMEANS_LLOYD_EMBEDDINGS_ORACLE,
 )
 
 register(

@@ -305,3 +305,32 @@ def test_arrow_norms_match_numpy(spark):
     for _, row in emb.iterrows():
         v = np.asarray(row["embedding"], dtype=np.float64)
         assert abs(got[row["vec_id"]] - np.linalg.norm(v)) < 1e-6
+
+
+def test_kmeans_lloyd_matches_numpy_iterations(spark):
+    got = {
+        r.cluster_id: r
+        for r in mlprep_checks.kmeans_lloyd_embeddings(spark, SF_SMOKE).collect()
+    }
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    vecs = np.array([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    cids = emb["vec_id"].to_numpy()[:8]
+    cents = vecs[:8].copy()
+    for _ in range(3):
+        d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for j in range(8):
+            members = vecs[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    mind = d2[np.arange(len(vecs)), assign]
+    for j in np.unique(assign):
+        mask = assign == j
+        assert got[cids[j]].n_vectors == int(mask.sum())
+        assert abs(got[cids[j]].inertia - float(mind[mask].mean())) < 1e-4
+    assert sum(r.n_vectors for r in got.values()) == len(vecs)
