@@ -169,3 +169,63 @@ def minhash_near_dup_pairs(
         .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_incremental_pairs(
+    incoming: DataFrame,
+    existing: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-set LSH: INCOMING band rows probe the EXISTING band index —
+    the incremental-ingest dedup shape. Nothing is ever compared within
+    either set, so a day's delta costs O(delta · collisions), not a full
+    re-clustering; at scale the existing side's banded index is a
+    materialized table the delta joins against. Recall-complete banding
+    (B=16, R=2, same argument as ``minhash_verified_pairs_complete``) makes
+    the verified output equal the exact cross-set J ≥ threshold relation —
+    oracle-checkable.
+    """
+    rows_per_band = num_hashes // bands
+    sets_in = shingle_sets(incoming, text_col, id_col, shingle_n).cache()
+    sets_ex = shingle_sets(existing, text_col, id_col, shingle_n).cache()
+
+    def _sigs(sets: DataFrame) -> DataFrame:
+        exploded = sets.select(
+            F.col(id_col), F.explode_outer("sset").alias("sh")
+        ).filter(F.col("sh").isNotNull())
+        return _signatures_from_exploded(exploded, id_col, num_hashes)
+
+    def _banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        band_cols = [
+            F.xxhash64(
+                F.lit(j),
+                *[F.col(f"sig_{j * rows_per_band + r}") for r in range(rows_per_band)],
+            ).alias(f"band_{j}")
+            for j in range(bands)
+        ]
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+        )
+
+    cands = (
+        _banded(_sigs(sets_in), "inc_id")
+        .join(_banded(_sigs(sets_ex), "ex_id"), ["band_idx", "band_hash"])
+        .select("inc_id", "ex_id")
+        .distinct()
+    )
+    ga = sets_in.select(F.col(id_col).alias("inc_id"), F.col("sset").alias("set_a"))
+    gb = sets_ex.select(F.col(id_col).alias("ex_id"), F.col("sset").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = F.size(F.array_union("set_a", "set_b")).cast("double")
+    return (
+        cands.join(ga, ["inc_id"])
+        .join(gb, ["ex_id"])
+        .select("inc_id", "ex_id", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1736,3 +1736,75 @@ WHERE (CAST(strpos('0123456789abcdef',
       < CASE CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 4
         WHEN 0 THEN 230 WHEN 1 THEN 128 WHEN 2 THEN 64 ELSE 26 END
 """
+
+
+def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) near-dup detection: the corpus splits
+    into an EXISTING snapshot (doc_id % 5 ≠ 0) and an INCOMING delta
+    (doc_id % 5 = 0, plus planted 80%-prefix copies of existing docs with
+    doc_id % 20 = 1, ids +1_000_000 — true cross-set near-dups at J≈0.8).
+    Incoming minhash bands probe only the existing side's band index
+    (``dedup/minhash.py::minhash_incremental_pairs``), then candidates
+    verify with exact Jaccard ≥ 0.7 — the shape a daily ingest runs
+    against yesterday's corpus without re-clustering it. Recall-complete
+    banding ⇒ the oracle is the exact cross-set J ≥ 0.7 relation."""
+    from data_ingestion_pipeline_spark.dedup.minhash import (
+        minhash_incremental_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = F.split(F.trim(F.col("text")), r"\s+")
+    prefix_len = F.greatest(F.ceil(F.size(tok) * 0.8).cast("int"), F.lit(1))
+    planted = docs.filter(F.col("doc_id") % 20 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(tok, F.lit(1), prefix_len)).alias("text"),
+    )
+    incoming = docs.filter(F.col("doc_id") % 5 == 0).unionByName(planted)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    return minhash_incremental_pairs(
+        incoming, existing, "text", "doc_id", threshold=0.7
+    )
+
+
+INCREMENTAL_DEDUP_DOCUMENTS_ORACLE = r"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), inc AS (
+    SELECT doc_id, toks FROM base WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 1000000,
+           toks[1:GREATEST(CAST(CEIL(len(toks) * 0.8) AS INTEGER), 1)]
+    FROM base WHERE doc_id % 20 = 1
+), ex AS (
+    SELECT doc_id, toks FROM base WHERE doc_id % 5 <> 0
+), sets_in AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, GREATEST(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+           )) AS sset
+    FROM inc
+), sets_ex AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, GREATEST(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+           )) AS sset
+    FROM ex
+), einc AS (
+    SELECT doc_id, unnest(sset) AS shingle FROM sets_in
+), eex AS (
+    SELECT doc_id, unnest(sset) AS shingle FROM sets_ex
+), inter AS (
+    SELECT a.doc_id AS inc_id, b.doc_id AS ex_id, COUNT(*) AS n_common
+    FROM einc a JOIN eex b USING (shingle)
+    GROUP BY 1, 2
+)
+SELECT inc_id, ex_id,
+       ROUND(CAST(n_common AS DOUBLE) /
+             CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN (SELECT doc_id, len(sset) AS sz FROM sets_in) sa ON sa.doc_id = inc_id
+JOIN (SELECT doc_id, len(sset) AS sz FROM sets_ex) sb ON sb.doc_id = ex_id
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.7
+"""

@@ -149,6 +149,7 @@ _ROUND4_LATE: list[str] = [
     "hll_intersection_weekday_weekend_users",
     "sql_scripting_size_report",
     "kmeans_lloyd_embeddings",
+    "incremental_dedup_documents",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1304,6 +1305,12 @@ register(
     "top_bigram_collocations_documents",
     mlprep_checks.top_bigram_collocations_documents,
     mlprep_checks.TOP_BIGRAM_COLLOCATIONS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "incremental_dedup_documents",
+    llm_data.incremental_dedup_documents,
+    llm_data.INCREMENTAL_DEDUP_DOCUMENTS_ORACLE,
 )
 
 register(
