@@ -301,14 +301,20 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     u = (h + F.lit(1.0)) / F.lit(float(16**13) + 2.0)  # strictly inside (0,1)
     key = F.log(u) / F.col("n_chars").cast("double")
-    ranked = docs.select(
-        "doc_id", "n_chars", key.alias("k")
-    ).withColumn(
-        "sample_rank",
-        F.row_number().over(Window.orderBy(F.col("k").desc(), F.col("doc_id").asc())),
+    # top-50 via orderBy+limit — Spark plans TakeOrderedAndProject
+    # (per-partition top-k + driver merge of 50-row heaps), never a global
+    # single-partition window sort of the corpus; the rank number is then
+    # a window over the 50 surviving rows only
+    top = (
+        docs.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy(F.col("k").desc(), F.col("doc_id").asc())
+        .limit(50)
     )
-    return ranked.filter(F.col("sample_rank") <= 50).select(
-        F.col("sample_rank").cast("int").alias("sample_rank"),
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("k").desc(), F.col("doc_id").asc()))
+        .cast("int")
+        .alias("sample_rank"),
         "doc_id",
         "n_chars",
     )

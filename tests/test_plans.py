@@ -278,3 +278,10 @@ def test_pagerank_iterations_reuse_checkpointed_edges(spark):
 def test_weighted_sample_is_topk_not_full_sort(spark):
     plan = _plan(spark, "weighted_sample_documents")
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_top50_is_take_ordered(spark):
+    plan = _plan(spark, "weighted_sample_documents")
+    assert "TakeOrderedAndProject" in plan, (
+        "weighted-sample top-50 degraded to a global window sort"
+    )
