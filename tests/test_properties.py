@@ -133,3 +133,92 @@ def test_scd2_apply_matches_model(spark, batches):
         for attr, vf, vt in chain
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CUSUM prefix-min identity (timeseries_checks) — the rewrite that turns the
+# nonlinear recurrence into two window aggregates must equal the direct fold
+# for EVERY series, not just the fixture's
+# ---------------------------------------------------------------------------
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=200
+    )
+)
+def test_cusum_prefix_min_identity(xs):
+    mean = sum(xs) / len(xs)
+    dev = [x - mean for x in xs]
+    # direct fold
+    s, peaks_direct = 0.0, []
+    for d in dev:
+        s = max(0.0, s + d)
+        peaks_direct.append(s)
+    # prefix-min identity: s_t = prefix_t - min(0, min_{j<=t} prefix_j)
+    prefix, run_min, peaks_identity = 0.0, 0.0, []
+    for d in dev:
+        prefix += d
+        run_min = min(run_min, prefix)
+        peaks_identity.append(prefix - min(run_min, 0.0))
+    for a, b in zip(peaks_direct, peaks_identity):
+        assert abs(a - b) <= 1e-6 * max(1.0, abs(a))
+
+
+# ---------------------------------------------------------------------------
+# Gini rank formula (analytics_checks.key_skew_report_events) vs the
+# mean-absolute-difference definition
+# ---------------------------------------------------------------------------
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=120)
+)
+def test_gini_rank_formula_matches_definition(counts):
+    xs = sorted(counts)
+    n, tot = len(xs), sum(xs)
+    iw = sum((i + 1) * x for i, x in enumerate(xs))
+    gini_rank = (2.0 * iw - (n + 1) * tot) / (n * tot)
+    mad = sum(abs(a - b) for a in xs for b in xs) / (n * n)
+    gini_def = mad / (2.0 * (tot / n))
+    assert abs(gini_rank - gini_def) < 1e-9
+    assert -1e-12 <= gini_rank < 1.0
+
+
+# ---------------------------------------------------------------------------
+# RAKE islands on adversarial corpora (empty phrases, stopword-only docs,
+# trailing stopwords) — the Spark islands grouping must match a direct split
+# ---------------------------------------------------------------------------
+
+
+def test_rake_handles_stopword_edge_cases(spark):
+    import pandas as pd
+
+    from data_ingestion_pipeline_spark.operators.mlprep_checks import (
+        RAKE_STOPWORDS,
+        rake_keywords_documents,
+    )
+
+    stop = RAKE_STOPWORDS[0]  # "the"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"{stop} {stop} {stop}",          # stopwords only → no phrases
+                f"alpha beta {stop}",              # trailing stopword
+                f"{stop} gamma",                   # leading stopword
+                "solo",                            # single-token phrase
+            ],
+        }
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(docs).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = rake_keywords_documents(spark, d).collect()
+    phrases = {r.phrase for r in rows}
+    assert "alpha beta" in phrases
+    assert "gamma" in phrases
+    assert "solo" in phrases
+    assert stop not in " ".join(phrases).split()  # no stopword leaks into a phrase
