@@ -1808,3 +1808,230 @@ JOIN (SELECT doc_id, len(sset) AS sz FROM sets_in) sa ON sa.doc_id = inc_id
 JOIN (SELECT doc_id, len(sset) AS sz FROM sets_ex) sb ON sb.doc_id = ex_id
 WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.7
 """
+
+
+def curation_waterfall_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage waterfall of the curation pipeline — the
+    observability view every data team puts next to the pipeline itself:
+    how many documents enter, survive dedup, pass the quality gate, and
+    land in the deterministic sample. Rules are IDENTICAL to
+    ``curation_pipeline_documents`` (and its oracle) — change together.
+    Four 1-row aggregates over one shared lineage; within the single
+    action the fingerprint shuffle executes once and the later stages'
+    counts reuse it."""
+    aug = _augmented_docs(load_table(spark, sf_dir, "documents"))
+    survivor = (
+        aug.select(fingerprint_md5(F.col("text")).alias("fingerprint"), "doc_id", "text")
+        .groupBy("fingerprint")
+        .agg(F.min(F.struct("doc_id", "text")).alias("s"))
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.text").alias("text"))
+    )
+    feats = quality_features(F.col("text"))
+    scored = survivor.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["type_token_ratio"].alias("type_token_ratio"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+    )
+    gated = scored.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 2000)
+        & (F.col("type_token_ratio") >= 0.2)
+        & (F.col("alpha_ratio") >= 0.6)
+    )
+    sample_byte = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    sampled = gated.filter(sample_byte < 205)
+
+    def stage(order: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("n_docs")).select(
+            F.lit(order).cast("int").alias("stage_order"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+        )
+
+    return (
+        stage(1, "raw", aug)
+        .unionByName(stage(2, "dedup", survivor))
+        .unionByName(stage(3, "quality", gated))
+        .unionByName(stage(4, "sample", sampled))
+    )
+
+
+CURATION_WATERFALL_DOCUMENTS_ORACLE = r"""
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+), survivor AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text, ROW_NUMBER() OVER (
+            PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+            ORDER BY doc_id
+        ) AS rn FROM aug
+    ) WHERE rn = 1
+), scored AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           ROUND(CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+                 / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6)
+               AS type_token_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+           (CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) * 16
+            + CAST(strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS INT))
+               AS sample_byte
+    FROM survivor
+), gated AS (
+    SELECT * FROM scored
+    WHERE n_tokens BETWEEN 20 AND 2000
+      AND type_token_ratio >= 0.2 AND alpha_ratio >= 0.6
+)
+SELECT CAST(1 AS INT) AS stage_order, 'raw' AS stage,
+       CAST((SELECT COUNT(*) FROM aug) AS BIGINT) AS n_docs
+UNION ALL
+SELECT 2, 'dedup', CAST((SELECT COUNT(*) FROM survivor) AS BIGINT)
+UNION ALL
+SELECT 3, 'quality', CAST((SELECT COUNT(*) FROM gated) AS BIGINT)
+UNION ALL
+SELECT 4, 'sample',
+       CAST((SELECT COUNT(*) FROM gated WHERE sample_byte < 205) AS BIGINT)
+"""
+
+
+def ngram_novelty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: per document (in doc_id ingest order), the
+    fraction of its distinct shingles that no earlier document contains —
+    the diversity signal that flattens when a crawl starts re-reading
+    itself. First-introducer is a single groupBy-min over the exploded
+    shingle table (the same relation the dedup stack already builds);
+    fractions are bigint ratios rounded on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    sets = shingle_sets(docs, "text", "doc_id", 3)
+    exploded = sets.select(
+        "doc_id", F.explode_outer("sset").alias("sh")
+    ).filter(F.col("sh").isNotNull())
+    first = exploded.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        exploded.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("novelty"),
+        )
+    )
+
+
+NGRAM_NOVELTY_DOCUMENTS_ORACLE = r"""
+WITH sets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, GREATEST(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1) + 1),
+               i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')
+           )) AS sset
+    FROM documents
+), exploded AS (
+    SELECT doc_id, unnest(sset) AS sh FROM sets
+), first AS (
+    SELECT sh, MIN(doc_id) AS first_doc FROM exploded GROUP BY sh
+)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(CASE WHEN f.first_doc = e.doc_id THEN 1 END) AS BIGINT) AS n_novel,
+       CAST(ROUND(CAST(COUNT(CASE WHEN f.first_doc = e.doc_id THEN 1 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS novelty
+FROM exploded e JOIN first f USING (sh)
+GROUP BY e.doc_id
+"""
+
+
+def language_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing plan: given a uniform per-language target, the
+    downsample-only rates that reach the closest achievable mixture (the
+    scarcest language pins the total — no upsampling). Pure aggregate
+    algebra over the per-language counts: scale = min_l(n_l · k), kept_l =
+    scale / k, rate_l = kept_l / n_l — all exact bigint-derived doubles.
+    The plan TABLE is the operator here; applying it is the existing
+    deterministic hash-gate (``corpus_mixture_documents``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    w = Window.partitionBy()
+    k = F.count("*").over(w).cast("double")
+    min_n = F.min("n_docs").over(w).cast("double")
+    kept = min_n  # uniform target: every language keeps min_l(n_l) docs
+    rate = kept / F.col("n_docs").cast("double")
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        F.round(rate, 6).cast("double").alias("sample_rate"),
+        F.round(F.lit(1.0) / k, 6).cast("double").alias("target_share"),
+        min_n.cast("bigint").alias("n_keep"),
+    )
+
+
+LANGUAGE_REBALANCE_PLAN_ORACLE = """
+WITH per_lang AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+)
+SELECT lang, n_docs,
+       CAST(ROUND(CAST(MIN(n_docs) OVER () AS DOUBLE)
+                  / CAST(n_docs AS DOUBLE), 6) AS DOUBLE) AS sample_rate,
+       CAST(ROUND(1.0 / CAST(COUNT(*) OVER () AS DOUBLE), 6) AS DOUBLE)
+           AS target_share,
+       CAST(MIN(n_docs) OVER () AS BIGINT) AS n_keep
+FROM per_lang
+"""
+
+
+def epoch_reshuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic reshuffle: the shard-shuffle construction
+    (``shard_shuffle_documents``) salted with the epoch number, for epochs
+    0 and 1 — each epoch is a DIFFERENT reproducible permutation (loaders
+    must not repeat epoch order), recomputable by any engine from the data
+    alone. Within-shard ranking stays partitioned by (epoch, shard);
+    nothing sorts globally."""
+    docs = load_table(spark, sf_dir, "documents")
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    keyed = docs.select("doc_id").crossJoin(F.broadcast(epochs))
+    h = F.md5(F.concat(F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")))
+    shard = (F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % 8).cast("int")
+    order_key = F.substring(h, 7, 10)
+    w = Window.partitionBy("epoch", "shard").orderBy("order_key", "doc_id")
+    return (
+        keyed.select("epoch", "doc_id", shard.alias("shard"), order_key.alias("order_key"))
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("int"))
+        .drop("order_key")
+    )
+
+
+EPOCH_RESHUFFLE_DOCUMENTS_ORACLE = """
+WITH keyed AS (
+    SELECT e.epoch, d.doc_id,
+           CAST(('0x' || substr(md5(e.epoch::VARCHAR || ':' || d.doc_id::VARCHAR),
+                                1, 6))::BIGINT % 8 AS INTEGER) AS shard,
+           substr(md5(e.epoch::VARCHAR || ':' || d.doc_id::VARCHAR), 7, 10)
+               AS order_key
+    FROM documents d
+    CROSS JOIN (SELECT CAST(unnest(range(2)) AS INT) AS epoch) e
+)
+SELECT epoch, doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+                               ORDER BY order_key, doc_id) AS INT) AS pos_in_shard
+FROM keyed
+"""

@@ -150,6 +150,10 @@ _ROUND4_LATE: list[str] = [
     "sql_scripting_size_report",
     "kmeans_lloyd_embeddings",
     "incremental_dedup_documents",
+    "curation_waterfall_documents",
+    "ngram_novelty_documents",
+    "language_rebalance_plan",
+    "epoch_reshuffle_documents",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1305,6 +1309,30 @@ register(
     "top_bigram_collocations_documents",
     mlprep_checks.top_bigram_collocations_documents,
     mlprep_checks.TOP_BIGRAM_COLLOCATIONS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "curation_waterfall_documents",
+    llm_data.curation_waterfall_documents,
+    llm_data.CURATION_WATERFALL_DOCUMENTS_ORACLE,
+)
+
+register(
+    "ngram_novelty_documents",
+    llm_data.ngram_novelty_documents,
+    llm_data.NGRAM_NOVELTY_DOCUMENTS_ORACLE,
+)
+
+register(
+    "language_rebalance_plan",
+    llm_data.language_rebalance_plan,
+    llm_data.LANGUAGE_REBALANCE_PLAN_ORACLE,
+)
+
+register(
+    "epoch_reshuffle_documents",
+    llm_data.epoch_reshuffle_documents,
+    llm_data.EPOCH_RESHUFFLE_DOCUMENTS_ORACLE,
 )
 
 register(
