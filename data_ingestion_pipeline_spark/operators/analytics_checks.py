@@ -45,6 +45,7 @@ __all__ = [
     "ab_test_session_value",
     "time_to_convert_quantiles",
     "key_skew_report_events",
+    "kaplan_meier_conversion_events",
 ]
 
 
@@ -1415,4 +1416,138 @@ SELECT n_keys, n_rows,
                   / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)), 6)
             AS DOUBLE) AS gini
 FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier conversion survival (right-censored time-to-purchase)
+# ---------------------------------------------------------------------------
+
+def kaplan_meier_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of "still not purchased" t days after first
+    view, with users who never purchase right-censored at the corpus end —
+    the censoring-aware estimator naive conversion rates get wrong.
+
+    Exact parity for a cumulative PRODUCT: durations are integer days, so
+    the risk table is tiny (≤ observation span); per-event-time factors
+    (n−d)/n are bigint-ratio doubles (exact); and the survival prefix
+    products fold the SAME factor sequence left-to-right on both engines
+    (EWMA's HOF-fold precedent — Spark ``aggregate`` with 1.0 init vs
+    DuckDB ``list_reduce``; 1.0·x is exact, so the init difference is
+    none). No exp/ln round-trip, no libm in the chain. The at-risk counts
+    come from a reverse cumulative window over the aggregated duration
+    table — events are scanned once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("start"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("pday"))
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("max_day"))
+    obs = (
+        fv.join(fp, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("pday").isNotNull() & (F.col("pday") >= F.col("start")),
+                F.datediff(F.col("pday"), F.col("start")),
+            )
+            .otherwise(F.datediff(F.col("max_day"), F.col("start")))
+            .cast("int")
+            .alias("dur"),
+            (F.col("pday").isNotNull() & (F.col("pday") >= F.col("start")))
+            .alias("is_event"),
+        )
+    )
+    durs = obs.groupBy("dur").agg(
+        F.count("*").cast("bigint").alias("n_all"),
+        F.count(F.when(F.col("is_event"), 1)).cast("bigint").alias("d"),
+    )
+    at_risk = Window.orderBy("dur").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    risk = (
+        durs.withColumn("n_at_risk", F.sum("n_all").over(at_risk).cast("bigint"))
+        .filter(F.col("d") > 0)
+        .select(
+            "dur",
+            "n_at_risk",
+            "d",
+            (
+                (F.col("n_at_risk") - F.col("d")).cast("double")
+                / F.col("n_at_risk").cast("double")
+            ).alias("factor"),
+        )
+    )
+    folded = risk.agg(
+        F.expr(
+            "array_sort(collect_list(struct(dur, n_at_risk, d, factor)))"
+        ).alias("rows")
+    ).select(
+        F.expr(
+            """
+            transform(sequence(1, size(rows)), i -> struct(
+                rows[i-1].dur AS dur,
+                rows[i-1].n_at_risk AS n_at_risk,
+                rows[i-1].d AS d,
+                aggregate(slice(rows, 1, i), CAST(1.0 AS DOUBLE),
+                          (acc, x) -> acc * x.factor) AS surv
+            ))
+            """
+        ).alias("out")
+    )
+    return folded.select(F.explode("out").alias("r")).select(
+        F.col("r.dur").alias("duration_days"),
+        F.col("r.n_at_risk").alias("n_at_risk"),
+        F.col("r.d").alias("n_events"),
+        F.round(F.col("r.surv"), 6).cast("double").alias("survival"),
+    )
+
+
+KAPLAN_MEIER_CONVERSION_EVENTS_ORACLE = """
+WITH fv AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS start FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), fp AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS pday FROM events
+    WHERE event_type = 'purchase' GROUP BY user_id
+), horizon AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+obs AS (
+    SELECT CASE WHEN fp.pday IS NOT NULL AND fp.pday >= fv.start
+                THEN CAST(fp.pday - fv.start AS INT)
+                ELSE CAST(h.max_day - fv.start AS INT) END AS dur,
+           fp.pday IS NOT NULL AND fp.pday >= fv.start AS is_event
+    FROM fv LEFT JOIN fp USING (user_id) CROSS JOIN horizon h
+), durs AS (
+    SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(COUNT(CASE WHEN is_event THEN 1 END) AS BIGINT) AS d
+    FROM obs GROUP BY dur
+), risk AS (
+    SELECT dur,
+           CAST(SUM(n_all) OVER (ORDER BY dur
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+               AS n_at_risk,
+           d
+    FROM durs
+), ev_rows AS (
+    SELECT dur, n_at_risk, d,
+           CAST(n_at_risk - d AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS factor
+    FROM risk WHERE d > 0
+), arr AS (
+    SELECT list({'dur': dur, 'n_at_risk': n_at_risk, 'd': d, 'factor': factor}
+                ORDER BY dur) AS rows FROM ev_rows
+)
+SELECT u.r['dur'] AS duration_days,
+       u.r['n_at_risk'] AS n_at_risk,
+       u.r['d'] AS n_events,
+       CAST(ROUND(list_reduce(list_prepend(1.0,
+                list_transform(rows[1:u.i], x -> x['factor'])),
+                (a, b) -> a * b), 6) AS DOUBLE) AS survival
+FROM arr,
+LATERAL (SELECT unnest(rows) AS r,
+                unnest(range(1, len(rows) + 1)) AS i) u
 """

@@ -154,6 +154,7 @@ _ROUND4_LATE: list[str] = [
     "ngram_novelty_documents",
     "language_rebalance_plan",
     "epoch_reshuffle_documents",
+    "kaplan_meier_conversion_events",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1309,6 +1310,12 @@ register(
     "top_bigram_collocations_documents",
     mlprep_checks.top_bigram_collocations_documents,
     mlprep_checks.TOP_BIGRAM_COLLOCATIONS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "kaplan_meier_conversion_events",
+    analytics_checks.kaplan_meier_conversion_events,
+    analytics_checks.KAPLAN_MEIER_CONVERSION_EVENTS_ORACLE,
 )
 
 register(

@@ -456,3 +456,37 @@ def test_table_diff_classes_match_rules(spark):
     assert got["unchanged"].n_rows == int(((k % 11 != 0) & (k % 7 != 0)).sum())
     assert got["unchanged"].net_price_delta == 0.0
     assert got["changed"].net_price_delta > 0
+
+
+def test_kaplan_meier_matches_direct_estimator(spark):
+    rows = sorted(
+        analytics_checks.kaplan_meier_conversion_events(spark, SF_SMOKE).collect(),
+        key=lambda r: r.duration_days,
+    )
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    fv = ev[ev.event_type == "view"].groupby("user_id")["day"].min()
+    fp = ev[ev.event_type == "purchase"].groupby("user_id")["day"].min()
+    max_day = ev["day"].max()
+    obs = []
+    for uid, start in fv.items():
+        p = fp.get(uid)
+        if p is not None and not pd.isna(p) and p >= start:
+            obs.append(((p - start).days, True))
+        else:
+            obs.append(((max_day - start).days, False))
+    from collections import Counter
+
+    d = Counter(t for t, e in obs if e)
+    n_all = Counter(t for t, _ in obs)
+    surv, expect = 1.0, {}
+    for t in sorted(d):
+        n_t = sum(c for u, c in n_all.items() if u >= t)
+        surv *= (n_t - d[t]) / n_t
+        expect[t] = (n_t, d[t], surv)
+    assert [r.duration_days for r in rows] == sorted(expect)
+    for r in rows:
+        n_t, d_t, s = expect[r.duration_days]
+        assert r.n_at_risk == n_t and r.n_events == d_t
+        assert abs(r.survival - s) < 1e-6
+    assert all(a.survival >= b.survival for a, b in zip(rows, rows[1:]))
