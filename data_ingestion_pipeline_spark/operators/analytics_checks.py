@@ -46,6 +46,10 @@ __all__ = [
     "time_to_convert_quantiles",
     "key_skew_report_events",
     "kaplan_meier_conversion_events",
+    "mann_whitney_purchase_view_values",
+    "spearman_daily_purchase_view",
+    "kendall_tau_daily_purchase_view",
+    "theil_sen_daily_trend",
 ]
 
 
@@ -1550,4 +1554,315 @@ SELECT u.r['dur'] AS duration_days,
 FROM arr,
 LATERAL (SELECT unnest(rows) AS r,
                 unnest(range(1, len(rows) + 1)) AS i) u
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-parametric tier: rank / order statistics (no distributional assumption)
+# ---------------------------------------------------------------------------
+
+def mann_whitney_purchase_view_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U between purchase and view event values — the
+    rank-based two-sample test that doesn't assume normality (the Welch
+    check's robust sibling). EVERYTHING is exact: average ranks come from
+    the VALUE-GROUPED relation (cum-before + (ties+1)/2 — integers and
+    exact .5 halves, never a row-level rank over raw events), the rank sum
+    is a decimal aggregate, and the tie-corrected variance is bigint
+    Σ(t³−t) algebra. The z-score is the only derived float, rounded
+    identically on both engines."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    g = ev.groupBy("value").agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("t1"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "cum_before", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("bigint")
+    ).withColumn(
+        "avg_rank",
+        F.col("cum_before").cast("double")
+        + (F.col("t").cast("double") + F.lit(1.0)) / F.lit(2.0),
+    )
+    s = ranked.agg(
+        F.sum("t1").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).cast("bigint").alias("n2"),
+        F.sum(
+            (F.col("t1").cast("double") * F.col("avg_rank")).cast("decimal(27,6)")
+        )
+        .cast("double")
+        .alias("r1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    n = n1 + n2
+    u1 = F.col("r1") - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)
+    var_u = (
+        n1 * n2 / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("tie_term").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    z = (u1 - n1 * n2 / F.lit(2.0)) / F.sqrt(var_u)
+    return s.select(
+        "n1",
+        "n2",
+        F.round(u1, 4).cast("double").alias("u_stat"),
+        F.round(z, 6).cast("double").alias("z_score"),
+    )
+
+
+MANN_WHITNEY_PURCHASE_VIEW_VALUES_ORACLE = """
+WITH g AS (
+    SELECT value, CAST(COUNT(*) AS BIGINT) AS t,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS t1
+    FROM events WHERE event_type IN ('purchase', 'view')
+    GROUP BY value
+), ranked AS (
+    SELECT t, t1,
+           CAST(COALESCE(SUM(t) OVER (ORDER BY value
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+    FROM g
+), s AS (
+    SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+           CAST(SUM(t - t1) AS BIGINT) AS n2,
+           CAST(SUM(CAST(CAST(t1 AS DOUBLE) *
+                         (CAST(cum_before AS DOUBLE)
+                          + (CAST(t AS DOUBLE) + 1.0) / 2.0)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS r1,
+           CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+    FROM ranked
+)
+SELECT n1, n2,
+       CAST(ROUND(r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0, 4)
+            AS DOUBLE) AS u_stat,
+       CAST(ROUND(
+           (r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0
+            - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+           / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                  * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                     - CAST(tie_term AS DOUBLE)
+                       / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                          * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))),
+           6) AS DOUBLE) AS z_score
+FROM s
+"""
+
+
+def _daily_type_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, x=purchase total, y=view total) — exact decimal daily sums."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            dec_sum(F.when(F.col("event_type") == "purchase", F.col("value")), 27, 12)
+            .cast("double")
+            .alias("x"),
+            dec_sum(F.when(F.col("event_type") == "view", F.col("value")), 27, 12)
+            .cast("double")
+            .alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+
+
+def spearman_daily_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily purchase and view volumes:
+    Pearson over average ranks. Ranks are derived per series with the same
+    value-grouped construction as Mann–Whitney (integers + exact halves),
+    then the usual exact power-sum Pearson — monotone association with no
+    normality assumption, fully engine-exact."""
+    daily = _daily_type_pair(spark, sf_dir)
+
+    def rank_of(col: str) -> DataFrame:
+        g = daily.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").cast("bigint").alias("t")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return g.withColumn(
+            "cum_before", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("bigint")
+        ).select(
+            F.col("v"),
+            (
+                F.col("cum_before").cast("double")
+                + (F.col("t").cast("double") + F.lit(1.0)) / F.lit(2.0)
+            ).alias(f"r_{col}"),
+        )
+
+    j = (
+        daily.join(rank_of("x").withColumnRenamed("v", "x"), "x")
+        .join(rank_of("y").withColumnRenamed("v", "y"), "y")
+    )
+    rx, ry = F.col("r_x"), F.col("r_y")
+    s = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(rx, 27, 6).cast("double").alias("sx"),
+        dec_sum(ry, 27, 6).cast("double").alias("sy"),
+        dec_sum(rx * ry, 38, 6).cast("double").alias("sxy"),
+        dec_sum(rx * rx, 38, 6).cast("double").alias("sxx"),
+        dec_sum(ry * ry, 38, 6).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "n",
+        F.round(cov_n / F.sqrt(vx * vy), 6).cast("double").alias("spearman_rho"),
+    )
+
+
+SPEARMAN_DAILY_PURCHASE_VIEW_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END
+                         AS DECIMAL(27,12))) AS DOUBLE) AS x,
+           CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value END
+                         AS DECIMAL(27,12))) AS DOUBLE) AS y
+    FROM events WHERE event_type IN ('purchase', 'view')
+    GROUP BY 1
+    HAVING x IS NOT NULL AND y IS NOT NULL
+), rx AS (
+    SELECT v AS x, CAST(COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           + (CAST(t AS DOUBLE) + 1.0) / 2.0 AS r_x
+    FROM (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY x)
+), ry AS (
+    SELECT v AS y, CAST(COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           + (CAST(t AS DOUBLE) + 1.0) / 2.0 AS r_y
+    FROM (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY y)
+), j AS (
+    SELECT r_x, r_y FROM daily JOIN rx USING (x) JOIN ry USING (y)
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(r_x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(r_y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(r_x * r_y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(r_x * r_x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(r_y * r_y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+    FROM j
+)
+SELECT n,
+       CAST(ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                         * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS DOUBLE)
+           AS spearman_rho
+FROM s
+"""
+
+
+def kendall_tau_daily_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between the daily purchase/view series: concordant −
+    discordant over all day pairs with tie corrections — ALL integers
+    until the final ratio (exactness for free). The pair space is the
+    aggregated daily series self-joined (days², not events²) — the
+    documented small-series instrument; at raw scale the rank-based
+    Spearman (one sort, no pair space) is the one to reach for."""
+    daily = _daily_type_pair(spark, sf_dir)
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = a.join(b, F.col("d1") < F.col("d2"))
+    sgn = (
+        F.signum(
+            (F.col("x2") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+        )
+    ).cast("int")
+    s = pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.count(F.when(sgn == 1, 1)).cast("bigint").alias("concordant"),
+        F.count(F.when(sgn == -1, 1)).cast("bigint").alias("discordant"),
+        F.count(F.when((F.col("x1") == F.col("x2")) & (F.col("y1") != F.col("y2")), 1))
+        .cast("bigint")
+        .alias("tx"),
+        F.count(F.when((F.col("y1") == F.col("y2")) & (F.col("x1") != F.col("x2")), 1))
+        .cast("bigint")
+        .alias("ty"),
+    )
+    c, d = F.col("concordant").cast("double"), F.col("discordant").cast("double")
+    tx, ty = F.col("tx").cast("double"), F.col("ty").cast("double")
+    tau = (c - d) / F.sqrt((c + d + tx) * (c + d + ty))
+    return s.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.round(tau, 6).cast("double").alias("kendall_tau_b"),
+    )
+
+
+KENDALL_TAU_DAILY_PURCHASE_VIEW_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END
+                         AS DECIMAL(27,12))) AS DOUBLE) AS x,
+           CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value END
+                         AS DECIMAL(27,12))) AS DOUBLE) AS y
+    FROM events WHERE event_type IN ('purchase', 'view')
+    GROUP BY 1
+    HAVING x IS NOT NULL AND y IS NOT NULL
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 END) AS BIGINT)
+               AS concordant,
+           CAST(COUNT(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 END) AS BIGINT)
+               AS discordant,
+           CAST(COUNT(CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 END) AS BIGINT) AS tx,
+           CAST(COUNT(CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 END) AS BIGINT) AS ty
+    FROM daily a JOIN daily b ON a.day < b.day
+)
+SELECT n_pairs, concordant, discordant,
+       CAST(ROUND((CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+                  / SQRT((CAST(concordant AS DOUBLE) + CAST(discordant AS DOUBLE)
+                          + CAST(tx AS DOUBLE))
+                         * (CAST(concordant AS DOUBLE) + CAST(discordant AS DOUBLE)
+                            + CAST(ty AS DOUBLE))), 6) AS DOUBLE) AS kendall_tau_b
+FROM s
+"""
+
+
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the global daily value series: the MEDIAN
+    of all pairwise slopes — up to ~29% corrupted days cannot move it
+    (OLS breaks at one). Slopes are exact-operand doubles (decimal-derived
+    y over integer day deltas); the median is the exact interpolated
+    percentile. Day pairs of the AGGREGATED series (days²), never raw
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        dec_sum(F.col("value"), 27, 12).cast("double").alias("v")
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("v").alias("v1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("v").alias("v2"))
+    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
+        (
+            (F.col("v2") - F.col("v1"))
+            / F.datediff(F.col("d2"), F.col("d1")).cast("double")
+        ).alias("slope")
+    )
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.percentile("slope", F.lit(0.5)), 6)
+        .cast("double")
+        .alias("theil_sen_slope"),
+    )
+
+
+THEIL_SEN_DAILY_TREND_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS v
+    FROM events GROUP BY 1
+), slopes AS (
+    SELECT (b.v - a.v) / CAST(b.day - a.day AS DOUBLE) AS slope
+    FROM daily a JOIN daily b ON a.day < b.day
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(ROUND(quantile_cont(slope, 0.5), 6) AS DOUBLE) AS theil_sen_slope
+FROM slopes
 """

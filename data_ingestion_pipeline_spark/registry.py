@@ -155,6 +155,10 @@ _ROUND4_LATE: list[str] = [
     "language_rebalance_plan",
     "epoch_reshuffle_documents",
     "kaplan_meier_conversion_events",
+    "mann_whitney_purchase_view_values",
+    "spearman_daily_purchase_view",
+    "kendall_tau_daily_purchase_view",
+    "theil_sen_daily_trend",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1316,6 +1320,30 @@ register(
     "kaplan_meier_conversion_events",
     analytics_checks.kaplan_meier_conversion_events,
     analytics_checks.KAPLAN_MEIER_CONVERSION_EVENTS_ORACLE,
+)
+
+register(
+    "mann_whitney_purchase_view_values",
+    analytics_checks.mann_whitney_purchase_view_values,
+    analytics_checks.MANN_WHITNEY_PURCHASE_VIEW_VALUES_ORACLE,
+)
+
+register(
+    "spearman_daily_purchase_view",
+    analytics_checks.spearman_daily_purchase_view,
+    analytics_checks.SPEARMAN_DAILY_PURCHASE_VIEW_ORACLE,
+)
+
+register(
+    "kendall_tau_daily_purchase_view",
+    analytics_checks.kendall_tau_daily_purchase_view,
+    analytics_checks.KENDALL_TAU_DAILY_PURCHASE_VIEW_ORACLE,
+)
+
+register(
+    "theil_sen_daily_trend",
+    analytics_checks.theil_sen_daily_trend,
+    analytics_checks.THEIL_SEN_DAILY_TREND_ORACLE,
 )
 
 register(

@@ -490,3 +490,76 @@ def test_kaplan_meier_matches_direct_estimator(spark):
         assert r.n_at_risk == n_t and r.n_events == d_t
         assert abs(r.survival - s) < 1e-6
     assert all(a.survival >= b.survival for a, b in zip(rows, rows[1:]))
+
+
+def _daily_pv(spark):
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    ev = ev[ev.event_type.isin(["purchase", "view"])]
+    ev["day"] = ev["ts"].dt.floor("D")
+    piv = ev.pivot_table(
+        index="day", columns="event_type", values="value", aggfunc="sum"
+    ).dropna()
+    return piv["purchase"].to_numpy(), piv["view"].to_numpy()
+
+
+def test_mann_whitney_matches_direct_ranks(spark):
+    row = analytics_checks.mann_whitney_purchase_view_values(spark, SF_SMOKE).first()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    ev = ev[ev.event_type.isin(["purchase", "view"])]
+    vals = ev["value"].to_numpy()
+    ranks = pd.Series(vals).rank(method="average").to_numpy()
+    is_p = (ev.event_type == "purchase").to_numpy()
+    n1, n2 = int(is_p.sum()), int((~is_p).sum())
+    r1 = float(ranks[is_p].sum())
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    _, t_counts = np.unique(vals, return_counts=True)
+    tie = float((t_counts**3 - t_counts).sum())
+    n = n1 + n2
+    var_u = n1 * n2 / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2.0) / np.sqrt(var_u)
+    assert row.n1 == n1 and row.n2 == n2
+    assert abs(row.u_stat - u1) < 1e-3
+    assert abs(row.z_score - z) < 1e-5
+
+
+def test_spearman_and_kendall_match_pandas(spark):
+    x, y = _daily_pv(spark)
+    rho = analytics_checks.spearman_daily_purchase_view(spark, SF_SMOKE).first()
+    rx = pd.Series(x).rank(method="average").to_numpy()
+    ry = pd.Series(y).rank(method="average").to_numpy()
+    expect_rho = np.corrcoef(rx, ry)[0, 1]
+    assert rho.n == len(x)
+    assert abs(rho.spearman_rho - expect_rho) < 1e-6
+    tau = analytics_checks.kendall_tau_daily_purchase_view(spark, SF_SMOKE).first()
+    c = d = tx = ty = 0
+    for i in range(len(x)):
+        for j in range(i + 1, len(x)):
+            sx, sy = x[j] - x[i], y[j] - y[i]
+            if sx == 0 and sy != 0:
+                tx += 1
+            elif sy == 0 and sx != 0:
+                ty += 1
+            elif sx * sy > 0:
+                c += 1
+            elif sx * sy < 0:
+                d += 1
+    expect_tau = (c - d) / np.sqrt((c + d + tx) * (c + d + ty))
+    assert tau.n_pairs == len(x) * (len(x) - 1) // 2
+    assert tau.concordant == c and tau.discordant == d
+    assert abs(tau.kendall_tau_b - expect_tau) < 1e-6
+
+
+def test_theil_sen_matches_direct_median(spark):
+    row = analytics_checks.theil_sen_daily_trend(spark, SF_SMOKE).first()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    daily = ev.groupby("day")["value"].sum()
+    days = (daily.index - daily.index.min()).days.to_numpy(dtype=float)
+    vals = daily.to_numpy(dtype=float)
+    slopes = [
+        (vals[j] - vals[i]) / (days[j] - days[i])
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+    ]
+    assert row.n_pairs == len(slopes)
+    assert abs(row.theil_sen_slope - float(np.median(slopes))) < 1e-4
