@@ -50,6 +50,8 @@ __all__ = [
     "spearman_daily_purchase_view",
     "kendall_tau_daily_purchase_view",
     "theil_sen_daily_trend",
+    "k_anonymity_report_events",
+    "encoding_advisor_orders",
 ]
 
 
@@ -1866,3 +1868,147 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(ROUND(quantile_cont(slope, 0.5), 6) AS DOUBLE) AS theil_sen_slope
 FROM slopes
 """
+
+
+# ---------------------------------------------------------------------------
+# Privacy: k-anonymity report over a quasi-identifier set
+# ---------------------------------------------------------------------------
+
+def k_anonymity_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the events table under the quasi-identifier
+    set (event_type, ISO weekday, value bucket) — the release-gate
+    companion to the GDPR delete and scrubbing operators: before a table
+    leaves the boundary, how re-identifiable is it? Reports the minimum
+    group size (the k), and how many groups/rows sit below the k=5
+    threshold (candidates for suppression or coarser bucketing). One
+    groupBy + one aggregate over the group sizes — all integers.
+    Weekday parity: Spark ``weekday()+1`` == DuckDB ``isodow()``."""
+    ev = load_table(spark, sf_dir, "events")
+    groups = ev.groupBy(
+        "event_type",
+        (F.weekday("ts") + F.lit(1)).cast("int").alias("dow"),
+        F.floor(F.col("value") / 50.0).cast("bigint").alias("value_bucket"),
+    ).agg(F.count("*").cast("bigint").alias("k"))
+    return groups.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+        F.min("k").cast("bigint").alias("k_min"),
+        F.count(F.when(F.col("k") < 5, 1)).cast("bigint").alias("groups_below_5"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_below_5"),
+        F.round(
+            F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum("k").cast("double")
+            * 100.0,
+            6,
+        )
+        .cast("double")
+        .alias("pct_rows_below_5"),
+    )
+
+
+K_ANONYMITY_REPORT_EVENTS_ORACLE = """
+WITH groups AS (
+    SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
+           CAST(FLOOR(value / 50.0) AS BIGINT) AS value_bucket,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM events GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(COUNT(CASE WHEN k < 5 THEN 1 END) AS BIGINT) AS groups_below_5,
+       CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS rows_below_5,
+       CAST(ROUND(CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+                  / CAST(SUM(k) AS DOUBLE) * 100.0, 6) AS DOUBLE)
+           AS pct_rows_below_5
+FROM groups
+"""
+
+
+# ---------------------------------------------------------------------------
+# Storage-layout advisor: per-column cardinality + run-length profile
+# ---------------------------------------------------------------------------
+
+_ADVISOR_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+
+
+def encoding_advisor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding advisor: per column, distinct ratio and mean run
+    length IN THE TABLE'S clustering order (o_orderkey — run-length is a
+    property of the physical layout, so the profile must scan in layout
+    order), mapping to the standard choices: low distinct ratio →
+    dictionary; long runs → add RLE; otherwise plain. This is the
+    profiling pass behind compact()/sorted_overwrite deciding what a
+    rewrite would buy. One window pass per column over the same ordered
+    scan; counts are integers, ratios exact-operand doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    out = None
+    for c in _ADVISOR_COLS:
+        w = Window.orderBy("o_orderkey")
+        runs = o.select(
+            "o_orderkey",
+            F.col(c).alias("v"),
+            (
+                ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+            ).cast("int").alias("run_start"),
+        )
+        agg = runs.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("v").cast("bigint").alias("n_distinct"),
+            F.sum("run_start").cast("bigint").alias("n_runs"),
+        )
+        ratio = F.col("n_distinct").cast("double") / F.col("n_rows").cast("double")
+        avg_run = F.col("n_rows").cast("double") / F.col("n_runs").cast("double")
+        advice = (
+            F.when((ratio < 0.01) & (avg_run >= 2.0), F.lit("DICT+RLE"))
+            .when(ratio < 0.01, F.lit("DICT"))
+            .when(avg_run >= 2.0, F.lit("RLE"))
+            .otherwise(F.lit("PLAIN"))
+        )
+        row = agg.select(
+            F.lit(c).alias("column_name"),
+            "n_rows",
+            "n_distinct",
+            F.round(ratio, 6).cast("double").alias("distinct_ratio"),
+            "n_runs",
+            F.round(avg_run, 4).cast("double").alias("avg_run_len"),
+            advice.alias("advice"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _encoding_oracle() -> str:
+    selects = []
+    for c in _ADVISOR_COLS:
+        selects.append(f"""
+SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+       CAST(ROUND(CAST(COUNT(DISTINCT v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+            AS DOUBLE) AS distinct_ratio,
+       CAST(SUM(run_start) AS BIGINT) AS n_runs,
+       CAST(ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(run_start) AS DOUBLE), 4)
+            AS DOUBLE) AS avg_run_len,
+       CASE WHEN CAST(COUNT(DISTINCT v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) < 0.01
+                 AND CAST(COUNT(*) AS DOUBLE) / CAST(SUM(run_start) AS DOUBLE) >= 2.0
+            THEN 'DICT+RLE'
+            WHEN CAST(COUNT(DISTINCT v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) < 0.01
+            THEN 'DICT'
+            WHEN CAST(COUNT(*) AS DOUBLE) / CAST(SUM(run_start) AS DOUBLE) >= 2.0
+            THEN 'RLE'
+            ELSE 'PLAIN' END AS advice
+FROM (
+    SELECT {c} AS v,
+           CASE WHEN {c} IS DISTINCT FROM LAG({c}) OVER (ORDER BY o_orderkey)
+                THEN 1 ELSE 0 END AS run_start
+    FROM orders
+)""")
+    return "\nUNION ALL\n".join(selects)
+
+
+ENCODING_ADVISOR_ORDERS_ORACLE = _encoding_oracle()

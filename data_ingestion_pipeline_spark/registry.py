@@ -159,6 +159,8 @@ _ROUND4_LATE: list[str] = [
     "spearman_daily_purchase_view",
     "kendall_tau_daily_purchase_view",
     "theil_sen_daily_trend",
+    "k_anonymity_report_events",
+    "encoding_advisor_orders",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1344,6 +1346,18 @@ register(
     "theil_sen_daily_trend",
     analytics_checks.theil_sen_daily_trend,
     analytics_checks.THEIL_SEN_DAILY_TREND_ORACLE,
+)
+
+register(
+    "k_anonymity_report_events",
+    analytics_checks.k_anonymity_report_events,
+    analytics_checks.K_ANONYMITY_REPORT_EVENTS_ORACLE,
+)
+
+register(
+    "encoding_advisor_orders",
+    analytics_checks.encoding_advisor_orders,
+    analytics_checks.ENCODING_ADVISOR_ORDERS_ORACLE,
 )
 
 register(
