@@ -452,6 +452,12 @@ def pagerank_copurchase_parts(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()  # dedup (order, part) BEFORE the self-join, not after
+        # explicit co-partitioning on the join key: AQE's byte-sized
+        # coalescing under-parallelizes this CPU-dense self-join (observed
+        # 3 tasks on 32 cores); both aliases reuse this one exchange
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "l_orderkey"
+        )
     )
     a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))

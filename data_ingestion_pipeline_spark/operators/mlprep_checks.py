@@ -491,6 +491,11 @@ def khop_reach_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        # co-partition on the basket key: same under-parallelized-self-join
+        # fix as pagerank_copurchase_parts
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "l_orderkey"
+        )
     )
     a = po.select("l_orderkey", F.col("l_partkey").alias("s"))
     b = po.select("l_orderkey", F.col("l_partkey").alias("t"))
