@@ -52,6 +52,9 @@ __all__ = [
     "theil_sen_daily_trend",
     "k_anonymity_report_events",
     "encoding_advisor_orders",
+    "longest_streak_users",
+    "abc_classification_parts",
+    "trimmed_mean_price_by_priority",
 ]
 
 
@@ -2018,3 +2021,223 @@ FROM (
 
 
 ENCODING_ADVISOR_ORDERS_ORACLE = _encoding_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-day activity streak (gaps-and-islands on the calendar)
+# ---------------------------------------------------------------------------
+
+def longest_streak_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by longest consecutive-day activity streak — the
+    gaps-and-islands idiom applied to the CALENDAR: consecutive distinct
+    days share (day − rank) as their island key, so streak length is a
+    count per (user, island). Runs on the per-user distinct-day relation
+    (one dedup shuffle), integers throughout; top-10 cut is an aggregated
+    TakeOrdered, ties broken by user id."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("bigint").alias("streak_days"),
+        F.min("day").alias("streak_start"),
+    )
+    best = (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max(F.struct("streak_days", F.col("streak_start"))).alias("b"),
+        )
+        .select(
+            "user_id",
+            F.col("b.streak_days").alias("streak_days"),
+            F.col("b.streak_start").alias("streak_start"),
+        )
+    )
+    return (
+        best.orderBy(F.col("streak_days").desc(), F.col("user_id").asc())
+        .limit(10)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("streak_days").desc(), F.col("user_id").asc()))
+            .cast("int")
+            .alias("rk"),
+            "user_id",
+            "streak_days",
+            "streak_start",
+        )
+    )
+
+
+LONGEST_STREAK_USERS_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), islands AS (
+    SELECT user_id, day,
+           day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                      AS INT) AS island
+    FROM days
+), streaks AS (
+    SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS streak_days,
+           MIN(day) AS streak_start
+    FROM islands GROUP BY user_id, island
+), best AS (
+    SELECT user_id, streak_days, streak_start FROM (
+        SELECT user_id, streak_days, streak_start,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY streak_days DESC, streak_start DESC)
+                   AS rn
+        FROM streaks
+    ) WHERE rn = 1
+)
+SELECT CAST(rk AS INT) AS rk, user_id, streak_days, streak_start FROM (
+    SELECT user_id, streak_days, streak_start,
+           ROW_NUMBER() OVER (ORDER BY streak_days DESC, user_id ASC) AS rk
+    FROM best
+) WHERE rk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification by cumulative revenue share
+# ---------------------------------------------------------------------------
+
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by cumulative revenue share:
+    A = the head that carries 80% of revenue, B = the next 15%, C = the
+    tail — per-class part counts and exact revenue. The cumulative window
+    runs over the AGGREGATED per-part revenue (|parts| rows), ordered by
+    (revenue DESC, partkey) so ties classify deterministically; shares
+    compare exact decimal cumulative sums against decimal thresholds of
+    the exact total — no float drift at a class boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        dec_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 18, 6
+        ).alias("rev")
+    )
+    w_tot = Window.partitionBy()
+    w_cum = Window.orderBy(F.col("rev").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    classed = per_part.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev").over(w_cum).alias("cum"),
+        F.sum("rev").over(w_tot).alias("tot"),
+    ).select(
+        "l_partkey",
+        "rev",
+        F.when(
+            F.col("cum") <= F.col("tot") * F.lit(0.80).cast("decimal(10,2)"),
+            F.lit("A"),
+        )
+        .when(
+            F.col("cum") <= F.col("tot") * F.lit(0.95).cast("decimal(10,2)"),
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(F.sum("rev"), 2).cast("double").alias("class_revenue"),
+    )
+
+
+ABC_CLASSIFICATION_PARTS_ORACLE = """
+WITH per_part AS (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS rev
+    FROM lineitem GROUP BY l_partkey
+), classed AS (
+    SELECT l_partkey, rev,
+           CASE WHEN SUM(rev) OVER w <= SUM(rev) OVER ()
+                         * CAST(0.80 AS DECIMAL(10,2)) THEN 'A'
+                WHEN SUM(rev) OVER w <= SUM(rev) OVER ()
+                         * CAST(0.95 AS DECIMAL(10,2)) THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM per_part
+    WINDOW w AS (ORDER BY rev DESC, l_partkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS class_revenue
+FROM classed GROUP BY abc_class
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean (robust center, exact rank cutoffs)
+# ---------------------------------------------------------------------------
+
+def trimmed_mean_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of order value per priority — the robust center the
+    MAD check complements: drop the lowest and highest ceil(5%) ranks,
+    average the rest exactly. Ranks are per-group row_numbers with a
+    deterministic tie-break; the trim boundaries are integer ceils of the
+    group size; the surviving values sum in decimal. Compare with the
+    untrimmed mean to expose tail influence."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    lo = F.ceil(F.col("n") * 0.05)
+    hi = F.col("n") - F.ceil(F.col("n") * 0.05)
+    kept = ranked.filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+    trimmed = kept.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.round(
+            dec_sum(F.col("o_totalprice"), 27, 12).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("trimmed_mean"),
+    )
+    full = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(
+            dec_sum(F.col("o_totalprice"), 27, 12).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("mean"),
+    )
+    return full.join(trimmed, "o_orderpriority").select(
+        "o_orderpriority", "n_orders", "mean", "n_kept", "trimmed_mean"
+    )
+
+
+TRIMMED_MEAN_PRICE_BY_PRIORITY_ORACLE = """
+WITH ranked AS (
+    SELECT o_orderpriority, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+), kept AS (
+    SELECT o_orderpriority, o_totalprice FROM ranked
+    WHERE rn > CEIL(n * 0.05) AND rn <= n - CEIL(n * 0.05)
+), trimmed AS (
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,12))) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS trimmed_mean
+    FROM kept GROUP BY o_orderpriority
+), allrows AS (
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,12))) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS mean
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_orders, mean, n_kept, trimmed_mean
+FROM allrows JOIN trimmed USING (o_orderpriority)
+"""

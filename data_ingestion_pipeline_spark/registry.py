@@ -161,6 +161,9 @@ _ROUND4_LATE: list[str] = [
     "theil_sen_daily_trend",
     "k_anonymity_report_events",
     "encoding_advisor_orders",
+    "longest_streak_users",
+    "abc_classification_parts",
+    "trimmed_mean_price_by_priority",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1358,6 +1361,24 @@ register(
     "encoding_advisor_orders",
     analytics_checks.encoding_advisor_orders,
     analytics_checks.ENCODING_ADVISOR_ORDERS_ORACLE,
+)
+
+register(
+    "longest_streak_users",
+    analytics_checks.longest_streak_users,
+    analytics_checks.LONGEST_STREAK_USERS_ORACLE,
+)
+
+register(
+    "abc_classification_parts",
+    analytics_checks.abc_classification_parts,
+    analytics_checks.ABC_CLASSIFICATION_PARTS_ORACLE,
+)
+
+register(
+    "trimmed_mean_price_by_priority",
+    analytics_checks.trimmed_mean_price_by_priority,
+    analytics_checks.TRIMMED_MEAN_PRICE_BY_PRIORITY_ORACLE,
 )
 
 register(
