@@ -55,6 +55,8 @@ __all__ = [
     "longest_streak_users",
     "abc_classification_parts",
     "trimmed_mean_price_by_priority",
+    "price_index_monthly",
+    "readability_scores_documents",
 ]
 
 
@@ -2240,4 +2242,130 @@ WITH ranked AS (
 )
 SELECT o_orderpriority, n_orders, mean, n_kept, trimmed_mean
 FROM allrows JOIN trimmed USING (o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres price index (base-period basket, monthly series)
+# ---------------------------------------------------------------------------
+
+def price_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index of the part basket by ship month: Σ p_t·q_0 /
+    Σ p_0·q_0 — each month's average part prices weighted by the BASE
+    month's quantities, the fixed-basket construction real price indices
+    use (quantity shifts can't masquerade as inflation). Per-part monthly
+    average prices and base quantities are exact decimal aggregates; the
+    index divides two exact-derived doubles. Parts missing from a month
+    simply drop from that month's basket intersection (chained via the
+    inner join) — the documented small-sample caveat."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.trunc(F.col("l_shipdate"), "month").alias("month"), "l_partkey"
+    ).agg(
+        dec_sum(F.col("l_extendedprice"), 27, 12).alias("sp"),
+        dec_sum(F.col("l_quantity"), 27, 12).alias("sq"),
+    ).select(
+        "month",
+        "l_partkey",
+        (F.col("sp").cast("double") / F.col("sq").cast("double")).alias("avg_price"),
+        F.col("sq").cast("double").alias("qty"),
+    )
+    base_month = monthly.agg(F.min("month").alias("bm"))
+    base = (
+        monthly.join(F.broadcast(base_month), F.col("month") == F.col("bm"))
+        .select(
+            F.col("l_partkey"),
+            F.col("avg_price").alias("p0"),
+            F.col("qty").alias("q0"),
+        )
+    )
+    j = monthly.join(base, "l_partkey")
+    idx = j.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        (
+            F.sum((F.col("avg_price") * F.col("q0")).cast("decimal(38,12)"))
+            .cast("double")
+            / F.sum((F.col("p0") * F.col("q0")).cast("decimal(38,12)")).cast("double")
+        ).alias("raw_idx"),
+    )
+    return idx.select(
+        "month",
+        "n_parts",
+        F.round(F.col("raw_idx") * 100.0, 6).cast("double").alias("laspeyres_index"),
+    )
+
+
+PRICE_INDEX_MONTHLY_ORACLE = """
+WITH monthly AS (
+    SELECT date_trunc('month', l_shipdate) AS month, l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,12))) AS DOUBLE)
+           / CAST(SUM(CAST(l_quantity AS DECIMAL(27,12))) AS DOUBLE) AS avg_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,12))) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY 1, 2
+), base AS (
+    SELECT l_partkey, avg_price AS p0, qty AS q0 FROM monthly
+    WHERE month = (SELECT MIN(month) FROM monthly)
+)
+SELECT m.month, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(ROUND(CAST(SUM(CAST(m.avg_price * b.q0 AS DECIMAL(38,12))) AS DOUBLE)
+                  / CAST(SUM(CAST(b.p0 * b.q0 AS DECIMAL(38,12))) AS DOUBLE)
+                  * 100.0, 6) AS DOUBLE) AS laspeyres_index
+FROM monthly m JOIN base b USING (l_partkey)
+GROUP BY m.month
+"""
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch-style, deterministic syllable heuristic)
+# ---------------------------------------------------------------------------
+
+def readability_scores_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style reading ease per document with a DETERMINISTIC syllable
+    heuristic — vowel-group count via one regexp_extract_all (the exact
+    same RE2∩Java pattern both engines run), sentences as period-delimited
+    spans floored at 1. The formula's inputs are all integers, so the
+    score is exact-operand double arithmetic; it feeds quality filtering
+    alongside the stopword/length features. Map-side only."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+"), 0)
+    ).cast("bigint")
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("bigint")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)),
+        F.lit(1),
+    ).cast("bigint")
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / words.cast("double"))
+    )
+    return docs.filter(words > 0).select(
+        "doc_id",
+        words.alias("n_words"),
+        syllables.alias("n_syllables"),
+        sentences.alias("n_sentences"),
+        F.round(score, 4).cast("double").alias("flesch_score"),
+    )
+
+
+READABILITY_SCORES_DOCUMENTS_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables,
+       CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+       CAST(ROUND(206.835
+                  - 1.015 * (CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS DOUBLE)
+                             / CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                                    AS DOUBLE))
+                  - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                                 AS DOUBLE)
+                            / CAST(len(regexp_extract_all(text, '[A-Za-z]+'))
+                                   AS DOUBLE)), 4) AS DOUBLE) AS flesch_score
+FROM documents
+WHERE len(regexp_extract_all(text, '[A-Za-z]+')) > 0
 """

@@ -164,6 +164,8 @@ _ROUND4_LATE: list[str] = [
     "longest_streak_users",
     "abc_classification_parts",
     "trimmed_mean_price_by_priority",
+    "price_index_monthly",
+    "readability_scores_documents",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1379,6 +1381,18 @@ register(
     "trimmed_mean_price_by_priority",
     analytics_checks.trimmed_mean_price_by_priority,
     analytics_checks.TRIMMED_MEAN_PRICE_BY_PRIORITY_ORACLE,
+)
+
+register(
+    "price_index_monthly",
+    analytics_checks.price_index_monthly,
+    analytics_checks.PRICE_INDEX_MONTHLY_ORACLE,
+)
+
+register(
+    "readability_scores_documents",
+    analytics_checks.readability_scores_documents,
+    analytics_checks.READABILITY_SCORES_DOCUMENTS_ORACLE,
 )
 
 register(
