@@ -383,7 +383,13 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     levenshtein filter runs JVM-side post-join. Distance-0 rows are exact
     name duplicates, surfaced rather than dropped — the dedup signal.
     """
-    p = load_table(spark, sf_dir, "part")
+    # explicit spread over the block key: the dim-sized part scan is 1-2
+    # input splits, so the CPU-dense per-block levenshtein otherwise runs
+    # on a handful of tasks (measured 5.0s -> 1.0s at sf0.1 with the
+    # 32-way spread; ~50 distinct block keys keep all cores busy)
+    p = load_table(spark, sf_dir, "part").repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "p_size"
+    )
     a = p.select(
         F.col("p_partkey").alias("a_partkey"),
         F.col("p_name").alias("a_name"),
@@ -1012,7 +1018,11 @@ def profile_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared across engines — VARCHAR min/max stay VARCHAR, numerics stay
     numeric, avoiding double→text rendering skew.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    from data_ingestion_pipeline_spark.functions.partitioning import fan_out
+
+    # fan the scan: the single-file fixture under-partitions the CPU-dense
+    # multi-distinct aggregation (same fix as corr_matrix_lineitem)
+    orders = fan_out(load_table(spark, sf_dir, "orders"))
     num_cols = {
         "o_orderkey": F.col("o_orderkey").cast("double"),
         "o_custkey": F.col("o_custkey").cast("double"),
