@@ -57,6 +57,7 @@ __all__ = [
     "trimmed_mean_price_by_priority",
     "price_index_monthly",
     "readability_scores_documents",
+    "benford_digit_test_orders",
 ]
 
 
@@ -2379,3 +2380,77 @@ SELECT doc_id,
 FROM documents
 WHERE len(regexp_extract_all(text, '[A-Za-z]+')) > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud/synthetic-data smell test)
+# ---------------------------------------------------------------------------
+
+def benford_digit_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order values vs Benford's
+    law, with the chi-square distance — the classic audit for fabricated
+    or truncated monetary data. Digit extraction is EXACT: the value
+    becomes integer cents (round half-up on identical doubles), and the
+    leading digit is the first character of the INTEGER's string — never
+    a log10/floor round-trip that can flip at a power-of-ten boundary,
+    and never double→string formatting (engine-dependent). Expected
+    shares are literal constants; the statistic is exact-operand
+    arithmetic over bigint counts."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        o.select(digit.alias("digit"))
+        .filter(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = Window.partitionBy()
+    import math
+
+    expected = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+    exp_col = F.lit(None).cast("double")
+    for d, p in expected.items():
+        exp_col = F.when(F.col("digit") == d, F.lit(p)).otherwise(exp_col)
+    n_tot = F.sum("n").over(tot).cast("double")
+    share = F.col("n").cast("double") / n_tot
+    chi_term = (share - exp_col) * (share - exp_col) / exp_col
+    return counts.select(
+        "digit",
+        "n",
+        F.round(share, 6).cast("double").alias("share"),
+        F.round(exp_col, 6).cast("double").alias("benford_share"),
+        F.round(chi_term * n_tot, 6).cast("double").alias("chi_term"),
+    )
+
+
+def _benford_oracle() -> str:
+    import math
+
+    cases = " ".join(
+        f"WHEN digit = {d} THEN {math.log10(1.0 + 1.0 / d)!r}" for d in range(1, 10)
+    )
+    return f"""
+WITH counts AS (
+    SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS INT) AS digit,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1
+    HAVING digit >= 1
+)
+SELECT digit, n,
+       CAST(ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE), 6)
+            AS DOUBLE) AS share,
+       CAST(ROUND(CASE {cases} END, 6) AS DOUBLE) AS benford_share,
+       CAST(ROUND((CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+                   - CASE {cases} END)
+                  * (CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+                     - CASE {cases} END)
+                  / (CASE {cases} END)
+                  * CAST(SUM(n) OVER () AS DOUBLE), 6) AS DOUBLE) AS chi_term
+FROM counts
+"""
+
+
+BENFORD_DIGIT_TEST_ORDERS_ORACLE = _benford_oracle()

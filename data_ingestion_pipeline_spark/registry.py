@@ -166,6 +166,7 @@ _ROUND4_LATE: list[str] = [
     "trimmed_mean_price_by_priority",
     "price_index_monthly",
     "readability_scores_documents",
+    "benford_digit_test_orders",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1393,6 +1394,12 @@ register(
     "readability_scores_documents",
     analytics_checks.readability_scores_documents,
     analytics_checks.READABILITY_SCORES_DOCUMENTS_ORACLE,
+)
+
+register(
+    "benford_digit_test_orders",
+    analytics_checks.benford_digit_test_orders,
+    analytics_checks.BENFORD_DIGIT_TEST_ORDERS_ORACLE,
 )
 
 register(
