@@ -31,6 +31,7 @@ __all__ = [
     "grouping_sets_revenue",
     "session_variable_brand_report",
     "sql_scripting_size_report",
+    "transpose_priority_quantiles",
 ]
 
 # Translation of /root/reference/README.md:36-149 onto the star schema —
@@ -462,4 +463,71 @@ SELECT p_brand,
 FROM part
 WHERE p_size <= (SELECT MIN(p_size) FROM part) + 4
 GROUP BY p_brand
+"""
+
+
+def transpose_priority_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4): the per-priority quantile report
+    flipped so metrics are rows and priorities are columns — the
+    presentation pivot BI layers ask for. transpose() promotes the first
+    column's VALUES to column names driver-side (a bounded dim — the
+    documented constraint: you transpose reports, not fact tables); the
+    value grid must share one type, so the metric columns are all DOUBLE.
+    The oracle rebuilds the same grid with conditional aggregation over
+    the fixed priority domain."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    pcts = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95}
+    q = o.groupBy("o_orderpriority").agg(
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(p)), 2)
+            .cast("double")
+            .alias(name)
+            for name, p in pcts.items()
+        ]
+    )
+    return q.transpose()
+
+
+TRANSPOSE_PRIORITY_QUANTILES_ORACLE = """
+WITH q AS (
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+           ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT 'p25' AS key,
+       CAST(MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN p25 END) AS DOUBLE) AS "1-URGENT",
+       CAST(MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN p25 END) AS DOUBLE) AS "2-HIGH",
+       CAST(MAX(CASE WHEN o_orderpriority = '3-MEDIUM' THEN p25 END) AS DOUBLE) AS "3-MEDIUM",
+       CAST(MAX(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN p25 END) AS DOUBLE) AS "4-NOT SPECIFIED",
+       CAST(MAX(CASE WHEN o_orderpriority = '5-LOW' THEN p25 END) AS DOUBLE) AS "5-LOW"
+FROM q
+UNION ALL
+SELECT 'p50',
+       CAST(MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN p50 END) AS DOUBLE),
+       CAST(MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN p50 END) AS DOUBLE),
+       CAST(MAX(CASE WHEN o_orderpriority = '3-MEDIUM' THEN p50 END) AS DOUBLE),
+       CAST(MAX(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN p50 END) AS DOUBLE),
+       CAST(MAX(CASE WHEN o_orderpriority = '5-LOW' THEN p50 END) AS DOUBLE)
+FROM q
+UNION ALL
+SELECT 'p75',
+       CAST(MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN p75 END) AS DOUBLE),
+       CAST(MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN p75 END) AS DOUBLE),
+       CAST(MAX(CASE WHEN o_orderpriority = '3-MEDIUM' THEN p75 END) AS DOUBLE),
+       CAST(MAX(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN p75 END) AS DOUBLE),
+       CAST(MAX(CASE WHEN o_orderpriority = '5-LOW' THEN p75 END) AS DOUBLE)
+FROM q
+UNION ALL
+SELECT 'p95',
+       CAST(MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN p95 END) AS DOUBLE),
+       CAST(MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN p95 END) AS DOUBLE),
+       CAST(MAX(CASE WHEN o_orderpriority = '3-MEDIUM' THEN p95 END) AS DOUBLE),
+       CAST(MAX(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN p95 END) AS DOUBLE),
+       CAST(MAX(CASE WHEN o_orderpriority = '5-LOW' THEN p95 END) AS DOUBLE)
+FROM q
 """

@@ -167,6 +167,7 @@ _ROUND4_LATE: list[str] = [
     "price_index_monthly",
     "readability_scores_documents",
     "benford_digit_test_orders",
+    "transpose_priority_quantiles",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1394,6 +1395,12 @@ register(
     "readability_scores_documents",
     analytics_checks.readability_scores_documents,
     analytics_checks.READABILITY_SCORES_DOCUMENTS_ORACLE,
+)
+
+register(
+    "transpose_priority_quantiles",
+    sql_surface.transpose_priority_quantiles,
+    sql_surface.TRANSPOSE_PRIORITY_QUANTILES_ORACLE,
 )
 
 register(

@@ -285,3 +285,15 @@ def test_weighted_sample_top50_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, (
         "weighted-sample top-50 degraded to a global window sort"
     )
+
+
+def test_fuzzy_block_join_spreads_on_block_key(spark):
+    plan = _plan(spark, "fuzzy_part_name_pairs")
+    assert "hashpartitioning(p_size" in plan, (
+        "levenshtein block join lost its explicit key spread"
+    )
+
+
+def test_pagerank_self_join_copartitioned(spark):
+    plan = _plan(spark, "pagerank_copurchase_parts")
+    assert "Scan ExistingRDD" in plan  # checkpointed loop-invariant edges
