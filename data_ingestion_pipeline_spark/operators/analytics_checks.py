@@ -58,6 +58,7 @@ __all__ = [
     "price_index_monthly",
     "readability_scores_documents",
     "benford_digit_test_orders",
+    "value_drift_weekday_weekend",
 ]
 
 
@@ -2454,3 +2455,73 @@ FROM counts
 
 
 BENFORD_DIGIT_TEST_ORDERS_ORACLE = _benford_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift monitor (PSI + KL over fixed buckets)
+# ---------------------------------------------------------------------------
+
+def value_drift_weekday_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index and KL divergence between the weekday
+    and weekend event-value distributions over a fixed bucket grid — the
+    drift monitor a feature pipeline runs between reference and serving
+    windows (PSI > 0.2 = investigate). Bucket shares are +1-smoothed
+    bigint ratios (exact doubles); each ln term is rounded to 9 decimals
+    before the decimal sum (the PMI libm policy), so the aggregate never
+    depends on summation order. One scan, one groupBy; the per-bucket
+    table is the audit detail, the single-row metrics ride a window."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.floor(F.col("value") / 25.0).cast("bigint").alias("bucket"),
+        ((F.weekday("ts") + F.lit(1)) >= 6).alias("is_weekend"),
+    )
+    g = tagged.groupBy("bucket").agg(
+        F.count(F.when(~F.col("is_weekend"), 1)).cast("bigint").alias("n_wd"),
+        F.count(F.when(F.col("is_weekend"), 1)).cast("bigint").alias("n_we"),
+    )
+    w = Window.partitionBy()
+    n_buckets = F.count("*").over(w).cast("double")
+    tot_wd = F.sum("n_wd").over(w).cast("double") + n_buckets
+    tot_we = F.sum("n_we").over(w).cast("double") + n_buckets
+    p = (F.col("n_wd").cast("double") + F.lit(1.0)) / tot_wd
+    q = (F.col("n_we").cast("double") + F.lit(1.0)) / tot_we
+    lnr = F.round(F.log(p / q), 9)
+    detail = g.select(
+        "bucket",
+        "n_wd",
+        "n_we",
+        ((p - q) * lnr).cast("decimal(18,12)").alias("psi_term"),
+        (p * lnr).cast("decimal(18,12)").alias("kl_term"),
+    )
+    return detail.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.round(F.sum("psi_term").cast("double"), 6).cast("double").alias("psi"),
+        F.round(F.sum("kl_term").cast("double"), 6).cast("double").alias("kl_wd_we"),
+    )
+
+
+VALUE_DRIFT_WEEKDAY_WEEKEND_ORACLE = """
+WITH g AS (
+    SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+           CAST(COUNT(CASE WHEN isodow(ts) < 6 THEN 1 END) AS BIGINT) AS n_wd,
+           CAST(COUNT(CASE WHEN isodow(ts) >= 6 THEN 1 END) AS BIGINT) AS n_we
+    FROM events GROUP BY 1
+), shares AS (
+    SELECT bucket, n_wd, n_we,
+           (CAST(n_wd AS DOUBLE) + 1.0)
+               / (CAST(SUM(n_wd) OVER () AS DOUBLE)
+                  + CAST(COUNT(*) OVER () AS DOUBLE)) AS p,
+           (CAST(n_we AS DOUBLE) + 1.0)
+               / (CAST(SUM(n_we) OVER () AS DOUBLE)
+                  + CAST(COUNT(*) OVER () AS DOUBLE)) AS q
+    FROM g
+), terms AS (
+    SELECT CAST((p - q) * ROUND(ln(p / q), 9) AS DECIMAL(18,12)) AS psi_term,
+           CAST(p * ROUND(ln(p / q), 9) AS DECIMAL(18,12)) AS kl_term
+    FROM shares
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(ROUND(CAST(SUM(psi_term) AS DOUBLE), 6) AS DOUBLE) AS psi,
+       CAST(ROUND(CAST(SUM(kl_term) AS DOUBLE), 6) AS DOUBLE) AS kl_wd_we
+FROM terms
+"""

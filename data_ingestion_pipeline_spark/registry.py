@@ -168,6 +168,7 @@ _ROUND4_LATE: list[str] = [
     "readability_scores_documents",
     "benford_digit_test_orders",
     "transpose_priority_quantiles",
+    "value_drift_weekday_weekend",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1395,6 +1396,12 @@ register(
     "readability_scores_documents",
     analytics_checks.readability_scores_documents,
     analytics_checks.READABILITY_SCORES_DOCUMENTS_ORACLE,
+)
+
+register(
+    "value_drift_weekday_weekend",
+    analytics_checks.value_drift_weekday_weekend,
+    analytics_checks.VALUE_DRIFT_WEEKDAY_WEEKEND_ORACLE,
 )
 
 register(
