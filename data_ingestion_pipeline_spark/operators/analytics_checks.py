@@ -59,6 +59,8 @@ __all__ = [
     "readability_scores_documents",
     "benford_digit_test_orders",
     "value_drift_weekday_weekend",
+    "weighted_median_price_by_flag",
+    "bounce_rate_daily",
 ]
 
 
@@ -2524,4 +2526,138 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
        CAST(ROUND(CAST(SUM(psi_term) AS DOUBLE), 6) AS DOUBLE) AS psi,
        CAST(ROUND(CAST(SUM(kl_term) AS DOUBLE), 6) AS DOUBLE) AS kl_wd_we
 FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (cumulative-weight rank, exact decimal weights)
+# ---------------------------------------------------------------------------
+
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag: the smallest
+    price whose cumulative quantity weight reaches half the total — each
+    sold unit votes, not each line item (plain medians over line items
+    over-weight small orders). Cumulative and total weights are exact
+    decimal sums compared directly in decimal, so the pick row — and
+    therefore the median — can never flip on float accumulation. Window
+    over the per-(flag, price) aggregate, not raw rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    g = li.select("l_returnflag", price, "l_quantity").groupBy(
+        "l_returnflag", "unit_price"
+    ).agg(dec_sum(F.col("l_quantity"), 27, 12).alias("wsum"))
+    w_cum = Window.partitionBy("l_returnflag").orderBy("unit_price").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = g.select(
+        "l_returnflag",
+        "unit_price",
+        F.sum("wsum").over(w_cum).alias("cumw"),
+        F.sum("wsum").over(w_tot).alias("totw"),
+    )
+    half = F.col("totw") / F.lit(2).cast("decimal(10,0)")
+    picked = cum.filter(F.col("cumw") >= half)
+    pick = Window.partitionBy("l_returnflag").orderBy("unit_price")
+    return (
+        picked.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.round(F.col("unit_price"), 6).cast("double").alias("weighted_median_price"),
+            F.round(F.col("totw").cast("double"), 2).cast("double").alias("total_qty"),
+        )
+    )
+
+
+WEIGHTED_MEDIAN_PRICE_BY_FLAG_ORACLE = """
+WITH g AS (
+    SELECT l_returnflag, l_extendedprice / l_quantity AS unit_price,
+           SUM(CAST(l_quantity AS DECIMAL(27,12))) AS wsum
+    FROM lineitem GROUP BY 1, 2
+), cum AS (
+    SELECT l_returnflag, unit_price,
+           SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY unit_price
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw,
+           SUM(wsum) OVER (PARTITION BY l_returnflag) AS totw
+    FROM g
+), picked AS (
+    SELECT l_returnflag, unit_price, totw,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY unit_price)
+               AS rn
+    FROM cum WHERE cumw >= totw / CAST(2 AS DECIMAL(10,0))
+)
+SELECT l_returnflag,
+       CAST(ROUND(unit_price, 6) AS DOUBLE) AS weighted_median_price,
+       CAST(ROUND(CAST(totw AS DOUBLE), 2) AS DOUBLE) AS total_qty
+FROM picked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionized bounce rate (single-event sessions / all sessions, daily)
+# ---------------------------------------------------------------------------
+
+def bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (5-minute gaps-and-islands,
+    attributed to their start day) containing exactly one event — the
+    engagement metric every web pipeline reports. Session identification
+    reuses the integer-microsecond islands construction; the rate is a
+    bigint ratio."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    numbered = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap >= 300_000_000), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = numbered.groupBy("user_id", "session_seq").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.to_date(F.min("ts")).alias("day"),
+    )
+    return sessions.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1)).cast("bigint").alias("n_bounces"),
+        F.round(
+            F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("bounce_rate"),
+    )
+
+
+BOUNCE_RATE_DAILY_ORACLE = """
+WITH numbered AS (
+    SELECT user_id, ts,
+           SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 300000000
+                    THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM (
+        SELECT user_id, event_id, ts,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_us
+        FROM events
+    )
+), sessions AS (
+    SELECT user_id, session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(ts) AS DATE) AS day
+    FROM numbered GROUP BY user_id, session_seq
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT) AS n_bounces,
+       CAST(ROUND(CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS bounce_rate
+FROM sessions GROUP BY day
 """

@@ -169,6 +169,8 @@ _ROUND4_LATE: list[str] = [
     "benford_digit_test_orders",
     "transpose_priority_quantiles",
     "value_drift_weekday_weekend",
+    "weighted_median_price_by_flag",
+    "bounce_rate_daily",
 ]
 # 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
 #    surviving evidence; fills the rest of the ~50-query budget. Ordered so
@@ -1402,6 +1404,18 @@ register(
     "value_drift_weekday_weekend",
     analytics_checks.value_drift_weekday_weekend,
     analytics_checks.VALUE_DRIFT_WEEKDAY_WEEKEND_ORACLE,
+)
+
+register(
+    "weighted_median_price_by_flag",
+    analytics_checks.weighted_median_price_by_flag,
+    analytics_checks.WEIGHTED_MEDIAN_PRICE_BY_FLAG_ORACLE,
+)
+
+register(
+    "bounce_rate_daily",
+    analytics_checks.bounce_rate_daily,
+    analytics_checks.BOUNCE_RATE_DAILY_ORACLE,
 )
 
 register(
