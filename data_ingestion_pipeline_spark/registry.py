@@ -47,187 +47,82 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # CORRECTNESS_r{N}.json; tests assert the lists stay in sync with the
 # registry contents.
 #
-# Round-4 state (from CORRECTNESS_r01-r03 + VERDICT r3): every registered
-# query has a cumulative green row, but evidence FRESHNESS varies. The
-# fixtures were regenerated on 2026-08-13; rows from r1 predate that, rows
-# from r2/r3 postdate it. Tiers, thinnest evidence first:
-#
-# 1) the 11 queries whose ONLY green row is r1 (pre-regeneration) — the
-#    judge's top next-round ask; S8-S11 operator coverage rides on
-#    schema_evolution_sync in this tier.
-_R1_STALE = [
-    "python_datasource_agg",
-    "schema_evolution_sync",
-    "bucketed_colocated_join",
-    "compacted_sorted_orders",
-    "data_quality_orders",
-    "partitioned_orders_yearly",
-    "text_stats",
-    "doc_tokens_exploded",
-    "tfidf_top_terms",
-    "curation_pipeline_documents",
-    "chunk_documents",
-]
-# 2) queries new or materially changed in round 4 — each needs its first
-#    driver row (new operators) or a fresh row because the check itself
-#    changed (sketches that flipped from rows-only to oracle-checked).
-_ROUND4_NEW: list[str] = [
-    "frequent_users_sketch",
-    "approx_distinct_users_daily",
-    "ann_lsh_recall_embeddings",
-    "ann_ivf_recall_embeddings",
-    "ann_pq_recall_embeddings",
-    "near_dup_clusters_star_documents",
-    "hll_merge_users_weekly",
-    "approx_price_quantiles_by_priority",
-    "bloom_decontaminate_documents",
-    "streaming_interval_left_join_events",
-    "build_vocab_documents",
-    "shard_shuffle_documents",
-    "parameterized_brand_filter",
-    "pandas_udaf_price_by_priority",
-    "python_datasource_stream_agg",
-    "streaming_dedup_rocksdb_events",
-    "semantic_dedup_recall_embeddings",
-    "order_price_percentiles_window",
-    "minhash_scale_recall_documents",
-    "simhash_exact_copy_recall_documents",
-    "embedding_lsh_pair_recall_embeddings",
-    "streaming_observed_ingest_metrics_events",
-    # round-4 continuation: the statistical/sequence/entity/graph analytics
-    # tier (operators/analytics_checks.py) — first driver rows needed
-    "regression_price_quantity_by_flag",
-    "welch_ttest_purchase_view_daily",
-    "markov_event_transitions",
-    "interpolated_daily_user_value",
-    "fuzzy_part_name_pairs",
-    "pagerank_copurchase_parts",
-    "chi_square_event_dow",
-    "robust_outliers_mad",
-    "twap_user_day",
-    "ewma_user_value",
-    "copurchase_lift_parts",
-    "triangle_count_copurchase",
-    "linear_attribution_daily",
-    "profile_columns_orders",
-    "canonical_entities_parts",
-]
-# 2b) queries added late in round 4, AFTER the ~50-query budget above was
-#     already claimed by tiers 1-2: they queue here — ahead of everything
-#     that already holds a post-regeneration green row, behind the tiers
-#     whose verification this round was planned. They verify locally via
-#     tools/check_oracle.py now and get driver rows as the budget rotates.
-_ROUND4_LATE: list[str] = [
-    "autocorr_daily_value",
-    "rolling_zscore_anomaly_daily",
-    "seasonal_naive_mape_events",
-    "cusum_changepoint_daily",
-    "kmeans_assign_embeddings",
-    "bigram_lm_doc_scores",
-    "train_val_test_split_documents",
-    "scrub_numeric_tokens_events",
-    "weighted_sample_documents",
-    "corr_matrix_lineitem",
-    "equidepth_histogram_orders",
-    "khop_reach_copurchase",
-    "streaming_chained_window_rollup_events",
-    "zipf_fit_tokens",
-    "top_bigram_collocations_documents",
-    "lateral_topn_orders_per_customer",
-    "grouping_sets_revenue",
-    "ab_test_session_value",
-    "time_to_convert_quantiles",
-    "key_skew_report_events",
-    "scd2_asof_lookup",
-    "table_diff_snapshots",
-    "rake_keywords_documents",
-    "arrow_vector_norms_embeddings",
-    "python_datasource_write_roundtrip",
-    "time_travel_orders_versions",
-    "session_variable_brand_report",
-    "approx_distinct_users_trailing7d",
-    "hll_intersection_weekday_weekend_users",
-    "sql_scripting_size_report",
+# Round-5 state (from CORRECTNESS_r01-r04 + VERDICT r4): 146 of the 197
+# registered queries hold a driver-green row, and every one of those is
+# green at its latest check. The 51 queries below have NO driver row yet
+# (the round-4-late additions); they take the whole round-5 budget.
+# Ordering inside the tier: whole-capability carriers first (the verdict's
+# explicit keeps: kmeans_lloyd, incremental_dedup, scd2_asof, time_travel),
+# then the rest; the single spillover slot (position 51, just past the
+# 50-query budget) goes to cusum_changepoint_daily, the query with the
+# strongest local evidence (hypothesis property suite + tri-SF oracle
+# sweeps) — exactly the spill the round-4 verdict prescribed.
+_ROUND5_PENDING = [
+    # capability-tier carriers (verdict-named keeps first)
     "kmeans_lloyd_embeddings",
     "incremental_dedup_documents",
+    "scd2_asof_lookup",
+    "time_travel_orders_versions",
+    "table_diff_snapshots",
+    "kmeans_assign_embeddings",
     "curation_waterfall_documents",
     "ngram_novelty_documents",
     "language_rebalance_plan",
     "epoch_reshuffle_documents",
+    "streaming_chained_window_rollup_events",
+    "python_datasource_write_roundtrip",
+    "session_variable_brand_report",
+    "sql_scripting_size_report",
+    "lateral_topn_orders_per_customer",
+    "grouping_sets_revenue",
+    "arrow_vector_norms_embeddings",
+    # sketch extensions
+    "approx_distinct_users_trailing7d",
+    "hll_intersection_weekday_weekend_users",
+    # ranking-window queries replanned this round (limit-then-rank /
+    # partition-local run-length) — fresh driver rows prove the replans
+    "zipf_fit_tokens",
+    "top_bigram_collocations_documents",
+    "rake_keywords_documents",
+    "encoding_advisor_orders",
+    # time-series tier
+    "seasonal_naive_mape_events",
+    "theil_sen_daily_trend",
+    "price_index_monthly",
+    "value_drift_weekday_weekend",
+    "bounce_rate_daily",
+    "longest_streak_users",
+    "time_to_convert_quantiles",
     "kaplan_meier_conversion_events",
+    "ab_test_session_value",
+    # non-parametric / distributional stats tier
     "mann_whitney_purchase_view_values",
     "spearman_daily_purchase_view",
     "kendall_tau_daily_purchase_view",
-    "theil_sen_daily_trend",
-    "k_anonymity_report_events",
-    "encoding_advisor_orders",
-    "longest_streak_users",
-    "abc_classification_parts",
-    "trimmed_mean_price_by_priority",
-    "price_index_monthly",
-    "readability_scores_documents",
-    "benford_digit_test_orders",
-    "transpose_priority_quantiles",
-    "value_drift_weekday_weekend",
     "weighted_median_price_by_flag",
-    "bounce_rate_daily",
+    "trimmed_mean_price_by_priority",
+    "transpose_priority_quantiles",
+    "benford_digit_test_orders",
+    "corr_matrix_lineitem",
+    "equidepth_histogram_orders",
+    "key_skew_report_events",
+    "k_anonymity_report_events",
+    "abc_classification_parts",
+    # ML-prep / curation tier
+    "bigram_lm_doc_scores",
+    "readability_scores_documents",
+    "scrub_numeric_tokens_events",
+    "weighted_sample_documents",
+    "khop_reach_copurchase",
+    # strongest local evidence last: these absorb any budget shortfall
+    "train_val_test_split_documents",
+    "cusum_changepoint_daily",
 ]
-# 3) r2 greens not rechecked in r3 — post-regeneration but the oldest
-#    surviving evidence; fills the rest of the ~50-query budget. Ordered so
-#    unique operator/subsystem coverage (ingest, MERGE, multimodal,
-#    streaming, dedup kernels) outranks variants of already-fresh families.
-_R2_GREEN_OLDEST = [
-    "csv_ingest_events",
-    "csv_ingest_inventory",
-    "merge_upsert_events",
-    "jdbc_roundtrip_orders",
-    "catalog_database_roundtrip",
-    "jsonl_roundtrip_events",
-    "orc_roundtrip_events",
-    "revenue_per_product",
-    "distinct_users_daily",
-    "event_type_pivot",
-    "latest_event_per_user",
-    "event_counts_unpivot",
-    "daily_user_activity_gapfilled",
-    "event_value_outliers",
-    "user_event_type_sets",
-    "salted_skew_join_events",
-    "streaming_ingest_merge_events",
-    "streaming_incremental_agg_events",
-    "sliding_window_events",
-    "sessionize_events",
-    "streaming_tumbling_events",
-    "streaming_dedup_events",
-    "streaming_interval_join_events",
-    "streaming_enriched_events",
-    "streaming_session_window_events",
-    "stateful_user_profile_events",
-    "exact_dedup_documents",
-    "dedup_survivor_quality_documents",
-    "minhash_verified_near_dup_documents",
-    "ngram_jaccard_documents",
-    "embedding_cosine_dedup",
-    "embedding_lsh_verified_near_dup",
-    "near_dup_clusters_documents",
-    "knn_graph_embeddings",
-    "ann_ivf_exhaustive_topk_embeddings",
-    "cosine_topk_embeddings",
-    "pack_documents_context_windows",
-    "corpus_mixture_documents",
-    "doc_fingerprint_rolling",
-    "json_extract_events",
-    "quality_filter_documents",
-    "stratified_sample_documents",
-    "text_hygiene_documents",
-    "purchase_funnel_users",
-    "daily_cohort_retention",
-    "asof_prev_view_per_purchase",
-    "views_within_hour_of_purchase",
-    "multimodal_metadata",
-    "multimodal_image_features",
-    "multimodal_frame_sample",
-]
+# Queries added in round 5 — they sit just past the pending tier (first
+# driver rows arrive with the round-6 budget); until then each is verified
+# locally via tools/check_oracle.py tri-SF sweeps and, for approximate
+# surfaces, ships with an oracle-checked gate sibling in the same commit.
+_ROUND5_NEW: list[str] = []
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
 # this sandbox (streaming/stateful.py:105). It never registers locally, so
@@ -236,13 +131,11 @@ _R2_GREEN_OLDEST = [
 
 def _ordered_names() -> list[str]:
     front = [
-        n
-        for n in [*_R1_STALE, *_ROUND4_NEW, *_ROUND4_LATE, *_R2_GREEN_OLDEST]
-        if n in _REGISTRY
+        n for n in [*_ROUND5_PENDING, *_ROUND5_NEW] if n in _REGISTRY
     ]
     seen = set(front)
-    # remainder: r3 greens — the freshest driver evidence, so the tier most
-    # safely parked outside the verify budget
+    # remainder: driver-green rows from r01–r04, every one green at its
+    # latest check — the tier most safely parked outside the verify budget
     return front + [n for n in _REGISTRY if n not in seen]
 
 
