@@ -185,10 +185,15 @@ def minhash_incremental_pairs(
     the incremental-ingest dedup shape. Nothing is ever compared within
     either set, so a day's delta costs O(delta · collisions), not a full
     re-clustering; at scale the existing side's banded index is a
-    materialized table the delta joins against. Recall-complete banding
-    (B=16, R=2, same argument as ``minhash_verified_pairs_complete``) makes
-    the verified output equal the exact cross-set J ≥ threshold relation —
-    oracle-checkable.
+    materialized table the delta joins against. NEAR-complete banding
+    (B=16, R=2, same argument as ``minhash_verified_pairs_complete``): a
+    true pair at J = 0.7 misses all 16 bands with p ≈ (1 − 0.7²)² ^ 16 ≈
+    2e-5, so at fixture scale the verified output equals the exact
+    cross-set J ≥ threshold relation, but the equality is probabilistic,
+    not structural — at much larger corpora an unlucky pair can diverge
+    from the exact oracle. The oracle-green recall sibling
+    ``minhash_scale_recall_documents`` exists precisely so a missed pair
+    flips a boolean gate instead of silently failing a value hash.
     """
     rows_per_band = num_hashes // bands
     sets_in = shingle_sets(incoming, text_col, id_col, shingle_n).cache()

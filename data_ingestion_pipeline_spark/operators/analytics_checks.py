@@ -1594,8 +1594,8 @@ def mann_whitney_purchase_view_values(spark: SparkSession, sf_dir: str) -> DataF
     check's robust sibling). EVERYTHING is exact: average ranks come from
     the VALUE-GROUPED relation (cum-before + (ties+1)/2 — integers and
     exact .5 halves, never a row-level rank over raw events), the rank sum
-    is a decimal aggregate, and the tie-corrected variance is bigint
-    Σ(t³−t) algebra. The z-score is the only derived float, rounded
+    is a decimal aggregate, and the tie-corrected variance accumulates
+    Σ(t³−t) in DECIMAL(38,0) (BIGINT would overflow past ~2.1M-way ties). The z-score is the only derived float, rounded
     identically on both engines."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
@@ -1622,9 +1622,13 @@ def mann_whitney_purchase_view_values(spark: SparkSession, sf_dir: str) -> DataF
         )
         .cast("double")
         .alias("r1"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-        .cast("bigint")
-        .alias("tie_term"),
+        # t cubed accumulates in DECIMAL(38,0): a single value tied >~2.1M
+        # times overflows BIGINT under ANSI mode at the advertised scale
+        # (DuckDB widens to HUGEINT); decimal keeps both engines exact
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie_term"),
     )
     n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
     n = n1 + n2
@@ -1661,7 +1665,7 @@ WITH g AS (
                          (CAST(cum_before AS DOUBLE)
                           + (CAST(t AS DOUBLE) + 1.0) / 2.0)
                          AS DECIMAL(27,6))) AS DOUBLE) AS r1,
-           CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+           SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie_term
     FROM ranked
 )
 SELECT n1, n2,
@@ -1968,43 +1972,118 @@ def encoding_advisor_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     order), mapping to the standard choices: low distinct ratio →
     dictionary; long runs → add RLE; otherwise plain. This is the
     profiling pass behind compact()/sorted_overwrite deciding what a
-    rewrite would buy. One window pass per column over the same ordered
-    scan; counts are integers, ratios exact-operand doubles."""
+    rewrite would buy.
+
+    Scale shape (replaces the former four unpartitioned full-table
+    ``Window.orderBy`` passes): run starts are partition-LOCAL. The table
+    is range-partitioned on o_orderkey into bounded chunks; ONE window
+    pass partitioned by chunk id computes the layout-order lag for all
+    four profiled columns at once (largest sort = one chunk, never the
+    table), and the ≤(chunks−1) chunk-boundary transitions are stitched
+    from a chunk-summary relation of first/last values (≤chunks rows —
+    the only place a tiny single-partition window appears). Run totals
+    are exactly the global-order totals: within-chunk runs exclude each
+    chunk's first row, whose true run-start is recomputed against the
+    previous chunk's last value (NULL for the global first row, matching
+    the oracle's LAG-NULL semantics). Distinct counts ride a separate
+    unordered aggregate. At 100 TB: chunks scale with input splits, every
+    sort is chunk-local, shuffle volume ∝ table (once) + chunk count."""
     o = load_table(spark, sf_dir, "orders")
-    out = None
-    for c in _ADVISOR_COLS:
-        w = Window.orderBy("o_orderkey")
-        runs = o.select(
-            "o_orderkey",
-            F.col(c).alias("v"),
+    n_chunks = spark.sparkContext.defaultParallelism
+    chunked = (
+        o.select("o_orderkey", *_ADVISOR_COLS)
+        .repartitionByRange(n_chunks, "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("pid").orderBy("o_orderkey")
+    proj = chunked.select(
+        "pid",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        *[
+            (~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w)))
+            .cast("bigint")
+            .alias(f"run_{c}")
+            for c in _ADVISOR_COLS
+        ],
+        *[F.col(c) for c in _ADVISOR_COLS],
+    )
+    per_chunk = proj.groupBy("pid").agg(
+        *[
+            F.sum(F.when(F.col("rn") > 1, F.col(f"run_{c}")))
+            .cast("bigint")
+            .alias(f"runs_{c}")
+            for c in _ADVISOR_COLS
+        ],
+        F.max(
+            F.when(F.col("rn") == 1, F.struct(*_ADVISOR_COLS))
+        ).alias("first_vals"),
+        F.max_by(F.struct(*_ADVISOR_COLS), "rn").alias("last_vals"),
+    )
+    # boundary stitch over the chunk summary (≤n_chunks rows): the true
+    # run-start of each chunk's first row vs the previous chunk's last row
+    # pid%1: constant-valued non-foldable partition key — the stitch window
+    # sees <=n_chunks rows in one group, on WindowExec's partitioned path
+    bw = Window.partitionBy(F.col("pid") % 1).orderBy("pid")
+    stitched = per_chunk.select(
+        "pid",
+        *[F.col(f"runs_{c}") for c in _ADVISOR_COLS],
+        *[
             (
-                ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
-            ).cast("int").alias("run_start"),
-        )
-        agg = runs.agg(
-            F.count("*").cast("bigint").alias("n_rows"),
-            F.countDistinct("v").cast("bigint").alias("n_distinct"),
-            F.sum("run_start").cast("bigint").alias("n_runs"),
-        )
-        ratio = F.col("n_distinct").cast("double") / F.col("n_rows").cast("double")
-        avg_run = F.col("n_rows").cast("double") / F.col("n_runs").cast("double")
-        advice = (
-            F.when((ratio < 0.01) & (avg_run >= 2.0), F.lit("DICT+RLE"))
-            .when(ratio < 0.01, F.lit("DICT"))
-            .when(avg_run >= 2.0, F.lit("RLE"))
-            .otherwise(F.lit("PLAIN"))
-        )
-        row = agg.select(
-            F.lit(c).alias("column_name"),
-            "n_rows",
-            "n_distinct",
-            F.round(ratio, 6).cast("double").alias("distinct_ratio"),
-            "n_runs",
-            F.round(avg_run, 4).cast("double").alias("avg_run_len"),
-            advice.alias("advice"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+                ~F.col("first_vals")[c].eqNullSafe(
+                    F.lag(F.col("last_vals")[c]).over(bw)
+                )
+            )
+            .cast("bigint")
+            .alias(f"bruns_{c}")
+            for c in _ADVISOR_COLS
+        ],
+    )
+    run_totals = stitched.agg(
+        *[
+            (F.sum(f"runs_{c}") + F.sum(f"bruns_{c}"))
+            .cast("bigint")
+            .alias(f"n_runs_{c}")
+            for c in _ADVISOR_COLS
+        ]
+    )
+    counts = o.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        *[
+            F.countDistinct(c).cast("bigint").alias(f"n_distinct_{c}")
+            for c in _ADVISOR_COLS
+        ],
+    )
+    wide = counts.crossJoin(F.broadcast(run_totals))
+    # single stack() unpivot so the scan/window subtree is evaluated ONCE
+    # (a per-column union would replay the whole profile 4×)
+    stack_args = ", ".join(
+        f"'{c}', n_distinct_{c}, n_runs_{c}" for c in _ADVISOR_COLS
+    )
+    tall = wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_ADVISOR_COLS)}, {stack_args})"
+            " as (column_name, n_distinct, n_runs)"
+        ),
+    )
+    ratio = F.col("n_distinct").cast("double") / F.col("n_rows").cast("double")
+    avg_run = F.col("n_rows").cast("double") / F.col("n_runs").cast("double")
+    advice = (
+        F.when((ratio < 0.01) & (avg_run >= 2.0), F.lit("DICT+RLE"))
+        .when(ratio < 0.01, F.lit("DICT"))
+        .when(avg_run >= 2.0, F.lit("RLE"))
+        .otherwise(F.lit("PLAIN"))
+    )
+    return tall.select(
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        F.round(ratio, 6).cast("double").alias("distinct_ratio"),
+        "n_runs",
+        F.round(avg_run, 4).cast("double").alias("avg_run_len"),
+        advice.alias("advice"),
+    )
 
 
 def _encoding_oracle() -> str:

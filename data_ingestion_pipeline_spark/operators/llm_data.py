@@ -534,7 +534,11 @@ def build_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then a V-row merge), THEN rank: the single-partition ranking window
     # only ever sees V rows, not the whole vocabulary
     top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(500)
-    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    # n_occurrences%1: constant-valued non-foldable partition key — single
+    # group over the 500 surviving rows, partitioned WindowExec path
+    w = Window.partitionBy(F.col("n_occurrences") % 1).orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    )
     return top.withColumn("vocab_rank", F.row_number().over(w).cast("int"))
 
 
@@ -1746,8 +1750,11 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Incoming minhash bands probe only the existing side's band index
     (``dedup/minhash.py::minhash_incremental_pairs``), then candidates
     verify with exact Jaccard ≥ 0.7 — the shape a daily ingest runs
-    against yesterday's corpus without re-clustering it. Recall-complete
-    banding ⇒ the oracle is the exact cross-set J ≥ 0.7 relation."""
+    against yesterday's corpus without re-clustering it. NEAR-complete
+    banding (miss p ≈ 2e-5 per true pair at J = 0.7, dedup/minhash.py) ⇒
+    the oracle is the exact cross-set J ≥ 0.7 relation at this scale;
+    the probabilistic residual is gated by the oracle-green recall
+    sibling ``minhash_scale_recall_documents``."""
     from data_ingestion_pipeline_spark.dedup.minhash import (
         minhash_incremental_pairs,
     )

@@ -565,8 +565,10 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     of identical double inputs can differ across engines in the last ulp,
     so each ln term is rounded to 9 decimals BEFORE entering the decimal
     power sums — products of the now-identical doubles are identical, and
-    the sums are exact. Ranking happens on the aggregated vocabulary (a
-    dim-sized relation), never on the token stream."""
+    the sums are exact. The top-1000 cut happens FIRST via sort-limit
+    (TakeOrderedAndProject: per-partition top-1000 then a 1000-row merge,
+    the ``build_vocab_documents`` pattern) — the single-partition ranking
+    window then sees exactly 1000 rows, never the full vocabulary."""
     docs = load_table(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("token"))
@@ -574,10 +576,18 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
-    ranked = freq.withColumn(
+    top = freq.orderBy(F.col("freq").desc(), F.col("token").asc()).limit(1000)
+    ranked = top.withColumn(
         "rank",
-        F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("token").asc())),
-    ).filter(F.col("rank") <= 1000)
+        F.row_number().over(
+            # constant-valued but non-foldable partition key (freq is a
+            # never-null count): keeps the bounded 1000-row ranking window
+            # on WindowExec's partitioned path (lit() and col*0 would fold away)
+            Window.partitionBy(F.col("freq") % 1).orderBy(
+                F.col("freq").desc(), F.col("token").asc()
+            )
+        ),
+    )
     x = F.round(F.log(F.col("rank").cast("double")), 9)
     y = F.round(F.log(F.col("freq").cast("double")), 9)
     s = ranked.agg(
@@ -693,11 +703,19 @@ def top_bigram_collocations_documents(spark: SparkSession, sf_dir: str) -> DataF
         .crossJoin(F.broadcast(n_tok))
         .select("w1", "w2", "c2", pmi.alias("pmi"))
     )
-    pick = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(pick))
-        .filter(F.col("rnk") <= 20)
-        .select(F.col("rnk").cast("int").alias("rnk"), "w1", "w2", "c2", "pmi")
+    # cut FIRST via sort-limit (TakeOrderedAndProject — per-partition top-20
+    # then a 20-row merge), THEN rank: the single-partition ranking window
+    # only ever sees 20 rows, never the corpus-scale candidate set
+    top = scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(20)
+    # c2%1: constant-valued non-foldable partition key — single group over
+    # the 20 surviving rows without WindowExec's no-partition path
+    pick = Window.partitionBy(F.col("c2") % 1).orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return top.withColumn("rnk", F.row_number().over(pick)).select(
+        F.col("rnk").cast("int").alias("rnk"), "w1", "w2", "c2", "pmi"
     )
 
 
@@ -804,12 +822,18 @@ def rake_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_occurrences"),
         F.round(F.max("pscore"), 6).cast("double").alias("score"),
     )
-    pick = Window.orderBy(F.col("score").desc(), F.col("phrase").asc())
-    return (
-        agg.withColumn("rk", F.row_number().over(pick))
-        .filter(F.col("rk") <= 15)
-        .select(F.col("rk").cast("int").alias("rk"), "phrase", "n_words",
-                "n_occurrences", "score")
+    # cut FIRST via sort-limit (TakeOrderedAndProject — per-partition top-15
+    # then a 15-row merge), THEN rank: the single-partition ranking window
+    # only ever sees 15 rows, never every distinct phrase in the corpus
+    top = agg.orderBy(F.col("score").desc(), F.col("phrase").asc()).limit(15)
+    # n_occurrences%1: constant-valued non-foldable partition key — single
+    # group over the 15 surviving rows, partitioned WindowExec path
+    pick = Window.partitionBy(F.col("n_occurrences") % 1).orderBy(
+        F.col("score").desc(), F.col("phrase").asc()
+    )
+    return top.withColumn("rk", F.row_number().over(pick)).select(
+        F.col("rk").cast("int").alias("rk"), "phrase", "n_words",
+        "n_occurrences", "score"
     )
 
 

@@ -162,6 +162,20 @@ class JsonlSinkDataSource(DataSource):
 
 
 class _JsonlWriter(DataSourceWriter):
+    """JSONL sink for the Python DataSource API.
+
+    LOCAL-MODE-ONLY sink: ``write()`` opens per-partition files with plain
+    ``open()`` on the executor's local filesystem and ``commit()`` writes
+    the manifest driver-side into the same directory — correct only when
+    driver and executors share a filesystem (local[...] / a shared mount).
+    On a multi-node cluster the manifest would reference files the driver
+    cannot see; a distributed deployment must route paths through a shared
+    FS/object-store client (and make commit() rename from a task-attempt
+    staging prefix for exactly-once semantics). Kept plain here because
+    the operator exists to exercise the DataSource writer protocol, and
+    the production write path in this engine is the parquet/ORC sinks.
+    """
+
     def __init__(self, options: dict, overwrite: bool) -> None:
         import os
         import shutil
