@@ -45,6 +45,7 @@ __all__ = [
     "frequent_users_sketch",
     "trailing_spend_30d",
     "customer_spend_deciles",
+    "customer_spend_deciles_approx",
     "user_event_type_sets",
     "salted_skew_join_events",
 ]
@@ -860,6 +861,61 @@ SELECT o_custkey, total_spend,
        CAST(NTILE(10) OVER (ORDER BY total_spend DESC, o_custkey ASC) AS INT)
            AS decile
 FROM spend
+"""
+
+
+def customer_spend_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB sibling of ``customer_spend_deciles``: decile ASSIGNMENT
+    without any global sort. Boundaries come from one ``approx_percentile``
+    (Greenwald–Khanna, mergeable bounded state) over the per-customer spend
+    aggregate; each customer then maps to a decile by comparing its spend
+    to the 9 broadcast boundaries — a map-side array scan, shuffle volume
+    identical to the spend aggregate itself. Decile 1 = highest spend,
+    matching the exact sibling's DESC ntile.
+
+    Driver-gradeable construction (the ``approx_price_quantiles`` gate
+    pattern): each approx decile bucket's population must sit within
+    n/10 ± 2%·n (GK rank error ε = 1e-4 per boundary leaves a ~100×
+    margin). The oracle pins ten TRUE rows, so the hash flips red exactly
+    when the sketch's rank error regresses past the band."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        dec_sum2(F.col("o_totalprice")).alias("total_spend")
+    )
+    bounds = spend.agg(
+        F.approx_percentile(
+            "total_spend",
+            F.array(*[F.lit(k / 10.0) for k in range(1, 10)]),
+            F.lit(10_000),
+        ).alias("bs"),
+        F.count("*").cast("bigint").alias("n_customers"),
+    )
+    assigned = spend.join(F.broadcast(bounds)).select(
+        (
+            F.lit(1)
+            + F.size(F.filter("bs", lambda b: F.col("total_spend") <= b))
+        )
+        .cast("int")
+        .alias("decile"),
+        "n_customers",
+    )
+    per = assigned.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("bucket_n"),
+        F.first("n_customers").alias("n_customers"),
+    )
+    tol = F.col("n_customers").cast("double") * 0.02 + F.lit(1.0)
+    expect = F.col("n_customers").cast("double") / 10.0
+    return per.select(
+        "decile",
+        (
+            F.abs(F.col("bucket_n").cast("double") - expect) <= tol
+        ).alias("within_band"),
+    )
+
+
+CUSTOMER_SPEND_DECILES_APPROX_ORACLE = """
+SELECT CAST(r AS INT) AS decile, TRUE AS within_band
+FROM range(1, 11) t(r)
 """
 
 

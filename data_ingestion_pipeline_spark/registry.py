@@ -122,7 +122,9 @@ _ROUND5_PENDING = [
 # driver rows arrive with the round-6 budget); until then each is verified
 # locally via tools/check_oracle.py tri-SF sweeps and, for approximate
 # surfaces, ships with an oracle-checked gate sibling in the same commit.
-_ROUND5_NEW: list[str] = []
+_ROUND5_NEW: list[str] = [
+    "customer_spend_deciles_approx",
+]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
 # this sandbox (streaming/stateful.py:105). It never registers locally, so
@@ -439,6 +441,12 @@ register(
     "customer_spend_deciles",
     relational.customer_spend_deciles,
     relational.CUSTOMER_SPEND_DECILES_ORACLE,
+)
+
+register(
+    "customer_spend_deciles_approx",
+    relational.customer_spend_deciles_approx,
+    relational.CUSTOMER_SPEND_DECILES_APPROX_ORACLE,
 )
 
 register(
