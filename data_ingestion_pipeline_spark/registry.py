@@ -124,6 +124,8 @@ _ROUND5_PENDING = [
 # surfaces, ships with an oracle-checked gate sibling in the same commit.
 _ROUND5_NEW: list[str] = [
     "customer_spend_deciles_approx",
+    "ann_ivfpq_recall_embeddings",
+    "ann_ivfpq_topk_embeddings",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -968,6 +970,14 @@ register(
 )
 
 register("ann_pq_topk_embeddings", llm_data.ann_pq_topk_embeddings, None)
+
+register("ann_ivfpq_topk_embeddings", llm_data.ann_ivfpq_topk_embeddings, None)
+
+register(
+    "ann_ivfpq_recall_embeddings",
+    llm_data.ann_ivfpq_recall_embeddings,
+    llm_data.ANN_IVFPQ_RECALL_EMBEDDINGS_ORACLE,
+)
 
 register(
     "xml_roundtrip_events",

@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 from data_ingestion_pipeline_spark.functions.partitioning import fan_out
 from data_ingestion_pipeline_spark.functions.vector import as_double_array
 
-__all__ = ["train_codebooks", "pq_encode", "pq_topk"]
+__all__ = ["train_codebooks", "lloyd_subspace_books", "pq_encode", "pq_topk"]
 
 
 def train_codebooks(
@@ -64,6 +64,18 @@ def train_codebooks(
         .collect()
     )
     sample = np.array([list(r["v"]) for r in rows])
+    return lloyd_subspace_books(sample, n_subspaces, n_codes, n_iters)
+
+
+def lloyd_subspace_books(sample, n_subspaces: int, n_codes: int, n_iters: int):
+    """Per-subspace Lloyd on an in-memory sample matrix (rows × dim).
+
+    Factored out of ``train_codebooks`` so IVF-PQ can train on RESIDUAL
+    samples (vector − coarse centroid) with the identical deterministic
+    procedure: first-K init, fixed iterations, argmin-first-wins."""
+    import numpy as np
+
+    sample = np.asarray(sample, dtype=np.float64)
     if len(sample) < n_codes:
         # tiny corpora: cycle the sample so init still yields K centroids
         # (duplicate centroids are harmless — Lloyd leaves them in place)

@@ -318,3 +318,52 @@ def test_cosine_blas_matches_expression_form(spark):
     )
     blas = sorted(tuple(r) for r in cosine_pairs_blas(aug, threshold=0.8).collect())
     assert expr == blas and len(blas) > 0
+
+
+def test_ivfpq_topk_recall_and_exactness(spark):
+    """IVF-PQ with exact refine: recall@10 clears the gate floor (0.3) at
+    smoke scale, the query always finds itself, and returned scores are
+    EXACT cosines (the refine step re-scores full vectors, so any returned
+    candidate's score must equal brute force's bitwise)."""
+    from data_ingestion_pipeline_spark.similarity.ivfpq import ivfpq_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    brute = topk_cosine_batch(emb, q, k=10)
+    ann = ivfpq_topk(emb, q, k=10, n_centroids=16, nprobe=4)
+    brute_rows = brute.collect()
+    brute_sets: dict[int, set] = {}
+    for r in brute_rows:
+        brute_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    ann_sets: dict[int, set] = {}
+    ann_scores = {}
+    for r in ann.collect():
+        ann_sets.setdefault(r.query_id, set()).add(r.vec_id)
+        ann_scores[(r.query_id, r.vec_id)] = r.score
+    brute_scores = {(r.query_id, r.vec_id): r.score for r in brute_rows}
+    for qid, bset in brute_sets.items():
+        assert qid in ann_sets[qid]  # own cell always probed
+        assert len(ann_sets[qid] & bset) >= 3  # gate floor 0.3 with margin
+    for key, s in ann_scores.items():
+        if key in brute_scores:
+            assert brute_scores[key] == pytest.approx(s, abs=1e-9)
+
+
+def test_ivfpq_encode_shape_and_determinism(spark):
+    from data_ingestion_pipeline_spark.similarity.ivfpq import (
+        ivfpq_encode,
+        train_ivfpq,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents, books = train_ivfpq(emb)
+    enc1 = {r.vec_id: (r.list_id, tuple(r.codes)) for r in ivfpq_encode(emb, cents, books).collect()}
+    enc2 = {r.vec_id: (r.list_id, tuple(r.codes)) for r in ivfpq_encode(emb, cents, books).collect()}
+    assert enc1 == enc2  # deterministic end to end
+    n_sub, n_codes, _ = books.shape
+    for list_id, codes in enc1.values():
+        assert 0 <= list_id < len(cents)
+        assert len(codes) == n_sub
+        assert all(0 <= c < n_codes for c in codes)
