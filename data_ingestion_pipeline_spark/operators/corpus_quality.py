@@ -1,0 +1,344 @@
+"""Corpus-quality operators for LLM training-data curation: Gopher-style
+repetition rules and winnowing document fingerprints.
+
+These extend the curation tier (``operators/llm_data.py``: quality filter,
+hygiene, novelty, waterfall) with two standard published instruments:
+
+- **Repetition filtering** (Rae et al., "Scaling Language Models: ...
+  Gopher", 2021, §A1.1): documents dominated by a few repeated n-grams are
+  low-quality (templates, boilerplate, generation loops). The published
+  rules threshold the fraction of content inside the most frequent 2/3/4-
+  gram and inside duplicated 5..10-grams. This port adapts them to token
+  fractions (the fixture corpus has no newlines, so the line-based rules
+  are vacuous here): top-2-gram / top-3-gram token share and the share of
+  5-gram positions whose gram repeats within the document.
+- **Winnowing fingerprints** (Schleimer, Wilkerson, Aiken, "Winnowing:
+  Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+  algorithm): hash every k-gram, slide a w-window over the hash sequence,
+  and keep each window's minimum (leftmost on ties). Guarantees any match
+  of length ≥ w + k − 1 shares a fingerprint, at ~2/(w+1) selection
+  density — the standard plagiarism / near-copy index at corpus scale.
+
+Cross-engine determinism follows the house md5 pattern
+(``llm_data.shard_shuffle_documents``): k-gram hashes are the first 8 hex
+chars of md5 as a 32-bit integer, reproducible in any engine. The
+window-min with leftmost tie-break is ONE bigint min over the composite
+key ``hash·2²⁰ + position`` (positions < 2²⁰ by construction here;
+a 100 TB deployment chunks documents long before that bound).
+
+Scale shape: everything is tokenize → lead() windows partitioned by
+doc_id → per-(doc, gram) hash aggregation — shuffle keys are (doc_id) or
+(doc_id, gram), never corpus-global; no global sorts, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.functions.partitioning import fan_out
+from data_ingestion_pipeline_spark.sources.catalog import load_table
+
+__all__ = [
+    "gopher_repetition_documents",
+    "winnowing_fingerprints_documents",
+]
+
+# Gopher §A1.1 thresholds, token-adapted (see module docstring)
+TOP2_MAX = 0.20
+TOP3_MAX = 0.18
+DUP5_MAX = 0.30
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("token_idx", "token"),
+    ).filter(F.col("token") != "")
+
+
+def gopher_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher repetition report: top-2-gram and top-3-gram
+    token share, duplicated-5-gram position share, and the keep verdict.
+
+    Exact integer counts everywhere; the three shares are ratios of
+    bigints (correctly-rounded doubles, identical across engines). A
+    document too short for an n-gram family reports NULL for that share
+    and the rule passes vacuously (matching the published semantics:
+    nothing to repeat)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = _tokens(docs)
+    w = Window.partitionBy("doc_id").orderBy("token_idx")
+    grams = toks.select(
+        "doc_id",
+        "token_idx",
+        *[F.lead("token", i).over(w).alias(f"t{i}") for i in range(1, 5)],
+        F.col("token").alias("t0"),
+    ).select(
+        "doc_id",
+        "token_idx",
+        F.when(
+            F.col("t1").isNotNull(), F.concat_ws(" ", "t0", "t1")
+        ).alias("g2"),
+        F.when(
+            F.col("t2").isNotNull(), F.concat_ws(" ", "t0", "t1", "t2")
+        ).alias("g3"),
+        F.when(
+            F.col("t4").isNotNull(),
+            F.concat_ws(" ", "t0", "t1", "t2", "t3", "t4"),
+        ).alias("g5"),
+    )
+
+    def top_share(col: str, n: int) -> DataFrame:
+        per = (
+            grams.filter(F.col(col).isNotNull())
+            .groupBy("doc_id", col)
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        return per.groupBy("doc_id").agg(
+            (F.max("c") * n).cast("bigint").alias(f"top{n}_tokens")
+        )
+
+    dup5 = (
+        grams.filter(F.col("g5").isNotNull())
+        .groupBy("doc_id", "g5")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_5grams"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_5gram_positions"),
+        )
+    )
+    n_words = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words")
+    )
+    j = (
+        n_words.join(top_share("g2", 2), "doc_id", "left")
+        .join(top_share("g3", 3), "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+    )
+    top2 = F.round(
+        F.col("top2_tokens").cast("double") / F.col("n_words").cast("double"), 6
+    )
+    top3 = F.round(
+        F.col("top3_tokens").cast("double") / F.col("n_words").cast("double"), 6
+    )
+    d5 = F.round(
+        F.col("dup_5gram_positions").cast("double")
+        / F.col("n_5grams").cast("double"),
+        6,
+    )
+    keep = (
+        F.coalesce(top2 < TOP2_MAX, F.lit(True))
+        & F.coalesce(top3 < TOP3_MAX, F.lit(True))
+        & F.coalesce(d5 < DUP5_MAX, F.lit(True))
+    )
+    return j.select(
+        "doc_id",
+        "n_words",
+        top2.cast("double").alias("top2gram_frac"),
+        top3.cast("double").alias("top3gram_frac"),
+        d5.cast("double").alias("dup5gram_frac"),
+        keep.alias("keep"),
+    )
+
+
+GOPHER_REPETITION_DOCUMENTS_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, CAST(idx AS INT) AS token_idx, token
+    FROM (
+        SELECT doc_id,
+               unnest(range(len(regexp_split_to_array(trim(text), '\s+')))) AS idx,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ) WHERE token <> ''
+), led AS (
+    SELECT doc_id, token_idx, token AS t0,
+           LEAD(token, 1) OVER (PARTITION BY doc_id ORDER BY token_idx) AS t1,
+           LEAD(token, 2) OVER (PARTITION BY doc_id ORDER BY token_idx) AS t2,
+           LEAD(token, 3) OVER (PARTITION BY doc_id ORDER BY token_idx) AS t3,
+           LEAD(token, 4) OVER (PARTITION BY doc_id ORDER BY token_idx) AS t4
+    FROM toks
+), grams AS (
+    SELECT doc_id, token_idx,
+           CASE WHEN t1 IS NOT NULL
+                THEN t0 || ' ' || t1 END AS g2,
+           CASE WHEN t2 IS NOT NULL
+                THEN t0 || ' ' || t1 || ' ' || t2 END AS g3,
+           CASE WHEN t4 IS NOT NULL
+                THEN t0 || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4
+                END AS g5
+    FROM led
+), top2 AS (
+    SELECT doc_id, CAST(MAX(c) * 2 AS BIGINT) AS top2_tokens FROM (
+        SELECT doc_id, g2, COUNT(*) AS c FROM grams
+        WHERE g2 IS NOT NULL GROUP BY doc_id, g2
+    ) GROUP BY doc_id
+), top3 AS (
+    SELECT doc_id, CAST(MAX(c) * 3 AS BIGINT) AS top3_tokens FROM (
+        SELECT doc_id, g3, COUNT(*) AS c FROM grams
+        WHERE g3 IS NOT NULL GROUP BY doc_id, g3
+    ) GROUP BY doc_id
+), dup5 AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_5grams,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+               AS dup_5gram_positions
+    FROM (
+        SELECT doc_id, g5, COUNT(*) AS c FROM grams
+        WHERE g5 IS NOT NULL GROUP BY doc_id, g5
+    ) GROUP BY doc_id
+), nw AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words FROM toks GROUP BY doc_id
+)
+SELECT nw.doc_id, nw.n_words,
+       CAST(ROUND(CAST(top2_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+            AS DOUBLE) AS top2gram_frac,
+       CAST(ROUND(CAST(top3_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+            AS DOUBLE) AS top3gram_frac,
+       CAST(ROUND(CAST(dup_5gram_positions AS DOUBLE) / CAST(n_5grams AS DOUBLE), 6)
+            AS DOUBLE) AS dup5gram_frac,
+       COALESCE(ROUND(CAST(top2_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+                < {TOP2_MAX}, TRUE)
+       AND COALESCE(ROUND(CAST(top3_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+                < {TOP3_MAX}, TRUE)
+       AND COALESCE(ROUND(CAST(dup_5gram_positions AS DOUBLE)
+                          / CAST(n_5grams AS DOUBLE), 6) < {DUP5_MAX}, TRUE)
+           AS keep
+FROM nw
+LEFT JOIN top2 USING (doc_id)
+LEFT JOIN top3 USING (doc_id)
+LEFT JOIN dup5 USING (doc_id)
+"""
+
+
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 4  # k-gram hashes per winnowing window
+_POS_BITS = 1 << 20  # composite-key position field (doc positions < 2^20)
+
+
+def winnowing_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint summary: selected-fingerprint
+    count, selection density, and the min/max fingerprint hash values.
+
+    Construction (exact, cross-engine): token 4-grams hash via md5 (first
+    8 hex chars as a 32-bit int); each full window of 4 consecutive k-gram
+    hashes selects its minimum with LEFTMOST tie-break — one bigint MIN
+    over ``hash·2²⁰ + position``; distinct selected (hash, position) pairs
+    are the document's fingerprint set. Guarantee: two documents sharing
+    any token run of ≥ w + k − 1 = 7 tokens share ≥ 1 fingerprint, which
+    is what makes the fingerprint table joinable for near-copy detection
+    at corpus scale (the cross-doc join is on the fingerprint hash — a
+    bounded-fanout equi-join, the MOSS index shape)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = _tokens(docs)
+    w = Window.partitionBy("doc_id").orderBy("token_idx")
+    kgram = toks.select(
+        "doc_id",
+        "token_idx",
+        F.concat_ws(
+            " ",
+            "token",
+            *[F.lead("token", i).over(w).alias(f"t{i}") for i in range(1, WINNOW_K)],
+        ).alias("gram"),
+        F.lead("token", WINNOW_K - 1).over(w).alias("_full"),
+    ).filter(F.col("_full").isNotNull())
+    hashed = kgram.select(
+        "doc_id",
+        "token_idx",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+            * _POS_BITS
+            + F.col("token_idx")
+        ).alias("key"),
+    )
+    wf = Window.partitionBy("doc_id").orderBy("token_idx")
+    n_grams = hashed.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kgrams")
+    )
+    wins = (
+        hashed.select(
+            "doc_id",
+            "token_idx",
+            F.min("key")
+            .over(wf.rowsBetween(Window.currentRow, WINNOW_W - 1))
+            .alias("wmin"),
+            F.lead("token_idx", WINNOW_W - 1).over(wf).alias("_full_w"),
+        )
+        .filter(F.col("_full_w").isNotNull())
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    fp = wins.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_fingerprints"),
+        F.min(F.floor(F.col("wmin") / _POS_BITS)).cast("bigint").alias("min_fp"),
+        F.max(F.floor(F.col("wmin") / _POS_BITS)).cast("bigint").alias("max_fp"),
+    )
+    return n_grams.join(fp, "doc_id", "left").select(
+        "doc_id",
+        "n_kgrams",
+        F.coalesce("n_fingerprints", F.lit(0)).cast("bigint").alias(
+            "n_fingerprints"
+        ),
+        F.round(
+            F.col("n_fingerprints").cast("double")
+            / F.col("n_kgrams").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("density"),
+        "min_fp",
+        "max_fp",
+    )
+
+
+WINNOWING_FINGERPRINTS_DOCUMENTS_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, CAST(idx AS INT) AS token_idx, token
+    FROM (
+        SELECT doc_id,
+               unnest(range(len(regexp_split_to_array(trim(text), '\s+')))) AS idx,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ) WHERE token <> ''
+), led AS (
+    SELECT doc_id, token_idx,
+           token || ' '
+             || LEAD(token, 1) OVER w || ' '
+             || LEAD(token, 2) OVER w || ' '
+             || LEAD(token, 3) OVER w AS gram,
+           LEAD(token, 3) OVER w AS _full
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY token_idx)
+), hashed AS (
+    SELECT doc_id, token_idx,
+           ('0x' || substr(md5(gram), 1, 8))::BIGINT * {_POS_BITS}
+               + token_idx AS key
+    FROM led WHERE _full IS NOT NULL
+), wins AS (
+    SELECT DISTINCT doc_id, wmin FROM (
+        SELECT doc_id,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY token_idx
+                              ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+                   AS wmin,
+               LEAD(token_idx, {WINNOW_W - 1}) OVER (
+                   PARTITION BY doc_id ORDER BY token_idx) AS _full_w
+        FROM hashed
+    ) WHERE _full_w IS NOT NULL
+), ng AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kgrams
+    FROM hashed GROUP BY doc_id
+), fp AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(MIN(wmin // {_POS_BITS}) AS BIGINT) AS min_fp,
+           CAST(MAX(wmin // {_POS_BITS}) AS BIGINT) AS max_fp
+    FROM wins GROUP BY doc_id
+)
+SELECT ng.doc_id, ng.n_kgrams,
+       CAST(COALESCE(n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+       CAST(ROUND(CAST(n_fingerprints AS DOUBLE) / CAST(n_kgrams AS DOUBLE), 6)
+            AS DOUBLE) AS density,
+       min_fp, max_fp
+FROM ng LEFT JOIN fp USING (doc_id)
+"""

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_ingestion_pipeline_spark.operators import (
     analytics_checks,
+    corpus_quality,
     evolution_checks,
     ingestion_checks,
     lakehouse_checks,
@@ -126,6 +127,8 @@ _ROUND5_NEW: list[str] = [
     "customer_spend_deciles_approx",
     "ann_ivfpq_recall_embeddings",
     "ann_ivfpq_topk_embeddings",
+    "gopher_repetition_documents",
+    "winnowing_fingerprints_documents",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -972,6 +975,18 @@ register(
 register("ann_pq_topk_embeddings", llm_data.ann_pq_topk_embeddings, None)
 
 register("ann_ivfpq_topk_embeddings", llm_data.ann_ivfpq_topk_embeddings, None)
+
+register(
+    "gopher_repetition_documents",
+    corpus_quality.gopher_repetition_documents,
+    corpus_quality.GOPHER_REPETITION_DOCUMENTS_ORACLE,
+)
+
+register(
+    "winnowing_fingerprints_documents",
+    corpus_quality.winnowing_fingerprints_documents,
+    corpus_quality.WINNOWING_FINGERPRINTS_DOCUMENTS_ORACLE,
+)
 
 register(
     "ann_ivfpq_recall_embeddings",
