@@ -41,6 +41,7 @@ __all__ = [
     "triangle_count_copurchase",
     "linear_attribution_daily",
     "profile_columns_orders",
+    "mcv_stats_orders",
     "canonical_entities_parts",
     "ab_test_session_value",
     "time_to_convert_quantiles",
@@ -1008,6 +1009,75 @@ FROM weighted GROUP BY day, touch_type
 # ---------------------------------------------------------------------------
 # Dataset column profiling (Deequ-style profile, one pass)
 # ---------------------------------------------------------------------------
+
+def mcv_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-common-value statistics per column — the pg_stats / ANALYZE
+    surface ``profile_columns_orders`` doesn't cover: for each profiled
+    column, the top-3 values by frequency with their row share. These are
+    what an optimizer consumes for selectivity estimates on equality
+    predicates (and what a skew-aware planner reads before salting).
+
+    One tall melt (stack) of the three columns → ONE (column, value)
+    aggregation → a ranking window PARTITIONED by column (each partition
+    is that column's value-domain aggregate, never the fact table). Ties
+    break by value string ascending so both engines rank identically.
+    Doubles are excluded from the melt by design: MCVs of a continuous
+    column are meaningless and double→text rendering differs across
+    engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    tall = orders.select(
+        F.expr(
+            "stack(3, 'o_orderstatus', o_orderstatus,"
+            " 'o_orderpriority', o_orderpriority,"
+            " 'o_custkey', CAST(o_custkey AS STRING))"
+            " as (column_name, value)"
+        )
+    ).filter(F.col("value").isNotNull())
+    counts = tall.groupBy("column_name", "value").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+    total = orders.count()
+    w = Window.partitionBy("column_name").orderBy(
+        F.col("n_occurrences").desc(), F.col("value").asc()
+    )
+    return (
+        counts.withColumn("mcv_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("mcv_rank") <= 3)
+        .select(
+            "column_name",
+            "mcv_rank",
+            "value",
+            "n_occurrences",
+            F.round(
+                F.col("n_occurrences").cast("double") / F.lit(float(total)), 6
+            )
+            .cast("double")
+            .alias("frac"),
+        )
+    )
+
+
+MCV_STATS_ORDERS_ORACLE = """
+WITH tall AS (
+    SELECT 'o_orderstatus' AS column_name, o_orderstatus AS value FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', o_orderpriority FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+), counts AS (
+    SELECT column_name, value, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM tall WHERE value IS NOT NULL GROUP BY column_name, value
+), total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM orders)
+SELECT column_name,
+       CAST(ROW_NUMBER() OVER (PARTITION BY column_name
+                               ORDER BY n_occurrences DESC, value ASC) AS INT)
+           AS mcv_rank,
+       value, n_occurrences,
+       CAST(ROUND(CAST(n_occurrences AS DOUBLE) / n, 6) AS DOUBLE) AS frac
+FROM counts, total
+QUALIFY mcv_rank <= 3
+"""
+
 
 def profile_columns_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column dataset profile of orders — n/nulls/distinct plus typed

@@ -36,6 +36,7 @@ __all__ = [
     "scd2_asof_lookup",
     "table_diff_snapshots",
     "time_travel_orders_versions",
+    "table_changes_versions",
 ]
 
 _SCRATCH = "/tmp/spark_graft_scratch"
@@ -501,4 +502,93 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            AS net_delta,
        CAST(2 AS INT) AS n_versions_retained
 FROM orders
+"""
+
+
+def table_changes_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC change feed between two table versions — the
+    ``table_changes()`` / readChangeFeed surface a lakehouse exposes for
+    downstream incremental consumers: every row of the v1→v2 delta tagged
+    ``insert`` / ``delete`` / ``update_preimage`` / ``update_postimage``
+    (updates emit BOTH images, the shape a MERGE-consuming sink needs).
+
+    v2 applies the same deterministic maintenance pass as the snapshot
+    diff (delete every 11th key, reprice every surviving 7th +100, clone
+    every 13th to key+1e8), but here the feed is derived from the ACTUAL
+    persisted versions of a managed table (plans/table.py retention), so
+    the query proves version readback + changelog derivation end-to-end.
+    Shape: one FULL OUTER key join of the two version reads, then a
+    map-side explode of 0-2 change structs per joined row — shuffle is
+    the key join only; unchanged rows emit nothing. The oracle derives
+    every feed row closed-form from the maintenance rules."""
+    root = _scratch(sf_dir, "cdc_orders")
+    shutil.rmtree(root, ignore_errors=True)
+    table = ManagedTable(spark, root, keep_versions=3)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = table.overwrite(orders)
+    after = (
+        orders.filter(F.col("o_orderkey") % 11 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 100.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    v2 = table.overwrite(after)
+    b = table.read(version=v1).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p_before")
+    )
+    a = table.read(version=v2).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p_after")
+    )
+    j = b.join(a, "k", "full_outer")
+    changes = (
+        F.when(
+            F.col("p_before").isNull(),
+            F.array(F.struct(F.lit("insert").alias("ct"), F.col("p_after").alias("p"))),
+        )
+        .when(
+            F.col("p_after").isNull(),
+            F.array(F.struct(F.lit("delete").alias("ct"), F.col("p_before").alias("p"))),
+        )
+        .when(
+            F.col("p_before") != F.col("p_after"),
+            F.array(
+                F.struct(F.lit("update_preimage").alias("ct"), F.col("p_before").alias("p")),
+                F.struct(F.lit("update_postimage").alias("ct"), F.col("p_after").alias("p")),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<ct:string,p:double>>"))
+    )
+    return (
+        j.select("k", F.explode(changes).alias("c"))
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.col("c.ct").alias("change_type"),
+            F.col("c.p").alias("o_totalprice"),
+            F.lit(2).cast("int").alias("commit_version"),
+        )
+    )
+
+
+TABLE_CHANGES_VERSIONS_ORACLE = """
+SELECT o_orderkey, 'delete' AS change_type, o_totalprice,
+       CAST(2 AS INT) AS commit_version
+FROM orders WHERE o_orderkey % 11 = 0
+UNION ALL
+SELECT o_orderkey + 100000000, 'insert', o_totalprice, 2
+FROM orders WHERE o_orderkey % 13 = 0
+UNION ALL
+SELECT o_orderkey, 'update_preimage', o_totalprice, 2
+FROM orders WHERE o_orderkey % 11 != 0 AND o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderkey, 'update_postimage', o_totalprice + 100.0, 2
+FROM orders WHERE o_orderkey % 11 != 0 AND o_orderkey % 7 = 0
 """

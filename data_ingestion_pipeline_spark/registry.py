@@ -129,6 +129,8 @@ _ROUND5_NEW: list[str] = [
     "ann_ivfpq_topk_embeddings",
     "gopher_repetition_documents",
     "winnowing_fingerprints_documents",
+    "table_changes_versions",
+    "mcv_stats_orders",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -986,6 +988,18 @@ register(
     "winnowing_fingerprints_documents",
     corpus_quality.winnowing_fingerprints_documents,
     corpus_quality.WINNOWING_FINGERPRINTS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "table_changes_versions",
+    lakehouse_checks.table_changes_versions,
+    lakehouse_checks.TABLE_CHANGES_VERSIONS_ORACLE,
+)
+
+register(
+    "mcv_stats_orders",
+    analytics_checks.mcv_stats_orders,
+    analytics_checks.MCV_STATS_ORDERS_ORACLE,
 )
 
 register(
