@@ -42,6 +42,7 @@ from data_ingestion_pipeline_spark.sources.catalog import load_table
 __all__ = [
     "gopher_repetition_documents",
     "winnowing_fingerprints_documents",
+    "winnowing_near_copy_pairs_documents",
 ]
 
 # Gopher §A1.1 thresholds, token-adapted (see module docstring)
@@ -341,4 +342,133 @@ SELECT ng.doc_id, ng.n_kgrams,
             AS DOUBLE) AS density,
        min_fp, max_fp
 FROM ng LEFT JOIN fp USING (doc_id)
+"""
+
+
+MIN_SHARED_FP = 2
+
+
+def winnowing_near_copy_pairs_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-document near-copy detection from the winnowing index — the
+    MOSS pair report: document pairs sharing ≥ 2 selected fingerprint
+    hashes, with the shared count. Planted corpus (documents ∪ 80%-prefix
+    copies, ``llm_data._near_dup_corpus``) guarantees true positives:
+    every planted copy shares its whole prefix run with its source, and
+    the winnowing guarantee (any common run ≥ w + k − 1 tokens shares a
+    fingerprint) makes those pairs structurally unmissable.
+
+    Shape: fingerprint extraction is the per-doc pipeline (doc-partitioned
+    windows); the pair step is an equi-SELF-JOIN ON THE FINGERPRINT HASH —
+    exactly the LSH band-join shape, carrying (hash, doc_id) longs only.
+    Fan-out per hash is the number of docs containing it; a production
+    deployment caps hot hashes (drop fingerprints appearing in > T docs —
+    they're boilerplate, not copies) the way the banded joins document
+    their hot-band policy. Exact DuckDB oracle: identical construction."""
+    from data_ingestion_pipeline_spark.operators.llm_data import (
+        _near_dup_corpus,
+    )
+
+    docs = _near_dup_corpus(
+        fan_out(load_table(spark, sf_dir, "documents"))
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("token_idx", "token"),
+    ).filter(F.col("token") != "")
+    w = Window.partitionBy("doc_id").orderBy("token_idx")
+    kgram = toks.select(
+        "doc_id",
+        "token_idx",
+        F.concat_ws(
+            " ",
+            "token",
+            *[F.lead("token", i).over(w) for i in range(1, WINNOW_K)],
+        ).alias("gram"),
+        F.lead("token", WINNOW_K - 1).over(w).alias("_full"),
+    ).filter(F.col("_full").isNotNull())
+    hashed = kgram.select(
+        "doc_id",
+        "token_idx",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+            * _POS_BITS
+            + F.col("token_idx")
+        ).alias("key"),
+    )
+    fps = (
+        hashed.select(
+            "doc_id",
+            "token_idx",
+            F.min("key")
+            .over(w.rowsBetween(Window.currentRow, WINNOW_W - 1))
+            .alias("wmin"),
+            F.lead("token_idx", WINNOW_W - 1).over(w).alias("_full_w"),
+        )
+        .filter(F.col("_full_w").isNotNull())
+        .select("doc_id", F.floor(F.col("wmin") / _POS_BITS).alias("fp"))
+        .distinct()
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= MIN_SHARED_FP)
+    )
+
+
+WINNOWING_NEAR_COPY_PAIRS_DOCUMENTS_ORACLE = rf"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           array_to_string(
+               (regexp_split_to_array(trim(text), '\s+'))[
+                   1 : GREATEST(CAST(CEIL(
+                       len(regexp_split_to_array(trim(text), '\s+')) * 0.8
+                   ) AS INT), 1)
+               ], ' ')
+    FROM documents WHERE doc_id % 20 = 0
+), toks AS (
+    SELECT doc_id, CAST(idx AS INT) AS token_idx, token
+    FROM (
+        SELECT doc_id,
+               unnest(range(len(regexp_split_to_array(trim(text), '\s+')))) AS idx,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM corpus
+    ) WHERE token <> ''
+), led AS (
+    SELECT doc_id, token_idx,
+           token || ' '
+             || LEAD(token, 1) OVER w || ' '
+             || LEAD(token, 2) OVER w || ' '
+             || LEAD(token, 3) OVER w AS gram,
+           LEAD(token, 3) OVER w AS _full
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY token_idx)
+), hashed AS (
+    SELECT doc_id, token_idx,
+           ('0x' || substr(md5(gram), 1, 8))::BIGINT * {_POS_BITS}
+               + token_idx AS key
+    FROM led WHERE _full IS NOT NULL
+), fps AS (
+    SELECT DISTINCT doc_id, wmin // {_POS_BITS} AS fp FROM (
+        SELECT doc_id,
+               MIN(key) OVER (PARTITION BY doc_id ORDER BY token_idx
+                              ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+                   AS wmin,
+               LEAD(token_idx, {WINNOW_W - 1}) OVER (
+                   PARTITION BY doc_id ORDER BY token_idx) AS _full_w
+        FROM hashed
+    ) WHERE _full_w IS NOT NULL
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {MIN_SHARED_FP}
 """

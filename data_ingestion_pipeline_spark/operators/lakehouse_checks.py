@@ -37,6 +37,8 @@ __all__ = [
     "table_diff_snapshots",
     "time_travel_orders_versions",
     "table_changes_versions",
+    "table_checksum_orders",
+    "incremental_mv_refresh_orders",
 ]
 
 _SCRATCH = "/tmp/spark_graft_scratch"
@@ -502,6 +504,113 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            AS net_delta,
        CAST(2 AS INT) AS n_versions_retained
 FROM orders
+"""
+
+
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksum of the orders table — the
+    anti-entropy primitive for replica/migration verification: two engines
+    (or two clusters) agree the tables are identical iff (n_rows,
+    checksum) agree, without ever co-locating the data. Each row
+    canonicalizes to a '|'-joined string (money as DECIMAL(18,2) text,
+    timestamps formatted — never raw double rendering), hashes to a
+    48-bit md5 prefix, and the checksum is the SUM of row hashes in
+    DECIMAL(38,0) — commutative, so partition order, file order, and
+    engine are all irrelevant, and map-side partial sums make the whole
+    check one scan + one tiny agg at any scale. Published as a string
+    (exact integer text) so the comparison never rides float precision."""
+    orders = load_table(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.date_format(
+            F.col("o_orderdate").cast("timestamp"), "yyyy-MM-dd HH:mm:ss"
+        ),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 12), 16, 10).cast("decimal(38,0)")
+    return orders.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(h).cast("decimal(38,0)").cast("string").alias("content_checksum"),
+    )
+
+
+TABLE_CHECKSUM_ORDERS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS content_checksum
+FROM (
+    SELECT ('0x' || substr(md5(
+               o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|'
+               || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|'
+               || strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|'
+               || o_orderpriority
+           ), 1, 12))::BIGINT AS h
+    FROM orders
+)
+"""
+
+
+def incremental_mv_refresh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh, batch form: a stored
+    aggregate (revenue/count per priority over the 'old' partition,
+    o_orderkey % 5 != 0) absorbs a delta batch (% 5 == 0) by MERGING
+    PARTIAL AGGREGATES — full outer join on the group key, coalesced
+    sums — instead of recomputing from raw data. This is the algebraic
+    core of every incremental MV engine (counts and decimal sums are
+    commutative monoids; the delta-side agg is delta-sized, the merge is
+    key-cardinality-sized). Equality with the full recompute is the
+    oracle: the DuckDB side aggregates the whole table directly, so the
+    hash check proves merge-of-partials == recompute exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def agg(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("_rev"),
+        )
+
+    stored = agg(orders.filter(F.col("o_orderkey") % 5 != 0))
+    delta = agg(orders.filter(F.col("o_orderkey") % 5 == 0))
+    merged = (
+        stored.select(
+            "o_orderpriority",
+            F.col("n_orders").alias("n_a"),
+            F.col("_rev").alias("r_a"),
+        )
+        .join(
+            delta.select(
+                "o_orderpriority",
+                F.col("n_orders").alias("n_b"),
+                F.col("_rev").alias("r_b"),
+            ),
+            "o_orderpriority",
+            "full_outer",
+        )
+        .select(
+            "o_orderpriority",
+            (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0)))
+            .cast("bigint")
+            .alias("n_orders"),
+            F.round(
+                F.coalesce(F.col("r_a"), F.lit(0).cast("decimal(18,6)"))
+                + F.coalesce(F.col("r_b"), F.lit(0).cast("decimal(18,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue"),
+        )
+    )
+    return merged
+
+
+INCREMENTAL_MV_REFRESH_ORDERS_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_revenue
+FROM orders GROUP BY o_orderpriority
 """
 
 

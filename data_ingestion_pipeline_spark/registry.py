@@ -131,6 +131,9 @@ _ROUND5_NEW: list[str] = [
     "winnowing_fingerprints_documents",
     "table_changes_versions",
     "mcv_stats_orders",
+    "winnowing_near_copy_pairs_documents",
+    "table_checksum_orders",
+    "incremental_mv_refresh_orders",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1000,6 +1003,24 @@ register(
     "mcv_stats_orders",
     analytics_checks.mcv_stats_orders,
     analytics_checks.MCV_STATS_ORDERS_ORACLE,
+)
+
+register(
+    "winnowing_near_copy_pairs_documents",
+    corpus_quality.winnowing_near_copy_pairs_documents,
+    corpus_quality.WINNOWING_NEAR_COPY_PAIRS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "table_checksum_orders",
+    lakehouse_checks.table_checksum_orders,
+    lakehouse_checks.TABLE_CHECKSUM_ORDERS_ORACLE,
+)
+
+register(
+    "incremental_mv_refresh_orders",
+    lakehouse_checks.incremental_mv_refresh_orders,
+    lakehouse_checks.INCREMENTAL_MV_REFRESH_ORDERS_ORACLE,
 )
 
 register(

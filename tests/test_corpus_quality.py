@@ -98,3 +98,28 @@ def test_gopher_on_fixture_is_mostly_keep(spark):
         F.count(F.when(F.col("keep"), 1)).alias("kept"),
     ).collect()[0]
     assert agg.kept >= 0.6 * agg.n
+
+
+def test_winnowing_pairs_find_every_planted_copy(spark):
+    """Every planted 80%-prefix copy (doc_id % 20 == 0 → +1000000) must be
+    detected: the shared prefix is a run far longer than w + k - 1, so the
+    winnowing guarantee makes the pair structurally unmissable."""
+    from data_ingestion_pipeline_spark.operators.corpus_quality import (
+        winnowing_near_copy_pairs_documents,
+    )
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in winnowing_near_copy_pairs_documents(spark, SF_SMOKE).collect()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    planted = [
+        r.doc_id
+        for r in docs.filter(
+            (F.col("doc_id") % 20 == 0)
+            & (F.size(F.split(F.trim("text"), r"\s+")) >= 9)
+        ).collect()
+    ]
+    assert planted, "fixture must contain planted sources"
+    for d in planted:
+        assert (d, d + 1000000) in pairs, f"planted pair for doc {d} missed"
