@@ -42,6 +42,7 @@ __all__ = [
     "linear_attribution_daily",
     "profile_columns_orders",
     "mcv_stats_orders",
+    "join_cardinality_estimate_orders_lineitem",
     "canonical_entities_parts",
     "ab_test_session_value",
     "time_to_convert_quantiles",
@@ -1009,6 +1010,50 @@ FROM weighted GROUP BY day, touch_type
 # ---------------------------------------------------------------------------
 # Dataset column profiling (Deequ-style profile, one pass)
 # ---------------------------------------------------------------------------
+
+def join_cardinality_estimate_orders_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-based equi-join cardinality estimation — the System R /
+    Selinger formula an optimizer evaluates BEFORE running the join:
+    |A ⋈ B| ≈ |A|·|B| / max(ndv_A(key), ndv_B(key)), with the distinct
+    counts from mergeable HLL sketches (``approx_count_distinct``), so the
+    whole estimate costs two single-pass scans and no shuffle-join. The
+    query then runs the actual join count and publishes the within-band
+    verdict (estimate/actual ∈ [0.5, 2]) — generous against HLL's ~2%
+    error precisely so the row only flips when the estimator logic (not
+    sketch noise) breaks. The oracle pins the exact count and TRUE."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = orders.agg(
+        F.count("*").cast("double").alias("n_a"),
+        F.approx_count_distinct("o_orderkey").cast("double").alias("ndv_a"),
+    )
+    b = li.agg(
+        F.count("*").cast("double").alias("n_b"),
+        F.approx_count_distinct("l_orderkey").cast("double").alias("ndv_b"),
+    )
+    exact = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(F.count("*").cast("bigint").alias("n_exact"))
+    )
+    est = F.col("n_a") * F.col("n_b") / F.greatest("ndv_a", "ndv_b")
+    ratio = est / F.col("n_exact").cast("double")
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_exact",
+            ((ratio >= 0.5) & (ratio <= 2.0)).alias("estimate_within_2x"),
+        )
+    )
+
+
+JOIN_CARDINALITY_ESTIMATE_ORDERS_LINEITEM_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS estimate_within_2x
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
 
 def mcv_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most-common-value statistics per column — the pg_stats / ANALYZE

@@ -43,6 +43,7 @@ __all__ = [
     "gopher_repetition_documents",
     "winnowing_fingerprints_documents",
     "winnowing_near_copy_pairs_documents",
+    "vocab_coverage_documents",
 ]
 
 # Gopher §A1.1 thresholds, token-adapted (see module docstring)
@@ -471,4 +472,67 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= {MIN_SHARED_FP}
+"""
+
+
+VOCAB_SIZE = 500
+
+
+def vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary coverage against the corpus top-V vocab —
+    the loader-side OOV diagnostic run before tokenizer training settles:
+    documents with high out-of-vocabulary rates are either foreign to the
+    corpus domain or noise, and the aggregate OOV mass tells you whether
+    V is large enough. Vocab = top-500 tokens by occurrence (the
+    ``build_vocab_documents`` cut, TakeOrderedAndProject — never a full
+    sort); membership is a broadcast LEFT SEMI-shaped join of the token
+    stream against the V-row vocab, counted per document. Exact bigint
+    counts; the rate is a ratio of bigints."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = _tokens(docs)
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("token"))
+        .limit(VOCAB_SIZE)
+        .select("token")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("_inv", F.lit(1))), "token", "left"
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.count(F.when(F.col("_inv").isNull(), 1))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.round(
+            F.count(F.when(F.col("_inv").isNull(), 1)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("oov_rate"),
+    )
+
+
+VOCAB_COVERAGE_DOCUMENTS_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, token
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ) WHERE token <> ''
+), vocab AS (
+    SELECT token FROM (
+        SELECT token, COUNT(*) AS n_occ FROM toks GROUP BY token
+        ORDER BY n_occ DESC, token ASC LIMIT {VOCAB_SIZE}
+    )
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+       CAST(ROUND(CAST(COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY doc_id
 """

@@ -26,6 +26,7 @@ from data_ingestion_pipeline_spark.functions.numeric import dec_sum
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
+    "rolling_corr_purchase_view_14d",
     "autocorr_daily_value",
     "rolling_zscore_anomaly_daily",
     "seasonal_naive_mape_events",
@@ -182,6 +183,107 @@ SELECT event_type, day,
        ABS((m * x - sx) / SQRT(m * sxx - sx * sx)) > 2.0 AS is_anomaly
 FROM framed
 WHERE m >= 5 AND m * sxx - sx * sx > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation between the purchase and view daily series
+# ---------------------------------------------------------------------------
+
+def rolling_corr_purchase_view_14d(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-14-day Pearson correlation between the daily purchase and
+    view totals — the co-movement monitor that flags decoupling (e.g. a
+    tracking break sends views flat while purchases keep their rhythm).
+    Full-window semantics: a row is emitted only once 14 days of history
+    exist, and variance-degenerate frames are excluded.
+
+    The series is day-grain (one row per day after one shuffle to the
+    daily aggregate), so the series window runs on the TINY relation —
+    same posture as ``autocorr_daily_value``/``rolling_zscore``: never a
+    window over the raw event stream. All frame sums are exact decimal;
+    the correlation is derived from order-independent power sums and
+    rounded identically on both engines."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            dec_sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")), 27, 12
+            )
+            .cast("double")
+            .alias("x"),
+            dec_sum(
+                F.when(F.col("event_type") == "view", F.col("value")), 27, 12
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    x, y = F.col("x"), F.col("y")
+    m = F.count("x").over(w).cast("double")
+    sx = F.sum(x.cast("decimal(38,12)")).over(w).cast("double")
+    sy = F.sum(y.cast("decimal(38,12)")).over(w).cast("double")
+    sxy = F.sum((x * y).cast("decimal(38,12)")).over(w).cast("double")
+    sxx = F.sum((x * x).cast("decimal(38,12)")).over(w).cast("double")
+    syy = F.sum((y * y).cast("decimal(38,12)")).over(w).cast("double")
+    cov_n = m * sxy - sx * sy
+    varx_n = m * sxx - sx * sx
+    vary_n = m * syy - sy * sy
+    return (
+        daily.select(
+            "day",
+            m.alias("m"),
+            cov_n.alias("cov_n"),
+            varx_n.alias("varx_n"),
+            vary_n.alias("vary_n"),
+        )
+        .filter(
+            (F.col("m") == 14) & (F.col("varx_n") > 0) & (F.col("vary_n") > 0)
+        )
+        .select(
+            "day",
+            F.round(
+                F.col("cov_n") / F.sqrt(F.col("varx_n") * F.col("vary_n")), 6
+            )
+            .cast("double")
+            .alias("corr_14d"),
+        )
+    )
+
+
+ROLLING_CORR_PURCHASE_VIEW_14D_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(27,12)) END) AS DOUBLE) AS x,
+           CAST(SUM(CASE WHEN event_type = 'view'
+                    THEN CAST(value AS DECIMAL(27,12)) END) AS DOUBLE) AS y
+    FROM events WHERE event_type IN ('purchase', 'view')
+    GROUP BY 1
+    HAVING x IS NOT NULL AND y IS NOT NULL
+), framed AS (
+    SELECT day,
+           CAST(COUNT(x) OVER w AS DOUBLE) AS m,
+           CAST(SUM(CAST(x AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,12))) OVER w AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,12))) OVER w AS DOUBLE) AS syy
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT day,
+       CAST(ROUND((m * sxy - sx * sy)
+                  / SQRT((m * sxx - sx * sx) * (m * syy - sy * sy)), 6)
+            AS DOUBLE) AS corr_14d
+FROM framed
+WHERE m = 14 AND m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
 """
 
 

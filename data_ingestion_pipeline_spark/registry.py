@@ -134,6 +134,9 @@ _ROUND5_NEW: list[str] = [
     "winnowing_near_copy_pairs_documents",
     "table_checksum_orders",
     "incremental_mv_refresh_orders",
+    "vocab_coverage_documents",
+    "rolling_corr_purchase_view_14d",
+    "join_cardinality_estimate_orders_lineitem",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1021,6 +1024,24 @@ register(
     "incremental_mv_refresh_orders",
     lakehouse_checks.incremental_mv_refresh_orders,
     lakehouse_checks.INCREMENTAL_MV_REFRESH_ORDERS_ORACLE,
+)
+
+register(
+    "vocab_coverage_documents",
+    corpus_quality.vocab_coverage_documents,
+    corpus_quality.VOCAB_COVERAGE_DOCUMENTS_ORACLE,
+)
+
+register(
+    "rolling_corr_purchase_view_14d",
+    timeseries_checks.rolling_corr_purchase_view_14d,
+    timeseries_checks.ROLLING_CORR_PURCHASE_VIEW_14D_ORACLE,
+)
+
+register(
+    "join_cardinality_estimate_orders_lineitem",
+    analytics_checks.join_cardinality_estimate_orders_lineitem,
+    analytics_checks.JOIN_CARDINALITY_ESTIMATE_ORDERS_LINEITEM_ORACLE,
 )
 
 register(
