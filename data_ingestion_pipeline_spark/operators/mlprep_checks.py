@@ -312,7 +312,13 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return top.select(
         F.row_number()
-        .over(Window.orderBy(F.col("k").desc(), F.col("doc_id").asc()))
+        # n_chars%1: constant-valued non-foldable partition key — the
+        # 50-row rank window stays on WindowExec's partitioned path
+        .over(
+            Window.partitionBy(F.col("n_chars") % 1).orderBy(
+                F.col("k").desc(), F.col("doc_id").asc()
+            )
+        )
         .cast("int")
         .alias("sample_rank"),
         "doc_id",

@@ -222,3 +222,101 @@ def test_rake_handles_stopword_edge_cases(spark):
     assert "gamma" in phrases
     assert "solo" in phrases
     assert stop not in " ".join(phrases).split()  # no stopword leaks into a phrase
+
+
+# ---------------------------------------------------------------------------
+# Content checksum: permutation/partitioning invariance (anti-entropy claim)
+# ---------------------------------------------------------------------------
+
+@given(
+    perm_seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_parts=st.integers(min_value=1, max_value=8),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_table_checksum_is_order_and_partition_invariant(spark, perm_seed, n_parts):
+    """The checksum must be identical under any row order and any
+    partitioning — that's the whole replica-verification contract. Model:
+    hash rows on the driver with the same md5-prefix construction and
+    compare the sum."""
+    import datetime
+    import hashlib
+    import random
+
+    ts = datetime.datetime(1995, 3, 14, 12, 0, 0)
+    rows = [
+        (i, i * 7 % 13, "S" if i % 2 else "F", float(i) + 0.25, ts, f"P{i % 3}")
+        for i in range(1, 40)
+    ]
+    random.Random(perm_seed).shuffle(rows)
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    ).repartition(n_parts)
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cksum_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    from data_ingestion_pipeline_spark.operators.lakehouse_checks import (
+        table_checksum_orders,
+    )
+
+    got = table_checksum_orders(spark, d).collect()[0]
+    expected = 0
+    for k, ck, st_, p, t, pr in rows:
+        s = f"{k}|{ck}|{st_}|{p:.2f}|{t:%Y-%m-%d %H:%M:%S}|{pr}"
+        expected += int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+    assert got.n_rows == len(rows)
+    assert int(got.content_checksum) == expected
+
+
+# ---------------------------------------------------------------------------
+# Incremental MV refresh: merge-of-partials == full recompute on any split
+# ---------------------------------------------------------------------------
+
+@given(split_mod=st.integers(min_value=2, max_value=9))
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mv_partial_merge_equals_recompute(spark, split_mod):
+    """The monoid-merge identity behind incremental_mv_refresh_orders,
+    pinned for arbitrary stored/delta splits (not just %5)."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+    def agg(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("r"),
+        )
+
+    stored = agg(orders.filter(F.col("o_orderkey") % split_mod != 0))
+    delta = agg(orders.filter(F.col("o_orderkey") % split_mod == 0))
+    merged = (
+        stored.select("o_orderpriority", F.col("n").alias("n_a"), F.col("r").alias("r_a"))
+        .join(
+            delta.select("o_orderpriority", F.col("n").alias("n_b"), F.col("r").alias("r_b")),
+            "o_orderpriority",
+            "full_outer",
+        )
+        .select(
+            "o_orderpriority",
+            (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias("n"),
+            (
+                F.coalesce(F.col("r_a"), F.lit(0).cast("decimal(18,6)"))
+                + F.coalesce(F.col("r_b"), F.lit(0).cast("decimal(18,6)"))
+            ).alias("r"),
+        )
+    )
+    full = agg(orders)
+    m = {r.o_orderpriority: (r.n, r.r) for r in merged.collect()}
+    f = {r.o_orderpriority: (r.n, r.r) for r in full.collect()}
+    assert m == f
