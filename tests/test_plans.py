@@ -369,3 +369,47 @@ def test_encoding_advisor_runs_are_partition_local(spark):
     assert _unpartitioned_window_count(plan) == 0, (
         "encoding advisor regressed to an unpartitioned full-table window"
     )
+
+
+def test_vocab_coverage_broadcasts_vocab_and_cuts_topv(spark):
+    plan = _plan(spark, "vocab_coverage_documents")
+    assert "TakeOrderedAndProject" in plan, "vocab cut degraded to a full sort"
+    assert "BroadcastHashJoin" in plan, "vocab membership join lost its broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_winnowing_pairs_join_on_fingerprint_hash(spark):
+    """The pair step must be an equi-join on the fingerprint hash (the
+    LSH band-join shape) — never a nested-loop pair enumeration."""
+    plan = _plan(spark, "winnowing_near_copy_pairs_documents")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "hashpartitioning(fp" in plan or "BroadcastHashJoin" in plan
+
+
+def test_mcv_stats_single_scan_and_partitioned_rank(spark):
+    plan = _plan(spark, "mcv_stats_orders")
+    # one melt scan of orders for the counts side (plus the count(*) side)
+    assert plan.count("Scan parquet") <= 2
+    assert "hashpartitioning(column_name" in plan, "MCV rank window unpartitioned"
+
+
+def test_table_changes_single_key_join(spark):
+    plan = _plan(spark, "table_changes_versions")
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin FullOuter") + plan.count(
+        "ShuffledHashJoin FullOuter"
+    ) >= 1 or "FullOuter" in plan
+
+
+def test_checksum_is_one_scan_one_agg(spark):
+    plan = _plan(spark, "table_checksum_orders")
+    assert "partial" in plan, "checksum lost its map-side partial aggregation"
+    assert "Exchange SinglePartition" in plan  # the final 1-row merge only
+    assert plan.count("Scan parquet") == 1
+
+
+def test_ivfpq_no_cartesian_and_broadcast_probes(spark):
+    plan = _plan(spark, "ann_ivfpq_topk_embeddings")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "probe/refine joins lost broadcast"
