@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from data_ingestion_pipeline_spark.functions.numeric import dec_sum
 from data_ingestion_pipeline_spark.functions.partitioning import fan_out
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
@@ -44,6 +45,7 @@ __all__ = [
     "winnowing_fingerprints_documents",
     "winnowing_near_copy_pairs_documents",
     "vocab_coverage_documents",
+    "dsir_importance_documents",
 ]
 
 # Gopher §A1.1 thresholds, token-adapted (see module docstring)
@@ -534,5 +536,115 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(ROUND(CAST(COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS DOUBLE)
                   / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS oov_rate
 FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY doc_id
+"""
+
+
+DSIR_BUCKETS = 256
+
+
+def dsir_importance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., "Data
+    Selection for Language Models via Importance Resampling", NeurIPS
+    2023), the hashed-n-gram variant: score every document by how much it
+    resembles a TARGET distribution (here lang='en', the curation target)
+    relative to the full SOURCE corpus. Features are hashed token unigrams
+    (md5 → 256 buckets, the paper's hashed feature space); both bucket
+    distributions get Laplace smoothing; a document's log-importance is
+    Σ_b n_b(doc) · ln(p_target(b) / p_source(b)).
+
+    Scale shape: the two bucket distributions are 256-row aggregates
+    (broadcast); scoring is one (doc, bucket) aggregation joined against
+    them — shuffle ∝ distinct (doc, bucket) pairs, never corpus×vocab. At
+    100 TB this is exactly the DSIR pipeline: fit two hashed bags, then
+    one map-reduce scoring pass. Determinism: the ln of the smoothed
+    bigint ratio rounds to 9 decimals BEFORE the decimal sum (the
+    ``zipf_fit_tokens`` libm policy), so both engines sum identical terms.
+    """
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+        % DSIR_BUCKETS
+    ).alias("bucket")
+    tb = toks.select("doc_id", "lang", bucket)
+    src = tb.groupBy("bucket").agg(F.count("*").cast("bigint").alias("cs"))
+    tgt = (
+        tb.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+    )
+    ns = tb.count()
+    nt = tb.filter(F.col("lang") == "en").count()
+    # smoothed log ratio per bucket: ln(((ct+1)/(nt+B)) / ((cs+1)/(ns+B)))
+    # == ln((ct+1)·(ns+B) / ((cs+1)·(nt+B))) — a ratio of exact bigints
+    ratio = (
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+        * F.lit(float(ns + DSIR_BUCKETS))
+    ) / (
+        (F.col("cs") + 1).cast("double") * F.lit(float(nt + DSIR_BUCKETS))
+    )
+    logw = src.join(tgt, "bucket", "left").select(
+        "bucket", F.round(F.log(ratio), 9).alias("logw")
+    )
+    per = tb.groupBy("doc_id", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_b")
+    )
+    return (
+        per.join(F.broadcast(logw), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_b").cast("bigint").alias("n_tokens"),
+            dec_sum(F.col("n_b").cast("double") * F.col("logw"), 27, 12)
+            .cast("double")
+            .alias("log_importance_raw"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("log_importance_raw", 6)
+            .cast("double")
+            .alias("log_importance"),
+        )
+    )
+
+
+DSIR_IMPORTANCE_DOCUMENTS_ORACLE = rf"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           ('0x' || substr(md5(token), 1, 8))::BIGINT % {DSIR_BUCKETS} AS bucket
+    FROM (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ) WHERE token <> ''
+), src AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cs FROM toks GROUP BY bucket
+), tgt AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+    FROM toks WHERE lang = 'en' GROUP BY bucket
+), totals AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) + {DSIR_BUCKETS} AS ns_b,
+           CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS DOUBLE)
+               + {DSIR_BUCKETS} AS nt_b
+    FROM toks
+), logw AS (
+    SELECT bucket,
+           ROUND(ln((CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * ns_b)
+                    / (CAST(cs + 1 AS DOUBLE) * nt_b)), 9) AS logw
+    FROM src LEFT JOIN tgt USING (bucket), totals
+), per AS (
+    SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_b
+    FROM toks GROUP BY doc_id, bucket
+)
+SELECT doc_id, CAST(SUM(n_b) AS BIGINT) AS n_tokens,
+       CAST(ROUND(CAST(SUM(CAST(CAST(n_b AS DOUBLE) * logw
+                                AS DECIMAL(27,12))) AS DOUBLE), 6) AS DOUBLE)
+           AS log_importance
+FROM per JOIN logw USING (bucket)
 GROUP BY doc_id
 """

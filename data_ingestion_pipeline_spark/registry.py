@@ -137,6 +137,7 @@ _ROUND5_NEW: list[str] = [
     "vocab_coverage_documents",
     "rolling_corr_purchase_view_14d",
     "join_cardinality_estimate_orders_lineitem",
+    "dsir_importance_documents",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1042,6 +1043,12 @@ register(
     "join_cardinality_estimate_orders_lineitem",
     analytics_checks.join_cardinality_estimate_orders_lineitem,
     analytics_checks.JOIN_CARDINALITY_ESTIMATE_ORDERS_LINEITEM_ORACLE,
+)
+
+register(
+    "dsir_importance_documents",
+    corpus_quality.dsir_importance_documents,
+    corpus_quality.DSIR_IMPORTANCE_DOCUMENTS_ORACLE,
 )
 
 register(

@@ -123,3 +123,25 @@ def test_winnowing_pairs_find_every_planted_copy(spark):
     assert planted, "fixture must contain planted sources"
     for d in planted:
         assert (d, d + 1000000) in pairs, f"planted pair for doc {d} missed"
+
+
+def test_dsir_importance_separates_target_language(spark):
+    """DSIR with an lang='en' target must score English documents higher
+    on average than non-English ones — the selection property the method
+    exists for. (The fixture's languages use distinct token vocabularies,
+    so the hashed-unigram ratio separates them sharply.)"""
+    from data_ingestion_pipeline_spark.operators.corpus_quality import (
+        dsir_importance_documents,
+    )
+
+    scores = dsir_importance_documents(spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    j = scores.join(docs, "doc_id").groupBy(F.col("lang") == "en").agg(
+        F.avg(F.col("log_importance") / F.col("n_tokens")).alias("mean_per_tok")
+    )
+    got = {r[0]: r.mean_per_tok for r in j.collect()}
+    assert got[True] > got[False], (
+        f"target-language docs must score higher: {got}"
+    )
