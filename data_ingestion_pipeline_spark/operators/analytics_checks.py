@@ -53,6 +53,7 @@ __all__ = [
     "kendall_tau_daily_purchase_view",
     "theil_sen_daily_trend",
     "k_anonymity_report_events",
+    "dp_noisy_counts_events",
     "encoding_advisor_orders",
     "longest_streak_users",
     "abc_classification_parts",
@@ -2017,6 +2018,72 @@ FROM slopes
 # ---------------------------------------------------------------------------
 # Privacy: k-anonymity report over a quasi-identifier set
 # ---------------------------------------------------------------------------
+
+def dp_noisy_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differential-privacy release mechanism for the daily event-type
+    histogram: true counts + Laplace(Δf/ε) noise (Δf = 1 for counting
+    queries, ε = 1). The released relation is the NOISY counts only —
+    the privacy-tier complement to ``k_anonymity_report_events`` (which
+    audits a release; this one produces it).
+
+    The Laplace draw derives from an md5-seeded uniform per released cell
+    (u = (h+1)/(16¹³+2), the ``weighted_sample_documents`` construction;
+    noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|)) so the mechanism is exactly
+    reproducible cross-engine and the oracle can pin it — DETERMINISM IS
+    FOR TESTABILITY ONLY: a production release must draw from a real
+    entropy source (a seeded release is not private), which is a one-line
+    swap of the uniform. ln terms round to 9 decimals pre-arithmetic
+    (house libm policy). Map-side expression over the aggregated
+    histogram; no extra shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    eps = 1.0
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", "event_type", F.col("day").cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(16**13) + 2.0)
+    centered = u - F.lit(0.5)
+    lnterm = F.round(F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered)), 9)
+    noise = -F.signum(centered) * lnterm / F.lit(eps)
+    return counts.select(
+        "event_type",
+        "day",
+        F.round(F.col("n").cast("double") + noise, 3)
+        .cast("double")
+        .alias("noisy_count"),
+        F.lit(eps).alias("epsilon"),
+    )
+
+
+DP_NOISY_COUNTS_EVENTS_ORACLE = """
+WITH counts AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+), seeded AS (
+    SELECT event_type, day, n,
+           (CAST(('0x' || substr(md5(event_type || '|' ||
+                strftime(day, '%Y-%m-%d')), 1, 13))::BIGINT AS DOUBLE) + 1.0)
+               / 4503599627370498.0 AS u
+    FROM counts
+)
+SELECT event_type, day,
+       CAST(ROUND(CAST(n AS DOUBLE)
+                  - SIGN(u - 0.5)
+                    * ROUND(ln(1.0 - 2.0 * ABS(u - 0.5)), 9) / 1.0, 3)
+            AS DOUBLE) AS noisy_count,
+       1.0 AS epsilon
+FROM seeded
+"""
+
 
 def k_anonymity_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit of the events table under the quasi-identifier

@@ -138,6 +138,7 @@ _ROUND5_NEW: list[str] = [
     "rolling_corr_purchase_view_14d",
     "join_cardinality_estimate_orders_lineitem",
     "dsir_importance_documents",
+    "dp_noisy_counts_events",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1049,6 +1050,12 @@ register(
     "dsir_importance_documents",
     corpus_quality.dsir_importance_documents,
     corpus_quality.DSIR_IMPORTANCE_DOCUMENTS_ORACLE,
+)
+
+register(
+    "dp_noisy_counts_events",
+    analytics_checks.dp_noisy_counts_events,
+    analytics_checks.DP_NOISY_COUNTS_EVENTS_ORACLE,
 )
 
 register(
