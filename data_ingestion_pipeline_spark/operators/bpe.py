@@ -1,0 +1,197 @@
+"""Byte-pair-encoding merge training — the tokenizer-training core step
+(Sennrich et al., "Neural Machine Translation of Rare Words with Subword
+Units", ACL 2016), implemented exactly: N merge iterations over the corpus
+word-frequency table, each picking the globally most frequent adjacent
+symbol pair (ties by pair text ascending) and applying GREEDY LEFTMOST
+non-overlapping merges within every word.
+
+Scale shape — the part that matters at 100 TB: BPE training never touches
+the corpus after the first pass. The corpus-sized step is ONE word-count
+aggregation (``build_vocab_documents``'s shuffle); every iteration after
+that runs on the VOCABULARY-sized symbol-sequence relation (distinct words
+× word length rows — thousands, not billions). Per iteration: one pair
+aggregation + a 1-row TakeOrdered collect (the chosen merge is bounded
+driver state, same policy as the IVF/PQ centroid collects), then a
+map-side island/parity rewrite.
+
+The greedy-leftmost semantics is the subtle part: in a run of consecutive
+matching positions (e.g. ``aaaa`` merging ``a|a``), leftmost
+non-overlapping means positions at EVEN offsets from the run start merge
+and the rest don't. That's a gaps-and-islands window (consecutive match
+positions → island, offset parity within island) — exactly expressible in
+both engines, so the DuckDB oracle replays the identical unrolled
+iterations and the value hash pins every merge decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.sources.catalog import load_table
+
+__all__ = ["bpe_merges_documents", "BPE_MERGES_DOCUMENTS_ORACLE"]
+
+N_MERGES = 5
+
+
+def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+
+
+def _apply_merge(seq: DataFrame, a: str, b: str) -> DataFrame:
+    """One greedy-leftmost merge pass of pair (a, b) over the symbol
+    sequences: islands of consecutive match positions, even offsets merge,
+    the following position is consumed."""
+    wnd = Window.partitionBy("word").orderBy("pos")
+    nxt = F.lead("sym").over(wnd)
+    m = seq.withColumn(
+        "match",
+        (F.col("sym") == a) & (nxt == b),
+    )
+    # island id for match rows: pos − running count of matches so far
+    run = (
+        F.sum(F.col("match").cast("int"))
+        .over(wnd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    m = m.withColumn("grp", F.when(F.col("match"), F.col("pos") - run))
+    start = F.min(F.when(F.col("match"), F.col("pos"))).over(
+        Window.partitionBy("word", "grp")
+    )
+    m = m.withColumn(
+        "do_merge",
+        F.col("match") & (((F.col("pos") - start) % 2) == 0),
+    )
+    consumed = F.lag("do_merge").over(wnd)
+    # the merged text is sym||b from the match row itself (do_merge implies
+    # the following symbol equals b) — never a post-filter lead(), whose
+    # neighbors would already have shifted
+    return (
+        m.withColumn("consumed", F.coalesce(consumed, F.lit(False)))
+        .filter(~F.col("consumed"))
+        .select(
+            "word",
+            "w",
+            F.row_number().over(wnd).alias("pos"),
+            F.when(F.col("do_merge"), F.concat(F.col("sym"), F.lit(b)))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+
+
+def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 5 learned BPE merges over the corpus: (merge_rank, pair,
+    pair_count) — pair is 'a|b' and pair_count the frequency-weighted
+    occurrence count at selection time."""
+    wf = _word_freq(spark, sf_dir)
+    seq = wf.select(
+        "word",
+        "w",
+        F.posexplode(F.split("word", "")).alias("pos", "sym"),
+    ).filter(F.col("sym") != "")
+    results = []
+    for rank in range(1, N_MERGES + 1):
+        wnd = Window.partitionBy("word").orderBy("pos")
+        pairs = (
+            seq.withColumn("nxt", F.lead("sym").over(wnd))
+            .filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("w").cast("bigint").alias("pair_count"))
+        )
+        best = (
+            pairs.orderBy(
+                F.desc("pair_count"), F.asc("sym"), F.asc("nxt")
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["sym"], best[0]["nxt"], best[0]["pair_count"]
+        results.append((rank, f"{a}|{b}", cnt))
+        seq = _apply_merge(seq, a, b).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        results, "merge_rank int, pair string, pair_count bigint"
+    )
+
+
+def _bpe_oracle(n_merges: int = N_MERGES) -> str:
+    """Unrolled SQL replay of the identical iterations (the fixed iteration
+    count makes recursion unnecessary — each round is one CTE block)."""
+    head = r"""
+WITH wf AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS w FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents
+    ) WHERE word <> '' GROUP BY word
+), seq0 AS (
+    SELECT word, w, CAST(idx AS INT) AS pos, sym FROM (
+        SELECT word, w,
+               unnest(range(len(regexp_split_to_array(word, '')))) AS idx,
+               unnest(regexp_split_to_array(word, '')) AS sym
+        FROM wf
+    ) WHERE sym <> ''
+)"""
+    blocks = []
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        blocks.append(f"""
+, pairs{i} AS (
+    SELECT sym, nxt, CAST(SUM(w) AS BIGINT) AS pair_count FROM (
+        SELECT word, w, sym,
+               LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+        FROM seq{p}
+    ) WHERE nxt IS NOT NULL GROUP BY sym, nxt
+), best{i} AS (
+    SELECT sym AS a, nxt AS b, pair_count FROM pairs{i}
+    ORDER BY pair_count DESC, sym ASC, nxt ASC LIMIT 1
+), marked{i} AS (
+    SELECT s.word, s.w, s.pos, s.sym,
+           (s.sym = bb.a AND
+            LEAD(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = bb.b)
+               AS match
+    FROM seq{p} s CROSS JOIN best{i} bb
+), isl{i} AS (
+    SELECT word, w, pos, sym, match,
+           CASE WHEN match THEN pos - SUM(CASE WHEN match THEN 1 ELSE 0 END)
+               OVER (PARTITION BY word ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           END AS grp
+    FROM marked{i}
+), par{i} AS (
+    SELECT word, w, pos, sym, match, grp,
+           match AND (pos - MIN(CASE WHEN match THEN pos END)
+               OVER (PARTITION BY word, grp)) % 2 = 0 AS do_merge
+    FROM isl{i}
+), kept{i} AS (
+    SELECT word, w, pos, sym, do_merge FROM (
+        SELECT word, w, pos, sym, do_merge,
+               COALESCE(LAG(do_merge) OVER (
+                   PARTITION BY word ORDER BY pos), FALSE) AS consumed
+        FROM par{i}
+    ) WHERE NOT consumed
+), seq{i} AS (
+    SELECT word, w,
+           CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS INT)
+               AS pos,
+           CASE WHEN do_merge
+                THEN sym || (SELECT b FROM best{i}) ELSE sym END AS sym
+    FROM kept{i}
+)""")
+        # noqa: E501
+    tail = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS merge_rank, a || '|' || b AS pair,"
+        f" pair_count FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return head + "".join(blocks) + "\n" + tail
+
+
+BPE_MERGES_DOCUMENTS_ORACLE = _bpe_oracle()

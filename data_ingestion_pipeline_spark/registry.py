@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from data_ingestion_pipeline_spark.operators import (
     analytics_checks,
+    bpe,
     corpus_quality,
     evolution_checks,
     ingestion_checks,
@@ -139,6 +140,7 @@ _ROUND5_NEW: list[str] = [
     "join_cardinality_estimate_orders_lineitem",
     "dsir_importance_documents",
     "dp_noisy_counts_events",
+    "bpe_merges_documents",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1056,6 +1058,12 @@ register(
     "dp_noisy_counts_events",
     analytics_checks.dp_noisy_counts_events,
     analytics_checks.DP_NOISY_COUNTS_EVENTS_ORACLE,
+)
+
+register(
+    "bpe_merges_documents",
+    bpe.bpe_merges_documents,
+    bpe.BPE_MERGES_DOCUMENTS_ORACLE,
 )
 
 register(

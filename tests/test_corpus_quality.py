@@ -145,3 +145,50 @@ def test_dsir_importance_separates_target_language(spark):
     assert got[True] > got[False], (
         f"target-language docs must score higher: {got}"
     )
+
+
+def test_bpe_greedy_leftmost_overlap_semantics(spark):
+    """The island/parity rewrite must implement greedy LEFTMOST
+    non-overlapping merges — pinned against an inline reference on
+    pathological repeat-runs ('aaaa' merging a|a → two merges, 'aaa' →
+    one merge plus a trailing 'a')."""
+    from data_ingestion_pipeline_spark.operators.bpe import (
+        bpe_merges_documents,
+    )
+
+    rows = [
+        (1, "aaaa aaaa aaaa"),   # dominant pair a|a, even run
+        (2, "aaa aaa"),          # odd run: leftmost merge, trailing a
+        (3, "xy xy xy"),         # runner-up pair
+    ]
+    out = _run_on(spark, bpe_merges_documents, rows)
+    got = [(r.merge_rank, r.pair, r.pair_count) for r in out.orderBy("merge_rank").collect()]
+
+    def model(words, n):
+        seqs = {w: list(w) for w, _ in words}
+        freq = dict(words)
+        merges = []
+        for it in range(n):
+            pc = {}
+            for w, s in seqs.items():
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + freq[w]
+            if not pc:
+                break
+            best = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append((it + 1, best[0][0] + "|" + best[0][1], best[1]))
+            a, b = best[0]
+            for w, s in seqs.items():
+                o, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        o.append(s[i] + s[i + 1])
+                        i += 2
+                    else:
+                        o.append(s[i])
+                        i += 1
+                seqs[w] = o
+        return merges
+
+    words = [("aaaa", 3), ("aaa", 2), ("xy", 3)]
+    assert got == model(words, 5)
