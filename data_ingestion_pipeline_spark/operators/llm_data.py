@@ -63,6 +63,7 @@ __all__ = [
     "embedding_cosine_dedup",
     "embedding_lsh_near_dup",
     "cosine_topk_embeddings",
+    "hard_negative_mining_embeddings",
     "ann_lsh_topk_embeddings",
     "ann_ivf_topk_embeddings",
     "json_extract_events",
@@ -882,6 +883,52 @@ SELECT vec_id,
 FROM embeddings, q
 ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id
 LIMIT 20
+"""
+
+
+def hard_negative_mining_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard negative mining for retrieval/embedding training: for each
+    anchor query (vec_id 0/1/2), the vectors ranked 4..13 by exact cosine —
+    close enough to be informative negatives, but past the top-3 band that
+    is presumed positive/duplicate. This is the standard contrastive-
+    training data step (negatives too easy → no gradient; too hard → false
+    negatives), expressed as the brute-force ranking window with a rank
+    BAND filter instead of a head cut. Same exactness argument as
+    ``cosine_topk_embeddings`` (sequential double fold, bitwise
+    cross-engine); the rank semantics (score desc, vec_id asc) make the
+    band deterministic."""
+    from data_ingestion_pipeline_spark.similarity.brute_force import (
+        topk_cosine_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _ann_query_batch(emb)
+    ranked = topk_cosine_batch(emb, q, k=13)
+    return ranked.filter(F.col("rank") >= 4).select(
+        "query_id",
+        F.col("vec_id").alias("negative_id"),
+        "score",
+        "rank",
+    )
+
+
+HARD_NEGATIVE_MINING_EMBEDDINGS_ORACLE = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+    FROM embeddings WHERE vec_id IN (0, 1, 2)
+), ranked AS (
+    SELECT q.query_id, e.vec_id AS negative_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6)
+               AS score,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe)
+                            DESC, e.vec_id ASC
+           ) AS INT) AS rank
+    FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, negative_id, score, rank
+FROM ranked WHERE rank BETWEEN 4 AND 13
 """
 
 

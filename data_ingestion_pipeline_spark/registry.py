@@ -141,6 +141,7 @@ _ROUND5_NEW: list[str] = [
     "dsir_importance_documents",
     "dp_noisy_counts_events",
     "bpe_merges_documents",
+    "hard_negative_mining_embeddings",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1064,6 +1065,12 @@ register(
     "bpe_merges_documents",
     bpe.bpe_merges_documents,
     bpe.BPE_MERGES_DOCUMENTS_ORACLE,
+)
+
+register(
+    "hard_negative_mining_embeddings",
+    llm_data.hard_negative_mining_embeddings,
+    llm_data.HARD_NEGATIVE_MINING_EMBEDDINGS_ORACLE,
 )
 
 register(
