@@ -30,6 +30,8 @@ __all__ = [
     "regression_price_quantity_by_flag",
     "welch_ttest_purchase_view_daily",
     "markov_event_transitions",
+    "frequent_event_sequences",
+    "user_behavior_entropy",
     "interpolated_daily_user_value",
     "fuzzy_part_name_pairs",
     "pagerank_copurchase_parts",
@@ -236,6 +238,128 @@ FROM m
 # ---------------------------------------------------------------------------
 # First-order Markov transition matrix over event sequences
 # ---------------------------------------------------------------------------
+
+def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent consecutive event-type sequences of lengths 2
+    and 3 across per-user timelines — sequential-pattern mining in its
+    contiguous form (the PrefixSpan-lite every clickstream pipeline runs
+    before investing in the general miner). One per-user sort builds both
+    n-gram streams via lead(); counts are global aggregates over
+    (length, sequence) — a type-alphabet-bounded relation — and the
+    top-10 cut is sort-limit (TakeOrderedAndProject) then rank over the
+    10 survivors (the ``build_vocab_documents`` pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    led = ev.select(
+        F.col("event_type").alias("e0"),
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    )
+    seq2 = (
+        led.filter(F.col("e1").isNotNull())
+        .select(
+            F.lit(2).cast("int").alias("seq_len"),
+            F.concat_ws(">", "e0", "e1").alias("sequence"),
+        )
+    )
+    seq3 = (
+        led.filter(F.col("e2").isNotNull())
+        .select(
+            F.lit(3).cast("int").alias("seq_len"),
+            F.concat_ws(">", "e0", "e1", "e2").alias("sequence"),
+        )
+    )
+    counts = (
+        seq2.unionByName(seq3)
+        .groupBy("seq_len", "sequence")
+        .agg(F.count("*").cast("bigint").alias("n_occurrences"))
+    )
+    top = counts.orderBy(
+        F.desc("n_occurrences"), F.asc("seq_len"), F.asc("sequence")
+    ).limit(10)
+    # n_occurrences%1: non-foldable constant key — bounded 10-row rank
+    # window on WindowExec's partitioned path
+    pick = Window.partitionBy(F.col("n_occurrences") % 1).orderBy(
+        F.desc("n_occurrences"), F.asc("seq_len"), F.asc("sequence")
+    )
+    return top.withColumn(
+        "rnk", F.row_number().over(pick).cast("int")
+    ).select("rnk", "seq_len", "sequence", "n_occurrences")
+
+
+FREQUENT_EVENT_SEQUENCES_ORACLE = """
+WITH led AS (
+    SELECT event_type AS e0,
+           LEAD(event_type, 1) OVER w AS e1,
+           LEAD(event_type, 2) OVER w AS e2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), seqs AS (
+    SELECT CAST(2 AS INT) AS seq_len, e0 || '>' || e1 AS sequence
+    FROM led WHERE e1 IS NOT NULL
+    UNION ALL
+    SELECT 3, e0 || '>' || e1 || '>' || e2
+    FROM led WHERE e2 IS NOT NULL
+), counts AS (
+    SELECT seq_len, sequence, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM seqs GROUP BY seq_len, sequence
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, seq_len ASC,
+                               sequence ASC) AS INT) AS rnk,
+       seq_len, sequence, n_occurrences
+FROM counts
+QUALIFY rnk <= 10
+"""
+
+
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity feature (bots and single-purpose scripts sit near
+    0; exploratory users near ln(5)). Per-user type counts are one
+    aggregation; entropy = ln(n) − Σ c·ln(c)/n uses only integer counts
+    inside the ln (house libm policy: each ln of a bigint rounds to 9
+    decimals before the decimal sum, so both engines sum identical
+    terms)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    lnc = F.round(F.log(F.col("c").cast("double")), 9)
+    agg = per.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_types"),
+        dec_sum(F.col("c").cast("double") * lnc, 27, 12)
+        .cast("double")
+        .alias("s_clnc"),
+    )
+    lnn = F.round(F.log(F.col("n_events").cast("double")), 9)
+    ent = lnn - F.col("s_clnc") / F.col("n_events").cast("double")
+    return agg.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.round(ent, 6).cast("double").alias("entropy"),
+    )
+
+
+USER_BEHAVIOR_ENTROPY_ORACLE = """
+WITH per AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+), agg AS (
+    SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CAST(CAST(c AS DOUBLE) * ROUND(ln(CAST(c AS DOUBLE)), 9)
+                         AS DECIMAL(27,12))) AS DOUBLE) AS s_clnc
+    FROM per GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       CAST(ROUND(ROUND(ln(CAST(n_events AS DOUBLE)), 9)
+                  - s_clnc / CAST(n_events AS DOUBLE), 6) AS DOUBLE)
+           AS entropy
+FROM agg
+"""
+
 
 def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P(next event type | current) across per-user event sequences — the

@@ -142,6 +142,8 @@ _ROUND5_NEW: list[str] = [
     "dp_noisy_counts_events",
     "bpe_merges_documents",
     "hard_negative_mining_embeddings",
+    "frequent_event_sequences",
+    "user_behavior_entropy",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1071,6 +1073,18 @@ register(
     "hard_negative_mining_embeddings",
     llm_data.hard_negative_mining_embeddings,
     llm_data.HARD_NEGATIVE_MINING_EMBEDDINGS_ORACLE,
+)
+
+register(
+    "frequent_event_sequences",
+    analytics_checks.frequent_event_sequences,
+    analytics_checks.FREQUENT_EVENT_SEQUENCES_ORACLE,
+)
+
+register(
+    "user_behavior_entropy",
+    analytics_checks.user_behavior_entropy,
+    analytics_checks.USER_BEHAVIOR_ENTROPY_ORACLE,
 )
 
 register(
