@@ -31,6 +31,7 @@ __all__ = [
     "welch_ttest_purchase_view_daily",
     "markov_event_transitions",
     "frequent_event_sequences",
+    "sorted_neighborhood_pairs_parts",
     "user_behavior_entropy",
     "interpolated_daily_user_value",
     "fuzzy_part_name_pairs",
@@ -238,6 +239,135 @@ FROM m
 # ---------------------------------------------------------------------------
 # First-order Markov transition matrix over event sequences
 # ---------------------------------------------------------------------------
+
+def sorted_neighborhood_pairs_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sorted-neighborhood entity matching (Hernández & Stolfo, SIGMOD
+    1995): sort records by a fuzzy key (p_name), compare each record only
+    with its next w−1 = 3 neighbors in sort order, verify with
+    levenshtein ≤ 2. The complement of ``fuzzy_part_name_pairs``' hash
+    blocking: SNM catches near-keys that hash to different blocks but
+    sort adjacently.
+
+    Scale shape — the window NEVER runs globally: the table range-
+    partitions on the sort key (equal keys never straddle a range bound),
+    within-chunk neighbors come from chunk-local lead() windows, and
+    cross-chunk neighbors are reconstructed from a boundary relation of
+    each chunk's first/last w−1 rows (≤ 2(w−1)·chunks rows — the
+    ``encoding_advisor_orders`` stitch pattern; assumes chunks ≫ w, which
+    the chunk-count choice guarantees). The oracle replays the same
+    neighborhood with one global window — identical output, different
+    physical shape."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    w_size = 4
+    n_chunks = spark.sparkContext.defaultParallelism
+    chunked = part.repartitionByRange(n_chunks, "p_name").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wnd = Window.partitionBy("pid").orderBy("p_name", "p_partkey")
+    local = chunked.select(
+        "pid",
+        "p_partkey",
+        "p_name",
+        F.row_number().over(wnd).alias("rn"),
+        F.count("*").over(Window.partitionBy("pid")).alias("chunk_n"),
+        *[
+            F.struct(
+                F.lead("p_partkey", i).over(wnd).alias("k"),
+                F.lead("p_name", i).over(wnd).alias("nm"),
+            ).alias(f"nb{i}")
+            for i in range(1, w_size)
+        ],
+    )
+    within = None
+    for i in range(1, w_size):
+        pp = local.filter(F.col(f"nb{i}.k").isNotNull()).select(
+            F.col("p_partkey").alias("part_a"),
+            F.col("p_name").alias("name_a"),
+            F.col(f"nb{i}.k").alias("part_b"),
+            F.col(f"nb{i}.nm").alias("name_b"),
+        )
+        within = pp if within is None else within.unionByName(pp)
+    # boundary relation: first/last w-1 rows per chunk, ordered globally —
+    # cross-chunk neighbor pairs live entirely inside it
+    edge = local.filter(
+        (F.col("rn") <= w_size - 1)
+        | (F.col("rn") > F.col("chunk_n") - (w_size - 1))
+    ).select("pid", "p_partkey", "p_name", "rn", "chunk_n")
+    # pid%1: non-foldable constant key — the boundary window sees
+    # <= 2(w-1)·chunks rows in one group (bounded by construction)
+    bw = Window.partitionBy(F.col("pid") % 1).orderBy("p_name", "p_partkey")
+    cross = None
+    for i in range(1, w_size):
+        # adjacency in the boundary relation == global adjacency ONLY for
+        # pairs that span two chunks (interior rows are absent); same-pid
+        # pairs are already covered by the chunk-local pass
+        cc = (
+            edge.select(
+                "pid",
+                "p_partkey",
+                "p_name",
+                F.lead("pid", i).over(bw).alias("pid_b"),
+                F.lead("p_partkey", i).over(bw).alias("k_b"),
+                F.lead("p_name", i).over(bw).alias("nm_b"),
+                F.col("rn").alias("rn_a"),
+                F.col("chunk_n").alias("cn_a"),
+                F.lead("rn", i).over(bw).alias("rn_b"),
+            )
+            .filter(
+                F.col("k_b").isNotNull()
+                & (F.col("pid_b") != F.col("pid"))
+                # a is within w-1 of its chunk END, b within w-1 of its
+                # chunk START, and they are in ADJACENT chunks in the
+                # boundary ordering with gap <= w-1 overall: the lead(i)
+                # over the boundary relation equals global lead(i) exactly
+                # when every row between them is also a boundary row —
+                # true for end-of-p → start-of-p+1 spans
+                & (F.col("rn_a") > F.col("cn_a") - (w_size - 1))
+                & (F.col("rn_b") <= w_size - 1)
+            )
+            .select(
+                F.col("p_partkey").alias("part_a"),
+                F.col("p_name").alias("name_a"),
+                F.col("k_b").alias("part_b"),
+                F.col("nm_b").alias("name_b"),
+            )
+        )
+        cross = cc if cross is None else cross.unionByName(cc)
+    pairs = within.unionByName(cross)
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        pairs.filter(dist <= 2)
+        .select(
+            "part_a",
+            "part_b",
+            dist.cast("int").alias("name_dist"),
+        )
+    )
+
+
+SORTED_NEIGHBORHOOD_PAIRS_PARTS_ORACLE = """
+WITH ordered AS (
+    SELECT p_partkey, p_name FROM part
+), led AS (
+    SELECT p_partkey AS part_a, p_name AS name_a,
+           LEAD(p_partkey, 1) OVER w AS k1, LEAD(p_name, 1) OVER w AS n1,
+           LEAD(p_partkey, 2) OVER w AS k2, LEAD(p_name, 2) OVER w AS n2,
+           LEAD(p_partkey, 3) OVER w AS k3, LEAD(p_name, 3) OVER w AS n3
+    FROM ordered
+    WINDOW w AS (ORDER BY p_name, p_partkey)
+), pairs AS (
+    SELECT part_a, name_a, k1 AS part_b, n1 AS name_b FROM led WHERE k1 IS NOT NULL
+    UNION ALL
+    SELECT part_a, name_a, k2, n2 FROM led WHERE k2 IS NOT NULL
+    UNION ALL
+    SELECT part_a, name_a, k3, n3 FROM led WHERE k3 IS NOT NULL
+)
+SELECT part_a, part_b, CAST(levenshtein(name_a, name_b) AS INT) AS name_dist
+FROM pairs WHERE levenshtein(name_a, name_b) <= 2
+"""
+
 
 def frequent_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 most frequent consecutive event-type sequences of lengths 2

@@ -144,6 +144,7 @@ _ROUND5_NEW: list[str] = [
     "hard_negative_mining_embeddings",
     "frequent_event_sequences",
     "user_behavior_entropy",
+    "sorted_neighborhood_pairs_parts",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1085,6 +1086,12 @@ register(
     "user_behavior_entropy",
     analytics_checks.user_behavior_entropy,
     analytics_checks.USER_BEHAVIOR_ENTROPY_ORACLE,
+)
+
+register(
+    "sorted_neighborhood_pairs_parts",
+    analytics_checks.sorted_neighborhood_pairs_parts,
+    analytics_checks.SORTED_NEIGHBORHOOD_PAIRS_PARTS_ORACLE,
 )
 
 register(
