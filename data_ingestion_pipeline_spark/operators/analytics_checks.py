@@ -32,6 +32,7 @@ __all__ = [
     "markov_event_transitions",
     "frequent_event_sequences",
     "sorted_neighborhood_pairs_parts",
+    "adamic_adar_link_prediction_parts",
     "user_behavior_entropy",
     "interpolated_daily_user_value",
     "fuzzy_part_name_pairs",
@@ -239,6 +240,122 @@ FROM m
 # ---------------------------------------------------------------------------
 # First-order Markov transition matrix over event sequences
 # ---------------------------------------------------------------------------
+
+def adamic_adar_link_prediction_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adamic–Adar link prediction on the support≥2 co-purchase graph:
+    for part pairs NOT already linked, score Σ_z 1/ln(deg(z)) over common
+    neighbors z — the classic "who should be co-purchased next" metric
+    (Adamic & Adar 2003), top-20 by score.
+
+    Shape: the candidate pairs come from one 2-path equi-self-join of the
+    edge list ON THE MIDDLE NODE (fanout ∝ Σ deg², the standard common-
+    neighbor join — never an all-pairs comparison); existing edges drop
+    via a left anti-join; the per-pair score is one aggregation. The
+    1/ln(deg) weights attach to the middle node BEFORE the 2-path join
+    (a deg-count join on the small degree relation), and each ln rounds
+    to 9 decimals pre-sum (house libm policy). Top-20 cut is sort-limit
+    then rank over 20 survivors."""
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "l_orderkey"
+        )
+    )
+    a = po.select("l_orderkey", F.col("l_partkey").alias("s"))
+    b = po.select("l_orderkey", F.col("l_partkey").alias("t"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("s") < F.col("t"))
+        .groupBy("s", "t")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("s", "t")
+    )
+    edges = und.unionByName(und.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    deg = edges.groupBy(F.col("s").alias("z")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    wz = deg.filter(F.col("deg") >= 2).select(
+        "z",
+        (F.lit(1.0) / F.round(F.log(F.col("deg").cast("double")), 9)).alias(
+            "aa_w"
+        ),
+    )
+    # 2-paths u—z—v through each middle node z, carrying z's weight
+    eu = edges.select(F.col("t").alias("z"), F.col("s").alias("u"))
+    ev = edges.select(F.col("s").alias("z2"), F.col("t").alias("v"))
+    paths = (
+        eu.join(wz, "z")
+        .join(ev, F.col("z") == F.col("z2"))
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v", "aa_w")
+    )
+    scored = paths.groupBy("u", "v").agg(
+        F.count("*").cast("bigint").alias("n_common"),
+        F.round(dec_sum(F.col("aa_w"), 27, 12), 6).cast("double").alias("aa_score"),
+    )
+    nonlinked = scored.join(
+        und.select(F.col("s").alias("u"), F.col("t").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    top = nonlinked.orderBy(
+        F.desc("aa_score"), F.asc("u"), F.asc("v")
+    ).limit(20)
+    pick = Window.partitionBy(F.col("n_common") % 1).orderBy(
+        F.desc("aa_score"), F.asc("u"), F.asc("v")
+    )
+    return top.withColumn("rnk", F.row_number().over(pick).cast("int")).select(
+        "rnk",
+        F.col("u").alias("part_a"),
+        F.col("v").alias("part_b"),
+        "n_common",
+        "aa_score",
+    )
+
+
+ADAMIC_ADAR_LINK_PREDICTION_PARTS_ORACLE = """
+WITH po AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS (
+    SELECT a.l_partkey AS s, b.l_partkey AS t
+    FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), edges AS (
+    SELECT s, t FROM und UNION ALL SELECT t, s FROM und
+), deg AS (
+    SELECT s AS z, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY s
+), wz AS (
+    SELECT z, 1.0 / ROUND(ln(CAST(deg AS DOUBLE)), 9) AS aa_w
+    FROM deg WHERE deg >= 2
+), paths AS (
+    SELECT eu.u, ev.v, wz.aa_w
+    FROM (SELECT t AS z, s AS u FROM edges) eu
+    JOIN wz USING (z)
+    JOIN (SELECT s AS z, t AS v FROM edges) ev USING (z)
+    WHERE eu.u < ev.v
+), scored AS (
+    SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(ROUND(SUM(CAST(aa_w AS DECIMAL(27,12))), 6) AS DOUBLE)
+               AS aa_score
+    FROM paths GROUP BY u, v
+), nonlinked AS (
+    SELECT sc.* FROM scored sc
+    LEFT JOIN und ON und.s = sc.u AND und.t = sc.v
+    WHERE und.s IS NULL
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY aa_score DESC, u ASC, v ASC) AS INT)
+           AS rnk,
+       u AS part_a, v AS part_b, n_common, aa_score
+FROM nonlinked
+QUALIFY rnk <= 20
+"""
+
 
 def sorted_neighborhood_pairs_parts(
     spark: SparkSession, sf_dir: str

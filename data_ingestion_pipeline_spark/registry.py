@@ -145,6 +145,7 @@ _ROUND5_NEW: list[str] = [
     "frequent_event_sequences",
     "user_behavior_entropy",
     "sorted_neighborhood_pairs_parts",
+    "adamic_adar_link_prediction_parts",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1092,6 +1093,12 @@ register(
     "sorted_neighborhood_pairs_parts",
     analytics_checks.sorted_neighborhood_pairs_parts,
     analytics_checks.SORTED_NEIGHBORHOOD_PAIRS_PARTS_ORACLE,
+)
+
+register(
+    "adamic_adar_link_prediction_parts",
+    analytics_checks.adamic_adar_link_prediction_parts,
+    analytics_checks.ADAMIC_ADAR_LINK_PREDICTION_PARTS_ORACLE,
 )
 
 register(
