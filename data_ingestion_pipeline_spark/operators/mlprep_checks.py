@@ -26,6 +26,7 @@ from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
     "kmeans_assign_embeddings",
+    "target_encoding_loo_orders",
     "bigram_lm_doc_scores",
     "train_val_test_split_documents",
     "scrub_numeric_tokens_events",
@@ -46,6 +47,54 @@ EMBEDDING_DIM = 64  # fixture embedding width (TESTDATA.md; asserted in tests)
 # ---------------------------------------------------------------------------
 # K-means assignment step (one Lloyd iteration, data-derived centroids)
 # ---------------------------------------------------------------------------
+
+def target_encoding_loo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of o_orderpriority against
+    o_totalprice — the standard high-cardinality categorical encoding for
+    tabular ML, in its leakage-safe LOO form: each row's encoding is the
+    group mean EXCLUDING the row itself, (Σ_g − x)/(n_g − 1). One group
+    aggregation broadcast back onto the fact scan — no window, no second
+    shuffle; singleton groups yield NULL (no leak-free encoding exists).
+    Sums are exact decimal; the final ratio is one rounded double."""
+    orders = load_table(spark, sf_dir, "orders")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("s_g"),
+        F.count("*").cast("bigint").alias("n_g"),
+    )
+    loo = (
+        (F.col("s_g") - F.col("o_totalprice").cast("decimal(18,6)")).cast(
+            "double"
+        )
+        / (F.col("n_g") - 1).cast("double")
+    )
+    return (
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .join(F.broadcast(g), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(F.col("n_g") > 1, F.round(loo, 6))
+            .cast("double")
+            .alias("priority_te_loo"),
+        )
+    )
+
+
+TARGET_ENCODING_LOO_ORDERS_ORACLE = """
+WITH g AS (
+    SELECT o_orderpriority,
+           SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS s_g,
+           CAST(COUNT(*) AS BIGINT) AS n_g
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o_orderpriority,
+       CASE WHEN n_g > 1 THEN
+           CAST(ROUND(CAST(s_g - CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE)
+                      / CAST(n_g - 1 AS DOUBLE), 6) AS DOUBLE)
+       END AS priority_te_loo
+FROM orders JOIN g USING (o_orderpriority)
+"""
+
 
 def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every embedding to its nearest of K=8 centroids (the 8

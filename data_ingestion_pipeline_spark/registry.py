@@ -146,6 +146,7 @@ _ROUND5_NEW: list[str] = [
     "user_behavior_entropy",
     "sorted_neighborhood_pairs_parts",
     "adamic_adar_link_prediction_parts",
+    "target_encoding_loo_orders",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1099,6 +1100,12 @@ register(
     "adamic_adar_link_prediction_parts",
     analytics_checks.adamic_adar_link_prediction_parts,
     analytics_checks.ADAMIC_ADAR_LINK_PREDICTION_PARTS_ORACLE,
+)
+
+register(
+    "target_encoding_loo_orders",
+    mlprep_checks.target_encoding_loo_orders,
+    mlprep_checks.TARGET_ENCODING_LOO_ORDERS_ORACLE,
 )
 
 register(
