@@ -1,0 +1,188 @@
+"""In-engine classifier training and evaluation — the fastText-style
+"train a quality/language classifier on corpus features" step every
+curation pipeline eventually runs (CCNet/LLaMA-style quality filtering
+trains a linear classifier over cheap document features).
+
+Two operators:
+
+- ``logistic_quality_classifier_documents`` — batch gradient-descent
+  logistic regression (5 fixed full-batch steps, lr 0.1) predicting
+  lang='en' from two cheap features (scaled char count, mean word
+  length). Each step is ONE aggregation over the feature relation
+  (map-side partial sums); the 3 learned weights are bounded driver
+  state between steps (the ``kmeans_lloyd`` loop policy). Published
+  output: the weight vector after every step.
+- ``auc_lang_by_length_documents`` — exact ROC AUC of a scorer via the
+  rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) with average
+  ranks from the VALUE-GROUPED relation (the ``mann_whitney`` rank
+  construction — ties handled exactly, never a row-level sort).
+
+Cross-engine determinism: sigmoids round to 9 decimals BEFORE entering
+the decimal gradient sums (the house libm policy — exp/ln agree across
+engines well past 1e-9 for the bounded z range here); published weights
+round to 10 decimals and re-enter the next step as plan literals on both
+engines, so the oracle replays the identical unrolled training.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.functions.numeric import dec_sum
+from data_ingestion_pipeline_spark.sources.catalog import load_table
+
+__all__ = [
+    "logistic_quality_classifier_documents",
+    "auc_lang_by_length_documents",
+]
+
+N_STEPS = 5
+LR = 0.1
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n_words = F.size(toks)
+    return docs.select(
+        (F.col("lang") == "en").cast("int").cast("double").alias("y"),
+        (F.col("n_chars").cast("double") / 1000.0).alias("x1"),
+        (
+            F.col("n_chars").cast("double") / F.greatest(n_words, F.lit(1)).cast("double") / 10.0
+        ).alias("x2"),
+    )
+
+
+def logistic_quality_classifier_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(step, w0, w1, w2) after each of 5 full-batch GD steps from w=0."""
+    feats = _features(spark, sf_dir).localCheckpoint(eager=False)
+    w = [0.0, 0.0, 0.0]
+    rows = []
+    for step in range(1, N_STEPS + 1):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        sig = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+        err = sig - F.col("y")
+        g = feats.agg(
+            F.count("*").cast("double").alias("n"),
+            dec_sum(err, 27, 12).cast("double").alias("g0"),
+            dec_sum(err * F.col("x1"), 27, 12).cast("double").alias("g1"),
+            dec_sum(err * F.col("x2"), 27, 12).cast("double").alias("g2"),
+        ).collect()[0]
+        w = [
+            round(w[i] - LR * g[f"g{i}"] / g["n"], 10)
+            for i in range(3)
+        ]
+        rows.append((step, w[0], w[1], w[2]))
+    return spark.createDataFrame(
+        rows, "step int, w0 double, w1 double, w2 double"
+    )
+
+
+def _logistic_oracle(n_steps: int = N_STEPS) -> str:
+    head = r"""
+WITH feats AS (
+    SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+           CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+           CAST(n_chars AS DOUBLE)
+               / CAST(GREATEST(len(regexp_split_to_array(trim(text), '\s+')), 1)
+                      AS DOUBLE) / 10.0 AS x2
+    FROM documents
+), w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    blocks = []
+    for i in range(1, n_steps + 1):
+        p = i - 1
+        blocks.append(f"""
+, g{i} AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(e AS DECIMAL(27,12))) AS DOUBLE) AS g0,
+           CAST(SUM(CAST(e * x1 AS DECIMAL(27,12))) AS DOUBLE) AS g1,
+           CAST(SUM(CAST(e * x2 AS DECIMAL(27,12))) AS DOUBLE) AS g2
+    FROM (
+        SELECT x1, x2,
+               ROUND(1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2))), 9)
+                   - y AS e
+        FROM feats, w{p} w
+    )
+), w{i} AS (
+    SELECT ROUND(w.w0 - {LR} * g.g0 / g.n, 10) AS w0,
+           ROUND(w.w1 - {LR} * g.g1 / g.n, 10) AS w1,
+           ROUND(w.w2 - {LR} * g.g2 / g.n, 10) AS w2
+    FROM w{p} w, g{i} g
+)""")
+    tail = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS step, w0, w1, w2 FROM w{i}"
+        for i in range(1, n_steps + 1)
+    )
+    return head + "".join(blocks) + "\n" + tail
+
+
+LOGISTIC_QUALITY_CLASSIFIER_DOCUMENTS_ORACLE = _logistic_oracle()
+
+
+def auc_lang_by_length_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of n_chars as a ranking score for lang='en' — the
+    evaluation half of the classifier story, from the rank-sum identity
+    over the value-grouped relation (exact tie handling, no row sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.count(F.when(F.col("lang") == "en", 1)).cast("bigint").alias("t_pos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "cum_before", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("bigint")
+    ).withColumn(
+        "avg_rank",
+        F.col("cum_before").cast("double")
+        + (F.col("t").cast("double") + F.lit(1.0)) / F.lit(2.0),
+    )
+    s = ranked.agg(
+        F.sum("t_pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("t") - F.col("t_pos")).cast("bigint").alias("n_neg"),
+        F.sum(
+            (F.col("t_pos").cast("double") * F.col("avg_rank")).cast(
+                "decimal(27,6)"
+            )
+        )
+        .cast("double")
+        .alias("r_pos"),
+    )
+    np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    auc = (F.col("r_pos") - np_ * (np_ + 1.0) / 2.0) / (np_ * nn)
+    return s.select(
+        "n_pos", "n_neg", F.round(auc, 6).cast("double").alias("auc")
+    )
+
+
+AUC_LANG_BY_LENGTH_DOCUMENTS_ORACLE = """
+WITH g AS (
+    SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS t,
+           CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS t_pos
+    FROM documents GROUP BY n_chars
+), ranked AS (
+    SELECT t, t_pos,
+           CAST(COALESCE(SUM(t) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+    FROM g
+), s AS (
+    SELECT CAST(SUM(t_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(t - t_pos) AS BIGINT) AS n_neg,
+           CAST(SUM(CAST(CAST(t_pos AS DOUBLE) *
+                         (CAST(cum_before AS DOUBLE)
+                          + (CAST(t AS DOUBLE) + 1.0) / 2.0)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS r_pos
+    FROM ranked
+)
+SELECT n_pos, n_neg,
+       CAST(ROUND((r_pos - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0)
+                           / 2.0)
+                  / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6)
+            AS DOUBLE) AS auc
+FROM s
+"""

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from data_ingestion_pipeline_spark.operators import (
     analytics_checks,
     bpe,
+    classifier,
     corpus_quality,
     evolution_checks,
     ingestion_checks,
@@ -147,6 +148,8 @@ _ROUND5_NEW: list[str] = [
     "sorted_neighborhood_pairs_parts",
     "adamic_adar_link_prediction_parts",
     "target_encoding_loo_orders",
+    "logistic_quality_classifier_documents",
+    "auc_lang_by_length_documents",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1106,6 +1109,18 @@ register(
     "target_encoding_loo_orders",
     mlprep_checks.target_encoding_loo_orders,
     mlprep_checks.TARGET_ENCODING_LOO_ORDERS_ORACLE,
+)
+
+register(
+    "logistic_quality_classifier_documents",
+    classifier.logistic_quality_classifier_documents,
+    classifier.LOGISTIC_QUALITY_CLASSIFIER_DOCUMENTS_ORACLE,
+)
+
+register(
+    "auc_lang_by_length_documents",
+    classifier.auc_lang_by_length_documents,
+    classifier.AUC_LANG_BY_LENGTH_DOCUMENTS_ORACLE,
 )
 
 register(
