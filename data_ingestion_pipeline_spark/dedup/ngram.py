@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from data_ingestion_pipeline_spark.functions.partitioning import fan_out
 from data_ingestion_pipeline_spark.functions.text import tokens
 
-__all__ = ["shingle_sets", "jaccard_pairs"]
+__all__ = ["shingle_sets", "jaccard_pairs", "containment_pairs"]
 
 
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
@@ -79,6 +79,41 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
         df.select(F.col(id_col), tok.alias("_tok"))
         .select(F.col(id_col), F.array_distinct(win).alias("sset"))
         .withColumn("set_size", F.size("sset"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """DIRECTED pairs (id_a, id_b, containment) with
+    C(A→B) = |A∩B|/|A| ≥ threshold — Broder's asymmetric containment,
+    which catches "A is a fragment of B" (prefix copies, quoted excerpts,
+    chunk re-ingestion) that symmetric Jaccard dilutes: a 10%-of-B
+    fragment has J ≈ 0.1 but C(A→B) ≈ 1. Same inverted-index equi-join
+    shape as ``jaccard_pairs``; the size filter is one-sided
+    (|A∩B| ≤ |B| ⇒ C ≥ t requires |B| ≥ t·|A|)."""
+    sets = shingle_sets(df, text_col, id_col, n)
+    ex = sets.select(
+        F.col(id_col), F.col("set_size"), F.explode_outer("sset").alias("sh")
+    ).filter(F.col("sh").isNotNull())
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "sh")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "sh")
+    inter = (
+        a.join(b, ["sh"])
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("size_b").cast("double") >= F.col("size_a") * threshold)
+        )
+        .groupBy("id_a", "id_b", "size_a")
+        .agg(F.count("*").alias("n_common"))
+    )
+    c = F.col("n_common").cast("double") / F.col("size_a").cast("double")
+    return inter.filter(c >= threshold).select(
+        "id_a", "id_b", F.round(c, 6).alias("containment")
     )
 
 

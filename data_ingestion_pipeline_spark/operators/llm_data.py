@@ -58,6 +58,7 @@ __all__ = [
     "text_stats",
     "exact_dedup_documents",
     "ngram_jaccard_documents",
+    "ngram_containment_documents",
     "minhash_near_dup_documents",
     "simhash_near_dup_documents",
     "embedding_cosine_dedup",
@@ -228,6 +229,52 @@ def ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs on the planted corpus."""
     aug = _near_dup_corpus(load_table(spark, sf_dir, "documents"))
     return jaccard_pairs(aug, "text", "doc_id", n=3, threshold=0.4)
+
+
+def ngram_containment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs (directed) on the planted corpus:
+    C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ 0.9 — the
+    asymmetric fragment detector (``dedup/ngram.py::containment_pairs``).
+    Every planted 80%-prefix copy is contained in its source near-1.0
+    even when its symmetric Jaccard sits at ~0.8."""
+    aug = _near_dup_corpus(load_table(spark, sf_dir, "documents"))
+    from data_ingestion_pipeline_spark.dedup.ngram import containment_pairs
+
+    return containment_pairs(aug, "text", "doc_id", n=3, threshold=0.9)
+
+
+NGRAM_CONTAINMENT_DOCUMENTS_ORACLE = r"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), aug AS (
+    SELECT doc_id, toks FROM base
+    UNION ALL
+    SELECT doc_id + 1000000,
+           toks[1:GREATEST(CAST(CEIL(len(toks) * 0.8) AS INTEGER), 1)]
+    FROM base WHERE doc_id % 20 = 0
+), sets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, GREATEST(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+           )) AS sset
+    FROM aug
+), exploded AS (
+    SELECT doc_id, len(sset) AS sz, unnest(sset) AS shingle FROM sets
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS size_a,
+           COUNT(*) AS n_common
+    FROM exploded a JOIN exploded b USING (shingle)
+    WHERE a.doc_id <> b.doc_id
+      AND CAST(b.sz AS DOUBLE) >= a.sz * 0.9
+    GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_common AS DOUBLE) / CAST(size_a AS DOUBLE), 6)
+           AS containment
+FROM inter
+WHERE CAST(n_common AS DOUBLE) / CAST(size_a AS DOUBLE) >= 0.9
+"""
 
 
 def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -150,6 +150,7 @@ _ROUND5_NEW: list[str] = [
     "target_encoding_loo_orders",
     "logistic_quality_classifier_documents",
     "auc_lang_by_length_documents",
+    "ngram_containment_documents",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1121,6 +1122,12 @@ register(
     "auc_lang_by_length_documents",
     classifier.auc_lang_by_length_documents,
     classifier.AUC_LANG_BY_LENGTH_DOCUMENTS_ORACLE,
+)
+
+register(
+    "ngram_containment_documents",
+    llm_data.ngram_containment_documents,
+    llm_data.NGRAM_CONTAINMENT_DOCUMENTS_ORACLE,
 )
 
 register(
