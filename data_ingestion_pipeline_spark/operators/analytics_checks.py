@@ -33,6 +33,7 @@ __all__ = [
     "frequent_event_sequences",
     "sorted_neighborhood_pairs_parts",
     "adamic_adar_link_prediction_parts",
+    "cuped_adjusted_ab_events",
     "user_behavior_entropy",
     "interpolated_daily_user_value",
     "fuzzy_part_name_pairs",
@@ -240,6 +241,124 @@ FROM m
 # ---------------------------------------------------------------------------
 # First-order Markov transition matrix over event sequences
 # ---------------------------------------------------------------------------
+
+def cuped_adjusted_ab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013): each
+    user's post-period value (days 16-30) adjusts by their PRE-period
+    value (days 1-15) via Y′ = Y − θ(X − X̄), θ = cov(X,Y)/var(X) — the
+    industry-standard trick that shrinks experiment confidence intervals
+    using pre-experiment behavior. Groups are the deterministic md5 split
+    (``ab_test_session_value``'s construction). Everything is ratios of
+    exact decimal power sums over the per-user aggregate (user-sized, one
+    shuffle); the published row carries per-group adjusted means plus the
+    realized variance-reduction ratio 1 − var(Y′)/var(Y)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        dec_sum(
+            F.when(F.dayofmonth("ts") <= 15, F.col("value")), 27, 12
+        )
+        .cast("double")
+        .alias("x"),
+        dec_sum(
+            F.when(F.dayofmonth("ts") > 15, F.col("value")), 27, 12
+        )
+        .cast("double")
+        .alias("y"),
+    ).select(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10)
+            .cast("bigint")
+            % 2
+        )
+        .cast("int")
+        .alias("grp"),
+        F.coalesce("x", F.lit(0.0)).alias("x"),
+        F.coalesce("y", F.lit(0.0)).alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    stats = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(x, 38, 12).cast("double").alias("sx"),
+        dec_sum(y, 38, 12).cast("double").alias("sy"),
+        dec_sum(x * y, 38, 12).cast("double").alias("sxy"),
+        dec_sum(x * x, 38, 12).cast("double").alias("sxx"),
+    )
+    st = stats.collect()[0]
+    nd = float(st["n"])
+    theta = round(
+        (nd * st["sxy"] - st["sx"] * st["sy"]) / (nd * st["sxx"] - st["sx"] ** 2),
+        9,
+    )
+    mean_x = round(st["sx"] / nd, 9)
+    y_adj = y - F.lit(theta) * (x - F.lit(mean_x))
+    per_grp = per_user.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(dec_sum(y, 38, 12).cast("double") / F.count("*"), 6)
+        .cast("double")
+        .alias("mean_y"),
+        F.round(dec_sum(y_adj, 38, 12).cast("double") / F.count("*"), 6)
+        .cast("double")
+        .alias("mean_y_cuped"),
+        dec_sum(y * y, 38, 12).cast("double").alias("_syy"),
+        dec_sum(y, 38, 12).cast("double").alias("_sy"),
+        dec_sum(y_adj * y_adj, 38, 12).cast("double").alias("_saa"),
+        dec_sum(y_adj, 38, 12).cast("double").alias("_sa"),
+    )
+    ng = F.col("n_users").cast("double")
+    var_y = (ng * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+    var_a = (ng * F.col("_saa") - F.col("_sa") * F.col("_sa"))
+    return per_grp.select(
+        "grp",
+        "n_users",
+        "mean_y",
+        "mean_y_cuped",
+        F.round(F.lit(1.0) - var_a / var_y, 6)
+        .cast("double")
+        .alias("variance_reduction"),
+    ).orderBy("grp")
+
+
+CUPED_ADJUSTED_AB_EVENTS_ORACLE = """
+WITH per_user AS (
+    SELECT CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT % 2
+                AS INT) AS grp,
+           COALESCE(CAST(SUM(CASE WHEN EXTRACT(DAY FROM ts) <= 15
+                    THEN CAST(value AS DECIMAL(27,12)) END) AS DOUBLE), 0.0)
+               AS x,
+           COALESCE(CAST(SUM(CASE WHEN EXTRACT(DAY FROM ts) > 15
+                    THEN CAST(value AS DECIMAL(27,12)) END) AS DOUBLE), 0.0)
+               AS y
+    FROM events GROUP BY user_id
+), stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+    FROM per_user
+), params AS (
+    SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS theta,
+           ROUND(sx / n, 9) AS mean_x
+    FROM stats
+), adj AS (
+    SELECT grp, y, y - theta * (x - mean_x) AS ya FROM per_user, params
+)
+SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(ROUND(CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+                  / COUNT(*), 6) AS DOUBLE) AS mean_y,
+       CAST(ROUND(CAST(SUM(CAST(ya AS DECIMAL(38,12))) AS DOUBLE)
+                  / COUNT(*), 6) AS DOUBLE) AS mean_y_cuped,
+       CAST(ROUND(1.0 -
+           (COUNT(*) * CAST(SUM(CAST(ya * ya AS DECIMAL(38,12))) AS DOUBLE)
+            - CAST(SUM(CAST(ya AS DECIMAL(38,12))) AS DOUBLE)
+              * CAST(SUM(CAST(ya AS DECIMAL(38,12))) AS DOUBLE))
+           / (COUNT(*) * CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE)
+              - CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+                * CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE)), 6)
+            AS DOUBLE) AS variance_reduction
+FROM adj GROUP BY grp
+"""
+
 
 def adamic_adar_link_prediction_parts(
     spark: SparkSession, sf_dir: str

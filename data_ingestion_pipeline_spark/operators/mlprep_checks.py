@@ -27,6 +27,7 @@ from data_ingestion_pipeline_spark.sources.catalog import load_table
 __all__ = [
     "kmeans_assign_embeddings",
     "target_encoding_loo_orders",
+    "heaps_law_fit_documents",
     "bigram_lm_doc_scores",
     "train_val_test_split_documents",
     "scrub_numeric_tokens_events",
@@ -47,6 +48,119 @@ EMBEDDING_DIM = 64  # fixture embedding width (TESTDATA.md; asserted in tests)
 # ---------------------------------------------------------------------------
 # K-means assignment step (one Lloyd iteration, data-derived centroids)
 # ---------------------------------------------------------------------------
+
+def heaps_law_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law fit V(n) = K·n^β of vocabulary growth against corpus
+    size — the companion diagnostic to the Zipf fit: β far from ~0.5-0.8
+    signals template floods (β→0: vocabulary saturates) or noise/OCR junk
+    (β→1: every token new). Log-log OLS over per-document checkpoints.
+
+    Exact construction: a token's FIRST document is min(doc_id) over its
+    occurrences (one vocab-sized aggregate); cumulative vocabulary and
+    cumulative token counts are windows over the DOC-GRAIN relation
+    (≤ #documents rows — the day-series window posture, never the token
+    stream); each ln rounds to 9 decimals before the decimal power sums
+    (the ``zipf_fit_tokens`` libm policy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_toks")
+    )
+    first_doc = toks.groupBy("token").agg(F.min("doc_id").alias("doc_id"))
+    new_vocab = first_doc.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("new_types")
+    )
+    grain = per_doc.join(new_vocab, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grain.select(
+        F.sum("n_toks").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("new_types").over(w).cast("bigint").alias("cum_vocab"),
+    )
+    x = F.round(F.log(F.col("cum_tokens").cast("double")), 9)
+    y = F.round(F.log(F.col("cum_vocab").cast("double")), 9)
+    st = cum.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(x, 38, 12).cast("double").alias("sx"),
+        dec_sum(y, 38, 12).cast("double").alias("sy"),
+        dec_sum(x * y, 38, 12).cast("double").alias("sxy"),
+        dec_sum(x * x, 38, 12).cast("double").alias("sxx"),
+        dec_sum(y * y, 38, 12).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    beta = cov_n / varx_n
+    return st.select(
+        "n",
+        F.round(beta, 6).cast("double").alias("heaps_beta"),
+        F.round(F.exp((F.col("sy") - beta * F.col("sx")) / nd), 6)
+        .cast("double")
+        .alias("heaps_k"),
+        F.round((cov_n * cov_n) / (varx_n * vary_n), 6)
+        .cast("double")
+        .alias("r2"),
+    )
+
+
+HEAPS_LAW_FIT_DOCUMENTS_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ) WHERE token <> ''
+), per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks FROM toks GROUP BY doc_id
+), first_doc AS (
+    SELECT token, MIN(doc_id) AS doc_id FROM toks GROUP BY token
+), new_vocab AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS new_types
+    FROM first_doc GROUP BY doc_id
+), grain AS (
+    SELECT p.doc_id, p.n_toks, COALESCE(v.new_types, 0) AS new_types
+    FROM per_doc p LEFT JOIN new_vocab v USING (doc_id)
+), cum AS (
+    SELECT CAST(SUM(n_toks) OVER w AS BIGINT) AS cum_tokens,
+           CAST(SUM(new_types) OVER w AS BIGINT) AS cum_vocab
+    FROM grain
+    WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+), terms AS (
+    SELECT ROUND(ln(CAST(cum_tokens AS DOUBLE)), 9) AS x,
+           ROUND(ln(CAST(cum_vocab AS DOUBLE)), 9) AS y
+    FROM cum
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+    FROM terms
+)
+SELECT n,
+       CAST(ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS DOUBLE)
+           AS heaps_beta,
+       CAST(ROUND(exp((sy - (CAST(n AS DOUBLE) * sxy - sx * sy)
+                            / (CAST(n AS DOUBLE) * sxx - sx * sx) * sx)
+                      / CAST(n AS DOUBLE)), 6) AS DOUBLE) AS heaps_k,
+       CAST(ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                  / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS DOUBLE)
+           AS r2
+FROM s
+"""
+
 
 def target_encoding_loo_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out target encoding of o_orderpriority against

@@ -151,6 +151,8 @@ _ROUND5_NEW: list[str] = [
     "logistic_quality_classifier_documents",
     "auc_lang_by_length_documents",
     "ngram_containment_documents",
+    "cuped_adjusted_ab_events",
+    "heaps_law_fit_documents",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1128,6 +1130,18 @@ register(
     "ngram_containment_documents",
     llm_data.ngram_containment_documents,
     llm_data.NGRAM_CONTAINMENT_DOCUMENTS_ORACLE,
+)
+
+register(
+    "cuped_adjusted_ab_events",
+    analytics_checks.cuped_adjusted_ab_events,
+    analytics_checks.CUPED_ADJUSTED_AB_EVENTS_ORACLE,
+)
+
+register(
+    "heaps_law_fit_documents",
+    mlprep_checks.heaps_law_fit_documents,
+    mlprep_checks.HEAPS_LAW_FIT_DOCUMENTS_ORACLE,
 )
 
 register(
