@@ -34,6 +34,9 @@ __all__ = [
     "sorted_neighborhood_pairs_parts",
     "adamic_adar_link_prediction_parts",
     "cuped_adjusted_ab_events",
+    "l_diversity_report_events",
+    "fd_discovery_orders",
+    "fk_inclusion_audit",
     "user_behavior_entropy",
     "interpolated_daily_user_value",
     "fuzzy_part_name_pairs",
@@ -3411,4 +3414,379 @@ SELECT day,
        CAST(ROUND(CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
                   / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS bounce_rate
 FROM sessions GROUP BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# l-diversity release audit (companion to k_anonymity_report_events)
+# ---------------------------------------------------------------------------
+
+
+def l_diversity_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006) — the release
+    gate k-anonymity misses: a group can be large yet expose everyone in it
+    if all members share one sensitive value. Quasi-identifiers are
+    (event_type, ISO weekday) — k_anonymity_report_events' QI set minus the
+    bucket — and the sensitive attribute is the value bucket itself.
+    Reports distinct l-diversity (min #distinct sensitive values per QI
+    group, groups/rows below l=3) and ENTROPY l-diversity: the minimum over
+    groups of exp(H(sensitive)), the effective number of sensitive classes
+    an attacker faces. Two keyed aggregates; the entropy sum follows the
+    house decimal rule (per-(group,bucket) -p·ln p terms are
+    bitwise-deterministic doubles, summed exactly in DECIMAL(27,12)).
+    Weekday parity: Spark ``weekday()+1`` == DuckDB ``isodow()``."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        (F.weekday("ts") + F.lit(1)).cast("int").alias("dow"),
+        F.floor(F.col("value") / 50.0).cast("bigint").alias("sv"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    w_tot = Window.partitionBy("event_type", "dow")
+    with_tot = cells.withColumn("tot", F.sum("cnt").over(w_tot))
+    p = F.col("cnt").cast("double") / F.col("tot").cast("double")
+    groups = with_tot.groupBy("event_type", "dow").agg(
+        F.count("*").cast("bigint").alias("l_distinct"),
+        F.max("tot").cast("bigint").alias("n_rows"),
+        F.round(
+            F.exp(dec_sum(-p * F.log(p), 27, 12).cast("double")), 6
+        ).alias("entropy_l"),
+    )
+    return groups.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.min("l_distinct").cast("bigint").alias("l_min"),
+        F.count(F.when(F.col("l_distinct") < 3, 1))
+        .cast("bigint")
+        .alias("groups_below_3"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_distinct") < 3, F.col("n_rows")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.sum("n_rows").cast("double")
+            * 100.0,
+            6,
+        )
+        .cast("double")
+        .alias("pct_rows_below_3"),
+        F.min("entropy_l").cast("double").alias("entropy_l_min"),
+    )
+
+
+L_DIVERSITY_REPORT_EVENTS_ORACLE = """
+WITH cells AS (
+    SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
+           CAST(FLOOR(value / 50.0) AS BIGINT) AS sv,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2, 3
+), with_tot AS (
+    SELECT *, SUM(cnt) OVER (PARTITION BY event_type, dow) AS tot
+    FROM cells
+), groups AS (
+    SELECT event_type, dow,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct,
+           CAST(MAX(tot) AS BIGINT) AS n_rows,
+           ROUND(exp(CAST(SUM(CAST(
+               -(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+               * ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+               AS DECIMAL(27,12))) AS DOUBLE)), 6) AS entropy_l
+    FROM with_tot GROUP BY event_type, dow
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(MIN(l_distinct) AS BIGINT) AS l_min,
+       CAST(COUNT(CASE WHEN l_distinct < 3 THEN 1 END) AS BIGINT)
+           AS groups_below_3,
+       CAST(ROUND(CAST(SUM(CASE WHEN l_distinct < 3 THEN n_rows ELSE 0 END)
+                       AS DOUBLE)
+                  / CAST(SUM(n_rows) AS DOUBLE) * 100.0, 6) AS DOUBLE)
+           AS pct_rows_below_3,
+       CAST(MIN(entropy_l) AS DOUBLE) AS entropy_l_min
+FROM groups
+"""
+
+
+# ---------------------------------------------------------------------------
+# Data-profiling dependency discovery (Metanome-family)
+# ---------------------------------------------------------------------------
+
+
+def fd_discovery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency check over a fixed candidate set — the
+    schema-profiling primitive (TANE / Metanome family) that tells a
+    pipeline which columns are derivable before it normalizes or joins.
+    For each candidate LHS→RHS: #LHS groups, #groups seeing >1 distinct
+    RHS, and the g3 error (minimum rows to delete for the FD to hold =
+    n_rows − Σ per-group max RHS multiplicity — Kivinen & Mannila's
+    measure). Each candidate is one (LHS,RHS) count aggregate re-grouped
+    by LHS — two keyed shuffles per candidate on the profiled columns,
+    never a self-join; candidates union into one labeled report."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cands = [
+        ("orders: o_orderkey -> o_custkey", orders, ["o_orderkey"], "o_custkey"),
+        (
+            "orders: o_custkey -> o_orderpriority",
+            orders,
+            ["o_custkey"],
+            "o_orderpriority",
+        ),
+        (
+            "lineitem: l_orderkey -> l_returnflag",
+            lineitem,
+            ["l_orderkey"],
+            "l_returnflag",
+        ),
+        (
+            "lineitem: (l_orderkey,l_linenumber) -> l_partkey",
+            lineitem,
+            ["l_orderkey", "l_linenumber"],
+            "l_partkey",
+        ),
+    ]
+    parts = []
+    for label, tbl, lhs, rhs in cands:
+        cells = tbl.groupBy(*lhs, rhs).agg(F.count("*").cast("bigint").alias("cnt"))
+        groups = cells.groupBy(*lhs).agg(
+            F.count("*").cast("bigint").alias("n_rhs"),
+            F.max("cnt").cast("bigint").alias("max_cnt"),
+            F.sum("cnt").cast("bigint").alias("tot"),
+        )
+        parts.append(
+            groups.agg(
+                F.count("*").cast("bigint").alias("n_lhs_groups"),
+                F.count(F.when(F.col("n_rhs") > 1, 1))
+                .cast("bigint")
+                .alias("n_violating_groups"),
+                (F.sum("tot") - F.sum("max_cnt")).cast("bigint").alias("g3_rows"),
+                F.round(
+                    (F.sum("tot") - F.sum("max_cnt")).cast("double")
+                    / F.sum("tot").cast("double"),
+                    6,
+                )
+                .cast("double")
+                .alias("g3_error"),
+                (F.count(F.when(F.col("n_rhs") > 1, 1)) == 0).alias("holds"),
+            ).select(
+                F.lit(label).alias("candidate"),
+                "n_lhs_groups",
+                "n_violating_groups",
+                "g3_rows",
+                "g3_error",
+                "holds",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("candidate")
+
+
+FD_DISCOVERY_ORDERS_ORACLE = """
+WITH c1 AS (
+  SELECT o_orderkey AS k1, CAST(NULL AS BIGINT) AS k2, o_custkey::VARCHAR AS rhs
+  FROM orders
+), g1 AS (
+  SELECT k1, k2, rhs, CAST(COUNT(*) AS BIGINT) AS cnt FROM c1 GROUP BY 1,2,3
+), s1 AS (
+  SELECT 'orders: o_orderkey -> o_custkey' AS candidate,
+         CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+         CAST(COUNT(CASE WHEN n_rhs > 1 THEN 1 END) AS BIGINT)
+             AS n_violating_groups,
+         CAST(SUM(tot) - SUM(max_cnt) AS BIGINT) AS g3_rows,
+         CAST(ROUND(CAST(SUM(tot) - SUM(max_cnt) AS DOUBLE)
+                    / CAST(SUM(tot) AS DOUBLE), 6) AS DOUBLE) AS g3_error,
+         COUNT(CASE WHEN n_rhs > 1 THEN 1 END) = 0 AS holds
+  FROM (SELECT k1, k2, CAST(COUNT(*) AS BIGINT) AS n_rhs,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+               CAST(SUM(cnt) AS BIGINT) AS tot
+        FROM g1 GROUP BY k1, k2)
+), c2 AS (
+  SELECT o_custkey AS k1, CAST(NULL AS BIGINT) AS k2, o_orderpriority AS rhs
+  FROM orders
+), g2 AS (
+  SELECT k1, k2, rhs, CAST(COUNT(*) AS BIGINT) AS cnt FROM c2 GROUP BY 1,2,3
+), s2 AS (
+  SELECT 'orders: o_custkey -> o_orderpriority' AS candidate,
+         CAST(COUNT(*) AS BIGINT), CAST(COUNT(CASE WHEN n_rhs > 1 THEN 1 END) AS BIGINT),
+         CAST(SUM(tot) - SUM(max_cnt) AS BIGINT),
+         CAST(ROUND(CAST(SUM(tot) - SUM(max_cnt) AS DOUBLE)
+                    / CAST(SUM(tot) AS DOUBLE), 6) AS DOUBLE),
+         COUNT(CASE WHEN n_rhs > 1 THEN 1 END) = 0
+  FROM (SELECT k1, k2, CAST(COUNT(*) AS BIGINT) AS n_rhs,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+               CAST(SUM(cnt) AS BIGINT) AS tot
+        FROM g2 GROUP BY k1, k2)
+), c3 AS (
+  SELECT l_orderkey AS k1, CAST(NULL AS BIGINT) AS k2, l_returnflag AS rhs
+  FROM lineitem
+), g3t AS (
+  SELECT k1, k2, rhs, CAST(COUNT(*) AS BIGINT) AS cnt FROM c3 GROUP BY 1,2,3
+), s3 AS (
+  SELECT 'lineitem: l_orderkey -> l_returnflag' AS candidate,
+         CAST(COUNT(*) AS BIGINT), CAST(COUNT(CASE WHEN n_rhs > 1 THEN 1 END) AS BIGINT),
+         CAST(SUM(tot) - SUM(max_cnt) AS BIGINT),
+         CAST(ROUND(CAST(SUM(tot) - SUM(max_cnt) AS DOUBLE)
+                    / CAST(SUM(tot) AS DOUBLE), 6) AS DOUBLE),
+         COUNT(CASE WHEN n_rhs > 1 THEN 1 END) = 0
+  FROM (SELECT k1, k2, CAST(COUNT(*) AS BIGINT) AS n_rhs,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+               CAST(SUM(cnt) AS BIGINT) AS tot
+        FROM g3t GROUP BY k1, k2)
+), c4 AS (
+  SELECT l_orderkey AS k1, CAST(l_linenumber AS BIGINT) AS k2,
+         l_partkey::VARCHAR AS rhs
+  FROM lineitem
+), g4 AS (
+  SELECT k1, k2, rhs, CAST(COUNT(*) AS BIGINT) AS cnt FROM c4 GROUP BY 1,2,3
+), s4 AS (
+  SELECT 'lineitem: (l_orderkey,l_linenumber) -> l_partkey' AS candidate,
+         CAST(COUNT(*) AS BIGINT), CAST(COUNT(CASE WHEN n_rhs > 1 THEN 1 END) AS BIGINT),
+         CAST(SUM(tot) - SUM(max_cnt) AS BIGINT),
+         CAST(ROUND(CAST(SUM(tot) - SUM(max_cnt) AS DOUBLE)
+                    / CAST(SUM(tot) AS DOUBLE), 6) AS DOUBLE),
+         COUNT(CASE WHEN n_rhs > 1 THEN 1 END) = 0
+  FROM (SELECT k1, k2, CAST(COUNT(*) AS BIGINT) AS n_rhs,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+               CAST(SUM(cnt) AS BIGINT) AS tot
+        FROM g4 GROUP BY k1, k2)
+)
+SELECT * FROM s1 UNION ALL SELECT * FROM s2
+UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+ORDER BY candidate
+"""
+
+
+def fk_inclusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key) audit: for each candidate
+    child⊆parent pair, the distinct child-key count, orphan count (child
+    values absent from the parent), and containment share — the
+    referential-integrity profile run before trusting any join. Child
+    sides aggregate to DISTINCT keys FIRST (key-cardinality-sized), then
+    left-anti-join the parent key set — broadcast when the parent is a
+    dimension; the fact table is never joined raw. The events.user_id
+    candidate is deliberately includes-violations-if-any: an audit that
+    can only say 'holds' verifies nothing."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    events = load_table(spark, sf_dir, "events")
+    cands = [
+        (
+            "lineitem.l_orderkey <= orders.o_orderkey",
+            lineitem.select(F.col("l_orderkey").alias("k")),
+            orders.select(F.col("o_orderkey").alias("k")),
+            False,
+        ),
+        (
+            "orders.o_custkey <= customer.c_custkey",
+            orders.select(F.col("o_custkey").alias("k")),
+            customer.select(F.col("c_custkey").alias("k")),
+            True,
+        ),
+        (
+            "lineitem.l_partkey <= part.p_partkey",
+            lineitem.select(F.col("l_partkey").alias("k")),
+            part.select(F.col("p_partkey").alias("k")),
+            True,
+        ),
+        (
+            "lineitem.l_suppkey <= supplier.s_suppkey",
+            lineitem.select(F.col("l_suppkey").alias("k")),
+            supplier.select(F.col("s_suppkey").alias("k")),
+            True,
+        ),
+        (
+            "events.user_id <= customer.c_custkey",
+            events.select(F.col("user_id").alias("k")),
+            customer.select(F.col("c_custkey").alias("k")),
+            True,
+        ),
+    ]
+    parts = []
+    for label, child, parent, bcast in cands:
+        ck = child.filter(F.col("k").isNotNull()).distinct()
+        pk = parent.distinct()
+        orphans = ck.join(F.broadcast(pk) if bcast else pk, "k", "left_anti")
+        summary = ck.agg(
+            F.count("*").cast("bigint").alias("n_child_keys")
+        ).crossJoin(
+            orphans.agg(F.count("*").cast("bigint").alias("n_orphan_keys"))
+        )
+        parts.append(
+            summary.select(
+                F.lit(label).alias("candidate"),
+                "n_child_keys",
+                "n_orphan_keys",
+                F.round(
+                    (F.col("n_child_keys") - F.col("n_orphan_keys")).cast(
+                        "double"
+                    )
+                    / F.col("n_child_keys").cast("double")
+                    * 100.0,
+                    6,
+                )
+                .cast("double")
+                .alias("containment_pct"),
+                (F.col("n_orphan_keys") == 0).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("candidate")
+
+
+FK_INCLUSION_AUDIT_ORACLE = """
+WITH cands AS (
+  SELECT 'lineitem.l_orderkey <= orders.o_orderkey' AS candidate,
+         (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
+          WHERE l_orderkey IS NOT NULL) AS n_child_keys,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT DISTINCT l_orderkey AS k FROM lineitem
+             WHERE l_orderkey IS NOT NULL) c
+          WHERE NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.k))
+             AS n_orphan_keys
+  UNION ALL
+  SELECT 'orders.o_custkey <= customer.c_custkey',
+         (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+          WHERE o_custkey IS NOT NULL),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT DISTINCT o_custkey AS k FROM orders
+             WHERE o_custkey IS NOT NULL) c
+          WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.k))
+  UNION ALL
+  SELECT 'lineitem.l_partkey <= part.p_partkey',
+         (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+          WHERE l_partkey IS NOT NULL),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT DISTINCT l_partkey AS k FROM lineitem
+             WHERE l_partkey IS NOT NULL) c
+          WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.k))
+  UNION ALL
+  SELECT 'lineitem.l_suppkey <= supplier.s_suppkey',
+         (SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) FROM lineitem
+          WHERE l_suppkey IS NOT NULL),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT DISTINCT l_suppkey AS k FROM lineitem
+             WHERE l_suppkey IS NOT NULL) c
+          WHERE NOT EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.k))
+  UNION ALL
+  SELECT 'events.user_id <= customer.c_custkey',
+         (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+          WHERE user_id IS NOT NULL),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT DISTINCT user_id AS k FROM events
+             WHERE user_id IS NOT NULL) c
+          WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.k))
+)
+SELECT candidate, n_child_keys, n_orphan_keys,
+       CAST(ROUND(CAST(n_child_keys - n_orphan_keys AS DOUBLE)
+                  / CAST(n_child_keys AS DOUBLE) * 100.0, 6) AS DOUBLE)
+           AS containment_pct,
+       n_orphan_keys = 0 AS holds
+FROM cands ORDER BY candidate
 """

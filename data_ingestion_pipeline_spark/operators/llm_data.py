@@ -53,6 +53,8 @@ EMB_DIM = 64
 __all__ = [
     "doc_tokens_exploded",
     "tfidf_top_terms",
+    "bm25_search_documents",
+    "cdc_chunk_dedup_documents",
     "curation_pipeline_documents",
     "chunk_documents",
     "text_stats",
@@ -2197,4 +2199,272 @@ SELECT epoch, doc_id, shard,
        CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
                                ORDER BY order_key, doc_id) AS INT) AS pos_in_shard
 FROM keyed
+"""
+
+
+# ---------------------------------------------------------------------------
+# Okapi BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ["vector", "stream", "hash", "window", "merge"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson & Walker, SIGIR '94) for a
+    fixed 5-term query over the documents table — the length-normalized
+    saturation upgrade of ``tfidf_top_terms`` and the standard first-stage
+    retriever in every RAG / retrieval-augmented training-data stack.
+
+    Plan shape: the query-term IN-list filters the exploded token stream
+    BEFORE the (doc, term) aggregate, so tf is computed only for matching
+    tokens; df is a ≤5-row broadcast; dl (per-doc length) joins back on
+    doc_id. Per-term contributions use idf = ln(1 + (N-df+0.5)/(df+0.5))
+    with tf saturation tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)); the ≤5-term
+    per-doc score is an exact DECIMAL(27,12) sum of bitwise-deterministic
+    double terms (house rule), and the top-20 cut is orderBy().limit() —
+    TakeOrderedAndProject, never a global ranking window."""
+    from data_ingestion_pipeline_spark.functions.numeric import dec_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tokens = doc_tokens_exploded(spark, sf_dir).select("doc_id", "token")
+    dl = tokens.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    total_tokens = dl.agg(F.sum("dl").cast("bigint").alias("t")).collect()[0]["t"]
+    avgdl = F.lit(total_tokens).cast("double") / F.lit(n_docs).cast("double")
+    tf = (
+        tokens.filter(F.col("token").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs).cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    contrib = idf * (
+        tf_d
+        * (F.lit(BM25_K1) + F.lit(1.0))
+        / (
+            tf_d
+            + F.lit(BM25_K1)
+            * (F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * dl_d / avgdl)
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(dec_sum(contrib, 27, 12).cast("double"), 6).alias("bm25"),
+            F.count("*").cast("int").alias("n_terms_hit"),
+        )
+    )
+    top = scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(
+        BM25_TOP_K
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            # constant-valued but non-foldable partition key (n_terms_hit is
+            # a never-null count): bounded 20-row window stays on the
+            # partitioned WindowExec path (see build_vocab_documents)
+            Window.partitionBy(F.col("n_terms_hit") % 1).orderBy(
+                F.col("bm25").desc(), F.col("doc_id").asc()
+            )
+        )
+        .cast("int"),
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+BM25_SEARCH_DOCUMENTS_ORACLE = rf"""
+WITH tokens AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+), tok AS (
+  SELECT doc_id, token FROM tokens WHERE token <> ''
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_tokens
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+  WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                  / (CAST(df.df AS DOUBLE) + 0.5))
+         * (CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0)
+            / (CAST(tf.tf AS DOUBLE)
+               + {BM25_K1} * (1.0 - {BM25_B}
+                              + {BM25_B} * CAST(dl.dl AS DOUBLE)
+                                / (CAST(s.total_tokens AS DOUBLE)
+                                   / CAST(s.n_docs AS DOUBLE)))))
+             AS c
+  FROM tf JOIN df ON tf.token = df.token
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+), scored AS (
+  SELECT doc_id,
+         CAST(ROUND(CAST(SUM(CAST(c AS DECIMAL(27,12))) AS DOUBLE), 6)
+              AS DOUBLE) AS bm25,
+         CAST(COUNT(*) AS INT) AS n_terms_hit
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, bm25, n_terms_hit,
+       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank
+FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup
+# ---------------------------------------------------------------------------
+
+CDC_MOD = 8
+CDC_COPY_OFFSET = 1_000_000
+
+
+def cdc_chunk_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the LBFS/rsync/storage-dedup
+    technique): chunk boundaries come from the CONTENT (a token is a cut
+    point when its md5 prefix ≡ 0 mod 8, mean chunk ≈ 8 tokens), so a
+    prefix insertion or deletion shifts chunk FRAMES but not chunk
+    CONTENTS — exactly what fixed-stride chunking (``chunk_documents``)
+    cannot survive. The planted corpus proves it: every 20th document
+    gains a copy with its first three tokens dropped; fixed-stride chunks
+    of the copy all differ from the original's, while CDC chunks
+    re-synchronize at the first content boundary and match from there on.
+    Plan: one posexplode token stream, a per-doc running sum for chunk
+    ids (partitioned window, never global), one (doc, chunk) aggregate,
+    then chunk-hash groupBys — every shuffle keys on doc or hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    shifted = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(CDC_COPY_OFFSET)).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+\S+\s+\S+\s+", "").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(shifted)
+    toks = (
+        corpus.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("idx", "token"),
+        )
+        .filter(F.col("token") != "")
+        .withColumn(
+            "cut",
+            (
+                F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("bigint")
+                % CDC_MOD
+                == 0
+            ).cast("int"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = toks.withColumn(
+        "chunk_id", F.coalesce(F.sum("cut").over(w_prev), F.lit(0)).cast("bigint")
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "token"))),
+                    lambda s: s.getField("token"),
+                ),
+            )
+        ).alias("chunk_hash"),
+        F.count("*").cast("bigint").alias("chunk_len"),
+    )
+    by_hash = chunks.groupBy("chunk_hash").agg(
+        F.count("*").cast("bigint").alias("n_inst"),
+        F.max((F.col("doc_id") < CDC_COPY_OFFSET).cast("int")).alias("in_base"),
+        F.max((F.col("doc_id") >= CDC_COPY_OFFSET).cast("int")).alias("in_copy"),
+    )
+    totals = chunks.agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.round(
+            F.sum("chunk_len").cast("double") / F.count("*"), 6
+        ).alias("avg_chunk_len"),
+    )
+    uniq = by_hash.agg(
+        F.count("*").cast("bigint").alias("n_distinct_chunks"),
+        F.count(F.when((F.col("in_base") == 1) & (F.col("in_copy") == 1), 1))
+        .cast("bigint")
+        .alias("n_cross_copy_shared"),
+    )
+    n_docs = corpus.agg(F.count("*").cast("bigint").alias("n_docs"))
+    return (
+        n_docs.crossJoin(totals)
+        .crossJoin(uniq)
+        .select(
+            "n_docs",
+            "n_chunks",
+            "n_distinct_chunks",
+            (F.col("n_chunks") - F.col("n_distinct_chunks"))
+            .cast("bigint")
+            .alias("n_dup_chunk_instances"),
+            "n_cross_copy_shared",
+            "avg_chunk_len",
+        )
+    )
+
+
+CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE = rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CDC_COPY_OFFSET},
+         regexp_replace(text, '^\S+\s+\S+\s+\S+\s+', '')
+  FROM documents WHERE doc_id % 20 = 0
+), toks0 AS (
+  SELECT doc_id,
+         unnest(range(len(regexp_split_to_array(trim(text), '\s+')))) AS idx,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM corpus
+), toks AS (
+  SELECT doc_id, idx, token,
+         CASE WHEN ('0x' || substr(md5(token), 1, 4))::BIGINT % {CDC_MOD} = 0
+              THEN 1 ELSE 0 END AS cut
+  FROM toks0 WHERE token <> ''
+), chunked AS (
+  SELECT doc_id, idx, token,
+         CAST(COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS chunk_id
+  FROM toks
+), chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(token, ' ' ORDER BY idx)) AS chunk_hash,
+         CAST(COUNT(*) AS BIGINT) AS chunk_len
+  FROM chunked GROUP BY doc_id, chunk_id
+), by_hash AS (
+  SELECT chunk_hash,
+         MAX(CASE WHEN doc_id < {CDC_COPY_OFFSET} THEN 1 ELSE 0 END) AS in_base,
+         MAX(CASE WHEN doc_id >= {CDC_COPY_OFFSET} THEN 1 ELSE 0 END) AS in_copy
+  FROM chunks GROUP BY chunk_hash
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_docs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM chunks) AS n_chunks,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM by_hash) AS n_distinct_chunks,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM chunks)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM by_hash)
+           AS n_dup_chunk_instances,
+       (SELECT CAST(COUNT(CASE WHEN in_base = 1 AND in_copy = 1 THEN 1 END)
+                    AS BIGINT) FROM by_hash) AS n_cross_copy_shared,
+       (SELECT CAST(ROUND(CAST(SUM(chunk_len) AS DOUBLE) / COUNT(*), 6)
+                    AS DOUBLE) FROM chunks) AS avg_chunk_len
 """

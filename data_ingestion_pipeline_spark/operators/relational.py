@@ -31,6 +31,7 @@ __all__ = [
     "approx_distinct_users_daily",
     "revenue_rollup_brand_size",
     "set_ops_customer_segments",
+    "rfm_segments_customers",
     "top_revenue_orders",
     "event_type_pivot",
     "price_quantiles_by_priority",
@@ -1190,4 +1191,131 @@ SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM tagged
            JOIN (SELECT DISTINCT user_id FROM tagged WHERE is_weekend) b
            USING (user_id)) AS n_both,
        TRUE AS within_bound
+"""
+
+
+def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) — the
+    classic customer-base cut every CRM export starts from. Per-customer
+    R/F/M come from one orders aggregate; each dimension scores 1–5 by
+    ntile(5) (5 = most recent / most frequent / highest spend, custkey
+    tie-break) and a CASE maps score triples to the canonical segment
+    names. The three ntile windows are global BUT run over the aggregated
+    per-customer relation (dimension-sized, never the fact table) — the
+    same documented trade as ``customer_spend_deciles``, whose
+    ``_approx`` twin shows the sort-free boundary-broadcast alternative
+    that applies verbatim here at 100 TB. Published shape: one row per
+    segment with populations and decimal-exact dimension means."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count("*").cast("bigint").alias("frequency"),
+            dec_sum2(F.col("o_totalprice")).alias("monetary"),
+        )
+        .join(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor", "last_order").cast("int").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r = (
+        F.lit(6)
+        - F.ntile(5).over(
+            Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+        )
+    ).cast("int")
+    f_ = (
+        F.lit(6)
+        - F.ntile(5).over(
+            Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+        )
+    ).cast("int")
+    m = (
+        F.lit(6)
+        - F.ntile(5).over(
+            Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+        )
+    ).cast("int")
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        f_.alias("f_score"),
+        m.alias("m_score"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            F.lit("champions"),
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), F.lit("new"))
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), F.lit("at_risk"))
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") <= 2), F.lit("hibernating")
+        )
+        .otherwise(F.lit("core"))
+    )
+    return (
+        scored.groupBy(segment.alias("segment"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum("recency_days").cast("double") / F.count("*"), 6
+            ).alias("avg_recency_days"),
+            F.round(F.sum("frequency").cast("double") / F.count("*"), 6).alias(
+                "avg_frequency"
+            ),
+            F.round(
+                dec_sum(F.col("monetary"), 27, 6).cast("double") / F.count("*"), 6
+            ).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+RFM_SEGMENTS_CUSTOMERS_ORACLE = """
+WITH anchor AS (
+    SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor FROM orders
+), per_cust AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                          (SELECT anchor FROM anchor)) AS INT) AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS monetary
+    FROM orders GROUP BY o_custkey
+), scored AS (
+    SELECT *,
+           6 - NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC)
+               AS r_score,
+           6 - NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC)
+               AS f_score,
+           6 - NTILE(5) OVER (ORDER BY monetary DESC, o_custkey ASC)
+               AS m_score
+    FROM per_cust
+), labeled AS (
+    SELECT *,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                    THEN 'champions'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'core' END AS segment
+    FROM scored
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(recency_days) AS DOUBLE) / COUNT(*), 6)
+           AS avg_recency_days,
+       ROUND(CAST(SUM(frequency) AS DOUBLE) / COUNT(*), 6) AS avg_frequency,
+       ROUND(CAST(SUM(CAST(monetary AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_monetary
+FROM labeled GROUP BY segment ORDER BY segment
 """

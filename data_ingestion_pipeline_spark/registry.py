@@ -153,6 +153,12 @@ _ROUND5_NEW: list[str] = [
     "ngram_containment_documents",
     "cuped_adjusted_ab_events",
     "heaps_law_fit_documents",
+    "bm25_search_documents",
+    "l_diversity_report_events",
+    "rfm_segments_customers",
+    "fd_discovery_orders",
+    "fk_inclusion_audit",
+    "cdc_chunk_dedup_documents",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1636,6 +1642,42 @@ register(
     "table_diff_snapshots",
     lakehouse_checks.table_diff_snapshots,
     lakehouse_checks.TABLE_DIFF_SNAPSHOTS_ORACLE,
+)
+
+register(
+    "bm25_search_documents",
+    llm_data.bm25_search_documents,
+    llm_data.BM25_SEARCH_DOCUMENTS_ORACLE,
+)
+
+register(
+    "l_diversity_report_events",
+    analytics_checks.l_diversity_report_events,
+    analytics_checks.L_DIVERSITY_REPORT_EVENTS_ORACLE,
+)
+
+register(
+    "rfm_segments_customers",
+    relational.rfm_segments_customers,
+    relational.RFM_SEGMENTS_CUSTOMERS_ORACLE,
+)
+
+register(
+    "fd_discovery_orders",
+    analytics_checks.fd_discovery_orders,
+    analytics_checks.FD_DISCOVERY_ORDERS_ORACLE,
+)
+
+register(
+    "fk_inclusion_audit",
+    analytics_checks.fk_inclusion_audit,
+    analytics_checks.FK_INCLUSION_AUDIT_ORACLE,
+)
+
+register(
+    "cdc_chunk_dedup_documents",
+    llm_data.cdc_chunk_dedup_documents,
+    llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
 )
 
 # The transformWithStateInPandas check registers only where its python

@@ -413,3 +413,40 @@ def test_ivfpq_no_cartesian_and_broadcast_probes(spark):
     plan = _plan(spark, "ann_ivfpq_topk_embeddings")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, "probe/refine joins lost broadcast"
+
+
+def test_bm25_topk_is_take_ordered_and_broadcasts_df(spark):
+    """BM25's top-20 cut must be TakeOrderedAndProject (never a global rank
+    window over the scored corpus) and the ≤5-row df relation must ride a
+    broadcast join back onto tf."""
+    plan = _plan(spark, "bm25_search_documents")
+    assert "TakeOrderedAndProject" in plan, "bm25 lost its pre-rank top-k cut"
+    assert "BroadcastHashJoin" in plan, "bm25 df join lost its broadcast"
+    assert _unpartitioned_window_count(plan) == 0, (
+        "bm25 has a partition-less window"
+    )
+
+
+def test_cdc_chunk_windows_are_doc_partitioned(spark):
+    """CDC chunk-id running sums must partition by doc — a content-defined
+    chunker that global-sorts the token stream would be a scale-killer."""
+    plan = _plan(spark, "cdc_chunk_dedup_documents")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(doc_id" in plan, "chunk window lost doc partitioning"
+    assert _unpartitioned_window_count(plan) == 0
+
+
+def test_l_diversity_windows_are_qi_partitioned(spark):
+    plan = _plan(spark, "l_diversity_report_events")
+    assert _unpartitioned_window_count(plan) == 0, (
+        "l-diversity group-total window lost its QI partitioning"
+    )
+
+
+def test_fk_inclusion_audit_uses_anti_joins_on_distinct_keys(spark):
+    """Each containment check must be a left-anti join over DISTINCT child
+    keys (aggregate-then-join) — the raw fact table must never be the join
+    probe side."""
+    plan = _plan(spark, "fk_inclusion_audit")
+    assert "LeftAnti" in plan, "fk audit lost its anti-join shape"
+    assert "CartesianProduct" not in plan
