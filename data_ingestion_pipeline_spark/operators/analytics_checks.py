@@ -72,6 +72,10 @@ __all__ = [
     "value_drift_weekday_weekend",
     "weighted_median_price_by_flag",
     "bounce_rate_daily",
+    "t_closeness_report_events",
+    "js_divergence_event_types_weekpart",
+    "cramers_v_event_type_dow",
+    "ks_test_purchase_view",
 ]
 
 
@@ -3789,4 +3793,500 @@ SELECT candidate, n_child_keys, n_orphan_keys,
            AS containment_pct,
        n_orphan_keys = 0 AS holds
 FROM cands ORDER BY candidate
+"""
+
+
+# ---------------------------------------------------------------------------
+# t-closeness — third leg of the privacy-audit triad
+# ---------------------------------------------------------------------------
+
+def t_closeness_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    release gate l-diversity misses: a group can hold many distinct
+    sensitive values yet still leak if its distribution skews far from the
+    table-wide one. QI groups are (event_type, ISO weekday) — the same set
+    as ``l_diversity_report_events`` — and the ordered sensitive attribute
+    is the value bucket. Per group, Earth Mover's Distance with ordered
+    distance: EMD = Σᵢ |cum(P)ᵢ − cum(Q)ᵢ| / (m−1) over the m-bucket
+    domain, P the group and Q the global distribution.
+
+    Arithmetic is EXACT integers end-to-end: the cumulative-difference
+    numerator cum_p·gtot − cum_q·ptot is DECIMAL(38,0) (bigint would
+    overflow at ~1e12 rows), so the only float op is one final division —
+    the hash can never ride a summation order. Shuffle shape: one
+    fact-table aggregate to (QI × bucket) cells, then everything is
+    domain-sized (groups × m ≈ 35 × 10 rows); the per-group cum window is
+    partitioned by QI. Weekday parity: Spark ``weekday()+1`` == DuckDB
+    ``isodow()``."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.weekday("ts") + F.lit(1)).cast("int").alias("dow"),
+        F.floor(F.col("value") / 50.0).cast("bigint").alias("sv"),
+    )
+    cells = base.groupBy("event_type", "dow", "sv").agg(
+        F.count("*").cast("bigint").alias("pcnt")
+    )
+    glob = cells.groupBy("sv").agg(F.sum("pcnt").cast("bigint").alias("qcnt"))
+    gtot = glob.agg(
+        F.sum("qcnt").cast("bigint").alias("gtot"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    groups = cells.groupBy("event_type", "dow").agg(
+        F.sum("pcnt").cast("bigint").alias("ptot")
+    )
+    # dense (group × bucket) grid so missing cells contribute pcnt=0
+    filled = (
+        groups.crossJoin(F.broadcast(glob))
+        .join(cells, ["event_type", "dow", "sv"], "left")
+        .withColumn("pcnt", F.coalesce("pcnt", F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(gtot))
+    )
+    w = Window.partitionBy("event_type", "dow").orderBy("sv")
+    cum = filled.select(
+        "event_type",
+        "dow",
+        "ptot",
+        "gtot",
+        "m",
+        F.sum("pcnt").over(w).alias("cum_p"),
+        F.sum("qcnt").over(w).alias("cum_q"),
+    )
+    num = F.abs(
+        F.col("cum_p").cast("decimal(19,0)") * F.col("gtot").cast("decimal(19,0)")
+        - F.col("cum_q").cast("decimal(19,0)") * F.col("ptot").cast("decimal(19,0)")
+    )
+    per_group = cum.groupBy("event_type", "dow", "ptot", "gtot", "m").agg(
+        F.sum(num).alias("emd_num")
+    )
+    emd = F.round(
+        F.col("emd_num").cast("double")
+        / (
+            (F.col("m").cast("double") - F.lit(1.0))
+            * F.col("ptot").cast("double")
+            * F.col("gtot").cast("double")
+        ),
+        6,
+    ).cast("double")
+    scored = per_group.select(
+        "event_type", "dow", "ptot", F.col("m").alias("m"), emd.alias("emd")
+    )
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.max("m").cast("bigint").alias("m_buckets"),
+        F.max("emd").cast("double").alias("t_max"),
+        F.round(
+            dec_sum(F.col("emd") * F.col("ptot").cast("double"), 27, 12)
+            .cast("double")
+            / F.sum("ptot").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("t_row_weighted_mean"),
+        F.count(F.when(F.col("emd") > 0.2, 1)).cast("bigint").alias(
+            "groups_above_02"
+        ),
+        F.round(
+            F.sum(F.when(F.col("emd") > 0.2, F.col("ptot")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("ptot").cast("double")
+            * 100.0,
+            6,
+        )
+        .cast("double")
+        .alias("pct_rows_above_02"),
+    )
+
+
+T_CLOSENESS_REPORT_EVENTS_ORACLE = """
+WITH base AS (
+    SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
+           CAST(FLOOR(value / 50.0) AS BIGINT) AS sv
+    FROM events
+), cells AS (
+    SELECT event_type, dow, sv, CAST(COUNT(*) AS BIGINT) AS pcnt
+    FROM base GROUP BY 1, 2, 3
+), gdist AS (
+    SELECT sv, CAST(SUM(pcnt) AS BIGINT) AS qcnt FROM cells GROUP BY sv
+), gtot AS (
+    SELECT CAST(SUM(qcnt) AS BIGINT) AS gtot,
+           CAST(COUNT(*) AS BIGINT) AS m
+    FROM gdist
+), groups AS (
+    SELECT event_type, dow, CAST(SUM(pcnt) AS BIGINT) AS ptot
+    FROM cells GROUP BY 1, 2
+), filled AS (
+    SELECT g.event_type, g.dow, gl.sv, gl.qcnt, g.ptot,
+           CAST(COALESCE(c.pcnt, 0) AS BIGINT) AS pcnt
+    FROM groups g CROSS JOIN gdist gl
+    LEFT JOIN cells c
+      ON c.event_type = g.event_type AND c.dow = g.dow AND c.sv = gl.sv
+), cum AS (
+    SELECT event_type, dow, ptot, gtot.gtot, gtot.m,
+           SUM(pcnt) OVER (PARTITION BY event_type, dow ORDER BY sv) AS cum_p,
+           SUM(qcnt) OVER (PARTITION BY event_type, dow ORDER BY sv) AS cum_q
+    FROM filled CROSS JOIN gtot
+), per_group AS (
+    SELECT event_type, dow, ptot, gtot, m,
+           SUM(ABS(CAST(cum_p AS DECIMAL(19,0)) * CAST(gtot AS DECIMAL(19,0))
+                   - CAST(cum_q AS DECIMAL(19,0)) * CAST(ptot AS DECIMAL(19,0))))
+               AS emd_num
+    FROM cum GROUP BY 1, 2, 3, 4, 5
+), scored AS (
+    SELECT event_type, dow, ptot, m,
+           CAST(ROUND(CAST(emd_num AS DOUBLE)
+                      / ((CAST(m AS DOUBLE) - 1.0)
+                         * CAST(ptot AS DOUBLE) * CAST(gtot AS DOUBLE)), 6)
+                AS DOUBLE) AS emd
+    FROM per_group
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MAX(m) AS BIGINT) AS m_buckets,
+       CAST(MAX(emd) AS DOUBLE) AS t_max,
+       CAST(ROUND(CAST(SUM(CAST(emd * CAST(ptot AS DOUBLE)
+                                AS DECIMAL(27,12))) AS DOUBLE)
+                  / CAST(SUM(ptot) AS DOUBLE), 6) AS DOUBLE)
+           AS t_row_weighted_mean,
+       CAST(COUNT(CASE WHEN emd > 0.2 THEN 1 END) AS BIGINT)
+           AS groups_above_02,
+       CAST(ROUND(CAST(SUM(CASE WHEN emd > 0.2 THEN ptot ELSE 0 END)
+                       AS DOUBLE)
+                  / CAST(SUM(ptot) AS DOUBLE) * 100.0, 6) AS DOUBLE)
+           AS pct_rows_above_02
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence — distribution drift between event populations
+# ---------------------------------------------------------------------------
+
+def js_divergence_event_types_weekpart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the weekday and weekend
+    event-type distributions — the bounded, symmetric drift metric (0 ≤
+    JSD ≤ ln 2) monitoring pipelines prefer over raw KL (which is
+    asymmetric and infinite on disjoint support). P = weekday mix, Q =
+    weekend mix, M = (P+Q)/2; JSD = ½ΣP ln(P/M) + ½ΣQ ln(Q/M).
+
+    Determinism follows the ``copurchase_lift_parts`` libm rule: P, Q, M
+    are exact bigint-ratio doubles (identical on both engines), each
+    ln(·) output is rounded to 9 decimals BEFORE multiplying by the exact
+    probability, and the per-type terms sum in decimal. Zero-support types
+    contribute exactly 0 via the guard. Scale: one fact aggregate to
+    (type × weekpart) cells (~10 rows); everything downstream is
+    type-count sized. Weekpart parity: Spark ``weekday() < 5`` == DuckDB
+    ``isodow() <= 5``."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.weekday("ts") < 5).cast("int").alias("is_wd")
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    per_type = cells.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_wd") == 1, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("c_wd"),
+        F.sum(F.when(F.col("is_wd") == 0, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("c_we"),
+    )
+    tot = Window.partitionBy()
+    p = F.col("c_wd").cast("double") / F.sum("c_wd").over(tot).cast("double")
+    q = F.col("c_we").cast("double") / F.sum("c_we").over(tot).cast("double")
+    m = (p + q) / F.lit(2.0)
+    term_p = F.when(p > 0, p * F.round(F.log(p / m), 9)).otherwise(F.lit(0.0))
+    term_q = F.when(q > 0, q * F.round(F.log(q / m), 9)).otherwise(F.lit(0.0))
+    terms = per_type.select(
+        "event_type", term_p.alias("tp"), term_q.alias("tq")
+    )
+    js = (
+        dec_sum(F.col("tp"), 27, 12).cast("double")
+        + dec_sum(F.col("tq"), 27, 12).cast("double")
+    ) / F.lit(2.0)
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.round(js, 6).cast("double").alias("jsd_nats"),
+        F.round(js / F.lit(0.6931471805599453), 6)
+        .cast("double")
+        .alias("jsd_bits"),
+    )
+
+
+JS_DIVERGENCE_EVENT_TYPES_WEEKPART_ORACLE = """
+WITH cells AS (
+    SELECT event_type,
+           CASE WHEN isodow(ts) <= 5 THEN 1 ELSE 0 END AS is_wd,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+), per_type AS (
+    SELECT event_type,
+           CAST(SUM(CASE WHEN is_wd = 1 THEN cnt ELSE 0 END) AS BIGINT) AS c_wd,
+           CAST(SUM(CASE WHEN is_wd = 0 THEN cnt ELSE 0 END) AS BIGINT) AS c_we
+    FROM cells GROUP BY event_type
+), probs AS (
+    SELECT event_type,
+           CAST(c_wd AS DOUBLE) / CAST(SUM(c_wd) OVER () AS DOUBLE) AS p,
+           CAST(c_we AS DOUBLE) / CAST(SUM(c_we) OVER () AS DOUBLE) AS q
+    FROM per_type
+), terms AS (
+    SELECT event_type,
+           CASE WHEN p > 0
+                THEN p * ROUND(ln(p / ((p + q) / 2.0)), 9) ELSE 0.0 END AS tp,
+           CASE WHEN q > 0
+                THEN q * ROUND(ln(q / ((p + q) / 2.0)), 9) ELSE 0.0 END AS tq
+    FROM probs
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(ROUND((CAST(SUM(CAST(tp AS DECIMAL(27,12))) AS DOUBLE)
+                   + CAST(SUM(CAST(tq AS DECIMAL(27,12))) AS DOUBLE)) / 2.0, 6)
+            AS DOUBLE) AS jsd_nats,
+       CAST(ROUND((CAST(SUM(CAST(tp AS DECIMAL(27,12))) AS DOUBLE)
+                   + CAST(SUM(CAST(tq AS DECIMAL(27,12))) AS DOUBLE)) / 2.0
+                  / 0.6931471805599453, 6) AS DOUBLE) AS jsd_bits
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V — bounded association strength for two categoricals
+# ---------------------------------------------------------------------------
+
+def cramers_v_event_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between event_type and ISO weekday — the [0,1]-bounded
+    association coefficient that makes ``chi_square_event_dow``'s raw χ²
+    comparable across tables of different size and shape, plus the
+    Bergsma (2013) bias-corrected variant that de-noises small-sample
+    readings. χ² follows the chi-square operator's exact pattern (cell
+    terms from bigint marginals, decimal fold); V and Ṽ derive from the
+    ROUNDED χ² so the sqrt can never ride a summation ulp. Scale: one
+    fact aggregate to the r×c contingency table (~35 rows); marginals are
+    window sums over that aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.weekday("ts") + F.lit(1)).cast("int").alias("isodow")
+    ).agg(F.count("*").cast("bigint").alias("obs"))
+    row_t = Window.partitionBy("event_type")
+    col_t = Window.partitionBy("isodow")
+    grand = Window.partitionBy()
+    exp = (
+        F.sum("obs").over(row_t).cast("double")
+        * F.sum("obs").over(col_t).cast("double")
+        / F.sum("obs").over(grand).cast("double")
+    )
+    term = (F.col("obs").cast("double") - exp) * (
+        F.col("obs").cast("double") - exp
+    ) / exp
+    terms = cells.select(
+        term.alias("term"),
+        "obs",
+        F.col("event_type"),
+        F.col("isodow"),
+    )
+    s = terms.agg(
+        F.round(dec_sum(F.col("term"), 27, 12), 6).cast("double").alias("chi2"),
+        F.sum("obs").cast("bigint").alias("n_rows"),
+        F.countDistinct("event_type").cast("bigint").alias("r"),
+        F.countDistinct("isodow").cast("bigint").alias("c"),
+    )
+    nd = F.col("n_rows").cast("double")
+    rd = F.col("r").cast("double")
+    cd = F.col("c").cast("double")
+    k_min = F.least(rd, cd)
+    phi2 = F.col("chi2") / nd
+    # Bergsma bias correction: phi2' = max(0, phi2 - (r-1)(c-1)/(n-1)),
+    # r' = r - (r-1)^2/(n-1), c' likewise; V~ = sqrt(phi2'/min(r'-1, c'-1))
+    phi2c = F.greatest(
+        F.lit(0.0), phi2 - (rd - 1) * (cd - 1) / (nd - 1)
+    )
+    rc = rd - (rd - 1) * (rd - 1) / (nd - 1)
+    cc = cd - (cd - 1) * (cd - 1) / (nd - 1)
+    return s.select(
+        "n_rows",
+        "r",
+        "c",
+        "chi2",
+        F.round(F.sqrt(phi2 / (k_min - 1)), 6).cast("double").alias("cramers_v"),
+        F.round(F.sqrt(phi2c / (F.least(rc, cc) - 1)), 6)
+        .cast("double")
+        .alias("cramers_v_corrected"),
+    )
+
+
+CRAMERS_V_EVENT_TYPE_DOW_ORACLE = """
+WITH cells AS (
+    SELECT event_type, CAST(isodow(ts) AS INTEGER) AS isodow,
+           CAST(COUNT(*) AS BIGINT) AS obs
+    FROM events GROUP BY 1, 2
+), terms AS (
+    SELECT obs, event_type, isodow,
+           (CAST(obs AS DOUBLE)
+            - CAST(SUM(obs) OVER (PARTITION BY event_type) AS DOUBLE)
+              * CAST(SUM(obs) OVER (PARTITION BY isodow) AS DOUBLE)
+              / CAST(SUM(obs) OVER () AS DOUBLE))
+           * (CAST(obs AS DOUBLE)
+              - CAST(SUM(obs) OVER (PARTITION BY event_type) AS DOUBLE)
+                * CAST(SUM(obs) OVER (PARTITION BY isodow) AS DOUBLE)
+                / CAST(SUM(obs) OVER () AS DOUBLE))
+           / (CAST(SUM(obs) OVER (PARTITION BY event_type) AS DOUBLE)
+              * CAST(SUM(obs) OVER (PARTITION BY isodow) AS DOUBLE)
+              / CAST(SUM(obs) OVER () AS DOUBLE)) AS term
+    FROM cells
+), s AS (
+    SELECT CAST(ROUND(SUM(CAST(term AS DECIMAL(27,12))), 6) AS DOUBLE) AS chi2,
+           CAST(SUM(obs) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+           CAST(COUNT(DISTINCT isodow) AS BIGINT) AS c
+    FROM terms
+)
+SELECT n_rows, r, c, chi2,
+       CAST(ROUND(SQRT((chi2 / CAST(n_rows AS DOUBLE))
+                       / (LEAST(CAST(r AS DOUBLE), CAST(c AS DOUBLE)) - 1)), 6)
+            AS DOUBLE) AS cramers_v,
+       CAST(ROUND(SQRT(
+           GREATEST(0.0, chi2 / CAST(n_rows AS DOUBLE)
+                    - (CAST(r AS DOUBLE) - 1) * (CAST(c AS DOUBLE) - 1)
+                      / (CAST(n_rows AS DOUBLE) - 1))
+           / (LEAST(
+                CAST(r AS DOUBLE)
+                  - (CAST(r AS DOUBLE) - 1) * (CAST(r AS DOUBLE) - 1)
+                    / (CAST(n_rows AS DOUBLE) - 1),
+                CAST(c AS DOUBLE)
+                  - (CAST(c AS DOUBLE) - 1) * (CAST(c AS DOUBLE) - 1)
+                    / (CAST(n_rows AS DOUBLE) - 1)) - 1)), 6)
+            AS DOUBLE) AS cramers_v_corrected
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test — ECDF distance without a global sort
+# ---------------------------------------------------------------------------
+
+def ks_test_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between purchase and view event
+    values: D = sup|F₁(x) − F₂(x)|, the distribution-free companion to
+    ``mann_whitney_purchase_view_values`` (MW sees location shifts; KS
+    sees ANY distributional difference, including shape).
+
+    The ECDF difference is EXACT integers: at each distinct value,
+    |cum₁·n₂ − cum₂·n₁| in DECIMAL(38,0), so D's argmax is an integer
+    comparison and the only float ops are the final D, z and p — no
+    summation-order exposure. Scale shape: the cumulative counts over the
+    distinct-value domain use the partition-local-window + chunk-offset
+    stitch (the ``encoding_advisor_orders`` pattern) — range-partition on
+    value, ONE window pass per chunk, then ≤(chunks−1) offset rows fold in
+    via a tiny window — because the value domain is corpus-sized and a
+    bare ``Window.orderBy(value)`` would be a single-partition sort of it.
+    The asymptotic p uses the one-term Kolmogorov tail 2·exp(−2z²)
+    (z rounded to 9 decimals pre-exp, the libm rule) clamped to 1."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "value",
+        (F.col("event_type") == "purchase").cast("bigint").alias("is_p"),
+    )
+    pts = s.groupBy("value").agg(
+        F.sum("is_p").cast("bigint").alias("c1"),
+        (F.count("*") - F.sum("is_p")).cast("bigint").alias("c2"),
+    )
+    n_chunks = spark.sparkContext.defaultParallelism
+    chunked = pts.repartitionByRange(n_chunks, "value").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("value")
+    local = chunked.select(
+        "pid",
+        F.sum("c1").over(w).alias("l1"),
+        F.sum("c2").over(w).alias("l2"),
+    )
+    totals = chunked.groupBy("pid").agg(
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.sum("c2").cast("bigint").alias("t2"),
+    )
+    # pid%1: constant-valued non-foldable partition key — the offset window
+    # sees <=n_chunks rows in one group, on WindowExec's partitioned path
+    bw = (
+        Window.partitionBy(F.col("pid") % 1)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "pid",
+        F.coalesce(F.sum("t1").over(bw), F.lit(0)).cast("bigint").alias("o1"),
+        F.coalesce(F.sum("t2").over(bw), F.lit(0)).cast("bigint").alias("o2"),
+    )
+    nn = pts.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.count("*").cast("bigint").alias("n_points"),
+    )
+    cum = (
+        local.join(offs, "pid")
+        .select(
+            (F.col("l1") + F.col("o1")).cast("decimal(19,0)").alias("cum1"),
+            (F.col("l2") + F.col("o2")).cast("decimal(19,0)").alias("cum2"),
+        )
+        .crossJoin(F.broadcast(nn))
+    )
+    d_num = F.abs(
+        F.col("cum1") * F.col("n2").cast("decimal(19,0)")
+        - F.col("cum2") * F.col("n1").cast("decimal(19,0)")
+    )
+    top = cum.groupBy("n1", "n2", "n_points").agg(F.max(d_num).alias("d_num"))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    d = F.col("d_num").cast("double") / (n1d * n2d)
+    z = F.round(d * F.sqrt(n1d * n2d / (n1d + n2d)), 9)
+    p = F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * z * z))
+    return top.select(
+        "n1",
+        "n2",
+        "n_points",
+        F.round(d, 6).cast("double").alias("d_stat"),
+        F.round(z, 6).cast("double").alias("ks_z"),
+        F.round(p, 6).cast("double").alias("p_approx"),
+    )
+
+
+KS_TEST_PURCHASE_VIEW_ORACLE = """
+WITH s AS (
+    SELECT value,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+    FROM events WHERE event_type IN ('purchase', 'view')
+), pts AS (
+    SELECT value, CAST(SUM(is_p) AS BIGINT) AS c1,
+           CAST(COUNT(*) - SUM(is_p) AS BIGINT) AS c2
+    FROM s GROUP BY value
+), nn AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM pts
+), cum AS (
+    SELECT CAST(SUM(c1) OVER (ORDER BY value) AS DECIMAL(19,0)) AS cum1,
+           CAST(SUM(c2) OVER (ORDER BY value) AS DECIMAL(19,0)) AS cum2
+    FROM pts
+), top AS (
+    SELECT n1, n2, n_points,
+           MAX(ABS(cum1 * CAST(n2 AS DECIMAL(19,0))
+                   - cum2 * CAST(n1 AS DECIMAL(19,0)))) AS d_num
+    FROM cum CROSS JOIN nn
+    GROUP BY n1, n2, n_points
+)
+SELECT n1, n2, n_points,
+       CAST(ROUND(CAST(d_num AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS DOUBLE)
+           AS d_stat,
+       CAST(ROUND(ROUND(CAST(d_num AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                        * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 9),
+                  6) AS DOUBLE) AS ks_z,
+       CAST(ROUND(LEAST(1.0, 2.0 * EXP(-2.0
+                  * ROUND(CAST(d_num AS DOUBLE)
+                          / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                          * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 9)
+                  * ROUND(CAST(d_num AS DOUBLE)
+                          / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                          * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 9)
+                  )), 6) AS DOUBLE) AS p_approx
+FROM top
 """

@@ -159,6 +159,10 @@ _ROUND5_NEW: list[str] = [
     "fd_discovery_orders",
     "fk_inclusion_audit",
     "cdc_chunk_dedup_documents",
+    "t_closeness_report_events",
+    "js_divergence_event_types_weekpart",
+    "cramers_v_event_type_dow",
+    "ks_test_purchase_view",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1678,6 +1682,30 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "t_closeness_report_events",
+    analytics_checks.t_closeness_report_events,
+    analytics_checks.T_CLOSENESS_REPORT_EVENTS_ORACLE,
+)
+
+register(
+    "js_divergence_event_types_weekpart",
+    analytics_checks.js_divergence_event_types_weekpart,
+    analytics_checks.JS_DIVERGENCE_EVENT_TYPES_WEEKPART_ORACLE,
+)
+
+register(
+    "cramers_v_event_type_dow",
+    analytics_checks.cramers_v_event_type_dow,
+    analytics_checks.CRAMERS_V_EVENT_TYPE_DOW_ORACLE,
+)
+
+register(
+    "ks_test_purchase_view",
+    analytics_checks.ks_test_purchase_view,
+    analytics_checks.KS_TEST_PURCHASE_VIEW_ORACLE,
 )
 
 # The transformWithStateInPandas check registers only where its python
