@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.functions.numeric import dec_sum2
@@ -39,6 +39,7 @@ __all__ = [
     "table_changes_versions",
     "table_checksum_orders",
     "incremental_mv_refresh_orders",
+    "compaction_plan_orders",
 ]
 
 _SCRATCH = "/tmp/spark_graft_scratch"
@@ -700,4 +701,102 @@ FROM orders WHERE o_orderkey % 11 != 0 AND o_orderkey % 7 = 0
 UNION ALL
 SELECT o_orderkey, 'update_postimage', o_totalprice + 100.0, 2
 FROM orders WHERE o_orderkey % 11 != 0 AND o_orderkey % 7 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planner — cumulative bin-packing of day "files"
+# ---------------------------------------------------------------------------
+
+def compaction_plan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planner: given the per-day order "files" (row counts in
+    o_orderdate layout order — the unit a date-partitioned ingest actually
+    produces), assign each file to a target-sized output bin by cumulative
+    fill: bin = floor(rows_before / target). This is the planning pass a
+    lakehouse OPTIMIZE runs before rewriting — the published shape is one
+    row per planned output file with its span and fill, so an operator can
+    see exactly which small files coalesce and which days split.
+
+    The prefix sum over the day domain uses the partition-local-window +
+    chunk-offset stitch (``encoding_advisor_orders`` pattern): date-range
+    partition, one window pass per chunk, ≤chunks offset rows — the day
+    domain is calendar-scale but the pattern keeps every sort chunk-local
+    regardless. Pure integer arithmetic end-to-end; target is sized from
+    the table so the plan is scale-free (~8 bins at any SF)."""
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    tot = files.agg(
+        F.sum("n_rows").cast("bigint").alias("t"),
+    )
+    target = F.greatest(
+        F.lit(1).cast("bigint"), F.floor(F.col("t") / 8).cast("bigint")
+    )
+    n_chunks = spark.sparkContext.defaultParallelism
+    chunked = files.repartitionByRange(n_chunks, "day").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = chunked.withColumn(
+        "lsum", F.coalesce(F.sum("n_rows").over(w), F.lit(0)).cast("bigint")
+    )
+    totals = chunked.groupBy("pid").agg(
+        F.sum("n_rows").cast("bigint").alias("csum")
+    )
+    # pid%1: constant-valued non-foldable partition key — ≤n_chunks rows
+    bw = (
+        Window.partitionBy(F.col("pid") % 1)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "pid", F.coalesce(F.sum("csum").over(bw), F.lit(0)).cast("bigint").alias("osum")
+    )
+    assigned = (
+        local.join(offs, "pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            "n_rows",
+            F.floor((F.col("lsum") + F.col("osum")) / target)
+            .cast("bigint")
+            .alias("bin_id"),
+        )
+    )
+    return (
+        assigned.groupBy("bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("total_rows"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+    )
+
+
+COMPACTION_PLAN_ORDERS_ORACLE = """
+WITH files AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(n_rows) AS BIGINT) AS t FROM files
+), assigned AS (
+    SELECT day, n_rows,
+           CAST(FLOOR(
+               CAST(COALESCE(SUM(n_rows) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS DOUBLE)
+               / GREATEST(1, FLOOR(t / 8))) AS BIGINT) AS bin_id
+    FROM files CROSS JOIN tot
+)
+SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       MIN(day) AS first_day, MAX(day) AS last_day
+FROM assigned GROUP BY bin_id
 """

@@ -49,6 +49,7 @@ __all__ = [
     "customer_spend_deciles_approx",
     "user_event_type_sets",
     "salted_skew_join_events",
+    "pareto_frontier_parts",
 ]
 
 
@@ -1318,4 +1319,78 @@ SELECT segment,
        ROUND(CAST(SUM(CAST(monetary AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6)
            AS avg_monetary
 FROM labeled GROUP BY segment ORDER BY segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto frontier (skyline) — dominance query without the O(n²) join
+# ---------------------------------------------------------------------------
+
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of the part catalog — parts where no other part is both
+    cheaper (p_retailprice ≤, one strict) and bigger (p_size ≥): the
+    best-price-for-size frontier every "dominated SKU" report needs.
+
+    The naive formulation is a quadratic NOT EXISTS self-join (that IS the
+    oracle — independent evidence); the engine plan is the linear sweep: a
+    (price, size) point survives iff its size strictly exceeds the running
+    max size over all strictly-cheaper prices AND equals its own price
+    group's max (equal-price points are dominated by a strictly larger
+    size; exact (price, size) duplicates never dominate each other and all
+    survive). The running max over the price domain uses the
+    partition-local-window + chunk-offset stitch (the
+    ``encoding_advisor_orders`` pattern): range-partition on price, ONE
+    cummax window per chunk, then ≤chunks offset rows fold in via a tiny
+    window — never a single-partition sort of the distinct-price domain.
+    Frontier points then semi-join back to the catalog to list the parts."""
+    part = load_table(spark, sf_dir, "part")
+    pts = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").cast("int").alias("gmax")
+    )
+    n_chunks = spark.sparkContext.defaultParallelism
+    chunked = pts.repartitionByRange(n_chunks, "price").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    # running max of gmax over STRICTLY cheaper prices, chunk-local first
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = chunked.withColumn("lmax", F.max("gmax").over(w))
+    totals = chunked.groupBy("pid").agg(F.max("gmax").alias("cmax"))
+    # pid%1: constant-valued non-foldable partition key — ≤n_chunks rows
+    bw = (
+        Window.partitionBy(F.col("pid") % 1)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select("pid", F.max("cmax").over(bw).alias("omax"))
+    frontier = (
+        local.join(offs, "pid")
+        .withColumn("prev_max", F.greatest(F.col("lmax"), F.col("omax")))
+        .filter(
+            F.col("prev_max").isNull() | (F.col("gmax") > F.col("prev_max"))
+        )
+        .select("price", "gmax")
+    )
+    return (
+        part.join(
+            frontier,
+            (part["p_retailprice"] == frontier["price"])
+            & (part["p_size"] == frontier["gmax"]),
+            "left_semi",
+        )
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )
+
+
+PARETO_FRONTIER_PARTS_ORACLE = """
+SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
 """

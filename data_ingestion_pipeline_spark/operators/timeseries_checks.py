@@ -31,6 +31,7 @@ __all__ = [
     "rolling_zscore_anomaly_daily",
     "seasonal_naive_mape_events",
     "cusum_changepoint_daily",
+    "seasonal_decompose_daily",
 ]
 
 
@@ -430,4 +431,93 @@ SELECT event_type,
        CAST(ROUND(CAST(s AS DOUBLE), 6) AS DOUBLE) AS peak_cusum,
        day AS peak_day, n_days
 FROM scored WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Additive seasonal decomposition of the daily series
+# ---------------------------------------------------------------------------
+
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive decomposition of the daily value series into trend +
+    weekly seasonal + residual — the classical-decomposition pass behind
+    every "is this dip seasonality or an incident?" triage. Trend is the
+    centered 7-point moving average over the observed-day sequence (ROWS
+    frame, defined only where the full 7-point frame exists); the seasonal
+    component is the per-ISO-weekday mean of the detrended series (simple
+    dow-means variant, not center-adjusted); residual is what remains.
+
+    Exactness: the 7-point trend sums the daily DECIMAL totals in the
+    window (order-free), divides by 7.0 once; detrended values are then
+    bitwise-identical doubles whose per-dow mean uses the decimal-fold /
+    count structure on both engines. The ordered window runs over the
+    DAILY aggregate — calendar-scale (≤ a few thousand rows at any SF),
+    the documented domain-bounded window class, kept on WindowExec's
+    partitioned path via the constant non-foldable key."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    # month(day)%1: constant-valued non-foldable partition key — the
+    # ordered frames below see the calendar-scale daily series in one
+    # group without WindowExec's no-partition path
+    w7 = (
+        Window.partitionBy(F.month("day") % 1)
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    with_trend = daily.select(
+        "day",
+        "x",
+        (F.sum("xd").over(w7).cast("double") / F.lit(7.0)).alias("trend"),
+        F.count("*").over(w7).alias("w_n"),
+    ).filter(F.col("w_n") == 7)
+    det = with_trend.withColumn("det", F.col("x") - F.col("trend")).withColumn(
+        "dow", (F.weekday("day") + F.lit(1)).cast("int")
+    )
+    wd = Window.partitionBy("dow")
+    seasonal = (
+        dec_sum(F.col("det"), 27, 12).over(wd).cast("double")
+        / F.count("*").over(wd).cast("double")
+    )
+    out = det.withColumn("seasonal", seasonal)
+    return out.select(
+        "day",
+        F.round("x", 6).cast("double").alias("value"),
+        F.round("trend", 6).cast("double").alias("trend"),
+        F.round("seasonal", 6).cast("double").alias("seasonal"),
+        F.round(F.col("det") - F.col("seasonal"), 6)
+        .cast("double")
+        .alias("residual"),
+    )
+
+
+SEASONAL_DECOMPOSE_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(27,12))) AS xd,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), with_trend AS (
+    SELECT day, x,
+           CAST(SUM(xd) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) / 7.0
+               AS trend,
+           COUNT(*) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w_n
+    FROM daily
+), det AS (
+    SELECT day, x, trend, x - trend AS det,
+           CAST(isodow(day) AS INT) AS dow
+    FROM with_trend WHERE w_n = 7
+), seas AS (
+    SELECT day, x, trend, det,
+           CAST(SUM(CAST(det AS DECIMAL(27,12))) OVER (PARTITION BY dow)
+                AS DOUBLE)
+           / CAST(COUNT(*) OVER (PARTITION BY dow) AS DOUBLE) AS seasonal
+    FROM det
+)
+SELECT day,
+       CAST(ROUND(x, 6) AS DOUBLE) AS value,
+       CAST(ROUND(trend, 6) AS DOUBLE) AS trend,
+       CAST(ROUND(seasonal, 6) AS DOUBLE) AS seasonal,
+       CAST(ROUND(det - seasonal, 6) AS DOUBLE) AS residual
+FROM seas
 """

@@ -163,6 +163,9 @@ _ROUND5_NEW: list[str] = [
     "js_divergence_event_types_weekpart",
     "cramers_v_event_type_dow",
     "ks_test_purchase_view",
+    "pareto_frontier_parts",
+    "compaction_plan_orders",
+    "seasonal_decompose_daily",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1682,6 +1685,24 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "pareto_frontier_parts",
+    relational.pareto_frontier_parts,
+    relational.PARETO_FRONTIER_PARTS_ORACLE,
+)
+
+register(
+    "compaction_plan_orders",
+    lakehouse_checks.compaction_plan_orders,
+    lakehouse_checks.COMPACTION_PLAN_ORDERS_ORACLE,
+)
+
+register(
+    "seasonal_decompose_daily",
+    timeseries_checks.seasonal_decompose_daily,
+    timeseries_checks.SEASONAL_DECOMPOSE_DAILY_ORACLE,
 )
 
 register(
