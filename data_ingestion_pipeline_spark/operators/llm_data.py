@@ -54,6 +54,7 @@ __all__ = [
     "doc_tokens_exploded",
     "tfidf_top_terms",
     "bm25_search_documents",
+    "hybrid_search_rrf_documents",
     "cdc_chunk_dedup_documents",
     "curation_pipeline_documents",
     "chunk_documents",
@@ -2467,4 +2468,263 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_docs,
                     AS BIGINT) FROM by_hash) AS n_cross_copy_shared,
        (SELECT CAST(ROUND(CAST(SUM(chunk_len) AS DOUBLE) / COUNT(*), 6)
                     AS DOUBLE) FROM chunks) AS avg_chunk_len
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + query-likelihood LM
+# ---------------------------------------------------------------------------
+
+QL_MU = 2000.0
+RRF_K = 60
+HYBRID_TOP_K = 10
+
+
+def hybrid_search_rrf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid first-stage retrieval: reciprocal-rank fusion (Cormack,
+    Clarke & Büttcher, SIGIR '09) of two genuinely different rankers over
+    the same 5-term query — Okapi BM25 (``bm25_search_documents``) and a
+    Dirichlet-smoothed query-likelihood language model (Zhai & Lafferty,
+    SIGIR '01; μ=2000). RRF(d) = Σ_r 1/(60 + rank_r(d)) over the rankers
+    that retrieved d in their top-20; top-10 fused.
+
+    The QL score decomposes so only term HITS need per-doc work:
+    score(d) = C₀ + Σ_hits[ln(tf+μp_t) − ln(μp_t)] − |q|·ln(dl+μ), with
+    C₀ = Σ_t ln(μp_t) a ≤5-row broadcast constant (OOV terms would drop —
+    all five query terms occur in the corpus). Every ln is rounded to 9
+    decimals pre-sum (libm rule); per-doc folds are decimal. Both
+    rankers' top-20 cuts are orderBy().limit() (TakeOrderedAndProject);
+    the fusion is a 20×20 full-outer join; ranking windows only ever see
+    ≤20 rows on the partitioned path.
+
+    Plan economics: the exploded token stream is scanned exactly TWICE
+    (once into the cached per-doc lengths, once into the cached query-term
+    tf relation); both rankers' statistics — df for BM25's idf, cf for
+    QL's collection model — derive from the tiny cached tf relation, so
+    adding the second ranker costs no extra corpus pass. The BM25 scoring
+    expression is verbatim ``bm25_search_documents``'s (same oracle
+    parity)."""
+    from data_ingestion_pipeline_spark.functions.numeric import dec_sum
+
+    tokens = doc_tokens_exploded(spark, sf_dir).select("doc_id", "token")
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    dl = (
+        tokens.groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("dl"))
+        .cache()
+    )
+    total_tokens = dl.agg(F.sum("dl").cast("bigint").alias("t")).collect()[0]["t"]
+    tf = (
+        tokens.filter(F.col("token").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .cache()
+    )
+    # both rankers' term statistics come from the tiny cached tf relation:
+    # df = doc frequency (BM25 idf), cf = collection frequency (QL p(t|C))
+    stats = tf.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+    )
+    # --- BM25 branch (expression verbatim from bm25_search_documents) ---
+    avgdl = F.lit(total_tokens).cast("double") / F.lit(n_docs).cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs).cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    contrib = idf * (
+        tf_d
+        * (F.lit(BM25_K1) + F.lit(1.0))
+        / (
+            tf_d
+            + F.lit(BM25_K1)
+            * (F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * dl_d / avgdl)
+        )
+    )
+    bm_scored = (
+        tf.join(F.broadcast(stats), "token")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(dec_sum(contrib, 27, 12).cast("double"), 6).alias("bm25"))
+    )
+    bm_top = bm_scored.orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    ).limit(BM25_TOP_K)
+    bm = bm_top.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            # constant-valued non-foldable partition key — 20-row window on
+            # the partitioned WindowExec path (see bm25_search_documents)
+            Window.partitionBy(F.col("doc_id") % 1).orderBy(
+                F.col("bm25").desc(), F.col("doc_id").asc()
+            )
+        )
+        .cast("int")
+        .alias("bm25_rank"),
+    )
+    # --- query-likelihood branch ---
+    mu_p = F.lit(QL_MU) * F.col("cf").cast("double") / F.lit(total_tokens).cast(
+        "double"
+    )
+    consts = stats.agg(
+        dec_sum(F.round(F.log(mu_p), 9), 27, 12).cast("double").alias("c0"),
+        F.count("*").cast("int").alias("n_terms"),
+    )
+    delta = F.round(F.log(F.col("tf").cast("double") + mu_p), 9) - F.round(
+        F.log(mu_p), 9
+    )
+    per_doc = (
+        tf.join(F.broadcast(stats), "token")
+        .select("doc_id", delta.alias("delta"))
+        .groupBy("doc_id")
+        .agg(dec_sum(F.col("delta"), 27, 12).cast("double").alias("dsum"))
+    )
+    ql = (
+        dl.crossJoin(F.broadcast(consts))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.col("c0")
+                + F.coalesce(F.col("dsum"), F.lit(0.0))
+                - F.col("n_terms").cast("double")
+                * F.round(F.log(F.col("dl").cast("double") + F.lit(QL_MU)), 9)
+            ).alias("ql_score"),
+        )
+    )
+    ql_top = ql.orderBy(F.col("ql_score").desc(), F.col("doc_id").asc()).limit(
+        BM25_TOP_K
+    )
+    ql_ranked = ql_top.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy(F.col("doc_id") % 1).orderBy(
+                F.col("ql_score").desc(), F.col("doc_id").asc()
+            )
+        )
+        .cast("int")
+        .alias("ql_rank"),
+    )
+    fused = bm.join(ql_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "ql_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rank")).cast("double"),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("ql_rank")).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    top = fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(
+        HYBRID_TOP_K
+    )
+    return top.select(
+        F.row_number()
+        .over(
+            Window.partitionBy(F.col("doc_id") % 1).orderBy(
+                F.col("rrf").desc(), F.col("doc_id").asc()
+            )
+        )
+        .cast("int")
+        .alias("fused_rank"),
+        "doc_id",
+        F.round("rrf", 9).cast("double").alias("rrf_score"),
+        "bm25_rank",
+        "ql_rank",
+    )
+
+
+HYBRID_SEARCH_RRF_DOCUMENTS_ORACLE = rf"""
+WITH tokens AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+), tok AS (
+  SELECT doc_id, token FROM tokens WHERE token <> ''
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_tokens
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+  WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                  / (CAST(df.df AS DOUBLE) + 0.5))
+         * (CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0)
+            / (CAST(tf.tf AS DOUBLE)
+               + {BM25_K1} * (1.0 - {BM25_B}
+                              + {BM25_B} * CAST(dl.dl AS DOUBLE)
+                                / (CAST(s.total_tokens AS DOUBLE)
+                                   / CAST(s.n_docs AS DOUBLE)))))
+             AS c
+  FROM tf JOIN df ON tf.token = df.token
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+), bm_scored AS (
+  SELECT doc_id,
+         CAST(ROUND(CAST(SUM(CAST(c AS DECIMAL(27,12))) AS DOUBLE), 6)
+              AS DOUBLE) AS bm25
+  FROM contrib GROUP BY doc_id
+), bm_top AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT)
+             AS bm25_rank
+  FROM bm_scored ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOP_K}
+), cf AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cf FROM tok
+  WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY token
+), consts AS (
+  SELECT CAST(SUM(CAST(ROUND(ln({QL_MU} * CAST(cf AS DOUBLE)
+                                / CAST(s.total_tokens AS DOUBLE)), 9)
+                       AS DECIMAL(27,12))) AS DOUBLE) AS c0,
+         CAST(COUNT(*) AS INT) AS n_terms
+  FROM cf CROSS JOIN stats s
+), per_doc AS (
+  SELECT tf.doc_id,
+         CAST(SUM(CAST(
+             ROUND(ln(CAST(tf.tf AS DOUBLE)
+                      + {QL_MU} * CAST(cf.cf AS DOUBLE)
+                        / CAST(s.total_tokens AS DOUBLE)), 9)
+             - ROUND(ln({QL_MU} * CAST(cf.cf AS DOUBLE)
+                        / CAST(s.total_tokens AS DOUBLE)), 9)
+             AS DECIMAL(27,12))) AS DOUBLE) AS dsum
+  FROM tf JOIN cf ON tf.token = cf.token CROSS JOIN stats s
+  GROUP BY tf.doc_id
+), ql AS (
+  SELECT dl.doc_id,
+         consts.c0 + COALESCE(per_doc.dsum, 0.0)
+         - CAST(consts.n_terms AS DOUBLE)
+           * ROUND(ln(CAST(dl.dl AS DOUBLE) + {QL_MU}), 9) AS ql_score
+  FROM dl CROSS JOIN consts
+  LEFT JOIN per_doc ON dl.doc_id = per_doc.doc_id
+), ql_top AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY ql_score DESC, doc_id ASC) AS INT)
+             AS ql_rank
+  FROM ql ORDER BY ql_score DESC, doc_id ASC LIMIT {BM25_TOP_K}
+), fused AS (
+  SELECT COALESCE(b.doc_id, q.doc_id) AS doc_id, b.bm25_rank, q.ql_rank,
+         COALESCE(1.0 / ({RRF_K} + b.bm25_rank), 0.0)
+         + COALESCE(1.0 / ({RRF_K} + q.ql_rank), 0.0) AS rrf
+  FROM bm_top b FULL OUTER JOIN ql_top q ON b.doc_id = q.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT)
+           AS fused_rank,
+       doc_id,
+       CAST(ROUND(rrf, 9) AS DOUBLE) AS rrf_score,
+       bm25_rank, ql_rank
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {HYBRID_TOP_K}
 """

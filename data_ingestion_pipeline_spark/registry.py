@@ -166,6 +166,7 @@ _ROUND5_NEW: list[str] = [
     "pareto_frontier_parts",
     "compaction_plan_orders",
     "seasonal_decompose_daily",
+    "hybrid_search_rrf_documents",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1685,6 +1686,12 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "hybrid_search_rrf_documents",
+    llm_data.hybrid_search_rrf_documents,
+    llm_data.HYBRID_SEARCH_RRF_DOCUMENTS_ORACLE,
 )
 
 register(
