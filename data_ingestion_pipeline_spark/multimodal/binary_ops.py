@@ -34,6 +34,8 @@ __all__ = [
     "attach_media_metadata",
     "decode_image_features",
     "sample_video_frames",
+    "chunk_audio",
+    "AUDIO_CHUNK_SCHEMA",
 ]
 
 # Canonical multimodal column group: payload + typed metadata struct.
@@ -146,3 +148,57 @@ def sample_video_frames(
     return df.select(
         "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
     ).mapInPandas(run, out_schema)
+
+
+AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("start_ms", T.LongType(), False),
+        T.StructField("end_ms", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def chunk_audio(df: DataFrame, chunk_ms: int = 10_000, strict: bool = False) -> DataFrame:
+    """Audio chunking: one output row per fixed-length window per clip —
+    the segmentation pass an ASR / audio-embedding pipeline runs before
+    per-chunk inference. The row-explosion shape and Arrow batch flow are
+    the real artifact; the per-chunk RMS-loudness kernel is the stub
+    (md5-derived from payload bytes + window start so external engines can
+    recompute it), marked for replacement by a real PCM decode.
+
+    The digest key is ``payload ++ b":" ++ ascii(start_ms)`` — for UTF-8
+    text payloads this equals md5(text || ':' || start_ms), which is what
+    the DuckDB oracle computes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "audio decoding requires an audio library not present in "
+                    "this container; plug a real PCM decoder into chunk_audio"
+                )
+            out: dict[str, list] = {
+                "media_id": [],
+                "start_ms": [],
+                "end_ms": [],
+                "rms": [],
+            }
+            for _, row in pdf.iterrows():
+                duration = 0 if pd.isna(row["duration_ms"]) else int(row["duration_ms"])
+                payload = row["payload"] or b""
+                for start in range(0, duration, chunk_ms):
+                    digest = hashlib.md5(
+                        payload + b":" + str(start).encode()
+                    ).digest()
+                    out["media_id"].append(row["media_id"])
+                    out["start_ms"].append(start)
+                    out["end_ms"].append(min(start + chunk_ms, duration))
+                    out["rms"].append(digest[0] / 255.0)
+            yield pd.DataFrame(out)
+
+    return df.select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    ).mapInPandas(run, AUDIO_CHUNK_SCHEMA)

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.multimodal.binary_ops import (
     attach_media_metadata,
+    chunk_audio,
     decode_image_features,
     sample_video_frames,
 )
@@ -33,6 +34,8 @@ __all__ = [
     "multimodal_metadata",
     "multimodal_image_features",
     "multimodal_frame_sample",
+    "audio_from_documents",
+    "multimodal_audio_chunks",
 ]
 
 
@@ -122,4 +125,78 @@ SELECT doc_id AS media_id,
        CAST(n_chars % 5 + 1 AS BIGINT) AS n_frames,
        CAST(n_chars % 5 + 1 AS BIGINT) AS n_distinct_frames
 FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def audio_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → audio-clip rows (the modality ``media_from_documents``
+    doesn't cover): every doc with doc_id % 3 == 1 plays an "audio" clip,
+    payload = UTF-8 bytes, duration derived from n_chars (5–21 s so the
+    10 s chunker produces 1–3 windows per clip)."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return docs.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("n_chars") % 7 + 2) * 2500).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunk-and-featurize over the clip subset: fixed 10 s windows
+    via the Arrow-batched ``chunk_audio`` explosion, then a per-clip
+    rollup — chunk count, covered duration, and the mean of the per-chunk
+    (stub) RMS features. The md5-derived RMS is exactly recomputable by
+    the oracle (md5(text || ':' || start_ms), first byte / 255), so the
+    whole mapInPandas path gets a value-level check, not just row counts;
+    the mean folds the bitwise-identical doubles in decimal (house rule)."""
+    from data_ingestion_pipeline_spark.functions.numeric import dec_sum
+
+    clips = audio_from_documents(spark, sf_dir)
+    chunks = chunk_audio(clips, chunk_ms=10_000)
+    return chunks.groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.max("end_ms").cast("bigint").alias("covered_ms"),
+        F.round(
+            dec_sum(F.col("rms"), 27, 12).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("mean_rms"),
+    )
+
+
+# byte 0 of md5(text || ':' || start_ms), hex-pair parsed, scaled to [0,1] —
+# matches chunk_audio's stub kernel exactly (payload is UTF-8 of text).
+MULTIMODAL_AUDIO_CHUNKS_ORACLE = """
+WITH audio AS (
+    SELECT doc_id AS media_id, text,
+           CAST((n_chars % 7 + 2) * 2500 AS BIGINT) AS duration_ms
+    FROM documents WHERE doc_id % 3 = 1
+), chunks AS (
+    SELECT media_id, duration_ms,
+           CAST(unnest(range(0, duration_ms, 10000)) AS BIGINT) AS start_ms,
+           text
+    FROM audio
+), scored AS (
+    SELECT media_id,
+           LEAST(start_ms + 10000, duration_ms) AS end_ms,
+           (CAST(strpos('0123456789abcdef',
+                        substr(md5(text || ':' || start_ms), 1, 1)) - 1
+                 AS DOUBLE) * 16
+            + CAST(strpos('0123456789abcdef',
+                          substr(md5(text || ':' || start_ms), 2, 1)) - 1
+                   AS DOUBLE)) / 255.0 AS rms
+    FROM chunks
+)
+SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(MAX(end_ms) AS BIGINT) AS covered_ms,
+       CAST(ROUND(CAST(SUM(CAST(rms AS DECIMAL(27,12))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS mean_rms
+FROM scored GROUP BY media_id
 """

@@ -167,6 +167,7 @@ _ROUND5_NEW: list[str] = [
     "compaction_plan_orders",
     "seasonal_decompose_daily",
     "hybrid_search_rrf_documents",
+    "multimodal_audio_chunks",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1686,6 +1687,12 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "multimodal_audio_chunks",
+    multimodal_checks.multimodal_audio_chunks,
+    multimodal_checks.MULTIMODAL_AUDIO_CHUNKS_ORACLE,
 )
 
 register(

@@ -367,3 +367,38 @@ def test_ivfpq_encode_shape_and_determinism(spark):
         assert 0 <= list_id < len(cents)
         assert len(codes) == n_sub
         assert all(0 <= c < n_codes for c in codes)
+
+
+def test_audio_chunking_plumbing(spark):
+    import hashlib
+
+    from data_ingestion_pipeline_spark.multimodal.binary_ops import chunk_audio
+
+    rows = [
+        (1, b"clip-a", ("audio/wav", None, None, 25_000)),
+        (2, b"clip-b", ("audio/wav", None, None, 10_000)),
+        (3, None, ("audio/wav", None, None, None)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, "
+        "meta struct<mime string, width int, height int, duration_ms long>",
+    )
+    chunks = chunk_audio(df, chunk_ms=10_000).collect()
+    by_id = {}
+    for r in chunks:
+        by_id.setdefault(r.media_id, []).append(r)
+    # 25 s → windows [0,10),[10,20),[20,25); last window clips to duration
+    assert sorted(c.start_ms for c in by_id[1]) == [0, 10_000, 20_000]
+    assert max(c.end_ms for c in by_id[1]) == 25_000
+    # exact-multiple duration → exactly one full window
+    assert [(c.start_ms, c.end_ms) for c in by_id[2]] == [(0, 10_000)]
+    # no duration → no chunks
+    assert 3 not in by_id
+    # stub kernel is the documented md5 recipe
+    want = hashlib.md5(b"clip-a:10000").digest()[0] / 255.0
+    got = [c.rms for c in by_id[1] if c.start_ms == 10_000][0]
+    assert abs(got - want) < 1e-12
+
+    with pytest.raises(Exception, match="NotImplementedError|not present"):
+        chunk_audio(df, strict=True).collect()
