@@ -35,6 +35,7 @@ from data_ingestion_pipeline_spark.sources.catalog import load_table
 __all__ = [
     "logistic_quality_classifier_documents",
     "auc_lang_by_length_documents",
+    "calibration_report_documents",
 ]
 
 N_STEPS = 5
@@ -54,13 +55,13 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def logistic_quality_classifier_documents(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """(step, w0, w1, w2) after each of 5 full-batch GD steps from w=0."""
+def _train(spark: SparkSession, sf_dir: str) -> list[tuple[int, float, float, float]]:
+    """Weight history [(step, w0, w1, w2), ...] of the 5-step GD loop —
+    shared by the training query and the calibration report so both
+    evaluate the SAME model the oracle replays."""
     feats = _features(spark, sf_dir).localCheckpoint(eager=False)
     w = [0.0, 0.0, 0.0]
-    rows = []
+    rows: list[tuple[int, float, float, float]] = []
     for step in range(1, N_STEPS + 1):
         z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
         sig = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
@@ -76,8 +77,15 @@ def logistic_quality_classifier_documents(
             for i in range(3)
         ]
         rows.append((step, w[0], w[1], w[2]))
+    return rows
+
+
+def logistic_quality_classifier_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(step, w0, w1, w2) after each of 5 full-batch GD steps from w=0."""
     return spark.createDataFrame(
-        rows, "step int, w0 double, w1 double, w2 double"
+        _train(spark, sf_dir), "step int, w0 double, w1 double, w2 double"
     )
 
 
@@ -186,3 +194,110 @@ SELECT n_pos, n_neg,
             AS DOUBLE) AS auc
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Calibration: reliability diagram + Expected Calibration Error
+# ---------------------------------------------------------------------------
+
+N_CALIB_BINS = 10
+
+
+def calibration_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error (Naeini et al.,
+    AAAI 2015) of the trained quality classifier — the evaluation that
+    tells a curation pipeline whether the classifier's scores can be used
+    as sampling WEIGHTS (calibrated) or only as a ranking (not). Re-runs
+    the same 5-step training (``_train``), scores every document, buckets
+    predictions into 10 equal-width confidence bins, and reports per bin:
+    count, mean confidence, observed positive rate, and |gap|; ECE (the
+    count-weighted mean gap) rides along as a constant column.
+
+    Determinism: predictions are the same round-9 sigmoids the training
+    loop uses (bitwise-identical across engines since weights re-enter as
+    plan literals); bin means fold in decimal; the ECE fold multiplies
+    round-9 gaps by exact counts inside a decimal window sum over the
+    10-row bin relation."""
+    from pyspark.sql import Window
+
+    hist = _train(spark, sf_dir)
+    _, w0, w1, w2 = hist[-1]
+    feats = _features(spark, sf_dir)
+    z = F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    binned = feats.select(
+        "y",
+        p.alias("p"),
+    ).withColumn(
+        "bin",
+        F.least(
+            F.floor(F.col("p") * N_CALIB_BINS).cast("int"),
+            F.lit(N_CALIB_BINS - 1),
+        ),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (dec_sum(F.col("p"), 27, 12).cast("double") / F.count("*").cast("double"))
+        .alias("avg_conf_raw"),
+        (F.sum("y").cast("double") / F.count("*").cast("double")).alias(
+            "frac_pos_raw"
+        ),
+    )
+    gap = F.round(F.abs(F.col("avg_conf_raw") - F.col("frac_pos_raw")), 9)
+    scored = per.withColumn("gap9", gap)
+    # bin%1: constant-valued non-foldable partition key — ≤10 rows
+    wall = Window.partitionBy(F.col("bin") % 1)
+    ece = (
+        dec_sum(F.col("gap9") * F.col("n").cast("double"), 27, 12)
+        .over(wall)
+        .cast("double")
+        / F.sum("n").over(wall).cast("double")
+    )
+    return scored.select(
+        "bin",
+        "n",
+        F.round("avg_conf_raw", 6).cast("double").alias("avg_confidence"),
+        F.round("frac_pos_raw", 6).cast("double").alias("frac_positive"),
+        F.round("gap9", 6).cast("double").alias("gap"),
+        F.round(ece, 6).cast("double").alias("ece"),
+    )
+
+
+def _calibration_oracle() -> str:
+    head = _logistic_oracle()
+    # reuse the unrolled training CTE chain; strip its final SELECT union
+    head = head[: head.index("\nSELECT CAST(1 AS INT)")]
+    return head + f"""
+, preds AS (
+    SELECT y,
+           ROUND(1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2))), 9) AS p
+    FROM feats, w{N_STEPS} w
+), binned AS (
+    SELECT y, p,
+           LEAST(CAST(FLOOR(p * {N_CALIB_BINS}) AS INT),
+                 {N_CALIB_BINS - 1}) AS bin
+    FROM preds
+), per AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(p AS DECIMAL(27,12))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_conf_raw,
+           CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos_raw
+    FROM binned GROUP BY bin
+), scored AS (
+    SELECT bin, n, avg_conf_raw, frac_pos_raw,
+           ROUND(ABS(avg_conf_raw - frac_pos_raw), 9) AS gap9
+    FROM per
+)
+SELECT bin, n,
+       CAST(ROUND(avg_conf_raw, 6) AS DOUBLE) AS avg_confidence,
+       CAST(ROUND(frac_pos_raw, 6) AS DOUBLE) AS frac_positive,
+       CAST(ROUND(gap9, 6) AS DOUBLE) AS gap,
+       CAST(ROUND(
+           CAST(SUM(CAST(gap9 * CAST(n AS DOUBLE) AS DECIMAL(27,12))) OVER ()
+                AS DOUBLE)
+           / CAST(SUM(n) OVER () AS DOUBLE), 6) AS DOUBLE) AS ece
+FROM scored
+"""
+
+
+CALIBRATION_REPORT_DOCUMENTS_ORACLE = _calibration_oracle()

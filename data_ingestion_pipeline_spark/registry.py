@@ -168,6 +168,7 @@ _ROUND5_NEW: list[str] = [
     "seasonal_decompose_daily",
     "hybrid_search_rrf_documents",
     "multimodal_audio_chunks",
+    "calibration_report_documents",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1687,6 +1688,12 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "calibration_report_documents",
+    classifier.calibration_report_documents,
+    classifier.CALIBRATION_REPORT_DOCUMENTS_ORACLE,
 )
 
 register(
