@@ -76,6 +76,8 @@ __all__ = [
     "js_divergence_event_types_weekpart",
     "cramers_v_event_type_dow",
     "ks_test_purchase_view",
+    "fellegi_sunter_linkage_parts",
+    "partition_pruning_report_orders",
 ]
 
 
@@ -4289,4 +4291,163 @@ SELECT n1, n2, n_points,
                                  / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 9)
                   )), 6) AS DOUBLE) AS p_approx
 FROM top
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage scoring
+# ---------------------------------------------------------------------------
+
+# ln(m/u) agreement and ln((1-m)/(1-u)) disagreement weights for the three
+# comparison fields, from configured (m, u) = (.9,.1), (.8,.2), (.7,.3).
+# Embedded as EXACT double literals in both engines (no runtime ln()).
+_FS_W = {
+    "type": (2.1972245773362196, -2.1972245773362196),
+    "tok": (1.3862943611198906, -1.3862943611198908),
+    "price": (0.8472978603872037, -0.8472978603872034),
+}
+_FS_LINK, _FS_NONLINK = 2.0, -1.0
+
+
+def fellegi_sunter_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969) over the
+    part catalog — the decision-theoretic layer ``fuzzy_part_name_pairs``'
+    raw similarity lacks: candidate pairs from (brand, size) blocking are
+    scored Σ ln(m/u) per agreeing field / Σ ln((1−m)/(1−u)) per
+    disagreeing field (fields: exact p_type, first name token, retail
+    price within 50), then classified link / possible / non-link at the
+    standard two-threshold rule. Published shape: per-class pair counts
+    and mean match weight.
+
+    The (m, u) parameters are configuration (no labeled pairs exist to EM
+    them from); their log-weights enter both engines as identical double
+    literals, so each pair's weight is a short exact sum and the class
+    cut never rides a ulp. Scale shape: the blocked self-join is an
+    equi-join on (brand, size) — co-partitioned, no cartesian; pair count
+    is Σ_blocks C(|b|,2) with fixture blocks of ~1-80 parts."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        "p_type",
+        F.element_at(F.split("p_name", " "), 1).alias("tok1"),
+        "p_retailprice",
+    )
+    a = part.select(*[F.col(c).alias(f"a_{c}") for c in part.columns])
+    b = part.select(*[F.col(c).alias(f"b_{c}") for c in part.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_p_brand") == F.col("b_p_brand"))
+        & (F.col("a_p_size") == F.col("b_p_size"))
+        & (F.col("a_p_partkey") < F.col("b_p_partkey")),
+    )
+    def fw(agree, key):
+        yes, no = _FS_W[key]
+        return F.when(agree, F.lit(yes)).otherwise(F.lit(no))
+
+    weight = (
+        fw(F.col("a_p_type") == F.col("b_p_type"), "type")
+        + fw(F.col("a_tok1") == F.col("b_tok1"), "tok")
+        + fw(
+            F.abs(F.col("a_p_retailprice") - F.col("b_p_retailprice")) < 50.0,
+            "price",
+        )
+    )
+    cls = (
+        F.when(weight > F.lit(_FS_LINK), F.lit("link"))
+        .when(weight < F.lit(_FS_NONLINK), F.lit("non_link"))
+        .otherwise(F.lit("possible"))
+    )
+    return (
+        pairs.select(weight.alias("w"), cls.alias("decision"))
+        .groupBy("decision")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                dec_sum(F.col("w"), 27, 12).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("avg_weight"),
+        )
+    )
+
+
+FELLEGI_SUNTER_LINKAGE_PARTS_ORACLE = f"""
+WITH p AS (
+    SELECT p_partkey, p_brand, p_size, p_type,
+           regexp_split_to_array(p_name, ' ')[1] AS tok1,
+           p_retailprice
+    FROM part
+), pairs AS (
+    SELECT (CASE WHEN a.p_type = b.p_type
+                 THEN {_FS_W["type"][0]!r} ELSE {_FS_W["type"][1]!r} END)
+           + (CASE WHEN a.tok1 = b.tok1
+                   THEN {_FS_W["tok"][0]!r} ELSE {_FS_W["tok"][1]!r} END)
+           + (CASE WHEN ABS(a.p_retailprice - b.p_retailprice) < 50.0
+                   THEN {_FS_W["price"][0]!r} ELSE {_FS_W["price"][1]!r} END)
+               AS w
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+)
+SELECT CASE WHEN w > {_FS_LINK} THEN 'link'
+            WHEN w < {_FS_NONLINK} THEN 'non_link'
+            ELSE 'possible' END AS decision,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(ROUND(CAST(SUM(CAST(w AS DECIMAL(27,12))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS avg_weight
+FROM pairs GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zone-map (min/max stats) partition-pruning effectiveness report
+# ---------------------------------------------------------------------------
+
+def partition_pruning_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map effectiveness report: per month partition of orders, the
+    min/max/count stats a parquet footer (or Iceberg manifest) would
+    carry for o_totalprice, plus — for three representative predicates —
+    whether the whole partition is PRUNABLE (predicate disjoint from the
+    [min,max] zone) — the report an engine uses to decide if a sort/
+    z-order rewrite would buy scan skipping. One aggregate over the fact
+    table; everything else is partition-count sized. Exact min/max on
+    doubles (no arithmetic), bigint counts."""
+    o = load_table(spark, sf_dir, "orders")
+    zones = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return zones.select(
+        "month",
+        "n_rows",
+        "min_price",
+        "max_price",
+        (F.col("max_price") < 50000.0).alias("prunes_gt_50k"),
+        (F.col("min_price") > 1000.0).alias("prunes_lt_1k"),
+        ((F.col("max_price") < 100000.0) | (F.col("min_price") > 200000.0)).alias(
+            "prunes_between_100k_200k"
+        ),
+    )
+
+
+PARTITION_PRUNING_REPORT_ORDERS_ORACLE = """
+WITH zones AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY 1
+)
+SELECT month, n_rows, min_price, max_price,
+       max_price < 50000.0 AS prunes_gt_50k,
+       min_price > 1000.0 AS prunes_lt_1k,
+       (max_price < 100000.0 OR min_price > 200000.0)
+           AS prunes_between_100k_200k
+FROM zones
 """

@@ -169,6 +169,8 @@ _ROUND5_NEW: list[str] = [
     "hybrid_search_rrf_documents",
     "multimodal_audio_chunks",
     "calibration_report_documents",
+    "fellegi_sunter_linkage_parts",
+    "partition_pruning_report_orders",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1688,6 +1690,18 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "fellegi_sunter_linkage_parts",
+    analytics_checks.fellegi_sunter_linkage_parts,
+    analytics_checks.FELLEGI_SUNTER_LINKAGE_PARTS_ORACLE,
+)
+
+register(
+    "partition_pruning_report_orders",
+    analytics_checks.partition_pruning_report_orders,
+    analytics_checks.PARTITION_PRUNING_REPORT_ORDERS_ORACLE,
 )
 
 register(
