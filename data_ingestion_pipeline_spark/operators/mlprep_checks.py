@@ -40,6 +40,8 @@ __all__ = [
     "rake_keywords_documents",
     "arrow_vector_norms_embeddings",
     "kmeans_lloyd_embeddings",
+    "label_centroid_similarity_embeddings",
+    "neyman_allocation_documents",
 ]
 
 EMBEDDING_DIM = 64  # fixture embedding width (TESTDATA.md; asserted in tests)
@@ -1240,3 +1242,170 @@ FROM assign{_LLOYD_ITERS} GROUP BY cid"""
 
 
 KMEANS_LLOYD_EMBEDDINGS_ORACLE = _lloyd_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid similarity matrix — class-separability diagnostic
+# ---------------------------------------------------------------------------
+
+def label_centroid_similarity_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids —
+    the class-separability diagnostic run before training a classifier on
+    labeled vectors (two labels whose centroids sit at cosine ≈ 1 will
+    confuse any linear head; the confusable-pair list drives relabeling /
+    merge decisions).
+
+    Exactness follows the k-means discipline: per-(label, dim) centroid
+    coordinates are exact decimal means cast to double (bitwise
+    engine-identical); dot products and norms fold those doubles'
+    products in decimal; one final sqrt+divide per pair, rounded. Scale
+    shape: ONE aggregation over the exploded vectors (shuffle ∝ labels ×
+    dim, i.e. tiny), then all pairwise work happens on the ≤K·dim
+    centroid relation — the vector table is never self-joined."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ve = emb.select(
+        "label", F.posexplode("embedding").alias("d", "v")
+    ).select("label", "d", F.col("v").cast("double").alias("v"))
+    cents = ve.groupBy("label", "d").agg(
+        (
+            F.sum(F.col("v").cast("decimal(27,18)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("c")
+    )
+    a = cents.select(
+        F.col("label").alias("label_a"), "d", F.col("c").alias("ca")
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"), "d", F.col("c").alias("cb")
+    )
+    pairs = a.join(b, "d").filter(F.col("label_a") < F.col("label_b"))
+    s = pairs.groupBy("label_a", "label_b").agg(
+        F.sum((F.col("ca") * F.col("cb")).cast("decimal(38,20)"))
+        .cast("double")
+        .alias("dot"),
+        F.sum((F.col("ca") * F.col("ca")).cast("decimal(38,20)"))
+        .cast("double")
+        .alias("na"),
+        F.sum((F.col("cb") * F.col("cb")).cast("decimal(38,20)"))
+        .cast("double")
+        .alias("nb"),
+    )
+    return s.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6
+        )
+        .cast("double")
+        .alias("centroid_cosine"),
+    )
+
+
+LABEL_CENTROID_SIMILARITY_EMBEDDINGS_ORACLE = """
+WITH ve AS (
+    SELECT label, CAST(i AS INT) AS d,
+           CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN range(64) t(i)
+), cents AS (
+    SELECT label, d,
+           CAST(SUM(CAST(v AS DECIMAL(27,18))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS c
+    FROM ve GROUP BY label, d
+), pairs AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           a.c AS ca, b.c AS cb
+    FROM cents a JOIN cents b ON a.d = b.d AND a.label < b.label
+), s AS (
+    SELECT label_a, label_b,
+           CAST(SUM(CAST(ca * cb AS DECIMAL(38,20))) AS DOUBLE) AS dot,
+           CAST(SUM(CAST(ca * ca AS DECIMAL(38,20))) AS DOUBLE) AS na,
+           CAST(SUM(CAST(cb * cb AS DECIMAL(38,20))) AS DOUBLE) AS nb
+    FROM pairs GROUP BY label_a, label_b
+)
+SELECT label_a, label_b,
+       CAST(ROUND(dot / SQRT(na * nb), 6) AS DOUBLE) AS centroid_cosine
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Neyman optimal allocation for stratified sampling
+# ---------------------------------------------------------------------------
+
+def neyman_allocation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation (Neyman 1934) of a 1000-document sample
+    budget across language strata: n_h ∝ N_h·σ_h (stratum size × stratum
+    std of n_chars) — the statistically efficient upgrade of the
+    proportional allocation ``stratified_sample_documents`` uses, and the
+    planning report a curation pipeline runs before drawing an
+    annotation / eval sample. Published per stratum: N_h, σ_h, and the
+    proportional vs Neyman allocations side by side (the delta IS the
+    report — it shows where optimal allocation diverges from naive).
+
+    σ_h comes from exact decimal power sums (population variance); each
+    allocation is floor(budget · share) — raw floors (summing to ≤
+    budget) rather than largest-remainder rounding, so the contract
+    stays exact integer arithmetic on both engines. One aggregate over
+    documents; everything else is strata-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_h"),
+        dec_sum(F.col("n_chars").cast("double"), 38, 6).cast("double").alias("s1"),
+        dec_sum(
+            F.col("n_chars").cast("double") * F.col("n_chars").cast("double"),
+            38,
+            6,
+        )
+        .cast("double")
+        .alias("s2"),
+    )
+    nh = F.col("n_h").cast("double")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / nh) / nh
+    scored = per.select(
+        "lang", "n_h", F.round(F.sqrt(var), 9).alias("sigma_h")
+    )
+    # lang is a tiny domain: the share denominators ride a grand window
+    # over the strata relation (≤ languages rows)
+    tot = Window.partitionBy(F.substring("lang", 1, 0))
+    w_num = F.col("n_h").cast("double") * F.col("sigma_h")
+    alloc_neyman = F.floor(
+        F.lit(1000.0) * w_num / F.sum(w_num).over(tot)
+    ).cast("bigint")
+    alloc_prop = F.floor(
+        F.lit(1000.0)
+        * F.col("n_h").cast("double")
+        / F.sum(F.col("n_h").cast("double")).over(tot)
+    ).cast("bigint")
+    return scored.select(
+        "lang",
+        "n_h",
+        F.round("sigma_h", 6).cast("double").alias("sigma_h"),
+        alloc_prop.alias("alloc_proportional"),
+        alloc_neyman.alias("alloc_neyman"),
+    )
+
+
+NEYMAN_ALLOCATION_DOCUMENTS_ORACLE = """
+WITH per AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_h,
+           CAST(SUM(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(38,6)))
+                AS DOUBLE) AS s1,
+           CAST(SUM(CAST(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS s2
+    FROM documents GROUP BY lang
+), scored AS (
+    SELECT lang, n_h,
+           ROUND(SQRT((s2 - s1 * s1 / CAST(n_h AS DOUBLE))
+                      / CAST(n_h AS DOUBLE)), 9) AS sigma_h
+    FROM per
+)
+SELECT lang, n_h,
+       CAST(ROUND(sigma_h, 6) AS DOUBLE) AS sigma_h,
+       CAST(FLOOR(1000.0 * CAST(n_h AS DOUBLE)
+                  / SUM(CAST(n_h AS DOUBLE)) OVER ()) AS BIGINT)
+           AS alloc_proportional,
+       CAST(FLOOR(1000.0 * CAST(n_h AS DOUBLE) * sigma_h
+                  / SUM(CAST(n_h AS DOUBLE) * sigma_h) OVER ()) AS BIGINT)
+           AS alloc_neyman
+FROM scored
+"""

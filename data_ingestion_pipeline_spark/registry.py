@@ -171,6 +171,8 @@ _ROUND5_NEW: list[str] = [
     "calibration_report_documents",
     "fellegi_sunter_linkage_parts",
     "partition_pruning_report_orders",
+    "label_centroid_similarity_embeddings",
+    "neyman_allocation_documents",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1690,6 +1692,18 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "label_centroid_similarity_embeddings",
+    mlprep_checks.label_centroid_similarity_embeddings,
+    mlprep_checks.LABEL_CENTROID_SIMILARITY_EMBEDDINGS_ORACLE,
+)
+
+register(
+    "neyman_allocation_documents",
+    mlprep_checks.neyman_allocation_documents,
+    mlprep_checks.NEYMAN_ALLOCATION_DOCUMENTS_ORACLE,
 )
 
 register(
