@@ -1,0 +1,199 @@
+"""Round-5 operators: privacy-triad completion, distribution tests,
+skyline/compaction planners, hybrid retrieval fusion, calibration."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from data_ingestion_pipeline_spark.operators import (
+    analytics_checks,
+    classifier,
+    lakehouse_checks,
+    relational,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ks_test_matches_direct_computation(spark):
+    """D must equal the max ECDF gap computed directly from the raw rows —
+    proves the chunk-stitched cumulative counts reconstruct the global
+    ECDF exactly at every distinct value."""
+    row = analytics_checks.ks_test_purchase_view(spark, SF_SMOKE).collect()[0]
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select("event_type", "value")
+        .collect()
+    )
+    xs = sorted(r.value for r in ev if r.event_type == "purchase")
+    ys = sorted(r.value for r in ev if r.event_type == "view")
+    grid = sorted(set(xs) | set(ys))
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(xs, v) / len(xs)
+            - bisect.bisect_right(ys, v) / len(ys)
+        )
+        for v in grid
+    )
+    assert row.n1 == len(xs) and row.n2 == len(ys)
+    assert abs(row.d_stat - d) < 1e-6
+    assert 0.0 <= row.p_approx <= 1.0
+
+
+def test_t_closeness_bounds_and_degenerate_zero(spark):
+    """EMD lies in [0,1]; a QI grouping that collapses to ONE group has
+    the global distribution by construction, so t_max == 0."""
+    row = analytics_checks.t_closeness_report_events(spark, SF_SMOKE).collect()[0]
+    assert 0.0 <= row.t_max <= 1.0
+    assert 0.0 <= row.t_row_weighted_mean <= row.t_max
+    assert row.groups_above_02 <= row.n_groups
+    # degenerate single-group check computed directly
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    buckets = (
+        ev.select(F.floor(F.col("value") / 50.0).alias("sv"))
+        .groupBy("sv")
+        .count()
+        .collect()
+    )
+    assert len(buckets) == row.m_buckets
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    got = {
+        r.p_partkey
+        for r in relational.pareto_frontier_parts(spark, SF_SMOKE).collect()
+    }
+    pts = (
+        spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    )
+    want = set()
+    for p in pts:
+        dominated = any(
+            q.p_retailprice <= p.p_retailprice
+            and q.p_size >= p.p_size
+            and (q.p_retailprice < p.p_retailprice or q.p_size > p.p_size)
+            for q in pts
+        )
+        if not dominated:
+            want.add(p.p_partkey)
+    assert got == want
+
+
+def test_compaction_plan_conserves_rows_and_is_contiguous(spark):
+    rows = sorted(
+        lakehouse_checks.compaction_plan_orders(spark, SF_SMOKE).collect(),
+        key=lambda r: r.bin_id,
+    )
+    n_orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    assert sum(r.total_rows for r in rows) == n_orders
+    # bins are contiguous, non-overlapping day spans in bin order
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_day <= b.first_day
+    # every bin except possibly the last is at least target-full minus one
+    # file (greedy cumulative packing property)
+    target = max(1, n_orders // 8)
+    for r in rows[:-1]:
+        assert r.total_rows + max(1, r.n_files) >= 1  # sanity: non-empty
+        assert r.total_rows >= 1
+    assert rows[-1].bin_id == max(r.bin_id for r in rows)
+    assert all(r.total_rows > 0 for r in rows)
+    # cumulative-fill invariant: rows before bin b sum to >= b * target
+    cum = 0
+    for r in rows:
+        assert cum // target == r.bin_id
+        cum += r.total_rows
+
+
+def test_fellegi_sunter_decisions_partition_all_pairs(spark):
+    rows = analytics_checks.fellegi_sunter_linkage_parts(spark, SF_SMOKE).collect()
+    by = {r.decision: r for r in rows}
+    assert set(by) <= {"link", "possible", "non_link"}
+    # recompute pair count from blocking directly
+    parts = (
+        spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+        .groupBy("p_brand", "p_size")
+        .count()
+        .collect()
+    )
+    want_pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in parts)
+    assert sum(r.n_pairs for r in rows) == want_pairs
+    # link class (all three fields agreeing) must out-weigh non-link means
+    if "link" in by and "non_link" in by:
+        assert by["link"].avg_weight > by["non_link"].avg_weight
+
+
+def test_calibration_report_internally_consistent(spark):
+    rows = classifier.calibration_report_documents(spark, SF_SMOKE).collect()
+    n = sum(r.n for r in rows)
+    ece = sum(r.n * abs(r.avg_confidence - r.frac_positive) for r in rows) / n
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.avg_confidence <= 1.0
+        assert 0.0 <= r.frac_positive <= 1.0
+        # one ece constant for the whole report, equal to the weighted gap
+        assert abs(r.ece - ece) < 1e-4
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark):
+    from data_ingestion_pipeline_spark.operators import llm_data
+
+    rows = llm_data.hybrid_search_rrf_documents(spark, SF_SMOKE).collect()
+    assert len(rows) == llm_data.HYBRID_TOP_K
+    assert [r.fused_rank for r in rows] != []
+    # fused order is by rrf desc with doc_id tie-break
+    scores = [(r.rrf_score, -r.doc_id) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # a doc ranked #1 by both rankers would score 2/(60+1); every score must
+    # be positive and bounded by that
+    for r in rows:
+        assert 0.0 < r.rrf_score <= 2.0 / 61.0 + 1e-12
+        assert r.bm25_rank is not None or r.ql_rank is not None
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ks_test_purchase_view",
+        "pareto_frontier_parts",
+        "compaction_plan_orders",
+        "seasonal_decompose_daily",
+        "calibration_report_documents",
+        "multimodal_audio_chunks",
+        "t_closeness_report_events",
+        "hybrid_search_rrf_documents",
+    ],
+)
+def test_round5_plans_have_no_unpartitioned_windows(spark, name):
+    from tests.test_plans import _unpartitioned_window_count
+
+    plan = _plan(spark, name)
+    assert _unpartitioned_window_count(plan) == 0, (
+        f"{name} has a partition-less window (single-partition sort)"
+    )
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name, key",
+    [
+        ("ks_test_purchase_view", "rangepartitioning(value"),
+        ("pareto_frontier_parts", "rangepartitioning(price"),
+        ("compaction_plan_orders", "rangepartitioning(day"),
+    ],
+)
+def test_chunk_stitch_queries_range_partition(spark, name, key):
+    """The chunk-stitch pattern's load-bearing feature: the corpus-scale
+    cumulative pass rides a range partitioning, not a global sort."""
+    plan = _plan(spark, name)
+    assert key in plan, f"{name} lost its range-partitioned chunk pass"
