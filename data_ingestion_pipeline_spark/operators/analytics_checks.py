@@ -78,6 +78,8 @@ __all__ = [
     "ks_test_purchase_view",
     "fellegi_sunter_linkage_parts",
     "partition_pruning_report_orders",
+    "mann_kendall_daily_trend",
+    "ks_by_event_type_bh",
 ]
 
 
@@ -4450,4 +4452,290 @@ SELECT month, n_rows, min_price, max_price,
        (max_price < 100000.0 OR min_price > 200000.0)
            AS prunes_between_100k_200k
 FROM zones
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test — the significance half of the Theil-Sen pair
+# ---------------------------------------------------------------------------
+
+def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test of the daily value series — the
+    distribution-free significance test that accompanies
+    ``theil_sen_daily_trend``'s slope estimate (the standard pairing in
+    environmental/ops trend monitoring): S = Σ_{i<j} sign(x_j − x_i),
+    Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 with tie groups t,
+    z = (S∓1)/√Var with continuity correction.
+
+    S, n, and the tie term are EXACT integers (the tie cube accumulates
+    in DECIMAL(38,0) — the Mann-Whitney overflow lesson); z and the
+    one-term normal tail bound 2·exp(−z²/2) are the only floats, derived
+    once from the integers with identical expression structure. The pair
+    relation is days² over the AGGREGATED series (calendar-scale), never
+    raw rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        dec_sum(F.col("value"), 27, 12).cast("double").alias("v")
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("v").alias("v1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("v").alias("v2"))
+    s_agg = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select(F.signum(F.col("v2") - F.col("v1")).cast("bigint").alias("sgn"))
+        .agg(F.sum("sgn").cast("bigint").alias("s"))
+    )
+    ties = (
+        daily.groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.sum("t").cast("bigint").alias("n"),
+            F.sum(
+                F.col("t").cast("decimal(38,0)")
+                * (F.col("t") - 1)
+                * (2 * F.col("t") + 5)
+            ).alias("tie_term"),
+        )
+    )
+    joined = s_agg.crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    var_s = (
+        nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term").cast("double")
+    ) / F.lit(18.0)
+    sd = F.col("s").cast("double")
+    z = F.round(
+        F.when(F.col("s") > 0, (sd - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (sd + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)),
+        9,
+    )
+    p_bound = F.least(F.lit(1.0), F.lit(2.0) * F.exp(-z * z / F.lit(2.0)))
+    return joined.select(
+        "n",
+        "s",
+        F.round(var_s, 6).cast("double").alias("var_s"),
+        z.cast("double").alias("z"),
+        F.round(p_bound, 6).cast("double").alias("p_tail_bound"),
+        (F.abs(z) > 1.96).alias("trend_at_05"),
+    )
+
+
+MANN_KENDALL_DAILY_TREND_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS v
+    FROM events GROUP BY 1
+), s_agg AS (
+    SELECT CAST(SUM(CAST(SIGN(b.v - a.v) AS BIGINT)) AS BIGINT) AS s
+    FROM daily a JOIN daily b ON a.day < b.day
+), ties AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(t) AS BIGINT) AS n,
+           SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)) AS tie_term
+    FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY v)
+), j AS (
+    SELECT s, n,
+           (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
+            * (2 * CAST(n AS DOUBLE) + 5)
+            - CAST(tie_term AS DOUBLE)) / 18.0 AS var_s
+    FROM s_agg CROSS JOIN ties
+), z AS (
+    SELECT n, s, var_s,
+           ROUND(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / SQRT(var_s)
+                      WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / SQRT(var_s)
+                      ELSE 0.0 END, 9) AS z
+    FROM j
+)
+SELECT n, s,
+       CAST(ROUND(var_s, 6) AS DOUBLE) AS var_s,
+       CAST(z AS DOUBLE) AS z,
+       CAST(ROUND(LEAST(1.0, 2.0 * EXP(-z * z / 2.0)), 6) AS DOUBLE)
+           AS p_tail_bound,
+       ABS(z) > 1.96 AS trend_at_05
+FROM z
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-group KS battery with Benjamini-Hochberg FDR correction
+# ---------------------------------------------------------------------------
+
+def ks_by_event_type_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-vs-weekend KS test PER EVENT TYPE with Benjamini-Hochberg
+    FDR correction across the battery — the multiple-testing discipline a
+    drift monitor needs once it runs one test per segment (at 5 segments
+    and α=.05, one naive false alarm every ~4 sweeps). Per type, D is the
+    exact-integer ECDF distance of ``ks_test_purchase_view``; p is the
+    one-term Kolmogorov tail; BH then ranks the battery's p-values and
+    reports the step-up adjusted p̃ᵢ = min_{j≥i} p⁽ʲ⁾·m/j.
+
+    Scale shape: the per-type cumulative counts ride the chunk-stitch
+    pattern with the GROUP IN THE RANGE KEY — repartitionByRange(type,
+    value) keeps each window (type, chunk)-local and the per-type offset
+    stitch sees ≤chunks rows; the BH pass runs on the m-row battery
+    relation. Weekpart parity: Spark ``weekday() < 5`` == DuckDB
+    ``isodow() <= 5``."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        "value",
+        (F.weekday("ts") < 5).cast("bigint").alias("is_wd"),
+    )
+    pts = s.groupBy("event_type", "value").agg(
+        F.sum("is_wd").cast("bigint").alias("c1"),
+        (F.count("*") - F.sum("is_wd")).cast("bigint").alias("c2"),
+    )
+    n_chunks = spark.sparkContext.defaultParallelism
+    chunked = pts.repartitionByRange(
+        n_chunks, "event_type", "value"
+    ).withColumn("pid", F.spark_partition_id())
+    w = Window.partitionBy("event_type", "pid").orderBy("value")
+    local = chunked.select(
+        "event_type",
+        "pid",
+        F.sum("c1").over(w).alias("l1"),
+        F.sum("c2").over(w).alias("l2"),
+    )
+    totals = chunked.groupBy("event_type", "pid").agg(
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.sum("c2").cast("bigint").alias("t2"),
+    )
+    bw = (
+        Window.partitionBy("event_type")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "event_type",
+        "pid",
+        F.coalesce(F.sum("t1").over(bw), F.lit(0)).cast("bigint").alias("o1"),
+        F.coalesce(F.sum("t2").over(bw), F.lit(0)).cast("bigint").alias("o2"),
+    )
+    nn = pts.groupBy("event_type").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    cum = (
+        local.join(offs, ["event_type", "pid"])
+        .join(F.broadcast(nn), "event_type")
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            (F.col("l1") + F.col("o1")).cast("decimal(19,0)").alias("cum1"),
+            (F.col("l2") + F.col("o2")).cast("decimal(19,0)").alias("cum2"),
+        )
+    )
+    d_num = F.abs(
+        F.col("cum1") * F.col("n2").cast("decimal(19,0)")
+        - F.col("cum2") * F.col("n1").cast("decimal(19,0)")
+    )
+    top = cum.groupBy("event_type", "n1", "n2").agg(F.max(d_num).alias("d_num"))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    d = F.col("d_num").cast("double") / (n1d * n2d)
+    z = F.round(d * F.sqrt(n1d * n2d / (n1d + n2d)), 9)
+    p = F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * z * z))
+    scored = top.select(
+        "event_type",
+        "n1",
+        "n2",
+        d.alias("d_raw"),
+        z.alias("z_raw"),
+        p.alias("p_raw"),
+    )
+    # BH step-up over the m-row battery (m = event types, tiny): rank by
+    # (p, type), adj_i = p_i * m / i, p̃_i = suffix-min of adj
+    # n1%1: constant-valued non-foldable partition key — m-row windows on
+    # WindowExec's partitioned path
+    rw = Window.partitionBy(F.col("n1") % 1).orderBy(
+        F.col("p_raw").asc(), F.col("event_type").asc()
+    )
+    ranked = scored.select(
+        "*",
+        F.row_number().over(rw).cast("bigint").alias("i"),
+        F.count("*").over(Window.partitionBy(F.col("n1") % 1)).cast("bigint").alias("m"),
+    )
+    adj = F.col("p_raw") * F.col("m").cast("double") / F.col("i").cast("double")
+    sw = (
+        Window.partitionBy(F.col("n1") % 1)
+        .orderBy(F.col("i").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ranked.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.round("d_raw", 6).cast("double").alias("d_stat"),
+        F.round("z_raw", 6).cast("double").alias("ks_z"),
+        F.round("p_raw", 6).cast("double").alias("p_approx"),
+        F.round(F.least(F.lit(1.0), F.min(adj).over(sw)), 6)
+        .cast("double")
+        .alias("p_bh"),
+        (F.least(F.lit(1.0), F.min(adj).over(sw)) <= 0.05).alias("reject_at_05"),
+    )
+    return out
+
+
+KS_BY_EVENT_TYPE_BH_ORACLE = """
+WITH s AS (
+    SELECT event_type, value,
+           CASE WHEN isodow(ts) <= 5 THEN 1 ELSE 0 END AS is_wd
+    FROM events
+), pts AS (
+    SELECT event_type, value, CAST(SUM(is_wd) AS BIGINT) AS c1,
+           CAST(COUNT(*) - SUM(is_wd) AS BIGINT) AS c2
+    FROM s GROUP BY event_type, value
+), nn AS (
+    SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+           CAST(SUM(c2) AS BIGINT) AS n2
+    FROM pts GROUP BY event_type
+), cum AS (
+    SELECT event_type,
+           CAST(SUM(c1) OVER (PARTITION BY event_type ORDER BY value)
+                AS DECIMAL(19,0)) AS cum1,
+           CAST(SUM(c2) OVER (PARTITION BY event_type ORDER BY value)
+                AS DECIMAL(19,0)) AS cum2
+    FROM pts
+), top AS (
+    SELECT c.event_type, n.n1, n.n2,
+           MAX(ABS(c.cum1 * CAST(n.n2 AS DECIMAL(19,0))
+                   - c.cum2 * CAST(n.n1 AS DECIMAL(19,0)))) AS d_num
+    FROM cum c JOIN nn n ON c.event_type = n.event_type
+    GROUP BY c.event_type, n.n1, n.n2
+), scored AS (
+    SELECT event_type, n1, n2,
+           CAST(d_num AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_raw,
+           ROUND(CAST(d_num AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                 * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 9)
+               AS z_raw
+    FROM top
+), withp AS (
+    SELECT *, LEAST(1.0, 2.0 * EXP(-2.0 * z_raw * z_raw)) AS p_raw
+    FROM scored
+), ranked AS (
+    SELECT *,
+           CAST(ROW_NUMBER() OVER (ORDER BY p_raw ASC, event_type ASC)
+                AS BIGINT) AS i,
+           CAST(COUNT(*) OVER () AS BIGINT) AS m
+    FROM withp
+)
+SELECT event_type, n1, n2,
+       CAST(ROUND(d_raw, 6) AS DOUBLE) AS d_stat,
+       CAST(ROUND(z_raw, 6) AS DOUBLE) AS ks_z,
+       CAST(ROUND(p_raw, 6) AS DOUBLE) AS p_approx,
+       CAST(ROUND(LEAST(1.0,
+                MIN(p_raw * CAST(m AS DOUBLE) / CAST(i AS DOUBLE))
+                    OVER (ORDER BY i DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            6) AS DOUBLE) AS p_bh,
+       LEAST(1.0,
+             MIN(p_raw * CAST(m AS DOUBLE) / CAST(i AS DOUBLE))
+                 OVER (ORDER BY i DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           <= 0.05 AS reject_at_05
+FROM ranked
 """

@@ -173,6 +173,8 @@ _ROUND5_NEW: list[str] = [
     "partition_pruning_report_orders",
     "label_centroid_similarity_embeddings",
     "neyman_allocation_documents",
+    "mann_kendall_daily_trend",
+    "ks_by_event_type_bh",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1692,6 +1694,18 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "mann_kendall_daily_trend",
+    analytics_checks.mann_kendall_daily_trend,
+    analytics_checks.MANN_KENDALL_DAILY_TREND_ORACLE,
+)
+
+register(
+    "ks_by_event_type_bh",
+    analytics_checks.ks_by_event_type_bh,
+    analytics_checks.KS_BY_EVENT_TYPE_BH_ORACLE,
 )
 
 register(
