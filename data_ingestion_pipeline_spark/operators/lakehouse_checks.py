@@ -40,6 +40,7 @@ __all__ = [
     "table_checksum_orders",
     "incremental_mv_refresh_orders",
     "compaction_plan_orders",
+    "merge_on_read_delete_events",
 ]
 
 _SCRATCH = "/tmp/spark_graft_scratch"
@@ -799,4 +800,72 @@ SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_files,
        CAST(SUM(n_rows) AS BIGINT) AS total_rows,
        MIN(day) AS first_day, MAX(day) AS last_day
 FROM assigned GROUP BY bin_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletes: equality-delete sidecars vs copy-on-write parity
+# ---------------------------------------------------------------------------
+
+def merge_on_read_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletion (Iceberg V2 equality deletes / Delta deletion
+    vectors): two delete commits land as SIDECARS against the current
+    version — an O(keys) metadata write, data files untouched — and reads
+    apply them as a broadcast anti-join; ``rewrite_deletes`` then folds the
+    sidecars into new data files (minor compaction). The published shape is
+    the per-type profile read BOTH ways, phase-labeled: 'mor' (sidecars
+    live) must equal 'cow' (after the rewrite) — the oracle computes one
+    profile and emits it under both phases, so merge-on-read == copy-on-
+    write parity is part of the value hash, not just a pytest claim.
+
+    This is ``gdpr_delete_events``' complement on the delete design axis:
+    copy-on-write pays the rewrite at delete time (reads stay pure scans);
+    merge-on-read defers it (delete latency O(keys), reads pay the
+    anti-join until compaction) — the trade a table service tunes by
+    rewrite cadence."""
+    root = _scratch(sf_dir, "mor_delete_events")
+    shutil.rmtree(root, ignore_errors=True)
+    table = ManagedTable(spark, root, keep_versions=3)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    table.overwrite(events)
+    # delete commit 1: erase every 13th user (an erasure-request batch)
+    table.equality_delete(
+        events.filter(F.col("user_id") % 13 == 0).select("user_id"),
+        ["user_id"],
+    )
+    # delete commit 2: a later batch, same key spec — sidecars accumulate
+    table.equality_delete(
+        events.filter(F.col("user_id") % 29 == 0).select("user_id"),
+        ["user_id"],
+    )
+
+    def profile(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            dec_sum2(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+        ).select(F.lit(phase).alias("phase"), "*")
+
+    mor = profile(table.read(), "mor")
+    table.rewrite_deletes()
+    cow = profile(table.read(), "cow")
+    return mor.unionByName(cow)
+
+
+MERGE_ON_READ_DELETE_EVENTS_ORACLE = """
+WITH prof AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS total_value
+    FROM events
+    WHERE user_id % 13 <> 0 AND user_id % 29 <> 0
+    GROUP BY event_type
+)
+SELECT 'mor' AS phase, * FROM prof
+UNION ALL
+SELECT 'cow' AS phase, * FROM prof
 """

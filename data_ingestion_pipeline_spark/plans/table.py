@@ -80,12 +80,19 @@ class ManagedTable:
 
     # -- read / write -------------------------------------------------------
 
-    def read(self, version: str | None = None) -> DataFrame:
+    def read(
+        self, version: str | None = None, apply_deletes: bool = True
+    ) -> DataFrame:
         """Read the current version, or a retained older one (time travel).
 
         Versions are immutable once the pointer moves past them, so reading
         ``version="v00000001"`` after later commits is a consistent snapshot
         — the poor man's Delta ``VERSION AS OF``, bounded by keep_versions.
+
+        If the version carries equality-delete sidecars
+        (``equality_delete``), they are applied merge-on-read as an
+        anti-join unless ``apply_deletes=False`` (the raw-data-file view a
+        compaction job reads).
         """
         v = version or self.current_version()
         if v is None:
@@ -93,7 +100,81 @@ class ManagedTable:
         path = os.path.join(self.root, v)
         if not os.path.isdir(path):
             raise FileNotFoundError(f"version {v} not retained in {self.root}")
-        return self.spark.read.parquet(path)
+        df = self.spark.read.parquet(path)
+        if not apply_deletes:
+            return df
+        sidecars = self._delete_sidecars(v)
+        if not sidecars:
+            return df
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        keys = reduce(
+            DataFrame.unionByName,
+            [self.spark.read.parquet(p) for p in sidecars],
+        ).distinct()
+        # delete sets are small relative to data (bounded by rewrite_deletes
+        # cadence) — broadcast the anti-join so the read stays shuffle-free
+        return df.join(F.broadcast(keys), list(keys.columns), "left_anti")
+
+    # -- merge-on-read deletes (Iceberg V2 equality-delete style) -----------
+
+    def _deletes_dir(self, version: str) -> str:
+        # underscore prefix: Spark's file-source discovery treats _*/.*
+        # paths as hidden, so sidecars never pollute the data scan
+        return os.path.join(self.root, version, "_deletes")
+
+    def _delete_sidecars(self, version: str) -> list[str]:
+        d = self._deletes_dir(version)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            os.path.join(d, s) for s in os.listdir(d) if s.startswith("d")
+        )
+
+    def equality_delete(self, keys: DataFrame, key_cols: Sequence[str]) -> str:
+        """Merge-on-read delete: write an equality-delete SIDECAR against
+        the current version — the data files are untouched (asserted by
+        mtime in pytest). This is the other half of the delete design
+        axis: ``delete_where`` is copy-on-write (pay the rewrite at delete
+        time, reads stay pure scans); ``equality_delete`` is merge-on-read
+        (O(keys) delete commit, every read pays a broadcast anti-join until
+        ``rewrite_deletes`` folds the sidecars in). Iceberg V2 equality
+        deletes / Delta deletion vectors make exactly this trade.
+
+        All sidecars of a version must share one key-column list (pinned by
+        a marker file); delete sets accumulate until rewritten, which is
+        the read-amplification knob a table service monitors.
+        """
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table {self.root} has no committed version")
+        d = self._deletes_dir(v)
+        os.makedirs(d, exist_ok=True)
+        marker = os.path.join(d, "_KEYS")
+        spec = ",".join(key_cols)
+        if os.path.exists(marker):
+            with open(marker) as f:
+                prior = f.read().strip()
+            if prior != spec:
+                raise ValueError(
+                    f"equality-delete key mismatch: table uses [{prior}], got [{spec}]"
+                )
+        else:
+            with open(marker, "w") as f:
+                f.write(spec)
+        seq = len(self._delete_sidecars(v)) + 1
+        out = os.path.join(d, f"d{seq:06d}")
+        keys.select(*key_cols).distinct().write.mode("overwrite").parquet(out)
+        return v
+
+    def rewrite_deletes(self) -> str:
+        """Fold the current version's delete sidecars into the data files
+        (the minor-compaction half of a table service): commits a new
+        version whose scan needs no anti-join. Merge-on-read == copy-on-
+        write parity is oracle-proved by the registered query."""
+        return self.overwrite(self.read())
 
     def overwrite(self, df: DataFrame) -> str:
         """Commit ``df`` as the new table contents (write-new-then-swap)."""

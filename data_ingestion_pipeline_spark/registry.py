@@ -175,6 +175,7 @@ _ROUND5_NEW: list[str] = [
     "neyman_allocation_documents",
     "mann_kendall_daily_trend",
     "ks_by_event_type_bh",
+    "merge_on_read_delete_events",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1694,6 +1695,12 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "merge_on_read_delete_events",
+    lakehouse_checks.merge_on_read_delete_events,
+    lakehouse_checks.MERGE_ON_READ_DELETE_EVENTS_ORACLE,
 )
 
 register(
