@@ -32,6 +32,8 @@ __all__ = [
     "seasonal_naive_mape_events",
     "cusum_changepoint_daily",
     "seasonal_decompose_daily",
+    "psi_value_drift_halves",
+    "durbin_watson_daily_trend",
 ]
 
 
@@ -520,4 +522,206 @@ SELECT day,
        CAST(ROUND(seasonal, 6) AS DOUBLE) AS seasonal,
        CAST(ROUND(det - seasonal, 6) AS DOUBLE) AS residual
 FROM seas
+"""
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index — the scorecard-monitoring drift metric
+# ---------------------------------------------------------------------------
+
+def psi_value_drift_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of the
+    observed date range (value distribution over fixed-width buckets) —
+    the credit-scorecard drift metric ops teams page on (rule of thumb:
+    <0.1 stable, 0.1–0.25 watch, >0.25 shifted), complementing
+    ``js_divergence_event_types_weekpart``'s bounded symmetric view with
+    the industry-standard unbounded one. PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) over
+    the shared bucket grid; empty cells take the standard ε=1e-6 floor so
+    the log stays finite on both engines.
+
+    Determinism: p, q are exact bigint ratios (or the ε literal); each
+    ln(p/q) rounds to 9 decimals before multiplying the exact (p−q); the
+    per-bucket terms fold in decimal. Split-point parity: Spark and
+    DuckDB both compute day > min_day + floor((max−min)/2) from the same
+    integer day span. Scale: one fact aggregate to (bucket × half); the
+    rest is bucket-count sized."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    base = ev.crossJoin(F.broadcast(span)).select(
+        F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket"),
+        (
+            F.datediff(F.to_date("ts"), F.col("d0"))
+            > F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2)
+        )
+        .cast("int")
+        .alias("is_cur"),
+    )
+    cells = base.groupBy("bucket").agg(
+        F.sum(F.lit(1) - F.col("is_cur")).cast("bigint").alias("c_ref"),
+        F.sum("is_cur").cast("bigint").alias("c_cur"),
+    )
+    tot = Window.partitionBy(F.col("bucket") % 1)
+    eps = F.lit(1e-6)
+    p = F.greatest(
+        eps,
+        F.col("c_ref").cast("double") / F.sum("c_ref").over(tot).cast("double"),
+    )
+    q = F.greatest(
+        eps,
+        F.col("c_cur").cast("double") / F.sum("c_cur").over(tot).cast("double"),
+    )
+    term = (p - q) * F.round(F.log(p / q), 9)
+    terms = cells.select(F.col("bucket"), term.alias("t"))
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.round(dec_sum(F.col("t"), 27, 12), 6).cast("double").alias("psi"),
+        (F.round(dec_sum(F.col("t"), 27, 12), 6) > 0.25).alias("shifted"),
+    )
+
+
+PSI_VALUE_DRIFT_HALVES_ORACLE = """
+WITH span AS (
+    SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+    FROM events
+), base AS (
+    SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+           CASE WHEN datediff('day', d0, CAST(ts AS DATE))
+                     > FLOOR(datediff('day', d0, d1) / 2)
+                THEN 1 ELSE 0 END AS is_cur
+    FROM events CROSS JOIN span
+), cells AS (
+    SELECT bucket,
+           CAST(SUM(1 - is_cur) AS BIGINT) AS c_ref,
+           CAST(SUM(is_cur) AS BIGINT) AS c_cur
+    FROM base GROUP BY bucket
+), terms AS (
+    SELECT bucket,
+           (GREATEST(1e-6, CAST(c_ref AS DOUBLE) / SUM(CAST(c_ref AS DOUBLE)) OVER ())
+            - GREATEST(1e-6, CAST(c_cur AS DOUBLE) / SUM(CAST(c_cur AS DOUBLE)) OVER ()))
+           * ROUND(ln(
+               GREATEST(1e-6, CAST(c_ref AS DOUBLE) / SUM(CAST(c_ref AS DOUBLE)) OVER ())
+               / GREATEST(1e-6, CAST(c_cur AS DOUBLE) / SUM(CAST(c_cur AS DOUBLE)) OVER ())
+             ), 9) AS t
+    FROM cells
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(ROUND(SUM(CAST(t AS DECIMAL(27,12))), 6) AS DOUBLE) AS psi,
+       ROUND(SUM(CAST(t AS DECIMAL(27,12))), 6) > 0.25 AS shifted
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson — residual autocorrelation of the daily trend fit
+# ---------------------------------------------------------------------------
+
+def durbin_watson_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic of the residuals from an OLS linear trend
+    on the daily value series — the lag-1 serial-correlation diagnostic
+    that says whether the trend fit's errors are independent (DW≈2) or
+    the series needs an autoregressive term (DW→0) — the missing check
+    between ``theil_sen_daily_trend`` (slope) and
+    ``autocorr_daily_value`` (raw ACF): DW tests the RESIDUALS.
+
+    OLS (slope, intercept) comes from exact decimal power sums over
+    (day-index, value); residuals are then deterministic doubles; DW =
+    Σ(eₜ−eₜ₋₁)²/Σeₜ² folds both quadratic forms in decimal. The lag runs
+    over the calendar-scale daily aggregate (domain-bounded window on the
+    partitioned path). Day indices are exact integer datediffs from the
+    min day, so both engines fit the identical design matrix."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    d0 = daily.agg(F.min("day").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("day", "d0").cast("double").alias("t"),
+        "x",
+        "day",
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        dec_sum(F.col("t"), 27, 12).cast("double").alias("st"),
+        dec_sum(F.col("x"), 27, 12).cast("double").alias("sx"),
+        dec_sum(F.col("t") * F.col("x"), 38, 12).cast("double").alias("stx"),
+        dec_sum(F.col("t") * F.col("t"), 38, 12).cast("double").alias("stt"),
+    )
+    slope = (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")) / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    icept = (F.col("sx") - slope * F.col("st")) / F.col("n")
+    params = s.select(
+        F.round(slope, 9).alias("b1"), F.round(icept, 9).alias("b0")
+    )
+    resid = pts.crossJoin(F.broadcast(params)).select(
+        "day",
+        (F.col("x") - (F.col("b0") + F.col("b1") * F.col("t"))).alias("e"),
+    )
+    # month(day)%1: constant non-foldable key — calendar-scale series in
+    # one partitioned-window group (see seasonal_decompose_daily)
+    w = Window.partitionBy(F.month("day") % 1).orderBy("day")
+    lagged = resid.select(
+        "e", F.lag("e").over(w).alias("e_prev")
+    )
+    diff = F.col("e") - F.col("e_prev")
+    out = lagged.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        dec_sum(
+            F.when(F.col("e_prev").isNotNull(), diff * diff).otherwise(
+                F.lit(0.0)
+            ),
+            38,
+            12,
+        )
+        .cast("double")
+        .alias("num"),
+        dec_sum(F.col("e") * F.col("e"), 38, 12).cast("double").alias("den"),
+    )
+    dw = F.col("num") / F.col("den")
+    return out.select(
+        "n_days",
+        F.round(dw, 6).cast("double").alias("durbin_watson"),
+        (dw < 1.0).alias("strong_positive_autocorr"),
+    )
+
+
+DURBIN_WATSON_DAILY_TREND_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), d0 AS (
+    SELECT MIN(day) AS d0 FROM daily
+), pts AS (
+    SELECT CAST(datediff('day', d0, day) AS DOUBLE) AS t, x, day
+    FROM daily CROSS JOIN d0
+), s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(t AS DECIMAL(27,12))) AS DOUBLE) AS st,
+           CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(t * x AS DECIMAL(38,12))) AS DOUBLE) AS stx,
+           CAST(SUM(CAST(t * t AS DECIMAL(38,12))) AS DOUBLE) AS stt
+    FROM pts
+), params AS (
+    SELECT ROUND((n * stx - st * sx) / (n * stt - st * st), 9) AS b1,
+           ROUND((sx - ((n * stx - st * sx) / (n * stt - st * st)) * st) / n, 9)
+               AS b0
+    FROM s
+), resid AS (
+    SELECT day, x - (b0 + b1 * t) AS e
+    FROM pts CROSS JOIN params
+), lagged AS (
+    SELECT e, LAG(e) OVER (ORDER BY day) AS e_prev FROM resid
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(CASE WHEN e_prev IS NOT NULL
+                              THEN (e - e_prev) * (e - e_prev)
+                              ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS num,
+           CAST(SUM(CAST(e * e AS DECIMAL(38,12))) AS DOUBLE) AS den
+    FROM lagged
+)
+SELECT n_days,
+       CAST(ROUND(num / den, 6) AS DOUBLE) AS durbin_watson,
+       num / den < 1.0 AS strong_positive_autocorr
+FROM agg
 """

@@ -176,6 +176,8 @@ _ROUND5_NEW: list[str] = [
     "mann_kendall_daily_trend",
     "ks_by_event_type_bh",
     "merge_on_read_delete_events",
+    "psi_value_drift_halves",
+    "durbin_watson_daily_trend",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1695,6 +1697,18 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "psi_value_drift_halves",
+    timeseries_checks.psi_value_drift_halves,
+    timeseries_checks.PSI_VALUE_DRIFT_HALVES_ORACLE,
+)
+
+register(
+    "durbin_watson_daily_trend",
+    timeseries_checks.durbin_watson_daily_trend,
+    timeseries_checks.DURBIN_WATSON_DAILY_TREND_ORACLE,
 )
 
 register(
