@@ -38,6 +38,7 @@ __all__ = [
     "streaming_interval_join_events",
     "streaming_enriched_events",
     "streaming_session_window_events",
+    "streaming_topk_event_types_daily",
 ]
 
 
@@ -907,4 +908,73 @@ SELECT time_bucket(INTERVAL 1 DAY, ts) AS day_start,
 FROM events, wm
 GROUP BY 1, 2, wm.w
 HAVING time_bucket(INTERVAL 1 DAY, ts) + INTERVAL 1 DAY <= wm.w
+"""
+
+
+def streaming_topk_event_types_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k serving view: a real Structured Streaming run
+    aggregates (1-day tumbling window × event_type) counts under a
+    watermark, and the RANKING happens on the downstream read of the sink
+    — the standard split, because rank-per-window isn't an incremental
+    streaming operator (a late row can reorder the board); production
+    stacks do exactly this (stream maintains additive counts, the serving
+    query ranks at read time). Top-3 types per day, count-desc with type
+    tie-break; the rank window partitions by window start (never global).
+    """
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    name = f"stream_topk_types_{tag}"
+    events_file = os.path.join(sf_dir, "events.parquet")
+    raw = (
+        spark.readStream.schema(_events_stream_schema(spark, events_file))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = normalize_event_ts(raw)
+    agg = (
+        events.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    with _stream_state_partitions(spark):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+    if query.isActive:
+        query.stop()
+    from pyspark.sql import Window
+
+    sink = spark.table(name)
+    rw = Window.partitionBy(F.col("win.start")).orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        sink.withColumn("rnk", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("win.start").cast("date").alias("day"),
+            "rnk",
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+STREAMING_TOPK_EVENT_TYPES_DAILY_ORACLE = """
+WITH counts AS (
+    SELECT CAST(CAST(ts AS DATE) AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+), ranked AS (
+    SELECT day, event_type, n_events,
+           CAST(ROW_NUMBER() OVER (PARTITION BY day
+                ORDER BY n_events DESC, event_type ASC) AS INT) AS rnk
+    FROM counts
+)
+SELECT day, rnk, event_type, n_events
+FROM ranked WHERE rnk <= 3
 """

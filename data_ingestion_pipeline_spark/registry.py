@@ -178,6 +178,7 @@ _ROUND5_NEW: list[str] = [
     "merge_on_read_delete_events",
     "psi_value_drift_halves",
     "durbin_watson_daily_trend",
+    "streaming_topk_event_types_daily",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1697,6 +1698,12 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "streaming_topk_event_types_daily",
+    streaming_checks.streaming_topk_event_types_daily,
+    streaming_checks.STREAMING_TOPK_EVENT_TYPES_DAILY_ORACLE,
 )
 
 register(
