@@ -44,12 +44,26 @@ PROBES = [
     ("exact_dedup_documents", ["documents"]),
     ("revenue_per_product", ["lineitem", "part"]),
     ("table_checksum_orders", ["orders"]),
+    # round-5 chunk-stitch / blocked-join plans: the probes that would
+    # expose a hidden single-partition sort or quadratic pair blowup
+    ("ks_test_purchase_view", ["events"]),
+    ("ks_by_event_type_bh", ["events"]),
+    ("t_closeness_report_events", ["events"]),
+    ("pareto_frontier_parts", ["part"]),
+    ("compaction_plan_orders", ["orders"]),
+    ("fellegi_sunter_linkage_parts", ["part"]),
+    ("hybrid_search_rrf_documents", ["documents"]),
 ]
 
 KEY_OFFSETS = {
     "documents": ("doc_id", 10_000_000),
     "orders": ("o_orderkey", 100_000_000),
     "lineitem": ("l_orderkey", 100_000_000),
+    "events": ("event_id", 1_000_000_000),
+    # part is the FACT side for the skyline/linkage probes — replicating
+    # under a key offset grows the catalog (and its (brand,size) blocks)
+    # rather than duplicating identical rows
+    "part": ("p_partkey", 100_000_000),
 }
 
 
