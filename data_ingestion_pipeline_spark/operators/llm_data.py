@@ -55,6 +55,7 @@ __all__ = [
     "tfidf_top_terms",
     "bm25_search_documents",
     "hybrid_search_rrf_documents",
+    "oversample_minority_documents",
     "cdc_chunk_dedup_documents",
     "curation_pipeline_documents",
     "chunk_documents",
@@ -2727,4 +2728,74 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT)
        CAST(ROUND(rrf, 9) AS DOUBLE) AS rrf_score,
        bm25_rank, ql_rank
 FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {HYBRID_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Minority-language oversampling — executing the rebalance plan
+# ---------------------------------------------------------------------------
+
+def oversample_minority_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the corpus rebalance that ``language_rebalance_plan`` only
+    plans: replicate minority-language documents toward the majority
+    count. Each doc gets floor(target/N_h) copies plus one extra when its
+    md5-derived uniform draw falls under the fractional remainder — the
+    same stable-hash discipline as ``train_val_test_split_documents``
+    (deterministic per doc, stable under corpus growth, reproducible
+    outside Spark; the post-balance count is therefore within hash noise
+    of the target rather than exactly it, which the published ratio
+    column makes visible). The replication itself is a map-side
+    ``explode(sequence(1, reps))`` — no shuffle until the final
+    strata-sized count."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_before"))
+    target = per.agg(F.max("n_before").cast("bigint").alias("target"))
+    h6 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint")
+    base = F.floor(F.col("target") / F.col("n_before")).cast("int")
+    rem = F.col("target") % F.col("n_before")
+    reps = base + ((h6 % F.col("n_before")) < rem).cast("int")
+    resampled = (
+        docs.join(F.broadcast(per), "lang")
+        .crossJoin(F.broadcast(target))
+        .select("lang", "n_before", "target", F.explode(F.sequence(F.lit(1), reps)))
+    )
+    return (
+        resampled.groupBy("lang", "n_before", "target")
+        .agg(F.count("*").cast("bigint").alias("n_after"))
+        .select(
+            "lang",
+            "n_before",
+            "target",
+            "n_after",
+            F.round(
+                F.col("n_after").cast("double") / F.col("target").cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("balance_ratio"),
+        )
+    )
+
+
+OVERSAMPLE_MINORITY_DOCUMENTS_ORACLE = """
+WITH per AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_before
+    FROM documents GROUP BY lang
+), t AS (
+    SELECT CAST(MAX(n_before) AS BIGINT) AS target FROM per
+), reps AS (
+    SELECT d.lang, p.n_before, t.target,
+           CAST(FLOOR(t.target / p.n_before) AS INT)
+           + CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6))::BIGINT
+                       % p.n_before < t.target % p.n_before
+                  THEN 1 ELSE 0 END AS reps
+    FROM documents d JOIN per p ON d.lang = p.lang CROSS JOIN t
+)
+SELECT lang, n_before, target,
+       CAST(SUM(reps) AS BIGINT) AS n_after,
+       CAST(ROUND(CAST(SUM(reps) AS DOUBLE) / CAST(target AS DOUBLE), 4)
+            AS DOUBLE) AS balance_ratio
+FROM reps GROUP BY lang, n_before, target
 """

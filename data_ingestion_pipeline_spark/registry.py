@@ -179,6 +179,7 @@ _ROUND5_NEW: list[str] = [
     "psi_value_drift_halves",
     "durbin_watson_daily_trend",
     "streaming_topk_event_types_daily",
+    "oversample_minority_documents",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1698,6 +1699,12 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "oversample_minority_documents",
+    llm_data.oversample_minority_documents,
+    llm_data.OVERSAMPLE_MINORITY_DOCUMENTS_ORACLE,
 )
 
 register(
