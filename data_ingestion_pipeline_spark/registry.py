@@ -180,6 +180,7 @@ _ROUND5_NEW: list[str] = [
     "durbin_watson_daily_trend",
     "streaming_topk_event_types_daily",
     "oversample_minority_documents",
+    "pca_power_iteration_embeddings",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1699,6 +1700,12 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "pca_power_iteration_embeddings",
+    mlprep_checks.pca_power_iteration_embeddings,
+    mlprep_checks.PCA_POWER_ITERATION_EMBEDDINGS_ORACLE,
 )
 
 register(
