@@ -34,6 +34,7 @@ __all__ = [
     "seasonal_decompose_daily",
     "psi_value_drift_halves",
     "durbin_watson_daily_trend",
+    "holt_linear_daily_forecast",
 ]
 
 
@@ -724,4 +725,96 @@ SELECT n_days,
        CAST(ROUND(num / den, 6) AS DOUBLE) AS durbin_watson,
        num / den < 1.0 AS strong_positive_autocorr
 FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear trend — double exponential smoothing as a sequential fold
+# ---------------------------------------------------------------------------
+
+def holt_linear_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing of the daily
+    value series with 1- and 7-day-ahead forecasts — the capacity-planning
+    forecast ``seasonal_naive_mape_events`` benchmarks against, and a
+    recurrence (level AND trend each depend on both previous states) that
+    no window algebra expresses. Following the ``ewma_user_value``
+    precedent, the fold runs as a higher-order ``aggregate`` over the
+    time-ordered series with a 2-element [level, trend] array accumulator
+    — both engines fold left in index order with the SAME lambda (α=0.5,
+    β=0.3, init level=x₁ / trend=0), so the IEEE op chain is identical
+    and no decimal trick is needed for parity.
+
+    The series is the DAILY aggregate (calendar-scale — the documented
+    domain-bounded class): one exact-decimal groupBy over the facts, then
+    a single-row array fold. The 100 TB shape carries [level, trend]
+    chunk-to-chunk exactly like the streaming stateful fold."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    series = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: F.array(s.x, F.lit(0.0)),
+        ).alias("pairs")
+    )
+    a = F.lit(0.5)
+    g = F.lit(0.3)
+
+    def step(acc, p):
+        l_, b = F.element_at(acc, 1), F.element_at(acc, 2)
+        x = F.element_at(p, 1)
+        lnew = a * x + (F.lit(1.0) - a) * (l_ + b)
+        bnew = g * ((a * x + (F.lit(1.0) - a) * (l_ + b)) - l_) + (
+            F.lit(1.0) - g
+        ) * b
+        return F.array(lnew, bnew)
+
+    folded = F.aggregate(
+        F.slice(
+            F.col("pairs"), 2, F.greatest(F.size("pairs") - 1, F.lit(0))
+        ),
+        F.element_at(F.col("pairs"), 1),
+        step,
+    )
+    out = series.select(
+        F.size("pairs").cast("bigint").alias("n_days"),
+        F.element_at(folded, 1).alias("level"),
+        F.element_at(folded, 2).alias("trend"),
+    )
+    return out.select(
+        "n_days",
+        F.round("level", 6).cast("double").alias("level"),
+        F.round("trend", 6).cast("double").alias("trend"),
+        F.round(F.col("level") + F.col("trend"), 6)
+        .cast("double")
+        .alias("forecast_1d"),
+        F.round(F.col("level") + F.lit(7.0) * F.col("trend"), 6)
+        .cast("double")
+        .alias("forecast_7d"),
+    )
+
+
+HOLT_LINEAR_DAILY_FORECAST_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), series AS (
+    SELECT list_transform(list(x ORDER BY day),
+                          x -> [x, CAST(0.0 AS DOUBLE)]) AS pairs
+    FROM daily
+), folded AS (
+    SELECT len(pairs) AS n_days,
+           list_reduce(pairs,
+               (acc, p) -> [
+                   0.5 * p[1] + (1.0 - 0.5) * (acc[1] + acc[2]),
+                   0.3 * ((0.5 * p[1] + (1.0 - 0.5) * (acc[1] + acc[2]))
+                          - acc[1]) + (1.0 - 0.3) * acc[2]
+               ]) AS lb
+    FROM series
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(ROUND(lb[1], 6) AS DOUBLE) AS level,
+       CAST(ROUND(lb[2], 6) AS DOUBLE) AS trend,
+       CAST(ROUND(lb[1] + lb[2], 6) AS DOUBLE) AS forecast_1d,
+       CAST(ROUND(lb[1] + 7.0 * lb[2], 6) AS DOUBLE) AS forecast_7d
+FROM folded
 """

@@ -181,6 +181,7 @@ _ROUND5_NEW: list[str] = [
     "streaming_topk_event_types_daily",
     "oversample_minority_documents",
     "pca_power_iteration_embeddings",
+    "holt_linear_daily_forecast",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1700,6 +1701,12 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "holt_linear_daily_forecast",
+    timeseries_checks.holt_linear_daily_forecast,
+    timeseries_checks.HOLT_LINEAR_DAILY_FORECAST_ORACLE,
 )
 
 register(
