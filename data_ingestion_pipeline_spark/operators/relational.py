@@ -50,6 +50,7 @@ __all__ = [
     "user_event_type_sets",
     "salted_skew_join_events",
     "pareto_frontier_parts",
+    "countmin_event_types",
 ]
 
 
@@ -1393,4 +1394,115 @@ WHERE NOT EXISTS (
     WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
       AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
 )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — the point-frequency sketch, exact-gated
+# ---------------------------------------------------------------------------
+
+_CMS_W = 64  # buckets per row
+_CMS_D = 4   # hash rows
+
+
+def countmin_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over event types,
+    probed for every distinct type and gated against the exact counts —
+    completing the sketch family (HLL distinct, GK quantiles, KPS heavy
+    hitters, Bloom membership, MinHash/SimHash similarity… CMS is the
+    point-frequency one). Counters are one aggregate over (hash-row,
+    bucket) — 4×64 cells, mergeable across partitions/streams by plain
+    addition, which is the whole reason CMS exists at scale. The estimate
+    is min over rows of the probed cell; CMS never under-counts, and the
+    published gate checks the standard εN bound (ε = 2/w) per type —
+    a red/green signal the driver hashes, not a prose claim.
+
+    Hash parity: bucket_j(t) = md5-derived (the ``train_val_test_split``
+    idiom — xxhash64 has no DuckDB twin), identical on both engines, so
+    the sketch itself is bitwise engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("hrow"))
+    keyed = ev.select("event_type").crossJoin(F.broadcast(rows))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("hrow").cast("string"), F.col("event_type"))
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_W
+    )
+    counters = keyed.groupBy(
+        "hrow", bucket.alias("bucket")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    exact = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("exact_count")
+    )
+    tot = ev.agg(F.count("*").cast("bigint").alias("n_total"))
+    probes = exact.crossJoin(F.broadcast(rows)).select(
+        "event_type",
+        "exact_count",
+        "hrow",
+        bucket.alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["hrow", "bucket"])
+        .groupBy("event_type", "exact_count")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+        .crossJoin(F.broadcast(tot))
+    )
+    over = F.col("cms_estimate") - F.col("exact_count")
+    return est.select(
+        "event_type",
+        "exact_count",
+        "cms_estimate",
+        over.alias("overestimate"),
+        (over >= 0).alias("never_undercounts"),
+        (
+            over.cast("double")
+            <= F.lit(2.0 / _CMS_W) * F.col("n_total").cast("double")
+        ).alias("within_eps_bound"),
+    )
+
+
+COUNTMIN_EVENT_TYPES_ORACLE = f"""
+WITH rows_d AS (
+    SELECT CAST(i AS INT) AS hrow FROM range({_CMS_D}) t(i)
+), keyed AS (
+    SELECT e.event_type, r.hrow,
+           ('0x' || substr(md5(r.hrow::VARCHAR || ':' || e.event_type), 1, 6))::BIGINT
+               % {_CMS_W} AS bucket
+    FROM events e CROSS JOIN rows_d r
+), counters AS (
+    SELECT hrow, bucket, CAST(COUNT(*) AS BIGINT) AS c
+    FROM keyed GROUP BY hrow, bucket
+), exact AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_count
+    FROM events GROUP BY event_type
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events
+), probes AS (
+    SELECT x.event_type, x.exact_count, r.hrow,
+           ('0x' || substr(md5(r.hrow::VARCHAR || ':' || x.event_type), 1, 6))::BIGINT
+               % {_CMS_W} AS bucket
+    FROM exact x CROSS JOIN rows_d r
+), est AS (
+    SELECT p.event_type, p.exact_count,
+           CAST(MIN(c.c) AS BIGINT) AS cms_estimate
+    FROM probes p JOIN counters c
+      ON p.hrow = c.hrow AND p.bucket = c.bucket
+    GROUP BY p.event_type, p.exact_count
+)
+SELECT event_type, exact_count, cms_estimate,
+       cms_estimate - exact_count AS overestimate,
+       cms_estimate - exact_count >= 0 AS never_undercounts,
+       CAST(cms_estimate - exact_count AS DOUBLE)
+           <= {2.0 / _CMS_W} * (SELECT CAST(n_total AS DOUBLE) FROM tot)
+           AS within_eps_bound
+FROM est
 """

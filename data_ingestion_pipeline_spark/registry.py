@@ -182,6 +182,7 @@ _ROUND5_NEW: list[str] = [
     "oversample_minority_documents",
     "pca_power_iteration_embeddings",
     "holt_linear_daily_forecast",
+    "countmin_event_types",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1701,6 +1702,12 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "countmin_event_types",
+    relational.countmin_event_types,
+    relational.COUNTMIN_EVENT_TYPES_ORACLE,
 )
 
 register(
