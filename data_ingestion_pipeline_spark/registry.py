@@ -50,7 +50,7 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
 # CORRECTNESS_r{N}.json; tests assert the lists stay in sync with the
 # registry contents.
 #
-# Round-5 state (from CORRECTNESS_r01-r04 + VERDICT r4): 146 of the 244
+# Round-5 state (from CORRECTNESS_r01-r04 + VERDICT r4): 146 of the 254
 # registered queries hold a driver-green row, and every one of those is
 # green at its latest check. The 51 queries below have NO driver row yet
 # (the round-4-late additions); they take the whole round-5 budget.
