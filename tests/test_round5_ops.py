@@ -235,3 +235,85 @@ def test_equality_delete_is_merge_on_read(spark, tmp_path):
     assert v2 != v
     assert t._delete_sidecars(v2) == []
     assert t.read(apply_deletes=False).count() == 80
+
+
+def test_mann_kendall_matches_direct(spark):
+    from data_ingestion_pipeline_spark.operators import analytics_checks
+
+    row = analytics_checks.mann_kendall_daily_trend(spark, SF_SMOKE).collect()[0]
+    daily = sorted(
+        (r.day, r.v)
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("v"))
+        .collect()
+    )
+    xs = [v for _, v in daily]
+    s = sum(
+        (0 if xs[j] == xs[i] else (1 if xs[j] > xs[i] else -1))
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    )
+    assert row.n == len(xs)
+    # S compares exact decimal daily sums in-engine vs float sums here;
+    # sign flips from float noise are possible only on exact ties, absent
+    # in this fixture
+    assert row.s == s
+    assert row.var_s > 0
+
+
+def test_holt_fold_matches_python(spark):
+    from data_ingestion_pipeline_spark.operators import timeseries_checks
+
+    row = timeseries_checks.holt_linear_daily_forecast(spark, SF_SMOKE).collect()[0]
+    daily = sorted(
+        (r.day, float(r.xd))
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(27,12)")).alias("xd"))
+        .collect()
+    )
+    xs = [v for _, v in daily]
+    level, trend = xs[0], 0.0
+    for x in xs[1:]:
+        lnew = 0.5 * x + 0.5 * (level + trend)
+        trend = 0.3 * (lnew - level) + 0.7 * trend
+        level = lnew
+    assert row.n_days == len(xs)
+    assert abs(row.level - level) < 1e-5
+    assert abs(row.trend - trend) < 1e-5
+    assert abs(row.forecast_7d - (level + 7 * trend)) < 1e-4
+
+
+def test_countmin_invariants(spark):
+    from data_ingestion_pipeline_spark.operators import relational
+
+    rows = relational.countmin_event_types(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.never_undercounts
+        assert r.cms_estimate >= r.exact_count
+        # 5 types into 64 buckets: collisions are unlikely but legal;
+        # the epsilon bound must always hold
+        assert r.within_eps_bound
+
+
+def test_pca_explained_share_sane(spark):
+    from data_ingestion_pipeline_spark.operators import mlprep_checks
+
+    row = mlprep_checks.pca_power_iteration_embeddings(spark, SF_SMOKE).collect()[0]
+    assert row.variance_total > 0
+    assert 0.0 < row.lambda1 <= row.variance_total + 1e-9
+    assert 1.0 / 64.0 <= row.explained_share <= 1.0
+
+
+def test_oversample_hits_target_within_hash_noise(spark):
+    from data_ingestion_pipeline_spark.operators import llm_data
+
+    rows = llm_data.oversample_minority_documents(spark, SF_SMOKE).collect()
+    target = rows[0].target
+    for r in rows:
+        assert r.n_after >= r.n_before
+        # majority language is already at target; minorities land within
+        # hash noise (few %) of it
+        assert abs(r.n_after - target) / target < 0.15
