@@ -172,6 +172,16 @@ def test_hybrid_rrf_fuses_both_rankers(spark):
         "multimodal_audio_chunks",
         "t_closeness_report_events",
         "hybrid_search_rrf_documents",
+        "mann_kendall_daily_trend",
+        "ks_by_event_type_bh",
+        "psi_value_drift_halves",
+        "durbin_watson_daily_trend",
+        "holt_linear_daily_forecast",
+        "countmin_event_types",
+        "pca_power_iteration_embeddings",
+        "fellegi_sunter_linkage_parts",
+        "oversample_minority_documents",
+        "merge_on_read_delete_events",
     ],
 )
 def test_round5_plans_have_no_unpartitioned_windows(spark, name):
