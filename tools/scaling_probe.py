@@ -53,6 +53,7 @@ PROBES = [
     ("compaction_plan_orders", ["orders"]),
     ("fellegi_sunter_linkage_parts", ["part"]),
     ("hybrid_search_rrf_documents", ["documents"]),
+    ("pca_power_iteration_embeddings", ["embeddings"]),
 ]
 
 KEY_OFFSETS = {
@@ -60,6 +61,7 @@ KEY_OFFSETS = {
     "orders": ("o_orderkey", 100_000_000),
     "lineitem": ("l_orderkey", 100_000_000),
     "events": ("event_id", 1_000_000_000),
+    "embeddings": ("vec_id", 1_000_000_000),
     # part is the FACT side for the skyline/linkage probes — replicating
     # under a key offset grows the catalog (and its (brand,size) blocks)
     # rather than duplicating identical rows
