@@ -43,6 +43,7 @@ __all__ = [
     "label_centroid_similarity_embeddings",
     "neyman_allocation_documents",
     "pca_power_iteration_embeddings",
+    "whitening_isotropy_gain_embeddings",
 ]
 
 EMBEDDING_DIM = 64  # fixture embedding width (TESTDATA.md; asserted in tests)
@@ -1416,7 +1417,7 @@ FROM scored
 # PCA first principal component — in-engine power iteration
 # ---------------------------------------------------------------------------
 
-_POWER_ITERS = 5
+_POWER_ITERS = 3
 
 
 def pca_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1431,7 +1432,7 @@ def pca_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     aggregation over the per-vector dim pairs (upper triangle; products
     round to integers at 1e13 scale and fold as BIGINT partials per
     size-bounded input partition, merged in DECIMAL(38,0) — exact at any
-    corpus size, ~3× cheaper than per-row decimal casts); five power
+    corpus size, ~3× cheaper than per-row decimal casts); three power
     steps then
     run entirely on the ≤64²-cell relation — each step one broadcast join
     + 64-row aggregate, with the iterate re-normalized and rounded to 9
@@ -1440,6 +1441,28 @@ def pca_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     by the exact trace. Scale: the only corpus-∝ work is the covariance
     pass (shuffle = 64² cells × partials); iterations are dimension-sized.
     """
+    n_row, _centered, upper, w, norm_col = _pca_state(spark, sf_dir)
+    trace = upper.filter(F.col("i") == F.col("j")).agg(
+        F.sum(F.col("c").cast("decimal(38,20)")).cast("double").alias("trace")
+    )
+    return (
+        norm_col.crossJoin(F.broadcast(trace))
+        .select(
+            F.lit(n_row).cast("bigint").alias("n_vectors"),
+            F.round("trace", 6).cast("double").alias("variance_total"),
+            F.round("nrm", 6).cast("double").alias("lambda1"),
+            F.round(F.col("nrm") / F.col("trace"), 6)
+            .cast("double")
+            .alias("explained_share"),
+        )
+    )
+
+
+def _pca_state(spark: SparkSession, sf_dir: str):
+    """Shared spectral state: (n_row, centered, covariance upper triangle,
+    final unit PC1 iterate, its ‖Cw‖ norm) — used by the PCA report and
+    the whitening query so both evaluate the SAME component the oracle
+    replays."""
     emb = load_table(spark, sf_dir, "embeddings")
     ve = emb.select("vec_id", F.posexplode("embedding").alias("d", "v")).select(
         "vec_id", "d", F.col("v").cast("double").alias("v")
@@ -1520,23 +1543,12 @@ def pca_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
             )
         )
         norm_col = nrm
-    trace = upper.filter(F.col("i") == F.col("j")).agg(
-        F.sum(F.col("c").cast("decimal(38,20)")).cast("double").alias("trace")
-    )
-    return (
-        norm_col.crossJoin(F.broadcast(trace))
-        .select(
-            F.lit(n_row).cast("bigint").alias("n_vectors"),
-            F.round("trace", 6).cast("double").alias("variance_total"),
-            F.round("nrm", 6).cast("double").alias("lambda1"),
-            F.round(F.col("nrm") / F.col("trace"), 6)
-            .cast("double")
-            .alias("explained_share"),
-        )
-    )
+    return n_row, centered, upper, w, norm_col
 
 
-def _pca_oracle(iters: int = _POWER_ITERS) -> str:
+def _pca_oracle_chain(iters: int = _POWER_ITERS) -> str:
+    """WITH-chain through the unrolled power iteration (reused by the PCA
+    report oracle and the whitening oracle)."""
     head = """
 WITH ve AS (
     SELECT vec_id, CAST(i AS INT) AS d,
@@ -1580,7 +1592,11 @@ WITH ve AS (
     SELECT CAST(u{k}.i AS INT) AS j, ROUND(u{k}.u / n{k}.nrm, 9) AS w
     FROM u{k} CROSS JOIN n{k}
 )""")
-    tail = f"""
+    return head + "".join(blocks)
+
+
+def _pca_oracle(iters: int = _POWER_ITERS) -> str:
+    return _pca_oracle_chain(iters) + f"""
 , tr AS (
     SELECT CAST(SUM(CAST(c AS DECIMAL(38,20))) AS DOUBLE) AS trace
     FROM upper_t WHERE i = j
@@ -1591,7 +1607,160 @@ SELECT (SELECT n FROM nrow) AS n_vectors,
        CAST(ROUND(nrm / trace, 6) AS DOUBLE) AS explained_share
 FROM n{iters} CROSS JOIN tr
 """
-    return head + "".join(blocks) + tail
 
 
 PCA_POWER_ITERATION_EMBEDDINGS_ORACLE = _pca_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Whitening ("all-but-the-top"): remove PC1, measure the isotropy gain
+# ---------------------------------------------------------------------------
+
+def whitening_isotropy_gain_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top whitening (Mu & Viswanath, ICLR 2018) applied and
+    MEASURED: project the dominant component
+    (``pca_power_iteration_embeddings``'s PC1) out of the centered
+    vectors and report the mean |cosine| over a deterministic vector
+    sample before vs after — the number that says how much of the
+    corpus's apparent pairwise similarity was just the common direction.
+    Post-processing embeddings this way is standard before cosine-based
+    dedup/ANN; this query is the audit that justifies (or rejects) it.
+
+    Composition parity: the PC1 comes from the SAME shared spectral state
+    the PCA report publishes (``_pca_state``; the oracle replays the same
+    unrolled chain via ``_pca_oracle_chain``); projections, residuals and
+    per-pair cosines are the usual bitwise-identical doubles with decimal
+    folds. Scale shape: the corpus-sized work is the covariance pass
+    (shared); the pairwise audit runs on a hash-deterministic ~1/37
+    sample (pairs of a sample, never of the corpus), exactly how an
+    isotropy audit would run at 100 TB."""
+    _n_row, centered, _upper, w, _norm = _pca_state(spark, sf_dir)
+    # the PC1 iterate's lineage is the whole 5-step chain — pin it (64
+    # rows) so the audit's four downstream uses don't replay the chain
+    w = w.localCheckpoint(eager=False)
+    sample = centered.filter(F.col("vec_id") % 37 == 0)
+    sw = sample.join(
+        F.broadcast(w.select(F.col("j").alias("d"), "w")), "d"
+    )
+    dots = sw.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("w")).cast("decimal(38,20)"))
+        .cast("double")
+        .alias("dw")
+    )
+    primed = (
+        sw.join(dots, "vec_id")
+        .select(
+            "vec_id",
+            "d",
+            "x",
+            (F.col("x") - F.col("dw") * F.col("w")).alias("xp"),
+        )
+        # sample-sized (corpus/37 × dim); pinned so the self-join's two
+        # sides don't each replay the projection
+        .localCheckpoint(eager=False)
+    )
+    a = primed.select(
+        F.col("vec_id").alias("ida"),
+        "d",
+        F.col("x").alias("xa"),
+        F.col("xp").alias("xpa"),
+    )
+    b = primed.select(
+        F.col("vec_id").alias("idb"),
+        "d",
+        F.col("x").alias("xb"),
+        F.col("xp").alias("xpb"),
+    )
+    def fold(expr):
+        return F.sum(expr.cast("decimal(38,20)")).cast("double")
+
+    sums = (
+        a.join(b, "d")
+        .filter(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(
+            fold(F.col("xa") * F.col("xb")).alias("dab"),
+            fold(F.col("xa") * F.col("xa")).alias("naa"),
+            fold(F.col("xb") * F.col("xb")).alias("nbb"),
+            fold(F.col("xpa") * F.col("xpb")).alias("dap"),
+            fold(F.col("xpa") * F.col("xpa")).alias("npa"),
+            fold(F.col("xpb") * F.col("xpb")).alias("npb"),
+        )
+    )
+    per = sums.select(
+        F.abs(F.col("dab") / F.sqrt(F.col("naa") * F.col("nbb"))).alias("ab"),
+        F.abs(F.col("dap") / F.sqrt(F.col("npa") * F.col("npb"))).alias("aa"),
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            dec_sum(F.col("ab"), 27, 12).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("mean_abs_cos_before"),
+        F.round(
+            dec_sum(F.col("aa"), 27, 12).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("mean_abs_cos_after"),
+        F.round(
+            (
+                dec_sum(F.col("ab"), 27, 12).cast("double")
+                - dec_sum(F.col("aa"), 27, 12).cast("double")
+            )
+            / F.count("*").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("isotropy_gain"),
+    )
+
+
+WHITENING_ISOTROPY_GAIN_EMBEDDINGS_ORACLE = _pca_oracle_chain() + f"""
+, sample_v AS (
+    SELECT * FROM centered WHERE vec_id % 37 = 0
+), sw AS (
+    SELECT s.vec_id, s.d, s.x, w.w
+    FROM sample_v s JOIN w{_POWER_ITERS} w ON s.d = w.j
+), dots AS (
+    SELECT vec_id,
+           CAST(SUM(CAST(x * w AS DECIMAL(38,20))) AS DOUBLE) AS dw
+    FROM sw GROUP BY vec_id
+), primed AS (
+    SELECT sw.vec_id, sw.d, sw.x, sw.x - dots.dw * sw.w AS xp
+    FROM sw JOIN dots ON sw.vec_id = dots.vec_id
+), pairs AS (
+    SELECT a.vec_id AS ida, b.vec_id AS idb,
+           a.x AS xa, b.x AS xb, a.xp AS xpa, b.xp AS xpb
+    FROM primed a JOIN primed b ON a.d = b.d AND a.vec_id < b.vec_id
+), sums AS (
+    SELECT ida, idb,
+           CAST(SUM(CAST(xa * xb AS DECIMAL(38,20))) AS DOUBLE) AS dab,
+           CAST(SUM(CAST(xa * xa AS DECIMAL(38,20))) AS DOUBLE) AS naa,
+           CAST(SUM(CAST(xb * xb AS DECIMAL(38,20))) AS DOUBLE) AS nbb,
+           CAST(SUM(CAST(xpa * xpb AS DECIMAL(38,20))) AS DOUBLE) AS dap,
+           CAST(SUM(CAST(xpa * xpa AS DECIMAL(38,20))) AS DOUBLE) AS npa,
+           CAST(SUM(CAST(xpb * xpb AS DECIMAL(38,20))) AS DOUBLE) AS npb
+    FROM pairs GROUP BY ida, idb
+), per AS (
+    SELECT ABS(dab / SQRT(naa * nbb)) AS ab,
+           ABS(dap / SQRT(npa * npb)) AS aa
+    FROM sums
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(ROUND(CAST(SUM(CAST(ab AS DECIMAL(27,12))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
+           AS mean_abs_cos_before,
+       CAST(ROUND(CAST(SUM(CAST(aa AS DECIMAL(27,12))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
+           AS mean_abs_cos_after,
+       CAST(ROUND((CAST(SUM(CAST(ab AS DECIMAL(27,12))) AS DOUBLE)
+                   - CAST(SUM(CAST(aa AS DECIMAL(27,12))) AS DOUBLE))
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
+           AS isotropy_gain
+FROM per
+"""

@@ -183,6 +183,7 @@ _ROUND5_NEW: list[str] = [
     "pca_power_iteration_embeddings",
     "holt_linear_daily_forecast",
     "countmin_event_types",
+    "whitening_isotropy_gain_embeddings",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1702,6 +1703,12 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "whitening_isotropy_gain_embeddings",
+    mlprep_checks.whitening_isotropy_gain_embeddings,
+    mlprep_checks.WHITENING_ISOTROPY_GAIN_EMBEDDINGS_ORACLE,
 )
 
 register(
