@@ -36,6 +36,7 @@ __all__ = [
     "logistic_quality_classifier_documents",
     "auc_lang_by_length_documents",
     "calibration_report_documents",
+    "decision_stump_documents",
 ]
 
 N_STEPS = 5
@@ -301,3 +302,150 @@ FROM scored
 
 
 CALIBRATION_REPORT_DOCUMENTS_ORACLE = _calibration_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Decision stump — best single Gini split, the interpretable baseline
+# ---------------------------------------------------------------------------
+
+def decision_stump_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single-threshold split of doc length predicting lang='en' by
+    weighted Gini impurity — the depth-1 CART baseline every classifier
+    comparison should include (if the stump matches the logistic model,
+    the feature is doing all the work). Candidate thresholds are the
+    50-char bucket boundaries; for each, left/right class counts come
+    from ONE cumulative pass over the bucket aggregate (domain-bounded:
+    length/50 buckets), and the winner minimizes the round-9 weighted
+    Gini with smallest-threshold tie-break via orderBy().limit(1) on
+    both engines — never a corpus sort.
+
+    All probabilities are exact bigint ratios; Gini terms combine the
+    resulting identical doubles with one expression structure; `gain`
+    is parent Gini minus the winner's."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        (F.floor(F.col("n_chars") / 50) * 50).cast("bigint").alias("bucket"),
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+    )
+    per = b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    from pyspark.sql import Window
+
+    # bucket%1: constant-valued non-foldable partition key — the cum pass
+    # runs over the ≤dozens-row bucket relation on the partitioned path
+    cw = (
+        Window.partitionBy(F.col("bucket") % 1)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = Window.partitionBy(F.col("bucket") % 1)
+    cum = per.select(
+        F.col("bucket").alias("threshold"),
+        F.coalesce(F.sum("n").over(cw), F.lit(0)).cast("bigint").alias("n_l"),
+        F.coalesce(F.sum("pos").over(cw), F.lit(0)).cast("bigint").alias("pos_l"),
+        F.sum("n").over(tot).cast("bigint").alias("n_tot"),
+        F.sum("pos").over(tot).cast("bigint").alias("pos_tot"),
+    ).filter((F.col("n_l") > 0) & (F.col("n_l") < F.col("n_tot")))
+
+    def gini(pos, n):
+        p = pos.cast("double") / n.cast("double")
+        return F.lit(1.0) - p * p - (F.lit(1.0) - p) * (F.lit(1.0) - p)
+
+    n_r = F.col("n_tot") - F.col("n_l")
+    pos_r = F.col("pos_tot") - F.col("pos_l")
+    wg = F.round(
+        (
+            F.col("n_l").cast("double") * gini(F.col("pos_l"), F.col("n_l"))
+            + n_r.cast("double") * gini(pos_r, n_r)
+        )
+        / F.col("n_tot").cast("double"),
+        9,
+    )
+    scored = cum.select(
+        "threshold",
+        "n_l",
+        "pos_l",
+        n_r.alias("n_r"),
+        pos_r.alias("pos_r"),
+        "n_tot",
+        "pos_tot",
+        wg.alias("wg"),
+    )
+    best = scored.orderBy(F.col("wg").asc(), F.col("threshold").asc()).limit(1)
+    parent = gini(F.col("pos_tot"), F.col("n_tot"))
+    return best.select(
+        "threshold",
+        "n_l",
+        "n_r",
+        F.round(F.col("pos_l").cast("double") / F.col("n_l").cast("double"), 6)
+        .cast("double")
+        .alias("p_pos_left"),
+        F.round(F.col("pos_r").cast("double") / F.col("n_r").cast("double"), 6)
+        .cast("double")
+        .alias("p_pos_right"),
+        F.round("wg", 6).cast("double").alias("weighted_gini"),
+        F.round(parent, 6).cast("double").alias("parent_gini"),
+        F.round(parent - F.col("wg"), 6).cast("double").alias("gini_gain"),
+    )
+
+
+DECISION_STUMP_DOCUMENTS_ORACLE = """
+WITH b AS (
+    SELECT CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents
+), per AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS pos
+    FROM b GROUP BY bucket
+), cum AS (
+    SELECT bucket AS threshold,
+           CAST(COALESCE(SUM(n) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n_l,
+           CAST(COALESCE(SUM(pos) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS pos_l,
+           CAST(SUM(n) OVER () AS BIGINT) AS n_tot,
+           CAST(SUM(pos) OVER () AS BIGINT) AS pos_tot
+    FROM per
+), scored AS (
+    SELECT threshold, n_l, pos_l,
+           n_tot - n_l AS n_r, pos_tot - pos_l AS pos_r, n_tot, pos_tot,
+           ROUND((CAST(n_l AS DOUBLE) *
+                    (1.0 - (CAST(pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                         * (CAST(pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                         - (1.0 - CAST(pos_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                         * (1.0 - CAST(pos_l AS DOUBLE) / CAST(n_l AS DOUBLE)))
+                  + CAST(n_tot - n_l AS DOUBLE) *
+                    (1.0 - (CAST(pos_tot - pos_l AS DOUBLE)
+                            / CAST(n_tot - n_l AS DOUBLE))
+                         * (CAST(pos_tot - pos_l AS DOUBLE)
+                            / CAST(n_tot - n_l AS DOUBLE))
+                         - (1.0 - CAST(pos_tot - pos_l AS DOUBLE)
+                                / CAST(n_tot - n_l AS DOUBLE))
+                         * (1.0 - CAST(pos_tot - pos_l AS DOUBLE)
+                                / CAST(n_tot - n_l AS DOUBLE))))
+                 / CAST(n_tot AS DOUBLE), 9) AS wg
+    FROM cum WHERE n_l > 0 AND n_l < n_tot
+)
+SELECT threshold, n_l, n_r,
+       CAST(ROUND(CAST(pos_l AS DOUBLE) / CAST(n_l AS DOUBLE), 6) AS DOUBLE)
+           AS p_pos_left,
+       CAST(ROUND(CAST(pos_r AS DOUBLE) / CAST(n_r AS DOUBLE), 6) AS DOUBLE)
+           AS p_pos_right,
+       CAST(ROUND(wg, 6) AS DOUBLE) AS weighted_gini,
+       CAST(ROUND(1.0 - (CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                      * (CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                      - (1.0 - CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                      * (1.0 - CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)),
+                  6) AS DOUBLE) AS parent_gini,
+       CAST(ROUND(1.0 - (CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                      * (CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                      - (1.0 - CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                      * (1.0 - CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                  - wg, 6) AS DOUBLE) AS gini_gain
+FROM scored ORDER BY wg ASC, threshold ASC LIMIT 1
+"""

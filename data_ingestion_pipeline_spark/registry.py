@@ -184,6 +184,7 @@ _ROUND5_NEW: list[str] = [
     "holt_linear_daily_forecast",
     "countmin_event_types",
     "whitening_isotropy_gain_embeddings",
+    "decision_stump_documents",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1703,6 +1704,12 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "decision_stump_documents",
+    classifier.decision_stump_documents,
+    classifier.DECISION_STUMP_DOCUMENTS_ORACLE,
 )
 
 register(
