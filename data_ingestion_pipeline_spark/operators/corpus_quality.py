@@ -46,6 +46,7 @@ __all__ = [
     "winnowing_near_copy_pairs_documents",
     "vocab_coverage_documents",
     "dsir_importance_documents",
+    "fightin_words_batches_documents",
 ]
 
 # Gopher §A1.1 thresholds, token-adapted (see module docstring)
@@ -647,4 +648,119 @@ SELECT doc_id, CAST(SUM(n_b) AS BIGINT) AS n_tokens,
            AS log_importance
 FROM per JOIN logw USING (bucket)
 GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fightin' Words — informative-Dirichlet log-odds between ingest batches
+# ---------------------------------------------------------------------------
+
+FW_ALPHA_SCALE = 0.01  # prior mass = 1% of the corpus term counts
+FW_TOP_K = 15
+
+
+def fightin_words_batches_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe, Colaresi & Quinn's "Fightin' Words" (2008): z-scored
+    log-odds with an informative Dirichlet prior between two ingest
+    batches (docs with even vs odd doc_id), surfacing the terms that most
+    distinguish one batch from the other. This is the token-level drift
+    drill-down the corpus-level monitors (PSI, JS divergence) can't give:
+    THEY say "the mix moved", THIS says which words moved it. On a
+    homogeneous corpus the top |z| values sit near sampling noise (~2-3),
+    so the query doubles as a drift null-check.
+
+    δ_w = [ln(y₁+α_w) − ln(n₁+α₀−y₁−α_w)] − [same for batch 2],
+    σ² ≈ 1/(y₁+α_w) + 1/(y₂+α_w), with α_w = 1% of the corpus count of w.
+    All counts are exact bigints; every ln rounds to 9 decimals pre-
+    combination (the libm rule); the top-|z| cut is orderBy().limit() on
+    the ROUNDED z (TakeOrderedAndProject, tie-broken by token — never a
+    ranking window over the vocabulary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(fan_out(docs)).select(
+        "token", (F.col("doc_id") % 2 == 0).cast("int").alias("b1")
+    )
+    per = toks.groupBy("token").agg(
+        F.sum("b1").cast("bigint").alias("y1"),
+        (F.count("*") - F.sum("b1")).cast("bigint").alias("y2"),
+    )
+    tot = per.agg(
+        F.sum("y1").cast("bigint").alias("n1"),
+        F.sum("y2").cast("bigint").alias("n2"),
+        F.sum(F.col("y1") + F.col("y2")).cast("bigint").alias("n_all"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    aw = F.lit(FW_ALPHA_SCALE) * (F.col("y1") + F.col("y2")).cast("double")
+    a0 = F.lit(FW_ALPHA_SCALE) * F.col("n_all").cast("double")
+    y1 = F.col("y1").cast("double")
+    y2 = F.col("y2").cast("double")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    delta = (
+        F.round(F.log(y1 + aw), 9)
+        - F.round(F.log(n1 + a0 - y1 - aw), 9)
+        - F.round(F.log(y2 + aw), 9)
+        + F.round(F.log(n2 + a0 - y2 - aw), 9)
+    )
+    var = F.lit(1.0) / (y1 + aw) + F.lit(1.0) / (y2 + aw)
+    z = F.round(delta / F.sqrt(var), 9)
+    scored = j.select(
+        "token",
+        "y1",
+        "y2",
+        z.alias("z_raw"),
+        F.abs(z).alias("abs_z"),
+    )
+    top = scored.orderBy(
+        F.col("abs_z").desc(), F.col("token").asc()
+    ).limit(FW_TOP_K)
+    return top.select(
+        "token",
+        "y1",
+        "y2",
+        F.round("z_raw", 6).cast("double").alias("log_odds_z"),
+    )
+
+
+FIGHTIN_WORDS_BATCHES_DOCUMENTS_ORACLE = rf"""
+WITH toks AS (
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS b1, token
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ) WHERE token <> ''
+), per AS (
+    SELECT token, CAST(SUM(b1) AS BIGINT) AS y1,
+           CAST(COUNT(*) - SUM(b1) AS BIGINT) AS y2
+    FROM toks GROUP BY token
+), tot AS (
+    SELECT CAST(SUM(y1) AS BIGINT) AS n1, CAST(SUM(y2) AS BIGINT) AS n2,
+           CAST(SUM(y1 + y2) AS BIGINT) AS n_all
+    FROM per
+), scored AS (
+    SELECT token, y1, y2,
+           ROUND((ROUND(ln(CAST(y1 AS DOUBLE)
+                           + {FW_ALPHA_SCALE} * CAST(y1 + y2 AS DOUBLE)), 9)
+                  - ROUND(ln(CAST(n1 AS DOUBLE)
+                             + {FW_ALPHA_SCALE} * CAST(n_all AS DOUBLE)
+                             - CAST(y1 AS DOUBLE)
+                             - {FW_ALPHA_SCALE} * CAST(y1 + y2 AS DOUBLE)), 9)
+                  - ROUND(ln(CAST(y2 AS DOUBLE)
+                             + {FW_ALPHA_SCALE} * CAST(y1 + y2 AS DOUBLE)), 9)
+                  + ROUND(ln(CAST(n2 AS DOUBLE)
+                             + {FW_ALPHA_SCALE} * CAST(n_all AS DOUBLE)
+                             - CAST(y2 AS DOUBLE)
+                             - {FW_ALPHA_SCALE} * CAST(y1 + y2 AS DOUBLE)), 9))
+                 / SQRT(1.0 / (CAST(y1 AS DOUBLE)
+                               + {FW_ALPHA_SCALE} * CAST(y1 + y2 AS DOUBLE))
+                        + 1.0 / (CAST(y2 AS DOUBLE)
+                                 + {FW_ALPHA_SCALE} * CAST(y1 + y2 AS DOUBLE))),
+                 9) AS z
+    FROM per CROSS JOIN tot
+)
+SELECT token, y1, y2,
+       CAST(ROUND(z, 6) AS DOUBLE) AS log_odds_z
+FROM scored
+ORDER BY ABS(z) DESC, token ASC
+LIMIT {FW_TOP_K}
 """

@@ -185,6 +185,7 @@ _ROUND5_NEW: list[str] = [
     "countmin_event_types",
     "whitening_isotropy_gain_embeddings",
     "decision_stump_documents",
+    "fightin_words_batches_documents",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1704,6 +1705,12 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "fightin_words_batches_documents",
+    corpus_quality.fightin_words_batches_documents,
+    corpus_quality.FIGHTIN_WORDS_BATCHES_DOCUMENTS_ORACLE,
 )
 
 register(
