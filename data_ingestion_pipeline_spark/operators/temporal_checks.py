@@ -24,6 +24,7 @@ __all__ = [
     "views_within_hour_of_purchase",
     "purchase_funnel_users",
     "daily_cohort_retention",
+    "cohort_ltv_curve_events",
 ]
 
 
@@ -178,4 +179,90 @@ SELECT c.cohort_day,
        CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active_users
 FROM activity a JOIN cohorts c ON a.user_id = c.user_id
 GROUP BY 1, 2
+"""
+
+
+def cohort_ltv_curve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative purchase value per user by
+    (first-active week, weeks-since-cohort) — the revenue companion to
+    ``daily_cohort_retention`` (retention says who comes back; LTV says
+    what coming back is worth, and whether newer cohorts monetize faster).
+    The cumulative fold runs per cohort over the age axis — a window
+    partitioned by cohort week (cohorts × ages is calendar-bounded), with
+    the per-(cohort, age) value an exact DECIMAL(18,6) sum, so the
+    running division is the usual identical-doubles structure."""
+    from pyspark.sql import Window
+
+    from data_ingestion_pipeline_spark.functions.numeric import dec_sum
+
+    events = load_table(spark, sf_dir, "events")
+    cohorts = (
+        events.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("first_day"))
+        .select(
+            "user_id",
+            F.date_trunc("week", "first_day").cast("date").alias("cohort_week"),
+        )
+    )
+    cohort_sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").join(
+        F.broadcast(cohorts), "user_id"
+    )
+    per_age = purchases.groupBy(
+        "cohort_week",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.col("cohort_week")) / 7
+        )
+        .cast("int")
+        .alias("age_week"),
+    ).agg(dec_sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("vd"))
+    w = Window.partitionBy("cohort_week").orderBy("age_week")
+    cum = per_age.withColumn("cum_vd", F.sum("vd").over(w))
+    return (
+        cum.join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "n_users",
+            F.round(F.col("vd"), 2).cast("double").alias("week_value"),
+            F.round(
+                F.col("cum_vd").cast("double") / F.col("n_users").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("cum_ltv_per_user"),
+        )
+    )
+
+
+COHORT_LTV_CURVE_EVENTS_ORACLE = """
+WITH cohorts AS (
+    SELECT user_id,
+           CAST(date_trunc('week', MIN(CAST(ts AS DATE))) AS DATE)
+               AS cohort_week
+    FROM events GROUP BY user_id
+), sizes AS (
+    SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM cohorts GROUP BY cohort_week
+), per_age AS (
+    SELECT c.cohort_week,
+           CAST(FLOOR(date_diff('day', c.cohort_week, CAST(e.ts AS DATE))
+                      / 7) AS INT) AS age_week,
+           SUM(CAST(COALESCE(e.value, 0) AS DECIMAL(18,6))) AS vd
+    FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+), cum AS (
+    SELECT cohort_week, age_week, vd,
+           SUM(vd) OVER (PARTITION BY cohort_week ORDER BY age_week)
+               AS cum_vd
+    FROM per_age
+)
+SELECT c.cohort_week, c.age_week, s.n_users,
+       CAST(ROUND(c.vd, 2) AS DOUBLE) AS week_value,
+       CAST(ROUND(CAST(c.cum_vd AS DOUBLE) / CAST(s.n_users AS DOUBLE), 6)
+            AS DOUBLE) AS cum_ltv_per_user
+FROM cum c JOIN sizes s ON c.cohort_week = s.cohort_week
 """

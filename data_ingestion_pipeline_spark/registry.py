@@ -186,6 +186,7 @@ _ROUND5_NEW: list[str] = [
     "whitening_isotropy_gain_embeddings",
     "decision_stump_documents",
     "fightin_words_batches_documents",
+    "cohort_ltv_curve_events",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1705,6 +1706,12 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "cohort_ltv_curve_events",
+    temporal_checks.cohort_ltv_curve_events,
+    temporal_checks.COHORT_LTV_CURVE_EVENTS_ORACLE,
 )
 
 register(
