@@ -40,6 +40,7 @@ __all__ = [
     "xml_roundtrip_events",
     "python_datasource_agg",
     "jdbc_roundtrip_orders",
+    "fixed_width_roundtrip_orders",
 ]
 
 _SCRATCH = "/tmp/spark_graft_scratch"
@@ -493,4 +494,48 @@ SELECT event_type,
        MAX(epoch_us(ts)) AS last_ts_us,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
 FROM events WHERE event_type = 'purchase' GROUP BY event_type
+"""
+
+
+def fixed_width_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (copybook-style) sink → source round trip on orders —
+    the legacy-mainframe interchange path (no delimiters; every field is
+    (offset, width)). Writer formats at fixed precision; reader is pure
+    substring/cast projection inside whole-stage codegen over
+    ``spark.read.text`` — no UDFs, line-splittable, which is how a
+    converted EBCDIC dump scans at 100 TB. The oracle recomputes the
+    parsed values from the source table with the same fixed-precision
+    semantics (price at 2 decimals, date at day grain)."""
+    from data_ingestion_pipeline_spark.sources.fixed_width import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    spec = [
+        ("o_orderkey", "bigint", 12),
+        ("o_custkey", "bigint", 12),
+        ("o_orderstatus", "string", 1),
+        ("o_totalprice", "double2", 15),
+        ("o_orderdate", "date8", 8),
+        ("o_orderpriority", "string", 15),
+    ]
+    path = _scratch(sf_dir, "orders_fixed_width")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    write_fixed_width(orders, path, spec)
+    return read_fixed_width(spark, path, spec)
+
+
+FIXED_WIDTH_ROUNDTRIP_ORDERS_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(printf('%.2f', o_totalprice) AS DOUBLE) AS o_totalprice,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_orderpriority
+FROM orders
 """

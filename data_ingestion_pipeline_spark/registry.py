@@ -187,6 +187,7 @@ _ROUND5_NEW: list[str] = [
     "decision_stump_documents",
     "fightin_words_batches_documents",
     "cohort_ltv_curve_events",
+    "fixed_width_roundtrip_orders",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1706,6 +1707,12 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "fixed_width_roundtrip_orders",
+    ingestion_checks.fixed_width_roundtrip_orders,
+    ingestion_checks.FIXED_WIDTH_ROUNDTRIP_ORDERS_ORACLE,
 )
 
 register(
