@@ -35,6 +35,7 @@ __all__ = [
     "psi_value_drift_halves",
     "durbin_watson_daily_trend",
     "holt_linear_daily_forecast",
+    "conformal_forecast_interval_daily",
 ]
 
 
@@ -817,4 +818,138 @@ SELECT CAST(n_days AS BIGINT) AS n_days,
        CAST(ROUND(lb[1] + lb[2], 6) AS DOUBLE) AS forecast_1d,
        CAST(ROUND(lb[1] + 7.0 * lb[2], 6) AS DOUBLE) AS forecast_7d
 FROM folded
+"""
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval on the Holt 1-step forecast
+# ---------------------------------------------------------------------------
+
+def conformal_forecast_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Vovk et al.; Lei et al. 2018)
+    around ``holt_linear_daily_forecast``'s 1-step-ahead forecast: replay
+    the smoother through the history, collect every 1-step-ahead absolute
+    residual |xₜ − (levelₜ₋₁ + trendₜ₋₁)|, and take the ⌈0.9·m⌉-th order
+    statistic as the distribution-free 90% margin — the finite-sample
+    coverage guarantee a point forecast lacks, with NO normality
+    assumption (contrast the z-based bands everywhere else).
+
+    Cross-engine recipe: the per-cutoff prefix state reuses the Holt fold
+    (reduce of the pair list's prefix — identical IEEE chain on both
+    engines); the margin is an EXACT order statistic of the rounded
+    residuals (element_at of the sorted array — no interpolation to
+    diverge on). The replay is O(days²) lambda ops over the CALENDAR-
+    bounded daily series inside one row — the documented domain-bounded
+    class (≈13M flops at a decade of days), never touching the fact
+    table after the daily aggregate."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    series = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s.x,
+        ).alias("vals")
+    )
+    a = F.lit(0.5)
+    g = F.lit(0.3)
+
+    def step(acc, p):
+        l_, b = F.element_at(acc, 1), F.element_at(acc, 2)
+        x = F.element_at(p, 1)
+        lnew = a * x + (F.lit(1.0) - a) * (l_ + b)
+        bnew = g * ((a * x + (F.lit(1.0) - a) * (l_ + b)) - l_) + (
+            F.lit(1.0) - g
+        ) * b
+        return F.array(lnew, bnew)
+
+    pairs = F.transform(F.col("vals"), lambda x: F.array(x, F.lit(0.0)))
+
+    def fold_prefix(k_minus_1):
+        # fold over vals[1..k-1]: init = pair 1, elements = pairs 2..k-1
+        return F.aggregate(
+            F.slice(pairs, F.lit(2), k_minus_1 - F.lit(1)),
+            F.element_at(pairs, 1),
+            step,
+        )
+
+    resid = F.transform(
+        F.sequence(F.lit(3), F.size("vals")),
+        lambda t: F.round(
+            F.abs(
+                F.element_at(F.col("vals"), t)
+                - (
+                    F.element_at(fold_prefix(t - F.lit(1)), 1)
+                    + F.element_at(fold_prefix(t - F.lit(1)), 2)
+                )
+            ),
+            9,
+        ),
+    )
+    final = F.aggregate(
+        F.slice(pairs, 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(pairs, 1),
+        step,
+    )
+    staged = series.select(
+        F.size("vals").cast("bigint").alias("n_days"),
+        F.array_sort(resid).alias("sr"),
+        (F.element_at(final, 1) + F.element_at(final, 2)).alias("fc"),
+    )
+    m = F.size("sr")
+    q_idx = F.ceil(F.lit(0.9) * m).cast("int")
+    q = F.element_at("sr", q_idx)
+    return staged.select(
+        "n_days",
+        m.cast("bigint").alias("n_eval"),
+        F.round(q, 6).cast("double").alias("q90_abs_resid"),
+        F.round("fc", 6).cast("double").alias("forecast_1d"),
+        F.round(F.col("fc") - q, 6).cast("double").alias("pi_lo"),
+        F.round(F.col("fc") + q, 6).cast("double").alias("pi_hi"),
+    )
+
+
+CONFORMAL_FORECAST_INTERVAL_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), series AS (
+    SELECT list(x ORDER BY day) AS vals FROM daily
+), pairsrc AS (
+    SELECT vals,
+           list_transform(vals, x -> [x, CAST(0.0 AS DOUBLE)]) AS pairs
+    FROM series
+), staged AS (
+    SELECT len(vals) AS n_days,
+           list_sort(list_transform(range(3, len(vals) + 1), t ->
+               ROUND(ABS(vals[t]
+                   - (list_reduce(pairs[1:t-1],
+                        (acc, p) -> [
+                            0.5 * p[1] + (1.0 - 0.5) * (acc[1] + acc[2]),
+                            0.3 * ((0.5 * p[1] + (1.0 - 0.5) * (acc[1] + acc[2]))
+                                   - acc[1]) + (1.0 - 0.3) * acc[2]
+                        ])[1]
+                      + list_reduce(pairs[1:t-1],
+                        (acc, p) -> [
+                            0.5 * p[1] + (1.0 - 0.5) * (acc[1] + acc[2]),
+                            0.3 * ((0.5 * p[1] + (1.0 - 0.5) * (acc[1] + acc[2]))
+                                   - acc[1]) + (1.0 - 0.3) * acc[2]
+                        ])[2])), 9))) AS sr,
+           list_reduce(pairs,
+               (acc, p) -> [
+                   0.5 * p[1] + (1.0 - 0.5) * (acc[1] + acc[2]),
+                   0.3 * ((0.5 * p[1] + (1.0 - 0.5) * (acc[1] + acc[2]))
+                          - acc[1]) + (1.0 - 0.3) * acc[2]
+               ]) AS lb
+    FROM pairsrc
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(len(sr) AS BIGINT) AS n_eval,
+       CAST(ROUND(sr[CAST(CEIL(0.9 * len(sr)) AS INT)], 6) AS DOUBLE)
+           AS q90_abs_resid,
+       CAST(ROUND(lb[1] + lb[2], 6) AS DOUBLE) AS forecast_1d,
+       CAST(ROUND(lb[1] + lb[2] - sr[CAST(CEIL(0.9 * len(sr)) AS INT)], 6)
+            AS DOUBLE) AS pi_lo,
+       CAST(ROUND(lb[1] + lb[2] + sr[CAST(CEIL(0.9 * len(sr)) AS INT)], 6)
+            AS DOUBLE) AS pi_hi
+FROM staged
 """

@@ -188,6 +188,7 @@ _ROUND5_NEW: list[str] = [
     "fightin_words_batches_documents",
     "cohort_ltv_curve_events",
     "fixed_width_roundtrip_orders",
+    "conformal_forecast_interval_daily",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1707,6 +1708,12 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "conformal_forecast_interval_daily",
+    timeseries_checks.conformal_forecast_interval_daily,
+    timeseries_checks.CONFORMAL_FORECAST_INTERVAL_DAILY_ORACLE,
 )
 
 register(
