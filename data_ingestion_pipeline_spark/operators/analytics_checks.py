@@ -80,6 +80,7 @@ __all__ = [
     "partition_pruning_report_orders",
     "mann_kendall_daily_trend",
     "ks_by_event_type_bh",
+    "capture_recapture_users",
 ]
 
 
@@ -4738,4 +4739,98 @@ SELECT event_type, n1, n2,
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
            <= 0.05 AS reject_at_05
 FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture — population estimate from two observation windows
+# ---------------------------------------------------------------------------
+
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimator of the total user population
+    from two observation windows (weekday vs weekend activity as the two
+    "captures"): N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with m the recaptured
+    (both-window) users, plus the Seber variance and a ±1.96σ interval —
+    the ecology-standard answer to "how many users exist that we never
+    see?", which no distinct-count (exact or HLL) can give. The observed
+    distinct count rides along so the implied under-coverage is explicit.
+
+    All inputs are three exact bigint cardinalities from ONE aggregate
+    over per-user window flags (map-side partial, no distinct-shuffle per
+    window); the estimator and variance are single closed-form
+    expressions over identical doubles. Weekpart parity: Spark
+    ``weekday() < 5`` == DuckDB ``isodow() <= 5``."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.weekday("ts") < 5).cast("int")).alias("wd"),
+        F.max((F.weekday("ts") >= 5).cast("int")).alias("we"),
+    )
+    s = per_user.agg(
+        F.count("*").cast("bigint").alias("n_observed"),
+        F.sum("wd").cast("bigint").alias("n1"),
+        F.sum("we").cast("bigint").alias("n2"),
+        F.sum(F.col("wd") * F.col("we")).cast("bigint").alias("m"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    md = F.col("m").cast("double")
+    n_hat = (n1 + 1) * (n2 + 1) / (md + 1) - F.lit(1.0)
+    var = (
+        (n1 + 1)
+        * (n2 + 1)
+        * (n1 - md)
+        * (n2 - md)
+        / ((md + 1) * (md + 1) * (md + 2))
+    )
+    se = F.sqrt(var)
+    return s.select(
+        "n_observed",
+        "n1",
+        "n2",
+        "m",
+        F.round(n_hat, 6).cast("double").alias("n_chapman"),
+        F.round(se, 6).cast("double").alias("se"),
+        F.round(n_hat - F.lit(1.96) * se, 6).cast("double").alias("ci_lo"),
+        F.round(n_hat + F.lit(1.96) * se, 6).cast("double").alias("ci_hi"),
+    )
+
+
+CAPTURE_RECAPTURE_USERS_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           MAX(CASE WHEN isodow(ts) <= 5 THEN 1 ELSE 0 END) AS wd,
+           MAX(CASE WHEN isodow(ts) > 5 THEN 1 ELSE 0 END) AS we
+    FROM events GROUP BY user_id
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_observed,
+           CAST(SUM(wd) AS BIGINT) AS n1,
+           CAST(SUM(we) AS BIGINT) AS n2,
+           CAST(SUM(wd * we) AS BIGINT) AS m
+    FROM per_user
+)
+SELECT n_observed, n1, n2, m,
+       CAST(ROUND((CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1)
+                  / (CAST(m AS DOUBLE) + 1) - 1.0, 6) AS DOUBLE) AS n_chapman,
+       CAST(ROUND(SQRT((CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1)
+                       * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE))
+                       * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+                       / ((CAST(m AS DOUBLE) + 1) * (CAST(m AS DOUBLE) + 1)
+                          * (CAST(m AS DOUBLE) + 2))), 6) AS DOUBLE) AS se,
+       CAST(ROUND((CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1)
+                  / (CAST(m AS DOUBLE) + 1) - 1.0
+                  - 1.96 * SQRT((CAST(n1 AS DOUBLE) + 1)
+                       * (CAST(n2 AS DOUBLE) + 1)
+                       * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE))
+                       * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+                       / ((CAST(m AS DOUBLE) + 1) * (CAST(m AS DOUBLE) + 1)
+                          * (CAST(m AS DOUBLE) + 2))), 6) AS DOUBLE) AS ci_lo,
+       CAST(ROUND((CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1)
+                  / (CAST(m AS DOUBLE) + 1) - 1.0
+                  + 1.96 * SQRT((CAST(n1 AS DOUBLE) + 1)
+                       * (CAST(n2 AS DOUBLE) + 1)
+                       * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE))
+                       * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+                       / ((CAST(m AS DOUBLE) + 1) * (CAST(m AS DOUBLE) + 1)
+                          * (CAST(m AS DOUBLE) + 2))), 6) AS DOUBLE) AS ci_hi
+FROM s
 """

@@ -189,6 +189,7 @@ _ROUND5_NEW: list[str] = [
     "cohort_ltv_curve_events",
     "fixed_width_roundtrip_orders",
     "conformal_forecast_interval_daily",
+    "capture_recapture_users",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1708,6 +1709,12 @@ register(
     "cdc_chunk_dedup_documents",
     llm_data.cdc_chunk_dedup_documents,
     llm_data.CDC_CHUNK_DEDUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "capture_recapture_users",
+    analytics_checks.capture_recapture_users,
+    analytics_checks.CAPTURE_RECAPTURE_USERS_ORACLE,
 )
 
 register(
