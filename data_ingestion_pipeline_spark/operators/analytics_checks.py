@@ -20,7 +20,7 @@ intermediate rank vector is bitwise-reproducible across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.functions.numeric import dec_sum
@@ -81,6 +81,7 @@ __all__ = [
     "mann_kendall_daily_trend",
     "ks_by_event_type_bh",
     "capture_recapture_users",
+    "poisson_bootstrap_ci_orders",
 ]
 
 
@@ -4834,3 +4835,166 @@ SELECT n_observed, n1, n2, m,
                           * (CAST(m AS DOUBLE) + 2))), 6) AS DOUBLE) AS ci_hi
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: single-pass resampling CI for grouped means
+# ---------------------------------------------------------------------------
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^{-1}/k! partial sums),
+# truncated at k=8 (tail mass ~1e-5 — documented, identical on both
+# engines). repr() literals are interpolated into BOTH the Spark plan and
+# the oracle SQL so the double each engine parses is bit-identical.
+_POIS1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+]
+_BOOT_B = 64  # replicates; ranks 2/63 of 64 sorted means ≈ 2.5%/97.5%
+
+
+def poisson_bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean order value per priority
+    via the POISSON bootstrap (Chamandy et al., "Estimating uncertainty
+    for massive data streams", Google 2012; Kleiner et al.'s BLB is the
+    stratified cousin) — the only resampling scheme that works in one
+    pass over a distributed table: classical bootstrap needs n i.i.d.
+    draws WITH replacement (a shuffle per replicate), but for large n the
+    multinomial replicate weights converge to independent Poisson(1)
+    draws, so every row computes its own weight for all B replicates
+    map-side and the plan is scan → explode(B) → two-phase grouped agg.
+
+    Scale shape: the ×B=64 explode multiplies map CPU only — partial
+    aggregation combines to ≤ groups×B rows per task BEFORE the exchange,
+    so shuffle volume is (5 priorities × 64 replicates × tasks) tiny rows
+    regardless of table size, and the per-group final state is a bounded
+    64-float array. No row-level sort anywhere: the CI is an exact order
+    statistic (ranks 2/63) of the 64 sorted replicate means.
+
+    Determinism: the replicate weight is Poisson⁻¹(u) with u md5-seeded
+    per (row, replicate) — the ``dp_noisy_counts_events`` uniform — and
+    the inverse CDF is an unrolled comparison ladder against the
+    _POIS1_CDF literals, so both engines draw identical weights; weighted
+    sums fold in exact decimal; the only floats are the final round-6
+    divisions. (As with the DP release, seeded draws are for testability;
+    production would swap the uniform for real entropy.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("rep")
+    seeded = orders.select(
+        "o_orderpriority", "o_totalprice", F.col("o_orderkey"), rep
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("rep").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(16**13) + 2.0)
+    w: Column = F.lit(len(_POIS1_CDF))
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    weighted = seeded.select(
+        "o_orderpriority",
+        "rep",
+        w.alias("w"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("price"),
+    )
+    per_rep = weighted.groupBy("o_orderpriority", "rep").agg(
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.col("price") * F.col("w")).alias("sx"),
+    )
+    mean_rep = F.when(
+        F.col("sw") > 0,
+        F.round(F.col("sx").cast("double") / F.col("sw").cast("double"), 6),
+    )
+    boot = (
+        per_rep.select("o_orderpriority", mean_rep.alias("mean_rep"))
+        .groupBy("o_orderpriority")
+        .agg(F.array_sort(F.collect_list("mean_rep")).alias("means"))
+        .select(
+            "o_orderpriority",
+            F.element_at("means", 2).alias("boot_lo"),
+            F.element_at("means", _BOOT_B - 1).alias("boot_hi"),
+        )
+    )
+    base = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(
+            dec_sum(F.col("o_totalprice"), 27, 12).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("mean_price"),
+    )
+    return base.join(F.broadcast(boot), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        "mean_price",
+        F.col("boot_lo").cast("double").alias("boot_lo"),
+        F.col("boot_hi").cast("double").alias("boot_hi"),
+    )
+
+
+def _poisson_bootstrap_oracle() -> str:
+    ladder = "CASE "
+    for k, t in enumerate(_POIS1_CDF):
+        ladder += f"WHEN u < {t!r} THEN {k} "
+    ladder += f"ELSE {len(_POIS1_CDF)} END"
+    return f"""
+WITH reps AS (
+    SELECT CAST(unnest(range({_BOOT_B})) AS INT) AS rep
+), seeded AS (
+    SELECT o.o_orderpriority, o.o_totalprice, r.rep,
+           (CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
+                || '|' || CAST(r.rep AS VARCHAR)), 1, 13))::BIGINT
+             AS DOUBLE) + 1.0) / {float(16**13) + 2.0!r} AS u
+    FROM orders o CROSS JOIN reps r
+), weighted AS (
+    SELECT o_orderpriority, rep, {ladder} AS w,
+           CAST(o_totalprice AS DECIMAL(18,6)) AS price
+    FROM seeded
+), per_rep AS (
+    SELECT o_orderpriority, rep,
+           CAST(SUM(w) AS BIGINT) AS sw, SUM(price * w) AS sx
+    FROM weighted GROUP BY 1, 2
+), boot AS (
+    SELECT o_orderpriority,
+           (list(mean_rep ORDER BY mean_rep))[2] AS boot_lo,
+           (list(mean_rep ORDER BY mean_rep))[{_BOOT_B - 1}] AS boot_hi
+    FROM (
+        SELECT o_orderpriority,
+               CASE WHEN sw > 0 THEN
+                   ROUND(CAST(sx AS DOUBLE) / CAST(sw AS DOUBLE), 6)
+               END AS mean_rep
+        FROM per_rep
+    ) GROUP BY 1
+), base AS (
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,12)))
+                           AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                AS DOUBLE) AS mean_price
+    FROM orders GROUP BY 1
+)
+SELECT base.o_orderpriority, n_orders, mean_price,
+       CAST(boot_lo AS DOUBLE) AS boot_lo,
+       CAST(boot_hi AS DOUBLE) AS boot_hi
+FROM base JOIN boot USING (o_orderpriority)
+"""
+
+
+POISSON_BOOTSTRAP_CI_ORDERS_ORACLE = _poisson_bootstrap_oracle()

