@@ -37,6 +37,7 @@ __all__ = [
     "auc_lang_by_length_documents",
     "calibration_report_documents",
     "decision_stump_documents",
+    "isotonic_calibration_documents",
 ]
 
 N_STEPS = 5
@@ -449,3 +450,168 @@ SELECT threshold, n_l, n_r,
                   - wg, 6) AS DOUBLE) AS gini_gain
 FROM scored ORDER BY wg ASC, threshold ASC LIMIT 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration — exact PAV fit over the binned score relation
+# ---------------------------------------------------------------------------
+
+def isotonic_calibration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-regression calibration map (Zadrozny & Elkan, KDD 2002)
+    for the trained quality classifier — the monotone step function that
+    turns raw scores into calibrated probabilities, the standard fix when
+    ``calibration_report_documents`` shows a large ECE. The fit is the
+    EXACT pool-adjacent-violators solution, computed through the minimax
+    identity iso(k) = max_{i≤k} min_{j≥k} mean(y over bins i..j) (Ayer
+    et al. 1955) instead of the sequential PAV scan.
+
+    Scale shape: one distributed pass aggregates (n, positives) per score
+    bin (two-phase groupBy); everything after runs on the ≤10-row bin
+    relation — cumulative sums under the constant-key window trick, then
+    two tiny non-equi self-joins for the O(bins³) minimax enumeration.
+    At 100 TB only the two scans touch the table (score min/max, then the
+    bin aggregate); the fit is O(1). PAV over the binned relation IS the
+    exact isotonic fit for a binned scorer (within-bin ties make finer
+    granularity moot). Bins are RANGE-ADAPTIVE — equal-width over the
+    observed [min, max] score span, not over [0,1] — because an
+    early-training classifier concentrates its scores in a narrow band
+    and fixed deciles would collapse to one bin.
+
+    Determinism: bin rates are exact-integer ratios; bin edges derive
+    from round-9 score extrema through an identical double expression on
+    both engines; the only floats are the final round-6 divisions, and
+    min/max over identically-derived doubles agree bitwise."""
+    from pyspark.sql import Window
+
+    hist = _train(spark, sf_dir)
+    _, w0, w1, w2 = hist[-1]
+    feats = _features(spark, sf_dir)
+    z = F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    preds = feats.select("y", p.alias("p"))
+    span = preds.agg(
+        F.min("p").alias("pmin"), F.max("p").alias("pmax")
+    )
+    binned = preds.join(F.broadcast(span)).withColumn(
+        "bin",
+        F.when(F.col("pmax") > F.col("pmin"),
+            F.least(
+                F.floor(
+                    (F.col("p") - F.col("pmin"))
+                    / (F.col("pmax") - F.col("pmin"))
+                    * N_CALIB_BINS
+                ).cast("int"),
+                F.lit(N_CALIB_BINS - 1),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    # constant-key window: cumulative sums over the ≤10-row bin relation
+    wcum = (
+        Window.partitionBy(F.col("bin") % 1)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(wcum).cast("bigint").alias("cn"),
+        F.sum("pos").over(wcum).cast("bigint").alias("cp"),
+    )
+    lo = cum.select(
+        F.col("bin").alias("i"),
+        F.col("n").alias("ni"),
+        F.col("pos").alias("pi"),
+        F.col("cn").alias("cni"),
+        F.col("cp").alias("cpi"),
+    )
+    hi = cum.select(
+        F.col("bin").alias("j"),
+        F.col("cn").alias("cnj"),
+        F.col("cp").alias("cpj"),
+    )
+    ranges = lo.join(F.broadcast(hi), F.col("i") <= F.col("j")).select(
+        "i",
+        "j",
+        (
+            (F.col("cpj") - F.col("cpi") + F.col("pi")).cast("double")
+            / (F.col("cnj") - F.col("cni") + F.col("ni")).cast("double")
+        ).alias("rate"),
+    )
+    ks = per.select(F.col("bin").alias("k"))
+    inner = (
+        ranges.join(
+            F.broadcast(ks),
+            (F.col("i") <= F.col("k")) & (F.col("k") <= F.col("j")),
+        )
+        .groupBy("k", "i")
+        .agg(F.min("rate").alias("mn"))
+    )
+    iso = inner.groupBy("k").agg(F.max("mn").alias("iso_raw"))
+    return (
+        per.join(F.broadcast(iso), per.bin == iso.k)
+        .select(
+            "bin",
+            "n",
+            F.round(
+                F.col("pos").cast("double") / F.col("n").cast("double"), 6
+            )
+            .cast("double")
+            .alias("frac_positive"),
+            F.round("iso_raw", 6).cast("double").alias("iso_rate"),
+        )
+    )
+
+
+def _isotonic_oracle() -> str:
+    head = _logistic_oracle()
+    head = head[: head.index("\nSELECT CAST(1 AS INT)")]
+    return head + f"""
+, preds AS (
+    SELECT y,
+           ROUND(1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2))), 9) AS p
+    FROM feats, w{N_STEPS} w
+), span AS (
+    SELECT MIN(p) AS pmin, MAX(p) AS pmax FROM preds
+), binned AS (
+    SELECT y,
+           CASE WHEN s.pmax > s.pmin THEN
+               LEAST(CAST(FLOOR((p - s.pmin) / (s.pmax - s.pmin)
+                                * {N_CALIB_BINS}) AS INT),
+                     {N_CALIB_BINS - 1})
+           ELSE 0 END AS bin
+    FROM preds, span s
+), per AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS pos
+    FROM binned GROUP BY bin
+), cum AS (
+    SELECT bin, n, pos,
+           CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+           CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+    FROM per
+), ranges AS (
+    SELECT lo.bin AS i, hi.bin AS j,
+           CAST(hi.cp - lo.cp + lo.pos AS DOUBLE)
+               / CAST(hi.cn - lo.cn + lo.n AS DOUBLE) AS rate
+    FROM cum lo JOIN cum hi ON lo.bin <= hi.bin
+), inner_min AS (
+    SELECT k.bin AS k, r.i, MIN(r.rate) AS mn
+    FROM ranges r JOIN per k ON r.i <= k.bin AND k.bin <= r.j
+    GROUP BY 1, 2
+), iso AS (
+    SELECT k, MAX(mn) AS iso_raw FROM inner_min GROUP BY k
+)
+SELECT per.bin, per.n,
+       CAST(ROUND(CAST(per.pos AS DOUBLE) / CAST(per.n AS DOUBLE), 6)
+            AS DOUBLE) AS frac_positive,
+       CAST(ROUND(iso.iso_raw, 6) AS DOUBLE) AS iso_rate
+FROM per JOIN iso ON per.bin = iso.k
+"""
+
+
+ISOTONIC_CALIBRATION_DOCUMENTS_ORACLE = _isotonic_oracle()

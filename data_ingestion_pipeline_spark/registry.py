@@ -191,6 +191,7 @@ _ROUND5_NEW: list[str] = [
     "conformal_forecast_interval_daily",
     "capture_recapture_users",
     "poisson_bootstrap_ci_orders",
+    "isotonic_calibration_documents",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1722,6 +1723,12 @@ register(
     "poisson_bootstrap_ci_orders",
     analytics_checks.poisson_bootstrap_ci_orders,
     analytics_checks.POISSON_BOOTSTRAP_CI_ORDERS_ORACLE,
+)
+
+register(
+    "isotonic_calibration_documents",
+    classifier.isotonic_calibration_documents,
+    classifier.ISOTONIC_CALIBRATION_DOCUMENTS_ORACLE,
 )
 
 register(

@@ -353,3 +353,41 @@ def test_poisson_bootstrap_plan_two_phase_no_sort(spark):
     assert _unpartitioned_window_count(plan) == 0
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_isotonic_calibration_matches_direct_pav(spark):
+    """The minimax-identity fit must equal the sequential
+    pool-adjacent-violators algorithm run on the same bin aggregates,
+    be monotone non-decreasing, and conserve positive mass (Σ iso·n =
+    Σ pos — PAV is a projection that preserves block means)."""
+    rows = sorted(
+        classifier.isotonic_calibration_documents(spark, SF_SMOKE).collect(),
+        key=lambda r: r.bin,
+    )
+    assert len(rows) >= 2
+    for a, b in zip(rows, rows[1:]):
+        assert a.iso_rate <= b.iso_rate + 1e-9
+    # direct sequential PAV on (pos, n) recovered from published columns
+    stack: list[list[float]] = []
+    for r in rows:
+        stack.append([round(r.frac_positive * r.n), r.n])
+        while len(stack) > 1 and (
+            stack[-2][0] * stack[-1][1] >= stack[-1][0] * stack[-2][1]
+        ):
+            pos2, n2 = stack.pop()
+            stack[-1][0] += pos2
+            stack[-1][1] += n2
+    want: list[float] = []
+    for pos, n in stack:
+        blk_rows, acc = [], 0
+        while acc < n:
+            blk_rows.append(rows[len(want) + len(blk_rows)])
+            acc += blk_rows[-1].n
+        want.extend([pos / n] * len(blk_rows))
+    assert len(want) == len(rows)
+    for r, w in zip(rows, want):
+        assert abs(r.iso_rate - w) < 1e-5
+    # mass conservation
+    tot_pos = sum(round(r.frac_positive * r.n) for r in rows)
+    tot_iso = sum(r.iso_rate * r.n for r in rows)
+    assert abs(tot_iso - tot_pos) < 1e-2
