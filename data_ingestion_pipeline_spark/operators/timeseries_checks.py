@@ -31,6 +31,7 @@ __all__ = [
     "rolling_zscore_anomaly_daily",
     "seasonal_naive_mape_events",
     "cusum_changepoint_daily",
+    "holt_winters_seasonal_daily",
     "seasonal_decompose_daily",
     "psi_value_drift_halves",
     "durbin_watson_daily_trend",
@@ -953,3 +954,148 @@ SELECT CAST(n_days AS BIGINT) AS n_days,
             AS DOUBLE) AS pi_hi
 FROM staged
 """
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (triple exponential)
+# ---------------------------------------------------------------------------
+
+_HW_ALPHA = 0.3
+_HW_BETA = 0.1
+_HW_GAMMA = 0.2
+_HW_SEASON = 7  # day-of-week cycle
+
+
+def holt_winters_seasonal_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (triple exponential) of
+    the daily value series with a 7-day cycle — the seasonal upgrade of
+    ``holt_linear_daily_forecast`` for series where
+    ``seasonal_decompose_daily`` shows a real day-of-week component.
+    Level, trend AND a 7-slot seasonal vector all recurse on each other,
+    so (like Holt) no window algebra expresses it; the fold carries a
+    9-element [level, trend, s₁..s₇] array accumulator where the seasonal
+    queue ROTATES — the head is always the seasonal index of the
+    incoming day, and the freshly-updated seasonal re-enters at the tail.
+    That rotation avoids positional list surgery inside the lambda (no
+    indexed transform — just a literal 9-slot rebuild), which keeps the
+    Spark and DuckDB lambdas structurally identical.
+
+    Init is the classic first-cycle recipe: level = mean of days 1..7,
+    trend = 0, s_j = x_j − level; the fold consumes days 8..n. Forecasts:
+    h-step = level + h·trend + s_{(n+h) mod 7}, read straight off the
+    rotated queue (slot 3 is tomorrow's seasonal, slot 9 is day n+7's).
+
+    Cross-engine: the series is the exact-decimal daily aggregate; both
+    engines fold left in day order with the SAME IEEE lambda (DuckDB's
+    ``list_reduce`` folds single-element-wrapped tails prepended with the
+    init state — its reduce has no init parameter), so parity needs no
+    decimal trick; outputs round to 6. Calendar-scale series (the
+    documented domain-bounded class): one shuffle for the daily groupBy,
+    then a single-row array fold."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    series = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s.x,
+        ).alias("xs")
+    )
+    m = _HW_SEASON
+    a, b, g = F.lit(_HW_ALPHA), F.lit(_HW_BETA), F.lit(_HW_GAMMA)
+    xs = F.col("xs")
+    l0 = sum(
+        [F.element_at(xs, i) for i in range(2, m + 1)],
+        F.element_at(xs, 1),
+    ) / F.lit(float(m))
+    init = F.array(
+        l0, F.lit(0.0), *[F.element_at(xs, i) - l0 for i in range(1, m + 1)]
+    )
+
+    def step(acc, x):
+        l_, tr = F.element_at(acc, 1), F.element_at(acc, 2)
+        s_old = F.element_at(acc, 3)
+        lnew = a * (x - s_old) + (F.lit(1.0) - a) * (l_ + tr)
+        bnew = (
+            b * ((a * (x - s_old) + (F.lit(1.0) - a) * (l_ + tr)) - l_)
+            + (F.lit(1.0) - b) * tr
+        )
+        snew = (
+            g * (x - (a * (x - s_old) + (F.lit(1.0) - a) * (l_ + tr)))
+            + (F.lit(1.0) - g) * s_old
+        )
+        return F.array(
+            lnew,
+            bnew,
+            *[F.element_at(acc, i) for i in range(4, m + 3)],
+            snew,
+        )
+
+    folded = F.aggregate(
+        F.slice(xs, m + 1, F.greatest(F.size(xs) - m, F.lit(0))),
+        init,
+        step,
+    )
+    out = series.select(
+        F.size("xs").cast("bigint").alias("n_days"),
+        folded.alias("st"),
+    )
+    st = F.col("st")
+    return out.select(
+        "n_days",
+        F.round(F.element_at(st, 1), 6).alias("level"),
+        F.round(F.element_at(st, 2), 6).alias("trend"),
+        F.round(F.element_at(st, 3), 6).alias("s_next"),
+        F.round(
+            F.element_at(st, 1) + F.element_at(st, 2) + F.element_at(st, 3), 6
+        ).alias("forecast_1d"),
+        F.round(
+            F.element_at(st, 1)
+            + F.lit(7.0) * F.element_at(st, 2)
+            + F.element_at(st, 2 + m),
+            6,
+        ).alias("forecast_7d"),
+    )
+
+
+def _hw_oracle() -> str:
+    m = _HW_SEASON
+    a, b, g = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    l0 = "((" + " + ".join(f"xs[{i}]" for i in range(1, m + 1)) + f") / {float(m)!r})"
+    init = (
+        "[" + l0 + ", 0.0, "
+        + ", ".join(f"xs[{i}] - {l0}" for i in range(1, m + 1))
+        + "]"
+    )
+    lnew = f"{a!r} * (p[1] - acc[3]) + {1.0 - a!r} * (acc[1] + acc[2])"
+    lam = (
+        f"[{lnew}, "
+        f"{b!r} * (({lnew}) - acc[1]) + {1.0 - b!r} * acc[2], "
+        + ", ".join(f"acc[{i}]" for i in range(4, m + 3))
+        + f", {g!r} * (p[1] - ({lnew})) + {1.0 - g!r} * acc[3]]"
+    )
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), series AS (
+    SELECT list(x ORDER BY day) AS xs FROM daily
+), folded AS (
+    SELECT len(xs) AS n_days,
+           list_reduce(
+               list_prepend(CAST({init} AS DOUBLE[]),
+                            list_transform(xs[{m + 1}:], x -> [x])),
+               (acc, p) -> {lam}) AS st
+    FROM series
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(ROUND(st[1], 6) AS DOUBLE) AS level,
+       CAST(ROUND(st[2], 6) AS DOUBLE) AS trend,
+       CAST(ROUND(st[3], 6) AS DOUBLE) AS s_next,
+       CAST(ROUND(st[1] + st[2] + st[3], 6) AS DOUBLE) AS forecast_1d,
+       CAST(ROUND(st[1] + 7.0 * st[2] + st[{2 + m}], 6) AS DOUBLE)
+           AS forecast_7d
+FROM folded
+"""
+
+
+HOLT_WINTERS_SEASONAL_DAILY_ORACLE = _hw_oracle()

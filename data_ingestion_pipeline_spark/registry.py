@@ -192,6 +192,7 @@ _ROUND5_NEW: list[str] = [
     "capture_recapture_users",
     "poisson_bootstrap_ci_orders",
     "isotonic_calibration_documents",
+    "holt_winters_seasonal_daily",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1723,6 +1724,12 @@ register(
     "poisson_bootstrap_ci_orders",
     analytics_checks.poisson_bootstrap_ci_orders,
     analytics_checks.POISSON_BOOTSTRAP_CI_ORDERS_ORACLE,
+)
+
+register(
+    "holt_winters_seasonal_daily",
+    timeseries_checks.holt_winters_seasonal_daily,
+    timeseries_checks.HOLT_WINTERS_SEASONAL_DAILY_ORACLE,
 )
 
 register(

@@ -391,3 +391,41 @@ def test_isotonic_calibration_matches_direct_pav(spark):
     tot_pos = sum(round(r.frac_positive * r.n) for r in rows)
     tot_iso = sum(r.iso_rate * r.n for r in rows)
     assert abs(tot_iso - tot_pos) < 1e-2
+
+
+def test_holt_winters_fold_matches_python(spark):
+    """The 9-slot rotating-queue fold must reproduce a direct Python
+    Holt-Winters additive implementation (classic first-cycle init) on
+    the same daily series, including the rotated seasonal readout."""
+    from data_ingestion_pipeline_spark.operators import timeseries_checks as tc
+
+    row = tc.holt_winters_seasonal_daily(spark, SF_SMOKE).collect()[0]
+    daily = sorted(
+        (r.day, float(r.xd))
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(27,12)")).alias("xd"))
+        .collect()
+    )
+    xs = [v for _, v in daily]
+    m, a, b, g = 7, tc._HW_ALPHA, tc._HW_BETA, tc._HW_GAMMA
+    level = sum(xs[:m]) / m
+    trend = 0.0
+    season = [x - level for x in xs[:m]]  # seasonal of days 1..7
+    for t, x in enumerate(xs[m:]):
+        s_old = season[t % m]
+        lnew = a * (x - s_old) + (1 - a) * (level + trend)
+        trend = b * (lnew - level) + (1 - b) * trend
+        season[t % m] = g * (x - lnew) + (1 - g) * s_old
+        level = lnew
+    n = len(xs)
+    assert row.n_days == n
+    assert abs(row.level - level) < 1e-5
+    assert abs(row.trend - trend) < 1e-5
+    # seasonal slot for day n+1 and n+7
+    assert abs(row.s_next - season[(n - m) % m]) < 1e-5
+    assert abs(row.forecast_1d - (level + trend + season[(n - m) % m])) < 1e-4
+    assert (
+        abs(row.forecast_7d - (level + 7 * trend + season[(n - m + 6) % m]))
+        < 1e-4
+    )
