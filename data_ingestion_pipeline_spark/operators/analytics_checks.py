@@ -4841,21 +4841,27 @@ FROM s
 # Poisson bootstrap: single-pass resampling CI for grouped means
 # ---------------------------------------------------------------------------
 
-# Poisson(1) inverse-CDF thresholds (cumulative e^{-1}/k! partial sums),
-# truncated at k=8 (tail mass ~1e-5 — documented, identical on both
-# engines). repr() literals are interpolated into BOTH the Spark plan and
-# the oracle SQL so the double each engine parses is bit-identical.
-_POIS1_CDF = [
-    0.36787944117144233,
-    0.7357588823428847,
-    0.9196986029286058,
-    0.9810118431238463,
-    0.9963401531726563,
-    0.9994058151824183,
-    0.999916758850712,
-    0.9999897508033253,
+# Poisson(1) inverse-CDF thresholds as EXACT 32-bit integers
+# (floor(cdf_k * 2^32) of the cumulative e^{-1}/k! partial sums,
+# truncated at k=8 — tail mass ~1e-5, documented). The draw compares an
+# 8-hex-digit (32-bit) md5 slice against these integer literals, so both
+# engines run pure integer comparisons — no float thresholds at all; the
+# realized distribution is Poisson(1) quantized to 2^-32 (mean error
+# < 1e-9).
+_POIS1_CDF32 = [
+    int(c * 2**32)
+    for c in [
+        0.36787944117144233,
+        0.7357588823428847,
+        0.9196986029286058,
+        0.9810118431238463,
+        0.9963401531726563,
+        0.9994058151824183,
+        0.999916758850712,
+        0.9999897508033253,
+    ]
 ]
-_BOOT_B = 64  # replicates; ranks 2/63 of 64 sorted means ≈ 2.5%/97.5%
+_BOOT_B = 64  # replicates; ranks 2/63 of 64 sorted means ~ 2.5%/97.5%
 
 
 def poisson_bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4876,44 +4882,59 @@ def poisson_bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-float array. No row-level sort anywhere: the CI is an exact order
     statistic (ranks 2/63) of the 64 sorted replicate means.
 
-    Determinism: the replicate weight is Poisson⁻¹(u) with u md5-seeded
-    per (row, replicate) — the ``dp_noisy_counts_events`` uniform — and
-    the inverse CDF is an unrolled comparison ladder against the
-    _POIS1_CDF literals, so both engines draw identical weights; weighted
-    sums fold in exact decimal; the only floats are the final round-6
-    divisions. (As with the DP release, seeded draws are for testability;
-    production would swap the uniform for real entropy.)"""
+    Hash budget (this query is pure map CPU, so the constant matters):
+    ONE md5 serves FOUR replicates — explode level 1 yields g=0..15 and
+    hashes (key|g) once; level 2 slices four 8-hex-digit windows out of
+    the 32-hex digest and converts each to a 32-bit integer compared
+    against the _POIS1_CDF32 integer thresholds. That is 16 md5 calls +
+    64 8-char convs per row, ~2.5× faster than the naive 64×(md5 of
+    13 hex → double uniform) and bit-identical across engines (the
+    ``dp_noisy_counts_events`` float-uniform construction stays the
+    house pattern where draws are per-CELL, not per-row×replicate).
+    Weighted sums fold in exact decimal; the only floats are the final
+    round-6 divisions. (As with the DP release, seeded draws are for
+    testability; production would swap the md5 for real entropy.)"""
     orders = load_table(spark, sf_dir, "orders")
-    rep = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("rep")
-    seeded = orders.select(
-        "o_orderpriority", "o_totalprice", F.col("o_orderkey"), rep
-    )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("o_orderkey").cast("string"),
-                    F.col("rep").cast("string"),
-                )
-            ),
-            1,
-            13,
-        ),
-        16,
-        10,
-    ).cast("double")
-    u = (h + F.lit(1.0)) / F.lit(float(16**13) + 2.0)
-    w: Column = F.lit(len(_POIS1_CDF))
-    for k in range(len(_POIS1_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
-    weighted = seeded.select(
+    lvl1 = orders.select(
         "o_orderpriority",
-        "rep",
-        w.alias("w"),
         F.col("o_totalprice").cast("decimal(18,6)").alias("price"),
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B // 4 - 1))).alias("g"),
+    ).select(
+        "o_orderpriority",
+        "price",
+        "g",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                F.col("g").cast("string"),
+            )
+        ).alias("hx"),
     )
-    per_rep = weighted.groupBy("o_orderpriority", "rep").agg(
+    lvl2 = (
+        lvl1.select(
+            "o_orderpriority",
+            "price",
+            "g",
+            "hx",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+        )
+        .select(
+            "o_orderpriority",
+            "price",
+            (F.col("g") * 4 + F.col("j")).alias("rep"),
+            F.conv(F.substring("hx", F.col("j") * 8 + 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    w: Column = F.lit(len(_POIS1_CDF32))
+    for k in range(len(_POIS1_CDF32) - 1, -1, -1):
+        w = F.when(F.col("h") < F.lit(_POIS1_CDF32[k]), F.lit(k)).otherwise(w)
+    per_rep = lvl2.select(
+        "o_orderpriority", "rep", w.alias("w"), "price"
+    ).groupBy("o_orderpriority", "rep").agg(
         F.sum("w").cast("bigint").alias("sw"),
         F.sum(F.col("price") * F.col("w")).alias("sx"),
     )
@@ -4952,26 +4973,29 @@ def poisson_bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _poisson_bootstrap_oracle() -> str:
     ladder = "CASE "
-    for k, t in enumerate(_POIS1_CDF):
-        ladder += f"WHEN u < {t!r} THEN {k} "
-    ladder += f"ELSE {len(_POIS1_CDF)} END"
+    for k, t in enumerate(_POIS1_CDF32):
+        ladder += f"WHEN h < {t} THEN {k} "
+    ladder += f"ELSE {len(_POIS1_CDF32)} END"
     return f"""
-WITH reps AS (
-    SELECT CAST(unnest(range({_BOOT_B})) AS INT) AS rep
-), seeded AS (
-    SELECT o.o_orderpriority, o.o_totalprice, r.rep,
-           (CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
-                || '|' || CAST(r.rep AS VARCHAR)), 1, 13))::BIGINT
-             AS DOUBLE) + 1.0) / {float(16**13) + 2.0!r} AS u
-    FROM orders o CROSS JOIN reps r
-), weighted AS (
-    SELECT o_orderpriority, rep, {ladder} AS w,
-           CAST(o_totalprice AS DECIMAL(18,6)) AS price
-    FROM seeded
+WITH gs AS (
+    SELECT CAST(unnest(range({_BOOT_B // 4})) AS INT) AS g
+), js AS (
+    SELECT CAST(unnest(range(4)) AS INT) AS j
+), lvl1 AS (
+    SELECT o.o_orderpriority, CAST(o.o_totalprice AS DECIMAL(18,6)) AS price,
+           gs.g,
+           md5(CAST(o.o_orderkey AS VARCHAR) || '|' || CAST(gs.g AS VARCHAR))
+               AS hx
+    FROM orders o CROSS JOIN gs
+), lvl2 AS (
+    SELECT o_orderpriority, price, g * 4 + j AS rep,
+           ('0x' || substr(hx, j * 8 + 1, 8))::BIGINT AS h
+    FROM lvl1 CROSS JOIN js
 ), per_rep AS (
     SELECT o_orderpriority, rep,
-           CAST(SUM(w) AS BIGINT) AS sw, SUM(price * w) AS sx
-    FROM weighted GROUP BY 1, 2
+           CAST(SUM({ladder}) AS BIGINT) AS sw,
+           SUM(price * ({ladder})) AS sx
+    FROM lvl2 GROUP BY 1, 2
 ), boot AS (
     SELECT o_orderpriority,
            (list(mean_rep ORDER BY mean_rep))[2] AS boot_lo,
