@@ -68,6 +68,7 @@ __all__ = [
     "embedding_cosine_dedup",
     "embedding_lsh_near_dup",
     "cosine_topk_embeddings",
+    "mmr_rerank_topk_embeddings",
     "hard_negative_mining_embeddings",
     "ann_lsh_topk_embeddings",
     "ann_ivf_topk_embeddings",
@@ -2799,3 +2800,142 @@ SELECT lang, n_before, target,
             AS DOUBLE) AS balance_ratio
 FROM reps GROUP BY lang, n_before, target
 """
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking over the brute-force candidate set
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_CAND = 30
+_MMR_K = 10
+
+
+def mmr_rerank_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) of the vec_id=0 retrieval: from the exact top-30 cosine
+    candidates, greedily pick 10 maximizing λ·rel(d) − (1−λ)·max_{s∈S}
+    sim(d,s) — the diversity-aware serving stage every dense retriever
+    needs (and, in a training-data pipeline, the anti-redundancy pick for
+    few-shot example selection).
+
+    Scale shape: stage 1 is the distributed brute-force scan →
+    TakeOrderedAndProject top-30 (the ``cosine_topk`` plan); stage 2
+    builds the 30×30 candidate-pair cosine matrix with a broadcast
+    self-join (bounded); stage 3 collects the ≤30+900 bounded rows and
+    runs the O(k·N) greedy driver-side — the ``kmeans_lloyd`` bounded-
+    driver-state policy: a production reranker always runs its greedy on
+    the service side over a bounded candidate page; the data-parallel
+    work is producing that page.
+
+    Determinism: relevance and pairwise sims round to 9 BEFORE the
+    greedy, so comparisons see identical doubles on both engines; the
+    oracle replays the same greedy as a 10-step unrolled CTE chain
+    (the ``logistic_quality_classifier`` unrolling pattern) with the
+    same (score desc, vec_id) tie-break."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from data_ingestion_pipeline_spark.functions.vector import (
+        as_double_array,
+        cosine,
+    )
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array(F.col("embedding")).alias("_qv")
+    )
+    scored = (
+        fan_out(emb)
+        .select("vec_id", as_double_array(F.col("embedding")).alias("_v"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", F.round(cosine(F.col("_v"), F.col("_qv")), 9).alias("rel")
+        )
+    )
+    cand = scored.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(
+        _MMR_CAND
+    )
+    cvec = cand.join(emb, "vec_id").select(
+        "vec_id", "rel", as_double_array(F.col("embedding")).alias("_v")
+    )
+    a = cvec.select(
+        F.col("vec_id").alias("ai"), F.col("_v").alias("_va")
+    )
+    b = cvec.select(F.col("vec_id").alias("bi"), F.col("_v").alias("_vb"))
+    sims_df = a.crossJoin(F.broadcast(b)).select(
+        "ai", "bi", F.round(cosine(F.col("_va"), F.col("_vb")), 9).alias("sim")
+    )
+    # bounded-by-design collects: ≤30 candidates + ≤900 pair sims
+    cand_rows = [(r.vec_id, r.rel) for r in cand.collect()]
+    sim = {(r.ai, r.bi): r.sim for r in sims_df.collect()}
+    lam = _MMR_LAMBDA
+    picked: list[tuple[int, int, float, float]] = []  # rank, id, rel, mmr
+    sel: list[int] = []
+    rel = dict(cand_rows)
+    while len(picked) < _MMR_K and len(sel) < len(cand_rows):
+        best = None
+        for vid, r in cand_rows:
+            if vid in rel and vid not in sel:
+                pen = max((sim[(vid, s)] for s in sel), default=0.0)
+                score = lam * r - (1.0 - lam) * pen
+                key = (-score, vid)
+                if best is None or key < best[0]:
+                    best = (key, vid, r, score)
+        _, vid, r, score = best
+        sel.append(vid)
+        picked.append((len(sel), vid, round(r, 6), round(score, 6)))
+    return spark.createDataFrame(
+        picked, "rank int, vec_id bigint, relevance double, mmr_score double"
+    )
+
+
+def _mmr_oracle() -> str:
+    lam = _MMR_LAMBDA
+    blocks = [
+        f"""
+, s1 AS MATERIALIZED (
+    SELECT vec_id, rel, {lam!r} * rel AS mmr
+    FROM cand ORDER BY {lam!r} * rel DESC, vec_id LIMIT 1
+)"""
+    ]
+    for i in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, i)
+        )
+        blocks.append(f"""
+, s{i} AS MATERIALIZED (
+    SELECT vec_id, rel, mmr FROM (
+        SELECT c.vec_id, c.rel,
+               {lam!r} * c.rel - {1.0 - lam!r} * (
+                   SELECT MAX(s.sim) FROM sims s
+                   WHERE s.ai = c.vec_id AND s.bi IN ({prev})
+               ) AS mmr
+        FROM cand c WHERE c.vec_id NOT IN ({prev})
+    ) ORDER BY mmr DESC, vec_id LIMIT 1
+)""")
+    tail = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INT) AS rank, vec_id, "
+        f"CAST(ROUND(rel, 6) AS DOUBLE) AS relevance, "
+        f"CAST(ROUND(mmr, 6) AS DOUBLE) AS mmr_score FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+cand AS MATERIALIZED (
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(embedding::DOUBLE[], qe), 9) AS rel
+    FROM embeddings, q
+    ORDER BY ROUND(list_cosine_similarity(embedding::DOUBLE[], qe), 9) DESC,
+             vec_id
+    LIMIT {_MMR_CAND}
+), cvec AS (
+    SELECT c.vec_id, c.rel, e.embedding::DOUBLE[] AS v
+    FROM cand c JOIN embeddings e USING (vec_id)
+), sims AS MATERIALIZED (
+    SELECT a.vec_id AS ai, b.vec_id AS bi,
+           ROUND(list_cosine_similarity(a.v, b.v), 9) AS sim
+    FROM cvec a, cvec b
+){''.join(blocks)}
+{tail}
+"""
+
+
+MMR_RERANK_TOPK_EMBEDDINGS_ORACLE = _mmr_oracle()

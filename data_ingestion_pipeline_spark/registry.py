@@ -193,6 +193,7 @@ _ROUND5_NEW: list[str] = [
     "poisson_bootstrap_ci_orders",
     "isotonic_calibration_documents",
     "holt_winters_seasonal_daily",
+    "mmr_rerank_topk_embeddings",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1730,6 +1731,12 @@ register(
     "holt_winters_seasonal_daily",
     timeseries_checks.holt_winters_seasonal_daily,
     timeseries_checks.HOLT_WINTERS_SEASONAL_DAILY_ORACLE,
+)
+
+register(
+    "mmr_rerank_topk_embeddings",
+    llm_data.mmr_rerank_topk_embeddings,
+    llm_data.MMR_RERANK_TOPK_EMBEDDINGS_ORACLE,
 )
 
 register(

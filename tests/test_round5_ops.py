@@ -429,3 +429,43 @@ def test_holt_winters_fold_matches_python(spark):
         abs(row.forecast_7d - (level + 7 * trend + season[(n - m + 6) % m]))
         < 1e-4
     )
+
+
+def test_mmr_rerank_diversifies_vs_plain_topk(spark):
+    """MMR invariants on the fixture: 10 distinct picks; the first pick
+    is the global relevance argmax; and the MMR selection's mean pairwise
+    cosine must not exceed the plain top-10's (diversity is the point)."""
+    from data_ingestion_pipeline_spark.operators import llm_data
+    import math
+
+    rows = sorted(
+        llm_data.mmr_rerank_topk_embeddings(spark, SF_SMOKE).collect(),
+        key=lambda r: r.rank,
+    )
+    assert len(rows) == 10
+    assert len({r.vec_id for r in rows}) == 10
+    assert rows[0].relevance == max(r.relevance for r in rows)
+    # mmr_score is a max over fewer constraints early: monotone non-incr
+    for a, b in zip(rows, rows[1:]):
+        assert a.mmr_score >= b.mmr_score - 1e-9
+
+    emb = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    qv = emb[0]
+
+    def cos(u, v):
+        du = sum(a * b for a, b in zip(u, v))
+        nu = math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v))
+        return du / nu
+
+    plain = sorted(emb, key=lambda i: (-cos(emb[i], qv), i))[:10]
+
+    def mean_pair(ids):
+        sims = [
+            cos(emb[a], emb[b]) for a in ids for b in ids if a < b
+        ]
+        return sum(sims) / len(sims)
+
+    assert mean_pair([r.vec_id for r in rows]) <= mean_pair(plain) + 1e-9
