@@ -69,6 +69,7 @@ __all__ = [
     "embedding_lsh_near_dup",
     "cosine_topk_embeddings",
     "mmr_rerank_topk_embeddings",
+    "mixture_temperature_allocation",
     "hard_negative_mining_embeddings",
     "ann_lsh_topk_embeddings",
     "ann_ivf_topk_embeddings",
@@ -2939,3 +2940,82 @@ cand AS MATERIALIZED (
 
 
 MMR_RERANK_TOPK_EMBEDDINGS_ORACLE = _mmr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture allocation (p_l ∝ n_l^α)
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.3
+_MIX_BUDGET = 100_000
+
+
+def mixture_temperature_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling allocation p_l ∝ n_l^α (α = 0.3), the
+    multilingual-pretraining mixture rule from mT5/XLM-R (Xue et al. 2021
+    §3.1; Conneau et al. 2020 eq. 1): α < 1 up-weights low-resource
+    languages relative to their natural share without the hard uniform
+    floor of ``language_rebalance_plan``. For a sampling budget of 100k
+    documents the report gives each language its natural share, the
+    tempered share, the expected sampled count, and the implied effective
+    epochs (expected/n — how many times a low-resource doc repeats, the
+    overfitting-risk signal that caps α in practice).
+
+    Pure aggregate algebra over the per-language counts (one shuffle, then
+    a ≤|langs|-row relation under the constant-key window). Cross-engine:
+    n^α runs as exp(α·ln n) with the round-9-libm house policy on BOTH
+    the ln and the exp, so the tempered weights are identical doubles;
+    shares divide round-9 weights and round to 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    wfull = Window.partitionBy(F.lit(1))
+    tw = F.round(
+        F.exp(
+            F.lit(_MIX_ALPHA) * F.round(F.log(F.col("n_docs").cast("double")), 9)
+        ),
+        9,
+    )
+    scored = per_lang.withColumn("tw", tw)
+    tot_n = F.sum("n_docs").over(wfull).cast("double")
+    tot_w = F.sum(F.col("tw").cast("decimal(27,12)")).over(wfull).cast("double")
+    raw_share = F.col("n_docs").cast("double") / tot_n
+    temp_share = F.col("tw") / tot_w
+    expected = temp_share * F.lit(float(_MIX_BUDGET))
+    return scored.select(
+        "lang",
+        "n_docs",
+        F.round(raw_share, 6).cast("double").alias("raw_share"),
+        F.round(temp_share, 6).cast("double").alias("temp_share"),
+        F.round(expected, 2).cast("double").alias("expected_docs"),
+        F.round(expected / F.col("n_docs").cast("double"), 6)
+        .cast("double")
+        .alias("effective_epochs"),
+    )
+
+
+MIXTURE_TEMPERATURE_ALLOCATION_ORACLE = f"""
+WITH per_lang AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), scored AS (
+    SELECT lang, n_docs,
+           ROUND(exp({_MIX_ALPHA!r}
+                     * ROUND(ln(CAST(n_docs AS DOUBLE)), 9)), 9) AS tw
+    FROM per_lang
+)
+SELECT lang, n_docs,
+       CAST(ROUND(CAST(n_docs AS DOUBLE)
+                  / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS DOUBLE)
+           AS raw_share,
+       CAST(ROUND(tw / CAST(SUM(CAST(tw AS DECIMAL(27,12))) OVER ()
+                            AS DOUBLE), 6) AS DOUBLE) AS temp_share,
+       CAST(ROUND(tw / CAST(SUM(CAST(tw AS DECIMAL(27,12))) OVER ()
+                            AS DOUBLE) * {float(_MIX_BUDGET)!r}, 2)
+            AS DOUBLE) AS expected_docs,
+       CAST(ROUND(tw / CAST(SUM(CAST(tw AS DECIMAL(27,12))) OVER ()
+                            AS DOUBLE) * {float(_MIX_BUDGET)!r}
+                  / CAST(n_docs AS DOUBLE), 6) AS DOUBLE)
+           AS effective_epochs
+FROM scored
+"""

@@ -194,6 +194,7 @@ _ROUND5_NEW: list[str] = [
     "isotonic_calibration_documents",
     "holt_winters_seasonal_daily",
     "mmr_rerank_topk_embeddings",
+    "mixture_temperature_allocation",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1737,6 +1738,12 @@ register(
     "mmr_rerank_topk_embeddings",
     llm_data.mmr_rerank_topk_embeddings,
     llm_data.MMR_RERANK_TOPK_EMBEDDINGS_ORACLE,
+)
+
+register(
+    "mixture_temperature_allocation",
+    llm_data.mixture_temperature_allocation,
+    llm_data.MIXTURE_TEMPERATURE_ALLOCATION_ORACLE,
 )
 
 register(

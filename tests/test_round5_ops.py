@@ -469,3 +469,21 @@ def test_mmr_rerank_diversifies_vs_plain_topk(spark):
         return sum(sims) / len(sims)
 
     assert mean_pair([r.vec_id for r in rows]) <= mean_pair(plain) + 1e-9
+
+
+def test_temperature_mixture_compresses_toward_uniform(spark):
+    """α<1 must move every share toward uniform: languages under the
+    natural mean gain share, those above lose it; shares sum to 1; the
+    budget is conserved."""
+    from data_ingestion_pipeline_spark.operators import llm_data
+
+    rows = llm_data.mixture_temperature_allocation(spark, SF_SMOKE).collect()
+    unif = 1.0 / len(rows)
+    assert abs(sum(r.raw_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.expected_docs for r in rows) - llm_data._MIX_BUDGET) < 1.0
+    for r in rows:
+        if r.raw_share < unif - 1e-9:
+            assert r.raw_share < r.temp_share < unif + 1e-6
+        elif r.raw_share > unif + 1e-9:
+            assert unif - 1e-6 < r.temp_share < r.raw_share
