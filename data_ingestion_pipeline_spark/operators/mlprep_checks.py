@@ -25,6 +25,7 @@ from data_ingestion_pipeline_spark.functions.numeric import dec_sum
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
+    "embedding_int8_quantization_report",
     "kmeans_assign_embeddings",
     "target_encoding_loo_orders",
     "heaps_law_fit_documents",
@@ -1763,4 +1764,116 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
                   / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
            AS isotropy_gain
 FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# int8 symmetric quantization calibration report for the embedding corpus
+# ---------------------------------------------------------------------------
+
+def embedding_int8_quantization_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension int8 symmetric (absmax) quantization calibration of
+    the embedding corpus — the standard serving/storage compression step
+    (scale_d = absmax_d/127, q = clamp(round(v/scale), ±127)): for each
+    of the 64 dimensions, the calibrated scale, the reconstruction MSE,
+    and the signal-to-quantization-noise ratio in dB. The report is what
+    an embedding-store maintainer reads to decide whether int8 is safe
+    (SQNR ≳ 30 dB) or a dimension needs per-block scales.
+
+    Two passes by nature (calibration then error), both shuffle only
+    n·d → d narrow partial aggregates: posexplode → per-dim absmax;
+    broadcast the 64 scales back; second per-dim aggregate folds the
+    squared error in exact decimal. At 100 TB both passes are two-phase
+    map-combined aggs over the scan — no row-level sort, no driver state
+    beyond the 64-row scale table.
+
+    Cross-engine: quantization rounds via floor(x + 0.5) explicitly
+    (Spark ROUND and DuckDB ROUND disagree on negative halves), scales
+    round to 9, error terms fold as DECIMAL(27,12), and the dB term is a
+    round-9 log10 of a ratio of those exact sums (house libm policy)."""
+    from data_ingestion_pipeline_spark.functions.partitioning import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = fan_out(emb).select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        )
+    )
+    scales = vals.groupBy("dim").agg(
+        F.round(F.max(F.abs(F.col("v"))) / F.lit(127.0), 9).alias("scale")
+    )
+    q = F.greatest(
+        F.lit(-127.0),
+        F.least(
+            F.lit(127.0), F.floor(F.col("v") / F.col("scale") + F.lit(0.5))
+        ),
+    )
+    err = (F.col("v") - q * F.col("scale")) * (F.col("v") - q * F.col("scale"))
+    per_dim = (
+        vals.join(F.broadcast(scales), "dim")
+        .select("dim", "scale", F.col("v"), q.alias("q"))
+        .select(
+            "dim",
+            "scale",
+            (F.col("v") * F.col("v")).alias("v2"),
+            (
+                (F.col("v") - F.col("q") * F.col("scale"))
+                * (F.col("v") - F.col("q") * F.col("scale"))
+            ).alias("e2"),
+        )
+        .groupBy("dim", "scale")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("v2").cast("decimal(27,12)")).alias("sv2"),
+            F.sum(F.col("e2").cast("decimal(27,12)")).alias("se2"),
+        )
+    )
+    mse = F.col("se2").cast("double") / F.col("n").cast("double")
+    sqnr = F.lit(10.0) * F.round(
+        F.log10(
+            F.col("sv2").cast("double")
+            / F.greatest(F.col("se2").cast("double"), F.lit(1e-30))
+        ),
+        9,
+    )
+    return per_dim.select(
+        "dim",
+        "n",
+        F.col("scale").cast("double").alias("scale"),
+        F.round(mse, 9).cast("double").alias("mse"),
+        F.round(sqnr, 6).cast("double").alias("sqnr_db"),
+    )
+
+
+EMBEDDING_INT8_QUANTIZATION_REPORT_ORACLE = """
+WITH vals AS (
+    SELECT CAST(idx AS INT) AS dim, CAST(v AS DOUBLE) AS v
+    FROM (
+        SELECT unnest(range(len(embedding))) AS idx,
+               unnest(embedding::DOUBLE[]) AS v
+        FROM embeddings
+    )
+), scales AS (
+    SELECT dim, ROUND(MAX(ABS(v)) / 127.0, 9) AS scale
+    FROM vals GROUP BY dim
+), quant AS (
+    SELECT vals.dim, scales.scale, v,
+           GREATEST(-127.0, LEAST(127.0, FLOOR(v / scale + 0.5))) AS q
+    FROM vals JOIN scales USING (dim)
+), per_dim AS (
+    SELECT dim, scale, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(v * v AS DECIMAL(27,12))) AS sv2,
+           SUM(CAST((v - q * scale) * (v - q * scale)
+                    AS DECIMAL(27,12))) AS se2
+    FROM quant GROUP BY 1, 2
+)
+SELECT dim, n, CAST(scale AS DOUBLE) AS scale,
+       CAST(ROUND(CAST(se2 AS DOUBLE) / CAST(n AS DOUBLE), 9) AS DOUBLE)
+           AS mse,
+       CAST(ROUND(10.0 * ROUND(log10(CAST(sv2 AS DOUBLE)
+                / GREATEST(CAST(se2 AS DOUBLE), 1e-30)), 9), 6) AS DOUBLE)
+           AS sqnr_db
+FROM per_dim
 """

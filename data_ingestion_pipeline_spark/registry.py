@@ -195,6 +195,7 @@ _ROUND5_NEW: list[str] = [
     "holt_winters_seasonal_daily",
     "mmr_rerank_topk_embeddings",
     "mixture_temperature_allocation",
+    "embedding_int8_quantization_report",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1744,6 +1745,12 @@ register(
     "mixture_temperature_allocation",
     llm_data.mixture_temperature_allocation,
     llm_data.MIXTURE_TEMPERATURE_ALLOCATION_ORACLE,
+)
+
+register(
+    "embedding_int8_quantization_report",
+    mlprep_checks.embedding_int8_quantization_report,
+    mlprep_checks.EMBEDDING_INT8_QUANTIZATION_REPORT_ORACLE,
 )
 
 register(

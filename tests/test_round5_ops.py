@@ -487,3 +487,21 @@ def test_temperature_mixture_compresses_toward_uniform(spark):
             assert r.raw_share < r.temp_share < unif + 1e-6
         elif r.raw_share > unif + 1e-9:
             assert unif - 1e-6 < r.temp_share < r.raw_share
+
+
+def test_int8_quantization_error_bound_and_sqnr(spark):
+    """Absmax int8 quantization guarantees |err| ≤ scale/2 per value, so
+    per-dim MSE ≤ scale²/4; SQNR must be strongly positive for a
+    non-degenerate corpus; every dimension reports the same n."""
+    from data_ingestion_pipeline_spark.operators import mlprep_checks
+
+    rows = mlprep_checks.embedding_int8_quantization_report(
+        spark, SF_SMOKE
+    ).collect()
+    assert len(rows) == 64
+    ns = {r.n for r in rows}
+    assert len(ns) == 1
+    for r in rows:
+        assert r.scale > 0
+        assert 0.0 <= r.mse <= (r.scale * r.scale) / 4.0 + 1e-12
+        assert r.sqnr_db > 20.0  # int8 on unit-ish floats is ~30+ dB
