@@ -70,6 +70,9 @@ __all__ = [
     "cosine_topk_embeddings",
     "mmr_rerank_topk_embeddings",
     "mixture_temperature_allocation",
+    "length_bucket_padding_report",
+    "curriculum_schedule_documents",
+    "self_similarity_sample_documents",
     "hard_negative_mining_embeddings",
     "ann_lsh_topk_embeddings",
     "ann_ivf_topk_embeddings",
@@ -3018,4 +3021,310 @@ SELECT lang, n_docs,
                   / CAST(n_docs AS DOUBLE), 6) AS DOUBLE)
            AS effective_epochs
 FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: padding-waste report
+# ---------------------------------------------------------------------------
+
+_PAD_BUCKET_W = 16
+
+
+def length_bucket_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for length-bucketed batching: documents are
+    grouped into 16-token-wide length buckets and padded to the observed
+    bucket max (the dynamic-batching model every trainer uses to avoid
+    padding short sequences to the global max). Per bucket: doc count,
+    token mass, the bucket pad target, the padded fraction wasted, and —
+    for contrast — the waste the same docs would suffer padded to the
+    GLOBAL max. The gap between the two columns is the throughput case
+    for length bucketing (padding is pure wasted FLOPs).
+
+    One groupBy over the token-length projection (two-phase, map-side
+    combined); the global max rides a constant-key window over the
+    ≤(max_len/16)-row bucket relation. No ranking, no per-doc window:
+    the pad-to-bucket-max model needs only per-bucket aggregates, which
+    is what keeps it scale-safe (batch-membership simulation would need
+    a corpus-wide rank)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    lens = docs.select(n_tok.alias("len")).filter(F.col("len") > 0)
+    b = lens.withColumn(
+        "bucket", F.floor((F.col("len") - 1) / _PAD_BUCKET_W).cast("int")
+    )
+    per = b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("len").cast("bigint")).cast("bigint").alias("total_tokens"),
+        F.max("len").cast("bigint").alias("pad_to"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+    gmax = F.max("pad_to").over(wall).cast("double")
+    waste_b = F.lit(1.0) - F.col("total_tokens").cast("double") / (
+        F.col("n_docs").cast("double") * F.col("pad_to").cast("double")
+    )
+    waste_g = F.lit(1.0) - F.col("total_tokens").cast("double") / (
+        F.col("n_docs").cast("double") * gmax
+    )
+    return per.select(
+        "bucket",
+        (F.col("bucket") * _PAD_BUCKET_W + 1).cast("bigint").alias("len_lo"),
+        ((F.col("bucket") + 1) * _PAD_BUCKET_W).cast("bigint").alias("len_hi"),
+        "n_docs",
+        "total_tokens",
+        "pad_to",
+        F.round(waste_b, 6).cast("double").alias("bucket_pad_waste"),
+        F.round(waste_g, 6).cast("double").alias("global_pad_waste"),
+    )
+
+
+LENGTH_BUCKET_PADDING_REPORT_ORACLE = f"""
+WITH lens AS (
+    SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS len
+    FROM documents
+    WHERE len(regexp_split_to_array(trim(text), '\\s+')) > 0
+), per AS (
+    SELECT CAST((len - 1) // {_PAD_BUCKET_W} AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len) AS BIGINT) AS total_tokens,
+           CAST(MAX(len) AS BIGINT) AS pad_to
+    FROM lens GROUP BY 1
+)
+SELECT bucket,
+       CAST(bucket * {_PAD_BUCKET_W} + 1 AS BIGINT) AS len_lo,
+       CAST((bucket + 1) * {_PAD_BUCKET_W} AS BIGINT) AS len_hi,
+       n_docs, total_tokens, pad_to,
+       CAST(ROUND(1.0 - CAST(total_tokens AS DOUBLE)
+                  / (CAST(n_docs AS DOUBLE) * CAST(pad_to AS DOUBLE)), 6)
+            AS DOUBLE) AS bucket_pad_waste,
+       CAST(ROUND(1.0 - CAST(total_tokens AS DOUBLE)
+                  / (CAST(n_docs AS DOUBLE)
+                     * CAST(MAX(pad_to) OVER () AS DOUBLE)), 6)
+            AS DOUBLE) AS global_pad_waste
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# Curriculum schedule: easy-to-hard source ordering with cumulative budget
+# ---------------------------------------------------------------------------
+
+def curriculum_schedule_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning schedule (Bengio et al., ICML 2009) over the
+    source tiers: order sources easy→hard by mean document length (the
+    classic difficulty proxy — short documents first), then report each
+    source's phase in the schedule as cumulative document and token
+    shares. A trainer consumes the schedule top-down: "switch to source X
+    once Y% of tokens are seen". Difficulty ties break by source name so
+    the schedule is total and reproducible.
+
+    One shuffle (per-source aggregate); ranking and cumulative sums run
+    under the constant-key window over the ≤|sources|-row relation —
+    never over documents. Mean length is an exact bigint ratio rounded
+    to 6; cumulative shares divide exact bigint partial sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(n_tok.cast("bigint")).cast("bigint").alias("n_tokens"),
+    )
+    mean_len = F.round(
+        F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"), 6
+    )
+    scored = per.withColumn("mean_len", mean_len)
+    wall = Window.partitionBy(F.lit(1))
+    worder = Window.partitionBy(F.lit(1)).orderBy("mean_len", "source")
+    wcum = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return scored.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.col("mean_len").cast("double").alias("mean_len"),
+        F.row_number().over(worder).cast("int").alias("phase"),
+        F.round(
+            F.sum("n_docs").over(wcum).cast("double")
+            / F.sum("n_docs").over(wall).cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("cum_doc_share"),
+        F.round(
+            F.sum("n_tokens").over(wcum).cast("double")
+            / F.sum("n_tokens").over(wall).cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("cum_token_share"),
+    )
+
+
+CURRICULUM_SCHEDULE_DOCUMENTS_ORACLE = """
+WITH per AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+), scored AS (
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+               AS mean_len
+    FROM per
+)
+SELECT source, n_docs, n_tokens,
+       CAST(mean_len AS DOUBLE) AS mean_len,
+       CAST(ROW_NUMBER() OVER (ORDER BY mean_len, source) AS INT) AS phase,
+       CAST(ROUND(CAST(SUM(n_docs) OVER (ORDER BY mean_len, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS DOUBLE)
+           AS cum_doc_share,
+       CAST(ROUND(CAST(SUM(n_tokens) OVER (ORDER BY mean_len, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS DOUBLE)
+           AS cum_token_share
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# Self-similarity (Self-BLEU-style) corpus diversity probe
+# ---------------------------------------------------------------------------
+
+_SELFSIM_SAMPLE = 40
+
+
+def self_similarity_sample_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus diversity probe in the Self-BLEU family (Zhu et al. 2018,
+    Texygen): on a deterministic 40-document sample, the full pairwise
+    bigram-Jaccard grid — mean/max overlap and the share of pairs with
+    ANY overlap. Generative-corpus audits read this as mode-collapse
+    (high mean) vs healthy diversity (low); for training data it ranks
+    sources/snapshots by internal redundancy on a fixed yardstick.
+
+    Scale shape: the sample is an md5-ordered orderBy().limit(40) —
+    TakeOrderedAndProject over the scan, never a full sort — and every
+    downstream relation (≤40 docs × bigrams, 780 pairs) is
+    broadcast-small by construction; the corpus never self-joins. That
+    bounded-probe design is the point: diversity metrics that touch all
+    N² pairs don't exist at 100 TB, fixed-size sampled grids do.
+
+    Pairs with zero shared bigrams stay in the mean via the left join
+    against the 780-row pair grid (dropping them would bias the metric
+    up). Jaccards are exact-integer ratios rounded to 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    sample = (
+        docs.select(
+            "doc_id",
+            F.split(F.trim("text"), r"\s+").alias("toks"),
+            F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+        )
+        .orderBy("hkey", "doc_id")
+        .limit(_SELFSIM_SAMPLE)
+    )
+    grams = (
+        sample.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(F.size("toks") - 2, F.lit(1)),
+                        ),
+                        lambda i: F.concat_ws(
+                            " ", F.slice("toks", i, 2)
+                        ),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    counts = grams.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    inter = (
+        grams.alias("a")
+        .join(F.broadcast(grams.alias("b")), "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    grid = (
+        counts.alias("x")
+        .crossJoin(F.broadcast(counts.alias("y")))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.col("x.n_grams").alias("na"),
+            F.col("y.n_grams").alias("nb"),
+        )
+        .join(F.broadcast(inter), ["id_a", "id_b"], "left")
+        .select(
+            (
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / (
+                    F.col("na") + F.col("nb") - F.coalesce("n_common", F.lit(0))
+                ).cast("double")
+            ).alias("jacc")
+        )
+    )
+    return grid.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("jacc").cast("decimal(27,12)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("mean_jaccard"),
+        F.round(F.max("jacc"), 6).cast("double").alias("max_jaccard"),
+        F.round(
+            F.count(F.when(F.col("jacc") > 0, 1)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("frac_overlapping"),
+    )
+
+
+SELF_SIMILARITY_SAMPLE_DOCUMENTS_ORACLE = rf"""
+WITH sample AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT {_SELFSIM_SAMPLE}
+), grams AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, GREATEST(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+1], ' ')
+           ))) AS gram
+    FROM sample
+), counts AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM grams GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM grams a JOIN grams b USING (gram)
+    WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), grid AS (
+    SELECT COALESCE(i.n_common, 0) AS c, x.n_grams AS na, y.n_grams AS nb
+    FROM counts x JOIN counts y ON x.doc_id < y.doc_id
+    LEFT JOIN inter i ON i.id_a = x.doc_id AND i.id_b = y.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(ROUND(CAST(SUM(CAST(CAST(c AS DOUBLE) / (na + nb - c)
+                              AS DECIMAL(27,12))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS mean_jaccard,
+       CAST(ROUND(MAX(CAST(c AS DOUBLE) / (na + nb - c)), 6) AS DOUBLE)
+           AS max_jaccard,
+       CAST(ROUND(CAST(COUNT(CASE WHEN c > 0 THEN 1 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
+           AS frac_overlapping
+FROM grid
 """

@@ -196,6 +196,9 @@ _ROUND5_NEW: list[str] = [
     "mmr_rerank_topk_embeddings",
     "mixture_temperature_allocation",
     "embedding_int8_quantization_report",
+    "length_bucket_padding_report",
+    "curriculum_schedule_documents",
+    "self_similarity_sample_documents",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1751,6 +1754,24 @@ register(
     "embedding_int8_quantization_report",
     mlprep_checks.embedding_int8_quantization_report,
     mlprep_checks.EMBEDDING_INT8_QUANTIZATION_REPORT_ORACLE,
+)
+
+register(
+    "length_bucket_padding_report",
+    llm_data.length_bucket_padding_report,
+    llm_data.LENGTH_BUCKET_PADDING_REPORT_ORACLE,
+)
+
+register(
+    "curriculum_schedule_documents",
+    llm_data.curriculum_schedule_documents,
+    llm_data.CURRICULUM_SCHEDULE_DOCUMENTS_ORACLE,
+)
+
+register(
+    "self_similarity_sample_documents",
+    llm_data.self_similarity_sample_documents,
+    llm_data.SELF_SIMILARITY_SAMPLE_DOCUMENTS_ORACLE,
 )
 
 register(

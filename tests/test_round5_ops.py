@@ -505,3 +505,48 @@ def test_int8_quantization_error_bound_and_sqnr(spark):
         assert r.scale > 0
         assert 0.0 <= r.mse <= (r.scale * r.scale) / 4.0 + 1e-12
         assert r.sqnr_db > 20.0  # int8 on unit-ish floats is ~30+ dB
+
+
+def test_length_bucket_padding_dominates_global(spark):
+    """Bucket padding can never waste more than global-max padding, and
+    both fractions live in [0, 1); token mass is conserved vs a direct
+    count."""
+    from data_ingestion_pipeline_spark.operators import llm_data
+
+    rows = llm_data.length_bucket_padding_report(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.bucket_pad_waste <= r.global_pad_waste < 1.0
+        assert r.len_lo <= r.pad_to <= r.len_hi
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    want_tokens = sum(len(d.text.split()) for d in docs if d.text.strip())
+    assert sum(r.total_tokens for r in rows) == want_tokens
+
+
+def test_curriculum_schedule_is_total_monotone(spark):
+    """Phases are a permutation 1..|sources|; difficulty is non-decreasing
+    along the schedule; cumulative shares end at exactly 1."""
+    from data_ingestion_pipeline_spark.operators import llm_data
+
+    rows = sorted(
+        llm_data.curriculum_schedule_documents(spark, SF_SMOKE).collect(),
+        key=lambda r: r.phase,
+    )
+    assert [r.phase for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.mean_len <= b.mean_len + 1e-9
+        assert a.cum_doc_share <= b.cum_doc_share + 1e-9
+    assert abs(rows[-1].cum_doc_share - 1.0) < 1e-6
+    assert abs(rows[-1].cum_token_share - 1.0) < 1e-6
+
+
+def test_self_similarity_grid_complete_and_bounded(spark):
+    """All 780 pairs of the 40-doc sample are present (zero-overlap pairs
+    included); every statistic is a valid Jaccard in [0, 1]."""
+    from data_ingestion_pipeline_spark.operators import llm_data
+
+    row = llm_data.self_similarity_sample_documents(spark, SF_SMOKE).collect()[0]
+    n = llm_data._SELFSIM_SAMPLE
+    assert row.n_pairs == n * (n - 1) // 2
+    assert 0.0 <= row.mean_jaccard <= row.max_jaccard <= 1.0
+    assert 0.0 <= row.frac_overlapping <= 1.0
