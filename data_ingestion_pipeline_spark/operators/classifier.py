@@ -38,6 +38,7 @@ __all__ = [
     "calibration_report_documents",
     "decision_stump_documents",
     "isotonic_calibration_documents",
+    "kfold_cv_stump_documents",
 ]
 
 N_STEPS = 5
@@ -615,3 +616,204 @@ FROM per JOIN iso ON per.bin = iso.k
 
 
 ISOTONIC_CALIBRATION_DOCUMENTS_ORACLE = _isotonic_oracle()
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validated decision stump — one scan for all folds
+# ---------------------------------------------------------------------------
+
+N_FOLDS = 5
+
+
+def kfold_cv_stump_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated decision stump: per fold, train the best
+    Gini split of doc length on the OTHER four folds and report held-out
+    accuracy — the estimator selection/overfitting check the single
+    ``decision_stump_documents`` fit cannot give.
+
+    The scale trick is the COMPLEMENT identity: one distributed pass
+    aggregates (n, positives) per (fold, bucket); every fold's training
+    histogram is then bucket_total − bucket_fold, so k-fold CV costs ONE
+    table scan regardless of k — never k scans, never a per-fold shuffle.
+    Everything after runs on the ≤ k×buckets-row relation (per-fold
+    cumulative windows, argmin by round-9 Gini with smallest-threshold
+    tie-break, integer-compare majority predictions 2·pos > n so no float
+    enters the decision path). Folds are md5-stable, so the split is
+    reproducible across engines, runs, and partitionings."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % N_FOLDS
+    ).cast("int")
+    b = docs.select(
+        fold.alias("fold"),
+        (F.floor(F.col("n_chars") / 50) * 50).cast("bigint").alias("bucket"),
+        (F.col("lang") == "en").cast("bigint").alias("y"),
+    )
+    per = b.groupBy("fold", "bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    tot = per.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("n_t"),
+        F.sum("pos").cast("bigint").alias("pos_t"),
+    )
+    folds = spark.range(N_FOLDS).select(F.col("id").cast("int").alias("fold"))
+    train = (
+        folds.crossJoin(F.broadcast(tot))
+        .join(per, ["fold", "bucket"], "left")
+        .select(
+            "fold",
+            "bucket",
+            (F.col("n_t") - F.coalesce("n", F.lit(0))).alias("n_tr"),
+            (F.col("pos_t") - F.coalesce("pos", F.lit(0))).alias("pos_tr"),
+        )
+    )
+    cw = (
+        Window.partitionBy("fold")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ft = Window.partitionBy("fold")
+    cum = train.select(
+        "fold",
+        F.col("bucket").alias("threshold"),
+        F.coalesce(F.sum("n_tr").over(cw), F.lit(0)).alias("n_l"),
+        F.coalesce(F.sum("pos_tr").over(cw), F.lit(0)).alias("pos_l"),
+        F.sum("n_tr").over(ft).alias("n_tot"),
+        F.sum("pos_tr").over(ft).alias("pos_tot"),
+    ).filter((F.col("n_l") > 0) & (F.col("n_l") < F.col("n_tot")))
+
+    def gini(pos, n):
+        p = pos.cast("double") / n.cast("double")
+        return F.lit(1.0) - p * p - (F.lit(1.0) - p) * (F.lit(1.0) - p)
+
+    n_r = F.col("n_tot") - F.col("n_l")
+    pos_r = F.col("pos_tot") - F.col("pos_l")
+    wg = F.round(
+        (
+            F.col("n_l").cast("double") * gini(F.col("pos_l"), F.col("n_l"))
+            + n_r.cast("double") * gini(pos_r, n_r)
+        )
+        / F.col("n_tot").cast("double"),
+        9,
+    )
+    scored = cum.select(
+        "fold",
+        "threshold",
+        wg.alias("train_gini"),
+        (F.lit(2) * F.col("pos_l") > F.col("n_l")).cast("int").alias("pred_l"),
+        (F.lit(2) * pos_r > n_r).cast("int").alias("pred_r"),
+    )
+    pick = Window.partitionBy("fold").orderBy("train_gini", "threshold")
+    best = (
+        scored.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    correct = F.when(
+        F.col("bucket") < F.col("threshold"),
+        F.when(F.col("pred_l") == 1, F.col("pos")).otherwise(
+            F.col("n") - F.col("pos")
+        ),
+    ).otherwise(
+        F.when(F.col("pred_r") == 1, F.col("pos")).otherwise(
+            F.col("n") - F.col("pos")
+        )
+    )
+    ev = (
+        per.join(F.broadcast(best), "fold")
+        .select("fold", "threshold", "train_gini", "n", correct.alias("c"))
+        .groupBy("fold", "threshold", "train_gini")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_test"),
+            F.round(
+                F.sum("c").cast("double") / F.sum("n").cast("double"), 6
+            )
+            .cast("double")
+            .alias("test_acc"),
+        )
+    )
+    return ev.select(
+        "fold",
+        F.col("threshold").cast("bigint").alias("threshold"),
+        F.round("train_gini", 6).cast("double").alias("train_gini"),
+        "n_test",
+        "test_acc",
+    )
+
+
+KFOLD_CV_STUMP_DOCUMENTS_ORACLE = f"""
+WITH b AS (
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+               % {N_FOLDS} AS INT) AS fold,
+           CAST(FLOOR(n_chars / 50) * 50 AS BIGINT) AS bucket,
+           CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+    FROM documents
+), per AS (
+    SELECT fold, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS pos
+    FROM b GROUP BY 1, 2
+), tot AS (
+    SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_t,
+           CAST(SUM(pos) AS BIGINT) AS pos_t
+    FROM per GROUP BY 1
+), folds AS (
+    SELECT CAST(unnest(range({N_FOLDS})) AS INT) AS fold
+), train AS (
+    SELECT f.fold, t.bucket,
+           t.n_t - COALESCE(p.n, 0) AS n_tr,
+           t.pos_t - COALESCE(p.pos, 0) AS pos_tr
+    FROM folds f CROSS JOIN tot t
+    LEFT JOIN per p ON p.fold = f.fold AND p.bucket = t.bucket
+), cum AS (
+    SELECT fold, bucket AS threshold,
+           COALESCE(SUM(n_tr) OVER (PARTITION BY fold ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_l,
+           COALESCE(SUM(pos_tr) OVER (PARTITION BY fold ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos_l,
+           SUM(n_tr) OVER (PARTITION BY fold) AS n_tot,
+           SUM(pos_tr) OVER (PARTITION BY fold) AS pos_tot
+    FROM train
+), scored AS (
+    SELECT fold, threshold,
+           ROUND((CAST(n_l AS DOUBLE) * (1.0
+                    - (CAST(pos_l AS DOUBLE)/CAST(n_l AS DOUBLE))
+                      * (CAST(pos_l AS DOUBLE)/CAST(n_l AS DOUBLE))
+                    - (1.0 - CAST(pos_l AS DOUBLE)/CAST(n_l AS DOUBLE))
+                      * (1.0 - CAST(pos_l AS DOUBLE)/CAST(n_l AS DOUBLE)))
+                  + CAST(n_tot - n_l AS DOUBLE) * (1.0
+                    - (CAST(pos_tot - pos_l AS DOUBLE)
+                       / CAST(n_tot - n_l AS DOUBLE))
+                      * (CAST(pos_tot - pos_l AS DOUBLE)
+                         / CAST(n_tot - n_l AS DOUBLE))
+                    - (1.0 - CAST(pos_tot - pos_l AS DOUBLE)
+                           / CAST(n_tot - n_l AS DOUBLE))
+                      * (1.0 - CAST(pos_tot - pos_l AS DOUBLE)
+                             / CAST(n_tot - n_l AS DOUBLE))))
+                 / CAST(n_tot AS DOUBLE), 9) AS train_gini,
+           CAST(CASE WHEN 2 * pos_l > n_l THEN 1 ELSE 0 END AS INT) AS pred_l,
+           CAST(CASE WHEN 2 * (pos_tot - pos_l) > (n_tot - n_l)
+                THEN 1 ELSE 0 END AS INT) AS pred_r
+    FROM cum WHERE n_l > 0 AND n_l < n_tot
+), best AS (
+    SELECT fold, threshold, train_gini, pred_l, pred_r FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fold
+                   ORDER BY train_gini, threshold) AS rk
+        FROM scored
+    ) WHERE rk = 1
+)
+SELECT p.fold, CAST(b.threshold AS BIGINT) AS threshold,
+       CAST(ROUND(b.train_gini, 6) AS DOUBLE) AS train_gini,
+       CAST(SUM(p.n) AS BIGINT) AS n_test,
+       CAST(ROUND(CAST(SUM(CASE WHEN p.bucket < b.threshold
+                THEN CASE WHEN b.pred_l = 1 THEN p.pos ELSE p.n - p.pos END
+                ELSE CASE WHEN b.pred_r = 1 THEN p.pos ELSE p.n - p.pos END
+            END) AS DOUBLE) / CAST(SUM(p.n) AS DOUBLE), 6) AS DOUBLE)
+           AS test_acc
+FROM per p JOIN best b USING (fold)
+GROUP BY 1, 2, 3
+"""

@@ -199,6 +199,7 @@ _ROUND5_NEW: list[str] = [
     "length_bucket_padding_report",
     "curriculum_schedule_documents",
     "self_similarity_sample_documents",
+    "kfold_cv_stump_documents",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1772,6 +1773,12 @@ register(
     "self_similarity_sample_documents",
     llm_data.self_similarity_sample_documents,
     llm_data.SELF_SIMILARITY_SAMPLE_DOCUMENTS_ORACLE,
+)
+
+register(
+    "kfold_cv_stump_documents",
+    classifier.kfold_cv_stump_documents,
+    classifier.KFOLD_CV_STUMP_DOCUMENTS_ORACLE,
 )
 
 register(

@@ -550,3 +550,52 @@ def test_self_similarity_grid_complete_and_bounded(spark):
     assert row.n_pairs == n * (n - 1) // 2
     assert 0.0 <= row.mean_jaccard <= row.max_jaccard <= 1.0
     assert 0.0 <= row.frac_overlapping <= 1.0
+
+
+def test_kfold_cv_stump_matches_direct_per_fold(spark):
+    """Each fold's published threshold must equal a direct Python stump
+    trained on the other folds' bucket histogram, and its test accuracy
+    must match direct evaluation on the held-out fold."""
+    import hashlib
+
+    rows = {r.fold: r for r in classifier.kfold_cv_stump_documents(
+        spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(5))
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    data = []
+    for d in docs:
+        fold = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:6], 16) % 5
+        data.append((fold, (d.n_chars // 50) * 50, 1 if d.lang == "en" else 0))
+    for f in range(5):
+        hist: dict[int, list[int]] = {}
+        for fold, b, y in data:
+            if fold != f:
+                hist.setdefault(b, [0, 0])
+                hist[b][0] += 1
+                hist[b][1] += y
+        buckets = sorted(hist)
+        n_tot = sum(v[0] for v in hist.values())
+        pos_tot = sum(v[1] for v in hist.values())
+        best = None
+        n_l = pos_l = 0
+        for t in buckets:
+            if 0 < n_l < n_tot:
+                def g(p, n):
+                    q = p / n
+                    return 1.0 - q * q - (1 - q) * (1 - q)
+                wg = round((n_l * g(pos_l, n_l)
+                            + (n_tot - n_l) * g(pos_tot - pos_l, n_tot - n_l))
+                           / n_tot, 9)
+                if best is None or (wg, t) < best[:2]:
+                    best = (wg, t, 2 * pos_l > n_l,
+                            2 * (pos_tot - pos_l) > (n_tot - n_l))
+            n_l += hist[t][0]
+            pos_l += hist[t][1]
+        _, thr, pl, pr = best
+        assert rows[f].threshold == thr
+        test = [(b, y) for fold, b, y in data if fold == f]
+        correct = sum(
+            (y == 1) == (pl if b < thr else pr) for b, y in test
+        )
+        assert rows[f].n_test == len(test)
+        assert abs(rows[f].test_acc - correct / len(test)) < 1e-6
