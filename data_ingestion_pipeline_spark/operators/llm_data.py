@@ -73,6 +73,7 @@ __all__ = [
     "length_bucket_padding_report",
     "curriculum_schedule_documents",
     "self_similarity_sample_documents",
+    "cross_source_overlap_matrix",
     "hard_negative_mining_embeddings",
     "ann_lsh_topk_embeddings",
     "ann_ivf_topk_embeddings",
@@ -3327,4 +3328,125 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
                   / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
            AS frac_overlapping
 FROM grid
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix: which sources leak into which
+# ---------------------------------------------------------------------------
+
+def cross_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair contamination matrix: exact trigram-Jaccard near-dup
+    pairs at J ≥ 0.3 rolled up by (source_a, source_b) — the provenance
+    view of deduplication. A curation team reads this to find the mirror
+    site, the re-crawled domain, or the dataset that was folded into
+    another (diagonal = within-source redundancy; off-diagonal = leakage
+    between tiers). Runs on the planted corpus with the 80%-prefix copies
+    labeled source='mirror', so the matrix provably surfaces a
+    cross-source leak at every SF on top of whatever organic overlap the
+    corpus has; source names order within each pair (upper-triangular,
+    deterministic rollup).
+
+    Reuses the exact inverted-index pair machinery (``jaccard_pairs``:
+    shingle → explode → size-filtered index join — never all-pairs), adds
+    two broadcast joins to attach sources, and aggregates to the
+    ≤|sources|² matrix. Jaccards and their mean are exact-integer-derived
+    doubles rounded to 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = _near_dup_corpus(docs)
+    pairs = jaccard_pairs(aug, "text", "doc_id", n=3, threshold=0.3)
+    src = docs.select("doc_id", "source").unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.lit("mirror").alias("source"),
+        )
+    )
+    labeled = (
+        pairs.join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("_da"), F.col("source").alias("src_a")
+                )
+            ),
+            F.col("id_a") == F.col("_da"),
+        )
+        .join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("_db"), F.col("source").alias("src_b")
+                )
+            ),
+            F.col("id_b") == F.col("_db"),
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("jaccard").cast("decimal(27,12)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("mean_jaccard"),
+        F.round(F.max("jaccard"), 6).cast("double").alias("max_jaccard"),
+    )
+
+
+# Same augmented pair relation as NGRAM_JACCARD_DOCUMENTS_ORACLE at 0.3,
+# rolled up by ordered source pair (copies labeled 'mirror').
+CROSS_SOURCE_OVERLAP_MATRIX_ORACLE = r"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+), aug AS (
+    SELECT doc_id, toks FROM base
+    UNION ALL
+    SELECT doc_id + 1000000,
+           toks[1:GREATEST(CAST(CEIL(len(toks) * 0.8) AS INTEGER), 1)]
+    FROM base WHERE doc_id % 20 = 0
+), src AS (
+    SELECT doc_id, source FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, 'mirror' FROM documents WHERE doc_id % 20 = 0
+), sets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, GREATEST(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+           )) AS sset
+    FROM aug
+), exploded AS (
+    SELECT doc_id, unnest(sset) AS shingle FROM sets
+), counts AS (
+    SELECT doc_id, COUNT(*) AS n FROM exploded GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+    FROM exploded a JOIN exploded b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT * FROM (
+        SELECT id_a, id_b,
+               ROUND(CAST(n_common AS DOUBLE)
+                     / (x.n + y.n - n_common), 6) AS jaccard
+        FROM inter JOIN counts x ON id_a = x.doc_id
+                   JOIN counts y ON id_b = y.doc_id
+    ) WHERE jaccard >= 0.3
+), labeled AS (
+    SELECT LEAST(sa.source, sb.source) AS source_a,
+           GREATEST(sa.source, sb.source) AS source_b,
+           jaccard
+    FROM pairs JOIN src sa ON pairs.id_a = sa.doc_id
+               JOIN src sb ON pairs.id_b = sb.doc_id
+)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(27,12))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS mean_jaccard,
+       CAST(ROUND(MAX(jaccard), 6) AS DOUBLE) AS max_jaccard
+FROM labeled GROUP BY 1, 2
 """

@@ -200,6 +200,7 @@ _ROUND5_NEW: list[str] = [
     "curriculum_schedule_documents",
     "self_similarity_sample_documents",
     "kfold_cv_stump_documents",
+    "cross_source_overlap_matrix",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1779,6 +1780,12 @@ register(
     "kfold_cv_stump_documents",
     classifier.kfold_cv_stump_documents,
     classifier.KFOLD_CV_STUMP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "cross_source_overlap_matrix",
+    llm_data.cross_source_overlap_matrix,
+    llm_data.CROSS_SOURCE_OVERLAP_MATRIX_ORACLE,
 )
 
 register(

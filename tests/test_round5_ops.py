@@ -599,3 +599,26 @@ def test_kfold_cv_stump_matches_direct_per_fold(spark):
         )
         assert rows[f].n_test == len(test)
         assert abs(rows[f].test_acc - correct / len(test)) < 1e-6
+
+
+def test_cross_source_matrix_surfaces_planted_mirror(spark):
+    """Every planted 80%-prefix copy pairs with its original at J≈0.8, so
+    each original source with a planted doc must appear against 'mirror';
+    pairs are upper-triangular; means bounded by maxes."""
+    from data_ingestion_pipeline_spark.operators import llm_data
+
+    rows = llm_data.cross_source_overlap_matrix(spark, SF_SMOKE).collect()
+    assert rows
+    mirror_pairs = [r for r in rows if r.source_b == "mirror" or r.source_a == "mirror"]
+    assert mirror_pairs, "planted mirror leakage must surface"
+    for r in rows:
+        assert r.source_a <= r.source_b
+        assert 0.3 <= r.mean_jaccard <= r.max_jaccard <= 1.0
+        assert r.n_pairs >= 1
+    # planted copies exist: every 20th doc_id — count them directly
+    n_planted = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(F.col("doc_id") % 20 == 0)
+        .count()
+    )
+    assert sum(r.n_pairs for r in mirror_pairs) >= n_planted
