@@ -17,6 +17,7 @@ from data_ingestion_pipeline_spark.functions.numeric import dec_sum, dec_sum2
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
+    "misra_gries_heavy_hitters_events",
     "hll_merge_users_weekly",
     "approx_top_k_event_types",
     "customers_with_orders",
@@ -1505,4 +1506,90 @@ SELECT event_type, exact_count, cms_estimate,
            <= {2.0 / _CMS_W} * (SELECT CAST(n_total AS DOUBLE) FROM tot)
            AS within_eps_bound
 FROM est
+"""
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: mergeable deterministic summary + exact recount
+# ---------------------------------------------------------------------------
+
+_MG_K = 200  # summary size; guarantees capture of items with freq > n/k
+
+
+def misra_gries_heavy_hitters_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact heavy hitters (users with > n/200 of all events) found the
+    scale-correct way: a per-partition Misra-Gries summary (Misra &
+    Gries 1982; the deterministic mergeable sketch behind streaming
+    heavy-hitter systems) runs as a ``mapInArrow`` kernel holding ≤ k=200
+    counters per partition, then an exact recount of only the surviving
+    candidates. Pigeonhole gives the guarantee that makes the FINAL
+    answer exact, not approximate: a user with global frequency > n/k
+    must exceed n_p/k in at least one partition, so the candidate union
+    provably contains every global heavy hitter; the broadcast semi-join
+    recount then keeps exactly those above threshold — which is why this
+    sketch query carries a plain GROUP BY/HAVING oracle instead of a
+    recall gate.
+
+    Scale shape: the kernel shuffles ≤ k rows PER PARTITION (bounded
+    summary, never the fact table); the recount is one more scan with a
+    broadcast candidate filter (at most partitions×k ids). Arrow-batched
+    throughout; counters live in a plain dict with the classic
+    decrement-all step."""
+    import pyarrow as pa
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    k = _MG_K
+
+    def kernel(batches):
+        counters: dict[int, int] = {}
+        for batch in batches:
+            for uid in batch.column("user_id").to_pylist():
+                if uid in counters:
+                    counters[uid] += 1
+                elif len(counters) < k - 1:
+                    counters[uid] = 1
+                else:
+                    dead = [u for u in counters if counters[u] == 1]
+                    for u in counters:
+                        counters[u] -= 1
+                    for u in dead:
+                        del counters[u]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(list(counters.keys()), type=pa.int64())],
+            names=["user_id"],
+        )
+
+    cands = ev.mapInArrow(kernel, "user_id bigint").distinct()
+    total = ev.agg(F.count("*").cast("bigint").alias("n_total"))
+    counts = (
+        ev.join(F.broadcast(cands), "user_id")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * k > F.col("n_total"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.col("n_total").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("share"),
+        )
+    )
+
+
+MISRA_GRIES_HEAVY_HITTERS_EVENTS_ORACLE = f"""
+WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(ROUND(CAST(COUNT(*) AS DOUBLE)
+                  / CAST(MAX(tot.n_total) AS DOUBLE), 6) AS DOUBLE) AS share
+FROM events, tot
+GROUP BY user_id
+HAVING CAST(COUNT(*) AS BIGINT) * {_MG_K} > MAX(tot.n_total)
 """

@@ -201,6 +201,7 @@ _ROUND5_NEW: list[str] = [
     "self_similarity_sample_documents",
     "kfold_cv_stump_documents",
     "cross_source_overlap_matrix",
+    "misra_gries_heavy_hitters_events",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1786,6 +1787,12 @@ register(
     "cross_source_overlap_matrix",
     llm_data.cross_source_overlap_matrix,
     llm_data.CROSS_SOURCE_OVERLAP_MATRIX_ORACLE,
+)
+
+register(
+    "misra_gries_heavy_hitters_events",
+    relational.misra_gries_heavy_hitters_events,
+    relational.MISRA_GRIES_HEAVY_HITTERS_EVENTS_ORACLE,
 )
 
 register(

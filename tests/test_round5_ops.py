@@ -622,3 +622,22 @@ def test_cross_source_matrix_surfaces_planted_mirror(spark):
         .count()
     )
     assert sum(r.n_pairs for r in mirror_pairs) >= n_planted
+
+
+def test_misra_gries_exact_vs_direct_and_guarantee(spark):
+    """The published rows must equal a direct exact computation (> n/k of
+    all events), proving the candidate union lost no heavy hitter; shares
+    sum below 1; every share exceeds 1/k."""
+    rows = relational.misra_gries_heavy_hitters_events(spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("user_id").collect()
+    from collections import Counter
+
+    c = Counter(r.user_id for r in ev)
+    n = len(ev)
+    k = relational._MG_K
+    want = {u: m for u, m in c.items() if m * k > n}
+    got = {r.user_id: r.n_events for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.share > 1.0 / k - 1e-9
+    assert sum(r.share for r in rows) <= 1.0 + 1e-9
