@@ -4895,7 +4895,12 @@ def poisson_bootstrap_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-6 divisions. (As with the DP release, seeded draws are for
     testability; production would swap the md5 for real entropy.)"""
     orders = load_table(spark, sf_dir, "orders")
-    lvl1 = orders.select(
+    # the ×64 expansion is pure map CPU: fan the (often single-row-group)
+    # scan out to the full core count BEFORE exploding, or the whole hash
+    # ladder runs in one task (measured 8 s → 0.7 s at sf0.1)
+    from data_ingestion_pipeline_spark.functions.partitioning import fan_out
+
+    lvl1 = fan_out(orders.select("o_orderpriority", "o_totalprice", "o_orderkey")).select(
         "o_orderpriority",
         F.col("o_totalprice").cast("decimal(18,6)").alias("price"),
         "o_orderkey",
