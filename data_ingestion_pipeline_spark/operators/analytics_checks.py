@@ -82,6 +82,7 @@ __all__ = [
     "ks_by_event_type_bh",
     "capture_recapture_users",
     "poisson_bootstrap_ci_orders",
+    "bot_cadence_report_events",
 ]
 
 
@@ -5027,3 +5028,124 @@ FROM base JOIN boot USING (o_orderpriority)
 
 
 POISSON_BOOTSTRAP_CI_ORDERS_ORACLE = _poisson_bootstrap_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Bot cadence screening: inter-arrival regularity per user
+# ---------------------------------------------------------------------------
+
+_BOT_MIN_EVENTS = 10
+_BOT_CV_MAX = 0.85       # humans ~exponential (cv≈1); schedulers are regular
+_BOT_FAST_GAP_US = 21_600_000_000  # mean gap < 6h → hyperactive
+
+
+def bot_cadence_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation screening over event cadence — the traffic-hygiene
+    pass a web-scraped training corpus runs before trusting engagement
+    signals: per user with ≥ 10 events, the inter-arrival mean and
+    coefficient of variation (a Poisson-ish human is cv ≈ 1; a scheduler
+    or scraper is metronomic, cv ≪ 1 — Bhatia et al.'s classic cadence
+    heuristic), rolled up by (metronomic, hyperactive) flag combo with
+    user counts and mean statistics per cell.
+
+    One per-user lag window (partition-parallel, never global), exact
+    integer MICROSECOND gaps (``unix_micros`` / ``epoch_us`` — no
+    truncated-seconds drift), variance from decimal power sums, and the
+    final report is a ≤4-row aggregate. The sqrt in cv rounds to 9
+    (house libm policy) before the flag compare and the report means."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    per = gaps.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(F.col("gap").cast("decimal(27,0)")).alias("s1"),
+        F.sum(
+            (F.col("gap").cast("decimal(27,0)") * F.col("gap")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s2"),
+    ).filter(F.col("m") >= _BOT_MIN_EVENTS - 1)
+    mean_g = F.col("s1").cast("double") / F.col("m").cast("double")
+    var_g = (
+        F.col("s2").cast("double") / F.col("m").cast("double")
+        - mean_g * mean_g
+    )
+    cv = F.round(F.sqrt(F.greatest(var_g, F.lit(0.0))), 9) / mean_g
+    flagged = per.select(
+        (F.col("m") + 1).alias("n_events"),
+        mean_g.alias("mean_gap_us"),
+        cv.alias("cv"),
+    ).select(
+        "n_events",
+        "mean_gap_us",
+        "cv",
+        (F.col("cv") < _BOT_CV_MAX).alias("is_metronomic"),
+        (F.col("mean_gap_us") < F.lit(float(_BOT_FAST_GAP_US))).alias(
+            "is_hyperactive"
+        ),
+    )
+    return flagged.groupBy("is_metronomic", "is_hyperactive").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(F.col("cv").cast("decimal(27,12)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("mean_cv"),
+        F.round(
+            F.sum(F.col("mean_gap_us").cast("decimal(27,6)")).cast("double")
+            / F.count("*").cast("double")
+            / F.lit(3600e6),
+            6,
+        )
+        .cast("double")
+        .alias("mean_gap_hours"),
+    )
+
+
+BOT_CADENCE_REPORT_EVENTS_ORACLE = f"""
+WITH gaps AS (
+    SELECT user_id,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+    FROM events
+), per AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS m,
+           SUM(CAST(gap AS DECIMAL(27,0))) AS s1,
+           SUM(CAST(CAST(gap AS DECIMAL(27,0)) * gap AS DECIMAL(38,0))) AS s2
+    FROM gaps WHERE gap IS NOT NULL
+    GROUP BY user_id HAVING COUNT(*) >= {_BOT_MIN_EVENTS - 1}
+), stats AS (
+    SELECT m + 1 AS n_events,
+           CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE) AS mean_gap_us,
+           ROUND(SQRT(GREATEST(CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)), 0.0)), 9)
+               / (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) AS cv
+    FROM per
+), flagged AS (
+    SELECT n_events, mean_gap_us, cv,
+           cv < {_BOT_CV_MAX!r} AS is_metronomic,
+           mean_gap_us < {float(_BOT_FAST_GAP_US)!r} AS is_hyperactive
+    FROM stats
+)
+SELECT is_metronomic, is_hyperactive,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(ROUND(CAST(SUM(CAST(cv AS DECIMAL(27,12))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS mean_cv,
+       CAST(ROUND(CAST(SUM(CAST(mean_gap_us AS DECIMAL(27,6))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) / 3600e6, 6) AS DOUBLE)
+           AS mean_gap_hours
+FROM flagged GROUP BY 1, 2
+"""

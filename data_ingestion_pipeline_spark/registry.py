@@ -202,6 +202,7 @@ _ROUND5_NEW: list[str] = [
     "kfold_cv_stump_documents",
     "cross_source_overlap_matrix",
     "misra_gries_heavy_hitters_events",
+    "bot_cadence_report_events",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1793,6 +1794,12 @@ register(
     "misra_gries_heavy_hitters_events",
     relational.misra_gries_heavy_hitters_events,
     relational.MISRA_GRIES_HEAVY_HITTERS_EVENTS_ORACLE,
+)
+
+register(
+    "bot_cadence_report_events",
+    analytics_checks.bot_cadence_report_events,
+    analytics_checks.BOT_CADENCE_REPORT_EVENTS_ORACLE,
 )
 
 register(

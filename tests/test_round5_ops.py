@@ -652,3 +652,22 @@ def test_misra_gries_exact_vs_direct_and_guarantee(spark):
     for r in rows:
         assert r.share > 1.0 / k - 1e-9
     assert sum(r.share for r in rows) <= 1.0 + 1e-9
+
+
+def test_bot_cadence_report_conserves_population(spark):
+    """Flag cells partition the screened population: user totals match a
+    direct count of users with ≥10 events; cv means sit in the plausible
+    band (metronomic cell mean < unflagged cell mean when both exist)."""
+    rows = analytics_checks.bot_cadence_report_events(spark, SF_SMOKE).collect()
+    from collections import Counter
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("user_id").collect()
+    c = Counter(r.user_id for r in ev)
+    want_users = sum(1 for v in c.values() if v >= 10)
+    assert sum(r.n_users for r in rows) == want_users
+    assert sum(r.n_events for r in rows) == sum(v for v in c.values() if v >= 10)
+    by = {(r.is_metronomic, r.is_hyperactive): r for r in rows}
+    if (True, False) in by and (False, False) in by:
+        assert by[(True, False)].mean_cv < by[(False, False)].mean_cv
+    for r in rows:
+        assert r.mean_cv > 0 and r.mean_gap_hours > 0
