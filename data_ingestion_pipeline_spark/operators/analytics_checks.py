@@ -83,6 +83,7 @@ __all__ = [
     "capture_recapture_users",
     "poisson_bootstrap_ci_orders",
     "bot_cadence_report_events",
+    "markov_stationary_event_types",
 ]
 
 
@@ -5149,3 +5150,138 @@ SELECT is_metronomic, is_hyperactive,
            AS mean_gap_hours
 FROM flagged GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution: power iteration on the tiny transition matrix
+# ---------------------------------------------------------------------------
+
+_MARKOV_STEPS = 8
+
+
+def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain —
+    where the user process spends its time asymptotically, the quantity
+    ``markov_event_transitions``'s one-step matrix only hints at. π is
+    computed by 8 synchronous power steps π' = πP from uniform, entirely
+    as RELATIONAL algebra: each step is a broadcast join of the ≤|types|-
+    row π vector against the ≤|types|²-row transition matrix and a
+    groupBy — no driver-side linear algebra, no collect; the 8 steps are
+    8 chained tiny aggregates in ONE plan (the oracle unrolls the same
+    CTE chain). The fact-scale work is the single lead() bigram pass the
+    transition matrix already needs; everything else is domain-bounded.
+
+    Empirical type shares ride along: |π − share| is the mixing check
+    (they coincide when the chain is well-mixed/aperiodic). Step values
+    round to 9 before re-entering the next step (house policy), so both
+    engines iterate identical doubles; published probs round to 6."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    rowtot = Window.partitionBy("event_type")
+    pmat = trans.select(
+        F.col("event_type").alias("src"),
+        F.col("next_type").alias("dst"),
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(rowtot).cast("double")
+        ).alias("p"),
+    )
+    types = pmat.select(F.col("src").alias("t")).distinct()
+    ntypes = Window.partitionBy(F.col("t").substr(0, 0))  # constant non-foldable
+    pi = types.select(
+        "t",
+        (
+            F.lit(1.0) / F.count("*").over(ntypes).cast("double")
+        ).alias("prob"),
+    )
+    for _ in range(_MARKOV_STEPS):
+        pi = (
+            pi.join(F.broadcast(pmat), pi.t == pmat.src)
+            .groupBy(F.col("dst").alias("t2"))
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("prob") * F.col("p")).cast("decimal(27,12)")
+                    ).cast("double"),
+                    9,
+                ).alias("prob")
+            )
+            .select(F.col("t2").alias("t"), "prob")
+        )
+    share_w = Window.partitionBy(F.col("event_type").substr(0, 0))
+    emp = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    ).select(
+        "event_type",
+        "n_events",
+        (
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(share_w).cast("double")
+        ).alias("emp"),
+    )
+    return (
+        emp.join(F.broadcast(pi), emp.event_type == pi.t)
+        .select(
+            "event_type",
+            "n_events",
+            F.round("prob", 6).cast("double").alias("stationary_prob"),
+            F.round("emp", 6).cast("double").alias("empirical_share"),
+            F.round(F.abs(F.col("prob") - F.col("emp")), 6)
+            .cast("double")
+            .alias("mixing_gap"),
+        )
+    )
+
+
+def _markov_stationary_oracle() -> str:
+    steps = []
+    for i in range(1, _MARKOV_STEPS + 1):
+        steps.append(f"""
+, pi{i} AS (
+    SELECT p.dst AS t,
+           ROUND(CAST(SUM(CAST(v.prob * p.p AS DECIMAL(27,12)))
+                      AS DOUBLE), 9) AS prob
+    FROM pi{i - 1} v JOIN pmat p ON v.t = p.src
+    GROUP BY p.dst
+)""")
+    return f"""
+WITH seq AS (
+    SELECT event_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+), trans AS (
+    SELECT event_type AS src, next_type AS dst,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+), pmat AS MATERIALIZED (
+    SELECT src, dst,
+           CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+    FROM trans
+), pi0 AS (
+    SELECT src AS t,
+           1.0 / CAST(COUNT(*) OVER () AS DOUBLE) AS prob
+    FROM (SELECT DISTINCT src FROM pmat)
+){''.join(steps)}
+, emp AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS DOUBLE)
+               / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS emp
+    FROM events GROUP BY 1
+)
+SELECT e.event_type, e.n_events,
+       CAST(ROUND(s.prob, 6) AS DOUBLE) AS stationary_prob,
+       CAST(ROUND(e.emp, 6) AS DOUBLE) AS empirical_share,
+       CAST(ROUND(ABS(s.prob - e.emp), 6) AS DOUBLE) AS mixing_gap
+FROM emp e JOIN pi{_MARKOV_STEPS} s ON e.event_type = s.t
+"""
+
+
+MARKOV_STATIONARY_EVENT_TYPES_ORACLE = _markov_stationary_oracle()

@@ -203,6 +203,7 @@ _ROUND5_NEW: list[str] = [
     "cross_source_overlap_matrix",
     "misra_gries_heavy_hitters_events",
     "bot_cadence_report_events",
+    "markov_stationary_event_types",
 ]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
@@ -1800,6 +1801,12 @@ register(
     "bot_cadence_report_events",
     analytics_checks.bot_cadence_report_events,
     analytics_checks.BOT_CADENCE_REPORT_EVENTS_ORACLE,
+)
+
+register(
+    "markov_stationary_event_types",
+    analytics_checks.markov_stationary_event_types,
+    analytics_checks.MARKOV_STATIONARY_EVENT_TYPES_ORACLE,
 )
 
 register(

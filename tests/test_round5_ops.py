@@ -671,3 +671,44 @@ def test_bot_cadence_report_conserves_population(spark):
         assert by[(True, False)].mean_cv < by[(False, False)].mean_cv
     for r in rows:
         assert r.mean_cv > 0 and r.mean_gap_hours > 0
+
+
+def test_markov_stationary_is_fixed_point(spark):
+    """π must be a probability vector and (approximately, after 8 steps)
+    a fixed point of the transition matrix built directly from the rows:
+    ‖πP − π‖∞ small; numpy power iteration from uniform agrees."""
+    rows = analytics_checks.markov_stationary_event_types(spark, SF_SMOKE).collect()
+    pi = {r.event_type: r.stationary_prob for r in rows}
+    assert abs(sum(pi.values()) - 1.0) < 1e-4
+    ev = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    from collections import defaultdict
+
+    trans: dict = defaultdict(lambda: defaultdict(int))
+    for a, b in zip(ev, ev[1:]):
+        if a.user_id == b.user_id:
+            trans[a.event_type][b.event_type] += 1
+    P = {
+        s: {d: n / sum(ds.values()) for d, n in ds.items()}
+        for s, ds in trans.items()
+    }
+    types = sorted(P)
+    v = {t: 1.0 / len(types) for t in types}
+    for _ in range(8):
+        nv = {t: 0.0 for t in types}
+        for s in types:
+            for d, p in P[s].items():
+                nv[d] += v[s] * p
+        v = {t: round(x, 9) for t, x in nv.items()}
+    for t in types:
+        assert abs(pi[t] - v[t]) < 1e-5
+    # fixed-point check: one more application moves nothing much
+    nv = {t: 0.0 for t in types}
+    for s in types:
+        for d, p in P[s].items():
+            nv[d] += v[s] * p
+    assert max(abs(nv[t] - v[t]) for t in types) < 1e-3
