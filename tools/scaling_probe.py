@@ -54,6 +54,14 @@ PROBES = [
     ("fellegi_sunter_linkage_parts", ["part"]),
     ("hybrid_search_rrf_documents", ["documents"]),
     ("pca_power_iteration_embeddings", ["embeddings"]),
+    # session additions: map-CPU bootstrap, Arrow MG kernel, pair-machinery
+    # rollup, bin-table isotonic, fold-state forecasting
+    ("poisson_bootstrap_ci_orders", ["orders"]),
+    ("misra_gries_heavy_hitters_events", ["events"]),
+    ("cross_source_overlap_matrix", ["documents"]),
+    ("isotonic_calibration_documents", ["documents"]),
+    ("holt_winters_seasonal_daily", ["events"]),
+    ("embedding_int8_quantization_report", ["embeddings"]),
 ]
 
 KEY_OFFSETS = {
