@@ -61,11 +61,17 @@ def heaps_law_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (β→1: every token new). Log-log OLS over per-document checkpoints.
 
     Exact construction: a token's FIRST document is min(doc_id) over its
-    occurrences (one vocab-sized aggregate); cumulative vocabulary and
-    cumulative token counts are windows over the DOC-GRAIN relation
-    (≤ #documents rows — the day-series window posture, never the token
-    stream); each ln rounds to 9 decimals before the decimal power sums
-    (the ``zipf_fit_tokens`` libm policy)."""
+    occurrences (one vocab-sized aggregate); each ln rounds to 9 decimals
+    before the decimal power sums (the ``zipf_fit_tokens`` libm policy).
+
+    Scale shape: the cumulative (cum_tokens, cum_vocab) series runs over
+    the DOC-GRAIN relation, which is CORPUS-sized (one row per document,
+    billions at 100 TB) — so it uses the partition-local-window +
+    chunk-offset stitch (the ``ks_test_purchase_view`` /
+    ``encoding_advisor_orders`` pattern): ``repartitionByRange`` on
+    doc_id, ONE window pass per chunk, then ≤(chunks−1) per-chunk totals
+    fold in through the tiny ``pid % 1`` window. Never a bare
+    ``Window.orderBy(doc_id)`` single-partition sort of the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -83,10 +89,41 @@ def heaps_law_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_toks",
         F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = grain.select(
-        F.sum("n_toks").over(w).cast("bigint").alias("cum_tokens"),
-        F.sum("new_types").over(w).cast("bigint").alias("cum_vocab"),
+    n_chunks = spark.sparkContext.defaultParallelism
+    chunked = grain.repartitionByRange(n_chunks, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = chunked.select(
+        "pid",
+        F.sum("n_toks").over(w).cast("bigint").alias("l_toks"),
+        F.sum("new_types").over(w).cast("bigint").alias("l_vocab"),
+    )
+    totals = chunked.groupBy("pid").agg(
+        F.sum("n_toks").cast("bigint").alias("t_toks"),
+        F.sum("new_types").cast("bigint").alias("t_vocab"),
+    )
+    # pid%1: constant-valued non-foldable partition key — the offset window
+    # sees <=n_chunks rows in one group, on WindowExec's partitioned path
+    bw = (
+        Window.partitionBy(F.col("pid") % 1)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "pid",
+        F.coalesce(F.sum("t_toks").over(bw), F.lit(0))
+        .cast("bigint")
+        .alias("o_toks"),
+        F.coalesce(F.sum("t_vocab").over(bw), F.lit(0))
+        .cast("bigint")
+        .alias("o_vocab"),
+    )
+    cum = local.join(offs, "pid").select(
+        (F.col("l_toks") + F.col("o_toks")).cast("bigint").alias("cum_tokens"),
+        (F.col("l_vocab") + F.col("o_vocab")).cast("bigint").alias("cum_vocab"),
     )
     x = F.round(F.log(F.col("cum_tokens").cast("double")), 9)
     y = F.round(F.log(F.col("cum_vocab").cast("double")), 9)

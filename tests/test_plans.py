@@ -371,6 +371,20 @@ def test_encoding_advisor_runs_are_partition_local(spark):
     )
 
 
+def test_heaps_law_cumulatives_are_chunk_stitched(spark):
+    """The corpus-grain cumulative (cum_tokens, cum_vocab) series must run
+    as range-partitioned chunk-local windows + the ≤chunks-row offset
+    stitch — never a bare Window.orderBy(doc_id) single-partition sort of
+    the doc-grain relation (round-5 verdict item 2)."""
+    plan = _plan(spark, "heaps_law_fit_documents")
+    assert "rangepartitioning(doc_id" in plan, (
+        "heaps chunk range-partitioning lost"
+    )
+    assert _unpartitioned_window_count(plan) == 0, (
+        "heaps regressed to an unpartitioned corpus-grain window"
+    )
+
+
 def test_vocab_coverage_broadcasts_vocab_and_cuts_topv(spark):
     plan = _plan(spark, "vocab_coverage_documents")
     assert "TakeOrderedAndProject" in plan, "vocab cut degraded to a full sort"
