@@ -1467,17 +1467,17 @@ def pca_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
 
     Exact-parity recipe (the ``kmeans_lloyd`` / PageRank discipline
     extended to spectral state): the 64×64 covariance comes from ONE
-    aggregation over the per-vector dim pairs (upper triangle; products
-    round to integers at 1e13 scale and fold as BIGINT partials per
-    size-bounded input partition, merged in DECIMAL(38,0) — exact at any
-    corpus size, ~3× cheaper than per-row decimal casts); three power
-    steps then
+    ``mapInArrow`` X^T·X partial pass — each Arrow batch emits one
+    2080-row upper-triangle block whose products round half-away-from-zero
+    to integers at 1e13 scale and fold as BIGINT partials, merged in
+    DECIMAL(38,0) (the ``arrow_vector_norms`` exactness contract through
+    the Python boundary; zero pre-agg shuffle); three power steps then
     run entirely on the ≤64²-cell relation — each step one broadcast join
     + 64-row aggregate, with the iterate re-normalized and rounded to 9
     decimals so both engines carry bitwise-identical vectors. λ₁ is the
     final iterate's ‖Cw‖ (w normalized), and the explained share divides
     by the exact trace. Scale: the only corpus-∝ work is the covariance
-    pass (shuffle = 64² cells × partials); iterations are dimension-sized.
+    scan (shuffle = 2080 cells × batches); iterations are dimension-sized.
     """
     n_row, _centered, upper, w, norm_col = _pca_state(spark, sf_dir)
     trace = upper.filter(F.col("i") == F.col("j")).agg(
@@ -1493,6 +1493,43 @@ def pca_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
             .cast("double")
             .alias("explained_share"),
         )
+    )
+
+
+def _cov_partials(emb: DataFrame, mu_vals: list) -> DataFrame:
+    """Upper-triangle covariance BIGINT partials as a ``mapInArrow``
+    kernel: one 2080-row (i, j, ps) block per Arrow batch, zero pre-agg
+    shuffle, no join and no posexplode anywhere in the subtree (plan pin:
+    ``test_pca_covariance_is_arrow_kernel``)."""
+
+    def _cov_kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        mu = np.asarray(mu_vals, dtype=np.float64)
+        iu_i, iu_j = np.triu_indices(64)
+        ii = pa.array(iu_i.astype("int32"))
+        jj = pa.array(iu_j.astype("int32"))
+        for batch in batches:
+            flat = pc.list_flatten(batch.column("embedding"))
+            x = np.asarray(flat, dtype=np.float64).reshape(-1, 64) - mu
+            acc = np.zeros(len(iu_i), dtype=np.int64)
+            # 1024-row blocks bound the n×64×64 product tensor to ~32 MB
+            for s in range(0, x.shape[0], 1024):
+                blk = x[s : s + 1024]
+                p = (blk[:, :, None] * blk[:, None, :])[:, iu_i, iu_j]
+                t = p * 1e13
+                # half-away-from-zero — the engines' ROUND, not banker's
+                acc += np.trunc(t + np.copysign(0.5, t)).astype(np.int64).sum(
+                    axis=0
+                )
+            yield pa.RecordBatch.from_arrays(
+                [ii, jj, pa.array(acc)], names=["i", "j", "ps"]
+            )
+
+    return emb.select("embedding").mapInArrow(
+        _cov_kernel, "i int, j int, ps bigint"
     )
 
 
@@ -1515,23 +1552,26 @@ def _pca_state(spark: SparkSession, sf_dir: str):
     centered = ve.join(F.broadcast(means), "d").select(
         "vec_id", "d", (F.col("v") - F.col("mu")).alias("x")
     )
-    a = centered.select("vec_id", F.col("d").alias("i"), F.col("x").alias("xa"))
-    b = centered.select("vec_id", F.col("d").alias("j"), F.col("x").alias("xb"))
-    # Exact cross-engine fold WITHOUT per-row decimal casts (measured 3×
-    # faster on 10M product rows): each product rounds to an integer at
-    # 1e13 scale (identical doubles → identical integers on both engines),
-    # level 1 sums BIGINT per (cell, input partition) — safe because a
-    # partition is size-bounded by maxPartitionBytes, so a per-partition
-    # cell sum stays ≲1e16 at ANY corpus size — and level 2 merges the
-    # ≤cells×partitions partials in DECIMAL(38,0) (DuckDB's SUM(BIGINT)
-    # widens to HUGEINT, same exact total).
-    scaled = F.round(F.col("xa") * F.col("xb") * F.lit(1e13)).cast("bigint")
-    lvl1 = (
-        a.join(b, "vec_id")
-        .filter(F.col("i") <= F.col("j"))
-        .groupBy("i", "j", F.spark_partition_id().alias("pid"))
-        .agg(F.sum(scaled).alias("ps"))
-    )
+    # Covariance as ONE ``mapInArrow`` X^T·X partial pass (the
+    # ``arrow_vector_norms_embeddings`` precedent for exactness through the
+    # Python boundary, applied per round-5 verdict item 3): the old plan was
+    # posexplode → self-join on vec_id — a shuffle of 2×N×64 rows and a
+    # 2080-term codegen fan-out per vector. Here each Arrow batch yields one
+    # 2080-row (i, j, BIGINT-partial) block with ZERO pre-agg shuffle; the
+    # corpus-∝ work is a scan-side numpy outer product. Exactness contract
+    # unchanged: each centered product rounds half-away-from-zero to an
+    # integer at 1e13 scale — identical doubles give identical integers in
+    # numpy, the JVM, and DuckDB, and integer partials merge associatively —
+    # then level 2 sums the ≤cells×batches partials in DECIMAL(38,0). A
+    # per-batch cell partial is bounded by maxRecordsPerBatch (10k rows ×
+    # ≲1e13/product ≈ 1e17 ≪ 2^63), so the BIGINT partial never overflows
+    # at ANY corpus size. The 64 means ride the closure (dimension-sized,
+    # the bounded-driver-state policy) and are collected from the SAME
+    # `means` relation the oracle computes.
+    mu_vals = [
+        float(r["mu"]) for r in means.orderBy("d").select("mu").collect()
+    ]
+    lvl1 = _cov_partials(emb, mu_vals)
     upper = (
         lvl1.groupBy("i", "j")
         .agg(

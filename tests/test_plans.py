@@ -385,6 +385,31 @@ def test_heaps_law_cumulatives_are_chunk_stitched(spark):
     )
 
 
+def test_pca_covariance_is_arrow_kernel(spark):
+    """The PCA/whitening covariance pass must be the mapInArrow X^T·X
+    partial kernel — one 2080-row block per batch, no posexplode and no
+    self-join on vec_id anywhere in the subtree (round-5 verdict item 3:
+    the old shape shuffled 2×N×64 rows and fanned codegen out 2080×)."""
+    from data_ingestion_pipeline_spark.operators.mlprep_checks import (
+        _cov_partials,
+    )
+    from data_ingestion_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = (
+        _cov_partials(emb, [0.0] * 64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInArrow" in plan, "covariance kernel lost"
+    for node in ("Join", "Generate", "Exchange"):
+        assert node not in plan, (
+            f"covariance subtree grew a {node} — the whole pass must be "
+            "one shuffle-free Arrow map over the scan"
+        )
+
+
 def test_vocab_coverage_broadcasts_vocab_and_cuts_topv(spark):
     plan = _plan(spark, "vocab_coverage_documents")
     assert "TakeOrderedAndProject" in plan, "vocab cut degraded to a full sort"
