@@ -33,6 +33,7 @@ __all__ = [
     "revenue_rollup_brand_size",
     "set_ops_customer_segments",
     "rfm_segments_customers",
+    "rfm_segments_customers_approx",
     "top_revenue_orders",
     "event_type_pivot",
     "price_quantiles_by_priority",
@@ -1197,21 +1198,13 @@ SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM tagged
 """
 
 
-def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation (recency / frequency / monetary quintiles) — the
-    classic customer-base cut every CRM export starts from. Per-customer
-    R/F/M come from one orders aggregate; each dimension scores 1–5 by
-    ntile(5) (5 = most recent / most frequent / highest spend, custkey
-    tie-break) and a CASE maps score triples to the canonical segment
-    names. The three ntile windows are global BUT run over the aggregated
-    per-customer relation (dimension-sized, never the fact table) — the
-    same documented trade as ``customer_spend_deciles``, whose
-    ``_approx`` twin shows the sort-free boundary-broadcast alternative
-    that applies verbatim here at 100 TB. Published shape: one row per
-    segment with populations and decimal-exact dimension means."""
+def _rfm_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-customer (recency_days, frequency, monetary) aggregate —
+    one orders pass, anchor date broadcast — used by both the exact-ntile
+    RFM report and its approx boundary-broadcast twin."""
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
-    per_cust = (
+    return (
         orders.groupBy("o_custkey")
         .agg(
             F.max(F.to_date("o_orderdate")).alias("last_order"),
@@ -1226,6 +1219,36 @@ def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
+
+
+def _rfm_segment_case(r: object, f_: object, m: object):
+    """The canonical RFM score-triple → segment-name CASE, shared by the
+    exact and approx variants so both publish identical label semantics."""
+    return (
+        F.when(
+            (r >= 4) & (f_ >= 4) & (m >= 4),
+            F.lit("champions"),
+        )
+        .when((r >= 4) & (f_ <= 2), F.lit("new"))
+        .when((r <= 2) & (f_ >= 4), F.lit("at_risk"))
+        .when((r <= 2) & (f_ <= 2), F.lit("hibernating"))
+        .otherwise(F.lit("core"))
+    )
+
+
+def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) — the
+    classic customer-base cut every CRM export starts from. Per-customer
+    R/F/M come from one orders aggregate; each dimension scores 1–5 by
+    ntile(5) (5 = most recent / most frequent / highest spend, custkey
+    tie-break) and a CASE maps score triples to the canonical segment
+    names. The three ntile windows are global BUT run over the aggregated
+    per-customer relation (dimension-sized, never the fact table) — the
+    same documented trade as ``customer_spend_deciles``; the registered
+    ``rfm_segments_customers_approx`` twin IS the sort-free
+    boundary-broadcast alternative for 100 TB. Published shape: one row
+    per segment with populations and decimal-exact dimension means."""
+    per_cust = _rfm_per_cust(spark, sf_dir)
     r = (
         F.lit(6)
         - F.ntile(5).over(
@@ -1253,17 +1276,8 @@ def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_.alias("f_score"),
         m.alias("m_score"),
     )
-    segment = (
-        F.when(
-            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
-            F.lit("champions"),
-        )
-        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), F.lit("new"))
-        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), F.lit("at_risk"))
-        .when(
-            (F.col("r_score") <= 2) & (F.col("f_score") <= 2), F.lit("hibernating")
-        )
-        .otherwise(F.lit("core"))
+    segment = _rfm_segment_case(
+        F.col("r_score"), F.col("f_score"), F.col("m_score")
     )
     return (
         scored.groupBy(segment.alias("segment"))
@@ -1321,6 +1335,129 @@ SELECT segment,
        ROUND(CAST(SUM(CAST(monetary AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6)
            AS avg_monetary
 FROM labeled GROUP BY segment ORDER BY segment
+"""
+
+
+_RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def rfm_segments_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB sibling of ``rfm_segments_customers``: R/F/M quintile
+    SCORING without any global sort — the ``customer_spend_deciles_approx``
+    pattern. Each dimension's 4 quintile boundaries come from one
+    ``approx_percentile`` (Greenwald–Khanna, ε = 1e-4, mergeable bounded
+    state) over the per-customer aggregate; every customer then scores 1–5
+    by comparing its value to the broadcast boundary array (map-side array
+    scan, no window anywhere in the plan), and the shared segment CASE
+    labels the triples.
+
+    Driver-gradeable construction: the published rows are a check ledger
+    the oracle pins to literal TRUEs, so the hash flips exactly when the
+    sketch regresses. Per boundary b_q the gate restates GK's rank
+    guarantee TIE-AWARE (interpolated-percentile sandwiches break on the
+    heavily-tied frequency dimension): ``count(v <= b_q) ≥ (q−2%)·n − 1``
+    and ``count(v < b_q) ≤ (q+2%)·n + 1`` — both follow from the sketch
+    returning a data value whose tie-block rank span intersects
+    [(q−ε)n, (q+ε)n], with a ~200× margin over ε. Plus per-dimension
+    boundary monotonicity and the segment-label conservation row (the CASE
+    is total and every scored customer lands in exactly one segment),
+    which forces the full scoring+labeling plan to execute."""
+    per_cust = (
+        _rfm_per_cust(spark, sf_dir)
+        .select(
+            "o_custkey",
+            F.col("recency_days").cast("double").alias("r_v"),
+            F.col("frequency").cast("double").alias("f_v"),
+            F.col("monetary").cast("double").alias("m_v"),
+        )
+        # customer-dimension-sized; feeds the sketch pass, the rank-count
+        # pass and the segment pass — pin so orders is scanned exactly once
+        .localCheckpoint(eager=False)
+    )
+    qarr = F.array(*[F.lit(q) for q in _RFM_QS])
+    bounds = per_cust.agg(
+        F.approx_percentile("r_v", qarr, F.lit(10_000)).alias("bs_r"),
+        F.approx_percentile("f_v", qarr, F.lit(10_000)).alias("bs_f"),
+        F.approx_percentile("m_v", qarr, F.lit(10_000)).alias("bs_m"),
+        F.count("*").cast("bigint").alias("n_customers"),
+    )
+    j = per_cust.join(F.broadcast(bounds))
+    rank_aggs = [F.first("n_customers").alias("n")]
+    for dim, vcol in (("r", "r_v"), ("f", "f_v"), ("m", "m_v")):
+        for k in range(4):
+            b = F.element_at(f"bs_{dim}", F.lit(k + 1))
+            rank_aggs.append(
+                F.sum((F.col(vcol) <= b).cast("long")).alias(f"le_{dim}{k}")
+            )
+            rank_aggs.append(
+                F.sum((F.col(vcol) < b).cast("long")).alias(f"lt_{dim}{k}")
+            )
+    mono = bounds.select(
+        *[
+            (F.col(f"bs_{dim}") == F.array_sort(f"bs_{dim}")).alias(f"mono_{dim}")
+            for dim in ("r", "f", "m")
+        ]
+    )
+    rank_counts = j.agg(*rank_aggs).crossJoin(F.broadcast(mono))
+
+    def _score(bs_name: str, vcol: str, ascending: bool):
+        hits = F.size(
+            F.filter(bs_name, lambda b: F.col(vcol) <= b)
+        )
+        return ((F.lit(1) + hits) if ascending else (F.lit(5) - hits)).cast("int")
+
+    segment = _rfm_segment_case(
+        _score("bs_r", "r_v", True),
+        _score("bs_f", "f_v", False),
+        _score("bs_m", "m_v", False),
+    )
+    conservation = (
+        j.groupBy(segment.alias("segment"))
+        .agg(F.count("*").cast("bigint").alias("seg_n"))
+        .agg(F.sum("seg_n").cast("bigint").alias("seg_total"))
+        .crossJoin(F.broadcast(bounds.select("n_customers")))
+        .select(
+            F.lit("segment_population_conservation").alias("check_name"),
+            (F.col("seg_total") == F.col("n_customers")).alias("within_band"),
+        )
+    )
+    check_rows = []
+    for dim in ("r", "f", "m"):
+        check_rows.append(
+            F.struct(
+                F.lit(f"{dim}_boundaries_monotone").alias("check_name"),
+                F.col(f"mono_{dim}").alias("within_band"),
+            )
+        )
+        for k, q in enumerate(_RFM_QS):
+            lo_ok = F.col(f"le_{dim}{k}").cast("double") >= (
+                F.lit(q - 0.02) * F.col("n").cast("double") - 1.0
+            )
+            hi_ok = F.col(f"lt_{dim}{k}").cast("double") <= (
+                F.lit(q + 0.02) * F.col("n").cast("double") + 1.0
+            )
+            check_rows.append(
+                F.struct(
+                    F.lit(f"{dim}_q{int(q * 100)}_rank").alias("check_name"),
+                    (lo_ok & hi_ok).alias("within_band"),
+                )
+            )
+    checks = rank_counts.select(
+        F.explode(F.array(*check_rows)).alias("s")
+    ).select("s.check_name", "s.within_band")
+    return checks.unionByName(conservation).orderBy("check_name")
+
+
+RFM_SEGMENTS_CUSTOMERS_APPROX_ORACLE = """
+SELECT check_name, TRUE AS within_band FROM (VALUES
+    ('f_boundaries_monotone'), ('f_q20_rank'), ('f_q40_rank'),
+    ('f_q60_rank'), ('f_q80_rank'),
+    ('m_boundaries_monotone'), ('m_q20_rank'), ('m_q40_rank'),
+    ('m_q60_rank'), ('m_q80_rank'),
+    ('r_boundaries_monotone'), ('r_q20_rank'), ('r_q40_rank'),
+    ('r_q60_rank'), ('r_q80_rank'),
+    ('segment_population_conservation')
+) t(check_name) ORDER BY check_name
 """
 
 

@@ -1707,6 +1707,15 @@ register(
     relational.RFM_SEGMENTS_CUSTOMERS_ORACLE,
 )
 
+# Round-6 addition: NOT appended to the front tier — the round-5 verdict
+# freezes rotation priority on the never-driver-checked backlog, so this
+# lands in the remainder tier behind it.
+register(
+    "rfm_segments_customers_approx",
+    relational.rfm_segments_customers_approx,
+    relational.RFM_SEGMENTS_CUSTOMERS_APPROX_ORACLE,
+)
+
 register(
     "fd_discovery_orders",
     analytics_checks.fd_discovery_orders,

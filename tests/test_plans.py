@@ -385,6 +385,20 @@ def test_heaps_law_cumulatives_are_chunk_stitched(spark):
     )
 
 
+def test_rfm_approx_has_no_window(spark):
+    """The approx RFM twin must score against broadcast approx-quantile
+    boundaries — no ntile, no window, no sort-for-window anywhere in the
+    plan (round-5 verdict item 4)."""
+    import re
+
+    plan = _plan(spark, "rfm_segments_customers_approx")
+    assert "Window" not in plan, "approx RFM grew a window"
+    assert not re.search(r"\bntile\(", plan), (
+        "approx RFM regressed to ntile scoring"
+    )
+    assert "BroadcastExchange" in plan, "boundary broadcast lost"
+
+
 def test_pca_covariance_is_arrow_kernel(spark):
     """The PCA/whitening covariance pass must be the mapInArrow X^T·X
     partial kernel — one 2080-row block per batch, no posexplode and no
