@@ -89,7 +89,17 @@ def _apply_merge(seq: DataFrame, a: str, b: str) -> DataFrame:
 def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first 5 learned BPE merges over the corpus: (merge_rank, pair,
     pair_count) — pair is 'a|b' and pair_count the frequency-weighted
-    occurrence count at selection time."""
+    occurrence count at selection time.
+
+    Scale posture (stated like ``fellegi_sunter``'s): this is the
+    EXACTNESS demonstration — one Spark job + a 1-row ``limit(1).collect``
+    per merge, fixed at ``N_MERGES`` = 5, so iteration count (and hence
+    driver round-trips) is bounded by construction. A production ~30k-merge
+    tokenizer would NOT run 30k sequential jobs; the batched alternative is
+    to select the top-k highest-count pairs with pairwise-disjoint symbols
+    per round (k merges per job, ~30k/k rounds), trading exact tie-order
+    within a round for a k× cut in job count — classic-BPE-per-round
+    semantics are preserved whenever selected pairs don't overlap."""
     wf = _word_freq(spark, sf_dir)
     seq = wf.select(
         "word",
