@@ -205,6 +205,13 @@ _ROUND5_NEW: list[str] = [
     "bot_cadence_report_events",
     "markov_stationary_event_types",
 ]
+# Round-6 additions sit BEHIND the whole never-checked round-5 backlog
+# (round-5 verdict item 1: the backlog keeps rotation priority until it
+# fits one driver budget) but ahead of the already-green remainder, so
+# they enter the budget only once the backlog drains.
+_ROUND6_NEW: list[str] = [
+    "rfm_segments_customers_approx",
+]
 # NOTE: stateful_event_type_counts_events is PERMANENTLY env-gated here —
 # its transformWithStateInPandas runtime needs python-protobuf, absent in
 # this sandbox (streaming/stateful.py:105). It never registers locally, so
@@ -213,7 +220,9 @@ _ROUND5_NEW: list[str] = [
 
 def _ordered_names() -> list[str]:
     front = [
-        n for n in [*_ROUND5_PENDING, *_ROUND5_NEW] if n in _REGISTRY
+        n
+        for n in [*_ROUND5_PENDING, *_ROUND5_NEW, *_ROUND6_NEW]
+        if n in _REGISTRY
     ]
     seen = set(front)
     # remainder: driver-green rows from r01–r04, every one green at its

@@ -62,6 +62,10 @@ PROBES = [
     ("isotonic_calibration_documents", ["documents"]),
     ("holt_winters_seasonal_daily", ["events"]),
     ("embedding_int8_quantization_report", ["embeddings"]),
+    # round-6 additions: relational power iteration and the replanned
+    # chunk-stitched Heaps cumulative (round-5 verdict items 2 and 8)
+    ("markov_stationary_event_types", ["events"]),
+    ("heaps_law_fit_documents", ["documents"]),
 ]
 
 KEY_OFFSETS = {
