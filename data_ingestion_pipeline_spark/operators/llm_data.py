@@ -1439,8 +1439,10 @@ def ann_pq_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = pq_topk(pq_encode(emb, books), qvec, books, k=20).select(
         F.lit(0).cast("long").alias("query_id"), "vec_id"
     )
+    # query_id from the COLUMN, not a literal: a foldable constant would
+    # fold out of downstream window partition keys (see topk_cosine_batch)
     q = emb.filter(F.col("vec_id") == 0).select(
-        F.lit(0).cast("long").alias("query_id"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     from data_ingestion_pipeline_spark.similarity.brute_force import (
         topk_cosine_batch,

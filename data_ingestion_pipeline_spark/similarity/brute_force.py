@@ -72,12 +72,29 @@ def topk_cosine_batch(
     id_col: str = "vec_id",
     dim: int | None = None,
 ) -> DataFrame:
-    """Top-k per query for a broadcastable query batch (ranking window over
-    the scored relation, partitioned by query)."""
+    """Top-k per query for a broadcastable query batch, TWO-PHASE: a
+    ranking window keyed by (input partition id, query) first cuts each
+    scan partition to ≤k survivors per query, then the global per-query
+    window ranks the ≤k·P survivors. One-phase ranking would concentrate
+    the whole |corpus|×|Q| scored relation into |Q| partitions — and with
+    a foldable-literal query_id Catalyst folds the partition key away
+    entirely, silently degrading to ONE partition (observed on the PQ
+    recall gate). ``spark_partition_id()`` is non-foldable, so neither
+    degradation can happen; the two phases rank by the same total order
+    (score desc, id asc), so the global top-k is exactly preserved."""
     scored = cosine_scores(corpus, query_df, id_col, dim)
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    order = [F.col("score").desc(), F.col(id_col).asc()]
+    local_w = Window.partitionBy(F.spark_partition_id(), "query_id").orderBy(
+        *order
+    )
+    survivors = (
+        scored.withColumn("_lrank", F.row_number().over(local_w))
+        .filter(F.col("_lrank") <= k)
+        .drop("_lrank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.round("score", 6).alias("score"), "rank")
     )

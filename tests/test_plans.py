@@ -399,6 +399,26 @@ def test_rfm_approx_has_no_window(spark):
     assert "BroadcastExchange" in plan, "boundary broadcast lost"
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ann_pq_recall_embeddings",
+        "ann_lsh_recall_embeddings",
+        "hard_negative_mining_embeddings",
+    ],
+)
+def test_brute_force_topk_is_two_phase(spark, name):
+    """topk_cosine_batch must rank in two phases — a local window keyed by
+    (spark_partition_id, query) then the per-query global window over ≤k·P
+    survivors — and never a partition-less window (the foldable-literal
+    query_id degradation observed on the PQ gate)."""
+    plan = _plan(spark, name)
+    assert "SPARK_PARTITION_ID" in plan, "local top-k phase lost"
+    assert _unpartitioned_window_count(plan) == 0, (
+        f"{name} has a partition-less ranking window over the scored corpus"
+    )
+
+
 def test_pca_covariance_is_arrow_kernel(spark):
     """The PCA/whitening covariance pass must be the mapInArrow X^T·X
     partial kernel — one 2080-row block per batch, no posexplode and no

@@ -66,6 +66,14 @@ PROBES = [
     # chunk-stitched Heaps cumulative (round-5 verdict items 2 and 8)
     ("markov_stationary_event_types", ["events"]),
     ("heaps_law_fit_documents", ["documents"]),
+    # round-6 phase 2: the audited iterative-graph / gate tail — key-offset
+    # replication preserves per-order fanout, so edges grow linearly and a
+    # linear plan should probe ~mult
+    ("pagerank_copurchase_parts", ["lineitem"]),
+    ("triangle_count_copurchase", ["lineitem"]),
+    ("khop_reach_copurchase", ["lineitem"]),
+    ("kmeans_lloyd_embeddings", ["embeddings"]),
+    ("embedding_lsh_pair_recall_embeddings", ["embeddings"]),
 ]
 
 KEY_OFFSETS = {
