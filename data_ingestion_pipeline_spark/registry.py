@@ -218,14 +218,24 @@ _ROUND6_NEW: list[str] = [
 # it must not occupy a front-tier slot; parity is pytest-covered.
 
 
+# Round-6 rotation (round-5 verdict item 1: the whole 50-slot driver
+# budget goes to never-driver-checked names). _ROUND5_PENDING went 50/50
+# green in CORRECTNESS_r05 and RETIRES to the remainder; the front is the
+# one name the r5 budget couldn't reach (cusum_changepoint_daily, the
+# predicted spillover) followed by the round-5 additions in registered
+# order, then round-6 additions. 80 never-checked vs 50 slots ⇒ the last
+# 30 spill to round 7 — additions stay frozen until the backlog fits.
+_NEVER_DRIVER_CHECKED: list[str] = [
+    "cusum_changepoint_daily",
+    *_ROUND5_NEW,
+    *_ROUND6_NEW,
+]
+
+
 def _ordered_names() -> list[str]:
-    front = [
-        n
-        for n in [*_ROUND5_PENDING, *_ROUND5_NEW, *_ROUND6_NEW]
-        if n in _REGISTRY
-    ]
+    front = [n for n in _NEVER_DRIVER_CHECKED if n in _REGISTRY]
     seen = set(front)
-    # remainder: driver-green rows from r01–r04, every one green at its
+    # remainder: driver-green rows from r01–r05, every one green at its
     # latest check — the tier most safely parked outside the verify budget
     return front + [n for n in _REGISTRY if n not in seen]
 

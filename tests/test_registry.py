@@ -9,48 +9,40 @@ is actually registered.
 from data_ingestion_pipeline_spark import registry
 
 
-def _priority_lists():
-    return (
-        registry._ROUND5_PENDING,
-        registry._ROUND5_NEW,
-    )
-
-
 _ENV_GATED = {"stateful_event_type_counts_events"}  # registers only with protobuf
 
 
 def test_priority_lists_cover_registry_names():
     names = set(registry._REGISTRY)
-    all_priority = [n for lst in _priority_lists() for n in lst]
-    for n in all_priority:
+    for n in registry._NEVER_DRIVER_CHECKED:
         assert n in names or n in _ENV_GATED, f"priority list names unknown query {n!r}"
-    assert len(all_priority) == len(set(all_priority)), "duplicate priority entries"
+    assert len(registry._NEVER_DRIVER_CHECKED) == len(
+        set(registry._NEVER_DRIVER_CHECKED)
+    ), "duplicate priority entries"
 
 
 def test_export_order_spends_driver_budget_on_thin_evidence():
+    """Round-6 rotation contract (round-5 verdict item 1): the entire
+    50-slot driver budget lands on never-driver-checked names — the r5
+    spillover first, then round-5 additions, then round-6 additions —
+    and the retired driver-green tiers follow strictly after."""
     ordered = list(registry.queries())
     assert set(ordered) == set(registry._REGISTRY)
-    budget = set(ordered[:50])
-    # every query with no driver CORRECTNESS row yet must verify inside the
-    # budget, except the single documented spillover (strongest local
-    # evidence, deliberately parked at position 51 per the round-4 verdict)
-    spillover = {"cusum_changepoint_daily"}
+    front = [n for n in registry._NEVER_DRIVER_CHECKED if n in registry._REGISTRY]
+    assert ordered[: len(front)] == front
+    assert len(front) >= 50, "budget would leak onto already-green queries"
+    assert front[0] == "cusum_changepoint_daily", "r5 spillover lost its slot"
+    # every round-5-green query sits outside the front tier
     for n in registry._ROUND5_PENDING:
-        if n in registry._REGISTRY and n not in spillover:
-            assert n in budget, f"{n!r} is evidence-thin but sits outside the budget"
-    # and the priority tiers strictly precede the already-green remainder
-    priority = [
-        n for lst in _priority_lists() for n in lst if n in registry._REGISTRY
-    ]
-    assert ordered[: len(priority)] == priority
+        if n in registry._REGISTRY and n != "cusum_changepoint_daily":
+            assert n not in front, f"driver-green {n!r} occupies a budget slot"
 
 
 def test_env_gated_queries_stay_out_of_the_budget():
     # a query that cannot register in this sandbox must not be granted a
     # front-tier slot the driver would report as absent
-    for lst in _priority_lists():
-        for n in lst:
-            assert n not in _ENV_GATED
+    for n in registry._NEVER_DRIVER_CHECKED:
+        assert n not in _ENV_GATED
 
 
 def test_oracles_reference_registered_queries():
