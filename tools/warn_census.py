@@ -1,0 +1,84 @@
+"""Attribute WindowExec "No Partition Defined" warnings to queries.
+
+A single-partition window is fine on a bounded relation (day series,
+value-grouped stats, dimension-sized reports, ≤k-row limit-then-rank
+tails) and a scale-killer on a corpus-sized one — and Catalyst can create
+one SILENTLY by folding a constant partition key out of a window spec
+(found live on the PQ recall gate, fixed in topk_cosine_batch). This tool
+re-runs a check_oracle sweep log through a per-query warn counter so each
+round's audit is one command instead of an ad-hoc grep.
+
+Usage:
+    python tools/check_oracle.py <sf_dir> 2>&1 | tee sweep.log
+    python tools/warn_census.py sweep.log
+
+Every reported query must be either on the documented bounded-relation
+list below or investigated. Round-6 audit: 19 bounded + 1 real (fixed).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+# Queries whose single-partition windows run over bounded relations, each
+# audited (round 6): calendar/day series, value-grouped stats, dimension-
+# sized ntile reports, ≤10-row limit-then-rank tails.
+DOCUMENTED_BOUNDED = {
+    "rfm_segments_customers",  # per-customer ntile (dimension; approx twin registered)
+    "spearman_daily_purchase_view",  # day-series value groups
+    "kaplan_meier_conversion_events",  # integer-day risk table
+    "approx_distinct_users_trailing7d",  # day series
+    "abc_classification_parts",  # parts dimension; total order IS the semantics
+    "brand_share_of_revenue",  # brand dimension
+    "longest_streak_users",  # 10-row limit-then-rank tail
+    "js_divergence_event_types_weekpart",  # event-type dimension
+    "language_rebalance_plan",  # language dimension
+    "benford_digit_test_orders",  # 9 digits
+    "rolling_corr_purchase_view_14d",  # day series
+    "customer_spend_deciles",  # documented trade; approx twin registered
+    "value_drift_weekday_weekend",  # fixed buckets
+    "mann_whitney_purchase_view_values",  # value-grouped (bounded domain)
+    "key_skew_report_events",  # aggregated key table
+    "auc_lang_by_length_documents",  # value-grouped (n_chars domain)
+    "cramers_v_event_type_dow",  # 35-cell contingency
+    "chi_square_event_dow",  # 35-cell contingency
+    "equidepth_histogram_orders",  # documented trade; approx sibling registered
+    "kendall_tau_daily_purchase_view",  # day-series value groups
+}
+
+
+def census(path: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    warns = 0
+    for line in open(path, errors="replace"):
+        if "No Partition Defined for Window" in line:
+            warns += 1
+        m = re.match(r"\s+(\w+): (OK|FAIL)", line)
+        if m:
+            if warns:
+                out[m.group(1)] = warns
+            warns = 0
+    return out
+
+
+def main() -> int:
+    path = sys.argv[1] if len(sys.argv) > 1 else "sweep.log"
+    out = census(path)
+    unexplained = []
+    for name, n in sorted(out.items(), key=lambda kv: -kv[1]):
+        tag = "bounded" if name in DOCUMENTED_BOUNDED else "INVESTIGATE"
+        if tag == "INVESTIGATE":
+            unexplained.append(name)
+        print(f"{n:4d}  {tag:12s} {name}")
+    print(
+        f"\n{len(out)} queries emit single-partition-window warns; "
+        f"{len(unexplained)} not on the documented bounded list"
+    )
+    if unexplained:
+        print("INVESTIGATE:", ", ".join(unexplained))
+    return 1 if unexplained else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
