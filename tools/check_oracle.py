@@ -31,7 +31,13 @@ def bare_spark():
     return (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .appName("check_oracle_bare")
-        .config("spark.sql.shuffle.partitions", "32")
+        # override to sweep under a DIFFERENT partitioning: the exactness
+        # contract (decimal/integer folds everywhere) claims results are
+        # partition-count invariant — prove it ledger-wide, don't assume it
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
