@@ -1513,6 +1513,13 @@ def _cov_partials(emb: DataFrame, mu_vals: list) -> DataFrame:
         jj = pa.array(iu_j.astype("int32"))
         for batch in batches:
             flat = pc.list_flatten(batch.column("embedding"))
+            if len(flat) != 64 * batch.num_rows:
+                # a NULL or ragged embedding list would silently misalign
+                # every later vector after the reshape — refuse instead
+                raise ValueError(
+                    "embedding column must be non-null fixed-width 64 "
+                    f"(got {len(flat)} values for {batch.num_rows} rows)"
+                )
             x = np.asarray(flat, dtype=np.float64).reshape(-1, 64) - mu
             acc = np.zeros(len(iu_i), dtype=np.int64)
             # 1024-row blocks bound the n×64×64 product tensor to ~32 MB
@@ -1521,7 +1528,12 @@ def _cov_partials(emb: DataFrame, mu_vals: list) -> DataFrame:
                 p = (blk[:, :, None] * blk[:, None, :])[:, iu_i, iu_j]
                 t = p * 1e13
                 # half-away-from-zero — the engines' ROUND, not banker's
-                acc += np.trunc(t + np.copysign(0.5, t)).astype(np.int64).sum(
+                r = np.trunc(t + np.copysign(0.5, t))
+                # NULL embedding elements arrive as NaN (np.trunc(NaN)
+                # .astype(int64) is undefined garbage, typically INT64_MIN):
+                # zero them, which is exactly the SQL semantics the oracle
+                # applies — a NULL product drops out of SUM
+                acc += np.where(np.isnan(r), 0, r).astype(np.int64).sum(
                     axis=0
                 )
             yield pa.RecordBatch.from_arrays(

@@ -1375,14 +1375,29 @@ def rfm_segments_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         .localCheckpoint(eager=False)
     )
     qarr = F.array(*[F.lit(q) for q in _RFM_QS])
-    bounds = per_cust.agg(
-        F.approx_percentile("r_v", qarr, F.lit(10_000)).alias("bs_r"),
-        F.approx_percentile("f_v", qarr, F.lit(10_000)).alias("bs_f"),
-        F.approx_percentile("m_v", qarr, F.lit(10_000)).alias("bs_m"),
-        F.count("*").cast("bigint").alias("n_customers"),
+    bounds = (
+        per_cust.agg(
+            F.approx_percentile("r_v", qarr, F.lit(10_000)).alias("bs_r"),
+            F.approx_percentile("f_v", qarr, F.lit(10_000)).alias("bs_f"),
+            F.approx_percentile("m_v", qarr, F.lit(10_000)).alias("bs_m"),
+            F.count("*").cast("bigint").alias("n_customers"),
+        )
+        # monotonicity flags derive map-side from the same 1-row result
+        .select(
+            "*",
+            *[
+                (F.col(f"bs_{d}") == F.array_sort(f"bs_{d}")).alias(f"mono_{d}")
+                for d in ("r", "f", "m")
+            ],
+        )
+        # ONE row; pinned so the GK sketch pass over the customer relation
+        # runs exactly once — the rank-count agg, the segment pass and the
+        # conservation row all reuse this result instead of re-aggregating
+        .localCheckpoint(eager=False)
     )
     j = per_cust.join(F.broadcast(bounds))
     rank_aggs = [F.first("n_customers").alias("n")]
+    rank_aggs += [F.first(f"mono_{d}").alias(f"mono_{d}") for d in ("r", "f", "m")]
     for dim, vcol in (("r", "r_v"), ("f", "f_v"), ("m", "m_v")):
         for k in range(4):
             b = F.element_at(f"bs_{dim}", F.lit(k + 1))
@@ -1392,13 +1407,7 @@ def rfm_segments_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame
             rank_aggs.append(
                 F.sum((F.col(vcol) < b).cast("long")).alias(f"lt_{dim}{k}")
             )
-    mono = bounds.select(
-        *[
-            (F.col(f"bs_{dim}") == F.array_sort(f"bs_{dim}")).alias(f"mono_{dim}")
-            for dim in ("r", "f", "m")
-        ]
-    )
-    rank_counts = j.agg(*rank_aggs).crossJoin(F.broadcast(mono))
+    rank_counts = j.agg(*rank_aggs)
 
     def _score(bs_name: str, vcol: str, ascending: bool):
         hits = F.size(

@@ -51,10 +51,14 @@ DOCUMENTED_BOUNDED = {
 def census(path: str) -> dict[str, int]:
     out: dict[str, int] = {}
     warns = 0
+    # Match EVERY per-query result line check_oracle prints — OK, FAIL,
+    # ERROR, and the rows-only check — else a warn emitted by an
+    # ERROR/rows-only query would be mis-attributed to the NEXT query.
+    result = re.compile(r"\s+(\w+): (OK|FAIL|ERROR|rows-only)")
     for line in open(path, errors="replace"):
         if "No Partition Defined for Window" in line:
             warns += 1
-        m = re.match(r"\s+(\w+): (OK|FAIL)", line)
+        m = result.match(line)
         if m:
             if warns:
                 out[m.group(1)] = warns
