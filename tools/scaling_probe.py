@@ -74,6 +74,8 @@ PROBES = [
     ("khop_reach_copurchase", ["lineitem"]),
     ("kmeans_lloyd_embeddings", ["embeddings"]),
     ("embedding_lsh_pair_recall_embeddings", ["embeddings"]),
+    ("canonical_entities_parts", ["part"]),
+    ("embedding_lsh_near_dup", ["embeddings"]),
 ]
 
 KEY_OFFSETS = {
