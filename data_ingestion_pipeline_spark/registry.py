@@ -218,17 +218,51 @@ _ROUND6_NEW: list[str] = [
 # it must not occupy a front-tier slot; parity is pytest-covered.
 
 
-# Round-6 rotation (round-5 verdict item 1: the whole 50-slot driver
-# budget goes to never-driver-checked names). _ROUND5_PENDING went 50/50
-# green in CORRECTNESS_r05 and RETIRES to the remainder; the front is the
-# one name the r5 budget couldn't reach (cusum_changepoint_daily, the
-# predicted spillover) followed by the round-5 additions in registered
-# order, then round-6 additions. 80 never-checked vs 50 slots ⇒ the last
-# 30 spill to round 7 — additions stay frozen until the backlog fits.
-_NEVER_DRIVER_CHECKED: list[str] = [
-    "cusum_changepoint_daily",
-    *_ROUND5_NEW,
+# Round-7 rotation (round-6 verdict items 1-2): CORRECTNESS_r06 landed
+# 49 green rows + 1 documented rows-only (ann_ivfpq_topk) on the first 50
+# of the round-6 front — those RETIRE to the remainder. What stays is the
+# 30-name spillover (the tail of _ROUND5_NEW past the r6 budget, plus
+# _ROUND6_NEW) — positions 50-79 last round, positions 0-29 now — followed
+# by round-7 additions (≤20, so backlog + additions fit the 50-slot budget
+# and the never-checked count hits 0 at round end).
+_ROUND7_BACKLOG: list[str] = [
+    "merge_on_read_delete_events",
+    "psi_value_drift_halves",
+    "durbin_watson_daily_trend",
+    "streaming_topk_event_types_daily",
+    "oversample_minority_documents",
+    "pca_power_iteration_embeddings",
+    "holt_linear_daily_forecast",
+    "countmin_event_types",
+    "whitening_isotropy_gain_embeddings",
+    "decision_stump_documents",
+    "fightin_words_batches_documents",
+    "cohort_ltv_curve_events",
+    "fixed_width_roundtrip_orders",
+    "conformal_forecast_interval_daily",
+    "capture_recapture_users",
+    "poisson_bootstrap_ci_orders",
+    "isotonic_calibration_documents",
+    "holt_winters_seasonal_daily",
+    "mmr_rerank_topk_embeddings",
+    "mixture_temperature_allocation",
+    "embedding_int8_quantization_report",
+    "length_bucket_padding_report",
+    "curriculum_schedule_documents",
+    "self_similarity_sample_documents",
+    "kfold_cv_stump_documents",
+    "cross_source_overlap_matrix",
+    "misra_gries_heavy_hitters_events",
+    "bot_cadence_report_events",
+    "markov_stationary_event_types",
     *_ROUND6_NEW,
+]
+# Queries added in round 7 — registered BEHIND the backlog (positions
+# 30-49) so the driver verifies backlog and additions in the same budget.
+_ROUND7_NEW: list[str] = []
+_NEVER_DRIVER_CHECKED: list[str] = [
+    *_ROUND7_BACKLOG,
+    *_ROUND7_NEW,
 ]
 
 
