@@ -90,8 +90,19 @@ def heaps_law_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
     )
     n_chunks = spark.sparkContext.defaultParallelism
-    chunked = grain.repartitionByRange(n_chunks, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
+    # persist() pins ONE materialization of the range exchange: both
+    # consumers below (`local` windows and `totals` per-chunk sums) key on
+    # spark_partition_id(), and without the pin their agreement relies on
+    # Catalyst ReuseExchange — RangePartitioner samples boundaries with an
+    # RDD-id-seeded RNG, so two independent exchanges could place a
+    # boundary doc in different chunks and the offset stitch would silently
+    # double-count or drop it. Caching (vs localCheckpoint) keeps lineage
+    # visible for the plan pin, and a recompute-on-eviction replays the
+    # SAME RDD (fixed id ⇒ same boundaries), so the pin survives eviction.
+    chunked = (
+        grain.repartitionByRange(n_chunks, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
     w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, 0
@@ -1527,8 +1538,16 @@ def _cov_partials(emb: DataFrame, mu_vals: list) -> DataFrame:
                 blk = x[s : s + 1024]
                 p = (blk[:, :, None] * blk[:, None, :])[:, iu_i, iu_j]
                 t = p * 1e13
-                # half-away-from-zero — the engines' ROUND, not banker's
-                r = np.trunc(t + np.copysign(0.5, t))
+                # half-away-from-zero — the engines' ROUND, not banker's.
+                # NOT the add-0.5 trick: for t just below an x.5 boundary
+                # (e.g. 0.49999999999999994) t+0.5 rounds UP in binary and
+                # trunc gives 1 where Spark/DuckDB ROUND give 0. The
+                # fraction t-trunc(t) is exact for doubles, so comparing
+                # it against 0.5 matches std::round/BigDecimal bit-for-bit
+                frac = t - np.trunc(t)
+                r = np.trunc(t) + np.where(
+                    np.abs(frac) >= 0.5, np.copysign(1.0, t), 0.0
+                )
                 # NULL embedding elements arrive as NaN (np.trunc(NaN)
                 # .astype(int64) is undefined garbage, typically INT64_MIN):
                 # zero them, which is exactly the SQL semantics the oracle

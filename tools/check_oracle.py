@@ -102,6 +102,9 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     n_run = 0
+    # sweep-start banner: warn_census resets its counter here so session
+    # warmup warns are not charged to the first query
+    print("== sweep start ==", flush=True)
     for name, fn in qs.items():
         if only and name not in only:
             continue

@@ -48,7 +48,14 @@ DOCUMENTED_BOUNDED = {
 }
 
 
-def census(path: str) -> dict[str, int]:
+def census(path: str) -> tuple[dict[str, int], int]:
+    """Per-query warn counts, plus trailing warns attributable to no query.
+
+    Counter RESETS at the sweep-start banner so session-warmup warns (or
+    anything logged before the first per-query line) are not charged to
+    query #1; warns after the last result line are returned as
+    ``unattributed`` rather than silently dropped.
+    """
     out: dict[str, int] = {}
     warns = 0
     # Match EVERY per-query result line check_oracle prints — OK, FAIL,
@@ -56,6 +63,9 @@ def census(path: str) -> dict[str, int]:
     # ERROR/rows-only query would be mis-attributed to the NEXT query.
     result = re.compile(r"\s+(\w+): (OK|FAIL|ERROR|rows-only)")
     for line in open(path, errors="replace"):
+        if "== sweep start ==" in line:
+            warns = 0
+            continue
         if "No Partition Defined for Window" in line:
             warns += 1
         m = result.match(line)
@@ -63,12 +73,12 @@ def census(path: str) -> dict[str, int]:
             if warns:
                 out[m.group(1)] = warns
             warns = 0
-    return out
+    return out, warns
 
 
 def main() -> int:
     path = sys.argv[1] if len(sys.argv) > 1 else "sweep.log"
-    out = census(path)
+    out, trailing = census(path)
     unexplained = []
     for name, n in sorted(out.items(), key=lambda kv: -kv[1]):
         tag = "bounded" if name in DOCUMENTED_BOUNDED else "INVESTIGATE"
@@ -79,6 +89,8 @@ def main() -> int:
         f"\n{len(out)} queries emit single-partition-window warns; "
         f"{len(unexplained)} not on the documented bounded list"
     )
+    if trailing:
+        print(f"{trailing:4d}  unattributed (after last result line)")
     if unexplained:
         print("INVESTIGATE:", ", ".join(unexplained))
     return 1 if unexplained else 0
