@@ -1370,9 +1370,11 @@ def rfm_segments_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("frequency").cast("double").alias("f_v"),
             F.col("monetary").cast("double").alias("m_v"),
         )
-        # customer-dimension-sized; feeds the sketch pass, the rank-count
-        # pass and the segment pass — pin so orders is scanned exactly once
-        .localCheckpoint(eager=False)
+        # customer-dimension-sized; feeds the sketch pass and the combined
+        # rank/segment pass — pin so orders is scanned exactly once.
+        # persist (not localCheckpoint): deterministic relation, so the pin
+        # is purely a reuse measure, and bench's clearCache() reclaims it
+        .persist()
     )
     qarr = F.array(*[F.lit(q) for q in _RFM_QS])
     bounds = (
@@ -1390,24 +1392,11 @@ def rfm_segments_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame
                 for d in ("r", "f", "m")
             ],
         )
-        # ONE row; pinned so the GK sketch pass over the customer relation
-        # runs exactly once — the rank-count agg, the segment pass and the
-        # conservation row all reuse this result instead of re-aggregating
-        .localCheckpoint(eager=False)
+        # ONE row, ONE consumer (the broadcast join below) now that the
+        # rank/segment/conservation passes are folded — no pin needed; the
+        # sketch pass reads the persisted per_cust, not orders
     )
     j = per_cust.join(F.broadcast(bounds))
-    rank_aggs = [F.first("n_customers").alias("n")]
-    rank_aggs += [F.first(f"mono_{d}").alias(f"mono_{d}") for d in ("r", "f", "m")]
-    for dim, vcol in (("r", "r_v"), ("f", "f_v"), ("m", "m_v")):
-        for k in range(4):
-            b = F.element_at(f"bs_{dim}", F.lit(k + 1))
-            rank_aggs.append(
-                F.sum((F.col(vcol) <= b).cast("long")).alias(f"le_{dim}{k}")
-            )
-            rank_aggs.append(
-                F.sum((F.col(vcol) < b).cast("long")).alias(f"lt_{dim}{k}")
-            )
-    rank_counts = j.agg(*rank_aggs)
 
     def _score(bs_name: str, vcol: str, ascending: bool):
         hits = F.size(
@@ -1420,17 +1409,45 @@ def rfm_segments_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         _score("bs_f", "f_v", False),
         _score("bs_m", "m_v", False),
     )
-    conservation = (
-        j.groupBy(segment.alias("segment"))
-        .agg(F.count("*").cast("bigint").alias("seg_n"))
-        .agg(F.sum("seg_n").cast("bigint").alias("seg_total"))
-        .crossJoin(F.broadcast(bounds.select("n_customers")))
-        .select(
+    # ONE scan of per_cust computes everything downstream: group by the
+    # scored segment (forces the full scoring+labeling plan to execute),
+    # carry the 24 rank-guarantee sums as per-segment partials, then fold
+    # the ≤5 segment rows into the single global check row — the previous
+    # shape paid separate rank-count and conservation scans for the same
+    # numbers (round-6 verdict nit #1)
+    seg_aggs = [F.count("*").cast("bigint").alias("seg_n")]
+    seg_aggs += [F.first("n_customers").alias("n")]
+    seg_aggs += [F.first(f"mono_{d}").alias(f"mono_{d}") for d in ("r", "f", "m")]
+    for dim, vcol in (("r", "r_v"), ("f", "f_v"), ("m", "m_v")):
+        for k in range(4):
+            b = F.element_at(f"bs_{dim}", F.lit(k + 1))
+            seg_aggs.append(
+                F.sum((F.col(vcol) <= b).cast("long")).alias(f"le_{dim}{k}")
+            )
+            seg_aggs.append(
+                F.sum((F.col(vcol) < b).cast("long")).alias(f"lt_{dim}{k}")
+            )
+    per_segment = j.groupBy(segment.alias("segment")).agg(*seg_aggs)
+    fold_aggs = [
+        F.sum("seg_n").cast("bigint").alias("seg_total"),
+        F.first("n").alias("n"),
+    ]
+    fold_aggs += [F.first(f"mono_{d}").alias(f"mono_{d}") for d in ("r", "f", "m")]
+    fold_aggs += [
+        F.sum(f"{p}_{dim}{k}").alias(f"{p}_{dim}{k}")
+        for dim in ("r", "f", "m")
+        for k in range(4)
+        for p in ("le", "lt")
+    ]
+    rank_counts = per_segment.agg(*fold_aggs)
+    # conservation joins the same exploded array as the rank checks — a
+    # separate union branch would evaluate the 1-row fold subtree twice
+    check_rows = [
+        F.struct(
             F.lit("segment_population_conservation").alias("check_name"),
-            (F.col("seg_total") == F.col("n_customers")).alias("within_band"),
+            (F.col("seg_total") == F.col("n")).alias("within_band"),
         )
-    )
-    check_rows = []
+    ]
     for dim in ("r", "f", "m"):
         check_rows.append(
             F.struct(
@@ -1451,10 +1468,11 @@ def rfm_segments_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame
                     (lo_ok & hi_ok).alias("within_band"),
                 )
             )
-    checks = rank_counts.select(
-        F.explode(F.array(*check_rows)).alias("s")
-    ).select("s.check_name", "s.within_band")
-    return checks.unionByName(conservation).orderBy("check_name")
+    return (
+        rank_counts.select(F.explode(F.array(*check_rows)).alias("s"))
+        .select("s.check_name", "s.within_band")
+        .orderBy("check_name")
+    )
 
 
 RFM_SEGMENTS_CUSTOMERS_APPROX_ORACLE = """
