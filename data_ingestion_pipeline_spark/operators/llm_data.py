@@ -744,6 +744,133 @@ GROUP BY w.doc_id
 """
 
 
+def exact_substring_excision_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-substring dedup with SPAN EXCISION — the Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better") rewrite
+    step that ``dup_span_profile_documents`` only profiles: every ≥k-token
+    span that already occurred earlier in the corpus (corpus order =
+    (doc_id, position), first occurrence wins) is excised from the
+    document, and the rewritten text ships back with a per-doc
+    bytes-removed audit. Runs on the planted near-dup corpus so the
+    80%-prefix copies excise down to their novel suffix remainder.
+
+    Lee et al. build one corpus-wide suffix array; the Spark-shaped
+    equivalent is the inverted-index form over k-token windows — a
+    duplicated ≥k-token span is exactly a run of duplicated k-windows, so
+    marking every window whose (doc_id·1e6+pos) exceeds its hash's
+    corpus-wide min and excising the tokens those windows cover removes
+    precisely the maximal duplicated spans. Shuffle ∝ windows, state ∝
+    distinct spans (never a global sort, never all-pairs); the rewrite
+    itself is a per-document array expression, embarrassingly parallel."""
+    aug = fan_out(_near_dup_corpus(load_table(spark, sf_dir, "documents")))
+    return exact_substring_excision(aug)
+
+
+def exact_substring_excision(aug: DataFrame, k: int = 8) -> DataFrame:
+    """Core first-occurrence-wins span excision over a (doc_id, text)
+    corpus: k-token duplicated windows mark their covered token positions;
+    covered tokens drop; the survivors re-join into the rewritten text.
+
+    Published row: (doc_id, n_tokens, n_excised, kept_frac, rewritten_md5)
+    — the md5 pins the rewritten CONTENT, so the DuckDB oracle (which
+    replays the same windows as literal token strings) hash-verifies the
+    excision byte-for-byte, not just the counts."""
+    tok = F.split(F.trim(F.col("text")), r"\s+")
+    base = aug.select("doc_id", tok.alias("toks"))
+    win = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - (k - 1), F.lit(1))),
+        lambda i: F.xxhash64(
+            *[F.try_element_at(F.col("toks"), i + j) for j in range(k)]
+        ),
+    )
+    windows = (
+        base.select("doc_id", F.posexplode_outer(win).alias("pos", "sh"))
+        .filter(F.col("sh").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            "sh",
+            (F.col("doc_id") * 1000000 + F.col("pos")).alias("occ"),
+        )
+    )
+    first = windows.groupBy("sh").agg(F.min("occ").alias("first_occ"))
+    # dup window starts per doc, sorted — bounded by the doc's own token
+    # count, so the collect_list is per-document state, never corpus state
+    dup_starts = (
+        windows.join(first, "sh")
+        .filter(F.col("occ") > F.col("first_occ"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    j = base.join(dup_starts, "doc_id", "left").withColumn(
+        "starts",
+        F.coalesce(F.col("starts"), F.expr("CAST(array() AS array<int>)")),
+    )
+    # token at 0-based position p is excised iff some duplicated window
+    # [s, s+k-1] covers it — per-doc array work, O(tokens·dup_starts)
+    # bounded by document length, not corpus size
+    kept = F.filter(
+        "toks",
+        lambda t, p: ~F.exists(
+            "starts", lambda s: (s <= p) & (p <= s + F.lit(k - 1))
+        ),
+    )
+    j = j.withColumn("kept", kept)
+    return j.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - F.size("kept")).cast("bigint").alias("n_excised"),
+        F.round(F.size("kept") / F.size("toks"), 6).alias("kept_frac"),
+        F.md5(F.concat_ws(" ", F.col("kept"))).alias("rewritten_md5"),
+    )
+
+
+EXACT_SUBSTRING_EXCISION_DOCUMENTS_ORACLE = r"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), aug AS (
+    SELECT doc_id, toks FROM base
+    UNION ALL
+    SELECT doc_id + 1000000,
+           toks[1:GREATEST(CAST(CEIL(len(toks) * 0.8) AS INTEGER), 1)]
+    FROM base WHERE doc_id % 20 = 0
+), windows AS (
+    SELECT doc_id, u.pos AS pos, doc_id * 1000000 + u.pos AS occ, u.sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, GREATEST(len(toks) - 7, 1) + 1),
+                   i -> struct_pack(pos := i - 1,
+                                    sh := array_to_string(toks[i:i+7], ' '))
+               )) AS u
+        FROM aug
+    )
+), first_occ AS (
+    SELECT sh, MIN(occ) AS first_occ FROM windows GROUP BY sh
+), dup_starts AS (
+    SELECT doc_id, list_sort(list(pos)) AS starts
+    FROM windows w JOIN first_occ f USING (sh)
+    WHERE w.occ > f.first_occ GROUP BY doc_id
+), j AS (
+    SELECT a.doc_id, a.toks,
+           COALESCE(d.starts, CAST([] AS INTEGER[])) AS starts
+    FROM aug a LEFT JOIN dup_starts d USING (doc_id)
+), rew AS (
+    SELECT doc_id, toks,
+           list_filter(toks, (t, i) -> len(list_filter(starts,
+               s -> s <= i - 1 AND i - 1 <= s + 7)) = 0) AS kept
+    FROM j
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_excised,
+       ROUND(len(kept) / CAST(len(toks) AS DOUBLE), 6) AS kept_frac,
+       md5(COALESCE(array_to_string(kept, ' '), '')) AS rewritten_md5
+FROM rew
+"""
+
+
 DECONTAMINATE_DOCUMENTS_ORACLE = r"""
 WITH toks AS (
     SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents

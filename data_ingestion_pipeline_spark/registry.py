@@ -259,7 +259,9 @@ _ROUND7_BACKLOG: list[str] = [
 ]
 # Queries added in round 7 — registered BEHIND the backlog (positions
 # 30-49) so the driver verifies backlog and additions in the same budget.
-_ROUND7_NEW: list[str] = []
+_ROUND7_NEW: list[str] = [
+    "exact_substring_excision_documents",
+]
 _NEVER_DRIVER_CHECKED: list[str] = [
     *_ROUND7_BACKLOG,
     *_ROUND7_NEW,
@@ -1324,6 +1326,12 @@ register(
     "dup_span_profile_documents",
     llm_data.dup_span_profile_documents,
     llm_data.DUP_SPAN_PROFILE_DOCUMENTS_ORACLE,
+)
+
+register(
+    "exact_substring_excision_documents",
+    llm_data.exact_substring_excision_documents,
+    llm_data.EXACT_SUBSTRING_EXCISION_DOCUMENTS_ORACLE,
 )
 
 # --------------------------------------------------------------------------
