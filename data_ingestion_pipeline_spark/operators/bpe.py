@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
-__all__ = ["bpe_merges_documents", "BPE_MERGES_DOCUMENTS_ORACLE"]
+__all__ = [
+    "bpe_merges_documents",
+    "bpe_encode_documents",
+    "BPE_MERGES_DOCUMENTS_ORACLE",
+    "BPE_ENCODE_DOCUMENTS_ORACLE",
+]
 
 N_MERGES = 5
 
@@ -100,14 +105,24 @@ def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round (k merges per job, ~30k/k rounds), trading exact tie-order
     within a round for a k× cut in job count — classic-BPE-per-round
     semantics are preserved whenever selected pairs don't overlap."""
-    wf = _word_freq(spark, sf_dir)
+    results, _ = _train(_word_freq(spark, sf_dir))
+    return spark.createDataFrame(
+        results, "merge_rank int, pair string, pair_count bigint"
+    )
+
+
+def _train(wf: DataFrame, n_merges: int = N_MERGES):
+    """Run the BPE training loop over a (word, w) frequency table. Returns
+    (merge results, final symbol-sequence DataFrame) — the final ``seq``
+    IS the encoded form of every distinct word under the trained merges,
+    which is what corpus-wide encoding joins against."""
     seq = wf.select(
         "word",
         "w",
         F.posexplode(F.split("word", "")).alias("pos", "sym"),
     ).filter(F.col("sym") != "")
     results = []
-    for rank in range(1, N_MERGES + 1):
+    for rank in range(1, n_merges + 1):
         wnd = Window.partitionBy("word").orderBy("pos")
         pairs = (
             seq.withColumn("nxt", F.lead("sym").over(wnd))
@@ -127,8 +142,46 @@ def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, cnt = best[0]["sym"], best[0]["nxt"], best[0]["pair_count"]
         results.append((rank, f"{a}|{b}", cnt))
         seq = _apply_merge(seq, a, b).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        results, "merge_rank int, pair string, pair_count bigint"
+    return results, seq
+
+
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE ENCODE under the trained merges — the apply step
+    that closes the tokenizer loop ``bpe_merges_documents`` opens: every
+    document's token count under the 5-merge vocabulary, plus character
+    counts and the resulting compression ratio (the packing/padding
+    reports' assumed tokenizer statistics, now actually computed).
+
+    Scale shape: encoding never re-runs merges per document. The trained
+    final symbol-sequence relation (vocabulary-sized) collapses to one
+    (word → encoded_len) table; the corpus pass is a word explode + a join
+    on word + a per-doc sum — shuffle ∝ corpus tokens, merge work ∝
+    vocabulary. That is exactly how production tokenizers amortize: encode
+    each distinct word once, not each occurrence."""
+    _, seq = _train(_word_freq(spark, sf_dir))
+    enc_len = seq.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("n_sym")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.join(enc_len, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+        )
+        .withColumn(
+            "compression",
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.col("n_bpe_tokens").cast("double"),
+                6,
+            ),
+        )
     )
 
 
@@ -204,4 +257,37 @@ WITH wf AS (
     return head + "".join(blocks) + "\n" + tail
 
 
+def _bpe_encode_oracle(n_merges: int = N_MERGES) -> str:
+    """Encode oracle: the same unrolled training replay, then the final
+    seq{n} relation grouped to per-word encoded lengths and joined back to
+    the corpus word explode."""
+    trained = _bpe_oracle(n_merges)
+    # reuse the training CTE chain; splice the per-merge SELECT tail off
+    prefix = trained[: trained.rindex("\nSELECT CAST(1 AS INT)")]
+    return (
+        prefix
+        + f"""
+, enc AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sym
+    FROM seq{n_merges} GROUP BY word
+), docwords AS (
+    SELECT doc_id, word FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents
+    ) WHERE word <> ''
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+       ROUND(CAST(SUM(len(word)) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE), 6)
+           AS compression
+FROM docwords JOIN enc USING (word)
+GROUP BY doc_id
+"""
+    )
+
+
 BPE_MERGES_DOCUMENTS_ORACLE = _bpe_oracle()
+BPE_ENCODE_DOCUMENTS_ORACLE = _bpe_encode_oracle()

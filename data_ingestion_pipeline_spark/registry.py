@@ -261,6 +261,7 @@ _ROUND7_BACKLOG: list[str] = [
 # 30-49) so the driver verifies backlog and additions in the same budget.
 _ROUND7_NEW: list[str] = [
     "exact_substring_excision_documents",
+    "bpe_encode_documents",
 ]
 _NEVER_DRIVER_CHECKED: list[str] = [
     *_ROUND7_BACKLOG,
@@ -1182,6 +1183,12 @@ register(
     "bpe_merges_documents",
     bpe.bpe_merges_documents,
     bpe.BPE_MERGES_DOCUMENTS_ORACLE,
+)
+
+register(
+    "bpe_encode_documents",
+    bpe.bpe_encode_documents,
+    bpe.BPE_ENCODE_DOCUMENTS_ORACLE,
 )
 
 register(

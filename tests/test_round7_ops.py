@@ -59,3 +59,68 @@ def test_excision_short_unique_doc_intact(excised):
     r = excised[4]
     assert r.n_excised == 0
     assert r.rewritten_md5 == hashlib.md5(b"only five short tokens here").hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# BPE corpus encode — parity vs a pure-python reference encoder
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(word_freq: dict, n_merges: int):
+    """Reference BPE: greedy most-frequent pair (ties by (a, b) text asc),
+    greedy-leftmost non-overlapping application — Sennrich et al. 2016."""
+    seqs = {w: list(w) for w in word_freq}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, syms in seqs.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + word_freq[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipeline_spark.operators.bpe import _train
+
+    corpus = [
+        "low low low lower lowest",
+        "new newer newest news",
+        "wide wider widest low new",
+        "aaaa aaa aa a",  # overlapping-run greedy-leftmost stress
+    ]
+    freq: dict = {}
+    for line in corpus:
+        for w in line.split():
+            freq[w] = freq.get(w, 0) + 1
+    ref_merges, ref_seqs = _py_bpe(freq, 5)
+
+    wf = spark.createDataFrame(list(freq.items()), "word string, w long")
+    merges, seq = _train(wf)
+    assert [(a, b) for a, b, _ in ref_merges] == [
+        tuple(p.split("|")) for _, p, _ in merges
+    ]
+    assert [c for _, _, c in ref_merges] == [c for _, _, c in merges]
+    got = {
+        r.word: r.n_sym
+        for r in seq.groupBy("word").agg(F.count("*").alias("n_sym")).collect()
+    }
+    want = {w: len(s) for w, s in ref_seqs.items()}
+    assert got == want
