@@ -1,0 +1,459 @@
+"""Language-model corpus statistics — the estimation layer between raw
+token counts and tokenizer/LM training decisions: Good–Turing unseen-mass
+estimation (Gale & Sampson 1995's simple form), Kneser–Ney discounted
+bigram probabilities (Kneser & Ney 1995; Chen & Goodman 1999 d=0.75),
+skip-gram PMI collocations (the word2vec context window, Mikolov et al.
+2013), moving-average type-token ratio (MATTR, Covington & McFall 2010),
+and the unigram^0.75 negative-sampling table (Mikolov et al. 2013 §2.2).
+
+Scale shape shared across the tier: every operator is one corpus tokenize
+pass (explode → hash aggregation, shuffle ∝ tokens) followed by work on
+the VOCABULARY- or bounded-sized result — freq-of-freqs tables, top-k
+TakeOrdered heads, per-doc array expressions. No all-pairs joins, no
+global sorts over corpus-grain relations; the only windows run over
+bounded relations (≤k-row ranked heads), the repo's documented
+limit-then-rank pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.sources.catalog import load_table
+
+__all__ = [
+    "good_turing_unseen_mass_documents",
+    "kneser_ney_bigram_documents",
+    "skipgram_pmi_documents",
+    "mattr_lexical_diversity_documents",
+    "negative_sampling_table_documents",
+    "GOOD_TURING_UNSEEN_MASS_DOCUMENTS_ORACLE",
+    "KNESER_NEY_BIGRAM_DOCUMENTS_ORACLE",
+    "SKIPGRAM_PMI_DOCUMENTS_ORACLE",
+    "MATTR_LEXICAL_DIVERSITY_DOCUMENTS_ORACLE",
+    "NEGATIVE_SAMPLING_TABLE_DOCUMENTS_ORACLE",
+]
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+
+
+# ---------------------------------------------------------------------------
+# Good–Turing: unseen-probability mass + adjusted counts from freq-of-freqs
+# ---------------------------------------------------------------------------
+
+
+def good_turing_unseen_mass_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Good–Turing frequency-of-frequencies table over TRIGRAM types for
+    r = 1..10: how many trigram types occur exactly r times (N_r), the
+    GT-adjusted count r* = (r+1)·N_{r+1}/N_r (NULL where N_{r+1} = 0 —
+    the simple estimator is undefined there), and the corpus-constant
+    unseen mass p0 = N_1/N — the probability the next trigram drawn is a
+    type never seen, the number Katz backoff discounts against. Trigram
+    grain because that is where the fixture corpus (and any corpus) has a
+    singleton tail; its unigram vocabulary is closed.
+
+    Trigrams generate map-side (array index arithmetic, no join); one
+    corpus pass aggregates type counts, then everything runs on the
+    freq-of-freqs relation (≤10 published rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.try_element_at(toks, i),
+            F.try_element_at(toks, i + 1),
+            F.try_element_at(toks, i + 2),
+        ),
+    )
+    counts = (
+        docs.select(F.explode(grams).alias("g"))
+        .filter(F.col("g") != "")
+        .groupBy("g")
+        .agg(F.count("*").cast("bigint").alias("r"))
+    )
+    fof = counts.groupBy("r").agg(
+        F.count("*").cast("bigint").alias("n_types")
+    )
+    totals = counts.agg(
+        F.sum("r").cast("double").alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+    )
+    nxt = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_types").alias("n_types_next")
+    )
+    return (
+        fof.filter(F.col("r") <= 10)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("r").cast("bigint").alias("r"),
+            "n_types",
+            F.round(
+                (F.col("r") + 1)
+                * F.col("n_types_next").cast("double")
+                / F.col("n_types").cast("double"),
+                6,
+            ).alias("r_star"),
+            F.round(F.col("n1") / F.col("n_tokens"), 6).alias("p0"),
+        )
+        .orderBy("r")
+    )
+
+
+GOOD_TURING_UNSEEN_MASS_DOCUMENTS_ORACLE = r"""
+WITH toks AS (
+    SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), counts AS (
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS r FROM (
+        SELECT array_to_string(t[i:i+2], ' ') AS g
+        FROM (SELECT t, unnest(range(1, GREATEST(len(t) - 2, 1) + 1)) AS i
+              FROM toks)
+    ) WHERE g <> '' GROUP BY g
+), fof AS (
+    SELECT r, CAST(COUNT(*) AS BIGINT) AS n_types FROM counts GROUP BY r
+), totals AS (
+    SELECT CAST(SUM(r) AS DOUBLE) AS n_tokens,
+           CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1
+    FROM counts
+)
+SELECT CAST(f.r AS BIGINT) AS r, f.n_types,
+       ROUND((f.r + 1) * CAST(nx.n_types AS DOUBLE)
+             / CAST(f.n_types AS DOUBLE), 6) AS r_star,
+       ROUND(t.n1 / t.n_tokens, 6) AS p0
+FROM fof f
+LEFT JOIN fof nx ON nx.r = f.r + 1
+CROSS JOIN totals t
+WHERE f.r <= 10
+ORDER BY r
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kneser–Ney: discounted bigram probabilities with continuation unigrams
+# ---------------------------------------------------------------------------
+
+
+def kneser_ney_bigram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (d = 0.75) for the top
+    100 corpus bigrams: P_KN(w2|w1) = max(c(w1,w2)−d, 0)/c(w1·) +
+    d·N1+(w1·)/c(w1·) · P_cont(w2), where P_cont(w2) = N1+(·w2)/|bigram
+    types| — the continuation probability that makes KN the smoothing
+    every n-gram LM baseline uses.
+
+    Bigrams pair map-side (array zip of each doc's token array with its
+    own 1-shifted tail — no self-join); all smoothing terms are joins between
+    vocabulary-sized aggregates; the 100-row head is a TakeOrdered, the
+    final rank a window over those 100 rows only."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    bg = (
+        docs.select(
+            F.explode(
+                F.zip_with(
+                    toks,
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .filter((F.col("w1") != "") & F.col("w2").isNotNull())
+    )
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    left_tot = c12.groupBy("w1").agg(
+        F.sum("c").cast("double").alias("c1"),
+        F.count("*").cast("double").alias("n1plus_left"),
+    )
+    cont = c12.groupBy("w2").agg(
+        F.count("*").cast("double").alias("n1plus_right")
+    )
+    n_types = c12.agg(F.count("*").cast("double").alias("bigram_types"))
+    d = F.lit(0.75)
+    p_kn = (
+        F.greatest(F.col("c") - d, F.lit(0.0)) / F.col("c1")
+        + d
+        * F.col("n1plus_left")
+        / F.col("c1")
+        * (F.col("n1plus_right") / F.col("bigram_types"))
+    )
+    top = (
+        c12.join(left_tot, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(n_types))
+        .select("w1", "w2", "c", F.round(p_kn, 6).alias("p_kn"))
+        .orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+        .limit(100)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+KNESER_NEY_BIGRAM_DOCUMENTS_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), bg AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+    WHERE t[i] <> ''
+), c12 AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+), left_tot AS (
+    SELECT w1, CAST(SUM(c) AS DOUBLE) AS c1,
+           CAST(COUNT(*) AS DOUBLE) AS n1plus_left
+    FROM c12 GROUP BY w1
+), cont AS (
+    SELECT w2, CAST(COUNT(*) AS DOUBLE) AS n1plus_right FROM c12 GROUP BY w2
+), n_types AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS bigram_types FROM c12
+)
+SELECT w1, w2, c,
+       ROUND(GREATEST(c - 0.75, 0.0) / c1
+             + 0.75 * n1plus_left / c1 * (n1plus_right / bigram_types), 6)
+           AS p_kn,
+       CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w1, w2) AS INT) AS rank
+FROM c12
+JOIN left_tot USING (w1)
+JOIN cont USING (w2)
+CROSS JOIN n_types
+ORDER BY c DESC, w1, w2 LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram PMI: word2vec-window collocations, map-side pair generation
+# ---------------------------------------------------------------------------
+
+
+def skipgram_pmi_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over the word2vec skip-gram window
+    (unordered co-occurrence within distance ≤ 2): pmi =
+    ln((c_ab/C)/((f_a/W)·(f_b/W))) for pairs with c_ab ≥ 5, top 100 by
+    (pmi, a, b). Distinct from the adjacent-bigram collocation report —
+    the window catches 'strong ties one word apart'.
+
+    Pairs generate MAP-SIDE per document (array index arithmetic over the
+    token array — never a positional self-join): for every position i,
+    (t[i], t[i+1]) and (t[i], t[i+2]) normalized to unordered (least,
+    greatest). Shuffle ∝ 2·tokens; everything after runs on
+    vocabulary-sized aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+
+    def _pairs(off: int):
+        # keep the raw (center, context) order here: least/greatest with a
+        # NULL zip-padding would collapse to the non-null side and leak the
+        # padded tail pair — normalize to unordered only after the NULL
+        # filter below
+        return F.zip_with(
+            toks,
+            F.slice(
+                toks, 1 + off, F.greatest(F.size(toks) - off, F.lit(1))
+            ),
+            lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+        )
+
+    pairs = (
+        docs.select(
+            F.explode(F.concat(_pairs(1), _pairs(2))).alias("p")
+        )
+        .select("p.x", "p.y")
+        .filter((F.col("x") != "") & F.col("y").isNotNull())
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+    )
+    cab = pairs.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("c_ab"))
+    tok = _tokens(spark, sf_dir)
+    uni = tok.groupBy("token").agg(F.count("*").cast("double").alias("f"))
+    tot = cab.agg(F.sum("c_ab").cast("double").alias("cc")).crossJoin(
+        F.broadcast(tok.agg(F.count("*").cast("double").alias("ww")))
+    )
+    pmi = F.log(
+        (F.col("c_ab") / F.col("cc"))
+        / ((F.col("fa") / F.col("ww")) * (F.col("fb") / F.col("ww")))
+    )
+    top = (
+        cab.filter(F.col("c_ab") >= 5)
+        .join(uni.select(F.col("token").alias("a"), F.col("f").alias("fa")), "a")
+        .join(uni.select(F.col("token").alias("b"), F.col("f").alias("fb")), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", "c_ab", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(100)
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+SKIPGRAM_PMI_DOCUMENTS_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), pairs AS (
+    SELECT LEAST(t[i], t[i + o]) AS a, GREATEST(t[i], t[i + o]) AS b
+    FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+    CROSS JOIN (SELECT unnest([1, 2]) AS o)
+    WHERE i + o <= len(t) AND t[i] <> ''
+), cab AS (
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pairs GROUP BY a, b
+), uni AS (
+    SELECT token, CAST(COUNT(*) AS DOUBLE) AS f FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ) WHERE token <> '' GROUP BY token
+), tot AS (
+    SELECT (SELECT CAST(SUM(c_ab) AS DOUBLE) FROM cab) AS cc,
+           (SELECT CAST(COUNT(*) AS DOUBLE) FROM (
+               SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+               FROM documents) WHERE tk <> '') AS ww
+)
+SELECT a, b, c_ab,
+       ROUND(LN((c_ab / cc) / ((ua.f / ww) * (ub.f / ww))), 6) AS pmi,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY ROUND(LN((c_ab / cc) / ((ua.f / ww) * (ub.f / ww))), 6)
+                    DESC, a, b
+       ) AS INT) AS rank
+FROM cab
+JOIN uni ua ON ua.token = a
+JOIN uni ub ON ub.token = b
+CROSS JOIN tot
+WHERE c_ab >= 5
+ORDER BY pmi DESC, a, b LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# MATTR: moving-average type-token ratio, per-document array expression
+# ---------------------------------------------------------------------------
+
+
+def mattr_lexical_diversity_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Moving-average type-token ratio (window 50) per document — the
+    length-robust lexical-diversity measure (plain TTR falls with doc
+    length, so it can't compare docs; MATTR fixes the window). Docs
+    shorter than the window publish their plain TTR (the W→len limit).
+
+    Pure per-document array expression — distinct counts over 50-token
+    slices, O(len·W) per doc, embarrassingly parallel, zero shuffle
+    beyond the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    base = docs.select("doc_id", toks.alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    n_win = F.greatest(F.col("n") - 49, F.lit(1))
+    ttrs = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.size(F.array_distinct(F.slice("t", i, 50)))
+        / F.least(F.col("n"), F.lit(50)).cast("double"),
+    )
+    return base.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("t")) / F.col("n").cast("double"), 6
+        ).alias("ttr"),
+        F.round(
+            F.aggregate(ttrs, F.lit(0.0), lambda acc, x: acc + x)
+            / n_win.cast("double"),
+            6,
+        ).alias("mattr"),
+    )
+
+
+MATTR_LEXICAL_DIVERSITY_DOCUMENTS_ORACLE = r"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       ROUND(len(list_distinct(t)) / CAST(n AS DOUBLE), 6) AS ttr,
+       ROUND(
+           list_sum(list_transform(
+               range(1, GREATEST(n - 49, 1) + 1),
+               i -> len(list_distinct(t[i:i+49]))
+                    / CAST(LEAST(n, 50) AS DOUBLE)
+           )) / CAST(GREATEST(n - 49, 1) AS DOUBLE), 6) AS mattr
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# Negative-sampling table: unigram^0.75 with cumulative alias boundaries
+# ---------------------------------------------------------------------------
+
+
+def negative_sampling_table_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The word2vec negative-sampling distribution: p(w) ∝ count(w)^0.75
+    (the 3/4 power that up-weights the tail), published as the top-200
+    table by count with each token's sampling probability and the
+    cumulative boundary a sampler would binary-search. The normalizer sums
+    over the WHOLE vocabulary, not the published head — the head is a
+    report, the distribution is the corpus's.
+
+    One corpus pass → vocabulary aggregate; ^0.75 and the normalizer are
+    scalar map-work; the 200-row head is TakeOrdered and the cumulative
+    window runs over those 200 rows only (limit-then-rank)."""
+    counts = (
+        _tokens(spark, sf_dir)
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .withColumn("pw", F.pow(F.col("c").cast("double"), F.lit(0.75)))
+    )
+    z = counts.agg(F.sum("pw").alias("z"))
+    top = (
+        counts.crossJoin(F.broadcast(z))
+        .select("token", "c", F.round(F.col("pw") / F.col("z"), 8).alias("p"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(200)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    return top.select(
+        "token",
+        "c",
+        "p",
+        F.round(F.sum("p").over(w), 8).alias("cum_p"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+NEGATIVE_SAMPLING_TABLE_DOCUMENTS_ORACLE = r"""
+WITH counts AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS c,
+           POW(CAST(COUNT(*) AS DOUBLE), 0.75) AS pw
+    FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents
+    ) WHERE token <> '' GROUP BY token
+), z AS (
+    SELECT SUM(pw) AS z FROM counts
+), top AS (
+    SELECT token, c, ROUND(pw / z, 8) AS p
+    FROM counts CROSS JOIN z
+    ORDER BY c DESC, token LIMIT 200
+)
+SELECT token, c, p,
+       ROUND(SUM(p) OVER (ORDER BY c DESC, token
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             8) AS cum_p,
+       CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token) AS INT) AS rank
+FROM top
+"""

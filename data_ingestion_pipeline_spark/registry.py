@@ -23,6 +23,7 @@ from data_ingestion_pipeline_spark.operators import (
     ingestion_checks,
     lakehouse_checks,
     llm_data,
+    lm_stats,
     mlprep_checks,
     multimodal_checks,
     relational,
@@ -262,6 +263,11 @@ _ROUND7_BACKLOG: list[str] = [
 _ROUND7_NEW: list[str] = [
     "exact_substring_excision_documents",
     "bpe_encode_documents",
+    "good_turing_unseen_mass_documents",
+    "kneser_ney_bigram_documents",
+    "skipgram_pmi_documents",
+    "mattr_lexical_diversity_documents",
+    "negative_sampling_table_documents",
 ]
 _NEVER_DRIVER_CHECKED: list[str] = [
     *_ROUND7_BACKLOG,
@@ -1189,6 +1195,38 @@ register(
     "bpe_encode_documents",
     bpe.bpe_encode_documents,
     bpe.BPE_ENCODE_DOCUMENTS_ORACLE,
+)
+
+# --- round-7 LM corpus-statistics tier (operators/lm_stats.py) -------------
+
+register(
+    "good_turing_unseen_mass_documents",
+    lm_stats.good_turing_unseen_mass_documents,
+    lm_stats.GOOD_TURING_UNSEEN_MASS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "kneser_ney_bigram_documents",
+    lm_stats.kneser_ney_bigram_documents,
+    lm_stats.KNESER_NEY_BIGRAM_DOCUMENTS_ORACLE,
+)
+
+register(
+    "skipgram_pmi_documents",
+    lm_stats.skipgram_pmi_documents,
+    lm_stats.SKIPGRAM_PMI_DOCUMENTS_ORACLE,
+)
+
+register(
+    "mattr_lexical_diversity_documents",
+    lm_stats.mattr_lexical_diversity_documents,
+    lm_stats.MATTR_LEXICAL_DIVERSITY_DOCUMENTS_ORACLE,
+)
+
+register(
+    "negative_sampling_table_documents",
+    lm_stats.negative_sampling_table_documents,
+    lm_stats.NEGATIVE_SAMPLING_TABLE_DOCUMENTS_ORACLE,
 )
 
 register(
