@@ -1,0 +1,603 @@
+"""Inference & concentration statistics — round-7 additions to the
+distributional-stats tier: Wilson score intervals (Wilson 1927, the
+binomial CI every conversion dashboard should use instead of the normal
+approximation), one-way ANOVA (Fisher's F from group moments), Gini /
+Lorenz spend concentration, Cook's distance influence diagnostics
+(Cook 1977) on the price~quantity regression, and the Hill tail-index
+estimator (Hill 1975) for heavy-tailed order values.
+
+Scale shape shared across the tier: one hash-aggregation pass over the
+fact table produces group- or dimension-sized moment tables (exact
+decimal power sums, the repo-wide parity discipline); everything after —
+closed-form F/CI/φ algebra, ranked heads — runs on bounded relations.
+The only unpartitioned windows are over the customer dimension (Gini
+ranking, the same documented trade as ``customer_spend_deciles``) or
+≤k-row TakeOrdered heads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestion_pipeline_spark.functions.numeric import dec_sum
+from data_ingestion_pipeline_spark.sources.catalog import load_table
+
+__all__ = [
+    "wilson_ci_purchase_rate_daily",
+    "oneway_anova_event_values",
+    "gini_lorenz_customer_spend",
+    "cooks_distance_price_quantity",
+    "hill_tail_index_orders",
+    "tukey_hsd_event_values",
+    "levene_bf_event_values",
+    "WILSON_CI_PURCHASE_RATE_DAILY_ORACLE",
+    "ONEWAY_ANOVA_EVENT_VALUES_ORACLE",
+    "GINI_LORENZ_CUSTOMER_SPEND_ORACLE",
+    "COOKS_DISTANCE_PRICE_QUANTITY_ORACLE",
+    "HILL_TAIL_INDEX_ORDERS_ORACLE",
+    "TUKEY_HSD_EVENT_VALUES_ORACLE",
+    "LEVENE_BF_EVENT_VALUES_ORACLE",
+]
+
+_Z = 1.96  # 95% two-sided
+
+
+def wilson_ci_purchase_rate_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-day purchase-rate with the Wilson score interval: for x
+    purchases out of n events, center = (p̂ + z²/2n)/(1 + z²/n) and
+    half-width = z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n). Unlike the Wald
+    interval this never leaves [0, 1] and behaves at p̂ → 0 — the
+    correct small-sample daily readout.
+
+    One shuffle (day groupBy); the interval is map-side arithmetic on
+    two bigints per day."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("bigint")
+        .alias("x"),
+    )
+    n, x = F.col("n").cast("double"), F.col("x").cast("double")
+    z2 = F.lit(_Z * _Z)
+    p = x / n
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(_Z)
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return agg.select(
+        "day",
+        "n",
+        "x",
+        F.round(p, 6).alias("p_hat"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    ).orderBy("day")
+
+
+WILSON_CI_PURCHASE_RATE_DAILY_ORACLE = """
+WITH agg AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x
+    FROM events GROUP BY 1
+)
+SELECT day, n, x,
+       ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+       ROUND((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+              + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+             - 1.96 * SQRT(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                           * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                           / CAST(n AS DOUBLE)
+                           + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)
+                                       * CAST(n AS DOUBLE)))
+               / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS ci_lo,
+       ROUND((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+              + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+             / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+             + 1.96 * SQRT(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                           * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                           / CAST(n AS DOUBLE)
+                           + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)
+                                       * CAST(n AS DOUBLE)))
+               / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS ci_hi
+FROM agg ORDER BY day
+"""
+
+
+def oneway_anova_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types: F = MSB/MSW from
+    per-group exact decimal power sums — the parametric k-group
+    complement to the registered Mann–Whitney/Welch pair — plus η²
+    (between-group variance share), the effect size the F alone hides.
+
+    ONE pass over events (per-type n/Σx/Σx²); SSB/SSW assemble from the
+    group-count-sized moment table. No second scan, no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        dec_sum(v, 27, 12).cast("double").alias("s1"),
+        dec_sum(v * v, 38, 12).cast("double").alias("s2"),
+    )
+    ngd = F.col("ng").cast("double")
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("s1").alias("gs1"),
+        F.sum(F.col("s1") * F.col("s1") / ngd).alias("sum_sq_means"),
+        F.sum(F.col("s2") - F.col("s1") * F.col("s1") / ngd).alias("ssw"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    ssb = F.col("sum_sq_means") - F.col("gs1") * F.col("gs1") / nd
+    fstat = (ssb / (kd - F.lit(1.0))) / (F.col("ssw") / (nd - kd))
+    # publish only the scale-free ratios: raw SSB/SSW are ~1e10 with a
+    # ~1e-4 fp-fold wobble (group-level double fold), so pinning them to a
+    # rounded hash would flake; F and η² carry the same information at
+    # 1e-14 relative error
+    return tot.select(
+        "k",
+        "n",
+        F.round(fstat, 6).alias("f_stat"),
+        F.round(ssb / (ssb + F.col("ssw")), 6).alias("eta_sq"),
+    )
+
+
+ONEWAY_ANOVA_EVENT_VALUES_ORACLE = """
+WITH g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS ng,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2
+    FROM events GROUP BY event_type
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(ng) AS BIGINT) AS n,
+           SUM(s1) AS gs1,
+           SUM(s1 * s1 / CAST(ng AS DOUBLE)) AS sum_sq_means,
+           SUM(s2 - s1 * s1 / CAST(ng AS DOUBLE)) AS ssw
+    FROM g
+)
+SELECT k, n,
+       ROUND(((sum_sq_means - gs1 * gs1 / CAST(n AS DOUBLE))
+              / (CAST(k AS DOUBLE) - 1.0))
+             / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat,
+       ROUND((sum_sq_means - gs1 * gs1 / CAST(n AS DOUBLE))
+             / ((sum_sq_means - gs1 * gs1 / CAST(n AS DOUBLE)) + ssw), 6)
+           AS eta_sq
+FROM tot
+"""
+
+
+def gini_lorenz_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend concentration across the customer base: decile Lorenz points
+    (cumulative spend share of the poorest 10%, 20%, …) plus the Gini
+    coefficient G = (2·Σᵢ i·xᵢ − (n+1)·Σx)/(n·Σx) over spend ranked
+    ascending — the single number 'top decile owns X%' reports compress.
+
+    The rank window runs over the per-customer AGGREGATE (dimension-sized
+    — the same documented trade as ``customer_spend_deciles``; facts
+    never sort). Rank-weighted sums stay exact: cents-rounded decimal
+    spend × bigint rank sums as DECIMAL(38,2)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(dec_sum(F.col("o_totalprice")), 2).alias("spend")
+    )
+    w = Window.orderBy(F.asc("spend"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "o_custkey",
+        "spend",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+    )
+    tot = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("spend").alias("total_spend"),
+        F.sum(F.col("spend") * F.col("rk")).alias("rank_weighted"),
+    )
+    nd = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("rank_weighted").cast("double")
+        - (nd + F.lit(1.0)) * F.col("total_spend").cast("double")
+    ) / (nd * F.col("total_spend").cast("double"))
+    per_dec = ranked.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("spend").alias("dec_spend"),
+    )
+    cum_w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_dec.withColumn("cum_spend", F.sum("dec_spend").over(cum_w))
+        .crossJoin(F.broadcast(tot.select("total_spend", gini.alias("g"))))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("dec_spend").cast("double").alias("decile_spend"),
+            F.round(
+                F.col("cum_spend").cast("double")
+                / F.col("total_spend").cast("double"),
+                6,
+            ).alias("cum_spend_frac"),
+            F.round(F.col("g"), 6).alias("gini"),
+        )
+        .orderBy("decile")
+    )
+
+
+GINI_LORENZ_CUSTOMER_SPEND_ORACLE = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS spend
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT o_custkey, spend,
+           CAST(ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS BIGINT) AS rk,
+           CAST(NTILE(10) OVER (ORDER BY spend, o_custkey) AS INT) AS decile
+    FROM per_cust
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(spend) AS total_spend,
+           SUM(spend * rk) AS rank_weighted
+    FROM ranked
+), per_dec AS (
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           SUM(spend) AS dec_spend
+    FROM ranked GROUP BY decile
+)
+SELECT decile, n_customers,
+       CAST(dec_spend AS DOUBLE) AS decile_spend,
+       ROUND(CAST(SUM(dec_spend) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(total_spend AS DOUBLE), 6) AS cum_spend_frac,
+       ROUND((2.0 * CAST(rank_weighted AS DOUBLE)
+              - (CAST(n AS DOUBLE) + 1.0) * CAST(total_spend AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(total_spend AS DOUBLE)), 6) AS gini
+FROM per_dec CROSS JOIN tot
+ORDER BY decile
+"""
+
+
+def cooks_distance_price_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Influence diagnostics on the lineitem price~quantity OLS fit: the
+    20 most influential points by Cook's distance Dᵢ =
+    eᵢ²·hᵢ/(p·MSE·(1−hᵢ)²) with leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx —
+    the 'which rows move the model' follow-up to the registered
+    per-group regression report.
+
+    One exact-decimal moment pass (n, Σx, Σy, Σx², Σxy, Σy²) broadcasts;
+    residual, leverage, and D are map-side per row; the head is a
+    TakeOrdered over (rounded D desc, keys) — no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    base = li.select(
+        "l_orderkey", "l_linenumber", x.alias("x"), y.alias("y")
+    )
+    m = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("x"), 27, 6).cast("double").alias("sx"),
+        dec_sum(F.col("y"), 27, 6).cast("double").alias("sy"),
+        dec_sum(F.col("x") * F.col("x"), 38, 6).cast("double").alias("sxx"),
+        dec_sum(F.col("x") * F.col("y"), 38, 6).cast("double").alias("sxy"),
+        dec_sum(F.col("y") * F.col("y"), 38, 6).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / nd
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / nd
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / nd
+    slope = sxy_c / sxx_c
+    xbar = F.col("sx") / nd
+    ybar = F.col("sy") / nd
+    sse = syy_c - slope * sxy_c
+    mse = sse / (nd - F.lit(2.0))
+    j = base.crossJoin(
+        F.broadcast(
+            m.select(
+                "n",
+                slope.alias("b"),
+                xbar.alias("xbar"),
+                ybar.alias("ybar"),
+                sxx_c.alias("sxx_c"),
+                mse.alias("mse"),
+            )
+        )
+    )
+    e = F.col("y") - (F.col("ybar") + F.col("b") * (F.col("x") - F.col("xbar")))
+    h = F.lit(1.0) / F.col("n").cast("double") + (
+        (F.col("x") - F.col("xbar")) * (F.col("x") - F.col("xbar"))
+    ) / F.col("sxx_c")
+    d = (e * e * h) / (
+        F.lit(2.0)
+        * F.col("mse")
+        * (F.lit(1.0) - h)
+        * (F.lit(1.0) - h)
+    )
+    return (
+        j.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("x").alias("quantity"),
+            F.col("y").alias("price"),
+            F.round(h, 8).alias("leverage"),
+            F.round(d, 8).alias("cooks_d"),
+        )
+        .orderBy(
+            F.desc("cooks_d"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .limit(20)
+    )
+
+
+COOKS_DISTANCE_PRICE_QUANTITY_ORACLE = """
+WITH base AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_extendedprice AS DOUBLE) AS y
+    FROM lineitem
+), m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+    FROM base
+), d AS (
+    SELECT n,
+           (sxy - sx * sy / CAST(n AS DOUBLE))
+               / (sxx - sx * sx / CAST(n AS DOUBLE)) AS b,
+           sx / CAST(n AS DOUBLE) AS xbar,
+           sy / CAST(n AS DOUBLE) AS ybar,
+           sxx - sx * sx / CAST(n AS DOUBLE) AS sxx_c,
+           ((syy - sy * sy / CAST(n AS DOUBLE))
+            - ((sxy - sx * sy / CAST(n AS DOUBLE))
+               / (sxx - sx * sx / CAST(n AS DOUBLE)))
+              * (sxy - sx * sy / CAST(n AS DOUBLE)))
+           / (CAST(n AS DOUBLE) - 2.0) AS mse
+    FROM m
+)
+SELECT l_orderkey, l_linenumber, x AS quantity, y AS price,
+       ROUND(1.0 / CAST(n AS DOUBLE) + (x - xbar) * (x - xbar) / sxx_c, 8)
+           AS leverage,
+       ROUND(((y - (ybar + b * (x - xbar))) * (y - (ybar + b * (x - xbar)))
+              * (1.0 / CAST(n AS DOUBLE) + (x - xbar) * (x - xbar) / sxx_c))
+             / (2.0 * mse
+                * (1.0 - (1.0 / CAST(n AS DOUBLE)
+                          + (x - xbar) * (x - xbar) / sxx_c))
+                * (1.0 - (1.0 / CAST(n AS DOUBLE)
+                          + (x - xbar) * (x - xbar) / sxx_c))), 8) AS cooks_d
+FROM base CROSS JOIN d
+ORDER BY cooks_d DESC, l_orderkey, l_linenumber LIMIT 20
+"""
+
+
+def hill_tail_index_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index of order values over the
+    k = 100 largest orders: α̂ = 1/mean(ln(x₍ᵢ₎) − ln(x₍ₖ₊₁₎)) — the
+    standard answer to 'how heavy is the revenue tail', the distribution
+    question Zipf/Benford reports skirt. Also ships the implied tail
+    probability exponent check α̂ > 1 (finite mean).
+
+    The k+1 order statistics come from one TakeOrdered (deterministic
+    (value desc, key) sort keys — never a global sort); the estimator is
+    an aggregate over those 101 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    top = (
+        orders.select("o_orderkey", F.col("o_totalprice").cast("double").alias("v"))
+        .orderBy(F.desc("v"), F.asc("o_orderkey"))
+        .limit(101)
+    )
+    w = Window.orderBy(F.desc("v"), F.asc("o_orderkey"))
+    ranked = top.withColumn("rn", F.row_number().over(w))
+    xk = ranked.filter(F.col("rn") == 101).select(
+        F.col("v").alias("x_threshold")
+    )
+    return (
+        ranked.filter(F.col("rn") <= 100)
+        .crossJoin(F.broadcast(xk))
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.first("x_threshold").alias("x_threshold"),
+            F.round(
+                F.lit(1.0)
+                / F.avg(F.log(F.col("v") / F.col("x_threshold"))),
+                6,
+            ).alias("hill_alpha"),
+        )
+        .select(
+            "k",
+            F.round("x_threshold", 2).alias("x_threshold"),
+            "hill_alpha",
+            (F.col("hill_alpha") > 1.0).alias("finite_mean"),
+        )
+    )
+
+
+HILL_TAIL_INDEX_ORDERS_ORACLE = """
+WITH top AS (
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS v
+    FROM orders ORDER BY v DESC, o_orderkey LIMIT 101
+), ranked AS (
+    SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC, o_orderkey) AS rn FROM top
+), xk AS (
+    SELECT v AS x_threshold FROM ranked WHERE rn = 101
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       ROUND(MIN(x_threshold), 2) AS x_threshold,
+       ROUND(1.0 / AVG(LN(v / x_threshold)), 6) AS hill_alpha,
+       ROUND(1.0 / AVG(LN(v / x_threshold)), 6) > 1.0 AS finite_mean
+FROM ranked CROSS JOIN xk
+WHERE rn <= 100
+"""
+
+
+def tukey_hsd_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc pairwise comparisons after the one-way ANOVA:
+    for every unordered event-type pair, the mean difference and the
+    studentized-range statistic q = |x̄ᵢ − x̄ⱼ| / √(MSW/2 · (1/nᵢ + 1/nⱼ))
+    (Tukey–Kramer form for unequal group sizes) — the 'WHICH groups
+    differ' follow-up the omnibus F cannot answer.
+
+    Same single moment pass as the ANOVA (per-type n/Σx/Σx² in exact
+    decimal); MSW assembles on the k-row moment table, and the pairwise
+    self-join runs over k(k−1)/2 rows — bounded by the event-type
+    cardinality, never by the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        dec_sum(v, 27, 12).cast("double").alias("s1"),
+        dec_sum(v * v, 38, 12).cast("double").alias("s2"),
+    )
+    ngd = F.col("ng").cast("double")
+    msw = g.agg(
+        (
+            F.sum(F.col("s2") - F.col("s1") * F.col("s1") / ngd)
+            / (F.sum("ng").cast("double") - F.count("*").cast("double"))
+        ).alias("msw")
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"),
+        F.col("ng").alias("na"),
+        (F.col("s1") / ngd).alias("mean_a"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"),
+        F.col("ng").alias("nb"),
+        (F.col("s1") / ngd).alias("mean_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b")).crossJoin(
+        F.broadcast(msw)
+    )
+    diff = F.col("mean_a") - F.col("mean_b")
+    se = F.sqrt(
+        F.col("msw")
+        / F.lit(2.0)
+        * (
+            F.lit(1.0) / F.col("na").cast("double")
+            + F.lit(1.0) / F.col("nb").cast("double")
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "na",
+        "nb",
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(F.abs(diff) / se, 6).alias("q_stat"),
+    ).orderBy("type_a", "type_b")
+
+
+TUKEY_HSD_EVENT_VALUES_ORACLE = """
+WITH g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS ng,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2
+    FROM events GROUP BY event_type
+), msw AS (
+    SELECT SUM(s2 - s1 * s1 / CAST(ng AS DOUBLE))
+           / (CAST(SUM(ng) AS DOUBLE) - CAST(COUNT(*) AS DOUBLE)) AS msw
+    FROM g
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       a.ng AS na, b.ng AS nb,
+       ROUND(a.s1 / CAST(a.ng AS DOUBLE) - b.s1 / CAST(b.ng AS DOUBLE), 6)
+           AS mean_diff,
+       ROUND(ABS(a.s1 / CAST(a.ng AS DOUBLE) - b.s1 / CAST(b.ng AS DOUBLE))
+             / SQRT(msw / 2.0 * (1.0 / CAST(a.ng AS DOUBLE)
+                                 + 1.0 / CAST(b.ng AS DOUBLE))), 6) AS q_stat
+FROM g a JOIN g b ON a.event_type < b.event_type
+CROSS JOIN msw
+ORDER BY type_a, type_b
+"""
+
+
+def levene_bf_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) test of variance
+    homogeneity across event types — the robust check of the ANOVA's
+    equal-variance assumption: one-way F computed on zᵢⱼ = |xᵢⱼ − medⱼ|.
+
+    Two passes by necessity (the median must exist before the deviations
+    do): pass 1 is a per-type exact interpolated median (percentile ==
+    DuckDB quantile_cont — bitwise-equal double algebra); the ≤k-row
+    median table broadcasts back into pass 2's deviation moment
+    aggregation. No windows, no fact-side sort — percentile aggregates
+    partial-merge like any other agg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        dec_sum(F.col("z"), 27, 12).cast("double").alias("s1"),
+        dec_sum(F.col("z") * F.col("z"), 38, 12).cast("double").alias("s2"),
+    )
+    ngd = F.col("ng").cast("double")
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("s1").alias("gs1"),
+        F.sum(F.col("s1") * F.col("s1") / ngd).alias("sum_sq_means"),
+        F.sum(F.col("s2") - F.col("s1") * F.col("s1") / ngd).alias("ssw"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    ssb = F.col("sum_sq_means") - F.col("gs1") * F.col("gs1") / nd
+    fstat = (ssb / (kd - F.lit(1.0))) / (F.col("ssw") / (nd - kd))
+    return tot.select(
+        "k",
+        "n",
+        F.round(fstat, 6).alias("bf_f"),
+        F.round(ssb / (ssb + F.col("ssw")), 6).alias("eta_sq"),
+    )
+
+
+LEVENE_BF_EVENT_VALUES_ORACLE = """
+WITH ev AS (
+    SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+), med AS (
+    SELECT event_type, quantile_cont(v, 0.5) AS med FROM ev GROUP BY event_type
+), z AS (
+    SELECT ev.event_type, ABS(v - med) AS z
+    FROM ev JOIN med ON ev.event_type = med.event_type
+), g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS ng,
+           CAST(SUM(CAST(z AS DECIMAL(27,12))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(z * z AS DECIMAL(38,12))) AS DOUBLE) AS s2
+    FROM z GROUP BY event_type
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(ng) AS BIGINT) AS n,
+           SUM(s1) AS gs1,
+           SUM(s1 * s1 / CAST(ng AS DOUBLE)) AS sum_sq_means,
+           SUM(s2 - s1 * s1 / CAST(ng AS DOUBLE)) AS ssw
+    FROM g
+)
+SELECT k, n,
+       ROUND(((sum_sq_means - gs1 * gs1 / CAST(n AS DOUBLE))
+              / (CAST(k AS DOUBLE) - 1.0))
+             / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS bf_f,
+       ROUND((sum_sq_means - gs1 * gs1 / CAST(n AS DOUBLE))
+             / ((sum_sq_means - gs1 * gs1 / CAST(n AS DOUBLE)) + ssw), 6)
+           AS eta_sq
+FROM tot
+"""

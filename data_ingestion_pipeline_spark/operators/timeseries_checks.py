@@ -99,6 +99,128 @@ def autocorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ar2_yule_walker_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) fit of the daily value series by Yule–Walker in correlation
+    form — φ₁ = ρ₁(1−ρ₂)/(1−ρ₁²), φ₂ = (ρ₂−ρ₁²)/(1−ρ₁²) — with the
+    one-step forecast x̂ = x̄ + φ₁(x_T−x̄) + φ₂(x_{T−1}−x̄): the
+    autoregression the registered Holt/Theil–Sen forecasters don't cover
+    (they model trend; AR models serial dependence). ρ₁, ρ₂ are the
+    lag-pair Pearson correlations (``autocorr_daily_value``'s estimator,
+    stated so the oracle replays the identical algebra).
+
+    Everything after the one daily groupBy runs on the day-series
+    relation: the lag pairing is a self-join of the aggregate (the
+    autocorr pattern — no window over the corpus), the last-two-days head
+    is a 2-row TakeOrdered, and the fit is closed-form scalar algebra."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    lags = spark.range(1, 3).select(F.col("id").cast("int").alias("lag"))
+    b = daily.select(F.col("day").alias("day2"), F.col("x").alias("y"))
+    pairs = daily.crossJoin(F.broadcast(lags)).join(
+        b, F.date_add(F.col("day"), F.col("lag")) == F.col("day2")
+    )
+    x, y = F.col("x"), F.col("y")
+    s = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(x, 38, 12).cast("double").alias("sx"),
+        dec_sum(y, 38, 12).cast("double").alias("sy"),
+        dec_sum(x * y, 38, 12).cast("double").alias("sxy"),
+        dec_sum(x * x, 38, 12).cast("double").alias("sxx"),
+        dec_sum(y * y, 38, 12).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    r = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    rs = s.select("lag", r.alias("r"))
+    rho = (
+        rs.groupBy()
+        .pivot("lag", [1, 2])
+        .agg(F.first("r"))
+        .select(F.col("1").alias("r1"), F.col("2").alias("r2"))
+    )
+    stats = daily.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        (dec_sum(x, 38, 12).cast("double") / F.count("*")).alias("mu"),
+    )
+    last2 = (
+        daily.orderBy(F.desc("day"))
+        .limit(2)
+        .agg(
+            F.max_by("x", "day").alias("xt"),
+            F.min_by("x", "day").alias("xtm1"),
+        )
+    )
+    j = rho.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(last2))
+    one = F.lit(1.0)
+    phi1 = F.col("r1") * (one - F.col("r2")) / (one - F.col("r1") * F.col("r1"))
+    phi2 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        one - F.col("r1") * F.col("r1")
+    )
+    fc = (
+        F.col("mu")
+        + phi1 * (F.col("xt") - F.col("mu"))
+        + phi2 * (F.col("xtm1") - F.col("mu"))
+    )
+    return j.select(
+        "n_days",
+        F.round(F.col("r1"), 6).alias("rho1"),
+        F.round(F.col("r2"), 6).alias("rho2"),
+        F.round(phi1, 6).alias("phi1"),
+        F.round(phi2, 6).alias("phi2"),
+        F.round(fc, 2).alias("forecast_next"),
+    )
+
+
+AR2_YULE_WALKER_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), lags AS (SELECT CAST(unnest(range(1, 3)) AS INT) AS lag),
+pairs AS (
+    SELECT l.lag, a.x AS x, b.x AS y
+    FROM daily a CROSS JOIN lags l
+    JOIN daily b ON b.day = a.day + l.lag
+), s AS (
+    SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+    FROM pairs GROUP BY lag
+), rho AS (
+    SELECT
+        MAX(CASE WHEN lag = 1 THEN
+            (CAST(n AS DOUBLE) * sxy - sx * sy)
+            / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                   * (CAST(n AS DOUBLE) * syy - sy * sy)) END) AS r1,
+        MAX(CASE WHEN lag = 2 THEN
+            (CAST(n AS DOUBLE) * sxy - sx * sy)
+            / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                   * (CAST(n AS DOUBLE) * syy - sy * sy)) END) AS r2
+    FROM s
+), stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu
+    FROM daily
+), last2 AS (
+    SELECT max_by(x, day) AS xt, min_by(x, day) AS xtm1
+    FROM (SELECT day, x FROM daily ORDER BY day DESC LIMIT 2)
+)
+SELECT n_days,
+       ROUND(r1, 6) AS rho1,
+       ROUND(r2, 6) AS rho2,
+       ROUND(r1 * (1.0 - r2) / (1.0 - r1 * r1), 6) AS phi1,
+       ROUND((r2 - r1 * r1) / (1.0 - r1 * r1), 6) AS phi2,
+       ROUND(mu + (r1 * (1.0 - r2) / (1.0 - r1 * r1)) * (xt - mu)
+                + ((r2 - r1 * r1) / (1.0 - r1 * r1)) * (xtm1 - mu), 2)
+           AS forecast_next
+FROM rho CROSS JOIN stats CROSS JOIN last2
+"""
+
+
 AUTOCORR_DAILY_VALUE_ORACLE = """
 WITH daily AS (
     SELECT CAST(ts AS DATE) AS day,

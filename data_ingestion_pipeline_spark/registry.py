@@ -20,6 +20,7 @@ from data_ingestion_pipeline_spark.operators import (
     classifier,
     corpus_quality,
     evolution_checks,
+    inference_stats,
     ingestion_checks,
     lakehouse_checks,
     llm_data,
@@ -28,6 +29,7 @@ from data_ingestion_pipeline_spark.operators import (
     multimodal_checks,
     relational,
     reports,
+    tpch_queries,
     sql_surface,
     streaming_checks,
     temporal_checks,
@@ -268,6 +270,19 @@ _ROUND7_NEW: list[str] = [
     "skipgram_pmi_documents",
     "mattr_lexical_diversity_documents",
     "negative_sampling_table_documents",
+    "wilson_ci_purchase_rate_daily",
+    "oneway_anova_event_values",
+    "gini_lorenz_customer_spend",
+    "cooks_distance_price_quantity",
+    "hill_tail_index_orders",
+    "ar2_yule_walker_daily",
+    "tukey_hsd_event_values",
+    "levene_bf_event_values",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
 ]
 _NEVER_DRIVER_CHECKED: list[str] = [
     *_ROUND7_BACKLOG,
@@ -1227,6 +1242,88 @@ register(
     "negative_sampling_table_documents",
     lm_stats.negative_sampling_table_documents,
     lm_stats.NEGATIVE_SAMPLING_TABLE_DOCUMENTS_ORACLE,
+)
+
+# --- round-7 inference/concentration statistics (inference_stats.py) -------
+
+register(
+    "wilson_ci_purchase_rate_daily",
+    inference_stats.wilson_ci_purchase_rate_daily,
+    inference_stats.WILSON_CI_PURCHASE_RATE_DAILY_ORACLE,
+)
+
+register(
+    "oneway_anova_event_values",
+    inference_stats.oneway_anova_event_values,
+    inference_stats.ONEWAY_ANOVA_EVENT_VALUES_ORACLE,
+)
+
+register(
+    "gini_lorenz_customer_spend",
+    inference_stats.gini_lorenz_customer_spend,
+    inference_stats.GINI_LORENZ_CUSTOMER_SPEND_ORACLE,
+)
+
+register(
+    "cooks_distance_price_quantity",
+    inference_stats.cooks_distance_price_quantity,
+    inference_stats.COOKS_DISTANCE_PRICE_QUANTITY_ORACLE,
+)
+
+register(
+    "hill_tail_index_orders",
+    inference_stats.hill_tail_index_orders,
+    inference_stats.HILL_TAIL_INDEX_ORDERS_ORACLE,
+)
+
+register(
+    "ar2_yule_walker_daily",
+    timeseries_checks.ar2_yule_walker_daily,
+    timeseries_checks.AR2_YULE_WALKER_DAILY_ORACLE,
+)
+
+register(
+    "tukey_hsd_event_values",
+    inference_stats.tukey_hsd_event_values,
+    inference_stats.TUKEY_HSD_EVENT_VALUES_ORACLE,
+)
+
+register(
+    "levene_bf_event_values",
+    inference_stats.levene_bf_event_values,
+    inference_stats.LEVENE_BF_EVENT_VALUES_ORACLE,
+)
+
+# --- round-7 classic TPC-H query shapes (tpch_queries.py) ------------------
+
+register(
+    "tpch_q1_pricing_summary",
+    tpch_queries.tpch_q1_pricing_summary,
+    tpch_queries.TPCH_Q1_PRICING_SUMMARY_ORACLE,
+)
+
+register(
+    "tpch_q3_shipping_priority",
+    tpch_queries.tpch_q3_shipping_priority,
+    tpch_queries.TPCH_Q3_SHIPPING_PRIORITY_ORACLE,
+)
+
+register(
+    "tpch_q5_local_supplier_volume",
+    tpch_queries.tpch_q5_local_supplier_volume,
+    tpch_queries.TPCH_Q5_LOCAL_SUPPLIER_VOLUME_ORACLE,
+)
+
+register(
+    "tpch_q8_market_share",
+    tpch_queries.tpch_q8_market_share,
+    tpch_queries.TPCH_Q8_MARKET_SHARE_ORACLE,
+)
+
+register(
+    "tpch_q10_returned_items",
+    tpch_queries.tpch_q10_returned_items,
+    tpch_queries.TPCH_Q10_RETURNED_ITEMS_ORACLE,
 )
 
 register(

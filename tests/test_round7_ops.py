@@ -232,3 +232,290 @@ def test_bpe_encode_matches_python_reference(spark):
     }
     want = {w: len(s) for w, s in ref_seqs.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# inference/concentration statistics tier
+# ---------------------------------------------------------------------------
+
+
+def test_wilson_ci_hand_computed(spark):
+    """x=3 of n=10 on one day: Wilson bounds from the closed form."""
+    from unittest import mock
+
+    import data_ingestion_pipeline_spark.operators.inference_stats as I
+
+    rows = [("2024-01-01 00:00:0%d" % i,
+             "purchase" if i < 3 else "view") for i in range(10)]
+    df = spark.createDataFrame(rows, "ts string, event_type string").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "event_type"
+    )
+    with mock.patch.object(I, "load_table", lambda s, d, t: df):
+        r = I.wilson_ci_purchase_rate_daily(spark, "unused").collect()[0]
+    z2 = 1.96 * 1.96
+    p, n = 0.3, 10.0
+    denom = 1 + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = 1.96 * ((p * (1 - p) / n + z2 / (4 * n * n)) ** 0.5) / denom
+    assert r.n == 10 and r.x == 3
+    assert r.ci_lo == round(center - half, 6)
+    assert r.ci_hi == round(center + half, 6)
+    assert 0.0 <= r.ci_lo <= r.p_hat <= r.ci_hi <= 1.0
+
+
+def test_anova_two_group_equals_t_squared(spark):
+    """For k=2 groups, F must equal the pooled-variance t² (classic
+    identity), and eta_sq = SSB/(SSB+SSW) in [0, 1]."""
+    from unittest import mock
+
+    import data_ingestion_pipeline_spark.operators.inference_stats as I
+
+    ga = [1.0, 2.0, 3.0, 4.0]
+    gb = [6.0, 7.0, 8.0, 9.0]
+    rows = [("a", v) for v in ga] + [("b", v) for v in gb]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    with mock.patch.object(I, "load_table", lambda s, d, t: df):
+        r = I.oneway_anova_event_values(spark, "unused").collect()[0]
+    import statistics
+
+    na, nb = len(ga), len(gb)
+    sp2 = (
+        (na - 1) * statistics.variance(ga) + (nb - 1) * statistics.variance(gb)
+    ) / (na + nb - 2)
+    t2 = (statistics.mean(ga) - statistics.mean(gb)) ** 2 / (
+        sp2 * (1 / na + 1 / nb)
+    )
+    assert r.k == 2 and r.n == 8
+    assert abs(r.f_stat - t2) < 1e-6
+    assert 0.0 <= r.eta_sq <= 1.0
+
+
+def test_gini_uniform_spend_is_zero(spark):
+    from unittest import mock
+
+    import data_ingestion_pipeline_spark.operators.inference_stats as I
+
+    rows = [(c, 100.0) for c in range(1, 21)]
+    df = spark.createDataFrame(rows, "o_custkey long, o_totalprice double")
+    with mock.patch.object(I, "load_table", lambda s, d, t: df):
+        out = I.gini_lorenz_customer_spend(spark, "unused").collect()
+    assert len(out) == 10
+    assert all(r.gini == 0.0 for r in out)
+    # uniform Lorenz curve is the diagonal
+    for r in out:
+        assert abs(r.cum_spend_frac - r.decile / 10.0) < 1e-9
+
+
+def test_cooks_distance_flags_planted_outlier(spark):
+    """Points on y=2x plus one gross outlier: the outlier must rank
+    first, and every leverage must obey 1/n <= h <= 1."""
+    from unittest import mock
+
+    import data_ingestion_pipeline_spark.operators.inference_stats as I
+
+    rows = [(1, i, float(i), 2.0 * i) for i in range(1, 30)]
+    rows.append((1, 30, 30.0, 500.0))  # outlier at the high-leverage end
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber int, l_quantity double, "
+        "l_extendedprice double"
+    )
+    with mock.patch.object(I, "load_table", lambda s, d, t: df):
+        out = I.cooks_distance_price_quantity(spark, "unused").collect()
+    assert out[0].l_linenumber == 30
+    n = len(rows)
+    for r in out:
+        assert 1.0 / n - 1e-9 <= r.leverage <= 1.0
+    ds = [r.cooks_d for r in out]
+    assert ds == sorted(ds, reverse=True)
+
+
+def test_hill_alpha_recovers_pareto_exponent(spark):
+    """Deterministic Pareto(α=2) quantile sample: x_i = (i/N)^(-1/2);
+    the Hill estimate over the top 100 must land near 2."""
+    from unittest import mock
+
+    import data_ingestion_pipeline_spark.operators.inference_stats as I
+
+    N = 2000
+    rows = [(i, (i / N) ** -0.5) for i in range(1, N + 1)]
+    df = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+    with mock.patch.object(I, "load_table", lambda s, d, t: df):
+        r = I.hill_tail_index_orders(spark, "unused").collect()[0]
+    assert r.k == 100
+    assert abs(r.hill_alpha - 2.0) < 0.2
+    assert bool(r.finite_mean) is True
+
+
+def test_ar2_phi_identities_from_rho(spark):
+    """φ must satisfy the Yule–Walker correlation identities against the
+    published ρ, and the AR(2) fit of a linear-trend daily series must
+    produce ρ1 near 1 (strong serial dependence)."""
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        ar2_yule_walker_daily,
+    )
+
+    r = ar2_yule_walker_daily(spark, SF_SMOKE).collect()[0]
+    r1, r2 = r.rho1, r.rho2
+    assert abs(r.phi1 - round(r1 * (1 - r2) / (1 - r1 * r1), 6)) <= 1e-6
+    assert abs(r.phi2 - round((r2 - r1 * r1) / (1 - r1 * r1), 6)) <= 1e-6
+    assert -1.0 <= r1 <= 1.0 and -1.0 <= r2 <= 1.0
+    assert r.n_days > 10
+
+
+# ---------------------------------------------------------------------------
+# Tukey HSD / Brown–Forsythe — post-hoc & assumption checks
+# ---------------------------------------------------------------------------
+
+
+def test_tukey_two_groups_q_is_sqrt2_t(spark):
+    """With k=2 equal-size groups, q = √2·t (pooled t) — the classic
+    studentized-range identity."""
+    from unittest import mock
+
+    import data_ingestion_pipeline_spark.operators.inference_stats as I
+
+    ga = [1.0, 2.0, 3.0, 4.0]
+    gb = [6.0, 7.0, 8.0, 9.0]
+    rows = [("a", v) for v in ga] + [("b", v) for v in gb]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    with mock.patch.object(I, "load_table", lambda s, d, t: df):
+        out = I.tukey_hsd_event_values(spark, "unused").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b) == ("a", "b")
+    import statistics
+
+    sp2 = (3 * statistics.variance(ga) + 3 * statistics.variance(gb)) / 6
+    t = abs(statistics.mean(ga) - statistics.mean(gb)) / (
+        sp2 * (1 / 4 + 1 / 4)
+    ) ** 0.5
+    assert abs(r.q_stat - 2**0.5 * t) < 1e-6
+    assert r.mean_diff == round(
+        statistics.mean(ga) - statistics.mean(gb), 6
+    )
+
+
+def test_levene_bf_equal_spread_groups(spark):
+    """Two groups that are shifted copies (identical spread around their
+    medians) must give BF F ≈ 0; the output degrees line up."""
+    from unittest import mock
+
+    import data_ingestion_pipeline_spark.operators.inference_stats as I
+
+    ga = [1.0, 2.0, 3.0, 4.0, 5.0]
+    gb = [v + 100.0 for v in ga]  # pure location shift
+    rows = [("a", v) for v in ga] + [("b", v) for v in gb]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    with mock.patch.object(I, "load_table", lambda s, d, t: df):
+        r = I.levene_bf_event_values(spark, "unused").collect()[0]
+    assert r.k == 2 and r.n == 10
+    assert abs(r.bf_f) < 1e-9  # |x − med| distributions identical
+    assert abs(r.eta_sq) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classic tier
+# ---------------------------------------------------------------------------
+
+
+def test_tpch_q1_group_grid_and_bounds(spark):
+    from data_ingestion_pipeline_spark.operators.tpch_queries import (
+        tpch_q1_pricing_summary,
+    )
+
+    out = tpch_q1_pricing_summary(spark, SF_SMOKE).collect()
+    assert {(r.l_returnflag, r.l_linestatus) for r in out} <= {
+        (f, s) for f in "ANR" for s in "FO"
+    }
+    for r in out:
+        # discounts in [0,1): disc price below base, charge above disc
+        assert r.sum_disc_price <= r.sum_base_price
+        assert r.sum_charge >= r.sum_disc_price
+        assert 0.0 <= r.avg_disc <= 1.0
+        assert abs(r.avg_qty - r.sum_qty / r.count_order) < 1e-4
+
+
+def test_tpch_q3_head_is_sorted_and_bounded(spark):
+    from data_ingestion_pipeline_spark.operators.tpch_queries import (
+        tpch_q3_shipping_priority,
+    )
+
+    out = tpch_q3_shipping_priority(spark, SF_SMOKE).collect()
+    assert 0 < len(out) <= 10
+    revs = [r.revenue for r in out]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_tpch_q5_counts_only_local_suppliers(spark):
+    """Hand fixture: two lineitems on one ASIA order — one supplied from
+    the customer's own nation (counted), one from a different nation
+    (dropped). The local-supplier constraint is the whole point of Q5."""
+    from unittest import mock
+
+    import data_ingestion_pipeline_spark.operators.tpch_queries as T
+
+    tables = {
+        "region": spark.createDataFrame(
+            [(0, "ASIA"), (1, "EUROPE")], "r_regionkey int, r_name string"
+        ),
+        "nation": spark.createDataFrame(
+            [(0, "N_A", 0), (1, "N_B", 0), (2, "N_E", 1)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        ),
+        "customer": spark.createDataFrame(
+            [(10, "cust", 0, 0.0, "BUILDING")],
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        ),
+        "supplier": spark.createDataFrame(
+            [(100, "s_local", 0, 0.0), (101, "s_remote", 1, 0.0)],
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        ),
+        "orders": spark.createDataFrame(
+            [(1000, 10, "O", 50.0, "1996-06-01", "1-URGENT")],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).selectExpr(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate", "o_orderpriority",
+        ),
+        "lineitem": spark.createDataFrame(
+            [
+                (1000, 1, 100, 1, 10.0, 100.0, 0.1, 0.0),
+                (1000, 2, 101, 2, 10.0, 999.0, 0.0, 0.0),
+            ],
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_linenumber int, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double",
+        ),
+    }
+    with mock.patch.object(T, "load_table", lambda s, d, t: tables[t]):
+        out = T.tpch_q5_local_supplier_volume(spark, "unused").collect()
+    assert len(out) == 1
+    assert out[0].n_name == "N_A"
+    assert out[0].revenue == 90.0  # 100 * (1 - 0.1); remote line excluded
+
+
+def test_tpch_q8_share_bounds(spark):
+    from data_ingestion_pipeline_spark.operators.tpch_queries import (
+        tpch_q8_market_share,
+    )
+
+    out = tpch_q8_market_share(spark, SF_SMOKE).collect()
+    assert len(out) >= 1
+    for r in out:
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.nation_volume <= r.total_volume
+        assert r.o_year in (1996, 1997)
+
+
+def test_tpch_q10_top20_descending(spark):
+    from data_ingestion_pipeline_spark.operators.tpch_queries import (
+        tpch_q10_returned_items,
+    )
+
+    out = tpch_q10_returned_items(spark, SF_SMOKE).collect()
+    assert 0 < len(out) <= 20
+    revs = [r.revenue for r in out]
+    assert revs == sorted(revs, reverse=True)
+    assert len({r.c_custkey for r in out}) == len(out)
