@@ -76,6 +76,16 @@ PROBES = [
     ("embedding_lsh_pair_recall_embeddings", ["embeddings"]),
     ("canonical_entities_parts", ["part"]),
     ("embedding_lsh_near_dup", ["embeddings"]),
+    # round-7: the TPC-H multi-join shapes (orderkeys offset in lockstep so
+    # the orders⋈lineitem fanout is preserved), plus the two new stats
+    # queries whose windows/heads must NOT grow with the fact table
+    ("tpch_q1_pricing_summary", ["lineitem"]),
+    ("tpch_q3_shipping_priority", ["orders", "lineitem"]),
+    ("tpch_q5_local_supplier_volume", ["orders", "lineitem"]),
+    ("tpch_q8_market_share", ["orders", "lineitem"]),
+    ("tpch_q10_returned_items", ["orders", "lineitem"]),
+    ("gini_lorenz_customer_spend", ["orders"]),
+    ("cooks_distance_price_quantity", ["lineitem"]),
 ]
 
 KEY_OFFSETS = {
