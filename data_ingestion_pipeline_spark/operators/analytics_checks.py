@@ -886,30 +886,39 @@ FROM br
 # Fuzzy entity matching with blocking
 # ---------------------------------------------------------------------------
 
-def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-resolution candidate pairs: part names within edit distance 3,
-    blocked on p_size so the quadratic comparison runs per-block (classic
-    blocking — the equi-join shuffles on the block key and each block's
-    pair space is bounded, never an all-pairs cartesian; at corpus scale
-    the block key would be a coarser canonical-name signature). The
-    levenshtein filter runs JVM-side post-join. Distance-0 rows are exact
-    name duplicates, surfaced rather than dropped — the dedup signal.
-    """
-    # Block key = (p_size, length band): a pair within edit distance 3 has
-    # |len(a)−len(b)| ≤ 3 < 4, so with bucket = len div 4 the two sides sit
-    # in the same or adjacent buckets — the b side fans out to bucket ±1
-    # and the equi-join enumerates ONLY length-compatible candidates
-    # (lossless banding; round-6 verdict: plain p_size blocking probed
-    # 20.2× at 16× because cross-length pairs enumerated then filtered).
-    # Exactly one join match per pair (a's bucket is a single value), so
-    # no dedup pass is needed. The explicit spread stays: part is a
-    # dim-sized scan (1-2 input splits) and per-block levenshtein is
-    # CPU-dense, so repartition over the banded key keeps all cores busy.
-    p = load_table(spark, sf_dir, "part").withColumn(
-        "lb", F.floor(F.length("p_name") / 4).cast("int")
-    )
+def _banded_name_pairs(
+    spark: SparkSession, nodes: DataFrame, id_col: str
+) -> DataFrame:
+    """Length-banded blocked fuzzy join over (id_col, p_name, p_size)
+    nodes: every unordered pair within edit distance 3, blocked on
+    (p_size, length band) — shared by ``fuzzy_part_name_pairs`` (part
+    grain) and ``canonical_entities_parts`` (distinct-name grain), so the
+    threshold and the lossless-banding invariant can never drift apart.
+
+    Block key = (p_size, length band): a pair within edit distance 3 has
+    |len(a)−len(b)| ≤ 3 < 4, so with bucket = len div 4 the two sides sit
+    in the same or adjacent buckets — the b side fans out to bucket ±1
+    and the equi-join enumerates ONLY length-compatible candidates
+    (lossless banding; round-6 verdict: plain p_size blocking probed
+    20.2× at 16× because cross-length pairs enumerated then filtered).
+    Exactly one join match per pair (a's bucket is a single value), so
+    no dedup pass is needed. The explicit spread stays: the node relation
+    is a dim-sized scan (1-2 input splits) and per-block levenshtein is
+    CPU-dense, so repartition over the banded key keeps all cores busy.
+
+    Two-stage filter on the banded pair space: (1) the exact
+    length-difference guard — |len(a)−len(b)| > 3 implies distance > 3 —
+    prunes adjacent-bucket pairs with two codegen'd ints before any DP
+    runs; (2) the THRESHOLDED levenshtein (Spark 3.5+ 3-arg form)
+    band-limits the DP to ±3 diagonals and early-exits, returning −1
+    past the bound. For surviving pairs the thresholded value equals the
+    full distance, so the oracle's plain levenshtein agrees.
+
+    Returns (p_size, a_id, b_id, a_name, b_name, edit_distance) with
+    a_id < b_id."""
+    p = nodes.withColumn("lb", F.floor(F.length("p_name") / 4).cast("int"))
     a = p.select(
-        F.col("p_partkey").alias("a_partkey"),
+        F.col(id_col).alias("a_id"),
         F.col("p_name").alias("a_name"),
         "p_size",
         "lb",
@@ -917,36 +926,49 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(spark.conf.get("spark.sql.shuffle.partitions")), "p_size", "lb"
     )
     b = p.select(
-        F.col("p_partkey").alias("b_partkey"),
+        F.col(id_col).alias("b_id"),
         F.col("p_name").alias("b_name"),
         "p_size",
         F.explode(
             F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
         ).alias("lb"),
     )
-    # Two-stage filter on the banded pair space: (1) the exact
-    # length-difference guard — |len(a)−len(b)| > 3 implies distance > 3 —
-    # prunes adjacent-bucket pairs with two codegen'd ints before any DP
-    # runs; (2) the THRESHOLDED levenshtein (Spark 3.5+ 3-arg form)
-    # band-limits the DP to ±3 diagonals and early-exits, returning −1
-    # past the bound. For surviving pairs the thresholded value equals the
-    # full distance, so the oracle's plain levenshtein agrees.
     ed = F.levenshtein("a_name", "b_name", 3).cast("int")
     return (
         a.join(b, ["p_size", "lb"])
-        .filter(F.col("a_partkey") < F.col("b_partkey"))
-        .filter(
-            F.abs(F.length("a_name") - F.length("b_name")) <= 3
-        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.abs(F.length("a_name") - F.length("b_name")) <= 3)
         .select(
             "p_size",
-            "a_partkey",
-            "b_partkey",
+            "a_id",
+            "b_id",
             "a_name",
             "b_name",
             ed.alias("edit_distance"),
         )
         .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= 3))
+    )
+
+
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs: part names within edit distance 3,
+    blocked on (p_size, length band) via ``_banded_name_pairs`` so the
+    quadratic comparison runs per-block (classic blocking — the equi-join
+    shuffles on the block key and each block's pair space is bounded,
+    never an all-pairs cartesian; at corpus scale the block key would be
+    a coarser canonical-name signature). The levenshtein filter runs
+    JVM-side post-join. Distance-0 rows are exact name duplicates,
+    surfaced rather than dropped — the dedup signal.
+    """
+    return _banded_name_pairs(
+        spark, load_table(spark, sf_dir, "part"), "p_partkey"
+    ).select(
+        "p_size",
+        F.col("a_id").alias("a_partkey"),
+        F.col("b_id").alias("b_partkey"),
+        "a_name",
+        "b_name",
+        "edit_distance",
     )
 
 
@@ -1808,33 +1830,17 @@ def canonical_entities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invariant under it). Node id = the group's min partkey, so the
     # component minimum over name-nodes IS the entity's min partkey.
     part = load_table(spark, sf_dir, "part")
+    # dn feeds three plan branches (both fuzzy-join sides + the final
+    # label coalesce) — pin the dim-sized aggregate so it builds once
     dn = part.groupBy("p_size", "p_name").agg(
         F.min("p_partkey").alias("rep"),
         F.count("*").cast("bigint").alias("multiplicity"),
-    )
-    # banded blocked fuzzy join over DISTINCT names (same two-stage filter
-    # as fuzzy_part_name_pairs: length band key, exact length guard,
-    # thresholded levenshtein)
-    dn = dn.withColumn("lb", F.floor(F.length("p_name") / 4).cast("int"))
-    a = dn.select(
-        F.col("rep").alias("rep_a"), F.col("p_name").alias("a_name"),
-        "p_size", "lb",
-    ).repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions")), "p_size", "lb"
-    )
-    b = dn.select(
-        F.col("rep").alias("rep_b"), F.col("p_name").alias("b_name"),
-        "p_size",
-        F.explode(
-            F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
-        ).alias("lb"),
-    )
-    edges = (
-        a.join(b, ["p_size", "lb"])
-        .filter(F.col("rep_a") < F.col("rep_b"))
-        .filter(F.abs(F.length("a_name") - F.length("b_name")) <= 3)
-        .filter(F.levenshtein("a_name", "b_name", 3) >= 0)
-        .select(F.col("rep_a").alias("id_a"), F.col("rep_b").alias("id_b"))
+    ).persist()
+    # banded blocked fuzzy join over DISTINCT names — the SAME helper as
+    # fuzzy_part_name_pairs (length band key, exact length guard,
+    # thresholded levenshtein), so the two surfaces cannot drift
+    edges = _banded_name_pairs(spark, dn, "rep").select(
+        F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b")
     )
     comp = connected_components_star(edges).select(
         F.col("node").alias("rep"), F.col("cluster_id").alias("entity_id")

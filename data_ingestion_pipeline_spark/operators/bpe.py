@@ -185,9 +185,12 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(n_merges: int = N_MERGES) -> str:
-    """Unrolled SQL replay of the identical iterations (the fixed iteration
-    count makes recursion unnecessary — each round is one CTE block)."""
+def _bpe_cte_chain(n_merges: int = N_MERGES) -> str:
+    """The shared training CTE chain (wf/seq0 + one block per merge round)
+    WITHOUT a final SELECT — composed by both ``_bpe_oracle`` (per-merge
+    tail) and ``_bpe_encode_oracle`` (per-word encoded lengths), so the
+    encode oracle never has to reverse-engineer the training oracle's
+    text."""
     head = r"""
 WITH wf AS (
     SELECT word, CAST(COUNT(*) AS BIGINT) AS w FROM (
@@ -249,23 +252,26 @@ WITH wf AS (
     FROM kept{i}
 )""")
         # noqa: E501
+    return head + "".join(blocks)
+
+
+def _bpe_oracle(n_merges: int = N_MERGES) -> str:
+    """Unrolled SQL replay of the identical iterations (the fixed iteration
+    count makes recursion unnecessary — each round is one CTE block)."""
     tail = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS INT) AS merge_rank, a || '|' || b AS pair,"
         f" pair_count FROM best{i}"
         for i in range(1, n_merges + 1)
     )
-    return head + "".join(blocks) + "\n" + tail
+    return _bpe_cte_chain(n_merges) + "\n" + tail
 
 
 def _bpe_encode_oracle(n_merges: int = N_MERGES) -> str:
     """Encode oracle: the same unrolled training replay, then the final
     seq{n} relation grouped to per-word encoded lengths and joined back to
     the corpus word explode."""
-    trained = _bpe_oracle(n_merges)
-    # reuse the training CTE chain; splice the per-merge SELECT tail off
-    prefix = trained[: trained.rindex("\nSELECT CAST(1 AS INT)")]
     return (
-        prefix
+        _bpe_cte_chain(n_merges)
         + f"""
 , enc AS (
     SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sym

@@ -43,6 +43,37 @@ __all__ = [
 _Z = 1.96  # 95% two-sided
 
 
+def _oneway_f(g: DataFrame, stat_name: str) -> DataFrame:
+    """One-way F fold over a (group, ng, s1, s2) moment table: assembles
+    SSB/SSW from the per-group exact-decimal power sums and publishes
+    (k, n, <stat_name>, eta_sq) — shared by ``oneway_anova_event_values``
+    (raw values) and ``levene_bf_event_values`` (median deviations), whose
+    oracles replay this identical algebra.
+
+    Only the scale-free ratios are published: raw SSB/SSW are ~1e10 with a
+    ~1e-4 fp-fold wobble (group-level double fold), so pinning them to a
+    rounded hash would flake; F and η² carry the same information at
+    1e-14 relative error."""
+    ngd = F.col("ng").cast("double")
+    tot = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("s1").alias("gs1"),
+        F.sum(F.col("s1") * F.col("s1") / ngd).alias("sum_sq_means"),
+        F.sum(F.col("s2") - F.col("s1") * F.col("s1") / ngd).alias("ssw"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    ssb = F.col("sum_sq_means") - F.col("gs1") * F.col("gs1") / nd
+    fstat = (ssb / (kd - F.lit(1.0))) / (F.col("ssw") / (nd - kd))
+    return tot.select(
+        "k",
+        "n",
+        F.round(fstat, 6).alias(stat_name),
+        F.round(ssb / (ssb + F.col("ssw")), 6).alias("eta_sq"),
+    )
+
+
 def wilson_ci_purchase_rate_daily(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -120,7 +151,8 @@ def oneway_anova_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     (between-group variance share), the effect size the F alone hides.
 
     ONE pass over events (per-type n/Σx/Σx²); SSB/SSW assemble from the
-    group-count-sized moment table. No second scan, no windows."""
+    group-count-sized moment table via ``_oneway_f``. No second scan, no
+    windows."""
     ev = load_table(spark, sf_dir, "events")
     v = F.col("value")
     g = ev.groupBy("event_type").agg(
@@ -128,28 +160,7 @@ def oneway_anova_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum(v, 27, 12).cast("double").alias("s1"),
         dec_sum(v * v, 38, 12).cast("double").alias("s2"),
     )
-    ngd = F.col("ng").cast("double")
-    tot = g.agg(
-        F.count("*").cast("bigint").alias("k"),
-        F.sum("ng").cast("bigint").alias("n"),
-        F.sum("s1").alias("gs1"),
-        F.sum(F.col("s1") * F.col("s1") / ngd).alias("sum_sq_means"),
-        F.sum(F.col("s2") - F.col("s1") * F.col("s1") / ngd).alias("ssw"),
-    )
-    nd = F.col("n").cast("double")
-    kd = F.col("k").cast("double")
-    ssb = F.col("sum_sq_means") - F.col("gs1") * F.col("gs1") / nd
-    fstat = (ssb / (kd - F.lit(1.0))) / (F.col("ssw") / (nd - kd))
-    # publish only the scale-free ratios: raw SSB/SSW are ~1e10 with a
-    # ~1e-4 fp-fold wobble (group-level double fold), so pinning them to a
-    # rounded hash would flake; F and η² carry the same information at
-    # 1e-14 relative error
-    return tot.select(
-        "k",
-        "n",
-        F.round(fstat, 6).alias("f_stat"),
-        F.round(ssb / (ssb + F.col("ssw")), 6).alias("eta_sq"),
-    )
+    return _oneway_f(g, "f_stat")
 
 
 ONEWAY_ANOVA_EVENT_VALUES_ORACLE = """
@@ -550,24 +561,7 @@ def levene_bf_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum(F.col("z"), 27, 12).cast("double").alias("s1"),
         dec_sum(F.col("z") * F.col("z"), 38, 12).cast("double").alias("s2"),
     )
-    ngd = F.col("ng").cast("double")
-    tot = g.agg(
-        F.count("*").cast("bigint").alias("k"),
-        F.sum("ng").cast("bigint").alias("n"),
-        F.sum("s1").alias("gs1"),
-        F.sum(F.col("s1") * F.col("s1") / ngd).alias("sum_sq_means"),
-        F.sum(F.col("s2") - F.col("s1") * F.col("s1") / ngd).alias("ssw"),
-    )
-    nd = F.col("n").cast("double")
-    kd = F.col("k").cast("double")
-    ssb = F.col("sum_sq_means") - F.col("gs1") * F.col("gs1") / nd
-    fstat = (ssb / (kd - F.lit(1.0))) / (F.col("ssw") / (nd - kd))
-    return tot.select(
-        "k",
-        "n",
-        F.round(fstat, 6).alias("bf_f"),
-        F.round(ssb / (ssb + F.col("ssw")), 6).alias("eta_sq"),
-    )
+    return _oneway_f(g, "bf_f")
 
 
 LEVENE_BF_EVENT_VALUES_ORACLE = """

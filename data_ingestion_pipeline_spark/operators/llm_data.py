@@ -779,12 +779,19 @@ def exact_substring_excision(aug: DataFrame, k: int = 8) -> DataFrame:
     excision byte-for-byte, not just the counts."""
     tok = F.split(F.trim(F.col("text")), r"\s+")
     base = aug.select("doc_id", tok.alias("toks"))
-    win = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("toks") - (k - 1), F.lit(1))),
-        lambda i: F.xxhash64(
-            *[F.try_element_at(F.col("toks"), i + j) for j in range(k)]
+    # docs shorter than k tokens contribute NO windows (xxhash64 skips
+    # NULL inputs, so an unguarded degenerate window would hash the whole
+    # short doc and excise exact short-doc copies — sub-k spans are
+    # outside the >=k-token contract)
+    win = F.when(
+        F.size("toks") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+            lambda i: F.xxhash64(
+                *[F.try_element_at(F.col("toks"), i + j) for j in range(k)]
+            ),
         ),
-    )
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
     windows = (
         base.select("doc_id", F.posexplode_outer(win).alias("pos", "sh"))
         .filter(F.col("sh").isNotNull())
@@ -839,11 +846,11 @@ WITH base AS (
 ), windows AS (
     SELECT doc_id, u.pos AS pos, doc_id * 1000000 + u.pos AS occ, u.sh FROM (
         SELECT doc_id,
-               unnest(list_transform(
-                   range(1, GREATEST(len(toks) - 7, 1) + 1),
+               unnest(CASE WHEN len(toks) >= 8 THEN list_transform(
+                   range(1, len(toks) - 7 + 1),
                    i -> struct_pack(pos := i - 1,
                                     sh := array_to_string(toks[i:i+7], ' '))
-               )) AS u
+               ) ELSE [] END) AS u
         FROM aug
     )
 ), first_occ AS (

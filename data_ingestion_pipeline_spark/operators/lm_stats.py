@@ -62,9 +62,14 @@ def good_turing_unseen_mass_documents(
 
     Trigrams generate map-side (array index arithmetic, no join); one
     corpus pass aggregates type counts, then everything runs on the
-    freq-of-freqs relation (≤10 published rows)."""
+    freq-of-freqs relation (≤10 published rows). The token array is
+    materialized in its own projection BEFORE the per-position lambda:
+    referencing the raw split inside ``transform`` re-evaluates the regex
+    split per element access (O(len²) per doc — measured 11× slower at
+    sf0.1), while a column reference tokenizes once per row."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim("text"), r"\s+")
+    toked = docs.select(F.split(F.trim("text"), r"\s+").alias("toks"))
+    toks = F.col("toks")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
         lambda i: F.concat_ws(
@@ -75,17 +80,21 @@ def good_turing_unseen_mass_documents(
         ),
     )
     counts = (
-        docs.select(F.explode(grams).alias("g"))
+        toked.select(F.explode(grams).alias("g"))
         .filter(F.col("g") != "")
         .groupBy("g")
         .agg(F.count("*").cast("bigint").alias("r"))
     )
+    # fof feeds THREE subtrees (the r<=10 head, the shifted N_{r+1} join,
+    # and the corpus totals) — pin it so the trigram explode+groupBy corpus
+    # pass runs once, and derive the totals from fof itself (n_tokens =
+    # SUM r*N_r, n1 = N_1) instead of re-aggregating the type counts
     fof = counts.groupBy("r").agg(
         F.count("*").cast("bigint").alias("n_types")
-    )
-    totals = counts.agg(
-        F.sum("r").cast("double").alias("n_tokens"),
-        F.sum(F.when(F.col("r") == 1, 1).otherwise(0))
+    ).persist()
+    totals = fof.agg(
+        F.sum(F.col("r") * F.col("n_types")).cast("double").alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_types")).otherwise(0))
         .cast("double")
         .alias("n1"),
     )

@@ -28,6 +28,7 @@ from data_ingestion_pipeline_spark.sources.catalog import load_table
 __all__ = [
     "rolling_corr_purchase_view_14d",
     "autocorr_daily_value",
+    "ar2_yule_walker_daily",
     "rolling_zscore_anomaly_daily",
     "seasonal_naive_mape_events",
     "cusum_changepoint_daily",
@@ -64,17 +65,18 @@ def _daily(spark: SparkSession, sf_dir: str, by_type: bool) -> DataFrame:
 # Autocorrelation function of the daily ingest-volume series
 # ---------------------------------------------------------------------------
 
-def autocorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ACF at lags 1..7 of the global daily value series: Pearson r between
-    (x_t, x_{t+lag}) pairs, from exact decimal power sums.
+def _lag_pearson(spark: SparkSession, daily: DataFrame, max_lag: int) -> DataFrame:
+    """Per-lag Pearson r of the (x_t, x_{t+lag}) pairs for lag = 1..max_lag,
+    from exact decimal power sums — the shared ACF estimator behind both
+    ``autocorr_daily_value`` and ``ar2_yule_walker_daily`` (their oracles
+    replay this identical algebra, so the two must never drift apart).
 
-    The daily series is tiny relative to the event table (one row per day),
-    so the lag pairing is a self-join of the *aggregated* series — the
-    shuffle-heavy step is the single daily groupBy; everything after runs
-    on ~days×7 rows. The lag grid broadcasts.
-    """
-    daily = _daily(spark, sf_dir, by_type=False)
-    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    The lag pairing is a self-join of the *aggregated* day series (one row
+    per day — never the fact table); the lag grid broadcasts. Returns
+    (lag, n, r) with r UNROUNDED so callers pick their own precision."""
+    lags = spark.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
     b = daily.select(F.col("day").alias("day2"), F.col("x").alias("y"))
     pairs = daily.crossJoin(F.broadcast(lags)).join(
         b, F.date_add(F.col("day"), F.col("lag")) == F.col("day2")
@@ -92,10 +94,23 @@ def autocorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
     varx_n = nd * F.col("sxx") - F.col("sx") * F.col("sx")
     vary_n = nd * F.col("syy") - F.col("sy") * F.col("sy")
-    return s.select(
+    return s.select("lag", "n", (cov_n / F.sqrt(varx_n * vary_n)).alias("r"))
+
+
+def autocorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1..7 of the global daily value series: Pearson r between
+    (x_t, x_{t+lag}) pairs, from exact decimal power sums.
+
+    The daily series is tiny relative to the event table (one row per day),
+    so the lag pairing is a self-join of the *aggregated* series — the
+    shuffle-heavy step is the single daily groupBy; everything after runs
+    on ~days×7 rows. The lag grid broadcasts.
+    """
+    daily = _daily(spark, sf_dir, by_type=False)
+    return _lag_pearson(spark, daily, 7).select(
         "lag",
         "n",
-        F.round(cov_n / F.sqrt(varx_n * vary_n), 6).cast("double").alias("acf"),
+        F.round(F.col("r"), 6).cast("double").alias("acf"),
     )
 
 
@@ -109,30 +124,13 @@ def ar2_yule_walker_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     stated so the oracle replays the identical algebra).
 
     Everything after the one daily groupBy runs on the day-series
-    relation: the lag pairing is a self-join of the aggregate (the
-    autocorr pattern — no window over the corpus), the last-two-days head
-    is a 2-row TakeOrdered, and the fit is closed-form scalar algebra."""
+    relation: the lag pairing is ``_lag_pearson`` (shared with
+    ``autocorr_daily_value`` — no window over the corpus), the
+    last-two-days head is a 2-row TakeOrdered, and the fit is closed-form
+    scalar algebra."""
     daily = _daily(spark, sf_dir, by_type=False)
-    lags = spark.range(1, 3).select(F.col("id").cast("int").alias("lag"))
-    b = daily.select(F.col("day").alias("day2"), F.col("x").alias("y"))
-    pairs = daily.crossJoin(F.broadcast(lags)).join(
-        b, F.date_add(F.col("day"), F.col("lag")) == F.col("day2")
-    )
-    x, y = F.col("x"), F.col("y")
-    s = pairs.groupBy("lag").agg(
-        F.count("*").cast("bigint").alias("n"),
-        dec_sum(x, 38, 12).cast("double").alias("sx"),
-        dec_sum(y, 38, 12).cast("double").alias("sy"),
-        dec_sum(x * y, 38, 12).cast("double").alias("sxy"),
-        dec_sum(x * x, 38, 12).cast("double").alias("sxx"),
-        dec_sum(y * y, 38, 12).cast("double").alias("syy"),
-    )
-    nd = F.col("n").cast("double")
-    r = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
-        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
-    )
-    rs = s.select("lag", r.alias("r"))
+    x = F.col("x")
+    rs = _lag_pearson(spark, daily, 2).select("lag", "r")
     rho = (
         rs.groupBy()
         .pivot("lag", [1, 2])

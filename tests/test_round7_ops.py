@@ -519,3 +519,18 @@ def test_tpch_q10_top20_descending(spark):
     revs = [r.revenue for r in out]
     assert revs == sorted(revs, reverse=True)
     assert len({r.c_custkey for r in out}) == len(out)
+
+
+def test_excision_short_exact_copies_stay_intact(spark):
+    """Docs shorter than k=8 tokens contribute no windows: exact copies of
+    a 5-token doc must BOTH survive untouched (sub-k spans are outside the
+    >=k-token excision contract)."""
+    from data_ingestion_pipeline_spark.operators.llm_data import (
+        exact_substring_excision,
+    )
+
+    rows = [(1, "tiny doc of five tokens"), (2, "tiny doc of five tokens")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in exact_substring_excision(df).collect()}
+    assert out[1].n_excised == 0 and out[2].n_excised == 0
+    assert out[1].kept_frac == 1.0 and out[2].kept_frac == 1.0

@@ -80,10 +80,16 @@ PROBES = [
     # the orders⋈lineitem fanout is preserved), plus the two new stats
     # queries whose windows/heads must NOT grow with the fact table
     ("tpch_q1_pricing_summary", ["lineitem"]),
-    ("tpch_q3_shipping_priority", ["orders", "lineitem"]),
-    ("tpch_q5_local_supplier_volume", ["orders", "lineitem"]),
-    ("tpch_q8_market_share", ["orders", "lineitem"]),
-    ("tpch_q10_returned_items", ["orders", "lineitem"]),
+    ("tpch_q3_shipping_priority", ["orders", "lineitem", "customer"]),
+    (
+        "tpch_q5_local_supplier_volume",
+        ["orders", "lineitem", "customer", "supplier", "nation", "region"],
+    ),
+    (
+        "tpch_q8_market_share",
+        ["orders", "lineitem", "customer", "supplier", "nation", "region", "part"],
+    ),
+    ("tpch_q10_returned_items", ["orders", "lineitem", "customer", "nation"]),
     ("gini_lorenz_customer_spend", ["orders"]),
     ("cooks_distance_price_quantity", ["lineitem"]),
 ]

@@ -45,6 +45,13 @@ DOCUMENTED_BOUNDED = {
     "chi_square_event_dow",  # 35-cell contingency
     "equidepth_histogram_orders",  # documented trade; approx sibling registered
     "kendall_tau_daily_purchase_view",  # day-series value groups
+    # round-7 additions — each window runs over a post-limit head or a
+    # dimension-sized aggregate, never the fact table
+    "gini_lorenz_customer_spend",  # per-customer ntile/rank (dimension; same trade as customer_spend_deciles)
+    "hill_tail_index_orders",  # 101-row order-statistics head
+    "kneser_ney_bigram_documents",  # rank over the 100-row top head
+    "skipgram_pmi_documents",  # rank over the 100-row top head
+    "negative_sampling_table_documents",  # rank/cum_p over the 200-row top head
 }
 
 
