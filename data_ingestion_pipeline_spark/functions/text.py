@@ -55,12 +55,20 @@ def shingles(tok: Column, n: int = 3) -> Column:
 
     Pure expression: sequence + transform + slice, no UDF. A document with
     fewer than ``n`` tokens yields its whole text as the single shingle.
+    The token expression binds to a lambda argument first so a computed
+    ``tok`` (e.g. a raw split) evaluates once per row, not once per
+    shingle position (the O(len²) trap ``repetition_ratio`` documents).
     """
-    joined = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+    return F.element_at(
+        F.transform(
+            F.array(tok),
+            lambda t: F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ),
+        1,
     )
-    return joined
 
 
 def fingerprint_md5(col: Column) -> Column:
@@ -97,8 +105,22 @@ def redact_pii(col: Column) -> Column:
 def repetition_ratio(col: Column, n: int = 2) -> Column:
     """Share of duplicate n-grams: 1 − distinct/total over token n-grams —
     the standard repetition-quality signal (boilerplate and degenerate
-    generations score high). Pure count arithmetic → engine-reproducible."""
-    tok = tokens(col)
+    generations score high). Pure count arithmetic → engine-reproducible.
+
+    The tokenize runs once behind a single-element transform (a positional
+    lambda referencing a raw split expression re-evaluates the regex split
+    per sequence element — O(len²) per doc; binding it to the outer
+    lambda's argument evaluates it once per row)."""
+    return F.element_at(
+        F.transform(
+            F.array(tokens(col)),
+            lambda tok: _repetition_from_tokens(tok, n),
+        ),
+        1,
+    )
+
+
+def _repetition_from_tokens(tok: Column, n: int) -> Column:
     total = F.greatest(F.size(tok) - (n - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), total),
