@@ -523,3 +523,44 @@ def test_fk_inclusion_audit_uses_anti_joins_on_distinct_keys(spark):
     plan = _plan(spark, "fk_inclusion_audit")
     assert "LeftAnti" in plan, "fk audit lost its anti-join shape"
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q1_is_one_scan_pushed_cutoff(spark):
+    """Q1 must stay the scan-agg yardstick: one lineitem scan, shipdate
+    cutoff pushed to the parquet reader, no joins of any kind."""
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    assert plan.count("Scan parquet") == 1
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+    assert "Join" not in plan
+
+
+def test_tpch_q3_takeordered_head(spark):
+    """Q3's top-10 must be a bounded TakeOrdered, never a global sort of
+    the per-order aggregate."""
+    plan = _plan(spark, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q5_all_dims_broadcast_no_cartesian(spark):
+    """Q5's six-table join must close entirely through broadcast hash
+    joins at fixture scale (every dim side is bounded) — the two-column
+    supplier condition must not degrade to a nested loop."""
+    plan = _plan(spark, "tpch_q5_local_supplier_volume")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_tpch_q10_dims_join_after_aggregate(spark):
+    """Q10's customer/nation payload must attach to the per-customer
+    AGGREGATE (broadcast side), not ride the orders-lineitem fact shuffle:
+    the aggregate over o_custkey sits below the dim broadcast join."""
+    plan = _plan(spark, "tpch_q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # c_name must not appear in any shuffle exchange output (it only
+    # exists above the broadcast join over the aggregate)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "c_name" not in line
