@@ -146,9 +146,13 @@ def connected_components_star(
     edges = _canonical(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     ).localCheckpoint(eager=True)
+    # nodes come from the RAW pairs, not the canonicalized edges: a node
+    # that appears only in self-pairs (id_a == id_b) has every edge dropped
+    # by _canonical, but the contract (same as connected_components) still
+    # owes it a (node, node) singleton row via the roots anti-join below
     nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
+        pairs.select(F.col(a_col).alias("node"))
+        .unionByName(pairs.select(F.col(b_col).alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )

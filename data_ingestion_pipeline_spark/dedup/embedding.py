@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from data_ingestion_pipeline_spark.functions.partitioning import fan_out
+from data_ingestion_pipeline_spark.functions.partitioning import (
+    block_grid_sides,
+    fan_out,
+)
 from data_ingestion_pipeline_spark.functions.vector import as_double_array, cosine, dot, l2_norm
 from data_ingestion_pipeline_spark.similarity.lsh import band_buckets
 
@@ -129,36 +132,9 @@ def cosine_pairs_blas(
     (asserted against ``cosine_pairs`` in pytest) and the threshold sits in
     an empty score gap by corpus construction.
     """
-    spark = df.sparkSession
-    sides = df.select(
-        F.col(id_col).alias("_id"),
-        as_double_array(F.col(vec_col)).alias("_v"),
-    ).withColumn(
-        "_blk", (F.crc32(F.col("_id").cast("string")) % n_blocks).cast("int")
-    )
-    block_pairs = spark.createDataFrame(
-        [(x, y) for x in range(n_blocks) for y in range(n_blocks) if x <= y],
-        "bx int, by int",
-    )
-    def replicated(side: str, key: str) -> DataFrame:
-        # distinct aliases per side: both frames share the `sides` lineage,
-        # and an unqualified self-cogroup trips the ambiguity check
-        return (
-            sides.alias(side)
-            .join(
-                F.broadcast(block_pairs.alias(f"p_{side}")),
-                F.col(f"{side}._blk") == F.col(f"p_{side}.{key}"),
-            )
-            .select(
-                F.col(f"p_{side}.bx").alias("bx"),
-                F.col(f"p_{side}.by").alias("by"),
-                F.col(f"{side}._id").alias("_id"),
-                F.col(f"{side}._v").alias("_v"),
-            )
-        )
-
-    a = replicated("sa", "bx")
-    b = replicated("sb", "by")
+    # triangular (undirected) grid — the shared replication step lives in
+    # functions/partitioning.py
+    a, b = block_grid_sides(df, id_col, vec_col, n_blocks, triangular=True)
 
     def score_block(key, left, right):
         import numpy as np

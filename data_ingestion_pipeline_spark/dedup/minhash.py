@@ -33,6 +33,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_near_dup_pairs",
     "minhash_verified_pairs_complete",
+    "minhash_incremental_pairs",
 ]
 
 # Mersenne prime 2^31-1: the base hash is folded to 31 bits so a·x + b stays
@@ -56,18 +57,24 @@ def _perm_params(k: int, seed: int = 1337) -> list[tuple[int, int]]:
     return params
 
 
+def _exploded_shingles(sets: DataFrame, id_col: str) -> DataFrame:
+    """(id, sh) — one row per (document, shingle). explode_outer +
+    null-filter: see dedup/ngram.jaccard_pairs — a plain explode's inferred
+    size()>0 filter re-runs the shingle transform below the fan_out
+    exchange, single-threaded."""
+    return sets.select(
+        F.col(id_col), F.explode_outer("sset").alias("sh")
+    ).filter(F.col("sh").isNotNull())
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
     """(id, sig_0..sig_{K-1}) — one row per document."""
     sets = shingle_sets(df, text_col, id_col, shingle_n)
-    # explode_outer + null-filter: see dedup/ngram.jaccard_pairs — a plain
-    # explode's inferred size()>0 filter re-runs the shingle transform
-    # below the fan_out exchange, single-threaded.
-    exploded = sets.select(
-        F.col(id_col), F.explode_outer("sset").alias("sh")
-    ).filter(F.col("sh").isNotNull())
-    return _signatures_from_exploded(exploded, id_col, num_hashes)
+    return _signatures_from_exploded(
+        _exploded_shingles(sets, id_col), id_col, num_hashes
+    )
 
 
 def _signatures_from_exploded(
@@ -85,17 +92,54 @@ def _signatures_from_exploded(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def _band_rows(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int, out_id: str
+) -> DataFrame:
+    """(out_id, band_idx, band_hash) — one row per (document, band): the
+    banded-signature index both the batch self-join and the incremental
+    cross-set probe build, so the band hash can never diverge between
+    them."""
+    band_cols = [
+        F.xxhash64(
+            F.lit(j),
+            *[F.col(f"sig_{j * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"band_{j}")
+        for j in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+    )
+
+
+def _verified_jaccard(
+    cands: DataFrame,
+    sets_a: DataFrame,
+    sets_b: DataFrame,
+    id_col: str,
+    a_id: str,
+    b_id: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard on the candidate pairs only — the verify join both the
+    batch and incremental paths share."""
+    ga = sets_a.select(F.col(id_col).alias(a_id), F.col("sset").alias("set_a"))
+    gb = sets_b.select(F.col(id_col).alias(b_id), F.col("sset").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = F.size(F.array_union("set_a", "set_b")).cast("double")
+    return (
+        cands.join(ga, [a_id])
+        .join(gb, [b_id])
+        .select(a_id, b_id, F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
     """Self-join on banded signature hashes → distinct candidate (a < b) pairs."""
-    band_cols = [
-        F.xxhash64(F.lit(j), *[F.col(f"sig_{j * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band_{j}"
-        )
-        for j in range(bands)
-    ]
-    banded = sigs.select(F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"))
+    banded = _band_rows(sigs, id_col, bands, rows_per_band, id_col)
     a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
@@ -154,20 +198,12 @@ def minhash_near_dup_pairs(
     # explode) and the verification sets (arrays as-is, no collect_set
     # round-trip) — cached so the corpus is shingled exactly once.
     sets = shingle_sets(df, text_col, id_col, shingle_n).cache()
-    exploded = sets.select(
-        F.col(id_col), F.explode_outer("sset").alias("sh")
-    ).filter(F.col("sh").isNotNull())
-    sigs = _signatures_from_exploded(exploded, id_col, num_hashes)
+    sigs = _signatures_from_exploded(
+        _exploded_shingles(sets, id_col), id_col, num_hashes
+    )
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-
-    ga = sets.select(F.col(id_col).alias("id_a"), F.col("sset").alias("set_a"))
-    gb = sets.select(F.col(id_col).alias("id_b"), F.col("sset").alias("set_b"))
-    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
-    union = F.size(F.array_union("set_a", "set_b")).cast("double")
-    return (
-        cands.join(ga, ["id_a"]).join(gb, ["id_b"])
-        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return _verified_jaccard(
+        cands, sets, sets, id_col, "id_a", "id_b", threshold
     )
 
 
@@ -200,37 +236,19 @@ def minhash_incremental_pairs(
     sets_ex = shingle_sets(existing, text_col, id_col, shingle_n).cache()
 
     def _sigs(sets: DataFrame) -> DataFrame:
-        exploded = sets.select(
-            F.col(id_col), F.explode_outer("sset").alias("sh")
-        ).filter(F.col("sh").isNotNull())
-        return _signatures_from_exploded(exploded, id_col, num_hashes)
-
-    def _banded(sigs: DataFrame, out_id: str) -> DataFrame:
-        band_cols = [
-            F.xxhash64(
-                F.lit(j),
-                *[F.col(f"sig_{j * rows_per_band + r}") for r in range(rows_per_band)],
-            ).alias(f"band_{j}")
-            for j in range(bands)
-        ]
-        return sigs.select(
-            F.col(id_col).alias(out_id),
-            F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+        return _signatures_from_exploded(
+            _exploded_shingles(sets, id_col), id_col, num_hashes
         )
 
     cands = (
-        _banded(_sigs(sets_in), "inc_id")
-        .join(_banded(_sigs(sets_ex), "ex_id"), ["band_idx", "band_hash"])
+        _band_rows(_sigs(sets_in), id_col, bands, rows_per_band, "inc_id")
+        .join(
+            _band_rows(_sigs(sets_ex), id_col, bands, rows_per_band, "ex_id"),
+            ["band_idx", "band_hash"],
+        )
         .select("inc_id", "ex_id")
         .distinct()
     )
-    ga = sets_in.select(F.col(id_col).alias("inc_id"), F.col("sset").alias("set_a"))
-    gb = sets_ex.select(F.col(id_col).alias("ex_id"), F.col("sset").alias("set_b"))
-    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
-    union = F.size(F.array_union("set_a", "set_b")).cast("double")
-    return (
-        cands.join(ga, ["inc_id"])
-        .join(gb, ["ex_id"])
-        .select("inc_id", "ex_id", F.round(inter / union, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    return _verified_jaccard(
+        cands, sets_in, sets_ex, id_col, "inc_id", "ex_id", threshold
     )

@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fan_out", "salted_join"]
+__all__ = ["fan_out", "salted_join", "block_grid_sides"]
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -66,3 +66,58 @@ def salted_join(
     )
     out = big_s.join(small_s, [*keys, "_salt"], how)
     return out.drop("_salt")
+
+
+def block_grid_sides(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int,
+    triangular: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared replication step of the blocked cogrouped-BLAS kernels
+    (``dedup/embedding.cosine_pairs_blas`` — triangular grid, undirected
+    pairs — and ``similarity/knn.knn_graph`` — full grid, directed
+    per-row top-k): rows get a crc32 block id, and each side replicates
+    against a broadcast block grid so every grid cell cogroups one (left
+    block, right block) pair for a single matmul.
+
+    Returns (left, right) frames with columns (bx, by, _id, _v) — the
+    caller's kernel owns scoring. Distinct aliases per side because both
+    frames share one lineage and an unqualified self-cogroup trips the
+    ambiguity check."""
+    from data_ingestion_pipeline_spark.functions.vector import as_double_array
+
+    spark = df.sparkSession
+    sides = df.select(
+        F.col(id_col).alias("_id"),
+        as_double_array(F.col(vec_col)).alias("_v"),
+    ).withColumn(
+        "_blk", (F.crc32(F.col("_id").cast("string")) % n_blocks).cast("int")
+    )
+    grid = spark.createDataFrame(
+        [
+            (x, y)
+            for x in range(n_blocks)
+            for y in range(n_blocks)
+            if x <= y or not triangular
+        ],
+        "bx int, by int",
+    )
+
+    def replicated(side: str, key: str) -> DataFrame:
+        return (
+            sides.alias(side)
+            .join(
+                F.broadcast(grid.alias(f"g_{side}")),
+                F.col(f"{side}._blk") == F.col(f"g_{side}.{key}"),
+            )
+            .select(
+                F.col(f"g_{side}.bx").alias("bx"),
+                F.col(f"g_{side}.by").alias("by"),
+                F.col(f"{side}._id").alias("_id"),
+                F.col(f"{side}._v").alias("_v"),
+            )
+        )
+
+    return replicated("sa", "bx"), replicated("sb", "by")

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 from data_ingestion_pipeline_spark.functions.partitioning import fan_out
 from data_ingestion_pipeline_spark.functions.vector import as_double_array, cosine
 
-__all__ = ["cosine_scores", "topk_cosine", "topk_cosine_batch"]
+__all__ = [
+    "topk_per_query","cosine_scores", "topk_cosine", "topk_cosine_batch"]
 
 
 def cosine_scores(
@@ -62,6 +63,34 @@ def topk_cosine(
     scored = cosine_scores(corpus, query_df, id_col, dim).drop("query_id")
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k).select(
         id_col, F.round("score", 6).alias("score")
+    )
+
+
+def topk_per_query(
+    scored,
+    k: int,
+    id_col: str = "vec_id",
+    score_col: str = "score",
+    round_to: int | None = 6,
+):
+    """The shared ANN epilogue: rank = row_number over (score desc, id asc)
+    per query_id, keep rank <= k, optionally round the published score.
+    One tie-break and rounding policy for every ANN surface (IVF, IVF-PQ
+    shortlist and refine) so variants that are recall-compared against
+    each other can never diverge on ordering."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    if round_to is None:
+        return ranked
+    return ranked.select(
+        "query_id",
+        id_col,
+        F.round(score_col, round_to).alias(score_col),
+        "rank",
     )
 
 

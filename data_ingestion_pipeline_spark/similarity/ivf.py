@@ -31,7 +31,46 @@ from pyspark.sql import functions as F
 from data_ingestion_pipeline_spark.functions.partitioning import fan_out
 from data_ingestion_pipeline_spark.functions.vector import as_double_array, cosine, dot
 
-__all__ = ["sample_centroids", "assign_expr", "ivf_assign", "ivf_topk"]
+__all__ = [
+    "strided_sample_rows",
+    "sample_centroids",
+    "select_probe_cells",
+    "assign_expr",
+    "ivf_assign",
+    "ivf_topk",
+]
+
+
+def strided_sample_rows(
+    corpus: DataFrame,
+    size: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int | None = None,
+):
+    """Deterministic ≤size-row sample as (rows, corpus_count): the strided
+    id filter (ids 0, stride, 2·stride, …). The stride arithmetic assumes
+    a roughly dense 0-based id space; offset or gapped spaces yield FEWER
+    rows (benign — C ≈ √N is a heuristic, and callers size against
+    ``len(rows)``), but an id space that misses every stride multiple
+    (e.g. all-odd ids with an even stride) would yield NONE and crash the
+    codebook Lloyd — only that empty case falls back, to the smallest
+    min(size, n) ids. Pass ``n`` to reuse an already-computed corpus count
+    (train_ivfpq samples twice and should not pay two count scans)."""
+    if n is None:
+        n = corpus.count()
+    if n == 0:
+        raise ValueError("strided_sample_rows: empty corpus")
+    sel = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    stride = max(n // size, 1)
+    rows = (
+        sel.filter((F.col(id_col) % stride == 0) & (F.col(id_col) < stride * size))
+        .orderBy(id_col)
+        .collect()
+    )
+    if not rows:
+        rows = sel.orderBy(id_col).limit(min(size, n)).collect()
+    return rows, n
 
 
 def sample_centroids(
@@ -40,17 +79,11 @@ def sample_centroids(
     """Deterministic strided sample as coarse centroids.
 
     Stride is computed from the corpus count so the sample spans the id
-    range regardless of scale factor. Returns plain lists (the "model" is
-    just C·dim doubles — plan-literal sized).
+    range regardless of scale factor (an id space with NO stride hits
+    falls back to the smallest ids — see strided_sample_rows). Returns
+    plain lists (the "model" is just C·dim doubles — plan-literal sized).
     """
-    n = corpus.count()
-    stride = max(n // n_centroids, 1)
-    rows = (
-        corpus.filter((F.col(id_col) % stride == 0) & (F.col(id_col) < stride * n_centroids))
-        .select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
-        .orderBy(id_col)
-        .collect()
-    )
+    rows, _ = strided_sample_rows(corpus, n_centroids, id_col, vec_col)
     return [list(r["v"]) for r in rows]
 
 
@@ -103,6 +136,18 @@ def ivf_assign(
     ).drop("_v")
 
 
+def select_probe_cells(cents, qv, nprobe: int) -> list[int]:
+    """The nprobe highest-dot cells for one query: descending q·centroid,
+    larger list_id first on ties — the same order
+    reverse(array_sort(struct(s, list_id))) produced. Shared by ivf_topk
+    and ivfpq_topk so the probe policy cannot diverge."""
+    s = cents @ qv
+    return [
+        int(i)
+        for i in sorted(range(len(cents)), key=lambda i: (-s[i], -i))[:nprobe]
+    ]
+
+
 def ivf_topk(
     corpus: DataFrame,
     query_df: DataFrame,
@@ -138,12 +183,9 @@ def ivf_topk(
     pairs = []
     for r in qrows:
         qv = np.asarray(r["_qv"], dtype="float64")
-        s = cents @ qv
-        # descending score, larger list_id first on ties — the same order
-        # reverse(array_sort(struct(s, list_id))) produced
-        order = sorted(range(len(centroids)), key=lambda i: (-s[i], -i))[:nprobe]
         pairs.extend(
-            (int(li), int(r["query_id"]), [float(x) for x in qv]) for li in order
+            (li, int(r["query_id"]), [float(x) for x in qv])
+            for li in select_probe_cells(cents, qv, nprobe)
         )
     probes = spark.createDataFrame(
         pairs, "list_id int, query_id long, _qv array<double>"
@@ -154,9 +196,6 @@ def ivf_topk(
         F.col(id_col),
         cosine(F.col("_v"), F.col("_qv")).alias("score"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, F.round("score", 6).alias("score"), "rank")
-    )
+    from data_ingestion_pipeline_spark.similarity.brute_force import topk_per_query
+
+    return topk_per_query(scored, k, id_col)

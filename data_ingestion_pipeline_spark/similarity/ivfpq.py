@@ -14,13 +14,15 @@ Scale shape (same policies as similarity/ivf.py and similarity/pq.py):
 - Index build is ONE mapInPandas pass: per Arrow batch, a numpy matmul
   assigns cells, a subtraction forms residuals, a per-subspace matmul
   encodes them. The corpus is scanned once; no shuffle.
-- Queries probe their nprobe nearest cells; each (query, cell) pair ships
-  its own S×K ADC table (the residual query differs per cell) through a
-  broadcast equi-join on list_id — never a cross join. In production the
-  encoded corpus is written partitioned by list_id, so the probe join is
-  partition-pruned I/O.
-- Approximate score = q·centroid(cell) + Σ_s table[s][code_s] — the exact
-  decomposition of q·v with v ≈ centroid + quantized residual.
+- Queries probe their nprobe nearest cells; each (query, cell) probe row
+  carries the per-QUERY S×K ADC table (q against the residual codebooks —
+  cell-independent for inner product) plus the per-cell q·centroid offset,
+  through a broadcast equi-join on list_id — never a cross join. In
+  production the encoded corpus is written partitioned by list_id, so the
+  probe join is partition-pruned I/O.
+- Approximate score = q·centroid(cell) + Σ_s table[s][code_s]
+  = q·c + q·r̂ — the exact decomposition of q·v̂ with v̂ = centroid +
+  quantized residual.
 """
 
 from __future__ import annotations
@@ -31,7 +33,11 @@ from pyspark.sql import types as T
 
 from data_ingestion_pipeline_spark.functions.partitioning import fan_out
 from data_ingestion_pipeline_spark.functions.vector import as_double_array
-from data_ingestion_pipeline_spark.similarity.ivf import sample_centroids
+from data_ingestion_pipeline_spark.similarity.brute_force import topk_per_query
+from data_ingestion_pipeline_spark.similarity.ivf import (
+    select_probe_cells,
+    strided_sample_rows,
+)
 from data_ingestion_pipeline_spark.similarity.pq import lloyd_subspace_books
 
 __all__ = ["train_ivfpq", "ivfpq_encode", "ivfpq_topk"]
@@ -53,17 +59,11 @@ def train_ivfpq(
     below) before the per-subspace Lloyd."""
     import numpy as np
 
-    cents = np.asarray(sample_centroids(corpus, n_centroids, id_col, vec_col))
-    n = corpus.count()
-    stride = max(n // sample_size, 1)
-    rows = (
-        corpus.filter(
-            (F.col(id_col) % stride == 0) & (F.col(id_col) < stride * sample_size)
-        )
-        .select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
-        .orderBy(id_col)
-        .collect()
-    )
+    # one corpus count shared by both strided samples (centroids + the
+    # residual training rows) — this used to pay two full count scans
+    crows, n = strided_sample_rows(corpus, n_centroids, id_col, vec_col)
+    cents = np.asarray([list(r["v"]) for r in crows])
+    rows, _ = strided_sample_rows(corpus, sample_size, id_col, vec_col, n=n)
     sample = np.array([list(r["v"]) for r in rows])
     assign = (sample @ cents.T).argmax(axis=1)
     residuals = sample - cents[assign]
@@ -164,20 +164,19 @@ def ivfpq_topk(
     for r in qrows:
         qv = np.asarray(r["_qv"], dtype="float64")
         s = cents @ qv
-        # descending score, larger list_id first on ties (ivf_topk's order)
-        order = sorted(range(len(cents)), key=lambda i: (-s[i], -i))[:nprobe]
-        for li in order:
-            rq = qv - cents[li]
-            table = np.stack(
-                [books[j] @ rq[j * sub : (j + 1) * sub] for j in range(n_sub)]
-            )  # S × K
+        # ADC table for inner product: q·v̂ = q·c + q·r̂, so the lookup
+        # table is q against the residual codebooks — the FULL query, not
+        # the residual query (the residual-query form is the L2-ADC
+        # identity; used here it scores q·c + (q−c)·r̂, an extra −c·r̂
+        # bias that varies per candidate and distorts the shortlist).
+        # Cell-independent, so ONE table per query serves every probe.
+        table = np.stack(
+            [books[j] @ qv[j * sub : (j + 1) * sub] for j in range(n_sub)]
+        )  # S × K
+        flat = [float(x) for x in table.ravel()]
+        for li in select_probe_cells(cents, qv, nprobe):
             probe_rows.append(
-                (
-                    int(li),
-                    int(r["query_id"]),
-                    float(s[li]),
-                    [float(x) for x in table.ravel()],
-                )
+                (li, int(r["query_id"]), float(s[li]), flat)
             )
     probes = spark.createDataFrame(
         probe_rows,
@@ -212,14 +211,9 @@ def ivfpq_topk(
         ]
     )
     scored = joined.mapInPandas(score, schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_score").desc(), F.col(id_col).asc()
-    )
-    shortlist = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= rerank)
-        .select("query_id", id_col)
-    )
+    shortlist = topk_per_query(
+        scored, rerank, id_col, score_col="approx_score", round_to=None
+    ).select("query_id", id_col)
     # exact refine: the shortlist (queries·rerank rows) broadcasts into the
     # corpus scan; only shortlisted vectors pay a full-precision cosine
     from data_ingestion_pipeline_spark.functions.vector import cosine
@@ -237,11 +231,4 @@ def ivfpq_topk(
             cosine(F.col("_v"), F.col("_qv")).alias("score"),
         )
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, F.round("score", 6).alias("score"), "rank")
-    )
+    return topk_per_query(exact, k, id_col)

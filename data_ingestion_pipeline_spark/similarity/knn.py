@@ -24,8 +24,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_ingestion_pipeline_spark.functions.partitioning import fan_out
-from data_ingestion_pipeline_spark.functions.vector import as_double_array
+from data_ingestion_pipeline_spark.functions.partitioning import (
+    block_grid_sides,
+    fan_out,
+)
 
 __all__ = ["knn_graph"]
 
@@ -40,34 +42,11 @@ def knn_graph(
     """(src_id, nbr_id, score, rnk) — each row's k nearest by cosine,
     rnk 1..k, ties on the 6-decimal score broken by nbr_id ascending (the
     rounding makes the ranking engine-independent; see cosine_pairs_blas)."""
-    sides = fan_out(df).select(
-        F.col(id_col).alias("_id"),
-        as_double_array(F.col(vec_col)).alias("_v"),
-    ).withColumn(
-        "_blk", (F.crc32(F.col("_id").cast("string")) % n_blocks).cast("int")
+    # full (directed) grid: every query block meets every neighbor block —
+    # the shared replication step lives in functions/partitioning.py
+    q, nb = block_grid_sides(
+        fan_out(df), id_col, vec_col, n_blocks, triangular=False
     )
-    grid = df.sparkSession.createDataFrame(
-        [(x, y) for x in range(n_blocks) for y in range(n_blocks)],
-        "bx int, by int",
-    )
-
-    def replicated(side: str, key: str) -> DataFrame:
-        return (
-            sides.alias(side)
-            .join(
-                F.broadcast(grid.alias(f"g_{side}")),
-                F.col(f"{side}._blk") == F.col(f"g_{side}.{key}"),
-            )
-            .select(
-                F.col(f"g_{side}.bx").alias("bx"),
-                F.col(f"g_{side}.by").alias("by"),
-                F.col(f"{side}._id").alias("_id"),
-                F.col(f"{side}._v").alias("_v"),
-            )
-        )
-
-    q = replicated("sq", "bx")
-    nb = replicated("sn", "by")
 
     def score_block(key, left, right):
         if len(left) == 0 or len(right) == 0:
@@ -82,6 +61,14 @@ def knn_graph(
         inb = right["_id"].to_numpy()
         mq = np.stack(left["_v"].to_numpy())
         mn = np.stack(right["_v"].to_numpy())
+        # neighbor columns sorted by id so the stable argsort below breaks
+        # 6-decimal score ties by nbr_id ASCENDING — the same order as the
+        # global window (and the DuckDB oracle); an order-blind
+        # argpartition could keep an arbitrary tied candidate locally and
+        # drop the one the global rank would have chosen
+        nb_order = np.argsort(inb, kind="stable")
+        inb = inb[nb_order]
+        mn = mn[nb_order]
         scores = np.round(
             (mq @ mn.T)
             / np.outer(np.linalg.norm(mq, axis=1), np.linalg.norm(mn, axis=1)),
@@ -90,8 +77,10 @@ def knn_graph(
         # a row is never its own neighbor
         scores[iq[:, None] == inb[None, :]] = -np.inf
         kk = min(k, scores.shape[1])
-        # local per-row top-k (argpartition is O(cols), not a sort)
-        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        # local per-row top-k: stable sort on the rounded score keeps
+        # id-ascending tie order (O(cols log cols) per row — block columns
+        # are N/B, and the matmul above dominates regardless)
+        part = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
         rows = np.repeat(np.arange(len(iq)), kk)
         cols = part.ravel()
         s = scores[rows, cols]

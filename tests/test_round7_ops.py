@@ -534,3 +534,89 @@ def test_excision_short_exact_copies_stay_intact(spark):
     out = {r.doc_id: r for r in exact_substring_excision(df).collect()}
     assert out[1].n_excised == 0 and out[2].n_excised == 0
     assert out[1].kept_frac == 1.0 and out[2].kept_frac == 1.0
+
+
+def test_knn_local_topk_breaks_ties_by_nbr_id(spark):
+    """Duplicate embeddings tie at 6 decimals: the block-local top-k must
+    keep the SMALLEST nbr_ids among the tied candidates (the global
+    window's and the oracle's order), not an arbitrary argpartition pick."""
+    from data_ingestion_pipeline_spark.similarity.knn import knn_graph
+
+    # one query vector + 8 identical neighbors (all score 1.0): k=3 must
+    # select nbr_ids 2,3,4 deterministically
+    rows = [(i, [1.0, 0.0]) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = [
+        r
+        for r in knn_graph(df, k=3, n_blocks=2).collect()
+        if r.src_id == 1
+    ]
+    assert sorted(r.nbr_id for r in out) == [2, 3, 4]
+    assert all(r.score == 1.0 for r in out)
+
+
+def test_strided_sample_empty_stride_fallback(spark):
+    """An id space that misses every stride multiple (all-odd ids, even
+    stride) must fall back to the smallest ids instead of returning an
+    empty sample that would crash the codebook Lloyd."""
+    from data_ingestion_pipeline_spark.similarity.ivf import sample_centroids
+
+    rows = [(2 * i + 1, [float(i), 1.0]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c = sample_centroids(df, 16)  # stride 4; no odd id % 4 == 0
+    assert len(c) == 16
+    # dense 0-based space: behavior unchanged (every 4th id)
+    dense = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(64)], "vec_id long, embedding array<double>"
+    )
+    c2 = sample_centroids(dense, 16)
+    assert len(c2) == 16 and c2[0] == [0.0] and c2[1] == [4.0]
+
+
+def test_star_contraction_keeps_self_pair_singletons(spark):
+    """A node that appears only in self-pairs must get a (node, node) row
+    from BOTH component implementations — the shared output contract."""
+    from data_ingestion_pipeline_spark.dedup.clustering import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    want = [(1, 1), (2, 1), (3, 1), (5, 5)]
+    a = sorted((r.node, r.cluster_id) for r in connected_components(pairs).collect())
+    b = sorted(
+        (r.node, r.cluster_id) for r in connected_components_star(pairs).collect()
+    )
+    assert a == want and b == want
+
+
+def test_ivfpq_adc_table_is_exact_inner_product_decomposition(spark):
+    """With 1 subspace and enough codes to represent every residual
+    exactly, ADC must reproduce q·v EXACTLY (q·c + q·r̂ with r̂ = r): the
+    residual-query table form this replaced was off by −c·r̂ per
+    candidate."""
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.similarity.ivfpq import (
+        ivfpq_encode,
+        train_ivfpq,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(32, 4)).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, books = train_ivfpq(
+        df, n_centroids=2, n_subspaces=1, n_codes=256, sample_size=32
+    )
+    enc = {r.vec_id: r for r in ivfpq_encode(df, cents, books).collect()}
+    q = rng.normal(size=4)
+    books = np.asarray(books)
+    for i in range(len(vecs)):
+        li = enc[i].list_id
+        code = enc[i].codes[0]
+        v_hat = np.asarray(cents)[li] + books[0][code]
+        adc = float(np.asarray(cents)[li] @ q + books[0][code] @ q)
+        assert abs(adc - float(v_hat @ q)) < 1e-12
