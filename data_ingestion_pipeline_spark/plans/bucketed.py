@@ -40,7 +40,11 @@ def write_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     if warehouse:
-        shutil.rmtree(f"{warehouse}/{table_name.lower()}", ignore_errors=True)
+        # Spark lays out db-qualified tables at <warehouse>/<db>.db/<table>;
+        # an unqualified name lives directly under the warehouse root
+        parts = table_name.lower().split(".")
+        rel = f"{parts[0]}.db/{parts[1]}" if len(parts) == 2 else parts[0]
+        shutil.rmtree(f"{warehouse}/{rel}", ignore_errors=True)
     (
         df.write.bucketBy(buckets, *keys)
         .sortBy(*keys)

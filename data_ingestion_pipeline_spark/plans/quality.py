@@ -41,7 +41,9 @@ def check_rules(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
                     F.struct(
                         F.lit(name).alias("rule"),
                         F.col("_n").cast("bigint").alias("n_rows"),
-                        F.col(f"_v_{name}").cast("bigint").alias("n_violations"),
+                        # backtick-quote: a rule name with a dot would
+                        # otherwise parse as struct-field access
+                        F.col(f"`_v_{name}`").cast("bigint").alias("n_violations"),
                     )
                     for name in rules
                 ]

@@ -166,7 +166,15 @@ class ManagedTable:
                 f.write(spec)
         seq = len(self._delete_sidecars(v)) + 1
         out = os.path.join(d, f"d{seq:06d}")
-        keys.select(*key_cols).distinct().write.mode("overwrite").parquet(out)
+        # write-then-rename: _delete_sidecars lists entries starting with
+        # "d", so a reader between directory creation and write completion
+        # would otherwise see a footerless partial sidecar — the rename
+        # makes the sidecar visible atomically, preserving the module's
+        # readers-never-see-partial-writes invariant
+        tmp = os.path.join(d, f".d{seq:06d}.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        keys.select(*key_cols).distinct().write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, out)
         return v
 
     def rewrite_deletes(self) -> str:
@@ -243,14 +251,11 @@ class ManagedTable:
         scanning them (asserted from the footers in pytest). At cluster
         scale, size num_files from plan stats or a prior version's bytes.
         """
-        version = self._next_version()
-        clustered = df.repartitionByRange(num_files, *sort_cols).sortWithinPartitions(
-            *sort_cols
+        return self.overwrite(
+            df.repartitionByRange(num_files, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
         )
-        clustered.write.mode("overwrite").parquet(os.path.join(self.root, version))
-        self._swap_pointer(version)
-        self._vacuum()
-        return version
 
     def _vacuum(self) -> None:
         cur = self.current_version()

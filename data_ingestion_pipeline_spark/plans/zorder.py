@@ -62,21 +62,31 @@ def morton_key(
     n = len(cols)
     if bits * n >= 63:
         raise ValueError("interleaved key must fit a signed long")
+    # medians only when the skew escape hatch is on — percentile state is
+    # the expensive accumulator in this stats pass
+    med_aggs = (
+        [
+            F.percentile_approx(F.col(c).cast("double"), 0.5, 1000).alias(f"med_{i}")
+            for i, c in enumerate(cols)
+        ]
+        if quantile_skew
+        else []
+    )
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"lo_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"hi_{i}") for i, c in enumerate(cols)],
-        *[
-            F.percentile_approx(F.col(c).cast("double"), 0.5, 1000).alias(f"med_{i}")
-            for i, c in enumerate(cols)
-        ],
+        *med_aggs,
     ).collect()[0]
     key = F.lit(0).cast("long")
     n_buckets = 1 << bits
     for i, c in enumerate(cols):
-        lo, hi, med = stats[f"lo_{i}"], stats[f"hi_{i}"], stats[f"med_{i}"]
+        lo, hi = stats[f"lo_{i}"], stats[f"hi_{i}"]
+        if lo is None:  # empty frame or all-NULL column: trivial layout,
+            lo, hi = 0.0, 1.0  # every row keys to bucket 0 instead of crashing
         if hi <= lo:
             hi = lo + 1.0
-        med_frac = (med - lo) / (hi - lo)
+        med = stats[f"med_{i}"] if quantile_skew else None
+        med_frac = (med - lo) / (hi - lo) if med is not None else 0.5
         if quantile_skew and not 0.25 <= med_frac <= 0.75:
             m = min(n_buckets, _MAX_QUANTILE_EDGES)
             # scale the m-granular rank onto the full 2^bits range so the

@@ -34,19 +34,24 @@ def stream_orders_csv(
     table: ManagedTable,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    available_now: bool = True,
 ) -> StreamingQuery:
-    """Continuously ingest order CSVs dropped into ``input_dir``.
+    """Ingest order CSVs dropped into ``input_dir``.
 
     Each micro-batch runs the same deterministic MERGE as the batch pipeline
     (dedup last-wins → anti-join → atomic version swap), so stream-then-batch
     and batch-then-stream converge to the same table state.
+
+    ``available_now=True`` (the test/driver default) drains the files
+    present at start and stops; pass ``available_now=False`` for the
+    continuous deployment that keeps watching the directory.
     """
     reader = (
         spark.readStream.schema(schemas.ORDERS_CSV_RAW)
         .option("header", "true")
         .option("nullValue", "")
     )
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.csv(input_dir)
     normalized = normalize_orders(raw)
@@ -54,10 +59,13 @@ def stream_orders_csv(
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         merge_upsert(table, batch_df, keys=schemas.ORDERS_KEY, order_col="date_time")
 
+    writer = normalized.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     return (
-        normalized.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
+        writer
         .start()
     )
 

@@ -25,6 +25,7 @@ __all__ = [
     "session_window_stats",
     "dedup_events_stream",
     "dedup_events_stream_within_watermark",
+    "chained_daily_rollup_stream",
 ]
 
 
@@ -98,10 +99,14 @@ def sessionize_gaps_and_islands(events: DataFrame, gap_minutes: int = 5) -> Data
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = gap_minutes * 60
+    gap_s = float(gap_minutes * 60)
+    # cast("double") keeps sub-second precision (cast("long") truncates, so
+    # a 300.5 s gap would read as 300 and merge two sessions the streaming
+    # twin — and the oracle's fractional epoch() — would split)
     new_session = (
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > gap_s,
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+            > gap_s,
             1,
         )
         .otherwise(0)
@@ -151,9 +156,16 @@ def session_window_stats(
 
 
 def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Streaming exact dedup by event_id: dropDuplicates keeps one state row
-    per id until the watermark expires it — the streaming counterpart of the
-    batch exact-dedup operator (dedup/exact.py)."""
+    """Streaming exact dedup by event_id — dedup-FOREVER semantics: a
+    replay is dropped no matter how late it arrives (even with a different
+    event time, the at-least-once-redelivery case). The cost is UNBOUNDED
+    state: dropDuplicates only evicts state when the event-time column is
+    part of the dedup key, so this keeps one state row per id for the
+    stream's lifetime — fine for bounded id spaces or bounded runs (the
+    driver's availableNow replays), NOT for unbounded key cardinality at
+    100 TB/day. For that, use ``dedup_events_stream_within_watermark``
+    (state provably evicted after the delay) — the production-bounded
+    sibling registered alongside."""
     df = _with_optional_watermark(events, "ts", watermark)
     return df.dropDuplicates(["event_id"])
 

@@ -620,3 +620,56 @@ def test_ivfpq_adc_table_is_exact_inner_product_decomposition(spark):
         v_hat = np.asarray(cents)[li] + books[0][code]
         adc = float(np.asarray(cents)[li] @ q + books[0][code] @ q)
         assert abs(adc - float(v_hat @ q)) < 1e-12
+
+
+def test_sessionize_subsecond_gap_splits_sessions(spark):
+    """A 300.5 s gap exceeds the 5-minute threshold: truncating timestamps
+    to whole seconds read it as 300 and merged the sessions (diverging
+    from both the >gap contract and session_window); the double cast
+    keeps the fraction."""
+    import datetime as dt
+
+    from data_ingestion_pipeline_spark.streaming.windows import (
+        sessionize_gaps_and_islands,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 7, 1.0),
+        (2, t0 + dt.timedelta(seconds=300, milliseconds=500), 7, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = sessionize_gaps_and_islands(df, gap_minutes=5).collect()
+    assert len(out) == 2  # two sessions, not one
+
+
+def test_check_rules_dotted_rule_names(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipeline_spark.plans.quality import check_rules
+
+    df = spark.createDataFrame([(1, 2.0), (2, None)], "x long, a double")
+    out = {
+        r.rule: r.n_violations
+        for r in check_rules(
+            df,
+            {"x.notnull": F.col("x").isNotNull(), "a.notnull": F.col("a").isNotNull()},
+        ).collect()
+    }
+    assert out == {"x.notnull": 0, "a.notnull": 1}
+
+
+def test_morton_key_empty_and_allnull_inputs(spark):
+    from data_ingestion_pipeline_spark.plans.zorder import morton_key
+
+    empty = spark.createDataFrame([], "a double, b double")
+    assert empty.select(morton_key(empty, ["a", "b"]).alias("k")).collect() == []
+    allnull = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0)], "a double, b double"
+    )
+    ks = [
+        r.k for r in allnull.select(morton_key(allnull, ["a", "b"]).alias("k")).collect()
+    ]
+    assert all(k is not None for k in ks)
