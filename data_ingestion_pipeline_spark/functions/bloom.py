@@ -61,13 +61,16 @@ def bloom_probe_udf(bits: np.ndarray, m_bits: int, k: int, seed: int = 0x5B10):
     from pyspark.sql.functions import pandas_udf
 
     def _probe(s):
-        v = s.to_numpy(dtype=np.int64)
+        # NULL keys: to_numpy(dtype=int64) raises on None/NaN — probe only
+        # the non-null slots and report False (a NULL key is in no set)
+        mask = s.notna().to_numpy()
+        v = s.fillna(0).to_numpy(dtype=np.int64)
         ok = np.ones(len(v), dtype=bool)
         for j in range(k):
             h = _mix64(v, seed + j) % np.uint64(m_bits)
             word = bits[(h >> np.uint64(6)).astype(np.int64)]
             ok &= (word >> (h & np.uint64(63))) & np.uint64(1) != 0
-        return pd.Series(ok)
+        return pd.Series(ok & mask)
 
     _probe.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(_probe, "boolean")

@@ -70,11 +70,26 @@ def asof_join_prev(
         .orderBy(F.col("_ts").asc(), F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # last-over-STRUCT, not last-over-value: ignorenulls on the bare value
+    # would (a) skip a right row whose value is genuinely NULL — returning
+    # a stale older value where as-of semantics (and DuckDB's ASOF JOIN)
+    # say NULL — and (b) let a null-timestamp right row sort first and
+    # match. The struct is non-null exactly when a VALID right row exists,
+    # and carries its value whatever that value is.
     filled = u.select(
         "_tag",
         "_lrow",
         *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"prev_{c}")
+            F.last(
+                F.when(
+                    (F.col("_tag") == 1) & F.col("_ts").isNotNull(),
+                    F.struct(F.col(f"_rv_{c}").alias("v")),
+                ),
+                ignorenulls=True,
+            )
+            .over(w)
+            .getField("v")
+            .alias(f"prev_{c}")
             for c in value_cols
         ],
     ).filter(F.col("_tag") == 0)

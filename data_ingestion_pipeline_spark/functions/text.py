@@ -182,8 +182,20 @@ def quality_features(col: Column) -> dict[str, Column]:
             / n_tok.cast("double"),
             6,
         ),
-        "alpha_ratio": F.round(alpha_chars.cast("double") / n_chars.cast("double"), 6),
-        "punct_ratio": F.round(punct_chars.cast("double") / n_chars.cast("double"), 6),
+        # greatest(n_chars, 1): an empty/NULL text has n_chars = 0 and ANSI
+        # double division throws DIVIDE_BY_ZERO — one empty doc must not
+        # kill the corpus job (the oracle twins guard identically, so both
+        # engines report ratio 0 for empty docs)
+        "alpha_ratio": F.round(
+            alpha_chars.cast("double")
+            / F.greatest(n_chars, F.lit(1)).cast("double"),
+            6,
+        ),
+        "punct_ratio": F.round(
+            punct_chars.cast("double")
+            / F.greatest(n_chars, F.lit(1)).cast("double"),
+            6,
+        ),
     }
 
 

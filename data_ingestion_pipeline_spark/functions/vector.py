@@ -83,4 +83,10 @@ def l2_norm(a: Column, dim: int | None = None) -> Column:
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
+    """Cosine similarity; NULL (not a DIVIDE_BY_ZERO abort) when either
+    vector has zero norm — under Spark 4's default ANSI mode an unguarded
+    division would let a single all-zero embedding (padding row, failed
+    upstream encode) kill the whole similarity job. nullif keeps the
+    guard inside codegen."""
+    denom = l2_norm(a, dim) * l2_norm(b, dim)
+    return dot(a, b, dim) / F.nullif(denom, F.lit(0.0))

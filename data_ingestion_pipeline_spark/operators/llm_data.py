@@ -131,7 +131,7 @@ SELECT doc_id,
        ROUND(CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
              / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len,
        ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-             / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+             / CAST(GREATEST(length(text), 1) AS DOUBLE), 6) AS alpha_ratio,
        CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
 FROM t
@@ -1281,7 +1281,7 @@ WITH t AS (
            ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
                  / CAST(len(toks) AS DOUBLE), 6) AS type_token_ratio,
            ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                 / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio
+                 / CAST(GREATEST(length(text), 1) AS DOUBLE), 6) AS alpha_ratio
     FROM t
 )
 SELECT * FROM scored
@@ -1894,7 +1894,7 @@ WITH aug AS (
                  / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6)
                AS type_token_ratio,
            ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                 / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+                 / CAST(GREATEST(length(text), 1) AS DOUBLE), 6) AS alpha_ratio,
            (CAST(strpos('0123456789abcdef',
                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) * 16
             + CAST(strpos('0123456789abcdef',
@@ -2187,7 +2187,7 @@ WITH aug AS (
                  / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 6)
                AS type_token_ratio,
            ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                 / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+                 / CAST(GREATEST(length(text), 1) AS DOUBLE), 6) AS alpha_ratio,
            (CAST(strpos('0123456789abcdef',
                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) * 16
             + CAST(strpos('0123456789abcdef',

@@ -5,9 +5,13 @@ The reference reads CSV with pandas and post-hoc coercion
 with an explicit schema — no inference pass (inference = an extra full scan
 at 100 TB), malformed rows quarantined instead of failing the job.
 
-``mode="PERMISSIVE"`` + ``columnNameOfCorruptRecord`` keeps bad rows
-inspectable; at scale you route them to a dead-letter sink rather than
-aborting a multi-hour ingest.
+``mode="DROPMALFORMED"`` drops unparseable lines at the reader: the
+PERMISSIVE + corrupt-column form either leaks malformed lines as all-NULL
+data rows (if the column is merely dropped) or poisons corrupt-only
+queries like ``df.count()`` with QUERY_ONLY_CORRUPT_RECORD_COLUMN (if it
+is filtered on). At scale, a dead-letter sink is a SEPARATE permissive
+read of the same path routed by ``_corrupt_record IS NOT NULL`` — not
+this ingest path's job.
 """
 
 from __future__ import annotations
@@ -25,7 +29,7 @@ __all__ = ["read_orders_csv", "read_inventory_csv"]
 
 _CSV_OPTIONS = {
     "header": "true",
-    "mode": "PERMISSIVE",
+    "mode": "DROPMALFORMED",
     # Reference data quotes empty strings (""); treat both as null at the
     # reader, the normalizer additionally nulls whitespace-only values.
     "nullValue": "",
@@ -34,26 +38,16 @@ _CSV_OPTIONS = {
 
 
 def _read(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    # StructType.add mutates in place — copy so the module-level schema
-    # constants stay pristine.
-    corrupt = T.StructType(
-        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
-    )
-    return (
-        spark.read.options(**_CSV_OPTIONS)
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .schema(corrupt)
-        .csv(path)
-    )
+    return spark.read.options(**_CSV_OPTIONS).schema(schema).csv(path)
 
 
 def read_orders_csv(spark: SparkSession, path: str, normalized: bool = True) -> DataFrame:
     """S1 — orders CSV scan (reference ``flows/data_ingestion.py:80-96``)."""
-    raw = _read(spark, path, schemas.ORDERS_CSV_RAW).drop("_corrupt_record")
+    raw = _read(spark, path, schemas.ORDERS_CSV_RAW)
     return normalize_orders(raw) if normalized else raw
 
 
 def read_inventory_csv(spark: SparkSession, path: str, normalized: bool = True) -> DataFrame:
     """S2 — inventory CSV scan (reference ``flows/data_ingestion.py:68-77``)."""
-    raw = _read(spark, path, schemas.INVENTORY_CSV_RAW).drop("_corrupt_record")
+    raw = _read(spark, path, schemas.INVENTORY_CSV_RAW)
     return normalize_inventory(raw) if normalized else raw

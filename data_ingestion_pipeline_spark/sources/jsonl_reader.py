@@ -23,18 +23,14 @@ __all__ = ["read_jsonl", "write_jsonl"]
 def read_jsonl(
     spark: SparkSession, path: str, schema: T.StructType, timestamp_format: str | None = None
 ) -> DataFrame:
-    corrupt = T.StructType(
-        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
-    )
-    reader = (
-        spark.read.schema(corrupt)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-    )
+    # DROPMALFORMED, not PERMISSIVE + a _corrupt_record filter: filtering
+    # on the corrupt column poisons any downstream query that references
+    # no data column (df.count() raises QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    # because the pruned schema contains only the corrupt column)
+    reader = spark.read.schema(schema).option("mode", "DROPMALFORMED")
     if timestamp_format:
         reader = reader.option("timestampFormat", timestamp_format)
-    df = reader.json(path)
-    return df.filter(df["_corrupt_record"].isNull()).drop("_corrupt_record")
+    return reader.json(path)
 
 
 def write_jsonl(df: DataFrame, path: str, timestamp_format: str | None = None) -> None:

@@ -218,7 +218,12 @@ class _JsonlWriter(DataSourceWriter):
     def abort(self, messages):
         import os
 
+        # a failed task's commit message arrives as None (DataSourceWriter
+        # contract) — skipping it keeps abort itself from raising and
+        # masking the original task failure
         for m in messages or []:
+            if m is None:
+                continue
             try:
                 os.remove(os.path.join(self.path, m.file))
             except OSError:

@@ -673,3 +673,71 @@ def test_morton_key_empty_and_allnull_inputs(spark):
         r.k for r in allnull.select(morton_key(allnull, ["a", "b"]).alias("k")).collect()
     ]
     assert all(k is not None for k in ks)
+
+
+def test_fixed_width_null_field_roundtrips(spark, tmp_path):
+    """A NULL field must write as an all-blank field and read back NULL —
+    concat's null-propagation previously blanked the ENTIRE record,
+    silently losing every other field of that row."""
+    from data_ingestion_pipeline_spark.sources.fixed_width import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+
+    spec = [("k", "bigint", 6), ("name", "string", 8), ("v", "double2", 10)]
+    rows = [(1, "alpha", 2.5), (2, None, 7.25), (3, "gamma", None)]
+    df = spark.createDataFrame(rows, "k long, name string, v double")
+    out = str(tmp_path / "fw")
+    write_fixed_width(df, out, spec)
+    got = {r.k: (r.name, r.v) for r in read_fixed_width(spark, out, spec).collect()}
+    assert got == {1: ("alpha", 2.5), 2: (None, 7.25), 3: ("gamma", None)}
+
+
+def test_fixed_width_date8_width_validated(spark):
+    import pytest as _pytest
+
+    from data_ingestion_pipeline_spark.sources.fixed_width import write_fixed_width
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError, match="date8 requires width 8"):
+        write_fixed_width(df, "/tmp/unused", [("k", "date8", 10)])
+
+
+def test_jsonl_reader_drops_malformed_and_counts(spark, tmp_path):
+    """Malformed lines are dropped at the reader, and a bare count() works
+    (the PERMISSIVE + corrupt-column filter form raised
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN on corrupt-only queries)."""
+    from pyspark.sql import types as T
+
+    from data_ingestion_pipeline_spark.sources.jsonl_reader import read_jsonl
+
+    p = tmp_path / "j"
+    p.mkdir()
+    (p / "x.jsonl").write_text(
+        '{"a": 1, "b": "x"}\nNOT JSON{{{\n{"a": 2, "b": "y"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    df = read_jsonl(spark, str(p), schema)
+    assert df.count() == 2
+    assert sorted((r.a, r.b) for r in df.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_asof_prev_carries_genuine_null_values(spark):
+    """A right row whose VALUE is NULL is still the as-of match — the
+    ignorenulls-on-value form fell through to a stale older value; and a
+    null-timestamp right row must never match."""
+    import datetime as dt
+
+    from data_ingestion_pipeline_spark.functions.temporal import asof_join_prev
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame([(7, t(30))], "user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(7, t(10), 5.0), (7, t(20), None), (7, None, 99.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = asof_join_prev(left, right, "user_id", "ts", ["value"]).collect()
+    assert len(out) == 1
+    assert out[0].prev_value is None  # the t(20) NULL row wins, not 5.0
