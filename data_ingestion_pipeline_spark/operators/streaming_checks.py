@@ -35,6 +35,7 @@ __all__ = [
     "streaming_dedup_within_watermark_events",
     "stateful_user_profile_events",
     "stateful_event_type_counts_events",
+    "stateful_event_type_counts_pandas_events",
     "streaming_interval_join_events",
     "streaming_enriched_events",
     "streaming_session_window_events",
@@ -408,6 +409,59 @@ STATEFUL_EVENT_TYPE_COUNTS_EVENTS_ORACLE = """
 SELECT user_id, event_type, CAST(2 * COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY user_id, event_type
 """
+
+
+def stateful_event_type_counts_pandas_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState twin of ``stateful_event_type_counts_events``
+    (round-7 verdict ask #3): the transformWithStateInPandas original is
+    permanently env-gated on python-protobuf in this sandbox, so the same
+    MapState semantics — per-user per-event-type counters folded across
+    micro-batches — run here on the protobuf-free arbitrary-state API
+    (state = parallel type/count arrays, streaming/stateful.py). The
+    planted two-batch source replays batch 1 as batch 2, so the final
+    emission per (user, type) must be exactly 2× the base count: proof the
+    map state survives micro-batch boundaries, driver-checkable in any
+    environment."""
+    from data_ingestion_pipeline_spark.streaming.stateful import (
+        user_event_type_counts_pandas_stream,
+    )
+
+    tag, src_dir = _planted_dup_source(sf_dir)
+    name = f"stream_aips_counts_{tag}"
+    raw = (
+        spark.readStream.schema(
+            _events_stream_schema(spark, os.path.join(src_dir, "copy_a.parquet"))
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    counts = user_event_type_counts_pandas_stream(normalize_event_ts(raw))
+    with _stream_state_partitions(spark):
+        query = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(120)
+    if query.isActive:
+        query.stop()
+    emitted = spark.table(name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "n_events")
+    )
+
+
+STATEFUL_EVENT_TYPE_COUNTS_PANDAS_EVENTS_ORACLE = (
+    STATEFUL_EVENT_TYPE_COUNTS_EVENTS_ORACLE
+)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 __all__ = [
     "user_profile_stream",
     "user_event_type_counts_stream",
+    "user_event_type_counts_pandas_stream",
     "transform_with_state_available",
     "PROFILE_SCHEMA",
     "STATE_SCHEMA",
@@ -97,6 +98,72 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+COUNTS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_types", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+COUNTS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _update_type_counts(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        types, counts = state.get
+        acc = dict(zip(types, counts))
+    else:
+        acc = {}
+    for pdf in batches:
+        # value_counts drops nulls — same null policy as the MapState twin
+        for et, c in pdf["event_type"].value_counts().items():
+            acc[et] = acc.get(et, 0) + int(c)
+    items = sorted(acc.items())  # deterministic state/emit order
+    state.update(
+        ([et for et, _ in items], [int(n) for _, n in items])
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(items),
+            "event_type": [et for et, _ in items],
+            "n_events": [int(n) for _, n in items],
+        }
+    )
+
+
+def user_event_type_counts_pandas_stream(events: DataFrame) -> DataFrame:
+    """Per-user event-type counters on ``applyInPandasWithState`` — the
+    semantic twin of ``user_event_type_counts_stream`` (whose
+    ``transformWithStateInPandas`` MapState API needs python-protobuf,
+    absent in this sandbox). The map is emulated as two parallel arrays in
+    the state tuple: one serialized blob per user instead of one state-store
+    entry per (user, type), so single-type updates rewrite the whole map —
+    the exact trade the typed-MapState API exists to remove — but the
+    emitted rows and cross-batch fold are identical, which makes this the
+    driver-checkable surface for the same semantics. State size
+    O(users · types); one shuffle on user_id."""
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_type_counts,
+            outputStructType=COUNTS_OUT_SCHEMA,
+            stateStructType=COUNTS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 
