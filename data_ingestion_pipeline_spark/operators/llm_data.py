@@ -1174,14 +1174,74 @@ def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat approximate top-10 for a small query batch (rows-only:
-    approximate by construction; recall vs brute force asserted in pytest).
-    Complements the LSH variant — data-adaptive cells, partition-prunable."""
+    """IVF-Flat approximate top-10 for a small query batch. HASH-CHECKED
+    since round 8 (round-7 verdict ask #6): every stage of the index is
+    deterministic — strided centroid sample, first-wins argmax assignment,
+    (dot desc, larger-cell-first) probe policy, (score desc, id asc) top-k
+    — so the whole pipeline replays as SQL in DuckDB; "approximate" means
+    approximate w.r.t. brute force (the recall gate's job), not
+    nondeterministic. Complements the LSH variant — data-adaptive cells,
+    partition-prunable."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return ivf_topk(emb, q, k=10, n_centroids=16, nprobe=4)
+
+
+ANN_IVF_TOPK_EMBEDDINGS_ORACLE = """
+WITH params AS (
+    SELECT GREATEST(COUNT(*) // 16, 1) AS stride FROM embeddings
+),
+-- strided_sample_rows: ids 0, stride, 2*stride, ... < stride*16, by id;
+-- cid = position in that order (similarity/ivf.py::sample_centroids)
+cent AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS cid,
+           e.embedding::DOUBLE[] AS cv
+    FROM embeddings e, params p
+    WHERE e.vec_id % p.stride = 0 AND e.vec_id < p.stride * 16
+),
+q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+-- select_probe_cells: nprobe=4 highest-dot cells, larger cid first on ties
+probes AS (
+    SELECT query_id, list_id, qv FROM (
+        SELECT q.query_id, c.cid AS list_id, q.qv,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY list_inner_product(c.cv, q.qv) DESC, c.cid DESC
+               ) AS pr
+        FROM q CROSS JOIN cent c
+    ) WHERE pr <= 4
+),
+-- _assign_batched: np.argmax = first-wins -> smallest cid on ties
+assigned AS (
+    SELECT vec_id, embedding, list_id FROM (
+        SELECT e.vec_id, e.embedding, c.cid AS list_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_inner_product(e.embedding::DOUBLE[], c.cv) DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+scored AS (
+    SELECT p.query_id, a.vec_id,
+           list_cosine_similarity(a.embedding::DOUBLE[], p.qv) AS s
+    FROM assigned a JOIN probes p USING (list_id)
+)
+SELECT query_id, vec_id, ROUND(s, 6) AS score, CAST(rnk AS INT) AS rank
+FROM (
+    SELECT query_id, vec_id, s,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY s DESC, vec_id ASC
+           ) AS rnk
+    FROM scored
+) WHERE rnk <= 10
+"""
 
 
 def ann_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
