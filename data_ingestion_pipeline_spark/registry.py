@@ -289,13 +289,92 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     *_ROUND7_NEW,
 ]
 
+# ---- Round-8 rotation (round-7 verdict ask #1) ----
+# CORRECTNESS_r07 closed the coverage ledger: every registered query holds
+# a driver row (289 hash-green + 7 rows-only by design), so the 50-slot
+# budget flips from FIRST COVERAGE to RE-VERIFICATION FRESHNESS. Staleness
+# criterion: a query is stale when its implementing module changed between
+# the round-final HEAD that produced its latest green row and round-8 HEAD
+# (computed by git-diffing each round boundary against HEAD; 210 of 296
+# names qualify — rounds 5-7 folded shared helpers (_lag_pearson,
+# _oneway_f, _banded_name_pairs, the ANN epilogues) and hardened every
+# reader, touching modules behind most of the ledger). The front below
+# spends the whole budget on the OLDEST evidence:
+#   slot 0    — the round-8 addition (never checked): the protobuf-free
+#               applyInPandasWithState twin (verdict ask #3);
+#   slot 1    — ann_ivf_topk_embeddings: r03 row, rows-only then, promoted
+#               to a hash-checked DuckDB replay this round (ask #6);
+#   slots 2-49 — the 48 stale names whose latest row is CORRECTNESS_r02,
+#               predating five rounds of refactors. The one r02 name the
+#               budget cannot fit (views_within_hour_of_purchase) leads
+#               the round-9 queue.
+_ROUND8_FRONT: list[str] = [
+    "stateful_event_type_counts_pandas_events",
+    "ann_ivf_topk_embeddings",
+    "ann_ivf_exhaustive_topk_embeddings",
+    "asof_prev_view_per_purchase",
+    "catalog_database_roundtrip",
+    "corpus_mixture_documents",
+    "cosine_topk_embeddings",
+    "csv_ingest_events",
+    "csv_ingest_inventory",
+    "daily_cohort_retention",
+    "daily_user_activity_gapfilled",
+    "dedup_survivor_quality_documents",
+    "distinct_users_daily",
+    "doc_fingerprint_rolling",
+    "embedding_cosine_dedup",
+    "embedding_lsh_verified_near_dup",
+    "event_counts_unpivot",
+    "event_type_pivot",
+    "event_value_outliers",
+    "exact_dedup_documents",
+    "jdbc_roundtrip_orders",
+    "json_extract_events",
+    "jsonl_roundtrip_events",
+    "knn_graph_embeddings",
+    "latest_event_per_user",
+    "merge_upsert_events",
+    "minhash_verified_near_dup_documents",
+    "multimodal_frame_sample",
+    "multimodal_image_features",
+    "multimodal_metadata",
+    "near_dup_clusters_documents",
+    "ngram_jaccard_documents",
+    "orc_roundtrip_events",
+    "pack_documents_context_windows",
+    "purchase_funnel_users",
+    "quality_filter_documents",
+    "salted_skew_join_events",
+    "sessionize_events",
+    "sliding_window_events",
+    "stateful_user_profile_events",
+    "stratified_sample_documents",
+    "streaming_dedup_events",
+    "streaming_enriched_events",
+    "streaming_incremental_agg_events",
+    "streaming_ingest_merge_events",
+    "streaming_interval_join_events",
+    "streaming_session_window_events",
+    "streaming_tumbling_events",
+    "text_hygiene_documents",
+    "user_event_type_sets",
+]
+
+# Next in line once round 8's budget lands: the r02 spillover, then the
+# r03-stale tier (oldest evidence first — recomputed each round).
+_ROUND9_QUEUE: list[str] = [
+    "views_within_hour_of_purchase",
+]
+
 
 def _ordered_names() -> list[str]:
-    front = [n for n in _NEVER_DRIVER_CHECKED if n in _REGISTRY]
-    seen = set(front)
-    # remainder: driver-green rows from r01–r05, every one green at its
-    # latest check — the tier most safely parked outside the verify budget
-    return front + [n for n in _REGISTRY if n not in seen]
+    front = [n for n in _ROUND8_FRONT if n in _REGISTRY]
+    queue = [n for n in _ROUND9_QUEUE if n in _REGISTRY and n not in front]
+    seen = set(front) | set(queue)
+    # remainder: every name holds a driver row green at its latest check;
+    # within it the ordering is registration order (stable across rounds)
+    return front + queue + [n for n in _REGISTRY if n not in seen]
 
 
 def queries() -> dict[str, QueryFn]:
@@ -852,7 +931,13 @@ register(
 
 register("ann_lsh_topk_embeddings", llm_data.ann_lsh_topk_embeddings, None)
 
-register("ann_ivf_topk_embeddings", llm_data.ann_ivf_topk_embeddings, None)
+# Promoted rows-only -> hash-checked in round 8 (round-7 verdict ask #6):
+# the IVF pipeline is deterministic end-to-end, so DuckDB replays it.
+register(
+    "ann_ivf_topk_embeddings",
+    llm_data.ann_ivf_topk_embeddings,
+    llm_data.ANN_IVF_TOPK_EMBEDDINGS_ORACLE,
+)
 
 # self-grading recall gates for the ANN trio: the only remaining rows-only
 # queries are the approximate top-k surfaces themselves; these gates give
@@ -2222,3 +2307,13 @@ if transform_with_state_available():
         streaming_checks.stateful_event_type_counts_events,
         streaming_checks.STATEFUL_EVENT_TYPE_COUNTS_EVENTS_ORACLE,
     )
+
+# Round-8 (round-7 verdict ask #3): the protobuf-free twin of the gated
+# check above — identical semantics and oracle on applyInPandasWithState,
+# registered unconditionally so the MapState fold finally holds a driver
+# row in this sandbox.
+register(
+    "stateful_event_type_counts_pandas_events",
+    streaming_checks.stateful_event_type_counts_pandas_events,
+    streaming_checks.STATEFUL_EVENT_TYPE_COUNTS_PANDAS_EVENTS_ORACLE,
+)

