@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.functions.numeric import dec_sum
+from data_ingestion_pipeline_spark.plans.join_strategies import broadcast_if_small
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
@@ -137,7 +138,10 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # size-gated (round-7 verdict ask #4): the segment-filtered customer
+        # map grows with the table — hint only while Catalyst's estimate
+        # fits the session ceiling, else fall back to a shuffle join
+        orders.join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -200,7 +204,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("c_custkey", "c_nationkey", "n_name")
     )
     return (
-        orders.join(F.broadcast(local_cust), orders.o_custkey == F.col("c_custkey"))
+        # size-gated: region-filtered customers (ask #4) — see Q3
+        orders.join(broadcast_if_small(local_cust), orders.o_custkey == F.col("c_custkey"))
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(
             F.broadcast(supp),
@@ -274,8 +279,9 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey")
     vol = _disc_price()
     return (
+        # size-gated: region-filtered customers (ask #4) — see Q3
         orders.join(
-            F.broadcast(america_cust), orders.o_custkey == F.col("c_custkey")
+            broadcast_if_small(america_cust), orders.o_custkey == F.col("c_custkey")
         )
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -379,7 +385,10 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
     ).select("c_custkey", "c_name", "c_acctbal", "n_name")
     return (
-        per_cust.join(F.broadcast(dim), per_cust.o_custkey == dim.c_custkey)
+        # size-gated (ask #4): dim here is ALL customers + nation — at a
+        # 100x scale-up both sides are O(customers) and the right plan is
+        # a shuffle join on custkey, which the gate degrades to
+        per_cust.join(broadcast_if_small(dim), per_cust.o_custkey == dim.c_custkey)
         .select(
             "c_custkey",
             "c_name",

@@ -564,3 +564,49 @@ def test_tpch_q10_dims_join_after_aggregate(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "c_name" not in line
+
+
+def test_tpch_customer_broadcast_is_size_gated(spark):
+    """Round-7 verdict ask #4: the filtered-customer build sides in
+    Q3/Q5/Q8 must broadcast only while Catalyst's estimate fits the
+    session ceiling. Under the default threshold the hint fires (plan
+    shows BroadcastHashJoin); with the ceiling forced below the dimension
+    size the SAME code path must yield a sort-merge/shuffled-hash join —
+    and the same rows."""
+    from data_ingestion_pipeline_spark.plans.join_strategies import (
+        broadcast_if_small,
+        plan_size_estimate,
+    )
+
+    baseline = _plan(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in baseline
+    expected = {
+        tuple(r)
+        for r in entrymod.queries()["tpch_q3_shipping_priority"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try:
+        df = entrymod.queries()["tpch_q3_shipping_priority"](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, (
+            "gate failed open: customer side still broadcast above ceiling"
+        )
+        assert {tuple(r) for r in df.collect()} == expected, (
+            "join strategy changed the result"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # unit surface: explicit thresholds override the session ceiling
+    from data_ingestion_pipeline_spark.sources.catalog import load_table
+
+    dim = load_table(spark, SF_SMOKE, "customer").select("c_custkey")
+    assert plan_size_estimate(dim) > 0
+    hinted = broadcast_if_small(dim, threshold_bytes=1 << 40)
+    unhinted = broadcast_if_small(dim, threshold_bytes=1)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
