@@ -143,16 +143,22 @@ def connected_components_star(
     Each round is the same shuffle shape (groupBy-min on node + a join), so
     the crossover is purely about graph topology, not per-round cost.
     """
-    edges = _canonical(
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # Materialize the raw pair projection ONCE: both the edge set and the
+    # node set derive from it, and the pairs lineage is typically the
+    # expensive part (a banded near-dup join). Deriving nodes straight from
+    # `pairs` would replay that subtree a second time (measured +50% on
+    # near_dup_clusters_star at sf0.1 — the round-7 regression).
+    raw = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
     ).localCheckpoint(eager=True)
+    edges = _canonical(raw).localCheckpoint(eager=True)
     # nodes come from the RAW pairs, not the canonicalized edges: a node
     # that appears only in self-pairs (id_a == id_b) has every edge dropped
     # by _canonical, but the contract (same as connected_components) still
     # owes it a (node, node) singleton row via the roots anti-join below
     nodes = (
-        pairs.select(F.col(a_col).alias("node"))
-        .unionByName(pairs.select(F.col(b_col).alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -86,7 +86,22 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity; NULL (not a DIVIDE_BY_ZERO abort) when either
     vector has zero norm — under Spark 4's default ANSI mode an unguarded
     division would let a single all-zero embedding (padding row, failed
-    upstream encode) kill the whole similarity job. nullif keeps the
-    guard inside codegen."""
+    upstream encode) kill the whole similarity job.
+
+    The guard must NOT be ``dot / nullif(denom, 0)``: Catalyst rewrites
+    ``nullif(e1, e2)`` to ``if(e1 = e2, null, e1)``, duplicating the
+    denominator — and the two interpreted norm folds behind it — per row
+    (measured +40% on the LSH pair-scoring step, the round-7 bench
+    regression in this family). Binding num/denom through single-element
+    arrays evaluates each exactly once; the division itself is untouched,
+    so results stay bitwise-identical to DuckDB's."""
+    num = dot(a, b, dim)
     denom = l2_norm(a, dim) * l2_norm(b, dim)
-    return dot(a, b, dim) / F.nullif(denom, F.lit(0.0))
+    return F.element_at(
+        F.zip_with(
+            F.array(num),
+            F.array(denom),
+            lambda x, y: F.when(y != F.lit(0.0), x / y),
+        ),
+        1,
+    )

@@ -61,3 +61,59 @@ def test_stateful_counts_twin_state_roundtrip_is_exact():
     out2 = list(_update_type_counts((7,), [b2], st))[0]
     assert list(out2["event_type"]) == ["click", "purchase", "view"]
     assert list(out2["n_events"]) == [1, 1, 3]
+
+
+# ---------------------------------------------------------------------------
+# LSH-gate cost pin (round-7 verdict ask #2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "n_bands,planes,collisions,candidates",
+    [
+        # embedding_lsh_near_dup's scale-tuned config
+        (4, 6, 10808, 10392),
+        # embedding_lsh_verified_near_dup / pair_recall's recall-complete config
+        (64, 12, 4544, 3359),
+    ],
+)
+def test_lsh_candidate_volume_pinned(spark, n_bands, planes, collisions, candidates):
+    """The LSH family's bench cost is proportional to band-collision volume
+    (B x sum bucket^2) and the distinct candidate-pair count. Both are
+    deterministic for the seeded planes + fixed fixture, so pin them: a
+    commit that widens banding (band count, plane count, seed, bucketing
+    math) moves these numbers and must justify the cost shift explicitly.
+    The r7 bench drift in this family (+20-40%) was box contention, NOT a
+    count change — band_buckets/lsh_cosine_pairs are untouched since r6
+    (git 516ddad..b0303bd shows only the exact-path block_grid refactor)."""
+    from data_ingestion_pipeline_spark.functions.vector import as_double_array
+    from data_ingestion_pipeline_spark.operators.llm_data import (
+        _near_dup_embeddings,
+    )
+    from data_ingestion_pipeline_spark.similarity.lsh import band_buckets
+
+    aug = _near_dup_embeddings(load_table(spark, SF_SMOKE, "embeddings"))
+    vecs = aug.select(
+        F.col("vec_id").alias("_id"),
+        as_double_array(F.col("embedding")).alias("_v"),
+    )
+    bands = vecs.select(
+        "_id", band_buckets(F.col("_v"), 64, n_bands, planes).alias("_bkts")
+    ).select("_id", F.posexplode("_bkts").alias("band", "bucket"))
+    occ = bands.groupBy("band", "bucket").count()
+    got_coll = int(
+        occ.select(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("c")
+        ).collect()[0]["c"]
+    )
+    left = bands.select("band", "bucket", F.col("_id").alias("id_a"))
+    right = bands.select("band", "bucket", F.col("_id").alias("id_b"))
+    got_cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert got_coll == collisions, f"band-collision volume moved: {got_coll}"
+    assert got_cand == candidates, f"candidate-pair count moved: {got_cand}"
