@@ -993,12 +993,14 @@ def pagerank_copurchase_parts(
     """PageRank (d=0.85, fixed {iters} iterations) over the part
     co-purchase graph — link analysis beyond the connected-components the
     dedup layer already runs. Edges: parts sharing an order (symmetric, so
-    no dangling mass). Each iteration is one join + one aggregation
-    shuffling on the edge key — the standard distributed PageRank shape;
-    rank state is O(nodes), edge state O(edges), both partitioned. The
-    edge/degree tables are localCheckpointed once so the per-iteration
-    plans reuse them instead of re-running the self-join; N arrives via a
-    single bounded scalar action (same policy as the z-order bounds row).
+    no dangling mass). Each iteration joins the node-grain outgoing-mass
+    map (pr/outdeg, computed once per NODE) into the checkpointed edge
+    table — broadcast while n·32 B fits the 10 MB ceiling, shuffle-on-src
+    past it — then one aggregation on dst: the standard distributed
+    PageRank shape; rank state is O(nodes), edge state O(edges), both
+    partitioned. The oriented pair build (src < dst, then mirror) halves
+    the self-join and dedup volume; N arrives via a single bounded scalar
+    action (same policy as the z-order bounds row).
 
     Per-iteration neighbor sums aggregate in DECIMAL(38,18) — each edge's
     contribution pr/outdeg is a bitwise-identical double on both engines,
@@ -1018,29 +1020,53 @@ def pagerank_copurchase_parts(
     )
     a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
+    # Build the ORIENTED pair set (src < dst) and mirror it afterwards:
+    # the self-join emits half the rows (k(k-1)/2 per order instead of
+    # k(k-1)) and the dedup distinct shuffles half the volume — the edge
+    # build was the dominant cost (r7 verdict ask #7). The mirror union is
+    # narrow (no shuffle); the symmetric edge set is identical, so degrees,
+    # every rank vector, and the oracle are unchanged.
+    ori = (
         a.join(b, "l_orderkey")
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").cast("bigint"), F.col("dst").cast("bigint"))
         .distinct()
     )
-    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("outdeg"))
-    # Pre-join degree into the edge table and checkpoint ONCE: the edge+deg
-    # join is loop-invariant, so paying it per iteration (as the first cut
-    # did) tripled the join work; the join output arrives hash-partitioned
-    # by src and the checkpoint preserves that partitioning for every
-    # iteration's ranks join. Measured 19.1s → ~10s at sf0.1.
-    ew = edges.join(deg, "src").localCheckpoint()
-    # one distinct pass serves BOTH the n scalar and the rank-0 vector
-    # (was two separate distincts over ew); nodes is node-dimension-sized
-    nodes = ew.select(F.col("src").alias("id")).distinct().localCheckpoint()
-    n = nodes.count()  # bounded scalar action
+    # The mirror union is narrow (no shuffle); the symmetric edge table
+    # checkpoints WITHOUT a per-edge degree column (r7 verdict ask #7):
+    # the old edges⋈deg pre-join shuffled and materialized 2E degree-wide
+    # rows, but pr/outdeg is constant per NODE — so degree lives in a
+    # node-grain table and the division happens once per node per
+    # iteration, not once per edge. Edge checkpoint is 2 longs/row.
+    edges = ori.unionByName(
+        ori.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    # one node-grain pass serves the n scalar, the rank-0 vector, AND the
+    # per-iteration divisor
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("outdeg"))
+        .localCheckpoint()
+    )
+    n = deg.count()  # bounded scalar action
     base = F.lit(0.15 / n)
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("pr"))
+    ranks = deg.select(F.col("src").alias("id"), F.lit(1.0 / n).alias("pr"))
+    # The outgoing-mass map (node, pr/outdeg) is O(nodes) — broadcast it
+    # into the edge scan while it plausibly fits an executor (n is already
+    # a collected scalar, so the gate is deterministic: ~32 B/row vs the
+    # 10 MB default ceiling); past that the same join runs as a shuffle on
+    # src, which is the correct strategy for a rank vector that outgrew
+    # the broadcast. Measured min-of-3 at sf0.1: 6.1 → 3.4 s.
+    small_ranks = n * 32 <= 10 * 1024 * 1024
     for _ in range(iters):
-        contrib = ew.join(ranks, ew.src == ranks.id).select(
-            F.col("dst").alias("id"),
+        pr_out = ranks.join(deg, ranks.id == deg.src).select(
+            F.col("id").alias("s"),
             (F.col("pr") / F.col("outdeg")).alias("c"),
+        )
+        if small_ranks:
+            pr_out = F.broadcast(pr_out)
+        contrib = edges.join(pr_out, edges.src == F.col("s")).select(
+            F.col("dst").alias("id"), "c"
         )
         # DECIMAL(18,18), not (38,18): |c| < 1 always (pr mass ≤ 1, outdeg
         # ≥ 1), so 18 integer-free digits hold every contribution and the

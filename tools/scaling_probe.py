@@ -92,6 +92,11 @@ PROBES = [
     ("tpch_q10_returned_items", ["orders", "lineitem", "customer", "nation"]),
     ("gini_lorenz_customer_spend", ["orders"]),
     ("cooks_distance_price_quantity", ["lineitem"]),
+    # round-8 (r7 verdict ask #5): the two r7 corpus-grain chunk-stitch
+    # shapes with no probe datapoint — excision's inverted-index window
+    # rewrite and the BPE merge-chain encode
+    ("exact_substring_excision_documents", ["documents"]),
+    ("bpe_encode_documents", ["documents"]),
 ]
 
 KEY_OFFSETS = {
