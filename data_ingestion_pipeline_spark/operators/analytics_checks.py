@@ -1857,7 +1857,9 @@ def canonical_entities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # component minimum over name-nodes IS the entity's min partkey.
     part = load_table(spark, sf_dir, "part")
     # dn feeds three plan branches (both fuzzy-join sides + the final
-    # label coalesce) — pin the dim-sized aggregate so it builds once
+    # label coalesce) — pin the dim-sized aggregate so it builds once.
+    # Pin lives until spark.catalog.clearCache() (bench clears per query);
+    # repeated library calls in one session own that reclaim
     dn = part.groupBy("p_size", "p_name").agg(
         F.min("p_partkey").alias("rep"),
         F.count("*").cast("bigint").alias("multiplicity"),

@@ -759,7 +759,7 @@ def exact_substring_excision_documents(
     Lee et al. build one corpus-wide suffix array; the Spark-shaped
     equivalent is the inverted-index form over k-token windows — a
     duplicated ≥k-token span is exactly a run of duplicated k-windows, so
-    marking every window whose (doc_id·1e6+pos) exceeds its hash's
+    marking every window whose (doc_id<<32 | pos) exceeds its hash's
     corpus-wide min and excising the tokens those windows cover removes
     precisely the maximal duplicated spans. Shuffle ∝ windows, state ∝
     distinct spans (never a global sort, never all-pairs); the rewrite
@@ -799,7 +799,28 @@ def exact_substring_excision(aug: DataFrame, k: int = 8) -> DataFrame:
             "doc_id",
             "pos",
             "sh",
-            (F.col("doc_id") * 1000000 + F.col("pos")).alias("occ"),
+            # corpus order as ONE long so first-occurrence is a plain MIN:
+            # doc_id<<32 | pos. pos comes from posexplode over a Spark array,
+            # so pos < 2^31 < 2^32 by construction; doc_id needs [0, 2^31) or
+            # the shift overflows and silently corrupts first-wins ordering —
+            # and unlike dup_span_profile this drives a DESTRUCTIVE rewrite,
+            # so out-of-range ids fail loudly instead.
+            F.when(
+                (F.col("doc_id") >= 0) & (F.col("doc_id") < F.lit(1 << 31)),
+                F.shiftleft(F.col("doc_id"), 32) + F.col("pos"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "exact_substring_excision: doc_id outside "
+                            "[0, 2^31) corpus-order encoding range: "
+                        ),
+                        F.col("doc_id").cast("string"),
+                    )
+                )
+            )
+            .alias("occ"),
         )
     )
     first = windows.groupBy("sh").agg(F.min("occ").alias("first_occ"))
@@ -844,7 +865,7 @@ WITH base AS (
            toks[1:GREATEST(CAST(CEIL(len(toks) * 0.8) AS INTEGER), 1)]
     FROM base WHERE doc_id % 20 = 0
 ), windows AS (
-    SELECT doc_id, u.pos AS pos, doc_id * 1000000 + u.pos AS occ, u.sh FROM (
+    SELECT doc_id, u.pos AS pos, doc_id * 4294967296 + u.pos AS occ, u.sh FROM (
         SELECT doc_id,
                unnest(CASE WHEN len(toks) >= 8 THEN list_transform(
                    range(1, len(toks) - 7 + 1),

@@ -88,7 +88,11 @@ def good_turing_unseen_mass_documents(
     # fof feeds THREE subtrees (the r<=10 head, the shifted N_{r+1} join,
     # and the corpus totals) — pin it so the trigram explode+groupBy corpus
     # pass runs once, and derive the totals from fof itself (n_tokens =
-    # SUM r*N_r, n1 = N_1) instead of re-aggregating the type counts
+    # SUM r*N_r, n1 = N_1) instead of re-aggregating the type counts.
+    # Lifecycle: the pin lives until spark.catalog.clearCache() (bench does
+    # this per query); long-lived library sessions calling repeatedly own
+    # that reclaim — fof is frequency-of-frequency sized (tiny), so the
+    # cost of a leaked pin is bounded, but it is a leak until cleared.
     fof = counts.groupBy("r").agg(
         F.count("*").cast("bigint").alias("n_types")
     ).persist()

@@ -99,6 +99,8 @@ def heaps_law_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double-count or drop it. Caching (vs localCheckpoint) keeps lineage
     # visible for the plan pin, and a recompute-on-eviction replays the
     # SAME RDD (fixed id ⇒ same boundaries), so the pin survives eviction.
+    # Pin lives until spark.catalog.clearCache() (bench clears per query);
+    # repeated library calls in one session own that reclaim.
     chunked = (
         grain.repartitionByRange(n_chunks, "doc_id")
         .withColumn("pid", F.spark_partition_id())

@@ -41,9 +41,12 @@ def write_bucketed(
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     if warehouse:
         # Spark lays out db-qualified tables at <warehouse>/<db>.db/<table>;
-        # an unqualified name lives directly under the warehouse root
+        # an unqualified name lives directly under the warehouse root. A
+        # catalog-qualified name (catalog.db.table) keys on its LAST two
+        # segments — indexing the first would rmtree <warehouse>/<catalog>,
+        # the wrong path, leaving the real stale directory behind.
         parts = table_name.lower().split(".")
-        rel = f"{parts[0]}.db/{parts[1]}" if len(parts) == 2 else parts[0]
+        rel = f"{parts[-2]}.db/{parts[-1]}" if len(parts) >= 2 else parts[0]
         shutil.rmtree(f"{warehouse}/{rel}", ignore_errors=True)
     (
         df.write.bucketBy(buckets, *keys)

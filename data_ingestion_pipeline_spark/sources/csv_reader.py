@@ -38,7 +38,21 @@ _CSV_OPTIONS = {
 
 
 def _read(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    return spark.read.options(**_CSV_OPTIONS).schema(schema).csv(path)
+    df = spark.read.options(**_CSV_OPTIONS).schema(schema).csv(path)
+    # DROPMALFORMED is projection-dependent under CSV column pruning: a
+    # malformed row is dropped only when a parsed column exposes it, so
+    # df.count() KEPT such rows and a narrow projection LEAKED them as
+    # all-NULL data (both measured). The always-true filter below
+    # references every schema column, forcing the parser to parse the full
+    # row for any downstream projection — one stable dropped-row set
+    # everywhere. Cost: full-row parse, which ingest normalization needs
+    # anyway.
+    from pyspark.sql import functions as F
+
+    marker = F.coalesce(
+        *[F.col(f).cast("string") for f in schema.fieldNames()], F.lit("")
+    )
+    return df.where(F.length(marker) >= 0)
 
 
 def read_orders_csv(spark: SparkSession, path: str, normalized: bool = True) -> DataFrame:

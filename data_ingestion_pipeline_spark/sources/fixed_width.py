@@ -66,7 +66,15 @@ def _validate_spec(spec: Sequence[FieldSpec]) -> None:
 def write_fixed_width(df: DataFrame, path: str, spec: Sequence[FieldSpec]) -> None:
     """NOTE: values wider than their field are truncated by lpad/rpad (the
     copybook contract — the writer owns the width guarantee); size fields
-    from the domain's maximum, not the sample."""
+    from the domain's maximum, not the sample.
+
+    NULL encoding conflates '' with NULL for strings: NULLs write as
+    all-blank fields, and the reader's nullif(rtrim, '') maps any all-blank
+    (or genuinely empty/whitespace-only) string value back to NULL. That is
+    the classic copybook convention — fixed-width has no out-of-band NULL
+    marker — but it means empty-string values do NOT round-trip as ''. If
+    '' is a legal value in your domain, reserve a sentinel (e.g. a LOW-
+    VALUES byte) rather than relying on blanks."""
     _validate_spec(spec)
     line = F.concat(*[_fmt(F.col(n), k, w) for n, k, w in spec])
     df.select(line.alias("value")).write.mode("overwrite").text(path)

@@ -117,3 +117,63 @@ def test_lsh_candidate_volume_pinned(spark, n_bands, planes, collisions, candida
     )
     assert got_coll == collisions, f"band-collision volume moved: {got_coll}"
     assert got_cand == candidates, f"candidate-pair count moved: {got_cand}"
+
+
+def test_csv_reader_drops_malformed_consistently(spark, tmp_path):
+    """CSV DROPMALFORMED under column pruning was projection-dependent:
+    count() kept malformed rows and a narrow projection leaked them as
+    all-NULL data (both observed). The reader's all-columns marker filter
+    forces full-row parsing, so every projection sees one dropped-row set
+    — mirrors the JSONL pin."""
+    from pyspark.sql import types as T
+
+    from data_ingestion_pipeline_spark.sources.csv_reader import _read
+
+    p = tmp_path / "c"
+    p.mkdir()
+    (p / "x.csv").write_text("a,b,c\n1,x,0.5\nBADROW_ONE_FIELD\n2,y,1.5\n")
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.DoubleType()),
+        ]
+    )
+    df = _read(spark, str(p), schema)
+    assert df.count() == 2
+    assert sorted((r.a, r.b) for r in df.select("a", "b").collect()) == [
+        (1, "x"),
+        (2, "y"),
+    ]
+    assert sorted(r.b for r in df.select("b").collect()) == ["x", "y"]
+
+
+def test_excision_occ_encoding_wide_docs_and_guard(spark):
+    """The corpus-order encoding is doc_id<<32 | pos (was doc_id*1e6+pos,
+    which silently corrupted first-occurrence-wins for docs with >=1e6
+    tokens or colliding id ranges). Pin: (a) first-wins ordering holds for
+    a pos that would have overflowed the old multiplier, (b) an
+    out-of-range doc_id fails loudly instead of corrupting a destructive
+    rewrite."""
+    from data_ingestion_pipeline_spark.operators.llm_data import (
+        exact_substring_excision,
+    )
+
+    # (a) doc 2 duplicates doc 1's 8-token span: doc 1 (earlier corpus
+    # position) keeps, doc 2 excises — regardless of id magnitude below 2^31
+    span = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, span + " tailone tailtwo"), ((1 << 31) - 1, span + " novel suffix here")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in exact_substring_excision(docs).collect()}
+    assert rows[1].n_excised == 0
+    assert rows[(1 << 31) - 1].n_excised == 8
+
+    # (b) doc_id at 2^31 raises instead of silently wrapping
+    bad = spark.createDataFrame(
+        [(1 << 31, span), (1, span)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception) as ei:
+        exact_substring_excision(bad).collect()
+    assert "encoding range" in str(ei.value)
