@@ -1,6 +1,10 @@
-"""Classic TPC-H query shapes (Q1/Q3/Q5/Q8/Q10) over the synthetic star
-schema — the canonical multi-join benchmark suite, adapted to the columns
-this corpus ships (no o_shippriority / partsupp; nations are NATION_k).
+"""Classic TPC-H query shapes over the synthetic star schema — the
+canonical multi-join benchmark suite, adapted to the columns this corpus
+ships (no o_shippriority / partsupp; nations are NATION_k). Round 7 laid
+down the five most structurally distinct plans (Q1/Q3/Q5/Q8/Q10); the
+round-8 completion tier below adds every remaining shape the schema can
+express (Q6/Q7/Q14/Q15/Q18 near-verbatim; Q4/Q12/Q16/Q19/Q22 "-shaped"
+adaptations whose docstrings state the column substitution).
 
 These are the five most structurally distinct TPC-H plans and together
 they exercise exactly the shapes the rest of the ledger's single-purpose
@@ -35,11 +39,31 @@ __all__ = [
     "tpch_q5_local_supplier_volume",
     "tpch_q8_market_share",
     "tpch_q10_returned_items",
+    "tpch_q4_shaped_priority_check",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q12_shaped_priority_by_returnflag",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_shaped_supplier_diversity",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_shaped_discounted_revenue",
+    "tpch_q22_shaped_dormant_customers",
     "TPCH_Q1_PRICING_SUMMARY_ORACLE",
     "TPCH_Q3_SHIPPING_PRIORITY_ORACLE",
     "TPCH_Q5_LOCAL_SUPPLIER_VOLUME_ORACLE",
     "TPCH_Q8_MARKET_SHARE_ORACLE",
     "TPCH_Q10_RETURNED_ITEMS_ORACLE",
+    "TPCH_Q4_SHAPED_PRIORITY_CHECK_ORACLE",
+    "TPCH_Q6_FORECAST_REVENUE_ORACLE",
+    "TPCH_Q7_VOLUME_SHIPPING_ORACLE",
+    "TPCH_Q12_SHAPED_PRIORITY_BY_RETURNFLAG_ORACLE",
+    "TPCH_Q14_PROMO_REVENUE_ORACLE",
+    "TPCH_Q15_TOP_SUPPLIER_ORACLE",
+    "TPCH_Q16_SHAPED_SUPPLIER_DIVERSITY_ORACLE",
+    "TPCH_Q18_LARGE_VOLUME_CUSTOMERS_ORACLE",
+    "TPCH_Q19_SHAPED_DISCOUNTED_REVENUE_ORACLE",
+    "TPCH_Q22_SHAPED_DORMANT_CUSTOMERS_ORACLE",
 ]
 
 
@@ -415,4 +439,539 @@ WHERE o_orderdate >= TIMESTAMP '1997-01-01'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
+"""
+
+
+# --- round-8 completion tier -------------------------------------------------
+# The remaining TPC-H shapes this corpus can express. The schema ships no
+# partsupp / l_shipmode / l_commitdate / l_receiptdate / c_phone, so queries
+# needing them are either expressed verbatim on the columns that exist
+# (Q6/Q14/Q15/Q18) or adapted to an available column that preserves the
+# STRUCTURAL point of the query ("-shaped" names; each docstring states the
+# substitution). Same scale posture as the header note: dims broadcast
+# (size-gated when filtered), predicates sit on scan columns, the only
+# fact-fact shuffle is orders against lineitem on l_orderkey.
+
+
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecasting revenue change — one scalar aggregate over a
+    triple range predicate (shipdate year, discount band, quantity cap).
+
+    The pure predicate-pushdown yardstick: zero joins, zero group-by
+    shuffle (scalar agg partials merge in one reduce), and all three
+    predicates land in PushedFilters so parquet min/max skipping prunes
+    row groups before a single row deserializes. Reads 4 of 11 columns."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 38, 12), 2
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+TPCH_Q6_FORECAST_REVENUE_ORACLE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,12))),
+                  2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: volume shipped between two nations, both directions, per
+    shipment year — the two-role-dimension shape: nation joins TWICE (as
+    the supplier's and as the customer's), and the interesting predicate
+    is the cross-row disjunction over the PAIR of attached attributes.
+
+    Plan: supplier⋈nation (100×25) broadcasts into the lineitem scan and
+    customer⋈nation broadcasts (size-gated) into orders, so both nation
+    roles attach map-side; the pair disjunction then filters the single
+    orders⋈lineitem fact-fact shuffle's output before the 2×2×year
+    group-by. Nation names are this corpus's NATION_k."""
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast_if_small(cust_n), orders.o_custkey == cust_n.c_custkey)
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(dec_sum(_disc_price(), 38, 12), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+TPCH_Q7_VOLUME_SHIPPING_ORACLE = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(38,12))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY sn.n_name, cn.n_name, EXTRACT(YEAR FROM l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def tpch_q4_shaped_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (shaped): order-priority distribution of one quarter's
+    orders that had at least one LATE-shipping lineitem. The schema has no
+    l_commitdate/l_receiptdate, so "late" is l_shipdate > o_orderdate + 30
+    days — preserving Q4's structural point: an EXISTS subquery whose
+    predicate compares a fact column against the OUTER row's column,
+    planned as a left-semi join (each order counted once no matter how
+    many lineitems qualify).
+
+    Plan: the quarter predicate pushes into the orders scan; the semi-join
+    ships only (l_orderkey, l_shipdate) from lineitem and the non-equi
+    late condition rides the equi-join on l_orderkey, so no second shuffle
+    and no row multiplication before the 5-group count."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-07-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-10-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > F.date_add(orders.o_orderdate, 30)
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+TPCH_Q4_SHAPED_PRIORITY_CHECK_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def tpch_q12_shaped_priority_by_returnflag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12 (shaped): per shipping class, how many HIGH-priority vs
+    lower-priority orders it carried in one shipment year. The schema has
+    no l_shipmode, so l_returnflag plays the mode column — preserving
+    Q12's structural point: a fact-fact join whose AGGREGATE is a pair of
+    conditional counts over the OTHER table's attribute (the CASE lives on
+    orders columns, the group key on lineitem's).
+
+    Plan: shipdate range pushes into the lineitem scan, only (l_orderkey,
+    l_returnflag) survive projection pruning, one l_orderkey shuffle joins
+    orders, and the two CASE sums fold map-side into 3-group partials."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).cast("bigint").alias("high_line_count"),
+            F.sum((~high).cast("long")).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+TPCH_Q12_SHAPED_PRIORITY_BY_RETURNFLAG_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promotion effect — PROMO-typed parts' share of one
+    month's discounted revenue, as a single percentage. This corpus's
+    p_type is already the categorical ('PROMO' literal), so the shape is
+    verbatim: conditional-sum / total-sum over a fact⋈dim join.
+
+    Plan: the month predicate pushes into the lineitem scan; part (2k
+    rows, 2 columns after pruning) broadcasts; both sums fold in ONE
+    aggregate pass (no self-join, no second scan); the final division is
+    a driver-side scalar op on the two partials."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-09-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-10-01")))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(F.lit(0.0))
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            dec_sum(promo, 38, 12).alias("_promo"),
+            dec_sum(_disc_price(), 38, 12).alias("_total"),
+        )
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("_promo").cast("double")
+            / F.col("_total").cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+TPCH_Q14_PROMO_REVENUE_ORACLE = """
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1.0 - l_discount)
+                               AS DECIMAL(38,12))
+                     ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(38,12))) AS DOUBLE),
+             6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) whose one-quarter shipment revenue
+    equals the corpus maximum — the correlated-scalar-max shape (the
+    benchmark phrases it as a view consumed twice).
+
+    Plan: ONE revenue aggregate (supplier-grain, 100 groups) feeds both
+    consumers: its scalar max broadcasts back onto itself as a 1-row
+    cross join (no second scan of lineitem, no global sort, no
+    single-partition window), and the supplier dim broadcasts for the
+    name attach. Ties all surface, per the spec."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(dec_sum(_disc_price(), 38, 12), 2)
+        .cast("double")
+        .alias("total_revenue")
+    )
+    # supplier-grain relation is dim-bounded: pin it so the max pass and
+    # the equality filter reuse one materialization (clearCache reclaims)
+    rev = rev.persist()
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("_mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q15_TOP_SUPPLIER_ORACLE = """
+WITH revenue AS (
+    SELECT l_suppkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                               AS DECIMAL(38,12))), 2) AS DOUBLE)
+               AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def tpch_q16_shaped_supplier_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 (shaped): how many DISTINCT suppliers have shipped each
+    (brand, type, size) of part, for a part subset, excluding a
+    blacklisted supplier set. The schema has no partsupp, so the
+    part–supplier association is the DISTINCT (l_partkey, l_suppkey)
+    pairs observed in lineitem; no s_comment either, so the Q16
+    'complaints' blacklist becomes negative-acctbal suppliers —
+    preserving both structural points: a NOT-IN anti-join feeding a
+    COUNT(DISTINCT) over a composite group key.
+
+    Plan: the pair-distinct collapses lineitem to its association grain
+    BEFORE any dim attaches (one shuffle on the pair key, the grain
+    count-distinct then rides it); the blacklist (dim-bounded) and part
+    broadcast; the filtered-part predicate prunes map-side."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pairs = li.distinct()
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 14, 23, 45, 19, 3, 36, 9)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+TPCH_Q16_SHAPED_SUPPLIER_DIVERSITY_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 14, 23, 45, 19, 3, 36, 9)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def tpch_q18_large_volume_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q18: customers who placed orders totalling > 300 units — the
+    HAVING-subquery-feeds-join shape: an order-grain quantity aggregate
+    filters the order set, which then re-joins its own lineitems' total
+    plus the customer dim, top-100 by order value.
+
+    Plan: the l_orderkey aggregate IS the driving relation (one fact
+    shuffle); its >300 filter drops ~97% of orders before the
+    broadcast-gated orders/customer attaches; the head is a bounded
+    TakeOrdered on (o_totalprice desc, o_orderkey) — never a global
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(dec_sum(F.col("l_quantity")), 2)
+            .cast("double")
+            .alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > 300.0)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(broadcast_if_small(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+TPCH_Q18_LARGE_VOLUME_CUSTOMERS_ORACLE = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+    SELECT l_orderkey,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE sum_qty > 300.0
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def tpch_q19_shaped_discounted_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q19 (shaped): revenue from three brand/size/quantity bands —
+    the disjunctive-join-predicate shape: the join condition is an
+    OR-of-ANDs mixing build-side (p_brand, p_size) and probe-side
+    (l_quantity) columns. The schema has no l_shipinstruct/l_shipmode, so
+    those residual conjuncts are dropped; the structural point — a
+    disjunction that cannot be pushed to either scan alone but must
+    evaluate INSIDE the join — is intact.
+
+    Plan: part broadcasts (3 columns after pruning); Spark keeps
+    l_partkey = p_partkey as the equi-key and evaluates the disjunction
+    as the join residual, so no cartesian anywhere; the common
+    l_quantity <= 30 bound (implied by all three bands) pushes to the
+    lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 30.0)
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1.0, 11.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10.0, 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20.0, 30.0)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), (li.l_partkey == part.p_partkey) & band)
+        .agg(
+            F.round(dec_sum(_disc_price(), 38, 12), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+TPCH_Q19_SHAPED_DISCOUNTED_REVENUE_ORACLE = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                           AS DECIMAL(38,12))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1.0 AND 11.0)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10.0 AND 20.0)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20.0 AND 30.0)
+"""
+
+
+def tpch_q22_shaped_dormant_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 (shaped): per nation, the count and combined balance of
+    WELL-FUNDED customers who have gone DORMANT. The schema has no
+    c_phone country codes, so the nation dim replaces the substring
+    bucketing, and 'dormant' = no order since 1999-01-01 (this corpus's
+    customers all have SOME order, so Q22's pure not-exists would be
+    empty) — preserving both structural points: a scalar-subquery
+    threshold (balance above the positive-balance average) AND a
+    NOT-EXISTS anti-join against a date-filtered fact subset.
+
+    Plan: the scalar average broadcasts as a 1-row cross join; recent
+    orderers collapse to a distinct custkey set BEFORE the anti-join
+    (dim-bounded build side, broadcast-gated); nation attaches
+    broadcast-side for the 25-group aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("1999-01-01")))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(
+            broadcast_if_small(recent),
+            cust.c_custkey == recent.o_custkey,
+            "left_anti",
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.round(dec_sum(F.col("c_acctbal")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+TPCH_Q22_SHAPED_DORMANT_CUSTOMERS_ORACLE = """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS totacctbal
+FROM customer c JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY n_name
+ORDER BY n_name
 """

@@ -361,9 +361,21 @@ _ROUND8_FRONT: list[str] = [
     "user_event_type_sets",
 ]
 
-# Next in line once round 8's budget lands: the r02 spillover, then the
-# r03-stale tier (oldest evidence first — recomputed each round).
+# Next in line once round 8's budget lands: round-8's NEW registrations
+# (never driver-checked — freshness policy puts no-evidence ahead of
+# stale-green), then the r02 spillover, then the r03-stale tier (oldest
+# evidence first — recomputed each round).
 _ROUND9_QUEUE: list[str] = [
+    "tpch_q4_shaped_priority_check",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q12_shaped_priority_by_returnflag",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_shaped_supplier_diversity",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_shaped_discounted_revenue",
+    "tpch_q22_shaped_dormant_customers",
     "views_within_hour_of_purchase",
 ]
 
@@ -1409,6 +1421,68 @@ register(
     "tpch_q10_returned_items",
     tpch_queries.tpch_q10_returned_items,
     tpch_queries.TPCH_Q10_RETURNED_ITEMS_ORACLE,
+)
+
+# --- round-8 TPC-H completion tier (tpch_queries.py) -----------------------
+
+register(
+    "tpch_q4_shaped_priority_check",
+    tpch_queries.tpch_q4_shaped_priority_check,
+    tpch_queries.TPCH_Q4_SHAPED_PRIORITY_CHECK_ORACLE,
+)
+
+register(
+    "tpch_q6_forecast_revenue",
+    tpch_queries.tpch_q6_forecast_revenue,
+    tpch_queries.TPCH_Q6_FORECAST_REVENUE_ORACLE,
+)
+
+register(
+    "tpch_q7_volume_shipping",
+    tpch_queries.tpch_q7_volume_shipping,
+    tpch_queries.TPCH_Q7_VOLUME_SHIPPING_ORACLE,
+)
+
+register(
+    "tpch_q12_shaped_priority_by_returnflag",
+    tpch_queries.tpch_q12_shaped_priority_by_returnflag,
+    tpch_queries.TPCH_Q12_SHAPED_PRIORITY_BY_RETURNFLAG_ORACLE,
+)
+
+register(
+    "tpch_q14_promo_revenue",
+    tpch_queries.tpch_q14_promo_revenue,
+    tpch_queries.TPCH_Q14_PROMO_REVENUE_ORACLE,
+)
+
+register(
+    "tpch_q15_top_supplier",
+    tpch_queries.tpch_q15_top_supplier,
+    tpch_queries.TPCH_Q15_TOP_SUPPLIER_ORACLE,
+)
+
+register(
+    "tpch_q16_shaped_supplier_diversity",
+    tpch_queries.tpch_q16_shaped_supplier_diversity,
+    tpch_queries.TPCH_Q16_SHAPED_SUPPLIER_DIVERSITY_ORACLE,
+)
+
+register(
+    "tpch_q18_large_volume_customers",
+    tpch_queries.tpch_q18_large_volume_customers,
+    tpch_queries.TPCH_Q18_LARGE_VOLUME_CUSTOMERS_ORACLE,
+)
+
+register(
+    "tpch_q19_shaped_discounted_revenue",
+    tpch_queries.tpch_q19_shaped_discounted_revenue,
+    tpch_queries.TPCH_Q19_SHAPED_DISCOUNTED_REVENUE_ORACLE,
+)
+
+register(
+    "tpch_q22_shaped_dormant_customers",
+    tpch_queries.tpch_q22_shaped_dormant_customers,
+    tpch_queries.TPCH_Q22_SHAPED_DORMANT_CUSTOMERS_ORACLE,
 )
 
 register(

@@ -177,3 +177,60 @@ def test_excision_occ_encoding_wide_docs_and_guard(spark):
     with pytest.raises(Exception) as ei:
         exact_substring_excision(bad).collect()
     assert "encoding range" in str(ei.value)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_completion_tier_plan_shapes(spark):
+    """The round-8 TPC-H additions must plan the shapes their docstrings
+    claim: Q4's EXISTS as a left-semi (no row multiplication), Q19's
+    disjunctive predicate inside a broadcast hash join (never a
+    cartesian), Q18's head as a bounded TakeOrdered (never a global
+    sort), Q6 zero-join with all three predicates pushed to the scan."""
+    from data_ingestion_pipeline_spark.operators import tpch_queries as t
+
+    q4 = _plan(t.tpch_q4_shaped_priority_check(spark, SF_SMOKE))
+    assert "LeftSemi" in q4
+
+    q19 = _plan(t.tpch_q19_shaped_discounted_revenue(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in q19
+    assert "CartesianProduct" not in q19
+
+    q18 = _plan(t.tpch_q18_large_volume_customers(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in q18
+
+    q6 = _plan(t.tpch_q6_forecast_revenue(spark, SF_SMOKE))
+    assert "Join" not in q6
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in q6 or "GreaterThanOrEqual(l_shipdate" in q6
+
+
+def test_tpch_q15_ties_and_q22_threshold(spark):
+    """Q15 returns EVERY supplier at the max (tie contract) and its
+    total_revenue equals the max of the supplier-grain aggregate; Q22's
+    population is exactly the above-positive-average, dormant set."""
+    from data_ingestion_pipeline_spark.operators import tpch_queries as t
+
+    top = t.tpch_q15_top_supplier(spark, SF_SMOKE).collect()
+    assert len(top) >= 1
+    assert len({r.total_revenue for r in top}) == 1
+
+    rows = t.tpch_q22_shaped_dormant_customers(spark, SF_SMOKE).collect()
+    cust = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal")
+    ).first()[0]
+    recent = {
+        r.o_custkey
+        for r in orders.filter(
+            F.col("o_orderdate") >= F.to_timestamp(F.lit("1999-01-01"))
+        )
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    expect = cust.filter(F.col("c_acctbal") > avg_bal).collect()
+    expect_n = sum(1 for r in expect if r.c_custkey not in recent)
+    assert sum(r.numcust for r in rows) == expect_n
