@@ -27,6 +27,7 @@ from data_ingestion_pipeline_spark.operators import (
     lm_stats,
     mlprep_checks,
     multimodal_checks,
+    pii,
     relational,
     reports,
     tpch_queries,
@@ -376,6 +377,9 @@ _ROUND9_QUEUE: list[str] = [
     "tpch_q18_large_volume_customers",
     "tpch_q19_shaped_discounted_revenue",
     "tpch_q22_shaped_dormant_customers",
+    "pii_detect_documents",
+    "pii_redact_documents",
+    "pii_prevalence_by_source",
     "views_within_hour_of_purchase",
 ]
 
@@ -1483,6 +1487,26 @@ register(
     "tpch_q22_shaped_dormant_customers",
     tpch_queries.tpch_q22_shaped_dormant_customers,
     tpch_queries.TPCH_Q22_SHAPED_DORMANT_CUSTOMERS_ORACLE,
+)
+
+# --- round-8 PII scrubbing tier (pii.py) -----------------------------------
+
+register(
+    "pii_detect_documents",
+    pii.pii_detect_documents,
+    pii.PII_DETECT_DOCUMENTS_ORACLE,
+)
+
+register(
+    "pii_redact_documents",
+    pii.pii_redact_documents,
+    pii.PII_REDACT_DOCUMENTS_ORACLE,
+)
+
+register(
+    "pii_prevalence_by_source",
+    pii.pii_prevalence_by_source,
+    pii.PII_PREVALENCE_BY_SOURCE_ORACLE,
 )
 
 register(

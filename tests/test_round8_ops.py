@@ -234,3 +234,45 @@ def test_tpch_q15_ties_and_q22_threshold(spark):
     expect = cust.filter(F.col("c_acctbal") > avg_bal).collect()
     expect_n = sum(1 for r in expect if r.c_custkey not in recent)
     assert sum(r.numcust for r in rows) == expect_n
+
+
+def test_pii_detect_and_redact_structural(spark):
+    """Structural gates for the PII tier beyond the oracle hash: doc 0
+    (residue 0 for every plant key) carries all four classes and lands in
+    the high bucket; a clean doc stays clean; redaction leaves ZERO
+    residual matches and preserves non-PII text."""
+    from data_ingestion_pipeline_spark.operators.pii import (
+        _PII_RULES,
+        _pii_corpus,
+        pii_detect_documents,
+        pii_redact_documents,
+    )
+
+    det = {r.doc_id: r for r in pii_detect_documents(spark, SF_SMOKE).collect()}
+    d0 = det[0]
+    assert (d0.n_email, d0.n_ssn, d0.n_phone, d0.n_ipv4) == (1, 1, 1, 1)
+    assert d0.risk == "high"
+    clean = [r for r in det.values() if r.pii_total == 0]
+    assert clean and all(r.risk == "clean" for r in clean)
+    # every planted class appears somewhere in the corpus census
+    assert all(
+        sum(getattr(r, f"n_{name}") for r in det.values()) > 0
+        for name, _, _ in _PII_RULES
+    )
+
+    # redaction: replay the rewrite and assert zero residual matches
+    aug = _pii_corpus(load_table(spark, SF_SMOKE, "documents"))
+    red = F.col("text")
+    for _, pat, rep in _PII_RULES:
+        red = F.regexp_replace(red, pat, rep)
+    residual = aug.select(red.alias("t")).filter(
+        sum(
+            F.size(F.regexp_extract_all(F.col("t"), F.lit(pat), F.lit(0)))
+            for _, pat, _ in _PII_RULES
+        )
+        > 0
+    )
+    assert residual.count() == 0
+    # counts agree between detect and redact surfaces
+    nred = {r.doc_id: r.n_redactions for r in pii_redact_documents(spark, SF_SMOKE).collect()}
+    assert all(nred[k] == det[k].pii_total for k in det)
