@@ -97,6 +97,19 @@ PROBES = [
     # rewrite and the BPE merge-chain encode
     ("exact_substring_excision_documents", ["documents"]),
     ("bpe_encode_documents", ["documents"]),
+    # round-8 additions: the completion-tier TPC-H shapes with genuinely
+    # new plan structure (dual-role nation pair filter; order-grain HAVING
+    # aggregate; scalar-threshold + anti-join dormancy) and the PII
+    # regex-scan rewrite. q16 is deliberately NOT probed: offset
+    # replication preserves (l_partkey, l_suppkey), so its pair-distinct
+    # collapses replicas and the probe would trivially flatline.
+    (
+        "tpch_q7_volume_shipping",
+        ["orders", "lineitem", "customer", "supplier", "nation"],
+    ),
+    ("tpch_q18_large_volume_customers", ["orders", "lineitem", "customer"]),
+    ("tpch_q22_shaped_dormant_customers", ["orders", "customer"]),
+    ("pii_redact_documents", ["documents"]),
 ]
 
 KEY_OFFSETS = {
