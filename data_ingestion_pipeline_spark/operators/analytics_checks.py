@@ -1417,6 +1417,116 @@ FROM co JOIN cnt ca ON ca.l_partkey = co.a
 """
 
 
+def item_item_cosine_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering neighbors: cosine similarity
+    over binary order-basket incidence vectors — cos(i,j) =
+    co(i,j)/√(nᵢ·nⱼ) — with the top-10 neighbors per item. The classic
+    "customers who bought X also bought" kernel, sharing its pair grain
+    with ``copurchase_lift_parts`` but producing a per-item ranked
+    neighbor list rather than global association scores.
+
+    Scale posture: the pair space is the per-basket self-join (bounded by
+    basket size — at web scale the standard mitigations are a basket cap
+    or DIMSUM row-norm sampling; order baskets are size-bounded so the
+    exact kernel is the right default), pruned by the support ≥ 2 filter
+    BEFORE marginals broadcast on; the ranking window is keyed per item
+    (thousands of partitions, never a global sort), and ranking happens
+    on the ROUNDED cosine with an id tie-break so both engines rank
+    identical values identically."""
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = po.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = po.select("l_orderkey", F.col("l_partkey").alias("b"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    cnt = po.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("c"))
+    cos = (
+        co.join(
+            F.broadcast(
+                cnt.select(F.col("l_partkey").alias("a"), F.col("c").alias("ca"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                cnt.select(F.col("l_partkey").alias("b"), F.col("c").alias("cb"))
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                / F.sqrt(F.col("ca").cast("double") * F.col("cb").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    sym = cos.select(
+        F.col("a").alias("item"),
+        F.col("b").alias("neighbor"),
+        "support",
+        "cosine",
+    ).unionByName(
+        cos.select(
+            F.col("b").alias("item"),
+            F.col("a").alias("neighbor"),
+            "support",
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("item", "neighbor", "support", "cosine", F.col("rnk").cast("int"))
+    )
+
+
+ITEM_ITEM_COSINE_TOPK_PARTS_ORACLE = """
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM po GROUP BY 1),
+co AS (
+    SELECT p1.l_partkey AS a, p2.l_partkey AS b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM po p1 JOIN po p2
+      ON p1.l_orderkey = p2.l_orderkey AND p1.l_partkey < p2.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+cos AS (
+    SELECT a, b, support,
+           ROUND(CAST(support AS DOUBLE)
+                 / SQRT(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6)
+               AS cosine
+    FROM co JOIN cnt ca ON ca.l_partkey = co.a
+            JOIN cnt cb ON cb.l_partkey = co.b
+),
+sym AS (
+    SELECT a AS item, b AS neighbor, support, cosine FROM cos
+    UNION ALL
+    SELECT b AS item, a AS neighbor, support, cosine FROM cos
+),
+r AS (
+    SELECT item, neighbor, support, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY item
+                                   ORDER BY cosine DESC, neighbor) AS INTEGER)
+               AS rnk
+    FROM sym
+)
+SELECT item, neighbor, support, cosine, rnk FROM r WHERE rnk <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Triangle counting with degree orientation
 # ---------------------------------------------------------------------------
@@ -5380,3 +5490,70 @@ FROM emp e JOIN pi{_MARKOV_STEPS} s ON e.event_type = s.t
 
 
 MARKOV_STATIONARY_EVENT_TYPES_ORACLE = _markov_stationary_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Experimentation guardrail: sample-ratio mismatch
+# ---------------------------------------------------------------------------
+
+def srm_check_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the experimentation tier: the
+    chi-square goodness-of-fit of the observed arm split against the
+    declared 50/50 allocation, using the SAME md5 arm assignment as
+    ``ab_test_session_value`` / ``cuped_adjusted_ab_events`` (an SRM
+    check that hashes differently from the experiment it guards is
+    useless). A true SRM invalidates every downstream readout, which is
+    why platforms run this before any t-test is believed.
+
+    Published: arm counts, χ² (df=1), and the flag against the 95%
+    critical value 3.841459 — the flag compares the ROUNDED statistic so
+    both engines decide identically at the boundary. One distinct-user
+    pass; the statistic is closed-form on two bigints."""
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    arm_a = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0
+    )
+    agg = users.agg(
+        F.sum(arm_a.cast("long")).cast("bigint").alias("n_a"),
+        F.sum((~arm_a).cast("long")).cast("bigint").alias("n_b"),
+    )
+    expected = (F.col("n_a") + F.col("n_b")).cast("double") / F.lit(2.0)
+    chi2 = F.round(
+        F.pow(F.col("n_a").cast("double") - expected, 2) / expected
+        + F.pow(F.col("n_b").cast("double") - expected, 2) / expected,
+        6,
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        chi2.cast("double").alias("chi2"),
+        (chi2 > F.lit(3.841459)).alias("srm_flag"),
+    )
+
+
+SRM_CHECK_EVENTS_ORACLE = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+arms AS (
+    SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT % 2 = 0
+               AS is_a
+    FROM u
+),
+agg AS (
+    SELECT CAST(COUNT(*) FILTER (is_a) AS BIGINT) AS n_a,
+           CAST(COUNT(*) FILTER (NOT is_a) AS BIGINT) AS n_b
+    FROM arms
+)
+SELECT n_a, n_b,
+       CAST(ROUND(POWER(CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0, 2)
+                      / ((n_a + n_b) / 2.0)
+                  + POWER(CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0, 2)
+                      / ((n_a + n_b) / 2.0), 6) AS DOUBLE) AS chi2,
+       ROUND(POWER(CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0, 2)
+                 / ((n_a + n_b) / 2.0)
+             + POWER(CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0, 2)
+                 / ((n_a + n_b) / 2.0), 6) > 3.841459 AS srm_flag
+FROM agg
+"""

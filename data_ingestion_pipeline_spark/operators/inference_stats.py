@@ -595,3 +595,156 @@ SELECT k, n,
            AS eta_sq
 FROM tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival over user activity lifetimes
+# ---------------------------------------------------------------------------
+
+def kaplan_meier_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve (Kaplan & Meier 1958)
+    over user activity lifetimes: duration = hour boundaries crossed
+    between a user's first and last event (hour grain because the
+    synthetic corpus spans ~29 days — day grain would collapse to 2–4
+    steps); a user whose last event falls within 1 day of the corpus end
+    is right-CENSORED (still alive when observation stopped), otherwise
+    their lifetime ended (churn event). S(t) steps down only at event
+    times: S(t) = Π_{u≤t} (1 − d_u/n_u) with d_u the churns at duration u
+    and n_u the at-risk count (everyone with duration ≥ u). Published per
+    event time: t_hours, n_at_risk, d_events, n_censored, survival.
+
+    Plan: one user-grain min/max aggregate (the only data-sized shuffle),
+    then everything lives at DURATION grain — bounded by the corpus hour
+    span, a documented-bounded relation, so the cumulative windows over
+    it are single-partition by construction and O(hours). The product
+    folds as exp(Σ ln) with a zero-factor flag so a terminal
+    everyone-churns step yields exactly 0.0 on both engines instead of
+    ln(0) poison. Hour arithmetic is integer boundary counting on
+    date_trunc'd microseconds (no epoch doubles; matches DuckDB's
+    datediff('hour') crossing semantics); the survival rounds at 6 after
+    one exp/ln round-trip — both libm calls are on bit-identical
+    doubles."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    end = ev.agg(F.max("ts").alias("end_ts"))
+    hours = (
+        (
+            F.unix_micros(F.date_trunc("hour", F.col("last_ts")))
+            - F.unix_micros(F.date_trunc("hour", F.col("first_ts")))
+        )
+        / F.lit(3_600_000_000)
+    ).cast("bigint")
+    grain = (
+        per_user.join(F.broadcast(end))
+        .select(
+            hours.alias("t_hours"),
+            (
+                F.col("last_ts") < F.col("end_ts") - F.expr("INTERVAL 1 DAYS")
+            ).alias("churned"),
+        )
+        .groupBy("t_hours")
+        .agg(
+            F.sum(F.col("churned").cast("long")).cast("bigint").alias("d_events"),
+            F.sum((~F.col("churned")).cast("long"))
+            .cast("bigint")
+            .alias("n_censored"),
+        )
+    )
+    # duration grain ≤ corpus hour span — bounded, so the unpartitioned
+    # ordered windows below are O(hours) by construction
+    w = Window.orderBy("t_hours").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t_hours").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = grain.agg(
+        F.sum(F.col("d_events") + F.col("n_censored")).alias("n_total")
+    )
+    curve = (
+        grain.join(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            (
+                F.col("n_total")
+                - F.coalesce(
+                    F.sum(F.col("d_events") + F.col("n_censored")).over(w),
+                    F.lit(0),
+                )
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "factor",
+            F.lit(1.0)
+            - F.col("d_events").cast("double") / F.col("n_at_risk").cast("double"),
+        )
+        .withColumn(
+            "ln_sum",
+            F.sum(
+                F.when(F.col("factor") > 0.0, F.log("factor")).otherwise(F.lit(0.0))
+            ).over(wc),
+        )
+        .withColumn(
+            "zero_seen",
+            F.sum((F.col("factor") <= 0.0).cast("long")).over(wc),
+        )
+    )
+    return (
+        curve.filter(F.col("d_events") > 0)
+        .select(
+            F.col("t_hours").cast("int"),
+            "n_at_risk",
+            "d_events",
+            "n_censored",
+            F.when(F.col("zero_seen") > 0, F.lit(0.0))
+            .otherwise(F.round(F.exp("ln_sum"), 6))
+            .cast("double")
+            .alias("survival"),
+        )
+    )
+
+
+KAPLAN_MEIER_USER_RETENTION_ORACLE = """
+WITH per_user AS (
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events
+    GROUP BY user_id
+), ends AS (SELECT MAX(ts) AS end_ts FROM events),
+grain AS (
+    SELECT datediff('hour', first_ts, last_ts) AS t_hours,
+           CAST(SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d_events,
+           CAST(SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+    FROM per_user CROSS JOIN ends
+    GROUP BY 1
+), tot AS (SELECT SUM(d_events + n_censored) AS n_total FROM grain),
+curve AS (
+    SELECT t_hours, d_events, n_censored,
+           CAST(n_total - COALESCE(SUM(d_events + n_censored) OVER (
+                    ORDER BY t_hours
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_at_risk
+    FROM grain CROSS JOIN tot
+), folded AS (
+    SELECT t_hours, d_events, n_censored, n_at_risk,
+           1.0 - CAST(d_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+               AS factor
+    FROM curve
+), s AS (
+    SELECT t_hours, d_events, n_censored, n_at_risk,
+           SUM(CASE WHEN factor > 0.0 THEN ln(factor) ELSE 0.0 END)
+               OVER (ORDER BY t_hours
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ln_sum,
+           SUM(CASE WHEN factor <= 0.0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY t_hours
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS zero_seen
+    FROM folded
+)
+SELECT CAST(t_hours AS INTEGER) AS t_hours, n_at_risk, d_events, n_censored,
+       CAST(CASE WHEN zero_seen > 0 THEN 0.0
+                 ELSE ROUND(EXP(ln_sum), 6) END AS DOUBLE) AS survival
+FROM s
+WHERE d_events > 0
+"""

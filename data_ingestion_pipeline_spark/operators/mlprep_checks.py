@@ -1989,3 +1989,121 @@ SELECT dim, n, CAST(scale AS DOUBLE) AS scale,
            AS sqnr_db
 FROM per_dim
 """
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette: per-label clustering quality
+# ---------------------------------------------------------------------------
+
+def simplified_silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette coefficient per label — the centroid-based
+    variant (a(i) = distance to OWN label centroid, b(i) = distance to
+    the nearest OTHER centroid, s(i) = (b−a)/max(a,b)) that replaces the
+    classic silhouette's O(n²) all-pairs distances with O(n·k); the only
+    silhouette anyone computes at corpus scale, and the standard cluster-
+    quality readout for a labeled embedding table. Published per label:
+    vector count and mean silhouette.
+
+    Exactness follows the centroid discipline of
+    ``label_centroid_similarity_embeddings``: centroids are exact decimal
+    means cast to double; squared deviations fold in decimal; the min
+    over other labels happens on squared distances (monotone under sqrt,
+    so no libm before the comparison); each per-vector silhouette takes
+    exactly two sqrts and one divide, then the label mean folds the
+    silhouettes through a decimal sum. Scale shape: one exploded
+    aggregate builds the k×dim centroid table (tiny), which BROADCASTS
+    back onto the vectors — the embedding table is never self-joined and
+    shuffles only for the final k-group fold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ve = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("d", "v")
+    ).select("vec_id", "label", "d", F.col("v").cast("double").alias("v"))
+    cents = ve.groupBy("label", "d").agg(
+        (
+            F.sum(F.col("v").cast("decimal(27,18)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("c")
+    )
+    c2 = cents.select(F.col("label").alias("c_label"), "d", "c")
+    # per (vector, candidate centroid) squared distance: decimal-exact sum
+    # of squared double deviations over the 64 dims
+    dist2 = (
+        ve.join(F.broadcast(c2), "d")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(
+            F.sum(
+                ((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).cast(
+                    "decimal(38,20)"
+                )
+            )
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    per_vec = dist2.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("c_label") == F.col("label"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("c_label") != F.col("label"), F.col("d2"))).alias("b2"),
+    )
+    sil = per_vec.select(
+        "label",
+        F.when(
+            F.greatest(F.sqrt("a2"), F.sqrt("b2")) > 0.0,
+            (F.sqrt("b2") - F.sqrt("a2"))
+            / F.greatest(F.sqrt("a2"), F.sqrt("b2")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("s"),
+    )
+    return (
+        sil.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(27,18)")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+SIMPLIFIED_SILHOUETTE_EMBEDDINGS_ORACLE = """
+WITH ve AS (
+    SELECT vec_id, label, CAST(i AS INT) AS d,
+           CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS v
+    FROM embeddings CROSS JOIN range(64) t(i)
+), cents AS (
+    SELECT label AS c_label, d,
+           CAST(SUM(CAST(v AS DECIMAL(27,18))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS c
+    FROM ve GROUP BY label, d
+), dist2 AS (
+    SELECT vec_id, label, c_label,
+           CAST(SUM(CAST((v - c) * (v - c) AS DECIMAL(38,20))) AS DOUBLE)
+               AS d2
+    FROM ve JOIN cents USING (d)
+    GROUP BY vec_id, label, c_label
+), per_vec AS (
+    SELECT vec_id, label,
+           MAX(CASE WHEN c_label = label THEN d2 END) AS a2,
+           MIN(CASE WHEN c_label <> label THEN d2 END) AS b2
+    FROM dist2 GROUP BY vec_id, label
+), sil AS (
+    SELECT label,
+           CASE WHEN GREATEST(SQRT(a2), SQRT(b2)) > 0.0
+                THEN (SQRT(b2) - SQRT(a2)) / GREATEST(SQRT(a2), SQRT(b2))
+                ELSE 0.0 END AS s
+    FROM per_vec
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(ROUND(CAST(SUM(CAST(s AS DECIMAL(27,18))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
+           AS mean_silhouette
+FROM sil
+GROUP BY label
+ORDER BY label
+"""

@@ -380,6 +380,10 @@ _ROUND9_QUEUE: list[str] = [
     "pii_detect_documents",
     "pii_redact_documents",
     "pii_prevalence_by_source",
+    "item_item_cosine_topk_parts",
+    "srm_check_events",
+    "kaplan_meier_user_retention",
+    "simplified_silhouette_embeddings",
     "views_within_hour_of_purchase",
 ]
 
@@ -1507,6 +1511,30 @@ register(
     "pii_prevalence_by_source",
     pii.pii_prevalence_by_source,
     pii.PII_PREVALENCE_BY_SOURCE_ORACLE,
+)
+
+register(
+    "item_item_cosine_topk_parts",
+    analytics_checks.item_item_cosine_topk_parts,
+    analytics_checks.ITEM_ITEM_COSINE_TOPK_PARTS_ORACLE,
+)
+
+register(
+    "srm_check_events",
+    analytics_checks.srm_check_events,
+    analytics_checks.SRM_CHECK_EVENTS_ORACLE,
+)
+
+register(
+    "kaplan_meier_user_retention",
+    inference_stats.kaplan_meier_user_retention,
+    inference_stats.KAPLAN_MEIER_USER_RETENTION_ORACLE,
+)
+
+register(
+    "simplified_silhouette_embeddings",
+    mlprep_checks.simplified_silhouette_embeddings,
+    mlprep_checks.SIMPLIFIED_SILHOUETTE_EMBEDDINGS_ORACLE,
 )
 
 register(

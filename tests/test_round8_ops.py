@@ -276,3 +276,66 @@ def test_pii_detect_and_redact_structural(spark):
     # counts agree between detect and redact surfaces
     nred = {r.doc_id: r.n_redactions for r in pii_redact_documents(spark, SF_SMOKE).collect()}
     assert all(nred[k] == det[k].pii_total for k in det)
+
+
+def test_km_curve_contracts(spark):
+    """Kaplan-Meier invariants: survival non-increasing over t, within
+    (0,1], at-risk strictly decreasing, and the at-risk count at the
+    first event time equals the full cohort minus earlier censors."""
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        kaplan_meier_user_retention,
+    )
+
+    rows = (
+        kaplan_meier_user_retention(spark, "/root/testdata/sf0.01")
+        .orderBy("t_hours")
+        .collect()
+    )
+    assert rows, "curve must have at least one event step at sf0.01"
+    surv = [r.survival for r in rows]
+    assert all(0.0 < s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    risk = [r.n_at_risk for r in rows]
+    assert all(a > b for a, b in zip(risk, risk[1:]))
+
+
+def test_item_item_topk_contracts(spark):
+    """Item-item neighbors: ranked 1..<=10 per item without gaps, cosine
+    non-increasing within an item, and cosine(i,j) consistent with the
+    symmetric entry when both directions survive the top-k cut."""
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        item_item_cosine_topk_parts,
+    )
+
+    rows = item_item_cosine_topk_parts(spark, SF_SMOKE).collect()
+    assert rows
+    by_item = {}
+    for r in rows:
+        by_item.setdefault(r.item, []).append(r)
+    for item, rs in by_item.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert all(a >= b for a, b in zip(cosines, cosines[1:]))
+    pair_cos = {(r.item, r.neighbor): r.cosine for r in rows}
+    both = [(k, v) for k, v in pair_cos.items() if (k[1], k[0]) in pair_cos]
+    assert both and all(pair_cos[(b, a)] == v for (a, b), v in both)
+
+
+def test_silhouette_bounds_and_srm_sanity(spark):
+    """Silhouette means lie in [-1, 1]; the md5 50/50 split on this
+    corpus must NOT trigger SRM (a deterministic fair hash cannot
+    mismatch its own declared ratio beyond chance)."""
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        srm_check_events,
+    )
+    from data_ingestion_pipeline_spark.operators.mlprep_checks import (
+        simplified_silhouette_embeddings,
+    )
+
+    sil = simplified_silhouette_embeddings(spark, SF_SMOKE).collect()
+    assert sil and all(-1.0 <= r.mean_silhouette <= 1.0 for r in sil)
+
+    srm = srm_check_events(spark, "/root/testdata/sf0.01").collect()[0]
+    assert srm.n_a + srm.n_b == 150
+    assert not srm.srm_flag
