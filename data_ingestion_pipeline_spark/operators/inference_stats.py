@@ -748,3 +748,287 @@ SELECT CAST(t_hours AS INTEGER) AS t_hours, n_at_risk, d_events, n_censored,
 FROM s
 WHERE d_events > 0
 """
+
+
+def logrank_test_retention_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel 1966) comparing the survival of the two md5
+    experiment arms — the hypothesis test that belongs to
+    ``kaplan_meier_user_retention``'s estimator: at every event time t,
+    arm A's expected events under H₀ are E_At = d_t·n_At/n_t; the
+    statistic is (Σ(d_At−E_At))²/ΣV_t with the hypergeometric variance
+    V_t = d_t·(n_At/n_t)·(1−n_At/n_t)·(n_t−d_t)/(n_t−1). Same lifetime
+    and censoring definitions as the KM curve; same md5 arm hash as the
+    A/B tier (a survival comparison hashing differently from its
+    experiment would be meaningless).
+
+    Plan: one user-grain aggregate, then (duration × arm) grain —
+    bounded by hours × 2 — with conditional sums replacing a per-arm
+    pivot; cumulative at-risk windows run on the bounded duration grain.
+    The n_t = 1 terminal stratum contributes zero variance by the
+    (n_t−d_t) factor or the explicit guard, matching the textbook
+    convention. Flag decided on the ROUNDED χ²."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    end = ev.agg(F.max("ts").alias("end_ts"))
+    hours = (
+        (
+            F.unix_micros(F.date_trunc("hour", F.col("last_ts")))
+            - F.unix_micros(F.date_trunc("hour", F.col("first_ts")))
+        )
+        / F.lit(3_600_000_000)
+    ).cast("bigint")
+    arm_a = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0
+    )
+    grain = (
+        per_user.join(F.broadcast(end))
+        .select(
+            hours.alias("t"),
+            arm_a.alias("is_a"),
+            (
+                F.col("last_ts") < F.col("end_ts") - F.expr("INTERVAL 1 DAYS")
+            ).alias("churned"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum((F.col("churned") & F.col("is_a")).cast("long")).alias("d_a"),
+            F.sum((F.col("churned") & ~F.col("is_a")).cast("long")).alias("d_b"),
+            F.sum(F.col("is_a").cast("long")).alias("exit_a"),
+            F.sum((~F.col("is_a")).cast("long")).alias("exit_b"),
+        )
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = grain.agg(
+        F.sum("exit_a").alias("tot_a"), F.sum("exit_b").alias("tot_b")
+    )
+    at_risk = (
+        grain.join(F.broadcast(tot))
+        .withColumn(
+            "n_a", F.col("tot_a") - F.coalesce(F.sum("exit_a").over(w), F.lit(0))
+        )
+        .withColumn(
+            "n_b", F.col("tot_b") - F.coalesce(F.sum("exit_b").over(w), F.lit(0))
+        )
+        .filter((F.col("d_a") + F.col("d_b")) > 0)
+    )
+    d = (F.col("d_a") + F.col("d_b")).cast("double")
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    na = F.col("n_a").cast("double")
+    e_a = d * na / n
+    v = F.when(
+        n > 1.0,
+        d * (na / n) * (F.lit(1.0) - na / n) * (n - d) / (n - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    s = at_risk.agg(
+        F.sum("d_a").cast("bigint").alias("obs_a"),
+        F.sum("d_b").cast("bigint").alias("obs_b"),
+        F.sum(e_a).alias("_exp_a"),
+        F.sum(v).alias("_var"),
+    )
+    chi2 = F.round(
+        F.pow(F.col("obs_a").cast("double") - F.col("_exp_a"), 2) / F.col("_var"),
+        6,
+    )
+    return s.select(
+        "obs_a",
+        "obs_b",
+        F.round(F.col("_exp_a"), 6).alias("exp_a"),
+        chi2.cast("double").alias("chi2"),
+        (chi2 > F.lit(3.841459)).alias("significant"),
+    )
+
+
+LOGRANK_TEST_RETENTION_ARMS_ORACLE = """
+WITH per_user AS (
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events
+    GROUP BY user_id
+), ends AS (SELECT MAX(ts) AS end_ts FROM events),
+grain AS (
+    SELECT datediff('hour', first_ts, last_ts) AS t,
+           SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                    AND ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT
+                        % 2 = 0 THEN 1 ELSE 0 END) AS d_a,
+           SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                    AND ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT
+                        % 2 <> 0 THEN 1 ELSE 0 END) AS d_b,
+           SUM(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT
+                        % 2 = 0 THEN 1 ELSE 0 END) AS exit_a,
+           SUM(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT
+                        % 2 <> 0 THEN 1 ELSE 0 END) AS exit_b
+    FROM per_user CROSS JOIN ends
+    GROUP BY 1
+), tot AS (SELECT SUM(exit_a) AS tot_a, SUM(exit_b) AS tot_b FROM grain),
+at_risk AS (
+    SELECT t, d_a, d_b,
+           tot_a - COALESCE(SUM(exit_a) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS n_a,
+           tot_b - COALESCE(SUM(exit_b) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS n_b
+    FROM grain CROSS JOIN tot
+), terms AS (
+    SELECT d_a, d_b,
+           CAST(d_a + d_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+               / CAST(n_a + n_b AS DOUBLE) AS e_a,
+           CASE WHEN n_a + n_b > 1 THEN
+               CAST(d_a + d_b AS DOUBLE)
+               * (CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (1.0 - CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+               * (CAST(n_a + n_b AS DOUBLE) - CAST(d_a + d_b AS DOUBLE))
+               / (CAST(n_a + n_b AS DOUBLE) - 1.0)
+           ELSE 0.0 END AS v
+    FROM at_risk
+    WHERE d_a + d_b > 0
+), s AS (
+    SELECT CAST(SUM(d_a) AS BIGINT) AS obs_a,
+           CAST(SUM(d_b) AS BIGINT) AS obs_b,
+           SUM(e_a) AS exp_a_raw, SUM(v) AS var_raw
+    FROM terms
+)
+SELECT obs_a, obs_b,
+       CAST(ROUND(exp_a_raw, 6) AS DOUBLE) AS exp_a,
+       CAST(ROUND(POWER(CAST(obs_a AS DOUBLE) - exp_a_raw, 2) / var_raw, 6)
+            AS DOUBLE) AS chi2,
+       ROUND(POWER(CAST(obs_a AS DOUBLE) - exp_a_raw, 2) / var_raw, 6)
+           > 3.841459 AS significant
+FROM s
+"""
+
+
+def msprt_always_valid_ab_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid A/B monitoring via the mixture SPRT (Johari et al.
+    2017, "Peeking at A/B tests"): per day, the cumulative-to-date mean
+    difference of event value between the md5 arms feeds the Gaussian
+    mixture likelihood ratio Λ_t = √(V_t/(V_t+τ²)) ·
+    exp(τ²·Δ_t²/(2V_t(V_t+τ²))), and the always-valid p-value is the
+    running min of 1/Λ capped at 1 — the sequential readout a platform
+    can peek at daily without inflating false positives (the fixed-n
+    Welch readout ``ab_test_session_value`` cannot).
+
+    Plan: ONE pass builds per-(day, arm) decimal moment partials; every
+    cumulative (counts, sums, running min) is a window over the bounded
+    day grain. V_t uses the pooled cumulative variance; τ² = 1. Λ and p
+    round at 6 — the exp/ln-free algebra keeps both engines on
+    bit-identical doubles up to the one exp call."""
+    ev = load_table(spark, sf_dir, "events")
+    arm_a = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0
+    )
+    v = F.col("value")
+    day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(arm_a.cast("long")).alias("na_d"),
+        F.sum((~arm_a).cast("long")).alias("nb_d"),
+        dec_sum(F.when(arm_a, v).otherwise(F.lit(0.0)), 27, 12).alias("sa_d"),
+        dec_sum(F.when(~arm_a, v).otherwise(F.lit(0.0)), 27, 12).alias("sb_d"),
+        dec_sum(F.when(arm_a, v * v).otherwise(F.lit(0.0)), 38, 12).alias(
+            "qa_d"
+        ),
+        dec_sum(F.when(~arm_a, v * v).otherwise(F.lit(0.0)), 38, 12).alias(
+            "qb_d"
+        ),
+    )
+    wc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = day.select(
+        "day",
+        F.sum("na_d").over(wc).alias("n_a"),
+        F.sum("nb_d").over(wc).alias("n_b"),
+        F.sum("sa_d").over(wc).cast("double").alias("s_a"),
+        F.sum("sb_d").over(wc).cast("double").alias("s_b"),
+        F.sum("qa_d").over(wc).cast("double").alias("q_a"),
+        F.sum("qb_d").over(wc).cast("double").alias("q_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    delta = F.col("s_b") / nb - F.col("s_a") / na
+    pooled_var = (
+        (F.col("q_a") - F.col("s_a") * F.col("s_a") / na)
+        + (F.col("q_b") - F.col("s_b") * F.col("s_b") / nb)
+    ) / (na + nb - F.lit(2.0))
+    vt = pooled_var * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    tau2 = F.lit(1.0)
+    lam = F.sqrt(vt / (vt + tau2)) * F.exp(
+        tau2 * delta * delta / (F.lit(2.0) * vt * (vt + tau2))
+    )
+    scored = cum.select(
+        "day",
+        F.col("n_a").cast("bigint"),
+        F.col("n_b").cast("bigint"),
+        F.round(delta, 6).alias("mean_diff"),
+        F.round(lam, 6).alias("lambda"),
+        F.least(F.lit(1.0), F.lit(1.0) / lam).alias("_inv"),
+    )
+    wp = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return scored.select(
+        "day",
+        "n_a",
+        "n_b",
+        "mean_diff",
+        "lambda",
+        F.round(F.min("_inv").over(wp), 6).alias("p_always_valid"),
+    )
+
+
+MSPRT_ALWAYS_VALID_AB_DAILY_ORACLE = """
+WITH day AS (
+    SELECT CAST(ts AS DATE) AS day,
+           SUM(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT
+                        % 2 = 0 THEN 1 ELSE 0 END) AS na_d,
+           SUM(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT
+                        % 2 <> 0 THEN 1 ELSE 0 END) AS nb_d,
+           SUM(CAST(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 6))
+                        ::BIGINT % 2 = 0 THEN value ELSE 0.0 END
+                    AS DECIMAL(27,12))) AS sa_d,
+           SUM(CAST(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 6))
+                        ::BIGINT % 2 <> 0 THEN value ELSE 0.0 END
+                    AS DECIMAL(27,12))) AS sb_d,
+           SUM(CAST(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 6))
+                        ::BIGINT % 2 = 0 THEN value * value ELSE 0.0 END
+                    AS DECIMAL(38,12))) AS qa_d,
+           SUM(CAST(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 6))
+                        ::BIGINT % 2 <> 0 THEN value * value ELSE 0.0 END
+                    AS DECIMAL(38,12))) AS qb_d
+    FROM events GROUP BY 1
+), cum AS (
+    SELECT day,
+           SUM(na_d) OVER w AS n_a, SUM(nb_d) OVER w AS n_b,
+           CAST(SUM(sa_d) OVER w AS DOUBLE) AS s_a,
+           CAST(SUM(sb_d) OVER w AS DOUBLE) AS s_b,
+           CAST(SUM(qa_d) OVER w AS DOUBLE) AS q_a,
+           CAST(SUM(qb_d) OVER w AS DOUBLE) AS q_b
+    FROM day
+    WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+), scored AS (
+    SELECT day, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(s_b / n_b - s_a / n_a, 6) AS mean_diff,
+           ROUND(SQRT(vt / (vt + 1.0))
+                 * EXP((s_b / n_b - s_a / n_a) * (s_b / n_b - s_a / n_a)
+                       / (2.0 * vt * (vt + 1.0))), 6) AS lambda,
+           LEAST(1.0, 1.0 / (SQRT(vt / (vt + 1.0))
+                 * EXP((s_b / n_b - s_a / n_a) * (s_b / n_b - s_a / n_a)
+                       / (2.0 * vt * (vt + 1.0))))) AS inv
+    FROM (
+        SELECT *,
+               ((q_a - s_a * s_a / n_a) + (q_b - s_b * s_b / n_b))
+                   / (n_a + n_b - 2.0)
+                   * (1.0 / n_a + 1.0 / n_b) AS vt
+        FROM cum
+    )
+)
+SELECT day, n_a, n_b, mean_diff, lambda,
+       ROUND(MIN(inv) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW), 6) AS p_always_valid
+FROM scored
+"""

@@ -384,6 +384,9 @@ _ROUND9_QUEUE: list[str] = [
     "srm_check_events",
     "kaplan_meier_user_retention",
     "simplified_silhouette_embeddings",
+    "logrank_test_retention_arms",
+    "msprt_always_valid_ab_daily",
+    "benford_first_digit_orders",
     "views_within_hour_of_purchase",
 ]
 
@@ -1535,6 +1538,24 @@ register(
     "simplified_silhouette_embeddings",
     mlprep_checks.simplified_silhouette_embeddings,
     mlprep_checks.SIMPLIFIED_SILHOUETTE_EMBEDDINGS_ORACLE,
+)
+
+register(
+    "logrank_test_retention_arms",
+    inference_stats.logrank_test_retention_arms,
+    inference_stats.LOGRANK_TEST_RETENTION_ARMS_ORACLE,
+)
+
+register(
+    "msprt_always_valid_ab_daily",
+    inference_stats.msprt_always_valid_ab_daily,
+    inference_stats.MSPRT_ALWAYS_VALID_AB_DAILY_ORACLE,
+)
+
+register(
+    "benford_first_digit_orders",
+    analytics_checks.benford_first_digit_orders,
+    analytics_checks.BENFORD_FIRST_DIGIT_ORDERS_ORACLE,
 )
 
 register(

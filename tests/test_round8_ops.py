@@ -339,3 +339,36 @@ def test_silhouette_bounds_and_srm_sanity(spark):
     srm = srm_check_events(spark, "/root/testdata/sf0.01").collect()[0]
     assert srm.n_a + srm.n_b == 150
     assert not srm.srm_flag
+
+
+def test_logrank_msprt_benford_contracts(spark):
+    """Cross-surface contracts: log-rank observed events split the KM
+    curve's total churns between the arms; mSPRT's p is non-increasing
+    over days and in (0,1]; Benford frequencies sum to 1 and the digit
+    domain is exactly 1..9."""
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        benford_first_digit_orders,
+    )
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        kaplan_meier_user_retention,
+        logrank_test_retention_arms,
+        msprt_always_valid_ab_daily,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    lr = logrank_test_retention_arms(spark, sf).collect()[0]
+    km_total = sum(
+        r.d_events for r in kaplan_meier_user_retention(spark, sf).collect()
+    )
+    assert lr.obs_a + lr.obs_b == km_total
+    assert lr.chi2 >= 0.0
+
+    ms = msprt_always_valid_ab_daily(spark, sf).orderBy("day").collect()
+    ps = [r.p_always_valid for r in ms]
+    assert all(0.0 < p <= 1.0 for p in ps)
+    assert all(a >= b for a, b in zip(ps, ps[1:]))
+
+    bf = benford_first_digit_orders(spark, sf).collect()
+    assert sorted(r.digit for r in bf) == list(range(1, 10))
+    assert abs(sum(r.obs_freq for r in bf) - 1.0) < 1e-4
+    assert abs(sum(r.benford_freq for r in bf) - 1.0) < 1e-4
