@@ -5557,68 +5557,3 @@ SELECT n_a, n_b,
                  / ((n_a + n_b) / 2.0), 6) > 3.841459 AS srm_flag
 FROM agg
 """
-
-
-def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford's-law forensic audit of order totals: the distribution of
-    first significant digits against log10(1+1/d) — the classic fraud /
-    synthetic-data screen (fabricated amounts over-represent mid digits;
-    organic multiplicative processes follow Benford). Published per digit
-    1–9: count, observed frequency, Benford frequency, and the χ²
-    contribution n·(obs−exp)²/exp, so the consumer sums terms for the
-    8-df test.
-
-    Digit extraction avoids float formatting AND libm log-floor edge
-    cases: totals become exact cents bigints (×100 — a power-of-10 scale
-    never changes the first significant digit), and the digit is the
-    first character of the INTEGER's decimal string, which renders
-    identically on both engines (double→string formatting does not).
-    One scan, one 9-group shuffle."""
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice") > 0
-    )
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
-    agg = orders.select(digit.alias("digit")).groupBy("digit").agg(
-        F.count("*").cast("bigint").alias("n_orders")
-    )
-    tot = agg.agg(F.sum("n_orders").alias("n_total"))
-    obs = F.col("n_orders").cast("double") / F.col("n_total").cast("double")
-    exp_f = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
-    return (
-        agg.join(F.broadcast(tot))
-        .select(
-            "digit",
-            "n_orders",
-            F.round(obs, 6).alias("obs_freq"),
-            F.round(exp_f, 6).alias("benford_freq"),
-            F.round(
-                F.col("n_total").cast("double")
-                * F.pow(obs - exp_f, 2)
-                / exp_f,
-                6,
-            ).alias("chi2_term"),
-        )
-        .orderBy("digit")
-    )
-
-
-BENFORD_FIRST_DIGIT_ORDERS_ORACLE = """
-WITH d AS (
-    SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
-                            AS VARCHAR), 1, 1) AS INTEGER) AS digit
-    FROM orders WHERE o_totalprice > 0
-), agg AS (
-    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM d GROUP BY 1
-), tot AS (SELECT SUM(n_orders) AS n_total FROM agg)
-SELECT digit, n_orders,
-       ROUND(CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
-           AS obs_freq,
-       ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_freq,
-       ROUND(CAST(n_total AS DOUBLE)
-             * POWER(CAST(n_orders AS DOUBLE) / CAST(n_total AS DOUBLE)
-                     - LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2)
-             / LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS chi2_term
-FROM agg CROSS JOIN tot
-ORDER BY digit
-"""

@@ -603,7 +603,12 @@ FROM tot
 
 def kaplan_meier_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier product-limit survival curve (Kaplan & Meier 1958)
-    over user activity lifetimes: duration = hour boundaries crossed
+    over user activity LIFETIMES — the retention/churn complement of
+    ``kaplan_meier_conversion_events`` (which survives "still not
+    purchased" after first view): different event (going inactive vs
+    purchasing), different censoring (observation-window edge vs
+    never-purchased), and the lifetime definition ``logrank_test_
+    retention_arms`` tests between arms. Duration = hour boundaries crossed
     between a user's first and last event (hour grain because the
     synthetic corpus spans ~29 days — day grain would collapse to 2–4
     steps); a user whose last event falls within 1 day of the corpus end

@@ -386,7 +386,6 @@ _ROUND9_QUEUE: list[str] = [
     "simplified_silhouette_embeddings",
     "logrank_test_retention_arms",
     "msprt_always_valid_ab_daily",
-    "benford_first_digit_orders",
     "views_within_hour_of_purchase",
 ]
 
@@ -1550,12 +1549,6 @@ register(
     "msprt_always_valid_ab_daily",
     inference_stats.msprt_always_valid_ab_daily,
     inference_stats.MSPRT_ALWAYS_VALID_AB_DAILY_ORACLE,
-)
-
-register(
-    "benford_first_digit_orders",
-    analytics_checks.benford_first_digit_orders,
-    analytics_checks.BENFORD_FIRST_DIGIT_ORDERS_ORACLE,
 )
 
 register(

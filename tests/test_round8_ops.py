@@ -341,14 +341,10 @@ def test_silhouette_bounds_and_srm_sanity(spark):
     assert not srm.srm_flag
 
 
-def test_logrank_msprt_benford_contracts(spark):
+def test_logrank_msprt_contracts(spark):
     """Cross-surface contracts: log-rank observed events split the KM
     curve's total churns between the arms; mSPRT's p is non-increasing
-    over days and in (0,1]; Benford frequencies sum to 1 and the digit
-    domain is exactly 1..9."""
-    from data_ingestion_pipeline_spark.operators.analytics_checks import (
-        benford_first_digit_orders,
-    )
+    over days and in (0,1]."""
     from data_ingestion_pipeline_spark.operators.inference_stats import (
         kaplan_meier_user_retention,
         logrank_test_retention_arms,
@@ -367,8 +363,3 @@ def test_logrank_msprt_benford_contracts(spark):
     ps = [r.p_always_valid for r in ms]
     assert all(0.0 < p <= 1.0 for p in ps)
     assert all(a >= b for a, b in zip(ps, ps[1:]))
-
-    bf = benford_first_digit_orders(spark, sf).collect()
-    assert sorted(r.digit for r in bf) == list(range(1, 10))
-    assert abs(sum(r.obs_freq for r in bf) - 1.0) < 1e-4
-    assert abs(sum(r.benford_freq for r in bf) - 1.0) < 1e-4
