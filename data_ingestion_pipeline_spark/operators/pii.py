@@ -2,6 +2,15 @@
 style scrubbing step every LLM training-data pipeline runs before
 anything else sees the text.
 
+Relationship to ``functions/text.py::redact_pii`` (used by
+``text_hygiene_documents``): that is the 2-pattern (email/phone) inline
+hygiene step of the general cleanup pass; this tier is the dedicated
+scrub with per-class census, an md5-pinned rewrite audit, four classes
+(+SSN, +IPv4), and the per-source prevalence report — the surface a
+compliance review actually consumes. Patterns are maintained separately
+on purpose: the hygiene step is deliberately conservative, this tier's
+rule table is the place recall grows by stacking patterns.
+
 The synthetic corpus is PII-free word soup, so each query first PLANTS
 deterministic PII (emails / US phone numbers / SSNs / IPv4 addresses,
 keyed on doc_id residues) with closed-form string expressions that the

@@ -52,6 +52,11 @@ DOCUMENTED_BOUNDED = {
     "kneser_ney_bigram_documents",  # rank over the 100-row top head
     "skipgram_pmi_documents",  # rank over the 100-row top head
     "negative_sampling_table_documents",  # rank/cum_p over the 200-row top head
+    # round-8 additions — duration/day-grain cumulative windows, bounded
+    # by the corpus hour/day span by construction (docstrings state it)
+    "kaplan_meier_user_retention",  # hour-grain risk table
+    "logrank_test_retention_arms",  # hour-grain at-risk windows
+    "msprt_always_valid_ab_daily",  # day-grain cumulative moments
 }
 
 
