@@ -835,10 +835,16 @@ def logrank_test_retention_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(e_a).alias("_exp_a"),
         F.sum(v).alias("_var"),
     )
-    chi2 = F.round(
-        F.pow(F.col("obs_a").cast("double") - F.col("_exp_a"), 2) / F.col("_var"),
-        6,
-    )
+    # zero total variance (no events, or every stratum degenerate) means
+    # the test is undefined — report 0 / not-significant, never a 0-division
+    chi2 = F.when(
+        F.col("_var") > 0.0,
+        F.round(
+            F.pow(F.col("obs_a").cast("double") - F.col("_exp_a"), 2)
+            / F.col("_var"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
     return s.select(
         "obs_a",
         "obs_b",
@@ -898,10 +904,14 @@ at_risk AS (
 )
 SELECT obs_a, obs_b,
        CAST(ROUND(exp_a_raw, 6) AS DOUBLE) AS exp_a,
-       CAST(ROUND(POWER(CAST(obs_a AS DOUBLE) - exp_a_raw, 2) / var_raw, 6)
-            AS DOUBLE) AS chi2,
-       ROUND(POWER(CAST(obs_a AS DOUBLE) - exp_a_raw, 2) / var_raw, 6)
-           > 3.841459 AS significant
+       CAST(CASE WHEN var_raw > 0.0
+                 THEN ROUND(POWER(CAST(obs_a AS DOUBLE) - exp_a_raw, 2)
+                            / var_raw, 6)
+                 ELSE 0.0 END AS DOUBLE) AS chi2,
+       CASE WHEN var_raw > 0.0
+            THEN ROUND(POWER(CAST(obs_a AS DOUBLE) - exp_a_raw, 2)
+                       / var_raw, 6)
+            ELSE 0.0 END > 3.841459 AS significant
 FROM s
 """
 
@@ -961,14 +971,21 @@ def msprt_always_valid_ab_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / (na + nb - F.lit(2.0))
     vt = pooled_var * (F.lit(1.0) / na + F.lit(1.0) / nb)
     tau2 = F.lit(1.0)
-    lam = F.sqrt(vt / (vt + tau2)) * F.exp(
-        tau2 * delta * delta / (F.lit(2.0) * vt * (vt + tau2))
-    )
+    # degenerate-prefix guard: with an empty arm or <3 total observations
+    # the variance estimate is undefined — no evidence, so Λ = 1 (p = 1)
+    # instead of a 0-division Inf/NaN leaking into the running min
+    lam = F.when(
+        (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (vt > 0.0),
+        F.sqrt(vt / (vt + tau2))
+        * F.exp(tau2 * delta * delta / (F.lit(2.0) * vt * (vt + tau2))),
+    ).otherwise(F.lit(1.0))
     scored = cum.select(
         "day",
         F.col("n_a").cast("bigint"),
         F.col("n_b").cast("bigint"),
-        F.round(delta, 6).alias("mean_diff"),
+        F.when((F.col("n_a") >= 1) & (F.col("n_b") >= 1), F.round(delta, 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("mean_diff"),
         F.round(lam, 6).alias("lambda"),
         F.least(F.lit(1.0), F.lit(1.0) / lam).alias("_inv"),
     )
@@ -1017,13 +1034,18 @@ WITH day AS (
                  AND CURRENT ROW)
 ), scored AS (
     SELECT day, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-           ROUND(s_b / n_b - s_a / n_a, 6) AS mean_diff,
-           ROUND(SQRT(vt / (vt + 1.0))
+           CASE WHEN n_a >= 1 AND n_b >= 1
+                THEN ROUND(s_b / n_b - s_a / n_a, 6) END AS mean_diff,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND vt > 0.0
+                THEN ROUND(SQRT(vt / (vt + 1.0))
                  * EXP((s_b / n_b - s_a / n_a) * (s_b / n_b - s_a / n_a)
-                       / (2.0 * vt * (vt + 1.0))), 6) AS lambda,
-           LEAST(1.0, 1.0 / (SQRT(vt / (vt + 1.0))
+                       / (2.0 * vt * (vt + 1.0))), 6)
+                ELSE 1.0 END AS lambda,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND vt > 0.0
+                THEN LEAST(1.0, 1.0 / (SQRT(vt / (vt + 1.0))
                  * EXP((s_b / n_b - s_a / n_a) * (s_b / n_b - s_a / n_a)
-                       / (2.0 * vt * (vt + 1.0))))) AS inv
+                       / (2.0 * vt * (vt + 1.0)))))
+                ELSE 1.0 END AS inv
     FROM (
         SELECT *,
                ((q_a - s_a * s_a / n_a) + (q_b - s_b * s_b / n_b))

@@ -504,6 +504,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "supplier")
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        # prune to the two probed nations BEFORE the build side ships —
+        # 2/25 of suppliers instead of all of them
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
     )
     cust_n = (
         load_table(spark, sf_dir, "customer")
@@ -520,8 +523,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
-        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        # size-gated like every filtered dimension: the nation-filtered
+        # supplier map still grows with the table at scale
+        li.join(broadcast_if_small(supp_n), li.l_suppkey == supp_n.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(broadcast_if_small(cust_n), orders.o_custkey == cust_n.c_custkey)
         .filter(pair_ok)
@@ -577,8 +581,11 @@ def tpch_q4_shaped_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-10-01")))
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # timestamp + interval, NOT date_add: date_add truncates the order
+    # timestamp to a DATE, which would diverge from the oracle's
+    # timestamp arithmetic the moment an order date carries a time part
     late = (li.l_orderkey == orders.o_orderkey) & (
-        li.l_shipdate > F.date_add(orders.o_orderdate, 30)
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")
     )
     return (
         orders.join(li, late, "left_semi")
@@ -933,8 +940,14 @@ def tpch_q22_shaped_dormant_customers(
     broadcast-side for the 25-group aggregate."""
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # the average is a THRESHOLD: a plain double avg is fold-order-
+    # dependent, and a customer within an ulp of it could classify
+    # differently per engine — decimal sum / count is bit-identical
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("_avg_bal")
+        (
+            dec_sum(F.col("c_acctbal")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("_avg_bal")
     )
     recent = (
         load_table(spark, sf_dir, "orders")
@@ -968,7 +981,9 @@ SELECT n_name,
        CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
            AS totacctbal
 FROM customer c JOIN nation ON c_nationkey = n_nationkey
-WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
+                               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '1999-01-01')
