@@ -40,6 +40,7 @@ __all__ = [
     "schema_evolution_sync",
     "partitioned_orders_yearly",
     "partitioned_orders_path",
+    "dpp_ship_year_join_orders",
     "data_quality_orders",
     "bucketed_colocated_join",
     "compacted_sorted_orders",
@@ -131,6 +132,61 @@ SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
 FROM orders
 WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
 GROUP BY o_orderpriority
+"""
+
+
+def dpp_ship_year_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning, the join-shaped sibling of
+    ``partitioned_orders_yearly``'s static prune: orders per year, but only
+    for years that saw any shipment inside a literal ship-date window. The
+    year set is NOT statically known (it comes out of a distinct over
+    lineitem), so Catalyst cannot fold it into a partition predicate —
+    instead the PartitionPruning rule injects a
+    ``dynamicpruningexpression(o_year IN dynamicpruning#N)`` partition
+    filter on the fact scan, reusing the dim side's broadcast exchange, and
+    the scan lists only the surviving year directories at RUNTIME (pinned
+    in pytest via the formatted plan). This is the canonical
+    fact-join-filtered-dim shape every partitioned 100 TB layout depends
+    on: without DPP the fact scan reads all years and the join discards
+    them after IO.
+
+    No reference counterpart (the reference has no partitioned layout;
+    its Postgres tables are unpartitioned heaps — README.md:36-149 queries
+    scan whole tables)."""
+    path = partitioned_orders_path(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ship_years = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01"))
+        )
+        .select(F.year("l_shipdate").alias("ship_year"))
+        .distinct()
+    )
+    return (
+        fact.join(ship_years, fact.o_year == ship_years.ship_year)
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            dec_sum2(F.col("o_totalprice")).alias("total_value"),
+        )
+    )
+
+
+DPP_SHIP_YEAR_JOIN_ORDERS_ORACLE = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_value
+FROM orders
+WHERE EXTRACT(YEAR FROM o_orderdate) IN (
+    SELECT DISTINCT EXTRACT(YEAR FROM l_shipdate)
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '2000-01-01'
+)
+GROUP BY 1
 """
 
 

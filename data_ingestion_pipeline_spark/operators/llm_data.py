@@ -68,6 +68,7 @@ __all__ = [
     "embedding_cosine_dedup",
     "embedding_lsh_near_dup",
     "cosine_topk_embeddings",
+    "matryoshka_truncation_recall_embeddings",
     "mmr_rerank_topk_embeddings",
     "mixture_temperature_allocation",
     "length_bucket_padding_report",
@@ -1095,6 +1096,96 @@ SELECT vec_id,
 FROM embeddings, q
 ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id
 LIMIT 20
+"""
+
+
+def matryoshka_truncation_recall_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka/truncation evaluation: how much of the FULL-dimension
+    cosine top-10 survives when vectors are truncated to their first
+    8/16/32 dims — the measurement behind the embedding-compression
+    decision (store/search a prefix at 1/8th the IO, or not). Distinct
+    from the ANN recall gates: those grade an INDEX against exact search
+    at full width; this grades the REPRESENTATION width itself under
+    exact search on both sides.
+
+    Per (trunc_dim, probe query) one row: |trunc top-10 ∩ full top-10|.
+    Both rankings run through ``topk_cosine_batch`` (two-phase window,
+    non-foldable local key) on the same deterministic 3-probe batch the
+    ANN gates use; prefix slicing happens before the double-cast
+    projection so the unrolled dot indexes bound attributes. Exactness:
+    both engines fold the (identically sliced) dot sequentially in
+    double, and rank ties break on vec_id — the published overlap counts
+    are integers, immune to rounding. At this fixture scale the full
+    ranking subtree re-executes per truncation branch (4 cheap scans); at
+    100 TB you'd localCheckpoint the full top-k once and sample probes —
+    noted here rather than pre-optimized, since the probe batch is the
+    scale knob (corpus side stays one scan per width regardless)."""
+    from data_ingestion_pipeline_spark.similarity.brute_force import (
+        topk_cosine_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _ann_query_batch(emb)
+    full = topk_cosine_batch(emb, q, k=10).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    parts = []
+    for d in (8, 16, 32):
+        emb_d = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        q_d = q.select("query_id", F.slice("qvec", 1, d).alias("qvec"))
+        trunc = topk_cosine_batch(emb_d, q_d, k=10, dim=d).select(
+            "query_id", "vec_id"
+        )
+        parts.append(
+            trunc.join(full, ["query_id", "vec_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.sum(F.coalesce("hit", F.lit(0)))
+                .cast("bigint")
+                .alias("overlap_at_10")
+            )
+            .select(
+                F.lit(d).alias("trunc_dim"), "query_id", "overlap_at_10"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+MATRYOSHKA_TRUNCATION_RECALL_EMBEDDINGS_ORACLE = """
+WITH dims(trunc_dim) AS (VALUES (8), (16), (32)),
+q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+    FROM embeddings WHERE vec_id IN (0, 1, 2)
+), full_rank AS (
+    SELECT q.query_id, e.vec_id
+    FROM embeddings e, q
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe) DESC,
+                 e.vec_id ASC) <= 10
+), trunc_rank AS (
+    SELECT d.trunc_dim, q.query_id, e.vec_id
+    FROM embeddings e, q, dims d
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY d.trunc_dim, q.query_id
+        ORDER BY list_cosine_similarity(
+                     (e.embedding::DOUBLE[])[1:d.trunc_dim],
+                     (q.qe)[1:d.trunc_dim]) DESC,
+                 e.vec_id ASC) <= 10
+)
+SELECT t.trunc_dim, t.query_id,
+       CAST(COUNT(f.vec_id) AS BIGINT) AS overlap_at_10
+FROM trunc_rank t
+LEFT JOIN full_rank f
+       ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+GROUP BY 1, 2
 """
 
 

@@ -25,6 +25,7 @@ __all__ = [
     "purchase_funnel_users",
     "daily_cohort_retention",
     "cohort_ltv_curve_events",
+    "growth_accounting_daily_users",
 ]
 
 
@@ -265,4 +266,114 @@ SELECT c.cohort_week, c.age_week, s.n_users,
        CAST(ROUND(CAST(c.cum_vd AS DOUBLE) / CAST(s.n_users AS DOUBLE), 6)
             AS DOUBLE) AS cum_ltv_per_user
 FROM cum c JOIN sizes s ON c.cohort_week = s.cohort_week
+"""
+
+
+def growth_accounting_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting — the classic DAU decomposition into
+    new / retained / resurrected / churned (every active user on day d is
+    exactly one of new|retained|resurrected; churned(d) counts users active
+    on SOME day < d whose next activity skips d, dated to the first missed
+    day). Complements ``daily_cohort_retention`` (cohort-relative survival
+    curves) with the calendar-relative state machine product analytics
+    dashboards run on.
+
+    Shape: one distinct shuffle to the (user, day) activity grain, then a
+    single lag/lead window PER USER (hash-partitioned on user_id —
+    distributed; never a global window), then a day-grain groupBy whose
+    cardinality is the calendar. Churn days are clamped to the observed
+    calendar max (the day after the last observed day is right-censored,
+    not churn) via a 1-row broadcast — no driver collect. Limitation,
+    documented: a churn day on which NOBODY is active would still appear
+    (full-outer join keeps it) but with dau=0; such days cannot occur in
+    the fixtures (every day has actives) and at 100 TB a whole-corpus
+    dead day is a pipeline outage, not a metric.
+
+    No reference counterpart (the reference computes no user-state
+    metrics; nearest is README.md:36-149's static aggregates)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    activity = events.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    flagged = activity.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    status = flagged.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("dau"),
+        F.count(F.when(F.col("prev_day").isNull(), 1))
+        .cast("bigint")
+        .alias("new_users"),
+        F.count(F.when(F.datediff("day", "prev_day") == 1, 1))
+        .cast("bigint")
+        .alias("retained_users"),
+        F.count(F.when(F.datediff("day", "prev_day") > 1, 1))
+        .cast("bigint")
+        .alias("resurrected_users"),
+    )
+    churn = (
+        flagged.filter(
+            F.col("next_day").isNull() | (F.datediff("next_day", "day") > 1)
+        )
+        .select(F.date_add("day", 1).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("churned_users"))
+    )
+    max_day = activity.agg(F.max("day").alias("max_day"))
+    return (
+        status.join(churn, "day", "full_outer")
+        .crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") <= F.col("max_day"))
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+            F.coalesce("retained_users", F.lit(0)).alias("retained_users"),
+            F.coalesce("resurrected_users", F.lit(0)).alias(
+                "resurrected_users"
+            ),
+            F.coalesce("churned_users", F.lit(0)).alias("churned_users"),
+        )
+    )
+
+
+GROWTH_ACCOUNTING_DAILY_USERS_ORACLE = """
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), flagged AS (
+    SELECT user_id, day,
+           LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+           LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+    FROM activity
+), status AS (
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS dau,
+           CAST(COUNT(*) FILTER (WHERE prev_day IS NULL) AS BIGINT)
+               AS new_users,
+           CAST(COUNT(*) FILTER (
+               WHERE date_diff('day', prev_day, day) = 1) AS BIGINT)
+               AS retained_users,
+           CAST(COUNT(*) FILTER (
+               WHERE date_diff('day', prev_day, day) > 1) AS BIGINT)
+               AS resurrected_users
+    FROM flagged GROUP BY day
+), churn AS (
+    SELECT day + INTERVAL 1 DAY AS day,
+           CAST(COUNT(*) AS BIGINT) AS churned_users
+    FROM flagged
+    WHERE next_day IS NULL OR date_diff('day', day, next_day) > 1
+    GROUP BY 1
+)
+SELECT COALESCE(s.day, CAST(c.day AS DATE)) AS day,
+       COALESCE(s.dau, 0) AS dau,
+       COALESCE(s.new_users, 0) AS new_users,
+       COALESCE(s.retained_users, 0) AS retained_users,
+       COALESCE(s.resurrected_users, 0) AS resurrected_users,
+       COALESCE(c.churned_users, 0) AS churned_users
+FROM status s FULL OUTER JOIN churn c ON s.day = CAST(c.day AS DATE)
+WHERE COALESCE(s.day, CAST(c.day AS DATE))
+      <= (SELECT MAX(day) FROM activity)
 """

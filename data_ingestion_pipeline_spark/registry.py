@@ -387,6 +387,9 @@ _ROUND9_QUEUE: list[str] = [
     "logrank_test_retention_arms",
     "msprt_always_valid_ab_daily",
     "views_within_hour_of_purchase",
+    "growth_accounting_daily_users",
+    "matryoshka_truncation_recall_embeddings",
+    "dpp_ship_year_join_orders",
 ]
 
 
@@ -830,6 +833,12 @@ register(
     evolution_checks.PARTITIONED_ORDERS_YEARLY_ORACLE,
 )
 
+register(
+    "dpp_ship_year_join_orders",
+    evolution_checks.dpp_ship_year_join_orders,
+    evolution_checks.DPP_SHIP_YEAR_JOIN_ORDERS_ORACLE,
+)
+
 # --------------------------------------------------------------------------
 # North-star LLM-data operators (BASELINE.json): dedup, similarity, text
 # --------------------------------------------------------------------------
@@ -931,6 +940,12 @@ register(
     "cosine_topk_embeddings",
     llm_data.cosine_topk_embeddings,
     llm_data.COSINE_TOPK_EMBEDDINGS_ORACLE,
+)
+
+register(
+    "matryoshka_truncation_recall_embeddings",
+    llm_data.matryoshka_truncation_recall_embeddings,
+    llm_data.MATRYOSHKA_TRUNCATION_RECALL_EMBEDDINGS_ORACLE,
 )
 
 register(
@@ -1045,6 +1060,12 @@ register(
     "daily_cohort_retention",
     temporal_checks.daily_cohort_retention,
     temporal_checks.DAILY_COHORT_RETENTION_ORACLE,
+)
+
+register(
+    "growth_accounting_daily_users",
+    temporal_checks.growth_accounting_daily_users,
+    temporal_checks.GROWTH_ACCOUNTING_DAILY_USERS_ORACLE,
 )
 
 register(

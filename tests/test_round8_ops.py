@@ -363,3 +363,79 @@ def test_logrank_msprt_contracts(spark):
     ps = [r.p_always_valid for r in ms]
     assert all(0.0 < p <= 1.0 for p in ps)
     assert all(a >= b for a, b in zip(ps, ps[1:]))
+
+
+def test_dpp_ship_year_join_plans_dynamic_pruning(spark):
+    """The DPP demo must actually exercise DYNAMIC partition pruning: the
+    fact scan carries a dynamicpruningexpression partition filter (the
+    year set is join-produced, not foldable), and the surviving years are
+    exactly the ship-window years — static recompute agrees."""
+    from data_ingestion_pipeline_spark.operators import evolution_checks as ev
+
+    df = ev.dpp_ship_year_join_orders(spark, SF_SMOKE)
+    assert "dynamicpruningexpression" in _plan(df)
+    rows = {r["o_year"]: r["n_orders"] for r in df.collect()}
+    assert set(rows) == {1997, 1998, 1999}
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    static = {
+        r["y"]: r["n"]
+        for r in orders.groupBy(F.year("o_orderdate").alias("y"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("y").isin(1997, 1998, 1999))
+        .collect()
+    }
+    assert rows == static
+
+
+def test_growth_accounting_identities(spark):
+    """Growth accounting is a closed ledger: dau = new + retained +
+    resurrected per day; retained(d) = dau(d-1) - churned(d) on contiguous
+    days (every fixture day has actives); total new across days = distinct
+    users; day 1 churns nobody."""
+    from data_ingestion_pipeline_spark.operators import temporal_checks as tc
+
+    rows = sorted(
+        tc.growth_accounting_daily_users(spark, SF_SMOKE).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows, "no days"
+    for r in rows:
+        assert r["dau"] == r["new_users"] + r["retained_users"] + r["resurrected_users"]
+    assert rows[0]["churned_users"] == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert (cur["day"] - prev["day"]).days == 1, "fixture days contiguous"
+        assert cur["retained_users"] == prev["dau"] - cur["churned_users"]
+
+    events = load_table(spark, SF_SMOKE, "events")
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r["new_users"] for r in rows) == n_users
+
+
+def test_matryoshka_full_width_slice_is_identity(spark):
+    """Truncation eval contracts: overlap counts live in [0, 10] with one
+    row per (dim, probe); and slicing to the FULL width must reproduce the
+    full top-10 exactly (overlap = 10 for every probe) — the strongest
+    exactness pin available without trusting any approximate band."""
+    from data_ingestion_pipeline_spark.operators import llm_data as ll
+    from data_ingestion_pipeline_spark.operators.llm_data import _ann_query_batch
+    from data_ingestion_pipeline_spark.similarity.brute_force import (
+        topk_cosine_batch,
+    )
+
+    out = ll.matryoshka_truncation_recall_embeddings(spark, SF_SMOKE).collect()
+    assert len(out) == 9
+    assert {(r["trunc_dim"], r["query_id"]) for r in out} == {
+        (d, q) for d in (8, 16, 32) for q in (0, 1, 2)
+    }
+    assert all(0 <= r["overlap_at_10"] <= 10 for r in out)
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = _ann_query_batch(emb)
+    full = topk_cosine_batch(emb, q, k=10)
+    emb64 = emb.select("vec_id", F.slice("embedding", 1, 64).alias("embedding"))
+    q64 = q.select("query_id", F.slice("qvec", 1, 64).alias("qvec"))
+    sliced = topk_cosine_batch(emb64, q64, k=10, dim=64)
+    full_set = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    sliced_set = {(r["query_id"], r["vec_id"]) for r in sliced.collect()}
+    assert full_set == sliced_set
