@@ -110,6 +110,16 @@ PROBES = [
     ("tpch_q18_large_volume_customers", ["orders", "lineitem", "customer"]),
     ("tpch_q22_shaped_dormant_customers", ["orders", "customer"]),
     ("pii_redact_documents", ["documents"]),
+    # round-8 extension trio: the truncation eval scans a 16x corpus per
+    # width (probe-informative); the DPP join's fact side replicates under
+    # orderkey offsets while the year-partition count stays fixed.
+    # growth_accounting_daily_users is deliberately NOT probed: events
+    # replicate with user_id verbatim, so its (user, day) distinct
+    # collapses replicas and the probe would trivially flatline — its plan
+    # (per-user lag/lead window over one distinct shuffle) is the same
+    # family the sessionize/funnel probes already cover.
+    ("matryoshka_truncation_recall_embeddings", ["embeddings"]),
+    ("dpp_ship_year_join_orders", ["orders", "lineitem"]),
 ]
 
 KEY_OFFSETS = {
