@@ -96,12 +96,16 @@ def merge_upsert(
     usually a bug, so widening is opt-in per pipeline.
     """
     deduped = dedupe_last_wins(batch, keys, order_col)
-    if not table.exists():
-        return table.overwrite(deduped)
-    stored = table.read()
+    # read-modify-write: declare the base version so a concurrent commit
+    # between our read and our swap aborts (ConcurrentWriteError) instead
+    # of being silently overwritten — the caller re-reads and retries.
+    base = table.current_version()
+    if base is None:
+        return table.overwrite(deduped, expected_base=None)
+    stored = table.read(version=base)
     kept = stored.join(deduped.select(*keys), list(keys), "left_anti")
     if evolve_schema:
         merged = kept.unionByName(deduped, allowMissingColumns=True)
     else:
         merged = kept.unionByName(deduped)
-    return table.overwrite(merged)
+    return table.overwrite(merged, expected_base=base)

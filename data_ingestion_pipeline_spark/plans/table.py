@@ -29,13 +29,28 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["ManagedTable"]
+__all__ = ["ManagedTable", "ConcurrentWriteError"]
 
 _POINTER = "_LATEST"
+_PTR_LOCK = ".ptr_lock"
+# sentinel: "caller did not declare a base" (None is a real value — the
+# expected base of a bootstrap commit against a not-yet-existing table)
+_UNSET = object()
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A conflict-checked commit found the table advanced past its base.
+
+    Raised only for commits that DECLARE the version they read
+    (read-modify-write: merge, delete, compaction). The caller's recovery
+    is Delta's: re-read the new current version, re-derive, re-commit —
+    the losing writer's work is discarded, never silently merged over."""
 
 
 class ManagedTable:
@@ -61,10 +76,6 @@ class ManagedTable:
     def exists(self) -> bool:
         return self.current_version() is not None
 
-    def _next_version(self) -> str:
-        cur = self.current_version()
-        n = int(cur[1:]) + 1 if cur else 1
-        return f"v{n:08d}"
 
     def _swap_pointer(self, version: str) -> None:
         # POSIX rename is atomic within a filesystem: readers see either the
@@ -73,6 +84,91 @@ class ManagedTable:
         with os.fdopen(fd, "w") as f:
             f.write(version)
         os.replace(tmp, self._pointer_path())
+
+    # -- optimistic concurrency ----------------------------------------------
+
+    def _claim_version(self, stage: str) -> str:
+        """Atomically claim the next version SLOT by renaming the staged
+        data directory into place. rename() onto an existing non-empty
+        directory fails (ENOTEMPTY), so two writers can never both own one
+        version name — the loser recomputes from the directory listing and
+        retries. This fixes the lost-claim race of deriving the next name
+        from the pointer alone: a concurrent writer's claimed-but-not-yet-
+        pointed directory is visible here before the pointer moves."""
+        while True:
+            claimed = [
+                int(d[1:])
+                for d in os.listdir(self.root)
+                if d.startswith("v") and d[1:].isdigit()
+            ]
+            version = f"v{(max(claimed) if claimed else 0) + 1:08d}"
+            try:
+                os.rename(stage, os.path.join(self.root, version))
+                return version
+            except OSError:
+                continue
+
+    def _ptr_locked(self):
+        """Acquire the commit lockfile (O_EXCL create); returns the fd.
+        The critical section is driver-side metadata only — never a Spark
+        job — so contention is milliseconds; 30 s means a crashed writer."""
+        deadline = time.monotonic() + 30.0
+        lock = os.path.join(self.root, _PTR_LOCK)
+        while True:
+            try:
+                return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise RuntimeError(
+                        f"pointer lock {lock} held past 30s — crashed writer?"
+                    )
+                time.sleep(0.01)
+
+    def _ptr_unlock(self, fd: int) -> None:
+        os.close(fd)
+        os.unlink(os.path.join(self.root, _PTR_LOCK))
+
+    def _commit_pointer(
+        self, version: str, expected_base, expected_sidecars=None
+    ) -> None:
+        """Move the pointer to ``version`` under the commit lock. If the
+        committer declared the base it read (``expected_base`` is not the
+        _UNSET sentinel) and the table has advanced, abort with
+        ConcurrentWriteError and discard the claimed (never-pointed)
+        version. ``expected_sidecars`` additionally pins the base
+        version's equality-delete listing as read — a sidecar that landed
+        after this commit derived its data (rewrite_deletes' race) aborts
+        it instead of being silently folded away. Undeclared commits are
+        last-commit-wins, but the pointer never moves BACKWARD (claim
+        order and commit order can invert across writers)."""
+        fd = self._ptr_locked()
+        try:
+            cur = self.current_version()
+            conflict = None
+            if expected_base is not _UNSET and cur != expected_base:
+                conflict = (
+                    f"advanced {expected_base!r} -> {cur!r} since this "
+                    f"commit's base was read"
+                )
+            elif (
+                expected_sidecars is not None
+                and self._delete_sidecars(cur) != expected_sidecars
+            ):
+                conflict = (
+                    f"equality-delete sidecars changed on {cur!r} since "
+                    f"this commit's base was read"
+                )
+            if conflict:
+                shutil.rmtree(
+                    os.path.join(self.root, version), ignore_errors=True
+                )
+                raise ConcurrentWriteError(
+                    f"table {self.root} {conflict}; re-read and retry"
+                )
+            if cur is None or int(version[1:]) > int(cur[1:]):
+                self._swap_pointer(version)
+        finally:
+            self._ptr_unlock(fd)
 
     def versions(self) -> list[str]:
         """Retained version directories, oldest first (time-travel targets)."""
@@ -164,17 +260,41 @@ class ManagedTable:
         else:
             with open(marker, "w") as f:
                 f.write(spec)
-        seq = len(self._delete_sidecars(v)) + 1
-        out = os.path.join(d, f"d{seq:06d}")
         # write-then-rename: _delete_sidecars lists entries starting with
         # "d", so a reader between directory creation and write completion
         # would otherwise see a footerless partial sidecar — the rename
         # makes the sidecar visible atomically, preserving the module's
-        # readers-never-see-partial-writes invariant
-        tmp = os.path.join(d, f".d{seq:06d}.tmp")
-        shutil.rmtree(tmp, ignore_errors=True)
+        # readers-never-see-partial-writes invariant. The tmp name is
+        # unique per writer and the rename CLAIMS the sequence slot
+        # (fails on an existing non-empty dir), so concurrent deleters
+        # serialize onto distinct sidecar numbers.
+        tmp = os.path.join(d, f".sidecar_{uuid.uuid4().hex}.tmp")
         keys.select(*key_cols).distinct().write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, out)
+        while True:
+            seq = len(self._delete_sidecars(v)) + 1
+            out = os.path.join(d, f"d{seq:06d}")
+            try:
+                os.rename(tmp, out)
+                break
+            except OSError:
+                continue
+        # conflict check mirroring _commit_pointer: if the table advanced
+        # while the sidecar was being written, it attached to a version no
+        # reader resolves anymore — roll it back and make the caller
+        # re-read. Verified under the commit lock, so a racing
+        # rewrite_deletes either saw this sidecar in its commit-time
+        # listing check (and aborted) or moved the pointer first (and this
+        # aborts).
+        fd = self._ptr_locked()
+        try:
+            if self.current_version() != v:
+                shutil.rmtree(out, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"table {self.root} advanced past {v!r} while the "
+                    f"equality-delete sidecar was written; re-read and retry"
+                )
+        finally:
+            self._ptr_unlock(fd)
         return v
 
     def rewrite_deletes(self) -> str:
@@ -182,13 +302,37 @@ class ManagedTable:
         (the minor-compaction half of a table service): commits a new
         version whose scan needs no anti-join. Merge-on-read == copy-on-
         write parity is oracle-proved by the registered query."""
-        return self.overwrite(self.read())
+        base = self.current_version()
+        # capture the sidecar listing BEFORE read() lists them for the plan:
+        # a sidecar landing between the two shows up as a commit-time
+        # mismatch (spurious-but-safe abort); the reverse order could fold
+        # a listing the conflict check then fails to notice (lost delete)
+        sidecars = self._delete_sidecars(base) if base else []
+        return self.overwrite(
+            self.read(version=base),
+            expected_base=base,
+            expected_sidecars=sidecars,
+        )
 
-    def overwrite(self, df: DataFrame) -> str:
-        """Commit ``df`` as the new table contents (write-new-then-swap)."""
-        version = self._next_version()
-        df.write.mode("overwrite").parquet(os.path.join(self.root, version))
-        self._swap_pointer(version)
+    def overwrite(
+        self, df: DataFrame, expected_base=_UNSET, expected_sidecars=None
+    ) -> str:
+        """Commit ``df`` as the new table contents.
+
+        Write-stage-claim-swap: data lands in a unique hidden staging
+        directory, an atomic rename claims the next version slot (safe
+        against concurrent claimers), and the pointer moves under the
+        commit lock. Pass ``expected_base=<version read>`` (or ``None``
+        for a bootstrap) to make this an OPTIMISTIC-CONCURRENCY commit
+        that raises ConcurrentWriteError instead of silently overwriting
+        a concurrent writer's changes — every read-modify-write path in
+        this module (merge, delete_where, rewrite_deletes, compact)
+        declares its base; blind full replacements may omit it and get
+        last-commit-wins."""
+        stage = os.path.join(self.root, f"._stage_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+        version = self._claim_version(stage)
+        self._commit_pointer(version, expected_base, expected_sidecars)
         self._vacuum()
         return version
 
@@ -212,8 +356,12 @@ class ManagedTable:
         """
         from pyspark.sql import functions as F
 
+        base = self.current_version()
         return self.overwrite(
-            self.read().filter(~F.coalesce(condition, F.lit(False)))
+            self.read(version=base).filter(
+                ~F.coalesce(condition, F.lit(False))
+            ),
+            expected_base=base,
         )
 
     def _data_bytes(self, version: str) -> int:
@@ -237,7 +385,9 @@ class ManagedTable:
         if cur is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
         n_files = max(1, -(-self._data_bytes(cur) // target_file_bytes))
-        return self.overwrite(self.read().coalesce(n_files))
+        return self.overwrite(
+            self.read(version=cur).coalesce(n_files), expected_base=cur
+        )
 
     def sorted_overwrite(
         self, df: DataFrame, sort_cols: Sequence[str], num_files: int
@@ -264,3 +414,13 @@ class ManagedTable:
         )
         for stale in versions[: max(0, len(versions) - (self.keep_versions - 1))]:
             shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
+        # crashed writers leak staging dirs (written but never claimed);
+        # age-gate the sweep so an in-flight concurrent stage is never hit
+        for d in os.listdir(self.root):
+            if d.startswith("._stage_"):
+                p = os.path.join(self.root, d)
+                try:
+                    if time.time() - os.path.getmtime(p) > 86400:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass

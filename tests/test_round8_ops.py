@@ -439,3 +439,96 @@ def test_matryoshka_full_width_slice_is_identity(spark):
     full_set = {(r["query_id"], r["vec_id"]) for r in full.collect()}
     sliced_set = {(r["query_id"], r["vec_id"]) for r in sliced.collect()}
     assert full_set == sliced_set
+
+
+def test_managed_table_occ_conflict_and_retry(spark, tmp_path):
+    """Optimistic concurrency on ManagedTable: a commit that declares its
+    base aborts (ConcurrentWriteError) when an interloper committed first,
+    the interloper's state survives untouched, the loser's claimed version
+    directory is discarded, and the standard re-read-and-retry succeeds."""
+    import os
+
+    from data_ingestion_pipeline_spark.plans.table import (
+        ConcurrentWriteError,
+        ManagedTable,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "occ"))
+    t.overwrite(spark.range(5).withColumnRenamed("id", "k"), expected_base=None)
+    base = t.current_version()
+
+    t.overwrite(spark.range(7).withColumnRenamed("id", "k"))  # interloper
+
+    with pytest.raises(ConcurrentWriteError):
+        t.overwrite(
+            spark.range(1).withColumnRenamed("id", "k"), expected_base=base
+        )
+    assert t.read().count() == 7, "loser must not clobber the interloper"
+    assert not any(
+        d.startswith("._stage_") for d in os.listdir(t.root)
+    ), "staging cleaned up via claim-rename"
+    claimed = sorted(d for d in os.listdir(t.root) if d.startswith("v"))
+    assert t.current_version() == claimed[-1], "aborted claim discarded"
+
+    fresh = t.current_version()
+    t.overwrite(spark.range(3).withColumnRenamed("id", "k"), expected_base=fresh)
+    assert t.read().count() == 3
+
+    # two bootstrappers: second expected_base=None commit conflicts
+    t2 = ManagedTable(spark, str(tmp_path / "boot"))
+    t2.overwrite(spark.range(2), expected_base=None)
+    with pytest.raises(ConcurrentWriteError):
+        t2.overwrite(spark.range(9), expected_base=None)
+
+
+def test_managed_table_claim_collision_skips_taken_slot(spark, tmp_path):
+    """A version slot already claimed by a concurrent writer (non-empty
+    directory, pointer not yet moved) is skipped, never overwritten: the
+    commit lands on the next free slot and the pointer resolves to it."""
+    import os
+
+    from data_ingestion_pipeline_spark.plans.table import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "claim"))
+    t.overwrite(spark.range(3))
+    blocker = os.path.join(t.root, "v00000002")
+    os.makedirs(blocker)
+    with open(os.path.join(blocker, "part-in-flight"), "w") as f:
+        f.write("concurrent writer's half-commit")
+    v = t.overwrite(spark.range(4))
+    assert v == "v00000003"
+    assert t.read().count() == 4
+    with open(os.path.join(blocker, "part-in-flight")) as f:
+        assert f.read(), "the in-flight claim was not clobbered"
+
+
+def test_managed_table_sidecar_listing_pinned_at_commit(spark, tmp_path):
+    """rewrite_deletes' conflict axis: a sidecar that lands after the
+    rewrite captured its base listing must abort the rewrite (it would
+    otherwise be silently folded away by the stale fold)."""
+    from data_ingestion_pipeline_spark.plans.table import (
+        ConcurrentWriteError,
+        ManagedTable,
+    )
+
+    t = ManagedTable(spark, str(tmp_path / "mor"))
+    t.overwrite(spark.range(10).withColumnRenamed("id", "k"))
+    base = t.current_version()
+    t.equality_delete(spark.range(2).withColumnRenamed("id", "k"), ["k"])
+    listing = t._delete_sidecars(base)
+
+    # a concurrent deleter lands another sidecar after the capture
+    t.equality_delete(
+        spark.range(2, 4).withColumnRenamed("id", "k"), ["k"]
+    )
+    with pytest.raises(ConcurrentWriteError):
+        t.overwrite(
+            t.read(version=base),
+            expected_base=base,
+            expected_sidecars=listing,
+        )
+    # the unsuspecting fold aborted; a fresh rewrite folds BOTH sidecars
+    v2 = t.rewrite_deletes()
+    assert t.current_version() == v2
+    assert t.read().count() == 6
+    assert t._delete_sidecars(v2) == []
