@@ -2,10 +2,15 @@
 with Arrow-batched pandas functions via ``mapInPandas``.
 
 The Spark-side design is real and tested — schema, batch iteration,
-partition sizing, UDF signatures; only the codec kernels are stubs, because
-image/audio libraries are not in this container. Each stub is either a
-clearly-marked ``NotImplementedError`` (``strict=True``) or a deterministic
-fake (default) so the pipeline shape is exercisable end to end.
+partition sizing, UDF signatures; the COMPRESSED-format codec kernels
+(PNG/JPEG/MP4) are stubs, because image/audio libraries are not in this
+container. Each stub is either a clearly-marked ``NotImplementedError``
+(``strict=True``) or a deterministic fake (default) so the pipeline shape
+is exercisable end to end. The self-describing UNCOMPRESSED formats are
+NOT stubbed: ``multimodal/codecs.py`` carries real, dependency-free
+BMP (24-bit) and WAV (PCM16) encode/decode kernels, proven sample-exact
+against closed-form DuckDB oracles by ``multimodal_bmp_pixel_stats`` and
+``multimodal_wav_pcm_energy``.
 
 Scale notes:
 - Binary payloads ride in parquet BYTE_ARRAY columns; metadata lives in a

@@ -390,6 +390,8 @@ _ROUND9_QUEUE: list[str] = [
     "growth_accounting_daily_users",
     "matryoshka_truncation_recall_embeddings",
     "dpp_ship_year_join_orders",
+    "multimodal_bmp_pixel_stats",
+    "multimodal_wav_pcm_energy",
 ]
 
 
@@ -2403,6 +2405,20 @@ register(
     "multimodal_audio_chunks",
     multimodal_checks.multimodal_audio_chunks,
     multimodal_checks.MULTIMODAL_AUDIO_CHUNKS_ORACLE,
+)
+
+# real (dependency-free) codec kernels — BMP + WAV/PCM16 decode proven
+# against closed-form generating oracles (round 8)
+register(
+    "multimodal_bmp_pixel_stats",
+    multimodal_checks.multimodal_bmp_pixel_stats,
+    multimodal_checks.MULTIMODAL_BMP_PIXEL_STATS_ORACLE,
+)
+
+register(
+    "multimodal_wav_pcm_energy",
+    multimodal_checks.multimodal_wav_pcm_energy,
+    multimodal_checks.MULTIMODAL_WAV_PCM_ENERGY_ORACLE,
 )
 
 register(

@@ -532,3 +532,61 @@ def test_managed_table_sidecar_listing_pinned_at_commit(spark, tmp_path):
     assert t.current_version() == v2
     assert t.read().count() == 6
     assert t._delete_sidecars(v2) == []
+
+
+def test_codecs_roundtrip_and_format_conformance():
+    """The dependency-free BMP/WAV codecs must round-trip exactly (incl.
+    the odd-width padded-row case and the top-down negative-height BMP
+    variant) and emit spec-conformant headers; the WAV decoder must walk
+    past interleaved metadata chunks."""
+    import struct
+
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.multimodal.codecs import (
+        decode_bmp,
+        decode_wav_pcm16,
+        encode_bmp,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w in [(8, 13), (1, 1), (5, 4), (3, 7)]:
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = encode_bmp(rgb)
+        assert payload[:2] == b"BM"
+        stride = (w * 3 + 3) & ~3
+        assert len(payload) == 54 + stride * h, "padded stride sizing"
+        out = decode_bmp(payload)
+        assert out.shape == (h, w, 3)
+        assert (out == rgb).all(), f"lossless round-trip at {h}x{w}"
+
+    # top-down (negative height) BMP variant decodes too
+    rgb = rng.randint(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    payload = bytearray(encode_bmp(rgb))
+    h_field = struct.unpack_from("<i", payload, 22)[0]
+    struct.pack_into("<i", payload, 22, -h_field)
+    rows = decode_bmp(bytes(payload))
+    assert (rows == rgb[::-1]).all(), "negative height = top-down rows"
+
+    samples = rng.randint(-32768, 32768, size=1234).astype(np.int16)
+    wav = encode_wav_pcm16(samples, rate=8000)
+    got, rate = decode_wav_pcm16(wav)
+    assert rate == 8000 and (got == samples).all()
+
+    # a LIST metadata chunk between fmt and data must be skipped (odd
+    # length exercises RIFF word alignment)
+    fmt_end = 12 + 8 + 16
+    data_part = wav[fmt_end:]
+    list_chunk = struct.pack("<4sI", b"LIST", 5) + b"INFO\x00" + b"\x00"
+    padded = wav[:fmt_end] + list_chunk + data_part
+    got2, rate2 = decode_wav_pcm16(padded)
+    assert rate2 == 8000 and (got2 == samples).all()
+
+    with pytest.raises(NotImplementedError):
+        stereo = struct.pack("<4sI4s", b"RIFF", 40, b"WAVE") + struct.pack(
+            "<4sI", b"fmt ", 16
+        ) + struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16) + struct.pack(
+            "<4sI", b"data", 0
+        )
+        decode_wav_pcm16(stereo)
