@@ -102,10 +102,16 @@ def merge_upsert(
     base = table.current_version()
     if base is None:
         return table.overwrite(deduped, expected_base=None)
+    # capture the sidecar listing read() will fold BEFORE constructing the
+    # read: a concurrent equality delete then aborts this merge instead of
+    # being silently folded away by a stale snapshot
+    sidecars = table.sidecar_listing(base)
     stored = table.read(version=base)
     kept = stored.join(deduped.select(*keys), list(keys), "left_anti")
     if evolve_schema:
         merged = kept.unionByName(deduped, allowMissingColumns=True)
     else:
         merged = kept.unionByName(deduped)
-    return table.overwrite(merged, expected_base=base)
+    return table.overwrite(
+        merged, expected_base=base, expected_sidecars=sidecars
+    )

@@ -75,10 +75,19 @@ def sync_table_schema(
 
     Analog of the reference's ``sync_table_schema`` (``flows/schema_sync.py:158-180``).
     """
-    if not table.exists():
+    base = table.current_version()
+    if base is None:
         return None
-    stored = table.read()
+    # read-modify-write: declare the base + folded sidecar listing so a
+    # concurrent ingest commit aborts this rewrite instead of being
+    # silently replaced by the conformed copy of a stale snapshot
+    sidecars = table.sidecar_listing(base)
+    stored = table.read(version=base)
     d = diff_schema(stored.schema, declared, protected)
     if not (d["add"] or d["drop"] or d["cast"]):
         return None
-    return table.overwrite(conform_to_schema(stored, declared, protected))
+    return table.overwrite(
+        conform_to_schema(stored, declared, protected),
+        expected_base=base,
+        expected_sidecars=sidecars,
+    )

@@ -26,6 +26,7 @@ backend could slot in behind it.
 
 from __future__ import annotations
 
+import errno
 import os
 import shutil
 import tempfile
@@ -105,19 +106,32 @@ class ManagedTable:
             try:
                 os.rename(stage, os.path.join(self.root, version))
                 return version
-            except OSError:
-                continue
+            except OSError as e:
+                # only a claim COLLISION retries; any other errno (missing
+                # stage, permissions, IO) must raise, not busy-loop
+                if e.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                    continue
+                raise
 
     def _ptr_locked(self):
         """Acquire the commit lockfile (O_EXCL create); returns the fd.
         The critical section is driver-side metadata only — never a Spark
-        job — so contention is milliseconds; 30 s means a crashed writer."""
+        job — so contention is milliseconds. A lockfile OLDER than the
+        stale threshold is a crashed writer's: it is broken (unlinked) and
+        the acquisition retried, so a SIGKILLed committer cannot wedge the
+        table permanently. 30 s of live contention still raises."""
         deadline = time.monotonic() + 30.0
         lock = os.path.join(self.root, _PTR_LOCK)
         while True:
             try:
                 return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 60.0:
+                        os.unlink(lock)  # break a crashed writer's lock
+                        continue
+                except OSError:
+                    continue  # holder released between stat and unlink
                 if time.monotonic() > deadline:
                     raise RuntimeError(
                         f"pointer lock {lock} held past 30s — crashed writer?"
@@ -140,8 +154,16 @@ class ManagedTable:
         after this commit derived its data (rewrite_deletes' race) aborts
         it instead of being silently folded away. Undeclared commits are
         last-commit-wins, but the pointer never moves BACKWARD (claim
-        order and commit order can invert across writers)."""
-        fd = self._ptr_locked()
+        order and commit order can invert across writers — the earlier
+        claim stays on disk as a retained HISTORICAL version in claim
+        order, it just never becomes current)."""
+        try:
+            fd = self._ptr_locked()
+        except RuntimeError:
+            # lock never acquired -> the claimed dir was never pointed at;
+            # discard it rather than leak a phantom version
+            shutil.rmtree(os.path.join(self.root, version), ignore_errors=True)
+            raise
         try:
             cur = self.current_version()
             conflict = None
@@ -229,6 +251,15 @@ class ManagedTable:
             os.path.join(d, s) for s in os.listdir(d) if s.startswith("d")
         )
 
+    def sidecar_listing(self, version: str) -> list[str]:
+        """Public capture point for OCC read-modify-write commits: every
+        path that FOLDS a version's equality deletes (rewrite_deletes,
+        delete_where, compact, merge) must capture this listing BEFORE
+        read() and pass it as ``expected_sidecars`` — a sidecar landing
+        after the capture then aborts the commit instead of being silently
+        folded away."""
+        return self._delete_sidecars(version)
+
     def equality_delete(self, keys: DataFrame, key_cols: Sequence[str]) -> str:
         """Merge-on-read delete: write an equality-delete SIDECAR against
         the current version — the data files are untouched (asserted by
@@ -269,15 +300,31 @@ class ManagedTable:
         # (fails on an existing non-empty dir), so concurrent deleters
         # serialize onto distinct sidecar numbers.
         tmp = os.path.join(d, f".sidecar_{uuid.uuid4().hex}.tmp")
-        keys.select(*key_cols).distinct().write.mode("overwrite").parquet(tmp)
-        while True:
-            seq = len(self._delete_sidecars(v)) + 1
-            out = os.path.join(d, f"d{seq:06d}")
-            try:
-                os.rename(tmp, out)
-                break
-            except OSError:
-                continue
+        try:
+            keys.select(*key_cols).distinct().write.mode("overwrite").parquet(
+                tmp
+            )
+            while True:
+                # max+1, never count+1: a rolled-back sidecar leaves a GAP
+                # in the sequence, and count+1 would then collide with the
+                # same existing name on every retry (unbounded spin)
+                existing = [
+                    int(os.path.basename(p)[1:])
+                    for p in self._delete_sidecars(v)
+                ]
+                out = os.path.join(
+                    d, f"d{(max(existing) if existing else 0) + 1:06d}"
+                )
+                try:
+                    os.rename(tmp, out)
+                    break
+                except OSError as e:
+                    if e.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                        continue  # slot claimed concurrently; recompute
+                    raise
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         # conflict check mirroring _commit_pointer: if the table advanced
         # while the sidecar was being written, it attached to a version no
         # reader resolves anymore — roll it back and make the caller
@@ -357,11 +404,13 @@ class ManagedTable:
         from pyspark.sql import functions as F
 
         base = self.current_version()
+        sidecars = self._delete_sidecars(base) if base else []
         return self.overwrite(
             self.read(version=base).filter(
                 ~F.coalesce(condition, F.lit(False))
             ),
             expected_base=base,
+            expected_sidecars=sidecars,
         )
 
     def _data_bytes(self, version: str) -> int:
@@ -385,8 +434,11 @@ class ManagedTable:
         if cur is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
         n_files = max(1, -(-self._data_bytes(cur) // target_file_bytes))
+        sidecars = self._delete_sidecars(cur)
         return self.overwrite(
-            self.read(version=cur).coalesce(n_files), expected_base=cur
+            self.read(version=cur).coalesce(n_files),
+            expected_base=cur,
+            expected_sidecars=sidecars,
         )
 
     def sorted_overwrite(
@@ -414,13 +466,25 @@ class ManagedTable:
         )
         for stale in versions[: max(0, len(versions) - (self.keep_versions - 1))]:
             shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
-        # crashed writers leak staging dirs (written but never claimed);
-        # age-gate the sweep so an in-flight concurrent stage is never hit
-        for d in os.listdir(self.root):
-            if d.startswith("._stage_"):
-                p = os.path.join(self.root, d)
-                try:
-                    if time.time() - os.path.getmtime(p) > 86400:
-                        shutil.rmtree(p, ignore_errors=True)
-                except OSError:
-                    pass
+        # crashed writers leak staging dirs (written but never claimed) and
+        # sidecar tmp dirs (unique-named, so never reused); age-gate both
+        # sweeps so an in-flight concurrent write is never hit
+        stale_paths = [
+            os.path.join(self.root, d)
+            for d in os.listdir(self.root)
+            if d.startswith("._stage_")
+        ]
+        for v in os.listdir(self.root):
+            deletes = os.path.join(self.root, v, "_deletes")
+            if v.startswith("v") and os.path.isdir(deletes):
+                stale_paths.extend(
+                    os.path.join(deletes, s)
+                    for s in os.listdir(deletes)
+                    if s.startswith(".sidecar_") and s.endswith(".tmp")
+                )
+        for p in stale_paths:
+            try:
+                if time.time() - os.path.getmtime(p) > 86400:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass

@@ -97,13 +97,19 @@ def merge_additive_aggregates(
     """
     from pyspark.sql import functions as F
 
-    if not table.exists():
-        table.overwrite(batch_agg)
+    # read-modify-write: declare the base (and its sidecar listing, which
+    # read() folds) so a concurrent commit aborts with ConcurrentWriteError
+    # instead of this fold silently discarding it — two micro-batch drivers
+    # racing here would otherwise undercount with no error
+    base = table.current_version()
+    if base is None:
+        table.overwrite(batch_agg, expected_base=None)
         return
-    current = table.read()
+    sidecars = table.sidecar_listing(base)
+    current = table.read(version=base)
     merged = (
         current.unionByName(batch_agg)
         .groupBy(*keys)
         .agg(*[F.sum(c).alias(c) for c in sum_cols])
     )
-    table.overwrite(merged)
+    table.overwrite(merged, expected_base=base, expected_sidecars=sidecars)

@@ -590,3 +590,93 @@ def test_codecs_roundtrip_and_format_conformance():
             "<4sI", b"data", 0
         )
         decode_wav_pcm16(stereo)
+
+
+def test_occ_review_fixes(spark, tmp_path):
+    """Fixes from the round-8 adversarial review of the OCC machinery:
+    (a) sidecar slots claim max+1, so a rollback GAP cannot busy-loop the
+    next deleter onto an existing name; (b) a crashed writer's stale
+    .ptr_lock is broken instead of wedging the table; (c) every
+    read-modify-write path forwards the sidecar listing it folds, so a
+    racing equality delete aborts the fold everywhere, not only in
+    rewrite_deletes."""
+    import os
+    import time
+    from unittest import mock
+
+    from data_ingestion_pipeline_spark.plans.table import ManagedTable
+    from data_ingestion_pipeline_spark.plans.merge import merge_upsert
+    from data_ingestion_pipeline_spark.plans.schema_evolution import (
+        sync_table_schema,
+    )
+    from data_ingestion_pipeline_spark.streaming.ingest import (
+        merge_additive_aggregates,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    t = ManagedTable(spark, str(tmp_path / "occfix"))
+    t.overwrite(
+        spark.range(10).select(
+            F.col("id").alias("k"), F.lit(1).alias("n")
+        )
+    )
+    v = t.current_version()
+
+    # (a) gap in the sidecar sequence: d000001 + d000003 exist -> next
+    # claim must be d000004, terminating immediately
+    t.equality_delete(spark.range(1).withColumnRenamed("id", "k"), ["k"])
+    d1 = t._delete_sidecars(v)[0]
+    os.rename(d1, os.path.join(os.path.dirname(d1), "d000003"))
+    t.equality_delete(spark.range(1, 2).withColumnRenamed("id", "k"), ["k"])
+    names = sorted(os.path.basename(p) for p in t._delete_sidecars(v))
+    assert names == ["d000003", "d000004"]
+
+    # (b) stale lock from a crashed writer: backdate its mtime past the
+    # 60 s threshold; the next commit must break it and succeed
+    lock = os.path.join(t.root, ".ptr_lock")
+    with open(lock, "w"):
+        pass
+    os.utime(lock, (time.time() - 3600, time.time() - 3600))
+    t.overwrite(spark.range(3).select(F.col("id").alias("k"), F.lit(1).alias("n")))
+    assert t.read().count() == 3 and not os.path.exists(lock)
+
+    # (c) every RMW path forwards expected_sidecars to overwrite()
+    seen = {}
+
+    def spy(df, expected_base=None, expected_sidecars=None, _orig=ManagedTable.overwrite):
+        seen[spying] = (expected_base, expected_sidecars)
+        return "v99999999"
+
+    for spying, call in [
+        ("delete_where", lambda: t.delete_where(F.col("k") < 0)),
+        ("compact", lambda: t.compact()),
+        ("merge_upsert", lambda: merge_upsert(
+            t,
+            spark.range(1).select(F.col("id").alias("k"), F.lit(9).alias("n")),
+            ["k"],
+            "n",
+        )),
+        ("merge_additive", lambda: merge_additive_aggregates(
+            t,
+            spark.range(1).select(F.col("id").alias("k"), F.lit(9).alias("n")),
+            ["k"],
+            ["n"],
+        )),
+        ("sync_schema", lambda: sync_table_schema(
+            t,
+            T.StructType(
+                [
+                    T.StructField("k", T.LongType(), True),
+                    T.StructField("n", T.IntegerType(), True),
+                    T.StructField("extra", T.StringType(), True),
+                ]
+            ),
+            protected=["k"],
+        )),
+    ]:
+        with mock.patch.object(ManagedTable, "overwrite", autospec=False, side_effect=spy):
+            call()
+        base, sidecars = seen[spying]
+        assert base == t.current_version(), spying
+        assert sidecars is not None, f"{spying} must pin the sidecar listing"
