@@ -290,83 +290,25 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     *_ROUND7_NEW,
 ]
 
-# ---- Round-8 rotation (round-7 verdict ask #1) ----
-# CORRECTNESS_r07 closed the coverage ledger: every registered query holds
-# a driver row (289 hash-green + 7 rows-only by design), so the 50-slot
-# budget flips from FIRST COVERAGE to RE-VERIFICATION FRESHNESS. Staleness
-# criterion: a query is stale when its implementing module changed between
-# the round-final HEAD that produced its latest green row and round-8 HEAD
-# (computed by git-diffing each round boundary against HEAD; 210 of 296
-# names qualify — rounds 5-7 folded shared helpers (_lag_pearson,
-# _oneway_f, _banded_name_pairs, the ANN epilogues) and hardened every
-# reader, touching modules behind most of the ledger). The front below
-# spends the whole budget on the OLDEST evidence:
-#   slot 0    — the round-8 addition (never checked): the protobuf-free
-#               applyInPandasWithState twin (verdict ask #3);
-#   slot 1    — ann_ivf_topk_embeddings: r03 row, rows-only then, promoted
-#               to a hash-checked DuckDB replay this round (ask #6);
-#   slots 2-49 — the 48 stale names whose latest row is CORRECTNESS_r02,
-#               predating five rounds of refactors. The one r02 name the
-#               budget cannot fit (views_within_hour_of_purchase) leads
-#               the round-9 queue.
-_ROUND8_FRONT: list[str] = [
-    "stateful_event_type_counts_pandas_events",
-    "ann_ivf_topk_embeddings",
-    "ann_ivf_exhaustive_topk_embeddings",
-    "asof_prev_view_per_purchase",
-    "catalog_database_roundtrip",
-    "corpus_mixture_documents",
-    "cosine_topk_embeddings",
-    "csv_ingest_events",
-    "csv_ingest_inventory",
-    "daily_cohort_retention",
-    "daily_user_activity_gapfilled",
-    "dedup_survivor_quality_documents",
-    "distinct_users_daily",
-    "doc_fingerprint_rolling",
-    "embedding_cosine_dedup",
-    "embedding_lsh_verified_near_dup",
-    "event_counts_unpivot",
-    "event_type_pivot",
-    "event_value_outliers",
-    "exact_dedup_documents",
-    "jdbc_roundtrip_orders",
-    "json_extract_events",
-    "jsonl_roundtrip_events",
-    "knn_graph_embeddings",
-    "latest_event_per_user",
-    "merge_upsert_events",
-    "minhash_verified_near_dup_documents",
-    "multimodal_frame_sample",
-    "multimodal_image_features",
-    "multimodal_metadata",
-    "near_dup_clusters_documents",
-    "ngram_jaccard_documents",
-    "orc_roundtrip_events",
-    "pack_documents_context_windows",
-    "purchase_funnel_users",
-    "quality_filter_documents",
-    "salted_skew_join_events",
-    "sessionize_events",
-    "sliding_window_events",
-    "stateful_user_profile_events",
-    "stratified_sample_documents",
-    "streaming_dedup_events",
-    "streaming_enriched_events",
-    "streaming_incremental_agg_events",
-    "streaming_ingest_merge_events",
-    "streaming_interval_join_events",
-    "streaming_session_window_events",
-    "streaming_tumbling_events",
-    "text_hygiene_documents",
-    "user_event_type_sets",
-]
-
-# Next in line once round 8's budget lands: round-8's NEW registrations
-# (never driver-checked — freshness policy puts no-evidence ahead of
-# stale-green), then the r02 spillover, then the r03-stale tier (oldest
-# evidence first — recomputed each round).
-_ROUND9_QUEUE: list[str] = [
+# ---- Round-9 rotation (round-8 verdict ask #1) ----
+# CORRECTNESS_r08 landed 50/50 green over the round-8 front (the oldest
+# stale-evidence tier), so that tier retires. The budget's two jobs this
+# round, in priority order:
+#   slots 0-23  — the 24 round-8 additions with NO driver row yet
+#                 (TPC-H completion tier, PII tier, survival/
+#                 experimentation tier, item-item CF, silhouette, growth
+#                 accounting, Matryoshka, DPP, the BMP/WAV codec queries)
+#                 — never-checked ahead of stale;
+#   slots 24-49 — the 26 oldest-stale names per the freshness policy: the
+#                 2 whose latest row is CORRECTNESS_r02
+#                 (views_within_hour_of_purchase — the r8 queue mislabeled
+#                 it never-checked; it holds an r02 green row — and
+#                 revenue_per_product) + the 24 lowest-registration-order
+#                 r03-vintage names (the §2 report/relational core, whose
+#                 implementing modules were refactored in the r4-r7
+#                 helper-folding waves).
+_ROUND9_FRONT: list[str] = [
+    # -- never driver-checked (round-8 additions) --
     "tpch_q4_shaped_priority_check",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
@@ -386,18 +328,48 @@ _ROUND9_QUEUE: list[str] = [
     "simplified_silhouette_embeddings",
     "logrank_test_retention_arms",
     "msprt_always_valid_ab_daily",
-    "views_within_hour_of_purchase",
     "growth_accounting_daily_users",
     "matryoshka_truncation_recall_embeddings",
     "dpp_ship_year_join_orders",
     "multimodal_bmp_pixel_stats",
     "multimodal_wav_pcm_energy",
+    # -- oldest-stale evidence (r02/r03 rows, modules refactored since) --
+    "views_within_hour_of_purchase",
+    "revenue_per_product",
+    "revenue_per_product_sql",
+    "low_stock",
+    "orders_per_product_month",
+    "revenue_per_category",
+    "inventory_status",
+    "most_sold_per_category",
+    "exists_semi_join",
+    "anti_join_new_keys",
+    "in_list_filter",
+    "composite_key_semi_join",
+    "customer_order_enrichment",
+    "top_parts_per_brand",
+    "customer_order_ranks",
+    "revenue_rollup_brand_size",
+    "set_ops_customer_segments",
+    "top_revenue_orders",
+    "price_quantiles_by_priority",
+    "acctbal_full_outer_reconciliation",
+    "order_price_histogram",
+    "order_status_priority_cube",
+    "trailing_spend_30d",
+    "customer_spend_deciles",
+    "orders_above_customer_avg",
+    "brand_share_of_revenue",
 ]
+
+# Round-9 additions land here (never driver-checked — freshness policy
+# puts no-evidence names ahead of stale-green when round 10 rotates).
+_ROUND10_QUEUE: list[str] = []
 
 
 def _ordered_names() -> list[str]:
-    front = [n for n in _ROUND8_FRONT if n in _REGISTRY]
-    queue = [n for n in _ROUND9_QUEUE if n in _REGISTRY and n not in front]
+    front = [n for n in _ROUND9_FRONT if n in _REGISTRY]
+    queue = [n for n in _ROUND10_QUEUE if n in _REGISTRY and n not in front]
     seen = set(front) | set(queue)
     # remainder: every name holds a driver row green at its latest check;
     # within it the ordering is registration order (stable across rounds)

