@@ -1054,10 +1054,17 @@ def pagerank_copurchase_parts(
     # The outgoing-mass map (node, pr/outdeg) is O(nodes) — broadcast it
     # into the edge scan while it plausibly fits an executor (n is already
     # a collected scalar, so the gate is deterministic: ~32 B/row vs the
-    # 10 MB default ceiling); past that the same join runs as a shuffle on
-    # src, which is the correct strategy for a rank vector that outgrew
-    # the broadcast. Measured min-of-3 at sf0.1: 6.1 → 3.4 s.
-    small_ranks = n * 32 <= 10 * 1024 * 1024
+    # SESSION's broadcast ceiling — honoring a lowered or disabled (-1)
+    # autoBroadcastJoinThreshold like the TPC-H dims do, round-8 advisor
+    # finding); past that the same join runs as a shuffle on src, which is
+    # the correct strategy for a rank vector that outgrew the broadcast.
+    # Measured min-of-3 at sf0.1: 6.1 → 3.4 s.
+    from data_ingestion_pipeline_spark.plans.join_strategies import (
+        auto_broadcast_threshold,
+    )
+
+    ceiling = auto_broadcast_threshold(spark)
+    small_ranks = ceiling >= 0 and n * 32 <= ceiling
     for _ in range(iters):
         pr_out = ranks.join(deg, ranks.id == deg.src).select(
             F.col("id").alias("s"),

@@ -27,6 +27,7 @@ backend could slot in behind it.
 from __future__ import annotations
 
 import errno
+import fcntl
 import os
 import shutil
 import tempfile
@@ -114,33 +115,50 @@ class ManagedTable:
                 raise
 
     def _ptr_locked(self):
-        """Acquire the commit lockfile (O_EXCL create); returns the fd.
+        """Acquire the commit lock (flock on a lockfile); returns the fd.
         The critical section is driver-side metadata only — never a Spark
-        job — so contention is milliseconds. A lockfile OLDER than the
-        stale threshold is a crashed writer's: it is broken (unlinked) and
-        the acquisition retried, so a SIGKILLed committer cannot wedge the
-        table permanently. 30 s of live contention still raises."""
+        job — so contention is milliseconds; 30 s of live contention
+        raises. flock is released by the kernel when the holder's fd
+        closes — including SIGKILL — so a crashed writer can never wedge
+        the table and no mtime-staleness breaking is needed. (The previous
+        O_EXCL+unlink design had a TOCTOU: two waiters could both judge a
+        lock stale; the second's delayed unlink then removed the first's
+        FRESH lock, admitting a third writer — mutual exclusion violated.)
+
+        Because _ptr_unlock unlinks the lockfile, a waiter can acquire
+        flock on an inode that is no longer what the lock PATH names (the
+        holder unlinked it; a third writer re-created the path). Guard:
+        after acquiring, verify path-inode == fd-inode, else retry — the
+        standard flock-with-unlink pattern."""
         deadline = time.monotonic() + 30.0
         lock = os.path.join(self.root, _PTR_LOCK)
         while True:
+            fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
             try:
-                return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > 60.0:
-                        os.unlink(lock)  # break a crashed writer's lock
-                        continue
-                except OSError:
-                    continue  # holder released between stat and unlink
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                os.close(fd)
                 if time.monotonic() > deadline:
                     raise RuntimeError(
-                        f"pointer lock {lock} held past 30s — crashed writer?"
+                        f"pointer lock {lock} held past 30s — live contention?"
                     )
                 time.sleep(0.01)
+                continue
+            try:
+                if os.stat(lock).st_ino == os.fstat(fd).st_ino:
+                    return fd
+            except OSError:
+                pass  # path unlinked between open and verify
+            os.close(fd)
 
     def _ptr_unlock(self, fd: int) -> None:
-        os.close(fd)
+        # unlink BEFORE close: the path disappears while we still hold the
+        # flock, so no new waiter can open-and-block on an inode that is
+        # about to become an orphan (they create a fresh file instead; a
+        # waiter already blocked on ours acquires it after close and is
+        # bounced by the inode check above)
         os.unlink(os.path.join(self.root, _PTR_LOCK))
+        os.close(fd)
 
     def _commit_pointer(
         self, version: str, expected_base, expected_sidecars=None
@@ -332,7 +350,15 @@ class ManagedTable:
         # rewrite_deletes either saw this sidecar in its commit-time
         # listing check (and aborted) or moved the pointer first (and this
         # aborts).
-        fd = self._ptr_locked()
+        try:
+            fd = self._ptr_locked()
+        except RuntimeError:
+            # lock never acquired -> the sidecar is already renamed into
+            # place but its commit was never verified; detach it before
+            # re-raising, else readers see a half-applied delete (mirrors
+            # _commit_pointer's lock-failure cleanup)
+            shutil.rmtree(out, ignore_errors=True)
+            raise
         try:
             if self.current_version() != v:
                 shutil.rmtree(out, ignore_errors=True)
