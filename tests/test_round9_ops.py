@@ -86,6 +86,50 @@ def test_ptr_lock_inode_check_bounces_orphaned_acquisition(spark, tmp_path):
     os.close(orphan)
 
 
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "good_turing_unseen_mass_documents",
+        "canonical_entities_parts",
+        "heaps_law_fit_documents",
+        "rfm_segments_customers_approx",
+    ],
+)
+def test_pinned_operators_leave_no_catalog_cache(spark, qname, sf_dir):
+    """Round-8 verdict ask #4: the four operators that pin a shared subtree
+    must not leave CacheManager entries behind — a long-lived library
+    session calling them repeatedly previously accumulated cached
+    partitions until someone called clearCache(). The pins are now eager
+    localCheckpoints: RDD-level blocks, reclaimed by the ContextCleaner
+    when the result DataFrame is garbage-collected."""
+    import gc
+    import time as _time
+
+    from data_ingestion_pipeline_spark import registry
+
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_mgr.clearCache()
+    assert cache_mgr.isEmpty()
+
+    df = registry._REGISTRY[qname][0](spark, sf_dir)
+    assert df.count() >= 0  # materialize through the pinned subtree
+    assert cache_mgr.isEmpty(), f"{qname} left a CacheManager entry behind"
+
+    # the checkpoint blocks themselves are GC-owned: dropping the result
+    # reference lets the ContextCleaner unpersist them (async — poll)
+    del df
+    deadline = _time.monotonic() + 30.0
+    while _time.monotonic() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0:
+            break
+        _time.sleep(0.5)
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0, (
+        f"{qname}'s checkpoint blocks were not GC-reclaimed"
+    )
+
+
 def test_equality_delete_rolls_back_sidecar_on_lock_timeout(spark, tmp_path):
     """ADVICE round-8 #2: if the post-rename lock acquisition fails, the
     already-attached sidecar must be detached before the error propagates —
