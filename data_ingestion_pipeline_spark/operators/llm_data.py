@@ -1267,9 +1267,20 @@ SELECT src_id, nbr_id, score, CAST(rnk AS INT) AS rnk FROM (
 
 
 def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table LSH approximate top-10 for a small query batch
-    (rows-only: approximate by construction; recall is driver-gated by
-    ``ann_lsh_recall_embeddings`` and asserted in pytest).
+    """Multi-table LSH approximate top-10 for a small query batch.
+    HASH-CHECKED since round 9 (round-8 verdict ask #3): the whole
+    pipeline is deterministic — hyperplane components are md5-derived
+    (seed 971+table, similarity/lsh.py::hyperplanes), bucket bit j is
+    sign(<v, plane_j>), candidates are the union of per-table bucket
+    collisions, top-k orders (score desc, id asc) — so DuckDB replays it
+    end-to-end, md5 plane derivation included (bit-exact: digest first 8
+    bytes little-endian as exact HUGEINT, cast to double, /2^63 - 1, the
+    same value Python's u / float(1<<63) produces). "Approximate" means
+    approximate w.r.t. brute force (``ann_lsh_recall_embeddings``'s job),
+    not nondeterministic. The one engine-dependence is FP summation order
+    on a dot product EXACTLY at 0 flipping a bucket bit (lsh.py
+    band_buckets docstring) — probability ~1e-9 on these fixtures,
+    verified green at all three SFs.
 
     16 tables × 4 planes (OR-amplification): measured recall@10 ≥ 0.8 vs
     brute force across sf0.001–0.1, vs ~0.1 for the single-bucket probe
@@ -1283,6 +1294,68 @@ def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_multitable(
         emb, q, k=10, n_tables=16, planes_per_table=4, dim=EMB_DIM
     )
+
+
+ANN_LSH_TOPK_EMBEDDINGS_ORACLE = """
+WITH digest AS (
+    -- hyperplanes(64, 4, seed=971+tbl): component (tbl, plane, coord) =
+    -- md5("{971+tbl}:{plane}:{coord}") first 8 bytes LE / 2^63 - 1
+    SELECT t.b AS tbl, j.j AS plane, i.i AS coord,
+           md5(CAST(971 + t.b AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)
+               || ':' || CAST(i.i AS VARCHAR)) AS h
+    FROM range(16) t(b), range(4) j(j), range(64) i(i)
+),
+weights AS (
+    -- exact u64 from the hex digest (HUGEINT arithmetic, then ONE cast to
+    -- double — the same rounding point as Python's u / float(1 << 63))
+    SELECT tbl, plane, coord,
+           CAST(list_sum(list_transform(range(16),
+               k -> CAST(instr('0123456789abcdef',
+                        substr(concat(substr(h,15,2), substr(h,13,2),
+                               substr(h,11,2), substr(h,9,2), substr(h,7,2),
+                               substr(h,5,2), substr(h,3,2), substr(h,1,2)),
+                        CAST(k + 1 AS INTEGER), 1)) - 1 AS HUGEINT)
+                    * (CAST(1 AS HUGEINT) << CAST(4 * (15 - k) AS INTEGER)))) AS DOUBLE)
+           / 9223372036854775808.0 - 1.0 AS w
+    FROM digest
+),
+planes AS (
+    SELECT tbl, plane, list(w ORDER BY coord) AS pv
+    FROM weights GROUP BY tbl, plane
+),
+-- band_buckets: bucket bit j = (dot >= 0), weight 2^j, per table
+vb AS (
+    SELECT e.vec_id, p.tbl,
+           CAST(SUM(CASE WHEN list_inner_product(e.embedding::DOUBLE[], p.pv) >= 0
+                         THEN (1 << p.plane) ELSE 0 END) AS BIGINT) AS bucket
+    FROM embeddings e CROSS JOIN planes p
+    GROUP BY e.vec_id, p.tbl
+),
+qb AS (
+    SELECT vec_id AS query_id, tbl, bucket FROM vb WHERE vec_id IN (0, 1, 2)
+),
+-- candidate = collides with the query in ANY table, scored exactly once
+cand AS (
+    SELECT DISTINCT qb.query_id, vb.vec_id
+    FROM vb JOIN qb USING (tbl, bucket)
+),
+scored AS (
+    SELECT c.query_id, c.vec_id,
+           list_cosine_similarity(e.embedding::DOUBLE[],
+                                  q.embedding::DOUBLE[]) AS s
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.vec_id
+    JOIN embeddings q ON q.vec_id = c.query_id
+)
+SELECT query_id, vec_id, ROUND(s, 6) AS score, CAST(rnk AS INT) AS rank
+FROM (
+    SELECT query_id, vec_id, s,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY s DESC, vec_id ASC
+           ) AS rnk
+    FROM scored
+) WHERE rnk <= 10
+"""
 
 
 def ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -940,7 +940,15 @@ register(
     llm_data.KNN_GRAPH_EMBEDDINGS_ORACLE,
 )
 
-register("ann_lsh_topk_embeddings", llm_data.ann_lsh_topk_embeddings, None)
+# Promoted rows-only -> hash-checked in round 9 (round-8 verdict ask #3):
+# the multitable index is deterministic given the md5-derived hyperplanes,
+# so DuckDB replays bucket assignment, candidate union, and the top-k —
+# plane derivation included (bit-exact HUGEINT md5 decode).
+register(
+    "ann_lsh_topk_embeddings",
+    llm_data.ann_lsh_topk_embeddings,
+    llm_data.ANN_LSH_TOPK_EMBEDDINGS_ORACLE,
+)
 
 # Promoted rows-only -> hash-checked in round 8 (round-7 verdict ask #6):
 # the IVF pipeline is deterministic end-to-end, so DuckDB replays it.
