@@ -102,6 +102,13 @@ def merge_upsert(
     base = table.current_version()
     if base is None:
         return table.overwrite(deduped, expected_base=None)
+    # deduped feeds BOTH the anti-join (kept) and the union below; without a
+    # pin the commit plan scans + window-dedups the batch source TWICE per
+    # merge (tools/stream_bench.py caught numInputRows at exactly 2x the
+    # file rows per micro-batch). The batch is micro-batch/ingest sized —
+    # bounded — so one eager localCheckpoint halves the source work; blocks
+    # are RDD-level and GC-reclaimed after the commit.
+    deduped = deduped.localCheckpoint()
     # capture the sidecar listing read() will fold BEFORE constructing the
     # read: a concurrent equality delete then aborts this merge instead of
     # being silently folded away by a stale snapshot
