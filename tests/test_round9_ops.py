@@ -93,6 +93,7 @@ def test_ptr_lock_inode_check_bounces_orphaned_acquisition(spark, tmp_path):
         "canonical_entities_parts",
         "heaps_law_fit_documents",
         "rfm_segments_customers_approx",
+        "tpch_q15_top_supplier",
     ],
 )
 def test_pinned_operators_leave_no_catalog_cache(spark, qname, sf_dir):
@@ -107,26 +108,49 @@ def test_pinned_operators_leave_no_catalog_cache(spark, qname, sf_dir):
 
     from data_ingestion_pipeline_spark import registry
 
+    def _drain_to_floor(deadline_s: float) -> int:
+        """Poll the async ContextCleaner until getPersistentRDDs stops
+        shrinking (or hits 0); returns the floor reached."""
+        sc = spark.sparkContext
+        floor = sc._jsc.sc().getPersistentRDDs().size()
+        deadline = _time.monotonic() + deadline_s
+        while floor > 0 and _time.monotonic() < deadline:
+            gc.collect()
+            sc._jvm.System.gc()
+            _time.sleep(0.5)
+            floor = min(floor, sc._jsc.sc().getPersistentRDDs().size())
+        return floor
+
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     cache_mgr.clearCache()
     assert cache_mgr.isEmpty()
+    # baseline-relative, not absolute zero: the shared session may still be
+    # draining a PREVIOUS test's checkpoint blocks (the cleaner is async)
+    before = _drain_to_floor(15.0)
 
     df = registry._REGISTRY[qname][0](spark, sf_dir)
     assert df.count() >= 0  # materialize through the pinned subtree
     assert cache_mgr.isEmpty(), f"{qname} left a CacheManager entry behind"
 
     # the checkpoint blocks themselves are GC-owned: dropping the result
-    # reference lets the ContextCleaner unpersist them (async — poll)
+    # reference lets the ContextCleaner unpersist them (async — poll).
+    # One wrinkle, found empirically: Spark retains the MOST RECENT
+    # execution (and through it the checkpoint RDD) until the next query
+    # displaces it — steady-state retention is bounded at one, but the
+    # poll below would time out without the displacing no-op query.
     del df
-    deadline = _time.monotonic() + 30.0
+    spark.range(10).count()
+    deadline = _time.monotonic() + 60.0
     while _time.monotonic() < deadline:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
-        if spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0:
+        if spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= before:
             break
         _time.sleep(0.5)
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0, (
-        f"{qname}'s checkpoint blocks were not GC-reclaimed"
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before, (
+        f"{qname}'s checkpoint blocks were not GC-reclaimed "
+        f"({before} persistent RDDs before, {after} after)"
     )
 
 

@@ -120,6 +120,18 @@ PROBES = [
     # family the sessionize/funnel probes already cover.
     ("matryoshka_truncation_recall_embeddings", ["embeddings"]),
     ("dpp_ship_year_join_orders", ["orders", "lineitem"]),
+    # round-9 (r8 verdict ask #6): the round-8 analytic tiers without a
+    # probe datapoint. item_item's basket self-join pair grain grows
+    # linearly under orderkey offsets (l_partkey verbatim preserves basket
+    # composition); silhouette is O(n·k) with k fixed. logrank/msprt: the
+    # user/day result grains do NOT grow under replication (user_id/ts
+    # verbatim) — the probe's job there is to confirm the events scan +
+    # first aggregate stay linear and the bounded-grain windows stay
+    # bounded, same class as the gini_lorenz probe.
+    ("item_item_cosine_topk_parts", ["lineitem"]),
+    ("simplified_silhouette_embeddings", ["embeddings"]),
+    ("logrank_test_retention_arms", ["events"]),
+    ("msprt_always_valid_ab_daily", ["events"]),
 ]
 
 KEY_OFFSETS = {
