@@ -967,6 +967,39 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.4
 """
 
 
+def _md5_planes_cte(n_tables: int, planes_per_table: int) -> str:
+    """The DuckDB CTE chain (digest -> weights -> planes) replaying
+    similarity/lsh.py::hyperplanes for every table/band: component
+    (tbl, plane, coord) = md5("{971+tbl}:{plane}:{coord}") first 8 bytes
+    little-endian as an exact HUGEINT, ONE cast to double, /2^63 - 1 —
+    the same rounding point as Python's u / float(1 << 63), verified
+    bit-identical component-for-component. Shared by every oracle that
+    replays an md5-hyperplane LSH surface."""
+    return f"""
+digest AS (
+    SELECT t.b AS tbl, j.j AS plane, i.i AS coord,
+           md5(CAST(971 + t.b AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)
+               || ':' || CAST(i.i AS VARCHAR)) AS h
+    FROM range({n_tables}) t(b), range({planes_per_table}) j(j), range(64) i(i)
+),
+weights AS (
+    SELECT tbl, plane, coord,
+           CAST(list_sum(list_transform(range(16),
+               k -> CAST(instr('0123456789abcdef',
+                        substr(concat(substr(h,15,2), substr(h,13,2),
+                               substr(h,11,2), substr(h,9,2), substr(h,7,2),
+                               substr(h,5,2), substr(h,3,2), substr(h,1,2)),
+                        CAST(k + 1 AS INTEGER), 1)) - 1 AS HUGEINT)
+                    * (CAST(1 AS HUGEINT) << CAST(4 * (15 - k) AS INTEGER)))) AS DOUBLE)
+           / 9223372036854775808.0 - 1.0 AS w
+    FROM digest
+),
+planes AS (
+    SELECT tbl, plane, list(w ORDER BY coord) AS pv
+    FROM weights GROUP BY tbl, plane
+)"""
+
+
 def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs on the planted corpus (rows-only check:
     seeded xxhash64 signatures aren't reproducible in an external engine;
@@ -1047,11 +1080,51 @@ WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.8
 
 
 def embedding_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-banded embedding near-dup on the planted corpus (rows-only:
-    approximate candidate generation; recall vs the exact pairs asserted in
-    pytest). This is the O(N·bucket) scale path for semantic dedup."""
+    """LSH-banded embedding near-dup on the planted corpus — the
+    O(N·bucket) scale path for semantic dedup. HASH-CHECKED since round 9:
+    the scale-tuned (4 bands × 6 planes) candidate generation is
+    deterministic given the md5-derived hyperplanes, so DuckDB replays the
+    banding, the bucket-collision pair set, and the exact-cosine ≥ 0.8
+    scoring end-to-end (``_md5_planes_cte``) — including the ~2.5%
+    per-planted-pair recall misses this configuration makes by design
+    (both engines miss the SAME pairs, because the miss is a property of
+    the deterministic buckets, not of chance). The recall-complete
+    64 × 12 sibling stays ``embedding_lsh_verified_near_dup`` (oracled
+    against the exact pair relation)."""
     aug = _near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
     return lsh_cosine_pairs(aug, "vec_id", "embedding", threshold=0.8, dim=EMB_DIM)
+
+
+EMBEDDING_LSH_NEAR_DUP_ORACLE = f"""
+WITH {_md5_planes_cte(4, 6)},
+aug AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_transform(range(1, len(embedding) + 1),
+                          i -> CASE WHEN i = 1 THEN (embedding::DOUBLE[])[i] + 0.25
+                               ELSE (embedding::DOUBLE[])[i] END)
+    FROM embeddings WHERE vec_id % 10 = 0
+),
+vb AS (
+    SELECT a.vec_id, p.tbl,
+           CAST(SUM(CASE WHEN list_inner_product(a.v, p.pv) >= 0
+                         THEN (1 << p.plane) ELSE 0 END) AS BIGINT) AS bucket
+    FROM aug a CROSS JOIN planes p
+    GROUP BY a.vec_id, p.tbl
+),
+cand AS (
+    SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+    FROM vb x JOIN vb y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS score
+FROM cand c
+JOIN aug a ON a.vec_id = c.id_a
+JOIN aug b ON b.vec_id = c.id_b
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.8
+"""
 
 
 def embedding_lsh_verified_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1296,33 +1369,8 @@ def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_LSH_TOPK_EMBEDDINGS_ORACLE = """
-WITH digest AS (
-    -- hyperplanes(64, 4, seed=971+tbl): component (tbl, plane, coord) =
-    -- md5("{971+tbl}:{plane}:{coord}") first 8 bytes LE / 2^63 - 1
-    SELECT t.b AS tbl, j.j AS plane, i.i AS coord,
-           md5(CAST(971 + t.b AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)
-               || ':' || CAST(i.i AS VARCHAR)) AS h
-    FROM range(16) t(b), range(4) j(j), range(64) i(i)
-),
-weights AS (
-    -- exact u64 from the hex digest (HUGEINT arithmetic, then ONE cast to
-    -- double — the same rounding point as Python's u / float(1 << 63))
-    SELECT tbl, plane, coord,
-           CAST(list_sum(list_transform(range(16),
-               k -> CAST(instr('0123456789abcdef',
-                        substr(concat(substr(h,15,2), substr(h,13,2),
-                               substr(h,11,2), substr(h,9,2), substr(h,7,2),
-                               substr(h,5,2), substr(h,3,2), substr(h,1,2)),
-                        CAST(k + 1 AS INTEGER), 1)) - 1 AS HUGEINT)
-                    * (CAST(1 AS HUGEINT) << CAST(4 * (15 - k) AS INTEGER)))) AS DOUBLE)
-           / 9223372036854775808.0 - 1.0 AS w
-    FROM digest
-),
-planes AS (
-    SELECT tbl, plane, list(w ORDER BY coord) AS pv
-    FROM weights GROUP BY tbl, plane
-),
+ANN_LSH_TOPK_EMBEDDINGS_ORACLE = f"""
+WITH {_md5_planes_cte(16, 4)},
 -- band_buckets: bucket bit j = (dot >= 0), weight 2^j, per table
 vb AS (
     SELECT e.vec_id, p.tbl,

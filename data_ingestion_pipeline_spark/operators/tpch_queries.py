@@ -64,6 +64,20 @@ __all__ = [
     "TPCH_Q18_LARGE_VOLUME_CUSTOMERS_ORACLE",
     "TPCH_Q19_SHAPED_DISCOUNTED_REVENUE_ORACLE",
     "TPCH_Q22_SHAPED_DORMANT_CUSTOMERS_ORACLE",
+    "tpch_q2_shaped_min_cost_supplier",
+    "tpch_q9_shaped_product_type_profit",
+    "tpch_q11_shaped_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_shaped_promotion_suppliers",
+    "tpch_q21_shaped_waiting_suppliers",
+    "TPCH_Q2_SHAPED_MIN_COST_SUPPLIER_ORACLE",
+    "TPCH_Q9_SHAPED_PRODUCT_TYPE_PROFIT_ORACLE",
+    "TPCH_Q11_SHAPED_IMPORTANT_STOCK_ORACLE",
+    "TPCH_Q13_CUSTOMER_DISTRIBUTION_ORACLE",
+    "TPCH_Q17_SMALL_QUANTITY_REVENUE_ORACLE",
+    "TPCH_Q20_SHAPED_PROMOTION_SUPPLIERS_ORACLE",
+    "TPCH_Q21_SHAPED_WAITING_SUPPLIERS_ORACLE",
 ]
 
 
@@ -992,4 +1006,534 @@ WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6)))
                     AND o.o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY n_name
 ORDER BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Round-9 completion: the last seven classic shapes (Q2/Q9/Q11/Q13/Q17/Q20/
+# Q21), each "-shaped" where the schema lacks partsupp / commit-receipt
+# dates / comments — the substitution is stated per docstring. With these
+# the suite covers all 22 TPC-H query shapes.
+# --------------------------------------------------------------------------
+
+
+def tpch_q2_shaped_min_cost_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q2 (shaped): for each qualifying part, the supplier(s) in one
+    region offering it at the minimum cost — the benchmark's correlated
+    scalar-min shape. No partsupp: the part-supplier association is the
+    observed DISTINCT (l_partkey, l_suppkey) pairs, and ps_supplycost
+    becomes the supplier's minimum observed unit price
+    MIN(l_extendedprice / l_quantity); '%BRASS' size-15 becomes
+    p_type = 'LARGE', p_size in [10, 20]; region fixed to EUROPE.
+
+    Plan: the per-pair cost aggregate shuffles once on the pair key; the
+    per-part min is a second aggregate on that (part-bounded) relation
+    joined back by (partkey, cost) equality — never a window over the
+    fact table; every dimension (region->nation->supplier chain, filtered
+    part) broadcasts. Cost equality on doubles is safe: both sides are
+    the SAME computed values (min over a finite set re-matched within it,
+    reference Q2's own view-twice idiom)."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    pair_cost = (
+        li.join(
+            F.broadcast(supp.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+        )
+    )
+    # pair grain is (filtered parts x region suppliers)-bounded: one
+    # materialization feeds the per-part min and the equality join-back
+    pair_cost = pair_cost.localCheckpoint()
+    min_cost = pair_cost.groupBy(F.col("l_partkey").alias("_mk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        pair_cost.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("_mk"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round("cost", 6).cast("double").alias("supply_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+TPCH_Q2_SHAPED_MIN_COST_SUPPLIER_ORACLE = """
+WITH eligible AS (
+    SELECT l_partkey, l_suppkey,
+           MIN(l_extendedprice / l_quantity) AS cost
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    JOIN part ON l_partkey = p_partkey
+               AND p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       CAST(ROUND(cost, 6) AS DOUBLE) AS supply_cost
+FROM eligible e
+JOIN supplier ON e.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN part ON e.l_partkey = p_partkey
+WHERE e.cost = (SELECT MIN(cost) FROM eligible e2
+                WHERE e2.l_partkey = e.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def tpch_q9_shaped_product_type_profit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q9 (shaped): profit per (supplier nation, order year) on a
+    part-name subset. No partsupp: ps_supplycost*l_quantity becomes the
+    deterministic surrogate (0.6 * p_retailprice) * l_quantity; the color
+    filter is p_name LIKE '%red%' (this catalog's names are
+    color/adjective + noun).
+
+    Plan: the one fact-fact shuffle is orders<->lineitem on l_orderkey;
+    the filtered part, supplier, and nation dims broadcast; profit folds
+    in exact decimal per (nation, year). The double profit expression is
+    written with the same association order on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    profit = (
+        _disc_price()
+        - (F.lit(0.6) * F.col("p_retailprice")) * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.round(dec_sum(profit, 38, 12), 2)
+            .cast("double")
+            .alias("sum_profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+TPCH_Q9_SHAPED_PRODUCT_TYPE_PROFIT_ORACLE = """
+SELECT n_name AS nation,
+       CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       CAST(ROUND(SUM(CAST(
+           (l_extendedprice * (1.0 - l_discount))
+           - (0.6 * p_retailprice) * l_quantity
+           AS DECIMAL(38,12))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, YEAR(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def tpch_q11_shaped_important_stock(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q11 (shaped): the parts whose shipped value through one
+    REGION's suppliers exceeds a global scalar derived from the whole
+    relation — the benchmark's global-scalar HAVING shape. No partsupp:
+    ps_supplycost * ps_availqty becomes the shipped value
+    SUM(l_extendedprice); GERMANY becomes the EUROPE region (this
+    catalog's nations are synthetic NATION_k and too thin at sf0.001 —
+    one-region suppliers keep every SF non-empty); the spec's
+    0.0001/SF fraction-of-total becomes 1.5x the mean part value (the
+    catalog's flat synthetic value distribution leaves nothing above a
+    fixed fraction of TOTAL at any SF — above-mean concentration is the
+    same "important stock" question with a distribution that answers it).
+
+    Plan: ONE filtered fact aggregate (part grain) feeds both consumers;
+    the threshold re-aggregates from the part-grain relation (never a
+    second fact scan) and broadcasts back as a 1-row cross join."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    value = (
+        li.join(
+            F.broadcast(supp.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.round(dec_sum(F.col("l_extendedprice"), 38, 12), 2)
+            .cast("double")
+            .alias("part_value")
+        )
+    )
+    # part-grain relation is dim-bounded: one materialization serves the
+    # total and the threshold filter (GC-reclaimed, round-8 ask #4 style)
+    value = value.localCheckpoint()
+    total = value.agg(
+        (
+            F.sum(F.col("part_value").cast("decimal(38,6)")).cast("double")
+            / F.count("*").cast("double")
+            * F.lit(1.5)
+        ).alias("_threshold")
+    )
+    return (
+        value.join(F.broadcast(total), F.col("part_value") > F.col("_threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+TPCH_Q11_SHAPED_IMPORTANT_STOCK_ORACLE = """
+WITH value AS (
+    SELECT l_partkey,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,12))), 2)
+                AS DOUBLE) AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM value
+WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,6)))
+                                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1.5
+                    FROM value)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def tpch_q13_customer_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13: the distribution of customers by order count, INCLUDING
+    zero-order customers — the benchmark's left-outer + double-aggregate
+    shape. The o_comment NOT-LIKE exclusion becomes
+    o_orderpriority <> '1-URGENT' (no comment column).
+
+    Plan: orders filter is pushed to the scan; the left outer join
+    shuffles customer + filtered orders on custkey; the per-customer
+    count then the count-of-counts are two cheap aggregates on
+    successively tinier grains."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+TPCH_Q13_CUSTOMER_DISTRIBUTION_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def tpch_q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17: weekly-equivalent revenue lost if small-quantity orders
+    (below 20% of a part's average order quantity) moved to larger ones —
+    the per-part correlated-average shape. p_container has no column here,
+    so the part subset is p_brand = 'Brand#3' alone.
+
+    Plan: the per-part average aggregates the UNFILTERED lineitem once at
+    part grain (bounded), broadcasts back onto the brand-filtered scan,
+    and the final sum is a single scalar — no correlated per-row subquery
+    ever executes."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    branded = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    avg_qty = branded.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.lit(0.2) * F.avg(F.col("l_quantity").cast("double"))).alias("_thr")
+    )
+    return (
+        branded.join(F.broadcast(avg_qty), branded.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity").cast("double") < F.col("_thr"))
+        .agg(
+            (F.round(dec_sum(F.col("l_extendedprice"), 38, 12), 6) / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+        .select(F.round("avg_yearly", 2).alias("avg_yearly"))
+    )
+
+
+TPCH_Q17_SMALL_QUANTITY_REVENUE_ORACLE = """
+WITH branded AS (
+    SELECT l_partkey, l_quantity, l_extendedprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#3'
+),
+thr AS (
+    SELECT l_partkey AS pk,
+           0.2 * AVG(CAST(l_quantity AS DOUBLE)) AS t
+    FROM branded GROUP BY l_partkey
+)
+SELECT CAST(ROUND(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,12))), 6)
+                       AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+FROM branded JOIN thr ON l_partkey = pk
+WHERE CAST(l_quantity AS DOUBLE) < t
+"""
+
+
+def tpch_q20_shaped_promotion_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 (shaped): suppliers in one nation who DOMINATED the 1997
+    shipments of some promoted-color part — the nested-IN shape. No
+    partsupp availqty: "has excess stock" becomes "shipped more than half
+    of the part's total 1997 volume" (pair quantity > 0.5 * part total),
+    the same inner-aggregate-vs-part-aggregate correlation the original
+    expresses; the color subset is p_name LIKE 'red%'; CANADA becomes the
+    EUROPE region (synthetic NATION_k nations are too thin at sf0.001).
+
+    Plan: the 1997 + red-part filtered fact aggregates once at pair
+    grain; the part-grain total derives from THAT relation (no second
+    fact scan); the qualifying pair set semi-joins into the supplier dim.
+    Everything after the first aggregate is dim-bounded."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    pair_qty = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("pair_qty"))
+    )
+    pair_qty = pair_qty.localCheckpoint()  # feeds part totals + the filter
+    part_qty = pair_qty.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("pair_qty").cast("bigint").alias("part_qty")
+    )
+    dominant = (
+        pair_qty.join(part_qty, pair_qty.l_partkey == F.col("_pk"))
+        .filter(
+            F.col("pair_qty").cast("double")
+            > F.lit(0.5) * F.col("part_qty").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_name")
+    )
+
+
+TPCH_Q20_SHAPED_PROMOTION_SUPPLIERS_ORACLE = """
+WITH pair_qty AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(SUM(l_quantity) AS BIGINT) AS pair_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT s_name, s_suppkey
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM pair_qty p
+    WHERE CAST(pair_qty AS DOUBLE) > 0.5 * CAST(
+        (SELECT SUM(pair_qty) FROM pair_qty p2
+         WHERE p2.l_partkey = p.l_partkey) AS DOUBLE)
+)
+ORDER BY s_name
+"""
+
+
+def tpch_q21_shaped_waiting_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q21 (shaped): suppliers in one nation who were the ONLY late
+    shipper on a finished multi-supplier order — the benchmark's
+    EXISTS + NOT-EXISTS double correlation. No commit/receipt dates:
+    "late" becomes l_shipdate > o_orderdate + 60 days; SAUDI ARABIA
+    becomes the ASIA region (synthetic NATION_k nations are too thin at
+    sf0.001).
+
+    Plan: the late flag derives map-side from the orders join each branch
+    already needs; the EXISTS branch is a left-semi on (orderkey,
+    other-supplier), the NOT-EXISTS a left-anti on (orderkey,
+    other-supplier, late) — both against the SAME checkpointed
+    order-grain line relation, so the fact scans once; the count shuffles
+    only supplier-grain rows."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "l_linenumber",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+        # all three correlation branches read this order-grain relation;
+        # checkpoint so the orders<->lineitem join runs once (GC-reclaimed)
+        .localCheckpoint()
+    )
+    l1 = lines.filter(F.col("late")).join(
+        F.broadcast(supp.select("s_suppkey", "s_name")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    others = lines.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.col("l_suppkey").alias("o_supp"),
+        F.col("late").alias("o_late"),
+    )
+    waiting = (
+        l1.join(
+            others,
+            (l1.l_orderkey == others.o_key) & (l1.l_suppkey != others.o_supp),
+            "left_semi",
+        )
+        .join(
+            others.filter(F.col("o_late")),
+            (F.col("l_orderkey") == others.o_key)
+            & (F.col("l_suppkey") != others.o_supp),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+TPCH_Q21_SHAPED_WAITING_SUPPLIERS_ORACLE = """
+WITH lines AS (
+    SELECT l_orderkey, l_suppkey, l_linenumber,
+           l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lines l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM lines l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lines l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
 """

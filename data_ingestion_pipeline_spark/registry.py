@@ -364,7 +364,15 @@ _ROUND9_FRONT: list[str] = [
 
 # Round-9 additions land here (never driver-checked — freshness policy
 # puts no-evidence names ahead of stale-green when round 10 rotates).
-_ROUND10_QUEUE: list[str] = []
+_ROUND10_QUEUE: list[str] = [
+    "tpch_q2_shaped_min_cost_supplier",
+    "tpch_q9_shaped_product_type_profit",
+    "tpch_q11_shaped_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_shaped_promotion_suppliers",
+    "tpch_q21_shaped_waiting_suppliers",
+]
 
 
 def _ordered_names() -> list[str]:
@@ -890,7 +898,13 @@ register(
     llm_data.EMBEDDING_COSINE_DEDUP_ORACLE,
 )
 
-register("embedding_lsh_near_dup", llm_data.embedding_lsh_near_dup, None)
+# Promoted rows-only -> hash-checked in round 9: the 4x6 banding replays
+# in DuckDB via the md5-hyperplane decode (same technique as ann_lsh_topk)
+register(
+    "embedding_lsh_near_dup",
+    llm_data.embedding_lsh_near_dup,
+    llm_data.EMBEDDING_LSH_NEAR_DUP_ORACLE,
+)
 
 register(
     "embedding_lsh_pair_recall_embeddings",
@@ -1496,6 +1510,50 @@ register(
     "tpch_q22_shaped_dormant_customers",
     tpch_queries.tpch_q22_shaped_dormant_customers,
     tpch_queries.TPCH_Q22_SHAPED_DORMANT_CUSTOMERS_ORACLE,
+)
+
+# Round-9 completion: the final seven classic shapes — the suite now
+# covers all 22 TPC-H queries (verbatim or "-shaped" per docstring).
+register(
+    "tpch_q2_shaped_min_cost_supplier",
+    tpch_queries.tpch_q2_shaped_min_cost_supplier,
+    tpch_queries.TPCH_Q2_SHAPED_MIN_COST_SUPPLIER_ORACLE,
+)
+
+register(
+    "tpch_q9_shaped_product_type_profit",
+    tpch_queries.tpch_q9_shaped_product_type_profit,
+    tpch_queries.TPCH_Q9_SHAPED_PRODUCT_TYPE_PROFIT_ORACLE,
+)
+
+register(
+    "tpch_q11_shaped_important_stock",
+    tpch_queries.tpch_q11_shaped_important_stock,
+    tpch_queries.TPCH_Q11_SHAPED_IMPORTANT_STOCK_ORACLE,
+)
+
+register(
+    "tpch_q13_customer_distribution",
+    tpch_queries.tpch_q13_customer_distribution,
+    tpch_queries.TPCH_Q13_CUSTOMER_DISTRIBUTION_ORACLE,
+)
+
+register(
+    "tpch_q17_small_quantity_revenue",
+    tpch_queries.tpch_q17_small_quantity_revenue,
+    tpch_queries.TPCH_Q17_SMALL_QUANTITY_REVENUE_ORACLE,
+)
+
+register(
+    "tpch_q20_shaped_promotion_suppliers",
+    tpch_queries.tpch_q20_shaped_promotion_suppliers,
+    tpch_queries.TPCH_Q20_SHAPED_PROMOTION_SUPPLIERS_ORACLE,
+)
+
+register(
+    "tpch_q21_shaped_waiting_suppliers",
+    tpch_queries.tpch_q21_shaped_waiting_suppliers,
+    tpch_queries.TPCH_Q21_SHAPED_WAITING_SUPPLIERS_ORACLE,
 )
 
 # --- round-8 PII scrubbing tier (pii.py) -----------------------------------

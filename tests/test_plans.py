@@ -615,3 +615,54 @@ def test_tpch_customer_broadcast_is_size_gated(spark):
     unhinted = broadcast_if_small(dim, threshold_bytes=1)
     assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
+
+
+def test_tpch_q21_double_correlation_is_semi_plus_anti(spark):
+    """Q21's EXISTS + NOT-EXISTS double correlation must plan as a
+    left-semi plus a left-anti join against the checkpointed order-grain
+    relation — never a cartesian, never a window."""
+    plan = _plan(spark, "tpch_q21_shaped_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan, "shared lines relation no longer pinned"
+    assert "TakeOrderedAndProject" in plan  # top-100, not a global sort
+
+
+def test_tpch_q2_min_cost_is_aggregate_join_back(spark):
+    """Q2's correlated scalar-min must run as aggregate + equality
+    join-back on the checkpointed pair-grain relation — no window over
+    the fact table, no cartesian."""
+    plan = _plan(spark, "tpch_q2_shaped_min_cost_supplier")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan, "pair_cost pin lost"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q13_zero_order_customers_survive(spark, sf_dir):
+    """Q13 must keep zero-order customers (the left-outer's whole point):
+    the c_count = 0 bucket exists and equals customers minus distinct
+    order-holders under the priority filter."""
+    from data_ingestion_pipeline_spark import registry
+
+    plan = _plan(spark, "tpch_q13_customer_distribution")
+    assert "LeftOuter" in plan
+    rows = {
+        r.c_count: r.custdist
+        for r in registry._REGISTRY["tpch_q13_customer_distribution"][0](
+            spark, sf_dir
+        ).collect()
+    }
+    from data_ingestion_pipeline_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    holders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert rows.get(0, 0) == n_cust - holders

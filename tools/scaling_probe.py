@@ -132,6 +132,27 @@ PROBES = [
     ("simplified_silhouette_embeddings", ["embeddings"]),
     ("logrank_test_retention_arms", ["events"]),
     ("msprt_always_valid_ab_daily", ["events"]),
+    # round-9 TPC-H completion: q21's semi+anti double correlation and
+    # q13's left-outer grow linearly under orderkey offsets (order
+    # composition preserved); q9 is the 5-way dim-broadcast fact join; q2's
+    # pair grain is fixed under replication (l_partkey/l_suppkey verbatim)
+    # so its probe reads on the 16x scan + first aggregate. q11/q17/q20
+    # are not probed: their inner aggregates share q2's fixed pair/part
+    # grain AND their plans add nothing beyond the probed q15/q17-family
+    # scalar-broadcast epilogue.
+    (
+        "tpch_q21_shaped_waiting_suppliers",
+        ["orders", "lineitem", "supplier", "nation", "region"],
+    ),
+    ("tpch_q13_customer_distribution", ["orders", "customer"]),
+    (
+        "tpch_q9_shaped_product_type_profit",
+        ["orders", "lineitem", "part", "supplier", "nation"],
+    ),
+    (
+        "tpch_q2_shaped_min_cost_supplier",
+        ["lineitem", "part", "supplier", "nation", "region"],
+    ),
 ]
 
 KEY_OFFSETS = {
