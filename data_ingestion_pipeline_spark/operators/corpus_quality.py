@@ -47,6 +47,8 @@ __all__ = [
     "vocab_coverage_documents",
     "dsir_importance_documents",
     "fightin_words_batches_documents",
+    "bigram_perplexity_documents",
+    "BIGRAM_PERPLEXITY_DOCUMENTS_ORACLE",
 ]
 
 # Gopher §A1.1 thresholds, token-adapted (see module docstring)
@@ -763,4 +765,120 @@ SELECT token, y1, y2,
 FROM scored
 ORDER BY ABS(z) DESC, token ASC
 LIMIT {FW_TOP_K}
+"""
+
+
+def bigram_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram perplexity under the corpus's own add-one-
+    smoothed bigram model — the CCNet-style fluency filter (Wenzek et al.
+    2020 score documents with a KenLM n-gram model and drop the
+    worst-perplexity tail; here the model is the corpus itself, so the
+    score flags documents whose word transitions are atypical for the
+    corpus). Distinct from ``dsir_importance_documents`` (domain-matching
+    importance weights against a TARGET) and ``quality_filter_documents``
+    (surface heuristics): this is the probabilistic fluency axis.
+
+    Model: P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V) with V = corpus
+    vocabulary size; per-doc NLL = Σ c·(ln(c(w1,·)+V) − ln(c(w1,w2)+1))
+    over the doc's bigrams, averaged per bigram instance;
+    ppl = exp(avg). Documents with < 2 tokens have no bigrams and are
+    excluded (documented contract).
+
+    Exactness: every ln() argument is an INTEGER (identical on both
+    engines), and each ln term rounds to 9 decimals BEFORE the decimal
+    fold — the ``zipf_fit_tokens`` libm policy — so the per-doc sums are
+    exact; exp() applies to the already-rounded average (one libm call on
+    an identical double, ``msprt`` precedent) and rounds at 4.
+
+    Scale shape: doc-bigram grain built by a lead() window partitioned on
+    doc_id; the corpus model derives FROM that grain (one shuffle on the
+    bigram key, context counts ride it on w1) — no second corpus scan
+    except the V scalar; the model re-attaches by bigram-key hash join.
+    At 100 TB the model table is vocab²-bounded and heavy-tailed — the
+    production lever is top-k pruning + backoff, which changes the model,
+    not this plan."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = _tokens(docs)
+    w = Window.partitionBy("doc_id").orderBy("token_idx")
+    db = (
+        toks.select(
+            "doc_id",
+            F.col("token").alias("w1"),
+            F.lead("token").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    # doc-bigram grain feeds the corpus model AND the scoring join:
+    # one materialization (GC-reclaimed, round-8 ask #4 style)
+    db = db.localCheckpoint()
+    cb = db.groupBy("w1", "w2").agg(F.sum("c").cast("bigint").alias("cb"))
+    cu = cb.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("cu"))
+    v = toks.agg(F.countDistinct("token").cast("bigint").alias("v"))
+    term = F.col("c").cast("double") * (
+        F.round(F.log((F.col("cu") + F.col("v")).cast("double")), 9)
+        - F.round(F.log((F.col("cb") + F.lit(1)).cast("double")), 9)
+    )
+    scored = (
+        db.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .join(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.round(
+                dec_sum(term, 38, 12).cast("double")
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_nll",
+        F.round(F.exp(F.col("avg_nll")), 4).cast("double").alias("ppl"),
+    )
+
+
+BIGRAM_PERPLEXITY_DOCUMENTS_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+db AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    GROUP BY doc_id, t[i], t[i + 1]
+),
+cb AS (
+    SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS cb FROM db GROUP BY w1, w2
+),
+cu AS (
+    SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY w1
+),
+v AS (
+    SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+    FROM (SELECT unnest(t) AS tok FROM toks)
+),
+scored AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           ROUND(
+               CAST(SUM(CAST(
+                   CAST(c AS DOUBLE) *
+                   (ROUND(ln(CAST(cu + v AS DOUBLE)), 9)
+                    - ROUND(ln(CAST(cb + 1 AS DOUBLE)), 9))
+                   AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(SUM(c) AS DOUBLE), 6) AS avg_nll
+    FROM db JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_nll,
+       CAST(ROUND(exp(avg_nll), 4) AS DOUBLE) AS ppl
+FROM scored
 """

@@ -372,6 +372,7 @@ _ROUND10_QUEUE: list[str] = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q20_shaped_promotion_suppliers",
     "tpch_q21_shaped_waiting_suppliers",
+    "bigram_perplexity_documents",
 ]
 
 
@@ -1316,6 +1317,12 @@ register(
     "dsir_importance_documents",
     corpus_quality.dsir_importance_documents,
     corpus_quality.DSIR_IMPORTANCE_DOCUMENTS_ORACLE,
+)
+
+register(
+    "bigram_perplexity_documents",
+    corpus_quality.bigram_perplexity_documents,
+    corpus_quality.BIGRAM_PERPLEXITY_DOCUMENTS_ORACLE,
 )
 
 register(

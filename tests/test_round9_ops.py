@@ -170,3 +170,41 @@ def test_equality_delete_rolls_back_sidecar_on_lock_timeout(spark, tmp_path):
         t.equality_delete(spark.range(2).withColumnRenamed("id", "k"), ["k"])
     assert t._delete_sidecars(v) == [], "half-applied delete left attached"
     assert t.read().count() == 5
+
+
+def test_bigram_perplexity_hand_computed(spark, tmp_path):
+    """Two-document planted corpus with a hand-derivable add-one bigram
+    model: doc 10 = "a b a b", doc 11 = "a b c". Model: c(a,b)=3, c(b,a)=1,
+    c(b,c)=1; contexts c(a,.)=3, c(b,.)=2; V=3. NLLs follow the exact
+    ln-term rounding policy the operator declares."""
+    import math
+
+    from data_ingestion_pipeline_spark.operators.corpus_quality import (
+        bigram_perplexity_documents,
+    )
+
+    spark.createDataFrame(
+        [(10, "a b a b", "s"), (11, "a b c", "s")],
+        "doc_id long, text string, source string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.doc_id: r
+        for r in bigram_perplexity_documents(spark, str(tmp_path)).collect()
+    }
+
+    def r9ln(x):
+        return round(math.log(x), 9)
+
+    nll_ab = r9ln(3 + 3) - r9ln(3 + 1)  # -ln P(b|a) = ln((cu+V)/(cb+1))
+    nll_ba = r9ln(2 + 3) - r9ln(1 + 1)
+    nll_bc = r9ln(2 + 3) - r9ln(1 + 1)
+    d10 = round((2 * nll_ab + nll_ba) / 3, 6)
+    d11 = round((nll_ab + nll_bc) / 2, 6)
+    assert got[10].n_bigrams == 3 and got[11].n_bigrams == 2
+    assert got[10].avg_nll == d10
+    assert got[11].avg_nll == d11
+    assert got[10].ppl == round(math.exp(d10), 4)
+    assert got[11].ppl == round(math.exp(d11), 4)
+    # the repeated-transition doc is more fluent under the corpus model
+    assert got[10].ppl < got[11].ppl

@@ -153,6 +153,10 @@ PROBES = [
         "tpch_q2_shaped_min_cost_supplier",
         ["lineitem", "part", "supplier", "nation", "region"],
     ),
+    # round-9 perplexity filter: doc-bigram grain and the corpus model both
+    # grow linearly under doc_id offsets (replicated docs inflate counts,
+    # vocabulary stays fixed)
+    ("bigram_perplexity_documents", ["documents"]),
 ]
 
 KEY_OFFSETS = {
