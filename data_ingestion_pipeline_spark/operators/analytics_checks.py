@@ -1982,7 +1982,7 @@ def canonical_entities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dn = part.groupBy("p_size", "p_name").agg(
         F.min("p_partkey").alias("rep"),
         F.count("*").cast("bigint").alias("multiplicity"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # banded blocked fuzzy join over DISTINCT names — the SAME helper as
     # fuzzy_part_name_pairs (length band key, exact length guard,
     # thresholded levenshtein), so the two surfaces cannot drift

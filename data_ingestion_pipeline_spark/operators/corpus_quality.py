@@ -812,7 +812,7 @@ def bigram_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # doc-bigram grain feeds the corpus model AND the scoring join:
     # one materialization (GC-reclaimed, round-8 ask #4 style)
-    db = db.localCheckpoint()
+    db = db.localCheckpoint(eager=False)
     cb = db.groupBy("w1", "w2").agg(F.sum("c").cast("bigint").alias("cb"))
     cu = cb.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("cu"))
     v = toks.agg(F.countDistinct("token").cast("bigint").alias("v"))

@@ -93,10 +93,11 @@ def good_turing_unseen_mass_documents(
     # RDD-level — no CacheManager entry to leak across a long-lived library
     # session — and the ContextCleaner reclaims them when the returned
     # DataFrame is garbage-collected; no clearCache() contract on callers.
-    # fof is frequency-of-frequency sized (tiny), so the eager job is cheap.
+    # fof is frequency-of-frequency sized (tiny); lazy, so the pin costs no
+    # extra job — all three consumers share the RDD inside one action.
     fof = counts.groupBy("r").agg(
         F.count("*").cast("bigint").alias("n_types")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     totals = fof.agg(
         F.sum(F.col("r") * F.col("n_types")).cast("double").alias("n_tokens"),
         F.sum(F.when(F.col("r") == 1, F.col("n_types")).otherwise(0))

@@ -96,19 +96,19 @@ def heaps_law_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst ReuseExchange — RangePartitioner samples boundaries with an
     # RDD-id-seeded RNG, so two independent exchanges could place a
     # boundary doc in different chunks and the offset stitch would silently
-    # double-count or drop it. The eager checkpoint FREEZES the placement
+    # double-count or drop it. The (lazy) checkpoint FREEZES the placement
     # (strictly stronger than the previous persist(), whose correctness
     # under eviction leaned on same-RDD-id recompute), and its RDD-level
     # blocks are GC-reclaimed with the returned DataFrame — no CacheManager
     # entry accumulating across a long-lived library session (round-8
     # verdict ask #4). The range exchange itself now runs inside the
-    # checkpoint job, so the returned plan scans an ExistingRDD; the
+    # checkpointed RDD, so the returned plan scans an ExistingRDD; the
     # chunk-stitch evidence is the hashpartitioning(pid) windows plus the
     # zero-unpartitioned-window census (tests/test_plans.py).
     chunked = (
         grain.repartitionByRange(n_chunks, "doc_id")
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, 0

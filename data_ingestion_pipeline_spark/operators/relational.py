@@ -1376,7 +1376,7 @@ def rfm_segments_customers_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         # blocks are GC-reclaimed with the returned DataFrame, so repeated
         # library calls in one session cannot accumulate CacheManager
         # entries waiting on a clearCache() nobody owes
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     qarr = F.array(*[F.lit(q) for q in _RFM_QS])
     bounds = (

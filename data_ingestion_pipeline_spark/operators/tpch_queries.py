@@ -736,7 +736,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist (round-8 verdict ask #4): RDD-level blocks, GC-reclaimed
     # with the returned DataFrame — no CacheManager entry accumulating
     # across a long-lived library session
-    rev = rev.localCheckpoint()
+    rev = rev.localCheckpoint(eager=False)
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -1062,7 +1062,7 @@ def tpch_q2_shaped_min_cost_supplier(
     )
     # pair grain is (filtered parts x region suppliers)-bounded: one
     # materialization feeds the per-part min and the equality join-back
-    pair_cost = pair_cost.localCheckpoint()
+    pair_cost = pair_cost.localCheckpoint(eager=False)
     min_cost = pair_cost.groupBy(F.col("l_partkey").alias("_mk")).agg(
         F.min("cost").alias("min_cost")
     )
@@ -1225,7 +1225,7 @@ def tpch_q11_shaped_important_stock(
     )
     # part-grain relation is dim-bounded: one materialization serves the
     # total and the threshold filter (GC-reclaimed, round-8 ask #4 style)
-    value = value.localCheckpoint()
+    value = value.localCheckpoint(eager=False)
     total = value.agg(
         (
             F.sum(F.col("part_value").cast("decimal(38,6)")).cast("double")
@@ -1384,7 +1384,7 @@ def tpch_q20_shaped_promotion_suppliers(
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").cast("bigint").alias("pair_qty"))
     )
-    pair_qty = pair_qty.localCheckpoint()  # feeds part totals + the filter
+    pair_qty = pair_qty.localCheckpoint(eager=False)  # feeds part totals + the filter
     part_qty = pair_qty.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.sum("pair_qty").cast("bigint").alias("part_qty")
     )
@@ -1481,7 +1481,7 @@ def tpch_q21_shaped_waiting_suppliers(
         )
         # all three correlation branches read this order-grain relation;
         # checkpoint so the orders<->lineitem join runs once (GC-reclaimed)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     l1 = lines.filter(F.col("late")).join(
         F.broadcast(supp.select("s_suppkey", "s_name")),

@@ -106,9 +106,11 @@ def merge_upsert(
     # pin the commit plan scans + window-dedups the batch source TWICE per
     # merge (tools/stream_bench.py caught numInputRows at exactly 2x the
     # file rows per micro-batch). The batch is micro-batch/ingest sized —
-    # bounded — so one eager localCheckpoint halves the source work; blocks
-    # are RDD-level and GC-reclaimed after the commit.
-    deduped = deduped.localCheckpoint()
+    # bounded — so one lazy localCheckpoint halves the source work (both
+    # consumers share the RDD inside the one commit action, so it
+    # computes once; lazy skips the extra eager job); blocks are
+    # RDD-level and GC-reclaimed after the commit.
+    deduped = deduped.localCheckpoint(eager=False)
     # capture the sidecar listing read() will fold BEFORE constructing the
     # read: a concurrent equality delete then aborts this merge instead of
     # being silently folded away by a stale snapshot

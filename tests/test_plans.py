@@ -376,7 +376,7 @@ def test_heaps_law_cumulatives_are_chunk_stitched(spark):
     as range-partitioned chunk-local windows + the ≤chunks-row offset
     stitch — never a bare Window.orderBy(doc_id) single-partition sort of
     the doc-grain relation (round-5 verdict item 2). The range exchange
-    itself runs inside the eager localCheckpoint (round-8 verdict ask #4
+    itself runs inside the (lazy) localCheckpoint (round-8 verdict ask #4
     moved the pin off the CacheManager), so the visible plan scans an
     ExistingRDD; the stitch evidence is the pid-partitioned windows and
     the zero-unpartitioned-window census."""

@@ -100,7 +100,7 @@ def test_pinned_operators_leave_no_catalog_cache(spark, qname, sf_dir):
     """Round-8 verdict ask #4: the four operators that pin a shared subtree
     must not leave CacheManager entries behind — a long-lived library
     session calling them repeatedly previously accumulated cached
-    partitions until someone called clearCache(). The pins are now eager
+    partitions until someone called clearCache(). The pins are now lazy
     localCheckpoints: RDD-level blocks, reclaimed by the ContextCleaner
     when the result DataFrame is garbage-collected."""
     import gc
