@@ -1017,6 +1017,27 @@ ORDER BY n_name
 # --------------------------------------------------------------------------
 
 
+def _region_suppliers(
+    spark: SparkSession, sf_dir: str, r_name: str, with_nation_name: bool = False
+):
+    """The supplier dim restricted to one region via the broadcast
+    region->nation chain — shared by the round-9 shaped forms
+    (Q2/Q11/Q20/Q21) so the chain cannot drift across them (round-9
+    review finding; the round-7 Q5/Q8 forms keep their own inlined
+    chains because their plans are benched and plan-pinned as written)."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == r_name
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cols = ("n_nationkey", "n_name") if with_nation_name else ("n_nationkey",)
+    return load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select(*cols)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+
+
 def tpch_q2_shaped_min_cost_supplier(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1035,16 +1056,7 @@ def tpch_q2_shaped_min_cost_supplier(
     part) broadcasts. Cost equality on doubles is safe: both sides are
     the SAME computed values (min over a finite set re-matched within it,
     reference Q2's own view-twice idiom)."""
-    region = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == "EUROPE"
-    )
-    nation = load_table(spark, sf_dir, "nation").join(
-        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
-    )
-    supp = load_table(spark, sf_dir, "supplier").join(
-        F.broadcast(nation.select("n_nationkey", "n_name")),
-        F.col("s_nationkey") == F.col("n_nationkey"),
-    )
+    supp = _region_suppliers(spark, sf_dir, "EUROPE", with_nation_name=True)
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)
     )
@@ -1200,16 +1212,7 @@ def tpch_q11_shaped_important_stock(
     Plan: ONE filtered fact aggregate (part grain) feeds both consumers;
     the threshold re-aggregates from the part-grain relation (never a
     second fact scan) and broadcasts back as a 1-row cross join."""
-    region = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == "EUROPE"
-    )
-    nation = load_table(spark, sf_dir, "nation").join(
-        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
-    )
-    supp = load_table(spark, sf_dir, "supplier").join(
-        F.broadcast(nation.select("n_nationkey")),
-        F.col("s_nationkey") == F.col("n_nationkey"),
-    )
+    supp = _region_suppliers(spark, sf_dir, "EUROPE")
     li = load_table(spark, sf_dir, "lineitem")
     value = (
         li.join(
@@ -1309,10 +1312,12 @@ def tpch_q17_small_quantity_revenue(
     the per-part correlated-average shape. p_container has no column here,
     so the part subset is p_brand = 'Brand#3' alone.
 
-    Plan: the per-part average aggregates the UNFILTERED lineitem once at
-    part grain (bounded), broadcasts back onto the brand-filtered scan,
-    and the final sum is a single scalar — no correlated per-row subquery
-    ever executes."""
+    Plan: the per-part average aggregates the brand-filtered lineitem
+    once at part grain (equivalent to the spec's per-part correlated
+    average because l_partkey determines p_brand — the filter prunes
+    whole parts, never lines within a part), broadcasts back onto the
+    same filtered scan, and the final sum is a single scalar — no
+    correlated per-row subquery ever executes."""
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#3"
     )
@@ -1397,16 +1402,7 @@ def tpch_q20_shaped_promotion_suppliers(
         .select("l_suppkey")
         .distinct()
     )
-    region = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == "EUROPE"
-    )
-    nation = load_table(spark, sf_dir, "nation").join(
-        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
-    )
-    supp = load_table(spark, sf_dir, "supplier").join(
-        F.broadcast(nation.select("n_nationkey")),
-        F.col("s_nationkey") == F.col("n_nationkey"),
-    )
+    supp = _region_suppliers(spark, sf_dir, "EUROPE")
     return (
         supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
         .select("s_name", "s_suppkey")
@@ -1454,16 +1450,7 @@ def tpch_q21_shaped_waiting_suppliers(
     other-supplier, late) — both against the SAME checkpointed
     order-grain line relation, so the fact scans once; the count shuffles
     only supplier-grain rows."""
-    region = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == "ASIA"
-    )
-    nation = load_table(spark, sf_dir, "nation").join(
-        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
-    )
-    supp = load_table(spark, sf_dir, "supplier").join(
-        F.broadcast(nation.select("n_nationkey")),
-        F.col("s_nationkey") == F.col("n_nationkey"),
-    )
+    supp = _region_suppliers(spark, sf_dir, "ASIA")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )

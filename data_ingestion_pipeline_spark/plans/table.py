@@ -150,15 +150,31 @@ class ManagedTable:
             except OSError:
                 pass  # path unlinked between open and verify
             os.close(fd)
+            # the inode-mismatch path must honor the same deadline and
+            # back off like the contention path — under churning
+            # committers it would otherwise hot-spin past the 30 s
+            # contract without ever raising (round-9 review finding)
+            if time.monotonic() > deadline:
+                raise RuntimeError(
+                    f"pointer lock {lock} held past 30s — live contention?"
+                )
+            time.sleep(0.01)
 
     def _ptr_unlock(self, fd: int) -> None:
         # unlink BEFORE close: the path disappears while we still hold the
         # flock, so no new waiter can open-and-block on an inode that is
         # about to become an orphan (they create a fresh file instead; a
         # waiter already blocked on ours acquires it after close and is
-        # bounced by the inode check above)
-        os.unlink(os.path.join(self.root, _PTR_LOCK))
-        os.close(fd)
+        # bounced by the inode check above). The unlink is best-effort:
+        # an externally-removed lockfile must not raise out of the
+        # callers' finally blocks (it would mask a pending
+        # ConcurrentWriteError) nor leak the flocked fd.
+        try:
+            os.unlink(os.path.join(self.root, _PTR_LOCK))
+        except OSError:
+            pass
+        finally:
+            os.close(fd)
 
     def _commit_pointer(
         self, version: str, expected_base, expected_sidecars=None

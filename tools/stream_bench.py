@@ -104,6 +104,12 @@ def main() -> None:
     )
 
     spark = get_spark("stream_bench")
+    # recentProgress is a ring buffer (default 100): size it to the run so
+    # a long sweep's EARLY batches — the baseline of the latency trend —
+    # are not silently dropped (round-9 review finding)
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(n_batches + 16)
+    )
     # same warmup contract as bench.py: measure the engine, not the JIT
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
