@@ -134,18 +134,24 @@ def test_pinned_operators_leave_no_catalog_cache(spark, qname, sf_dir):
 
     # the checkpoint blocks themselves are GC-owned: dropping the result
     # reference lets the ContextCleaner unpersist them (async — poll).
-    # One wrinkle, found empirically: Spark retains the MOST RECENT
-    # execution (and through it the checkpoint RDD) until the next query
-    # displaces it — steady-state retention is bounded at one, but the
-    # poll below would time out without the displacing no-op query.
+    # One wrinkle, found empirically: Spark retains RECENT executions (and
+    # through them the checkpoint RDDs) until later queries displace them —
+    # steady-state retention is bounded, but a SINGLE displacing query is
+    # not always enough (observed: one displacement + 60 s of System.gc()
+    # polling still left all 6 of canonical_entities' pins; displacing
+    # every few poll iterations drained the same pins within 2-16 s across
+    # repeated trials). So the no-op displacement runs INSIDE the loop.
     del df
-    spark.range(10).count()
     deadline = _time.monotonic() + 60.0
+    it = 0
     while _time.monotonic() < deadline:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         if spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= before:
             break
+        if it % 5 == 0:
+            spark.range(1).count()
+        it += 1
         _time.sleep(0.5)
     after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert after <= before, (
