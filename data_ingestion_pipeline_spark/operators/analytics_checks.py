@@ -41,6 +41,8 @@ __all__ = [
     "interpolated_daily_user_value",
     "fuzzy_part_name_pairs",
     "pagerank_copurchase_parts",
+    "hits_authorities_parts",
+    "kcore_peel_copurchase_parts",
     "chi_square_event_dow",
     "robust_outliers_mad",
     "twap_user_day",
@@ -1125,6 +1127,140 @@ FROM r3
 
 
 # ---------------------------------------------------------------------------
+# HITS hubs & authorities over the customer → part purchase graph
+# ---------------------------------------------------------------------------
+
+def hits_authorities_parts(
+    spark: SparkSession, sf_dir: str, iters: int = 3
+) -> DataFrame:
+    """HITS (Kleinberg 1999, public paper) over the bipartite purchase
+    graph — the mutual-reinforcement link score PageRank's single random
+    walk can't express: customers are hubs, parts are authorities, edges
+    are distinct (o_custkey, l_partkey) purchase facts. ``iters``
+    authority updates (a = Σ_edges h, L2-normalized) interleave with
+    ``iters``−1 hub updates; h₀ = 1, so the first authority vector is the
+    normalized in-degree and every later one mixes in hub quality.
+
+    Scale shape follows the PageRank loop one section up: the edge table
+    is built once (orders⋈lineitem, distinct, checkpointed — 2 longs/row),
+    per-iteration state is one O(customers) or O(parts) node map joined
+    into the edge scan — broadcast while n·32 B fits the SESSION's
+    broadcast ceiling (never when auto-broadcast is disabled), shuffled on
+    the join key past it — and each raw node vector is lazily pinned
+    before its norm so the norm's cross-join doesn't double-evaluate the
+    edge join (the ``_pca_state`` pin policy; pins are GC-owned
+    localCheckpoints, no CacheManager entry).
+
+    Exactness follows the house iterative rule: per-node sums aggregate
+    round-9 doubles in DECIMAL(38,20) (order-independent), norms are
+    SQRT of a decimal sum (correctly-rounded double), and each update
+    re-rounds at 9 — so every intermediate hub/authority vector is
+    bitwise-identical to the oracle's unrolled CTE chain.
+    """
+    from data_ingestion_pipeline_spark.plans.join_strategies import (
+        auto_broadcast_threshold,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("c"),
+            F.col("l_partkey").cast("bigint").alias("p"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    ceiling = auto_broadcast_threshold(spark)
+    n_c = edges.select("c").distinct().count()  # bounded scalar actions,
+    n_p = edges.select("p").distinct().count()  # same policy as PageRank's n
+
+    def gated(node_map: DataFrame, n: int) -> DataFrame:
+        return F.broadcast(node_map) if (ceiling >= 0 and n * 32 <= ceiling) else node_map
+
+    def normalized(raw: DataFrame, key: str, out: str) -> DataFrame:
+        # pin the raw node vector: the norm aggregate AND the division both
+        # consume it, and without the pin each iteration would double the
+        # edge-join subtree (2^k replays by the last iteration)
+        raw = raw.localCheckpoint(eager=False)
+        nrm = raw.agg(
+            F.sqrt(
+                F.sum((F.col("u") * F.col("u")).cast("decimal(38,20)")).cast("double")
+            ).alias("nrm")
+        )
+        return raw.crossJoin(F.broadcast(nrm)).select(
+            key, F.round(F.col("u") / F.col("nrm"), 9).alias(out)
+        )
+
+    h = edges.select("c").distinct().withColumn("h", F.lit(1.0))
+    a = None
+    for i in range(iters):
+        ar = (
+            edges.join(gated(h, n_c), "c")
+            .groupBy("p")
+            .agg(F.sum(F.col("h").cast("decimal(38,20)")).cast("double").alias("u"))
+        )
+        a = normalized(ar, "p", "a")
+        if i < iters - 1:
+            hr = (
+                edges.join(gated(a, n_p), "p")
+                .groupBy("c")
+                .agg(F.sum(F.col("a").cast("decimal(38,20)")).cast("double").alias("u"))
+            )
+            h = normalized(hr, "c", "h")
+    return a.select(F.col("p").alias("p_partkey"), F.col("a").alias("authority"))
+
+
+def _hits_oracle(iters: int = 3) -> str:
+    """Unrolled CTE chain mirroring hits_authorities_parts step for step
+    (the _pca_oracle_chain pattern): aK = round-9 L2-normalized edge sum
+    of h_{K-1}, hK likewise of aK."""
+    head = """
+WITH edges AS (
+    SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+                    CAST(l.l_partkey AS BIGINT) AS p
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+h0 AS (SELECT DISTINCT c, 1.0 AS h FROM edges)"""
+    blocks = []
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        blocks.append(f"""
+, a{k}r AS (
+    SELECT e.p, CAST(SUM(CAST(h.h AS DECIMAL(38,20))) AS DOUBLE) AS u
+    FROM edges e JOIN {prev_h} h ON e.c = h.c GROUP BY e.p
+), a{k}n AS (
+    SELECT SQRT(CAST(SUM(CAST(u * u AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+    FROM a{k}r
+), a{k} AS (
+    SELECT p, ROUND(u / nrm, 9) AS a FROM a{k}r CROSS JOIN a{k}n
+)""")
+        if k < iters:
+            blocks.append(f"""
+, h{k}r AS (
+    SELECT e.c, CAST(SUM(CAST(a.a AS DECIMAL(38,20))) AS DOUBLE) AS u
+    FROM edges e JOIN a{k} a ON e.p = a.p GROUP BY e.c
+), h{k}n AS (
+    SELECT SQRT(CAST(SUM(CAST(u * u AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+    FROM h{k}r
+), h{k} AS (
+    SELECT c, ROUND(u / nrm, 9) AS h FROM h{k}r CROSS JOIN h{k}n
+)""")
+            prev_h = f"h{k}"
+    return (
+        head
+        + "".join(blocks)
+        + f"""
+SELECT p AS p_partkey, a AS authority FROM a{iters}
+"""
+    )
+
+
+HITS_AUTHORITIES_PARTS_ORACLE = _hits_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Chi-square independence scan (event type × ISO weekday)
 # ---------------------------------------------------------------------------
 
@@ -1621,6 +1757,138 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ori e1
        (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+def kcore_peel_copurchase_parts(
+    spark: SparkSession, sf_dir: str, rounds: int = 6
+) -> DataFrame:
+    """Bounded k-core peeling (Seidman 1983's cores via the standard
+    iterative degree-prune) over the SAME support-≥2 co-purchase graph the
+    triangle census reads — the density-tier decomposition that separates
+    a catalog's stable cross-sell core from its one-off fringe. k is
+    max(⌊E/N⌋, 2) — half the mean degree, floored at 2 (a scale-relative
+    threshold: a fixed literal peels nothing at one SF and everything at
+    another, and the FULL mean degree empties the dense sf0.001 graph);
+    each round recomputes degrees over the surviving edge set and drops
+    nodes below k. ``rounds`` is FIXED at 6 — the repo's bounded-iteration
+    policy (PageRank 3, PCA 5): output is the round-6 survivor set with
+    its degrees, the exact k-core iff peeling has stabilized — measured
+    stabilization depth is 2 / 3 / 6 rounds on sf0.001/0.01/0.1, so the
+    output IS the k-core on all three fixtures (round 7 == round 6,
+    pinned in pytest), a documented upper bound past that.
+
+    Scale shape: per round one node-grain degree aggregate + two
+    survivor semi-joins into the edge set (survivor maps broadcast under
+    the session ceiling, shuffled past it); survivor and edge relations
+    are lazily pinned per round — each feeds two consumers, and without
+    the pin the round subtree would double per level. Degrees are exact
+    bigints end to end, so there is no float policy to share with the
+    oracle at all."""
+    from data_ingestion_pipeline_spark.plans.join_strategies import (
+        auto_broadcast_threshold,
+    )
+
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pa = po.select("l_orderkey", F.col("l_partkey").alias("a"))
+    pb = po.select("l_orderkey", F.col("l_partkey").alias("b"))
+    edges = (
+        pa.join(pb, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= 2)
+        .select(F.col("a").cast("bigint").alias("a"), F.col("b").cast("bigint").alias("b"))
+        .localCheckpoint()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("d"))
+        )
+
+    m = edges.count()  # bounded scalar actions (PageRank's n policy)
+    n = degrees(edges).count()
+    k = max(m // max(n, 1), 2)
+    ceiling = auto_broadcast_threshold(spark)
+
+    def gated(nodes: DataFrame) -> DataFrame:
+        # survivor sets are O(nodes); n only shrinks during peeling
+        return F.broadcast(nodes) if (ceiling >= 0 and n * 16 <= ceiling) else nodes
+
+    for _ in range(rounds):
+        surv = (
+            degrees(edges)
+            .filter(F.col("d") >= k)
+            .select("node")
+            .localCheckpoint(eager=False)  # consumed by BOTH endpoint joins
+        )
+        edges = (
+            edges.join(gated(surv.select(F.col("node").alias("a"))), "a", "left_semi")
+            .join(gated(surv.select(F.col("node").alias("b"))), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)  # feeds next round's degrees AND joins
+        )
+    return degrees(edges).select(
+        F.col("node").alias("p_partkey"), F.col("d").alias("core_degree")
+    )
+
+
+def _kcore_oracle(rounds: int = 6) -> str:
+    # every multiply-consumed CTE is MATERIALIZED: DuckDB inlines CTEs by
+    # default, and each peel round references the previous round's edge set
+    # three times — inlined, the e0 subtree re-expands 3^rounds times (the
+    # SQL twin of the 2^k replay the Spark side's lazy checkpoints pin away;
+    # observed: the un-materialized 6-round chain ran minutes, this runs ms)
+    head = """
+WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+    SELECT CAST(p1.l_partkey AS BIGINT) AS a, CAST(p2.l_partkey AS BIGINT) AS b
+    FROM po p1 JOIN po p2
+      ON p1.l_orderkey = p2.l_orderkey AND p1.l_partkey < p2.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+kk AS MATERIALIZED (
+    SELECT GREATEST(
+        (SELECT COUNT(*) FROM e0)
+        // GREATEST((SELECT COUNT(DISTINCT node) FROM
+            (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)), 1),
+        2) AS k
+)"""
+    blocks = []
+    for r in range(1, rounds + 1):
+        blocks.append(f"""
+, d{r} AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM e{r-1} UNION ALL SELECT b FROM e{r-1}
+    ) GROUP BY node
+), s{r} AS MATERIALIZED (SELECT node FROM d{r}, kk WHERE d >= kk.k),
+e{r} AS MATERIALIZED (
+    SELECT a, b FROM e{r-1}
+    WHERE a IN (SELECT node FROM s{r}) AND b IN (SELECT node FROM s{r})
+)""")
+    return (
+        head
+        + "".join(blocks)
+        + f"""
+SELECT node AS p_partkey, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+    SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+) GROUP BY node
+"""
+    )
+
+
+KCORE_PEEL_COPURCHASE_PARTS_ORACLE = _kcore_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -91,6 +91,7 @@ __all__ = [
     "dedup_survivor_quality_documents",
     "decontaminate_documents",
     "ann_pq_topk_embeddings",
+    "ann_pq_sample_adc_topk_embeddings",
     "ann_ivfpq_topk_embeddings",
     "ann_ivfpq_recall_embeddings",
     "variant_shred_events",
@@ -1516,6 +1517,100 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str, emb: DataFrame):
     if key not in _PQ_BOOKS_CACHE:
         _PQ_BOOKS_CACHE[key] = train_codebooks(emb)
     return _PQ_BOOKS_CACHE[key]
+
+
+def ann_pq_sample_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-20 with REPLAYABLE codebooks — the hash-checked gate for
+    the PQ family's plumbing (``ann_pq_topk``/``ann_ivfpq_topk`` stay
+    rows-only because their Lloyd-trained codebooks would need 10 k-means
+    iterations unrolled in SQL). Codebooks here are the IVF-style strided
+    sample verbatim (``train_codebooks(n_iters=0)`` — first-K init, zero
+    Lloyd steps), which the oracle rebuilds with the same stride CTE the
+    IVF replay uses; everything downstream is the REAL production kernel:
+    ``pq_encode``'s per-Arrow-batch ‖x−c‖² argmin matmul (first-wins),
+    ``pq_topk``'s S×K ADC table and rank-limit. So a green hash row here
+    proves encode → lookup-table → lookup-sum → (score desc, id asc) top-k
+    bit-exact end to end; only the codebook TRAINING remains under the
+    pytest recall pins.
+
+    Exactness notes, each verified bitwise in a 3-SF prototype before
+    registration: the encode distance is ``Σc² − 2·(x·c)`` with numpy's
+    matmul matching DuckDB's list_inner_product (the LSH/IVF-promotion
+    precedent), and the 8-term ADC sum replays as an EXPLICIT
+    left-parenthesized addition chain — numpy sums a length-8 axis
+    sequentially, and a SQL SUM() over the lookup rows would not pin that
+    order. S=8 subspaces × K=16 codes (vs the Lloyd variant's 16×256) keep
+    the oracle's encode CTE at corpus×128 rows."""
+    from data_ingestion_pipeline_spark.similarity.pq import (
+        pq_encode,
+        pq_topk,
+        train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_codebooks(
+        emb, n_subspaces=8, n_codes=16, sample_size=16, n_iters=0
+    )
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return pq_topk(pq_encode(emb, books), q, books, k=20)
+
+
+def _pq_sample_adc_oracle(s_sub: int = 8, n_codes: int = 16, k: int = 20) -> str:
+    sub = EMB_DIM // s_sub
+    chain = "MAX(CASE WHEN e.s=0 THEN l.t END)"
+    for s in range(1, s_sub):
+        chain = f"({chain} + MAX(CASE WHEN e.s={s} THEN l.t END))"
+    return f"""
+WITH params AS (SELECT GREATEST(COUNT(*) // {n_codes}, 1) AS stride FROM embeddings),
+-- train_codebooks(n_iters=0): the strided sample rows ARE the codewords,
+-- cid = position in vec_id order (the IVF replay's cent CTE)
+cent AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS cid,
+           e.embedding::DOUBLE[] AS cv
+    FROM embeddings e, params p
+    WHERE e.vec_id % p.stride = 0 AND e.vec_id < p.stride * {n_codes}
+),
+cw AS (
+    SELECT CAST(t.s AS INT) AS s, c.cid,
+           list_slice(c.cv, CAST(t.s*{sub}+1 AS INT), CAST((t.s+1)*{sub} AS INT)) AS cvec
+    FROM cent c CROSS JOIN range({s_sub}) t(s)
+),
+cw2 AS (SELECT s, cid, cvec, list_inner_product(cvec, cvec) AS cc FROM cw),
+-- pq_encode: argmin over codes of cc - 2*x.c, np.argmin first-wins = cid asc
+enc AS (
+    SELECT vec_id, s, cid AS code FROM (
+        SELECT e.vec_id, w.s, w.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id, w.s
+                   ORDER BY w.cc - 2.0 * list_inner_product(
+                       list_slice(e.embedding::DOUBLE[], w.s*{sub}+1, (w.s+1)*{sub}),
+                       w.cvec) ASC,
+                   w.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cw2 w
+    ) WHERE rn = 1
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+-- pq_topk's S x K ADC table: subspace dots of the query against every code
+lut AS (
+    SELECT w.s, w.cid,
+           list_inner_product(w.cvec, list_slice(q.qv, w.s*{sub}+1, (w.s+1)*{sub})) AS t
+    FROM cw2 w CROSS JOIN q
+),
+-- the 8-term lookup sum as an explicit left-assoc chain (numpy axis order)
+sc AS (
+    SELECT e.vec_id, {chain} AS score
+    FROM enc e JOIN lut l ON l.s = e.s AND l.cid = e.code
+    GROUP BY e.vec_id
+)
+SELECT vec_id, ROUND(score, 6) AS approx_score FROM (
+    SELECT vec_id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS rnk
+    FROM sc
+) WHERE rnk <= {k}
+"""
+
+
+ANN_PQ_SAMPLE_ADC_TOPK_EMBEDDINGS_ORACLE = _pq_sample_adc_oracle()
 
 
 def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -373,6 +373,9 @@ _ROUND10_QUEUE: list[str] = [
     "tpch_q20_shaped_promotion_suppliers",
     "tpch_q21_shaped_waiting_suppliers",
     "bigram_perplexity_documents",
+    "hits_authorities_parts",
+    "ann_pq_sample_adc_topk_embeddings",
+    "kcore_peel_copurchase_parts",
 ]
 
 
@@ -1251,6 +1254,12 @@ register(
 
 register("ann_pq_topk_embeddings", llm_data.ann_pq_topk_embeddings, None)
 
+register(
+    "ann_pq_sample_adc_topk_embeddings",
+    llm_data.ann_pq_sample_adc_topk_embeddings,
+    llm_data.ANN_PQ_SAMPLE_ADC_TOPK_EMBEDDINGS_ORACLE,
+)
+
 register("ann_ivfpq_topk_embeddings", llm_data.ann_ivfpq_topk_embeddings, None)
 
 register(
@@ -1809,6 +1818,18 @@ register(
     "pagerank_copurchase_parts",
     analytics_checks.pagerank_copurchase_parts,
     analytics_checks.PAGERANK_COPURCHASE_PARTS_ORACLE,
+)
+
+register(
+    "hits_authorities_parts",
+    analytics_checks.hits_authorities_parts,
+    analytics_checks.HITS_AUTHORITIES_PARTS_ORACLE,
+)
+
+register(
+    "kcore_peel_copurchase_parts",
+    analytics_checks.kcore_peel_copurchase_parts,
+    analytics_checks.KCORE_PEEL_COPURCHASE_PARTS_ORACLE,
 )
 
 register(

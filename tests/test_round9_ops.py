@@ -214,3 +214,113 @@ def test_bigram_perplexity_hand_computed(spark, tmp_path):
     assert got[11].ppl == round(math.exp(d11), 4)
     # the repeated-transition doc is more fluent under the corpus model
     assert got[10].ppl < got[11].ppl
+
+def test_hits_one_iteration_is_normalized_indegree(spark, sf_dir):
+    """With h0 = 1, the first authority vector is the L2-normalized
+    in-degree of each part in the distinct (customer, part) edge set —
+    computable directly, so the iterative machinery is pinned against a
+    closed form (the same style of gate pagerank's oracle unrolling gets
+    from its r1 = 0.15/n + 0.85·indeg/outdeg closed form)."""
+    import math
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        hits_authorities_parts,
+    )
+
+    got = {
+        r["p_partkey"]: r["authority"]
+        for r in hits_authorities_parts(spark, sf_dir, iters=1).collect()
+    }
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    deg = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .count()
+        .collect()
+    )
+    indeg = {r["l_partkey"]: r["count"] for r in deg}
+    nrm = math.sqrt(sum(v * v for v in indeg.values()))
+    assert set(got) == set(indeg)
+    for k, v in indeg.items():
+        assert got[k] == round(v / nrm, 9), k
+
+    # full-depth output is still a unit vector (up to round-9 rounding)
+    full = hits_authorities_parts(spark, sf_dir, iters=3).collect()
+    s = sum(r["authority"] ** 2 for r in full)
+    assert abs(s - 1.0) < 1e-6
+    assert all(r["authority"] > 0 for r in full)
+
+
+def test_pq_sample_codebooks_are_the_strided_sample(spark, sf_dir):
+    """train_codebooks(n_iters=0) must return the strided sample's
+    subvectors verbatim (first-K init, zero Lloyd steps) — the property
+    the ann_pq_sample_adc oracle's cent CTE replays; and the ADC query's
+    top hit for the vec_id=0 query is vec 0 itself on these fixtures."""
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.operators.llm_data import (
+        ann_pq_sample_adc_topk_embeddings,
+    )
+    from data_ingestion_pipeline_spark.similarity.pq import train_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_codebooks(emb, n_subspaces=8, n_codes=16, sample_size=16, n_iters=0)
+    n = emb.count()
+    stride = max(n // 16, 1)
+    rows = (
+        emb.filter((emb.vec_id % stride == 0) & (emb.vec_id < stride * 16))
+        .orderBy("vec_id")
+        .collect()
+    )
+    sample = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    assert sample.shape[0] == 16
+    for s in range(8):
+        assert np.array_equal(books[s], sample[:, s * 8 : (s + 1) * 8])
+
+    top = ann_pq_sample_adc_topk_embeddings(spark, sf_dir).collect()
+    assert len(top) == 20
+    assert top[0]["vec_id"] == 0  # ADC self-match leads on these fixtures
+
+def test_kcore_round6_is_the_fixpoint(spark, sf_dir):
+    """The docstring's exactness claim: at rounds=6 the peel has stabilized
+    on the fixtures, so round 7 returns the identical relation (the output
+    IS the k-core, not a truncation), every survivor's degree is >= k, and
+    k matches the max(E//N, 2) policy computed independently."""
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        kcore_peel_copurchase_parts,
+    )
+
+    r6 = {
+        (r["p_partkey"], r["core_degree"])
+        for r in kcore_peel_copurchase_parts(spark, sf_dir, rounds=6).collect()
+    }
+    r7 = {
+        (r["p_partkey"], r["core_degree"])
+        for r in kcore_peel_copurchase_parts(spark, sf_dir, rounds=7).collect()
+    }
+    assert r6 == r7 and r6
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    pa = po.select("l_orderkey", F.col("l_partkey").alias("a"))
+    pb = po.select("l_orderkey", F.col("l_partkey").alias("b"))
+    und = (
+        pa.join(pb, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .count()
+        .filter(F.col("count") >= 2)
+    )
+    m = und.count()
+    n = (
+        und.select(F.col("a").alias("x"))
+        .union(und.select("b"))
+        .distinct()
+        .count()
+    )
+    k = max(m // max(n, 1), 2)
+    assert min(d for _, d in r6) >= k
