@@ -92,6 +92,8 @@ __all__ = [
     "decontaminate_documents",
     "ann_pq_topk_embeddings",
     "ann_pq_sample_adc_topk_embeddings",
+    "minhash_md5_replay_near_dup_documents",
+    "simhash_md5_replay_near_dup_documents",
     "ann_ivfpq_topk_embeddings",
     "ann_ivfpq_recall_embeddings",
     "variant_shred_events",
@@ -1033,6 +1035,320 @@ def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on the planted corpus (rows-only; see above)."""
     aug = _near_dup_corpus(load_table(spark, sf_dir, "documents"))
     return simhash_near_dup_pairs(aug, "text", "doc_id", max_hamming=3)
+
+
+def minhash_md5_replay_near_dup_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MinHash-LSH pipeline in the scale configuration (K=32, B=8, R=4
+    — the same banding as rows-only ``minhash_near_dup_documents``) with
+    the ONE engine-private primitive swapped out so the whole thing
+    replays in SQL: shingles hash through md5 (first 8 hex chars → 32-bit
+    int, folded to 31 bits) instead of multi-arg xxhash64, and band keys
+    are md5 hex strings of the signature slice instead of xxhash64. The
+    permutation family (a·x+b mod 2³¹−1, dedup/minhash.py::_perm_params),
+    element-wise min signatures, banded self-join, and exact-Jaccard
+    verification are the identical algorithm — so the green hash row
+    converts the MinHash family's structural gate (candidate counts +
+    recall pytests) into a hash-exact one, the ann_lsh/ivf/pq promotion
+    pattern applied to the last unreplayed dedup family. xxhash64 stays
+    the production hash (cheaper: no string digest, no hex decode); this
+    sibling is the correctness instrument, same split as
+    ``minhash_verified_near_dup_documents`` (which oracle-checks only the
+    verified OUTPUT contract, not the banding).
+
+    Scale shape is unchanged from the production path: shuffle O(docs·K)
+    via map-side partial mins, candidates ∝ band collisions (never
+    all-pairs), verification only on candidates. The shingle-set relation
+    is pinned — it feeds the signature build AND both verify sides."""
+    from data_ingestion_pipeline_spark.dedup.minhash import _perm_params
+
+    aug = fan_out(_near_dup_corpus(load_table(spark, sf_dir, "documents")))
+    tok = F.split(F.trim(F.col("text")), r"\s+")
+    win = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("_tok")) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_tok"), i, 3)),
+    )
+    sets = (
+        aug.select("doc_id", tok.alias("_tok"))
+        .select("doc_id", F.array_distinct(win).alias("sset"))
+        .localCheckpoint(eager=False)  # feeds sigs + both verify sides
+    )
+    x32 = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("bigint")
+    hashed = sets.select(
+        "doc_id", F.explode("sset").alias("sh")
+    ).select("doc_id", x32.bitwiseAND(F.lit((1 << 31) - 1)).alias("x31"))
+    params = _perm_params(32)
+    sigs = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x31") + F.lit(b)) % F.lit((1 << 31) - 1)).alias(
+                f"sig_{i}"
+            )
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(j)),
+                *[F.col(f"sig_{j * 4 + r}").cast("string") for r in range(4)],
+            )
+        )
+        for j in range(8)
+    ]
+    banded = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
+    )
+    a = banded.select(F.col("doc_id").alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band_idx", "band_hash")
+    cand = (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = sets.select(F.col("doc_id").alias("id_a"), F.col("sset").alias("set_a"))
+    gb = sets.select(F.col("doc_id").alias("id_b"), F.col("sset").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = F.size(F.array_union("set_a", "set_b")).cast("double")
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def simhash_md5_replay_near_dup_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Charikar SimHash with the feature hash swapped xxhash64 → md5 so the
+    WHOLE pipeline (per-occurrence ±1 bit sums → sign signature → 4×16-bit
+    pigeonhole chunks → chunk-collision self-join → Hamming verify ≤ 3)
+    replays in DuckDB — the md5-replay gate for the simhash family, same
+    split as ``minhash_md5_replay_near_dup_documents`` one function up:
+    ``simhash_near_dup_documents`` stays the xxhash64 production path
+    (cheaper hash, same algorithm), this sibling is the hash-checked
+    correctness instrument. The 64-bit feature hash is carried as two
+    32-bit halves (hi/lo from the digest's first 16 hex chars) so neither
+    engine ever casts an unsigned 64-bit value into a signed long, and the
+    signature lives as the 4 chunk ints directly — Hamming distance is the
+    sum of per-chunk XOR popcounts, bit-identical integer arithmetic on
+    both engines with no float policy at all."""
+    aug = fan_out(_near_dup_corpus(load_table(spark, sf_dir, "documents")))
+    exploded = (
+        aug.select(
+            "doc_id",
+            F.explode_outer(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+    )
+    md5c = F.md5(F.col("tok"))
+    hashed = exploded.select(
+        "doc_id",
+        F.conv(F.substring(md5c, 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring(md5c, 9, 8), 16, 10).cast("bigint").alias("lo"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("lo" if i < 32 else "hi"), i % 32)
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
+    chunk_cols = []
+    for j in range(4):
+        c = F.lit(0)
+        for r in range(16):
+            c = c + F.when(F.col(f"b{j * 16 + r}") > 0, F.lit(1 << r)).otherwise(0)
+        chunk_cols.append(c.cast("bigint").alias(f"c{j}"))
+    sigs = sums.select("doc_id", *chunk_cols)
+    chunked = sigs.select(
+        "doc_id",
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        F.posexplode(F.array("c0", "c1", "c2", "c3")).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunked.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"c{j}").alias(f"a{j}") for j in range(4)],
+        "chunk_idx",
+        "chunk_val",
+    )
+    b = chunked.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"c{j}").alias(f"b{j}") for j in range(4)],
+        "chunk_idx",
+        "chunk_val",
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}"))) for j in range(4)
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+def _simhash_md5_replay_oracle() -> str:
+    """DuckDB replay of the md5-SimHash pipeline above: same augmented
+    corpus, per-occurrence token hashes (hi/lo 32-bit halves, big-endian
+    nibble decode), 64 conditional bit sums, chunk assembly, pigeonhole
+    self-join, XOR-popcount Hamming ≤ 3. Pure integer arithmetic."""
+
+    def bit(i: int) -> str:
+        return f"((lo >> {i}) & 1)" if i < 32 else f"((hi >> {i - 32}) & 1)"
+
+    def half(start: int) -> str:
+        return f"""CAST(list_sum(list_transform(range(8),
+               k -> CAST(instr('0123456789abcdef',
+                               substr(md5(tok), CAST(k + {start} AS INTEGER), 1)) - 1
+                         AS BIGINT)
+                    * (CAST(1 AS BIGINT) << CAST(4 * (7 - k) AS INTEGER))))
+                AS BIGINT)"""
+
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN {bit(i)} = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(64)
+    )
+    chunk_exprs = ",\n           ".join(
+        "("
+        + " | ".join(
+            f"(CASE WHEN b{j * 16 + r} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(16)
+        )
+        + f") AS c{j}"
+        for j in range(4)
+    )
+    ham = " + ".join(f"bit_count(CAST(xor(a.c{j}, b.c{j}) AS BIGINT))" for j in range(4))
+    return rf"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), aug AS MATERIALIZED (
+    SELECT doc_id, toks FROM base
+    UNION ALL
+    SELECT doc_id + 1000000,
+           toks[1:GREATEST(CAST(CEIL(len(toks) * 0.8) AS INTEGER), 1)]
+    FROM base WHERE doc_id % 20 = 0
+), exploded AS (
+    SELECT doc_id, unnest(toks) AS tok FROM aug
+), hashed AS (
+    SELECT doc_id,
+           {half(1)} AS hi,
+           {half(9)} AS lo
+    FROM exploded
+), sums AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM hashed GROUP BY doc_id
+), sigs AS MATERIALIZED (
+    SELECT doc_id,
+           {chunk_exprs}
+    FROM sums
+), chunked AS MATERIALIZED (
+    SELECT doc_id, c0, c1, c2, c3, v.chunk_idx,
+           CASE v.chunk_idx WHEN 0 THEN c0 WHEN 1 THEN c1
+                            WHEN 2 THEN c2 ELSE c3 END AS chunk_val
+    FROM sigs, (VALUES (0), (1), (2), (3)) v(chunk_idx)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           {ham} AS hamming
+    FROM chunked a JOIN chunked b USING (chunk_idx, chunk_val)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+FROM cand WHERE hamming <= 3
+"""
+
+
+SIMHASH_MD5_REPLAY_NEAR_DUP_DOCUMENTS_ORACLE = _simhash_md5_replay_oracle()
+
+
+def _minhash_md5_replay_oracle() -> str:
+    """DuckDB replay of the md5-MinHash pipeline above, step for step:
+    same augmented corpus, same string shingles, same md5→31-bit fold
+    (big-endian nibble decode of the first 8 hex chars), the same 32
+    (a,b) literals from _perm_params, md5 band keys, banded self-join,
+    exact-Jaccard verify at 0.5. Multiply-consumed CTEs are MATERIALIZED
+    (DuckDB inlines CTEs; the sets relation feeds three consumers)."""
+    from data_ingestion_pipeline_spark.dedup.minhash import _perm_params
+
+    p31 = (1 << 31) - 1
+    sig_exprs = ",\n           ".join(
+        f"MIN(({a} * x31 + {b}) % {p31}) AS sig_{i}"
+        for i, (a, b) in enumerate(_perm_params(32))
+    )
+    band_rows = ",\n".join(
+        "        ({j}, md5('{j}' || ':' || ".format(j=j)
+        + " || ':' || ".join(f"CAST(sig_{4 * j + r} AS VARCHAR)" for r in range(4))
+        + "))"
+        for j in range(8)
+    )
+    return rf"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), aug AS MATERIALIZED (
+    SELECT doc_id, toks FROM base
+    UNION ALL
+    SELECT doc_id + 1000000,
+           toks[1:GREATEST(CAST(CEIL(len(toks) * 0.8) AS INTEGER), 1)]
+    FROM base WHERE doc_id % 20 = 0
+), sets AS MATERIALIZED (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, GREATEST(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+           )) AS sset
+    FROM aug
+), exploded AS (
+    SELECT doc_id, unnest(sset) AS shingle FROM sets
+), hashed AS (
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(8),
+               k -> CAST(instr('0123456789abcdef',
+                               substr(md5(shingle), CAST(k + 1 AS INTEGER), 1)) - 1
+                         AS BIGINT)
+                    * (CAST(1 AS BIGINT) << CAST(4 * (7 - k) AS INTEGER))))
+                AS BIGINT) & {p31} AS x31
+    FROM exploded
+), sigs AS MATERIALIZED (
+    SELECT doc_id,
+           {sig_exprs}
+    FROM hashed GROUP BY doc_id
+), banded AS MATERIALIZED (
+    SELECT doc_id, b.band_idx, b.band_hash
+    FROM sigs, LATERAL (SELECT * FROM (VALUES
+{band_rows}
+    ) v(band_idx, band_hash)) b
+), cand AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b USING (band_idx, band_hash)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+             / CAST(len(sa.sset) + len(sb.sset)
+                    - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE), 6) AS jaccard
+FROM cand
+JOIN sets sa ON sa.doc_id = id_a
+JOIN sets sb ON sb.doc_id = id_b
+WHERE ROUND(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+            / CAST(len(sa.sset) + len(sb.sset)
+                   - len(list_intersect(sa.sset, sb.sset)) AS DOUBLE), 6) >= 0.5
+"""
+
+
+MINHASH_MD5_REPLAY_NEAR_DUP_DOCUMENTS_ORACLE = _minhash_md5_replay_oracle()
 
 
 def _near_dup_embeddings(emb: DataFrame) -> DataFrame:

@@ -376,6 +376,8 @@ _ROUND10_QUEUE: list[str] = [
     "hits_authorities_parts",
     "ann_pq_sample_adc_topk_embeddings",
     "kcore_peel_copurchase_parts",
+    "minhash_md5_replay_near_dup_documents",
+    "simhash_md5_replay_near_dup_documents",
 ]
 
 
@@ -875,6 +877,18 @@ register(
 )
 
 register("minhash_near_dup_documents", llm_data.minhash_near_dup_documents, None)
+
+register(
+    "minhash_md5_replay_near_dup_documents",
+    llm_data.minhash_md5_replay_near_dup_documents,
+    llm_data.MINHASH_MD5_REPLAY_NEAR_DUP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "simhash_md5_replay_near_dup_documents",
+    llm_data.simhash_md5_replay_near_dup_documents,
+    llm_data.SIMHASH_MD5_REPLAY_NEAR_DUP_DOCUMENTS_ORACLE,
+)
 
 register(
     "minhash_scale_recall_documents",

@@ -324,3 +324,29 @@ def test_kcore_round6_is_the_fixpoint(spark, sf_dir):
     )
     k = max(m // max(n, 1), 2)
     assert min(d for _, d in r6) >= k
+
+def test_md5_replay_dedup_siblings_structural(spark, sf_dir):
+    """Structural gates for the two md5-replay dedup siblings (their value
+    correctness is hash-checked by the DuckDB oracles; this pins the
+    planted-duplicate semantics): the minhash replay at B=8/R=4 recovers
+    EVERY planted 80%-prefix pair at sf0.001 (J≈0.8 >> the (1/B)^(1/R)
+    ≈0.59 crossover), all its jaccards clear the 0.5 verify cut, and the
+    simhash replay returns only pairs within the pigeonhole's hamming<=3
+    contract (planted pairs mostly exceed hamming 3 under 20% token churn
+    -- a property of SimHash, so only SOME planted pairs appear)."""
+    from data_ingestion_pipeline_spark.operators.llm_data import (
+        minhash_md5_replay_near_dup_documents,
+        simhash_md5_replay_near_dup_documents,
+    )
+
+    mh = minhash_md5_replay_near_dup_documents(spark, sf_dir).collect()
+    planted = {(r["id_a"], r["id_b"]) for r in mh if r["id_b"] == r["id_a"] + 1000000}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id % 20 = 0"
+    ).count()
+    assert len(planted) == n_docs  # 25/25 at sf0.001, measured on landing
+    assert all(r["jaccard"] >= 0.5 for r in mh)
+
+    sh = simhash_md5_replay_near_dup_documents(spark, sf_dir).collect()
+    assert sh and all(0 <= r["hamming"] <= 3 for r in sh)
+    assert any(r["id_b"] == r["id_a"] + 1000000 for r in sh)
