@@ -157,6 +157,21 @@ PROBES = [
     # grow linearly under doc_id offsets (replicated docs inflate counts,
     # vocabulary stays fixed)
     ("bigram_perplexity_documents", ["documents"]),
+    # round-9 continuation: HITS/k-core — orderkey offsets replicate orders
+    # with identical cust/part composition, so the DISTINCT edge sets stay
+    # ~fixed and the probe reads on the 16x edge-build scan + aggregates
+    # (the logrank/gini class); k-core's support>=2 prune additionally
+    # admits more pairs as support inflates. PQ-ADC: the corpus (and the
+    # encode matmul volume) grows 16x, stride adjusts. The md5-replay
+    # dedup probes carry the embedding_lsh_near_dup caveat: offset
+    # replicas are EXACT copies, so every replica group collides in all
+    # bands and verified pairs grow ~replica² — super-linear output by
+    # construction, the probe reads on signature build staying linear.
+    ("hits_authorities_parts", ["orders", "lineitem"]),
+    ("kcore_peel_copurchase_parts", ["lineitem"]),
+    ("ann_pq_sample_adc_topk_embeddings", ["embeddings"]),
+    ("minhash_md5_replay_near_dup_documents", ["documents"]),
+    ("simhash_md5_replay_near_dup_documents", ["documents"]),
 ]
 
 KEY_OFFSETS = {
