@@ -39,6 +39,7 @@ __all__ = [
     "zipf_fit_tokens",
     "top_bigram_collocations_documents",
     "rake_keywords_documents",
+    "textrank_terms_documents",
     "arrow_vector_norms_embeddings",
     "kmeans_lloyd_embeddings",
     "label_centroid_similarity_embeddings",
@@ -1119,6 +1120,129 @@ SELECT CAST(rk AS INT) AS rk, phrase, n_words, n_occurrences, score FROM (
 
 
 RAKE_KEYWORDS_DOCUMENTS_ORACLE = _rake_oracle()
+
+
+def textrank_terms_documents(
+    spark: SparkSession, sf_dir: str, iters: int = 3
+) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004): WEIGHTED PageRank over the corpus
+    token-adjacency graph — the graph-centrality keyword scorer next to
+    RAKE's degree/frequency heuristic one function up, and the weighted
+    complement of the unweighted ``pagerank_copurchase_parts`` loop.
+    Nodes are terms, undirected edge weight = corpus-wide adjacency count
+    (window 2, self-adjacencies dropped), and each iteration moves rank
+    along WS(v) = 0.15 + 0.85·Σ_u (w_uv / S(u))·WS(u) with S(u) the node
+    strength. Scores all terms rather than cutting a top-k: the fixture
+    vocabulary is bounded, and a caller ranks downstream.
+
+    Scale shape: the corpus-∝ work is ONE narrow pass (zip_with of two
+    array slices → explode) into a bigram-grain count — no window over the
+    token stream, no self-join; the iteration joins a vocabulary-sized
+    rank map into the checkpointed weighted edge list (broadcast under
+    the session ceiling via the PageRank gate, shuffled past it — real
+    corpora push vocabularies into the millions). Exactness: w_uv/S(u)
+    and the ws products are bitwise-identical doubles, per-term sums fold
+    in DECIMAL(38,18), and each iterate re-rounds at 9 — the
+    pagerank/HITS iterative contract.
+    """
+    from data_ingestion_pipeline_spark.plans.join_strategies import (
+        auto_broadcast_threshold,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(t)
+    prs = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    und = (
+        docs.select(F.explode(prs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    edges = und.selectExpr("a as src", "b as dst", "w").unionByName(
+        und.selectExpr("b as src", "a as dst", "w")
+    ).localCheckpoint()
+    strength = (
+        edges.groupBy("src")
+        .agg(F.sum("w").cast("bigint").alias("s"))
+        .localCheckpoint(eager=False)  # feeds the scalar count + every iteration
+    )
+    n_terms = strength.count()  # bounded scalar action (PageRank's n policy)
+    ceiling = auto_broadcast_threshold(spark)
+    small = ceiling >= 0 and n_terms * 48 <= ceiling
+    ws = strength.select(F.col("src").alias("term"), F.lit(1.0).alias("ws"))
+    for _ in range(iters):
+        out_mass = ws.join(strength, ws.term == strength.src).select(
+            F.col("src").alias("u"),
+            (F.col("ws") / F.col("s").cast("double")).alias("c"),
+        )
+        if small:
+            out_mass = F.broadcast(out_mass)
+        contrib = edges.join(out_mass, edges.src == F.col("u")).select(
+            F.col("dst").alias("term"),
+            (F.col("w").cast("double") * F.col("c")).alias("m"),
+        )
+        ws = contrib.groupBy("term").agg(
+            F.round(
+                F.lit(0.15)
+                + F.lit(0.85) * dec_sum(F.col("m"), 38, 18).cast("double"),
+                9,
+            ).alias("ws")
+        )
+    return ws.select("term", F.round("ws", 6).cast("double").alias("textrank"))
+
+
+def _textrank_oracle(iters: int = 3) -> str:
+    head = r"""
+WITH base AS (
+    SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+und AS MATERIALIZED (
+    SELECT least(w1, w2) AS a, greatest(w1, w2) AS b,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM (
+        SELECT unnest(toks[1:len(toks)-1]) AS w1,
+               unnest(toks[2:len(toks)]) AS w2
+        FROM base
+    ) WHERE w1 <> w2
+    GROUP BY 1, 2
+),
+edges AS MATERIALIZED (
+    SELECT a AS src, b AS dst, w FROM und
+    UNION ALL
+    SELECT b, a, w FROM und
+),
+st AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS s FROM edges GROUP BY src),
+r0 AS (SELECT src AS term, 1.0 AS ws FROM st)"""
+    blocks = []
+    for k in range(1, iters + 1):
+        blocks.append(f"""
+, r{k} AS MATERIALIZED (
+    SELECT e.dst AS term,
+           ROUND(0.15 + 0.85 * CAST(SUM(CAST(
+               CAST(e.w AS DOUBLE) * (r.ws / CAST(st.s AS DOUBLE))
+           AS DECIMAL(38,18))) AS DOUBLE), 9) AS ws
+    FROM edges e JOIN r{k-1} r ON e.src = r.term JOIN st ON st.src = e.src
+    GROUP BY e.dst
+)""")
+    return (
+        head
+        + "".join(blocks)
+        + f"""
+SELECT term, CAST(ROUND(ws, 6) AS DOUBLE) AS textrank FROM r{iters}
+"""
+    )
+
+
+TEXTRANK_TERMS_DOCUMENTS_ORACLE = _textrank_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -378,6 +378,7 @@ _ROUND10_QUEUE: list[str] = [
     "kcore_peel_copurchase_parts",
     "minhash_md5_replay_near_dup_documents",
     "simhash_md5_replay_near_dup_documents",
+    "textrank_terms_documents",
 ]
 
 
@@ -2170,6 +2171,12 @@ register(
     "rake_keywords_documents",
     mlprep_checks.rake_keywords_documents,
     mlprep_checks.RAKE_KEYWORDS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "textrank_terms_documents",
+    mlprep_checks.textrank_terms_documents,
+    mlprep_checks.TEXTRANK_TERMS_DOCUMENTS_ORACLE,
 )
 
 register(

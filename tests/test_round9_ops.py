@@ -350,3 +350,50 @@ def test_md5_replay_dedup_siblings_structural(spark, sf_dir):
     sh = simhash_md5_replay_near_dup_documents(spark, sf_dir).collect()
     assert sh and all(0 <= r["hamming"] <= 3 for r in sh)
     assert any(r["id_b"] == r["id_a"] + 1000000 for r in sh)
+
+def test_textrank_one_iteration_closed_form(spark, sf_dir):
+    """With WS0 = 1, the first TextRank iterate is the closed form
+    0.15 + 0.85 * sum_u w_uv / S(u) — computed directly here from the
+    same adjacency counts, pinning the weighted-propagation machinery
+    (the HITS normalized-indegree gate's analog for the weighted loop)."""
+    from data_ingestion_pipeline_spark.operators.mlprep_checks import (
+        textrank_terms_documents,
+    )
+
+    got = {
+        r["term"]: r["textrank"]
+        for r in textrank_terms_documents(spark, sf_dir, iters=1).collect()
+    }
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(t)
+    prs = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    rows = (
+        docs.select(F.explode(prs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter(F.col("w1") != F.col("w2"))
+        .collect()
+    )
+    from collections import Counter
+
+    w = Counter()
+    for r in rows:
+        a, b = sorted((r["w1"], r["w2"]))
+        w[(a, b)] += 1
+    adj = {}
+    for (a, b), c in w.items():
+        adj.setdefault(a, {})[b] = c
+        adj.setdefault(b, {})[a] = c
+    strength = {u: sum(vs.values()) for u, vs in adj.items()}
+    assert set(got) == set(strength)
+    for v in strength:
+        expect = 0.15 + 0.85 * sum(
+            w[tuple(sorted((u, v)))] / strength[u] for u in adj[v]
+        )
+        assert abs(got[v] - expect) < 1e-6, v
+    assert all(s >= 0.15 for s in got.values())

@@ -172,6 +172,11 @@ PROBES = [
     ("ann_pq_sample_adc_topk_embeddings", ["embeddings"]),
     ("minhash_md5_replay_near_dup_documents", ["documents"]),
     ("simhash_md5_replay_near_dup_documents", ["documents"]),
+    # textrank: doc_id offsets replicate the corpus — bigram counts inflate
+    # 16x over the SAME fixed vocabulary (edge set unchanged, weights x16,
+    # w/S ratios identical), so the probe reads on the one corpus-∝
+    # adjacency pass staying linear; iteration cost is vocabulary-sized.
+    ("textrank_terms_documents", ["documents"]),
 ]
 
 KEY_OFFSETS = {
