@@ -44,6 +44,7 @@ __all__ = [
     "hits_authorities_parts",
     "kcore_peel_copurchase_parts",
     "chi_square_event_dow",
+    "mutual_information_event_dow",
     "robust_outliers_mad",
     "twap_user_day",
     "ewma_user_value",
@@ -1299,6 +1300,69 @@ def chi_square_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chi2_component")
         )
     )
+
+
+def mutual_information_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mutual-information contribution against ISO weekday —
+    the information-theoretic member of the association family beside the
+    chi-square scan above and Cramér's V (effect size): I(X;Y) =
+    Σ (n_xy/N)·ln(N·n_xy/(n_x·n_y)), reported per event type so the types
+    driving the dependence are visible (their sum is the corpus MI).
+
+    Same plan shape as the chi-square scan: ONE contingency aggregate
+    (35 cells), marginals via windows over that aggregate — the facts are
+    scanned once. Exactness via the house libm policy with the ratio
+    decomposed to INTEGER-only logarithms: ln(N·n_xy/(n_x·n_y)) =
+    ln N + ln n_xy − ln n_x − ln n_y, each ln of a bigint rounded at 9,
+    combined left-associatively in double, weighted by the exact ratio
+    n_xy/N, then summed in decimal — both engines sum identical terms.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.weekday("ts") + F.lit(1)).cast("int").alias("isodow")
+    ).agg(F.count("*").cast("bigint").alias("obs"))
+    nx = F.sum("obs").over(Window.partitionBy("event_type")).cast("bigint")
+    ny = F.sum("obs").over(Window.partitionBy("isodow")).cast("bigint")
+    n = F.sum("obs").over(Window.partitionBy()).cast("bigint")
+    m = cells.select("event_type", "obs", nx.alias("nx"), ny.alias("ny"), n.alias("n"))
+
+    def ln9(c: Column) -> Column:
+        return F.round(F.log(c.cast("double")), 9)
+
+    term = (F.col("obs").cast("double") / F.col("n").cast("double")) * (
+        ln9(F.col("n")) + ln9(F.col("obs")) - ln9(F.col("nx")) - ln9(F.col("ny"))
+    )
+    return (
+        m.select("event_type", term.alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.round(dec_sum(F.col("t"), 27, 12), 6)
+            .cast("double")
+            .alias("mi_component")
+        )
+    )
+
+
+MUTUAL_INFORMATION_EVENT_DOW_ORACLE = """
+WITH cells AS (
+    SELECT event_type, CAST(isodow(ts) AS INTEGER) AS isodow,
+           CAST(COUNT(*) AS BIGINT) AS obs
+    FROM events GROUP BY 1, 2
+), m AS (
+    SELECT event_type, obs,
+           CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS nx,
+           CAST(SUM(obs) OVER (PARTITION BY isodow) AS BIGINT) AS ny,
+           CAST(SUM(obs) OVER () AS BIGINT) AS n
+    FROM cells
+)
+SELECT event_type,
+       CAST(ROUND(CAST(SUM(CAST(
+           (CAST(obs AS DOUBLE) / CAST(n AS DOUBLE)) *
+           (ROUND(ln(CAST(n AS DOUBLE)), 9) + ROUND(ln(CAST(obs AS DOUBLE)), 9)
+            - ROUND(ln(CAST(nx AS DOUBLE)), 9) - ROUND(ln(CAST(ny AS DOUBLE)), 9))
+       AS DECIMAL(27,12))) AS DOUBLE), 6) AS DOUBLE) AS mi_component
+FROM m GROUP BY event_type
+"""
 
 
 CHI_SQUARE_EVENT_DOW_ORACLE = """

@@ -379,6 +379,7 @@ _ROUND10_QUEUE: list[str] = [
     "minhash_md5_replay_near_dup_documents",
     "simhash_md5_replay_near_dup_documents",
     "textrank_terms_documents",
+    "mutual_information_event_dow",
 ]
 
 
@@ -1845,6 +1846,12 @@ register(
     "kcore_peel_copurchase_parts",
     analytics_checks.kcore_peel_copurchase_parts,
     analytics_checks.KCORE_PEEL_COPURCHASE_PARTS_ORACLE,
+)
+
+register(
+    "mutual_information_event_dow",
+    analytics_checks.mutual_information_event_dow,
+    analytics_checks.MUTUAL_INFORMATION_EVENT_DOW_ORACLE,
 )
 
 register(

@@ -397,3 +397,44 @@ def test_textrank_one_iteration_closed_form(spark, sf_dir):
         )
         assert abs(got[v] - expect) < 1e-6, v
     assert all(s >= 0.15 for s in got.values())
+
+def test_mutual_information_matches_direct_computation(spark, sf_dir):
+    """MI components recomputed directly from the contingency table with
+    python floats under the same integer-ln-rounded policy; the total MI
+    (sum of per-type components) must be non-negative (it is an exact MI,
+    only the ln terms are rounded at 1e-9)."""
+    import math
+    from collections import Counter
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        mutual_information_event_dow,
+    )
+
+    got = {
+        r["event_type"]: r["mi_component"]
+        for r in mutual_information_event_dow(spark, sf_dir).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", (F.weekday("ts") + F.lit(1)).alias("dow"))
+        .collect()
+    )
+    cells = Counter((r["event_type"], r["dow"]) for r in rows)
+    nx = Counter()
+    ny = Counter()
+    for (x, y), c in cells.items():
+        nx[x] += c
+        ny[y] += c
+    n = sum(cells.values())
+
+    def ln9(v):
+        return round(math.log(v), 9)
+
+    expect = {}
+    for (x, y), c in cells.items():
+        t = (c / n) * (ln9(n) + ln9(c) - ln9(nx[x]) - ln9(ny[y]))
+        expect[x] = expect.get(x, 0.0) + t
+    assert set(got) == set(expect)
+    for x in expect:
+        assert abs(got[x] - expect[x]) < 1e-6, x
+    assert sum(got.values()) >= -1e-9
