@@ -30,6 +30,7 @@ __all__ = [
     "regression_price_quantity_by_flag",
     "welch_ttest_purchase_view_daily",
     "markov_event_transitions",
+    "absorbing_expected_steps_to_purchase",
     "frequent_event_sequences",
     "sorted_neighborhood_pairs_parts",
     "adamic_adar_link_prediction_parts",
@@ -793,6 +794,107 @@ SELECT event_type, next_type, n_transitions,
                          AS DOUBLE), 6) AS DOUBLE) AS prob
 FROM trans
 """
+
+
+def absorbing_expected_steps_to_purchase(
+    spark: SparkSession, sf_dir: str, horizon: int = 6
+) -> DataFrame:
+    """Expected events until the next 'purchase', per current event type —
+    the absorbing-Markov-chain readout of the transition matrix one
+    function up ('purchase' absorbing, everything else transient). The
+    fundamental-matrix expectation t = (I−Q)⁻¹·1 is evaluated as the
+    truncated Neumann recursion t_{m+1} = 1 + Q·t_m through ``horizon``
+    terms — matrix inversion is neither SQL-replayable nor
+    iteration-bounded, the recursion is both; the output is the exact
+    expected step count over ≤horizon-step paths (a lower bound
+    converging monotonically to the true expectation, stated in the
+    column name).
+
+    Scale shape: the corpus-∝ work is the SAME single per-user lead()
+    pass the transition matrix runs; everything after lives on the
+    |types|²-row aggregate (pinned, so the fact-stream window runs once,
+    not once per iteration). Exactness: Q entries are exact bigint-ratio
+    doubles, per-type sums fold in DECIMAL(38,18), iterates re-round at
+    9 — the iterative contract."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = Window.partitionBy("event_type")
+    pm = trans.select(
+        "event_type",
+        "next_type",
+        (F.col("c").cast("double") / F.sum("c").over(tot).cast("double")).alias("p"),
+    ).localCheckpoint(eager=False)  # |types|² rows; feeds q, types, every iter
+    q = pm.filter(
+        (F.col("event_type") != "purchase") & (F.col("next_type") != "purchase")
+    )
+    types = pm.filter(F.col("event_type") != "purchase").select("event_type").distinct()
+    t = types.select(F.col("event_type").alias("y"), F.lit(0.0).alias("t"))
+    for _ in range(horizon):
+        s = (
+            q.join(F.broadcast(t), q.next_type == t.y)
+            .groupBy("event_type")
+            .agg(
+                F.sum((F.col("p") * F.col("t")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        t = types.join(s, "event_type", "left").select(
+            F.col("event_type").alias("y"),
+            F.round(F.lit(1.0) + F.coalesce(F.col("s"), F.lit(0.0)), 9).alias("t"),
+        )
+    return t.select(
+        F.col("y").alias("event_type"), F.col("t").alias("expected_steps_h6")
+    )
+
+
+def _absorbing_oracle(horizon: int = 6) -> str:
+    head = """
+WITH seq AS (
+    SELECT event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+    FROM events
+), trans AS (
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+), pm AS MATERIALIZED (
+    SELECT event_type, next_type,
+           CAST(c AS DOUBLE)
+           / CAST(SUM(c) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+    FROM trans
+), q AS MATERIALIZED (
+    SELECT * FROM pm WHERE event_type <> 'purchase' AND next_type <> 'purchase'
+), ty AS MATERIALIZED (
+    SELECT DISTINCT event_type FROM pm WHERE event_type <> 'purchase'
+), t0 AS (SELECT event_type AS y, 0.0 AS t FROM ty)"""
+    blocks = []
+    for m in range(1, horizon + 1):
+        blocks.append(f"""
+, t{m} AS (
+    SELECT ty.event_type AS y, ROUND(1.0 + COALESCE(s.s, 0.0), 9) AS t
+    FROM ty LEFT JOIN (
+        SELECT q.event_type,
+               CAST(SUM(CAST(q.p * r.t AS DECIMAL(38,18))) AS DOUBLE) AS s
+        FROM q JOIN t{m-1} r ON q.next_type = r.y GROUP BY q.event_type
+    ) s ON s.event_type = ty.event_type
+)""")
+    return (
+        head
+        + "".join(blocks)
+        + f"""
+SELECT y AS event_type, t AS expected_steps_h6 FROM t{horizon}
+"""
+    )
+
+
+ABSORBING_EXPECTED_STEPS_TO_PURCHASE_ORACLE = _absorbing_oracle()
 
 
 # ---------------------------------------------------------------------------

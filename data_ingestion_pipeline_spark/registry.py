@@ -380,6 +380,7 @@ _ROUND10_QUEUE: list[str] = [
     "simhash_md5_replay_near_dup_documents",
     "textrank_terms_documents",
     "mutual_information_event_dow",
+    "absorbing_expected_steps_to_purchase",
 ]
 
 
@@ -1816,6 +1817,12 @@ register(
     "markov_event_transitions",
     analytics_checks.markov_event_transitions,
     analytics_checks.MARKOV_EVENT_TRANSITIONS_ORACLE,
+)
+
+register(
+    "absorbing_expected_steps_to_purchase",
+    analytics_checks.absorbing_expected_steps_to_purchase,
+    analytics_checks.ABSORBING_EXPECTED_STEPS_TO_PURCHASE_ORACLE,
 )
 
 register(

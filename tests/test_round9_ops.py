@@ -438,3 +438,57 @@ def test_mutual_information_matches_direct_computation(spark, sf_dir):
     for x in expect:
         assert abs(got[x] - expect[x]) < 1e-6, x
     assert sum(got.values()) >= -1e-9
+
+def test_absorbing_expected_steps_numpy_parity(spark, sf_dir):
+    """Truncated-Neumann expected steps recomputed with numpy from the
+    same bigram stream; also pins the truncation semantics: every value
+    lies in [1, horizon] and the horizon-6 iterate dominates horizon-5
+    (the recursion is monotone toward the true expectation)."""
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        absorbing_expected_steps_to_purchase,
+    )
+
+    got = {
+        r["event_type"]: r["expected_steps_h6"]
+        for r in absorbing_expected_steps_to_purchase(spark, sf_dir).collect()
+    }
+    h5 = {
+        r["event_type"]: r["expected_steps_h6"]
+        for r in absorbing_expected_steps_to_purchase(
+            spark, sf_dir, horizon=5
+        ).collect()
+    }
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = (
+        ev.select("event_type", F.lead("event_type").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("event_type", "nxt")
+        .count()
+        .collect()
+    )
+    from collections import Counter
+
+    c = {(r["event_type"], r["nxt"]): r["count"] for r in rows}
+    tot = Counter()
+    for (x, _), n in c.items():
+        tot[x] += n
+    trans = sorted({x for x, _ in c} - {"purchase"})
+    idx = {x: i for i, x in enumerate(trans)}
+    Q = np.zeros((len(trans), len(trans)))
+    for (x, y), n in c.items():
+        if x in idx and y in idx:
+            Q[idx[x], idx[y]] = n / tot[x]
+    t = np.zeros(len(trans))
+    for _ in range(6):
+        t = np.round(1.0 + Q @ t, 9)
+    assert set(got) == set(trans)
+    for x in trans:
+        assert abs(got[x] - t[idx[x]]) < 1e-6, x
+        assert 1.0 <= got[x] <= 6.0
+        assert got[x] >= h5[x] - 1e-9
