@@ -381,6 +381,7 @@ _ROUND10_QUEUE: list[str] = [
     "textrank_terms_documents",
     "mutual_information_event_dow",
     "absorbing_expected_steps_to_purchase",
+    "fellegi_sunter_part_linkage",
 ]
 
 
@@ -1835,6 +1836,12 @@ register(
     "fuzzy_part_name_pairs",
     analytics_checks.fuzzy_part_name_pairs,
     analytics_checks.FUZZY_PART_NAME_PAIRS_ORACLE,
+)
+
+register(
+    "fellegi_sunter_part_linkage",
+    analytics_checks.fellegi_sunter_part_linkage,
+    analytics_checks.FELLEGI_SUNTER_PART_LINKAGE_ORACLE,
 )
 
 register(

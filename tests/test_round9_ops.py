@@ -492,3 +492,67 @@ def test_absorbing_expected_steps_numpy_parity(spark, sf_dir):
         assert abs(got[x] - t[idx[x]]) < 1e-6, x
         assert 1.0 <= got[x] <= 6.0
         assert got[x] >= h5[x] - 1e-9
+
+def test_fellegi_sunter_equals_brute_force_enumeration(spark, sf_dir):
+    """The candidate-union + closed-form-u design must return EXACTLY the
+    positive-weight pairs of the naive full blocked enumeration (a pair
+    disagreeing on every field has strictly negative weight, so the union
+    of per-field agreement joins loses nothing) — asserted pairwise
+    including n_agree and the rounded weight."""
+    import math
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        fellegi_sunter_part_linkage,
+    )
+
+    got = {
+        (r["a_partkey"], r["b_partkey"]): (r["n_agree"], r["weight"])
+        for r in fellegi_sunter_part_linkage(spark, sf_dir).collect()
+    }
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").collect()
+    rows = [(r["p_partkey"], r["p_name"], r["p_brand"], r["p_type"], r["p_size"]) for r in part]
+    import itertools
+
+    def lev(s, t):
+        if len(s) < len(t):
+            s, t = t, s
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s):
+            cur = [i + 1]
+            for j, ct in enumerate(t):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    pairs = [
+        (a, b)
+        for a, b in itertools.combinations(sorted(rows), 2)
+        if a[4] == b[4]
+    ]
+    flags = [
+        (a[0], b[0], int(lev(a[1], b[1]) <= 1), int(a[2] == b[2]), int(a[3] == b[3]))
+        for a, b in pairs
+    ]
+    n = len(flags)
+    c = [sum(f[2] for f in flags), sum(f[3] for f in flags), sum(f[4] for f in flags)]
+
+    def ln9(v):
+        return round(math.log(v), 9)
+
+    lm, l1m = math.log(0.9), math.log(0.1)
+    expect = {}
+    for ak, bk, *ag in flags:
+        wsum = 0.0
+        for i, a_i in enumerate(ag):
+            if a_i:
+                wsum += lm + ln9(n) - ln9(c[i])
+            else:
+                wsum += l1m + ln9(n) - ln9(n - c[i])
+        w = round(wsum, 6)
+        if w > 0:
+            expect[(ak, bk)] = (sum(ag), w)
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        assert abs(got[k][1] - expect[k][1]) < 1e-6

@@ -177,6 +177,19 @@ PROBES = [
     # w/S ratios identical), so the probe reads on the one corpus-∝
     # adjacency pass staying linear; iteration cost is vocabulary-sized.
     ("textrank_terms_documents", ["documents"]),
+    # MI/absorbing-chain: the result grains are |types|-bounded (35-cell
+    # contingency, |types|^2 transition matrix) and do NOT grow under
+    # event_id-offset replication — the probes read on the events scan
+    # (MI) and the per-user lead() pass (absorbing) staying linear, the
+    # logrank/msprt class.
+    ("mutual_information_event_dow", ["events"]),
+    ("absorbing_expected_steps_to_purchase", ["events"]),
+    # F-S linkage: p_partkey offsets GROW the catalog, so p_size blocks
+    # grow with the multiplier and the blocked pair grain is quadratic in
+    # block size by construction (mult² pairs) — probe at 4× like
+    # canonical_entities' pre-replan readings; the documented scale
+    # mitigation is banded blocking + sampled u's, not a bigger block scan.
+    ("fellegi_sunter_part_linkage", ["part"]),
 ]
 
 KEY_OFFSETS = {
