@@ -1133,9 +1133,12 @@ def fellegi_sunter_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c")
         )
 
-    name_pairs = _banded_name_pairs(spark, part, "p_partkey").filter(
-        F.col("edit_distance") <= 1
-    ).select(F.col("a_id").alias("a_key"), F.col("b_id").alias("b_key"))
+    name_pairs = (
+        _banded_name_pairs(spark, part, "p_partkey")
+        .filter(F.col("edit_distance") <= 1)
+        .select(F.col("a_id").alias("a_key"), F.col("b_id").alias("b_key"))
+        .localCheckpoint(eager=False)  # feeds the candidate union AND c_name
+    )
 
     def agree_pairs(col: str) -> DataFrame:
         a = part.select(F.col("p_partkey").alias("a_key"), "p_size", col)

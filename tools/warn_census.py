@@ -43,6 +43,7 @@ DOCUMENTED_BOUNDED = {
     "auc_lang_by_length_documents",  # value-grouped (n_chars domain)
     "cramers_v_event_type_dow",  # 35-cell contingency
     "chi_square_event_dow",  # 35-cell contingency
+    "mutual_information_event_dow",  # same 35-cell contingency aggregate
     "equidepth_histogram_orders",  # documented trade; approx sibling registered
     "kendall_tau_daily_purchase_view",  # day-series value groups
     # round-7 additions — each window runs over a post-limit head or a
