@@ -31,6 +31,7 @@ __all__ = [
     "hill_tail_index_orders",
     "tukey_hsd_event_values",
     "levene_bf_event_values",
+    "jackknife_ratio_metric_ab",
     "WILSON_CI_PURCHASE_RATE_DAILY_ORACLE",
     "ONEWAY_ANOVA_EVENT_VALUES_ORACLE",
     "GINI_LORENZ_CUSTOMER_SPEND_ORACLE",
@@ -38,6 +39,7 @@ __all__ = [
     "HILL_TAIL_INDEX_ORDERS_ORACLE",
     "TUKEY_HSD_EVENT_VALUES_ORACLE",
     "LEVENE_BF_EVENT_VALUES_ORACLE",
+    "JACKKNIFE_RATIO_METRIC_AB_ORACLE",
 ]
 
 _Z = 1.96  # 95% two-sided
@@ -1058,4 +1060,103 @@ SELECT day, n_a, n_b, mean_diff, lambda,
        ROUND(MIN(inv) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
                             AND CURRENT ROW), 6) AS p_always_valid
 FROM scored
+"""
+
+
+def jackknife_ratio_metric_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-USER-out jackknife standard error for a ratio metric
+    (value per event) per md5-derived experiment arm — the
+    clustered-by-user variance the per-event Welch t silently understates
+    when events within a user correlate (the delta-method/jackknife move
+    every experimentation platform makes for ratio metrics; Efron 1979 /
+    Quenouille). For arm sums Sx, Sy over user totals (x_u, y_u), the
+    leave-one-out replicates are R_u = (Sx−x_u)/(Sy−y_u) and
+    SE² = (n−1)/n · Σ(R_u − mean R)².
+
+    Scale shape: one hash-aggregation to user grain (the resampling
+    unit — this is what makes the jackknife O(users), not O(2ⁿ)), arm
+    sums broadcast back (2 rows), replicates and their moments in a
+    second bounded aggregate. Exactness: user totals and arm sums are
+    decimal folds, every replicate is a ratio of identical doubles, the
+    replicate moments fold in decimal, and the variance uses the ONE
+    fixed expression (n−1)/n·(ΣR² − (ΣR)²/n) with a GREATEST(·,0) guard —
+    the computational form cancels catastrophically in theory but both
+    engines cancel IDENTICALLY, and DuckDB's sqrt raises on a tiny
+    negative where Spark would return NaN, hence the shared guard."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    users = (
+        ev.select(arm.alias("arm"), "user_id", "value")
+        .groupBy("arm", "user_id")
+        .agg(
+            dec_sum(F.col("value"), 27, 12).cast("double").alias("x"),
+            F.count("*").cast("bigint").alias("y"),
+        )
+    )
+    sums = users.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        dec_sum(F.col("x"), 27, 12).cast("double").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    j = users.join(F.broadcast(sums), "arm")
+    r = (F.col("sx") - F.col("x")) / (F.col("sy") - F.col("y")).cast("double")
+    stats = (
+        j.select("arm", "n_users", "sx", "sy", r.alias("r"))
+        .groupBy("arm", "n_users", "sx", "sy")
+        .agg(
+            dec_sum(F.col("r"), 27, 15).cast("double").alias("sr"),
+            dec_sum(F.col("r") * F.col("r"), 38, 15).cast("double").alias("sr2"),
+        )
+    )
+    n = F.col("n_users").cast("double")
+    var = (n - F.lit(1.0)) / n * (F.col("sr2") - F.col("sr") * F.col("sr") / n)
+    return stats.select(
+        "arm",
+        "n_users",
+        F.round(F.col("sx") / F.col("sy").cast("double"), 6)
+        .cast("double")
+        .alias("ratio_metric"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+        .cast("double")
+        .alias("jackknife_se"),
+    )
+
+
+JACKKNIFE_RATIO_METRIC_AB_ORACLE = """
+WITH users AS (
+    SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))
+                     AS BIGINT) % 2 = 0
+                THEN 'A' ELSE 'B' END AS arm,
+           user_id,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+), sums AS (
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy
+    FROM users GROUP BY arm
+), reps AS (
+    SELECT u.arm, s.n_users, s.sx, s.sy,
+           (s.sx - u.x) / CAST(s.sy - u.y AS DOUBLE) AS r
+    FROM users u JOIN sums s ON u.arm = s.arm
+), stats AS (
+    SELECT arm, n_users, sx, sy,
+           CAST(SUM(CAST(r AS DECIMAL(27,15))) AS DOUBLE) AS sr,
+           CAST(SUM(CAST(r * r AS DECIMAL(38,15))) AS DOUBLE) AS sr2
+    FROM reps GROUP BY arm, n_users, sx, sy
+)
+SELECT arm, n_users,
+       CAST(ROUND(sx / CAST(sy AS DOUBLE), 6) AS DOUBLE) AS ratio_metric,
+       CAST(ROUND(SQRT(GREATEST(
+           (CAST(n_users AS DOUBLE) - 1.0) / CAST(n_users AS DOUBLE)
+           * (sr2 - sr * sr / CAST(n_users AS DOUBLE)), 0.0)), 6) AS DOUBLE)
+           AS jackknife_se
+FROM stats
 """

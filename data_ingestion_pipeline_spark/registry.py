@@ -382,6 +382,7 @@ _ROUND10_QUEUE: list[str] = [
     "mutual_information_event_dow",
     "absorbing_expected_steps_to_purchase",
     "fellegi_sunter_part_linkage",
+    "jackknife_ratio_metric_ab",
 ]
 
 
@@ -1644,6 +1645,12 @@ register(
     "msprt_always_valid_ab_daily",
     inference_stats.msprt_always_valid_ab_daily,
     inference_stats.MSPRT_ALWAYS_VALID_AB_DAILY_ORACLE,
+)
+
+register(
+    "jackknife_ratio_metric_ab",
+    inference_stats.jackknife_ratio_metric_ab,
+    inference_stats.JACKKNIFE_RATIO_METRIC_AB_ORACLE,
 )
 
 register(

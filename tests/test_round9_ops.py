@@ -556,3 +556,43 @@ def test_fellegi_sunter_equals_brute_force_enumeration(spark, sf_dir):
     for k in expect:
         assert got[k][0] == expect[k][0]
         assert abs(got[k][1] - expect[k][1]) < 1e-6
+
+def test_jackknife_ratio_matches_direct_replicates(spark, sf_dir):
+    """SE recomputed from explicitly materialized leave-one-user-out
+    replicates in python (the definitional centered form, not the
+    computational one the operator uses) — pins both the replicate
+    algebra and that the guard/cancellation shortcuts cost nothing at
+    fixture scale."""
+    import hashlib
+    import math
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        jackknife_ratio_metric_ab,
+    )
+
+    got = {
+        r["arm"]: (r["n_users"], r["ratio_metric"], r["jackknife_se"])
+        for r in jackknife_ratio_metric_ab(spark, sf_dir).collect()
+    }
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "value").collect()
+    totals = {}
+    for r in ev:
+        u = r["user_id"]
+        t = totals.setdefault(u, [0.0, 0])
+        t[0] += r["value"]
+        t[1] += 1
+    arms = {"A": [], "B": []}
+    for u, (x, y) in totals.items():
+        a = "A" if int(hashlib.md5(str(u).encode()).hexdigest()[:6], 16) % 2 == 0 else "B"
+        arms[a].append((x, y))
+    for a, rows in arms.items():
+        n = len(rows)
+        sx = sum(x for x, _ in rows)
+        sy = sum(y for _, y in rows)
+        reps = [(sx - x) / (sy - y) for x, y in rows]
+        m = sum(reps) / n
+        se = math.sqrt((n - 1) / n * sum((r - m) ** 2 for r in reps))
+        assert got[a][0] == n
+        assert abs(got[a][1] - sx / sy) < 1e-4
+        assert abs(got[a][2] - se) < 1e-6, (a, got[a][2], se)

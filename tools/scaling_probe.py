@@ -190,6 +190,11 @@ PROBES = [
     # canonical_entities' pre-replan readings; the documented scale
     # mitigation is banded blocking + sampled u's, not a bigger block scan.
     ("fellegi_sunter_part_linkage", ["part"]),
+    # jackknife: user grain grows only via new events per user (event_id
+    # offsets keep user_id verbatim) — the probe reads on the two
+    # hash-aggregation passes staying linear; replicate relations are
+    # user-grain, output is 2 rows.
+    ("jackknife_ratio_metric_ab", ["events"]),
 ]
 
 KEY_OFFSETS = {
