@@ -1090,11 +1090,16 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
 
 
 def fellegi_sunter_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi–Sunter probabilistic record linkage (1969) over the part
-    catalog — the match-WEIGHT scorer beside the edit-distance ER pair
-    (``fuzzy_part_name_pairs`` / ``canonical_entities_parts``): blocked
-    candidate pairs (p_size, the established blocking key) compare on
-    three fields (name levenshtein ≤ 1, brand equality, type equality);
+    """Fellegi–Sunter with DATA-ESTIMATED u parameters — the estimation
+    half of the F-S model that ``fellegi_sunter_linkage_parts`` (the
+    configured-weights decision-rule surface further down this module)
+    deliberately leaves as configuration: there u/m enter as literals and
+    the output is the three-class decision summary; here the u's (chance
+    agreement rates) are measured from the blocked-pair population itself
+    — the one F-S parameter that never needs labels — and the output is
+    the pair-grain match list. Blocked candidate pairs (p_size, the
+    established blocking key) compare on three fields (name
+    levenshtein ≤ 1, brand equality, type equality);
     each field contributes log(m/u) when it agrees and log((1−m)/(1−u))
     when it doesn't; pairs with positive total weight (more likely match
     than non-match under the model) are emitted with their agreement
@@ -5143,9 +5148,14 @@ def fellegi_sunter_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and mean match weight.
 
     The (m, u) parameters are configuration (no labeled pairs exist to EM
-    them from); their log-weights enter both engines as identical double
+    the m's from); their log-weights enter both engines as identical double
     literals, so each pair's weight is a short exact sum and the class
-    cut never rides a ulp. Scale shape: the blocked self-join is an
+    cut never rides a ulp. The estimation half of the model lives in
+    ``fellegi_sunter_part_linkage`` (this module, entity-resolution
+    section): u's measured from the blocked-pair population via
+    closed-form block counts, pair-grain output — the two surfaces split
+    the F-S model the way a production linker does (estimate, then
+    decide). Scale shape: the blocked self-join is an
     equi-join on (brand, size) — co-partitioned, no cartesian; pair count
     is Σ_blocks C(|b|,2) with fixture blocks of ~1-80 parts."""
     part = load_table(spark, sf_dir, "part").select(

@@ -32,6 +32,7 @@ __all__ = [
     "tukey_hsd_event_values",
     "levene_bf_event_values",
     "jackknife_ratio_metric_ab",
+    "eb_shrunk_purchase_rate_users",
     "WILSON_CI_PURCHASE_RATE_DAILY_ORACLE",
     "ONEWAY_ANOVA_EVENT_VALUES_ORACLE",
     "GINI_LORENZ_CUSTOMER_SPEND_ORACLE",
@@ -40,6 +41,7 @@ __all__ = [
     "TUKEY_HSD_EVENT_VALUES_ORACLE",
     "LEVENE_BF_EVENT_VALUES_ORACLE",
     "JACKKNIFE_RATIO_METRIC_AB_ORACLE",
+    "EB_SHRUNK_PURCHASE_RATE_USERS_ORACLE",
 ]
 
 _Z = 1.96  # 95% two-sided
@@ -1159,4 +1161,82 @@ SELECT arm, n_users,
            * (sr2 - sr * sr / CAST(n_users AS DOUBLE)), 0.0)), 6) AS DOUBLE)
            AS jackknife_se
 FROM stats
+"""
+
+
+def eb_shrunk_purchase_rate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-user purchase
+    rates — the James-Stein-flavored fix for ranking entities with few
+    observations: raw rates k/n are pulled toward a beta prior FITTED
+    FROM THE CORPUS by method of moments (Robbins 1956's empirical Bayes;
+    the standard moment fit α+β = m(1−m)/v − 1, α = m·(α+β)), and each
+    user reports (k+α)/(n+α+β). A user with 3 events no longer outranks
+    the corpus on a fluke purchase; a user with 90 keeps their own rate.
+
+    Scale shape: one hash-aggregation to user grain, a one-row moment
+    aggregate over it (Σp, Σp² decimal folds), the fitted prior broadcast
+    back — two bounded passes, output at user grain. Exactness: raw rates
+    are bigint-ratio doubles, the moment sums fold in decimal, and every
+    derived scalar (m, v, concentration, α) is ONE fixed expression over
+    identical doubles; the shrunken rate is a plain double ratio rounded
+    at 6. No logarithms anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    up = u.select("user_id", "n", "k", p.alias("p"))
+    mom = up.agg(
+        F.count("*").cast("bigint").alias("c"),
+        dec_sum(F.col("p"), 27, 15).cast("double").alias("sp"),
+        dec_sum(F.col("p") * F.col("p"), 38, 15).cast("double").alias("sp2"),
+    )
+    cD = F.col("c").cast("double")
+    m = F.col("sp") / cD
+    v = F.col("sp2") / cD - m * m
+    conc = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    prior = mom.select(
+        m.alias("m"), conc.alias("c0"), (m * conc).alias("alpha")
+    )
+    out = up.crossJoin(F.broadcast(prior))
+    shrunk = (F.col("k").cast("double") + F.col("alpha")) / (
+        F.col("n").cast("double") + F.col("c0")
+    )
+    return out.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_purchases"),
+        F.round(F.col("p"), 6).cast("double").alias("raw_rate"),
+        F.round(shrunk, 6).cast("double").alias("shrunk_rate"),
+    )
+
+
+EB_SHRUNK_PURCHASE_RATE_USERS_ORACLE = """
+WITH u AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS k
+    FROM events GROUP BY user_id
+), up AS (
+    SELECT user_id, n, k, CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM u
+), mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(SUM(CAST(p AS DECIMAL(27,15))) AS DOUBLE) AS sp,
+           CAST(SUM(CAST(p * p AS DECIMAL(38,15))) AS DOUBLE) AS sp2
+    FROM up
+), prior AS (
+    SELECT (sp / CAST(c AS DOUBLE)) AS m,
+           (sp / CAST(c AS DOUBLE)) * (1.0 - sp / CAST(c AS DOUBLE))
+             / (sp2 / CAST(c AS DOUBLE)
+                - (sp / CAST(c AS DOUBLE)) * (sp / CAST(c AS DOUBLE))) - 1.0 AS c0
+    FROM mom
+)
+SELECT user_id, n AS n_events, k AS n_purchases,
+       CAST(ROUND(p, 6) AS DOUBLE) AS raw_rate,
+       CAST(ROUND((CAST(k AS DOUBLE) + m * c0)
+                  / (CAST(n AS DOUBLE) + c0), 6) AS DOUBLE) AS shrunk_rate
+FROM up CROSS JOIN prior
 """

@@ -383,6 +383,7 @@ _ROUND10_QUEUE: list[str] = [
     "absorbing_expected_steps_to_purchase",
     "fellegi_sunter_part_linkage",
     "jackknife_ratio_metric_ab",
+    "eb_shrunk_purchase_rate_users",
 ]
 
 
@@ -1651,6 +1652,12 @@ register(
     "jackknife_ratio_metric_ab",
     inference_stats.jackknife_ratio_metric_ab,
     inference_stats.JACKKNIFE_RATIO_METRIC_AB_ORACLE,
+)
+
+register(
+    "eb_shrunk_purchase_rate_users",
+    inference_stats.eb_shrunk_purchase_rate_users,
+    inference_stats.EB_SHRUNK_PURCHASE_RATE_USERS_ORACLE,
 )
 
 register(

@@ -596,3 +596,37 @@ def test_jackknife_ratio_matches_direct_replicates(spark, sf_dir):
         assert got[a][0] == n
         assert abs(got[a][1] - sx / sy) < 1e-4
         assert abs(got[a][2] - se) < 1e-6, (a, got[a][2], se)
+
+def test_eb_shrinkage_pulls_toward_prior_mean(spark, sf_dir):
+    """Structural contract of beta-binomial shrinkage: every shrunken rate
+    lies strictly between its raw rate and the fitted prior mean (or
+    equals both when they coincide), users with MORE events shrink LESS
+    (monotone weights n/(n+c0)), and the moment fit itself is re-derived
+    in python."""
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        eb_shrunk_purchase_rate_users,
+    )
+
+    rows = eb_shrunk_purchase_rate_users(spark, sf_dir).collect()
+    ps = [r["n_purchases"] / r["n_events"] for r in rows]
+    c = len(ps)
+    m = sum(ps) / c
+    v = sum(p * p for p in ps) / c - m * m
+    c0 = m * (1 - m) / v - 1
+    assert c0 > 0
+    for r in rows:
+        raw, sh = r["raw_rate"], r["shrunk_rate"]
+        lo, hi = min(raw, m), max(raw, m)
+        assert lo - 1e-6 <= sh <= hi + 1e-6, (raw, sh, m)
+        expect = (r["n_purchases"] + m * c0) / (r["n_events"] + c0)
+        assert abs(sh - expect) < 1e-5
+    # shrink factor |shrunk - raw| scaled by |raw - m| decreases with n
+    import math
+    pairs = sorted(
+        (r["n_events"], abs(r["shrunk_rate"] - r["raw_rate"]) / max(abs(r["raw_rate"] - m), 1e-9))
+        for r in rows if abs(r["raw_rate"] - m) > 1e-3
+    )
+    third = max(len(pairs) // 3, 1)
+    low_n = sum(f for _, f in pairs[:third]) / third
+    high_n = sum(f for _, f in pairs[-third:]) / third
+    assert high_n <= low_n + 1e-6

@@ -195,6 +195,7 @@ PROBES = [
     # hash-aggregation passes staying linear; replicate relations are
     # user-grain, output is 2 rows.
     ("jackknife_ratio_metric_ab", ["events"]),
+    ("eb_shrunk_purchase_rate_users", ["events"]),
 ]
 
 KEY_OFFSETS = {
