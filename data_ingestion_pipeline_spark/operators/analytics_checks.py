@@ -65,6 +65,7 @@ __all__ = [
     "spearman_daily_purchase_view",
     "kendall_tau_daily_purchase_view",
     "theil_sen_daily_trend",
+    "mann_kendall_trend_daily",
     "k_anonymity_report_events",
     "dp_noisy_counts_events",
     "encoding_advisor_orders",
@@ -3339,6 +3340,69 @@ WITH daily AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(ROUND(quantile_cont(slope, 0.5), 6) AS DOUBLE) AS theil_sen_slope
 FROM slopes
+"""
+
+
+def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on the SAME daily value series as
+    ``theil_sen_daily_trend`` one function up — the nonparametric
+    significance test the Theil–Sen slope estimator is conventionally
+    paired with (Mann 1945, Kendall's τ numerator): S = Σ_{i<j}
+    sign(v_j − v_i), Var(S) = n(n−1)(2n+5)/18 (the no-ties form — the
+    daily sums are decimal folds of continuous values, so exact ties have
+    measure ~0; a tie would contribute sign 0 to S consistently on both
+    engines), continuity-corrected Z. Pairs are of the AGGREGATED day
+    series (days², bounded by the calendar), never raw rows; S and the
+    variance numerator are exact integers, Z one double ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        dec_sum(F.col("value"), 27, 12).cast("double").alias("v")
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("v").alias("v1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("v").alias("v2"))
+    s_agg = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select(F.signum(F.col("v2") - F.col("v1")).cast("int").alias("sg"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("sg").cast("bigint").alias("s_stat"),
+        )
+    )
+    nd = daily.agg(F.count("*").cast("bigint").alias("n_days"))
+    j = s_agg.crossJoin(F.broadcast(nd))
+    n = F.col("n_days")
+    var = (n * (n - 1) * (2 * n + 5)).cast("double") / F.lit(18.0)
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / F.sqrt(var))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        F.round(z, 6).cast("double").alias("mk_z"),
+    )
+
+
+MANN_KENDALL_TREND_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS v
+    FROM events GROUP BY 1
+), s_agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(SIGN(b.v - a.v) AS INT)) AS BIGINT) AS s_stat
+    FROM daily a JOIN daily b ON a.day < b.day
+), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+SELECT n_days, n_pairs, s_stat,
+       CAST(ROUND(CASE
+           WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+                / SQRT(CAST(n_days * (n_days - 1) * (2 * n_days + 5) AS DOUBLE) / 18.0)
+           WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+                / SQRT(CAST(n_days * (n_days - 1) * (2 * n_days + 5) AS DOUBLE) / 18.0)
+           ELSE 0.0 END, 6) AS DOUBLE) AS mk_z
+FROM s_agg CROSS JOIN nd
 """
 
 

@@ -384,6 +384,7 @@ _ROUND10_QUEUE: list[str] = [
     "fellegi_sunter_part_linkage",
     "jackknife_ratio_metric_ab",
     "eb_shrunk_purchase_rate_users",
+    "mann_kendall_trend_daily",
 ]
 
 
@@ -2056,6 +2057,12 @@ register(
     "theil_sen_daily_trend",
     analytics_checks.theil_sen_daily_trend,
     analytics_checks.THEIL_SEN_DAILY_TREND_ORACLE,
+)
+
+register(
+    "mann_kendall_trend_daily",
+    analytics_checks.mann_kendall_trend_daily,
+    analytics_checks.MANN_KENDALL_TREND_DAILY_ORACLE,
 )
 
 register(

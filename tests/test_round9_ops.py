@@ -630,3 +630,34 @@ def test_eb_shrinkage_pulls_toward_prior_mean(spark, sf_dir):
     low_n = sum(f for _, f in pairs[:third]) / third
     high_n = sum(f for _, f in pairs[-third:]) / third
     assert high_n <= low_n + 1e-6
+
+def test_mann_kendall_matches_direct_computation(spark, sf_dir):
+    """S, Var(S), and the continuity-corrected Z recomputed directly from
+    the collected daily series."""
+    import math
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        mann_kendall_trend_daily,
+    )
+
+    row = mann_kendall_trend_daily(spark, sf_dir).collect()[0]
+    daily = sorted(
+        (r["day"], r["v"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum(F.col("value").cast("decimal(27,12)")), 12).cast("double").alias("v"))
+        .collect()
+    )
+    vs = [v for _, v in daily]
+    n = len(vs)
+    s = sum(
+        (vs[j] > vs[i]) - (vs[j] < vs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    var = n * (n - 1) * (2 * n + 5) / 18.0
+    z = 0.0 if s == 0 else (s - (1 if s > 0 else -1)) / math.sqrt(var)
+    assert row["n_days"] == n
+    assert row["n_pairs"] == n * (n - 1) // 2
+    assert row["s_stat"] == s
+    assert abs(row["mk_z"] - z) < 1e-6

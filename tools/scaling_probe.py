@@ -196,6 +196,10 @@ PROBES = [
     # user-grain, output is 2 rows.
     ("jackknife_ratio_metric_ab", ["events"]),
     ("eb_shrunk_purchase_rate_users", ["events"]),
+    # mann-kendall: day grain is calendar-bounded (event_id offsets keep
+    # ts verbatim), so the day-pair join is fixed-size and the probe reads
+    # on the daily aggregation scan.
+    ("mann_kendall_trend_daily", ["events"]),
 ]
 
 KEY_OFFSETS = {
