@@ -65,7 +65,6 @@ __all__ = [
     "spearman_daily_purchase_view",
     "kendall_tau_daily_purchase_view",
     "theil_sen_daily_trend",
-    "mann_kendall_trend_daily",
     "k_anonymity_report_events",
     "dp_noisy_counts_events",
     "encoding_advisor_orders",
@@ -1633,11 +1632,11 @@ WITH cells AS (
     FROM cells
 )
 SELECT event_type,
-       CAST(ROUND(CAST(SUM(CAST(
+       CAST(ROUND(SUM(CAST(
            (CAST(obs AS DOUBLE) / CAST(n AS DOUBLE)) *
            (ROUND(ln(CAST(n AS DOUBLE)), 9) + ROUND(ln(CAST(obs AS DOUBLE)), 9)
             - ROUND(ln(CAST(nx AS DOUBLE)), 9) - ROUND(ln(CAST(ny AS DOUBLE)), 9))
-       AS DECIMAL(27,12))) AS DOUBLE), 6) AS DOUBLE) AS mi_component
+       AS DECIMAL(27,12))), 6) AS DOUBLE) AS mi_component
 FROM m GROUP BY event_type
 """
 
@@ -3340,69 +3339,6 @@ WITH daily AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(ROUND(quantile_cont(slope, 0.5), 6) AS DOUBLE) AS theil_sen_slope
 FROM slopes
-"""
-
-
-def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mann–Kendall trend test on the SAME daily value series as
-    ``theil_sen_daily_trend`` one function up — the nonparametric
-    significance test the Theil–Sen slope estimator is conventionally
-    paired with (Mann 1945, Kendall's τ numerator): S = Σ_{i<j}
-    sign(v_j − v_i), Var(S) = n(n−1)(2n+5)/18 (the no-ties form — the
-    daily sums are decimal folds of continuous values, so exact ties have
-    measure ~0; a tie would contribute sign 0 to S consistently on both
-    engines), continuity-corrected Z. Pairs are of the AGGREGATED day
-    series (days², bounded by the calendar), never raw rows; S and the
-    variance numerator are exact integers, Z one double ratio."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        dec_sum(F.col("value"), 27, 12).cast("double").alias("v")
-    )
-    a = daily.select(F.col("day").alias("d1"), F.col("v").alias("v1"))
-    b = daily.select(F.col("day").alias("d2"), F.col("v").alias("v2"))
-    s_agg = (
-        a.join(b, F.col("d1") < F.col("d2"))
-        .select(F.signum(F.col("v2") - F.col("v1")).cast("int").alias("sg"))
-        .agg(
-            F.count("*").cast("bigint").alias("n_pairs"),
-            F.sum("sg").cast("bigint").alias("s_stat"),
-        )
-    )
-    nd = daily.agg(F.count("*").cast("bigint").alias("n_days"))
-    j = s_agg.crossJoin(F.broadcast(nd))
-    n = F.col("n_days")
-    var = (n * (n - 1) * (2 * n + 5)).cast("double") / F.lit(18.0)
-    z = (
-        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / F.sqrt(var))
-        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / F.sqrt(var))
-        .otherwise(F.lit(0.0))
-    )
-    return j.select(
-        "n_days",
-        "n_pairs",
-        "s_stat",
-        F.round(z, 6).cast("double").alias("mk_z"),
-    )
-
-
-MANN_KENDALL_TREND_DAILY_ORACLE = """
-WITH daily AS (
-    SELECT CAST(ts AS DATE) AS day,
-           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS v
-    FROM events GROUP BY 1
-), s_agg AS (
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(SUM(CAST(SIGN(b.v - a.v) AS INT)) AS BIGINT) AS s_stat
-    FROM daily a JOIN daily b ON a.day < b.day
-), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
-SELECT n_days, n_pairs, s_stat,
-       CAST(ROUND(CASE
-           WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
-                / SQRT(CAST(n_days * (n_days - 1) * (2 * n_days + 5) AS DOUBLE) / 18.0)
-           WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
-                / SQRT(CAST(n_days * (n_days - 1) * (2 * n_days + 5) AS DOUBLE) / 18.0)
-           ELSE 0.0 END, 6) AS DOUBLE) AS mk_z
-FROM s_agg CROSS JOIN nd
 """
 
 
@@ -5362,12 +5298,17 @@ def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 with tie groups t,
     z = (S∓1)/√Var with continuity correction.
 
-    S, n, and the tie term are EXACT integers (the tie cube accumulates
-    in DECIMAL(38,0) — the Mann-Whitney overflow lesson); z and the
-    one-term normal tail bound 2·exp(−z²/2) are the only floats, derived
-    once from the integers with identical expression structure. The pair
-    relation is days² over the AGGREGATED series (calendar-scale), never
-    raw rows."""
+    S, n, n_pairs, and the tie term are EXACT integers (the tie cube
+    accumulates in DECIMAL(38,0) — the Mann-Whitney overflow lesson); z
+    and the one-term normal tail bound 2·exp(−z²/2) are the only floats,
+    derived once from the integers with identical expression structure.
+    The pair relation is days² over the AGGREGATED series
+    (calendar-scale), never raw rows.
+
+    This is the registry's ONE Mann–Kendall query: the round-9
+    ``mann_kendall_trend_daily`` twin (no-ties variance) was merged in
+    here in round 10 — its ``n_pairs`` output kept, its weaker variance
+    dropped in favor of this tie-corrected form."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         dec_sum(F.col("value"), 27, 12).cast("double").alias("v")
@@ -5377,7 +5318,10 @@ def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_agg = (
         a.join(b, F.col("d1") < F.col("d2"))
         .select(F.signum(F.col("v2") - F.col("v1")).cast("bigint").alias("sgn"))
-        .agg(F.sum("sgn").cast("bigint").alias("s"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("sgn").cast("bigint").alias("s"),
+        )
     )
     ties = (
         daily.groupBy("v")
@@ -5407,6 +5351,7 @@ def mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_bound = F.least(F.lit(1.0), F.lit(2.0) * F.exp(-z * z / F.lit(2.0)))
     return joined.select(
         "n",
+        "n_pairs",
         "s",
         F.round(var_s, 6).cast("double").alias("var_s"),
         z.cast("double").alias("z"),
@@ -5421,7 +5366,8 @@ WITH daily AS (
            CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS v
     FROM events GROUP BY 1
 ), s_agg AS (
-    SELECT CAST(SUM(CAST(SIGN(b.v - a.v) AS BIGINT)) AS BIGINT) AS s
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(SIGN(b.v - a.v) AS BIGINT)) AS BIGINT) AS s
     FROM daily a JOIN daily b ON a.day < b.day
 ), ties AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
@@ -5429,19 +5375,19 @@ WITH daily AS (
            SUM(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5)) AS tie_term
     FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY v)
 ), j AS (
-    SELECT s, n,
+    SELECT s, n_pairs, n,
            (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)
             * (2 * CAST(n AS DOUBLE) + 5)
             - CAST(tie_term AS DOUBLE)) / 18.0 AS var_s
     FROM s_agg CROSS JOIN ties
 ), z AS (
-    SELECT n, s, var_s,
+    SELECT n, n_pairs, s, var_s,
            ROUND(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1) / SQRT(var_s)
                       WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1) / SQRT(var_s)
                       ELSE 0.0 END, 9) AS z
     FROM j
 )
-SELECT n, s,
+SELECT n, n_pairs, s,
        CAST(ROUND(var_s, 6) AS DOUBLE) AS var_s,
        CAST(z AS DOUBLE) AS z,
        CAST(ROUND(LEAST(1.0, 2.0 * EXP(-z * z / 2.0)), 6) AS DOUBLE)

@@ -1084,7 +1084,13 @@ def jackknife_ratio_metric_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed expression (n−1)/n·(ΣR² − (ΣR)²/n) with a GREATEST(·,0) guard —
     the computational form cancels catastrophically in theory but both
     engines cancel IDENTICALLY, and DuckDB's sqrt raises on a tiny
-    negative where Spark would return NaN, hence the shared guard."""
+    negative where Spark would return NaN, hence the shared guard.
+
+    Degenerate-arm guard: a single-user arm makes the leave-one-out
+    denominator sy−y_u exactly 0 (Spark division → NULL, DuckDB IEEE
+    double division → Infinity — the engines DIVERGE), so arms are
+    filtered to n_users > 1 in BOTH engines; a jackknife over one
+    replicate has no variance to report anyway."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     arm = F.when(
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10)
@@ -1106,7 +1112,7 @@ def jackknife_ratio_metric_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum(F.col("x"), 27, 12).cast("double").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
     )
-    j = users.join(F.broadcast(sums), "arm")
+    j = users.join(F.broadcast(sums), "arm").filter(F.col("n_users") > 1)
     r = (F.col("sx") - F.col("x")) / (F.col("sy") - F.col("y")).cast("double")
     stats = (
         j.select("arm", "n_users", "sx", "sy", r.alias("r"))
@@ -1148,6 +1154,7 @@ WITH users AS (
     SELECT u.arm, s.n_users, s.sx, s.sy,
            (s.sx - u.x) / CAST(s.sy - u.y AS DOUBLE) AS r
     FROM users u JOIN sums s ON u.arm = s.arm
+    WHERE s.n_users > 1
 ), stats AS (
     SELECT arm, n_users, sx, sy,
            CAST(SUM(CAST(r AS DECIMAL(27,15))) AS DOUBLE) AS sr,
@@ -1179,7 +1186,17 @@ def eb_shrunk_purchase_rate_users(spark: SparkSession, sf_dir: str) -> DataFrame
     are bigint-ratio doubles, the moment sums fold in decimal, and every
     derived scalar (m, v, concentration, α) is ONE fixed expression over
     identical doubles; the shrunken rate is a plain double ratio rounded
-    at 6. No logarithms anywhere."""
+    at 6. No logarithms anywhere.
+
+    Moment-fit preconditions, guarded IDENTICALLY in both engines: the
+    fit needs variance (v > 0 — all-equal rates give a degenerate prior;
+    unguarded, Spark division yields NULL where DuckDB yields Infinity)
+    and UNDERdispersion (v < m(1−m), the beta-binomial regime — an
+    overdispersed corpus makes the concentration negative and shrunk
+    rates silently leave the [raw, m] interval). Outside either
+    precondition both engines report NULL shrunk rates — an explicit
+    "prior unfittable" signal, never a silently wrong shrinkage. The
+    fixture corpus satisfies both (pytest asserts c0 > 0)."""
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n"),
@@ -1197,7 +1214,8 @@ def eb_shrunk_purchase_rate_users(spark: SparkSession, sf_dir: str) -> DataFrame
     cD = F.col("c").cast("double")
     m = F.col("sp") / cD
     v = F.col("sp2") / cD - m * m
-    conc = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    conc_raw = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    conc = F.when((v > F.lit(0.0)) & (conc_raw > F.lit(0.0)), conc_raw)
     prior = mom.select(
         m.alias("m"), conc.alias("c0"), (m * conc).alias("alpha")
     )
@@ -1228,11 +1246,18 @@ WITH u AS (
            CAST(SUM(CAST(p * p AS DECIMAL(38,15))) AS DOUBLE) AS sp2
     FROM up
 ), prior AS (
-    SELECT (sp / CAST(c AS DOUBLE)) AS m,
-           (sp / CAST(c AS DOUBLE)) * (1.0 - sp / CAST(c AS DOUBLE))
-             / (sp2 / CAST(c AS DOUBLE)
-                - (sp / CAST(c AS DOUBLE)) * (sp / CAST(c AS DOUBLE))) - 1.0 AS c0
-    FROM mom
+    -- v/concentration guards mirror the Spark side: NULL c0 (and NULL
+    -- shrunk rates) when the moment fit has no variance or the corpus is
+    -- overdispersed, identical in both engines
+    SELECT m,
+           CASE WHEN v > 0.0 AND m * (1.0 - m) / v - 1.0 > 0.0
+                THEN m * (1.0 - m) / v - 1.0 END AS c0
+    FROM (
+        SELECT sp / CAST(c AS DOUBLE) AS m,
+               sp2 / CAST(c AS DOUBLE)
+                 - (sp / CAST(c AS DOUBLE)) * (sp / CAST(c AS DOUBLE)) AS v
+        FROM mom
+    )
 )
 SELECT user_id, n AS n_events, k AS n_purchases,
        CAST(ROUND(p, 6) AS DOUBLE) AS raw_rate,

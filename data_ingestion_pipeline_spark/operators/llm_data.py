@@ -1004,9 +1004,14 @@ planes AS (
 
 
 def minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs on the planted corpus (rows-only check:
-    seeded xxhash64 signatures aren't reproducible in an external engine;
-    recall/precision asserted in pytest)."""
+    """MinHash-LSH near-dup pairs on the planted corpus — the scale-tuned
+    (B=8, R=4) xxhash64 production path. Retired from the driver registry
+    in round 10: seeded xxhash64 signatures aren't reproducible in an
+    external engine, and the family's driver evidence is carried by the
+    hash-exact ``minhash_md5_replay_near_dup_documents`` sibling (same
+    pipeline, md5 primitive), ``minhash_verified_near_dup_documents``
+    (real-SQL output contract), and the scale-recall gate. Recall /
+    precision / banded-plan shape stay pytest-pinned."""
     aug = _near_dup_corpus(load_table(spark, sf_dir, "documents"))
     return minhash_near_dup_pairs(aug, "text", "doc_id", threshold=0.5)
 
@@ -1016,8 +1021,8 @@ def minhash_verified_near_dup_documents(spark: SparkSession, sf_dir: str) -> Dat
     dedup/minhash.py): candidates verified with exact Jaccard ≥ 0.7
     reproduce the full exact pair relation, so this seeded-hash pipeline
     gets a real DuckDB oracle (the exact J ≥ 0.7 SQL) instead of a
-    rows-only check. The scale-tuned (B=8, R=4) variant stays registered
-    as `minhash_near_dup_documents`."""
+    rows-only check. The scale-tuned (B=8, R=4) variant stays exported as
+    `minhash_near_dup_documents` (pytest-gated; deregistered in r10)."""
     aug = _near_dup_corpus(load_table(spark, sf_dir, "documents"))
     return minhash_verified_pairs_complete(aug, "text", "doc_id", threshold=0.7)
 
@@ -1032,7 +1037,9 @@ assert ">= 0.7" in MINHASH_VERIFIED_NEAR_DUP_DOCUMENTS_ORACLE
 
 
 def simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs on the planted corpus (rows-only; see above)."""
+    """SimHash near-dup pairs on the planted corpus — xxhash64 production
+    path, deregistered in r10 in favor of the md5-replay sibling + the
+    exact-copy recall gate (see ``minhash_near_dup_documents``)."""
     aug = _near_dup_corpus(load_table(spark, sf_dir, "documents"))
     return simhash_near_dup_pairs(aug, "text", "doc_id", max_hamming=3)
 
@@ -1795,8 +1802,11 @@ FROM (
 
 
 def ann_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC top-20 for the vec_id=0 query (rows-only:
-    approximate by construction; recall vs brute force asserted in pytest).
+    """Product-quantization ADC top-20 for the vec_id=0 query
+    (deregistered in r10: approximate by construction, so no SQL oracle —
+    the encode/ADC/rank plumbing is hash-checked by the registered
+    ``ann_pq_sample_adc_topk_embeddings`` replay and recall vs brute
+    force stays asserted in pytest).
 
     The third ANN leg beside LSH (data-independent buckets) and IVF
     (coarse cells): PQ compresses every vector to 16 one-byte subspace
@@ -1864,6 +1874,18 @@ def ann_pq_sample_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataF
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # Oracle precondition (one bounded aggregate on the small modality
+    # table): the stride CTE assumes dense 0-based vec_ids and at least
+    # n_codes=16 vectors — train_codebooks TILES a short sample, which
+    # the SQL replay does not, so fail loudly instead of diverging on
+    # sparse or non-zero-based id data.
+    meta = emb.agg(
+        F.count("*").alias("c"), F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).collect()[0]
+    assert meta["c"] >= 16 and meta["lo"] == 0 and meta["hi"] == meta["c"] - 1, (
+        f"sample-ADC replay needs >=16 dense 0-based vec_ids, got "
+        f"count={meta['c']} range=[{meta['lo']}, {meta['hi']}]"
+    )
     books = train_codebooks(
         emb, n_subspaces=8, n_codes=16, sample_size=16, n_iters=0
     )

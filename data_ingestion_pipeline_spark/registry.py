@@ -362,9 +362,25 @@ _ROUND9_FRONT: list[str] = [
     "brand_share_of_revenue",
 ]
 
-# Round-9 additions land here (never driver-checked — freshness policy
-# puts no-evidence names ahead of stale-green when round 10 rotates).
-_ROUND10_QUEUE: list[str] = [
+# ---- Round-10 rotation (round-9 verdict ask #1) ----
+# CORRECTNESS_r09 landed 50/50 green over the round-9 front, so that tier
+# retires. The round-10 budget, in priority order:
+#   slots 0-19  — the 19 round-9 additions with NO driver row at all
+#                 (`_ROUND10_QUEUE` minus the retired Mann-Kendall
+#                 duplicate) plus the merged `mann_kendall_daily_trend`,
+#                 whose r06 row predates this round's schema change
+#                 (n_pairs added in the duplicate merge);
+#   slots 20-21 — `embedding_lsh_near_dup` / `ann_lsh_topk_embeddings`:
+#                 latest rows are r03 rows-only records, but both were
+#                 PROMOTED to real DuckDB oracles in r8/r9 — a fresh slot
+#                 turns the promotion into hard hash evidence;
+#   slots 22-49 — the 28 oldest-stale names per the freshness policy:
+#                 all 16 r03-vintage rows (streaming/dedup/lakehouse/
+#                 variant tier) + the 12 lowest-registration-order
+#                 r04-vintage rows (sketches, python datasource, schema
+#                 evolution, text base tier).
+_ROUND10_FRONT: list[str] = [
+    # -- never driver-checked (round-9 additions) --
     "tpch_q2_shaped_min_cost_supplier",
     "tpch_q9_shaped_product_type_profit",
     "tpch_q11_shaped_important_stock",
@@ -384,13 +400,51 @@ _ROUND10_QUEUE: list[str] = [
     "fellegi_sunter_part_linkage",
     "jackknife_ratio_metric_ab",
     "eb_shrunk_purchase_rate_users",
-    "mann_kendall_trend_daily",
+    # -- schema changed this round (duplicate-MK merge added n_pairs) --
+    "mann_kendall_daily_trend",
+    # -- r03 rows-only vintage, promoted to real oracles in r8/r9 --
+    "embedding_lsh_near_dup",
+    "ann_lsh_topk_embeddings",
+    # -- oldest-stale evidence (r03 rows) --
+    "lang_id_documents",
+    "tumbling_window_events",
+    "scd2_customer_dimension",
+    "merge_cdc_orders",
+    "gdpr_delete_events",
+    "daily_rollup_from_hourly_events",
+    "decontaminate_documents",
+    "xml_roundtrip_events",
+    "variant_shred_events",
+    "recursive_orderkey_hierarchy",
+    "udtf_part_type_words",
+    "zorder_clustered_orders",
+    "observed_metrics_orders",
+    "approx_top_k_event_types",
+    "streaming_dedup_within_watermark_events",
+    "dup_span_profile_documents",
+    # -- oldest-stale evidence (earliest r04 rows) --
+    "approx_distinct_users_daily",
+    "approx_price_quantiles_by_priority",
+    "order_price_percentiles_window",
+    "frequent_users_sketch",
+    "python_datasource_agg",
+    "python_datasource_stream_agg",
+    "schema_evolution_sync",
+    "bucketed_colocated_join",
+    "compacted_sorted_orders",
+    "data_quality_orders",
+    "partitioned_orders_yearly",
+    "text_stats",
 ]
+
+# Round-10 additions land here (never driver-checked — freshness policy
+# puts no-evidence names ahead of stale-green when round 11 rotates).
+_ROUND11_QUEUE: list[str] = []
 
 
 def _ordered_names() -> list[str]:
-    front = [n for n in _ROUND9_FRONT if n in _REGISTRY]
-    queue = [n for n in _ROUND10_QUEUE if n in _REGISTRY and n not in front]
+    front = [n for n in _ROUND10_FRONT if n in _REGISTRY]
+    queue = [n for n in _ROUND11_QUEUE if n in _REGISTRY and n not in front]
     seen = set(front) | set(queue)
     # remainder: every name holds a driver row green at its latest check;
     # within it the ordering is registration order (stable across rounds)
@@ -883,7 +937,13 @@ register(
     llm_data.NGRAM_JACCARD_DOCUMENTS_ORACLE,
 )
 
-register("minhash_near_dup_documents", llm_data.minhash_near_dup_documents, None)
+# `minhash_near_dup_documents` (scale-tuned B=8/R=4, xxhash64, rows-only)
+# was retired from the registry in round 10 per the round-9 verdict: the
+# family's driver evidence is now carried by `minhash_md5_replay_*` (the
+# SAME pipeline hash-exact in DuckDB), `minhash_verified_*` (real-SQL
+# output contract), and `minhash_scale_recall_documents`. The production
+# function stays exported and pytest-gated (tests/test_plans.py pins its
+# banded plan; tests/test_llm_data.py pins recall).
 
 register(
     "minhash_md5_replay_near_dup_documents",
@@ -909,7 +969,10 @@ register(
     llm_data.MINHASH_VERIFIED_NEAR_DUP_DOCUMENTS_ORACLE,
 )
 
-register("simhash_near_dup_documents", llm_data.simhash_near_dup_documents, None)
+# `simhash_near_dup_documents` (xxhash64 feature hash, rows-only) retired
+# in round 10 — evidence carried by `simhash_md5_replay_*` (hash-exact
+# full pipeline) + `simhash_exact_copy_recall_documents`; the function
+# stays exported and pytest-gated.
 
 register(
     "simhash_exact_copy_recall_documents",
@@ -1273,7 +1336,10 @@ register(
     llm_data.SHARD_SHUFFLE_DOCUMENTS_ORACLE,
 )
 
-register("ann_pq_topk_embeddings", llm_data.ann_pq_topk_embeddings, None)
+# `ann_pq_topk_embeddings` (rows-only) retired in round 10 — the PQ
+# encode/ADC/rank plumbing is hash-checked by `ann_pq_sample_adc_topk_*`
+# below and recall-gated by `ann_pq_recall_embeddings`; the function
+# stays exported and pytest-gated (tests/test_round3_ops.py).
 
 register(
     "ann_pq_sample_adc_topk_embeddings",
@@ -1281,6 +1347,11 @@ register(
     llm_data.ANN_PQ_SAMPLE_ADC_TOPK_EMBEDDINGS_ORACLE,
 )
 
+# The registry's LAST rows-only query, kept deliberately: it is the only
+# end-to-end IVF-routing + PQ-ADC composition surface. Both halves are
+# individually hash-checked (`ann_ivf_topk_embeddings` routing,
+# `ann_pq_sample_adc_topk_embeddings` encode/ADC/rank) and the composite
+# is recall-gated by `ann_ivfpq_recall_embeddings`.
 register("ann_ivfpq_topk_embeddings", llm_data.ann_ivfpq_topk_embeddings, None)
 
 register(
@@ -2057,12 +2128,6 @@ register(
     "theil_sen_daily_trend",
     analytics_checks.theil_sen_daily_trend,
     analytics_checks.THEIL_SEN_DAILY_TREND_ORACLE,
-)
-
-register(
-    "mann_kendall_trend_daily",
-    analytics_checks.mann_kendall_trend_daily,
-    analytics_checks.MANN_KENDALL_TREND_DAILY_ORACLE,
 )
 
 register(

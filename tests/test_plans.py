@@ -100,7 +100,13 @@ def test_simhash_candidates_are_banded_not_all_pairs(spark):
     """The signature self-join must stay an equi-join on (chunk_idx,
     chunk_val) — pigeonhole banding. A cartesian/BNLJ here is the O(N²)
     popcount comparison that cannot survive corpus scale."""
-    plan = _plan(spark, "simhash_near_dup_documents")
+    # retired from the registry in round 10 (evidence carried by the
+    # md5-replay sibling) but still the production path — pin via the
+    # function, not the driver surface
+    from data_ingestion_pipeline_spark.operators import llm_data
+
+    df = llm_data.simhash_near_dup_documents(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
@@ -110,7 +116,10 @@ def test_simhash_candidates_are_banded_not_all_pairs(spark):
 
 def test_minhash_candidates_are_banded_not_all_pairs(spark):
     """Same banding guarantee for MinHash-LSH candidate generation."""
-    plan = _plan(spark, "minhash_near_dup_documents")
+    from data_ingestion_pipeline_spark.operators import llm_data
+
+    df = llm_data.minhash_near_dup_documents(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

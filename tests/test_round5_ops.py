@@ -276,6 +276,7 @@ def test_mann_kendall_matches_direct(spark):
         for j in range(i + 1, len(xs))
     )
     assert row.n == len(xs)
+    assert row.n_pairs == len(xs) * (len(xs) - 1) // 2
     # S compares exact decimal daily sums in-engine vs float sums here;
     # sign flips from float noise are possible only on exact ties, absent
     # in this fixture

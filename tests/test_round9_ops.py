@@ -632,15 +632,18 @@ def test_eb_shrinkage_pulls_toward_prior_mean(spark, sf_dir):
     assert high_n <= low_n + 1e-6
 
 def test_mann_kendall_matches_direct_computation(spark, sf_dir):
-    """S, Var(S), and the continuity-corrected Z recomputed directly from
-    the collected daily series."""
+    """S, n_pairs, tie-corrected Var(S), and the continuity-corrected Z
+    recomputed directly from the collected daily series — the round-10
+    merged Mann-Kendall query (the weaker no-ties round-9 twin was
+    retired; this pins the SURVIVING query end to end)."""
     import math
+    from collections import Counter
 
     from data_ingestion_pipeline_spark.operators.analytics_checks import (
-        mann_kendall_trend_daily,
+        mann_kendall_daily_trend,
     )
 
-    row = mann_kendall_trend_daily(spark, sf_dir).collect()[0]
+    row = mann_kendall_daily_trend(spark, sf_dir).collect()[0]
     daily = sorted(
         (r["day"], r["v"])
         for r in spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -655,9 +658,13 @@ def test_mann_kendall_matches_direct_computation(spark, sf_dir):
         for i in range(n)
         for j in range(i + 1, n)
     )
-    var = n * (n - 1) * (2 * n + 5) / 18.0
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(vs).values()
+    )
+    var = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
     z = 0.0 if s == 0 else (s - (1 if s > 0 else -1)) / math.sqrt(var)
-    assert row["n_days"] == n
+    assert row["n"] == n
     assert row["n_pairs"] == n * (n - 1) // 2
-    assert row["s_stat"] == s
-    assert abs(row["mk_z"] - z) < 1e-6
+    assert row["s"] == s
+    assert abs(row["var_s"] - var) < 1e-6
+    assert abs(row["z"] - z) < 1e-6

@@ -199,7 +199,7 @@ PROBES = [
     # mann-kendall: day grain is calendar-bounded (event_id offsets keep
     # ts verbatim), so the day-pair join is fixed-size and the probe reads
     # on the daily aggregation scan.
-    ("mann_kendall_trend_daily", ["events"]),
+    ("mann_kendall_daily_trend", ["events"]),
 ]
 
 KEY_OFFSETS = {
