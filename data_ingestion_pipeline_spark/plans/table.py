@@ -41,6 +41,11 @@ __all__ = ["ManagedTable", "ConcurrentWriteError"]
 
 _POINTER = "_LATEST"
 _PTR_LOCK = ".ptr_lock"
+# key-bucketed layout (keyed partial rewrites): versions committed through
+# overwrite_bucketed/replace_buckets store data under __bucket=K partition
+# dirs with a hidden spec file pinning (key columns, bucket count)
+_BUCKET_COL = "__bucket"
+_BUCKET_SPEC = "_bucket_spec"  # leading _ -> invisible to the data scan
 # sentinel: "caller did not declare a base" (None is a real value — the
 # expected base of a bootstrap commit against a not-yet-existing table)
 _UNSET = object()
@@ -253,6 +258,10 @@ class ManagedTable:
         if not os.path.isdir(path):
             raise FileNotFoundError(f"version {v} not retained in {self.root}")
         df = self.spark.read.parquet(path)
+        if _BUCKET_COL in df.columns:
+            # key-bucketed layout: the bucket is derivable from the keys
+            # (bucket_expr), so it is storage layout, not table schema
+            df = df.drop(_BUCKET_COL)
         if not apply_deletes:
             return df
         sidecars = self._delete_sidecars(v)
@@ -425,6 +434,180 @@ class ManagedTable:
         self._vacuum()
         return version
 
+    # -- key-bucketed layout: keyed partial rewrites --------------------------
+    #
+    # The sustained-streaming bench (tools/stream_bench.py, BASELINE.md
+    # §streaming) names the one genuine scale cliff of the copy-on-write
+    # design: a MERGE rewrites O(table) per micro-batch, so per-batch cost
+    # bends upward once the rewrite exceeds the fixed commit floor. The
+    # lever is layout: hash the merge keys into a fixed number of __bucket=K
+    # partition directories; a merge then (a) partition-PRUNES its stored
+    # scan to the buckets the batch touches and (b) commits a new version
+    # where untouched bucket dirs are HARD-LINKED from the base snapshot —
+    # O(1) metadata per file, no data copy, no scan. Per-batch cost becomes
+    # O(touched buckets) ~ O(batch · table/n_buckets), independent of total
+    # table size once n_buckets scales with the table. On an object store
+    # the hard link becomes a manifest entry (Delta/Iceberg keep exactly
+    # this metadata instead of links); the commit protocol is unchanged —
+    # staged dir, atomic slot claim, pointer swap under the flock.
+
+    @staticmethod
+    def default_bucket_sql(key_cols: Sequence[str], n_buckets: int) -> str:
+        """Deterministic bucket id of a row as a SQL expression string:
+        pmod(xxhash64(keys), n) — stable across sessions/partitionings,
+        pure long arithmetic. A string (not a Column) so the spec file can
+        pin it verbatim and later merges can validate layout compatibility.
+
+        Hash bucketing spreads uniform keys over ALL buckets, so a large
+        random-key batch touches everything — callers whose ingest has key
+        LOCALITY (ascending ids, tenant shards, time-prefixed keys) should
+        pass a bucket expression that PRESERVES that locality (e.g.
+        ``pmod(cast(substr(order_id, 2) as bigint) div 25000, 64)``) so a
+        micro-batch touches O(1) buckets regardless of table size. The only
+        correctness requirement: the expression is a deterministic function
+        of the merge key columns."""
+        return (
+            f"cast(pmod(xxhash64({', '.join(key_cols)}), {n_buckets}) as int)"
+        )
+
+    def _write_bucket_spec(
+        self, stage: str, key_cols: Sequence[str], n_buckets: int, bucket_sql: str
+    ) -> None:
+        with open(os.path.join(stage, _BUCKET_SPEC), "w") as f:
+            f.write(
+                ",".join(key_cols) + "\n" + str(n_buckets) + "\n" + bucket_sql + "\n"
+            )
+
+    def bucket_spec(self, version: str | None = None):
+        """(key_cols, n_buckets, bucket_sql) if ``version`` was committed
+        key-bucketed, else None. A full-rewrite path that loses the layout
+        (compact, delete_where, plain overwrite) simply yields None here
+        and the next keyed merge re-buckets with one full rewrite."""
+        v = version or self.current_version()
+        if v is None:
+            return None
+        try:
+            with open(os.path.join(self.root, v, _BUCKET_SPEC)) as f:
+                keys_line, n_line, expr_line = f.read().splitlines()[:3]
+            return keys_line.split(","), int(n_line), expr_line
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def overwrite_bucketed(
+        self,
+        df: DataFrame,
+        key_cols: Sequence[str],
+        n_buckets: int,
+        bucket_sql: str | None = None,
+        expected_base=_UNSET,
+        expected_sidecars=None,
+    ) -> str:
+        """Full rewrite committed in the key-bucketed layout (the bootstrap
+        / re-bucketing path of keyed partial rewrites). One shuffle on the
+        bucket id so each bucket dir gets one file per holding task."""
+        from pyspark.sql import functions as F
+
+        bucket_sql = bucket_sql or self.default_bucket_sql(key_cols, n_buckets)
+        stage = os.path.join(self.root, f"._stage_{uuid.uuid4().hex}")
+        (
+            df.withColumn(_BUCKET_COL, F.expr(bucket_sql))
+            .repartition(_BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET_COL)
+            .parquet(stage)
+        )
+        self._write_bucket_spec(stage, key_cols, n_buckets, bucket_sql)
+        version = self._claim_version(stage)
+        self._commit_pointer(version, expected_base, expected_sidecars)
+        self._vacuum()
+        return version
+
+    def read_buckets(
+        self, version: str, buckets: Sequence[int], apply_deletes: bool = True
+    ) -> DataFrame:
+        """Partition-pruned scan of a bucketed version: only the named
+        __bucket=K directories are read (Catalyst prunes on the partition
+        column — the 100 TB point: a micro-batch merge scans O(touched)
+        data, not the table)."""
+        from pyspark.sql import functions as F
+
+        path = os.path.join(self.root, version)
+        df = (
+            self.spark.read.parquet(path)
+            .filter(F.col(_BUCKET_COL).isin([int(b) for b in buckets]))
+            .drop(_BUCKET_COL)
+        )
+        if not apply_deletes:
+            return df
+        sidecars = self._delete_sidecars(version)
+        if not sidecars:
+            return df
+        from functools import reduce
+
+        keys = reduce(
+            DataFrame.unionByName,
+            [self.spark.read.parquet(p) for p in sidecars],
+        ).distinct()
+        return df.join(F.broadcast(keys), list(keys.columns), "left_anti")
+
+    def replace_buckets(
+        self,
+        merged: DataFrame,
+        touched: Sequence[int],
+        key_cols: Sequence[str],
+        n_buckets: int,
+        expected_base: str,
+        bucket_sql: str | None = None,
+        expected_sidecars=None,
+    ) -> str:
+        """Keyed PARTIAL rewrite: commit a new version in which only the
+        ``touched`` buckets' data comes from ``merged``; every untouched
+        bucket directory is hard-linked file-by-file from the base
+        snapshot. Versions stay immutable (data files are write-once, so
+        shared inodes are never mutated; _vacuum of the base keeps linked
+        files alive via the refcount). The caller must have verified
+        ``bucket_spec(expected_base) == (key_cols, n_buckets, bucket_sql)``
+        and that ``merged`` contains no rows outside ``touched``."""
+        from pyspark.sql import functions as F
+
+        bucket_sql = bucket_sql or self.default_bucket_sql(key_cols, n_buckets)
+        stage = os.path.join(self.root, f"._stage_{uuid.uuid4().hex}")
+        (
+            merged.withColumn(_BUCKET_COL, F.expr(bucket_sql))
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET_COL)
+            .parquet(stage)
+        )
+        base_dir = os.path.join(self.root, expected_base)
+        touched_set = {int(b) for b in touched}
+        try:
+            for entry in os.listdir(base_dir):
+                if not entry.startswith(f"{_BUCKET_COL}="):
+                    continue
+                if int(entry.split("=", 1)[1]) in touched_set:
+                    continue
+                src = os.path.join(base_dir, entry)
+                dst = os.path.join(stage, entry)
+                os.makedirs(dst, exist_ok=True)
+                for fname in os.listdir(src):
+                    if fname.endswith(".parquet"):
+                        os.link(
+                            os.path.join(src, fname), os.path.join(dst, fname)
+                        )
+        except FileNotFoundError as e:
+            # base vacuumed mid-link -> the table advanced under us; same
+            # outcome _commit_pointer would reach, surfaced earlier
+            shutil.rmtree(stage, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"table {self.root} base {expected_base!r} vacuumed while "
+                f"linking untouched buckets; re-read and retry"
+            ) from e
+        self._write_bucket_spec(stage, key_cols, n_buckets, bucket_sql)
+        version = self._claim_version(stage)
+        self._commit_pointer(version, expected_base, expected_sidecars)
+        self._vacuum()
+        return version
+
     def delete_where(self, condition) -> str:
         """Delete matching rows (GDPR/right-to-erasure): commit a new
         version holding only the survivors.
@@ -456,10 +639,12 @@ class ManagedTable:
         )
 
     def _data_bytes(self, version: str) -> int:
+        # walk: bucketed versions keep parquet under __bucket=K subdirs
         path = os.path.join(self.root, version)
         return sum(
-            os.path.getsize(os.path.join(path, f))
-            for f in os.listdir(path)
+            os.path.getsize(os.path.join(d, f))
+            for d, _, files in os.walk(path)
+            for f in files
             if f.endswith(".parquet")
         )
 

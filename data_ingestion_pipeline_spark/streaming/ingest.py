@@ -35,6 +35,9 @@ def stream_orders_csv(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    repartition_keys: bool = False,
+    n_buckets: int = 64,
+    bucket_sql: str | None = None,
 ) -> StreamingQuery:
     """Ingest order CSVs dropped into ``input_dir``.
 
@@ -45,6 +48,12 @@ def stream_orders_csv(
     ``available_now=True`` (the test/driver default) drains the files
     present at start and stops; pass ``available_now=False`` for the
     continuous deployment that keeps watching the directory.
+
+    ``repartition_keys=True`` switches the sink to keyed PARTIAL rewrites
+    (plans/merge.py): the table lays out in ``n_buckets`` key partitions
+    and each micro-batch rewrites only the buckets it touches — the lever
+    that keeps per-batch latency flat as the table grows (pass a
+    locality-matched ``bucket_sql``; see ManagedTable.default_bucket_sql).
     """
     reader = (
         spark.readStream.schema(schemas.ORDERS_CSV_RAW)
@@ -57,7 +66,15 @@ def stream_orders_csv(
     normalized = normalize_orders(raw)
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        merge_upsert(table, batch_df, keys=schemas.ORDERS_KEY, order_col="date_time")
+        merge_upsert(
+            table,
+            batch_df,
+            keys=schemas.ORDERS_KEY,
+            order_col="date_time",
+            repartition_keys=repartition_keys,
+            n_buckets=n_buckets,
+            bucket_sql=bucket_sql,
+        )
 
     writer = normalized.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
