@@ -95,6 +95,7 @@ __all__ = [
     "minhash_md5_replay_near_dup_documents",
     "simhash_md5_replay_near_dup_documents",
     "ann_ivfpq_topk_embeddings",
+    "ann_ivfpq_sample_adc_topk_embeddings",
     "ann_ivfpq_recall_embeddings",
     "variant_shred_events",
     "dup_span_profile_documents",
@@ -2351,6 +2352,189 @@ def ann_ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, q, k=10, n_centroids=16, nprobe=4, model=_ivfpq_model(sf_dir, emb)
     )
+
+
+def ann_ivfpq_sample_adc_topk_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ end to end, hash-checked: the COMPOSED pipeline (coarse-cell
+    routing → residual PQ encode → per-query ADC over the probed cells →
+    rerank-50 shortlist → exact-cosine refine → top-10) with a
+    sample-deterministic model so the whole thing replays in DuckDB — the
+    `ann_pq_sample_adc` promotion pattern applied to the composition, which
+    was the registry's last rows-only-gated family. Model: 16 strided
+    coarse centroids (the IVF replay's cent CTE), residual codebooks =
+    `train_ivfpq(sample_size=48, n_iters=0)` — the first 16 residuals of a
+    48-row strided sample under S=8×K=16 (first-K init, zero Lloyd steps;
+    48 ≠ 16 matters: a 16-row sample would coincide with the centroids and
+    train all-zero residual books). Everything downstream is the REAL
+    production kernel: `ivfpq_encode`'s per-Arrow-batch assign/residual/
+    encode matmuls, `ivfpq_topk`'s probe-table broadcast, ADC gather,
+    shortlist and refine. Only codebook TRAINING (the Lloyd iterations)
+    stays under the pytest recall pins — same split as the PQ sibling.
+
+    Exactness, each verified bitwise in a 2-SF prototype before wiring
+    (.proto/ivfpq_replay.py protocol): residuals replay as elementwise
+    list_transform subtraction THEN list_inner_product (linearity
+    expansion of the dots would re-round differently); the 8-term ADC sum
+    is an explicit left-assoc chain (numpy sums the short axis
+    sequentially); probe-cell ties break (dot DESC, cid DESC) =
+    select_probe_cells' (-s, -i), while assignment/encode argmax/argmin
+    break first-wins (cid ASC). Scale shape: the oracle (and the plan)
+    score only PROBED-cell vectors — candidates ∝ nprobe/C of the corpus,
+    codes are S bytes/vector, the refine touches queries·rerank rows.
+
+    Precondition (asserted): dense 0-based vec_ids, ≥ 48 vectors — the
+    stride CTEs and the operator must pick identical samples."""
+    from data_ingestion_pipeline_spark.similarity.ivfpq import (
+        ivfpq_topk,
+        train_ivfpq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    meta = emb.agg(
+        F.count("*").alias("c"), F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).collect()[0]
+    assert meta["c"] >= 48 and meta["lo"] == 0 and meta["hi"] == meta["c"] - 1, (
+        f"ivfpq sample-ADC replay needs >=48 dense 0-based vec_ids, got "
+        f"count={meta['c']} range=[{meta['lo']}, {meta['hi']}]"
+    )
+    model = train_ivfpq(
+        emb, n_centroids=16, n_subspaces=8, n_codes=16, sample_size=48, n_iters=0
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_topk(
+        emb, q, k=10, n_centroids=16, nprobe=4, n_subspaces=8, n_codes=16,
+        rerank=50, model=model,
+    )
+
+
+def _ivfpq_sample_adc_oracle(
+    s_sub: int = 8, n_codes: int = 16, n_cents: int = 16, nprobe: int = 4,
+    sample: int = 48, rerank: int = 50, k: int = 10,
+) -> str:
+    sub = EMB_DIM // s_sub
+    chain = "MAX(CASE WHEN l.s=0 THEN l.t END)"
+    for s in range(1, s_sub):
+        chain = f"({chain} + MAX(CASE WHEN l.s={s} THEN l.t END))"
+    return f"""
+WITH params AS (SELECT COUNT(*) AS n FROM embeddings),
+cent AS MATERIALIZED (
+    SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS cid,
+           e.embedding::DOUBLE[] AS cv
+    FROM embeddings e, params p
+    WHERE e.vec_id % GREATEST(p.n // {n_cents}, 1) = 0
+      AND e.vec_id < GREATEST(p.n // {n_cents}, 1) * {n_cents}
+),
+samp AS MATERIALIZED (
+    SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS sid,
+           e.embedding::DOUBLE[] AS sv
+    FROM embeddings e, params p
+    WHERE e.vec_id % GREATEST(p.n // {sample}, 1) = 0
+      AND e.vec_id < GREATEST(p.n // {sample}, 1) * {sample}
+),
+-- train_ivfpq: residual sample rows assign to their nearest centroid
+-- (argmax dot, np first-wins = cid ASC)
+samp_assign AS MATERIALIZED (
+    SELECT sid, sv, cid, cv FROM (
+        SELECT s.sid, s.sv, c.cid, c.cv,
+               ROW_NUMBER() OVER (PARTITION BY s.sid
+                   ORDER BY list_inner_product(s.sv, c.cv) DESC, c.cid ASC) AS rn
+        FROM samp s CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+-- n_iters=0 books: the first {n_codes} residuals, sliced per subspace.
+-- Elementwise subtract THEN slice/dot — the numpy op order; a linearity
+-- expansion of the dots would round differently.
+cw2 AS MATERIALIZED (
+    SELECT CAST(t.s AS INT) AS s, a.sid AS code,
+           list_slice(list_transform(range(1, {EMB_DIM + 1}), i -> a.sv[i] - a.cv[i]),
+                      CAST(t.s*{sub}+1 AS INT), CAST((t.s+1)*{sub} AS INT)) AS wslice
+    FROM samp_assign a CROSS JOIN range({s_sub}) t(s)
+    WHERE a.sid < {n_codes}
+),
+cw3 AS MATERIALIZED (
+    SELECT s, code, wslice, list_inner_product(wslice, wslice) AS ww FROM cw2
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+-- select_probe_cells: top-nprobe by q-dot, ties LARGER cid first ((-s,-i))
+probe AS MATERIALIZED (
+    SELECT cid, q_dot_c FROM (
+        SELECT c.cid, list_inner_product(c.cv, q.qv) AS q_dot_c,
+               ROW_NUMBER() OVER (
+                   ORDER BY list_inner_product(c.cv, q.qv) DESC, c.cid DESC) AS rn
+        FROM cent c CROSS JOIN q
+    ) WHERE rn <= {nprobe}
+),
+-- ivfpq_encode's cell assignment, kept only where the query probes
+assigned AS MATERIALIZED (
+    SELECT a.vec_id, a.v, a.cv, p.q_dot_c FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid, c.cv,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_inner_product(e.embedding::DOUBLE[], c.cv) DESC,
+                            c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) a JOIN probe p USING (cid)
+    WHERE a.rn = 1
+),
+res AS MATERIALIZED (
+    SELECT vec_id, q_dot_c,
+           list_transform(range(1, {EMB_DIM + 1}), i -> v[i] - cv[i]) AS rv
+    FROM assigned
+),
+-- residual encode: argmin over codes of ww - 2*(r_s . w), first-wins
+enc AS MATERIALIZED (
+    SELECT vec_id, q_dot_c, s, code FROM (
+        SELECT r.vec_id, r.q_dot_c, w.s, w.code,
+               ROW_NUMBER() OVER (PARTITION BY r.vec_id, w.s
+                   ORDER BY w.ww - 2.0 * list_inner_product(
+                       list_slice(r.rv, CAST(w.s*{sub}+1 AS INT),
+                                  CAST((w.s+1)*{sub} AS INT)),
+                       w.wslice) ASC,
+                   w.code ASC) AS rn
+        FROM res r CROSS JOIN cw3 w
+    ) WHERE rn = 1
+),
+-- ivfpq_topk's per-query ADC table: FULL query slices against the
+-- residual books (q.v-hat = q.c + q.r-hat; the table is cell-independent)
+lut AS MATERIALIZED (
+    SELECT w.s, w.code,
+           list_inner_product(w.wslice,
+               list_slice(q.qv, CAST(w.s*{sub}+1 AS INT),
+                          CAST((w.s+1)*{sub} AS INT))) AS t
+    FROM cw3 w CROSS JOIN q
+),
+-- approx score: q_dot_c + the {s_sub}-term left-assoc ADC chain
+sc AS MATERIALIZED (
+    SELECT e.vec_id, e.q_dot_c + ({chain}) AS approx
+    FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+    GROUP BY e.vec_id, e.q_dot_c
+),
+short AS MATERIALIZED (
+    SELECT vec_id FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY approx DESC, vec_id ASC) AS rnk
+        FROM sc
+    ) WHERE rnk <= {rerank}
+),
+refined AS (
+    SELECT e.vec_id,
+           list_inner_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_inner_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_inner_product(q.qv, q.qv))) AS score
+    FROM embeddings e JOIN short s USING (vec_id) CROSS JOIN q
+)
+SELECT CAST(0 AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(ROUND(score, 6) AS DOUBLE) AS score, CAST(rnk AS INT) AS rank
+FROM (
+    SELECT vec_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS rnk
+    FROM refined
+) WHERE rnk <= {k}
+"""
+
+
+ANN_IVFPQ_SAMPLE_ADC_TOPK_EMBEDDINGS_ORACLE = _ivfpq_sample_adc_oracle()
 
 
 def ann_ivfpq_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

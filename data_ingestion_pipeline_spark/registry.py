@@ -439,7 +439,9 @@ _ROUND10_FRONT: list[str] = [
 
 # Round-10 additions land here (never driver-checked — freshness policy
 # puts no-evidence names ahead of stale-green when round 11 rotates).
-_ROUND11_QUEUE: list[str] = []
+_ROUND11_QUEUE: list[str] = [
+    "ann_ivfpq_sample_adc_topk_embeddings",
+]
 
 
 def _ordered_names() -> list[str]:
@@ -1347,12 +1349,19 @@ register(
     llm_data.ANN_PQ_SAMPLE_ADC_TOPK_EMBEDDINGS_ORACLE,
 )
 
-# The registry's LAST rows-only query, kept deliberately: it is the only
-# end-to-end IVF-routing + PQ-ADC composition surface. Both halves are
-# individually hash-checked (`ann_ivf_topk_embeddings` routing,
-# `ann_pq_sample_adc_topk_embeddings` encode/ADC/rank) and the composite
-# is recall-gated by `ann_ivfpq_recall_embeddings`.
+# The registry's LAST rows-only query, kept deliberately: it is the
+# Lloyd-trained production IVF-PQ surface (10-iteration codebooks are not
+# SQL-expressible). Every downstream stage is hash-checked by the
+# sample-model composition replay below plus `ann_ivf_topk_embeddings`
+# (routing) and `ann_pq_sample_adc_topk_embeddings` (flat-PQ ADC); the
+# composite is recall-gated by `ann_ivfpq_recall_embeddings`.
 register("ann_ivfpq_topk_embeddings", llm_data.ann_ivfpq_topk_embeddings, None)
+
+register(
+    "ann_ivfpq_sample_adc_topk_embeddings",
+    llm_data.ann_ivfpq_sample_adc_topk_embeddings,
+    llm_data.ANN_IVFPQ_SAMPLE_ADC_TOPK_EMBEDDINGS_ORACLE,
+)
 
 register(
     "gopher_repetition_documents",
