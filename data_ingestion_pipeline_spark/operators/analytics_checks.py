@@ -62,6 +62,8 @@ __all__ = [
     "key_skew_report_events",
     "kaplan_meier_conversion_events",
     "mann_whitney_purchase_view_values",
+    "kruskal_wallis_event_values",
+    "cliffs_delta_purchase_view",
     "spearman_daily_purchase_view",
     "kendall_tau_daily_purchase_view",
     "theil_sen_daily_trend",
@@ -3123,6 +3125,243 @@ SELECT n1, n2,
                        / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
                           * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))),
            6) AS DOUBLE) AS z_score
+FROM s
+"""
+
+
+def kruskal_wallis_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across ALL event types — the k-sample extension of
+    ``mann_whitney_purchase_view_values`` (rank-based one-way ANOVA;
+    Kruskal & Wallis 1952), the distribution-free sibling of
+    ``oneway_anova_event_values``: H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1)
+    over average ranks, divided by the tie factor
+    C = 1 − Σ(t³−t)/(N³−N).
+
+    Exactness: DOUBLED average ranks are exact integers
+    (2·r̄(v) = 2·cum_before + t + 1 — the Mann-Whitney value-grain
+    construction, never a row-level rank), so each group's doubled rank
+    sum R2_g = Σ t_g·2r̄ folds in DECIMAL(38,0) and
+    Σ R_g²/n_g = ¼ Σ R2_g²/n_g gives H = 3/(N(N+1))·Σ R2_g²/n_g − 3(N+1);
+    the per-group double terms fold in DECIMAL(38,6) (k rows), the tie
+    cube in DECIMAL(38,0). Scale shape: cumulative counts over the
+    corpus-sized distinct-value domain ride the range-partition +
+    chunk-offset stitch (the ``ks_test_purchase_view`` pattern), so there
+    is no single-partition sort anywhere; the only unpartitioned window is
+    over the ≤n_chunks offset rows."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("value", "event_type").agg(
+        F.count("*").cast("bigint").alias("tg")
+    )
+    pts = ev.groupBy("value").agg(F.count("*").cast("bigint").alias("t"))
+    n_chunks = spark.sparkContext.defaultParallelism
+    chunked = pts.repartitionByRange(n_chunks, "value").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("value")
+    local = chunked.select("value", "t", "pid", F.sum("t").over(w).alias("lc"))
+    # chunk totals from the WINDOW OUTPUT (max cumulative per pid), never
+    # from a second aggregate branch over `chunked`: column pruning can
+    # specialize the two branches' range exchanges differently, defeating
+    # exchange reuse — and RangePartitioner re-SAMPLES per materialization
+    # (rdd.id-seeded), so two un-reused exchanges pick different chunk
+    # boundaries and the offset stitch silently corrupts (caught live on
+    # cliffs_delta: nondeterministic results across same-session runs)
+    totals = local.groupBy("pid").agg(F.max("lc").cast("bigint").alias("tt"))
+    # pid%1: constant non-foldable key — the offset window sees <=n_chunks
+    # rows in one group on WindowExec's partitioned path
+    bw = (
+        Window.partitionBy(F.col("pid") % 1)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "pid", F.coalesce(F.sum("tt").over(bw), F.lit(0)).cast("bigint").alias("off")
+    )
+    ranked = local.join(offs, "pid").select(
+        "value",
+        (
+            2 * (F.col("lc") + F.col("off") - F.col("t")) + F.col("t") + 1
+        ).cast("bigint").alias("r2"),
+    )
+    per_g = (
+        g.join(ranked, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("tg").cast("bigint").alias("n_g"),
+            F.sum(F.col("tg").cast("decimal(38,0)") * F.col("r2")).alias("r2_sum"),
+        )
+    )
+    term = (
+        F.col("r2_sum").cast("double")
+        * F.col("r2_sum").cast("double")
+        / F.col("n_g").cast("double")
+    )
+    agg = per_g.agg(
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum(term.cast("decimal(38,6)")).cast("double").alias("s"),
+    )
+    ties = pts.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_term"),
+    )
+    j = agg.crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    h = F.lit(3.0) / (nd * (nd + F.lit(1.0))) * F.col("s") - F.lit(3.0) * (
+        nd + F.lit(1.0)
+    )
+    c = F.lit(1.0) - F.col("tie_term").cast("double") / (nd * nd * nd - nd)
+    return j.select(
+        "k_groups",
+        "n",
+        (F.col("k_groups") - 1).cast("int").alias("df"),
+        F.round(h, 6).cast("double").alias("h"),
+        F.round(F.when(c > F.lit(0.0), h / c), 6)
+        .cast("double")
+        .alias("h_tie_corrected"),
+    )
+
+
+KRUSKAL_WALLIS_EVENT_VALUES_ORACLE = """
+WITH g AS (
+    SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS tg
+    FROM events GROUP BY 1, 2
+), pts AS (
+    SELECT value, CAST(COUNT(*) AS BIGINT) AS t FROM events GROUP BY 1
+), ranked AS (
+    SELECT value,
+           CAST(2 * (SUM(t) OVER (ORDER BY value) - t) + t + 1 AS BIGINT) AS r2
+    FROM pts
+), per_g AS (
+    SELECT g.event_type, CAST(SUM(tg) AS BIGINT) AS n_g,
+           SUM(CAST(tg AS DECIMAL(38,0)) * r.r2) AS r2_sum
+    FROM g JOIN ranked r USING (value) GROUP BY g.event_type
+), ties AS (
+    SELECT CAST(SUM(t) AS BIGINT) AS n,
+           SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie_term
+    FROM pts
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+           CAST(SUM(CAST(CAST(r2_sum AS DOUBLE) * CAST(r2_sum AS DOUBLE)
+                         / CAST(n_g AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) AS s
+    FROM per_g
+)
+SELECT k_groups, n, CAST(k_groups - 1 AS INT) AS df,
+       CAST(ROUND(h, 6) AS DOUBLE) AS h,
+       CAST(ROUND(CASE WHEN c > 0.0 THEN h / c END, 6) AS DOUBLE)
+           AS h_tie_corrected
+FROM (
+    SELECT k_groups, n,
+           3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * s
+             - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+           1.0 - CAST(tie_term AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(n AS DOUBLE)) AS c
+    FROM agg CROSS JOIN ties
+)
+"""
+
+
+def cliffs_delta_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta between purchase and view event values — the ORDINAL
+    EFFECT SIZE the Mann–Whitney z cannot convey (a tiny shift goes
+    "significant" at corpus n; δ = P(x>y) − P(x<y) ∈ [−1, 1] stays
+    interpretable at any scale; Cliff 1993). Dominance counts are EXACT
+    integers from the value-grouped relation: #(x>y) = Σ_v t₁(v)·cum₂₋(v)
+    and #(x<y) = Σ_v t₁(v)·(n₂ − cum₂(v)), folded in DECIMAL(38,0) —
+    never an O(n₁·n₂) pair join. The cumulative view counts ride the same
+    chunk-offset stitch as ``ks_test_purchase_view``."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pts = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("t1"),
+        F.count(F.when(F.col("event_type") == "view", 1))
+        .cast("bigint")
+        .alias("t2"),
+    )
+    # The stitched grain carries ONLY the cum machinery (value, t2) — the
+    # ks_test/kruskal shape. Carrying t1 through the stitch specializes
+    # the local and offset branches' column pruning, the range exchange
+    # stops being reused, and RangePartitioner re-SAMPLES its boundaries
+    # per materialization (rdd.id-seeded) — the two branches then stitch
+    # against INCONSISTENT chunk ids (caught live: nondeterministic gt/lt
+    # across same-session runs). t1 joins back on value below.
+    n_chunks = spark.sparkContext.defaultParallelism
+    chunked = pts.select("value", "t2").repartitionByRange(
+        n_chunks, "value"
+    ).withColumn("pid", F.spark_partition_id())
+    w = Window.partitionBy("pid").orderBy("value")
+    local = chunked.select("value", "t2", "pid", F.sum("t2").over(w).alias("l2"))
+    totals = local.groupBy("pid").agg(F.max("l2").cast("bigint").alias("tt"))
+    bw = (
+        Window.partitionBy(F.col("pid") % 1)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "pid", F.coalesce(F.sum("tt").over(bw), F.lit(0)).cast("bigint").alias("off")
+    )
+    nn = pts.agg(
+        F.sum("t1").cast("bigint").alias("n1"),
+        F.sum("t2").cast("bigint").alias("n2"),
+    )
+    cum2 = local.join(offs, "pid").select(
+        "value",
+        (F.col("l2") + F.col("off") - F.col("t2")).cast("bigint").alias("c2_before"),
+        (F.col("l2") + F.col("off")).cast("bigint").alias("c2_incl"),
+    )
+    cum = (
+        pts.select("value", "t1")
+        .join(cum2, "value")
+        .crossJoin(F.broadcast(nn))
+    )
+    s = cum.groupBy("n1", "n2").agg(
+        F.sum(F.col("t1").cast("decimal(38,0)") * F.col("c2_before")).alias("gt"),
+        F.sum(
+            F.col("t1").cast("decimal(38,0)") * (F.col("n2") - F.col("c2_incl"))
+        ).alias("lt"),
+    )
+    delta = (F.col("gt").cast("double") - F.col("lt").cast("double")) / (
+        F.col("n1").cast("double") * F.col("n2").cast("double")
+    )
+    return s.select(
+        "n1",
+        "n2",
+        F.col("gt").cast("bigint").alias("n_greater"),
+        F.col("lt").cast("bigint").alias("n_less"),
+        F.round(delta, 6).cast("double").alias("cliffs_delta"),
+    )
+
+
+CLIFFS_DELTA_PURCHASE_VIEW_ORACLE = """
+WITH pts AS (
+    SELECT value,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS t1,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS t2
+    FROM events WHERE event_type IN ('purchase', 'view')
+    GROUP BY value
+), cum AS (
+    SELECT t1, t2,
+           CAST(SUM(t2) OVER (ORDER BY value) - t2 AS BIGINT) AS c2_before,
+           CAST(SUM(t2) OVER (ORDER BY value) AS BIGINT) AS c2_incl,
+           CAST(SUM(t2) OVER () AS BIGINT) AS n2_all
+    FROM pts
+), s AS (
+    SELECT CAST(SUM(t1) AS BIGINT) AS n1, CAST(SUM(t2) AS BIGINT) AS n2,
+           SUM(CAST(t1 AS DECIMAL(38,0)) * c2_before) AS gt,
+           SUM(CAST(t1 AS DECIMAL(38,0)) * (n2_all - c2_incl)) AS lt
+    FROM cum
+)
+SELECT n1, n2,
+       CAST(gt AS BIGINT) AS n_greater,
+       CAST(lt AS BIGINT) AS n_less,
+       CAST(ROUND((CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+                  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS DOUBLE)
+           AS cliffs_delta
 FROM s
 """
 

@@ -33,6 +33,7 @@ __all__ = [
     "levene_bf_event_values",
     "jackknife_ratio_metric_ab",
     "eb_shrunk_purchase_rate_users",
+    "mcnemar_weekday_weekend_purchase",
     "WILSON_CI_PURCHASE_RATE_DAILY_ORACLE",
     "ONEWAY_ANOVA_EVENT_VALUES_ORACLE",
     "GINI_LORENZ_CUSTOMER_SPEND_ORACLE",
@@ -42,6 +43,7 @@ __all__ = [
     "LEVENE_BF_EVENT_VALUES_ORACLE",
     "JACKKNIFE_RATIO_METRIC_AB_ORACLE",
     "EB_SHRUNK_PURCHASE_RATE_USERS_ORACLE",
+    "MCNEMAR_WEEKDAY_WEEKEND_PURCHASE_ORACLE",
 ]
 
 _Z = 1.96  # 95% two-sided
@@ -1168,6 +1170,104 @@ SELECT arm, n_users,
            * (sr2 - sr * sr / CAST(n_users AS DOUBLE)), 0.0)), 6) AS DOUBLE)
            AS jackknife_se
 FROM stats
+"""
+
+
+def mcnemar_weekday_weekend_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes (McNemar 1947): does a
+    user's purchase propensity differ between weekdays and weekends, with
+    each user serving as their own control — the within-subject design the
+    two-sample tests in this module (Welch, Mann–Whitney) cannot express
+    because their independence assumption breaks when both samples contain
+    the same users. Only the DISCORDANT pairs carry signal:
+    b = #users purchasing on weekdays but never weekends,
+    c = #users purchasing on weekends but never weekdays,
+    χ² = (max(|b−c|−1, 0))² / (b+c) — the Edwards continuity-corrected
+    form with the standard clamp so b=c reports 0, not 1.
+
+    Exactness: b, c, n are exact integers from ONE hash-aggregation to
+    user grain (two MAX-indicator folds — associative, partition-count
+    invariant); χ² and the one-term normal tail bound
+    p ≤ 2·exp(−χ²/2) (χ²₁ = Z², P(χ²>x) = 2P(Z>√x) ≤ 2e^{−x/2}) are the
+    only floats, one fixed expression in both engines. Weekday parity:
+    Spark weekday()+1 == DuckDB isodow (1=Mon..7) — neither engine's
+    default DOW origin is trusted. NULL χ² when b+c=0 (no discordant
+    users) — identical in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    is_weekend = (F.weekday("ts") + F.lit(1)) >= 6
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (~is_weekend), 1
+            ).otherwise(0)
+        ).alias("wd"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & is_weekend, 1
+            ).otherwise(0)
+        ).alias("we"),
+    )
+    s = per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.when((F.col("wd") == 1) & (F.col("we") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("wd_only"),
+        F.sum(F.when((F.col("wd") == 0) & (F.col("we") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("we_only"),
+    )
+    b = F.col("wd_only").cast("double")
+    c = F.col("we_only").cast("double")
+    g = F.greatest(F.abs(b - c) - F.lit(1.0), F.lit(0.0))
+    chi2 = F.when(F.col("wd_only") + F.col("we_only") > 0, g * g / (b + c))
+    # explicit NULL gate: least()/LEAST() disagree across engines on NULL
+    # inputs (Spark ignores them, older DuckDB propagates), so never let a
+    # NULL chi2 reach the least()
+    p_bound = F.when(
+        chi2.isNotNull(),
+        F.least(F.lit(1.0), F.lit(2.0) * F.exp(-chi2 / F.lit(2.0))),
+    )
+    return s.select(
+        "n_users",
+        "wd_only",
+        "we_only",
+        F.round(chi2, 6).cast("double").alias("chi2_cc"),
+        F.round(p_bound, 6).cast("double").alias("p_tail_bound"),
+    )
+
+
+MCNEMAR_WEEKDAY_WEEKEND_PURCHASE_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'purchase' AND isodow(ts) < 6
+                    THEN 1 ELSE 0 END) AS wd,
+           MAX(CASE WHEN event_type = 'purchase' AND isodow(ts) >= 6
+                    THEN 1 ELSE 0 END) AS we
+    FROM events GROUP BY user_id
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN wd = 1 AND we = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS wd_only,
+           CAST(SUM(CASE WHEN wd = 0 AND we = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS we_only
+    FROM per_user
+)
+SELECT n_users, wd_only, we_only,
+       CAST(ROUND(chi2, 6) AS DOUBLE) AS chi2_cc,
+       CAST(ROUND(CASE WHEN chi2 IS NOT NULL
+                       THEN LEAST(1.0, 2.0 * EXP(-chi2 / 2.0)) END, 6)
+            AS DOUBLE) AS p_tail_bound
+FROM (
+    SELECT n_users, wd_only, we_only,
+           CASE WHEN wd_only + we_only > 0 THEN
+               GREATEST(ABS(CAST(wd_only AS DOUBLE)
+                            - CAST(we_only AS DOUBLE)) - 1.0, 0.0)
+               * GREATEST(ABS(CAST(wd_only AS DOUBLE)
+                              - CAST(we_only AS DOUBLE)) - 1.0, 0.0)
+               / (CAST(wd_only AS DOUBLE) + CAST(we_only AS DOUBLE))
+           END AS chi2
+    FROM s
+)
 """
 
 

@@ -441,6 +441,9 @@ _ROUND10_FRONT: list[str] = [
 # puts no-evidence names ahead of stale-green when round 11 rotates).
 _ROUND11_QUEUE: list[str] = [
     "ann_ivfpq_sample_adc_topk_embeddings",
+    "kruskal_wallis_event_values",
+    "cliffs_delta_purchase_view",
+    "mcnemar_weekday_weekend_purchase",
 ]
 
 
@@ -1742,6 +1745,12 @@ register(
 )
 
 register(
+    "mcnemar_weekday_weekend_purchase",
+    inference_stats.mcnemar_weekday_weekend_purchase,
+    inference_stats.MCNEMAR_WEEKDAY_WEEKEND_PURCHASE_ORACLE,
+)
+
+register(
     "hard_negative_mining_embeddings",
     llm_data.hard_negative_mining_embeddings,
     llm_data.HARD_NEGATIVE_MINING_EMBEDDINGS_ORACLE,
@@ -2119,6 +2128,18 @@ register(
     "mann_whitney_purchase_view_values",
     analytics_checks.mann_whitney_purchase_view_values,
     analytics_checks.MANN_WHITNEY_PURCHASE_VIEW_VALUES_ORACLE,
+)
+
+register(
+    "kruskal_wallis_event_values",
+    analytics_checks.kruskal_wallis_event_values,
+    analytics_checks.KRUSKAL_WALLIS_EVENT_VALUES_ORACLE,
+)
+
+register(
+    "cliffs_delta_purchase_view",
+    analytics_checks.cliffs_delta_purchase_view,
+    analytics_checks.CLIFFS_DELTA_PURCHASE_VIEW_ORACLE,
 )
 
 register(

@@ -51,3 +51,106 @@ def test_ivfpq_sample_adc_rejects_sparse_ids(spark):
         )
         with pytest.raises(AssertionError, match="dense 0-based"):
             ann_ivfpq_sample_adc_topk_embeddings(spark, d)
+
+
+def _collected_pv(spark):
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select("event_type", "value")
+        .collect()
+    )
+    xs = [r["value"] for r in rows if r["event_type"] == "purchase"]
+    ys = [r["value"] for r in rows if r["event_type"] == "view"]
+    return xs, ys
+
+
+def test_kruskal_wallis_matches_direct_computation(spark):
+    """H and the tie-corrected H recomputed from the collected values with
+    plain midranks."""
+    from collections import Counter
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        kruskal_wallis_event_values,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_g = {}
+    allv = []
+    for r in rows:
+        by_g.setdefault(r["event_type"], []).append(r["value"])
+        allv.append(r["value"])
+    n = len(allv)
+    # midrank per distinct value
+    cnt = Counter(allv)
+    pos = 1
+    rank = {}
+    for v in sorted(cnt):
+        t = cnt[v]
+        rank[v] = pos + (t - 1) / 2.0
+        pos += t
+    s = sum(
+        (sum(rank[v] for v in vs)) ** 2 / len(vs) for vs in by_g.values()
+    )
+    h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    tie = sum(t**3 - t for t in cnt.values())
+    hc = h / (1.0 - tie / (n**3 - n))
+    row = kruskal_wallis_event_values(spark, SF_SMOKE).collect()[0]
+    assert row["k_groups"] == len(by_g)
+    assert row["n"] == n
+    assert row["df"] == len(by_g) - 1
+    assert abs(row["h"] - h) < 1e-4
+    assert abs(row["h_tie_corrected"] - hc) < 1e-4
+
+
+def test_cliffs_delta_matches_direct_and_is_deterministic(spark):
+    """Dominance counts against a brute-force O(n1*n2) recount, plus the
+    run-twice pin for the hazard this operator caught live: a stitched
+    cumulative whose grain carries extra measures loses range-exchange
+    reuse and re-samples chunk boundaries inconsistently (nondeterministic
+    output). Structural regression here = flaky inequality below."""
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        cliffs_delta_purchase_view,
+    )
+
+    xs, ys = _collected_pv(spark)
+    gt = sum(1 for x in xs for y in ys if x > y)
+    lt = sum(1 for x in xs for y in ys if x < y)
+    r1 = cliffs_delta_purchase_view(spark, SF_SMOKE).collect()[0]
+    r2 = cliffs_delta_purchase_view(spark, SF_SMOKE).collect()[0]
+    assert (r1["n_greater"], r1["n_less"]) == (r2["n_greater"], r2["n_less"])
+    assert r1["n_greater"] == gt and r1["n_less"] == lt
+    assert r1["n1"] == len(xs) and r1["n2"] == len(ys)
+    expected = (gt - lt) / (len(xs) * len(ys))
+    assert abs(r1["cliffs_delta"] - expected) < 1e-6
+
+
+def test_mcnemar_matches_direct_computation(spark):
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        mcnemar_weekday_weekend_purchase,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "event_type", F.weekday("ts").alias("wd"))
+        .collect()
+    )
+    users = {}
+    for r in rows:
+        flags = users.setdefault(r["user_id"], [0, 0])
+        if r["event_type"] == "purchase":
+            flags[1 if r["wd"] >= 5 else 0] = 1
+    b = sum(1 for wd, we in users.values() if wd and not we)
+    c = sum(1 for wd, we in users.values() if we and not wd)
+    chi2 = max(abs(b - c) - 1.0, 0.0) ** 2 / (b + c) if b + c else None
+    row = mcnemar_weekday_weekend_purchase(spark, SF_SMOKE).collect()[0]
+    assert row["n_users"] == len(users)
+    assert row["wd_only"] == b and row["we_only"] == c
+    if chi2 is None:
+        assert row["chi2_cc"] is None
+    else:
+        assert abs(row["chi2_cc"] - chi2) < 1e-6
