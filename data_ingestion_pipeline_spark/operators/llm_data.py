@@ -83,6 +83,7 @@ __all__ = [
     "doc_fingerprint_rolling",
     "quality_filter_documents",
     "stratified_sample_documents",
+    "leakage_safe_split_documents",
     "near_dup_clusters_documents",
     "text_hygiene_documents",
     "knn_graph_embeddings",
@@ -2138,6 +2139,87 @@ WITH RECURSIVE pairs AS (
 SELECT node AS doc_id, MIN(other) AS cluster_id,
        (node = MIN(other)) AS keep
 FROM reach GROUP BY node
+"""
+
+
+def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: every document is assigned by
+    md5(CLUSTER root), not md5(doc_id), so a near-duplicate pair can never
+    straddle train and test — the eval-contamination hole a plain
+    per-document split leaves open even AFTER deduplication (survivors of
+    distinct-but-similar documents still leak evaluation content; cf. the
+    train-test overlap analyses in Lee et al. 2021 §6 and GPT-3 App. C).
+    Composition of the repo's two certified pieces: connected components
+    over the exact-Jaccard near-dup graph (star contraction, O(log n)
+    rounds — dedup/clustering.py) and the stable md5 80/10/10 split
+    (``train_val_test_split_documents``). Singleton documents (no
+    near-dup edge) are their own root, so the whole corpus is covered and
+    a doc's split never changes when unrelated docs arrive.
+
+    Scale shape: the pair graph is banded/thresholded (never all-pairs),
+    contraction is O(log n) bounded-degree rounds, the root join is one
+    keyed equi-join, and the split itself is a map-side expression."""
+    from data_ingestion_pipeline_spark.dedup.clustering import (
+        connected_components_star,
+    )
+
+    aug = _near_dup_corpus(load_table(spark, sf_dir, "documents"))
+    pairs = jaccard_pairs(aug, "text", "doc_id", n=3, threshold=0.4)
+    cc = connected_components_star(pairs)
+    assigned = (
+        aug.select("doc_id")
+        .join(
+            cc.select(F.col("node").alias("doc_id"), "cluster_id"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_root")
+        )
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_root").cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise("test")
+    )
+    return assigned.select("doc_id", "cluster_root", split.alias("split"))
+
+
+LEAKAGE_SAFE_SPLIT_DOCUMENTS_ORACLE = rf"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+    {NGRAM_JACCARD_DOCUMENTS_ORACLE}
+), edges AS MATERIALIZED (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), nodes AS (
+    SELECT DISTINCT u AS node FROM edges
+), reach(node, other) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.other
+), cc AS (
+    SELECT node AS doc_id, MIN(other) AS cluster_id FROM reach GROUP BY node
+), aug AS (
+    SELECT doc_id FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 FROM documents WHERE doc_id % 20 = 0
+), assigned AS (
+    SELECT a.doc_id, COALESCE(cc.cluster_id, a.doc_id) AS cluster_root
+    FROM aug a LEFT JOIN cc ON cc.doc_id = a.doc_id
+)
+SELECT doc_id, cluster_root,
+       CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END
+           AS split
+FROM (
+    SELECT doc_id, cluster_root,
+           ('0x' || substr(md5(cluster_root::VARCHAR), 1, 6))::BIGINT % 100 AS h
+    FROM assigned
+)
 """
 
 

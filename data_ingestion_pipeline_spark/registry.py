@@ -444,6 +444,7 @@ _ROUND11_QUEUE: list[str] = [
     "kruskal_wallis_event_values",
     "cliffs_delta_purchase_view",
     "mcnemar_weekday_weekend_purchase",
+    "leakage_safe_split_documents",
 ]
 
 
@@ -1132,6 +1133,12 @@ register(
     "near_dup_clusters_star_documents",
     llm_data.near_dup_clusters_star_documents,
     llm_data.NEAR_DUP_CLUSTERS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "leakage_safe_split_documents",
+    llm_data.leakage_safe_split_documents,
+    llm_data.LEAKAGE_SAFE_SPLIT_DOCUMENTS_ORACLE,
 )
 
 # --------------------------------------------------------------------------

@@ -154,3 +154,38 @@ def test_mcnemar_matches_direct_computation(spark):
         assert row["chi2_cc"] is None
     else:
         assert abs(row["chi2_cc"] - chi2) < 1e-6
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """THE property: every planted near-dup pair (doc, doc+1000000) lands
+    in one split; the split distribution stays roughly 80/10/10; the
+    whole augmented corpus is covered."""
+    from data_ingestion_pipeline_spark.operators.llm_data import (
+        leakage_safe_split_documents,
+    )
+
+    rows = leakage_safe_split_documents(spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    n_planted = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(F.col("doc_id") % 20 == 0)
+        .count()
+    )
+    assert len(rows) == n_docs + n_planted  # full coverage incl. copies
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    root_of = {r["doc_id"]: r["cluster_root"] for r in rows}
+    # planted copies share their source's cluster and therefore its split
+    for r in rows:
+        if r["doc_id"] >= 1000000:
+            src = r["doc_id"] - 1000000
+            assert root_of[src] == r["cluster_root"], (src, r)
+            assert split_of[src] == r["split"]
+    # same-cluster -> same-split globally (the leakage-safety invariant)
+    by_root = {}
+    for r in rows:
+        by_root.setdefault(r["cluster_root"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_root.values())
+    from collections import Counter
+
+    dist = Counter(r["split"] for r in rows)
+    assert dist["train"] > dist["val"] and dist["train"] > dist["test"]
