@@ -445,6 +445,7 @@ _ROUND11_QUEUE: list[str] = [
     "cliffs_delta_purchase_view",
     "mcnemar_weekday_weekend_purchase",
     "leakage_safe_split_documents",
+    "merge_upsert_keyed_events",
 ]
 
 
@@ -819,6 +820,14 @@ register(
 register(
     "merge_upsert_events",
     ingestion_checks.merge_upsert_events,
+    ingestion_checks.MERGE_UPSERT_EVENTS_ORACLE,
+)
+
+# Same oracle on purpose: the keyed-partial-rewrite commit path must be
+# observably identical to the CoW path (layout invariance under the hash)
+register(
+    "merge_upsert_keyed_events",
+    ingestion_checks.merge_upsert_keyed_events,
     ingestion_checks.MERGE_UPSERT_EVENTS_ORACLE,
 )
 
