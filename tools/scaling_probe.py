@@ -200,6 +200,26 @@ PROBES = [
     # ts verbatim), so the day-pair join is fixed-size and the probe reads
     # on the daily aggregation scan.
     ("mann_kendall_daily_trend", ["events"]),
+    # round-10 additions. KW/cliffs: event_id offsets keep value verbatim,
+    # so the distinct-value grain is FIXED and per-value counts inflate —
+    # the probe reads on the events scan + fixed-size stitch staying
+    # linear. McNemar: user grain fixed (user_id verbatim), probe reads on
+    # the one events scan.
+    ("kruskal_wallis_event_values", ["events"]),
+    ("cliffs_delta_purchase_view", ["events"]),
+    ("mcnemar_weekday_weekend_purchase", ["events"]),
+    # leakage-safe split: doc_id offsets REPLICATE the corpus — replicas
+    # are exact copies so the pair graph inherits the md5-replay caveat
+    # (replica groups collide everywhere, pairs ~replica²); probe at 4x.
+    ("leakage_safe_split_documents", ["documents"]),
+    # IVF-PQ sample replay: dense 16x corpus, stride adjusts; encode
+    # matmul volume grows 16x, probed-cell candidates grow ~16x.
+    ("ann_ivfpq_sample_adc_topk_embeddings", ["embeddings"]),
+    # keyed merge: stored+batch both 16x; the partial path's win is
+    # layout-dependent (hash buckets + uniform keys -> all touched), so
+    # this probes the scan/dedup/anti-join staying linear, not the link
+    # trick (stream_bench measures that under locality).
+    ("merge_upsert_keyed_events", ["events"]),
 ]
 
 KEY_OFFSETS = {
@@ -207,7 +227,11 @@ KEY_OFFSETS = {
     "orders": ("o_orderkey", 100_000_000),
     "lineitem": ("l_orderkey", 100_000_000),
     "events": ("event_id", 1_000_000_000),
-    "embeddings": ("vec_id", 1_000_000_000),
+    # None offset = DENSE replication (offset by the base count): the ANN
+    # sample-ADC replays assert dense 0-based vec_ids (their stride CTEs
+    # depend on it), and a dense id space is what a real embedding corpus
+    # has — a 1e9 gap would probe an id layout production never sees
+    "embeddings": ("vec_id", None),
     # part is the FACT side for the skyline/linkage probes — replicating
     # under a key offset grows the catalog (and its (brand,size) blocks)
     # rather than duplicating identical rows
@@ -226,6 +250,8 @@ def build_scaled(spark, tables: set[str], mult: int) -> None:
         df = spark.read.parquet(os.path.join(BASE, f"{t}.parquet"))
         if t in KEY_OFFSETS:
             key, off = KEY_OFFSETS[t]
+            if off is None:
+                off = df.count()
             parts = [
                 df.withColumn(key, F.col(key) + F.lit(i * off))
                 for i in range(mult)
