@@ -86,6 +86,7 @@ __all__ = [
     "fellegi_sunter_linkage_parts",
     "partition_pruning_report_orders",
     "mann_kendall_daily_trend",
+    "markov_removal_attribution_events",
     "ks_by_event_type_bh",
     "capture_recapture_users",
     "poisson_bootstrap_ci_orders",
@@ -898,6 +899,248 @@ SELECT y AS event_type, t AS expected_steps_h6 FROM t{horizon}
 
 
 ABSORBING_EXPECTED_STEPS_TO_PURCHASE_ORACLE = _absorbing_oracle()
+
+
+def markov_removal_attribution_events(
+    spark: SparkSession, sf_dir: str, horizon: int = 6
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014 — the
+    data-driven alternative to `linear_attribution_daily`'s positional
+    rule): each event type's credit for conversions is how much the
+    corpus-level purchase-reach probability DROPS when that state is
+    removed from the chain. Reach is the truncated-horizon recursion
+    r_m(x) = p(x→purchase) + Σ_y p(x→y)·r_{m−1}(y) (the
+    ``absorbing_expected_steps_to_purchase`` contract: inversion-free,
+    SQL-replayable, monotone in m), evaluated for ALL removals at once on
+    a (removed, state) grid — removing channel c zeroes r(c,·)'s row, so
+    paths through c contribute nothing. Start states come from each
+    user's first event; journeys that START at purchase convert
+    unremovably (reach 1 under every removal). Removal effect
+    RE(c) = 1 − P_removed(c)/P_full; attribution share normalizes RE over
+    channels.
+
+    Scale shape: the corpus-∝ work is ONE per-user lead() pass (the
+    transition matrix) + ONE first-event pass (start distribution);
+    everything else lives on |types|²-to-|types|³-row aggregates (the
+    transition relation pinned so iteration subtrees don't replay).
+    Exactness: probabilities are exact bigint-ratio doubles, every Σ p·t
+    folds in DECIMAL(38,18), iterates re-round at 9 — the house iterative
+    contract; P_full=0 and ΣRE=0 degenerate cases yield NULL identically
+    in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = Window.partitionBy("event_type")
+    pm = trans.select(
+        "event_type",
+        "next_type",
+        (F.col("c").cast("double") / F.sum("c").over(tot).cast("double")).alias("p"),
+    ).localCheckpoint(eager=False)  # |types|² rows; feeds q, ap, ty, every iter
+    q = pm.filter(
+        (F.col("event_type") != "purchase") & (F.col("next_type") != "purchase")
+    )
+    ap = pm.filter(F.col("next_type") == "purchase").select(
+        F.col("event_type").alias("ax"), F.col("p").alias("ap")
+    )
+    ty = pm.filter(F.col("event_type") != "purchase").select("event_type").distinct()
+    rms = ty.select(F.col("event_type").alias("rm")).unionByName(
+        spark.range(1).select(F.lit("__none__").alias("rm"))
+    )
+    grid = rms.crossJoin(
+        ty.select(F.col("event_type").alias("y"))
+    ).localCheckpoint(eager=False)  # (|types|+1)·|types| rows, reused per iter
+    state = grid.select("rm", "y", F.lit(0.0).alias("t"))
+    for _ in range(horizon):
+        # unique names at every join boundary: state/grid/s share lineage
+        # (grid -> state -> s), so dataframe-ref equality predicates would
+        # be ambiguous self-join references
+        prev = state.select(
+            F.col("rm").alias("t_rm"), F.col("y").alias("t_y"), "t"
+        )
+        s = (
+            q.join(F.broadcast(prev), F.col("next_type") == F.col("t_y"))
+            .groupBy("t_rm", "event_type")
+            .agg(
+                F.sum((F.col("p") * F.col("t")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("s")
+            )
+            .select(F.col("t_rm").alias("srm"), F.col("event_type").alias("sx"), "s")
+        )
+        state = (
+            grid.join(
+                s,
+                (F.col("rm") == F.col("srm")) & (F.col("y") == F.col("sx")),
+                "left",
+            )
+            .join(ap, F.col("y") == F.col("ax"), "left")
+            .select(
+                "rm",
+                "y",
+                F.when(F.col("y") == F.col("rm"), F.lit(0.0))
+                .otherwise(
+                    F.round(
+                        F.coalesce(F.col("ap"), F.lit(0.0))
+                        + F.coalesce(F.col("s"), F.lit(0.0)),
+                        9,
+                    )
+                )
+                .alias("t"),
+            )
+        )
+    first = (
+        ev.select(
+            "user_id", "event_type", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("nu"))
+    )
+    n_users = first.agg(F.sum("nu").cast("bigint").alias("n")).collect()[0]["n"]
+    pi = first.select(
+        F.col("event_type").alias("x"),
+        (F.col("nu").cast("double") / F.lit(float(n_users))).alias("pi"),
+    )
+    # reach per (rm, start): purchase starts convert unremovably at 1.0
+    stf = state.select(F.col("rm").alias("t_rm"), F.col("y").alias("t_y"), "t")
+    reach = (
+        rms.crossJoin(pi)
+        .join(
+            stf,
+            (F.col("x") == F.col("t_y")) & (F.col("rm") == F.col("t_rm")),
+            "left",
+        )
+        .select(
+            "rm",
+            "pi",
+            F.when(F.col("x") == "purchase", F.lit(1.0))
+            .otherwise(F.coalesce(F.col("t"), F.lit(0.0)))
+            .alias("r"),
+        )
+    )
+    p_rm = reach.groupBy("rm").agg(
+        F.sum((F.col("pi") * F.col("r")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("pr")
+    )
+    full = p_rm.filter(F.col("rm") == "__none__").select(
+        F.col("pr").alias("p_full")
+    )
+    chans = p_rm.filter(F.col("rm") != "__none__").crossJoin(F.broadcast(full))
+    re = F.when(
+        F.col("p_full") > F.lit(0.0),
+        F.lit(1.0) - F.col("pr") / F.col("p_full"),
+    )
+    scored = chans.select("rm", "pr", "p_full", re.alias("re"))
+    denom = scored.agg(
+        F.sum(F.col("re").cast("decimal(38,18)")).cast("double").alias("se")
+    )
+    out = scored.crossJoin(F.broadcast(denom))
+    return out.select(
+        F.col("rm").alias("channel"),
+        F.round("p_full", 6).cast("double").alias("reach_full"),
+        F.round("pr", 6).cast("double").alias("reach_removed"),
+        F.round("re", 6).cast("double").alias("removal_effect"),
+        F.round(
+            F.when(F.col("se") > F.lit(0.0), F.col("re") / F.col("se")), 6
+        )
+        .cast("double")
+        .alias("attribution_share"),
+    )
+
+
+def _removal_attribution_oracle(horizon: int = 6) -> str:
+    head = """
+WITH seq AS (
+    SELECT event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+    FROM events
+), trans AS (
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+), pm AS MATERIALIZED (
+    SELECT event_type, next_type,
+           CAST(c AS DOUBLE)
+           / CAST(SUM(c) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+    FROM trans
+), q AS MATERIALIZED (
+    SELECT * FROM pm WHERE event_type <> 'purchase' AND next_type <> 'purchase'
+), ap AS MATERIALIZED (
+    SELECT event_type AS ax, p AS ap FROM pm WHERE next_type = 'purchase'
+), ty AS MATERIALIZED (
+    SELECT DISTINCT event_type FROM pm WHERE event_type <> 'purchase'
+), rms AS MATERIALIZED (
+    SELECT event_type AS rm FROM ty UNION ALL SELECT '__none__'
+), grid AS MATERIALIZED (
+    SELECT rms.rm, ty.event_type AS y FROM rms CROSS JOIN ty
+), t0 AS (SELECT rm, y, 0.0 AS t FROM grid)"""
+    blocks = []
+    for m in range(1, horizon + 1):
+        blocks.append(f"""
+, t{m} AS (
+    SELECT g.rm, g.y,
+           CASE WHEN g.y = g.rm THEN 0.0
+                ELSE ROUND(COALESCE(a.ap, 0.0) + COALESCE(s.s, 0.0), 9)
+           END AS t
+    FROM grid g
+    LEFT JOIN (
+        SELECT r.rm, q.event_type,
+               CAST(SUM(CAST(q.p * r.t AS DECIMAL(38,18))) AS DOUBLE) AS s
+        FROM q JOIN t{m-1} r ON q.next_type = r.y
+        GROUP BY r.rm, q.event_type
+    ) s ON s.rm = g.rm AND s.event_type = g.y
+    LEFT JOIN ap a ON a.ax = g.y
+)""")
+    tail = f"""
+, firsts AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events
+    ) WHERE rn = 1 GROUP BY event_type
+), pi AS MATERIALIZED (
+    SELECT event_type AS x,
+           CAST(nu AS DOUBLE)
+           / CAST((SELECT SUM(nu) FROM firsts) AS DOUBLE) AS pi
+    FROM firsts
+), reach AS (
+    SELECT rms.rm, pi.pi,
+           CASE WHEN pi.x = 'purchase' THEN 1.0
+                ELSE COALESCE(st.t, 0.0) END AS r
+    FROM rms CROSS JOIN pi
+    LEFT JOIN t{horizon} st ON st.y = pi.x AND st.rm = rms.rm
+), p_rm AS MATERIALIZED (
+    SELECT rm, CAST(SUM(CAST(pi * r AS DECIMAL(38,18))) AS DOUBLE) AS pr
+    FROM reach GROUP BY rm
+), scored AS MATERIALIZED (
+    SELECT rm, pr, f.p_full,
+           CASE WHEN f.p_full > 0.0 THEN 1.0 - pr / f.p_full END AS re
+    FROM p_rm
+    CROSS JOIN (SELECT pr AS p_full FROM p_rm WHERE rm = '__none__') f
+    WHERE rm <> '__none__'
+)
+SELECT rm AS channel,
+       CAST(ROUND(p_full, 6) AS DOUBLE) AS reach_full,
+       CAST(ROUND(pr, 6) AS DOUBLE) AS reach_removed,
+       CAST(ROUND(re, 6) AS DOUBLE) AS removal_effect,
+       CAST(ROUND(CASE WHEN d.se > 0.0 THEN re / d.se END, 6) AS DOUBLE)
+           AS attribution_share
+FROM scored
+CROSS JOIN (
+    SELECT CAST(SUM(CAST(re AS DECIMAL(38,18))) AS DOUBLE) AS se FROM scored
+) d
+"""
+    return head + "".join(blocks) + tail
+
+
+MARKOV_REMOVAL_ATTRIBUTION_EVENTS_ORACLE = _removal_attribution_oracle()
 
 
 # ---------------------------------------------------------------------------

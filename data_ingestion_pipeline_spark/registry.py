@@ -446,6 +446,7 @@ _ROUND11_QUEUE: list[str] = [
     "mcnemar_weekday_weekend_purchase",
     "leakage_safe_split_documents",
     "merge_upsert_keyed_events",
+    "markov_removal_attribution_events",
 ]
 
 
@@ -2156,6 +2157,12 @@ register(
     "cliffs_delta_purchase_view",
     analytics_checks.cliffs_delta_purchase_view,
     analytics_checks.CLIFFS_DELTA_PURCHASE_VIEW_ORACLE,
+)
+
+register(
+    "markov_removal_attribution_events",
+    analytics_checks.markov_removal_attribution_events,
+    analytics_checks.MARKOV_REMOVAL_ATTRIBUTION_EVENTS_ORACLE,
 )
 
 register(

@@ -189,3 +189,73 @@ def test_leakage_safe_split_never_straddles_clusters(spark):
 
     dist = Counter(r["split"] for r in rows)
     assert dist["train"] > dist["val"] and dist["train"] > dist["test"]
+
+
+def test_markov_removal_attribution_matches_python(spark):
+    """Removal effects recomputed with a plain-python chain mirror; shares
+    sum to 1; removing a channel can only lower reach."""
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        markov_removal_attribution_events,
+    )
+
+    ev = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"], r["event_type"])
+            for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+        ),
+    )
+    by_user = defaultdict(list)
+    for u, ts, eid, et in sorted(ev, key=lambda r: (r[0], r[1], r[2])):
+        by_user[u].append(et)
+    counts = defaultdict(lambda: defaultdict(int))
+    firsts = defaultdict(int)
+    for u, seq in by_user.items():
+        firsts[seq[0]] += 1
+        for a, b in zip(seq, seq[1:]):
+            counts[a][b] += 1
+    p = {
+        a: {b: c / sum(nxt.values()) for b, c in nxt.items()}
+        for a, nxt in counts.items()
+    }
+    transient = sorted(t for t in p if t != "purchase")
+
+    def reach(removed, horizon=6):
+        t = {y: 0.0 for y in transient}
+        for _ in range(horizon):
+            nt = {}
+            for x in transient:
+                if x == removed:
+                    nt[x] = 0.0
+                    continue
+                ap = p.get(x, {}).get("purchase", 0.0)
+                s = sum(
+                    p.get(x, {}).get(y, 0.0) * t[y]
+                    for y in transient
+                    if y != "purchase"
+                )
+                nt[x] = round(ap + s, 9)
+            t = nt
+        n = sum(firsts.values())
+        total = 0.0
+        for x, c in firsts.items():
+            r = 1.0 if x == "purchase" else t.get(x, 0.0)
+            total += (c / n) * r
+        return total
+
+    p_full = reach(None)
+    rows = {
+        r["channel"]: r
+        for r in markov_removal_attribution_events(spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == set(transient)
+    res = {c: 1.0 - reach(c) / p_full for c in transient}
+    tot_re = sum(res.values())
+    for c, r in rows.items():
+        assert abs(r["reach_full"] - p_full) < 1e-5
+        assert abs(r["reach_removed"] - reach(c)) < 1e-5
+        assert abs(r["removal_effect"] - res[c]) < 1e-5
+        assert r["removal_effect"] >= -1e-9  # removal can only lower reach
+        assert abs(r["attribution_share"] - res[c] / tot_re) < 1e-5
+    assert abs(sum(r["attribution_share"] for r in rows.values()) - 1.0) < 1e-4
