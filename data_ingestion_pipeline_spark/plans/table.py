@@ -656,12 +656,30 @@ class ManagedTable:
         dominates. Sizing from the actual on-disk bytes of the current
         version, ``coalesce`` (no shuffle) bin-packs partitions down to
         ``ceil(bytes / target)`` files. Data is unchanged — only layout.
+
+        A KEY-BUCKETED version (keyed partial rewrites) keeps its layout:
+        the compaction re-commits through ``overwrite_bucketed`` under the
+        same spec, so small files accreted by per-batch partial rewrites
+        bin-pack per bucket WITHOUT demoting the next merge to a full
+        re-bucketing rewrite. (Folding pending delete sidecars stays
+        correct either way — the read applies them before the rewrite.)
         """
         cur = self.current_version()
         if cur is None:
             raise FileNotFoundError(f"table {self.root} has no committed version")
-        n_files = max(1, -(-self._data_bytes(cur) // target_file_bytes))
         sidecars = self._delete_sidecars(cur)
+        spec = self.bucket_spec(cur)
+        if spec is not None:
+            key_cols, n_buckets, bucket_sql = spec
+            return self.overwrite_bucketed(
+                self.read(version=cur),
+                key_cols,
+                n_buckets,
+                bucket_sql,
+                expected_base=cur,
+                expected_sidecars=sidecars,
+            )
+        n_files = max(1, -(-self._data_bytes(cur) // target_file_bytes))
         return self.overwrite(
             self.read(version=cur).coalesce(n_files),
             expected_base=cur,

@@ -374,3 +374,41 @@ def test_partial_merge_custom_locality_bucketing(spark, tmp_path):
     assert relinked == 7
     rows = {int(r.k): r.v for r in t.read().collect()}
     assert rows[120] == 9120 and rows[50] == 50 and len(rows) == 800
+
+
+def test_compact_preserves_bucketed_layout(spark, tmp_path):
+    """Compaction of a key-bucketed table must keep the layout (and its
+    spec) so the NEXT merge stays partial, and must not change contents."""
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    kw = dict(keys=["k"], order_col="ts", repartition_keys=True, n_buckets=4)
+    merge_upsert(t, _mk_batch(spark, [("a", 1, 1), ("b", 2, 1)]), **kw)
+    merge_upsert(t, _mk_batch(spark, [("c", 3, 2)]), **kw)
+    before = sorted((r.k, r.v) for r in t.read().collect())
+    spec = t.bucket_spec()
+    t.compact()
+    assert t.bucket_spec() == spec
+    assert sorted((r.k, r.v) for r in t.read().collect()) == before
+    # next merge is still partial: untouched bucket dirs hard-link
+    v1 = t.current_version()
+    merge_upsert(t, _mk_batch(spark, [("a", 10, 3)]), **kw)
+    v2 = t.current_version()
+    import os as _os
+
+    root = str(tmp_path / "t")
+    shared = 0
+    for entry in _os.listdir(_os.path.join(root, v1)):
+        if not entry.startswith("__bucket="):
+            continue
+        ino1 = {
+            _os.stat(_os.path.join(root, v1, entry, f)).st_ino
+            for f in _os.listdir(_os.path.join(root, v1, entry))
+            if f.endswith(".parquet")
+        }
+        if _os.path.isdir(_os.path.join(root, v2, entry)):
+            ino2 = {
+                _os.stat(_os.path.join(root, v2, entry, f)).st_ino
+                for f in _os.listdir(_os.path.join(root, v2, entry))
+                if f.endswith(".parquet")
+            }
+            shared += bool(ino1 & ino2)
+    assert shared >= 1, "post-compaction merge degraded to a full rewrite"
