@@ -34,6 +34,7 @@ __all__ = [
     "jackknife_ratio_metric_ab",
     "eb_shrunk_purchase_rate_users",
     "mcnemar_weekday_weekend_purchase",
+    "poisson_glm_daily_trend",
     "WILSON_CI_PURCHASE_RATE_DAILY_ORACLE",
     "ONEWAY_ANOVA_EVENT_VALUES_ORACLE",
     "GINI_LORENZ_CUSTOMER_SPEND_ORACLE",
@@ -44,6 +45,7 @@ __all__ = [
     "JACKKNIFE_RATIO_METRIC_AB_ORACLE",
     "EB_SHRUNK_PURCHASE_RATE_USERS_ORACLE",
     "MCNEMAR_WEEKDAY_WEEKEND_PURCHASE_ORACLE",
+    "POISSON_GLM_DAILY_TREND_ORACLE",
 ]
 
 _Z = 1.96  # 95% two-sided
@@ -1171,6 +1173,186 @@ SELECT arm, n_users,
            AS jackknife_se
 FROM stats
 """
+
+
+def poisson_glm_daily_trend(
+    spark: SparkSession, sf_dir: str, n_iters: int = 6
+) -> DataFrame:
+    """Poisson GLM (log link) of the daily event count on a centered day
+    index, fitted by IRLS (Nelder & Wedderburn 1972) — the COUNT-family
+    member beside the OLS tier (`regression_price_quantity_by_flag`) and
+    the nonparametric trend tests (Mann–Kendall/Theil–Sen): the published
+    `exp(β₁)` is the multiplicative daily rate ratio, the quantity a
+    growth dashboard actually wants for event volumes where OLS residuals
+    are heteroscedastic by construction.
+
+    IRLS with a 2-parameter design solves the weighted normal equations
+    in CLOSED FORM per iteration (2×2 inverse — no linear-algebra
+    library, fully SQL-replayable): with η = β₀+β₁x rounded at 9,
+    μ = round(exp(η), 9), weight w = μ, working response
+    z = η + (y−μ)/max(μ, 1e−12), the updates are determinant ratios of
+    the five decimal-folded sums (Σw, Σwx, Σwx², Σwz, Σwxz). β re-rounds
+    at 9 per iteration (the house iterative contract); init
+    β₀ = round(ln ȳ, 9), β₁ = 0. Six iterations are far past convergence
+    for a 2-parameter fit (Newton-quadratic; pytest pins agreement with a
+    python mirror).
+
+    Scale shape: ONE aggregation pass to the calendar-bounded daily
+    grain; every iteration is a crossJoin of that ≤days-row relation with
+    the 1-row β and a 5-term fold — corpus work does not depend on
+    n_iters. Degenerate designs (singular 2×2, e.g. a 1-day corpus)
+    yield NULL βs identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    # centered day index: rn over the bounded daily relation (documented
+    # bounded unpartitioned window — calendar grain)
+    wd = Window.orderBy("day")
+    daily = daily.select(
+        "day",
+        "y",
+        (F.row_number().over(wd) - 1).cast("double").alias("rn0"),
+    )
+    cnt = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    base = daily.crossJoin(F.broadcast(cnt)).select(
+        "y",
+        (
+            F.col("rn0") - (F.col("n").cast("double") - F.lit(1.0)) / F.lit(2.0)
+        ).alias("x"),
+        "n",
+        "sy",
+    ).localCheckpoint(eager=False)  # ≤days rows; feeds every IRLS pass
+    dims = base.select("n", "sy").distinct()  # 1 row, reads the pinned base
+    beta = dims.select(
+        F.round(
+            F.log(F.col("sy").cast("double") / F.col("n").cast("double")), 9
+        ).alias("b0"),
+        F.lit(0.0).alias("b1"),
+    )
+    for _ in range(n_iters):
+        j = base.crossJoin(F.broadcast(beta))
+        eta = F.round(F.col("b0") + F.col("b1") * F.col("x"), 9)
+        mu = F.round(F.exp(eta), 9)
+        z = eta + (F.col("y").cast("double") - mu) / F.greatest(
+            mu, F.lit(1e-12)
+        )
+        terms = j.select(
+            mu.alias("w"),
+            (mu * F.col("x")).alias("wx"),
+            (mu * F.col("x") * F.col("x")).alias("wxx"),
+            (mu * z).alias("wz"),
+            (mu * F.col("x") * z).alias("wxz"),
+        )
+        sums = terms.agg(
+            *[
+                F.sum(F.col(c).cast("decimal(38,12)")).cast("double").alias(c)
+                for c in ["w", "wx", "wxx", "wz", "wxz"]
+            ]
+        )
+        det = F.col("w") * F.col("wxx") - F.col("wx") * F.col("wx")
+        beta = sums.select(
+            F.when(
+                det > F.lit(0.0),
+                F.round(
+                    (F.col("wxx") * F.col("wz") - F.col("wx") * F.col("wxz"))
+                    / det,
+                    9,
+                ),
+            ).alias("b0"),
+            F.when(
+                det > F.lit(0.0),
+                F.round(
+                    (F.col("w") * F.col("wxz") - F.col("wx") * F.col("wz"))
+                    / det,
+                    9,
+                ),
+            ).alias("b1"),
+        )
+    meta = dims.select("n")
+    return beta.crossJoin(F.broadcast(meta)).select(
+        F.col("n").alias("n_days"),
+        F.round("b0", 6).cast("double").alias("beta0"),
+        F.round("b1", 6).cast("double").alias("beta1"),
+        F.round(
+            F.when(F.col("b1").isNotNull(), F.exp(F.col("b1"))), 6
+        )
+        .cast("double")
+        .alias("daily_rate_ratio"),
+    )
+
+
+def _poisson_glm_oracle(n_iters: int = 6) -> str:
+    head = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+), cnt AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+    FROM daily
+), base AS MATERIALIZED (
+    SELECT y,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS DOUBLE)
+             - (CAST(n AS DOUBLE) - 1.0) / 2.0 AS x,
+           n, sy
+    FROM daily CROSS JOIN cnt
+), b0 AS (
+    SELECT ROUND(ln(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS b0,
+           0.0 AS b1
+    FROM cnt
+)"""
+    blocks = []
+    for m in range(1, n_iters + 1):
+        blocks.append(f"""
+, s{m} AS (
+    SELECT CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS w,
+           CAST(SUM(CAST(wx AS DECIMAL(38,12))) AS DOUBLE) AS wx,
+           CAST(SUM(CAST(wxx AS DECIMAL(38,12))) AS DOUBLE) AS wxx,
+           CAST(SUM(CAST(wz AS DECIMAL(38,12))) AS DOUBLE) AS wz,
+           CAST(SUM(CAST(wxz AS DECIMAL(38,12))) AS DOUBLE) AS wxz
+    FROM (
+        SELECT mu AS w, mu * x AS wx, mu * x * x AS wxx,
+               mu * z AS wz, mu * x * z AS wxz
+        FROM (
+            SELECT x, mu,
+                   eta + (CAST(y AS DOUBLE) - mu) / GREATEST(mu, 1e-12) AS z
+            FROM (
+                SELECT y, x, eta, ROUND(EXP(eta), 9) AS mu
+                FROM (
+                    SELECT b.y, b.x, ROUND(p.b0 + p.b1 * b.x, 9) AS eta
+                    FROM base b CROSS JOIN b{m-1} p
+                )
+            )
+        )
+    )
+), b{m} AS (
+    SELECT CASE WHEN w * wxx - wx * wx > 0.0
+                THEN ROUND((wxx * wz - wx * wxz) / (w * wxx - wx * wx), 9)
+           END AS b0,
+           CASE WHEN w * wxx - wx * wx > 0.0
+                THEN ROUND((w * wxz - wx * wz) / (w * wxx - wx * wx), 9)
+           END AS b1
+    FROM s{m}
+)""")
+    return (
+        head
+        + "".join(blocks)
+        + f"""
+SELECT n AS n_days,
+       CAST(ROUND(b0, 6) AS DOUBLE) AS beta0,
+       CAST(ROUND(b1, 6) AS DOUBLE) AS beta1,
+       CAST(ROUND(CASE WHEN b1 IS NOT NULL THEN EXP(b1) END, 6) AS DOUBLE)
+           AS daily_rate_ratio
+FROM b{n_iters} CROSS JOIN cnt
+"""
+    )
+
+
+POISSON_GLM_DAILY_TREND_ORACLE = _poisson_glm_oracle()
 
 
 def mcnemar_weekday_weekend_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -447,6 +447,7 @@ _ROUND11_QUEUE: list[str] = [
     "leakage_safe_split_documents",
     "merge_upsert_keyed_events",
     "markov_removal_attribution_events",
+    "poisson_glm_daily_trend",
 ]
 
 
@@ -1765,6 +1766,12 @@ register(
     "mcnemar_weekday_weekend_purchase",
     inference_stats.mcnemar_weekday_weekend_purchase,
     inference_stats.MCNEMAR_WEEKDAY_WEEKEND_PURCHASE_ORACLE,
+)
+
+register(
+    "poisson_glm_daily_trend",
+    inference_stats.poisson_glm_daily_trend,
+    inference_stats.POISSON_GLM_DAILY_TREND_ORACLE,
 )
 
 register(

@@ -259,3 +259,46 @@ def test_markov_removal_attribution_matches_python(spark):
         assert r["removal_effect"] >= -1e-9  # removal can only lower reach
         assert abs(r["attribution_share"] - res[c] / tot_re) < 1e-5
     assert abs(sum(r["attribution_share"] for r in rows.values()) - 1.0) < 1e-4
+
+
+def test_poisson_glm_matches_python_irls(spark):
+    """IRLS recomputed in plain python; the fitted rate ratio multiplies
+    out the fixture's daily counts."""
+    import math
+    from collections import Counter
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        poisson_glm_daily_trend,
+    )
+
+    days = Counter(
+        r["d"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(F.to_date("ts").alias("d"))
+        .collect()
+    )
+    ys = [c for _, c in sorted(days.items())]
+    n = len(ys)
+    xs = [i - (n - 1) / 2.0 for i in range(n)]
+    b0, b1 = round(math.log(sum(ys) / n), 9), 0.0
+    for _ in range(6):
+        sums = dict.fromkeys(["w", "wx", "wxx", "wz", "wxz"], 0.0)
+        for x, y in zip(xs, ys):
+            eta = round(b0 + b1 * x, 9)
+            mu = round(math.exp(eta), 9)
+            z = eta + (y - mu) / max(mu, 1e-12)
+            sums["w"] += mu
+            sums["wx"] += mu * x
+            sums["wxx"] += mu * x * x
+            sums["wz"] += mu * z
+            sums["wxz"] += mu * x * z
+        det = sums["w"] * sums["wxx"] - sums["wx"] ** 2
+        b0 = round((sums["wxx"] * sums["wz"] - sums["wx"] * sums["wxz"]) / det, 9)
+        b1 = round((sums["w"] * sums["wxz"] - sums["wx"] * sums["wz"]) / det, 9)
+    row = poisson_glm_daily_trend(spark, SF_SMOKE).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["beta0"] - b0) < 1e-5
+    assert abs(row["beta1"] - b1) < 1e-5
+    assert abs(row["daily_rate_ratio"] - math.exp(b1)) < 1e-5
+    # the fitted mean at the center day should sit near the data's scale
+    assert 0.2 * (sum(ys) / n) < math.exp(b0) < 5.0 * (sum(ys) / n)
