@@ -31,6 +31,7 @@ __all__ = [
     "heaps_law_fit_documents",
     "bigram_lm_doc_scores",
     "train_val_test_split_documents",
+    "als_rank1_part_factors",
     "scrub_numeric_tokens_events",
     "weighted_sample_documents",
     "corr_matrix_lineitem",
@@ -426,6 +427,143 @@ GROUP BY b.doc_id
 # ---------------------------------------------------------------------------
 # Deterministic train/val/test split
 # ---------------------------------------------------------------------------
+
+def als_rank1_part_factors(
+    spark: SparkSession, sf_dir: str, n_iters: int = 4
+) -> DataFrame:
+    """Rank-1 alternating least squares over the customer×part quantity
+    matrix — the smallest real instance of the distributed matrix
+    factorization every recommender pipeline runs (Koren/Bell/Volinsky
+    2009; Zhou et al. 2008 ALS-WR): minimize Σ(r_cp − u_c·v_p)² by
+    alternating the CLOSED-FORM rank-1 updates
+    v_p = Σ_c r·u / Σ_c u²  and  u_c = Σ_p r·v / Σ_p v².
+    Rank 1 is exactly the alternating power iteration on the rating
+    matrix (the dominant singular pair), so the published per-part factor
+    is a purchase-volume-weighted popularity embedding; higher ranks
+    change only the per-group solve (k×k), not the data flow this
+    operator certifies.
+
+    Scale shape — the part that matters at 100 TB: each half-iteration is
+    ONE keyed join of the pinned ratings relation against a
+    dimension-sized factor table plus ONE grouped aggregation; the
+    ratings grain (customer, part, Σqty) is built once from
+    lineitem⋈orders and localCheckpoint-pinned so iteration subtrees
+    never replay the fact join. No driver-side matrix, no collect.
+    Exactness: quantities are exact integers (the DOUBLE column carries
+    whole numbers — summed as BIGINT), every Σr·u / Σu² folds in
+    DECIMAL(38,12), factors re-round at 9 per half-iteration (the house
+    iterative contract), u init = 1.0. Degenerate zero denominators
+    yield NULL identically in both engines (unreachable on r ≥ 1 data,
+    guarded anyway)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("double")
+            .alias("r")
+        )
+        .localCheckpoint(eager=False)  # feeds every half-iteration
+    )
+    u = ratings.select("c").distinct().select("c", F.lit(1.0).alias("u"))
+    v = None
+    for _ in range(n_iters):
+        v = (
+            ratings.join(u, "c")
+            .groupBy("p")
+            .agg(
+                F.sum((F.col("r") * F.col("u")).cast("decimal(38,12)"))
+                .cast("double")
+                .alias("num"),
+                F.sum((F.col("u") * F.col("u")).cast("decimal(38,12)"))
+                .cast("double")
+                .alias("den"),
+            )
+            .select(
+                "p",
+                F.when(
+                    F.col("den") > F.lit(0.0),
+                    F.round(F.col("num") / F.col("den"), 9),
+                ).alias("v"),
+            )
+        )
+        u = (
+            ratings.join(v, "p")
+            .groupBy("c")
+            .agg(
+                F.sum((F.col("r") * F.col("v")).cast("decimal(38,12)"))
+                .cast("double")
+                .alias("num"),
+                F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)"))
+                .cast("double")
+                .alias("den"),
+            )
+            .select(
+                "c",
+                F.when(
+                    F.col("den") > F.lit(0.0),
+                    F.round(F.col("num") / F.col("den"), 9),
+                ).alias("u"),
+            )
+        )
+    raters = ratings.groupBy("p").agg(
+        F.count("*").cast("bigint").alias("n_raters")
+    )
+    return v.join(raters, "p").select(
+        F.col("p").alias("p_partkey"),
+        "n_raters",
+        F.round("v", 6).cast("double").alias("v_factor"),
+    )
+
+
+def _als_rank1_oracle(n_iters: int = 4) -> str:
+    head = """
+WITH ratings AS MATERIALIZED (
+    SELECT o_custkey AS c, l_partkey AS p,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS r
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+), u0 AS (SELECT DISTINCT c, 1.0 AS u FROM ratings)"""
+    blocks = []
+    for m in range(1, n_iters + 1):
+        blocks.append(f"""
+, v{m} AS MATERIALIZED (
+    SELECT p, CASE WHEN den > 0.0 THEN ROUND(num / den, 9) END AS v FROM (
+        SELECT rt.p,
+               CAST(SUM(CAST(rt.r * f.u AS DECIMAL(38,12))) AS DOUBLE) AS num,
+               CAST(SUM(CAST(f.u * f.u AS DECIMAL(38,12))) AS DOUBLE) AS den
+        FROM ratings rt JOIN u{m-1} f USING (c) GROUP BY rt.p
+    )
+), u{m} AS MATERIALIZED (
+    SELECT c, CASE WHEN den > 0.0 THEN ROUND(num / den, 9) END AS u FROM (
+        SELECT rt.c,
+               CAST(SUM(CAST(rt.r * f.v AS DECIMAL(38,12))) AS DOUBLE) AS num,
+               CAST(SUM(CAST(f.v * f.v AS DECIMAL(38,12))) AS DOUBLE) AS den
+        FROM ratings rt JOIN v{m} f USING (p) GROUP BY rt.c
+    )
+)""")
+    return (
+        head
+        + "".join(blocks)
+        + f"""
+SELECT v{n_iters}.p AS p_partkey,
+       CAST(n.n_raters AS BIGINT) AS n_raters,
+       CAST(ROUND(v{n_iters}.v, 6) AS DOUBLE) AS v_factor
+FROM v{n_iters}
+JOIN (SELECT p, COUNT(*) AS n_raters FROM ratings GROUP BY p) n
+  ON n.p = v{n_iters}.p
+"""
+    )
+
+
+ALS_RANK1_PART_FACTORS_ORACLE = _als_rank1_oracle()
+
 
 def train_val_test_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80/10/10 split by md5(doc_id) — stable under corpus growth (a doc's

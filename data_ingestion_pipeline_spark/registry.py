@@ -448,6 +448,7 @@ _ROUND11_QUEUE: list[str] = [
     "merge_upsert_keyed_events",
     "markov_removal_attribution_events",
     "poisson_glm_daily_trend",
+    "als_rank1_part_factors",
 ]
 
 
@@ -2344,6 +2345,12 @@ register(
     "textrank_terms_documents",
     mlprep_checks.textrank_terms_documents,
     mlprep_checks.TEXTRANK_TERMS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "als_rank1_part_factors",
+    mlprep_checks.als_rank1_part_factors,
+    mlprep_checks.ALS_RANK1_PART_FACTORS_ORACLE,
 )
 
 register(

@@ -302,3 +302,60 @@ def test_poisson_glm_matches_python_irls(spark):
     assert abs(row["daily_rate_ratio"] - math.exp(b1)) < 1e-5
     # the fitted mean at the center day should sit near the data's scale
     assert 0.2 * (sum(ys) / n) < math.exp(b0) < 5.0 * (sum(ys) / n)
+
+
+def test_als_rank1_matches_python_and_descends(spark):
+    """Factors against a plain-python ALS mirror, and the rank-1 fit's SSE
+    must be non-increasing across iterations (the ALS guarantee)."""
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.mlprep_checks import (
+        als_rank1_part_factors,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    rows = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("r"))
+        .collect()
+    )
+    ratings = [(r["o_custkey"], r["l_partkey"], float(r["r"])) for r in rows]
+    u = {c: 1.0 for c, _, _ in ratings}
+    v = {}
+
+    def sse(u, v):
+        return sum(
+            (r - u.get(c, 0.0) * v.get(p, 0.0)) ** 2 for c, p, r in ratings
+        )
+
+    errs = []
+    for _ in range(4):
+        num, den = defaultdict(float), defaultdict(float)
+        for c, p, r in ratings:
+            num[p] += r * u[c]
+            den[p] += u[c] * u[c]
+        v = {p: round(num[p] / den[p], 9) for p in num}
+        num, den = defaultdict(float), defaultdict(float)
+        for c, p, r in ratings:
+            num[c] += r * v[p]
+            den[c] += v[p] * v[p]
+        u = {c: round(num[c] / den[c], 9) for c in num}
+        errs.append(sse(u, v))
+    assert all(b <= a + 1e-6 for a, b in zip(errs, errs[1:])), errs
+    got = {
+        r["p_partkey"]: (r["n_raters"], r["v_factor"])
+        for r in als_rank1_part_factors(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(v)
+    raters = defaultdict(int)
+    for c, p, _ in ratings:
+        raters[p] += 1
+    for p, (n, vf) in got.items():
+        assert n == raters[p]
+        assert abs(vf - v[p]) < 1e-5, (p, vf, v[p])

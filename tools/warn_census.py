@@ -58,6 +58,8 @@ DOCUMENTED_BOUNDED = {
     "kaplan_meier_user_retention",  # hour-grain risk table
     "logrank_test_retention_arms",  # hour-grain at-risk windows
     "msprt_always_valid_ab_daily",  # day-grain cumulative moments
+    # round-10 additions
+    "poisson_glm_daily_trend",  # calendar-bounded daily grain (rn index)
 }
 
 
