@@ -449,6 +449,7 @@ _ROUND11_QUEUE: list[str] = [
     "markov_removal_attribution_events",
     "poisson_glm_daily_trend",
     "als_rank1_part_factors",
+    "streaming_ingest_merge_keyed_events",
 ]
 
 
@@ -1283,6 +1284,14 @@ register(
 register(
     "streaming_ingest_merge_events",
     streaming_checks.streaming_ingest_merge_events,
+    streaming_checks.STREAMING_INGEST_MERGE_EVENTS_ORACLE,
+)
+
+# Same oracle on purpose: the keyed-partial streaming sink must be
+# observably identical to the CoW streaming sink (layout invariance)
+register(
+    "streaming_ingest_merge_keyed_events",
+    streaming_checks.streaming_ingest_merge_keyed_events,
     streaming_checks.STREAMING_INGEST_MERGE_EVENTS_ORACLE,
 )
 
