@@ -220,6 +220,14 @@ PROBES = [
     # this probes the scan/dedup/anti-join staying linear, not the link
     # trick (stream_bench measures that under locality).
     ("merge_upsert_keyed_events", ["events"]),
+    # removal attribution / poisson GLM: result grains are |types|- and
+    # calendar-bounded; probes read on the lead()/daily aggregation scans.
+    ("markov_removal_attribution_events", ["events"]),
+    ("poisson_glm_daily_trend", ["events"]),
+    # ALS: orderkey offsets grow the ratings grain ~16x (same parts,
+    # more customers x parts cells); each half-iteration's join+agg must
+    # stay linear in that grain.
+    ("als_rank1_part_factors", ["orders", "lineitem"]),
 ]
 
 KEY_OFFSETS = {
