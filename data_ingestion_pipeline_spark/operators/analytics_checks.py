@@ -6671,3 +6671,195 @@ SELECT n_a, n_b,
                  / ((n_a + n_b) / 2.0), 6) > 3.841459 AS srm_flag
 FROM agg
 """
+
+
+def shapley_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value conversion attribution over channel coalitions
+    (Shapley 1953; the cooperative-game alternative completing the
+    attribution trilogy beside `linear_attribution_daily`'s positional
+    rule and `markov_removal_attribution_events`'s chain model): each
+    user's journey is the SET of channels touched strictly before their
+    first purchase (whole journey for non-converters), the coalition
+    value v(T) counts conversions by users whose channel set ⊆ T, and
+    channel i's credit is the exact Shapley sum
+    φ_i = Σ_{T∌i} |T|!(C−1−|T|)!/C! · [v(T∪i) − v(T)].
+    Efficiency (Σφ = v(full) − v(∅)) makes shares well-defined; the
+    pytest pins both properties plus a brute-force permutation mirror.
+
+    Scale shape: corpus-∝ work is ONE row_number pass to find each
+    user's first purchase and ONE hash-aggregation to (user → bitmask)
+    grain; everything after lives on the 2^C coalition lattice with
+    C = |channels| (assert ≤ 12 — channel taxonomies are small by
+    construction; the lattice never scales with rows). The subset-sum
+    v(T) is a broadcast nested-loop of |observed masks| × 2^C rows —
+    both bounded by 2^C — and the Shapley fold is C·2^(C−1) terms.
+    Exactness: v is an exact bigint; weights are factorial ratios of
+    64-bit exact integers cast to double (C ≤ 12 keeps every factorial
+    < 2^63 in both engines); φ folds in DECIMAL(38,12)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    fp = seq.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).alias("fp")
+    )
+    # channel → bit map: alphabetical dense ids over the bounded distinct
+    # taxonomy (documented bounded unpartitioned window)
+    ch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("channel"))
+        .distinct()
+        .select(
+            "channel",
+            (F.row_number().over(Window.orderBy("channel")) - 1).alias("bit"),
+        )
+        .select(
+            "channel",
+            "bit",
+            F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("bitv"),
+        )
+        .localCheckpoint(eager=False)  # ≤C rows; feeds masks, lattice, pairs
+    )
+    n_ch = ch.count()  # bounded collect: the channel taxonomy size
+    assert n_ch <= 12, (
+        f"shapley lattice needs <=12 channels, got {n_ch} — the 2^C "
+        "coalition enumeration is exact attribution, not a corpus scan"
+    )
+    pre = (
+        seq.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id")
+        .filter(F.col("fp").isNull() | (F.col("rn") < F.col("fp")))
+        .join(F.broadcast(ch), F.col("event_type") == F.col("channel"))
+        .groupBy("user_id")
+        .agg(F.bit_or("bitv").alias("m"))
+    )
+    um = fp.join(pre, "user_id", "left").select(
+        F.coalesce(F.col("m"), F.lit(0)).cast("bigint").alias("mask"),
+        F.col("fp").isNotNull().alias("converted"),
+    )
+    masks = um.groupBy("mask").agg(
+        F.sum(F.col("converted").cast("long")).cast("bigint").alias("k")
+    )
+    # one partition: the lattice is <=4096 rows — default-parallelism
+    # range partitions would schedule thousands of empty tasks downstream
+    lat = spark.range(0, 1 << n_ch, 1, 1).select(F.col("id").alias("t"))
+    v = (
+        lat.join(
+            F.broadcast(masks),
+            F.col("mask").bitwiseAND(F.col("t")) == F.col("mask"),
+            "left",
+        )
+        .groupBy("t")
+        .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)  # 2^C rows; read three times below
+    )
+    cD = F.lit(float(n_ch))
+    pairs = (
+        lat.join(F.broadcast(ch), F.col("t").bitwiseAND(F.col("bitv")) == 0)
+        .join(v.select(F.col("t").alias("vt_t"), F.col("v").alias("vt")),
+              F.col("t") == F.col("vt_t"))
+        .join(
+            v.select(F.col("t").alias("vti_t"), F.col("v").alias("vti")),
+            F.col("t").bitwiseOR(F.col("bitv")) == F.col("vti_t"),
+        )
+    )
+    s = F.bit_count(F.col("t")).cast("int")
+    wgt = (
+        F.factorial(s) * F.factorial(F.lit(n_ch - 1).cast("int") - s)
+    ).cast("double") / F.factorial(F.lit(n_ch).cast("int")).cast("double")
+    term = wgt * (F.col("vti") - F.col("vt")).cast("double")
+    scal = v.filter(F.col("t") == (1 << n_ch) - 1).select(
+        F.col("v").alias("v_full")
+    ).crossJoin(
+        F.broadcast(v.filter(F.col("t") == 0).select(F.col("v").alias("v_empty")))
+    )
+    phi = (
+        pairs.groupBy("channel")
+        .agg(
+            F.sum(term.cast("decimal(38,12)")).cast("double").alias("phi")
+        )
+        .crossJoin(F.broadcast(scal))
+    )
+    gain = (F.col("v_full") - F.col("v_empty")).cast("double")
+    return phi.select(
+        "channel",
+        F.round(F.col("phi"), 6).cast("double").alias("shapley_conversions"),
+        F.when(gain > F.lit(0.0), F.round(F.col("phi") / gain, 6))
+        .cast("double")
+        .alias("attribution_share"),
+        F.col("v_full").alias("reachable_conversions"),
+    ).orderBy("channel")
+
+
+SHAPLEY_ATTRIBUTION_EVENTS_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+    FROM events
+), fp AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS fp
+    FROM seq GROUP BY user_id
+), ch AS (
+    SELECT channel, ROW_NUMBER() OVER (ORDER BY channel) - 1 AS bit,
+           (CAST(1 AS BIGINT) << (ROW_NUMBER() OVER (ORDER BY channel) - 1))
+               AS bitv
+    FROM (SELECT DISTINCT event_type AS channel FROM events
+          WHERE event_type <> 'purchase')
+), c AS (SELECT CAST(COUNT(*) AS INT) AS c FROM ch),
+pre AS (
+    SELECT s.user_id, BIT_OR(ch.bitv) AS m
+    FROM seq s
+    JOIN fp f ON s.user_id = f.user_id
+    JOIN ch ON s.event_type = ch.channel
+    WHERE s.event_type <> 'purchase' AND (f.fp IS NULL OR s.rn < f.fp)
+    GROUP BY s.user_id
+), um AS (
+    SELECT CAST(COALESCE(p.m, 0) AS BIGINT) AS mask,
+           f.fp IS NOT NULL AS converted
+    FROM fp f LEFT JOIN pre p ON f.user_id = p.user_id
+), masks AS (
+    SELECT mask,
+           CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS k
+    FROM um GROUP BY mask
+), lat AS (
+    -- range() takes constants only: enumerate the C<=12 lattice bound
+    -- (4096, the operator's assert) and filter to the live 2^C prefix
+    SELECT CAST(r.range AS BIGINT) AS t
+    FROM range(4096) r, c WHERE r.range < (CAST(1 AS BIGINT) << c.c)
+), v AS MATERIALIZED (
+    SELECT l.t, CAST(COALESCE(SUM(m.k), 0) AS BIGINT) AS v
+    FROM lat l LEFT JOIN masks m ON (m.mask & l.t) = m.mask
+    GROUP BY l.t
+), scal AS (
+    SELECT (SELECT v FROM v CROSS JOIN c WHERE t = (1 << c) - 1) AS v_full,
+           (SELECT v FROM v WHERE t = 0) AS v_empty
+), pairs AS (
+    SELECT ch.channel,
+           CAST(factorial(bit_count(l.t))
+                * factorial(c.c - 1 - bit_count(l.t)) AS DOUBLE)
+             / CAST(factorial(c.c) AS DOUBLE)
+             * CAST(vti.v - vt.v AS DOUBLE) AS term
+    FROM lat l
+    JOIN ch ON (l.t & ch.bitv) = 0
+    CROSS JOIN c
+    JOIN v vt ON vt.t = l.t
+    JOIN v vti ON vti.t = (l.t | ch.bitv)
+)
+SELECT p.channel,
+       CAST(ROUND(CAST(SUM(CAST(p.term AS DECIMAL(38,12))) AS DOUBLE), 6)
+            AS DOUBLE) AS shapley_conversions,
+       CAST(ROUND(CASE WHEN s.v_full - s.v_empty > 0
+                       THEN CAST(SUM(CAST(p.term AS DECIMAL(38,12)))
+                                 AS DOUBLE)
+                            / CAST(s.v_full - s.v_empty AS DOUBLE)
+                  END, 6) AS DOUBLE) AS attribution_share,
+       CAST(s.v_full AS BIGINT) AS reachable_conversions
+FROM pairs p CROSS JOIN scal s
+GROUP BY p.channel, s.v_full, s.v_empty
+ORDER BY p.channel
+"""

@@ -35,6 +35,7 @@ __all__ = [
     "eb_shrunk_purchase_rate_users",
     "mcnemar_weekday_weekend_purchase",
     "poisson_glm_daily_trend",
+    "cox_ph_retention_arms",
     "WILSON_CI_PURCHASE_RATE_DAILY_ORACLE",
     "ONEWAY_ANOVA_EVENT_VALUES_ORACLE",
     "GINI_LORENZ_CUSTOMER_SPEND_ORACLE",
@@ -46,6 +47,7 @@ __all__ = [
     "EB_SHRUNK_PURCHASE_RATE_USERS_ORACLE",
     "MCNEMAR_WEEKDAY_WEEKEND_PURCHASE_ORACLE",
     "POISSON_GLM_DAILY_TREND_ORACLE",
+    "COX_PH_RETENTION_ARMS_ORACLE",
 ]
 
 _Z = 1.96  # 95% two-sided
@@ -1547,3 +1549,224 @@ SELECT user_id, n AS n_events, k AS n_purchases,
                   / (CAST(n AS DOUBLE) + c0), 6) AS DOUBLE) AS shrunk_rate
 FROM up CROSS JOIN prior
 """
+
+
+def cox_ph_retention_arms(
+    spark: SparkSession, sf_dir: str, n_iters: int = 4
+) -> DataFrame:
+    """Cox proportional-hazards fit (Cox 1972) of churn hazard on the md5
+    experiment arm — the EFFECT-SIZE companion to
+    ``logrank_test_retention_arms``: the log-rank test says WHETHER the
+    arms' survival differs; the Cox partial likelihood says BY HOW MUCH,
+    as a hazard ratio exp(β) with a standard error. Same lifetime,
+    censoring, and arm-hash definitions as the KM/log-rank tier (a
+    hazard ratio hashed differently from its test would be meaningless).
+
+    With a single binary covariate (x=1 ⇔ arm B) and Breslow tie
+    handling, the per-event-time risk-set sums collapse to closed form:
+    at event time t with n_a/n_b at risk and d_a/d_b events,
+    S₀ = n_a + n_b·e^β, S₁ = n_b·e^β, so the Newton score and
+    information are U(β) = Σ_t [d_b − d·μ_t] and I(β) = Σ_t d·μ_t(1−μ_t)
+    where μ_t = S₁/S₀ — the partial likelihood is concave, so
+    β ← β + U/I from β₀ = 0 converges quadratically (4 iterations is far
+    past convergence for one parameter; pytest pins a python mirror).
+
+    Scale shape: the corpus-∝ work is ONE user-grain aggregate (the
+    log-rank grain builder); the (duration × arm) event-time relation is
+    bounded by lifetime hours and pinned once, and every Newton
+    iteration is a crossJoin of that bounded relation with the 1-row β
+    plus two decimal folds — iteration count never touches the corpus.
+    Exactness: the house iterative contract (e^β rounds at 9, β
+    re-rounds at 9 per step, folds in DECIMAL(38,12)); a non-positive
+    information (no events, or a single-arm corpus) yields NULL β/SE
+    identically in both engines. Reference behavior: the survival tier's
+    estimator/test pair (README.md queries) extended with the effect
+    size every retention experiment actually reports."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    end = ev.agg(F.max("ts").alias("end_ts"))
+    hours = (
+        (
+            F.unix_micros(F.date_trunc("hour", F.col("last_ts")))
+            - F.unix_micros(F.date_trunc("hour", F.col("first_ts")))
+        )
+        / F.lit(3_600_000_000)
+    ).cast("bigint")
+    arm_a = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0
+    )
+    grain = (
+        per_user.join(F.broadcast(end))
+        .select(
+            hours.alias("t"),
+            arm_a.alias("is_a"),
+            (
+                F.col("last_ts") < F.col("end_ts") - F.expr("INTERVAL 1 DAYS")
+            ).alias("churned"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum((F.col("churned") & F.col("is_a")).cast("long")).alias("d_a"),
+            F.sum((F.col("churned") & ~F.col("is_a")).cast("long")).alias("d_b"),
+            F.sum(F.col("is_a").cast("long")).alias("exit_a"),
+            F.sum((~F.col("is_a")).cast("long")).alias("exit_b"),
+        )
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = grain.agg(
+        F.sum("exit_a").alias("tot_a"), F.sum("exit_b").alias("tot_b")
+    )
+    at_risk = (
+        grain.join(F.broadcast(tot))
+        .withColumn(
+            "n_a", F.col("tot_a") - F.coalesce(F.sum("exit_a").over(w), F.lit(0))
+        )
+        .withColumn(
+            "n_b", F.col("tot_b") - F.coalesce(F.sum("exit_b").over(w), F.lit(0))
+        )
+        .filter((F.col("d_a") + F.col("d_b")) > 0)
+        .select("t", "d_a", "d_b", "n_a", "n_b")
+        .localCheckpoint(eager=False)  # ≤lifetime-hours rows; feeds every pass
+    )
+
+    def _fold(beta: DataFrame) -> DataFrame:
+        """One (b, Σu, Σi) fold of the pinned event-time relation at β."""
+        j = at_risk.crossJoin(F.broadcast(beta))
+        e = F.round(F.exp(F.col("b")), 9)
+        mu = (
+            F.col("n_b").cast("double")
+            * e
+            / (F.col("n_a").cast("double") + F.col("n_b").cast("double") * e)
+        )
+        d = (F.col("d_a") + F.col("d_b")).cast("double")
+        u_t = F.col("d_b").cast("double") - d * mu
+        i_t = d * mu * (F.lit(1.0) - mu)
+        return (
+            j.select(F.col("b"), u_t.alias("u"), i_t.alias("i"))
+            .groupBy("b")
+            .agg(
+                F.sum(F.col("u").cast("decimal(38,12)"))
+                .cast("double")
+                .alias("su"),
+                F.sum(F.col("i").cast("decimal(38,12)"))
+                .cast("double")
+                .alias("si"),
+            )
+        )
+
+    beta = spark.range(1).select(F.lit(0.0).alias("b"))
+    for _ in range(n_iters):
+        s = _fold(beta)
+        beta = s.select(
+            F.when(
+                F.col("si") > F.lit(0.0),
+                F.round(F.col("b") + F.col("su") / F.col("si"), 9),
+            ).alias("b")
+        )
+    final = _fold(beta)  # information at the converged β, for the SE
+    n_events = at_risk.agg(
+        F.sum(F.col("d_a") + F.col("d_b")).cast("bigint").alias("n_events")
+    )
+    se = F.when(F.col("si") > F.lit(0.0), F.lit(1.0) / F.sqrt(F.col("si")))
+    z = F.when(F.col("si") > F.lit(0.0), F.col("b") * F.sqrt(F.col("si")))
+    return final.crossJoin(F.broadcast(n_events)).select(
+        "n_events",
+        F.round(F.col("b"), 6).cast("double").alias("log_hazard_ratio"),
+        F.round(F.exp(F.col("b")), 6).cast("double").alias("hazard_ratio"),
+        F.round(se, 6).cast("double").alias("se"),
+        F.round(z, 6).cast("double").alias("z"),
+    )
+
+
+def _cox_ph_oracle(n_iters: int = 4) -> str:
+    """Unrolled-iteration replay of ``cox_ph_retention_arms`` — the
+    Poisson-GLM oracle pattern over the log-rank oracle's risk-set CTEs:
+    each Newton step is one fold of the bounded event-time relation at
+    the previous β, with the identical e^β/β round-at-9 contract and
+    DECIMAL(38,12) fold."""
+    head = """
+WITH per_user AS (
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events
+    GROUP BY user_id
+), ends AS (SELECT MAX(ts) AS end_ts FROM events),
+grain AS (
+    SELECT datediff('hour', first_ts, last_ts) AS t,
+           SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                    AND ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT
+                        % 2 = 0 THEN 1 ELSE 0 END) AS d_a,
+           SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                    AND ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT
+                        % 2 <> 0 THEN 1 ELSE 0 END) AS d_b,
+           SUM(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT
+                        % 2 = 0 THEN 1 ELSE 0 END) AS exit_a,
+           SUM(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT
+                        % 2 <> 0 THEN 1 ELSE 0 END) AS exit_b
+    FROM per_user CROSS JOIN ends
+    GROUP BY 1
+), tot AS (SELECT SUM(exit_a) AS tot_a, SUM(exit_b) AS tot_b FROM grain),
+at_risk AS MATERIALIZED (
+    SELECT t, d_a, d_b,
+           tot_a - COALESCE(SUM(exit_a) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS n_a,
+           tot_b - COALESCE(SUM(exit_b) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS n_b
+    FROM grain CROSS JOIN tot
+), risk AS MATERIALIZED (
+    -- event-time filter OUTSIDE the at-risk window CTE: WHERE runs before
+    -- window functions, so filtering inside would drop zero-event rows'
+    -- exits from the cumulative at-risk counts (the Spark side filters
+    -- AFTER its window too)
+    SELECT t, d_a, d_b, n_a, n_b FROM at_risk WHERE d_a + d_b > 0
+), b0c AS (SELECT 0.0 AS b)"""
+    fold = """
+, s{m} AS (
+    SELECT b,
+           CAST(SUM(CAST(d_b - d * mu AS DECIMAL(38,12))) AS DOUBLE) AS su,
+           CAST(SUM(CAST(d * mu * (1.0 - mu) AS DECIMAL(38,12))) AS DOUBLE)
+               AS si
+    FROM (
+        SELECT p.b,
+               CAST(g.d_b AS DOUBLE) AS d_b,
+               CAST(g.d_a + g.d_b AS DOUBLE) AS d,
+               CAST(g.n_b AS DOUBLE) * ROUND(EXP(p.b), 9)
+                 / (CAST(g.n_a AS DOUBLE)
+                    + CAST(g.n_b AS DOUBLE) * ROUND(EXP(p.b), 9)) AS mu
+        FROM risk g CROSS JOIN {prev} p
+    ) GROUP BY b
+)"""
+    blocks = []
+    prev = "b0c"
+    for m in range(1, n_iters + 1):
+        blocks.append(fold.format(m=m, prev=prev))
+        blocks.append(f"""
+, b{m}c AS (
+    SELECT CASE WHEN si > 0.0 THEN ROUND(b + su / si, 9) END AS b FROM s{m}
+)""")
+        prev = f"b{m}c"
+    blocks.append(fold.format(m=n_iters + 1, prev=prev))
+    return (
+        head
+        + "".join(blocks)
+        + f"""
+SELECT CAST(ne.n_events AS BIGINT) AS n_events,
+       CAST(ROUND(f.b, 6) AS DOUBLE) AS log_hazard_ratio,
+       CAST(ROUND(CASE WHEN f.b IS NOT NULL THEN EXP(f.b) END, 6) AS DOUBLE)
+           AS hazard_ratio,
+       CAST(ROUND(CASE WHEN f.si > 0.0 THEN 1.0 / SQRT(f.si) END, 6)
+            AS DOUBLE) AS se,
+       CAST(ROUND(CASE WHEN f.si > 0.0 THEN f.b * SQRT(f.si) END, 6)
+            AS DOUBLE) AS z
+FROM s{n_iters + 1} f
+CROSS JOIN (SELECT SUM(d_a + d_b) AS n_events FROM risk) ne
+"""
+    )
+
+
+COX_PH_RETENTION_ARMS_ORACLE = _cox_ph_oracle()

@@ -450,6 +450,8 @@ _ROUND11_QUEUE: list[str] = [
     "poisson_glm_daily_trend",
     "als_rank1_part_factors",
     "streaming_ingest_merge_keyed_events",
+    "cox_ph_retention_arms",
+    "shapley_attribution_events",
 ]
 
 
@@ -1782,6 +1784,18 @@ register(
     "poisson_glm_daily_trend",
     inference_stats.poisson_glm_daily_trend,
     inference_stats.POISSON_GLM_DAILY_TREND_ORACLE,
+)
+
+register(
+    "cox_ph_retention_arms",
+    inference_stats.cox_ph_retention_arms,
+    inference_stats.COX_PH_RETENTION_ARMS_ORACLE,
+)
+
+register(
+    "shapley_attribution_events",
+    analytics_checks.shapley_attribution_events,
+    analytics_checks.SHAPLEY_ATTRIBUTION_EVENTS_ORACLE,
 )
 
 register(

@@ -359,3 +359,150 @@ def test_als_rank1_matches_python_and_descends(spark):
     for p, (n, vf) in got.items():
         assert n == raters[p]
         assert abs(vf - v[p]) < 1e-5, (p, vf, v[p])
+
+
+def test_cox_ph_matches_python_newton(spark):
+    """Newton on the Breslow partial likelihood recomputed in plain
+    python from the parquet fixtures (same lifetime/censoring/arm-hash
+    definitions as the KM/log-rank tier), with the identical round-at-9
+    iterative contract. The smoke fixture pins exact step-by-step replay
+    (its handful of churn events is near-separated, so convergence is
+    NOT asserted there — both engines take the same four steps); the
+    sf0.01 fixture additionally pins convergence: a fifth Newton step
+    from the published β must be a no-op at 6dp."""
+    import hashlib
+    import math
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        cox_ph_retention_arms,
+    )
+
+    def mirror(sf_dir):
+        rows = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id", "ts")
+            .collect()
+        )
+        first, last = {}, {}
+        for r in rows:
+            u, ts = r["user_id"], r["ts"]
+            if u not in first or ts < first[u]:
+                first[u] = ts
+            if u not in last or ts > last[u]:
+                last[u] = ts
+        end_ts = max(last.values())
+
+        def trunc(ts):
+            return ts.replace(minute=0, second=0, microsecond=0)
+
+        grain = defaultdict(lambda: [0, 0, 0, 0])  # d_a, d_b, exit_a, exit_b
+        for u in first:
+            t = int((trunc(last[u]) - trunc(first[u])).total_seconds() // 3600)
+            is_a = int(hashlib.md5(str(u).encode()).hexdigest()[:6], 16) % 2 == 0
+            churned = last[u] < end_ts - timedelta(days=1)
+            g = grain[t]
+            if churned and is_a:
+                g[0] += 1
+            if churned and not is_a:
+                g[1] += 1
+            g[2 if is_a else 3] += 1
+        tot_a = sum(g[2] for g in grain.values())
+        tot_b = sum(g[3] for g in grain.values())
+        risk, ca, cb = [], 0, 0
+        for t in sorted(grain):
+            d_a, d_b, e_a, e_b = grain[t]
+            if d_a + d_b > 0:
+                risk.append((d_a, d_b, tot_a - ca, tot_b - cb))
+            ca += e_a
+            cb += e_b
+
+        def fold(b):
+            e = round(math.exp(b), 9)
+            su = si = 0.0
+            for d_a, d_b, n_a, n_b in risk:
+                mu = n_b * e / (n_a + n_b * e)
+                d = float(d_a + d_b)
+                su += d_b - d * mu
+                si += d * mu * (1.0 - mu)
+            return su, si
+
+        b = 0.0
+        for _ in range(4):
+            su, si = fold(b)
+            assert si > 0.0
+            b = round(b + su / si, 9)
+        _, si = fold(b)
+        n_events = sum(d_a + d_b for d_a, d_b, _, _ in risk)
+        return b, si, n_events, fold
+
+    for sf_dir, check_converged in [(SF_SMOKE, False), ("/root/testdata/sf0.01", True)]:
+        b, si, n_events, fold = mirror(sf_dir)
+        row = cox_ph_retention_arms(spark, sf_dir).collect()[0]
+        assert row["n_events"] == n_events
+        assert abs(row["log_hazard_ratio"] - b) < 1e-5
+        assert abs(row["hazard_ratio"] - math.exp(b)) < 1e-5
+        assert abs(row["se"] - 1.0 / math.sqrt(si)) < 1e-5
+        assert abs(row["z"] - b * math.sqrt(si)) < 1e-5
+        if check_converged:
+            su2, si2 = fold(b)
+            assert abs(su2 / si2) < 1e-6
+
+
+def test_shapley_attribution_matches_permutation_mirror(spark):
+    """Exact Shapley values recomputed by brute-force permutation
+    averaging (the definition) from per-user channel sets rebuilt in
+    plain python; efficiency Σφ = v(full) − v(∅) must hold."""
+    import hashlib  # noqa: F401  (parity with sibling mirrors)
+    from itertools import permutations
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        shapley_attribution_events,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "event_id", "event_type", "ts")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    journeys = []  # (frozenset channels, converted)
+    for u, evs in by_user.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        chans, converted = set(), False
+        for r in evs:
+            if r["event_type"] == "purchase":
+                converted = True
+                break
+            chans.add(r["event_type"])
+        if not converted:  # non-converters: whole journey (no purchase seen)
+            chans = {r["event_type"] for r in evs if r["event_type"] != "purchase"}
+        journeys.append((frozenset(chans), converted))
+    channels = sorted({c for s, _ in journeys for c in s} | {
+        r["event_type"] for r in rows if r["event_type"] != "purchase"
+    })
+
+    def v(coal):
+        return sum(1 for s, conv in journeys if conv and s <= coal)
+
+    phi = dict.fromkeys(channels, 0.0)
+    perms = list(permutations(channels))
+    for perm in perms:
+        seen = set()
+        for c in perm:
+            phi[c] += v(seen | {c}) - v(seen)
+            seen.add(c)
+    phi = {c: val / len(perms) for c, val in phi.items()}
+    out = {r["channel"]: r for r in shapley_attribution_events(spark, SF_SMOKE).collect()}
+    assert set(out) == set(channels)
+    full = v(set(channels))
+    empty = v(set())
+    assert abs(sum(phi.values()) - (full - empty)) < 1e-9  # efficiency
+    for c in channels:
+        assert abs(out[c]["shapley_conversions"] - phi[c]) < 1e-5, c
+        assert out[c]["reachable_conversions"] == full
+        if full - empty > 0:
+            assert abs(out[c]["attribution_share"] - phi[c] / (full - empty)) < 1e-5
