@@ -6863,3 +6863,143 @@ FROM pairs p CROSS JOIN scal s
 GROUP BY p.channel, s.v_full, s.v_empty
 ORDER BY p.channel
 """
+
+
+def label_propagation_communities_parts(
+    spark: SparkSession, sf_dir: str, rounds: int = 4
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) over the SAME support-≥2 co-purchase graph the
+    PageRank/k-core/triangle tier reads — the community view that
+    complements k-core's density decomposition: labels init to node ids,
+    and each round every node adopts the most frequent label among its
+    neighbors PLUS its own current label (the self-vote damps the
+    two-coloring oscillation synchronous LPA is known for), ties broken
+    by smallest label — fully deterministic, no RNG. ``rounds`` is FIXED
+    at 4 (the bounded-iteration policy: PageRank 3, k-core 6): output is
+    the round-4 labeling, the converged communities iff propagation has
+    stabilized (pinned by a round-5 == round-4 pytest on the fixture),
+    a documented intermediate otherwise.
+
+    Scale shape: per round, two edge×labels equi-joins (labels are
+    O(nodes), broadcast under the session ceiling via the PageRank gate,
+    shuffled past it), one (node, label) hash-aggregation, and one
+    node-PARTITIONED window for the argmax — never an unpartitioned
+    window, never all-pairs. Labels pin lazily per round (two consumers:
+    both direction joins + the self-vote) so round subtrees don't
+    re-expand 3^k. Labels are exact bigints — no float policy to share
+    with the oracle."""
+    from data_ingestion_pipeline_spark.plans.join_strategies import (
+        auto_broadcast_threshold,
+    )
+
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pa = po.select("l_orderkey", F.col("l_partkey").alias("a"))
+    pb = po.select("l_orderkey", F.col("l_partkey").alias("b"))
+    edges = (
+        pa.join(pb, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= 2)
+        .select(
+            F.col("a").cast("bigint").alias("a"),
+            F.col("b").cast("bigint").alias("b"),
+        )
+        .localCheckpoint()  # consumed 2x per round, every round
+    )
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()  # bounded scalar action (PageRank's n policy)
+    ceiling = auto_broadcast_threshold(spark)
+
+    def gated(lbls: DataFrame) -> DataFrame:
+        # label maps are O(nodes), 16 B/row
+        return F.broadcast(lbls) if (ceiling >= 0 and n * 16 <= ceiling) else lbls
+
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(rounds):
+        labels = labels.localCheckpoint(eager=False)  # 3 consumers below
+        la = edges.join(
+            gated(labels.select(F.col("node").alias("b"), "lbl")), "b"
+        ).select(F.col("a").alias("node"), "lbl")
+        lb = edges.join(
+            gated(labels.select(F.col("node").alias("a"), "lbl")), "a"
+        ).select(F.col("b").alias("node"), "lbl")
+        votes = la.unionAll(lb).unionAll(labels.select("node", "lbl"))
+        wv = Window.partitionBy("node").orderBy(
+            F.col("cnt").desc(), F.col("lbl").asc()
+        )
+        labels = (
+            votes.groupBy("node", "lbl")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .select("node", "lbl", F.row_number().over(wv).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    sizes = labels.groupBy("lbl").agg(
+        F.count("*").cast("bigint").alias("community_size")
+    )
+    return labels.join(sizes, "lbl").select(
+        F.col("node").alias("p_partkey"),
+        F.col("lbl").alias("community"),
+        "community_size",
+    )
+
+
+def _label_propagation_oracle(rounds: int = 4) -> str:
+    # MATERIALIZED per round for the k-core reason: each label relation
+    # feeds three consumers; inlined it would re-expand 3^rounds times
+    head = """
+WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+    SELECT CAST(p1.l_partkey AS BIGINT) AS a, CAST(p2.l_partkey AS BIGINT) AS b
+    FROM po p1 JOIN po p2
+      ON p1.l_orderkey = p2.l_orderkey AND p1.l_partkey < p2.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+l0 AS MATERIALIZED (
+    SELECT node, node AS lbl FROM (
+        SELECT DISTINCT node FROM
+            (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+    )
+)"""
+    blocks = []
+    for r in range(1, rounds + 1):
+        blocks.append(f"""
+, v{r} AS (
+    SELECT e.a AS node, l.lbl FROM e0 e JOIN l{r-1} l ON e.b = l.node
+    UNION ALL
+    SELECT e.b AS node, l.lbl FROM e0 e JOIN l{r-1} l ON e.a = l.node
+    UNION ALL
+    SELECT node, lbl FROM l{r-1}
+), l{r} AS MATERIALIZED (
+    SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM (SELECT node, lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM v{r} GROUP BY node, lbl)
+    ) WHERE rn = 1
+)""")
+    return (
+        head
+        + "".join(blocks)
+        + f"""
+SELECT l.node AS p_partkey, l.lbl AS community, s.community_size
+FROM l{rounds} l
+JOIN (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+      FROM l{rounds} GROUP BY lbl) s ON l.lbl = s.lbl
+"""
+    )
+
+
+LABEL_PROPAGATION_COMMUNITIES_PARTS_ORACLE = _label_propagation_oracle()

@@ -452,6 +452,7 @@ _ROUND11_QUEUE: list[str] = [
     "streaming_ingest_merge_keyed_events",
     "cox_ph_retention_arms",
     "shapley_attribution_events",
+    "label_propagation_communities_parts",
 ]
 
 
@@ -1796,6 +1797,12 @@ register(
     "shapley_attribution_events",
     analytics_checks.shapley_attribution_events,
     analytics_checks.SHAPLEY_ATTRIBUTION_EVENTS_ORACLE,
+)
+
+register(
+    "label_propagation_communities_parts",
+    analytics_checks.label_propagation_communities_parts,
+    analytics_checks.LABEL_PROPAGATION_COMMUNITIES_PARTS_ORACLE,
 )
 
 register(

@@ -506,3 +506,35 @@ def test_shapley_attribution_matches_permutation_mirror(spark):
         assert out[c]["reachable_conversions"] == full
         if full - empty > 0:
             assert abs(out[c]["attribution_share"] - phi[c] / (full - empty)) < 1e-5
+
+
+def test_label_propagation_stabilizes_and_partitions_nodes(spark):
+    """Round-5 labeling must equal round-4 (the docstring's convergence
+    pin on the fixture); communities partition the node set; every
+    community is connected within the support->=2 edge set (label = some
+    member id)."""
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        label_propagation_communities_parts,
+    )
+
+    r4 = {
+        r["p_partkey"]: r["community"]
+        for r in label_propagation_communities_parts(spark, SF_SMOKE).collect()
+    }
+    r5 = {
+        r["p_partkey"]: r["community"]
+        for r in label_propagation_communities_parts(
+            spark, SF_SMOKE, rounds=5
+        ).collect()
+    }
+    assert r4 == r5, "LPA has not stabilized by round 4 on the fixture"
+    assert len(r4) > 0
+    # each label is itself a node id of the graph (self-vote keeps labels
+    # inside the node universe)
+    assert set(r4.values()) <= set(r4.keys())
+    # sizes column agrees with the labeling
+    from collections import Counter
+
+    sizes = Counter(r4.values())
+    for r in label_propagation_communities_parts(spark, SF_SMOKE).collect():
+        assert r["community_size"] == sizes[r["community"]]
