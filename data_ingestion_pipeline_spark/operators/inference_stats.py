@@ -36,6 +36,7 @@ __all__ = [
     "mcnemar_weekday_weekend_purchase",
     "poisson_glm_daily_trend",
     "cox_ph_retention_arms",
+    "cmh_test_arm_purchase_by_cohort",
     "WILSON_CI_PURCHASE_RATE_DAILY_ORACLE",
     "ONEWAY_ANOVA_EVENT_VALUES_ORACLE",
     "GINI_LORENZ_CUSTOMER_SPEND_ORACLE",
@@ -48,6 +49,7 @@ __all__ = [
     "MCNEMAR_WEEKDAY_WEEKEND_PURCHASE_ORACLE",
     "POISSON_GLM_DAILY_TREND_ORACLE",
     "COX_PH_RETENTION_ARMS_ORACLE",
+    "CMH_TEST_ARM_PURCHASE_BY_COHORT_ORACLE",
 ]
 
 _Z = 1.96  # 95% two-sided
@@ -1770,3 +1772,151 @@ CROSS JOIN (SELECT SUM(d_a + d_b) AS n_events FROM risk) ne
 
 
 COX_PH_RETENTION_ARMS_ORACLE = _cox_ph_oracle()
+
+
+def cmh_test_arm_purchase_by_cohort(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel test (Mantel & Haenszel 1959) of the
+    arm → conversion association STRATIFIED by each user's first-seen
+    ISO week — the confounder-adjusted sibling of the experimentation
+    tier's marginal tests: when assignment imbalance drifts across
+    signup cohorts (the srm_check failure mode), the pooled 2×2 test
+    confounds cohort with arm, while CMH aggregates per-stratum
+    hypergeometric evidence. Unit = user (each user sits in exactly one
+    stratum, so strata are independent); exposure = the tier's md5 arm;
+    outcome = converted ever. Publishes the continuity-corrected χ²
+    (the classic CMH form) and the Mantel–Haenszel pooled odds ratio
+    OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ).
+
+    Scale shape: ONE hash-aggregation to user grain, one to the bounded
+    (ISO-week) stratum grain, one bounded fold — no windows over facts.
+    Exactness: stratum cells are exact bigints; E/V/OR terms are single
+    fixed double expressions folded in DECIMAL(38,12); strata with
+    n ≤ 1 contribute zero variance (the log-rank guard); zero total
+    variance or a zero OR denominator yields NULL identically in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    arm_a = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0
+    )
+    users = ev.groupBy("user_id").agg(
+        F.weekofyear(F.min("ts")).cast("int").alias("cohort_week"),
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("conv"),
+    )
+    u = users.select(
+        "cohort_week", arm_a.alias("is_a"), F.col("conv")
+    )
+    strata = u.groupBy("cohort_week").agg(
+        F.sum((F.col("is_a").cast("long")) * F.col("conv")).cast("bigint").alias("a"),
+        F.sum(F.col("is_a").cast("long") * (1 - F.col("conv"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("is_a").cast("long")) * F.col("conv")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("is_a").cast("long")) * (1 - F.col("conv"))).cast("bigint").alias("d"),
+    )
+    n1 = (F.col("a") + F.col("b")).cast("double")  # arm A row total
+    n0 = (F.col("c") + F.col("d")).cast("double")
+    m1 = (F.col("a") + F.col("c")).cast("double")  # converter col total
+    m0 = (F.col("b") + F.col("d")).cast("double")
+    nn = n1 + n0
+    e_a = n1 * m1 / nn
+    v_a = F.when(
+        nn > F.lit(1.0),
+        n1 * n0 * m1 * m0 / (nn * nn * (nn - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    s = strata.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.sum("a").cast("bigint").alias("obs_a"),
+        F.sum(e_a.cast("decimal(38,12)")).cast("double").alias("exp_a"),
+        F.sum(v_a.cast("decimal(38,12)")).cast("double").alias("var_a"),
+        F.sum(
+            (F.col("a").cast("double") * F.col("d").cast("double") / nn)
+            .cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("or_num"),
+        F.sum(
+            (F.col("b").cast("double") * F.col("c").cast("double") / nn)
+            .cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("or_den"),
+    )
+    dev = F.abs(F.col("obs_a").cast("double") - F.col("exp_a"))
+    chi2 = F.when(
+        F.col("var_a") > F.lit(0.0),
+        F.round(
+            F.pow(F.greatest(dev - F.lit(0.5), F.lit(0.0)), 2) / F.col("var_a"),
+            6,
+        ),
+    )
+    or_mh = F.when(
+        F.col("or_den") > F.lit(0.0),
+        F.round(F.col("or_num") / F.col("or_den"), 6),
+    )
+    return s.select(
+        "n_strata",
+        "obs_a",
+        F.round(F.col("exp_a"), 6).cast("double").alias("exp_a"),
+        chi2.cast("double").alias("chi2_cmh"),
+        or_mh.cast("double").alias("odds_ratio_mh"),
+        (F.coalesce(chi2, F.lit(0.0)) > F.lit(3.841459)).alias("significant"),
+    )
+
+
+CMH_TEST_ARM_PURCHASE_BY_COHORT_ORACLE = """
+WITH users AS (
+    SELECT user_id,
+           CAST(weekofyear(MIN(ts)) AS INT) AS cohort_week,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+           CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT
+                     % 2 = 0 THEN 1 ELSE 0 END AS is_a
+    FROM events GROUP BY user_id
+), strata AS (
+    SELECT cohort_week,
+           CAST(SUM(is_a * conv) AS BIGINT) AS a,
+           CAST(SUM(is_a * (1 - conv)) AS BIGINT) AS b,
+           CAST(SUM((1 - is_a) * conv) AS BIGINT) AS c,
+           CAST(SUM((1 - is_a) * (1 - conv)) AS BIGINT) AS d
+    FROM users GROUP BY cohort_week
+), terms AS (
+    SELECT a,
+           CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+             / CAST(a + b + c + d AS DOUBLE) AS e_a,
+           CASE WHEN a + b + c + d > 1 THEN
+               CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+               * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+               / (CAST(a + b + c + d AS DOUBLE)
+                  * CAST(a + b + c + d AS DOUBLE)
+                  * (CAST(a + b + c + d AS DOUBLE) - 1.0))
+           ELSE 0.0 END AS v_a,
+           CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+             / CAST(a + b + c + d AS DOUBLE) AS or_num,
+           CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+             / CAST(a + b + c + d AS DOUBLE) AS or_den
+    FROM strata
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(a) AS BIGINT) AS obs_a,
+           CAST(SUM(CAST(e_a AS DECIMAL(38,12))) AS DOUBLE) AS exp_a,
+           CAST(SUM(CAST(v_a AS DECIMAL(38,12))) AS DOUBLE) AS var_a,
+           CAST(SUM(CAST(or_num AS DECIMAL(38,12))) AS DOUBLE) AS or_num,
+           CAST(SUM(CAST(or_den AS DECIMAL(38,12))) AS DOUBLE) AS or_den
+    FROM terms
+)
+SELECT n_strata, obs_a,
+       CAST(ROUND(exp_a, 6) AS DOUBLE) AS exp_a,
+       CAST(ROUND(CASE WHEN var_a > 0.0
+            THEN POWER(GREATEST(ABS(CAST(obs_a AS DOUBLE) - exp_a) - 0.5,
+                                0.0), 2) / var_a END, 6) AS DOUBLE)
+           AS chi2_cmh,
+       CAST(ROUND(CASE WHEN or_den > 0.0 THEN or_num / or_den END, 6)
+            AS DOUBLE) AS odds_ratio_mh,
+       COALESCE(CASE WHEN var_a > 0.0
+            THEN ROUND(POWER(GREATEST(ABS(CAST(obs_a AS DOUBLE) - exp_a)
+                                      - 0.5, 0.0), 2) / var_a, 6) END, 0.0)
+           > 3.841459 AS significant
+FROM s
+"""

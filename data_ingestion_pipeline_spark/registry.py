@@ -453,6 +453,7 @@ _ROUND11_QUEUE: list[str] = [
     "cox_ph_retention_arms",
     "shapley_attribution_events",
     "label_propagation_communities_parts",
+    "cmh_test_arm_purchase_by_cohort",
 ]
 
 
@@ -1797,6 +1798,12 @@ register(
     "shapley_attribution_events",
     analytics_checks.shapley_attribution_events,
     analytics_checks.SHAPLEY_ATTRIBUTION_EVENTS_ORACLE,
+)
+
+register(
+    "cmh_test_arm_purchase_by_cohort",
+    inference_stats.cmh_test_arm_purchase_by_cohort,
+    inference_stats.CMH_TEST_ARM_PURCHASE_BY_COHORT_ORACLE,
 )
 
 register(

@@ -538,3 +538,64 @@ def test_label_propagation_stabilizes_and_partitions_nodes(spark):
     sizes = Counter(r4.values())
     for r in label_propagation_communities_parts(spark, SF_SMOKE).collect():
         assert r["community_size"] == sizes[r["community"]]
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, "/root/testdata/sf0.01"])
+def test_cmh_matches_python_mirror(spark, sf_dir):
+    """CMH continuity-corrected chi2 and the MH pooled OR recomputed in
+    plain python from user-grain tuples; the degenerate smoke fixture
+    (all users convert) pins the NULL guards, sf0.01 pins the live
+    statistic."""
+    import hashlib
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        cmh_test_arm_purchase_by_cohort,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.weekofyear(F.min("ts")).alias("wk"),
+            F.max((F.col("event_type") == "purchase").cast("long")).alias("conv"),
+        )
+        .collect()
+    )
+    cells = {}
+    for r in rows:
+        is_a = int(hashlib.md5(str(r["user_id"]).encode()).hexdigest()[:6], 16) % 2 == 0
+        k = r["wk"]
+        c = cells.setdefault(k, [0, 0, 0, 0])  # a b c d
+        if is_a and r["conv"]:
+            c[0] += 1
+        elif is_a:
+            c[1] += 1
+        elif r["conv"]:
+            c[2] += 1
+        else:
+            c[3] += 1
+    obs = sum(c[0] for c in cells.values())
+    exp = sum((c[0] + c[1]) * (c[0] + c[2]) / sum(c) for c in cells.values())
+    var = sum(
+        (c[0] + c[1]) * (c[2] + c[3]) * (c[0] + c[2]) * (c[1] + c[3])
+        / (sum(c) ** 2 * (sum(c) - 1))
+        for c in cells.values()
+        if sum(c) > 1
+    )
+    or_num = sum(c[0] * c[3] / sum(c) for c in cells.values())
+    or_den = sum(c[1] * c[2] / sum(c) for c in cells.values())
+    row = cmh_test_arm_purchase_by_cohort(spark, sf_dir).collect()[0]
+    assert row["n_strata"] == len(cells)
+    assert row["obs_a"] == obs
+    assert abs(row["exp_a"] - exp) < 1e-4
+    if var > 0.0:
+        chi2 = max(abs(obs - exp) - 0.5, 0.0) ** 2 / var
+        assert abs(row["chi2_cmh"] - chi2) < 1e-4
+    else:
+        # the smoke fixture is degenerate (every user converts): zero
+        # hypergeometric variance must surface as NULL, not a 0-division
+        assert row["chi2_cmh"] is None
+    if or_den > 0.0:
+        assert abs(row["odds_ratio_mh"] - or_num / or_den) < 1e-4
+    else:
+        assert row["odds_ratio_mh"] is None
