@@ -454,6 +454,7 @@ _ROUND11_QUEUE: list[str] = [
     "shapley_attribution_events",
     "label_propagation_communities_parts",
     "cmh_test_arm_purchase_by_cohort",
+    "qini_uplift_curve_users",
 ]
 
 
@@ -1804,6 +1805,12 @@ register(
     "cmh_test_arm_purchase_by_cohort",
     inference_stats.cmh_test_arm_purchase_by_cohort,
     inference_stats.CMH_TEST_ARM_PURCHASE_BY_COHORT_ORACLE,
+)
+
+register(
+    "qini_uplift_curve_users",
+    inference_stats.qini_uplift_curve_users,
+    inference_stats.QINI_UPLIFT_CURVE_USERS_ORACLE,
 )
 
 register(

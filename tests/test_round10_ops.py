@@ -599,3 +599,31 @@ def test_cmh_matches_python_mirror(spark, sf_dir):
         assert abs(row["odds_ratio_mh"] - or_num / or_den) < 1e-4
     else:
         assert row["odds_ratio_mh"] is None
+
+
+def test_qini_curve_shape_and_terminal_identities(spark):
+    """Structural pins the value hash can't see: exactly 10 contiguous
+    deciles; cumulatives are monotone; the TERMINAL row's Qini equals
+    total-treated-conversions minus scaled control conversions, and the
+    terminal cumulative uplift equals the unconditioned ATE difference
+    of conversion rates."""
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        qini_uplift_curve_users,
+    )
+
+    rows = sorted(
+        qini_uplift_curve_users(spark, SF_SMOKE).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_conv_treated"] >= a["cum_conv_treated"]
+        assert b["cum_conv_control"] >= a["cum_conv_control"]
+    last = rows[-1]
+    nt = sum(r["n_t"] for r in rows)
+    nc = sum(r["n_c"] for r in rows)
+    ct, cc = last["cum_conv_treated"], last["cum_conv_control"]
+    if nc > 0:
+        assert abs(last["qini"] - (ct - cc * nt / nc)) < 1e-6
+    if nt > 0 and nc > 0:
+        assert abs(last["cum_uplift"] - (ct / nt - cc / nc)) < 1e-6
