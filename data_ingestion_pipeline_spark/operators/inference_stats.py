@@ -38,6 +38,7 @@ __all__ = [
     "cox_ph_retention_arms",
     "cmh_test_arm_purchase_by_cohort",
     "qini_uplift_curve_users",
+    "huber_regression_price_quantity",
     "WILSON_CI_PURCHASE_RATE_DAILY_ORACLE",
     "ONEWAY_ANOVA_EVENT_VALUES_ORACLE",
     "GINI_LORENZ_CUSTOMER_SPEND_ORACLE",
@@ -52,6 +53,7 @@ __all__ = [
     "COX_PH_RETENTION_ARMS_ORACLE",
     "CMH_TEST_ARM_PURCHASE_BY_COHORT_ORACLE",
     "QINI_UPLIFT_CURVE_USERS_ORACLE",
+    "HUBER_REGRESSION_PRICE_QUANTITY_ORACLE",
 ]
 
 _Z = 1.96  # 95% two-sided
@@ -2048,3 +2050,269 @@ SELECT decile, n_t, n_c,
                    / CAST(nc AS DOUBLE) END, 6) AS DOUBLE) AS qini
 FROM cum
 """
+
+
+def huber_regression_price_quantity(
+    spark: SparkSession, sf_dir: str, n_iters: int = 3
+) -> DataFrame:
+    """Per-returnflag Huber M-estimator regression (Huber 1964) of
+    extendedprice on quantity by IRLS — the robust sibling of
+    ``regression_price_quantity_by_flag``'s OLS and
+    ``cooks_distance_price_quantity``'s influence diagnostics: OLS
+    chases the very outliers Cook's distance flags, while Huber's ψ
+    downweights residuals past δ = 1.345·(1.4826·MAD) and keeps
+    everything inside quadratic. β initializes from the closed-form
+    OLS fit; each IRLS step solves the 2×2 weighted normal equations
+    in closed form (the Poisson-GLM contract: β re-rounds at 9, folds
+    in DECIMAL(38,12), no linear-algebra library, fully
+    SQL-replayable). Published per flag: both slopes (OLS vs Huber — 
+    the robustness gap IS the finding), the Huber intercept, δ, and the
+    share of downweighted rows at the converged fit.
+
+    Scale shape: the per-iteration work is ONE join of the pinned
+    3-column fact projection to the ≤|flags|-row broadcast parameter
+    map plus one hash-aggregation — n_iters is FIXED at 3 (the house
+    bounded-iteration policy; pytest pins a python IRLS mirror and that
+    step 4 is a 6dp no-op on the fixture). The scale estimate is two
+    exact-percentile passes (the ``robust_outliers_mad`` idiom, med/MAD
+    rounded at 6 before use — both engines see bitwise-equal δ); the GK
+    sketch is the registered 100 TB quantile path. Degenerate groups
+    (zero MAD or singular normal equations) publish NULL fits
+    identically in both engines."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("double").alias("x"),
+            F.col("l_extendedprice").cast("double").alias("y"),
+        )
+        .localCheckpoint(eager=False)  # feeds OLS, scale, every IRLS pass
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("x"), 27, 12).cast("double").alias("sx"),
+        dec_sum(F.col("y"), 38, 12).cast("double").alias("sy"),
+        dec_sum(F.col("x") * F.col("y"), 38, 12).cast("double").alias("sxy"),
+        dec_sum(F.col("x") * F.col("x"), 38, 12).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    det0 = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    b1_0 = F.round(
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / det0, 9
+    )
+    ols = agg.select(
+        "l_returnflag",
+        "n",
+        F.when(det0 > F.lit(0.0), b1_0).alias("b1"),
+    )
+    ols = ols.select(
+        "l_returnflag",
+        "n",
+        "b1",
+    ).join(
+        agg.select("l_returnflag", "sx", "sy"), "l_returnflag"
+    ).select(
+        "l_returnflag",
+        "n",
+        "b1",
+        F.round((F.col("sy") - F.col("b1") * F.col("sx")) / nd, 9).alias("b0"),
+    )
+    resid = F.col("y") - F.round(F.col("b0") + F.col("b1") * F.col("x"), 9)
+    r0 = li.join(F.broadcast(ols), "l_returnflag").select(
+        "l_returnflag", resid.alias("r")
+    )
+    med = r0.groupBy("l_returnflag").agg(
+        F.round(F.percentile("r", F.lit(0.5)), 6).alias("med")
+    )
+    mad = (
+        r0.join(F.broadcast(med), "l_returnflag")
+        .select("l_returnflag", F.abs(F.col("r") - F.col("med")).alias("adev"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad"))
+    )
+    params = (
+        ols.join(F.broadcast(mad), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            F.col("b1").alias("ols_slope"),
+            "b0",
+            "b1",
+            F.when(
+                F.col("mad") > F.lit(0.0),
+                F.round(F.lit(1.345) * F.lit(1.4826) * F.col("mad"), 6),
+            ).alias("delta"),
+        )
+    )
+
+    def _weights(j: DataFrame):
+        r = F.col("y") - F.round(F.col("b0") + F.col("b1") * F.col("x"), 9)
+        w = F.when(F.abs(r) <= F.col("delta"), F.lit(1.0)).otherwise(
+            F.col("delta") / F.abs(r)
+        )
+        return r, w
+
+    for _ in range(n_iters):
+        j = li.join(F.broadcast(params), "l_returnflag")
+        _, w = _weights(j)
+        sums = j.select(
+            "l_returnflag",
+            "n",
+            "ols_slope",
+            "delta",
+            w.alias("w"),
+            (w * F.col("x")).alias("wx"),
+            (w * F.col("x") * F.col("x")).alias("wxx"),
+            (w * F.col("y")).alias("wy"),
+            (w * F.col("x") * F.col("y")).alias("wxy"),
+        ).groupBy("l_returnflag", "n", "ols_slope", "delta").agg(
+            *[
+                F.sum(F.col(c).cast("decimal(38,12)")).cast("double").alias(c)
+                for c in ["w", "wx", "wxx", "wy", "wxy"]
+            ]
+        )
+        det = F.col("w") * F.col("wxx") - F.col("wx") * F.col("wx")
+        b1n = F.when(
+            det > F.lit(0.0),
+            F.round(
+                (F.col("w") * F.col("wxy") - F.col("wx") * F.col("wy")) / det,
+                9,
+            ),
+        )
+        params = sums.select(
+            "l_returnflag", "n", "ols_slope", "delta", b1n.alias("b1")
+        ).select(
+            "l_returnflag",
+            "n",
+            "ols_slope",
+            "delta",
+            "b1",
+        ).join(
+            sums.select("l_returnflag", "w", "wx", "wy"), "l_returnflag"
+        ).select(
+            "l_returnflag",
+            "n",
+            "ols_slope",
+            "delta",
+            "b1",
+            F.round(
+                (F.col("wy") - F.col("b1") * F.col("wx")) / F.col("w"), 9
+            ).alias("b0"),
+        )
+    jf = li.join(F.broadcast(params), "l_returnflag")
+    _, wf = _weights(jf)
+    return (
+        jf.select("l_returnflag", "n", "ols_slope", "delta", "b0", "b1",
+                  (wf < F.lit(1.0)).cast("long").alias("dw"))
+        .groupBy("l_returnflag", "n", "ols_slope", "delta", "b0", "b1")
+        .agg(F.sum("dw").cast("bigint").alias("n_dw"))
+        .select(
+            "l_returnflag",
+            "n",
+            F.round(F.col("ols_slope"), 6).cast("double").alias("ols_slope"),
+            F.round(F.col("b1"), 6).cast("double").alias("huber_slope"),
+            F.round(F.col("b0"), 6).cast("double").alias("huber_intercept"),
+            F.col("delta").cast("double").alias("delta"),
+            F.round(
+                F.col("n_dw").cast("double") / F.col("n").cast("double"), 6
+            )
+            .cast("double")
+            .alias("pct_downweighted"),
+        )
+    )
+
+
+def _huber_oracle(n_iters: int = 3) -> str:
+    head = """
+WITH base AS MATERIALIZED (
+    SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_extendedprice AS DOUBLE) AS y
+    FROM lineitem
+), agg AS (
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+    FROM base GROUP BY l_returnflag
+), ols AS MATERIALIZED (
+    SELECT l_returnflag, n, b1,
+           ROUND((sy - b1 * sx) / CAST(n AS DOUBLE), 9) AS b0
+    FROM (
+        SELECT *,
+               CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
+                    THEN ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                               / (CAST(n AS DOUBLE) * sxx - sx * sx), 9)
+               END AS b1
+        FROM agg
+    )
+), r0 AS MATERIALIZED (
+    SELECT b.l_returnflag,
+           b.y - ROUND(o.b0 + o.b1 * b.x, 9) AS r
+    FROM base b JOIN ols o ON b.l_returnflag = o.l_returnflag
+), med AS (
+    SELECT l_returnflag, ROUND(quantile_cont(r, 0.5), 6) AS med
+    FROM r0 GROUP BY l_returnflag
+), mad AS (
+    SELECT d.l_returnflag, ROUND(quantile_cont(d.adev, 0.5), 6) AS mad
+    FROM (SELECT r0.l_returnflag, ABS(r0.r - m.med) AS adev
+          FROM r0 JOIN med m ON r0.l_returnflag = m.l_returnflag) d
+    GROUP BY d.l_returnflag
+), p0 AS (
+    SELECT o.l_returnflag, o.n, o.b1 AS ols_slope, o.b0, o.b1,
+           CASE WHEN m.mad > 0.0
+                THEN ROUND(1.345 * 1.4826 * m.mad, 6) END AS delta
+    FROM ols o JOIN mad m ON o.l_returnflag = m.l_returnflag
+)"""
+    fold = """
+, s{m} AS (
+    SELECT l_returnflag, n, ols_slope, delta,
+           CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS w,
+           CAST(SUM(CAST(w * x AS DECIMAL(38,12))) AS DOUBLE) AS wx,
+           CAST(SUM(CAST(w * x * x AS DECIMAL(38,12))) AS DOUBLE) AS wxx,
+           CAST(SUM(CAST(w * y AS DECIMAL(38,12))) AS DOUBLE) AS wy,
+           CAST(SUM(CAST(w * x * y AS DECIMAL(38,12))) AS DOUBLE) AS wxy
+    FROM (
+        SELECT p.l_returnflag, p.n, p.ols_slope, p.delta, b.x, b.y,
+               CASE WHEN ABS(b.y - ROUND(p.b0 + p.b1 * b.x, 9)) <= p.delta
+                    THEN 1.0
+                    ELSE p.delta / ABS(b.y - ROUND(p.b0 + p.b1 * b.x, 9))
+               END AS w
+        FROM base b JOIN p{prev} p ON b.l_returnflag = p.l_returnflag
+    ) GROUP BY l_returnflag, n, ols_slope, delta
+), p{m} AS MATERIALIZED (
+    SELECT l_returnflag, n, ols_slope, delta, b1,
+           ROUND((wy - b1 * wx) / w, 9) AS b0
+    FROM (
+        SELECT *,
+               CASE WHEN w * wxx - wx * wx > 0.0
+                    THEN ROUND((w * wxy - wx * wy) / (w * wxx - wx * wx), 9)
+               END AS b1
+        FROM s{m}
+    )
+)"""
+    blocks = []
+    for m in range(1, n_iters + 1):
+        blocks.append(fold.format(m=m, prev=m - 1))
+    return (
+        head
+        + "".join(blocks)
+        + f"""
+SELECT f.l_returnflag, f.n,
+       CAST(ROUND(f.ols_slope, 6) AS DOUBLE) AS ols_slope,
+       CAST(ROUND(f.b1, 6) AS DOUBLE) AS huber_slope,
+       CAST(ROUND(f.b0, 6) AS DOUBLE) AS huber_intercept,
+       CAST(f.delta AS DOUBLE) AS delta,
+       CAST(ROUND(CAST(SUM(CASE WHEN
+            CASE WHEN ABS(b.y - ROUND(f.b0 + f.b1 * b.x, 9)) <= f.delta
+                 THEN 1.0
+                 ELSE f.delta / ABS(b.y - ROUND(f.b0 + f.b1 * b.x, 9)) END
+            < 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(f.n AS DOUBLE), 6) AS DOUBLE) AS pct_downweighted
+FROM base b JOIN p{n_iters} f ON b.l_returnflag = f.l_returnflag
+GROUP BY f.l_returnflag, f.n, f.ols_slope, f.b1, f.b0, f.delta
+"""
+    )
+
+
+HUBER_REGRESSION_PRICE_QUANTITY_ORACLE = _huber_oracle()

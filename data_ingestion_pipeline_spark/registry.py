@@ -455,6 +455,7 @@ _ROUND11_QUEUE: list[str] = [
     "label_propagation_communities_parts",
     "cmh_test_arm_purchase_by_cohort",
     "qini_uplift_curve_users",
+    "huber_regression_price_quantity",
 ]
 
 
@@ -1811,6 +1812,12 @@ register(
     "qini_uplift_curve_users",
     inference_stats.qini_uplift_curve_users,
     inference_stats.QINI_UPLIFT_CURVE_USERS_ORACLE,
+)
+
+register(
+    "huber_regression_price_quantity",
+    inference_stats.huber_regression_price_quantity,
+    inference_stats.HUBER_REGRESSION_PRICE_QUANTITY_ORACLE,
 )
 
 register(

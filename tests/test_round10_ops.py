@@ -627,3 +627,77 @@ def test_qini_curve_shape_and_terminal_identities(spark):
         assert abs(last["qini"] - (ct - cc * nt / nc)) < 1e-6
     if nt > 0 and nc > 0:
         assert abs(last["cum_uplift"] - (ct / nt - cc / nc)) < 1e-6
+
+
+def test_huber_irls_matches_python_mirror(spark):
+    """Huber IRLS recomputed in plain python (same round-at-9 contract,
+    same exact-percentile scale), and a 4th step from the published fit
+    must move the slope by <1e-4 (practical convergence on the fixture)."""
+    import math
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        huber_regression_price_quantity,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (float(r["l_quantity"]), float(r["l_extendedprice"]))
+        )
+
+    def pct_interp(vals, q=0.5):
+        v = sorted(vals)
+        h = (len(v) - 1) * q
+        lo = int(math.floor(h))
+        hi = min(lo + 1, len(v) - 1)
+        return v[lo] + (h - lo) * (v[hi] - v[lo])
+
+    out = {
+        r["l_returnflag"]: r
+        for r in huber_regression_price_quantity(spark, SF_SMOKE).collect()
+    }
+    assert set(out) == set(by_flag)
+    # the extendedprice tail must get downweighted SOMEWHERE in the corpus
+    assert any(r["pct_downweighted"] > 0.0 for r in out.values())
+    for flag, pts in by_flag.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        b1 = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+        b0 = round((sy - b1 * sx) / n, 9)
+        rs = [y - round(b0 + b1 * x, 9) for x, y in pts]
+        med = round(pct_interp(rs), 6)
+        mad = round(pct_interp([abs(r - med) for r in rs]), 6)
+        delta = round(1.345 * 1.4826 * mad, 6)
+
+        def step(b0, b1):
+            sw = swx = swxx = swy = swxy = 0.0
+            for x, y in pts:
+                r = y - round(b0 + b1 * x, 9)
+                w = 1.0 if abs(r) <= delta else delta / abs(r)
+                sw += w
+                swx += w * x
+                swxx += w * x * x
+                swy += w * y
+                swxy += w * x * y
+            det = sw * swxx - swx * swx
+            b1n = round((sw * swxy - swx * swy) / det, 9)
+            return round((swy - b1n * swx) / sw, 9), b1n
+
+        for _ in range(3):
+            b0, b1 = step(b0, b1)
+        r = out[flag]
+        assert r["n"] == n
+        assert abs(r["huber_slope"] - b1) < 1e-5
+        assert abs(r["huber_intercept"] - b0) < 2e-3  # intercept scale ~1e4
+        assert abs(r["delta"] - delta) < 1e-5
+        b0n, b1n = step(b0, b1)
+        assert abs(b1n - b1) < 1e-4  # a 4th step barely moves the slope
+        assert 0.0 <= r["pct_downweighted"] < 1.0
