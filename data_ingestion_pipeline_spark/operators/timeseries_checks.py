@@ -38,6 +38,8 @@ __all__ = [
     "durbin_watson_daily_trend",
     "holt_linear_daily_forecast",
     "conformal_forecast_interval_daily",
+    "binseg_changepoint_daily",
+    "BINSEG_CHANGEPOINT_DAILY_ORACLE",
 ]
 
 
@@ -1219,3 +1221,131 @@ FROM folded
 
 
 HOLT_WINTERS_SEASONAL_DAILY_ORACLE = _hw_oracle()
+
+
+def binseg_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split binary segmentation (Scott & Knott 1974; the first
+    step of the standard binseg changepoint recursion) over the daily
+    event-count series — the LOCATION estimate that complements the
+    sequential detector (``cusum_changepoint_daily``) and the monotone
+    tests (Mann–Kendall/Theil–Sen): the split k* maximizes the
+    between-segment sum of squares G(k) = S_k²/k + (S_D−S_k)²/(D−k)
+    − S_D²/D (the SSE reduction of a one-break mean model), ties broken
+    by the earliest day. Publishes the split day, segment means, the
+    gain, and the F statistic G/(SSE_within/(D−2)).
+
+    Scale shape: ONE aggregation to the calendar-bounded daily grain;
+    prefix sums are one window over that bounded relation (documented
+    bounded unpartitioned window), the argmax one ranked head.
+    Exactness: daily counts are bigints, so every prefix sum is EXACT —
+    the gain is a fixed double expression over exact integers, identical
+    in both engines; D < 3 (no interior split) yields an empty result in
+    both engines rather than a degenerate division."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    wd = Window.orderBy("day")
+    wc = wd.rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        F.row_number().over(wd).cast("bigint").alias("k"),
+        F.sum("y").over(wc).cast("bigint").alias("s"),
+        F.sum(F.col("y") * F.col("y")).over(wc).cast("bigint").alias("q"),
+    )
+    tot = pre.groupBy().agg(
+        F.max("k").alias("d"),
+        F.max("s").alias("sd"),
+        F.max("q").alias("qd"),
+    )
+    j = pre.join(F.broadcast(tot)).filter(
+        (F.col("k") < F.col("d")) & (F.col("d") >= 3)
+    )
+    kD = F.col("k").cast("double")
+    dD = F.col("d").cast("double")
+    sD = F.col("s").cast("double")
+    sdD = F.col("sd").cast("double")
+    gain = (
+        sD * sD / kD
+        + (sdD - sD) * (sdD - sD) / (dD - kD)
+        - sdD * sdD / dD
+    )
+    scored = j.select("day", "k", "d", "s", "sd", "qd", gain.alias("g"))
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("g").desc(), F.col("k").asc()))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    sse_w = (
+        F.col("qd").cast("double")
+        - sdD * sdD / dD
+        - F.col("g")
+    )
+    f_stat = F.when(
+        (F.col("d") > 2) & (sse_w > F.lit(0.0)),
+        F.round(F.col("g") / (sse_w / (dD - F.lit(2.0))), 6),
+    )
+    return ranked.select(
+        F.col("d").alias("n_days"),
+        F.col("day").alias("split_day"),
+        F.col("k").alias("split_pos"),
+        F.round(sD / kD, 6).cast("double").alias("left_mean"),
+        F.round((sdD - sD) / (dD - kD), 6).cast("double").alias("right_mean"),
+        F.round(F.col("g"), 6).cast("double").alias("gain"),
+        f_stat.cast("double").alias("f_stat"),
+    )
+
+
+BINSEG_CHANGEPOINT_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+), pre AS (
+    SELECT day,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k,
+           CAST(SUM(y) OVER w AS BIGINT) AS s,
+           CAST(SUM(y * y) OVER w AS BIGINT) AS q
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+), tot AS (
+    SELECT MAX(k) AS d, MAX(s) AS sd, MAX(q) AS qd FROM pre
+), ranked AS (
+    SELECT day, k, d, s, sd, qd,
+           CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(k AS DOUBLE)
+             + (CAST(sd AS DOUBLE) - CAST(s AS DOUBLE))
+               * (CAST(sd AS DOUBLE) - CAST(s AS DOUBLE))
+               / (CAST(d AS DOUBLE) - CAST(k AS DOUBLE))
+             - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(d AS DOUBLE)
+               AS g,
+           ROW_NUMBER() OVER (
+               ORDER BY CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(k AS DOUBLE)
+                        + (CAST(sd AS DOUBLE) - CAST(s AS DOUBLE))
+                          * (CAST(sd AS DOUBLE) - CAST(s AS DOUBLE))
+                          / (CAST(d AS DOUBLE) - CAST(k AS DOUBLE))
+                        - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+                          / CAST(d AS DOUBLE) DESC,
+                        k ASC) AS rn
+    FROM pre CROSS JOIN tot
+    WHERE k < d AND d >= 3
+)
+SELECT d AS n_days, day AS split_day, k AS split_pos,
+       CAST(ROUND(CAST(s AS DOUBLE) / CAST(k AS DOUBLE), 6) AS DOUBLE)
+           AS left_mean,
+       CAST(ROUND((CAST(sd AS DOUBLE) - CAST(s AS DOUBLE))
+                  / (CAST(d AS DOUBLE) - CAST(k AS DOUBLE)), 6) AS DOUBLE)
+           AS right_mean,
+       CAST(ROUND(g, 6) AS DOUBLE) AS gain,
+       CAST(ROUND(CASE WHEN d > 2 AND
+                 CAST(qd AS DOUBLE)
+                 - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / CAST(d AS DOUBLE)
+                 - g > 0.0
+            THEN g / ((CAST(qd AS DOUBLE)
+                       - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)
+                         / CAST(d AS DOUBLE) - g)
+                      / (CAST(d AS DOUBLE) - 2.0)) END, 6) AS DOUBLE)
+           AS f_stat
+FROM ranked WHERE rn = 1
+"""

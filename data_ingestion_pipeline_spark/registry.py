@@ -456,6 +456,7 @@ _ROUND11_QUEUE: list[str] = [
     "cmh_test_arm_purchase_by_cohort",
     "qini_uplift_curve_users",
     "huber_regression_price_quantity",
+    "binseg_changepoint_daily",
 ]
 
 
@@ -1818,6 +1819,12 @@ register(
     "huber_regression_price_quantity",
     inference_stats.huber_regression_price_quantity,
     inference_stats.HUBER_REGRESSION_PRICE_QUANTITY_ORACLE,
+)
+
+register(
+    "binseg_changepoint_daily",
+    timeseries_checks.binseg_changepoint_daily,
+    timeseries_checks.BINSEG_CHANGEPOINT_DAILY_ORACLE,
 )
 
 register(

@@ -701,3 +701,41 @@ def test_huber_irls_matches_python_mirror(spark):
         b0n, b1n = step(b0, b1)
         assert abs(b1n - b1) < 1e-4  # a 4th step barely moves the slope
         assert 0.0 <= r["pct_downweighted"] < 1.0
+
+
+def test_binseg_changepoint_matches_bruteforce(spark):
+    """The split must equal a brute-force argmax over all interior
+    splits recomputed in python, and the one-break model must never
+    lose to the no-break model (gain >= 0)."""
+    from collections import Counter
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        binseg_changepoint_daily,
+    )
+
+    days = Counter(
+        r["d"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(F.to_date("ts").alias("d"))
+        .collect()
+    )
+    ys = [c for _, c in sorted(days.items())]
+    dd = len(ys)
+    sd = sum(ys)
+    best = None
+    run = 0
+    for k in range(1, dd):
+        run += ys[k - 1]
+        g = run**2 / k + (sd - run) ** 2 / (dd - k) - sd**2 / dd
+        if best is None or g > best[1] + 1e-12:
+            best = (k, g)
+    row = binseg_changepoint_daily(spark, SF_SMOKE).collect()[0]
+    assert row["n_days"] == dd
+    assert row["split_pos"] == best[0]
+    assert abs(row["gain"] - best[1]) < 1e-4
+    assert row["gain"] >= 0.0
+    assert row["split_day"] == sorted(days)[best[0] - 1]
+    left = ys[: best[0]]
+    right = ys[best[0] :]
+    assert abs(row["left_mean"] - sum(left) / len(left)) < 1e-6
+    assert abs(row["right_mean"] - sum(right) / len(right)) < 1e-6
