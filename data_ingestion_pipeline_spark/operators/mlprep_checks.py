@@ -23,8 +23,11 @@ from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.functions.numeric import dec_sum
 from data_ingestion_pipeline_spark.sources.catalog import load_table
+from data_ingestion_pipeline_spark.operators.llm_data import EMB_DIM
 
 __all__ = [
+    "jl_projection_distortion_embeddings",
+    "JL_PROJECTION_DISTORTION_EMBEDDINGS_ORACLE",
     "embedding_int8_quantization_report",
     "kmeans_assign_embeddings",
     "target_encoding_loo_orders",
@@ -2372,4 +2375,171 @@ SELECT label,
 FROM sil
 GROUP BY label
 ORDER BY label
+"""
+
+
+def jl_projection_distortion_embeddings(
+    spark: SparkSession, sf_dir: str, m: int = 16
+) -> DataFrame:
+    """Johnson–Lindenstrauss random-projection distortion report
+    (Achlioptas 2001's database-friendly ±1 projection): project the
+    64-dim embeddings to m=16 dims with a DETERMINISTIC sign matrix
+    R[i,j] = ±1 from md5(i_j) parity, y = R'x/√m, and report how well
+    pairwise distances survive — the dimensionality-reduction
+    counterpart of the quantization tier (`embedding_int8_quantization
+    _report` budgets bits, this budgets dimensions; both publish the
+    distance-distortion evidence a recall SLA needs). Pairs audited:
+    the (vec_id, vec_id+1) chain — n−1 deterministic pairs, the
+    ``self_similarity_sample`` bounded-probe idiom, no quadratic.
+
+    Scale shape: one posexplode to (vector, dim) grain, one broadcast
+    join to the 64×16 sign matrix, ONE hash-aggregation to (vector, j)
+    — corpus×m rows — and chain-pair distances from two more
+    hash-aggregations; the final report is one bounded fold. Exactness:
+    every projected coordinate and every squared distance folds in
+    decimal from bitwise-identical per-row terms and ROUNDS AT 9 before
+    the ratio (the house iterative contract, applied to a composition
+    boundary); the distortion ratio is then a single double division,
+    and a zero original distance contributes NULL identically in both
+    engines (chain neighbors are distinct vectors on the fixture, but
+    duplicate embeddings must not fabricate a ratio)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ve = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    dims = spark.range(EMB_DIM).select(F.col("id").cast("int").alias("i"))
+    proj = spark.range(m).select(F.col("id").cast("int").alias("j"))
+    signs = dims.crossJoin(proj).select(
+        "i",
+        "j",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.col("i"), F.col("j"))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("sgn"),
+    )
+    y = (
+        ve.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.round(
+                dec_sum(F.col("sgn") * F.col("x"), 27, 12).cast("double")
+                / F.sqrt(F.lit(float(m))),
+                9,
+            ).alias("y")
+        )
+    )
+    ya = y.select(F.col("vec_id").alias("a"), "j", F.col("y").alias("y_a"))
+    yb = y.select(
+        (F.col("vec_id") - 1).alias("a"), "j", F.col("y").alias("y_b")
+    )
+    dy = (
+        ya.join(yb, ["a", "j"])
+        .groupBy("a")
+        .agg(
+            F.round(
+                dec_sum(
+                    (F.col("y_a") - F.col("y_b")) * (F.col("y_a") - F.col("y_b")),
+                    38,
+                    15,
+                ).cast("double"),
+                9,
+            ).alias("dy2")
+        )
+    )
+    xa = ve.select(F.col("vec_id").alias("a"), "i", F.col("x").alias("x_a"))
+    xb = ve.select(
+        (F.col("vec_id") - 1).alias("a"), "i", F.col("x").alias("x_b")
+    )
+    dx = (
+        xa.join(xb, ["a", "i"])
+        .groupBy("a")
+        .agg(
+            F.round(
+                dec_sum(
+                    (F.col("x_a") - F.col("x_b")) * (F.col("x_a") - F.col("x_b")),
+                    38,
+                    15,
+                ).cast("double"),
+                9,
+            ).alias("dx2")
+        )
+    )
+    ratio = F.when(
+        F.col("dx2") > F.lit(0.0), F.round(F.col("dy2") / F.col("dx2"), 9)
+    )
+    pairs = dy.join(dx, "a").select(ratio.alias("r"))
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.lit(m).cast("int").alias("proj_dims"),
+        F.round(dec_sum(F.col("r"), 27, 15).cast("double")
+                / F.count("r").cast("double"), 6)
+        .cast("double")
+        .alias("mean_ratio"),
+        F.round(F.min("r"), 6).cast("double").alias("min_ratio"),
+        F.round(F.max("r"), 6).cast("double").alias("max_ratio"),
+        F.round(
+            F.sum(
+                ((F.col("r") >= 0.5) & (F.col("r") <= 1.5)).cast("long")
+            ).cast("double")
+            / F.count("r").cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("share_within_50pct"),
+    )
+
+
+JL_PROJECTION_DISTORTION_EMBEDDINGS_ORACLE = """
+WITH ve AS MATERIALIZED (
+    SELECT vec_id, CAST(i AS INT) AS i,
+           CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS x
+    FROM embeddings CROSS JOIN range(64) t(i)
+), signs AS MATERIALIZED (
+    SELECT CAST(d.range AS INT) AS i, CAST(p.range AS INT) AS j,
+           CASE WHEN ('0x' || substr(md5(d.range || '_' || p.range), 1, 6))
+                     ::BIGINT % 2 = 0
+                THEN 1.0 ELSE -1.0 END AS sgn
+    FROM range(64) d, range(16) p
+), y AS MATERIALIZED (
+    SELECT v.vec_id, s.j,
+           ROUND(CAST(SUM(CAST(s.sgn * v.x AS DECIMAL(27,12))) AS DOUBLE)
+                 / SQRT(16.0), 9) AS y
+    FROM ve v JOIN signs s ON v.i = s.i
+    GROUP BY v.vec_id, s.j
+), dy AS (
+    SELECT a.vec_id AS a,
+           ROUND(CAST(SUM(CAST((a.y - b.y) * (a.y - b.y)
+                               AS DECIMAL(38,15))) AS DOUBLE), 9) AS dy2
+    FROM y a JOIN y b ON b.vec_id = a.vec_id + 1 AND a.j = b.j
+    GROUP BY a.vec_id
+), dx AS (
+    SELECT a.vec_id AS a,
+           ROUND(CAST(SUM(CAST((a.x - b.x) * (a.x - b.x)
+                               AS DECIMAL(38,15))) AS DOUBLE), 9) AS dx2
+    FROM ve a JOIN ve b ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+    GROUP BY a.vec_id
+), pairs AS (
+    SELECT CASE WHEN dx.dx2 > 0.0 THEN ROUND(dy.dy2 / dx.dx2, 9) END AS r
+    FROM dy JOIN dx ON dy.a = dx.a
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(16 AS INT) AS proj_dims,
+       CAST(ROUND(CAST(SUM(CAST(r AS DECIMAL(27,15))) AS DOUBLE)
+                  / CAST(COUNT(r) AS DOUBLE), 6) AS DOUBLE) AS mean_ratio,
+       CAST(ROUND(MIN(r), 6) AS DOUBLE) AS min_ratio,
+       CAST(ROUND(MAX(r), 6) AS DOUBLE) AS max_ratio,
+       CAST(ROUND(CAST(SUM(CASE WHEN r >= 0.5 AND r <= 1.5 THEN 1 ELSE 0 END)
+                       AS DOUBLE) / CAST(COUNT(r) AS DOUBLE), 6) AS DOUBLE)
+           AS share_within_50pct
+FROM pairs
 """

@@ -457,6 +457,7 @@ _ROUND11_QUEUE: list[str] = [
     "qini_uplift_curve_users",
     "huber_regression_price_quantity",
     "binseg_changepoint_daily",
+    "jl_projection_distortion_embeddings",
 ]
 
 
@@ -1825,6 +1826,12 @@ register(
     "binseg_changepoint_daily",
     timeseries_checks.binseg_changepoint_daily,
     timeseries_checks.BINSEG_CHANGEPOINT_DAILY_ORACLE,
+)
+
+register(
+    "jl_projection_distortion_embeddings",
+    mlprep_checks.jl_projection_distortion_embeddings,
+    mlprep_checks.JL_PROJECTION_DISTORTION_EMBEDDINGS_ORACLE,
 )
 
 register(

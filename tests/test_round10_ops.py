@@ -739,3 +739,48 @@ def test_binseg_changepoint_matches_bruteforce(spark):
     right = ys[best[0] :]
     assert abs(row["left_mean"] - sum(left) / len(left)) < 1e-6
     assert abs(row["right_mean"] - sum(right) / len(right)) < 1e-6
+
+
+def test_jl_projection_distortion_report(spark):
+    """JL lemma sanity at m=16: the mean distance-ratio of the
+    deterministic +/-1 projection must sit near 1 (unbiasedness), most
+    chain pairs inside the 50% band, and the report recomputed in numpy
+    from the same md5 sign matrix must agree."""
+    import hashlib
+
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.operators.mlprep_checks import (
+        jl_projection_distortion_embeddings,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    m = 16
+    signs = np.zeros((64, m))
+    for i in range(64):
+        for j in range(m):
+            h = int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:6], 16)
+            signs[i, j] = 1.0 if h % 2 == 0 else -1.0
+    ratios = []
+    for a in sorted(vecs):
+        if a + 1 not in vecs:
+            continue
+        dx = vecs[a + 1] - vecs[a]
+        dx2 = round(float((dx * dx).sum()), 9)
+        ya = np.round(vecs[a] @ signs / np.sqrt(m), 9)
+        yb = np.round(vecs[a + 1] @ signs / np.sqrt(m), 9)
+        dy2 = round(float(((yb - ya) ** 2).sum()), 9)
+        if dx2 > 0:
+            ratios.append(round(dy2 / dx2, 9))
+    row = jl_projection_distortion_embeddings(spark, SF_SMOKE).collect()[0]
+    assert row["n_pairs"] == len(ratios)
+    assert abs(row["mean_ratio"] - sum(ratios) / len(ratios)) < 1e-4
+    assert abs(row["min_ratio"] - min(ratios)) < 1e-4
+    assert abs(row["max_ratio"] - max(ratios)) < 1e-4
+    assert 0.5 < row["mean_ratio"] < 1.5  # unbiased estimator, m=16 noise
+    assert row["share_within_50pct"] >= 0.6
