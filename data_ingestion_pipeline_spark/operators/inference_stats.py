@@ -39,6 +39,7 @@ __all__ = [
     "cmh_test_arm_purchase_by_cohort",
     "qini_uplift_curve_users",
     "huber_regression_price_quantity",
+    "fisher_exact_region_priority_orders",
     "WILSON_CI_PURCHASE_RATE_DAILY_ORACLE",
     "ONEWAY_ANOVA_EVENT_VALUES_ORACLE",
     "GINI_LORENZ_CUSTOMER_SPEND_ORACLE",
@@ -54,6 +55,7 @@ __all__ = [
     "CMH_TEST_ARM_PURCHASE_BY_COHORT_ORACLE",
     "QINI_UPLIFT_CURVE_USERS_ORACLE",
     "HUBER_REGRESSION_PRICE_QUANTITY_ORACLE",
+    "FISHER_EXACT_REGION_PRIORITY_ORDERS_ORACLE",
 ]
 
 _Z = 1.96  # 95% two-sided
@@ -2316,3 +2318,246 @@ GROUP BY f.l_returnflag, f.n, f.ols_slope, f.b1, f.b0, f.delta
 
 
 HUBER_REGRESSION_PRICE_QUANTITY_ORACLE = _huber_oracle()
+
+
+def fisher_exact_region_priority_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fisher's EXACT test (Fisher 1935) of EUROPE-region customers vs
+    1-URGENT order priority — the small-sample-exact sibling of the
+    asymptotic χ²/CMH tier, made to work at data scale: the
+    hypergeometric tail needs ln-factorials up to n = |orders|, so the
+    ln-factorial table is built as a DISTRIBUTED two-phase prefix sum
+    (per-block partitioned cumsum + bounded block-offset scan — never an
+    unpartitioned window over a corpus-sized relation), and the support
+    sum Σ_{k: P(k) ≤ P(obs)} P(k) runs over the ≤min(row,col)-sized
+    support relation with four equi-joins into the table.
+
+    Exactness: each ln rounds at 9 (the house ln9 idiom), prefix sums
+    fold in DECIMAL(27,12) (exact, order-free — both engines see
+    bitwise-equal lfact values), every ln-probability is ONE fixed ±
+    chain over them, the tail-membership comparison happens on
+    9-rounded lnp (so the boundary term cannot flip between engines),
+    and each exp(lnp) is cut to DECIMAL(38,15) before the tail fold —
+    probabilities below 1e-15 vanish identically in both engines.
+    Bounded collect: the four 2×2 cells (scalar thresholds, the
+    PageRank-n policy) to size the support range."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    j = orders.join(
+        F.broadcast(dim.select("c_custkey", "r_name")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    eu = (F.col("r_name") == "EUROPE").cast("long")
+    ur = (F.col("o_orderpriority") == "1-URGENT").cast("long")
+    cells = j.agg(
+        F.sum(eu * ur).cast("bigint").alias("a"),
+        F.sum(eu * (1 - ur)).cast("bigint").alias("b"),
+        F.sum((1 - eu) * ur).cast("bigint").alias("c"),
+        F.sum((1 - eu) * (1 - ur)).cast("bigint").alias("d"),
+    ).collect()[0]  # bounded collect: 4 scalar cells size the support
+    a, b, c, d = cells["a"], cells["b"], cells["c"], cells["d"]
+    n, r1, c1 = a + b + c + d, a + b, a + c
+    k_lo, k_hi = max(0, r1 + c1 - n), min(r1, c1)
+
+    blk_sz = 65536
+    base = spark.range(n + 1).select(
+        F.col("id").alias("i"),
+        F.when(F.col("id") >= 2, F.round(F.log(F.col("id").cast("double")), 9))
+        .otherwise(F.lit(0.0))
+        .alias("t"),
+        F.floor(F.col("id") / F.lit(blk_sz)).alias("blk"),
+    )
+    win_in = (
+        Window.partitionBy("blk")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = base.select(
+        "i",
+        "blk",
+        F.sum(F.col("t").cast("decimal(27,12)")).over(win_in).alias("w"),
+    )
+    woff = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    # block count is n/65536 + 1 — a bounded relation for the offset scan
+    off = (
+        base.groupBy("blk")
+        .agg(F.sum(F.col("t").cast("decimal(27,12)")).alias("bt"))
+        .select(
+            "blk",
+            F.coalesce(
+                F.sum("bt").over(woff), F.lit(0).cast("decimal(37,12)")
+            ).alias("off"),
+        )
+    )
+    lf = (
+        within.join(F.broadcast(off), "blk")
+        .select("i", (F.col("w") + F.col("off")).cast("double").alias("lf"))
+        .localCheckpoint(eager=False)  # five consumers below
+    )
+
+    def lf_at(ident: int, name: str) -> DataFrame:
+        return lf.filter(F.col("i") == ident).select(F.col("lf").alias(name))
+
+    const = (
+        lf_at(r1, "lf_r1")
+        .crossJoin(F.broadcast(lf_at(n - r1, "lf_nr1")))
+        .crossJoin(F.broadcast(lf_at(c1, "lf_c1")))
+        .crossJoin(F.broadcast(lf_at(n - c1, "lf_nc1")))
+        .crossJoin(F.broadcast(lf_at(n, "lf_n")))
+    )
+    ks = spark.range(k_lo, k_hi + 1).select(F.col("id").alias("k"))
+    kl = (
+        ks.join(lf.select(F.col("i").alias("k"), F.col("lf").alias("lf_k")), "k")
+        .join(
+            lf.select(
+                (F.lit(r1) - F.col("i")).alias("k"), F.col("lf").alias("lf_r1k")
+            ),
+            "k",
+        )
+        .join(
+            lf.select(
+                (F.lit(c1) - F.col("i")).alias("k"), F.col("lf").alias("lf_c1k")
+            ),
+            "k",
+        )
+        .join(
+            lf.select(
+                (F.col("i") - F.lit(n - r1 - c1)).alias("k"),
+                F.col("lf").alias("lf_rest"),
+            ),
+            "k",
+        )
+        .crossJoin(F.broadcast(const))
+    )
+    lnp = F.round(
+        F.col("lf_r1")
+        - F.col("lf_k")
+        - F.col("lf_r1k")
+        + F.col("lf_nr1")
+        - F.col("lf_c1k")
+        - F.col("lf_rest")
+        + F.col("lf_c1")
+        + F.col("lf_nc1")
+        - F.col("lf_n"),
+        9,
+    )
+    scored = kl.select("k", lnp.alias("lnp")).localCheckpoint(eager=False)
+    obs = scored.filter(F.col("k") == a).select(
+        F.col("lnp").alias("lnp_obs")
+    )
+    tail = (
+        scored.crossJoin(F.broadcast(obs))
+        .filter(F.col("lnp") <= F.col("lnp_obs"))
+        .agg(
+            F.round(
+                F.sum(F.exp(F.col("lnp")).cast("decimal(38,15)")).cast(
+                    "double"
+                ),
+                9,
+            ).alias("p_two_sided")
+        )
+    )
+    or_ = (
+        F.round(
+            F.lit(float(a)) * F.lit(float(d)) / (F.lit(float(b)) * F.lit(float(c))),
+            6,
+        )
+        if b > 0 and c > 0
+        else F.lit(None).cast("double")
+    )
+    return tail.select(
+        F.lit(a).cast("bigint").alias("a"),
+        F.lit(b).cast("bigint").alias("b"),
+        F.lit(c).cast("bigint").alias("c"),
+        F.lit(d).cast("bigint").alias("d"),
+        F.col("p_two_sided").cast("double"),
+        or_.alias("odds_ratio"),
+        (F.col("p_two_sided") < F.lit(0.05)).alias("significant"),
+    )
+
+
+FISHER_EXACT_REGION_PRIORITY_ORDERS_ORACLE = """
+WITH cells AS (
+    SELECT CAST(SUM(eu * ur) AS BIGINT) AS a,
+           CAST(SUM(eu * (1 - ur)) AS BIGINT) AS b,
+           CAST(SUM((1 - eu) * ur) AS BIGINT) AS c,
+           CAST(SUM((1 - eu) * (1 - ur)) AS BIGINT) AS d
+    FROM (
+        SELECT CASE WHEN r.r_name = 'EUROPE' THEN 1 ELSE 0 END AS eu,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                   AS ur
+        FROM orders o
+        JOIN customer cu ON o.o_custkey = cu.c_custkey
+        JOIN nation na ON cu.c_nationkey = na.n_nationkey
+        JOIN region r ON na.n_regionkey = r.r_regionkey
+    )
+), dims AS (
+    SELECT a, b, c, d, a + b + c + d AS n, a + b AS r1, a + c AS c1 FROM cells
+), dom AS MATERIALIZED (
+    -- the 0..n integer domain WITHOUT a table-function subquery (range()
+    -- takes constants only): row_number over orders gives 1..n, plus 0
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS i
+    FROM orders
+    UNION ALL SELECT 0
+), lf AS MATERIALIZED (
+    SELECT i,
+           CAST(SUM(CAST(CASE WHEN i >= 2
+                              THEN ROUND(ln(CAST(i AS DOUBLE)), 9)
+                              ELSE 0.0 END AS DECIMAL(27,12)))
+                OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS DOUBLE) AS lf
+    FROM dom
+), scored AS MATERIALIZED (
+    SELECT k.i AS k,
+           ROUND(  fr1.lf - fk.lf - fr1k.lf
+                 + fnr1.lf - fc1k.lf - frest.lf
+                 + fc1.lf + fnc1.lf - fn.lf, 9) AS lnp
+    FROM dom k
+    CROSS JOIN dims
+    JOIN lf fk ON fk.i = k.i
+    JOIN lf fr1k ON fr1k.i = dims.r1 - k.i
+    JOIN lf fc1k ON fc1k.i = dims.c1 - k.i
+    JOIN lf frest ON frest.i = dims.n - dims.r1 - dims.c1 + k.i
+    JOIN lf fr1 ON fr1.i = dims.r1
+    JOIN lf fnr1 ON fnr1.i = dims.n - dims.r1
+    JOIN lf fc1 ON fc1.i = dims.c1
+    JOIN lf fnc1 ON fnc1.i = dims.n - dims.c1
+    JOIN lf fn ON fn.i = dims.n
+    WHERE k.i >= GREATEST(0, dims.r1 + dims.c1 - dims.n)
+      AND k.i <= LEAST(dims.r1, dims.c1)
+)
+SELECT dims.a, dims.b, dims.c, dims.d,
+       CAST(ROUND((SELECT CAST(SUM(CAST(EXP(s.lnp) AS DECIMAL(38,15)))
+                               AS DOUBLE)
+                   FROM scored s
+                   WHERE s.lnp <= (SELECT lnp FROM scored
+                                   WHERE k = dims.a)), 9) AS DOUBLE)
+           AS p_two_sided,
+       CAST(CASE WHEN dims.b > 0 AND dims.c > 0
+            THEN ROUND(CAST(dims.a AS DOUBLE) * CAST(dims.d AS DOUBLE)
+                       / (CAST(dims.b AS DOUBLE) * CAST(dims.c AS DOUBLE)),
+                       6) END AS DOUBLE) AS odds_ratio,
+       (SELECT CAST(SUM(CAST(EXP(s.lnp) AS DECIMAL(38,15))) AS DOUBLE)
+        FROM scored s
+        WHERE s.lnp <= (SELECT lnp FROM scored WHERE k = dims.a))
+           IS NOT NULL
+       AND ROUND((SELECT CAST(SUM(CAST(EXP(s.lnp) AS DECIMAL(38,15)))
+                              AS DOUBLE)
+                  FROM scored s
+                  WHERE s.lnp <= (SELECT lnp FROM scored
+                                  WHERE k = dims.a)), 9) < 0.05
+           AS significant
+FROM dims
+"""

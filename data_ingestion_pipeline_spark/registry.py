@@ -458,6 +458,7 @@ _ROUND11_QUEUE: list[str] = [
     "huber_regression_price_quantity",
     "binseg_changepoint_daily",
     "jl_projection_distortion_embeddings",
+    "fisher_exact_region_priority_orders",
 ]
 
 
@@ -1832,6 +1833,12 @@ register(
     "jl_projection_distortion_embeddings",
     mlprep_checks.jl_projection_distortion_embeddings,
     mlprep_checks.JL_PROJECTION_DISTORTION_EMBEDDINGS_ORACLE,
+)
+
+register(
+    "fisher_exact_region_priority_orders",
+    inference_stats.fisher_exact_region_priority_orders,
+    inference_stats.FISHER_EXACT_REGION_PRIORITY_ORDERS_ORACLE,
 )
 
 register(

@@ -784,3 +784,78 @@ def test_jl_projection_distortion_report(spark):
     assert abs(row["max_ratio"] - max(ratios)) < 1e-4
     assert 0.5 < row["mean_ratio"] < 1.5  # unbiased estimator, m=16 noise
     assert row["share_within_50pct"] >= 0.6
+
+
+def test_fisher_exact_matches_python_mirror(spark):
+    """The two-sided Fisher p recomputed in python with the SAME
+    rounded-ln decimal prefix fold (Decimal at scale 12 mirrors the
+    engines' DECIMAL(27,12)), plus an lgamma-based sanity cross-check
+    of the hypergeometric tail."""
+    import math
+    from decimal import Decimal
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        fisher_exact_region_priority_orders,
+    )
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cu = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    na = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    re_ = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    j = (
+        o.join(cu, o.o_custkey == cu.c_custkey)
+        .join(na, cu.c_nationkey == na.n_nationkey)
+        .join(re_, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", "o_orderpriority")
+        .collect()
+    )
+    a = sum(1 for r in j if r["r_name"] == "EUROPE" and r["o_orderpriority"] == "1-URGENT")
+    b = sum(1 for r in j if r["r_name"] == "EUROPE" and r["o_orderpriority"] != "1-URGENT")
+    c = sum(1 for r in j if r["r_name"] != "EUROPE" and r["o_orderpriority"] == "1-URGENT")
+    d = len(j) - a - b - c
+    n, r1, c1 = a + b + c + d, a + b, a + c
+    lf = [Decimal(0)] * (n + 1)
+    acc = Decimal(0)
+    for i in range(2, n + 1):
+        acc += Decimal(str(round(math.log(i), 9)))
+        lf[i] = acc
+    lff = [float(v) for v in lf]
+
+    def lnp(k):
+        return round(
+            lff[r1] - lff[k] - lff[r1 - k]
+            + lff[n - r1] - lff[c1 - k] - lff[n - r1 - c1 + k]
+            + lff[c1] + lff[n - c1] - lff[n],
+            9,
+        )
+
+    k_lo, k_hi = max(0, r1 + c1 - n), min(r1, c1)
+    obs = lnp(a)
+    p = float(
+        sum(
+            Decimal(str(math.exp(lnp(k)))).quantize(Decimal("1e-15"))
+            for k in range(k_lo, k_hi + 1)
+            if lnp(k) <= obs
+        )
+    )
+    # lgamma sanity: the rounded-ln fold must agree with the textbook tail
+    def lgp(k):
+        def lc(nn, kk):
+            return (
+                math.lgamma(nn + 1) - math.lgamma(kk + 1) - math.lgamma(nn - kk + 1)
+            )
+        return lc(r1, k) + lc(n - r1, c1 - k) - lc(n, c1)
+
+    p_ref = sum(
+        math.exp(lgp(k))
+        for k in range(k_lo, k_hi + 1)
+        if lgp(k) <= lgp(a) + 1e-9
+    )
+    row = fisher_exact_region_priority_orders(spark, SF_SMOKE).collect()[0]
+    assert (row["a"], row["b"], row["c"], row["d"]) == (a, b, c, d)
+    assert abs(row["p_two_sided"] - round(p, 9)) < 1e-6
+    assert abs(row["p_two_sided"] - p_ref) < 1e-3
+    if b > 0 and c > 0:
+        assert abs(row["odds_ratio"] - round(a * d / (b * c), 6)) < 1e-6
