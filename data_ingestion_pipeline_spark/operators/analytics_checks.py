@@ -7003,3 +7003,108 @@ JOIN (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
 
 
 LABEL_PROPAGATION_COMMUNITIES_PARTS_ORACLE = _label_propagation_oracle()
+
+
+def degree_assortativity_copurchase_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the support-≥2
+    co-purchase graph — one number that says whether popular parts
+    co-sell with other popular parts (r > 0, hub-hub cross-sell) or
+    with the fringe (r < 0, hub-and-spoke catalogs): the Pearson
+    correlation of endpoint degrees over the edge list, each undirected
+    edge contributing both orientations. Complements the density
+    (k-core), link-analysis (PageRank/HITS), and community (LPA) views
+    of the SAME graph.
+
+    Scale shape: the edge builder's one self-join + two degree-map
+    equi-joins (degree maps are O(nodes)); the statistic folds EXACT
+    bigint sums (Σxy, Σx, Σx² over the 2m directed endpoint pairs) into
+    one fixed double expression — no float policy beyond the shared
+    expression shape. A regular graph (zero degree variance) yields
+    NULL identically in both engines."""
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pa = po.select("l_orderkey", F.col("l_partkey").alias("a"))
+    pb = po.select("l_orderkey", F.col("l_partkey").alias("b"))
+    edges = (
+        pa.join(pb, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= 2)
+        .select(
+            F.col("a").cast("bigint").alias("a"),
+            F.col("b").cast("bigint").alias("b"),
+        )
+        .localCheckpoint(eager=False)  # feeds degrees AND both endpoint joins
+    )
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    both = edges.select("a", "b").unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    j = both.join(
+        deg.select(F.col("node").alias("a"), F.col("d").alias("dx")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("d").alias("dy")), "b")
+    s = j.agg(
+        F.count("*").cast("bigint").alias("m2"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+    )
+    mD = F.col("m2").cast("double")
+    mu = F.col("sx").cast("double") / mD
+    num = F.col("sxy").cast("double") / mD - mu * mu
+    den = F.col("sxx").cast("double") / mD - mu * mu
+    return s.select(
+        (F.col("m2") / F.lit(2)).cast("bigint").alias("n_edges"),
+        F.when(den > F.lit(0.0), F.round(num / den, 6))
+        .cast("double")
+        .alias("assortativity"),
+    )
+
+
+DEGREE_ASSORTATIVITY_COPURCHASE_PARTS_ORACLE = """
+WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+    SELECT CAST(p1.l_partkey AS BIGINT) AS a, CAST(p2.l_partkey AS BIGINT) AS b
+    FROM po p1 JOIN po p2
+      ON p1.l_orderkey = p2.l_orderkey AND p1.l_partkey < p2.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), deg AS MATERIALIZED (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+    ) GROUP BY node
+), both_dir AS (
+    SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+           CAST(SUM(da.d * db.d) AS BIGINT) AS sxy,
+           CAST(SUM(da.d) AS BIGINT) AS sx,
+           CAST(SUM(da.d * da.d) AS BIGINT) AS sxx
+    FROM both_dir e
+    JOIN deg da ON e.a = da.node
+    JOIN deg db ON e.b = db.node
+)
+SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+       CAST(ROUND(CASE WHEN
+            CAST(sxx AS DOUBLE) / CAST(m2 AS DOUBLE)
+            - (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE))
+              * (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE)) > 0.0
+            THEN (CAST(sxy AS DOUBLE) / CAST(m2 AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE)))
+                 / (CAST(sxx AS DOUBLE) / CAST(m2 AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE)))
+            END, 6) AS DOUBLE) AS assortativity
+FROM s
+"""

@@ -40,6 +40,7 @@ __all__ = [
     "qini_uplift_curve_users",
     "huber_regression_price_quantity",
     "fisher_exact_region_priority_orders",
+    "poisson_dispersion_daily",
     "WILSON_CI_PURCHASE_RATE_DAILY_ORACLE",
     "ONEWAY_ANOVA_EVENT_VALUES_ORACLE",
     "GINI_LORENZ_CUSTOMER_SPEND_ORACLE",
@@ -56,6 +57,7 @@ __all__ = [
     "QINI_UPLIFT_CURVE_USERS_ORACLE",
     "HUBER_REGRESSION_PRICE_QUANTITY_ORACLE",
     "FISHER_EXACT_REGION_PRIORITY_ORDERS_ORACLE",
+    "POISSON_DISPERSION_DAILY_ORACLE",
 ]
 
 _Z = 1.96  # 95% two-sided
@@ -2560,4 +2562,92 @@ SELECT dims.a, dims.b, dims.c, dims.d,
                                   WHERE k = dims.a)), 9) < 0.05
            AS significant
 FROM dims
+"""
+
+
+def poisson_dispersion_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-of-dispersion test (Fisher 1950's variance test) on the
+    daily event counts — the VALIDITY check for the Poisson GLM tier
+    (``poisson_glm_daily_trend`` models counts as Poisson; this test
+    says whether the equidispersion assumption survives contact with the
+    data): D = Σ(y−ȳ)²/ȳ is χ²(n−1) under Poisson, and the dispersion
+    ratio D/(n−1) reads directly as the overdispersion factor a
+    negative-binomial refit would need. Publishes D, the ratio, and the
+    normal-approximation z = √(2D) − √(2(n−1)−1) (Fisher's own
+    square-root approximation, good past n≈30).
+
+    Scale shape: ONE aggregation to the calendar-bounded daily grain,
+    one bounded fold of exact bigint moments (Σy, Σy² — D's numerator
+    expands to Σy² − (Σy)²/n in exact integers over doubles). n < 2
+    yields NULL identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    s = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    syD = F.col("sy").cast("double")
+    mean = syD / nD
+    d_stat = (F.col("syy").cast("double") - syD * syD / nD) / mean
+    valid = (F.col("n") > 1) & (F.col("sy") > 0)
+    z = F.sqrt(F.lit(2.0) * d_stat) - F.sqrt(
+        F.lit(2.0) * (nD - F.lit(1.0)) - F.lit(1.0)
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(mean, 6).cast("double").alias("mean_daily"),
+        F.when(valid, F.round(d_stat, 6)).cast("double").alias("dispersion_d"),
+        F.when(valid, F.round(d_stat / (nD - F.lit(1.0)), 6))
+        .cast("double")
+        .alias("dispersion_ratio"),
+        F.when(valid, F.round(z, 6)).cast("double").alias("z"),
+        (F.coalesce(F.when(valid, z), F.lit(0.0)) > F.lit(1.644854)).alias(
+            "overdispersed"
+        ),
+    )
+
+
+POISSON_DISPERSION_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM daily
+)
+SELECT n AS n_days,
+       CAST(ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE)
+           AS mean_daily,
+       CAST(ROUND(CASE WHEN n > 1 AND sy > 0 THEN
+            (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+             / CAST(n AS DOUBLE))
+            / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) END, 6) AS DOUBLE)
+           AS dispersion_d,
+       CAST(ROUND(CASE WHEN n > 1 AND sy > 0 THEN
+            ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+              / CAST(n AS DOUBLE))
+             / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+            / (CAST(n AS DOUBLE) - 1.0) END, 6) AS DOUBLE)
+           AS dispersion_ratio,
+       CAST(ROUND(CASE WHEN n > 1 AND sy > 0 THEN
+            SQRT(2.0 * ((CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+            - SQRT(2.0 * (CAST(n AS DOUBLE) - 1.0) - 1.0) END, 6) AS DOUBLE)
+           AS z,
+       COALESCE(CASE WHEN n > 1 AND sy > 0 THEN
+            SQRT(2.0 * ((CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                           / CAST(n AS DOUBLE))
+                        / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+            - SQRT(2.0 * (CAST(n AS DOUBLE) - 1.0) - 1.0) END, 0.0)
+           > 1.644854 AS overdispersed
+FROM s
 """

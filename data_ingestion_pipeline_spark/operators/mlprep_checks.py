@@ -27,7 +27,9 @@ from data_ingestion_pipeline_spark.operators.llm_data import EMB_DIM
 
 __all__ = [
     "jl_projection_distortion_embeddings",
+    "chao1_trigram_richness_documents",
     "JL_PROJECTION_DISTORTION_EMBEDDINGS_ORACLE",
+    "CHAO1_TRIGRAM_RICHNESS_DOCUMENTS_ORACLE",
     "embedding_int8_quantization_report",
     "kmeans_assign_embeddings",
     "target_encoding_loo_orders",
@@ -2542,4 +2544,93 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
                        AS DOUBLE) / CAST(COUNT(r) AS DOUBLE), 6) AS DOUBLE)
            AS share_within_50pct
 FROM pairs
+"""
+
+
+def chao1_trigram_richness_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chao1 nonparametric richness estimator (Chao 1984) over TRIGRAM
+    types — "how many trigram types does the corpus-generating process
+    have, including the ones we haven't seen yet", the abundance-based
+    companion to ``good_turing_unseen_mass_documents`` (which prices the
+    unseen MASS; Chao1 counts the unseen TYPES) and
+    ``heaps_law_fit_documents`` (which extrapolates growth): the
+    bias-corrected form V + f₁(f₁−1)/(2(f₂+1)) needs only the singleton
+    and doubleton counts, and Good's coverage Ĉ = 1 − f₁/N says what
+    fraction of the next sample is already known. Same trigram grain and
+    map-side n-gram generation as the GT query (unigram vocabulary is
+    closed on any real corpus; the singleton tail lives at trigrams).
+
+    Scale shape: one corpus pass to trigram-type counts, then TWO
+    bounded folds (f₁/f₂/V/N are four conditional sums over the type
+    relation). Every published number except coverage is exact integer
+    arithmetic; coverage and chao1 are single fixed double expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(F.split(F.trim("text"), r"\s+").alias("toks"))
+    toks = F.col("toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.try_element_at(toks, i),
+            F.try_element_at(toks, i + 1),
+            F.try_element_at(toks, i + 2),
+        ),
+    )
+    counts = (
+        toked.select(F.explode(grams).alias("g"))
+        .filter(F.col("g") != "")
+        .groupBy("g")
+        .agg(F.count("*").cast("bigint").alias("r"))
+    )
+    s = counts.agg(
+        F.count("*").cast("bigint").alias("v_obs"),
+        F.sum("r").cast("bigint").alias("n_grams"),
+        F.sum((F.col("r") == 1).cast("long")).cast("bigint").alias("f1"),
+        F.sum((F.col("r") == 2).cast("long")).cast("bigint").alias("f2"),
+    )
+    f1D = F.col("f1").cast("double")
+    chao1 = F.col("v_obs").cast("double") + f1D * (f1D - F.lit(1.0)) / (
+        F.lit(2.0) * (F.col("f2").cast("double") + F.lit(1.0))
+    )
+    cov = F.lit(1.0) - f1D / F.col("n_grams").cast("double")
+    return s.select(
+        "v_obs",
+        "n_grams",
+        "f1",
+        "f2",
+        F.round(chao1, 6).cast("double").alias("chao1_estimate"),
+        F.when(F.col("n_grams") > 0, F.round(cov, 6))
+        .cast("double")
+        .alias("good_coverage"),
+    )
+
+
+CHAO1_TRIGRAM_RICHNESS_DOCUMENTS_ORACLE = r"""
+WITH toks AS (
+    SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), counts AS (
+    -- the good_turing oracle's trigram CTE, verbatim (same gram multiset)
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS r FROM (
+        SELECT array_to_string(t[i:i+2], ' ') AS g
+        FROM (SELECT t, unnest(range(1, GREATEST(len(t) - 2, 1) + 1)) AS i
+              FROM toks)
+    ) WHERE g <> '' GROUP BY g
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS v_obs,
+           CAST(SUM(r) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+    FROM counts
+)
+SELECT v_obs, n_grams, f1, f2,
+       CAST(ROUND(CAST(v_obs AS DOUBLE)
+                  + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                    / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) AS DOUBLE)
+           AS chao1_estimate,
+       CAST(ROUND(CASE WHEN n_grams > 0
+            THEN 1.0 - CAST(f1 AS DOUBLE) / CAST(n_grams AS DOUBLE) END, 6)
+            AS DOUBLE) AS good_coverage
+FROM s
 """

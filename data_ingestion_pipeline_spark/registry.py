@@ -459,6 +459,9 @@ _ROUND11_QUEUE: list[str] = [
     "binseg_changepoint_daily",
     "jl_projection_distortion_embeddings",
     "fisher_exact_region_priority_orders",
+    "poisson_dispersion_daily",
+    "chao1_trigram_richness_documents",
+    "degree_assortativity_copurchase_parts",
 ]
 
 
@@ -1839,6 +1842,24 @@ register(
     "fisher_exact_region_priority_orders",
     inference_stats.fisher_exact_region_priority_orders,
     inference_stats.FISHER_EXACT_REGION_PRIORITY_ORDERS_ORACLE,
+)
+
+register(
+    "poisson_dispersion_daily",
+    inference_stats.poisson_dispersion_daily,
+    inference_stats.POISSON_DISPERSION_DAILY_ORACLE,
+)
+
+register(
+    "chao1_trigram_richness_documents",
+    mlprep_checks.chao1_trigram_richness_documents,
+    mlprep_checks.CHAO1_TRIGRAM_RICHNESS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "degree_assortativity_copurchase_parts",
+    analytics_checks.degree_assortativity_copurchase_parts,
+    analytics_checks.DEGREE_ASSORTATIVITY_COPURCHASE_PARTS_ORACLE,
 )
 
 register(

@@ -859,3 +859,110 @@ def test_fisher_exact_matches_python_mirror(spark):
     assert abs(row["p_two_sided"] - p_ref) < 1e-3
     if b > 0 and c > 0:
         assert abs(row["odds_ratio"] - round(a * d / (b * c), 6)) < 1e-6
+
+
+def test_poisson_dispersion_matches_direct(spark):
+    from collections import Counter
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        poisson_dispersion_daily,
+    )
+
+    days = Counter(
+        r["d"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(F.to_date("ts").alias("d"))
+        .collect()
+    )
+    ys = list(days.values())
+    n, sy, syy = len(ys), sum(ys), sum(y * y for y in ys)
+    mean = sy / n
+    d_stat = (syy - sy * sy / n) / mean
+    row = poisson_dispersion_daily(spark, SF_SMOKE).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["mean_daily"] - mean) < 1e-6
+    assert abs(row["dispersion_d"] - d_stat) < 1e-4
+    assert abs(row["dispersion_ratio"] - d_stat / (n - 1)) < 1e-6
+    import math
+
+    assert abs(row["z"] - (math.sqrt(2 * d_stat) - math.sqrt(2 * (n - 1) - 1))) < 1e-4
+
+
+def test_chao1_identities(spark):
+    """Chao1 >= observed richness; coverage in (0,1]; f1/f2 recounted
+    from a python trigram mirror."""
+    from collections import Counter
+
+    from data_ingestion_pipeline_spark.operators.mlprep_checks import (
+        chao1_trigram_richness_documents,
+    )
+
+    import re as _re
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    ]
+    grams = Counter()
+    for t in texts:
+        toks = _re.split(r"\s+", t.strip())
+        for i in range(max(len(toks) - 2, 1)):
+            g = " ".join(toks[i : i + 3])
+            if g:
+                grams[g] += 1
+    f1 = sum(1 for v in grams.values() if v == 1)
+    f2 = sum(1 for v in grams.values() if v == 2)
+    row = chao1_trigram_richness_documents(spark, SF_SMOKE).collect()[0]
+    assert row["v_obs"] == len(grams)
+    assert row["n_grams"] == sum(grams.values())
+    assert row["f1"] == f1 and row["f2"] == f2
+    assert row["chao1_estimate"] >= row["v_obs"]
+    expected = len(grams) + f1 * (f1 - 1) / (2 * (f2 + 1))
+    assert abs(row["chao1_estimate"] - expected) < 1e-4
+    assert 0.0 < row["good_coverage"] <= 1.0
+
+
+def test_degree_assortativity_matches_networkx_style_mirror(spark):
+    """r recomputed from the edge list in python (both orientations);
+    must land in [-1, 1]."""
+    from collections import Counter
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_order = {}
+    for r in rows:
+        by_order.setdefault(r["l_orderkey"], []).append(r["l_partkey"])
+    pair_count = Counter()
+    for parts in by_order.values():
+        ps = sorted(set(parts))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair_count[(ps[i], ps[j])] += 1
+    edges = [p for p, c in pair_count.items() if c >= 2]
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    m2 = len(xs)
+    mu = sum(xs) / m2
+    num = sum(x * y for x, y in zip(xs, ys)) / m2 - mu * mu
+    den = sum(x * x for x in xs) / m2 - mu * mu
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        degree_assortativity_copurchase_parts,
+    )
+
+    row = degree_assortativity_copurchase_parts(spark, SF_SMOKE).collect()[0]
+    assert row["n_edges"] == len(edges)
+    if den > 0:
+        assert abs(row["assortativity"] - num / den) < 1e-4
+        assert -1.0 - 1e-9 <= row["assortativity"] <= 1.0 + 1e-9
+    else:
+        assert row["assortativity"] is None
