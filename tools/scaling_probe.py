@@ -228,6 +228,37 @@ PROBES = [
     # more customers x parts cells); each half-iteration's join+agg must
     # stay linear in that grain.
     ("als_rank1_part_factors", ["orders", "lineitem"]),
+    # round-10 continuation. cox/cmh/qini/shapley: user-and-duration
+    # result grains are FIXED under event_id offsets (user_id/ts
+    # verbatim) — probes read on the user-grain aggregation scans staying
+    # linear, the logrank/msprt class. poisson_dispersion is deliberately
+    # NOT probed: calendar-bounded daily grain, the identical class as
+    # the probed binseg scan.
+    ("cox_ph_retention_arms", ["events"]),
+    ("shapley_attribution_events", ["events"]),
+    ("cmh_test_arm_purchase_by_cohort", ["events"]),
+    ("qini_uplift_curve_users", ["events"]),
+    ("binseg_changepoint_daily", ["events"]),
+    # huber: three IRLS passes + two percentile passes over a 16x fact
+    # projection — THE probe for the claim that iteration cost is linear
+    # in the corpus with a fixed iteration count.
+    ("huber_regression_price_quantity", ["lineitem"]),
+    # fisher: n = |orders| grows 16x, so the distributed ln-factorial
+    # prefix (blocked two-phase scan) and the ~16x support join both
+    # grow linearly — THE probe for the lfact-table claim.
+    ("fisher_exact_region_priority_orders",
+     ["orders", "customer", "nation", "region"]),
+    # lpa/assortativity: orderkey offsets keep the DISTINCT edge set
+    # ~fixed (the hits/kcore caveat) — probes read on the 16x edge-build
+    # scan + degree aggregates staying linear.
+    ("label_propagation_communities_parts", ["lineitem"]),
+    ("degree_assortativity_copurchase_parts", ["lineitem"]),
+    # jl: corpus x m projection grain and the chain pairs both grow 16x.
+    ("jl_projection_distortion_embeddings", ["embeddings"]),
+    # chao1: doc_id offsets replicate the corpus — trigram TYPE grain is
+    # fixed while instance counts inflate 16x; probe reads on the gram
+    # explode + type aggregation staying linear.
+    ("chao1_trigram_richness_documents", ["documents"]),
 ]
 
 KEY_OFFSETS = {
