@@ -7108,3 +7108,173 @@ SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
             END, 6) AS DOUBLE) AS assortativity
 FROM s
 """
+
+
+def markov_entropy_rate_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain (Shannon
+    1948's H(X) = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ) — the single bits-per-step
+    number that the transition matrix and stationary distribution only
+    imply: how predictable the NEXT user action is given the current
+    one, published beside the i.i.d. baseline H₀ = −Σ qⱼ ln qⱼ on the
+    empirical type shares so the gap reads directly as "how much the
+    Markov structure explains" (H ≤ H₀, equality iff steps are
+    independent — the pytest pins the inequality). π comes from the
+    SAME 8 relational power steps as ``markov_stationary_event_types``
+    (round-at-9 per step); per-row conditional entropies fold the
+    9-rounded ln terms in DECIMAL(38,15).
+
+    Scale shape: the fact-scale work is the one lead() bigram pass the
+    transition matrix already needs; the power iteration and both
+    entropy folds live on |types|- and |types|²-bounded relations."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    rowtot = Window.partitionBy("event_type")
+    pmat = trans.select(
+        F.col("event_type").alias("src"),
+        F.col("next_type").alias("dst"),
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(rowtot).cast("double")
+        ).alias("p"),
+    ).localCheckpoint(eager=False)  # feeds π steps AND the entropy fold
+    types = pmat.select(F.col("src").alias("t")).distinct()
+    ntypes = Window.partitionBy(F.col("t").substr(0, 0))
+    pi = types.select(
+        "t",
+        (F.lit(1.0) / F.count("*").over(ntypes).cast("double")).alias("prob"),
+    )
+    for _ in range(8):
+        pi = (
+            pi.join(F.broadcast(pmat), pi.t == pmat.src)
+            .groupBy(F.col("dst").alias("t_next"))
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("prob") * F.col("p")).cast("decimal(38,18)")
+                    ).cast("double"),
+                    9,
+                ).alias("prob")
+            )
+            .select(F.col("t_next").alias("t"), "prob")
+        )
+    hrow = (
+        pmat.select(
+            "src",
+            (
+                F.col("p") * F.round(F.log(F.col("p")), 9)
+            ).alias("plnp"),
+        )
+        .groupBy("src")
+        .agg(
+            F.sum(F.col("plnp").cast("decimal(38,15)"))
+            .cast("double")
+            .alias("h_src")
+        )
+    )
+    hr = (
+        pi.join(hrow, pi.t == hrow.src)
+        .agg(
+            F.sum(
+                (-F.col("prob") * F.col("h_src")).cast("decimal(38,15)")
+            )
+            .cast("double")
+            .alias("h_rate")
+        )
+    )
+    q = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("c"))
+    h0 = q.crossJoin(
+        F.broadcast(q.agg(F.sum("c").cast("bigint").alias("tot")))
+    ).agg(
+        F.sum(
+            (
+                -(F.col("c").cast("double") / F.col("tot").cast("double"))
+                * F.round(
+                    F.log(
+                        F.col("c").cast("double") / F.col("tot").cast("double")
+                    ),
+                    9,
+                )
+            ).cast("decimal(38,15)")
+        )
+        .cast("double")
+        .alias("h_iid")
+    )
+    return hr.crossJoin(F.broadcast(h0)).select(
+        F.round(F.col("h_rate"), 6).cast("double").alias("entropy_rate_nats"),
+        F.round(F.col("h_iid"), 6).cast("double").alias("iid_entropy_nats"),
+        F.round(F.col("h_iid") - F.col("h_rate"), 6)
+        .cast("double")
+        .alias("predictability_gain_nats"),
+    )
+
+
+def _markov_entropy_oracle(steps: int = 8) -> str:
+    head = """
+WITH seq AS (
+    SELECT event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+), trans AS (
+    SELECT event_type AS src, next_type AS dst,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+), pmat AS MATERIALIZED (
+    SELECT src, dst,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+    FROM trans
+), pi0 AS (
+    SELECT t, 1.0 / CAST(COUNT(*) OVER () AS DOUBLE) AS prob
+    FROM (SELECT DISTINCT src AS t FROM pmat)
+)"""
+    blocks = []
+    for m in range(1, steps + 1):
+        blocks.append(f"""
+, pi{m} AS (
+    SELECT m.dst AS t,
+           ROUND(CAST(SUM(CAST(p.prob * m.p AS DECIMAL(38,18))) AS DOUBLE),
+                 9) AS prob
+    FROM pi{m-1} p JOIN pmat m ON p.t = m.src
+    GROUP BY m.dst
+)""")
+    return (
+        head
+        + "".join(blocks)
+        + f"""
+, hrow AS (
+    SELECT src,
+           CAST(SUM(CAST(p * ROUND(ln(p), 9) AS DECIMAL(38,15))) AS DOUBLE)
+               AS h_src
+    FROM pmat GROUP BY src
+), hr AS (
+    SELECT CAST(SUM(CAST(-p.prob * h.h_src AS DECIMAL(38,15))) AS DOUBLE)
+               AS h_rate
+    FROM pi{steps} p JOIN hrow h ON p.t = h.src
+), h0 AS (
+    SELECT CAST(SUM(CAST(
+               -(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+               * ROUND(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+           AS DECIMAL(38,15))) AS DOUBLE) AS h_iid
+    FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM events
+          GROUP BY event_type)
+    CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM events)
+)
+SELECT CAST(ROUND(hr.h_rate, 6) AS DOUBLE) AS entropy_rate_nats,
+       CAST(ROUND(h0.h_iid, 6) AS DOUBLE) AS iid_entropy_nats,
+       CAST(ROUND(h0.h_iid - hr.h_rate, 6) AS DOUBLE)
+           AS predictability_gain_nats
+FROM hr CROSS JOIN h0
+"""
+    )
+
+
+MARKOV_ENTROPY_RATE_EVENT_TYPES_ORACLE = _markov_entropy_oracle()

@@ -41,6 +41,7 @@ __all__ = [
     "huber_regression_price_quantity",
     "fisher_exact_region_priority_orders",
     "poisson_dispersion_daily",
+    "nelson_aalen_hazard_retention",
     "WILSON_CI_PURCHASE_RATE_DAILY_ORACLE",
     "ONEWAY_ANOVA_EVENT_VALUES_ORACLE",
     "GINI_LORENZ_CUSTOMER_SPEND_ORACLE",
@@ -58,6 +59,7 @@ __all__ = [
     "HUBER_REGRESSION_PRICE_QUANTITY_ORACLE",
     "FISHER_EXACT_REGION_PRIORITY_ORDERS_ORACLE",
     "POISSON_DISPERSION_DAILY_ORACLE",
+    "NELSON_AALEN_HAZARD_RETENTION_ORACLE",
 ]
 
 _Z = 1.96  # 95% two-sided
@@ -2083,14 +2085,14 @@ def huber_regression_price_quantity(
     sketch is the registered 100 TB quantile path. Degenerate groups
     (zero MAD or singular normal equations) publish NULL fits
     identically in both engines."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
-            "l_returnflag",
-            F.col("l_quantity").cast("double").alias("x"),
-            F.col("l_extendedprice").cast("double").alias("y"),
-        )
-        .localCheckpoint(eager=False)  # feeds OLS, scale, every IRLS pass
+    # NOT pinned: every pass re-reads the 3-column pruned parquet scan —
+    # measured cheaper than RDD-serializing the projection once
+    # (checkpoint 37 s vs re-scan 9 s at sf0.1; column pruning does the
+    # heavy lifting), and at cluster scale the scan is the cacheable unit
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
     )
     agg = li.groupBy("l_returnflag").agg(
         F.count("*").cast("bigint").alias("n"),
@@ -2202,7 +2204,9 @@ def huber_regression_price_quantity(
             F.round(
                 (F.col("wy") - F.col("b1") * F.col("wx")) / F.col("w"), 9
             ).alias("b0"),
-        )
+        ).localCheckpoint(eager=False)
+        # ≤|flags| rows — without the pin, iteration m's plan replays
+        # folds 1..m−1 over the corpus (measured 16.8 s → see BASELINE)
     jf = li.join(F.broadcast(params), "l_returnflag")
     _, wf = _weights(jf)
     return (
@@ -2650,4 +2654,113 @@ SELECT n AS n_days,
             - SQRT(2.0 * (CAST(n AS DOUBLE) - 1.0) - 1.0) END, 0.0)
            > 1.644854 AS overdispersed
 FROM s
+"""
+
+
+def nelson_aalen_hazard_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator (Nelson 1972, Aalen 1978)
+    over the retention lifetimes — the fourth member of the survival
+    quartet (KM estimates survival, log-rank tests it, Cox sizes it;
+    Nelson–Aalen estimates the cumulative HAZARD Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ,
+    the quantity whose slope is the instantaneous churn rate and whose
+    exp(−Ĥ) is the Fleming–Harrington survival alternative). Same
+    lifetime/censoring definitions and (duration × arm)-free grain as
+    the KM curve; variance by the standard Σ dᵢ/nᵢ² (Klein & Moeschberger
+    form without tie correction, stated in the oracle too).
+
+    Scale shape: the log-rank grain builder (one user-grain aggregate,
+    cumulative at-risk windows on the bounded duration grain); the
+    cumulative hazard is one more window over that bounded relation.
+    Exactness: dᵢ/nᵢ are exact bigint ratios; the cumulative sums fold
+    in DECIMAL(38,15)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    end = ev.agg(F.max("ts").alias("end_ts"))
+    hours = (
+        (
+            F.unix_micros(F.date_trunc("hour", F.col("last_ts")))
+            - F.unix_micros(F.date_trunc("hour", F.col("first_ts")))
+        )
+        / F.lit(3_600_000_000)
+    ).cast("bigint")
+    grain = (
+        per_user.join(F.broadcast(end))
+        .select(
+            hours.alias("t"),
+            (
+                F.col("last_ts") < F.col("end_ts") - F.expr("INTERVAL 1 DAYS")
+            ).alias("churned"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.col("churned").cast("long")).cast("bigint").alias("d"),
+            F.count("*").cast("bigint").alias("exits"),
+        )
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = grain.agg(F.sum("exits").cast("bigint").alias("n_tot"))
+    at_risk = (
+        grain.join(F.broadcast(tot))
+        .withColumn(
+            "n", F.col("n_tot") - F.coalesce(F.sum("exits").over(w), F.lit(0))
+        )
+        .filter(F.col("d") > 0)
+    )
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    h_term = F.col("d").cast("double") / F.col("n").cast("double")
+    v_term = F.col("d").cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    return at_risk.select(
+        "t",
+        "d",
+        "n",
+        F.round(
+            F.sum(h_term.cast("decimal(38,15)")).over(wc).cast("double"), 6
+        )
+        .cast("double")
+        .alias("cum_hazard"),
+        F.round(
+            F.sum(v_term.cast("decimal(38,15)")).over(wc).cast("double"), 6
+        )
+        .cast("double")
+        .alias("hazard_var"),
+    )
+
+
+NELSON_AALEN_HAZARD_RETENTION_ORACLE = """
+WITH per_user AS (
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events
+    GROUP BY user_id
+), ends AS (SELECT MAX(ts) AS end_ts FROM events),
+grain AS (
+    SELECT datediff('hour', first_ts, last_ts) AS t,
+           CAST(SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS exits
+    FROM per_user CROSS JOIN ends
+    GROUP BY 1
+), tot AS (SELECT CAST(SUM(exits) AS BIGINT) AS n_tot FROM grain),
+at_risk AS (
+    SELECT t, d,
+           n_tot - COALESCE(SUM(exits) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS n
+    FROM grain CROSS JOIN tot
+)
+SELECT t, d, CAST(n AS BIGINT) AS n,
+       CAST(ROUND(CAST(SUM(CAST(CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+                                AS DECIMAL(38,15)))
+                       OVER wc AS DOUBLE), 6) AS DOUBLE) AS cum_hazard,
+       CAST(ROUND(CAST(SUM(CAST(CAST(d AS DOUBLE)
+                                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                                AS DECIMAL(38,15)))
+                       OVER wc AS DOUBLE), 6) AS DOUBLE) AS hazard_var
+FROM at_risk
+WHERE d > 0
+WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """

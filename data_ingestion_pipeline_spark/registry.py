@@ -462,6 +462,8 @@ _ROUND11_QUEUE: list[str] = [
     "poisson_dispersion_daily",
     "chao1_trigram_richness_documents",
     "degree_assortativity_copurchase_parts",
+    "nelson_aalen_hazard_retention",
+    "markov_entropy_rate_event_types",
 ]
 
 
@@ -1860,6 +1862,18 @@ register(
     "degree_assortativity_copurchase_parts",
     analytics_checks.degree_assortativity_copurchase_parts,
     analytics_checks.DEGREE_ASSORTATIVITY_COPURCHASE_PARTS_ORACLE,
+)
+
+register(
+    "nelson_aalen_hazard_retention",
+    inference_stats.nelson_aalen_hazard_retention,
+    inference_stats.NELSON_AALEN_HAZARD_RETENTION_ORACLE,
+)
+
+register(
+    "markov_entropy_rate_event_types",
+    analytics_checks.markov_entropy_rate_event_types,
+    analytics_checks.MARKOV_ENTROPY_RATE_EVENT_TYPES_ORACLE,
 )
 
 register(

@@ -966,3 +966,93 @@ def test_degree_assortativity_matches_networkx_style_mirror(spark):
         assert -1.0 - 1e-9 <= row["assortativity"] <= 1.0 + 1e-9
     else:
         assert row["assortativity"] is None
+
+
+def test_nelson_aalen_identities(spark):
+    """Nelson-Aalen vs the KM/log-rank grain rebuilt in python: cumulative
+    hazard is the running sum of d/n, variance of d/n^2, and exp(-H) at
+    each event time must dominate the KM product-limit estimate (the
+    standard Fleming-Harrington >= Kaplan-Meier inequality)."""
+    from datetime import timedelta
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        nelson_aalen_hazard_retention,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "ts")
+        .collect()
+    )
+    first, last = {}, {}
+    for r in rows:
+        u, ts = r["user_id"], r["ts"]
+        if u not in first or ts < first[u]:
+            first[u] = ts
+        if u not in last or ts > last[u]:
+            last[u] = ts
+    end_ts = max(last.values())
+
+    def trunc(ts):
+        return ts.replace(minute=0, second=0, microsecond=0)
+
+    from collections import defaultdict
+
+    grain = defaultdict(lambda: [0, 0])  # t -> d, exits
+    for u in first:
+        t = int((trunc(last[u]) - trunc(first[u])).total_seconds() // 3600)
+        g = grain[t]
+        if last[u] < end_ts - timedelta(days=1):
+            g[0] += 1
+        g[1] += 1
+    n_tot = sum(g[1] for g in grain.values())
+    out = {
+        r["t"]: r for r in nelson_aalen_hazard_retention(spark, SF_SMOKE).collect()
+    }
+    h = v = 0.0
+    km = 1.0
+    at_risk = n_tot
+    seen = 0
+    for t in sorted(grain):
+        d, exits = grain[t]
+        if d > 0:
+            h += d / at_risk
+            v += d / at_risk**2
+            km *= 1.0 - d / at_risk
+            r = out[t]
+            assert r["d"] == d and r["n"] == at_risk
+            assert abs(r["cum_hazard"] - h) < 1e-5
+            assert abs(r["hazard_var"] - v) < 1e-5
+            import math
+
+            assert math.exp(-r["cum_hazard"]) >= km - 1e-9
+            seen += 1
+        at_risk -= exits
+    assert seen == len(out) and seen > 0
+
+
+def test_markov_entropy_rate_bounds(spark):
+    """H(rate) <= H(iid) (conditioning reduces entropy), both positive on
+    the fixture, and H(iid) matches a direct recount."""
+    import math
+    from collections import Counter
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        markov_entropy_rate_event_types,
+    )
+
+    types = Counter(
+        r["event_type"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_type")
+        .collect()
+    )
+    tot = sum(types.values())
+    h_iid = -sum(c / tot * round(math.log(c / tot), 9) for c in types.values())
+    row = markov_entropy_rate_event_types(spark, SF_SMOKE).collect()[0]
+    assert abs(row["iid_entropy_nats"] - h_iid) < 1e-5
+    assert 0.0 < row["entropy_rate_nats"] <= row["iid_entropy_nats"] + 1e-9
+    assert abs(
+        row["predictability_gain_nats"]
+        - (row["iid_entropy_nats"] - row["entropy_rate_nats"])
+    ) < 2e-6
