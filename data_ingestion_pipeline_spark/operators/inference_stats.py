@@ -42,6 +42,7 @@ __all__ = [
     "fisher_exact_region_priority_orders",
     "poisson_dispersion_daily",
     "nelson_aalen_hazard_retention",
+    "lad_regression_price_quantity",
     "WILSON_CI_PURCHASE_RATE_DAILY_ORACLE",
     "ONEWAY_ANOVA_EVENT_VALUES_ORACLE",
     "GINI_LORENZ_CUSTOMER_SPEND_ORACLE",
@@ -60,6 +61,7 @@ __all__ = [
     "FISHER_EXACT_REGION_PRIORITY_ORDERS_ORACLE",
     "POISSON_DISPERSION_DAILY_ORACLE",
     "NELSON_AALEN_HAZARD_RETENTION_ORACLE",
+    "LAD_REGRESSION_PRICE_QUANTITY_ORACLE",
 ]
 
 _Z = 1.96  # 95% two-sided
@@ -2764,3 +2766,188 @@ FROM at_risk
 WHERE d > 0
 WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+def lad_regression_price_quantity(
+    spark: SparkSession, sf_dir: str, n_iters: int = 3
+) -> DataFrame:
+    """Per-returnflag LAD (median / L1) regression of extendedprice on
+    quantity by iteratively-reweighted least squares — the third rung of
+    the robustness ladder (OLS `regression_price_quantity_by_flag` is
+    the mean fit Cook's outliers drag, Huber downweights past δ, LAD
+    minimizes Σ|r| and ignores outlier MAGNITUDE entirely; the slope is
+    the conditional-median trend). IRLS for L1 uses w = 1/max(|r|, ε)
+    with ε = 1e−6 (the standard smoothing that keeps the reweighted
+    normal equations defined at zero residuals); β initializes from
+    the closed-form OLS fit and takes three closed-form 2×2 weighted
+    solves under the round-at-9 contract — the exact Huber scaffolding
+    with a different ψ, and the same unrolled-CTE oracle shape.
+
+    Scale shape: per iteration ONE join of the 3-column pruned fact
+    scan (deliberately unpinned — the Huber measurement) to the
+    ≤|flags|-row broadcast parameter map plus one decimal-fold hash
+    aggregation; no percentile passes at all (LAD needs no scale
+    estimate). Published per flag: the OLS and LAD slopes (their gap is
+    the finding), the LAD intercept, and the mean absolute residual at
+    the converged fit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("x"), 27, 12).cast("double").alias("sx"),
+        dec_sum(F.col("y"), 38, 12).cast("double").alias("sy"),
+        dec_sum(F.col("x") * F.col("y"), 38, 12).cast("double").alias("sxy"),
+        dec_sum(F.col("x") * F.col("x"), 38, 12).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    det0 = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    b1_0 = F.round((nd * F.col("sxy") - F.col("sx") * F.col("sy")) / det0, 9)
+    params = agg.select(
+        "l_returnflag",
+        "n",
+        F.when(det0 > F.lit(0.0), b1_0).alias("b1"),
+        "sx",
+        "sy",
+    ).select(
+        "l_returnflag",
+        "n",
+        F.col("b1").alias("ols_slope"),
+        "b1",
+        F.round((F.col("sy") - F.col("b1") * F.col("sx")) / nd, 9).alias("b0"),
+    )
+    eps = F.lit(1e-6)
+    for _ in range(n_iters):
+        j = li.join(F.broadcast(params), "l_returnflag")
+        r = F.col("y") - F.round(F.col("b0") + F.col("b1") * F.col("x"), 9)
+        w = F.lit(1.0) / F.greatest(F.abs(r), eps)
+        sums = j.select(
+            "l_returnflag",
+            "n",
+            "ols_slope",
+            w.alias("w"),
+            (w * F.col("x")).alias("wx"),
+            (w * F.col("x") * F.col("x")).alias("wxx"),
+            (w * F.col("y")).alias("wy"),
+            (w * F.col("x") * F.col("y")).alias("wxy"),
+        ).groupBy("l_returnflag", "n", "ols_slope").agg(
+            *[
+                F.sum(F.col(c).cast("decimal(38,9)")).cast("double").alias(c)
+                for c in ["w", "wx", "wxx", "wy", "wxy"]
+            ]
+        )
+        det = F.col("w") * F.col("wxx") - F.col("wx") * F.col("wx")
+        b1n = F.when(
+            det > F.lit(0.0),
+            F.round(
+                (F.col("w") * F.col("wxy") - F.col("wx") * F.col("wy")) / det,
+                9,
+            ),
+        )
+        params = (
+            sums.select(
+                "l_returnflag", "n", "ols_slope", b1n.alias("b1"), "w", "wx", "wy"
+            )
+            .select(
+                "l_returnflag",
+                "n",
+                "ols_slope",
+                "b1",
+                F.round(
+                    (F.col("wy") - F.col("b1") * F.col("wx")) / F.col("w"), 9
+                ).alias("b0"),
+            )
+            .localCheckpoint(eager=False)  # ≤|flags| rows; cuts fold replay
+        )
+    jf = li.join(F.broadcast(params), "l_returnflag")
+    rf = F.col("y") - F.round(F.col("b0") + F.col("b1") * F.col("x"), 9)
+    return (
+        jf.select("l_returnflag", "n", "ols_slope", "b0", "b1", F.abs(rf).alias("ar"))
+        .groupBy("l_returnflag", "n", "ols_slope", "b0", "b1")
+        .agg(dec_sum(F.col("ar"), 38, 9).cast("double").alias("sar"))
+        .select(
+            "l_returnflag",
+            "n",
+            F.round(F.col("ols_slope"), 6).cast("double").alias("ols_slope"),
+            F.round(F.col("b1"), 6).cast("double").alias("lad_slope"),
+            F.round(F.col("b0"), 6).cast("double").alias("lad_intercept"),
+            F.round(F.col("sar") / F.col("n").cast("double"), 6)
+            .cast("double")
+            .alias("mean_abs_residual"),
+        )
+    )
+
+
+def _lad_oracle(n_iters: int = 3) -> str:
+    head = """
+WITH base AS MATERIALIZED (
+    SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_extendedprice AS DOUBLE) AS y
+    FROM lineitem
+), agg AS (
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+    FROM base GROUP BY l_returnflag
+), p0 AS (
+    SELECT l_returnflag, n, b1 AS ols_slope, b1,
+           ROUND((sy - b1 * sx) / CAST(n AS DOUBLE), 9) AS b0
+    FROM (
+        SELECT *,
+               CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
+                    THEN ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                               / (CAST(n AS DOUBLE) * sxx - sx * sx), 9)
+               END AS b1
+        FROM agg
+    )
+)"""
+    fold = """
+, s{m} AS (
+    SELECT l_returnflag, n, ols_slope,
+           CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS w,
+           CAST(SUM(CAST(w * x AS DECIMAL(38,9))) AS DOUBLE) AS wx,
+           CAST(SUM(CAST(w * x * x AS DECIMAL(38,9))) AS DOUBLE) AS wxx,
+           CAST(SUM(CAST(w * y AS DECIMAL(38,9))) AS DOUBLE) AS wy,
+           CAST(SUM(CAST(w * x * y AS DECIMAL(38,9))) AS DOUBLE) AS wxy
+    FROM (
+        SELECT p.l_returnflag, p.n, p.ols_slope, b.x, b.y,
+               1.0 / GREATEST(ABS(b.y - ROUND(p.b0 + p.b1 * b.x, 9)), 1e-6)
+                   AS w
+        FROM base b JOIN p{prev} p ON b.l_returnflag = p.l_returnflag
+    ) GROUP BY l_returnflag, n, ols_slope
+), p{m} AS MATERIALIZED (
+    SELECT l_returnflag, n, ols_slope, b1,
+           ROUND((wy - b1 * wx) / w, 9) AS b0
+    FROM (
+        SELECT *,
+               CASE WHEN w * wxx - wx * wx > 0.0
+                    THEN ROUND((w * wxy - wx * wy) / (w * wxx - wx * wx), 9)
+               END AS b1
+        FROM s{m}
+    )
+)"""
+    blocks = []
+    for m in range(1, n_iters + 1):
+        blocks.append(fold.format(m=m, prev=m - 1))
+    return (
+        head
+        + "".join(blocks)
+        + f"""
+SELECT f.l_returnflag, f.n,
+       CAST(ROUND(f.ols_slope, 6) AS DOUBLE) AS ols_slope,
+       CAST(ROUND(f.b1, 6) AS DOUBLE) AS lad_slope,
+       CAST(ROUND(f.b0, 6) AS DOUBLE) AS lad_intercept,
+       CAST(ROUND(CAST(SUM(CAST(ABS(b.y - ROUND(f.b0 + f.b1 * b.x, 9))
+                                AS DECIMAL(38,9))) AS DOUBLE)
+                  / CAST(f.n AS DOUBLE), 6) AS DOUBLE) AS mean_abs_residual
+FROM base b JOIN p{n_iters} f ON b.l_returnflag = f.l_returnflag
+GROUP BY f.l_returnflag, f.n, f.ols_slope, f.b1, f.b0
+"""
+    )
+
+
+LAD_REGRESSION_PRICE_QUANTITY_ORACLE = _lad_oracle()

@@ -464,6 +464,7 @@ _ROUND11_QUEUE: list[str] = [
     "degree_assortativity_copurchase_parts",
     "nelson_aalen_hazard_retention",
     "markov_entropy_rate_event_types",
+    "lad_regression_price_quantity",
 ]
 
 
@@ -1874,6 +1875,12 @@ register(
     "markov_entropy_rate_event_types",
     analytics_checks.markov_entropy_rate_event_types,
     analytics_checks.MARKOV_ENTROPY_RATE_EVENT_TYPES_ORACLE,
+)
+
+register(
+    "lad_regression_price_quantity",
+    inference_stats.lad_regression_price_quantity,
+    inference_stats.LAD_REGRESSION_PRICE_QUANTITY_ORACLE,
 )
 
 register(

@@ -1056,3 +1056,60 @@ def test_markov_entropy_rate_bounds(spark):
         row["predictability_gain_nats"]
         - (row["iid_entropy_nats"] - row["entropy_rate_nats"])
     ) < 2e-6
+
+
+def test_lad_regression_matches_python_and_beats_ols_on_l1(spark):
+    """LAD IRLS recomputed in plain python (same eps smoothing and
+    round-at-9 contract), and the LAD fit's mean |residual| must not
+    exceed the OLS fit's (the L1 objective it minimizes)."""
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        lad_regression_price_quantity,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (float(r["l_quantity"]), float(r["l_extendedprice"]))
+        )
+    out = {
+        r["l_returnflag"]: r
+        for r in lad_regression_price_quantity(spark, SF_SMOKE).collect()
+    }
+    assert set(out) == set(by_flag)
+    for flag, pts in by_flag.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        ob1 = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+        ob0 = round((sy - ob1 * sx) / n, 9)
+        b0, b1 = ob0, ob1
+        for _ in range(3):
+            sw = swx = swxx = swy = swxy = 0.0
+            for x, y in pts:
+                r = y - round(b0 + b1 * x, 9)
+                w = 1.0 / max(abs(r), 1e-6)
+                sw += w
+                swx += w * x
+                swxx += w * x * x
+                swy += w * y
+                swxy += w * x * y
+            det = sw * swxx - swx * swx
+            b1 = round((sw * swxy - swx * swy) / det, 9)
+            b0 = round((swy - b1 * swx) / sw, 9)
+        r = out[flag]
+        assert r["n"] == n
+        # the mirror folds in python floats, the engines in exact decimal:
+        # tolerances are structural (the hash gate is the DuckDB oracle)
+        assert abs(r["lad_slope"] - b1) < 5e-3
+        assert abs(r["lad_intercept"] - b0) < 1.0  # intercept scale ~1e4
+        lad_l1 = sum(abs(y - round(b0 + b1 * x, 9)) for x, y in pts) / n
+        ols_l1 = sum(abs(y - round(ob0 + ob1 * x, 9)) for x, y in pts) / n
+        assert abs(r["mean_abs_residual"] - lad_l1) < 1e-2
+        assert lad_l1 <= ols_l1 + 1e-6
