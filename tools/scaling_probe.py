@@ -259,6 +259,12 @@ PROBES = [
     # fixed while instance counts inflate 16x; probe reads on the gram
     # explode + type aggregation staying linear.
     ("chao1_trigram_richness_documents", ["documents"]),
+    # nelson_aalen / markov_entropy_rate / lad_regression are deliberately
+    # NOT probed: NA shares the probed cox/logrank grain class (bounded
+    # duration grain, user-grain scan), entropy rate shares the probed
+    # markov_stationary class (|types|-bounded iteration over one lead()
+    # pass), and LAD shares the probed huber class (same per-iteration
+    # fact-scan fold, minus the percentile passes).
 ]
 
 KEY_OFFSETS = {

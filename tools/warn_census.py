@@ -60,6 +60,14 @@ DOCUMENTED_BOUNDED = {
     "msprt_always_valid_ab_daily",  # day-grain cumulative moments
     # round-10 additions
     "poisson_glm_daily_trend",  # calendar-bounded daily grain (rn index)
+    # round-10 continuation — duration/day/dimension-grain windows only
+    "cox_ph_retention_arms",  # hour-grain at-risk windows (log-rank grain)
+    "nelson_aalen_hazard_retention",  # hour-grain at-risk + cumulative hazard
+    "binseg_changepoint_daily",  # calendar-bounded daily prefix sums + argmax head
+    "qini_uplift_curve_users",  # user-dimension ntile (the customer_spend_deciles trade) + 10-row cumulative
+    "shapley_attribution_events",  # channel-taxonomy bit map (<=C rows)
+    "fisher_exact_region_priority_orders",  # block-offset scan over n/65536 blocks
+    "poisson_dispersion_daily",  # calendar-bounded daily grain
 }
 
 
