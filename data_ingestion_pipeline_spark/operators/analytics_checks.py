@@ -6945,6 +6945,7 @@ def label_propagation_communities_parts(
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
         )
+    labels = labels.localCheckpoint(eager=False)  # sizes + final join
     sizes = labels.groupBy("lbl").agg(
         F.count("*").cast("bigint").alias("community_size")
     )
