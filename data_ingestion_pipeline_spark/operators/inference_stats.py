@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_ingestion_pipeline_spark.functions.numeric import dec_sum
+from data_ingestion_pipeline_spark.functions.numeric import dec_sum, dec_sum2
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
@@ -43,6 +43,8 @@ __all__ = [
     "poisson_dispersion_daily",
     "nelson_aalen_hazard_retention",
     "lad_regression_price_quantity",
+    "theil_atkinson_customer_spend",
+    "partial_corr_purchase_view_daily",
     "WILSON_CI_PURCHASE_RATE_DAILY_ORACLE",
     "ONEWAY_ANOVA_EVENT_VALUES_ORACLE",
     "GINI_LORENZ_CUSTOMER_SPEND_ORACLE",
@@ -62,6 +64,8 @@ __all__ = [
     "POISSON_DISPERSION_DAILY_ORACLE",
     "NELSON_AALEN_HAZARD_RETENTION_ORACLE",
     "LAD_REGRESSION_PRICE_QUANTITY_ORACLE",
+    "THEIL_ATKINSON_CUSTOMER_SPEND_ORACLE",
+    "PARTIAL_CORR_PURCHASE_VIEW_DAILY_ORACLE",
 ]
 
 _Z = 1.96  # 95% two-sided
@@ -2951,3 +2955,216 @@ GROUP BY f.l_returnflag, f.n, f.ols_slope, f.b1, f.b0
 
 
 LAD_REGRESSION_PRICE_QUANTITY_ORACLE = _lad_oracle()
+
+
+def theil_atkinson_customer_spend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil T and Atkinson(ε=1) inequality indices over per-customer
+    total spend — the decomposable/welfare-grounded companions to
+    ``gini_lorenz_customer_spend``'s rank-based Gini (Theil 1967;
+    Atkinson 1970): T = (1/n)Σ(xᵢ/μ)ln(xᵢ/μ) (0 = perfect equality,
+    ln n = one customer holds everything) and A₁ = 1 − G/μ with G the
+    geometric mean — "the share of total spend society would give up to
+    equalize it" under log utility.
+
+    Scale shape: one hash-aggregation to customer grain, one bounded
+    fold — and unlike Gini's ntile, NO window at all, so this pair is
+    also the 100 TB-clean inequality path. Exactness: spends are
+    positive decimal(18,6)-exact money sums; ln rounds at 9 (the house
+    idiom), both folds in DECIMAL(38,15); the final indices are fixed
+    double expressions rounded at 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        dec_sum2(F.col("o_totalprice")).alias("x")
+    )
+    s = spend.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("x"), 38, 6).cast("double").alias("sx"),
+        F.sum(
+            (F.col("x") * F.round(F.log("x"), 9)).cast("decimal(38,15)")
+        )
+        .cast("double")
+        .alias("sxlnx"),
+        F.sum(F.round(F.log("x"), 9).cast("decimal(38,15)"))
+        .cast("double")
+        .alias("slnx"),
+    )
+    nD = F.col("n").cast("double")
+    mu = F.col("sx") / nD
+    # T = Σ x·ln x / (n·μ) − ln μ  (algebraic form of (1/n)Σ(x/μ)ln(x/μ))
+    theil = F.col("sxlnx") / (nD * mu) - F.round(F.log(mu), 9)
+    atkinson = F.lit(1.0) - F.exp(F.col("slnx") / nD) / mu
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(mu, 6).cast("double").alias("mean_spend"),
+        F.round(theil, 6).cast("double").alias("theil_t"),
+        F.round(atkinson, 6).cast("double").alias("atkinson_1"),
+    )
+
+
+THEIL_ATKINSON_CUSTOMER_SPEND_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS x
+    FROM orders GROUP BY o_custkey
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(x * ROUND(ln(x), 9) AS DECIMAL(38,15))) AS DOUBLE)
+               AS sxlnx,
+           CAST(SUM(CAST(ROUND(ln(x), 9) AS DECIMAL(38,15))) AS DOUBLE)
+               AS slnx
+    FROM spend
+)
+SELECT n AS n_customers,
+       CAST(ROUND(sx / CAST(n AS DOUBLE), 6) AS DOUBLE) AS mean_spend,
+       CAST(ROUND(sxlnx / (CAST(n AS DOUBLE) * (sx / CAST(n AS DOUBLE)))
+                  - ROUND(ln(sx / CAST(n AS DOUBLE)), 9), 6) AS DOUBLE)
+           AS theil_t,
+       CAST(ROUND(1.0 - EXP(slnx / CAST(n AS DOUBLE))
+                        / (sx / CAST(n AS DOUBLE)), 6) AS DOUBLE)
+           AS atkinson_1
+FROM s
+"""
+
+
+def partial_corr_purchase_view_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order partial correlation of daily purchase and view counts
+    CONTROLLING for total daily volume — the confound-removed version of
+    the raw daily correlation (on a growing site, purchases and views
+    correlate because EVERYTHING correlates with traffic;
+    r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) asks whether they
+    co-move BEYOND the shared volume trend). Complements
+    ``rolling_corr_purchase_view_14d`` (time-local raw) and
+    ``spearman_daily_purchase_view`` (rank-based raw).
+
+    Scale shape: ONE aggregation to the calendar-bounded daily grain,
+    one bounded moment fold (all sums exact bigints), closed-form
+    algebra. Degenerate variances or |r|=1 controls yield NULL
+    identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("bigint")
+        .alias("x"),
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("bigint")
+        .alias("y"),
+        F.count("*").cast("bigint").alias("z"),
+    )
+    s = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[
+            F.sum(expr).cast("bigint").alias(name)
+            for name, expr in [
+                ("sx", F.col("x")),
+                ("sy", F.col("y")),
+                ("sz", F.col("z")),
+                ("sxx", F.col("x") * F.col("x")),
+                ("syy", F.col("y") * F.col("y")),
+                ("szz", F.col("z") * F.col("z")),
+                ("sxy", F.col("x") * F.col("y")),
+                ("sxz", F.col("x") * F.col("z")),
+                ("syz", F.col("y") * F.col("z")),
+            ]
+        ],
+    )
+    nD = F.col("n").cast("double")
+
+    def r(sab, sa, sb, saa, sbb):
+        num = nD * F.col(sab).cast("double") - F.col(sa).cast("double") * F.col(
+            sb
+        ).cast("double")
+        da = nD * F.col(saa).cast("double") - F.col(sa).cast("double") * F.col(
+            sa
+        ).cast("double")
+        db = nD * F.col(sbb).cast("double") - F.col(sb).cast("double") * F.col(
+            sb
+        ).cast("double")
+        return F.when((da > 0) & (db > 0), num / F.sqrt(da * db))
+
+    rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    ryz = r("syz", "sy", "sz", "syy", "szz")
+    den = (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    partial = F.when(den > F.lit(0.0), (rxy - rxz * ryz) / F.sqrt(den))
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(rxy, 6).cast("double").alias("r_purchase_view"),
+        F.round(rxz, 6).cast("double").alias("r_purchase_volume"),
+        F.round(ryz, 6).cast("double").alias("r_view_volume"),
+        F.round(partial, 6).cast("double").alias("partial_r_given_volume"),
+    )
+
+
+PARTIAL_CORR_PURCHASE_VIEW_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y,
+           CAST(COUNT(*) AS BIGINT) AS z
+    FROM events GROUP BY 1
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(z) AS BIGINT) AS sz,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy,
+           CAST(SUM(z * z) AS BIGINT) AS szz,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * z) AS BIGINT) AS sxz,
+           CAST(SUM(y * z) AS BIGINT) AS syz
+    FROM daily
+), rs AS (
+    SELECT n,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS rxy,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                     - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+                     / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                               - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+           END AS rxz,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                 AND CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                     - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) > 0
+                THEN (CAST(n AS DOUBLE) * CAST(syz AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sz AS DOUBLE))
+                     / SQRT((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                               - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)))
+           END AS ryz
+    FROM s
+)
+SELECT n AS n_days,
+       CAST(ROUND(rxy, 6) AS DOUBLE) AS r_purchase_view,
+       CAST(ROUND(rxz, 6) AS DOUBLE) AS r_purchase_volume,
+       CAST(ROUND(ryz, 6) AS DOUBLE) AS r_view_volume,
+       CAST(ROUND(CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0.0
+            THEN (rxy - rxz * ryz)
+                 / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) END, 6)
+            AS DOUBLE) AS partial_r_given_volume
+FROM rs
+"""

@@ -39,7 +39,9 @@ __all__ = [
     "holt_linear_daily_forecast",
     "conformal_forecast_interval_daily",
     "binseg_changepoint_daily",
+    "periodogram_daily_events",
     "BINSEG_CHANGEPOINT_DAILY_ORACLE",
+    "PERIODOGRAM_DAILY_EVENTS_ORACLE",
 ]
 
 
@@ -1348,4 +1350,130 @@ SELECT d AS n_days, day AS split_day, k AS split_pos,
                       / (CAST(d AS DOUBLE) - 2.0)) END, 6) AS DOUBLE)
            AS f_stat
 FROM ranked WHERE rn = 1
+"""
+
+
+def periodogram_daily_events(
+    spark: SparkSession, sf_dir: str, max_k: int = 14
+) -> DataFrame:
+    """Discrete-Fourier periodogram of the mean-centered daily event
+    counts for harmonics k = 1..min(max_k, ⌊D/2⌋) — the frequency-domain
+    member the time-series tier lacks (autocorrelation and
+    Holt–Winters ASSUME a period; the periodogram FINDS it):
+    P(k) = (a_k² + b_k²)·2/D with a_k = Σ_d y'_d·cos(2πkd/D),
+    b_k = Σ_d y'_d·sin(2πkd/D), published with each harmonic's implied
+    period D/k and its share of total spectral power. A weekly cycle
+    shows up as mass at period ≈ 7.
+
+    Scale shape: ONE aggregation to the calendar-bounded daily grain;
+    the (day × k) trig grain is D·max_k rows — still calendar-bounded —
+    and folds per harmonic in one hash aggregation. Cross-engine float
+    policy: the angle is ONE fixed expression over exact integers and
+    the 16-digit 2π literal, cos/sin round at 9 BEFORE the product (the
+    ln9 idiom extended to trig — JVM and libm transcendentals agree to
+    ≥12 digits, so 9-rounding pins them bitwise), products fold in
+    DECIMAL(38,15), and the power/share algebra is fixed-shape doubles
+    rounded at 6."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    wd = Window.orderBy("day")
+    idx = daily.select(
+        (F.row_number().over(wd) - 1).cast("bigint").alias("d"), "y"
+    )
+    tot = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    base = idx.join(F.broadcast(tot)).select(
+        "d",
+        (
+            F.col("y").cast("double")
+            - F.col("sy").cast("double") / F.col("n").cast("double")
+        ).alias("yc"),
+        "n",
+    )
+    ks = spark.range(1, max_k + 1).select(F.col("id").cast("bigint").alias("k"))
+    two_pi = F.lit(6.283185307179586)
+    g = base.crossJoin(F.broadcast(ks)).filter(
+        F.col("k") <= F.col("n") / F.lit(2)
+    )
+    ang = two_pi * F.col("k").cast("double") * F.col("d").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    terms = g.select(
+        "k",
+        "n",
+        (F.col("yc") * F.round(F.cos(ang), 9)).alias("ac"),
+        (F.col("yc") * F.round(F.sin(ang), 9)).alias("bs"),
+        (F.col("yc") * F.col("yc")).alias("y2"),
+    )
+    per_k = terms.groupBy("k", "n").agg(
+        F.sum(F.col("ac").cast("decimal(38,15)")).cast("double").alias("a"),
+        F.sum(F.col("bs").cast("decimal(38,15)")).cast("double").alias("b"),
+        F.sum(F.col("y2").cast("decimal(38,15)")).cast("double").alias("ss"),
+    )
+    nD = F.col("n").cast("double")
+    power = (
+        (F.col("a") * F.col("a") + F.col("b") * F.col("b"))
+        * F.lit(2.0)
+        / nD
+    )
+    return per_k.select(
+        "k",
+        F.round(nD / F.col("k").cast("double"), 6)
+        .cast("double")
+        .alias("period_days"),
+        F.round(power, 6).cast("double").alias("power"),
+        F.when(
+            F.col("ss") > F.lit(0.0),
+            F.round(power / (F.lit(2.0) * F.col("ss")), 6),
+        )
+        .cast("double")
+        .alias("power_share"),
+    )
+
+
+PERIODOGRAM_DAILY_EVENTS_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+), idx AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS d, y
+    FROM daily
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+    FROM idx
+), base AS (
+    SELECT d,
+           CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS yc,
+           n
+    FROM idx CROSS JOIN tot
+), ks AS (SELECT CAST(r.range AS BIGINT) AS k FROM range(1, 15) r),
+terms AS (
+    SELECT k, n,
+           yc * ROUND(COS(6.283185307179586 * CAST(k AS DOUBLE)
+                          * CAST(d AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS ac,
+           yc * ROUND(SIN(6.283185307179586 * CAST(k AS DOUBLE)
+                          * CAST(d AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS bs,
+           yc * yc AS y2
+    FROM base CROSS JOIN ks
+    WHERE k <= n / 2
+), per_k AS (
+    SELECT k, n,
+           CAST(SUM(CAST(ac AS DECIMAL(38,15))) AS DOUBLE) AS a,
+           CAST(SUM(CAST(bs AS DECIMAL(38,15))) AS DOUBLE) AS b,
+           CAST(SUM(CAST(y2 AS DECIMAL(38,15))) AS DOUBLE) AS ss
+    FROM terms GROUP BY k, n
+)
+SELECT k,
+       CAST(ROUND(CAST(n AS DOUBLE) / CAST(k AS DOUBLE), 6) AS DOUBLE)
+           AS period_days,
+       CAST(ROUND((a * a + b * b) * 2.0 / CAST(n AS DOUBLE), 6) AS DOUBLE)
+           AS power,
+       CAST(ROUND(CASE WHEN ss > 0.0
+            THEN (a * a + b * b) * 2.0 / CAST(n AS DOUBLE) / (2.0 * ss)
+            END, 6) AS DOUBLE) AS power_share
+FROM per_k
 """

@@ -465,6 +465,9 @@ _ROUND11_QUEUE: list[str] = [
     "nelson_aalen_hazard_retention",
     "markov_entropy_rate_event_types",
     "lad_regression_price_quantity",
+    "periodogram_daily_events",
+    "theil_atkinson_customer_spend",
+    "partial_corr_purchase_view_daily",
 ]
 
 
@@ -1881,6 +1884,24 @@ register(
     "lad_regression_price_quantity",
     inference_stats.lad_regression_price_quantity,
     inference_stats.LAD_REGRESSION_PRICE_QUANTITY_ORACLE,
+)
+
+register(
+    "periodogram_daily_events",
+    timeseries_checks.periodogram_daily_events,
+    timeseries_checks.PERIODOGRAM_DAILY_EVENTS_ORACLE,
+)
+
+register(
+    "theil_atkinson_customer_spend",
+    inference_stats.theil_atkinson_customer_spend,
+    inference_stats.THEIL_ATKINSON_CUSTOMER_SPEND_ORACLE,
+)
+
+register(
+    "partial_corr_purchase_view_daily",
+    inference_stats.partial_corr_purchase_view_daily,
+    inference_stats.PARTIAL_CORR_PURCHASE_VIEW_DAILY_ORACLE,
 )
 
 register(

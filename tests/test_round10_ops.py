@@ -1113,3 +1113,114 @@ def test_lad_regression_matches_python_and_beats_ols_on_l1(spark):
         ols_l1 = sum(abs(y - round(ob0 + ob1 * x, 9)) for x, y in pts) / n
         assert abs(r["mean_abs_residual"] - lad_l1) < 1e-2
         assert lad_l1 <= ols_l1 + 1e-6
+
+
+def test_periodogram_parseval_and_weekly_peak(spark):
+    """Spectral identities: power non-negative, shares sum to <= 1
+    (Parseval partitions variance over ALL harmonics; we publish 14),
+    and a numpy-FFT mirror agrees on every published harmonic."""
+    from collections import Counter
+
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        periodogram_daily_events,
+    )
+
+    days = Counter(
+        r["d"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(F.to_date("ts").alias("d"))
+        .collect()
+    )
+    ys = np.array([c for _, c in sorted(days.items())], dtype=np.float64)
+    n = len(ys)
+    yc = ys - ys.mean()
+    rows = {r["k"]: r for r in periodogram_daily_events(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(range(1, min(14, n // 2) + 1))
+    ss = float((yc * yc).sum())
+    share_sum = 0.0
+    for k, r in rows.items():
+        ang = 2.0 * np.pi * k * np.arange(n) / n
+        a = float((yc * np.round(np.cos(ang), 9)).sum())
+        b = float((yc * np.round(np.sin(ang), 9)).sum())
+        p = (a * a + b * b) * 2.0 / n
+        assert r["power"] >= 0.0
+        assert abs(r["power"] - p) < 1e-3
+        assert abs(r["period_days"] - n / k) < 1e-6
+        assert abs(r["power_share"] - p / (2.0 * ss)) < 1e-6
+        share_sum += r["power_share"]
+    assert share_sum <= 1.0 + 1e-9
+
+
+def test_theil_atkinson_bounds_and_mirror(spark):
+    """0 <= A1 < 1 and 0 <= T <= ln n; python mirror with the same
+    rounded-ln fold."""
+    import math
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        theil_atkinson_customer_spend,
+    )
+
+    spend = [
+        float(r["x"])
+        for r in spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("x"))
+        .collect()
+    ]
+    n = len(spend)
+    mu = sum(spend) / n
+    theil = sum(x * round(math.log(x), 9) for x in spend) / (n * mu) - round(
+        math.log(mu), 9
+    )
+    atk = 1.0 - math.exp(sum(round(math.log(x), 9) for x in spend) / n) / mu
+    row = theil_atkinson_customer_spend(spark, SF_SMOKE).collect()[0]
+    assert row["n_customers"] == n
+    assert abs(row["theil_t"] - theil) < 1e-4
+    assert abs(row["atkinson_1"] - atk) < 1e-4
+    assert 0.0 <= row["theil_t"] <= math.log(n)
+    assert 0.0 <= row["atkinson_1"] < 1.0
+
+
+def test_partial_corr_matches_direct(spark):
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        partial_corr_purchase_view_daily,
+    )
+
+    cells = defaultdict(lambda: [0, 0, 0])
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(F.to_date("ts").alias("d"), "event_type")
+        .collect()
+    ):
+        c = cells[r["d"]]
+        if r["event_type"] == "purchase":
+            c[0] += 1
+        if r["event_type"] == "view":
+            c[1] += 1
+        c[2] += 1
+    import math
+
+    xs = [c[0] for c in cells.values()]
+    ys = [c[1] for c in cells.values()]
+    zs = [c[2] for c in cells.values()]
+    n = len(xs)
+
+    def corr(a, b):
+        num = n * sum(x * y for x, y in zip(a, b)) - sum(a) * sum(b)
+        da = n * sum(x * x for x in a) - sum(a) ** 2
+        db = n * sum(y * y for y in b) - sum(b) ** 2
+        return num / math.sqrt(da * db)
+
+    rxy, rxz, ryz = corr(xs, ys), corr(xs, zs), corr(ys, zs)
+    part = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    row = partial_corr_purchase_view_daily(spark, SF_SMOKE).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["r_purchase_view"] - rxy) < 1e-5
+    assert abs(row["r_purchase_volume"] - rxz) < 1e-5
+    assert abs(row["r_view_volume"] - ryz) < 1e-5
+    assert abs(row["partial_r_given_volume"] - part) < 1e-5
+    assert -1.0 - 1e-9 <= row["partial_r_given_volume"] <= 1.0 + 1e-9
