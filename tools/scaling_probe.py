@@ -265,6 +265,8 @@ PROBES = [
     # markov_stationary class (|types|-bounded iteration over one lead()
     # pass), and LAD shares the probed huber class (same per-iteration
     # fact-scan fold, minus the percentile passes).
+    # periodogram/theil/partial_corr: calendar- and customer-dimension
+    # bounded grains over single scans — the probed binseg/gini classes.
 ]
 
 KEY_OFFSETS = {

@@ -68,6 +68,7 @@ DOCUMENTED_BOUNDED = {
     "shapley_attribution_events",  # channel-taxonomy bit map (<=C rows)
     "fisher_exact_region_priority_orders",  # block-offset scan over n/65536 blocks
     "poisson_dispersion_daily",  # calendar-bounded daily grain
+    "periodogram_daily_events",  # calendar-bounded daily index + trig grain
 }
 
 
