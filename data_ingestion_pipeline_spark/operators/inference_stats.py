@@ -45,6 +45,7 @@ __all__ = [
     "lad_regression_price_quantity",
     "theil_atkinson_customer_spend",
     "partial_corr_purchase_view_daily",
+    "tost_equivalence_ab_value",
     "WILSON_CI_PURCHASE_RATE_DAILY_ORACLE",
     "ONEWAY_ANOVA_EVENT_VALUES_ORACLE",
     "GINI_LORENZ_CUSTOMER_SPEND_ORACLE",
@@ -66,6 +67,7 @@ __all__ = [
     "LAD_REGRESSION_PRICE_QUANTITY_ORACLE",
     "THEIL_ATKINSON_CUSTOMER_SPEND_ORACLE",
     "PARTIAL_CORR_PURCHASE_VIEW_DAILY_ORACLE",
+    "TOST_EQUIVALENCE_AB_VALUE_ORACLE",
 ]
 
 _Z = 1.96  # 95% two-sided
@@ -3167,4 +3169,129 @@ SELECT n AS n_days,
                  / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) END, 6)
             AS DOUBLE) AS partial_r_given_volume
 FROM rs
+"""
+
+
+def tost_equivalence_ab_value(
+    spark: SparkSession, sf_dir: str, rel_margin: float = 0.05
+) -> DataFrame:
+    """TOST equivalence test (Schuirmann 1987) on per-user mean event
+    value between the md5 arms — the test the A/B tier is missing:
+    `ab_test_session_value`'s Welch t can only FAIL to find a
+    difference; TOST can positively CONCLUDE "the arms are the same to
+    within ±δ" (two one-sided tests against δ = 5% of the pooled mean,
+    both must reject at α=0.05 → z > 1.644854 — the large-sample normal
+    form, justified by user-grain n in the thousands). The readout every
+    do-no-harm launch review actually needs.
+
+    Scale shape: one hash-aggregation to user grain (the jackknife's
+    clustering-correct unit), one bounded moment fold per arm, closed
+    algebra. Exactness: user means are bigint-ratio doubles, moments
+    fold in decimal, z's are fixed expressions rounded at 6; degenerate
+    variance or single-user arms yield NULL identically."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    users = (
+        ev.select(arm.alias("arm"), "user_id", "value")
+        .groupBy("arm", "user_id")
+        .agg(
+            (
+                dec_sum(F.col("value"), 27, 12).cast("double")
+                / F.count("*").cast("double")
+            ).alias("m")
+        )
+    )
+    s = users.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("m"), 38, 15).cast("double").alias("sm"),
+        dec_sum(F.col("m") * F.col("m"), 38, 15).cast("double").alias("smm"),
+    )
+    a = s.filter(F.col("arm") == "A").select(
+        F.col("n").alias("na"), F.col("sm").alias("sma"), F.col("smm").alias("smma")
+    )
+    b = s.filter(F.col("arm") == "B").select(
+        F.col("n").alias("nb"), F.col("sm").alias("smb"), F.col("smm").alias("smmb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    naD = F.col("na").cast("double")
+    nbD = F.col("nb").cast("double")
+    ma = F.col("sma") / naD
+    mb = F.col("smb") / nbD
+    va = (F.col("smma") - F.col("sma") * F.col("sma") / naD) / (naD - F.lit(1.0))
+    vb = (F.col("smmb") - F.col("smb") * F.col("smb") / nbD) / (nbD - F.lit(1.0))
+    se = F.sqrt(va / naD + vb / nbD)
+    delta = mb - ma
+    pooled = (F.col("sma") + F.col("smb")) / (naD + nbD)
+    margin = F.lit(rel_margin) * pooled
+    valid = (F.col("na") > 1) & (F.col("nb") > 1)
+    z_low = F.when(valid & (se > 0), (delta + margin) / se)
+    z_high = F.when(valid & (se > 0), (margin - delta) / se)
+    zc = F.lit(1.644854)
+    return j.select(
+        "na",
+        "nb",
+        F.round(ma, 6).cast("double").alias("mean_a"),
+        F.round(mb, 6).cast("double").alias("mean_b"),
+        F.round(delta, 6).cast("double").alias("delta"),
+        F.round(margin, 6).cast("double").alias("margin"),
+        F.round(z_low, 6).cast("double").alias("z_lower"),
+        F.round(z_high, 6).cast("double").alias("z_upper"),
+        ((F.coalesce(z_low, F.lit(0.0)) > zc)
+         & (F.coalesce(z_high, F.lit(0.0)) > zc)).alias("equivalent"),
+    )
+
+
+TOST_EQUIVALENCE_AB_VALUE_ORACLE = """
+WITH users AS (
+    SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT
+                     % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+           user_id,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS m
+    FROM events GROUP BY 1, 2
+), s AS (
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(m AS DECIMAL(38,15))) AS DOUBLE) AS sm,
+           CAST(SUM(CAST(m * m AS DECIMAL(38,15))) AS DOUBLE) AS smm
+    FROM users GROUP BY arm
+), j AS (
+    SELECT a.n AS na, a.sm AS sma, a.smm AS smma,
+           b.n AS nb, b.sm AS smb, b.smm AS smmb
+    FROM (SELECT * FROM s WHERE arm = 'A') a
+    CROSS JOIN (SELECT * FROM s WHERE arm = 'B') b
+), c AS (
+    SELECT na, nb,
+           sma / CAST(na AS DOUBLE) AS ma,
+           smb / CAST(nb AS DOUBLE) AS mb,
+           smb / CAST(nb AS DOUBLE) - sma / CAST(na AS DOUBLE) AS delta,
+           0.05 * ((sma + smb) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+               AS margin,
+           CASE WHEN na > 1 AND nb > 1 THEN
+               SQRT(((smma - sma * sma / CAST(na AS DOUBLE))
+                     / (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE)
+                    + ((smmb - smb * smb / CAST(nb AS DOUBLE))
+                       / (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE))
+           END AS se
+    FROM j
+)
+SELECT na, nb,
+       CAST(ROUND(ma, 6) AS DOUBLE) AS mean_a,
+       CAST(ROUND(mb, 6) AS DOUBLE) AS mean_b,
+       CAST(ROUND(delta, 6) AS DOUBLE) AS delta,
+       CAST(ROUND(margin, 6) AS DOUBLE) AS margin,
+       CAST(ROUND(CASE WHEN se > 0 THEN (delta + margin) / se END, 6)
+            AS DOUBLE) AS z_lower,
+       CAST(ROUND(CASE WHEN se > 0 THEN (margin - delta) / se END, 6)
+            AS DOUBLE) AS z_upper,
+       COALESCE(CASE WHEN se > 0 THEN (delta + margin) / se END, 0.0)
+           > 1.644854
+       AND COALESCE(CASE WHEN se > 0 THEN (margin - delta) / se END, 0.0)
+           > 1.644854 AS equivalent
+FROM c
 """

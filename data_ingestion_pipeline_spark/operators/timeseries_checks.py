@@ -40,8 +40,12 @@ __all__ = [
     "conformal_forecast_interval_daily",
     "binseg_changepoint_daily",
     "periodogram_daily_events",
+    "jarque_bera_daily_values",
+    "ljung_box_daily_values",
     "BINSEG_CHANGEPOINT_DAILY_ORACLE",
     "PERIODOGRAM_DAILY_EVENTS_ORACLE",
+    "JARQUE_BERA_DAILY_VALUES_ORACLE",
+    "LJUNG_BOX_DAILY_VALUES_ORACLE",
 ]
 
 
@@ -1476,4 +1480,235 @@ SELECT k,
             THEN (a * a + b * b) * 2.0 / CAST(n AS DOUBLE) / (2.0 * ss)
             END, 6) AS DOUBLE) AS power_share
 FROM per_k
+"""
+
+
+def jarque_bera_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test (Jarque & Bera 1980) of the daily mean
+    event value — the distributional-assumption check for every Gaussian
+    tool downstream (Welch/CUPED/mSPRT all lean on CLT normality of
+    daily aggregates): JB = n/6·(S² + K²/4) from the exact central
+    moments, where S is skewness and K excess kurtosis; JB ~ χ²(2)
+    under normality (5% critical 5.991465).
+
+    Scale shape: one aggregation to the calendar-bounded daily grain,
+    one bounded raw-moment fold (Σm, Σm², Σm³, Σm⁴ in decimal), central
+    moments by the fixed binomial-expansion expressions — identical
+    shapes in both engines; n < 4 or zero variance yields NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            dec_sum(F.col("value"), 27, 12).cast("double")
+            / F.count("*").cast("double")
+        ).alias("m")
+    )
+    s = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("m"), 38, 15).cast("double").alias("s1"),
+        dec_sum(F.col("m") * F.col("m"), 38, 15).cast("double").alias("s2"),
+        dec_sum(F.col("m") * F.col("m") * F.col("m"), 38, 15)
+        .cast("double")
+        .alias("s3"),
+        dec_sum(F.col("m") * F.col("m") * F.col("m") * F.col("m"), 38, 15)
+        .cast("double")
+        .alias("s4"),
+    )
+    nD = F.col("n").cast("double")
+    mu = F.col("s1") / nD
+    m2 = F.col("s2") / nD - mu * mu
+    m3 = F.col("s3") / nD - F.lit(3.0) * mu * (F.col("s2") / nD) + F.lit(
+        2.0
+    ) * mu * mu * mu
+    m4 = (
+        F.col("s4") / nD
+        - F.lit(4.0) * mu * (F.col("s3") / nD)
+        + F.lit(6.0) * mu * mu * (F.col("s2") / nD)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    valid = (F.col("n") >= 4) & (m2 > F.lit(0.0))
+    skew = F.when(valid, m3 / F.sqrt(m2 * m2 * m2))
+    kurt = F.when(valid, m4 / (m2 * m2) - F.lit(3.0))
+    jb = F.when(
+        valid, nD / F.lit(6.0) * (skew * skew + kurt * kurt / F.lit(4.0))
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(skew, 6).cast("double").alias("skewness"),
+        F.round(kurt, 6).cast("double").alias("excess_kurtosis"),
+        F.round(jb, 6).cast("double").alias("jarque_bera"),
+        (F.coalesce(jb, F.lit(0.0)) > F.lit(5.991465)).alias("non_normal"),
+    )
+
+
+JARQUE_BERA_DAILY_VALUES_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS m
+    FROM events GROUP BY 1
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(m AS DECIMAL(38,15))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(m * m AS DECIMAL(38,15))) AS DOUBLE) AS s2,
+           CAST(SUM(CAST(m * m * m AS DECIMAL(38,15))) AS DOUBLE) AS s3,
+           CAST(SUM(CAST(m * m * m * m AS DECIMAL(38,15))) AS DOUBLE) AS s4
+    FROM daily
+), c AS (
+    SELECT n,
+           CASE WHEN n >= 4 AND
+                s2 / CAST(n AS DOUBLE)
+                - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) > 0.0
+           THEN (s3 / CAST(n AS DOUBLE)
+                 - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+                 + 2.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                   * (s1 / CAST(n AS DOUBLE)))
+                / SQRT((s2 / CAST(n AS DOUBLE)
+                        - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                       * (s2 / CAST(n AS DOUBLE)
+                          - (s1 / CAST(n AS DOUBLE))
+                            * (s1 / CAST(n AS DOUBLE)))
+                       * (s2 / CAST(n AS DOUBLE)
+                          - (s1 / CAST(n AS DOUBLE))
+                            * (s1 / CAST(n AS DOUBLE))))
+           END AS skew,
+           CASE WHEN n >= 4 AND
+                s2 / CAST(n AS DOUBLE)
+                - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) > 0.0
+           THEN (s4 / CAST(n AS DOUBLE)
+                 - 4.0 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+                 + 6.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                   * (s2 / CAST(n AS DOUBLE))
+                 - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                   * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                / ((s2 / CAST(n AS DOUBLE)
+                    - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                   * (s2 / CAST(n AS DOUBLE)
+                      - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))))
+                - 3.0
+           END AS kurt
+    FROM s
+)
+SELECT n AS n_days,
+       CAST(ROUND(skew, 6) AS DOUBLE) AS skewness,
+       CAST(ROUND(kurt, 6) AS DOUBLE) AS excess_kurtosis,
+       CAST(ROUND(CAST(n AS DOUBLE) / 6.0
+                  * (skew * skew + kurt * kurt / 4.0), 6) AS DOUBLE)
+           AS jarque_bera,
+       COALESCE(CAST(n AS DOUBLE) / 6.0
+                * (skew * skew + kurt * kurt / 4.0), 0.0) > 5.991465
+           AS non_normal
+FROM c
+"""
+
+
+def ljung_box_daily_values(
+    spark: SparkSession, sf_dir: str, max_lag: int = 7
+) -> DataFrame:
+    """Ljung–Box portmanteau test (Ljung & Box 1978) of the daily mean
+    event value to lag 7 — "is this series white noise at all?", the
+    gate question before fitting AR/Holt/seasonal models (the
+    `durbin_watson` sibling generalized past lag 1):
+    Q = n(n+2)·Σ_{k≤7} r_k²/(n−k), χ²(7) under independence (5%
+    critical 14.067140). Autocorrelations use the standard
+    biased-denominator estimator r_k = Σ(yₜ−ȳ)(yₜ₊ₖ−ȳ)/Σ(yₜ−ȳ)².
+
+    Scale shape: one aggregation to the calendar-bounded daily grain,
+    the lag join is a (day × 7)-bounded self-equi-join on the day
+    index, one bounded fold per lag. Exactness: centered products fold
+    in decimal; r_k are fixed double ratios rounded at 9 before
+    squaring (the iterative contract applied at the lag boundary)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            dec_sum(F.col("value"), 27, 12).cast("double")
+            / F.count("*").cast("double")
+        ).alias("m")
+    )
+    wd = Window.orderBy("day")
+    idx = daily.select(
+        F.row_number().over(wd).cast("bigint").alias("i"), "m"
+    ).localCheckpoint(eager=False)  # both sides of the lag join + moments
+    tot = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("m"), 38, 15).cast("double").alias("sm"),
+        dec_sum(F.col("m") * F.col("m"), 38, 15).cast("double").alias("smm"),
+    )
+    ks = spark.range(1, max_lag + 1).select(F.col("id").cast("bigint").alias("k"))
+    lhs = idx.select(F.col("i").alias("ia"), F.col("m").alias("xa"))
+    rhs = idx.select(F.col("i").alias("ib"), F.col("m").alias("xb"))
+    pairs = (
+        lhs.crossJoin(F.broadcast(ks))
+        .join(rhs, F.col("ib") == F.col("ia") + F.col("k"))
+        .crossJoin(F.broadcast(tot))
+    )
+    mu = F.col("sm") / F.col("n").cast("double")
+    num = pairs.groupBy("k", "n", "sm", "smm").agg(
+        F.sum(
+            ((F.col("xa") - mu) * (F.col("xb") - mu)).cast("decimal(38,15)")
+        )
+        .cast("double")
+        .alias("ck")
+    )
+    nD = F.col("n").cast("double")
+    denom = F.col("smm") - F.col("sm") * F.col("sm") / nD
+    rk = F.round(F.col("ck") / denom, 9)
+    terms = num.select(
+        "k", "n", (rk * rk / (nD - F.col("k").cast("double"))).alias("t"), rk.alias("rk")
+    )
+    q = terms.groupBy("n").agg(
+        F.sum(F.col("t").cast("decimal(38,15)")).cast("double").alias("st"),
+        F.max(F.abs(F.col("rk"))).alias("max_abs_r"),
+    )
+    qstat = nD * (nD + F.lit(2.0)) * F.col("st")
+    return q.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("max_abs_r"), 6).cast("double").alias("max_abs_autocorr"),
+        F.round(qstat, 6).cast("double").alias("ljung_box_q"),
+        (qstat > F.lit(14.067140)).alias("autocorrelated"),
+    )
+
+
+LJUNG_BOX_DAILY_VALUES_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS m
+    FROM events GROUP BY 1
+), idx AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i, m
+    FROM daily
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(m AS DECIMAL(38,15))) AS DOUBLE) AS sm,
+           CAST(SUM(CAST(m * m AS DECIMAL(38,15))) AS DOUBLE) AS smm
+    FROM idx
+), ks AS (SELECT CAST(r.range AS BIGINT) AS k FROM range(1, 8) r),
+num AS (
+    SELECT ks.k, tot.n, tot.sm, tot.smm,
+           CAST(SUM(CAST((a.m - tot.sm / CAST(tot.n AS DOUBLE))
+                         * (b.m - tot.sm / CAST(tot.n AS DOUBLE))
+                         AS DECIMAL(38,15))) AS DOUBLE) AS ck
+    FROM idx a
+    CROSS JOIN ks
+    JOIN idx b ON b.i = a.i + ks.k
+    CROSS JOIN tot
+    GROUP BY ks.k, tot.n, tot.sm, tot.smm
+), terms AS (
+    SELECT k, n,
+           ROUND(ck / (smm - sm * sm / CAST(n AS DOUBLE)), 9) AS rk
+    FROM num
+), q AS (
+    SELECT n,
+           CAST(SUM(CAST(rk * rk / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                         AS DECIMAL(38,15))) AS DOUBLE) AS st,
+           MAX(ABS(rk)) AS max_abs_r
+    FROM terms GROUP BY n
+)
+SELECT n AS n_days,
+       CAST(ROUND(max_abs_r, 6) AS DOUBLE) AS max_abs_autocorr,
+       CAST(ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * st, 6)
+            AS DOUBLE) AS ljung_box_q,
+       CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * st > 14.067140
+           AS autocorrelated
+FROM q
 """

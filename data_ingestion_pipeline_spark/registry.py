@@ -468,6 +468,9 @@ _ROUND11_QUEUE: list[str] = [
     "periodogram_daily_events",
     "theil_atkinson_customer_spend",
     "partial_corr_purchase_view_daily",
+    "tost_equivalence_ab_value",
+    "jarque_bera_daily_values",
+    "ljung_box_daily_values",
 ]
 
 
@@ -1902,6 +1905,24 @@ register(
     "partial_corr_purchase_view_daily",
     inference_stats.partial_corr_purchase_view_daily,
     inference_stats.PARTIAL_CORR_PURCHASE_VIEW_DAILY_ORACLE,
+)
+
+register(
+    "tost_equivalence_ab_value",
+    inference_stats.tost_equivalence_ab_value,
+    inference_stats.TOST_EQUIVALENCE_AB_VALUE_ORACLE,
+)
+
+register(
+    "jarque_bera_daily_values",
+    timeseries_checks.jarque_bera_daily_values,
+    timeseries_checks.JARQUE_BERA_DAILY_VALUES_ORACLE,
+)
+
+register(
+    "ljung_box_daily_values",
+    timeseries_checks.ljung_box_daily_values,
+    timeseries_checks.LJUNG_BOX_DAILY_VALUES_ORACLE,
 )
 
 register(

@@ -1224,3 +1224,92 @@ def test_partial_corr_matches_direct(spark):
     assert abs(row["r_view_volume"] - ryz) < 1e-5
     assert abs(row["partial_r_given_volume"] - part) < 1e-5
     assert -1.0 - 1e-9 <= row["partial_r_given_volume"] <= 1.0 + 1e-9
+
+
+def test_tost_equivalence_mirror(spark):
+    """TOST z's recomputed from user-grain means in python; the
+    equivalence verdict must match the two-one-sided rule."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        tost_equivalence_ab_value,
+    )
+
+    per_user = defaultdict(lambda: [0.0, 0])
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "value")
+        .collect()
+    ):
+        u = per_user[r["user_id"]]
+        u[0] += r["value"]
+        u[1] += 1
+    arms = {"A": [], "B": []}
+    for uid, (s, c) in per_user.items():
+        arm = "A" if int(hashlib.md5(str(uid).encode()).hexdigest()[:6], 16) % 2 == 0 else "B"
+        arms[arm].append(s / c)
+    ma = sum(arms["A"]) / len(arms["A"])
+    mb = sum(arms["B"]) / len(arms["B"])
+    va = sum((x - ma) ** 2 for x in arms["A"]) / (len(arms["A"]) - 1)
+    vb = sum((x - mb) ** 2 for x in arms["B"]) / (len(arms["B"]) - 1)
+    se = math.sqrt(va / len(arms["A"]) + vb / len(arms["B"]))
+    delta = mb - ma
+    pooled = (sum(arms["A"]) + sum(arms["B"])) / (len(arms["A"]) + len(arms["B"]))
+    margin = 0.05 * pooled
+    row = tost_equivalence_ab_value(spark, SF_SMOKE).collect()[0]
+    assert row["na"] == len(arms["A"]) and row["nb"] == len(arms["B"])
+    assert abs(row["delta"] - delta) < 1e-4
+    assert abs(row["margin"] - margin) < 1e-4
+    assert abs(row["z_lower"] - (delta + margin) / se) < 1e-3
+    assert abs(row["z_upper"] - (margin - delta) / se) < 1e-3
+    assert row["equivalent"] == (
+        (delta + margin) / se > 1.644854 and (margin - delta) / se > 1.644854
+    )
+
+
+def test_jarque_bera_and_ljung_box_mirror(spark):
+    """JB moments and the LB Q recomputed from the daily means."""
+    import math
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        jarque_bera_daily_values,
+        ljung_box_daily_values,
+    )
+
+    acc = defaultdict(lambda: [0.0, 0])
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(F.to_date("ts").alias("d"), "value")
+        .collect()
+    ):
+        a = acc[r["d"]]
+        a[0] += r["value"]
+        a[1] += 1
+    ys = [s / c for _, (s, c) in sorted(acc.items())]
+    n = len(ys)
+    mu = sum(ys) / n
+    m2 = sum((y - mu) ** 2 for y in ys) / n
+    m3 = sum((y - mu) ** 3 for y in ys) / n
+    m4 = sum((y - mu) ** 4 for y in ys) / n
+    skew = m3 / m2**1.5
+    kurt = m4 / m2**2 - 3.0
+    jb = n / 6.0 * (skew**2 + kurt**2 / 4.0)
+    row = jarque_bera_daily_values(spark, SF_SMOKE).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["skewness"] - skew) < 1e-4
+    assert abs(row["excess_kurtosis"] - kurt) < 1e-4
+    assert abs(row["jarque_bera"] - jb) < 1e-3
+    denom = sum((y - mu) ** 2 for y in ys)
+    st = 0.0
+    for k in range(1, 8):
+        ck = sum((ys[i] - mu) * (ys[i + k] - mu) for i in range(n - k))
+        rk = round(ck / denom, 9)
+        st += rk * rk / (n - k)
+    q = n * (n + 2.0) * st
+    row = ljung_box_daily_values(spark, SF_SMOKE).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["ljung_box_q"] - q) < 1e-3
+    assert row["autocorrelated"] == (q > 14.067140)

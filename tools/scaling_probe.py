@@ -267,6 +267,8 @@ PROBES = [
     # fact-scan fold, minus the percentile passes).
     # periodogram/theil/partial_corr: calendar- and customer-dimension
     # bounded grains over single scans — the probed binseg/gini classes.
+    # tost/jarque_bera/ljung_box: user-grain aggregate (the probed cmh/
+    # jackknife class) and daily-grain folds (the probed binseg class).
 ]
 
 KEY_OFFSETS = {

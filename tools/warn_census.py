@@ -69,6 +69,7 @@ DOCUMENTED_BOUNDED = {
     "fisher_exact_region_priority_orders",  # block-offset scan over n/65536 blocks
     "poisson_dispersion_daily",  # calendar-bounded daily grain
     "periodogram_daily_events",  # calendar-bounded daily index + trig grain
+    "ljung_box_daily_values",  # calendar-bounded daily index (lag join)
 }
 
 
