@@ -42,10 +42,14 @@ __all__ = [
     "periodogram_daily_events",
     "jarque_bera_daily_values",
     "ljung_box_daily_values",
+    "runs_test_daily_values",
+    "newey_west_daily_trend",
     "BINSEG_CHANGEPOINT_DAILY_ORACLE",
     "PERIODOGRAM_DAILY_EVENTS_ORACLE",
     "JARQUE_BERA_DAILY_VALUES_ORACLE",
     "LJUNG_BOX_DAILY_VALUES_ORACLE",
+    "RUNS_TEST_DAILY_VALUES_ORACLE",
+    "NEWEY_WEST_DAILY_TREND_ORACLE",
 ]
 
 
@@ -1712,3 +1716,293 @@ SELECT n AS n_days,
            AS autocorrelated
 FROM q
 """
+
+
+def runs_test_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test (1940) on the signs of day-over-day
+    changes of the daily mean value — the distribution-free randomness
+    check beside Ljung–Box's correlation-based one (LB sees LINEAR
+    dependence; the runs test sees any sign-pattern structure, e.g.
+    momentum or strict alternation): with n₊ ups and n₋ downs in R
+    runs, E[R] = 2n₊n₋/n + 1, V[R] = (E[R]−1)(E[R]−2)/(n−1), and
+    z = (R − E[R])/√V[R] is standard normal under randomness. Zero
+    changes are dropped (the classic convention, stated here and in the
+    oracle).
+
+    Scale shape: one aggregation to the calendar-bounded daily grain,
+    one lag() over it, two bounded folds (the run count is a
+    sign-change sum — never a sequential fold). All counts are exact
+    integers; z is one fixed expression."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            dec_sum(F.col("value"), 27, 12).cast("double")
+            / F.count("*").cast("double")
+        ).alias("m")
+    )
+    wd = Window.orderBy("day")
+    diffs = daily.select(
+        (F.col("m") - F.lag("m").over(wd)).alias("d")
+    ).filter(F.col("d").isNotNull() & (F.col("d") != 0))
+    wo = Window.orderBy(F.monotonically_increasing_id())
+    # signs in day order: re-derive order from a fresh window over the
+    # filtered diffs via a row index on the ORIGINAL day ordering
+    signs = daily.select(
+        "day", (F.col("m") - F.lag("m").over(wd)).alias("d")
+    ).filter(F.col("d").isNotNull() & (F.col("d") != 0)).select(
+        "day", F.signum("d").cast("int").alias("s")
+    )
+    wd2 = Window.orderBy("day")
+    runs = signs.select(
+        "s", (F.col("s") != F.lag("s").over(wd2)).cast("long").alias("chg")
+    )
+    agg = runs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("s") > 0).cast("long")).cast("bigint").alias("n_up"),
+        F.sum((F.col("s") < 0).cast("long")).cast("bigint").alias("n_down"),
+        (F.coalesce(F.sum("chg"), F.lit(0)) + F.lit(1)).cast("bigint").alias("r"),
+    )
+    nD = F.col("n").cast("double")
+    er = (
+        F.lit(2.0)
+        * F.col("n_up").cast("double")
+        * F.col("n_down").cast("double")
+        / nD
+        + F.lit(1.0)
+    )
+    vr = (er - F.lit(1.0)) * (er - F.lit(2.0)) / (nD - F.lit(1.0))
+    valid = (F.col("n") > 1) & (F.col("n_up") > 0) & (F.col("n_down") > 0)
+    z = F.when(valid & (vr > F.lit(0.0)), (F.col("r").cast("double") - er) / F.sqrt(vr))
+    return agg.select(
+        F.col("n").alias("n_changes"),
+        "n_up",
+        "n_down",
+        F.col("r").alias("n_runs"),
+        F.round(er, 6).cast("double").alias("expected_runs"),
+        F.round(z, 6).cast("double").alias("z"),
+        (F.abs(F.coalesce(z, F.lit(0.0))) > F.lit(1.959964)).alias("non_random"),
+    )
+
+
+RUNS_TEST_DAILY_VALUES_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS m
+    FROM events GROUP BY 1
+), diffs AS (
+    SELECT day, m - LAG(m) OVER (ORDER BY day) AS d FROM daily
+), signs AS (
+    SELECT day, CAST(SIGN(d) AS INT) AS s
+    FROM diffs WHERE d IS NOT NULL AND d <> 0
+), runs AS (
+    SELECT s,
+           CASE WHEN s <> LAG(s) OVER (ORDER BY day) THEN 1 ELSE 0 END AS chg
+    FROM signs
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+           CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+           CAST(COALESCE(SUM(chg), 0) + 1 AS BIGINT) AS r
+    FROM runs
+), c AS (
+    SELECT n, n_up, n_down, r,
+           2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+             / CAST(n AS DOUBLE) + 1.0 AS er
+    FROM agg
+)
+SELECT n AS n_changes, n_up, n_down, r AS n_runs,
+       CAST(ROUND(er, 6) AS DOUBLE) AS expected_runs,
+       CAST(ROUND(CASE WHEN n > 1 AND n_up > 0 AND n_down > 0
+                 AND (er - 1.0) * (er - 2.0) / (CAST(n AS DOUBLE) - 1.0) > 0.0
+            THEN (CAST(r AS DOUBLE) - er)
+                 / SQRT((er - 1.0) * (er - 2.0) / (CAST(n AS DOUBLE) - 1.0))
+            END, 6) AS DOUBLE) AS z,
+       ABS(COALESCE(CASE WHEN n > 1 AND n_up > 0 AND n_down > 0
+                 AND (er - 1.0) * (er - 2.0) / (CAST(n AS DOUBLE) - 1.0) > 0.0
+            THEN (CAST(r AS DOUBLE) - er)
+                 / SQRT((er - 1.0) * (er - 2.0) / (CAST(n AS DOUBLE) - 1.0))
+            END, 0.0)) > 1.959964 AS non_random
+FROM c
+"""
+
+
+def newey_west_daily_trend(
+    spark: SparkSession, sf_dir: str, max_lag: int = 7
+) -> DataFrame:
+    """Newey–West HAC standard error (1987, Bartlett kernel to lag 7)
+    for the OLS slope of the daily mean value on the day index — the
+    autocorrelation-robust inference the plain OLS se gets WRONG exactly
+    when ``durbin_watson``/``ljung_box`` fire: the long-run variance of
+    the moment series g_t = x'_t·e_t replaces the iid one, so the
+    published t-statistic stays honest under serially-correlated
+    residuals. S = γ₀ + 2Σ_k w_k γ_k with w_k = 1 − k/(L+1);
+    se(β₁) = √(n·S)/Σx'², the standard scalar-regressor HAC form.
+
+    Scale shape: one aggregation to the calendar-bounded daily grain;
+    residuals from the closed-form OLS fit; the lag autocovariances of
+    g_t are a (day × 7)-bounded self-join (the ljung_box shape). All
+    folds decimal; residuals and γ_k round at 9 (the iterative-contract
+    boundary)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            dec_sum(F.col("value"), 27, 12).cast("double")
+            / F.count("*").cast("double")
+        ).alias("y")
+    )
+    wd = Window.orderBy("day")
+    idx = daily.select(
+        F.row_number().over(wd).cast("bigint").alias("i"), "y"
+    )
+    tot = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("i").cast("double"), 38, 6).cast("double").alias("si"),
+        dec_sum(F.col("y"), 38, 15).cast("double").alias("sy"),
+        dec_sum(F.col("i").cast("double") * F.col("y"), 38, 15)
+        .cast("double")
+        .alias("siy"),
+        dec_sum(F.col("i").cast("double") * F.col("i").cast("double"), 38, 6)
+        .cast("double")
+        .alias("sii"),
+    )
+    nD = F.col("n").cast("double")
+    det = nD * F.col("sii") - F.col("si") * F.col("si")
+    b1 = F.round((nD * F.col("siy") - F.col("si") * F.col("sy")) / det, 9)
+    fit = tot.select(
+        "n",
+        "si",
+        "sii",
+        b1.alias("b1"),
+        F.round((F.col("sy") - b1 * F.col("si")) / nD, 9).alias("b0"),
+    )
+    g = (
+        idx.crossJoin(F.broadcast(fit))
+        .select(
+            "i",
+            "n",
+            "si",
+            "sii",
+            "b1",
+            (
+                (
+                    F.col("i").cast("double")
+                    - F.col("si") / F.col("n").cast("double")
+                )
+                * F.round(
+                    F.col("y")
+                    - (F.col("b0") + F.col("b1") * F.col("i").cast("double")),
+                    9,
+                )
+            ).alias("g"),
+        )
+        .localCheckpoint(eager=False)  # gamma_0 fold + 7-lag self-join
+    )
+    g0 = g.groupBy("n", "si", "sii", "b1").agg(
+        F.sum((F.col("g") * F.col("g")).cast("decimal(38,15)"))
+        .cast("double")
+        .alias("c0")
+    )
+    ks = spark.range(1, max_lag + 1).select(F.col("id").cast("bigint").alias("k"))
+    lag_j = (
+        g.select(F.col("i").alias("ia"), F.col("g").alias("ga"))
+        .crossJoin(F.broadcast(ks))
+        .join(
+            g.select(F.col("i").alias("ib"), F.col("g").alias("gb")),
+            F.col("ib") == F.col("ia") + F.col("k"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("ga") * F.col("gb")).cast("decimal(38,15)"))
+            .cast("double")
+            .alias("ck")
+        )
+    )
+    wk = F.lit(1.0) - F.col("k").cast("double") / F.lit(float(max_lag + 1))
+    ssum = lag_j.agg(
+        F.sum((F.lit(2.0) * wk * F.col("ck")).cast("decimal(38,15)"))
+        .cast("double")
+        .alias("ctail")
+    )
+    j = g0.crossJoin(F.broadcast(ssum))
+    nD2 = F.col("n").cast("double")
+    sxx = F.col("sii") - F.col("si") * F.col("si") / nD2
+    s_lr = (F.col("c0") + F.coalesce(F.col("ctail"), F.lit(0.0))) / nD2
+    se = F.when(sxx > F.lit(0.0), F.sqrt(nD2 * s_lr) / sxx)
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("b1"), 6).cast("double").alias("slope_per_day"),
+        F.round(se, 6).cast("double").alias("hac_se"),
+        F.round(F.col("b1") / se, 6).cast("double").alias("t_hac"),
+    )
+
+
+def _newey_west_oracle(max_lag: int = 7) -> str:
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS y
+    FROM events GROUP BY 1
+), idx AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i, y
+    FROM daily
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(i AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+               AS si,
+           CAST(SUM(CAST(y AS DECIMAL(38,15))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(CAST(i AS DOUBLE) * y AS DECIMAL(38,15)))
+                AS DOUBLE) AS siy,
+           CAST(SUM(CAST(CAST(i AS DOUBLE) * CAST(i AS DOUBLE)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sii
+    FROM idx
+), fit AS (
+    SELECT n, si, sii, b1,
+           ROUND((sy - b1 * si) / CAST(n AS DOUBLE), 9) AS b0
+    FROM (
+        SELECT *,
+               ROUND((CAST(n AS DOUBLE) * siy - si * sy)
+                     / (CAST(n AS DOUBLE) * sii - si * si), 9) AS b1
+        FROM tot
+    )
+), g AS MATERIALIZED (
+    SELECT i, n, si, sii, b1,
+           (CAST(i AS DOUBLE) - si / CAST(n AS DOUBLE))
+             * ROUND(y - (b0 + b1 * CAST(i AS DOUBLE)), 9) AS g
+    FROM idx CROSS JOIN fit
+), g0 AS (
+    SELECT n, si, sii, b1,
+           CAST(SUM(CAST(g * g AS DECIMAL(38,15))) AS DOUBLE) AS c0
+    FROM g GROUP BY n, si, sii, b1
+), ks AS (SELECT CAST(r.range AS BIGINT) AS k FROM range(1, {max_lag + 1}) r),
+lags AS (
+    SELECT ks.k,
+           CAST(SUM(CAST(a.g * b.g AS DECIMAL(38,15))) AS DOUBLE) AS ck
+    FROM g a CROSS JOIN ks JOIN g b ON b.i = a.i + ks.k
+    GROUP BY ks.k
+), stail AS (
+    SELECT CAST(SUM(CAST(2.0 * (1.0 - CAST(k AS DOUBLE) / {float(max_lag + 1)})
+                         * ck AS DECIMAL(38,15))) AS DOUBLE) AS ctail
+    FROM lags
+)
+SELECT g0.n AS n_days,
+       CAST(ROUND(g0.b1, 6) AS DOUBLE) AS slope_per_day,
+       CAST(ROUND(CASE WHEN g0.sii - g0.si * g0.si / CAST(g0.n AS DOUBLE) > 0.0
+            THEN SQRT(CAST(g0.n AS DOUBLE)
+                      * ((g0.c0 + COALESCE(s.ctail, 0.0))
+                         / CAST(g0.n AS DOUBLE)))
+                 / (g0.sii - g0.si * g0.si / CAST(g0.n AS DOUBLE)) END, 6)
+            AS DOUBLE) AS hac_se,
+       CAST(ROUND(g0.b1 / (CASE WHEN g0.sii - g0.si * g0.si
+                                     / CAST(g0.n AS DOUBLE) > 0.0
+            THEN SQRT(CAST(g0.n AS DOUBLE)
+                      * ((g0.c0 + COALESCE(s.ctail, 0.0))
+                         / CAST(g0.n AS DOUBLE)))
+                 / (g0.sii - g0.si * g0.si / CAST(g0.n AS DOUBLE)) END), 6)
+            AS DOUBLE) AS t_hac
+FROM g0 CROSS JOIN stail s
+"""
+
+
+NEWEY_WEST_DAILY_TREND_ORACLE = _newey_west_oracle()

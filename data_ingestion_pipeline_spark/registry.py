@@ -471,6 +471,8 @@ _ROUND11_QUEUE: list[str] = [
     "tost_equivalence_ab_value",
     "jarque_bera_daily_values",
     "ljung_box_daily_values",
+    "runs_test_daily_values",
+    "newey_west_daily_trend",
 ]
 
 
@@ -1923,6 +1925,18 @@ register(
     "ljung_box_daily_values",
     timeseries_checks.ljung_box_daily_values,
     timeseries_checks.LJUNG_BOX_DAILY_VALUES_ORACLE,
+)
+
+register(
+    "runs_test_daily_values",
+    timeseries_checks.runs_test_daily_values,
+    timeseries_checks.RUNS_TEST_DAILY_VALUES_ORACLE,
+)
+
+register(
+    "newey_west_daily_trend",
+    timeseries_checks.newey_west_daily_trend,
+    timeseries_checks.NEWEY_WEST_DAILY_TREND_ORACLE,
 )
 
 register(

@@ -1313,3 +1313,81 @@ def test_jarque_bera_and_ljung_box_mirror(spark):
     assert row["n_days"] == n
     assert abs(row["ljung_box_q"] - q) < 1e-3
     assert row["autocorrelated"] == (q > 14.067140)
+
+
+def test_runs_test_mirror(spark):
+    """Run count, up/down split, and z recomputed from the daily means."""
+    import math
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        runs_test_daily_values,
+    )
+
+    acc = defaultdict(lambda: [0.0, 0])
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(F.to_date("ts").alias("d"), "value")
+        .collect()
+    ):
+        a = acc[r["d"]]
+        a[0] += r["value"]
+        a[1] += 1
+    ys = [s / c for _, (s, c) in sorted(acc.items())]
+    signs = [1 if b > a else -1 for a, b in zip(ys, ys[1:]) if b != a]
+    n, n_up = len(signs), sum(1 for s in signs if s > 0)
+    n_down = n - n_up
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    er = 2.0 * n_up * n_down / n + 1.0
+    vr = (er - 1.0) * (er - 2.0) / (n - 1.0)
+    row = runs_test_daily_values(spark, SF_SMOKE).collect()[0]
+    assert (row["n_changes"], row["n_up"], row["n_down"], row["n_runs"]) == (
+        n, n_up, n_down, runs,
+    )
+    assert abs(row["expected_runs"] - er) < 1e-6
+    if vr > 0 and n_up and n_down:
+        assert abs(row["z"] - (runs - er) / math.sqrt(vr)) < 1e-5
+
+
+def test_newey_west_reduces_to_ols_shape(spark):
+    """HAC slope equals the closed-form OLS slope; the HAC se recomputed
+    in python; t = slope/se identity holds."""
+    import math
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        newey_west_daily_trend,
+    )
+
+    acc = defaultdict(lambda: [0.0, 0])
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(F.to_date("ts").alias("d"), "value")
+        .collect()
+    ):
+        a = acc[r["d"]]
+        a[0] += r["value"]
+        a[1] += 1
+    ys = [s / c for _, (s, c) in sorted(acc.items())]
+    n = len(ys)
+    xs = list(range(1, n + 1))
+    sx, sy2 = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    b1 = round((n * sxy - sx * sy2) / (n * sxx - sx * sx), 9)
+    b0 = round((sy2 - b1 * sx) / n, 9)
+    xbar = sx / n
+    gs = [(x - xbar) * round(y - (b0 + b1 * x), 9) for x, y in zip(xs, ys)]
+    c0 = sum(g * g for g in gs)
+    ctail = 0.0
+    for k in range(1, 8):
+        ck = sum(gs[i] * gs[i + k] for i in range(n - k))
+        ctail += 2.0 * (1.0 - k / 8.0) * ck
+    s_lr = (c0 + ctail) / n
+    sxx_c = sxx - sx * sx / n
+    se = math.sqrt(n * s_lr) / sxx_c
+    row = newey_west_daily_trend(spark, SF_SMOKE).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["slope_per_day"] - b1) < 1e-5
+    assert abs(row["hac_se"] - se) < 1e-4
+    assert abs(row["t_hac"] - b1 / se) < 1e-3

@@ -70,6 +70,8 @@ DOCUMENTED_BOUNDED = {
     "poisson_dispersion_daily",  # calendar-bounded daily grain
     "periodogram_daily_events",  # calendar-bounded daily index + trig grain
     "ljung_box_daily_values",  # calendar-bounded daily index (lag join)
+    "runs_test_daily_values",  # calendar-bounded daily lag/sign windows
+    "newey_west_daily_trend",  # calendar-bounded daily index + lag join
 }
 
 
