@@ -7279,3 +7279,204 @@ FROM hr CROSS JOIN h0
 
 
 MARKOV_ENTROPY_RATE_EVENT_TYPES_ORACLE = _markov_entropy_oracle()
+
+
+def hhi_brand_concentration_by_category(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of brand revenue within
+    each part category (the antitrust-standard market-concentration
+    measure; Hirschman 1945, Herfindahl 1950): HHI = Σ sᵢ² over brand
+    revenue shares sᵢ in percent — 10000 = monopoly; the DOJ bands
+    (<1500 unconcentrated, 1500–2500 moderate, >2500 high) are published
+    as the verdict column. The market-structure view of the same
+    revenue cube `revenue_rollup_brand_size` aggregates.
+
+    Scale shape: one fact join to the broadcast part dim, one
+    hash-aggregation to (category, brand), shares against a category
+    window over that bounded relation, one bounded fold. Revenue sums
+    in exact decimal; shares and HHI are fixed double expressions."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand",
+        F.split(F.col("p_type"), " ").getItem(0).alias("category"),
+    )
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("category", "p_brand")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                ).cast("decimal(27,6)")
+            ).alias("rev")
+        )
+    )
+    wcat = Window.partitionBy("category")
+    share = rev.select(
+        "category",
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(wcat).cast("double")
+            * F.lit(100.0)
+        ).alias("s"),
+    )
+    hhi = share.groupBy("category").agg(
+        F.count("*").cast("bigint").alias("n_brands"),
+        F.round(
+            F.sum((F.col("s") * F.col("s")).cast("decimal(38,12)")).cast(
+                "double"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("hhi"),
+    )
+    return hhi.select(
+        "category",
+        "n_brands",
+        "hhi",
+        F.when(F.col("hhi") < 1500, F.lit("unconcentrated"))
+        .when(F.col("hhi") <= 2500, F.lit("moderate"))
+        .otherwise(F.lit("high"))
+        .alias("doj_band"),
+    )
+
+
+HHI_BRAND_CONCENTRATION_BY_CATEGORY_ORACLE = """
+WITH rev AS (
+    SELECT split_part(p.p_type, ' ', 1) AS category, p.p_brand,
+           SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                    AS DECIMAL(27,6))) AS rev
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+), share AS (
+    SELECT category,
+           CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY category) AS DOUBLE)
+             * 100.0 AS s
+    FROM rev
+), hhi AS (
+    SELECT category, CAST(COUNT(*) AS BIGINT) AS n_brands,
+           CAST(ROUND(CAST(SUM(CAST(s * s AS DECIMAL(38,12))) AS DOUBLE), 6)
+                AS DOUBLE) AS hhi
+    FROM share GROUP BY category
+)
+SELECT category, n_brands, hhi,
+       CASE WHEN hhi < 1500 THEN 'unconcentrated'
+            WHEN hhi <= 2500 THEN 'moderate'
+            ELSE 'high' END AS doj_band
+FROM hhi
+"""
+
+
+def bowker_symmetry_event_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bowker's symmetry test (1948; McNemar's k×k generalization) on
+    the per-user event-type transition matrix — "is traffic between
+    every pair of states balanced, or does the journey have a
+    direction?": χ² = Σ_{i<j} (n_ij − n_ji)²/(n_ij + n_ji) with
+    df = #pairs where n_ij + n_ji > 0. A funnel-shaped product (views
+    flow to purchases but not back) rejects loudly; the pair detail
+    rides along as the worst-asymmetry row.
+
+    Scale shape: the one lead() bigram pass the Markov tier shares,
+    then everything on the |types|²-bounded transition relation
+    (self-joined once on the flipped pair). Counts are exact bigints;
+    χ² folds in decimal."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy("event_type", "next_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    a = trans.filter(F.col("event_type") < F.col("next_type")).select(
+        F.col("event_type").alias("i"), F.col("next_type").alias("j"),
+        F.col("n").alias("n_ij"),
+    )
+    b = trans.filter(F.col("event_type") > F.col("next_type")).select(
+        F.col("next_type").alias("i"), F.col("event_type").alias("j"),
+        F.col("n").alias("n_ji"),
+    )
+    pairs = a.join(b, ["i", "j"], "full").select(
+        "i",
+        "j",
+        F.coalesce(F.col("n_ij"), F.lit(0)).cast("bigint").alias("n_ij"),
+        F.coalesce(F.col("n_ji"), F.lit(0)).cast("bigint").alias("n_ji"),
+    )
+    term = F.when(
+        (F.col("n_ij") + F.col("n_ji")) > 0,
+        F.pow(
+            F.col("n_ij").cast("double") - F.col("n_ji").cast("double"), 2
+        )
+        / (F.col("n_ij") + F.col("n_ji")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    s = pairs.agg(
+        F.sum(((F.col("n_ij") + F.col("n_ji")) > 0).cast("long"))
+        .cast("bigint")
+        .alias("df"),
+        F.round(
+            F.sum(term.cast("decimal(38,12)")).cast("double"), 6
+        )
+        .cast("double")
+        .alias("chi2"),
+        F.max(
+            F.struct(
+                F.abs(F.col("n_ij") - F.col("n_ji")).alias("gap"),
+                F.col("i"),
+                F.col("j"),
+            )
+        ).alias("worst"),
+    )
+    return s.select(
+        "df",
+        "chi2",
+        F.col("worst.i").alias("worst_pair_from"),
+        F.col("worst.j").alias("worst_pair_to"),
+        F.col("worst.gap").cast("bigint").alias("worst_pair_gap"),
+    )
+
+
+BOWKER_SYMMETRY_EVENT_TRANSITIONS_ORACLE = """
+WITH seq AS (
+    SELECT event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+), trans AS (
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+), pairs AS (
+    SELECT COALESCE(a.i, b.i) AS i, COALESCE(a.j, b.j) AS j,
+           CAST(COALESCE(a.n_ij, 0) AS BIGINT) AS n_ij,
+           CAST(COALESCE(b.n_ji, 0) AS BIGINT) AS n_ji
+    FROM (SELECT event_type AS i, next_type AS j, n AS n_ij
+          FROM trans WHERE event_type < next_type) a
+    FULL OUTER JOIN
+         (SELECT next_type AS i, event_type AS j, n AS n_ji
+          FROM trans WHERE event_type > next_type) b
+      ON a.i = b.i AND a.j = b.j
+), s AS (
+    SELECT CAST(SUM(CASE WHEN n_ij + n_ji > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df,
+           CAST(ROUND(CAST(SUM(CAST(
+               CASE WHEN n_ij + n_ji > 0
+                    THEN POWER(CAST(n_ij AS DOUBLE) - CAST(n_ji AS DOUBLE), 2)
+                         / CAST(n_ij + n_ji AS DOUBLE)
+                    ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE), 6)
+               AS DOUBLE) AS chi2,
+           MAX(struct_pack(gap := ABS(n_ij - n_ji), i := i, j := j)) AS worst
+    FROM pairs
+)
+SELECT df, chi2,
+       worst.i AS worst_pair_from,
+       worst.j AS worst_pair_to,
+       CAST(worst.gap AS BIGINT) AS worst_pair_gap
+FROM s
+"""

@@ -473,6 +473,8 @@ _ROUND11_QUEUE: list[str] = [
     "ljung_box_daily_values",
     "runs_test_daily_values",
     "newey_west_daily_trend",
+    "hhi_brand_concentration_by_category",
+    "bowker_symmetry_event_transitions",
 ]
 
 
@@ -1937,6 +1939,18 @@ register(
     "newey_west_daily_trend",
     timeseries_checks.newey_west_daily_trend,
     timeseries_checks.NEWEY_WEST_DAILY_TREND_ORACLE,
+)
+
+register(
+    "hhi_brand_concentration_by_category",
+    analytics_checks.hhi_brand_concentration_by_category,
+    analytics_checks.HHI_BRAND_CONCENTRATION_BY_CATEGORY_ORACLE,
+)
+
+register(
+    "bowker_symmetry_event_transitions",
+    analytics_checks.bowker_symmetry_event_transitions,
+    analytics_checks.BOWKER_SYMMETRY_EVENT_TRANSITIONS_ORACLE,
 )
 
 register(

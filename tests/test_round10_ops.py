@@ -1391,3 +1391,76 @@ def test_newey_west_reduces_to_ols_shape(spark):
     assert abs(row["slope_per_day"] - b1) < 1e-5
     assert abs(row["hac_se"] - se) < 1e-4
     assert abs(row["t_hac"] - b1 / se) < 1e-3
+
+
+def test_hhi_identities(spark):
+    """Per-category shares sum to 100, HHI in (10000/n_brands, 10000],
+    and a direct recount agrees."""
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        hhi_brand_concentration_by_category,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    pt = spark.read.parquet(f"{SF_SMOKE}/part.parquet").select(
+        "p_partkey", "p_brand", F.split("p_type", " ").getItem(0).alias("cat")
+    )
+    rows = li.join(pt, li.l_partkey == pt.p_partkey).collect()
+    rev = defaultdict(float)
+    for r in rows:
+        rev[(r["cat"], r["p_brand"])] += float(r["l_extendedprice"]) * (
+            1.0 - float(r["l_discount"])
+        )
+    cats = defaultdict(dict)
+    for (c, b), v in rev.items():
+        cats[c][b] = v
+    out = {r["category"]: r for r in hhi_brand_concentration_by_category(spark, SF_SMOKE).collect()}
+    assert set(out) == set(cats)
+    for c, brands in cats.items():
+        tot = sum(brands.values())
+        hhi = sum((v / tot * 100.0) ** 2 for v in brands.values())
+        r = out[c]
+        assert r["n_brands"] == len(brands)
+        assert abs(r["hhi"] - hhi) < 0.1
+        assert 10000.0 / len(brands) - 1e-6 <= r["hhi"] <= 10000.0 + 1e-6
+        assert r["doj_band"] in ("unconcentrated", "moderate", "high")
+
+
+def test_bowker_symmetry_mirror(spark):
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        bowker_symmetry_event_transitions,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "event_id", "event_type", "ts")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    trans = defaultdict(int)
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for a, b in zip(evs, evs[1:]):
+            trans[(a["event_type"], b["event_type"])] += 1
+    pairs = {}
+    for (i, j), n in trans.items():
+        if i < j:
+            pairs.setdefault((i, j), [0, 0])[0] = n
+        elif i > j:
+            pairs.setdefault((j, i), [0, 0])[1] = n
+    chi2 = sum(
+        (nij - nji) ** 2 / (nij + nji) for nij, nji in pairs.values() if nij + nji
+    )
+    df = sum(1 for nij, nji in pairs.values() if nij + nji)
+    row = bowker_symmetry_event_transitions(spark, SF_SMOKE).collect()[0]
+    assert row["df"] == df
+    assert abs(row["chi2"] - chi2) < 1e-4
+    worst_gap = max(abs(nij - nji) for nij, nji in pairs.values())
+    assert row["worst_pair_gap"] == worst_gap
