@@ -477,10 +477,45 @@ _ROUND11_QUEUE: list[str] = [
     "bowker_symmetry_event_transitions",
 ]
 
+# ---- Round-11 rotation (round-10 verdict ask #1) ----
+# CORRECTNESS_r10 landed 50/50 green over the round-10 front, so that tier
+# retires. The round-11 budget, in priority order:
+#   slots 0-34  — the 35 round-10 additions with NO driver row at all
+#                 (`_ROUND11_QUEUE` verbatim: the stats/experimentation/
+#                 survival/graph continuation tier plus both keyed-partial
+#                 MERGE pins, the leakage-safe split and the IVF-PQ
+#                 composition replay);
+#   slots 35-49 — the 15 oldest-stale names per the freshness policy
+#                 (all r04-vintage rows: tokens/TF-IDF/curation/chunking,
+#                 the HLL merge, the three ANN recall gates, star-contract
+#                 near-dup clusters, Bloom decontamination and the
+#                 stream-stream interval left join).
+_ROUND11_FRONT: list[str] = _ROUND11_QUEUE + [
+    "doc_tokens_exploded",
+    "tfidf_top_terms",
+    "curation_pipeline_documents",
+    "chunk_documents",
+    "hll_merge_users_weekly",
+    "ann_lsh_recall_embeddings",
+    "ann_ivf_recall_embeddings",
+    "ann_pq_recall_embeddings",
+    "near_dup_clusters_star_documents",
+    "bloom_decontaminate_documents",
+    "streaming_interval_left_join_events",
+    "build_vocab_documents",
+    "shard_shuffle_documents",
+    "parameterized_brand_filter",
+    "pandas_udaf_price_by_priority",
+]
+
+# Round-11 additions land here (never driver-checked — freshness policy
+# puts no-evidence names ahead of stale-green when round 12 rotates).
+_ROUND12_QUEUE: list[str] = []
+
 
 def _ordered_names() -> list[str]:
-    front = [n for n in _ROUND10_FRONT if n in _REGISTRY]
-    queue = [n for n in _ROUND11_QUEUE if n in _REGISTRY and n not in front]
+    front = [n for n in _ROUND11_FRONT if n in _REGISTRY]
+    queue = [n for n in _ROUND12_QUEUE if n in _REGISTRY and n not in front]
     seen = set(front) | set(queue)
     # remainder: every name holds a driver row green at its latest check;
     # within it the ordering is registration order (stable across rounds)

@@ -8,7 +8,9 @@ with one override: names that have NO driver row at all (new additions)
 outrank stale-green names. Round 10's front is the 19 round-9 additions
 (never checked) + the merged Mann-Kendall query (schema changed this
 round) + the two r8/r9 oracle promotions whose latest rows are r03
-rows-only records, followed by the 28 oldest-stale names.
+rows-only records, followed by the 28 oldest-stale names. Round 11's
+front is the 35 round-10 additions (never checked, `_ROUND11_QUEUE`
+verbatim) followed by the 15 oldest-stale names (all r04 vintage).
 """
 
 import json
@@ -21,13 +23,10 @@ _ENV_GATED = {"stateful_event_type_counts_events"}  # registers only with protob
 _REPO = pathlib.Path(__file__).resolve().parent.parent
 
 # Front names exempt from the "already holds an old driver row" freshness
-# rule, each with its justification:
-#   - the 19 round-9 additions in slots 0-18 have never been checked;
-#   - mann_kendall_daily_trend holds an r06 row but its SCHEMA changed in
-#     round 10 (the duplicate-MK merge added n_pairs), so that row no
-#     longer describes the query.
-_ROUND10_NEVER_CHECKED = set(registry._ROUND10_FRONT[:19])
-_SCHEMA_CHANGED = {"mann_kendall_daily_trend"}
+# rule, each with its justification: the 35 round-10 additions in slots
+# 0-34 (`_ROUND11_QUEUE` verbatim) have never been driver-checked.
+_ROUND11_NEVER_CHECKED = set(registry._ROUND11_FRONT[:35])
+_SCHEMA_CHANGED: set[str] = set()
 
 # Retired from the registry in round 10 (round-9 verdict ask #4 / #2):
 # rows-only queries whose evidence is carried by oracle-green siblings,
@@ -43,12 +42,12 @@ _RETIRED = {
 
 def _latest_green_round() -> dict[str, int]:
     """name -> round of its latest driver row (hash-green, rows-green, or
-    the documented rows-only no_oracle record). Pinned to r01-r09: the
-    driver writes CORRECTNESS_r10.json at round end and the judge runs
+    the documented rows-only no_oracle record). Pinned to r01-r10: the
+    driver writes CORRECTNESS_r11.json at round end and the judge runs
     pytest after — a bare glob would flip these tests red the moment the
     budget lands. The pin advances with each round's rotation."""
     latest: dict[str, int] = {}
-    for i in range(1, 10):
+    for i in range(1, 11):
         p = _REPO / f"CORRECTNESS_r{i:02d}.json"
         if not p.exists():
             continue
@@ -65,9 +64,9 @@ def _latest_green_round() -> dict[str, int]:
 
 def test_priority_lists_cover_registry_names():
     names = set(registry._REGISTRY)
-    for n in registry._ROUND10_FRONT + registry._ROUND11_QUEUE:
+    for n in registry._ROUND11_FRONT + registry._ROUND12_QUEUE:
         assert n in names or n in _ENV_GATED, f"priority list names unknown query {n!r}"
-    combined = registry._ROUND10_FRONT + registry._ROUND11_QUEUE
+    combined = registry._ROUND11_FRONT + registry._ROUND12_QUEUE
     assert len(combined) == len(set(combined)), "duplicate priority entries"
 
 
@@ -77,26 +76,25 @@ def test_retired_names_stay_out_of_the_registry():
 
 
 def test_export_order_spends_driver_budget_on_stale_evidence():
-    """Round-10 rotation contract: the front of queries() is exactly
-    _ROUND10_FRONT (= 50 so the whole tier lands inside the driver
-    budget), followed by the round-11 queue, then the retired remainder."""
+    """Round-11 rotation contract: the front of queries() is exactly
+    _ROUND11_FRONT (= 50 so the whole tier lands inside the driver
+    budget), followed by the round-12 queue, then the retired remainder."""
     ordered = list(registry.queries())
     assert set(ordered) == set(registry._REGISTRY)
-    front = [n for n in registry._ROUND10_FRONT if n in registry._REGISTRY]
+    front = [n for n in registry._ROUND11_FRONT if n in registry._REGISTRY]
     assert ordered[: len(front)] == front
     assert len(front) <= 50, "front tier overflows the 50-slot driver budget"
-    assert front[0] == "tpch_q2_shaped_min_cost_supplier"
+    assert front[0] == "ann_ivfpq_sample_adc_topk_embeddings"
 
 
 def test_front_tier_holds_only_stale_or_new_evidence():
     """The freshness inversion, pinned: every budget slot is spent on a
-    query that either has NO driver row yet (round-9 addition), changed
-    schema this round (the MK merge), or whose latest row predates the
-    r5-r9 refactor waves (round <= 4) — no slot re-verifies fresh
-    evidence."""
+    query that either has NO driver row yet (round-10 addition), changed
+    schema this round, or whose latest row predates the r5-r10 refactor
+    waves (round <= 4) — no slot re-verifies fresh evidence."""
     latest = _latest_green_round()
-    for n in registry._ROUND10_FRONT:
-        if n in _ROUND10_NEVER_CHECKED:
+    for n in registry._ROUND11_FRONT:
+        if n in _ROUND11_NEVER_CHECKED:
             assert n not in latest, f"{n!r} claims never-checked but has a row"
             continue
         if n in _SCHEMA_CHANGED:
@@ -111,7 +109,7 @@ def test_front_tier_holds_only_stale_or_new_evidence():
 def test_env_gated_queries_stay_out_of_the_budget():
     # a query that cannot register in this sandbox must not be granted a
     # front-tier slot the driver would report as absent
-    for n in registry._ROUND10_FRONT + registry._ROUND11_QUEUE:
+    for n in registry._ROUND11_FRONT + registry._ROUND12_QUEUE:
         assert n not in _ENV_GATED
 
 
