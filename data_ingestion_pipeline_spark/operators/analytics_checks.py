@@ -6724,10 +6724,13 @@ def shapley_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # ≤C rows; feeds masks, lattice, pairs
     )
     n_ch = ch.count()  # bounded collect: the channel taxonomy size
-    assert n_ch <= 12, (
-        f"shapley lattice needs <=12 channels, got {n_ch} — the 2^C "
-        "coalition enumeration is exact attribution, not a corpus scan"
-    )
+    if n_ch > 12:
+        # ValueError, not assert: the 2^C lattice bound must survive
+        # `python -O` (asserts are stripped under optimized bytecode)
+        raise ValueError(
+            f"shapley lattice needs <=12 channels, got {n_ch} — the 2^C "
+            "coalition enumeration is exact attribution, not a corpus scan"
+        )
     pre = (
         seq.filter(F.col("event_type") != "purchase")
         .join(fp, "user_id")

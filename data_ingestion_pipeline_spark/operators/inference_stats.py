@@ -1797,7 +1797,7 @@ def cmh_test_arm_purchase_by_cohort(
 ) -> DataFrame:
     """Cochran–Mantel–Haenszel test (Mantel & Haenszel 1959) of the
     arm → conversion association STRATIFIED by each user's first-seen
-    ISO week — the confounder-adjusted sibling of the experimentation
+    (ISO year, ISO week) — the confounder-adjusted sibling of the experimentation
     tier's marginal tests: when assignment imbalance drifts across
     signup cohorts (the srm_check failure mode), the pooled 2×2 test
     confounds cohort with arm, while CMH aggregates per-stratum
@@ -1821,8 +1821,16 @@ def cmh_test_arm_purchase_by_cohort(
         % 2
         == 0
     )
+    # stratum = (ISO year, ISO week) of first-seen ts, packed as one int:
+    # a bare weekofyear would collapse same-week cohorts from different
+    # years (and late-Dec/early-Jan ISO spillover) into one stratum
     users = ev.groupBy("user_id").agg(
-        F.weekofyear(F.min("ts")).cast("int").alias("cohort_week"),
+        (
+            F.expr("extract(YEAROFWEEK FROM min(ts))") * 100
+            + F.weekofyear(F.min("ts"))
+        )
+        .cast("int")
+        .alias("cohort_week"),
         F.max((F.col("event_type") == "purchase").cast("long")).alias("conv"),
     )
     u = users.select(
@@ -1887,7 +1895,8 @@ def cmh_test_arm_purchase_by_cohort(
 CMH_TEST_ARM_PURCHASE_BY_COHORT_ORACLE = """
 WITH users AS (
     SELECT user_id,
-           CAST(weekofyear(MIN(ts)) AS INT) AS cohort_week,
+           CAST(isoyear(MIN(ts)) * 100 + weekofyear(MIN(ts)) AS INT)
+               AS cohort_week,
            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
            CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT
                      % 2 = 0 THEN 1 ELSE 0 END AS is_a
@@ -2498,7 +2507,13 @@ def fisher_exact_region_priority_orders(
         F.lit(d).cast("bigint").alias("d"),
         F.col("p_two_sided").cast("double"),
         or_.alias("odds_ratio"),
-        (F.col("p_two_sided") < F.lit(0.05)).alias("significant"),
+        # coalesce to false: the oracle's `... IS NOT NULL AND ... < 0.05`
+        # yields FALSE (not NULL) when p is NULL, so both engines must
+        # agree in the degenerate branch too (unreachable today — the tail
+        # sum always includes k=a — but the contract stays symmetric)
+        F.coalesce(
+            F.col("p_two_sided") < F.lit(0.05), F.lit(False)
+        ).alias("significant"),
     )
 
 

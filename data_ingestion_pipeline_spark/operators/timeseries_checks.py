@@ -1741,12 +1741,6 @@ def runs_test_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m")
     )
     wd = Window.orderBy("day")
-    diffs = daily.select(
-        (F.col("m") - F.lag("m").over(wd)).alias("d")
-    ).filter(F.col("d").isNotNull() & (F.col("d") != 0))
-    wo = Window.orderBy(F.monotonically_increasing_id())
-    # signs in day order: re-derive order from a fresh window over the
-    # filtered diffs via a row index on the ORIGINAL day ordering
     signs = daily.select(
         "day", (F.col("m") - F.lag("m").over(wd)).alias("d")
     ).filter(F.col("d").isNotNull() & (F.col("d") != 0)).select(
