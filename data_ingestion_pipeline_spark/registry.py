@@ -132,7 +132,7 @@ _ROUND5_PENDING = [
 _ROUND5_NEW: list[str] = [
     "customer_spend_deciles_approx",
     "ann_ivfpq_recall_embeddings",
-    "ann_ivfpq_topk_embeddings",
+    # (ann_ivfpq_topk_embeddings sat here until its round-11 retirement)
     "gopher_repetition_documents",
     "winnowing_fingerprints_documents",
     "table_changes_versions",
@@ -1440,13 +1440,17 @@ register(
     llm_data.ANN_PQ_SAMPLE_ADC_TOPK_EMBEDDINGS_ORACLE,
 )
 
-# The registry's LAST rows-only query, kept deliberately: it is the
-# Lloyd-trained production IVF-PQ surface (10-iteration codebooks are not
-# SQL-expressible). Every downstream stage is hash-checked by the
-# sample-model composition replay below plus `ann_ivf_topk_embeddings`
-# (routing) and `ann_pq_sample_adc_topk_embeddings` (flat-PQ ADC); the
-# composite is recall-gated by `ann_ivfpq_recall_embeddings`.
-register("ann_ivfpq_topk_embeddings", llm_data.ann_ivfpq_topk_embeddings, None)
+# `ann_ivfpq_topk_embeddings` (the registry's last rows-only query)
+# retired in round 11 per the flat-PQ precedent: its Lloyd-trained
+# codebooks (10 numpy k-means iterations; pairwise-summation means) are
+# not bitwise-replayable in SQL, and every downstream stage is already
+# hash-checked by the sample-model composition replay below plus
+# `ann_ivf_topk_embeddings` (routing) and `ann_pq_sample_adc_topk_*`
+# (flat-PQ ADC); the composite stays recall-gated by
+# `ann_ivfpq_recall_embeddings` and the function stays exported +
+# pytest-gated (tests/test_llm_data.py::test_ivfpq_topk_recall_and_
+# exactness pins recall@10 ≥ 0.3 and bitwise-exact refined scores).
+# Rows-only registered-query set: now EMPTY.
 
 register(
     "ann_ivfpq_sample_adc_topk_embeddings",

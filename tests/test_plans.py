@@ -497,7 +497,14 @@ def test_checksum_is_one_scan_one_agg(spark):
 
 
 def test_ivfpq_no_cartesian_and_broadcast_probes(spark):
-    plan = _plan(spark, "ann_ivfpq_topk_embeddings")
+    # called via the exported function (the registry name retired in
+    # round 11 — rows-only endgame); the plan contract is unchanged
+    from data_ingestion_pipeline_spark.operators.llm_data import (
+        ann_ivfpq_topk_embeddings,
+    )
+
+    df = ann_ivfpq_topk_embeddings(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan, "probe/refine joins lost broadcast"
 

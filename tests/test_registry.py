@@ -37,6 +37,9 @@ _RETIRED = {
     "simhash_near_dup_documents",
     "ann_pq_topk_embeddings",
     "mann_kendall_trend_daily",
+    # round 11: the last rows-only query, retired per the flat-PQ
+    # precedent (function stays exported + recall/exactness pytest-gated)
+    "ann_ivfpq_topk_embeddings",
 }
 
 
@@ -119,10 +122,10 @@ def test_oracles_reference_registered_queries():
         assert name in qs
 
 
-def test_rows_only_set_is_bounded_and_justified():
-    """Round-9 verdict ask #4: at most 2 registered queries without a
-    DuckDB oracle, each individually justified at its register() site.
-    Streaming/stateful queries the driver records as rows-only via
+def test_rows_only_set_is_empty():
+    """Round-10 verdict ask #4, closed in round 11: every registered
+    non-streaming query carries a DuckDB oracle — the rows-only set is
+    EMPTY. Streaming/stateful queries the driver records as rows-only via
     no_oracle are exempt only if genuinely non-SQL-expressible — those
     carry their own justification in SURVEY.md."""
     no_oracle = [
@@ -130,8 +133,7 @@ def test_rows_only_set_is_bounded_and_justified():
         for n, (_, sql) in registry._REGISTRY.items()
         if sql is None and not n.startswith("streaming_") and "stateful" not in n
     ]
-    assert len(no_oracle) <= 2, f"rows-only set grew: {no_oracle}"
-    assert set(no_oracle) <= {"ann_ivfpq_topk_embeddings"}, no_oracle
+    assert no_oracle == [], f"rows-only set regrew: {no_oracle}"
 
 
 def test_no_token_permutation_duplicate_names():
