@@ -2102,15 +2102,23 @@ def huber_regression_price_quantity(
     sketch is the registered 100 TB quantile path. Degenerate groups
     (zero MAD or singular normal equations) publish NULL fits
     identically in both engines."""
-    # NOT pinned: every pass re-reads the 3-column pruned parquet scan —
-    # measured cheaper than RDD-serializing the projection once
-    # (checkpoint 37 s vs re-scan 9 s at sf0.1; column pruning does the
-    # heavy lifting), and at cluster scale the scan is the cacheable unit
+    # Round-11 adjudication (BASELINE.md §r11): the 10-11 s local cost is
+    # NOT scan-bound — persist(MEMORY_AND_DISK) of this projection,
+    # collect-driven literal params (no joins/broadcasts/checkpoints at
+    # all), and double-vs-decimal folds each measured within noise of the
+    # shipped shape. The floor is pass count × (per-iteration janino
+    # codegen, ~1 s/unique plan since every IRLS step bakes new β
+    # literals, + small-data stage overhead) — fixed costs that amortize
+    # to nothing against a cluster-scale scan. The persist stays: it
+    # spares 6 redundant fact-scans at scale and bench/driver sessions
+    # clearCache() per query, so nothing leaks.
+    from pyspark import StorageLevel
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_quantity").cast("double").alias("x"),
         F.col("l_extendedprice").cast("double").alias("y"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     agg = li.groupBy("l_returnflag").agg(
         F.count("*").cast("bigint").alias("n"),
         dec_sum(F.col("x"), 27, 12).cast("double").alias("sx"),
@@ -2811,11 +2819,17 @@ def lad_regression_price_quantity(
     estimate). Published per flag: the OLS and LAD slopes (their gap is
     the finding), the LAD intercept, and the mean absolute residual at
     the converged fit."""
+    # persisted for the 5 IRLS passes — same adjudication as Huber's
+    # comment (BASELINE.md §r11): local cost is codegen+stage floor, not
+    # scans; persist spares redundant fact-scans at cluster scale and
+    # bench/driver sessions clearCache() per query
+    from pyspark import StorageLevel
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_quantity").cast("double").alias("x"),
         F.col("l_extendedprice").cast("double").alias("y"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     agg = li.groupBy("l_returnflag").agg(
         F.count("*").cast("bigint").alias("n"),
         dec_sum(F.col("x"), 27, 12).cast("double").alias("sx"),
