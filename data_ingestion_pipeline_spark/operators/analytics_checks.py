@@ -46,6 +46,10 @@ __all__ = [
     "hits_authorities_parts",
     "kcore_peel_copurchase_parts",
     "chi_square_event_dow",
+    "dunn_posthoc_event_values",
+    "moods_median_test_event_values",
+    "friedman_test_event_type_values",
+    "cochrans_q_event_types_users",
     "mutual_information_event_dow",
     "robust_outliers_mad",
     "twap_user_day",
@@ -7482,4 +7486,593 @@ SELECT df, chi2,
        worst.j AS worst_pair_to,
        CAST(worst.gap AS BIGINT) AS worst_pair_gap
 FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# k-sample post-hoc / median / within-block tests (round 11)
+# --------------------------------------------------------------------------
+
+# Two-sided Bonferroni-adjusted normal critical values z(1 − 0.025/m) for a
+# family of m comparisons, m = 1..15 (stdlib NormalDist.inv_cdf, rounded at
+# 6; embedded as identical literals in the Spark plan and the oracle so the
+# significance column never depends on an engine's quantile function).
+_BONF_Z = {
+    1: 1.959964, 2: 2.241403, 3: 2.39398, 4: 2.497705, 5: 2.575829,
+    6: 2.638257, 7: 2.69011, 8: 2.734369, 9: 2.772921, 10: 2.807034,
+    11: 2.837597, 12: 2.86526, 13: 2.890512, 14: 2.913726, 15: 2.935199,
+}
+
+# χ²(df) 95th-percentile critical values, df = 1..10 (public tables).
+_CHI2_CRIT = {
+    1: 3.841459, 2: 5.991465, 3: 7.814728, 4: 9.487729, 5: 11.070498,
+    6: 12.591587, 7: 14.06714, 8: 15.507313, 9: 16.918978, 10: 18.307038,
+}
+
+
+def _bonf_z_case_spark(m_col: Column) -> Column:
+    expr = F.lit(None).cast("double")
+    for m, z in sorted(_BONF_Z.items(), reverse=True):
+        expr = F.when(m_col == F.lit(m), F.lit(z)).otherwise(expr)
+    return expr
+
+
+def _bonf_z_case_sql(m_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {m_expr} = {m} THEN {z}" for m, z in sorted(_BONF_Z.items())
+    )
+    return f"CASE {whens} END"
+
+
+def _chi2_crit_case_spark(df_col: Column) -> Column:
+    expr = F.lit(None).cast("double")
+    for d, c in sorted(_CHI2_CRIT.items(), reverse=True):
+        expr = F.when(df_col == F.lit(d), F.lit(c)).otherwise(expr)
+    return expr
+
+
+def _chi2_crit_case_sql(df_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {df_expr} = {d} THEN {c}" for d, c in sorted(_CHI2_CRIT.items())
+    )
+    return f"CASE {whens} END"
+
+
+def dunn_posthoc_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc test (Dunn 1964) for every event-type pair — the
+    follow-up ``kruskal_wallis_event_values`` needs: KW's H says SOME
+    group's value distribution differs; Dunn's pairwise
+    z = (r̄_a − r̄_b) / √(σ²(1/n_a + 1/n_b)) with the shared tie-corrected
+    rank variance σ² = (N(N+1) − Σ(t³−t)/(N−1))/12 says WHICH, at a
+    Bonferroni-held family level (the classic KW→Dunn ladder; pairwise
+    Mann–Whitneys would inflate the family error AND use pair-local
+    ranks, which Dunn 1964 explicitly corrects by ranking ONCE over the
+    pooled corpus).
+
+    Exactness: the pooled average ranks are the Kruskal–Wallis doubled
+    integers (2·r̄ = 2·cum_before + t + 1), per-group doubled rank sums
+    fold in DECIMAL(38,0), the tie cube in DECIMAL(38,0); z is one fixed
+    double expression rounded at 6; the Bonferroni critical value is a
+    shared m→z literal table (never an engine quantile). Scale shape:
+    cumulative counts over the distinct-value domain ride the
+    range-partition + chunk-offset stitch (the ``ks_test`` pattern — no
+    single-partition sort); the pairwise stage is a self-join of the
+    ≤k-row per-group relation."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("value", "event_type").agg(
+        F.count("*").cast("bigint").alias("tg")
+    )
+    pts = ev.groupBy("value").agg(F.count("*").cast("bigint").alias("t"))
+    n_chunks = spark.sparkContext.defaultParallelism
+    chunked = pts.repartitionByRange(n_chunks, "value").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("value")
+    local = chunked.select("value", "t", "pid", F.sum("t").over(w).alias("lc"))
+    totals = local.groupBy("pid").agg(F.max("lc").cast("bigint").alias("tt"))
+    bw = (
+        Window.partitionBy(F.col("pid") % 1)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "pid", F.coalesce(F.sum("tt").over(bw), F.lit(0)).cast("bigint").alias("off")
+    )
+    ranked = local.join(offs, "pid").select(
+        "value",
+        (
+            2 * (F.col("lc") + F.col("off") - F.col("t")) + F.col("t") + 1
+        ).cast("bigint").alias("r2"),
+    )
+    per_g = (
+        g.join(ranked, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("tg").cast("bigint").alias("n_g"),
+            F.sum(F.col("tg").cast("decimal(38,0)") * F.col("r2")).alias("r2_sum"),
+        )
+    )
+    ties = pts.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("decimal(38,0)").alias("tie_term"),
+        F.lit(1).alias("one"),
+    )
+    counts = per_g.agg(
+        F.count("*").cast("bigint").alias("k_groups"), F.lit(1).alias("one")
+    )
+    pairs = (
+        per_g.alias("a")
+        .crossJoin(per_g.alias("b"))
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .join(F.broadcast(ties.join(counts, "one")), how="cross")
+    )
+    nd = F.col("n").cast("double")
+    sigma2 = (
+        nd * (nd + F.lit(1.0))
+        - F.col("tie_term").cast("double") / (nd - F.lit(1.0))
+    ) / F.lit(12.0)
+    na = F.col("a.n_g").cast("double")
+    nb = F.col("b.n_g").cast("double")
+    rbar_a = F.col("a.r2_sum").cast("double") / (F.lit(2.0) * na)
+    rbar_b = F.col("b.r2_sum").cast("double") / (F.lit(2.0) * nb)
+    z = (rbar_a - rbar_b) / F.sqrt(sigma2 * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    m_col = (F.col("k_groups") * (F.col("k_groups") - 1) / 2).cast("int")
+    return pairs.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n_g").alias("n_a"),
+        F.col("b.n_g").alias("n_b"),
+        F.round(z, 6).cast("double").alias("z_dunn"),
+        m_col.alias("n_comparisons"),
+        (F.abs(F.round(z, 6)) > _bonf_z_case_spark(m_col)).alias(
+            "significant_bonferroni"
+        ),
+    )
+
+
+DUNN_POSTHOC_EVENT_VALUES_ORACLE = f"""
+WITH g AS (
+    SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS tg
+    FROM events GROUP BY 1, 2
+), pts AS (
+    SELECT value, CAST(COUNT(*) AS BIGINT) AS t FROM events GROUP BY 1
+), ranked AS (
+    SELECT value,
+           CAST(2 * (SUM(t) OVER (ORDER BY value) - t) + t + 1 AS BIGINT) AS r2
+    FROM pts
+), per_g AS (
+    SELECT g.event_type, CAST(SUM(tg) AS BIGINT) AS n_g,
+           SUM(CAST(tg AS DECIMAL(38,0)) * r.r2) AS r2_sum
+    FROM g JOIN ranked r USING (value) GROUP BY g.event_type
+), ties AS (
+    SELECT CAST(SUM(t) AS BIGINT) AS n,
+           CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS DECIMAL(38,0))
+               AS tie_term
+    FROM pts
+), counts AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_groups FROM per_g
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       a.n_g AS n_a, b.n_g AS n_b,
+       CAST(ROUND(
+           (CAST(a.r2_sum AS DOUBLE) / (2.0 * CAST(a.n_g AS DOUBLE))
+            - CAST(b.r2_sum AS DOUBLE) / (2.0 * CAST(b.n_g AS DOUBLE)))
+           / SQRT((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                   - CAST(tie_term AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0))
+                  / 12.0
+                  * (1.0 / CAST(a.n_g AS DOUBLE)
+                     + 1.0 / CAST(b.n_g AS DOUBLE))), 6) AS DOUBLE) AS z_dunn,
+       CAST(k_groups * (k_groups - 1) / 2 AS INT) AS n_comparisons,
+       ABS(CAST(ROUND(
+           (CAST(a.r2_sum AS DOUBLE) / (2.0 * CAST(a.n_g AS DOUBLE))
+            - CAST(b.r2_sum AS DOUBLE) / (2.0 * CAST(b.n_g AS DOUBLE)))
+           / SQRT((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                   - CAST(tie_term AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0))
+                  / 12.0
+                  * (1.0 / CAST(a.n_g AS DOUBLE)
+                     + 1.0 / CAST(b.n_g AS DOUBLE))), 6) AS DOUBLE))
+           > {_bonf_z_case_sql("CAST(k_groups * (k_groups - 1) / 2 AS INT)")}
+           AS significant_bonferroni
+FROM per_g a JOIN per_g b ON a.event_type < b.event_type
+CROSS JOIN ties CROSS JOIN counts
+"""
+
+
+def moods_median_test_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test (Mood 1950) across all event types — the
+    count-based k-sample location test that complements the rank-based
+    ``kruskal_wallis_event_values``: each value is classified only as
+    above / not-above the pooled grand median, so the statistic is a
+    plain k×2 contingency χ² = Σ(O−E)²/E — maximally robust to outliers
+    (magnitudes never enter) at some power cost, the textbook trade.
+
+    Exactness: the grand median is ONE exact interpolated percentile
+    rounded at 6 before any comparison (the ``robust_outliers_mad``
+    med/MAD idiom — both engines classify against a bitwise-equal
+    cutoff); all cells and margins are exact bigints; χ² folds per-cell
+    doubles in DECIMAL(38,12) and rounds at 6; the critical value is the
+    shared df→χ² literal table. Scale shape: one percentile pass + one
+    hash-aggregation to the ≤k-row group grain; the fold is k-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    gm = ev.agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("gm"),
+    )
+    cells = (
+        ev.join(F.broadcast(gm), how="cross")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_g"),
+            F.sum((F.col("value") > F.col("gm")).cast("long"))
+            .cast("bigint")
+            .alias("a_g"),
+        )
+    )
+    tot = cells.agg(
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("a_g").cast("bigint").alias("n_above"),
+        F.lit(1).alias("one"),
+    )
+    j = cells.join(F.broadcast(tot), how="cross")
+    nd = F.col("n").cast("double")
+    e_above = F.col("n_g").cast("double") * F.col("n_above").cast("double") / nd
+    e_below = (
+        F.col("n_g").cast("double")
+        * (F.col("n") - F.col("n_above")).cast("double")
+        / nd
+    )
+    o_above = F.col("a_g").cast("double")
+    o_below = (F.col("n_g") - F.col("a_g")).cast("double")
+    term = (o_above - e_above) * (o_above - e_above) / e_above + (
+        o_below - e_below
+    ) * (o_below - e_below) / e_below
+    agg = j.groupBy("k_groups", "n", "n_above").agg(
+        F.round(
+            F.sum(term.cast("decimal(38,12)")).cast("double"), 6
+        ).alias("chi2")
+    )
+    df_col = (F.col("k_groups") - 1).cast("int")
+    return agg.select(
+        "k_groups",
+        "n",
+        "n_above",
+        df_col.alias("df"),
+        F.col("chi2").cast("double"),
+        (F.col("chi2") > _chi2_crit_case_spark(df_col)).alias("significant"),
+    )
+
+
+MOODS_MEDIAN_TEST_EVENT_VALUES_ORACLE = f"""
+WITH gm AS (
+    SELECT ROUND(quantile_cont(value, 0.5), 6) AS gm FROM events
+), cells AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(CASE WHEN value > gm THEN 1 ELSE 0 END) AS BIGINT) AS a_g
+    FROM events CROSS JOIN gm GROUP BY event_type
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+           CAST(SUM(n_g) AS BIGINT) AS n,
+           CAST(SUM(a_g) AS BIGINT) AS n_above
+    FROM cells
+), agg AS (
+    SELECT k_groups, n, n_above,
+           CAST(ROUND(CAST(SUM(CAST(
+               POWER(CAST(a_g AS DOUBLE)
+                     - CAST(n_g AS DOUBLE) * CAST(n_above AS DOUBLE)
+                       / CAST(n AS DOUBLE), 2)
+               / (CAST(n_g AS DOUBLE) * CAST(n_above AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               + POWER(CAST(n_g - a_g AS DOUBLE)
+                       - CAST(n_g AS DOUBLE) * CAST(n - n_above AS DOUBLE)
+                         / CAST(n AS DOUBLE), 2)
+               / (CAST(n_g AS DOUBLE) * CAST(n - n_above AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS DECIMAL(38,12)))
+               AS DOUBLE), 6) AS DOUBLE) AS chi2
+    FROM cells CROSS JOIN tot
+    GROUP BY k_groups, n, n_above
+)
+SELECT k_groups, n, n_above, CAST(k_groups - 1 AS INT) AS df, chi2,
+       chi2 > {_chi2_crit_case_sql("CAST(k_groups - 1 AS INT)")} AS significant
+FROM agg
+"""
+
+
+def friedman_test_event_type_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (Friedman 1937) of per-user mean event values across
+    event types — the within-block rank test the k-sample tier lacks:
+    Kruskal–Wallis pools all rows and a heavy user dominates every
+    group, while Friedman ranks each user's OWN per-type means 1..k and
+    asks whether some type consistently ranks high across users — the
+    repeated-measures ANOVA analogue, immune to between-user level
+    differences. Blocks are the users holding ALL k types (complete
+    blocks, the classical design; the fixture's every user qualifies).
+
+    Exactness: per-(user,type) means fold in DECIMAL and round at 9
+    BEFORE ranking (both engines rank bitwise-equal keys); within-block
+    average ranks use the doubled-rank construction per user
+    (2·r̄ = 2·cnt_less + cnt_eq + 1 — exact integers even under ties),
+    so ΣR2_j², A2 = Σr2² and the tie-corrected statistic
+    χ² = (k−1)(ΣR2_j² − n²k(k+1)²)/(A2 − nk(k+1)²) is integer algebra
+    until one final double ratio rounded at 6. Scale shape: one
+    hash-aggregation to (user, type) grain, per-user windows PARTITIONED
+    by user (never global), folds in DECIMAL(38,0) at type grain."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ev.agg(
+        F.countDistinct("event_type").cast("bigint").alias("k"),
+        F.lit(1).alias("one"),
+    )
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.round(
+            dec_sum(F.col("value"), 38, 12).cast("double")
+            / F.count("*").cast("double"),
+            9,
+        ).alias("m")
+    )
+    complete = (
+        ut.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("kt"), F.lit(1).alias("one"))
+        .join(F.broadcast(types), "one")
+        .filter(F.col("kt") == F.col("k"))
+        .select("user_id")
+    )
+    utc = ut.join(complete, "user_id")
+    # doubled average ranks within each user block (ties exact)
+    gv = utc.groupBy("user_id", "m").agg(F.count("*").cast("bigint").alias("t"))
+    wu = Window.partitionBy("user_id").orderBy("m").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = gv.withColumn(
+        "cum_before", F.coalesce(F.sum("t").over(wu), F.lit(0)).cast("bigint")
+    ).select(
+        "user_id",
+        "m",
+        (2 * F.col("cum_before") + F.col("t") + 1).cast("bigint").alias("r2"),
+    )
+    ur = utc.join(ranked, ["user_id", "m"]).select("user_id", "event_type", "r2")
+    per_type = ur.groupBy("event_type").agg(
+        F.sum("r2").cast("decimal(38,0)").alias("r2_sum")
+    )
+    blocks = ur.groupBy("user_id").agg(F.count("*").alias("_kt"))
+    stats = ur.agg(
+        F.sum(F.col("r2").cast("decimal(38,0)") * F.col("r2")).alias("a2"),
+        F.lit(1).alias("one"),
+    )
+    nb = blocks.agg(
+        F.count("*").cast("bigint").alias("n_blocks"), F.lit(1).alias("one")
+    )
+    tj = per_type.agg(
+        F.count("*").cast("bigint").alias("k_types"),
+        F.sum(F.col("r2_sum") * F.col("r2_sum")).alias("sr2"),
+        F.lit(1).alias("one"),
+    )
+    j = tj.join(nb, "one").join(stats, "one")
+    kd = F.col("k_types").cast("double")
+    ndb = F.col("n_blocks").cast("double")
+    kp1sq = (kd + F.lit(1.0)) * (kd + F.lit(1.0))
+    num = (kd - F.lit(1.0)) * (
+        F.col("sr2").cast("double") - ndb * ndb * kd * kp1sq
+    )
+    den = F.col("a2").cast("double") - ndb * kd * kp1sq
+    chi2 = F.round(F.when(den > F.lit(0.0), num / den), 6)
+    df_col = (F.col("k_types") - 1).cast("int")
+    return j.select(
+        F.col("n_blocks"),
+        F.col("k_types"),
+        df_col.alias("df"),
+        chi2.cast("double").alias("chi2"),
+        F.coalesce(
+            chi2 > _chi2_crit_case_spark(df_col), F.lit(False)
+        ).alias("significant"),
+    )
+
+
+FRIEDMAN_TEST_EVENT_TYPE_VALUES_ORACLE = f"""
+WITH types AS (
+    SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM events
+), ut AS (
+    SELECT user_id, event_type,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS m
+    FROM events GROUP BY user_id, event_type
+), complete AS (
+    SELECT user_id FROM ut, types GROUP BY user_id, k
+    HAVING COUNT(*) = k
+), utc AS (
+    SELECT ut.* FROM ut JOIN complete USING (user_id)
+), gv AS (
+    SELECT user_id, m, CAST(COUNT(*) AS BIGINT) AS t
+    FROM utc GROUP BY user_id, m
+), ranked AS (
+    SELECT user_id, m,
+           CAST(2 * (SUM(t) OVER (PARTITION BY user_id ORDER BY m) - t)
+                + t + 1 AS BIGINT) AS r2
+    FROM gv
+), ur AS (
+    SELECT utc.user_id, utc.event_type, r.r2
+    FROM utc JOIN ranked r ON utc.user_id = r.user_id AND utc.m = r.m
+), per_type AS (
+    SELECT event_type, CAST(SUM(r2) AS DECIMAL(38,0)) AS r2_sum
+    FROM ur GROUP BY event_type
+), tj AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_types,
+           SUM(r2_sum * r2_sum) AS sr2
+    FROM per_type
+), nb AS (
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_blocks FROM ur
+), stats AS (
+    SELECT SUM(CAST(r2 AS DECIMAL(38,0)) * r2) AS a2 FROM ur
+)
+SELECT n_blocks, k_types, CAST(k_types - 1 AS INT) AS df,
+       CAST(ROUND(CASE WHEN CAST(a2 AS DOUBLE)
+                            - CAST(n_blocks AS DOUBLE) * CAST(k_types AS DOUBLE)
+                              * POWER(CAST(k_types AS DOUBLE) + 1.0, 2) > 0.0
+            THEN (CAST(k_types AS DOUBLE) - 1.0)
+                 * (CAST(sr2 AS DOUBLE)
+                    - CAST(n_blocks AS DOUBLE) * CAST(n_blocks AS DOUBLE)
+                      * CAST(k_types AS DOUBLE)
+                      * POWER(CAST(k_types AS DOUBLE) + 1.0, 2))
+                 / (CAST(a2 AS DOUBLE)
+                    - CAST(n_blocks AS DOUBLE) * CAST(k_types AS DOUBLE)
+                      * POWER(CAST(k_types AS DOUBLE) + 1.0, 2))
+            END, 6) AS DOUBLE) AS chi2,
+       COALESCE(ROUND(CASE WHEN CAST(a2 AS DOUBLE)
+                                - CAST(n_blocks AS DOUBLE)
+                                  * CAST(k_types AS DOUBLE)
+                                  * POWER(CAST(k_types AS DOUBLE) + 1.0, 2)
+                                > 0.0
+            THEN (CAST(k_types AS DOUBLE) - 1.0)
+                 * (CAST(sr2 AS DOUBLE)
+                    - CAST(n_blocks AS DOUBLE) * CAST(n_blocks AS DOUBLE)
+                      * CAST(k_types AS DOUBLE)
+                      * POWER(CAST(k_types AS DOUBLE) + 1.0, 2))
+                 / (CAST(a2 AS DOUBLE)
+                    - CAST(n_blocks AS DOUBLE) * CAST(k_types AS DOUBLE)
+                      * POWER(CAST(k_types AS DOUBLE) + 1.0, 2))
+            END, 6)
+            > {_chi2_crit_case_sql("CAST(k_types - 1 AS INT)")}, FALSE)
+           AS significant
+FROM tj CROSS JOIN nb CROSS JOIN stats
+"""
+
+
+def cochrans_q_event_types_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) of k matched binary outcomes —
+    the dichotomous sibling of ``friedman_test_event_type_values``:
+    per user (block) and event type (treatment), the outcome is the
+    binary "is this user's MEAN value for the type above the POOLED
+    median of all (user, type) means" — do some event types put
+    significantly more users above the one shared bar than others,
+    holding the user fixed? (Two rejected outcome designs, documented:
+    any-event-above-median is degenerate here — every active user
+    clears it for every type; a PER-TYPE median bar fixes every column
+    margin at exactly half by construction, making Q ≡ 0 — the bar must
+    be shared across treatments for the column totals to carry signal.)
+    Q = k(k−1)·Σ_j(C_j − N/k)² / (k·N − ΣR_u²) is the within-block
+    extension of McNemar to k > 2 treatments (it reduces to McNemar's
+    χ² at k = 2), distributed χ²(k−1) under exchangeability.
+
+    Exactness: per-(user,type) means fold in DECIMAL and round at 9;
+    the pooled median over those means is ONE exact interpolated
+    percentile rounded at 6 before comparison; outcomes, column totals C_j, row
+    totals R_u and ΣR_u² are exact bigints (ΣR_u² folds in
+    DECIMAL(38,0)); Q is one double ratio rounded at 6. Blocks are the
+    users holding all k types (complete blocks — Cochran's design).
+    Scale shape: one percentile pass at type grain, one hash-aggregation
+    to (user, type), folds at user/type grain — no windows at all."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ev.agg(
+        F.countDistinct("event_type").cast("bigint").alias("k"),
+        F.lit(1).alias("one"),
+    )
+    um = ev.groupBy("user_id", "event_type").agg(
+        F.round(
+            dec_sum(F.col("value"), 38, 12).cast("double")
+            / F.count("*").cast("double"),
+            9,
+        ).alias("m")
+    )
+    med = um.agg(F.round(F.percentile("m", F.lit(0.5)), 6).alias("med"))
+    ut = um.join(F.broadcast(med), how="cross").select(
+        "user_id",
+        "event_type",
+        (F.col("m") > F.col("med")).cast("bigint").alias("x"),
+    )
+    complete = (
+        ut.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("kt"), F.lit(1).alias("one"))
+        .join(F.broadcast(types), "one")
+        .filter(F.col("kt") == F.col("k"))
+        .select("user_id")
+    )
+    utc = ut.join(complete, "user_id")
+    cols = utc.groupBy("event_type").agg(F.sum("x").cast("bigint").alias("c_j"))
+    rows_ = utc.groupBy("user_id").agg(F.sum("x").cast("bigint").alias("r_u"))
+    cj = cols.agg(
+        F.count("*").cast("bigint").alias("k_types"),
+        F.sum("c_j").cast("bigint").alias("n_tot"),
+        F.sum(F.col("c_j").cast("decimal(38,0)") * F.col("c_j")).alias("sc2"),
+        F.lit(1).alias("one"),
+    )
+    ru = rows_.agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum(F.col("r_u").cast("decimal(38,0)") * F.col("r_u")).alias("sr2"),
+        F.lit(1).alias("one"),
+    )
+    j = cj.join(ru, "one")
+    kd = F.col("k_types").cast("double")
+    ntd = F.col("n_tot").cast("double")
+    num = (
+        kd
+        * (kd - F.lit(1.0))
+        * (F.col("sc2").cast("double") - ntd * ntd / kd)
+    )
+    den = kd * ntd - F.col("sr2").cast("double")
+    q = F.round(F.when(den > F.lit(0.0), num / den), 6)
+    df_col = (F.col("k_types") - 1).cast("int")
+    return j.select(
+        "n_blocks",
+        "k_types",
+        F.col("n_tot"),
+        df_col.alias("df"),
+        q.cast("double").alias("q_stat"),
+        F.coalesce(q > _chi2_crit_case_spark(df_col), F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+COCHRANS_Q_EVENT_TYPES_USERS_ORACLE = f"""
+WITH types AS (
+    SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM events
+), um AS (
+    SELECT user_id, event_type,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS m
+    FROM events GROUP BY user_id, event_type
+), med AS (
+    SELECT ROUND(quantile_cont(m, 0.5), 6) AS med FROM um
+), ut AS (
+    SELECT um.user_id, um.event_type,
+           CAST(CASE WHEN um.m > med.med THEN 1 ELSE 0 END AS BIGINT) AS x
+    FROM um CROSS JOIN med
+), complete AS (
+    SELECT user_id FROM ut, types GROUP BY user_id, k HAVING COUNT(*) = k
+), utc AS (
+    SELECT ut.* FROM ut JOIN complete USING (user_id)
+), cj AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_types,
+           CAST(SUM(c_j) AS BIGINT) AS n_tot,
+           SUM(CAST(c_j AS DECIMAL(38,0)) * c_j) AS sc2
+    FROM (SELECT event_type, CAST(SUM(x) AS BIGINT) AS c_j
+          FROM utc GROUP BY event_type)
+), ru AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           SUM(CAST(r_u AS DECIMAL(38,0)) * r_u) AS sr2
+    FROM (SELECT user_id, CAST(SUM(x) AS BIGINT) AS r_u
+          FROM utc GROUP BY user_id)
+)
+SELECT n_blocks, k_types, n_tot, CAST(k_types - 1 AS INT) AS df,
+       CAST(ROUND(CASE WHEN CAST(k_types AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                            - CAST(sr2 AS DOUBLE) > 0.0
+            THEN CAST(k_types AS DOUBLE) * (CAST(k_types AS DOUBLE) - 1.0)
+                 * (CAST(sc2 AS DOUBLE)
+                    - CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                      / CAST(k_types AS DOUBLE))
+                 / (CAST(k_types AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                    - CAST(sr2 AS DOUBLE))
+            END, 6) AS DOUBLE) AS q_stat,
+       COALESCE(ROUND(CASE WHEN CAST(k_types AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                                - CAST(sr2 AS DOUBLE) > 0.0
+            THEN CAST(k_types AS DOUBLE) * (CAST(k_types AS DOUBLE) - 1.0)
+                 * (CAST(sc2 AS DOUBLE)
+                    - CAST(n_tot AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                      / CAST(k_types AS DOUBLE))
+                 / (CAST(k_types AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                    - CAST(sr2 AS DOUBLE))
+            END, 6)
+            > {_chi2_crit_case_sql("CAST(k_types - 1 AS INT)")}, FALSE)
+           AS significant
+FROM cj CROSS JOIN ru
 """

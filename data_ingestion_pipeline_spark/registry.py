@@ -510,7 +510,12 @@ _ROUND11_FRONT: list[str] = _ROUND11_QUEUE + [
 
 # Round-11 additions land here (never driver-checked — freshness policy
 # puts no-evidence names ahead of stale-green when round 12 rotates).
-_ROUND12_QUEUE: list[str] = []
+_ROUND12_QUEUE: list[str] = [
+    "dunn_posthoc_event_values",
+    "moods_median_test_event_values",
+    "friedman_test_event_type_values",
+    "cochrans_q_event_types_users",
+]
 
 
 def _ordered_names() -> list[str]:
@@ -2977,4 +2982,32 @@ register(
     "stateful_event_type_counts_pandas_events",
     streaming_checks.stateful_event_type_counts_pandas_events,
     streaming_checks.STATEFUL_EVENT_TYPE_COUNTS_PANDAS_EVENTS_ORACLE,
+)
+
+# --------------------------------------------------------------------------
+# Round-11 additions: k-sample post-hoc / median / within-block tests
+# --------------------------------------------------------------------------
+
+register(
+    "dunn_posthoc_event_values",
+    analytics_checks.dunn_posthoc_event_values,
+    analytics_checks.DUNN_POSTHOC_EVENT_VALUES_ORACLE,
+)
+
+register(
+    "moods_median_test_event_values",
+    analytics_checks.moods_median_test_event_values,
+    analytics_checks.MOODS_MEDIAN_TEST_EVENT_VALUES_ORACLE,
+)
+
+register(
+    "friedman_test_event_type_values",
+    analytics_checks.friedman_test_event_type_values,
+    analytics_checks.FRIEDMAN_TEST_EVENT_TYPE_VALUES_ORACLE,
+)
+
+register(
+    "cochrans_q_event_types_users",
+    analytics_checks.cochrans_q_event_types_users,
+    analytics_checks.COCHRANS_Q_EVENT_TYPES_USERS_ORACLE,
 )

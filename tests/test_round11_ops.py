@@ -165,3 +165,185 @@ def test_shapley_channel_bound_survives_python_O():
         if isinstance(n, ast.Assert) and "n_ch" in ast.dump(n)
     ]
     assert not asserts, "lattice bound still uses a strippable assert"
+
+
+# ---------------------------------------------------------------------------
+# round-11 k-sample tier: python mirrors
+# ---------------------------------------------------------------------------
+
+
+def _avg_ranks(vals):
+    """value -> average rank over the pooled list (ties averaged)."""
+    s = sorted(vals)
+    r = {}
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        r[s[i]] = (i + 1 + j) / 2.0
+        i = j
+    return r
+
+
+def test_dunn_matches_python_mirror(spark, sf_dir):
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        dunn_posthoc_event_values,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    vals = [r["value"] for r in rows]
+    ranks = _avg_ranks(vals)
+    n = len(vals)
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["event_type"], []).append(r["value"])
+    from collections import Counter
+
+    ties = Counter(vals)
+    tie_term = sum(t**3 - t for t in ties.values())
+    sigma2 = (n * (n + 1) - tie_term / (n - 1)) / 12.0
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in dunn_posthoc_event_values(spark, sf_dir).collect()
+    }
+    k = len(groups)
+    assert len(got) == k * (k - 1) // 2
+    for (a, b), row in got.items():
+        ra = sum(ranks[v] for v in groups[a]) / len(groups[a])
+        rb = sum(ranks[v] for v in groups[b]) / len(groups[b])
+        z = (ra - rb) / (
+            sigma2 * (1 / len(groups[a]) + 1 / len(groups[b]))
+        ) ** 0.5
+        assert abs(row["z_dunn"] - z) < 1e-4, (a, b, row["z_dunn"], z)
+        assert row["n_comparisons"] == k * (k - 1) // 2
+
+
+def test_moods_median_matches_python_mirror(spark, sf_dir):
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        moods_median_test_event_values,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    vals = sorted(r["value"] for r in rows)
+    n = len(vals)
+    # exact interpolated median, rounded at 6 (the operator contract)
+    if n % 2:
+        gm = vals[n // 2]
+    else:
+        gm = (vals[n // 2 - 1] + vals[n // 2]) / 2.0
+    gm = round(gm, 6)
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["event_type"], []).append(r["value"])
+    n_above = sum(1 for v in vals if v > gm)
+    chi2 = 0.0
+    for g, vs in groups.items():
+        ng = len(vs)
+        oa = sum(1 for v in vs if v > gm)
+        ea = ng * n_above / n
+        eb = ng * (n - n_above) / n
+        chi2 += (oa - ea) ** 2 / ea + ((ng - oa) - eb) ** 2 / eb
+    row = moods_median_test_event_values(spark, sf_dir).collect()[0]
+    assert row["k_groups"] == len(groups) and row["n"] == n
+    assert row["n_above"] == n_above
+    assert abs(row["chi2"] - chi2) < 1e-4
+    assert row["df"] == len(groups) - 1
+
+
+def test_friedman_matches_python_mirror(spark, sf_dir):
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        friedman_test_event_type_values,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    from collections import defaultdict
+
+    acc = defaultdict(list)
+    for r in rows:
+        acc[(r["user_id"], r["event_type"])].append(r["value"])
+    means = {k: round(sum(v) / len(v), 9) for k, v in acc.items()}
+    types = sorted({t for _, t in means})
+    k = len(types)
+    by_user = defaultdict(dict)
+    for (u, t), m in means.items():
+        by_user[u][t] = m
+    blocks = {u: d for u, d in by_user.items() if len(d) == k}
+    nb = len(blocks)
+    r2_sum = defaultdict(int)
+    a2 = 0
+    for u, d in blocks.items():
+        ranks = _avg_ranks(list(d.values()))
+        for t, m in d.items():
+            r2 = int(2 * ranks[m])
+            r2_sum[t] += r2
+            a2 += r2 * r2
+    sr2 = sum(v * v for v in r2_sum.values())
+    num = (k - 1) * (sr2 - nb * nb * k * (k + 1) ** 2)
+    den = a2 - nb * k * (k + 1) ** 2
+    chi2 = num / den
+    row = friedman_test_event_type_values(spark, sf_dir).collect()[0]
+    assert row["n_blocks"] == nb and row["k_types"] == k
+    assert abs(row["chi2"] - chi2) < 1e-4
+    # no-ties sanity: reduces to the classic 12/(nk(k+1)) form when a2
+    # equals the no-tie constant
+    if a2 == nb * sum((2 * i) ** 2 for i in range(1, k + 1)):
+        rj = {t: v / 2 for t, v in r2_sum.items()}
+        classic = 12.0 / (nb * k * (k + 1)) * sum(
+            v * v for v in rj.values()
+        ) - 3 * nb * (k + 1)
+        assert abs(chi2 - classic) < 1e-6
+
+
+def test_cochrans_q_matches_python_mirror(spark, sf_dir):
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        cochrans_q_event_types_users,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    from collections import defaultdict
+
+    acc = defaultdict(list)
+    for r in rows:
+        acc[(r["user_id"], r["event_type"])].append(r["value"])
+    means = {kk: round(sum(v) / len(v), 9) for kk, v in acc.items()}
+    vs = sorted(means.values())
+    nv = len(vs)
+    gmed = vs[nv // 2] if nv % 2 else (vs[nv // 2 - 1] + vs[nv // 2]) / 2.0
+    gmed = round(gmed, 6)
+    x = defaultdict(dict)
+    for (u, t), m in means.items():
+        x[u][t] = 1 if m > gmed else 0
+    k = len({t for _, t in means})
+    blocks = {u: d for u, d in x.items() if len(d) == k}
+    c_j = defaultdict(int)
+    sr2 = 0
+    n_tot = 0
+    for u, d in blocks.items():
+        ru = sum(d.values())
+        sr2 += ru * ru
+        n_tot += ru
+        for t, v in d.items():
+            c_j[t] += v
+    sc2 = sum(v * v for v in c_j.values())
+    q = k * (k - 1) * (sc2 - n_tot * n_tot / k) / (k * n_tot - sr2)
+    row = cochrans_q_event_types_users(spark, sf_dir).collect()[0]
+    assert row["n_blocks"] == len(blocks) and row["k_types"] == k
+    assert row["n_tot"] == n_tot
+    assert abs(row["q_stat"] - q) < 1e-4
