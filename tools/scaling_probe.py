@@ -265,10 +265,19 @@ PROBES = [
     # markov_stationary class (|types|-bounded iteration over one lead()
     # pass), and LAD shares the probed huber class (same per-iteration
     # fact-scan fold, minus the percentile passes).
-    # periodogram/theil/partial_corr: calendar- and customer-dimension
-    # bounded grains over single scans — the probed binseg/gini classes.
-    # tost/jarque_bera/ljung_box: user-grain aggregate (the probed cmh/
-    # jackknife class) and daily-grain folds (the probed binseg class).
+    # round-11 (r10 verdict ask #6): the final continuation tier probed
+    # explicitly so the 16x ledger is complete — all bounded day/user/
+    # brand grains over single scans, expected ~1x.
+    ("tost_equivalence_ab_value", ["events"]),
+    ("jarque_bera_daily_values", ["events"]),
+    ("ljung_box_daily_values", ["events"]),
+    ("runs_test_daily_values", ["events"]),
+    ("newey_west_daily_trend", ["events"]),
+    ("hhi_brand_concentration_by_category", ["lineitem", "part"]),
+    ("bowker_symmetry_event_transitions", ["events"]),
+    ("periodogram_daily_events", ["events"]),
+    ("theil_atkinson_customer_spend", ["orders"]),
+    ("partial_corr_purchase_view_daily", ["events"]),
 ]
 
 KEY_OFFSETS = {
