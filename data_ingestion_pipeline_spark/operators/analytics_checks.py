@@ -50,6 +50,7 @@ __all__ = [
     "moods_median_test_event_values",
     "friedman_test_event_type_values",
     "cochrans_q_event_types_users",
+    "transitivity_copurchase_parts",
     "mutual_information_event_dow",
     "robust_outliers_mad",
     "twap_user_day",
@@ -8075,4 +8076,126 @@ SELECT n_blocks, k_types, n_tot, CAST(k_types - 1 AS INT) AS df,
             > {_chi2_crit_case_sql("CAST(k_types - 1 AS INT)")}, FALSE)
            AS significant
 FROM cj CROSS JOIN ru
+"""
+
+
+def transitivity_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity (clustering coefficient) of the support-≥2
+    co-purchase graph — the RATIO ``triangle_count_copurchase`` stops
+    short of: C = 3·triangles / wedges, where wedges = Σ_v d_v(d_v−1)/2
+    counts the open-or-closed 2-paths. Transitivity is what makes the
+    raw triangle census comparable across catalogs of different size —
+    the probability that two parts co-purchased with a common third are
+    also co-purchased with each other (Watts & Strogatz 1998's global
+    variant; Newman 2003 eq. 3.3).
+
+    Reuses the census's degree-orientation shape verbatim (each
+    triangle counted once; wedge-join fan-out bounded by out-degree ≤
+    O(√E)); the wedge denominator is ONE more aggregate over the same
+    degree relation. Exactness: triangles, degrees and the wedge sum
+    are exact bigints (wedge products fold in DECIMAL(38,0)); C is one
+    double ratio rounded at 6."""
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pa = po.select("l_orderkey", F.col("l_partkey").alias("a"))
+    pb = po.select("l_orderkey", F.col("l_partkey").alias("b"))
+    und = (
+        pa.join(pb, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    ori = (
+        und.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    e1 = ori.select(F.col("u").alias("u1"), F.col("v").alias("v1"))
+    e2 = ori.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    wedges_j = e1.join(e2, "v1")
+    closing = ori.select(F.col("u").alias("u1"), F.col("v").alias("v2"))
+    tri = wedges_j.join(closing, ["u1", "v2"]).agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+    wed = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        (
+            F.sum(
+                (F.col("d").cast("decimal(38,0)") * (F.col("d") - 1))
+            )
+            / 2
+        )
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    j = tri.crossJoin(F.broadcast(wed))
+    c = F.when(
+        F.col("n_wedges") > 0,
+        F.round(
+            F.lit(3.0)
+            * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double"),
+            6,
+        ),
+    )
+    return j.select(
+        "n_nodes",
+        "n_triangles",
+        "n_wedges",
+        c.cast("double").alias("transitivity"),
+    )
+
+
+TRANSITIVITY_COPURCHASE_PARTS_ORACLE = """
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+    SELECT p1.l_partkey AS a, p2.l_partkey AS b
+    FROM po p1 JOIN po p2
+      ON p1.l_orderkey = p2.l_orderkey AND p1.l_partkey < p2.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+    ) GROUP BY node
+), ori AS (
+    SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS u,
+           CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS v
+    FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+), tri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM ori e1
+    JOIN ori e2 ON e1.v = e2.u
+    JOIN ori e3 ON e3.u = e1.u AND e3.v = e2.v
+), wed AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CAST(d AS DECIMAL(38,0)) * (d - 1)) / 2 AS BIGINT)
+               AS n_wedges
+    FROM deg
+)
+SELECT n_nodes, n_triangles, n_wedges,
+       CAST(CASE WHEN n_wedges > 0 THEN
+            ROUND(3.0 * CAST(n_triangles AS DOUBLE)
+                  / CAST(n_wedges AS DOUBLE), 6) END AS DOUBLE)
+           AS transitivity
+FROM tri CROSS JOIN wed
 """

@@ -33,6 +33,8 @@ __all__ = [
     "levene_bf_event_values",
     "jackknife_ratio_metric_ab",
     "eb_shrunk_purchase_rate_users",
+    "randomization_test_ab_value",
+    "hodges_lehmann_purchase_view_daily",
     "mcnemar_weekday_weekend_purchase",
     "poisson_glm_daily_trend",
     "cox_ph_retention_arms",
@@ -3323,4 +3325,259 @@ SELECT na, nb,
        AND COALESCE(CASE WHEN se > 0 THEN (margin - delta) / se END, 0.0)
            > 1.644854 AS equivalent
 FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# round 11: resampling-based AB inference (deterministic md5 draws)
+# --------------------------------------------------------------------------
+
+def randomization_test_ab_value(
+    spark: SparkSession, sf_dir: str, n_draws: int = 200
+) -> DataFrame:
+    """Monte-Carlo randomization test (Fisher 1935; Dwass 1957's sampled
+    variant) of the arm effect on per-user mean event value — the
+    assumption-free sibling of the tier's Welch/Mann–Whitney readouts:
+    instead of a distributional reference, the null is built by
+    RE-ASSIGNING arms B times (pseudo-arm b = md5(user:b) parity — the
+    house deterministic-draw idiom, so both engines replay the identical
+    draw sequence) and asking how often |mean_A − mean_B| under a fake
+    assignment beats the observed one. p = (1 + #{|Δ_b| ≥ |Δ_obs|}) /
+    (B + 1), the add-one Monte-Carlo estimator that is exact-level by
+    construction.
+
+    Scale shape: ONE hash-aggregation to user grain, then a B-way
+    explode of the ≤users-row relation (B = 200 fixed — the resample
+    grain is B·users, linear, shuffled once to the (b, arm) grain);
+    never a per-event resample. Exactness: user metrics fold in decimal
+    and round at 9; per-draw arm sums fold in DECIMAL(38,9); Δ_b rounds
+    at 9 before the comparison; the counter is exact ints."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.round(
+            dec_sum(F.col("value"), 38, 12).cast("double")
+            / F.count("*").cast("double"),
+            9,
+        ).alias("v")
+    )
+    arm_obs = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    obs = users.select(arm_obs.alias("a"), "v").groupBy().agg(
+        F.sum(F.when(F.col("a"), F.col("v")).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("sa"),
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(~F.col("a"), F.col("v")).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("sb"),
+        F.sum(F.when(~F.col("a"), 1).otherwise(0)).cast("bigint").alias("nb"),
+    )
+    d_obs = F.round(
+        F.col("sa") / F.col("na").cast("double")
+        - F.col("sb") / F.col("nb").cast("double"),
+        9,
+    )
+    obs1 = obs.select(
+        d_obs.alias("diff_obs"), F.lit(1).alias("one")
+    )
+    drawn = users.select(
+        "user_id",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(n_draws - 1))).alias("b"),
+    ).select(
+        "b",
+        "v",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"),
+                            F.lit(":"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0
+        ).alias("a"),
+    )
+    per_draw = drawn.groupBy("b").agg(
+        F.sum(F.when(F.col("a"), F.col("v")).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("sa"),
+        F.sum(F.when(F.col("a"), 1).otherwise(0)).cast("bigint").alias("na"),
+        F.sum(F.when(~F.col("a"), F.col("v")).cast("decimal(38,9)"))
+        .cast("double")
+        .alias("sb"),
+        F.sum(F.when(~F.col("a"), 1).otherwise(0)).cast("bigint").alias("nb"),
+    )
+    d_b = F.round(
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.col("sa") / F.col("na").cast("double")
+            - F.col("sb") / F.col("nb").cast("double"),
+        ),
+        9,
+    )
+    tail = (
+        per_draw.select(d_b.alias("d"), F.lit(1).alias("one"))
+        .join(F.broadcast(obs1), "one")
+        .groupBy("diff_obs")
+        .agg(
+            F.count("*").cast("bigint").alias("n_draws"),
+            F.sum(
+                (F.abs(F.col("d")) >= F.abs(F.col("diff_obs"))).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_extreme"),
+        )
+    )
+    return tail.select(
+        F.col("n_draws"),
+        F.col("n_extreme"),
+        F.round(F.col("diff_obs"), 6).cast("double").alias("diff_obs"),
+        F.round(
+            (F.col("n_extreme") + 1).cast("double")
+            / (F.col("n_draws") + 1).cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("p_mc"),
+    )
+
+
+RANDOMIZATION_TEST_AB_VALUE_ORACLE = """
+WITH users AS (
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS v
+    FROM events GROUP BY user_id
+), obs AS (
+    SELECT ROUND(
+        CAST(SUM(CASE WHEN a THEN CAST(v AS DECIMAL(38,9)) END) AS DOUBLE)
+          / CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE)
+        - CAST(SUM(CASE WHEN NOT a THEN CAST(v AS DECIMAL(38,9)) END)
+               AS DOUBLE)
+          / CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS DOUBLE), 9)
+        AS diff_obs
+    FROM (
+        SELECT v,
+               ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT % 2 = 0
+                   AS a
+        FROM users
+    )
+), per_draw AS (
+    SELECT b,
+           ROUND(CASE WHEN SUM(CASE WHEN a THEN 1 ELSE 0 END) > 0
+                       AND SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) > 0
+               THEN CAST(SUM(CASE WHEN a THEN CAST(v AS DECIMAL(38,9)) END)
+                         AS DOUBLE)
+                    / CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE)
+                    - CAST(SUM(CASE WHEN NOT a
+                                    THEN CAST(v AS DECIMAL(38,9)) END)
+                           AS DOUBLE)
+                      / CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END)
+                             AS DOUBLE)
+               END, 9) AS d
+    FROM (
+        SELECT r.range AS b, u.v,
+               ('0x' || substr(md5(u.user_id::VARCHAR || ':'
+                                   || r.range::VARCHAR), 1, 6))::BIGINT
+                   % 2 = 0 AS a
+        FROM users u CROSS JOIN range(0, 200) r
+    )
+    GROUP BY b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_draws,
+       CAST(SUM(CASE WHEN ABS(d) >= ABS(diff_obs) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_extreme,
+       CAST(ROUND(ANY_VALUE(diff_obs), 6) AS DOUBLE) AS diff_obs,
+       CAST(ROUND((SUM(CASE WHEN ABS(d) >= ABS(diff_obs) THEN 1 ELSE 0 END)
+                   + 1.0) / (COUNT(*) + 1.0), 6) AS DOUBLE) AS p_mc
+FROM per_draw CROSS JOIN obs
+"""
+
+
+def hodges_lehmann_purchase_view_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hodges–Lehmann shift estimator (Hodges & Lehmann 1963) between
+    the purchase and view daily mean values — the EFFECT-SIZE companion
+    to ``mann_whitney_purchase_view_values``: the U test says the two
+    distributions differ; HL says BY HOW MUCH, as the median of all
+    pairwise differences (median-unbiased, 29%-breakdown robust, the
+    estimator tied to the Wilcoxon family). Computed on the
+    calendar-bounded DAILY grain (the Mann–Whitney runs at event grain;
+    a pairwise difference set over raw events is O(n₁n₂) in the corpus
+    and does not scale, so the registered estimator uses the bounded
+    day-grain series — documented trade, days² ≈ 10⁵ pairs at any SF).
+
+    Exactness: daily means fold in decimal and round at 9; the pairwise
+    difference relation is exact algebra over those; the HL point is
+    ONE exact interpolated percentile over the bounded pair relation,
+    rounded at 6. Scale shape: one hash-aggregation to (day, type),
+    one bounded days×days self-join (broadcast), one percentile over
+    ≤days² rows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(
+        F.round(
+            dec_sum(F.col("value"), 27, 12).cast("double")
+            / F.count("*").cast("double"),
+            9,
+        ).alias("m")
+    )
+    px = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("day_p"), F.col("m").alias("mp")
+    )
+    vx = daily.filter(F.col("event_type") == "view").select(
+        F.col("day").alias("day_v"), F.col("m").alias("mv")
+    )
+    pairs = px.crossJoin(F.broadcast(vx)).select(
+        (F.col("mp") - F.col("mv")).alias("d")
+    )
+    np_ = px.agg(F.count("*").cast("bigint").alias("n_days_purchase"))
+    nv_ = vx.agg(F.count("*").cast("bigint").alias("n_days_view"))
+    hl = pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.percentile("d", F.lit(0.5)), 6)
+        .cast("double")
+        .alias("hl_shift"),
+    )
+    return hl.crossJoin(F.broadcast(np_)).crossJoin(F.broadcast(nv_)).select(
+        "n_days_purchase", "n_days_view", "n_pairs", "hl_shift"
+    )
+
+
+HODGES_LEHMANN_PURCHASE_VIEW_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS m
+    FROM events WHERE event_type IN ('purchase', 'view')
+    GROUP BY 1, 2
+), px AS (SELECT day, m FROM daily WHERE event_type = 'purchase'),
+vx AS (SELECT day, m FROM daily WHERE event_type = 'view'),
+pairs AS (
+    SELECT px.m - vx.m AS d FROM px CROSS JOIN vx
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM px) AS n_days_purchase,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM vx) AS n_days_view,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(ROUND(quantile_cont(d, 0.5), 6) AS DOUBLE) AS hl_shift
+FROM pairs
 """

@@ -26,6 +26,7 @@ from data_ingestion_pipeline_spark.functions.numeric import dec_sum
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
+    "pacf_daily_values",
     "rolling_corr_purchase_view_14d",
     "autocorr_daily_value",
     "ar2_yule_walker_daily",
@@ -2000,3 +2001,182 @@ FROM g0 CROSS JOIN stail s
 
 
 NEWEY_WEST_DAILY_TREND_ORACLE = _newey_west_oracle()
+
+
+# --------------------------------------------------------------------------
+# round 11: PACF via Durbin–Levinson
+# --------------------------------------------------------------------------
+
+def _durbin_levinson_stages(p: int) -> list[list[tuple[str, str]]]:
+    """Staged Durbin–Levinson recursion as SQL expression strings over
+    columns r1..rp — the SAME strings evaluate in Spark (F.expr) and in
+    the DuckDB oracle (chained CTEs), so cross-engine parity holds by
+    construction. Stage k yields phi_k_k first, then the updated
+    phi_k_j (j<k) which reference it; each coefficient re-rounds at 9
+    (the iterative contract applied per recursion level). A zero
+    innovation denominator yields NULL (propagates to all deeper lags)
+    identically in both engines."""
+    stages: list[list[tuple[str, str]]] = [[("phi_1_1", "ROUND(r1, 9)")]]
+    for k in range(2, p + 1):
+        num_terms = " + ".join(
+            f"phi_{k-1}_{j} * r{k-j}" for j in range(1, k)
+        )
+        den_terms = " + ".join(f"phi_{k-1}_{j} * r{j}" for j in range(1, k))
+        den = f"(1.0 - ({den_terms}))"
+        head = [(
+            f"phi_{k}_{k}",
+            f"CASE WHEN ABS({den}) > 0.0 THEN "
+            f"ROUND((r{k} - ({num_terms})) / {den}, 9) END",
+        )]
+        tail = [
+            (
+                f"phi_{k}_{j}",
+                f"ROUND(phi_{k-1}_{j} - phi_{k}_{k} * phi_{k-1}_{k-j}, 9)",
+            )
+            for j in range(1, k)
+        ]
+        stages.append(head)
+        stages.append(tail)
+    return stages
+
+
+_PACF_MAX_LAG = 4
+
+
+def pacf_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation function of the daily mean event value to
+    lag 4 via the Durbin–Levinson recursion (Durbin 1960) — the AR-order
+    diagnostic ``ljung_box_daily_values`` motivates: Ljung–Box says the
+    series is not white noise; the PACF says WHICH AR(p) would absorb it
+    (the last lag whose partial autocorrelation clears the ±1.96/√n
+    band). Autocorrelations are the same biased-denominator estimator
+    the Ljung–Box shares (r_k = c_k/c_0); the recursion solves the
+    Yule–Walker system without any matrix inverse, staged as fixed
+    scalar expressions.
+
+    Exactness: the r_k construction is the Ljung–Box one (centered
+    products folded in DECIMAL(38,15), r_k rounded at 9); the DL stages
+    are literally the SAME expression strings evaluated by both engines
+    (``_durbin_levinson_stages``), re-rounding at 9 per level; the
+    significance band uses the shared 1.959964 literal. Scale shape:
+    one aggregation to the calendar-bounded daily grain, a (day × 4)
+    bounded lag self-join, then pure scalar algebra on ONE row."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            dec_sum(F.col("value"), 27, 12).cast("double")
+            / F.count("*").cast("double")
+        ).alias("m")
+    )
+    wd = Window.orderBy("day")
+    idx = daily.select(
+        F.row_number().over(wd).cast("bigint").alias("i"), "m"
+    ).localCheckpoint(eager=False)
+    tot = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("m"), 38, 15).cast("double").alias("sm"),
+        dec_sum(F.col("m") * F.col("m"), 38, 15).cast("double").alias("smm"),
+    )
+    ks = spark.range(1, _PACF_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("k")
+    )
+    lhs = idx.select(F.col("i").alias("ia"), F.col("m").alias("xa"))
+    rhs = idx.select(F.col("i").alias("ib"), F.col("m").alias("xb"))
+    pairs = (
+        lhs.crossJoin(F.broadcast(ks))
+        .join(rhs, F.col("ib") == F.col("ia") + F.col("k"))
+        .crossJoin(F.broadcast(tot))
+    )
+    mu = F.col("sm") / F.col("n").cast("double")
+    num = pairs.groupBy("k", "n", "sm", "smm").agg(
+        F.sum(
+            ((F.col("xa") - mu) * (F.col("xb") - mu)).cast("decimal(38,15)")
+        )
+        .cast("double")
+        .alias("ck")
+    )
+    nD = F.col("n").cast("double")
+    denom = F.col("smm") - F.col("sm") * F.col("sm") / nD
+    rk = F.round(F.col("ck") / denom, 9)
+    # pivot the ≤4 lag rows into ONE row of r1..r4 scalars
+    row = num.select("k", "n", rk.alias("rk")).groupBy("n").agg(
+        *[
+            F.max(F.when(F.col("k") == i, F.col("rk"))).alias(f"r{i}")
+            for i in range(1, _PACF_MAX_LAG + 1)
+        ]
+    )
+    for stage in _durbin_levinson_stages(_PACF_MAX_LAG):
+        row = row.select("*", *[F.expr(e).alias(c) for c, e in stage])
+    stack_args = ", ".join(
+        f"{i}, phi_{i}_{i}" for i in range(1, _PACF_MAX_LAG + 1)
+    )
+    out = row.select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            f"stack({_PACF_MAX_LAG}, {stack_args}) AS (lag, pacf_raw)"
+        ),
+    )
+    band = F.lit(1.959964) / F.sqrt(F.col("n_days").cast("double"))
+    return out.select(
+        "n_days",
+        F.col("lag").cast("int"),
+        F.round(F.col("pacf_raw"), 6).cast("double").alias("pacf"),
+        F.coalesce(
+            F.abs(F.round(F.col("pacf_raw"), 6)) > band, F.lit(False)
+        ).alias("significant"),
+    )
+
+
+def _pacf_oracle(p: int = _PACF_MAX_LAG) -> str:
+    ctes = []
+    prev = "rrow"
+    i = 0
+    for stage in _durbin_levinson_stages(p):
+        cols = ", ".join(f"{e} AS {c}" for c, e in stage)
+        name = f"dl{i}"
+        ctes.append(f"{name} AS (SELECT *, {cols} FROM {prev})")
+        prev = name
+        i += 1
+    unions = "\n    UNION ALL ".join(
+        f"SELECT n, {i} AS lag, phi_{i}_{i} AS pacf_raw FROM {prev}"
+        for i in range(1, p + 1)
+    )
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS m
+    FROM events GROUP BY 1
+), idx AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i, m
+    FROM daily
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(m AS DECIMAL(38,15))) AS DOUBLE) AS sm,
+           CAST(SUM(CAST(m * m AS DECIMAL(38,15))) AS DOUBLE) AS smm
+    FROM idx
+), ks AS (SELECT CAST(r.range AS BIGINT) AS k FROM range(1, {p + 1}) r),
+num AS (
+    SELECT ks.k, tot.n,
+           CAST(SUM(CAST((a.m - tot.sm / CAST(tot.n AS DOUBLE))
+                         * (b.m - tot.sm / CAST(tot.n AS DOUBLE))
+                    AS DECIMAL(38,15))) AS DOUBLE) AS ck,
+           ANY_VALUE(tot.smm - tot.sm * tot.sm / CAST(tot.n AS DOUBLE))
+               AS c0
+    FROM idx a CROSS JOIN ks JOIN idx b ON b.i = a.i + ks.k
+    CROSS JOIN tot
+    GROUP BY ks.k, tot.n
+), rrow AS (
+    SELECT n,
+           {", ".join(f"MAX(CASE WHEN k = {i} THEN ROUND(ck / c0, 9) END) AS r{i}" for i in range(1, p + 1))}
+    FROM num GROUP BY n
+), {", ".join(ctes)}
+SELECT n AS n_days, CAST(lag AS INT) AS lag,
+       CAST(ROUND(pacf_raw, 6) AS DOUBLE) AS pacf,
+       COALESCE(ABS(ROUND(pacf_raw, 6))
+                > 1.959964 / SQRT(CAST(n AS DOUBLE)), FALSE) AS significant
+FROM ({unions})
+"""
+
+
+PACF_DAILY_VALUES_ORACLE = _pacf_oracle()

@@ -515,6 +515,10 @@ _ROUND12_QUEUE: list[str] = [
     "moods_median_test_event_values",
     "friedman_test_event_type_values",
     "cochrans_q_event_types_users",
+    "pacf_daily_values",
+    "randomization_test_ab_value",
+    "hodges_lehmann_purchase_view_daily",
+    "transitivity_copurchase_parts",
 ]
 
 
@@ -3010,4 +3014,28 @@ register(
     "cochrans_q_event_types_users",
     analytics_checks.cochrans_q_event_types_users,
     analytics_checks.COCHRANS_Q_EVENT_TYPES_USERS_ORACLE,
+)
+
+register(
+    "pacf_daily_values",
+    timeseries_checks.pacf_daily_values,
+    timeseries_checks.PACF_DAILY_VALUES_ORACLE,
+)
+
+register(
+    "randomization_test_ab_value",
+    inference_stats.randomization_test_ab_value,
+    inference_stats.RANDOMIZATION_TEST_AB_VALUE_ORACLE,
+)
+
+register(
+    "hodges_lehmann_purchase_view_daily",
+    inference_stats.hodges_lehmann_purchase_view_daily,
+    inference_stats.HODGES_LEHMANN_PURCHASE_VIEW_DAILY_ORACLE,
+)
+
+register(
+    "transitivity_copurchase_parts",
+    analytics_checks.transitivity_copurchase_parts,
+    analytics_checks.TRANSITIVITY_COPURCHASE_PARTS_ORACLE,
 )

@@ -347,3 +347,145 @@ def test_cochrans_q_matches_python_mirror(spark, sf_dir):
     assert row["n_blocks"] == len(blocks) and row["k_types"] == k
     assert row["n_tot"] == n_tot
     assert abs(row["q_stat"] - q) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# round-11 batch 2: PACF / randomization / Hodges-Lehmann / transitivity
+# ---------------------------------------------------------------------------
+
+
+def test_pacf_matches_python_durbin_levinson(spark, sf_dir):
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        pacf_daily_values,
+    )
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(ts AS DATE) AS day", "value")
+        .collect()
+    )
+    acc = defaultdict(list)
+    for r in rows:
+        acc[r["day"]].append(r["value"])
+    series = [sum(v) / len(v) for _, v in sorted(acc.items())]
+    n = len(series)
+    mu = sum(series) / n
+    c0 = sum((x - mu) ** 2 for x in series)
+    r = {
+        k: round(
+            sum(
+                (series[t] - mu) * (series[t + k] - mu)
+                for t in range(n - k)
+            )
+            / c0,
+            9,
+        )
+        for k in range(1, 5)
+    }
+    phi = {(1, 1): round(r[1], 9)}
+    for k in range(2, 5):
+        num = r[k] - sum(phi[(k - 1, j)] * r[k - j] for j in range(1, k))
+        den = 1.0 - sum(phi[(k - 1, j)] * r[j] for j in range(1, k))
+        phi[(k, k)] = round(num / den, 9)
+        for j in range(1, k):
+            phi[(k, j)] = round(
+                phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)], 9
+            )
+    got = {
+        row["lag"]: row for row in pacf_daily_values(spark, sf_dir).collect()
+    }
+    assert sorted(got) == [1, 2, 3, 4]
+    for k in range(1, 5):
+        assert abs(got[k]["pacf"] - phi[(k, k)]) < 1e-4, (k, got[k]["pacf"], phi[(k, k)])
+        assert got[k]["n_days"] == n
+    # lag-1 PACF equals the plain lag-1 autocorrelation by definition
+    assert abs(got[1]["pacf"] - round(r[1], 6)) < 1e-6
+
+
+def test_randomization_test_p_bounds_and_determinism(spark, sf_dir):
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        randomization_test_ab_value,
+    )
+
+    a = randomization_test_ab_value(spark, sf_dir).collect()[0]
+    b = randomization_test_ab_value(spark, sf_dir).collect()[0]
+    assert a == b, "md5 draws must be deterministic across runs"
+    assert a["n_draws"] == 200
+    assert 0 < a["p_mc"] <= 1.0
+    # add-one estimator: p = (extreme + 1) / (B + 1) exactly
+    assert abs(a["p_mc"] - round((a["n_extreme"] + 1) / 201, 6)) < 1e-9
+
+
+def test_hodges_lehmann_matches_python_mirror(spark, sf_dir):
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        hodges_lehmann_purchase_view_daily,
+    )
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type IN ('purchase', 'view')")
+        .selectExpr("CAST(ts AS DATE) AS day", "event_type", "value")
+        .collect()
+    )
+    acc = defaultdict(list)
+    for r in rows:
+        acc[(r["day"], r["event_type"])].append(r["value"])
+    means = {k: round(sum(v) / len(v), 9) for k, v in acc.items()}
+    px = [m for (d, t), m in means.items() if t == "purchase"]
+    vx = [m for (d, t), m in means.items() if t == "view"]
+    diffs = sorted(p - v for p in px for v in vx)
+    nd = len(diffs)
+    hl = (
+        diffs[nd // 2]
+        if nd % 2
+        else (diffs[nd // 2 - 1] + diffs[nd // 2]) / 2.0
+    )
+    row = hodges_lehmann_purchase_view_daily(spark, sf_dir).collect()[0]
+    assert row["n_days_purchase"] == len(px)
+    assert row["n_days_view"] == len(vx)
+    assert row["n_pairs"] == nd
+    assert abs(row["hl_shift"] - hl) < 1e-5
+
+
+def test_transitivity_matches_triangle_census_and_python_wedges(spark, sf_dir):
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        transitivity_copurchase_parts,
+        triangle_count_copurchase,
+    )
+
+    t = triangle_count_copurchase(spark, sf_dir).collect()[0]
+    c = transitivity_copurchase_parts(spark, sf_dir).collect()[0]
+    assert c["n_triangles"] == t["n_triangles"]
+    assert c["n_nodes"] == t["n_nodes"]
+    # wedges recomputed from the collected edge list
+    from collections import Counter
+    from pyspark.sql import functions as SF
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    from collections import defaultdict
+
+    by_order = defaultdict(list)
+    for r in li:
+        by_order[r["l_orderkey"]].append(r["l_partkey"])
+    pair_support = Counter()
+    for parts in by_order.values():
+        parts = sorted(parts)
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                pair_support[(parts[i], parts[j])] += 1
+    deg = Counter()
+    for (a, b), s in pair_support.items():
+        if s >= 2:
+            deg[a] += 1
+            deg[b] += 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    assert c["n_wedges"] == wedges
+    if wedges:
+        assert abs(
+            c["transitivity"] - round(3.0 * c["n_triangles"] / wedges, 6)
+        ) < 1e-9
+        assert 0.0 <= c["transitivity"] <= 1.0
