@@ -41,6 +41,7 @@ from data_ingestion_pipeline_spark.functions.partitioning import fan_out
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
+    "cohens_kappa_quality_flags_documents",
     "gopher_repetition_documents",
     "winnowing_fingerprints_documents",
     "winnowing_near_copy_pairs_documents",
@@ -881,4 +882,125 @@ scored AS (
 SELECT doc_id, n_bigrams, avg_nll,
        CAST(ROUND(exp(avg_nll), 4) AS DOUBLE) AS ppl
 FROM scored
+"""
+
+
+def cohens_kappa_quality_flags_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohen's κ (Cohen 1960) between two deterministic document-quality
+    raters — the agreement statistic a labeling pipeline needs before
+    trusting ANY pair of heuristic filters as interchangeable: rater A
+    flags documents above the corpus-median character length, rater B
+    flags documents above the corpus-median whitespace-token count.
+    Raw agreement p_o overstates consensus when both raters mostly say
+    "keep"; κ = (p_o − p_e)/(1 − p_e) subtracts the chance agreement
+    p_e implied by each rater's own marginal rates. Published: the 2×2
+    agreement cells, p_o, p_e, κ.
+
+    Exactness: both medians are exact interpolated percentiles rounded
+    at 6 before comparison; all four cells are exact bigints; p_o, p_e
+    and κ are fixed double expressions over them rounded at 6 (κ NULL
+    when p_e = 1 — a constant rater — identically in both engines).
+    Scale shape: one tokenize-count pass to doc grain (the
+    ``vocab_coverage`` token idiom), two percentile passes over doc
+    grain, one bounded fold."""
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("nc"),
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda t: t != "",
+            )
+        )
+        .cast("bigint")
+        .alias("nt"),
+    )
+    meds = per_doc.agg(
+        F.round(F.percentile("nc", F.lit(0.5)), 6).alias("mc"),
+        F.round(F.percentile("nt", F.lit(0.5)), 6).alias("mt"),
+    )
+    flags = per_doc.crossJoin(F.broadcast(meds)).select(
+        (F.col("nc").cast("double") > F.col("mc")).alias("a"),
+        (F.col("nt").cast("double") > F.col("mt")).alias("b"),
+    )
+    cells = flags.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("a") & F.col("b")).cast("long")).cast("bigint").alias("n11"),
+        F.sum((F.col("a") & ~F.col("b")).cast("long")).cast("bigint").alias("n10"),
+        F.sum((~F.col("a") & F.col("b")).cast("long")).cast("bigint").alias("n01"),
+        F.sum((~F.col("a") & ~F.col("b")).cast("long")).cast("bigint").alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pa = (F.col("n11") + F.col("n10")).cast("double") / nd
+    pb = (F.col("n11") + F.col("n01")).cast("double") / nd
+    pe = pa * pb + (F.lit(1.0) - pa) * (F.lit(1.0) - pb)
+    kappa = F.when(pe < F.lit(1.0), F.round((po - pe) / (F.lit(1.0) - pe), 6))
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).cast("double").alias("p_observed"),
+        F.round(pe, 6).cast("double").alias("p_expected"),
+        kappa.cast("double").alias("kappa"),
+    )
+
+
+COHENS_KAPPA_QUALITY_FLAGS_DOCUMENTS_ORACLE = r"""
+WITH per_doc AS (
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS nc,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                t -> t <> '')) AS BIGINT) AS nt
+    FROM documents
+), meds AS (
+    SELECT ROUND(quantile_cont(nc, 0.5), 6) AS mc,
+           ROUND(quantile_cont(nt, 0.5), 6) AS mt
+    FROM per_doc
+), flags AS (
+    SELECT CAST(nc AS DOUBLE) > mc AS a, CAST(nt AS DOUBLE) > mt AS b
+    FROM per_doc CROSS JOIN meds
+), cells AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+           CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+           CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+           CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n00
+    FROM flags
+)
+SELECT n, n11, n10, n01, n00,
+       CAST(ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+            AS DOUBLE) AS p_observed,
+       CAST(ROUND(CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)
+                  * CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)
+                  + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)),
+                  6) AS DOUBLE) AS p_expected,
+       CAST(CASE WHEN CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)
+                      * CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)
+                      + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(n11 + n01 AS DOUBLE)
+                           / CAST(n AS DOUBLE)) < 1.0
+            THEN ROUND((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)
+                           * CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)
+                           + (1.0 - CAST(n11 + n10 AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                             * (1.0 - CAST(n11 + n01 AS DOUBLE)
+                                / CAST(n AS DOUBLE))))
+                       / (1.0 - (CAST(n11 + n10 AS DOUBLE)
+                                 / CAST(n AS DOUBLE)
+                                 * CAST(n11 + n01 AS DOUBLE)
+                                 / CAST(n AS DOUBLE)
+                                 + (1.0 - CAST(n11 + n10 AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                   * (1.0 - CAST(n11 + n01 AS DOUBLE)
+                                      / CAST(n AS DOUBLE)))), 6)
+            END AS DOUBLE) AS kappa
+FROM cells
 """

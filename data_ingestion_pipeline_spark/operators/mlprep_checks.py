@@ -26,6 +26,8 @@ from data_ingestion_pipeline_spark.sources.catalog import load_table
 from data_ingestion_pipeline_spark.operators.llm_data import EMB_DIM
 
 __all__ = [
+    "nn1_label_accuracy_embeddings",
+    "nmi_ivf_cells_labels_embeddings",
     "jl_projection_distortion_embeddings",
     "chao1_trigram_richness_documents",
     "JL_PROJECTION_DISTORTION_EMBEDDINGS_ORACLE",
@@ -2633,4 +2635,247 @@ SELECT v_obs, n_grams, f1, f2,
             THEN 1.0 - CAST(f1 AS DOUBLE) / CAST(n_grams AS DOUBLE) END, 6)
             AS DOUBLE) AS good_coverage
 FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# round 11: label-supervised embedding-quality readouts
+# --------------------------------------------------------------------------
+
+def nn1_label_accuracy_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label accuracy — the standard supervised probe
+    of an embedding space (does cosine geometry respect the labels?),
+    the readout that grades retrieval quality where
+    ``simplified_silhouette_embeddings`` grades cluster shape and the
+    ANN recall gates grade index fidelity: each vector's nearest OTHER
+    vector votes, accuracy = share of votes matching the true label,
+    reported per label (a per-class confusion lens — one weak label
+    dilutes only its own row).
+
+    Reuses the blocked cogrouped-BLAS kNN kernel at k=1 (the
+    ``knn_graph_embeddings`` path — never an N² pair materialization;
+    each B×B block pair emits only its local top-1) and joins labels
+    back by id. Exactness: neighbor ranking on the 6-rounded cosine
+    with id tiebreak (the knn_graph contract — matmul vs sequential
+    fold agree at 6 decimals); counts are exact bigints; accuracy is
+    one double ratio rounded at 6."""
+    from data_ingestion_pipeline_spark.similarity.knn import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn1 = knn_graph(emb, "vec_id", "embedding", k=1)
+    lab = emb.select("vec_id", "label")
+    j = (
+        nn1.join(
+            lab.select(
+                F.col("vec_id").alias("src_id"), F.col("label").alias("y")
+            ),
+            "src_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("nbr_id"), F.col("label").alias("y_nn")
+            ),
+            "nbr_id",
+        )
+    )
+    return (
+        j.groupBy("y")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum((F.col("y_nn") == F.col("y")).cast("long"))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .select(
+            F.col("y").cast("int").alias("label"),
+            "n_vecs",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double")
+                / F.col("n_vecs").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("accuracy"),
+        )
+    )
+
+
+NN1_LABEL_ACCURACY_EMBEDDINGS_ORACLE = """
+WITH nn1 AS (
+    SELECT src_id, nbr_id FROM (
+        SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                                a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]), 6) DESC,
+                            b.vec_id
+               ) AS rnk
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ) WHERE rnk = 1
+)
+SELECT CAST(la.label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN lb.label = la.label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+       CAST(ROUND(CAST(SUM(CASE WHEN lb.label = la.label THEN 1 ELSE 0 END)
+                       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE)
+           AS accuracy
+FROM nn1
+JOIN embeddings la ON la.vec_id = nn1.src_id
+JOIN embeddings lb ON lb.vec_id = nn1.nbr_id
+GROUP BY la.label
+"""
+
+
+def nmi_ivf_cells_labels_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Normalized mutual information between the IVF coarse-cell
+    assignment and the label column — the unsupervised-vs-supervised
+    agreement readout (Strehl & Ghosh 2002): do the data-adaptive cells
+    the ANN index routes through actually line up with the semantic
+    labels? NMI = I(cell; label) / √(H(cell)·H(label)) ∈ [0, 1]; the
+    geometric normalization makes it comparable across cell counts.
+    Complements ``simplified_silhouette_embeddings`` (geometry-only)
+    and ``nn1_label_accuracy_embeddings`` (neighbor-level).
+
+    Routing is the hash-checked ``ann_ivf_topk`` replay: 16 strided-
+    sample centroids, argmax-dot assignment with numpy-first-wins ties
+    (= ORDER BY dot DESC, cid ASC in the oracle — the bitwise
+    list_inner_product precedent). Exactness: all cells/margins exact
+    bigints; every log is ln rounded at 9 (the MI idiom); I and both
+    entropies fold per-cell double terms in decimal and round at 6;
+    NMI is one final ratio of the rounded values, rounded at 6. Scale
+    shape: one Arrow-batched matmul pass to assign, one hash-agg to the
+    ≤(cells×labels) grain, window margins over that bounded relation."""
+    from data_ingestion_pipeline_spark.similarity.ivf import (
+        ivf_assign,
+        sample_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sample_centroids(emb, n_centroids=16)
+    assigned = ivf_assign(emb, cents).select("label", "list_id")
+    cells = assigned.groupBy("list_id", "label").agg(
+        F.count("*").cast("bigint").alias("obs")
+    )
+    nx = F.sum("obs").over(Window.partitionBy("list_id")).cast("bigint")
+    ny = F.sum("obs").over(Window.partitionBy("label")).cast("bigint")
+    n = F.sum("obs").over(Window.partitionBy()).cast("bigint")
+    m = cells.select(
+        "obs", nx.alias("nx"), ny.alias("ny"), n.alias("n"), "list_id", "label"
+    )
+
+    def ln9(c):
+        return F.round(F.log(c.cast("double")), 9)
+
+    p = F.col("obs").cast("double") / F.col("n").cast("double")
+    mi_t = p * (
+        ln9(F.col("n")) + ln9(F.col("obs")) - ln9(F.col("nx")) - ln9(F.col("ny"))
+    )
+    agg = m.agg(
+        F.countDistinct("list_id").cast("bigint").alias("n_cells"),
+        F.countDistinct("label").cast("bigint").alias("n_labels"),
+        F.max("n").alias("n"),
+        F.round(dec_sum(mi_t, 27, 12), 6).cast("double").alias("mi"),
+    )
+    margx = cells.groupBy("list_id").agg(F.sum("obs").cast("bigint").alias("c"))
+    margy = cells.groupBy("label").agg(F.sum("obs").cast("bigint").alias("c"))
+
+    def entropy(df: DataFrame, name: str) -> DataFrame:
+        tot = df.agg(F.sum("c").cast("bigint").alias("nn"))
+        t = df.crossJoin(F.broadcast(tot)).select(
+            (
+                -(F.col("c").cast("double") / F.col("nn").cast("double"))
+                * (ln9(F.col("c")) - ln9(F.col("nn")))
+            ).alias("t")
+        )
+        return t.agg(F.round(dec_sum(F.col("t"), 27, 12), 6).cast("double").alias(name))
+
+    hx = entropy(margx, "h_cell")
+    hy = entropy(margy, "h_label")
+    j = agg.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    nmi = F.when(
+        (F.col("h_cell") > F.lit(0.0)) & (F.col("h_label") > F.lit(0.0)),
+        F.round(
+            F.col("mi") / F.sqrt(F.col("h_cell") * F.col("h_label")), 6
+        ),
+    )
+    return j.select(
+        "n_cells",
+        "n_labels",
+        "n",
+        "mi",
+        "h_cell",
+        "h_label",
+        nmi.cast("double").alias("nmi"),
+    )
+
+
+NMI_IVF_CELLS_LABELS_EMBEDDINGS_ORACLE = """
+WITH params AS (
+    SELECT GREATEST(COUNT(*) // 16, 1) AS stride FROM embeddings
+), cent AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY e.vec_id) - 1 AS cid,
+           e.embedding::DOUBLE[] AS cv
+    FROM embeddings e, params p
+    WHERE e.vec_id % p.stride = 0 AND e.vec_id < p.stride * 16
+), assigned AS (
+    SELECT label, list_id FROM (
+        SELECT e.label, c.cid AS list_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_inner_product(e.embedding::DOUBLE[], c.cv)
+                       DESC, c.cid ASC
+               ) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+), cells AS (
+    SELECT list_id, label, CAST(COUNT(*) AS BIGINT) AS obs
+    FROM assigned GROUP BY 1, 2
+), m AS (
+    SELECT obs, list_id, label,
+           CAST(SUM(obs) OVER (PARTITION BY list_id) AS BIGINT) AS nx,
+           CAST(SUM(obs) OVER (PARTITION BY label) AS BIGINT) AS ny,
+           CAST(SUM(obs) OVER () AS BIGINT) AS n
+    FROM cells
+), agg AS (
+    SELECT CAST(COUNT(DISTINCT list_id) AS BIGINT) AS n_cells,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+           MAX(n) AS n,
+           CAST(ROUND(SUM(CAST(
+               (CAST(obs AS DOUBLE) / CAST(n AS DOUBLE))
+               * (ROUND(LN(CAST(n AS DOUBLE)), 9)
+                  + ROUND(LN(CAST(obs AS DOUBLE)), 9)
+                  - ROUND(LN(CAST(nx AS DOUBLE)), 9)
+                  - ROUND(LN(CAST(ny AS DOUBLE)), 9))
+               AS DECIMAL(27,12))), 6) AS DOUBLE) AS mi
+    FROM m
+), hx AS (
+    SELECT CAST(ROUND(SUM(CAST(
+        -(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+        * (ROUND(LN(CAST(c AS DOUBLE)), 9) - ROUND(LN(CAST(nn AS DOUBLE)), 9))
+        AS DECIMAL(27,12))), 6) AS DOUBLE) AS h_cell
+    FROM (
+        SELECT list_id, CAST(SUM(obs) AS BIGINT) AS c,
+               CAST(SUM(SUM(obs)) OVER () AS BIGINT) AS nn
+        FROM cells GROUP BY list_id
+    )
+), hy AS (
+    SELECT CAST(ROUND(SUM(CAST(
+        -(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+        * (ROUND(LN(CAST(c AS DOUBLE)), 9) - ROUND(LN(CAST(nn AS DOUBLE)), 9))
+        AS DECIMAL(27,12))), 6) AS DOUBLE) AS h_label
+    FROM (
+        SELECT label, CAST(SUM(obs) AS BIGINT) AS c,
+               CAST(SUM(SUM(obs)) OVER () AS BIGINT) AS nn
+        FROM cells GROUP BY label
+    )
+)
+SELECT n_cells, n_labels, n, mi, h_cell, h_label,
+       CAST(CASE WHEN h_cell > 0.0 AND h_label > 0.0
+            THEN ROUND(mi / SQRT(h_cell * h_label), 6) END AS DOUBLE) AS nmi
+FROM agg CROSS JOIN hx CROSS JOIN hy
 """

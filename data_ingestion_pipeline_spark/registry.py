@@ -519,6 +519,9 @@ _ROUND12_QUEUE: list[str] = [
     "randomization_test_ab_value",
     "hodges_lehmann_purchase_view_daily",
     "transitivity_copurchase_parts",
+    "nn1_label_accuracy_embeddings",
+    "nmi_ivf_cells_labels_embeddings",
+    "cohens_kappa_quality_flags_documents",
 ]
 
 
@@ -3038,4 +3041,22 @@ register(
     "transitivity_copurchase_parts",
     analytics_checks.transitivity_copurchase_parts,
     analytics_checks.TRANSITIVITY_COPURCHASE_PARTS_ORACLE,
+)
+
+register(
+    "nn1_label_accuracy_embeddings",
+    mlprep_checks.nn1_label_accuracy_embeddings,
+    mlprep_checks.NN1_LABEL_ACCURACY_EMBEDDINGS_ORACLE,
+)
+
+register(
+    "nmi_ivf_cells_labels_embeddings",
+    mlprep_checks.nmi_ivf_cells_labels_embeddings,
+    mlprep_checks.NMI_IVF_CELLS_LABELS_EMBEDDINGS_ORACLE,
+)
+
+register(
+    "cohens_kappa_quality_flags_documents",
+    corpus_quality.cohens_kappa_quality_flags_documents,
+    corpus_quality.COHENS_KAPPA_QUALITY_FLAGS_DOCUMENTS_ORACLE,
 )

@@ -489,3 +489,107 @@ def test_transitivity_matches_triangle_census_and_python_wedges(spark, sf_dir):
             c["transitivity"] - round(3.0 * c["n_triangles"] / wedges, 6)
         ) < 1e-9
         assert 0.0 <= c["transitivity"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# round-11 batch 3: embedding-label readouts + rater agreement
+# ---------------------------------------------------------------------------
+
+
+def test_nn1_accuracy_matches_numpy_brute_force(spark):
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.operators.mlprep_checks import (
+        nn1_label_accuracy_embeddings,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    y = np.array([r["label"] for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = np.round(Xn @ Xn.T, 6)
+    np.fill_diagonal(S, -np.inf)
+    correct = {}
+    total = {}
+    for i in range(len(rows)):
+        # (score desc, id asc) tie-break — the knn_graph contract
+        best = max(
+            range(len(rows)),
+            key=lambda j: (S[i, j], -ids[j]) if j != i else (-np.inf, 0),
+        )
+        total[y[i]] = total.get(y[i], 0) + 1
+        if y[best] == y[i]:
+            correct[y[i]] = correct.get(y[i], 0) + 1
+    got = {
+        r["label"]: r
+        for r in nn1_label_accuracy_embeddings(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(total)
+    for lab in total:
+        assert got[lab]["n_vecs"] == total[lab]
+        assert got[lab]["n_correct"] == correct.get(lab, 0), lab
+
+
+def test_nmi_bounds_and_marginal_consistency(spark, sf_dir):
+    from data_ingestion_pipeline_spark.operators.mlprep_checks import (
+        nmi_ivf_cells_labels_embeddings,
+    )
+
+    row = nmi_ivf_cells_labels_embeddings(spark, sf_dir).collect()[0]
+    assert row["n_cells"] <= 16 and row["n_labels"] >= 2
+    assert row["mi"] >= -1e-6
+    assert row["h_cell"] > 0 and row["h_label"] > 0
+    assert 0.0 <= row["nmi"] <= 1.0 + 1e-9
+    # MI can never exceed either marginal entropy
+    assert row["mi"] <= min(row["h_cell"], row["h_label"]) + 1e-6
+
+
+def test_cohens_kappa_matches_python_mirror(spark, sf_dir):
+    from data_ingestion_pipeline_spark.operators.corpus_quality import (
+        cohens_kappa_quality_flags_documents,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars", "text")
+        .collect()
+    )
+    nc = [r["n_chars"] for r in rows]
+    nt = [len([t for t in r["text"].strip().split() if t]) for r in rows]
+
+    def med(vs):
+        vs = sorted(vs)
+        n = len(vs)
+        return round(
+            vs[n // 2] if n % 2 else (vs[n // 2 - 1] + vs[n // 2]) / 2.0, 6
+        )
+
+    mc, mt = med(nc), med(nt)
+    n11 = n10 = n01 = n00 = 0
+    for c, t in zip(nc, nt):
+        a, b = c > mc, t > mt
+        if a and b:
+            n11 += 1
+        elif a:
+            n10 += 1
+        elif b:
+            n01 += 1
+        else:
+            n00 += 1
+    n = len(rows)
+    po = (n11 + n00) / n
+    pa, pb = (n11 + n10) / n, (n11 + n01) / n
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    kappa = (po - pe) / (1 - pe)
+    row = cohens_kappa_quality_flags_documents(spark, sf_dir).collect()[0]
+    assert (row["n11"], row["n10"], row["n01"], row["n00"]) == (
+        n11, n10, n01, n00,
+    )
+    assert abs(row["kappa"] - kappa) < 1e-5
+    # the two length-flavored raters must agree beyond chance on this corpus
+    assert row["kappa"] > 0
