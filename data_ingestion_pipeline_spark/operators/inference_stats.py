@@ -24,6 +24,7 @@ from data_ingestion_pipeline_spark.functions.numeric import dec_sum, dec_sum2
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
+    "breusch_pagan_price_quantity",
     "wilson_ci_purchase_rate_daily",
     "oneway_anova_event_values",
     "gini_lorenz_customer_spend",
@@ -3580,4 +3581,129 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM px) AS n_days_purchase,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(ROUND(quantile_cont(d, 0.5), 6) AS DOUBLE) AS hl_shift
 FROM pairs
+"""
+
+
+def breusch_pagan_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch–Pagan heteroscedasticity test (Breusch & Pagan 1979;
+    Koenker 1981's studentized form) on the pooled price~quantity OLS —
+    the residual-VARIANCE diagnostic the robustness ladder
+    (OLS/Huber/LAD slopes) presumes: regress the squared residuals on
+    the regressor; BP = n·R² of that auxiliary fit, χ²(1) under
+    homoscedasticity. A significant BP says the OLS standard errors are
+    unreliable and the Huber/LAD fits are not optional.
+
+    Exactness: the OLS fit is the closed-form 5-sum with β re-rounded
+    at 9 (the regression-ladder contract); squared residuals are exact
+    algebra over those; the auxiliary R² = sxy_c²/(sxx_c·syy_c) comes
+    from one more decimal-folded 5-sum; BP is one double expression
+    rounded at 6 against the shared 3.841459 literal. Scale shape: TWO
+    corpus passes total (fit sums, then residual sums) — no joins, no
+    iteration."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    agg = li.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("x"), 27, 12).cast("double").alias("sx"),
+        dec_sum(F.col("y"), 38, 12).cast("double").alias("sy"),
+        dec_sum(F.col("x") * F.col("y"), 38, 12).cast("double").alias("sxy"),
+        dec_sum(F.col("x") * F.col("x"), 38, 12).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    det0 = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    b1 = F.round((nd * F.col("sxy") - F.col("sx") * F.col("sy")) / det0, 9)
+    params = agg.select(
+        "n",
+        F.when(det0 > F.lit(0.0), b1).alias("b1"),
+        "sx",
+        "sy",
+    ).select(
+        "n",
+        "b1",
+        F.round((F.col("sy") - F.col("b1") * F.col("sx")) / nd, 9).alias("b0"),
+    )
+    j = li.crossJoin(F.broadcast(params))
+    r = F.col("y") - F.round(F.col("b0") + F.col("b1") * F.col("x"), 9)
+    u = r * r
+    aux = j.select("n", F.col("x"), u.alias("u")).agg(
+        F.max("n").alias("n"),
+        dec_sum(F.col("x"), 27, 12).cast("double").alias("ax"),
+        dec_sum(F.col("u"), 38, 9).cast("double").alias("au"),
+        dec_sum(F.col("x") * F.col("u"), 38, 9).cast("double").alias("axu"),
+        dec_sum(F.col("x") * F.col("x"), 38, 12).cast("double").alias("axx"),
+        dec_sum(F.col("u") * F.col("u"), 38, 6).cast("double").alias("auu"),
+    )
+    nD = F.col("n").cast("double")
+    sxy_c = F.col("axu") - F.col("ax") * F.col("au") / nD
+    sxx_c = F.col("axx") - F.col("ax") * F.col("ax") / nD
+    syy_c = F.col("auu") - F.col("au") * F.col("au") / nD
+    r2 = F.when(
+        (sxx_c > F.lit(0.0)) & (syy_c > F.lit(0.0)),
+        sxy_c * sxy_c / (sxx_c * syy_c),
+    )
+    bp = F.round(nD * r2, 6)
+    return aux.select(
+        F.col("n").alias("n_rows"),
+        F.round(r2, 6).cast("double").alias("aux_r2"),
+        bp.cast("double").alias("bp_stat"),
+        F.coalesce(bp > F.lit(3.841459), F.lit(False)).alias(
+            "heteroscedastic"
+        ),
+    )
+
+
+BREUSCH_PAGAN_PRICE_QUANTITY_ORACLE = """
+WITH base AS (
+    SELECT CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_extendedprice AS DOUBLE) AS y
+    FROM lineitem
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+    FROM base
+), params AS (
+    SELECT n, b1,
+           ROUND((sy - b1 * sx) / CAST(n AS DOUBLE), 9) AS b0
+    FROM (
+        SELECT *,
+               CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
+                    THEN ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                               / (CAST(n AS DOUBLE) * sxx - sx * sx), 9)
+               END AS b1
+        FROM agg
+    )
+), aux AS (
+    SELECT MAX(n) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS ax,
+           CAST(SUM(CAST(u AS DECIMAL(38,9))) AS DOUBLE) AS au,
+           CAST(SUM(CAST(x * u AS DECIMAL(38,9))) AS DOUBLE) AS axu,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS axx,
+           CAST(SUM(CAST(u * u AS DECIMAL(38,6))) AS DOUBLE) AS auu
+    FROM (
+        SELECT n, x,
+               (y - ROUND(b0 + b1 * x, 9)) * (y - ROUND(b0 + b1 * x, 9)) AS u
+        FROM base CROSS JOIN params
+    )
+), c AS (
+    SELECT n,
+           axu - ax * au / CAST(n AS DOUBLE) AS sxy_c,
+           axx - ax * ax / CAST(n AS DOUBLE) AS sxx_c,
+           auu - au * au / CAST(n AS DOUBLE) AS syy_c
+    FROM aux
+)
+SELECT n AS n_rows,
+       CAST(ROUND(CASE WHEN sxx_c > 0.0 AND syy_c > 0.0
+            THEN sxy_c * sxy_c / (sxx_c * syy_c) END, 6) AS DOUBLE) AS aux_r2,
+       CAST(ROUND(CASE WHEN sxx_c > 0.0 AND syy_c > 0.0
+            THEN CAST(n AS DOUBLE) * sxy_c * sxy_c / (sxx_c * syy_c) END, 6)
+            AS DOUBLE) AS bp_stat,
+       COALESCE(ROUND(CASE WHEN sxx_c > 0.0 AND syy_c > 0.0
+            THEN CAST(n AS DOUBLE) * sxy_c * sxy_c / (sxx_c * syy_c) END, 6)
+            > 3.841459, FALSE) AS heteroscedastic
+FROM c
 """

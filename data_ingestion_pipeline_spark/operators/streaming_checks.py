@@ -25,6 +25,7 @@ from data_ingestion_pipeline_spark.streaming.windows import (
 )
 
 __all__ = [
+    "streaming_interval_full_outer_events",
     "streaming_ingest_merge_events",
     "streaming_ingest_merge_keyed_events",
     "streaming_incremental_agg_events",
@@ -1095,4 +1096,77 @@ WITH counts AS (
 )
 SELECT day, rnk, event_type, n_events
 FROM ranked WHERE rnk <= 3
+"""
+
+
+def streaming_interval_full_outer_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: matched purchase–view
+    pairs plus BOTH null directions — unmatched purchases (no view in
+    the hour before) and unmatched views (no purchase in the hour
+    after), each emitted only once the watermark PROVES the match can
+    no longer arrive. Completes the interval-join tier
+    (inner → left-outer → full-outer).
+
+    Finalization: neither side younger than watermark + band at
+    end-of-input ever finalizes in a finite availableNow run, so the
+    checkable region restricts the OUTPUT on the timestamp each row
+    carries (p_ts for matched/null-view rows — a matched view is
+    always ≤ its purchase, so no separate view bound is needed there —
+    v_ts for null-purchase rows) to max(ts) − 4h (2h watermark + 1h
+    band + 1h slack). The oracle joins UNFILTERED sides and applies
+    the identical output predicate: pre-filtering the inputs would
+    re-label late matches as unmatched and diverge."""
+    from data_ingestion_pipeline_spark.streaming.joins import (
+        purchases_views_interval_full_outer,
+    )
+
+    tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    name = f"stream_ivlfull_{tag}"
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    views = _events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    joined = purchases_views_interval_full_outer(purchases, views)
+    with _stream_state_partitions(spark):
+        query = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        out = _drain(query, spark, name)
+    cutoff = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+    import datetime
+
+    finalized = cutoff - datetime.timedelta(hours=4)
+    keep = (
+        F.col("p_ts").isNotNull() & (F.col("p_ts") <= F.lit(finalized))
+    ) | (F.col("p_ts").isNull() & (F.col("v_ts") <= F.lit(finalized)))
+    return out.filter(keep).drop("p_ts", "v_ts")
+
+
+STREAMING_INTERVAL_FULL_OUTER_EVENTS_ORACLE = """
+WITH cutoff AS (SELECT MAX(ts) - INTERVAL 4 HOUR AS m FROM events),
+p AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view')
+SELECT COALESCE(p.user_id, v.user_id) AS user_id,
+       p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+           AS secs_before
+FROM p FULL OUTER JOIN v
+  ON p.user_id = v.user_id
+ AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+CROSS JOIN cutoff
+WHERE (p.ts IS NOT NULL AND p.ts <= m)
+   OR (p.ts IS NULL AND v.ts <= m)
 """

@@ -26,6 +26,9 @@ from data_ingestion_pipeline_spark.functions.numeric import dec_sum
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
+    "ccf_purchase_view_daily",
+    "granger_lag1_view_to_purchase_daily",
+    "chow_test_daily_midpoint",
     "pacf_daily_values",
     "rolling_corr_purchase_view_14d",
     "autocorr_daily_value",
@@ -2180,3 +2183,413 @@ FROM ({unions})
 
 
 PACF_DAILY_VALUES_ORACLE = _pacf_oracle()
+
+
+def ccf_purchase_view_daily(
+    spark: SparkSession, sf_dir: str, max_lag: int = 3
+) -> DataFrame:
+    """Cross-correlation function between the purchase and view daily
+    mean values at lags −3..+3 — the LEAD/LAG structure
+    ``partial_corr_purchase_view_daily`` (contemporaneous) and the ACF
+    tier (single-series) cannot see: r_xy(k) correlates x_t (purchase)
+    with y_{t+k} (view); positive-lag peaks mean purchases LEAD views,
+    negative-lag peaks the reverse — the first diagnostic before any
+    transfer-function or Granger story. Normalization is the standard
+    cross-correlation estimator r(k) = Σ(x_t−x̄)(y_{t+k}−ȳ) /
+    √(Σ(x−x̄)²·Σ(y−ȳ)²) over the common-day-indexed series.
+
+    Exactness: daily means fold in decimal; moments and lagged products
+    fold in DECIMAL(38,15); each r(k) is one fixed double expression
+    rounded at 6. Scale shape: one aggregation to the calendar-bounded
+    (day, type) grain, a (day × 7)-bounded lag self-join on the shared
+    day index, bounded folds — the Ljung–Box shape with two series."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(
+        (
+            dec_sum(F.col("value"), 27, 12).cast("double")
+            / F.count("*").cast("double")
+        ).alias("m")
+    )
+    px = daily.filter(F.col("event_type") == "purchase").select("day", F.col("m").alias("x"))
+    vx = daily.filter(F.col("event_type") == "view").select("day", F.col("m").alias("y"))
+    both = px.join(vx, "day")
+    wd = Window.orderBy("day")
+    idx = both.select(
+        F.row_number().over(wd).cast("bigint").alias("i"), "x", "y"
+    ).localCheckpoint(eager=False)
+    tot = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("x"), 38, 15).cast("double").alias("sx"),
+        dec_sum(F.col("y"), 38, 15).cast("double").alias("sy"),
+        dec_sum(F.col("x") * F.col("x"), 38, 15).cast("double").alias("sxx"),
+        dec_sum(F.col("y") * F.col("y"), 38, 15).cast("double").alias("syy"),
+    )
+    ks = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("bigint").alias("k")
+    )
+    a = idx.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = idx.select(F.col("i").alias("ib"), F.col("y").alias("yb"))
+    pairs = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, F.col("ib") == F.col("ia") + F.col("k"))
+        .crossJoin(F.broadcast(tot))
+    )
+    nD = F.col("n").cast("double")
+    mx = F.col("sx") / nD
+    my = F.col("sy") / nD
+    num = pairs.groupBy("k", "n", "sx", "sy", "sxx", "syy").agg(
+        F.sum(((F.col("xa") - mx) * (F.col("yb") - my)).cast("decimal(38,15)"))
+        .cast("double")
+        .alias("ck")
+    )
+    den = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / nD)
+        * (F.col("syy") - F.col("sy") * F.col("sy") / nD)
+    )
+    return num.select(
+        F.col("n").alias("n_days"),
+        F.col("k").cast("int").alias("lag"),
+        F.round(F.col("ck") / den, 6).cast("double").alias("ccf"),
+    )
+
+
+CCF_PURCHASE_VIEW_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS m
+    FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1, 2
+), both_s AS (
+    SELECT p.day, p.m AS x, v.m AS y
+    FROM (SELECT day, m FROM daily WHERE event_type = 'purchase') p
+    JOIN (SELECT day, m FROM daily WHERE event_type = 'view') v
+      USING (day)
+), idx AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i, x, y
+    FROM both_s
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,15))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,15))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,15))) AS DOUBLE) AS syy
+    FROM idx
+), ks AS (SELECT CAST(r.range AS BIGINT) AS k FROM range(-3, 4) r),
+num AS (
+    SELECT ks.k, tot.n, tot.sx, tot.sy, tot.sxx, tot.syy,
+           CAST(SUM(CAST((a.x - tot.sx / CAST(tot.n AS DOUBLE))
+                         * (b.y - tot.sy / CAST(tot.n AS DOUBLE))
+                    AS DECIMAL(38,15))) AS DOUBLE) AS ck
+    FROM idx a CROSS JOIN ks JOIN idx b ON b.i = a.i + ks.k
+    CROSS JOIN tot
+    GROUP BY ks.k, tot.n, tot.sx, tot.sy, tot.sxx, tot.syy
+)
+SELECT n AS n_days, CAST(k AS INT) AS lag,
+       CAST(ROUND(ck / SQRT((sxx - sx * sx / CAST(n AS DOUBLE))
+                            * (syy - sy * sy / CAST(n AS DOUBLE))), 6)
+            AS DOUBLE) AS ccf
+FROM num
+"""
+
+
+def granger_lag1_view_to_purchase_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lag-1 Granger-causality test of "do yesterday's VIEWS predict
+    today's PURCHASES beyond yesterday's purchases?" — computed as the
+    PARTIAL correlation of (y_t, x_{t−1}) given y_{t−1} (for a single
+    added regressor the partial-correlation t-test and the
+    restricted-vs-full regression F-test are the SAME test: F = t²),
+    which keeps the whole statistic in closed 2×2 form instead of a
+    3×3 normal-equation solve. y = purchase daily mean, x = view daily
+    mean on the common day index.
+
+    Exactness: the three pairwise correlations fold centered products
+    in DECIMAL(38,15) and round at 9; r_partial, t and F = t² are fixed
+    double expressions rounded at 6; `significant` uses the asymptotic
+    F(1,∞) = χ²(1) critical 3.841459 (documented asymptotic — at the
+    daily grain n−3 > 300, where the exact F(1, n−3) critical differs
+    in the third decimal). Scale shape: one (day, type) aggregation,
+    one lag-1 self-join on the day index, one bounded fold."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(
+        (
+            dec_sum(F.col("value"), 27, 12).cast("double")
+            / F.count("*").cast("double")
+        ).alias("m")
+    )
+    px = daily.filter(F.col("event_type") == "purchase").select(
+        "day", F.col("m").alias("y")
+    )
+    vx = daily.filter(F.col("event_type") == "view").select(
+        "day", F.col("m").alias("x")
+    )
+    both = px.join(vx, "day")
+    wd = Window.orderBy("day")
+    idx = both.select(
+        F.row_number().over(wd).cast("bigint").alias("i"), "x", "y"
+    ).localCheckpoint(eager=False)
+    cur = idx.select(F.col("i").alias("ic"), F.col("y").alias("yt"))
+    prev = idx.select(
+        (F.col("i") + 1).alias("ic"),
+        F.col("y").alias("yl"),
+        F.col("x").alias("xl"),
+    )
+    tri = cur.join(prev, "ic")
+    s = tri.agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[
+            dec_sum(c, 38, 15).cast("double").alias(a)
+            for c, a in [
+                (F.col("yt"), "s1"),
+                (F.col("yl"), "s2"),
+                (F.col("xl"), "s3"),
+                (F.col("yt") * F.col("yt"), "s11"),
+                (F.col("yl") * F.col("yl"), "s22"),
+                (F.col("xl") * F.col("xl"), "s33"),
+                (F.col("yt") * F.col("yl"), "s12"),
+                (F.col("yt") * F.col("xl"), "s13"),
+                (F.col("yl") * F.col("xl"), "s23"),
+            ]
+        ],
+    )
+    nD = F.col("n").cast("double")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return F.round(
+            (F.col(sab) - F.col(sa) * F.col(sb) / nD)
+            / F.sqrt(
+                (F.col(saa) - F.col(sa) * F.col(sa) / nD)
+                * (F.col(sbb) - F.col(sb) * F.col(sb) / nD)
+            ),
+            9,
+        )
+
+    r13 = corr("s13", "s1", "s3", "s11", "s33")  # y_t vs x_{t-1}
+    r12 = corr("s12", "s1", "s2", "s11", "s22")  # y_t vs y_{t-1}
+    r23 = corr("s23", "s2", "s3", "s22", "s33")  # y_{t-1} vs x_{t-1}
+    rp = (r13 - r12 * r23) / F.sqrt(
+        (F.lit(1.0) - r12 * r12) * (F.lit(1.0) - r23 * r23)
+    )
+    fstat = (
+        rp * rp * (nD - F.lit(3.0)) / (F.lit(1.0) - rp * rp)
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(rp, 6).cast("double").alias("r_partial"),
+        F.round(fstat, 6).cast("double").alias("f_stat"),
+        (F.round(fstat, 6) > F.lit(3.841459)).alias("granger_causal"),
+    )
+
+
+GRANGER_LAG1_VIEW_TO_PURCHASE_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS m
+    FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1, 2
+), both_s AS (
+    SELECT p.day, p.m AS y, v.m AS x
+    FROM (SELECT day, m FROM daily WHERE event_type = 'purchase') p
+    JOIN (SELECT day, m FROM daily WHERE event_type = 'view') v
+      USING (day)
+), idx AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i, x, y
+    FROM both_s
+), tri AS (
+    SELECT c.y AS yt, p.y AS yl, p.x AS xl
+    FROM idx c JOIN idx p ON c.i = p.i + 1
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(yt AS DECIMAL(38,15))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(yl AS DECIMAL(38,15))) AS DOUBLE) AS s2,
+           CAST(SUM(CAST(xl AS DECIMAL(38,15))) AS DOUBLE) AS s3,
+           CAST(SUM(CAST(yt * yt AS DECIMAL(38,15))) AS DOUBLE) AS s11,
+           CAST(SUM(CAST(yl * yl AS DECIMAL(38,15))) AS DOUBLE) AS s22,
+           CAST(SUM(CAST(xl * xl AS DECIMAL(38,15))) AS DOUBLE) AS s33,
+           CAST(SUM(CAST(yt * yl AS DECIMAL(38,15))) AS DOUBLE) AS s12,
+           CAST(SUM(CAST(yt * xl AS DECIMAL(38,15))) AS DOUBLE) AS s13,
+           CAST(SUM(CAST(yl * xl AS DECIMAL(38,15))) AS DOUBLE) AS s23
+    FROM tri
+), r AS (
+    SELECT n,
+           ROUND((s13 - s1 * s3 / CAST(n AS DOUBLE))
+                 / SQRT((s11 - s1 * s1 / CAST(n AS DOUBLE))
+                        * (s33 - s3 * s3 / CAST(n AS DOUBLE))), 9) AS r13,
+           ROUND((s12 - s1 * s2 / CAST(n AS DOUBLE))
+                 / SQRT((s11 - s1 * s1 / CAST(n AS DOUBLE))
+                        * (s22 - s2 * s2 / CAST(n AS DOUBLE))), 9) AS r12,
+           ROUND((s23 - s2 * s3 / CAST(n AS DOUBLE))
+                 / SQRT((s22 - s2 * s2 / CAST(n AS DOUBLE))
+                        * (s33 - s3 * s3 / CAST(n AS DOUBLE))), 9) AS r23
+    FROM s
+), rp AS (
+    SELECT n,
+           (r13 - r12 * r23)
+             / SQRT((1.0 - r12 * r12) * (1.0 - r23 * r23)) AS rp
+    FROM r
+)
+SELECT n AS n_days,
+       CAST(ROUND(rp, 6) AS DOUBLE) AS r_partial,
+       CAST(ROUND(rp * rp * (CAST(n AS DOUBLE) - 3.0) / (1.0 - rp * rp), 6)
+            AS DOUBLE) AS f_stat,
+       ROUND(rp * rp * (CAST(n AS DOUBLE) - 3.0) / (1.0 - rp * rp), 6)
+           > 3.841459 AS granger_causal
+FROM rp
+"""
+
+
+def chow_test_daily_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test (Chow 1960) for a structural break in the daily-mean
+    trend at the series midpoint — the CONFIRMATORY companion to
+    ``binseg_changepoint_daily`` (binseg SEARCHES for the break; Chow
+    TESTS a hypothesized one): fit the OLS line mean~day_index on each
+    half and pooled, F = ((SSR_p − SSR_1 − SSR_2)/2) /
+    ((SSR_1 + SSR_2)/(n − 4)). The midpoint split is deterministic
+    (⌈n/2⌉ days in the first segment), so both engines test the same
+    hypothesis.
+
+    Exactness: per-segment 5-sums fold in DECIMAL(38,15); each SSR is
+    the closed form syy_c − sxy_c²/sxx_c over identical doubles; F is
+    one fixed expression rounded at 6; `significant` uses the
+    asymptotic 2F ~ χ²(2) critical 5.991465 (documented — at n−4 > 300
+    the exact F(2, n−4) critical differs past the second decimal).
+    Scale shape: one daily aggregation, one bounded window for the day
+    index, one grouped fold at segment grain (2 rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            dec_sum(F.col("value"), 27, 12).cast("double")
+            / F.count("*").cast("double")
+        ).alias("m")
+    )
+    wd = Window.orderBy("day")
+    nrow = daily.agg(
+        F.count("*").cast("bigint").alias("n"), F.lit(1).alias("one")
+    )
+    idx = (
+        daily.select(
+            F.row_number().over(wd).cast("bigint").alias("i"), "m"
+        )
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(nrow), "one")
+        .select(
+            "i",
+            "m",
+            F.col("i").cast("double").alias("x"),
+            (F.col("i") <= (F.col("n") + 1) / 2).cast("int").alias("seg"),
+            "n",
+        )
+    )
+
+    def sums(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count("*").cast("bigint").alias("c"),
+            dec_sum(F.col("x"), 38, 15).cast("double").alias("sx"),
+            dec_sum(F.col("m"), 38, 15).cast("double").alias("sy"),
+            dec_sum(F.col("x") * F.col("m"), 38, 15).cast("double").alias("sxy"),
+            dec_sum(F.col("x") * F.col("x"), 38, 15).cast("double").alias("sxx"),
+            dec_sum(F.col("m") * F.col("m"), 38, 15).cast("double").alias("syy"),
+        )
+
+    cd = F.col("c").cast("double")
+    ssr = (
+        F.col("syy")
+        - F.col("sy") * F.col("sy") / cd
+        - (F.col("sxy") - F.col("sx") * F.col("sy") / cd)
+        * (F.col("sxy") - F.col("sx") * F.col("sy") / cd)
+        / (F.col("sxx") - F.col("sx") * F.col("sx") / cd)
+    )
+    segs = sums(idx, ["seg"]).select(
+        F.col("c"), ssr.alias("ssr")
+    )
+    seg_tot = segs.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("ssr").cast("decimal(38,12)")).cast("double").alias("ssr_12"),
+        F.lit(1).alias("one"),
+    )
+    pooled = sums(idx.withColumn("g", F.lit(1)), ["g"]).select(
+        ssr.alias("ssr_p"), F.lit(1).alias("one")
+    )
+    j = seg_tot.join(F.broadcast(pooled), "one")
+    nD = F.col("n").cast("double")
+    fstat = ((F.col("ssr_p") - F.col("ssr_12")) / F.lit(2.0)) / (
+        F.col("ssr_12") / (nD - F.lit(4.0))
+    )
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("ssr_p"), 6).cast("double").alias("ssr_pooled"),
+        F.round(F.col("ssr_12"), 6).cast("double").alias("ssr_segments"),
+        F.round(fstat, 6).cast("double").alias("f_stat"),
+        (F.lit(2.0) * F.round(fstat, 6) > F.lit(5.991465)).alias(
+            "structural_break"
+        ),
+    )
+
+
+CHOW_TEST_DAILY_MIDPOINT_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS m
+    FROM events GROUP BY 1
+), nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+idx AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i, m,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS x,
+           CASE WHEN CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT)
+                     <= (n + 1) / 2 THEN 1 ELSE 0 END AS seg
+    FROM daily CROSS JOIN nrow
+), seg_sums AS (
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(m AS DECIMAL(38,15))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * m AS DECIMAL(38,15))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,15))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(m * m AS DECIMAL(38,15))) AS DOUBLE) AS syy
+    FROM idx GROUP BY seg
+), seg_ssr AS (
+    SELECT c,
+           syy - sy * sy / CAST(c AS DOUBLE)
+           - (sxy - sx * sy / CAST(c AS DOUBLE))
+             * (sxy - sx * sy / CAST(c AS DOUBLE))
+             / (sxx - sx * sx / CAST(c AS DOUBLE)) AS ssr
+    FROM seg_sums
+), seg_tot AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(CAST(ssr AS DECIMAL(38,12))) AS DOUBLE) AS ssr_12
+    FROM seg_ssr
+), pooled_sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(m AS DECIMAL(38,15))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * m AS DECIMAL(38,15))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,15))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(m * m AS DECIMAL(38,15))) AS DOUBLE) AS syy
+    FROM idx
+), pooled AS (
+    SELECT syy - sy * sy / CAST(c AS DOUBLE)
+           - (sxy - sx * sy / CAST(c AS DOUBLE))
+             * (sxy - sx * sy / CAST(c AS DOUBLE))
+             / (sxx - sx * sx / CAST(c AS DOUBLE)) AS ssr_p
+    FROM pooled_sums
+)
+SELECT n AS n_days,
+       CAST(ROUND(ssr_p, 6) AS DOUBLE) AS ssr_pooled,
+       CAST(ROUND(ssr_12, 6) AS DOUBLE) AS ssr_segments,
+       CAST(ROUND(((ssr_p - ssr_12) / 2.0)
+                  / (ssr_12 / (CAST(n AS DOUBLE) - 4.0)), 6) AS DOUBLE)
+           AS f_stat,
+       2.0 * ROUND(((ssr_p - ssr_12) / 2.0)
+                   / (ssr_12 / (CAST(n AS DOUBLE) - 4.0)), 6) > 5.991465
+           AS structural_break
+FROM seg_tot CROSS JOIN pooled
+"""

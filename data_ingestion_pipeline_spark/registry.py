@@ -522,6 +522,11 @@ _ROUND12_QUEUE: list[str] = [
     "nn1_label_accuracy_embeddings",
     "nmi_ivf_cells_labels_embeddings",
     "cohens_kappa_quality_flags_documents",
+    "streaming_interval_full_outer_events",
+    "ccf_purchase_view_daily",
+    "granger_lag1_view_to_purchase_daily",
+    "chow_test_daily_midpoint",
+    "breusch_pagan_price_quantity",
 ]
 
 
@@ -3059,4 +3064,34 @@ register(
     "cohens_kappa_quality_flags_documents",
     corpus_quality.cohens_kappa_quality_flags_documents,
     corpus_quality.COHENS_KAPPA_QUALITY_FLAGS_DOCUMENTS_ORACLE,
+)
+
+register(
+    "streaming_interval_full_outer_events",
+    streaming_checks.streaming_interval_full_outer_events,
+    streaming_checks.STREAMING_INTERVAL_FULL_OUTER_EVENTS_ORACLE,
+)
+
+register(
+    "ccf_purchase_view_daily",
+    timeseries_checks.ccf_purchase_view_daily,
+    timeseries_checks.CCF_PURCHASE_VIEW_DAILY_ORACLE,
+)
+
+register(
+    "granger_lag1_view_to_purchase_daily",
+    timeseries_checks.granger_lag1_view_to_purchase_daily,
+    timeseries_checks.GRANGER_LAG1_VIEW_TO_PURCHASE_DAILY_ORACLE,
+)
+
+register(
+    "chow_test_daily_midpoint",
+    timeseries_checks.chow_test_daily_midpoint,
+    timeseries_checks.CHOW_TEST_DAILY_MIDPOINT_ORACLE,
+)
+
+register(
+    "breusch_pagan_price_quantity",
+    inference_stats.breusch_pagan_price_quantity,
+    inference_stats.BREUSCH_PAGAN_PRICE_QUANTITY_ORACLE,
 )

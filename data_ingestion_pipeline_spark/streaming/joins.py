@@ -117,3 +117,54 @@ def enrich_events_with_dim(events: DataFrame, dim: DataFrame, on) -> DataFrame:
     """Stream-static enrichment: broadcast the dimension into every
     micro-batch — a map-side join with zero streaming state."""
     return events.join(F.broadcast(dim), on, "inner")
+
+
+def purchases_views_interval_full_outer(
+    purchases: DataFrame,
+    views: DataFrame,
+    band: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """FULL OUTER interval join: matched purchase–view pairs, plus every
+    unmatched purchase (NULL view) AND every unmatched view (NULL
+    purchase) — the complete reconciliation view of the two streams
+    (Spark supports full-outer stream-stream joins with watermarks +
+    a time-bound condition since 3.1).
+
+    Both null directions ride the watermark: an unmatched purchase
+    emits once no in-band view can still arrive, an unmatched view once
+    no purchase inside [v_ts, v_ts + band] can. A finite availableNow
+    run never finalizes EITHER side younger than watermark + band at
+    end-of-input; callers comparing against a batch oracle must
+    restrict the OUTPUT (never the join inputs — pre-filtering would
+    re-label late matches as unmatched) to the finalized region, on the
+    side each row actually carries (see
+    ``streaming_interval_full_outer_events``)."""
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    if purchases.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+        v = v.withWatermark("v_ts", watermark)
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {band}"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+    )
+    return p.join(v, cond, "full_outer").select(
+        F.coalesce(F.col("p_user"), F.col("v_user")).alias("user_id"),
+        "purchase_id",
+        "view_id",
+        F.col("p_ts"),
+        F.col("v_ts"),
+        ((F.unix_micros("p_ts") - F.unix_micros("v_ts")) / 1_000_000)
+        .cast("bigint")
+        .alias("secs_before"),
+    )

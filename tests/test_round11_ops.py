@@ -593,3 +593,188 @@ def test_cohens_kappa_matches_python_mirror(spark, sf_dir):
     assert abs(row["kappa"] - kappa) < 1e-5
     # the two length-flavored raters must agree beyond chance on this corpus
     assert row["kappa"] > 0
+
+
+# ---------------------------------------------------------------------------
+# round-11 batch 4: streaming full-outer + time-series regression diagnostics
+# ---------------------------------------------------------------------------
+
+
+def _daily_means(spark, sf_dir, types=None):
+    from collections import defaultdict
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = df.selectExpr(
+        "CAST(ts AS DATE) AS day", "event_type", "value"
+    ).collect()
+    acc = defaultdict(list)
+    for r in rows:
+        if types is None or r["event_type"] in types:
+            key = r["day"] if types else (r["day"], r["event_type"])
+            acc[key].append(r["value"])
+    return acc
+
+
+def test_ccf_matches_python_mirror(spark, sf_dir):
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        ccf_purchase_view_daily,
+    )
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type IN ('purchase', 'view')")
+        .selectExpr("CAST(ts AS DATE) AS day", "event_type", "value")
+        .collect()
+    )
+    acc = defaultdict(list)
+    for r in rows:
+        acc[(r["day"], r["event_type"])].append(r["value"])
+    means = {k: sum(v) / len(v) for k, v in acc.items()}
+    days = sorted({d for d, t in means} & {
+        d for (d, t) in means if t == "purchase"
+    } & {d for (d, t) in means if t == "view"})
+    days = [
+        d for d in sorted({d for d, _ in means})
+        if (d, "purchase") in means and (d, "view") in means
+    ]
+    x = [means[(d, "purchase")] for d in days]
+    y = [means[(d, "view")] for d in days]
+    n = len(days)
+    mx, my = sum(x) / n, sum(y) / n
+    den = (
+        sum((a - mx) ** 2 for a in x) * sum((b - my) ** 2 for b in y)
+    ) ** 0.5
+    got = {r["lag"]: r["ccf"] for r in ccf_purchase_view_daily(spark, sf_dir).collect()}
+    assert sorted(got) == list(range(-3, 4))
+    for k in range(-3, 4):
+        num = sum(
+            (x[t] - mx) * (y[t + k] - my)
+            for t in range(n)
+            if 0 <= t + k < n
+        )
+        assert abs(got[k] - num / den) < 1e-4, (k, got[k], num / den)
+
+
+def test_granger_equals_restricted_vs_full_regression(spark, sf_dir):
+    """The partial-correlation form must equal the textbook
+    restricted-vs-full OLS F-test (numpy lstsq) on the same series."""
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        granger_lag1_view_to_purchase_daily,
+    )
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type IN ('purchase', 'view')")
+        .selectExpr("CAST(ts AS DATE) AS day", "event_type", "value")
+        .collect()
+    )
+    acc = defaultdict(list)
+    for r in rows:
+        acc[(r["day"], r["event_type"])].append(r["value"])
+    means = {k: sum(v) / len(v) for k, v in acc.items()}
+    days = [
+        d for d in sorted({d for d, _ in means})
+        if (d, "purchase") in means and (d, "view") in means
+    ]
+    y = np.array([means[(d, "purchase")] for d in days])
+    x = np.array([means[(d, "view")] for d in days])
+    yt, yl, xl = y[1:], y[:-1], x[:-1]
+    n = len(yt)
+    Xf = np.column_stack([np.ones(n), yl, xl])
+    Xr = np.column_stack([np.ones(n), yl])
+    rf = yt - Xf @ np.linalg.lstsq(Xf, yt, rcond=None)[0]
+    rr = yt - Xr @ np.linalg.lstsq(Xr, yt, rcond=None)[0]
+    ssr_f, ssr_r = rf @ rf, rr @ rr
+    f_ref = (ssr_r - ssr_f) / (ssr_f / (n - 3))
+    row = granger_lag1_view_to_purchase_daily(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["f_stat"] - f_ref) < max(1e-3, 1e-3 * abs(f_ref))
+
+
+def test_chow_matches_numpy_segments(spark, sf_dir):
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        chow_test_daily_midpoint,
+    )
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(ts AS DATE) AS day", "value")
+        .collect()
+    )
+    acc = defaultdict(list)
+    for r in rows:
+        acc[r["day"]].append(r["value"])
+    m = np.array([sum(v) / len(v) for _, v in sorted(acc.items())])
+    n = len(m)
+    xi = np.arange(1, n + 1, dtype=float)
+    cut = (n + 1) // 2
+
+    def ssr(x, y):
+        X = np.column_stack([np.ones(len(x)), x])
+        r = y - X @ np.linalg.lstsq(X, y, rcond=None)[0]
+        return r @ r
+
+    s1 = ssr(xi[:cut], m[:cut])
+    s2 = ssr(xi[cut:], m[cut:])
+    sp = ssr(xi, m)
+    f_ref = ((sp - s1 - s2) / 2.0) / ((s1 + s2) / (n - 4))
+    row = chow_test_daily_midpoint(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["f_stat"] - f_ref) < max(1e-3, 1e-3 * abs(f_ref))
+
+
+def test_breusch_pagan_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        breusch_pagan_price_quantity,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "CAST(l_quantity AS DOUBLE) AS x",
+            "CAST(l_extendedprice AS DOUBLE) AS y",
+        )
+        .collect()
+    )
+    x = np.array([r["x"] for r in rows])
+    y = np.array([r["y"] for r in rows])
+    n = len(x)
+    b1 = round(
+        (n * (x * y).sum() - x.sum() * y.sum())
+        / (n * (x * x).sum() - x.sum() ** 2),
+        9,
+    )
+    b0 = round((y.sum() - b1 * x.sum()) / n, 9)
+    u = (y - np.round(b0 + b1 * x, 9)) ** 2
+    r2 = np.corrcoef(x, u)[0, 1] ** 2
+    row = breusch_pagan_price_quantity(spark, sf_dir).collect()[0]
+    assert row["n_rows"] == n
+    assert abs(row["bp_stat"] - n * r2) < max(1e-2, 1e-4 * n * r2)
+
+
+def test_streaming_full_outer_has_both_null_directions(spark):
+    from data_ingestion_pipeline_spark.operators.streaming_checks import (
+        streaming_interval_full_outer_events,
+    )
+
+    rows = streaming_interval_full_outer_events(spark, SF_SMOKE).collect()
+    n_null_view = sum(1 for r in rows if r["view_id"] is None)
+    n_null_purchase = sum(1 for r in rows if r["purchase_id"] is None)
+    n_matched = sum(
+        1 for r in rows if r["view_id"] is not None and r["purchase_id"] is not None
+    )
+    # the full-outer contract: all three row classes present, and every
+    # matched pair sits inside the band
+    assert n_matched > 0 and n_null_view > 0 and n_null_purchase > 0
+    for r in rows:
+        if r["secs_before"] is not None:
+            assert 0 <= r["secs_before"] <= 3600
