@@ -7760,14 +7760,20 @@ WITH gm AS (
 ), agg AS (
     SELECT k_groups, n, n_above,
            CAST(ROUND(CAST(SUM(CAST(
-               POWER(CAST(a_g AS DOUBLE)
-                     - CAST(n_g AS DOUBLE) * CAST(n_above AS DOUBLE)
-                       / CAST(n AS DOUBLE), 2)
+               (CAST(a_g AS DOUBLE)
+                - CAST(n_g AS DOUBLE) * CAST(n_above AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               * (CAST(a_g AS DOUBLE)
+                  - CAST(n_g AS DOUBLE) * CAST(n_above AS DOUBLE)
+                    / CAST(n AS DOUBLE))
                / (CAST(n_g AS DOUBLE) * CAST(n_above AS DOUBLE)
                   / CAST(n AS DOUBLE))
-               + POWER(CAST(n_g - a_g AS DOUBLE)
-                       - CAST(n_g AS DOUBLE) * CAST(n - n_above AS DOUBLE)
-                         / CAST(n AS DOUBLE), 2)
+               + (CAST(n_g - a_g AS DOUBLE)
+                  - CAST(n_g AS DOUBLE) * CAST(n - n_above AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 * (CAST(n_g - a_g AS DOUBLE)
+                    - CAST(n_g AS DOUBLE) * CAST(n - n_above AS DOUBLE)
+                      / CAST(n AS DOUBLE))
                / (CAST(n_g AS DOUBLE) * CAST(n - n_above AS DOUBLE)
                   / CAST(n AS DOUBLE)) AS DECIMAL(38,12)))
                AS DOUBLE), 6) AS DOUBLE) AS chi2
