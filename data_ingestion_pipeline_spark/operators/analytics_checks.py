@@ -7605,7 +7605,7 @@ def dunn_posthoc_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         per_g.alias("a")
-        .crossJoin(per_g.alias("b"))
+        .crossJoin(F.broadcast(per_g.alias("b")))  # ≤k rows: BNLJ, never CP
         .filter(F.col("a.event_type") < F.col("b.event_type"))
         .join(F.broadcast(ties.join(counts, "one")), how="cross")
     )
