@@ -51,6 +51,7 @@ __all__ = [
     "friedman_test_event_type_values",
     "cochrans_q_event_types_users",
     "transitivity_copurchase_parts",
+    "jonckheere_terpstra_priority_price",
     "mutual_information_event_dow",
     "robust_outliers_mad",
     "twap_user_day",
@@ -8204,4 +8205,280 @@ SELECT n_nodes, n_triangles, n_wedges,
                   / CAST(n_wedges AS DOUBLE), 6) END AS DOUBLE)
            AS transitivity
 FROM tri CROSS JOIN wed
+"""
+
+
+_JT_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+def jonckheere_terpstra_priority_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jonckheere–Terpstra test (Jonckheere 1954; Terpstra 1952) for a
+    MONOTONE trend of order value across the ordered priority levels —
+    the ordered-alternative k-sample test Kruskal–Wallis cannot express
+    (KW's H is direction-blind; JT pools the pairwise dominance counts
+    U_ij over every ordered group pair i<j, gaining power exactly when
+    the alternative is "price rises (or falls) with priority"). The
+    five TPC-H priority literals are the a-priori ordering.
+
+    J = Σ_{i<j} U_ij = Σ_v Σ_g t_g(v)·Σ_{i<g} cum_i(<v)
+        + ½·Σ_v Σ_{i<g} t_i(v)·t_g(v),
+    all exact integers from the value-grain relation; E[J] =
+    (N² − Σn_i²)/4 and the TIE-CORRECTED variance is Hollander &
+    Wolfe's three-term form (the clinfun::jonckheere.test formula) —
+    every term an exact DECIMAL(38,0) fold; z is the only derived
+    float, continuity-corrected and rounded at 6.
+
+    Scale shape: the five per-group cumulatives ride ONE
+    range-partition + chunk-offset stitch over the distinct-value
+    domain (never a single-partition sort; all five cums AND the chunk
+    totals derive from the same window output — the cliffs_delta
+    determinism rule), then two bounded folds. The group set is pinned
+    to the five TPC-H literals and guarded (fail loudly on drift, the
+    shapley bound idiom)."""
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    extra = od.filter(~F.col("g").isin(*_JT_PRIORITIES)).limit(1).count()
+    if extra:
+        raise ValueError(
+            "jonckheere_terpstra_priority_price: unknown o_orderpriority "
+            "value — the a-priori group ordering is pinned to the five "
+            "TPC-H literals"
+        )
+    k = len(_JT_PRIORITIES)
+    pts = od.groupBy("v").agg(
+        *[
+            F.sum((F.col("g") == F.lit(p)).cast("long"))
+            .cast("bigint")
+            .alias(f"t{i + 1}")
+            for i, p in enumerate(_JT_PRIORITIES)
+        ]
+    )
+    n_chunks = spark.sparkContext.defaultParallelism
+    chunked = pts.repartitionByRange(n_chunks, "v").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("v")
+    local = chunked.select(
+        "v",
+        "pid",
+        *[F.col(f"t{i}") for i in range(1, k + 1)],
+        *[F.sum(f"t{i}").over(w).alias(f"lc{i}") for i in range(1, k + 1)],
+    ).localCheckpoint(eager=False)
+    # pinned: totals AND ranked consume this relation, and with 11 carried
+    # columns Catalyst prunes the two branches differently — two
+    # specialized range exchanges re-SAMPLE different chunk boundaries and
+    # the offset stitch silently corrupts (the cliffs_delta hazard,
+    # reproduced live here at sf0.01 before the pin)
+    totals = local.groupBy("pid").agg(
+        *[F.max(f"lc{i}").cast("bigint").alias(f"tt{i}") for i in range(1, k + 1)]
+    )
+    bw = (
+        Window.partitionBy(F.col("pid") % 1)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "pid",
+        *[
+            F.coalesce(F.sum(f"tt{i}").over(bw), F.lit(0))
+            .cast("bigint")
+            .alias(f"off{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+    ranked = local.join(offs, "pid").select(
+        "v",
+        *[F.col(f"t{i}") for i in range(1, k + 1)],
+        *[
+            (F.col(f"lc{i}") + F.col(f"off{i}") - F.col(f"t{i}"))
+            .cast("bigint")
+            .alias(f"cb{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+    # J terms per value row: strict dominance + half-ties, exact ints
+    # (doubled to keep the half exact: J2 = 2J)
+    strict = None
+    ties_t = None
+    for g in range(2, k + 1):
+        cum_lower = None
+        tie_lower = None
+        for i in range(1, g):
+            cum_lower = (
+                F.col(f"cb{i}")
+                if cum_lower is None
+                else cum_lower + F.col(f"cb{i}")
+            )
+            tie_lower = (
+                F.col(f"t{i}")
+                if tie_lower is None
+                else tie_lower + F.col(f"t{i}")
+            )
+        term = F.col(f"t{g}").cast("decimal(38,0)") * cum_lower
+        tie = F.col(f"t{g}").cast("decimal(38,0)") * tie_lower
+        strict = term if strict is None else strict + term
+        ties_t = tie if ties_t is None else ties_t + tie
+    tv = None
+    for i in range(1, k + 1):
+        tv = F.col(f"t{i}") if tv is None else tv + F.col(f"t{i}")
+    folds = ranked.select(
+        strict.alias("s"),
+        ties_t.alias("e"),
+        tv.cast("bigint").alias("tv"),
+    ).agg(
+        F.sum(F.col("s")).cast("decimal(38,0)").alias("strict"),
+        F.sum(F.col("e")).cast("decimal(38,0)").alias("tie_pairs"),
+        F.sum(F.col("tv").cast("decimal(38,0)")).alias("n"),
+        F.sum(
+            F.col("tv").cast("decimal(38,0)") * (F.col("tv") - 1)
+        ).alias("u2"),
+        F.sum(
+            F.col("tv").cast("decimal(38,0)")
+            * (F.col("tv") - 1)
+            * (2 * F.col("tv") + 5)
+        ).alias("u25"),
+        F.sum(
+            F.col("tv").cast("decimal(38,0)")
+            * (F.col("tv") - 1)
+            * (F.col("tv") - 2)
+        ).alias("u3"),
+        F.lit(1).alias("one"),
+    )
+    grp = od.groupBy("g").agg(F.count("*").cast("bigint").alias("ng"))
+    gf = grp.agg(
+        F.sum(F.col("ng").cast("decimal(38,0)") * F.col("ng")).alias("g2"),
+        F.sum(
+            F.col("ng").cast("decimal(38,0)")
+            * (F.col("ng") - 1)
+            * (2 * F.col("ng") + 5)
+        ).alias("g25"),
+        F.sum(
+            F.col("ng").cast("decimal(38,0)") * (F.col("ng") - 1)
+        ).alias("gp2"),
+        F.sum(
+            F.col("ng").cast("decimal(38,0)")
+            * (F.col("ng") - 1)
+            * (F.col("ng") - 2)
+        ).alias("gp3"),
+        F.lit(1).alias("one"),
+    )
+    j = folds.join(F.broadcast(gf), "one")
+    nD = F.col("n").cast("double")
+    j2 = 2 * F.col("strict") + F.col("tie_pairs")  # doubled J, exact
+    e2 = (
+        F.col("n").cast("double") * nD - F.col("g2").cast("double")
+    ) / F.lit(2.0)  # doubled E[J]
+    var = (
+        (
+            nD * (nD - F.lit(1.0)) * (F.lit(2.0) * nD + F.lit(5.0))
+            - F.col("g25").cast("double")
+            - F.col("u25").cast("double")
+        )
+        / F.lit(72.0)
+        + F.col("gp3").cast("double")
+        * F.col("u3").cast("double")
+        / (F.lit(36.0) * nD * (nD - F.lit(1.0)) * (nD - F.lit(2.0)))
+        + F.col("gp2").cast("double")
+        * F.col("u2").cast("double")
+        / (F.lit(8.0) * nD * (nD - F.lit(1.0)))
+    )
+    dev2 = j2.cast("double") - e2  # doubled deviation
+    z = F.when(
+        var > F.lit(0.0),
+        F.round(
+            (dev2 - F.signum(dev2)) / (F.lit(2.0) * F.sqrt(var)), 6
+        ),  # continuity correction: |J - E| - 0.5 on the undoubled scale
+    )
+    return j.select(
+        F.col("n").cast("bigint").alias("n"),
+        (j2.cast("double") / F.lit(2.0)).alias("jt_stat"),
+        F.round(e2 / F.lit(2.0), 6).cast("double").alias("jt_expected"),
+        F.round(var, 6).cast("double").alias("jt_variance"),
+        z.cast("double").alias("z"),
+        F.coalesce(F.abs(z) > F.lit(1.959964), F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+JONCKHEERE_TERPSTRA_PRIORITY_PRICE_ORACLE = """
+WITH od AS (
+    SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+    FROM orders
+), pts AS (
+    SELECT v,
+           CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+           CAST(SUM(CASE WHEN g = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+           CAST(SUM(CASE WHEN g = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS t3,
+           CAST(SUM(CASE WHEN g = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS t4,
+           CAST(SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS t5
+    FROM od GROUP BY v
+), ranked AS (
+    SELECT v, t1, t2, t3, t4, t5,
+           CAST(SUM(t1) OVER (ORDER BY v) - t1 AS BIGINT) AS cb1,
+           CAST(SUM(t2) OVER (ORDER BY v) - t2 AS BIGINT) AS cb2,
+           CAST(SUM(t3) OVER (ORDER BY v) - t3 AS BIGINT) AS cb3,
+           CAST(SUM(t4) OVER (ORDER BY v) - t4 AS BIGINT) AS cb4,
+           CAST(SUM(t5) OVER (ORDER BY v) - t5 AS BIGINT) AS cb5
+    FROM pts
+), folds AS (
+    SELECT CAST(SUM(CAST(t2 AS DECIMAL(38,0)) * cb1
+                 + CAST(t3 AS DECIMAL(38,0)) * (cb1 + cb2)
+                 + CAST(t4 AS DECIMAL(38,0)) * (cb1 + cb2 + cb3)
+                 + CAST(t5 AS DECIMAL(38,0)) * (cb1 + cb2 + cb3 + cb4))
+               AS DECIMAL(38,0)) AS strict,
+           CAST(SUM(CAST(t2 AS DECIMAL(38,0)) * t1
+                 + CAST(t3 AS DECIMAL(38,0)) * (t1 + t2)
+                 + CAST(t4 AS DECIMAL(38,0)) * (t1 + t2 + t3)
+                 + CAST(t5 AS DECIMAL(38,0)) * (t1 + t2 + t3 + t4))
+               AS DECIMAL(38,0)) AS tie_pairs,
+           CAST(SUM(CAST(t1 + t2 + t3 + t4 + t5 AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS n,
+           SUM(CAST(t1 + t2 + t3 + t4 + t5 AS DECIMAL(38,0))
+               * (t1 + t2 + t3 + t4 + t5 - 1)) AS u2,
+           SUM(CAST(t1 + t2 + t3 + t4 + t5 AS DECIMAL(38,0))
+               * (t1 + t2 + t3 + t4 + t5 - 1)
+               * (2 * (t1 + t2 + t3 + t4 + t5) + 5)) AS u25,
+           SUM(CAST(t1 + t2 + t3 + t4 + t5 AS DECIMAL(38,0))
+               * (t1 + t2 + t3 + t4 + t5 - 1)
+               * (t1 + t2 + t3 + t4 + t5 - 2)) AS u3
+    FROM ranked
+), gf AS (
+    SELECT SUM(CAST(ng AS DECIMAL(38,0)) * ng) AS g2,
+           SUM(CAST(ng AS DECIMAL(38,0)) * (ng - 1) * (2 * ng + 5)) AS g25,
+           SUM(CAST(ng AS DECIMAL(38,0)) * (ng - 1)) AS gp2,
+           SUM(CAST(ng AS DECIMAL(38,0)) * (ng - 1) * (ng - 2)) AS gp3
+    FROM (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng FROM od GROUP BY g)
+), c AS (
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(2 * strict + tie_pairs AS DOUBLE) AS j2,
+           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(g2 AS DOUBLE)) / 2.0
+               AS e2,
+           (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+              * (2.0 * CAST(n AS DOUBLE) + 5.0)
+            - CAST(g25 AS DOUBLE) - CAST(u25 AS DOUBLE)) / 72.0
+           + CAST(gp3 AS DOUBLE) * CAST(u3 AS DOUBLE)
+             / (36.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                * (CAST(n AS DOUBLE) - 2.0))
+           + CAST(gp2 AS DOUBLE) * CAST(u2 AS DOUBLE)
+             / (8.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var
+    FROM folds CROSS JOIN gf
+)
+SELECT n,
+       j2 / 2.0 AS jt_stat,
+       CAST(ROUND(e2 / 2.0, 6) AS DOUBLE) AS jt_expected,
+       CAST(ROUND(var, 6) AS DOUBLE) AS jt_variance,
+       CAST(CASE WHEN var > 0.0 THEN
+            ROUND((j2 - e2 - SIGN(j2 - e2)) / (2.0 * SQRT(var)), 6)
+            END AS DOUBLE) AS z,
+       COALESCE(ABS(CASE WHEN var > 0.0 THEN
+            ROUND((j2 - e2 - SIGN(j2 - e2)) / (2.0 * SQRT(var)), 6) END)
+            > 1.959964, FALSE) AS significant
+FROM c
 """

@@ -527,6 +527,7 @@ _ROUND12_QUEUE: list[str] = [
     "granger_lag1_view_to_purchase_daily",
     "chow_test_daily_midpoint",
     "breusch_pagan_price_quantity",
+    "jonckheere_terpstra_priority_price",
 ]
 
 
@@ -3094,4 +3095,10 @@ register(
     "breusch_pagan_price_quantity",
     inference_stats.breusch_pagan_price_quantity,
     inference_stats.BREUSCH_PAGAN_PRICE_QUANTITY_ORACLE,
+)
+
+register(
+    "jonckheere_terpstra_priority_price",
+    analytics_checks.jonckheere_terpstra_priority_price,
+    analytics_checks.JONCKHEERE_TERPSTRA_PRIORITY_PRICE_ORACLE,
 )

@@ -778,3 +778,62 @@ def test_streaming_full_outer_has_both_null_directions(spark):
     for r in rows:
         if r["secs_before"] is not None:
             assert 0 <= r["secs_before"] <= 3600
+
+
+def test_jonckheere_matches_python_mirror_and_is_deterministic(spark, sf_dir):
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        jonckheere_terpstra_priority_price,
+    )
+    from collections import Counter, defaultdict
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("o_orderpriority AS g", "CAST(o_totalprice AS DOUBLE) AS v")
+        .collect()
+    )
+    order = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["g"]].append(r["v"])
+    # J via per-pair dominance over sorted lists (O(n log n) per pair)
+    import bisect
+
+    j_stat = 0.0
+    for a in range(len(order)):
+        for b in range(a + 1, len(order)):
+            xs = sorted(groups[order[a]])
+            for yv in groups[order[b]]:
+                lt = bisect.bisect_left(xs, yv)
+                eq = bisect.bisect_right(xs, yv) - lt
+                j_stat += lt + 0.5 * eq
+    n = len(rows)
+    ns = [len(groups[g]) for g in order]
+    e_j = (n * n - sum(m * m for m in ns)) / 4.0
+    tvs = Counter(r["v"] for r in rows).values()
+    var = (
+        (
+            n * (n - 1) * (2 * n + 5)
+            - sum(m * (m - 1) * (2 * m + 5) for m in ns)
+            - sum(t * (t - 1) * (2 * t + 5) for t in tvs)
+        )
+        / 72.0
+        + sum(m * (m - 1) * (m - 2) for m in ns)
+        * sum(t * (t - 1) * (t - 2) for t in tvs)
+        / (36.0 * n * (n - 1) * (n - 2))
+        + sum(m * (m - 1) for m in ns)
+        * sum(t * (t - 1) for t in tvs)
+        / (8.0 * n * (n - 1))
+    )
+    row = jonckheere_terpstra_priority_price(spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert abs(row["jt_stat"] - j_stat) < 0.75, (row["jt_stat"], j_stat)
+    assert abs(row["jt_expected"] - e_j) < 1e-6
+    assert abs(row["jt_variance"] - var) < max(1e-3, 1e-9 * var)
+    dev = j_stat - e_j
+    z = (dev - (1 if dev > 0 else -1 if dev < 0 else 0) * 0.5) / var**0.5
+    assert abs(row["z"] - z) < 1e-4
+    # run-twice determinism: the stitched five-way cumulative must not
+    # ride a partitioning accident (the cliffs_delta hazard, reproduced
+    # live on this operator before the window-output pin)
+    again = jonckheere_terpstra_priority_price(spark, sf_dir).collect()[0]
+    assert row == again
