@@ -25,6 +25,8 @@ from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
     "breusch_pagan_price_quantity",
+    "welch_anova_event_values",
+    "bartlett_test_event_values",
     "wilson_ci_purchase_rate_daily",
     "oneway_anova_event_values",
     "gini_lorenz_customer_spend",
@@ -3706,4 +3708,267 @@ SELECT n AS n_rows,
             THEN CAST(n AS DOUBLE) * sxy_c * sxy_c / (sxx_c * syy_c) END, 6)
             > 3.841459, FALSE) AS heteroscedastic
 FROM c
+"""
+
+
+def welch_anova_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA (Welch 1951) across event
+    types — the classic F in ``oneway_anova_event_values`` assumes equal
+    group variances (exactly what ``levene_bf_event_values`` tests and
+    ``breusch_pagan`` monitors on the regression side); Welch's F*
+    weights each group by n_g/s²_g and stays calibrated when variances
+    differ, the recommended default in the methods literature. Publishes
+    F*, df1 = k−1, the Welch–Satterthwaite df2, and the asymptotic
+    verdict (df2 is in the thousands here, where F(df1, df2) ≈
+    χ²(df1)/df1 — documented; the shared χ² literal table divides by
+    df1).
+
+    Exactness: per-group n/Σx/Σx² fold in decimal; means and variances
+    are fixed double ratios rounded at 9; every downstream scalar (w_g,
+    the weighted grand mean, the A/B sums) folds k-bounded DECIMAL(38,12)
+    terms and rounds at 6. Scale shape: ONE corpus pass to group grain,
+    then k-row algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("value"), 38, 12).cast("double").alias("s1"),
+        dec_sum(F.col("value") * F.col("value"), 38, 12)
+        .cast("double")
+        .alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.round(F.col("s1") / nd, 9)
+    v = F.round(
+        (F.col("s2") - F.col("s1") * F.col("s1") / nd) / (nd - F.lit(1.0)), 9
+    )
+    gg = g.select("event_type", "n", m.alias("m"), v.alias("v")).filter(
+        (F.col("n") > 1) & (F.col("v") > 0.0)
+    )
+    w = F.col("n").cast("double") / F.col("v")
+    ws = gg.select(
+        "n",
+        "m",
+        "v",
+        w.alias("w"),
+        (w * F.col("m")).alias("wm"),
+    )
+    tot = ws.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("w").cast("decimal(38,12)")).cast("double").alias("sw"),
+        F.sum(F.col("wm").cast("decimal(38,12)")).cast("double").alias("swm"),
+        F.lit(1).alias("one"),
+    )
+    j = ws.withColumn("one", F.lit(1)).join(F.broadcast(tot), "one")
+    xbar = F.col("swm") / F.col("sw")
+    a_t = F.col("w") * (F.col("m") - xbar) * (F.col("m") - xbar)
+    b_t = (
+        (F.lit(1.0) - F.col("w") / F.col("sw"))
+        * (F.lit(1.0) - F.col("w") / F.col("sw"))
+        / (F.col("n").cast("double") - F.lit(1.0))
+    )
+    s = j.groupBy("k", "sw", "swm").agg(
+        F.sum(a_t.cast("decimal(38,12)")).cast("double").alias("a"),
+        F.sum(b_t.cast("decimal(38,12)")).cast("double").alias("b"),
+    )
+    kd = F.col("k").cast("double")
+    fstat = (F.col("a") / (kd - F.lit(1.0))) / (
+        F.lit(1.0)
+        + F.lit(2.0) * (kd - F.lit(2.0)) / (kd * kd - F.lit(1.0)) * F.col("b")
+    )
+    df2 = (kd * kd - F.lit(1.0)) / (F.lit(3.0) * F.col("b"))
+    df1 = (F.col("k") - 1).cast("int")
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        _chi2_crit_case_spark,
+    )
+
+    crit = _chi2_crit_case_spark(df1) / (kd - F.lit(1.0))
+    return s.select(
+        F.col("k").alias("k_groups"),
+        df1.alias("df1"),
+        F.round(df2, 6).cast("double").alias("df2"),
+        F.round(fstat, 6).cast("double").alias("f_welch"),
+        F.coalesce(F.round(fstat, 6) > crit, F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+WELCH_ANOVA_EVENT_VALUES_ORACLE = """
+WITH g AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2
+    FROM events GROUP BY event_type
+), gg AS (
+    SELECT event_type, n,
+           ROUND(s1 / CAST(n AS DOUBLE), 9) AS m,
+           ROUND((s2 - s1 * s1 / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0), 9) AS v
+    FROM g
+    WHERE n > 1
+      AND ROUND((s2 - s1 * s1 / CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE) - 1.0), 9) > 0.0
+), ws AS (
+    SELECT n, m, v, CAST(n AS DOUBLE) / v AS w,
+           CAST(n AS DOUBLE) / v * m AS wm
+    FROM gg
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+           CAST(SUM(CAST(wm AS DECIMAL(38,12))) AS DOUBLE) AS swm
+    FROM ws
+), s AS (
+    SELECT k, sw, swm,
+           CAST(SUM(CAST(w * (m - swm / sw) * (m - swm / sw)
+                    AS DECIMAL(38,12))) AS DOUBLE) AS a,
+           CAST(SUM(CAST((1.0 - w / sw) * (1.0 - w / sw)
+                         / (CAST(n AS DOUBLE) - 1.0)
+                    AS DECIMAL(38,12))) AS DOUBLE) AS b
+    FROM ws CROSS JOIN tot
+    GROUP BY k, sw, swm
+)
+SELECT k AS k_groups, CAST(k - 1 AS INT) AS df1,
+       CAST(ROUND((CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+                  / (3.0 * b), 6) AS DOUBLE) AS df2,
+       CAST(ROUND((a / (CAST(k AS DOUBLE) - 1.0))
+                  / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+                     / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) * b),
+                  6) AS DOUBLE) AS f_welch,
+       COALESCE(ROUND((a / (CAST(k AS DOUBLE) - 1.0))
+                  / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0)
+                     / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0) * b), 6)
+            > (CASE WHEN k - 1 = 1 THEN 3.841459 WHEN k - 1 = 2 THEN 5.991465
+                    WHEN k - 1 = 3 THEN 7.814728 WHEN k - 1 = 4 THEN 9.487729
+                    WHEN k - 1 = 5 THEN 11.070498 WHEN k - 1 = 6 THEN 12.591587
+                    WHEN k - 1 = 7 THEN 14.06714 WHEN k - 1 = 8 THEN 15.507313
+                    WHEN k - 1 = 9 THEN 16.918978 WHEN k - 1 = 10 THEN 18.307038
+               END) / (CAST(k AS DOUBLE) - 1.0), FALSE) AS significant
+FROM s
+"""
+
+
+def bartlett_test_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test (Bartlett 1937) of equal variances across event
+    types — the PARAMETRIC sibling of ``levene_bf_event_values``: more
+    powerful under normality (it compares log variances directly), and
+    the classic pre-check before a pooled-variance ANOVA. T =
+    [(N−k)·ln(s²_p) − Σ(n_g−1)·ln(s²_g)] / C with the standard
+    correction C = 1 + (Σ1/(n_g−1) − 1/(N−k)) / (3(k−1)), χ²(k−1)
+    under H₀.
+
+    Exactness: group variances are fixed double ratios of decimal folds
+    rounded at 9; every ln rounds at 9 (the MI idiom); T is one double
+    expression rounded at 6 against the shared χ² literal table. Scale
+    shape: ONE corpus pass to group grain, k-row algebra after."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("value"), 38, 12).cast("double").alias("s1"),
+        dec_sum(F.col("value") * F.col("value"), 38, 12)
+        .cast("double")
+        .alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    v = F.round(
+        (F.col("s2") - F.col("s1") * F.col("s1") / nd) / (nd - F.lit(1.0)), 9
+    )
+    gg = g.select("n", v.alias("v")).filter(
+        (F.col("n") > 1) & (F.col("v") > 0.0)
+    )
+    tot = gg.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(
+            ((F.col("n").cast("double") - F.lit(1.0)) * F.col("v")).cast(
+                "decimal(38,9)"
+            )
+        )
+        .cast("double")
+        .alias("ssw"),
+        F.sum(
+            (
+                (F.col("n").cast("double") - F.lit(1.0))
+                * F.round(F.log(F.col("v")), 9)
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("slnv"),
+        F.sum(
+            (F.lit(1.0) / (F.col("n").cast("double") - F.lit(1.0))).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("double")
+        .alias("sinv"),
+    )
+    kd = F.col("k").cast("double")
+    nmk = F.col("nn").cast("double") - kd
+    sp2 = F.col("ssw") / nmk
+    t_raw = nmk * F.round(F.log(sp2), 9) - F.col("slnv")
+    c = F.lit(1.0) + (F.col("sinv") - F.lit(1.0) / nmk) / (
+        F.lit(3.0) * (kd - F.lit(1.0))
+    )
+    t = F.round(t_raw / c, 6)
+    df1 = (F.col("k") - 1).cast("int")
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        _chi2_crit_case_spark,
+    )
+
+    return tot.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").alias("n"),
+        df1.alias("df"),
+        t.cast("double").alias("bartlett_t"),
+        F.coalesce(t > _chi2_crit_case_spark(df1), F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+BARTLETT_TEST_EVENT_VALUES_ORACLE = """
+WITH g AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2
+    FROM events GROUP BY event_type
+), gg AS (
+    SELECT n,
+           ROUND((s2 - s1 * s1 / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0), 9) AS v
+    FROM g
+    WHERE n > 1
+      AND ROUND((s2 - s1 * s1 / CAST(n AS DOUBLE))
+                / (CAST(n AS DOUBLE) - 1.0), 9) > 0.0
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(n) AS BIGINT) AS nn,
+           CAST(SUM(CAST((CAST(n AS DOUBLE) - 1.0) * v AS DECIMAL(38,9)))
+                AS DOUBLE) AS ssw,
+           CAST(SUM(CAST((CAST(n AS DOUBLE) - 1.0) * ROUND(LN(v), 9)
+                    AS DECIMAL(38,12))) AS DOUBLE) AS slnv,
+           CAST(SUM(CAST(1.0 / (CAST(n AS DOUBLE) - 1.0) AS DECIMAL(38,12)))
+                AS DOUBLE) AS sinv
+    FROM gg
+)
+SELECT k AS k_groups, nn AS n, CAST(k - 1 AS INT) AS df,
+       CAST(ROUND(((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
+                   * ROUND(LN(ssw / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))), 9)
+                   - slnv)
+                  / (1.0 + (sinv - 1.0 / (CAST(nn AS DOUBLE)
+                                          - CAST(k AS DOUBLE)))
+                     / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6) AS DOUBLE)
+           AS bartlett_t,
+       COALESCE(ROUND(((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))
+                   * ROUND(LN(ssw / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))), 9)
+                   - slnv)
+                  / (1.0 + (sinv - 1.0 / (CAST(nn AS DOUBLE)
+                                          - CAST(k AS DOUBLE)))
+                     / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6)
+            > (CASE WHEN k - 1 = 1 THEN 3.841459 WHEN k - 1 = 2 THEN 5.991465
+                    WHEN k - 1 = 3 THEN 7.814728 WHEN k - 1 = 4 THEN 9.487729
+                    WHEN k - 1 = 5 THEN 11.070498 WHEN k - 1 = 6 THEN 12.591587
+                    WHEN k - 1 = 7 THEN 14.06714 WHEN k - 1 = 8 THEN 15.507313
+                    WHEN k - 1 = 9 THEN 16.918978 WHEN k - 1 = 10 THEN 18.307038
+               END), FALSE) AS significant
+FROM tot
 """

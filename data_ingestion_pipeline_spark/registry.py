@@ -528,6 +528,8 @@ _ROUND12_QUEUE: list[str] = [
     "chow_test_daily_midpoint",
     "breusch_pagan_price_quantity",
     "jonckheere_terpstra_priority_price",
+    "welch_anova_event_values",
+    "bartlett_test_event_values",
 ]
 
 
@@ -3101,4 +3103,16 @@ register(
     "jonckheere_terpstra_priority_price",
     analytics_checks.jonckheere_terpstra_priority_price,
     analytics_checks.JONCKHEERE_TERPSTRA_PRIORITY_PRICE_ORACLE,
+)
+
+register(
+    "welch_anova_event_values",
+    inference_stats.welch_anova_event_values,
+    inference_stats.WELCH_ANOVA_EVENT_VALUES_ORACLE,
+)
+
+register(
+    "bartlett_test_event_values",
+    inference_stats.bartlett_test_event_values,
+    inference_stats.BARTLETT_TEST_EVENT_VALUES_ORACLE,
 )

@@ -837,3 +837,79 @@ def test_jonckheere_matches_python_mirror_and_is_deterministic(spark, sf_dir):
     # live on this operator before the window-output pin)
     again = jonckheere_terpstra_priority_price(spark, sf_dir).collect()[0]
     assert row == again
+
+
+def test_welch_anova_matches_python_mirror(spark, sf_dir):
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        welch_anova_event_values,
+    )
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["event_type"]].append(r["value"])
+    stats = {}
+    for g, vs in groups.items():
+        n = len(vs)
+        m = round(sum(vs) / n, 9)
+        v = round(
+            (sum(x * x for x in vs) - sum(vs) ** 2 / n) / (n - 1), 9
+        )
+        if n > 1 and v > 0:
+            stats[g] = (n, m, v)
+    k = len(stats)
+    w = {g: n / v for g, (n, m, v) in stats.items()}
+    sw = sum(w.values())
+    xbar = sum(w[g] * stats[g][1] for g in stats) / sw
+    a = sum(w[g] * (stats[g][1] - xbar) ** 2 for g in stats)
+    b = sum(
+        (1 - w[g] / sw) ** 2 / (stats[g][0] - 1) for g in stats
+    )
+    f_ref = (a / (k - 1)) / (1 + 2 * (k - 2) / (k * k - 1) * b)
+    df2_ref = (k * k - 1) / (3 * b)
+    row = welch_anova_event_values(spark, sf_dir).collect()[0]
+    assert row["k_groups"] == k and row["df1"] == k - 1
+    assert abs(row["f_welch"] - f_ref) < max(1e-4, 1e-6 * abs(f_ref))
+    assert abs(row["df2"] - df2_ref) < max(1e-3, 1e-6 * df2_ref)
+
+
+def test_bartlett_matches_python_mirror(spark, sf_dir):
+    import math
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        bartlett_test_event_values,
+    )
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["event_type"]].append(r["value"])
+    vs_ = {}
+    for g, vs in groups.items():
+        n = len(vs)
+        v = round((sum(x * x for x in vs) - sum(vs) ** 2 / n) / (n - 1), 9)
+        if n > 1 and v > 0:
+            vs_[g] = (n, v)
+    k = len(vs_)
+    nn = sum(n for n, _ in vs_.values())
+    ssw = sum((n - 1) * v for n, v in vs_.values())
+    sp2 = ssw / (nn - k)
+    t_raw = (nn - k) * round(math.log(sp2), 9) - sum(
+        (n - 1) * round(math.log(v), 9) for n, v in vs_.values()
+    )
+    c = 1 + (sum(1 / (n - 1) for n, _ in vs_.values()) - 1 / (nn - k)) / (
+        3 * (k - 1)
+    )
+    row = bartlett_test_event_values(spark, sf_dir).collect()[0]
+    assert row["k_groups"] == k and row["n"] == nn
+    assert abs(row["bartlett_t"] - t_raw / c) < max(1e-4, 1e-5 * abs(t_raw / c))
