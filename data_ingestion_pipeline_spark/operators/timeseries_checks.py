@@ -2488,6 +2488,7 @@ def chow_test_daily_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("i") <= (F.col("n") + 1) / 2).cast("int").alias("seg"),
             "n",
         )
+        .localCheckpoint(eager=False)  # ≤days rows; segs + pooled both read it
     )
 
     def sums(df, keys):

@@ -25,6 +25,13 @@ import sys
 # audited (round 6): calendar/day series, value-grouped stats, dimension-
 # sized ntile reports, ≤10-row limit-then-rank tails.
 DOCUMENTED_BOUNDED = {
+    # round-11 additions (all audited): calendar-bounded daily windows
+    # (the ljung_box class) and ≤(cells×labels) margin windows
+    "pacf_daily_values",  # day-series index + one-row DL algebra
+    "ccf_purchase_view_daily",  # common-day index, ±3 lag join
+    "granger_lag1_view_to_purchase_daily",  # day index, lag-1 join
+    "chow_test_daily_midpoint",  # day index (pinned; 2 bounded consumers)
+    "nmi_ivf_cells_labels_embeddings",  # ≤16×labels margin windows
     "rfm_segments_customers",  # per-customer ntile (dimension; approx twin registered)
     "spearman_daily_purchase_view",  # day-series value groups
     "kaplan_meier_conversion_events",  # integer-day risk table
