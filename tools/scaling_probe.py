@@ -278,6 +278,31 @@ PROBES = [
     ("periodogram_daily_events", ["events"]),
     ("theil_atkinson_customer_spend", ["orders"]),
     ("partial_corr_purchase_view_daily", ["events"]),
+    # round-11 additions, probed proactively in-round: day/user/value-grain
+    # tests (expected ~1x), the stitched JT cumulative, the oriented-census
+    # transitivity, and the linear embedding readouts. nn1_label_accuracy
+    # is probed at 4x separately — it is the EXACT blocked-BLAS kNN
+    # verifier (O(N^2) by construction; the ANN family is the scale path),
+    # so its ratio reads on the kernel's quadratic contract, not a plan
+    # accident.
+    ("dunn_posthoc_event_values", ["events"]),
+    ("moods_median_test_event_values", ["events"]),
+    ("friedman_test_event_type_values", ["events"]),
+    ("cochrans_q_event_types_users", ["events"]),
+    ("jonckheere_terpstra_priority_price", ["orders"]),
+    ("pacf_daily_values", ["events"]),
+    ("ccf_purchase_view_daily", ["events"]),
+    ("granger_lag1_view_to_purchase_daily", ["events"]),
+    ("chow_test_daily_midpoint", ["events"]),
+    ("randomization_test_ab_value", ["events"]),
+    ("hodges_lehmann_purchase_view_daily", ["events"]),
+    ("transitivity_copurchase_parts", ["lineitem"]),
+    ("nmi_ivf_cells_labels_embeddings", ["embeddings"]),
+    ("nn1_label_accuracy_embeddings", ["embeddings"]),
+    ("welch_anova_event_values", ["events"]),
+    ("bartlett_test_event_values", ["events"]),
+    ("breusch_pagan_price_quantity", ["lineitem"]),
+    ("cohens_kappa_quality_flags_documents", ["documents"]),
 ]
 
 KEY_OFFSETS = {
