@@ -52,6 +52,7 @@ __all__ = [
     "cochrans_q_event_types_users",
     "transitivity_copurchase_parts",
     "jonckheere_terpstra_priority_price",
+    "brunner_munzel_purchase_view",
     "mutual_information_event_dow",
     "robust_outliers_mad",
     "twap_user_day",
@@ -8480,5 +8481,223 @@ SELECT n,
        COALESCE(ABS(CASE WHEN var > 0.0 THEN
             ROUND((j2 - e2 - SIGN(j2 - e2)) / (2.0 * SQRT(var)), 6) END)
             > 1.959964, FALSE) AS significant
+FROM c
+"""
+
+
+def brunner_munzel_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner–Munzel test (Brunner & Munzel 2000) between purchase and
+    view event values — the rank-based BEHRENS–FISHER test: Mann–Whitney
+    assumes the two distributions differ only by shift, and its level
+    breaks when shapes/variances differ; BM studentizes the same
+    stochastic-superiority estimand p̂ = P(X<Y) + ½P(X=Y) with separate
+    within-group rank variances (the scipy.stats.brunnermunzel
+    formulation), staying calibrated under heteroscedasticity — the
+    Welch-vs-Student move made inside the rank world.
+
+    Exactness: overall AND within-group average ranks are the doubled
+    exact integers of the value-grain construction (2r̄ = 2·cum_before
+    + t + 1 — overall cums from the ONE chunk-stitched window, per-group
+    cums derived from the same window output, the JT pin applied); mean
+    ranks and the deviation terms are fixed doubles rounded at 9 before
+    squaring; S² folds in DECIMAL(38,12); W, df and p̂ round at 6.
+    Scale shape: one value-grain aggregation, one stitched cumulative,
+    two bounded folds — never a row-level rank or a pair join."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pts = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("bigint")
+        .alias("t1"),
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("bigint")
+        .alias("t2"),
+    )
+    n_chunks = spark.sparkContext.defaultParallelism
+    chunked = pts.repartitionByRange(n_chunks, "value").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("value")
+    local = chunked.select(
+        "value",
+        "pid",
+        "t1",
+        "t2",
+        F.sum("t1").over(w).alias("lc1"),
+        F.sum("t2").over(w).alias("lc2"),
+    ).localCheckpoint(eager=False)  # totals + ranked read it (the JT pin)
+    totals = local.groupBy("pid").agg(
+        F.max("lc1").cast("bigint").alias("tt1"),
+        F.max("lc2").cast("bigint").alias("tt2"),
+    )
+    bw = (
+        Window.partitionBy(F.col("pid") % 1)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "pid",
+        F.coalesce(F.sum("tt1").over(bw), F.lit(0)).cast("bigint").alias("off1"),
+        F.coalesce(F.sum("tt2").over(bw), F.lit(0)).cast("bigint").alias("off2"),
+    )
+    ranked = local.join(offs, "pid").select(
+        "t1",
+        "t2",
+        (F.col("lc1") + F.col("off1") - F.col("t1")).cast("bigint").alias("cb1"),
+        (F.col("lc2") + F.col("off2") - F.col("t2")).cast("bigint").alias("cb2"),
+    )
+    # doubled overall and within-group average ranks at this value
+    r2 = 2 * (F.col("cb1") + F.col("cb2")) + (F.col("t1") + F.col("t2")) + 1
+    r2g1 = 2 * F.col("cb1") + F.col("t1") + 1
+    r2g2 = 2 * F.col("cb2") + F.col("t2") + 1
+    base = ranked.select(
+        "t1",
+        "t2",
+        r2.cast("bigint").alias("r2"),
+        r2g1.cast("bigint").alias("r2g1"),
+        r2g2.cast("bigint").alias("r2g2"),
+    ).localCheckpoint(eager=False)  # two folds below share it
+    sums = base.agg(
+        F.sum("t1").cast("bigint").alias("n1"),
+        F.sum("t2").cast("bigint").alias("n2"),
+        F.sum(F.col("t1").cast("decimal(38,0)") * F.col("r2")).alias("sr1"),
+        F.sum(F.col("t2").cast("decimal(38,0)") * F.col("r2")).alias("sr2"),
+        F.lit(1).alias("one"),
+    )
+    j = base.withColumn("one", F.lit(1)).join(F.broadcast(sums), "one")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m1 = F.col("sr1").cast("double") / (F.lit(2.0) * n1)  # mean overall rank, group 1
+    m2 = F.col("sr2").cast("double") / (F.lit(2.0) * n2)
+    d1 = F.round(
+        (F.col("r2") - F.col("r2g1")).cast("double") / F.lit(2.0)
+        - m1
+        + (n1 + F.lit(1.0)) / F.lit(2.0),
+        9,
+    )
+    d2 = F.round(
+        (F.col("r2") - F.col("r2g2")).cast("double") / F.lit(2.0)
+        - m2
+        + (n2 + F.lit(1.0)) / F.lit(2.0),
+        9,
+    )
+    var = j.groupBy("n1", "n2", "sr1", "sr2").agg(
+        F.sum((F.col("t1").cast("double") * d1 * d1).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("ss1"),
+        F.sum((F.col("t2").cast("double") * d2 * d2).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("ss2"),
+    )
+    s1 = F.col("ss1") / (n1 - F.lit(1.0))
+    s2 = F.col("ss2") / (n2 - F.lit(1.0))
+    nt = n1 + n2
+    wstat = (
+        n1
+        * n2
+        * (F.col("sr2").cast("double") / (F.lit(2.0) * n2)
+           - F.col("sr1").cast("double") / (F.lit(2.0) * n1))
+        / (nt * F.sqrt(n1 * s1 + n2 * s2))
+    )
+    dfree = (
+        (n1 * s1 + n2 * s2)
+        * (n1 * s1 + n2 * s2)
+        / (
+            (n1 * s1) * (n1 * s1) / (n1 - F.lit(1.0))
+            + (n2 * s2) * (n2 * s2) / (n2 - F.lit(1.0))
+        )
+    )
+    phat = (
+        F.col("sr2").cast("double") / (F.lit(2.0) * n2)
+        - (n2 + F.lit(1.0)) / F.lit(2.0)
+    ) / n1
+    return var.select(
+        F.col("n1"),
+        F.col("n2"),
+        F.round(phat, 6).cast("double").alias("p_hat"),
+        F.round(wstat, 6).cast("double").alias("w_stat"),
+        F.round(dfree, 6).cast("double").alias("df"),
+        (F.abs(F.round(wstat, 6)) > F.lit(1.959964)).alias("significant"),
+    )
+
+
+BRUNNER_MUNZEL_PURCHASE_VIEW_ORACLE = """
+WITH ev AS (
+    SELECT event_type, value FROM events
+    WHERE event_type IN ('purchase', 'view')
+), pts AS (
+    SELECT value,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS t1,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS t2
+    FROM ev GROUP BY value
+), ranked AS (
+    SELECT t1, t2,
+           CAST(SUM(t1) OVER (ORDER BY value) - t1 AS BIGINT) AS cb1,
+           CAST(SUM(t2) OVER (ORDER BY value) - t2 AS BIGINT) AS cb2
+    FROM pts
+), base AS (
+    SELECT t1, t2,
+           CAST(2 * (cb1 + cb2) + t1 + t2 + 1 AS BIGINT) AS r2,
+           CAST(2 * cb1 + t1 + 1 AS BIGINT) AS r2g1,
+           CAST(2 * cb2 + t2 + 1 AS BIGINT) AS r2g2
+    FROM ranked
+), sums AS (
+    SELECT CAST(SUM(t1) AS BIGINT) AS n1, CAST(SUM(t2) AS BIGINT) AS n2,
+           SUM(CAST(t1 AS DECIMAL(38,0)) * r2) AS sr1,
+           SUM(CAST(t2 AS DECIMAL(38,0)) * r2) AS sr2
+    FROM base
+), var_ AS (
+    SELECT n1, n2, sr1, sr2,
+           CAST(SUM(CAST(CAST(t1 AS DOUBLE)
+               * ROUND(CAST(r2 - r2g1 AS DOUBLE) / 2.0
+                       - CAST(sr1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE))
+                       + (CAST(n1 AS DOUBLE) + 1.0) / 2.0, 9)
+               * ROUND(CAST(r2 - r2g1 AS DOUBLE) / 2.0
+                       - CAST(sr1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE))
+                       + (CAST(n1 AS DOUBLE) + 1.0) / 2.0, 9)
+               AS DECIMAL(38,12))) AS DOUBLE) AS ss1,
+           CAST(SUM(CAST(CAST(t2 AS DOUBLE)
+               * ROUND(CAST(r2 - r2g2 AS DOUBLE) / 2.0
+                       - CAST(sr2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE))
+                       + (CAST(n2 AS DOUBLE) + 1.0) / 2.0, 9)
+               * ROUND(CAST(r2 - r2g2 AS DOUBLE) / 2.0
+                       - CAST(sr2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE))
+                       + (CAST(n2 AS DOUBLE) + 1.0) / 2.0, 9)
+               AS DECIMAL(38,12))) AS DOUBLE) AS ss2
+    FROM base CROSS JOIN sums
+    GROUP BY n1, n2, sr1, sr2
+), c AS (
+    SELECT n1, n2, sr1, sr2,
+           ss1 / (CAST(n1 AS DOUBLE) - 1.0) AS s1,
+           ss2 / (CAST(n2 AS DOUBLE) - 1.0) AS s2
+    FROM var_
+)
+SELECT n1, n2,
+       CAST(ROUND((CAST(sr2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE))
+                   - (CAST(n2 AS DOUBLE) + 1.0) / 2.0)
+                  / CAST(n1 AS DOUBLE), 6) AS DOUBLE) AS p_hat,
+       CAST(ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  * (CAST(sr2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE))
+                     - CAST(sr1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)))
+                  / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                     * SQRT(CAST(n1 AS DOUBLE) * s1
+                            + CAST(n2 AS DOUBLE) * s2)), 6) AS DOUBLE)
+           AS w_stat,
+       CAST(ROUND((CAST(n1 AS DOUBLE) * s1 + CAST(n2 AS DOUBLE) * s2)
+                  * (CAST(n1 AS DOUBLE) * s1 + CAST(n2 AS DOUBLE) * s2)
+                  / ((CAST(n1 AS DOUBLE) * s1) * (CAST(n1 AS DOUBLE) * s1)
+                     / (CAST(n1 AS DOUBLE) - 1.0)
+                     + (CAST(n2 AS DOUBLE) * s2) * (CAST(n2 AS DOUBLE) * s2)
+                       / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS DOUBLE) AS df,
+       ABS(ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 * (CAST(sr2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE))
+                    - CAST(sr1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)))
+                 / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                    * SQRT(CAST(n1 AS DOUBLE) * s1
+                           + CAST(n2 AS DOUBLE) * s2)), 6)) > 1.959964
+           AS significant
 FROM c
 """

@@ -530,6 +530,7 @@ _ROUND12_QUEUE: list[str] = [
     "jonckheere_terpstra_priority_price",
     "welch_anova_event_values",
     "bartlett_test_event_values",
+    "brunner_munzel_purchase_view",
 ]
 
 
@@ -3115,4 +3116,10 @@ register(
     "bartlett_test_event_values",
     inference_stats.bartlett_test_event_values,
     inference_stats.BARTLETT_TEST_EVENT_VALUES_ORACLE,
+)
+
+register(
+    "brunner_munzel_purchase_view",
+    analytics_checks.brunner_munzel_purchase_view,
+    analytics_checks.BRUNNER_MUNZEL_PURCHASE_VIEW_ORACLE,
 )

@@ -913,3 +913,42 @@ def test_bartlett_matches_python_mirror(spark, sf_dir):
     row = bartlett_test_event_values(spark, sf_dir).collect()[0]
     assert row["k_groups"] == k and row["n"] == nn
     assert abs(row["bartlett_t"] - t_raw / c) < max(1e-4, 1e-5 * abs(t_raw / c))
+
+
+def test_brunner_munzel_matches_scipy_formulation(spark, sf_dir):
+    """Mirror of the scipy.stats.brunnermunzel construction (combined
+    ranks, within-group ranks, separate rank variances, Welch-like df)
+    recomputed in python on the collected values."""
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        brunner_munzel_purchase_view,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type IN ('purchase', 'view')")
+        .select("event_type", "value")
+        .collect()
+    )
+    x = [r["value"] for r in rows if r["event_type"] == "purchase"]
+    y = [r["value"] for r in rows if r["event_type"] == "view"]
+    nx, ny = len(x), len(y)
+    allv = x + y
+    rc = _avg_ranks(allv)
+    rcx = _avg_ranks(x)
+    rcy = _avg_ranks(y)
+    mx = sum(rc[v] for v in x) / nx
+    my = sum(rc[v] for v in y) / ny
+    sx = sum((rc[v] - rcx[v] - mx + (nx + 1) / 2) ** 2 for v in x) / (nx - 1)
+    sy = sum((rc[v] - rcy[v] - my + (ny + 1) / 2) ** 2 for v in y) / (ny - 1)
+    w = nx * ny * (my - mx) / ((nx + ny) * (nx * sx + ny * sy) ** 0.5)
+    df = (nx * sx + ny * sy) ** 2 / (
+        (nx * sx) ** 2 / (nx - 1) + (ny * sy) ** 2 / (ny - 1)
+    )
+    phat = (my - (ny + 1) / 2) / nx
+    row = brunner_munzel_purchase_view(spark, sf_dir).collect()[0]
+    assert row["n1"] == nx and row["n2"] == ny
+    assert abs(row["p_hat"] - phat) < 1e-5
+    assert abs(row["w_stat"] - w) < 1e-4
+    assert abs(row["df"] - df) < max(1e-2, 1e-5 * df)
+    # the estimand ties back to Mann-Whitney: p_hat in [0, 1]
+    assert 0.0 <= row["p_hat"] <= 1.0

@@ -303,6 +303,7 @@ PROBES = [
     ("bartlett_test_event_values", ["events"]),
     ("breusch_pagan_price_quantity", ["lineitem"]),
     ("cohens_kappa_quality_flags_documents", ["documents"]),
+    ("brunner_munzel_purchase_view", ["events"]),
 ]
 
 KEY_OFFSETS = {
