@@ -53,6 +53,7 @@ __all__ = [
     "transitivity_copurchase_parts",
     "jonckheere_terpstra_priority_price",
     "brunner_munzel_purchase_view",
+    "cramer_von_mises_purchase_view",
     "mutual_information_event_dow",
     "robust_outliers_mad",
     "twap_user_day",
@@ -8700,4 +8701,142 @@ SELECT n1, n2,
                            + CAST(n2 AS DOUBLE) * s2)), 6)) > 1.959964
            AS significant
 FROM c
+"""
+
+
+def cramer_von_mises_purchase_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Cramér–von Mises test (Anderson 1962's two-sample T)
+    between purchase and view values — the INTEGRATED-ECDF companion to
+    ``ks_test_purchase_view``: KS reads the single worst ECDF gap (peak
+    sensitivity), CvM integrates the SQUARED gap over the whole pooled
+    sample, T = n₁n₂/(n₁+n₂)² · Σ_x t(x)·(F₁(x) − F₂(x))², catching
+    distributed-everywhere differences a single crossing hides. The
+    5% asymptotic critical value 0.461 (Anderson–Darling 1952 table) is
+    the shared literal.
+
+    Exactness: cumulative counts per group ride the SAME range-partition
+    + chunk-offset stitch as KS (never a single-partition sort); each
+    ECDF is an exact bigint ratio; the weighted squared-gap terms round
+    at 12 before the DECIMAL(38,15) fold; T rounds at 6. Scale shape:
+    one value-grain aggregation, one stitched cumulative, one fold."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pts = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    n_chunks = spark.sparkContext.defaultParallelism
+    chunked = pts.repartitionByRange(n_chunks, "value").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("value")
+    local = chunked.select(
+        "pid",
+        "c1",
+        "c2",
+        F.sum("c1").over(w).alias("l1"),
+        F.sum("c2").over(w).alias("l2"),
+    ).localCheckpoint(eager=False)  # totals + cum read it (the JT pin)
+    totals = local.groupBy("pid").agg(
+        F.max("l1").cast("bigint").alias("t1"),
+        F.max("l2").cast("bigint").alias("t2"),
+    )
+    bw = (
+        Window.partitionBy(F.col("pid") % 1)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "pid",
+        F.coalesce(F.sum("t1").over(bw), F.lit(0)).cast("bigint").alias("o1"),
+        F.coalesce(F.sum("t2").over(bw), F.lit(0)).cast("bigint").alias("o2"),
+    )
+    nn = pts.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.lit(1).alias("one"),
+    )
+    cum = (
+        local.join(offs, "pid")
+        .select(
+            "c1",
+            "c2",
+            (F.col("l1") + F.col("o1")).cast("bigint").alias("cum1"),
+            (F.col("l2") + F.col("o2")).cast("bigint").alias("cum2"),
+        )
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(nn), "one")
+    )
+    gap = F.round(
+        F.col("cum1").cast("double") / F.col("n1").cast("double")
+        - F.col("cum2").cast("double") / F.col("n2").cast("double"),
+        12,
+    )
+    folded = cum.groupBy("n1", "n2").agg(
+        F.sum(
+            ((F.col("c1") + F.col("c2")).cast("double") * gap * gap).cast(
+                "decimal(38,15)"
+            )
+        )
+        .cast("double")
+        .alias("s")
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    t = F.round(n1 * n2 / ((n1 + n2) * (n1 + n2)) * F.col("s"), 6)
+    return folded.select(
+        F.col("n1"),
+        F.col("n2"),
+        t.cast("double").alias("cvm_t"),
+        (t > F.lit(0.461)).alias("significant"),
+    )
+
+
+CRAMER_VON_MISES_PURCHASE_VIEW_ORACLE = """
+WITH ev AS (
+    SELECT event_type, value FROM events
+    WHERE event_type IN ('purchase', 'view')
+), pts AS (
+    SELECT value,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c2
+    FROM ev GROUP BY value
+), cum AS (
+    SELECT c1, c2,
+           CAST(SUM(c1) OVER (ORDER BY value) AS BIGINT) AS cum1,
+           CAST(SUM(c2) OVER (ORDER BY value) AS BIGINT) AS cum2
+    FROM pts
+), nn AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+    FROM pts
+), folded AS (
+    SELECT n1, n2,
+           CAST(SUM(CAST(CAST(c1 + c2 AS DOUBLE)
+               * ROUND(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE), 12)
+               * ROUND(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE), 12)
+               AS DECIMAL(38,15))) AS DOUBLE) AS s
+    FROM cum CROSS JOIN nn
+    GROUP BY n1, n2
+)
+SELECT n1, n2,
+       CAST(ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                     * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) * s, 6)
+            AS DOUBLE) AS cvm_t,
+       ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) * s, 6) > 0.461
+           AS significant
+FROM folded
 """

@@ -531,6 +531,7 @@ _ROUND12_QUEUE: list[str] = [
     "welch_anova_event_values",
     "bartlett_test_event_values",
     "brunner_munzel_purchase_view",
+    "cramer_von_mises_purchase_view",
 ]
 
 
@@ -3122,4 +3123,10 @@ register(
     "brunner_munzel_purchase_view",
     analytics_checks.brunner_munzel_purchase_view,
     analytics_checks.BRUNNER_MUNZEL_PURCHASE_VIEW_ORACLE,
+)
+
+register(
+    "cramer_von_mises_purchase_view",
+    analytics_checks.cramer_von_mises_purchase_view,
+    analytics_checks.CRAMER_VON_MISES_PURCHASE_VIEW_ORACLE,
 )

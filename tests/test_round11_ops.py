@@ -952,3 +952,34 @@ def test_brunner_munzel_matches_scipy_formulation(spark, sf_dir):
     assert abs(row["df"] - df) < max(1e-2, 1e-5 * df)
     # the estimand ties back to Mann-Whitney: p_hat in [0, 1]
     assert 0.0 <= row["p_hat"] <= 1.0
+
+
+def test_cramer_von_mises_matches_python_mirror(spark, sf_dir):
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        cramer_von_mises_purchase_view,
+    )
+    from collections import Counter
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type IN ('purchase', 'view')")
+        .select("event_type", "value")
+        .collect()
+    )
+    x = Counter(r["value"] for r in rows if r["event_type"] == "purchase")
+    y = Counter(r["value"] for r in rows if r["event_type"] == "view")
+    n1, n2 = sum(x.values()), sum(y.values())
+    vals = sorted(set(x) | set(y))
+    c1 = c2 = 0
+    s = 0.0
+    for v in vals:
+        c1 += x.get(v, 0)
+        c2 += y.get(v, 0)
+        gap = c1 / n1 - c2 / n2
+        s += (x.get(v, 0) + y.get(v, 0)) * gap * gap
+    t_ref = n1 * n2 / (n1 + n2) ** 2 * s
+    row = cramer_von_mises_purchase_view(spark, sf_dir).collect()[0]
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert abs(row["cvm_t"] - t_ref) < 1e-5
+    # run-twice determinism on the stitched cumulative
+    assert row == cramer_von_mises_purchase_view(spark, sf_dir).collect()[0]

@@ -304,6 +304,7 @@ PROBES = [
     ("breusch_pagan_price_quantity", ["lineitem"]),
     ("cohens_kappa_quality_flags_documents", ["documents"]),
     ("brunner_munzel_purchase_view", ["events"]),
+    ("cramer_von_mises_purchase_view", ["events"]),
 ]
 
 KEY_OFFSETS = {
