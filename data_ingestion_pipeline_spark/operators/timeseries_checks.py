@@ -30,6 +30,7 @@ __all__ = [
     "granger_lag1_view_to_purchase_daily",
     "chow_test_daily_midpoint",
     "pacf_daily_values",
+    "gmm2_em_daily_values",
     "rolling_corr_purchase_view_14d",
     "autocorr_daily_value",
     "ar2_yule_walker_daily",
@@ -2594,3 +2595,198 @@ SELECT n AS n_days,
            AS structural_break
 FROM seg_tot CROSS JOIN pooled
 """
+
+
+def _rhu(x: float, nd: int) -> float:
+    """Driver-side HALF_UP decimal round matching Spark/DuckDB ROUND on
+    doubles (python's round() is banker's — half-EVEN — and would diverge
+    on exact decimal halves). Decimal(repr(x)) mirrors the shortest
+    round-trip representation both engines round from."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
+
+
+def gmm2_em_daily_values(
+    spark: SparkSession, sf_dir: str, n_iters: int = 3
+) -> DataFrame:
+    """Two-component Gaussian-mixture EM (Dempster–Laird–Rubin 1977) on
+    the daily mean event values — the SOFT clustering family the
+    inventory's k-means (hard EM) cannot express: responsibilities
+    weight every day by both components, so overlapping regimes (a
+    high-value and a low-value operating mode) are separated without a
+    hard threshold; the published separation d = |μ₁−μ₂|/√((σ₁²+σ₂²)/2)
+    reads directly as "how bimodal is the daily series".
+
+    Determinism contract (the poisson_glm / fisher exp precedent — JVM
+    and DuckDB libm exp/ln/sqrt agree bitwise on identical rounded
+    inputs, proven across 3 SFs by those queries): the log-density gap
+    Δ re-rounds at 9, the prior/scale factor A at 9, responsibilities
+    r = 1/(1 + A·exp(Δ)) at 9; each M-step sum folds in
+    DECIMAL(38,12) and every new parameter re-rounds at 9 — so all
+    three iterations are bitwise-replayable in SQL. Initialization is
+    deterministic: μ at the exact 25th/75th percentiles (rounded 6),
+    shared variance at the series variance (rounded 9), w₁ = 0.5.
+    n_iters is FIXED at 3 (the house bounded-iteration policy).
+
+    Scale shape: the E-step relation is the calendar-bounded daily
+    grain crossed with ONE broadcast parameter row; each iteration is
+    one bounded fold; parameters live in a ≤1-row driver dict (the
+    bounded-collect idiom — at 100 TB the daily grain is still ≤ tens
+    of thousands of rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        (
+            dec_sum(F.col("value"), 27, 12).cast("double")
+            / F.count("*").cast("double")
+        ).alias("m")
+    ).localCheckpoint(eager=False)  # every E-step reads it
+    init = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.percentile("m", F.lit(0.25)), 6).alias("mu1"),
+        F.round(F.percentile("m", F.lit(0.75)), 6).alias("mu2"),
+        dec_sum(F.col("m"), 38, 15).cast("double").alias("sm"),
+        dec_sum(F.col("m") * F.col("m"), 38, 15).cast("double").alias("smm"),
+    ).collect()[0]  # bounded collect: 5 scalars
+    n = init["n"]
+    v0 = _rhu((init["smm"] - init["sm"] * init["sm"] / n) / n, 9)
+    if not v0 > 0.0:
+        # degenerate constant series: publish NULL fit identically to the
+        # oracle's CASE guard
+        return spark.createDataFrame(
+            [(n, None, None, None, None, None, None)],
+            "n_days bigint, w1 double, mu1 double, mu2 double, "
+            "var1 double, var2 double, separation double",
+        )
+    w1, mu1, mu2, v1, v2 = 0.5, init["mu1"], init["mu2"], v0, v0
+    for _ in range(n_iters):
+        import math
+
+        a = _rhu((1.0 - w1) / w1 * math.sqrt(v1) / math.sqrt(v2), 9)
+        x = F.col("m")
+        delta = F.round(
+            (x - F.lit(mu1)) * (x - F.lit(mu1)) / F.lit(2.0 * v1)
+            - (x - F.lit(mu2)) * (x - F.lit(mu2)) / F.lit(2.0 * v2),
+            9,
+        )
+        r = F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.lit(a) * F.exp(delta)), 9
+        )
+        sums = daily.select(
+            r.alias("r"),
+            (r * x).alias("rx"),
+            (r * x * x).alias("rxx"),
+            ((F.lit(1.0) - r) * x).alias("qx"),
+            ((F.lit(1.0) - r) * x * x).alias("qxx"),
+        ).agg(
+            *[
+                F.sum(F.col(c).cast("decimal(38,12)")).cast("double").alias(c)
+                for c in ["r", "rx", "rxx", "qx", "qxx"]
+            ]
+        ).collect()[0]  # bounded collect: 5 scalars per iteration
+        n1 = sums["r"]
+        n2 = n - n1
+        if not (n1 > 0.0 and n2 > 0.0):
+            # unreachable while v > 0 (r is strictly inside (0,1) before
+            # rounding, and a whole series rounding to one side needs
+            # |delta| > 20); fail LOUDLY rather than silently diverging
+            # from the oracle's unguarded arithmetic
+            raise ValueError("gmm2_em: a component emptied — degenerate fit")
+        mu1 = _rhu(sums["rx"] / n1, 9)
+        mu2 = _rhu(sums["qx"] / n2, 9)
+        v1 = _rhu(max(sums["rxx"] / n1 - mu1 * mu1, 1e-12), 9)
+        v2 = _rhu(max(sums["qxx"] / n2 - mu2 * mu2, 1e-12), 9)
+        w1 = _rhu(n1 / n, 9)
+    import math
+
+    sep = _rhu(abs(mu1 - mu2) / math.sqrt((v1 + v2) / 2.0), 6)
+    return spark.createDataFrame(
+        [(
+            n,
+            _rhu(w1, 6),
+            _rhu(mu1, 6),
+            _rhu(mu2, 6),
+            _rhu(v1, 6),
+            _rhu(v2, 6),
+            sep,
+        )],
+        "n_days bigint, w1 double, mu1 double, mu2 double, "
+        "var1 double, var2 double, separation double",
+    )
+
+
+def _gmm2_oracle(n_iters: int = 3) -> str:
+    head = """
+WITH daily AS MATERIALIZED (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS m
+    FROM events GROUP BY 1
+), p0 AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           0.5 AS w1,
+           ROUND(quantile_cont(m, 0.25), 6) AS mu1,
+           ROUND(quantile_cont(m, 0.75), 6) AS mu2,
+           ROUND((CAST(SUM(CAST(m * m AS DECIMAL(38,15))) AS DOUBLE)
+                  - CAST(SUM(CAST(m AS DECIMAL(38,15))) AS DOUBLE)
+                    * CAST(SUM(CAST(m AS DECIMAL(38,15))) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE))
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS v1,
+           ROUND((CAST(SUM(CAST(m * m AS DECIMAL(38,15))) AS DOUBLE)
+                  - CAST(SUM(CAST(m AS DECIMAL(38,15))) AS DOUBLE)
+                    * CAST(SUM(CAST(m AS DECIMAL(38,15))) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE))
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS v2
+    FROM daily
+)"""
+    step = """
+, s{m} AS (
+    SELECT p.n, p.w1, p.mu1, p.mu2, p.v1, p.v2,
+           CAST(SUM(CAST(r AS DECIMAL(38,12))) AS DOUBLE) AS sr,
+           CAST(SUM(CAST(r * m AS DECIMAL(38,12))) AS DOUBLE) AS srx,
+           CAST(SUM(CAST(r * m * m AS DECIMAL(38,12))) AS DOUBLE) AS srxx,
+           CAST(SUM(CAST((1.0 - r) * m AS DECIMAL(38,12))) AS DOUBLE) AS sqx,
+           CAST(SUM(CAST((1.0 - r) * m * m AS DECIMAL(38,12))) AS DOUBLE)
+               AS sqxx
+    FROM (
+        SELECT d.m, p.*,
+               ROUND(1.0 / (1.0
+                   + ROUND((1.0 - p.w1) / p.w1 * SQRT(p.v1) / SQRT(p.v2), 9)
+                     * EXP(ROUND((d.m - p.mu1) * (d.m - p.mu1) / (2.0 * p.v1)
+                                 - (d.m - p.mu2) * (d.m - p.mu2)
+                                   / (2.0 * p.v2), 9))), 9) AS r
+        FROM daily d CROSS JOIN p{prev} p
+    ) t, p{prev} p
+    GROUP BY p.n, p.w1, p.mu1, p.mu2, p.v1, p.v2
+), p{m} AS (
+    SELECT n,
+           ROUND(sr / CAST(n AS DOUBLE), 9) AS w1,
+           ROUND(srx / sr, 9) AS mu1,
+           ROUND(sqx / (CAST(n AS DOUBLE) - sr), 9) AS mu2,
+           ROUND(GREATEST(srxx / sr - ROUND(srx / sr, 9)
+                          * ROUND(srx / sr, 9), 1e-12), 9) AS v1,
+           ROUND(GREATEST(sqxx / (CAST(n AS DOUBLE) - sr)
+                          - ROUND(sqx / (CAST(n AS DOUBLE) - sr), 9)
+                            * ROUND(sqx / (CAST(n AS DOUBLE) - sr), 9),
+                          1e-12), 9) AS v2
+    FROM s{m}
+)"""
+    body = head
+    for m in range(1, n_iters + 1):
+        body += step.format(m=m, prev=m - 1)
+    body += f"""
+SELECT p0.n AS n_days,
+       CAST(CASE WHEN p0.v1 > 0.0 THEN ROUND(pf.w1, 6) END AS DOUBLE) AS w1,
+       CAST(CASE WHEN p0.v1 > 0.0 THEN ROUND(pf.mu1, 6) END AS DOUBLE) AS mu1,
+       CAST(CASE WHEN p0.v1 > 0.0 THEN ROUND(pf.mu2, 6) END AS DOUBLE) AS mu2,
+       CAST(CASE WHEN p0.v1 > 0.0 THEN ROUND(pf.v1, 6) END AS DOUBLE) AS var1,
+       CAST(CASE WHEN p0.v1 > 0.0 THEN ROUND(pf.v2, 6) END AS DOUBLE) AS var2,
+       CAST(CASE WHEN p0.v1 > 0.0 THEN
+            ROUND(ABS(pf.mu1 - pf.mu2) / SQRT((pf.v1 + pf.v2) / 2.0), 6)
+            END AS DOUBLE) AS separation
+FROM p{n_iters} pf CROSS JOIN p0
+"""
+    return body
+
+
+GMM2_EM_DAILY_VALUES_ORACLE = _gmm2_oracle()

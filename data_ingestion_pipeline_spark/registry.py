@@ -532,6 +532,7 @@ _ROUND12_QUEUE: list[str] = [
     "bartlett_test_event_values",
     "brunner_munzel_purchase_view",
     "cramer_von_mises_purchase_view",
+    "gmm2_em_daily_values",
 ]
 
 
@@ -3129,4 +3130,10 @@ register(
     "cramer_von_mises_purchase_view",
     analytics_checks.cramer_von_mises_purchase_view,
     analytics_checks.CRAMER_VON_MISES_PURCHASE_VIEW_ORACLE,
+)
+
+register(
+    "gmm2_em_daily_values",
+    timeseries_checks.gmm2_em_daily_values,
+    timeseries_checks.GMM2_EM_DAILY_VALUES_ORACLE,
 )

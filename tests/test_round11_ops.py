@@ -983,3 +983,85 @@ def test_cramer_von_mises_matches_python_mirror(spark, sf_dir):
     assert abs(row["cvm_t"] - t_ref) < 1e-5
     # run-twice determinism on the stitched cumulative
     assert row == cramer_von_mises_purchase_view(spark, sf_dir).collect()[0]
+
+
+def test_gmm2_em_matches_python_mirror(spark, sf_dir):
+    """Full python re-run of the 3-iteration EM (same init, same rounding
+    ladder) plus structural checks: responsibilities-implied weight in
+    (0,1), separation consistent with the published moments."""
+    import math
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        _rhu,
+        gmm2_em_daily_values,
+    )
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(ts AS DATE) AS day", "value")
+        .collect()
+    )
+    acc = defaultdict(list)
+    for r in rows:
+        acc[r["day"]].append(r["value"])
+    m = [sum(v) / len(v) for _, v in sorted(acc.items())]
+    n = len(m)
+
+    def pct(vs, q):
+        vs = sorted(vs)
+        pos = (len(vs) - 1) * q
+        lo = int(pos)
+        frac = pos - lo
+        hi = min(lo + 1, len(vs) - 1)
+        return round(vs[lo] + frac * (vs[hi] - vs[lo]), 6)
+
+    mu1, mu2 = pct(m, 0.25), pct(m, 0.75)
+    v1 = v2 = _rhu((sum(x * x for x in m) - sum(m) ** 2 / n) / n, 9)
+    w1 = 0.5
+    for _ in range(3):
+        a = _rhu((1 - w1) / w1 * math.sqrt(v1) / math.sqrt(v2), 9)
+        rs = [
+            _rhu(
+                1.0
+                / (
+                    1.0
+                    + a
+                    * math.exp(
+                        _rhu(
+                            (x - mu1) ** 2 / (2 * v1)
+                            - (x - mu2) ** 2 / (2 * v2),
+                            9,
+                        )
+                    )
+                ),
+                9,
+            )
+            for x in m
+        ]
+        n1 = sum(rs)
+        mu1 = _rhu(sum(r * x for r, x in zip(rs, m)) / n1, 9)
+        mu2 = _rhu(sum((1 - r) * x for r, x in zip(rs, m)) / (n - n1), 9)
+        v1 = _rhu(
+            max(sum(r * x * x for r, x in zip(rs, m)) / n1 - mu1 * mu1, 1e-12),
+            9,
+        )
+        v2 = _rhu(
+            max(
+                sum((1 - r) * x * x for r, x in zip(rs, m)) / (n - n1)
+                - mu2 * mu2,
+                1e-12,
+            ),
+            9,
+        )
+        w1 = _rhu(n1 / n, 9)
+    row = gmm2_em_daily_values(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["w1"] - w1) < 1e-5
+    assert abs(row["mu1"] - mu1) < max(1e-4, 1e-6 * abs(mu1))
+    assert abs(row["mu2"] - mu2) < max(1e-4, 1e-6 * abs(mu2))
+    assert 0.0 < row["w1"] < 1.0
+    sep = abs(row["mu1"] - row["mu2"]) / math.sqrt(
+        (row["var1"] + row["var2"]) / 2.0
+    )
+    assert abs(row["separation"] - sep) < 1e-4

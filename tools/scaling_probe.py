@@ -305,6 +305,7 @@ PROBES = [
     ("cohens_kappa_quality_flags_documents", ["documents"]),
     ("brunner_munzel_purchase_view", ["events"]),
     ("cramer_von_mises_purchase_view", ["events"]),
+    ("gmm2_em_daily_values", ["events"]),
 ]
 
 KEY_OFFSETS = {
