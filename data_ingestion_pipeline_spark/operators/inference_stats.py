@@ -27,6 +27,7 @@ __all__ = [
     "breusch_pagan_price_quantity",
     "welch_anova_event_values",
     "bartlett_test_event_values",
+    "rmst_user_retention",
     "wilson_ci_purchase_rate_daily",
     "oneway_anova_event_values",
     "gini_lorenz_customer_spend",
@@ -3971,4 +3972,195 @@ SELECT k AS k_groups, nn AS n, CAST(k - 1 AS INT) AS df,
                     WHEN k - 1 = 9 THEN 16.918978 WHEN k - 1 = 10 THEN 18.307038
                END), FALSE) AS significant
 FROM tot
+"""
+
+
+def rmst_user_retention(
+    spark: SparkSession, sf_dir: str, tau_hours: int = 336
+) -> DataFrame:
+    """Restricted mean survival time (Royston & Parmar 2013's preferred
+    summary; Irwin 1949) over the user-activity Kaplan–Meier curve —
+    the EFFECT-SIZE the survival tier still lacked as a single number:
+    Cox gives a hazard RATIO (model-dependent), the log-rank a verdict;
+    RMST(τ) = ∫₀^τ S(t)dt is "expected active hours in the first τ
+    hours", model-free and defined even under crossing hazards. τ = 336
+    hours (14 days) — inside the observation window at every SF.
+
+    Construction: the exact ``kaplan_meier_user_retention`` curve
+    (identical grain, censoring rule and exp/ln product fold), then the
+    step-function integral Σ S(t_{i−1})·(min(t_i,τ) − min(t_{i−1},τ))
+    + S(t_last)·(τ − min(t_last,τ)) via one lag window over the
+    bounded event-time grain; survival values round at 6 BEFORE the
+    integral (both engines integrate bitwise-equal steps) and the area
+    folds in DECIMAL(38,12), rounded at 6. Scale shape: one user-grain
+    aggregate, then everything at the bounded duration grain."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    end = ev.agg(F.max("ts").alias("end_ts"))
+    hours = (
+        (
+            F.unix_micros(F.date_trunc("hour", F.col("last_ts")))
+            - F.unix_micros(F.date_trunc("hour", F.col("first_ts")))
+        )
+        / F.lit(3_600_000_000)
+    ).cast("bigint")
+    grain = (
+        per_user.join(F.broadcast(end))
+        .select(
+            hours.alias("t_hours"),
+            (
+                F.col("last_ts") < F.col("end_ts") - F.expr("INTERVAL 1 DAYS")
+            ).alias("churned"),
+        )
+        .groupBy("t_hours")
+        .agg(
+            F.sum(F.col("churned").cast("long")).cast("bigint").alias("d_events"),
+            F.sum((~F.col("churned")).cast("long"))
+            .cast("bigint")
+            .alias("n_censored"),
+        )
+    )
+    w = Window.orderBy("t_hours").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t_hours").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = grain.agg(
+        F.sum(F.col("d_events") + F.col("n_censored")).alias("n_total")
+    )
+    curve = (
+        grain.join(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            (
+                F.col("n_total")
+                - F.coalesce(
+                    F.sum(F.col("d_events") + F.col("n_censored")).over(w),
+                    F.lit(0),
+                )
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "factor",
+            F.lit(1.0)
+            - F.col("d_events").cast("double") / F.col("n_at_risk").cast("double"),
+        )
+        .withColumn(
+            "ln_sum",
+            F.sum(
+                F.when(F.col("factor") > 0.0, F.log("factor")).otherwise(F.lit(0.0))
+            ).over(wc),
+        )
+        .withColumn(
+            "zero_seen",
+            F.sum((F.col("factor") <= 0.0).cast("long")).over(wc),
+        )
+    )
+    steps = curve.filter(F.col("d_events") > 0).select(
+        F.col("t_hours").cast("double").alias("t"),
+        F.when(F.col("zero_seen") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp("ln_sum"), 6))
+        .alias("s"),
+    )
+    tau = F.lit(float(tau_hours))
+    wl = Window.orderBy("t")
+    lagged = steps.select(
+        "t",
+        "s",
+        F.coalesce(F.lag("t").over(wl), F.lit(0.0)).alias("t_prev"),
+        F.coalesce(F.lag("s").over(wl), F.lit(1.0)).alias("s_prev"),
+        F.max("t").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("t_max"),
+    )
+    seg = F.col("s_prev") * (
+        F.least(F.col("t"), tau) - F.least(F.col("t_prev"), tau)
+    )
+    tail = F.when(
+        F.col("t") == F.col("t_max"),
+        F.col("s") * F.greatest(tau - F.least(F.col("t"), tau), F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    out = lagged.agg(
+        F.count("*").cast("bigint").alias("n_event_times"),
+        F.round(
+            F.sum((seg + tail).cast("decimal(38,12)")).cast("double"), 6
+        ).alias("rmst_hours"),
+    )
+    return out.select(
+        F.lit(tau_hours).cast("int").alias("tau_hours"),
+        "n_event_times",
+        F.col("rmst_hours").cast("double"),
+        F.round(F.col("rmst_hours") / F.lit(24.0), 6)
+        .cast("double")
+        .alias("rmst_days"),
+    )
+
+
+RMST_USER_RETENTION_ORACLE = """
+WITH per_user AS (
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events
+    GROUP BY user_id
+), ends AS (SELECT MAX(ts) AS end_ts FROM events),
+grain AS (
+    SELECT datediff('hour', first_ts, last_ts) AS t_hours,
+           CAST(SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d_events,
+           CAST(SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+    FROM per_user CROSS JOIN ends
+    GROUP BY 1
+), tot AS (SELECT SUM(d_events + n_censored) AS n_total FROM grain),
+curve AS (
+    SELECT t_hours, d_events, n_censored,
+           CAST(n_total - COALESCE(SUM(d_events + n_censored) OVER (
+                    ORDER BY t_hours
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_at_risk
+    FROM grain CROSS JOIN tot
+), folded AS (
+    SELECT t_hours, d_events,
+           1.0 - CAST(d_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+               AS factor
+    FROM curve
+), s AS (
+    SELECT t_hours, d_events,
+           SUM(CASE WHEN factor > 0.0 THEN ln(factor) ELSE 0.0 END)
+               OVER (ORDER BY t_hours
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ln_sum,
+           SUM(CASE WHEN factor <= 0.0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY t_hours
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS zero_seen
+    FROM folded
+), steps AS (
+    SELECT CAST(t_hours AS DOUBLE) AS t,
+           CASE WHEN zero_seen > 0 THEN 0.0
+                ELSE ROUND(EXP(ln_sum), 6) END AS sv
+    FROM s WHERE d_events > 0
+), lagged AS (
+    SELECT t, sv,
+           COALESCE(LAG(t) OVER (ORDER BY t), 0.0) AS t_prev,
+           COALESCE(LAG(sv) OVER (ORDER BY t), 1.0) AS s_prev,
+           MAX(t) OVER () AS t_max
+    FROM steps
+)
+SELECT CAST(336 AS INT) AS tau_hours,
+       CAST(COUNT(*) AS BIGINT) AS n_event_times,
+       CAST(ROUND(CAST(SUM(CAST(
+            s_prev * (LEAST(t, 336.0) - LEAST(t_prev, 336.0))
+            + CASE WHEN t = t_max
+                   THEN sv * GREATEST(336.0 - LEAST(t, 336.0), 0.0)
+                   ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE), 6)
+            AS DOUBLE) AS rmst_hours,
+       CAST(ROUND(ROUND(CAST(SUM(CAST(
+            s_prev * (LEAST(t, 336.0) - LEAST(t_prev, 336.0))
+            + CASE WHEN t = t_max
+                   THEN sv * GREATEST(336.0 - LEAST(t, 336.0), 0.0)
+                   ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE), 6) / 24.0, 6)
+            AS DOUBLE) AS rmst_days
+FROM lagged
 """

@@ -31,6 +31,7 @@ __all__ = [
     "chow_test_daily_midpoint",
     "pacf_daily_values",
     "gmm2_em_daily_values",
+    "pettitt_changepoint_daily",
     "rolling_corr_purchase_view_14d",
     "autocorr_daily_value",
     "ar2_yule_walker_daily",
@@ -2790,3 +2791,121 @@ FROM p{n_iters} pf CROSS JOIN p0
 
 
 GMM2_EM_DAILY_VALUES_ORACLE = _gmm2_oracle()
+
+
+def pettitt_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test (Pettitt 1979) on the daily mean values —
+    the RANK-based changepoint the parametric pair can't give:
+    ``binseg_changepoint_daily`` finds the best MEAN-shift split and
+    ``chow_test_daily_midpoint`` tests a hypothesized one, both reading
+    magnitudes; Pettitt's U_t = Σ_{i≤t}Σ_{j>t} sign(x_i − x_j) is a
+    Mann–Whitney sweep over every split — outlier-immune, and its
+    K = max|U_t| carries the classic closed-form tail bound
+    p ≈ 2·exp(−6K²/(n³+n²)).
+
+    Exactness: EVERYTHING integer until the final p — per-day
+    V_t = #less − #greater = 2·cum_before + ties − n comes from the
+    value-grain doubled-rank construction, U_t is a prefix sum of V_t
+    (the recurrence U_t = U_{t−1} + V_t), K and the argmax day are
+    exact; exp rounds at 9 on a round-at-9 argument (the fisher/GLM exp
+    parity precedent). Scale shape: one aggregation to the
+    calendar-bounded daily grain, bounded day-grain windows (documented
+    class), one fold."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(
+            dec_sum(F.col("value"), 27, 12).cast("double")
+            / F.count("*").cast("double"),
+            9,
+        ).alias("m")
+    )
+    nn = daily.agg(
+        F.count("*").cast("bigint").alias("n"), F.lit(1).alias("one")
+    )
+    # value-grain ranks over the bounded daily series
+    gv = daily.groupBy("m").agg(F.count("*").cast("bigint").alias("t"))
+    wv = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = gv.select(
+        "m",
+        "t",
+        F.coalesce(F.sum("t").over(wv), F.lit(0)).cast("bigint").alias("cb"),
+    )
+    v = (
+        daily.join(ranked, "m")
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(nn), "one")
+        .select(
+            "day",
+            (2 * F.col("cb") + F.col("t") - F.col("n"))
+            .cast("bigint")
+            .alias("v"),
+            "n",
+        )
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    u = v.select(
+        "day", "n", F.sum("v").over(wd).cast("bigint").alias("u")
+    )
+    best = u.orderBy(F.abs(F.col("u")).desc(), F.col("day").asc()).limit(1)
+    nD = F.col("n").cast("double")
+    k = F.abs(F.col("u")).cast("double")
+    p = F.round(
+        F.lit(2.0)
+        * F.exp(
+            F.round(
+                F.lit(-6.0) * k * k / (nD * nD * nD + nD * nD), 9
+            )
+        ),
+        6,
+    )
+    return best.select(
+        F.col("n").alias("n_days"),
+        F.col("day").alias("change_day"),
+        F.col("u").alias("u_at_change"),
+        F.abs(F.col("u")).cast("bigint").alias("k_stat"),
+        F.least(p, F.lit(1.0)).cast("double").alias("p_approx"),
+        (F.least(p, F.lit(1.0)) < F.lit(0.05)).alias("significant"),
+    )
+
+
+PETTITT_CHANGEPOINT_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS m
+    FROM events GROUP BY 1
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+gv AS (
+    SELECT m, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY m
+), ranked AS (
+    SELECT m, t,
+           CAST(COALESCE(SUM(t) OVER (ORDER BY m
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cb
+    FROM gv
+), v AS (
+    SELECT d.day, CAST(2 * r.cb + r.t - nn.n AS BIGINT) AS v, nn.n
+    FROM daily d JOIN ranked r USING (m) CROSS JOIN nn
+), u AS (
+    SELECT day, n,
+           CAST(SUM(v) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS u
+    FROM v
+), best AS (
+    SELECT * FROM u ORDER BY ABS(u) DESC, day ASC LIMIT 1
+)
+SELECT n AS n_days, day AS change_day, u AS u_at_change,
+       CAST(ABS(u) AS BIGINT) AS k_stat,
+       CAST(LEAST(ROUND(2.0 * EXP(ROUND(
+            -6.0 * CAST(ABS(u) AS DOUBLE) * CAST(ABS(u) AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9)), 6), 1.0)
+            AS DOUBLE) AS p_approx,
+       LEAST(ROUND(2.0 * EXP(ROUND(
+            -6.0 * CAST(ABS(u) AS DOUBLE) * CAST(ABS(u) AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+               + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9)), 6), 1.0)
+           < 0.05 AS significant
+FROM best
+"""

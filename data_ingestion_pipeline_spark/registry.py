@@ -533,6 +533,8 @@ _ROUND12_QUEUE: list[str] = [
     "brunner_munzel_purchase_view",
     "cramer_von_mises_purchase_view",
     "gmm2_em_daily_values",
+    "pettitt_changepoint_daily",
+    "rmst_user_retention",
 ]
 
 
@@ -3136,4 +3138,16 @@ register(
     "gmm2_em_daily_values",
     timeseries_checks.gmm2_em_daily_values,
     timeseries_checks.GMM2_EM_DAILY_VALUES_ORACLE,
+)
+
+register(
+    "pettitt_changepoint_daily",
+    timeseries_checks.pettitt_changepoint_daily,
+    timeseries_checks.PETTITT_CHANGEPOINT_DAILY_ORACLE,
+)
+
+register(
+    "rmst_user_retention",
+    inference_stats.rmst_user_retention,
+    inference_stats.RMST_USER_RETENTION_ORACLE,
 )

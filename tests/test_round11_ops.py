@@ -1065,3 +1065,101 @@ def test_gmm2_em_matches_python_mirror(spark, sf_dir):
         (row["var1"] + row["var2"]) / 2.0
     )
     assert abs(row["separation"] - sep) < 1e-4
+
+
+def test_pettitt_matches_python_mirror(spark, sf_dir):
+    import math
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        pettitt_changepoint_daily,
+    )
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(ts AS DATE) AS day", "value")
+        .collect()
+    )
+    acc = defaultdict(list)
+    for r in rows:
+        acc[r["day"]].append(r["value"])
+    days = sorted(acc)
+    m = [round(sum(acc[d]) / len(acc[d]), 9) for d in days]
+    n = len(m)
+    # brute-force U_t
+    best_k, best_u, best_day = -1, None, None
+    u = 0
+    for t in range(n):
+        u += sum(
+            (1 if m[t] > m[j] else -1 if m[t] < m[j] else 0)
+            for j in range(n)
+        )
+        if abs(u) > best_k:
+            best_k, best_u, best_day = abs(u), u, days[t]
+    p = min(2 * math.exp(-6 * best_k**2 / (n**3 + n**2)), 1.0)
+    row = pettitt_changepoint_daily(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert row["k_stat"] == best_k
+    assert row["u_at_change"] == best_u
+    assert row["change_day"] == best_day
+    assert abs(row["p_approx"] - p) < 1e-4
+
+
+def test_rmst_matches_python_km_integral(spark, sf_dir):
+    """RMST recomputed from a python KM fit on the same durations, and
+    structural bounds: 0 < RMST <= tau, and RMST equals tau only if no
+    churn happens before tau."""
+    import datetime
+    import math
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        rmst_user_retention,
+    )
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("user_id", "ts")
+        .collect()
+    )
+    first, last, end = {}, {}, None
+    for r in rows:
+        u, t = r["user_id"], r["ts"]
+        first[u] = min(first.get(u, t), t)
+        last[u] = max(last.get(u, t), t)
+        end = t if end is None else max(end, t)
+    def hour_floor(t):
+        return t.replace(minute=0, second=0, microsecond=0)
+    per = defaultdict(lambda: [0, 0])
+    for u in first:
+        hrs = int(
+            (hour_floor(last[u]) - hour_floor(first[u])).total_seconds() // 3600
+        )
+        churn = last[u] < end - datetime.timedelta(days=1)
+        per[hrs][0 if churn else 1] += 1
+    tot = sum(d + c for d, c in per.values())
+    seen = 0
+    s = 1.0
+    steps = []
+    for t in sorted(per):
+        d, c = per[t]
+        at_risk = tot - seen
+        seen += d + c
+        if d > 0:
+            f = 1 - d / at_risk
+            s = 0.0 if f <= 0 else s * f
+            steps.append((t, round(s, 6) if s > 0 else 0.0))
+    # integrate to tau=336 using rounded survival steps
+    tau = 336.0
+    rmst = 0.0
+    t_prev, s_prev = 0.0, 1.0
+    for t, sv in steps:
+        rmst += s_prev * (min(t, tau) - min(t_prev, tau))
+        t_prev, s_prev = t, sv
+    rmst += s_prev * max(tau - min(t_prev, tau), 0.0)
+    row = rmst_user_retention(spark, sf_dir).collect()[0]
+    assert row["tau_hours"] == 336
+    assert row["n_event_times"] == len(steps)
+    assert abs(row["rmst_hours"] - rmst) < 1e-3
+    assert 0 < row["rmst_hours"] <= 336.0
+    assert abs(row["rmst_days"] - round(row["rmst_hours"] / 24.0, 6)) < 1e-9

@@ -306,6 +306,8 @@ PROBES = [
     ("brunner_munzel_purchase_view", ["events"]),
     ("cramer_von_mises_purchase_view", ["events"]),
     ("gmm2_em_daily_values", ["events"]),
+    ("pettitt_changepoint_daily", ["events"]),
+    ("rmst_user_retention", ["events"]),
 ]
 
 KEY_OFFSETS = {
