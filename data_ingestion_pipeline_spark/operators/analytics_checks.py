@@ -54,6 +54,12 @@ __all__ = [
     "jonckheere_terpstra_priority_price",
     "brunner_munzel_purchase_view",
     "cramer_von_mises_purchase_view",
+    "anderson_darling_purchase_view",
+    "wasserstein_purchase_view",
+    "energy_distance_purchase_view",
+    "goodman_kruskal_priority_price_orders",
+    "wilcoxon_signed_rank_purchase_view_daily",
+    "cochran_armitage_trend_priority_orders",
     "mutual_information_event_dow",
     "robust_outliers_mad",
     "twap_user_day",
@@ -8839,4 +8845,850 @@ SELECT n1, n2,
                 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) * s, 6) > 0.461
            AS significant
 FROM folded
+"""
+
+
+def anderson_darling_purchase_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Anderson–Darling rank test (Pettitt 1976) between
+    purchase and view values — the TAIL-weighted member of the ECDF-gap
+    family: KS reads the worst gap, ``cramer_von_mises_purchase_view``
+    integrates the squared gap uniformly, and AD divides the integrand
+    by H(1−H) so gaps in the distribution tails (where H(1−H)→0) count
+    for more, A² = n₁n₂/N · Σ (t/N)·(F₁−F₂)²/(H(1−H)). Pettitt shows
+    the two-sample A² shares the one-sample AD limit law, so the 5%
+    asymptotic critical value 2.492 is the shared literal.
+
+    Exactness: cumulative counts ride the SAME range-partition +
+    chunk-offset stitch as KS/CvM (never a single-partition sort); the
+    pooled-ECDF weight t/(h(1−h)) and the squared gap are doubles built
+    from exact bigint ratios with the oracle's expression structure;
+    per-point terms round at DECIMAL(38,15) in the fold; A² rounds at
+    6. The H=1 endpoint (weight pole) is excluded on both engines.
+    Scale shape: one value-grain aggregation, one stitched cumulative,
+    one fold."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pts = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    n_chunks = spark.sparkContext.defaultParallelism
+    chunked = pts.repartitionByRange(n_chunks, "value").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("value")
+    local = chunked.select(
+        "pid",
+        "c1",
+        "c2",
+        F.sum("c1").over(w).alias("l1"),
+        F.sum("c2").over(w).alias("l2"),
+    ).localCheckpoint(eager=False)  # totals + cum read it (the JT pin)
+    totals = local.groupBy("pid").agg(
+        F.max("l1").cast("bigint").alias("t1"),
+        F.max("l2").cast("bigint").alias("t2"),
+    )
+    bw = (
+        Window.partitionBy(F.col("pid") % 1)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "pid",
+        F.coalesce(F.sum("t1").over(bw), F.lit(0)).cast("bigint").alias("o1"),
+        F.coalesce(F.sum("t2").over(bw), F.lit(0)).cast("bigint").alias("o2"),
+    )
+    nn = pts.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.lit(1).alias("one"),
+    )
+    cum = (
+        local.join(offs, "pid")
+        .select(
+            "c1",
+            "c2",
+            (F.col("l1") + F.col("o1")).cast("bigint").alias("cum1"),
+            (F.col("l2") + F.col("o2")).cast("bigint").alias("cum2"),
+        )
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(nn), "one")
+        .filter(F.col("cum1") + F.col("cum2") < F.col("n1") + F.col("n2"))
+    )
+    nD = (F.col("n1") + F.col("n2")).cast("double")
+    h = (F.col("cum1") + F.col("cum2")).cast("double") / nD
+    gap = F.round(
+        F.col("cum1").cast("double") / F.col("n1").cast("double")
+        - F.col("cum2").cast("double") / F.col("n2").cast("double"),
+        12,
+    )
+    wgt = (F.col("c1") + F.col("c2")).cast("double") / (h * (F.lit(1.0) - h))
+    folded = cum.groupBy("n1", "n2").agg(
+        F.sum((wgt * gap * gap).cast("decimal(38,15)"))
+        .cast("double")
+        .alias("s")
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    nT = n1 + n2
+    a2 = F.round(n1 * n2 / (nT * nT) * F.col("s"), 6)
+    return folded.select(
+        F.col("n1"),
+        F.col("n2"),
+        a2.cast("double").alias("ad_a2"),
+        (a2 > F.lit(2.492)).alias("significant"),
+    )
+
+
+ANDERSON_DARLING_PURCHASE_VIEW_ORACLE = """
+WITH ev AS (
+    SELECT event_type, value FROM events
+    WHERE event_type IN ('purchase', 'view')
+), pts AS (
+    SELECT value,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c2
+    FROM ev GROUP BY value
+), nn AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+    FROM pts
+), cum AS (
+    SELECT c1, c2,
+           CAST(SUM(c1) OVER (ORDER BY value) AS BIGINT) AS cum1,
+           CAST(SUM(c2) OVER (ORDER BY value) AS BIGINT) AS cum2
+    FROM pts
+), folded AS (
+    SELECT n1, n2,
+           CAST(SUM(CAST(
+               (CAST(c1 + c2 AS DOUBLE)
+                / ((CAST(cum1 + cum2 AS DOUBLE)
+                    / (CAST(n1 + n2 AS DOUBLE)))
+                   * (1.0 - CAST(cum1 + cum2 AS DOUBLE)
+                            / (CAST(n1 + n2 AS DOUBLE)))))
+               * ROUND(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE), 12)
+               * ROUND(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE), 12)
+               AS DECIMAL(38,15))) AS DOUBLE) AS s
+    FROM cum CROSS JOIN nn
+    WHERE cum1 + cum2 < n1 + n2
+    GROUP BY n1, n2
+)
+SELECT n1, n2,
+       CAST(ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                     * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) * s, 6)
+            AS DOUBLE) AS ad_a2,
+       ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) * s, 6)
+           > 2.492 AS significant
+FROM folded
+"""
+
+
+def wasserstein_purchase_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between purchase and
+    view value distributions — the family member that reports the
+    answer in DOLLARS: KS/CvM/AD read ECDF gaps dimensionlessly, W₁ =
+    ∫|F₁−F₂|dx is the minimum average transport, i.e. "how many dollars
+    must the view distribution move per event to become the purchase
+    distribution". For ECDFs it is exactly Σ_j |F₁(v_j)−F₂(v_j)|·
+    (v_{j+1}−v_j) over pooled distinct values.
+
+    Exactness: FULLY integer until one final division — values are
+    2-decimal currency, so v rides as exact cents via a DECIMAL(12,2)
+    cast; the per-segment term |cum₁·n₂ − cum₂·n₁|·Δcents is bigint,
+    folded in DECIMAL(38,0), and W₁ = Σ/(n₁·n₂·100). The global value
+    order needs a NEXT-VALUE stitch on top of the cumulative stitch:
+    within-chunk lead plus each chunk's successor-first-value from a
+    per-chunk bounds relation (range partitioning guarantees chunk p's
+    values all precede chunk p+1's). Scale shape: one value-grain
+    aggregation, one stitched cumulative + stitched lead, one fold."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pts = ev.groupBy("value").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    n_chunks = spark.sparkContext.defaultParallelism
+    chunked = pts.repartitionByRange(n_chunks, "value").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("value")
+    local = chunked.select(
+        "pid",
+        "value",
+        F.sum("c1").over(w).alias("l1"),
+        F.sum("c2").over(w).alias("l2"),
+        F.lead("value").over(w).alias("lv"),
+    ).localCheckpoint(eager=False)  # totals + cum read it (the JT pin)
+    totals = local.groupBy("pid").agg(
+        F.max("l1").cast("bigint").alias("t1"),
+        F.max("l2").cast("bigint").alias("t2"),
+        F.min("value").alias("fv"),
+    )
+    bw = (
+        Window.partitionBy(F.col("pid") % 1)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lw = Window.partitionBy(F.col("pid") % 1).orderBy("pid")
+    offs = totals.select(
+        "pid",
+        F.coalesce(F.sum("t1").over(bw), F.lit(0)).cast("bigint").alias("o1"),
+        F.coalesce(F.sum("t2").over(bw), F.lit(0)).cast("bigint").alias("o2"),
+        F.lead("fv").over(lw).alias("next_fv"),
+    )
+    nn = pts.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.lit(1).alias("one"),
+    )
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    next_v = F.coalesce(F.col("lv"), F.col("next_fv"))
+    next_cents = (next_v.cast("decimal(12,2)") * 100).cast("bigint")
+    seg = (
+        local.join(offs, "pid")
+        .select(
+            (F.col("l1") + F.col("o1")).cast("bigint").alias("cum1"),
+            (F.col("l2") + F.col("o2")).cast("bigint").alias("cum2"),
+            cents.alias("vc"),
+            next_cents.alias("nvc"),
+        )
+        .filter(F.col("nvc").isNotNull())
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(nn), "one")
+    )
+    num = seg.groupBy("n1", "n2").agg(
+        F.sum(
+            (
+                F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+                * (F.col("nvc") - F.col("vc"))
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("s")
+    )
+    w1 = F.round(
+        F.col("s")
+        / (F.col("n1").cast("double") * F.col("n2").cast("double") * 100.0),
+        6,
+    )
+    return num.select(
+        F.col("n1"), F.col("n2"), w1.cast("double").alias("w1_dollars")
+    )
+
+
+WASSERSTEIN_PURCHASE_VIEW_ORACLE = """
+WITH ev AS (
+    SELECT event_type, value FROM events
+    WHERE event_type IN ('purchase', 'view')
+), pts AS (
+    SELECT value,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c2
+    FROM ev GROUP BY value
+), nn AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+    FROM pts
+), cum AS (
+    SELECT CAST(SUM(c1) OVER (ORDER BY value) AS BIGINT) AS cum1,
+           CAST(SUM(c2) OVER (ORDER BY value) AS BIGINT) AS cum2,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc,
+           CAST(CAST(LEAD(value) OVER (ORDER BY value) AS DECIMAL(12,2))
+                * 100 AS BIGINT) AS nvc
+    FROM pts
+), num AS (
+    SELECT n1, n2,
+           CAST(SUM(CAST(
+               ABS(cum1 * n2 - cum2 * n1) * (nvc - vc)
+               AS DECIMAL(38,0))) AS DOUBLE) AS s
+    FROM cum CROSS JOIN nn
+    WHERE nvc IS NOT NULL
+    GROUP BY n1, n2
+)
+SELECT n1, n2,
+       CAST(ROUND(s / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * 100.0), 6)
+            AS DOUBLE) AS w1_dollars
+FROM num
+"""
+
+
+def energy_distance_purchase_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Energy distance (Székely–Rizzo 2004) between purchase and view
+    values, E = √(2·E|X−Y| − E|X−X′| − E|Y−Y′|) — the CHARACTERISTIC-
+    FUNCTION member of the two-sample family: zero iff the
+    distributions coincide, metric in the distribution space, and reads
+    in dollars like ``wasserstein_purchase_view`` but weights by pair
+    distance rather than transport. The naive form is O(n²) pairs; in
+    1-D each pairwise-|Δ| expectation collapses to a sorted prefix-sum
+    identity Σ_{pairs}|a−b| = Σ_j [v_j·(cnt_j·cntcum′_j) − cnt_j·Scum′_j],
+    so the whole statistic is one stitched cumulative — never a pair
+    join.
+
+    Exactness: FULLY integer until three final divisions — exact cents
+    via DECIMAL(12,2), per-row terms are bigint products of counts and
+    prefix sums, folded in DECIMAL(38,0); the three expectations divide
+    in double with the oracle's structure, D² combines and rounds at 9,
+    E rounds at 6. Scale shape: one value-grain aggregation, one
+    stitched cumulative (4 running sums), one fold."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    cents = (F.col("value").cast("decimal(12,2)") * 100).cast("bigint")
+    pts = (
+        ev.groupBy("value")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            .cast("bigint")
+            .alias("c1"),
+            F.sum((F.col("event_type") == "view").cast("long"))
+            .cast("bigint")
+            .alias("c2"),
+        )
+        .select(
+            "value",
+            "c1",
+            "c2",
+            cents.alias("vc"),
+            (cents * F.col("c1")).alias("s1"),
+            (cents * F.col("c2")).alias("s2"),
+        )
+    )
+    n_chunks = spark.sparkContext.defaultParallelism
+    chunked = pts.repartitionByRange(n_chunks, "value").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("pid").orderBy("value")
+    local = chunked.select(
+        "pid",
+        "c1",
+        "c2",
+        "vc",
+        "s1",
+        "s2",
+        F.sum("c1").over(w).alias("l1"),
+        F.sum("c2").over(w).alias("l2"),
+        F.sum("s1").over(w).alias("ls1"),
+        F.sum("s2").over(w).alias("ls2"),
+    ).localCheckpoint(eager=False)  # totals + cum read it (the JT pin)
+    totals = local.groupBy("pid").agg(
+        F.max("l1").cast("bigint").alias("t1"),
+        F.max("l2").cast("bigint").alias("t2"),
+        F.max("ls1").cast("bigint").alias("ts1"),
+        F.max("ls2").cast("bigint").alias("ts2"),
+    )
+    bw = (
+        Window.partitionBy(F.col("pid") % 1)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "pid",
+        F.coalesce(F.sum("t1").over(bw), F.lit(0)).cast("bigint").alias("o1"),
+        F.coalesce(F.sum("t2").over(bw), F.lit(0)).cast("bigint").alias("o2"),
+        F.coalesce(F.sum("ts1").over(bw), F.lit(0))
+        .cast("bigint")
+        .alias("os1"),
+        F.coalesce(F.sum("ts2").over(bw), F.lit(0))
+        .cast("bigint")
+        .alias("os2"),
+    )
+    nn = pts.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.lit(1).alias("one"),
+    )
+    # prefix-STRICTLY-before sums: inclusive stitched cum minus own row
+    rows = (
+        local.join(offs, "pid")
+        .select(
+            "c1",
+            "c2",
+            "vc",
+            "s1",
+            "s2",
+            (F.col("l1") + F.col("o1") - F.col("c1"))
+            .cast("bigint")
+            .alias("p1"),
+            (F.col("l2") + F.col("o2") - F.col("c2"))
+            .cast("bigint")
+            .alias("p2"),
+            (F.col("ls1") + F.col("os1") - F.col("s1"))
+            .cast("bigint")
+            .alias("ps1"),
+            (F.col("ls2") + F.col("os2") - F.col("s2"))
+            .cast("bigint")
+            .alias("ps2"),
+        )
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(nn), "one")
+    )
+    folded = rows.groupBy("n1", "n2").agg(
+        F.sum(
+            (
+                F.col("vc") * (F.col("c1") * F.col("p2") + F.col("c2") * F.col("p1"))
+                - (F.col("c1") * F.col("ps2") + F.col("c2") * F.col("ps1"))
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("cab"),
+        F.sum(
+            (F.col("vc") * F.col("c1") * F.col("p1") - F.col("c1") * F.col("ps1"))
+            .cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("caa"),
+        F.sum(
+            (F.col("vc") * F.col("c2") * F.col("p2") - F.col("c2") * F.col("ps2"))
+            .cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("cbb"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    exy = F.col("cab") / (n1 * n2 * 100.0)
+    exx = 2.0 * F.col("caa") / (n1 * n1 * 100.0)
+    eyy = 2.0 * F.col("cbb") / (n2 * n2 * 100.0)
+    d2 = F.round(2.0 * exy - exx - eyy, 9)
+    return folded.select(
+        F.col("n1"),
+        F.col("n2"),
+        F.round(exy, 6).cast("double").alias("e_xy_dollars"),
+        F.round(exx, 6).cast("double").alias("e_xx_dollars"),
+        F.round(eyy, 6).cast("double").alias("e_yy_dollars"),
+        F.round(F.sqrt(F.greatest(d2, F.lit(0.0))), 6)
+        .cast("double")
+        .alias("energy_distance"),
+    )
+
+
+ENERGY_DISTANCE_PURCHASE_VIEW_ORACLE = """
+WITH ev AS (
+    SELECT event_type, value FROM events
+    WHERE event_type IN ('purchase', 'view')
+), pts AS (
+    SELECT value,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c2,
+           CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+    FROM ev GROUP BY value
+), nn AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+    FROM pts
+), cum AS (
+    SELECT c1, c2, vc,
+           vc * c1 AS s1,
+           vc * c2 AS s2,
+           CAST(SUM(c1) OVER (ORDER BY value) - c1 AS BIGINT) AS p1,
+           CAST(SUM(c2) OVER (ORDER BY value) - c2 AS BIGINT) AS p2,
+           CAST(SUM(vc * c1) OVER (ORDER BY value) - vc * c1
+                AS BIGINT) AS ps1,
+           CAST(SUM(vc * c2) OVER (ORDER BY value) - vc * c2
+                AS BIGINT) AS ps2
+    FROM pts
+), folded AS (
+    SELECT n1, n2,
+           CAST(SUM(CAST(vc * (c1 * p2 + c2 * p1) - (c1 * ps2 + c2 * ps1)
+               AS DECIMAL(38,0))) AS DOUBLE) AS cab,
+           CAST(SUM(CAST(vc * c1 * p1 - c1 * ps1
+               AS DECIMAL(38,0))) AS DOUBLE) AS caa,
+           CAST(SUM(CAST(vc * c2 * p2 - c2 * ps2
+               AS DECIMAL(38,0))) AS DOUBLE) AS cbb
+    FROM cum CROSS JOIN nn
+    GROUP BY n1, n2
+)
+SELECT n1, n2,
+       CAST(ROUND(cab / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * 100.0), 6)
+            AS DOUBLE) AS e_xy_dollars,
+       CAST(ROUND(2.0 * caa / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                               * 100.0), 6) AS DOUBLE) AS e_xx_dollars,
+       CAST(ROUND(2.0 * cbb / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                               * 100.0), 6) AS DOUBLE) AS e_yy_dollars,
+       CAST(ROUND(SQRT(GREATEST(ROUND(
+            2.0 * (cab / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * 100.0))
+            - 2.0 * caa / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * 100.0)
+            - 2.0 * cbb / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * 100.0),
+            9), 0.0)), 6) AS DOUBLE) AS energy_distance
+FROM folded
+"""
+
+
+def goodman_kruskal_priority_price_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ordinal-association panel between order priority (1-URGENT …
+    5-LOW) and the $25k total-price band: Goodman–Kruskal γ, Somers'
+    D in both directions, and Kendall τ_b — the CONTINGENCY-grade
+    ordinal measures the series-grade ``kendall_tau_daily_purchase_view``
+    can't give (γ discards all ties; D_yx penalizes ties on the
+    dependent side only; τ_b penalizes both — reporting the four side
+    by side is the standard ordinal-association diagnostic).
+
+    Exactness: FULLY integer until the final divisions — the n-row
+    table collapses to a ≤5×20-cell contingency relation, concordant/
+    discordant pair MASSES come from one inequality join over the cell
+    relation (C = Σ n_a·n_b over cell pairs up-right of each other —
+    never a row-level pair join), tie masses from the margins via
+    m(m−1)/2, all bigint; the four ratios divide in double and round at
+    6. Scale shape: one grouped count, then everything is cell-grade;
+    the inequality join is broadcast (≤100 cells ⇒ BNLJ, no shuffle,
+    no cartesian flag)."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.select(
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("x"),
+            F.floor(F.col("o_totalprice") / 25000.0).cast("int").alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # pair join + margins read it
+    )
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("c").alias("cb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("xb") > F.col("xa")).agg(
+        F.sum(
+            F.when(F.col("yb") > F.col("ya"), F.col("ca") * F.col("cb")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("conc"),
+        F.sum(
+            F.when(F.col("yb") < F.col("ya"), F.col("ca") * F.col("cb")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("disc"),
+    )
+    margins = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias("txy"),
+    )
+    xm = (
+        cells.groupBy("x")
+        .agg(F.sum("c").cast("bigint").alias("m"))
+        .agg(F.sum(F.col("m") * (F.col("m") - 1) / 2).cast("bigint").alias("tx"))
+    )
+    ym = (
+        cells.groupBy("y")
+        .agg(F.sum("c").cast("bigint").alias("m"))
+        .agg(F.sum(F.col("m") * (F.col("m") - 1) / 2).cast("bigint").alias("ty"))
+    )
+    s = (
+        pairs.withColumn("one", F.lit(1))
+        .join(F.broadcast(margins.withColumn("one", F.lit(1))), "one")
+        .join(F.broadcast(xm.withColumn("one", F.lit(1))), "one")
+        .join(F.broadcast(ym.withColumn("one", F.lit(1))), "one")
+    )
+    nD = F.col("n").cast("double")
+    t0 = nD * (nD - 1.0) / 2.0
+    cd = (F.col("conc") - F.col("disc")).cast("double")
+    gamma = F.round(cd / (F.col("conc") + F.col("disc")).cast("double"), 6)
+    d_yx = F.round(cd / (t0 - F.col("tx").cast("double")), 6)
+    d_xy = F.round(cd / (t0 - F.col("ty").cast("double")), 6)
+    tau_b = F.round(
+        cd
+        / F.sqrt(
+            (t0 - F.col("tx").cast("double")) * (t0 - F.col("ty").cast("double"))
+        ),
+        6,
+    )
+    return s.select(
+        F.col("n"),
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.col("tx").alias("ties_x"),
+        F.col("ty").alias("ties_y"),
+        gamma.cast("double").alias("gamma"),
+        d_yx.cast("double").alias("somers_d_yx"),
+        d_xy.cast("double").alias("somers_d_xy"),
+        tau_b.cast("double").alias("tau_b"),
+    )
+
+
+GOODMAN_KRUSKAL_PRIORITY_PRICE_ORDERS_ORACLE = """
+WITH cells AS (
+    SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS x,
+           CAST(FLOOR(o_totalprice / 25000.0) AS INT) AS y,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM orders GROUP BY 1, 2
+), pairs AS (
+    SELECT CAST(SUM(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END)
+                AS BIGINT) AS conc,
+           CAST(SUM(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END)
+                AS BIGINT) AS disc
+    FROM cells a JOIN cells b ON b.x > a.x
+), margins AS (
+    SELECT CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS txy
+    FROM cells
+), xm AS (
+    SELECT CAST(SUM(m * (m - 1) / 2) AS BIGINT) AS tx
+    FROM (SELECT CAST(SUM(c) AS BIGINT) AS m FROM cells GROUP BY x)
+), ym AS (
+    SELECT CAST(SUM(m * (m - 1) / 2) AS BIGINT) AS ty
+    FROM (SELECT CAST(SUM(c) AS BIGINT) AS m FROM cells GROUP BY y)
+)
+SELECT n, conc AS concordant, disc AS discordant, tx AS ties_x, ty AS ties_y,
+       CAST(ROUND(CAST(conc - disc AS DOUBLE)
+                  / CAST(conc + disc AS DOUBLE), 6) AS DOUBLE) AS gamma,
+       CAST(ROUND(CAST(conc - disc AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                     - CAST(tx AS DOUBLE)), 6) AS DOUBLE) AS somers_d_yx,
+       CAST(ROUND(CAST(conc - disc AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                     - CAST(ty AS DOUBLE)), 6) AS DOUBLE) AS somers_d_xy,
+       CAST(ROUND(CAST(conc - disc AS DOUBLE)
+                  / SQRT((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                          - CAST(tx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                            - CAST(ty AS DOUBLE))), 6) AS DOUBLE) AS tau_b
+FROM pairs CROSS JOIN margins CROSS JOIN xm CROSS JOIN ym
+"""
+
+
+def wilcoxon_signed_rank_purchase_view_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED daily totals (purchase $ vs
+    view $ per calendar day) — the paired companion the two-sample book
+    lacks: ``welch_ttest_purchase_view_daily`` compares the daily means
+    parametrically and ``mann_whitney_purchase_view_values`` ranks the
+    two populations independently, but day-pairing removes the shared
+    day-level traffic factor, and the signed-rank statistic needs only
+    symmetry of the paired differences. Zero differences drop (Wilcoxon's
+    exclusion rule); ties in |d| take average ranks; the normal
+    approximation carries the standard tie-corrected variance
+    n(n+1)(2n+1)/24 − Σ(t³−t)/48.
+
+    Exactness: daily sums are exact DECIMAL(12,2) folds, so the paired
+    difference is exact cents (bigint); DOUBLED average ranks are exact
+    integers (2r̄ = 2·cum_before + t + 1, the Mann–Whitney value-grain
+    construction), so 2W⁺ = Σ t⁺·2r̄ is bigint; the z numerator scales
+    by 4 (4W⁺ − n(n+1), integer) and the variance by 48 (2n(n+1)(2n+1)
+    − Σ(t³−t), integer), so z = (num4/4)/√(var48/48) is the only float,
+    rounded at 6. Scale shape: one calendar-bounded daily aggregation,
+    then |d|-grain (≤ day count) windows — the documented bounded
+    class."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(12,2)"),
+            ).otherwise(F.lit(0).cast("decimal(12,2)"))
+        ).alias("p"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "view",
+                F.col("value").cast("decimal(12,2)"),
+            ).otherwise(F.lit(0).cast("decimal(12,2)"))
+        ).alias("v"),
+    )
+    d = daily.select(
+        ((F.col("p") - F.col("v")) * 100).cast("bigint").alias("dc")
+    ).filter(F.col("dc") != 0)
+    g = d.groupBy(F.abs(F.col("dc")).alias("a")).agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.count(F.when(F.col("dc") > 0, 1)).cast("bigint").alias("tp"),
+    )
+    w = Window.orderBy("a").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "dr",
+        (
+            2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1
+        ).cast("bigint"),
+    )
+    s = ranked.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("tp") * F.col("dr")).cast("bigint").alias("w2"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie_term"),
+    )
+    num4 = (2 * F.col("w2") - F.col("n") * (F.col("n") + 1)).cast("double")
+    var48 = (
+        2 * F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1)
+    ).cast("decimal(38,0)") - F.col("tie_term")
+    z = F.round(
+        (num4 / F.lit(4.0)) / F.sqrt(var48.cast("double") / F.lit(48.0)), 6
+    )
+    return s.select(
+        F.col("n").alias("n_days_nonzero"),
+        (F.col("w2").cast("double") / F.lit(2.0)).alias("w_plus"),
+        z.cast("double").alias("z_score"),
+        (F.abs(z) > F.lit(1.959964)).alias("significant"),
+    )
+
+
+WILCOXON_SIGNED_RANK_PURCHASE_VIEW_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(value AS DECIMAL(12,2))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS p,
+           SUM(CASE WHEN event_type = 'view'
+                    THEN CAST(value AS DECIMAL(12,2))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS v
+    FROM events WHERE event_type IN ('purchase', 'view')
+    GROUP BY 1
+), d AS (
+    SELECT CAST((p - v) * 100 AS BIGINT) AS dc FROM daily
+    WHERE CAST((p - v) * 100 AS BIGINT) <> 0
+), g AS (
+    SELECT ABS(dc) AS a, CAST(COUNT(*) AS BIGINT) AS t,
+           CAST(COUNT(CASE WHEN dc > 0 THEN 1 END) AS BIGINT) AS tp
+    FROM d GROUP BY 1
+), ranked AS (
+    SELECT t, tp,
+           CAST(2 * COALESCE(SUM(t) OVER (ORDER BY a
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + t + 1 AS BIGINT) AS dr
+    FROM g
+), s AS (
+    SELECT CAST(SUM(t) AS BIGINT) AS n,
+           CAST(SUM(tp * dr) AS BIGINT) AS w2,
+           SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie_term
+    FROM ranked
+)
+SELECT n AS n_days_nonzero,
+       CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+       CAST(ROUND(
+           (CAST(2 * w2 - n * (n + 1) AS DOUBLE) / 4.0)
+           / SQRT(CAST(CAST(2 * n * (n + 1) * (2 * n + 1) AS DECIMAL(38,0))
+                       - tie_term AS DOUBLE) / 48.0), 6) AS DOUBLE) AS z_score,
+       ABS(ROUND(
+           (CAST(2 * w2 - n * (n + 1) AS DOUBLE) / 4.0)
+           / SQRT(CAST(CAST(2 * n * (n + 1) * (2 * n + 1) AS DECIMAL(38,0))
+                       - tie_term AS DOUBLE) / 48.0), 6)) > 1.959964
+           AS significant
+FROM s
+"""
+
+
+def cochran_armitage_trend_priority_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran–Armitage trend test: does the fraction of FULFILLED
+    orders (o_orderstatus = 'F') trend monotonically across the ORDERED
+    priority classes 1-URGENT … 5-LOW? The ordered-alternative
+    proportions test the unordered ``chi_square_event_dow`` family
+    can't express — χ² spends k−1 degrees of freedom on any deviation,
+    CA spends one on the linear-in-score alternative (scores s_i =
+    priority rank), z = Σs_i(r_i − n_i·R/N) / √(p(1−p)(Σn_is_i² −
+    (Σn_is_i)²/N)).
+
+    Exactness: the table collapses to ≤5 (score, n, r) rows; N, R,
+    Σsn, Σs²n, Σsr are exact bigint folds; z is the only float,
+    assembled with the oracle's expression structure and rounded at 6.
+    Scale shape: one grouped count, then constant-size arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    rows = (
+        o.select(
+            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("s"),
+            (F.col("o_orderstatus") == "F").cast("long").alias("f"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("bigint").alias("ni"),
+            F.sum("f").cast("bigint").alias("ri"),
+        )
+    )
+    agg = rows.agg(
+        F.sum("ni").cast("bigint").alias("n"),
+        F.sum("ri").cast("bigint").alias("r"),
+        F.sum(F.col("s") * F.col("ni")).cast("bigint").alias("sx"),
+        F.sum(F.col("s") * F.col("s") * F.col("ni")).cast("bigint").alias("sxx"),
+        F.sum(F.col("s") * F.col("ri")).cast("bigint").alias("t"),
+    )
+    nD = F.col("n").cast("double")
+    rD = F.col("r").cast("double")
+    p = rD / nD
+    num = F.col("t").cast("double") - rD * F.col("sx").cast("double") / nD
+    varr = (
+        p
+        * (F.lit(1.0) - p)
+        * (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double") / nD
+        )
+    )
+    z = F.round(num / F.sqrt(varr), 6)
+    return agg.select(
+        F.col("n"),
+        F.col("r").alias("fulfilled"),
+        F.round(p, 6).cast("double").alias("overall_rate"),
+        z.cast("double").alias("z_trend"),
+        (F.abs(z) > F.lit(1.959964)).alias("significant"),
+    )
+
+
+COCHRAN_ARMITAGE_TREND_PRIORITY_ORDERS_ORACLE = """
+WITH rows_ AS (
+    SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS ni,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS ri
+    FROM orders GROUP BY 1
+), agg AS (
+    SELECT CAST(SUM(ni) AS BIGINT) AS n,
+           CAST(SUM(ri) AS BIGINT) AS r,
+           CAST(SUM(s * ni) AS BIGINT) AS sx,
+           CAST(SUM(s * s * ni) AS BIGINT) AS sxx,
+           CAST(SUM(s * ri) AS BIGINT) AS t
+    FROM rows_
+)
+SELECT n, r AS fulfilled,
+       CAST(ROUND(CAST(r AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE)
+           AS overall_rate,
+       CAST(ROUND(
+           (CAST(t AS DOUBLE)
+            - CAST(r AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           / SQRT((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                       / CAST(n AS DOUBLE))), 6) AS DOUBLE) AS z_trend,
+       ABS(ROUND(
+           (CAST(t AS DOUBLE)
+            - CAST(r AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           / SQRT((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                       / CAST(n AS DOUBLE))), 6)) > 1.959964 AS significant
+FROM agg
 """

@@ -25,6 +25,7 @@ from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
     "breusch_pagan_price_quantity",
+    "white_test_price_quantity",
     "welch_anova_event_values",
     "bartlett_test_event_values",
     "rmst_user_retention",
@@ -4163,4 +4164,200 @@ SELECT CAST(336 AS INT) AS tau_hours,
                    ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE), 6) / 24.0, 6)
             AS DOUBLE) AS rmst_days
 FROM lagged
+"""
+
+
+def white_test_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """White's heteroscedasticity test (White 1980) on the pooled
+    price~quantity OLS — the FORM-FREE upgrade of
+    ``breusch_pagan_price_quantity``: BP's auxiliary regression is
+    linear in x, so variance rising-then-falling in quantity (or any
+    even pattern) is invisible to it; White regresses the squared
+    residual on x AND x², catching any second-order variance shape,
+    LM = n·R² against χ²(2) (5.991465). Reading BP and White together
+    separates "variance drifts with x" from "variance curves in x".
+
+    Exactness: stage 1 is the shared closed-form OLS with β rounded at
+    9 (the regression-ladder contract); stage 2 solves the 3-regressor
+    auxiliary fit by Cramer's rule over ten exact-decimal power sums
+    (the ``adf_test_daily_values`` machinery) — never a per-row
+    residual pass for R²: ESS = b'X'y − (Σu)²/n. LM rounds at 6.
+    Scale shape: TWO corpus passes (fit sums, then auxiliary sums),
+    no joins, no iteration."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    agg = li.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("x"), 27, 12).cast("double").alias("sx"),
+        dec_sum(F.col("y"), 38, 12).cast("double").alias("sy"),
+        dec_sum(F.col("x") * F.col("y"), 38, 12).cast("double").alias("sxy"),
+        dec_sum(F.col("x") * F.col("x"), 38, 12).cast("double").alias("sxx"),
+    )
+    nd0 = F.col("n").cast("double")
+    det_fit = nd0 * F.col("sxx") - F.col("sx") * F.col("sx")
+    b1 = F.round(
+        (nd0 * F.col("sxy") - F.col("sx") * F.col("sy")) / det_fit, 9
+    )
+    params = agg.select(
+        "n",
+        F.when(det_fit > F.lit(0.0), b1).alias("b1"),
+        "sx",
+        "sy",
+    ).select(
+        "n",
+        "b1",
+        F.round((F.col("sy") - F.col("b1") * F.col("sx")) / nd0, 9).alias(
+            "b0"
+        ),
+    )
+    j = li.crossJoin(F.broadcast(params))
+    r = F.col("y") - F.round(F.col("b0") + F.col("b1") * F.col("x"), 9)
+    rows = j.select(
+        (r * r).alias("w"),
+        F.col("x").alias("u"),
+        (F.col("x") * F.col("x")).alias("v"),
+    )
+    a = rows.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("u"), 27, 12).cast("double").alias("su"),
+        dec_sum(F.col("v"), 38, 12).cast("double").alias("sv"),
+        dec_sum(F.col("w"), 38, 9).cast("double").alias("sw"),
+        dec_sum(F.col("u") * F.col("u"), 38, 12).cast("double").alias("suu"),
+        dec_sum(F.col("v") * F.col("v"), 38, 9).cast("double").alias("svv"),
+        dec_sum(F.col("u") * F.col("v"), 38, 12).cast("double").alias("suv"),
+        dec_sum(F.col("u") * F.col("w"), 38, 6).cast("double").alias("suw"),
+        dec_sum(F.col("v") * F.col("w"), 38, 6).cast("double").alias("svw"),
+        dec_sum(F.col("w") * F.col("w"), 38, 6).cast("double").alias("sww"),
+    )
+    nd = F.col("n").cast("double")
+    det = (
+        nd * (F.col("suu") * F.col("svv") - F.col("suv") * F.col("suv"))
+        - F.col("su") * (F.col("su") * F.col("svv") - F.col("suv") * F.col("sv"))
+        + F.col("sv") * (F.col("su") * F.col("suv") - F.col("suu") * F.col("sv"))
+    )
+    det0 = (
+        F.col("sw") * (F.col("suu") * F.col("svv") - F.col("suv") * F.col("suv"))
+        - F.col("su") * (F.col("suw") * F.col("svv") - F.col("suv") * F.col("svw"))
+        + F.col("sv") * (F.col("suw") * F.col("suv") - F.col("suu") * F.col("svw"))
+    )
+    detu = (
+        nd * (F.col("suw") * F.col("svv") - F.col("suv") * F.col("svw"))
+        - F.col("sw") * (F.col("su") * F.col("svv") - F.col("suv") * F.col("sv"))
+        + F.col("sv") * (F.col("su") * F.col("svw") - F.col("suw") * F.col("sv"))
+    )
+    detv = (
+        nd * (F.col("suu") * F.col("svw") - F.col("suw") * F.col("suv"))
+        - F.col("su") * (F.col("su") * F.col("svw") - F.col("suw") * F.col("sv"))
+        + F.col("sw") * (F.col("su") * F.col("suv") - F.col("suu") * F.col("sv"))
+    )
+    m = a.select(
+        "*",
+        det.alias("det"),
+        det0.alias("d0"),
+        detu.alias("du"),
+        detv.alias("dv"),
+    ).filter(F.col("det") > 0.0)
+    p = m.select(
+        "*",
+        F.round(F.col("d0") / F.col("det"), 9).alias("c0"),
+        F.round(F.col("du") / F.col("det"), 9).alias("cu"),
+        F.round(F.col("dv") / F.col("det"), 9).alias("cv"),
+    )
+    ess = (
+        F.col("c0") * F.col("sw")
+        + F.col("cu") * F.col("suw")
+        + F.col("cv") * F.col("svw")
+        - F.col("sw") * F.col("sw") / nd
+    )
+    tss = F.col("sww") - F.col("sw") * F.col("sw") / nd
+    r2 = ess / tss
+    lm = F.round(nd * r2, 6)
+    return p.select(
+        F.col("n").alias("n_rows"),
+        F.round(r2, 6).cast("double").alias("aux_r2"),
+        lm.cast("double").alias("white_stat"),
+        (lm > F.lit(5.991465)).alias("heteroscedastic"),
+    )
+
+
+WHITE_TEST_PRICE_QUANTITY_ORACLE = """
+WITH base AS (
+    SELECT CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_extendedprice AS DOUBLE) AS y
+    FROM lineitem
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+    FROM base
+), params AS (
+    SELECT n, b1,
+           ROUND((sy - b1 * sx) / CAST(n AS DOUBLE), 9) AS b0
+    FROM (
+        SELECT *,
+               CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
+                    THEN ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                               / (CAST(n AS DOUBLE) * sxx - sx * sx), 9)
+               END AS b1
+        FROM agg
+    )
+), rows_ AS (
+    SELECT (y - ROUND(b0 + b1 * x, 9)) * (y - ROUND(b0 + b1 * x, 9)) AS w,
+           x AS u,
+           x * x AS v
+    FROM base CROSS JOIN params
+), a AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(u AS DECIMAL(27,12))) AS DOUBLE) AS su,
+           CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+           CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS sw,
+           CAST(SUM(CAST(u * u AS DECIMAL(38,12))) AS DOUBLE) AS suu,
+           CAST(SUM(CAST(v * v AS DECIMAL(38,9))) AS DOUBLE) AS svv,
+           CAST(SUM(CAST(u * v AS DECIMAL(38,12))) AS DOUBLE) AS suv,
+           CAST(SUM(CAST(u * w AS DECIMAL(38,6))) AS DOUBLE) AS suw,
+           CAST(SUM(CAST(v * w AS DECIMAL(38,6))) AS DOUBLE) AS svw,
+           CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE) AS sww
+    FROM rows_
+), m AS (
+    SELECT *,
+           CAST(n AS DOUBLE) * (suu * svv - suv * suv)
+           - su * (su * svv - suv * sv)
+           + sv * (su * suv - suu * sv) AS det,
+           sw * (suu * svv - suv * suv)
+           - su * (suw * svv - suv * svw)
+           + sv * (suw * suv - suu * svw) AS d0,
+           CAST(n AS DOUBLE) * (suw * svv - suv * svw)
+           - sw * (su * svv - suv * sv)
+           + sv * (su * svw - suw * sv) AS du,
+           CAST(n AS DOUBLE) * (suu * svw - suw * suv)
+           - su * (su * svw - suw * sv)
+           + sw * (su * suv - suu * sv) AS dv
+    FROM a
+), p AS (
+    SELECT *,
+           ROUND(d0 / det, 9) AS c0,
+           ROUND(du / det, 9) AS cu,
+           ROUND(dv / det, 9) AS cv
+    FROM m WHERE det > 0.0
+)
+SELECT n AS n_rows,
+       CAST(ROUND((c0 * sw + cu * suw + cv * svw
+                   - sw * sw / CAST(n AS DOUBLE))
+                  / (sww - sw * sw / CAST(n AS DOUBLE)), 6) AS DOUBLE)
+           AS aux_r2,
+       CAST(ROUND(CAST(n AS DOUBLE)
+                  * ((c0 * sw + cu * suw + cv * svw
+                      - sw * sw / CAST(n AS DOUBLE))
+                     / (sww - sw * sw / CAST(n AS DOUBLE))), 6) AS DOUBLE)
+           AS white_stat,
+       ROUND(CAST(n AS DOUBLE)
+             * ((c0 * sw + cu * suw + cv * svw
+                 - sw * sw / CAST(n AS DOUBLE))
+                / (sww - sw * sw / CAST(n AS DOUBLE))), 6) > 5.991465
+           AS heteroscedastic
+FROM p
 """

@@ -32,6 +32,8 @@ __all__ = [
     "pacf_daily_values",
     "gmm2_em_daily_values",
     "pettitt_changepoint_daily",
+    "adf_test_daily_values",
+    "breusch_godfrey_daily_trend",
     "rolling_corr_purchase_view_14d",
     "autocorr_daily_value",
     "ar2_yule_walker_daily",
@@ -2908,4 +2910,354 @@ SELECT n AS n_days, day AS change_day, u AS u_at_change,
                + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9)), 6), 1.0)
            < 0.05 AS significant
 FROM best
+"""
+
+
+def adf_test_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented Dickey–Fuller unit-root test (constant, one lagged
+    difference) on the daily value series — the STATIONARITY gate the
+    trend/forecast tier presumes: Δx_t = α + ρ·x_{t−1} + γ·Δx_{t−1} + ε,
+    τ = ρ̂/se(ρ̂); a unit root (τ above the Dickey–Fuller −2.86 point)
+    says ``holt_linear_daily_forecast``/``ar2_yule_walker_daily`` are
+    modeling a random walk and differencing must come first.
+    ``mann_kendall_daily_trend`` asks "is there a trend?"; ADF asks the
+    complementary "does the level even revert?".
+
+    Exactness: the 3-regressor OLS is solved in closed form by Cramer's
+    rule over ten exact-decimal power sums (never a per-row residual
+    pass — SSR = Σy² − b'X'y); coefficients round at 9, τ at 6, and
+    se(ρ̂) uses the exact cofactor n·Svv − Sv² of X'X. Scale shape: one
+    aggregation to the calendar-bounded daily grain, one bounded
+    day-grain lag window (documented class), one 10-sum fold."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    w = Window.partitionBy(F.month("day") % 1).orderBy("day")
+    lagged = daily.select(
+        "day",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+    ).filter(F.col("x2").isNotNull())
+    rows = lagged.select(
+        (F.col("x") - F.col("x1")).alias("y"),
+        F.col("x1").alias("u"),
+        (F.col("x1") - F.col("x2")).alias("v"),
+    )
+    s = rows.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("u"), 38, 12).cast("double").alias("su"),
+        dec_sum(F.col("v"), 38, 12).cast("double").alias("sv"),
+        dec_sum(F.col("y"), 38, 12).cast("double").alias("sy"),
+        dec_sum(F.col("u") * F.col("u"), 38, 9).cast("double").alias("suu"),
+        dec_sum(F.col("v") * F.col("v"), 38, 9).cast("double").alias("svv"),
+        dec_sum(F.col("u") * F.col("v"), 38, 9).cast("double").alias("suv"),
+        dec_sum(F.col("u") * F.col("y"), 38, 9).cast("double").alias("suy"),
+        dec_sum(F.col("v") * F.col("y"), 38, 9).cast("double").alias("svy"),
+        dec_sum(F.col("y") * F.col("y"), 38, 9).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    det = (
+        nd * (F.col("suu") * F.col("svv") - F.col("suv") * F.col("suv"))
+        - F.col("su") * (F.col("su") * F.col("svv") - F.col("suv") * F.col("sv"))
+        + F.col("sv") * (F.col("su") * F.col("suv") - F.col("suu") * F.col("sv"))
+    )
+    det0 = (
+        F.col("sy") * (F.col("suu") * F.col("svv") - F.col("suv") * F.col("suv"))
+        - F.col("su") * (F.col("suy") * F.col("svv") - F.col("suv") * F.col("svy"))
+        + F.col("sv") * (F.col("suy") * F.col("suv") - F.col("suu") * F.col("svy"))
+    )
+    detu = (
+        nd * (F.col("suy") * F.col("svv") - F.col("suv") * F.col("svy"))
+        - F.col("sy") * (F.col("su") * F.col("svv") - F.col("suv") * F.col("sv"))
+        + F.col("sv") * (F.col("su") * F.col("svy") - F.col("suy") * F.col("sv"))
+    )
+    detv = (
+        nd * (F.col("suu") * F.col("svy") - F.col("suy") * F.col("suv"))
+        - F.col("su") * (F.col("su") * F.col("svy") - F.col("suy") * F.col("sv"))
+        + F.col("sy") * (F.col("su") * F.col("suv") - F.col("suu") * F.col("sv"))
+    )
+    m = s.select(
+        "*",
+        det.alias("det"),
+        det0.alias("d0"),
+        detu.alias("du"),
+        detv.alias("dv"),
+    ).filter(F.col("det") > 0.0)
+    b0 = F.round(F.col("d0") / F.col("det"), 9)
+    bu = F.round(F.col("du") / F.col("det"), 9)
+    bv = F.round(F.col("dv") / F.col("det"), 9)
+    p = m.select(
+        "*", b0.alias("b0"), bu.alias("bu"), bv.alias("bv")
+    )
+    ssr = F.col("syy") - (
+        F.col("b0") * F.col("sy")
+        + F.col("bu") * F.col("suy")
+        + F.col("bv") * F.col("svy")
+    )
+    s2 = ssr / (nd - F.lit(3.0))
+    var_bu = s2 * (nd * F.col("svv") - F.col("sv") * F.col("sv")) / F.col("det")
+    tau = F.round(F.col("bu") / F.sqrt(var_bu), 6)
+    return p.select(
+        F.col("n").alias("n_obs"),
+        F.col("bu").cast("double").alias("rho_coef"),
+        F.col("bv").cast("double").alias("lag_diff_coef"),
+        tau.cast("double").alias("adf_tau"),
+        (tau < F.lit(-2.86)).alias("stationary"),
+    )
+
+
+ADF_TEST_DAILY_VALUES_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), lagged AS (
+    SELECT day, x,
+           LAG(x, 1) OVER (ORDER BY day) AS x1,
+           LAG(x, 2) OVER (ORDER BY day) AS x2
+    FROM daily
+), rows_ AS (
+    SELECT x - x1 AS y, x1 AS u, x1 - x2 AS v
+    FROM lagged WHERE x2 IS NOT NULL
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(u AS DECIMAL(38,12))) AS DOUBLE) AS su,
+           CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(u * u AS DECIMAL(38,9))) AS DOUBLE) AS suu,
+           CAST(SUM(CAST(v * v AS DECIMAL(38,9))) AS DOUBLE) AS svv,
+           CAST(SUM(CAST(u * v AS DECIMAL(38,9))) AS DOUBLE) AS suv,
+           CAST(SUM(CAST(u * y AS DECIMAL(38,9))) AS DOUBLE) AS suy,
+           CAST(SUM(CAST(v * y AS DECIMAL(38,9))) AS DOUBLE) AS svy,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,9))) AS DOUBLE) AS syy
+    FROM rows_
+), m AS (
+    SELECT *,
+           CAST(n AS DOUBLE) * (suu * svv - suv * suv)
+           - su * (su * svv - suv * sv)
+           + sv * (su * suv - suu * sv) AS det,
+           sy * (suu * svv - suv * suv)
+           - su * (suy * svv - suv * svy)
+           + sv * (suy * suv - suu * svy) AS d0,
+           CAST(n AS DOUBLE) * (suy * svv - suv * svy)
+           - sy * (su * svv - suv * sv)
+           + sv * (su * svy - suy * sv) AS du,
+           CAST(n AS DOUBLE) * (suu * svy - suy * suv)
+           - su * (su * svy - suy * sv)
+           + sy * (su * suv - suu * sv) AS dv
+    FROM s
+), p AS (
+    SELECT *,
+           ROUND(d0 / det, 9) AS b0,
+           ROUND(du / det, 9) AS bu,
+           ROUND(dv / det, 9) AS bv
+    FROM m WHERE det > 0.0
+)
+SELECT n AS n_obs,
+       CAST(bu AS DOUBLE) AS rho_coef,
+       CAST(bv AS DOUBLE) AS lag_diff_coef,
+       CAST(ROUND(bu / SQRT((syy - (b0 * sy + bu * suy + bv * svy))
+                            / (CAST(n AS DOUBLE) - 3.0)
+                            * (CAST(n AS DOUBLE) * svv - sv * sv) / det), 6)
+            AS DOUBLE) AS adf_tau,
+       ROUND(bu / SQRT((syy - (b0 * sy + bu * suy + bv * svy))
+                       / (CAST(n AS DOUBLE) - 3.0)
+                       * (CAST(n AS DOUBLE) * svv - sv * sv) / det), 6)
+           < -2.86 AS stationary
+FROM p
+"""
+
+
+def breusch_godfrey_daily_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Breusch–Godfrey LM test for lag-1 serial correlation in the
+    daily-trend OLS residuals — the REGRESSION-valid upgrade of
+    ``durbin_watson_daily_trend``: DW's bounds are inconclusive in a
+    band and the statistic is biased toward 2 when lagged terms enter
+    the model; BG re-regresses the residual on the ORIGINAL regressor
+    plus its own lag (pre-sample residual set to 0, Godfrey 1978's
+    convention, keeping all n rows) and reads LM = n·R² against χ²(1).
+
+    Exactness: stage 1 is the durbin-watson closed-form OLS with b₁/b₀
+    rounded at 9; stage 2 is the 3-regressor Cramer solve over ten
+    decimal power sums (the ``adf_test_daily_values`` machinery) with
+    R² = (b'X'y − (Σe)²/n)/(Σe² − (Σe)²/n); LM rounds at 6 against the
+    shared 3.841459 literal. Scale shape: one daily aggregation, one
+    bounded day-grain lag window, two constant-size folds."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    d0 = daily.agg(F.min("day").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("day", "d0").cast("double").alias("t"),
+        "x",
+        "day",
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        dec_sum(F.col("t"), 27, 12).cast("double").alias("st"),
+        dec_sum(F.col("x"), 27, 12).cast("double").alias("sx"),
+        dec_sum(F.col("t") * F.col("x"), 38, 12).cast("double").alias("stx"),
+        dec_sum(F.col("t") * F.col("t"), 38, 12).cast("double").alias("stt"),
+    )
+    slope = (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")) / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    icept = (F.col("sx") - slope * F.col("st")) / F.col("n")
+    params = s.select(
+        F.round(slope, 9).alias("b1"), F.round(icept, 9).alias("b0")
+    )
+    resid = pts.crossJoin(F.broadcast(params)).select(
+        "day",
+        "t",
+        (F.col("x") - (F.col("b0") + F.col("b1") * F.col("t"))).alias("e"),
+    )
+    w = Window.partitionBy(F.month("day") % 1).orderBy("day")
+    rows = resid.select(
+        F.col("e").alias("y"),
+        F.col("t").alias("u"),
+        F.coalesce(F.lag("e").over(w), F.lit(0.0)).alias("v"),
+    )
+    a = rows.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("u"), 38, 12).cast("double").alias("su"),
+        dec_sum(F.col("v"), 38, 12).cast("double").alias("sv"),
+        dec_sum(F.col("y"), 38, 12).cast("double").alias("sy"),
+        dec_sum(F.col("u") * F.col("u"), 38, 9).cast("double").alias("suu"),
+        dec_sum(F.col("v") * F.col("v"), 38, 9).cast("double").alias("svv"),
+        dec_sum(F.col("u") * F.col("v"), 38, 9).cast("double").alias("suv"),
+        dec_sum(F.col("u") * F.col("y"), 38, 9).cast("double").alias("suy"),
+        dec_sum(F.col("v") * F.col("y"), 38, 9).cast("double").alias("svy"),
+        dec_sum(F.col("y") * F.col("y"), 38, 9).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    det = (
+        nd * (F.col("suu") * F.col("svv") - F.col("suv") * F.col("suv"))
+        - F.col("su") * (F.col("su") * F.col("svv") - F.col("suv") * F.col("sv"))
+        + F.col("sv") * (F.col("su") * F.col("suv") - F.col("suu") * F.col("sv"))
+    )
+    det0 = (
+        F.col("sy") * (F.col("suu") * F.col("svv") - F.col("suv") * F.col("suv"))
+        - F.col("su") * (F.col("suy") * F.col("svv") - F.col("suv") * F.col("svy"))
+        + F.col("sv") * (F.col("suy") * F.col("suv") - F.col("suu") * F.col("svy"))
+    )
+    detu = (
+        nd * (F.col("suy") * F.col("svv") - F.col("suv") * F.col("svy"))
+        - F.col("sy") * (F.col("su") * F.col("svv") - F.col("suv") * F.col("sv"))
+        + F.col("sv") * (F.col("su") * F.col("svy") - F.col("suy") * F.col("sv"))
+    )
+    detv = (
+        nd * (F.col("suu") * F.col("svy") - F.col("suy") * F.col("suv"))
+        - F.col("su") * (F.col("su") * F.col("svy") - F.col("suy") * F.col("sv"))
+        + F.col("sy") * (F.col("su") * F.col("suv") - F.col("suu") * F.col("sv"))
+    )
+    m = a.select(
+        "*",
+        det.alias("det"),
+        det0.alias("d0"),
+        detu.alias("du"),
+        detv.alias("dv"),
+    ).filter(F.col("det") > 0.0)
+    p = m.select(
+        "*",
+        F.round(F.col("d0") / F.col("det"), 9).alias("c0"),
+        F.round(F.col("du") / F.col("det"), 9).alias("cu"),
+        F.round(F.col("dv") / F.col("det"), 9).alias("cv"),
+    )
+    ess = (
+        F.col("c0") * F.col("sy")
+        + F.col("cu") * F.col("suy")
+        + F.col("cv") * F.col("svy")
+        - F.col("sy") * F.col("sy") / nd
+    )
+    tss = F.col("syy") - F.col("sy") * F.col("sy") / nd
+    r2 = ess / tss
+    lm = F.round(nd * r2, 6)
+    return p.select(
+        F.col("n").alias("n_days"),
+        F.col("cv").cast("double").alias("resid_lag_coef"),
+        F.round(r2, 6).cast("double").alias("aux_r2"),
+        lm.cast("double").alias("bg_lm_stat"),
+        (lm > F.lit(3.841459)).alias("serial_correlation"),
+    )
+
+
+BREUSCH_GODFREY_DAILY_TREND_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), d0 AS (
+    SELECT MIN(day) AS d0 FROM daily
+), pts AS (
+    SELECT CAST(datediff('day', d0, day) AS DOUBLE) AS t, x, day
+    FROM daily CROSS JOIN d0
+), s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(t AS DECIMAL(27,12))) AS DOUBLE) AS st,
+           CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(t * x AS DECIMAL(38,12))) AS DOUBLE) AS stx,
+           CAST(SUM(CAST(t * t AS DECIMAL(38,12))) AS DOUBLE) AS stt
+    FROM pts
+), params AS (
+    SELECT ROUND((n * stx - st * sx) / (n * stt - st * st), 9) AS b1,
+           ROUND((sx - ((n * stx - st * sx) / (n * stt - st * st)) * st) / n, 9)
+               AS b0
+    FROM s
+), resid AS (
+    SELECT day, t, x - (b0 + b1 * t) AS e
+    FROM pts CROSS JOIN params
+), rows_ AS (
+    SELECT e AS y, t AS u,
+           COALESCE(LAG(e) OVER (ORDER BY day), 0.0) AS v
+    FROM resid
+), a AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(u AS DECIMAL(38,12))) AS DOUBLE) AS su,
+           CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(u * u AS DECIMAL(38,9))) AS DOUBLE) AS suu,
+           CAST(SUM(CAST(v * v AS DECIMAL(38,9))) AS DOUBLE) AS svv,
+           CAST(SUM(CAST(u * v AS DECIMAL(38,9))) AS DOUBLE) AS suv,
+           CAST(SUM(CAST(u * y AS DECIMAL(38,9))) AS DOUBLE) AS suy,
+           CAST(SUM(CAST(v * y AS DECIMAL(38,9))) AS DOUBLE) AS svy,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,9))) AS DOUBLE) AS syy
+    FROM rows_
+), m AS (
+    SELECT *,
+           CAST(n AS DOUBLE) * (suu * svv - suv * suv)
+           - su * (su * svv - suv * sv)
+           + sv * (su * suv - suu * sv) AS det,
+           sy * (suu * svv - suv * suv)
+           - su * (suy * svv - suv * svy)
+           + sv * (suy * suv - suu * svy) AS d0,
+           CAST(n AS DOUBLE) * (suy * svv - suv * svy)
+           - sy * (su * svv - suv * sv)
+           + sv * (su * svy - suy * sv) AS du,
+           CAST(n AS DOUBLE) * (suu * svy - suy * suv)
+           - su * (su * svy - suy * sv)
+           + sy * (su * suv - suu * sv) AS dv
+    FROM a
+), p AS (
+    SELECT *,
+           ROUND(d0 / det, 9) AS c0,
+           ROUND(du / det, 9) AS cu,
+           ROUND(dv / det, 9) AS cv
+    FROM m WHERE det > 0.0
+)
+SELECT n AS n_days,
+       CAST(cv AS DOUBLE) AS resid_lag_coef,
+       CAST(ROUND((c0 * sy + cu * suy + cv * svy
+                   - sy * sy / CAST(n AS DOUBLE))
+                  / (syy - sy * sy / CAST(n AS DOUBLE)), 6) AS DOUBLE)
+           AS aux_r2,
+       CAST(ROUND(CAST(n AS DOUBLE)
+                  * ((c0 * sy + cu * suy + cv * svy
+                      - sy * sy / CAST(n AS DOUBLE))
+                     / (syy - sy * sy / CAST(n AS DOUBLE))), 6) AS DOUBLE)
+           AS bg_lm_stat,
+       ROUND(CAST(n AS DOUBLE)
+             * ((c0 * sy + cu * suy + cv * svy
+                 - sy * sy / CAST(n AS DOUBLE))
+                / (syy - sy * sy / CAST(n AS DOUBLE))), 6) > 3.841459
+           AS serial_correlation
+FROM p
 """

@@ -535,6 +535,15 @@ _ROUND12_QUEUE: list[str] = [
     "gmm2_em_daily_values",
     "pettitt_changepoint_daily",
     "rmst_user_retention",
+    "anderson_darling_purchase_view",
+    "wasserstein_purchase_view",
+    "energy_distance_purchase_view",
+    "goodman_kruskal_priority_price_orders",
+    "wilcoxon_signed_rank_purchase_view_daily",
+    "cochran_armitage_trend_priority_orders",
+    "adf_test_daily_values",
+    "breusch_godfrey_daily_trend",
+    "white_test_price_quantity",
 ]
 
 
@@ -3150,4 +3159,58 @@ register(
     "rmst_user_retention",
     inference_stats.rmst_user_retention,
     inference_stats.RMST_USER_RETENTION_ORACLE,
+)
+
+register(
+    "anderson_darling_purchase_view",
+    analytics_checks.anderson_darling_purchase_view,
+    analytics_checks.ANDERSON_DARLING_PURCHASE_VIEW_ORACLE,
+)
+
+register(
+    "wasserstein_purchase_view",
+    analytics_checks.wasserstein_purchase_view,
+    analytics_checks.WASSERSTEIN_PURCHASE_VIEW_ORACLE,
+)
+
+register(
+    "energy_distance_purchase_view",
+    analytics_checks.energy_distance_purchase_view,
+    analytics_checks.ENERGY_DISTANCE_PURCHASE_VIEW_ORACLE,
+)
+
+register(
+    "goodman_kruskal_priority_price_orders",
+    analytics_checks.goodman_kruskal_priority_price_orders,
+    analytics_checks.GOODMAN_KRUSKAL_PRIORITY_PRICE_ORDERS_ORACLE,
+)
+
+register(
+    "wilcoxon_signed_rank_purchase_view_daily",
+    analytics_checks.wilcoxon_signed_rank_purchase_view_daily,
+    analytics_checks.WILCOXON_SIGNED_RANK_PURCHASE_VIEW_DAILY_ORACLE,
+)
+
+register(
+    "cochran_armitage_trend_priority_orders",
+    analytics_checks.cochran_armitage_trend_priority_orders,
+    analytics_checks.COCHRAN_ARMITAGE_TREND_PRIORITY_ORDERS_ORACLE,
+)
+
+register(
+    "adf_test_daily_values",
+    timeseries_checks.adf_test_daily_values,
+    timeseries_checks.ADF_TEST_DAILY_VALUES_ORACLE,
+)
+
+register(
+    "breusch_godfrey_daily_trend",
+    timeseries_checks.breusch_godfrey_daily_trend,
+    timeseries_checks.BREUSCH_GODFREY_DAILY_TREND_ORACLE,
+)
+
+register(
+    "white_test_price_quantity",
+    inference_stats.white_test_price_quantity,
+    inference_stats.WHITE_TEST_PRICE_QUANTITY_ORACLE,
 )

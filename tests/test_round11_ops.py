@@ -1163,3 +1163,220 @@ def test_rmst_matches_python_km_integral(spark, sf_dir):
     assert abs(row["rmst_hours"] - rmst) < 1e-3
     assert 0 < row["rmst_hours"] <= 336.0
     assert abs(row["rmst_days"] - round(row["rmst_hours"] / 24.0, 6)) < 1e-9
+
+
+def _pv_values(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select("event_type", "value")
+        .collect()
+    )
+    xs = sorted(r["value"] for r in rows if r["event_type"] == "purchase")
+    ys = sorted(r["value"] for r in rows if r["event_type"] == "view")
+    return xs, ys
+
+
+def test_anderson_darling_matches_python_mirror(spark, sf_dir):
+    """Pettitt-1976 two-sample A² recomputed brute-force over the pooled
+    distinct values."""
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        anderson_darling_purchase_view,
+    )
+
+    xs, ys = _pv_values(spark, sf_dir)
+    n1, n2 = len(xs), len(ys)
+    n = n1 + n2
+    s = 0.0
+    for v in sorted(set(xs) | set(ys)):
+        c1 = sum(1 for x in xs if x == v)
+        c2 = sum(1 for y in ys if y == v)
+        cum1 = sum(1 for x in xs if x <= v)
+        cum2 = sum(1 for y in ys if y <= v)
+        if cum1 + cum2 == n:
+            continue
+        h = (cum1 + cum2) / n
+        gap = cum1 / n1 - cum2 / n2
+        s += (c1 + c2) / (h * (1 - h)) * gap * gap
+    a2 = n1 * n2 / (n * n) * s
+    row = anderson_darling_purchase_view(spark, sf_dir).collect()[0]
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert abs(row["ad_a2"] - a2) < 1e-4
+    assert row["significant"] == (round(a2, 6) > 2.492)
+
+
+def test_wasserstein_matches_python_mirror(spark, sf_dir):
+    """W1 via the quantile formulation (numpy-style) must equal the
+    stitched ECDF-segment fold."""
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        wasserstein_purchase_view,
+    )
+
+    xs, ys = _pv_values(spark, sf_dir)
+    n1, n2 = len(xs), len(ys)
+    pooled = sorted(set(xs) | set(ys))
+    w1 = 0.0
+    for a, b in zip(pooled, pooled[1:]):
+        f1 = sum(1 for x in xs if x <= a) / n1
+        f2 = sum(1 for y in ys if y <= a) / n2
+        w1 += abs(f1 - f2) * (b - a)
+    row = wasserstein_purchase_view(spark, sf_dir).collect()[0]
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert abs(row["w1_dollars"] - w1) < 1e-4
+    assert row["w1_dollars"] >= 0.0
+
+
+def test_energy_distance_matches_bruteforce_pairs(spark, sf_dir):
+    """O(n²) pairwise |Δ| expectations (the definition) must equal the
+    prefix-sum collapse, and the statistic must obey 0 ≤ E and
+    E² = 2E|XY| − E|XX| − E|YY|."""
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        energy_distance_purchase_view,
+    )
+
+    xs, ys = _pv_values(spark, sf_dir)
+    n1, n2 = len(xs), len(ys)
+    exy = sum(abs(x - y) for x in xs for y in ys) / (n1 * n2)
+    exx = sum(abs(a - b) for a in xs for b in xs) / (n1 * n1)
+    eyy = sum(abs(a - b) for a in ys for b in ys) / (n2 * n2)
+    import math
+
+    e = math.sqrt(max(2 * exy - exx - eyy, 0.0))
+    row = energy_distance_purchase_view(spark, sf_dir).collect()[0]
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert abs(row["e_xy_dollars"] - exy) < 1e-4
+    assert abs(row["e_xx_dollars"] - exx) < 1e-4
+    assert abs(row["e_yy_dollars"] - eyy) < 1e-4
+    assert abs(row["energy_distance"] - e) < 1e-4
+
+
+def test_goodman_kruskal_matches_bruteforce_pairs(spark, sf_dir):
+    """All four ordinal measures recomputed from O(n²) explicit pair
+    classification on the raw orders."""
+    import math
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        goodman_kruskal_priority_price_orders,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS x",
+            "CAST(FLOOR(o_totalprice / 25000.0) AS INT) AS y",
+        )
+        .collect()
+    )
+    pts = [(r["x"], r["y"]) for r in rows]
+    n = len(pts)
+    conc = disc = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pts[j][0] - pts[i][0]
+            dy = pts[j][1] - pts[i][1]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx != 0 and dy != 0:
+                if dx * dy > 0:
+                    conc += 1
+                else:
+                    disc += 1
+    t0 = n * (n - 1) / 2
+    row = goodman_kruskal_priority_price_orders(spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert row["concordant"] == conc
+    assert row["discordant"] == disc
+    assert row["ties_x"] == tx
+    assert row["ties_y"] == ty
+    assert abs(row["gamma"] - (conc - disc) / (conc + disc)) < 1e-6
+    assert abs(row["somers_d_yx"] - (conc - disc) / (t0 - tx)) < 1e-6
+    assert abs(row["somers_d_xy"] - (conc - disc) / (t0 - ty)) < 1e-6
+    assert (
+        abs(row["tau_b"] - (conc - disc) / math.sqrt((t0 - tx) * (t0 - ty)))
+        < 1e-6
+    )
+
+
+def test_wilcoxon_signed_rank_matches_python_mirror(spark, sf_dir):
+    """W⁺ and z recomputed with explicit average ranks over the paired
+    daily cent differences."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        wilcoxon_signed_rank_purchase_view_daily,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .selectExpr("CAST(ts AS DATE) AS day", "event_type", "value")
+        .collect()
+    )
+    acc = defaultdict(lambda: [Decimal(0), Decimal(0)])
+    for r in rows:
+        q = Decimal(str(r["value"])).quantize(Decimal("0.01"))
+        acc[r["day"]][0 if r["event_type"] == "purchase" else 1] += q
+    ds = [int((p - v) * 100) for p, v in acc.values() if p != v]
+    n = len(ds)
+    by_abs = defaultdict(lambda: [0, 0])
+    for d in ds:
+        by_abs[abs(d)][0 if d > 0 else 1] += 1
+    w_plus = 0.0
+    seen = 0
+    tie_term = 0
+    for a in sorted(by_abs):
+        tp, tn = by_abs[a]
+        t = tp + tn
+        avg_rank = seen + (t + 1) / 2
+        w_plus += tp * avg_rank
+        seen += t
+        tie_term += t**3 - t
+    mean = n * (n + 1) / 4
+    var = n * (n + 1) * (2 * n + 1) / 24 - tie_term / 48
+    z = (w_plus - mean) / math.sqrt(var)
+    row = wilcoxon_signed_rank_purchase_view_daily(spark, sf_dir).collect()[0]
+    assert row["n_days_nonzero"] == n
+    assert abs(row["w_plus"] - w_plus) < 1e-9
+    assert abs(row["z_score"] - z) < 1e-5
+    assert row["significant"] == (abs(round(z, 6)) > 1.959964)
+
+
+def test_cochran_armitage_matches_python_mirror(spark, sf_dir):
+    """z recomputed from the 5-row (score, n, r) table, plus invariance:
+    the statistic must be exactly 0 when the response is constant."""
+    import math
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        cochran_armitage_trend_priority_orders,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS s",
+            "CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS f",
+        )
+        .collect()
+    )
+    per = defaultdict(lambda: [0, 0])
+    for r in rows:
+        per[r["s"]][0] += 1
+        per[r["s"]][1] += r["f"]
+    n = sum(v[0] for v in per.values())
+    rr = sum(v[1] for v in per.values())
+    sx = sum(s * v[0] for s, v in per.items())
+    sxx = sum(s * s * v[0] for s, v in per.items())
+    t = sum(s * v[1] for s, v in per.items())
+    p = rr / n
+    z = (t - rr * sx / n) / math.sqrt(p * (1 - p) * (sxx - sx * sx / n))
+    row = cochran_armitage_trend_priority_orders(spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert row["fulfilled"] == rr
+    assert abs(row["overall_rate"] - p) < 1e-6
+    assert abs(row["z_trend"] - z) < 1e-5
+    assert row["significant"] == (abs(round(z, 6)) > 1.959964)

@@ -308,6 +308,12 @@ PROBES = [
     ("gmm2_em_daily_values", ["events"]),
     ("pettitt_changepoint_daily", ["events"]),
     ("rmst_user_retention", ["events"]),
+    ("anderson_darling_purchase_view", ["events"]),
+    ("wasserstein_purchase_view", ["events"]),
+    ("energy_distance_purchase_view", ["events"]),
+    ("goodman_kruskal_priority_price_orders", ["orders"]),
+    ("wilcoxon_signed_rank_purchase_view_daily", ["events"]),
+    ("cochran_armitage_trend_priority_orders", ["orders"]),
 ]
 
 KEY_OFFSETS = {
