@@ -1380,3 +1380,127 @@ def test_cochran_armitage_matches_python_mirror(spark, sf_dir):
     assert abs(row["overall_rate"] - p) < 1e-6
     assert abs(row["z_trend"] - z) < 1e-5
     assert row["significant"] == (abs(round(z, 6)) > 1.959964)
+
+
+def test_adf_matches_numpy_lstsq(spark, sf_dir):
+    """ADF regression re-solved with numpy's lstsq on the same design
+    matrix; τ re-derived from the (X'X)⁻¹ diagonal."""
+    import math
+
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        adf_test_daily_values,
+    )
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(ts AS DATE) AS day", "value")
+        .collect()
+    )
+    acc = defaultdict(Decimal)
+    for r in rows:
+        acc[r["day"]] += Decimal(str(r["value"]))
+    days = sorted(acc)
+    x = [float(acc[d]) for d in days]
+    y = np.array([x[i] - x[i - 1] for i in range(2, len(x))])
+    u = np.array([x[i - 1] for i in range(2, len(x))])
+    v = np.array([x[i - 1] - x[i - 2] for i in range(2, len(x))])
+    X = np.column_stack([np.ones_like(u), u, v])
+    beta, _, _, _ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    n = len(y)
+    s2 = float(resid @ resid) / (n - 3)
+    cov = s2 * np.linalg.inv(X.T @ X)
+    tau = beta[1] / math.sqrt(cov[1, 1])
+    row = adf_test_daily_values(spark, sf_dir).collect()[0]
+    assert row["n_obs"] == n
+    assert abs(row["rho_coef"] - beta[1]) < 1e-6
+    assert abs(row["lag_diff_coef"] - beta[2]) < 1e-6
+    assert abs(row["adf_tau"] - tau) < 1e-4
+    assert row["stationary"] == (row["adf_tau"] < -2.86)
+
+
+def test_breusch_godfrey_matches_numpy(spark, sf_dir):
+    """BG LM recomputed with numpy: trend OLS (β rounded at 9 per the
+    contract), zero-filled lagged residual, auxiliary R²."""
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        breusch_godfrey_daily_trend,
+    )
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(ts AS DATE) AS day", "value")
+        .collect()
+    )
+    acc = defaultdict(Decimal)
+    for r in rows:
+        acc[r["day"]] += Decimal(str(r["value"]))
+    days = sorted(acc)
+    xv = np.array([float(acc[d]) for d in days])
+    t = np.array([(d - days[0]).days for d in days], dtype=float)
+    n = len(xv)
+    b1 = (n * (t * xv).sum() - t.sum() * xv.sum()) / (
+        n * (t * t).sum() - t.sum() ** 2
+    )
+    b1 = round(b1, 9)
+    b0 = round((xv.sum() - b1 * t.sum()) / n, 9)
+    e = xv - (b0 + b1 * t)
+    ep = np.concatenate([[0.0], e[:-1]])
+    X = np.column_stack([np.ones_like(t), t, ep])
+    beta, _, _, _ = np.linalg.lstsq(X, e, rcond=None)
+    fitted = X @ beta
+    r2 = ((fitted - e.mean()) ** 2).sum() / ((e - e.mean()) ** 2).sum()
+    lm = n * r2
+    row = breusch_godfrey_daily_trend(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["resid_lag_coef"] - beta[2]) < 1e-5
+    assert abs(row["bg_lm_stat"] - lm) < 1e-2
+    assert row["serial_correlation"] == (row["bg_lm_stat"] > 3.841459)
+
+
+def test_white_test_matches_numpy(spark, sf_dir):
+    """White LM recomputed with numpy on [1, x, x²] against the squared
+    stage-1 residuals (stage-1 β rounded at 9 per the contract)."""
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        white_test_price_quantity,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "CAST(l_quantity AS DOUBLE) AS x",
+            "CAST(l_extendedprice AS DOUBLE) AS y",
+        )
+        .collect()
+    )
+    x = np.array([r["x"] for r in rows])
+    y = np.array([r["y"] for r in rows])
+    n = len(x)
+    b1 = round(
+        float(
+            (n * (x * y).sum() - x.sum() * y.sum())
+            / (n * (x * x).sum() - x.sum() ** 2)
+        ),
+        9,
+    )
+    b0 = round(float((y.sum() - b1 * x.sum()) / n), 9)
+    w = (y - np.round(b0 + b1 * x, 9)) ** 2
+    X = np.column_stack([np.ones_like(x), x, x * x])
+    beta, _, _, _ = np.linalg.lstsq(X, w, rcond=None)
+    fitted = X @ beta
+    r2 = ((fitted - w.mean()) ** 2).sum() / ((w - w.mean()) ** 2).sum()
+    lm = n * r2
+    row = white_test_price_quantity(spark, sf_dir).collect()[0]
+    assert row["n_rows"] == n
+    assert abs(row["aux_r2"] - r2) < 1e-4
+    assert abs(row["white_stat"] - lm) < max(1e-2, abs(lm) * 1e-3)
+    assert row["heteroscedastic"] == (row["white_stat"] > 5.991465)

@@ -314,6 +314,9 @@ PROBES = [
     ("goodman_kruskal_priority_price_orders", ["orders"]),
     ("wilcoxon_signed_rank_purchase_view_daily", ["events"]),
     ("cochran_armitage_trend_priority_orders", ["orders"]),
+    ("adf_test_daily_values", ["events"]),
+    ("breusch_godfrey_daily_trend", ["events"]),
+    ("white_test_price_quantity", ["orders", "lineitem"]),
 ]
 
 KEY_OFFSETS = {
