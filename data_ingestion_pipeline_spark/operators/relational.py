@@ -17,6 +17,9 @@ from data_ingestion_pipeline_spark.functions.numeric import dec_sum, dec_sum2
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
+    "kmv_distinct_users_events",
+    "ams_f2_user_activity_events",
+    "binned_range_join_orders_bands",
     "misra_gries_heavy_hitters_events",
     "hll_merge_users_weekly",
     "approx_top_k_event_types",
@@ -1758,4 +1761,317 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
 FROM events, tot
 GROUP BY user_id
 HAVING CAST(COUNT(*) AS BIGINT) * {_MG_K} > MAX(tot.n_total)
+"""
+
+
+_KMV_K = 256  # k-minimum-values sketch size
+
+
+def kmv_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch over
+    event users, gated against the exact COUNT(DISTINCT) — the
+    ORDER-STATISTIC member of the sketch family: HLL keeps 2^p register
+    maxima, KMV keeps the k smallest hash values and reads D̂ =
+    (k−1)/h_(k) off the k-th order statistic (Bar-Yossef et al. 2002;
+    Beyer et al. 2007's unbiased form). Unlike HLL it supports EXACT
+    set algebra on the sketches (intersect/union by merging bottom-k
+    sets), which is why engines keep both.
+
+    Hash parity: the md5→48-bit big-endian fold (the
+    ``shard_shuffle_documents`` idiom) is bitwise engine-identical, so
+    the sketch, the k-th order statistic, and the estimate replay
+    exactly in DuckDB — a hash-exact oracle, not a tolerance gate.
+    Under-filled sketches (D < k, the small-SF corpora) return the
+    exact count by construction. Scale shape: distinct-user grain, one
+    TakeOrdered(k) — never a global sort; the estimate bound
+    |D̂−D|/D ≤ 3/√(k−2) is the published 3σ gate."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    hs = users.select(h.alias("h")).distinct()
+    topk = hs.orderBy("h").limit(_KMV_K)
+    sk = topk.agg(
+        F.count("*").cast("bigint").alias("k_used"),
+        F.max("h").cast("bigint").alias("hk"),
+        F.lit(1).alias("one"),
+    )
+    exact = users.agg(
+        F.count("*").cast("bigint").alias("exact_distinct"),
+        F.lit(1).alias("one"),
+    )
+    j = sk.join(F.broadcast(exact), "one")
+    est = F.when(
+        F.col("k_used") < F.lit(_KMV_K), F.col("k_used").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1))
+        / (F.col("hk").cast("double") / F.lit(281474976710656.0))
+    )
+    rel = F.round(
+        F.abs(F.round(est, 4) - F.col("exact_distinct").cast("double"))
+        / F.col("exact_distinct").cast("double"),
+        6,
+    )
+    return j.select(
+        F.col("exact_distinct"),
+        F.col("k_used"),
+        F.round(est, 4).cast("double").alias("kmv_estimate"),
+        rel.cast("double").alias("rel_err"),
+        (rel <= F.lit(3.0 / (_KMV_K - 2) ** 0.5)).alias("within_3sigma"),
+    )
+
+
+KMV_DISTINCT_USERS_EVENTS_ORACLE = f"""
+WITH users AS (
+    SELECT DISTINCT user_id FROM events
+), hs AS (
+    SELECT DISTINCT
+           ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+    FROM users
+), topk AS (
+    SELECT h FROM hs ORDER BY h LIMIT {_KMV_K}
+), sk AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+           CAST(MAX(h) AS BIGINT) AS hk
+    FROM topk
+), exact AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM users
+), est AS (
+    SELECT exact_distinct, k_used,
+           ROUND(CASE WHEN k_used < {_KMV_K} THEN CAST(k_used AS DOUBLE)
+                      ELSE {float(_KMV_K - 1)}
+                           / (CAST(hk AS DOUBLE) / 281474976710656.0)
+                 END, 4) AS kmv_estimate
+    FROM sk CROSS JOIN exact
+)
+SELECT exact_distinct, k_used,
+       CAST(kmv_estimate AS DOUBLE) AS kmv_estimate,
+       CAST(ROUND(ABS(kmv_estimate - CAST(exact_distinct AS DOUBLE))
+                  / CAST(exact_distinct AS DOUBLE), 6) AS DOUBLE) AS rel_err,
+       ROUND(ABS(kmv_estimate - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE), 6)
+           <= {3.0 / (_KMV_K - 2) ** 0.5} AS within_3sigma
+FROM est
+"""
+
+
+_AMS_J = 64  # AMS sketch counters (8 groups x 8 for median-of-means)
+
+
+def ams_f2_user_activity_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon–Matias–Szegedy 1996)
+    over per-user event counts, gated against the exact F₂ = Σ c_u² —
+    the SELF-JOIN-SIZE member of the sketch family (F₂ is the size of
+    the user-key self-join, the quantity join planners want without
+    building the join): 64 counters z_j = Σ_u s_j(u)·c_u with 4-wise
+    ±1 signs, E[z²] = F₂; the estimate is the median of 8 group-means
+    of 8 squared counters (the paper's median-of-means boost).
+
+    Exactness: FULLY integer until the final /8 — signs replay from an
+    md5 nibble parity on both engines, counters are bigint folds,
+    group means are exact-sum/8.0 doubles, the median of 8 values is
+    (sorted[4]+sorted[5])/2 over an explicit sorted array literal-for-
+    literal on both engines. Scale shape: one user-grain aggregation,
+    a 64-way broadcast fan-out of the USER-GRAIN relation (not the
+    facts), one 64-cell fold — counters merge by addition, the AMS
+    scale property."""
+    ev = load_table(spark, sf_dir, "events")
+    cu = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("c"))
+    rows = spark.range(_AMS_J).select(F.col("id").cast("int").alias("j"))
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("j").cast("string"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    counters = (
+        cu.crossJoin(F.broadcast(rows))
+        .groupBy("j")
+        .agg(F.sum(sign * F.col("c")).cast("bigint").alias("z"))
+    )
+    means = counters.groupBy(F.floor(F.col("j") / 8).alias("g")).agg(
+        (F.sum(F.col("z") * F.col("z")).cast("double") / F.lit(8.0)).alias(
+            "m"
+        )
+    )
+    med = means.agg(
+        F.sort_array(F.collect_list("m")).alias("arr"), F.lit(1).alias("one")
+    ).select(
+        (
+            (F.element_at(F.col("arr"), 4) + F.element_at(F.col("arr"), 5))
+            / F.lit(2.0)
+        ).alias("f2_est"),
+        "one",
+    )
+    exact = cu.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"),
+        F.count("*").cast("bigint").alias("n_users"),
+        F.lit(1).alias("one"),
+    )
+    j = med.join(F.broadcast(exact), "one")
+    ratio = F.round(
+        F.col("f2_est") / F.col("f2_exact").cast("double"), 6
+    )
+    return j.select(
+        F.col("n_users"),
+        F.col("f2_exact"),
+        F.round(F.col("f2_est"), 4).cast("double").alias("f2_estimate"),
+        ratio.cast("double").alias("est_over_exact"),
+        ((ratio >= F.lit(0.2)) & (ratio <= F.lit(5.0))).alias(
+            "within_5x"
+        ),
+    )
+
+
+AMS_F2_USER_ACTIVITY_EVENTS_ORACLE = f"""
+WITH cu AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY user_id
+), rows_j AS (
+    SELECT CAST(i AS INT) AS j FROM range({_AMS_J}) t(i)
+), counters AS (
+    SELECT r.j,
+           CAST(SUM(CASE WHEN ('0x' || substr(md5(r.j::VARCHAR || ':' ||
+                                              u.user_id::VARCHAR), 1, 1))::BIGINT
+                              % 2 = 0
+                         THEN u.c ELSE -u.c END) AS BIGINT) AS z
+    FROM cu u CROSS JOIN rows_j r
+    GROUP BY r.j
+), means AS (
+    SELECT CAST(FLOOR(j / 8) AS BIGINT) AS g,
+           CAST(SUM(z * z) AS DOUBLE) / 8.0 AS m
+    FROM counters GROUP BY 1
+), med AS (
+    SELECT (arr[4] + arr[5]) / 2.0 AS f2_est
+    FROM (SELECT list_sort(list(m)) AS arr FROM means)
+), exact AS (
+    SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM cu
+)
+SELECT n_users, f2_exact,
+       CAST(ROUND(f2_est, 4) AS DOUBLE) AS f2_estimate,
+       CAST(ROUND(f2_est / CAST(f2_exact AS DOUBLE), 6) AS DOUBLE)
+           AS est_over_exact,
+       ROUND(f2_est / CAST(f2_exact AS DOUBLE), 6) >= 0.2
+       AND ROUND(f2_est / CAST(f2_exact AS DOUBLE), 6) <= 5.0 AS within_5x
+FROM med CROSS JOIN exact
+"""
+
+
+_RANGE_BIN_W = 30000  # bin width (dollars) for the banded range join
+
+
+def binned_range_join_orders_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range join of orders against OVERLAPPING price bands (12 bands,
+    $60k wide, $37.5k stride — each price can fall in up to 2 bands),
+    executed the scale-correct way: a naive interval predicate forces a
+    nested-loop/cartesian plan, so each band EXPLODES into the fixed
+    $30k bins it covers and the join becomes a broadcast HASH join on
+    the order's own bin plus a residual range filter — the standard
+    bin-bucketed range-join rewrite (what Databricks' range-join hint
+    and DuckDB's IEJoin buy natively). Per-order work is O(1):
+    bin = ⌊price/W⌋ hits exactly the covering bins.
+
+    Exactness: band bounds, bins, and counts are integers; revenue is
+    an exact DECIMAL(18,2) fold rounded at 2; empty bands survive via
+    the left join with 0-coalesce. The oracle runs the PLAIN interval
+    join — proving the rewrite is semantics-preserving is the point of
+    the check. Scale shape: facts shuffle never; one broadcast of ≤24
+    (band, bin) rows; one grouped fold."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.range(12).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 37500).cast("bigint").alias("lo"),
+        (F.col("id") * 37500 + 60000).cast("bigint").alias("hi"),
+    )
+    bins = bands.select(
+        "band_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / F.lit(_RANGE_BIN_W)).cast("bigint"),
+                F.floor((F.col("hi") - 1) / F.lit(_RANGE_BIN_W)).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("bin"),
+    )
+    keyed = o.select(
+        F.col("o_totalprice").alias("price"),
+        F.floor(F.col("o_totalprice") / F.lit(_RANGE_BIN_W))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    hit = keyed.join(
+        F.broadcast(bins),
+        (keyed["bin"] == bins["bin"])
+        & (F.col("price") >= F.col("lo").cast("double"))
+        & (F.col("price") < F.col("hi").cast("double")),
+    )
+    agg = hit.groupBy("band_id").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum(F.col("price").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("revenue"),
+    )
+    return (
+        bands.join(agg, "band_id", "left")
+        .select(
+            "band_id",
+            "lo",
+            "hi",
+            F.coalesce(F.col("n_orders"), F.lit(0).cast("bigint")).alias(
+                "n_orders"
+            ),
+            F.coalesce(F.col("revenue"), F.lit(0.0))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("band_id")
+    )
+
+
+BINNED_RANGE_JOIN_ORDERS_BANDS_ORACLE = """
+WITH bands AS (
+    SELECT CAST(i AS INT) AS band_id,
+           CAST(i * 37500 AS BIGINT) AS lo,
+           CAST(i * 37500 + 60000 AS BIGINT) AS hi
+    FROM range(12) t(i)
+), agg AS (
+    SELECT b.band_id,
+           CAST(COUNT(o.o_totalprice) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS revenue
+    FROM bands b
+    LEFT JOIN orders o
+      ON o.o_totalprice >= CAST(b.lo AS DOUBLE)
+     AND o.o_totalprice < CAST(b.hi AS DOUBLE)
+    GROUP BY b.band_id
+)
+SELECT b.band_id, b.lo, b.hi,
+       COALESCE(a.n_orders, 0) AS n_orders,
+       CAST(COALESCE(a.revenue, 0.0) AS DOUBLE) AS revenue
+FROM bands b JOIN agg a ON a.band_id = b.band_id
+ORDER BY b.band_id
 """

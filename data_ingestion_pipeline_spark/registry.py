@@ -544,6 +544,9 @@ _ROUND12_QUEUE: list[str] = [
     "adf_test_daily_values",
     "breusch_godfrey_daily_trend",
     "white_test_price_quantity",
+    "kmv_distinct_users_events",
+    "ams_f2_user_activity_events",
+    "binned_range_join_orders_bands",
 ]
 
 
@@ -3213,4 +3216,22 @@ register(
     "white_test_price_quantity",
     inference_stats.white_test_price_quantity,
     inference_stats.WHITE_TEST_PRICE_QUANTITY_ORACLE,
+)
+
+register(
+    "kmv_distinct_users_events",
+    relational.kmv_distinct_users_events,
+    relational.KMV_DISTINCT_USERS_EVENTS_ORACLE,
+)
+
+register(
+    "ams_f2_user_activity_events",
+    relational.ams_f2_user_activity_events,
+    relational.AMS_F2_USER_ACTIVITY_EVENTS_ORACLE,
+)
+
+register(
+    "binned_range_join_orders_bands",
+    relational.binned_range_join_orders_bands,
+    relational.BINNED_RANGE_JOIN_ORDERS_BANDS_ORACLE,
 )

@@ -1504,3 +1504,97 @@ def test_white_test_matches_numpy(spark, sf_dir):
     assert abs(row["aux_r2"] - r2) < 1e-4
     assert abs(row["white_stat"] - lm) < max(1e-2, abs(lm) * 1e-3)
     assert row["heteroscedastic"] == (row["white_stat"] > 5.991465)
+
+
+def test_kmv_matches_python_md5_replay(spark, sf_dir):
+    """Bottom-k sketch and estimate recomputed from hashlib md5."""
+    import hashlib
+
+    from data_ingestion_pipeline_spark.operators.relational import (
+        _KMV_K,
+        kmv_distinct_users_events,
+    )
+
+    users = {
+        r["user_id"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    hs = sorted(
+        {int(hashlib.md5(str(u).encode()).hexdigest()[:12], 16) for u in users}
+    )
+    topk = hs[:_KMV_K]
+    if len(topk) < _KMV_K:
+        est = float(len(topk))
+    else:
+        est = (_KMV_K - 1) / (topk[-1] / 2**48)
+    row = kmv_distinct_users_events(spark, sf_dir).collect()[0]
+    assert row["exact_distinct"] == len(users)
+    assert row["k_used"] == len(topk)
+    assert abs(row["kmv_estimate"] - est) < 1e-3
+
+
+def test_ams_f2_matches_python_md5_replay(spark, sf_dir):
+    """Counters, group means, and the median-of-means recomputed from
+    hashlib md5 sign replay."""
+    import hashlib
+    from collections import Counter
+
+    from data_ingestion_pipeline_spark.operators.relational import (
+        _AMS_J,
+        ams_f2_user_activity_events,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .collect()
+    )
+    cu = Counter(r["user_id"] for r in rows)
+    z = [0] * _AMS_J
+    for u, c in cu.items():
+        for j in range(_AMS_J):
+            nib = hashlib.md5(f"{j}:{u}".encode()).hexdigest()[0]
+            z[j] += c if int(nib, 16) % 2 == 0 else -c
+    means = sorted(
+        sum(zz * zz for zz in z[g * 8 : g * 8 + 8]) / 8.0 for g in range(8)
+    )
+    est = (means[3] + means[4]) / 2.0
+    exact = sum(c * c for c in cu.values())
+    row = ams_f2_user_activity_events(spark, sf_dir).collect()[0]
+    assert row["n_users"] == len(cu)
+    assert row["f2_exact"] == exact
+    assert abs(row["f2_estimate"] - est) < 1e-3
+
+
+def test_binned_range_join_matches_naive_interval(spark, sf_dir):
+    """The bin-bucketed rewrite must agree row-for-row with a naive
+    python interval scan, including empty bands."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from data_ingestion_pipeline_spark.operators.relational import (
+        binned_range_join_orders_bands,
+    )
+
+    prices = [
+        r["o_totalprice"]
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_totalprice")
+        .collect()
+    ]
+    per = defaultdict(lambda: [0, Decimal(0)])
+    for b in range(12):
+        lo, hi = b * 37500, b * 37500 + 60000
+        for p in prices:
+            if lo <= p < hi:
+                per[b][0] += 1
+                per[b][1] += Decimal(str(p)).quantize(Decimal("0.01"))
+    out = {r["band_id"]: r for r in binned_range_join_orders_bands(spark, sf_dir).collect()}
+    assert len(out) == 12
+    for b in range(12):
+        assert out[b]["lo"] == b * 37500
+        assert out[b]["n_orders"] == per[b][0]
+        assert abs(out[b]["revenue"] - float(per[b][1])) < 1e-6

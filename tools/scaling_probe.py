@@ -317,6 +317,9 @@ PROBES = [
     ("adf_test_daily_values", ["events"]),
     ("breusch_godfrey_daily_trend", ["events"]),
     ("white_test_price_quantity", ["orders", "lineitem"]),
+    ("kmv_distinct_users_events", ["events"]),
+    ("ams_f2_user_activity_events", ["events"]),
+    ("binned_range_join_orders_bands", ["orders"]),
 ]
 
 KEY_OFFSETS = {
