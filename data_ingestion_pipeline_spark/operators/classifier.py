@@ -39,6 +39,8 @@ __all__ = [
     "decision_stump_documents",
     "isotonic_calibration_documents",
     "kfold_cv_stump_documents",
+    "brier_decomposition_documents",
+    "hosmer_lemeshow_documents",
 ]
 
 N_STEPS = 5
@@ -817,3 +819,269 @@ SELECT p.fold, CAST(b.threshold AS BIGINT) AS threshold,
 FROM per p JOIN best b USING (fold)
 GROUP BY 1, 2, 3
 """
+
+
+def brier_decomposition_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Murphy decomposition of the quality classifier's Brier score
+    (Murphy 1973): BS = reliability − resolution + uncertainty over the
+    10 calibration bins — the SCALAR summary triple behind
+    ``calibration_report_documents``'s per-bin reliability diagram:
+    reliability is the calibration gap ECE squares, resolution is how
+    much the bins actually separate outcomes (a calibrated-but-useless
+    classifier has 0), uncertainty ō(1−ō) is the irreducible floor.
+    Also publishes the DIRECT Brier mean Σ(p−y)²/n and the decomposition
+    gap (the within-bin variance term the 3-term identity drops when
+    scores vary inside a bin) — a nonzero gap is expected and reported,
+    not hidden.
+
+    Determinism: the same round-9 sigmoids as the calibration report;
+    per-bin means are decimal-fold ratios rounded at 9; every squared
+    term folds in DECIMAL(27,12). Scale shape: one corpus pass for the
+    direct Brier + bin sums, then 10-row algebra."""
+    hist = _train(spark, sf_dir)
+    _, w0, w1, w2 = hist[-1]
+    feats = _features(spark, sf_dir)
+    z = F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    binned = feats.select("y", p.alias("p")).withColumn(
+        "bin",
+        F.least(
+            F.floor(F.col("p") * N_CALIB_BINS).cast("int"),
+            F.lit(N_CALIB_BINS - 1),
+        ),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("nk"),
+        F.round(
+            dec_sum(F.col("p"), 27, 12).cast("double")
+            / F.count("*").cast("double"),
+            9,
+        ).alias("pbar"),
+        F.round(
+            F.sum("y").cast("double") / F.count("*").cast("double"), 9
+        ).alias("obar_k"),
+    )
+    direct = binned.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(
+            (F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 27, 12
+        )
+        .cast("double")
+        .alias("sq_sum"),
+        F.sum("y").cast("bigint").alias("pos"),
+        F.lit(1).alias("one"),
+    )
+    obar = F.round(
+        F.col("pos").cast("double") / F.col("n").cast("double"), 9
+    )
+    folded = (
+        per.withColumn("one", F.lit(1))
+        .join(F.broadcast(direct), "one")
+        .groupBy("n", "sq_sum", "pos")
+        .agg(
+            F.sum(
+                (
+                    F.col("nk").cast("double")
+                    * (F.col("pbar") - F.col("obar_k"))
+                    * (F.col("pbar") - F.col("obar_k"))
+                ).cast("decimal(27,12)")
+            )
+            .cast("double")
+            .alias("rel_sum"),
+            F.sum(
+                (
+                    F.col("nk").cast("double")
+                    * (F.col("obar_k") - obar)
+                    * (F.col("obar_k") - obar)
+                ).cast("decimal(27,12)")
+            )
+            .cast("double")
+            .alias("res_sum"),
+        )
+    )
+    nD = F.col("n").cast("double")
+    bs = F.round(F.col("sq_sum") / nD, 9)
+    rel = F.round(F.col("rel_sum") / nD, 9)
+    res = F.round(F.col("res_sum") / nD, 9)
+    unc = F.round(obar * (F.lit(1.0) - obar), 9)
+    return folded.select(
+        F.col("n"),
+        F.round(bs, 6).cast("double").alias("brier_score"),
+        F.round(rel, 6).cast("double").alias("reliability"),
+        F.round(res, 6).cast("double").alias("resolution"),
+        F.round(unc, 6).cast("double").alias("uncertainty"),
+        F.round(bs - (rel - res + unc), 6)
+        .cast("double")
+        .alias("decomp_gap"),
+    )
+
+
+def _brier_oracle() -> str:
+    head = _logistic_oracle()
+    head = head[: head.index("\nSELECT CAST(1 AS INT)")]
+    return head + f"""
+, preds AS (
+    SELECT y,
+           ROUND(1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2))), 9) AS p
+    FROM feats, w{N_STEPS} w
+), binned AS (
+    SELECT y, p,
+           LEAST(CAST(FLOOR(p * {N_CALIB_BINS}) AS INT),
+                 {N_CALIB_BINS - 1}) AS bin
+    FROM preds
+), per AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(27,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS pbar,
+           ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+               AS obar_k
+    FROM binned GROUP BY bin
+), direct AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(27,12))) AS DOUBLE)
+               AS sq_sum,
+           CAST(SUM(y) AS BIGINT) AS pos
+    FROM binned
+), folded AS (
+    SELECT n, sq_sum, pos,
+           CAST(SUM(CAST(CAST(nk AS DOUBLE) * (pbar - obar_k)
+                         * (pbar - obar_k) AS DECIMAL(27,12)))
+                AS DOUBLE) AS rel_sum,
+           CAST(SUM(CAST(CAST(nk AS DOUBLE)
+               * (obar_k - ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 9))
+               * (obar_k - ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 9))
+               AS DECIMAL(27,12))) AS DOUBLE) AS res_sum
+    FROM per CROSS JOIN direct
+    GROUP BY n, sq_sum, pos
+)
+SELECT n,
+       CAST(ROUND(ROUND(sq_sum / CAST(n AS DOUBLE), 9), 6) AS DOUBLE)
+           AS brier_score,
+       CAST(ROUND(ROUND(rel_sum / CAST(n AS DOUBLE), 9), 6) AS DOUBLE)
+           AS reliability,
+       CAST(ROUND(ROUND(res_sum / CAST(n AS DOUBLE), 9), 6) AS DOUBLE)
+           AS resolution,
+       CAST(ROUND(ROUND(ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                  * (1.0 - ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 9)),
+                  9), 6) AS DOUBLE) AS uncertainty,
+       CAST(ROUND(ROUND(sq_sum / CAST(n AS DOUBLE), 9)
+                  - (ROUND(rel_sum / CAST(n AS DOUBLE), 9)
+                     - ROUND(res_sum / CAST(n AS DOUBLE), 9)
+                     + ROUND(ROUND(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                             * (1.0 - ROUND(CAST(pos AS DOUBLE)
+                                            / CAST(n AS DOUBLE), 9)), 9)), 6)
+            AS DOUBLE) AS decomp_gap
+FROM folded
+"""
+
+
+BRIER_DECOMPOSITION_DOCUMENTS_ORACLE = _brier_oracle()
+
+
+def hosmer_lemeshow_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit for the quality classifier over
+    the 10 fixed-width score bins (the equal-WIDTH variant — the house
+    calibration binning; canonical HL uses score deciles, a global sort
+    this engine deliberately avoids on fact grain, and the fixed-width
+    form is the standard alternative when bins are pre-registered):
+    HL = Σ_k (o_k − n_k·p̄_k)²/(n_k·p̄_k·(1−p̄_k)) ~ χ²(K−2); a
+    significant HL says the sigmoid's FORM is wrong even where the
+    ranking (AUC) is fine — the model-level verdict the per-bin
+    calibration gaps don't aggregate to.
+
+    Determinism: round-9 sigmoids, decimal bin sums, per-bin terms
+    rounded at 9 before the 10-row decimal fold; empty-denominator bins
+    (p̄ of exactly 0 or 1) contribute 0 on both engines. Scale shape:
+    one corpus pass, 10-row algebra."""
+    hist = _train(spark, sf_dir)
+    _, w0, w1, w2 = hist[-1]
+    feats = _features(spark, sf_dir)
+    z = F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    binned = feats.select("y", p.alias("p")).withColumn(
+        "bin",
+        F.least(
+            F.floor(F.col("p") * N_CALIB_BINS).cast("int"),
+            F.lit(N_CALIB_BINS - 1),
+        ),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("nk"),
+        F.round(
+            dec_sum(F.col("p"), 27, 12).cast("double")
+            / F.count("*").cast("double"),
+            9,
+        ).alias("pbar"),
+        F.sum("y").cast("bigint").alias("ok"),
+    )
+    den = (
+        F.col("nk").cast("double")
+        * F.col("pbar")
+        * (F.lit(1.0) - F.col("pbar"))
+    )
+    term = F.when(
+        den > 0.0,
+        F.round(
+            (F.col("ok").cast("double") - F.col("nk").cast("double") * F.col("pbar"))
+            * (F.col("ok").cast("double") - F.col("nk").cast("double") * F.col("pbar"))
+            / den,
+            9,
+        ),
+    ).otherwise(F.lit(0.0))
+    s = per.agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.count("*").cast("int").alias("k_bins"),
+        F.sum(term.cast("decimal(27,12)")).cast("double").alias("hl_raw"),
+    )
+    hl = F.round(F.col("hl_raw"), 6)
+    return s.select(
+        "n",
+        "k_bins",
+        hl.cast("double").alias("hl_stat"),
+        (F.col("k_bins") - 2).cast("int").alias("df"),
+        (hl > F.lit(15.507313)).alias("miscalibrated"),
+    )
+
+
+def _hosmer_lemeshow_oracle() -> str:
+    head = _logistic_oracle()
+    head = head[: head.index("\nSELECT CAST(1 AS INT)")]
+    return head + f"""
+, preds AS (
+    SELECT y,
+           ROUND(1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2))), 9) AS p
+    FROM feats, w{N_STEPS} w
+), binned AS (
+    SELECT y, p,
+           LEAST(CAST(FLOOR(p * {N_CALIB_BINS}) AS INT),
+                 {N_CALIB_BINS - 1}) AS bin
+    FROM preds
+), per AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk,
+           ROUND(CAST(SUM(CAST(p AS DECIMAL(27,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS pbar,
+           CAST(SUM(y) AS BIGINT) AS ok
+    FROM binned GROUP BY bin
+), terms AS (
+    SELECT nk, ok,
+           CASE WHEN CAST(nk AS DOUBLE) * pbar * (1.0 - pbar) > 0.0
+                THEN ROUND((CAST(ok AS DOUBLE) - CAST(nk AS DOUBLE) * pbar)
+                           * (CAST(ok AS DOUBLE) - CAST(nk AS DOUBLE) * pbar)
+                           / (CAST(nk AS DOUBLE) * pbar * (1.0 - pbar)), 9)
+                ELSE 0.0 END AS term
+    FROM per
+)
+SELECT CAST(SUM(nk) AS BIGINT) AS n,
+       CAST(COUNT(*) AS INT) AS k_bins,
+       CAST(ROUND(CAST(SUM(CAST(term AS DECIMAL(27,12))) AS DOUBLE), 6)
+            AS DOUBLE) AS hl_stat,
+       CAST(COUNT(*) - 2 AS INT) AS df,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(27,12))) AS DOUBLE), 6)
+           > 15.507313 AS miscalibrated
+FROM terms
+"""
+
+
+HOSMER_LEMESHOW_DOCUMENTS_ORACLE = _hosmer_lemeshow_oracle()

@@ -26,6 +26,8 @@ from data_ingestion_pipeline_spark.sources.catalog import load_table
 __all__ = [
     "breusch_pagan_price_quantity",
     "white_test_price_quantity",
+    "fleming_harrington_test_retention_arms",
+    "life_table_retention",
     "welch_anova_event_values",
     "bartlett_test_event_values",
     "rmst_user_retention",
@@ -4360,4 +4362,372 @@ SELECT n AS n_rows,
                 / (sww - sw * sw / CAST(n AS DOUBLE))), 6) > 5.991465
            AS heteroscedastic
 FROM p
+"""
+
+
+def fleming_harrington_test_retention_arms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fleming–Harrington G^ρ weighted log-rank test (ρ=1, the
+    Peto–Peto/early-difference member) between the two md5 experiment
+    arms — the WEIGHTED companion of ``logrank_test_retention_arms``:
+    plain log-rank weights every event time equally and so is most
+    powerful for proportional hazards; G^1 weights each time by the
+    pooled left-limit survival Ŝ(t−), concentrating power on EARLY
+    hazard differences (onboarding-churn experiments) where most users
+    are still at risk. Same lifetimes, censoring, and arm hash as the
+    KM/log-rank tier; χ² = (Σw_t(d_At−E_At))²/(Σw_t²V_t) on one df.
+
+    Exactness: the pooled KM left limit folds as the KM exp(Σln)
+    construction with the zero-factor guard and rounds at 9 before
+    weighting; per-time terms round at 12 into DECIMAL(38,12) folds
+    (float-order-free); χ² rounds at 6. Scale shape: one user-grain
+    aggregate, then bounded duration-grain windows (documented class),
+    one fold."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    end = ev.agg(F.max("ts").alias("end_ts"))
+    hours = (
+        (
+            F.unix_micros(F.date_trunc("hour", F.col("last_ts")))
+            - F.unix_micros(F.date_trunc("hour", F.col("first_ts")))
+        )
+        / F.lit(3_600_000_000)
+    ).cast("bigint")
+    arm_a = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % 2
+        == 0
+    )
+    grain = (
+        per_user.join(F.broadcast(end))
+        .select(
+            hours.alias("t"),
+            arm_a.alias("is_a"),
+            (
+                F.col("last_ts") < F.col("end_ts") - F.expr("INTERVAL 1 DAYS")
+            ).alias("churned"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum((F.col("churned") & F.col("is_a")).cast("long")).alias("d_a"),
+            F.sum((F.col("churned") & ~F.col("is_a")).cast("long")).alias("d_b"),
+            F.sum(F.col("is_a").cast("long")).alias("exit_a"),
+            F.sum((~F.col("is_a")).cast("long")).alias("exit_b"),
+        )
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = grain.agg(
+        F.sum("exit_a").alias("tot_a"), F.sum("exit_b").alias("tot_b")
+    )
+    at_risk = (
+        grain.join(F.broadcast(tot))
+        .withColumn(
+            "n_a", F.col("tot_a") - F.coalesce(F.sum("exit_a").over(w), F.lit(0))
+        )
+        .withColumn(
+            "n_b", F.col("tot_b") - F.coalesce(F.sum("exit_b").over(w), F.lit(0))
+        )
+        .filter((F.col("d_a") + F.col("d_b")) > 0)
+    )
+    d = (F.col("d_a") + F.col("d_b")).cast("double")
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    factor = F.lit(1.0) - d / n
+    # pooled KM LEFT limit: survival strictly before t (rows-1 window)
+    we = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    weighted = (
+        at_risk.withColumn(
+            "ln_prev",
+            F.coalesce(
+                F.sum(
+                    F.when(factor > 0.0, F.log(factor)).otherwise(F.lit(0.0))
+                ).over(we),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn(
+            "zero_prev",
+            F.coalesce(
+                F.sum((factor <= 0.0).cast("long")).over(we), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "wt",
+            F.when(F.col("zero_prev") > 0, F.lit(0.0)).otherwise(
+                F.round(F.exp("ln_prev"), 9)
+            ),
+        )
+    )
+    na = F.col("n_a").cast("double")
+    e_a = d * na / n
+    v = F.when(
+        n > 1.0,
+        d * (na / n) * (F.lit(1.0) - na / n) * (n - d) / (n - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    s = weighted.agg(
+        F.sum("d_a").cast("bigint").alias("obs_a"),
+        F.sum("d_b").cast("bigint").alias("obs_b"),
+        F.sum(
+            F.round(
+                F.col("wt") * (F.col("d_a").cast("double") - e_a), 12
+            ).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("_num"),
+        F.sum(
+            F.round(F.col("wt") * F.col("wt") * v, 12).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("_var"),
+    )
+    chi2 = F.when(
+        F.col("_var") > 0.0,
+        F.round(F.col("_num") * F.col("_num") / F.col("_var"), 6),
+    ).otherwise(F.lit(0.0))
+    return s.select(
+        "obs_a",
+        "obs_b",
+        F.round(F.col("_num"), 6).cast("double").alias("weighted_diff_a"),
+        chi2.cast("double").alias("chi2_fh"),
+        (chi2 > F.lit(3.841459)).alias("significant"),
+    )
+
+
+FLEMING_HARRINGTON_TEST_RETENTION_ARMS_ORACLE = """
+WITH per_user AS (
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events
+    GROUP BY user_id
+), ends AS (SELECT MAX(ts) AS end_ts FROM events),
+grain AS (
+    SELECT datediff('hour', first_ts, last_ts) AS t,
+           SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                    AND ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT
+                        % 2 = 0 THEN 1 ELSE 0 END) AS d_a,
+           SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                    AND ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT
+                        % 2 <> 0 THEN 1 ELSE 0 END) AS d_b,
+           SUM(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT
+                        % 2 = 0 THEN 1 ELSE 0 END) AS exit_a,
+           SUM(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 6))::BIGINT
+                        % 2 <> 0 THEN 1 ELSE 0 END) AS exit_b
+    FROM per_user CROSS JOIN ends
+    GROUP BY 1
+), tot AS (SELECT SUM(exit_a) AS tot_a, SUM(exit_b) AS tot_b FROM grain),
+at_risk AS (
+    SELECT t, d_a, d_b,
+           tot_a - COALESCE(SUM(exit_a) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS n_a,
+           tot_b - COALESCE(SUM(exit_b) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS n_b
+    FROM grain CROSS JOIN tot
+), ev_rows AS (
+    SELECT t, d_a, d_b, n_a, n_b,
+           1.0 - CAST(d_a + d_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+               AS factor
+    FROM at_risk WHERE d_a + d_b > 0
+), weighted AS (
+    SELECT t, d_a, d_b, n_a, n_b,
+           CASE WHEN COALESCE(SUM(CASE WHEN factor <= 0.0 THEN 1 ELSE 0 END)
+                    OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) > 0
+                THEN 0.0
+                ELSE ROUND(EXP(COALESCE(
+                    SUM(CASE WHEN factor > 0.0 THEN ln(factor) ELSE 0.0 END)
+                    OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0.0)), 9)
+           END AS wt
+    FROM ev_rows
+), terms AS (
+    SELECT d_a, d_b,
+           ROUND(wt * (CAST(d_a AS DOUBLE)
+                       - CAST(d_a + d_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE)), 12) AS num_t,
+           ROUND(wt * wt
+                 * CASE WHEN n_a + n_b > 1 THEN
+                       CAST(d_a + d_b AS DOUBLE)
+                       * (CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                       * (1.0 - CAST(n_a AS DOUBLE)
+                                / CAST(n_a + n_b AS DOUBLE))
+                       * (CAST(n_a + n_b AS DOUBLE)
+                          - CAST(d_a + d_b AS DOUBLE))
+                       / (CAST(n_a + n_b AS DOUBLE) - 1.0)
+                   ELSE 0.0 END, 12) AS var_t
+    FROM weighted
+), s AS (
+    SELECT CAST(SUM(d_a) AS BIGINT) AS obs_a,
+           CAST(SUM(d_b) AS BIGINT) AS obs_b,
+           CAST(SUM(CAST(num_t AS DECIMAL(38,12))) AS DOUBLE) AS num_s,
+           CAST(SUM(CAST(var_t AS DECIMAL(38,12))) AS DOUBLE) AS var_s
+    FROM terms
+)
+SELECT obs_a, obs_b,
+       CAST(ROUND(num_s, 6) AS DOUBLE) AS weighted_diff_a,
+       CAST(CASE WHEN var_s > 0.0
+                 THEN ROUND(num_s * num_s / var_s, 6)
+                 ELSE 0.0 END AS DOUBLE) AS chi2_fh,
+       CASE WHEN var_s > 0.0
+            THEN ROUND(num_s * num_s / var_s, 6)
+            ELSE 0.0 END > 3.841459 AS significant
+FROM s
+"""
+
+
+_LIFE_TABLE_W = 6  # actuarial interval width (hours): lifetimes
+# concentrate near the corpus span, so a fine grain keeps a real table
+
+
+def life_table_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actuarial life table (Berkson–Gage) of user retention over fixed
+    6-hour intervals — the INTERVAL-grouped member of the survival
+    tier: KM steps at exact event times (unbiased but jagged), the life
+    table buckets lifetimes into fixed periods and applies the
+    actuarial half-censoring correction n_eff = n − c/2 (withdrawals
+    count half an interval at risk), the form reported in cohort
+    retention dashboards. Publishes per interval: entries, events,
+    withdrawals, effective exposure, conditional survival, and the
+    cumulative curve S_k = Π(1−q_j).
+
+    Exactness: counts integer; n_eff is an exact .5-grain double; the
+    product folds as the KM exp(Σln) construction with the zero-factor
+    guard; q and S round at 6. Scale shape: one user-grain aggregate,
+    then interval grain ≤ span/48 — bounded windows (documented
+    class)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    end = ev.agg(F.max("ts").alias("end_ts"))
+    hours = (
+        (
+            F.unix_micros(F.date_trunc("hour", F.col("last_ts")))
+            - F.unix_micros(F.date_trunc("hour", F.col("first_ts")))
+        )
+        / F.lit(3_600_000_000)
+    ).cast("bigint")
+    grain = (
+        per_user.join(F.broadcast(end))
+        .select(
+            F.floor(hours / F.lit(_LIFE_TABLE_W)).cast("bigint").alias("k"),
+            (
+                F.col("last_ts") < F.col("end_ts") - F.expr("INTERVAL 1 DAYS")
+            ).alias("churned"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("churned").cast("long")).cast("bigint").alias("d"),
+            F.sum((~F.col("churned")).cast("long")).cast("bigint").alias("c"),
+        )
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = grain.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    n_enter = (
+        F.col("n_total")
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0))
+    ).cast("bigint")
+    curve = (
+        grain.join(F.broadcast(total))
+        .withColumn("n_enter", n_enter)
+        .withColumn(
+            "n_eff",
+            F.col("n_enter").cast("double")
+            - F.col("c").cast("double") / F.lit(2.0),
+        )
+        .withColumn(
+            "factor",
+            F.when(
+                F.col("n_eff") > 0.0,
+                F.lit(1.0) - F.col("d").cast("double") / F.col("n_eff"),
+            ).otherwise(F.lit(1.0)),
+        )
+        .withColumn(
+            "ln_sum",
+            F.sum(
+                F.when(F.col("factor") > 0.0, F.log("factor")).otherwise(
+                    F.lit(0.0)
+                )
+            ).over(wc),
+        )
+        .withColumn(
+            "zero_seen", F.sum((F.col("factor") <= 0.0).cast("long")).over(wc)
+        )
+    )
+    return curve.select(
+        F.col("k").cast("int").alias("interval"),
+        (F.col("k") * _LIFE_TABLE_W).cast("int").alias("t_start_hours"),
+        "n_enter",
+        F.col("d").alias("d_events"),
+        F.col("c").alias("n_withdrawn"),
+        F.col("n_eff").cast("double").alias("n_effective"),
+        F.round(F.lit(1.0) - F.col("factor"), 6)
+        .cast("double")
+        .alias("cond_hazard"),
+        F.when(F.col("zero_seen") > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp("ln_sum"), 6))
+        .cast("double")
+        .alias("cum_survival"),
+    )
+
+
+LIFE_TABLE_RETENTION_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events
+    GROUP BY user_id
+), ends AS (SELECT MAX(ts) AS end_ts FROM events),
+grain AS (
+    SELECT CAST(FLOOR(datediff('hour', first_ts, last_ts)
+                      / {_LIFE_TABLE_W}) AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d,
+           CAST(SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                         THEN 0 ELSE 1 END) AS BIGINT) AS c
+    FROM per_user CROSS JOIN ends
+    GROUP BY 1
+), tot AS (SELECT SUM(d + c) AS n_total FROM grain),
+curve AS (
+    SELECT k, d, c,
+           CAST(n_total - COALESCE(SUM(d + c) OVER (
+                    ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_enter
+    FROM grain CROSS JOIN tot
+), eff AS (
+    SELECT k, d, c, n_enter,
+           CAST(n_enter AS DOUBLE) - CAST(c AS DOUBLE) / 2.0 AS n_eff
+    FROM curve
+), fac AS (
+    SELECT k, d, c, n_enter, n_eff,
+           CASE WHEN n_eff > 0.0
+                THEN 1.0 - CAST(d AS DOUBLE) / n_eff
+                ELSE 1.0 END AS factor
+    FROM eff
+), s AS (
+    SELECT k, d, c, n_enter, n_eff, factor,
+           SUM(CASE WHEN factor > 0.0 THEN ln(factor) ELSE 0.0 END)
+               OVER (ORDER BY k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ln_sum,
+           SUM(CASE WHEN factor <= 0.0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS zero_seen
+    FROM fac
+)
+SELECT CAST(k AS INTEGER) AS interval,
+       CAST(k * {_LIFE_TABLE_W} AS INTEGER) AS t_start_hours,
+       n_enter, d AS d_events, c AS n_withdrawn,
+       CAST(n_eff AS DOUBLE) AS n_effective,
+       CAST(ROUND(1.0 - factor, 6) AS DOUBLE) AS cond_hazard,
+       CAST(CASE WHEN zero_seen > 0 THEN 0.0
+                 ELSE ROUND(EXP(ln_sum), 6) END AS DOUBLE) AS cum_survival
+FROM s
 """

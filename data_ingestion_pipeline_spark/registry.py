@@ -547,6 +547,10 @@ _ROUND12_QUEUE: list[str] = [
     "kmv_distinct_users_events",
     "ams_f2_user_activity_events",
     "binned_range_join_orders_bands",
+    "brier_decomposition_documents",
+    "hosmer_lemeshow_documents",
+    "fleming_harrington_test_retention_arms",
+    "life_table_retention",
 ]
 
 
@@ -3234,4 +3238,28 @@ register(
     "binned_range_join_orders_bands",
     relational.binned_range_join_orders_bands,
     relational.BINNED_RANGE_JOIN_ORDERS_BANDS_ORACLE,
+)
+
+register(
+    "brier_decomposition_documents",
+    classifier.brier_decomposition_documents,
+    classifier.BRIER_DECOMPOSITION_DOCUMENTS_ORACLE,
+)
+
+register(
+    "hosmer_lemeshow_documents",
+    classifier.hosmer_lemeshow_documents,
+    classifier.HOSMER_LEMESHOW_DOCUMENTS_ORACLE,
+)
+
+register(
+    "fleming_harrington_test_retention_arms",
+    inference_stats.fleming_harrington_test_retention_arms,
+    inference_stats.FLEMING_HARRINGTON_TEST_RETENTION_ARMS_ORACLE,
+)
+
+register(
+    "life_table_retention",
+    inference_stats.life_table_retention,
+    inference_stats.LIFE_TABLE_RETENTION_ORACLE,
 )

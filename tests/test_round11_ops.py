@@ -1598,3 +1598,217 @@ def test_binned_range_join_matches_naive_interval(spark, sf_dir):
         assert out[b]["lo"] == b * 37500
         assert out[b]["n_orders"] == per[b][0]
         assert abs(out[b]["revenue"] - float(per[b][1])) < 1e-6
+
+
+def test_brier_decomposition_matches_python_mirror(spark, sf_dir):
+    """Direct Brier and the Murphy components recomputed in python from
+    the same trained weights; identity BS = REL − RES + UNC + gap."""
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.classifier import (
+        N_CALIB_BINS,
+        _train,
+        brier_decomposition_documents,
+    )
+    import math
+
+    hist = _train(spark, sf_dir)
+    _, w0, w1, w2 = hist[-1]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    pys = []
+    for r in docs:
+        nw = max(len(r["text"].strip().split()), 1)
+        x1 = r["n_chars"] / 1000.0
+        x2 = r["n_chars"] / nw / 10.0
+        p = round(1.0 / (1.0 + math.exp(-(w0 + w1 * x1 + w2 * x2))), 9)
+        pys.append((p, 1.0 if r["lang"] == "en" else 0.0))
+    n = len(pys)
+    bs = sum((p - y) ** 2 for p, y in pys) / n
+    bins = defaultdict(list)
+    for p, y in pys:
+        bins[min(int(p * N_CALIB_BINS), N_CALIB_BINS - 1)].append((p, y))
+    obar = round(sum(y for _, y in pys) / n, 9)
+    rel = res = 0.0
+    for b, items in bins.items():
+        nk = len(items)
+        pbar = round(sum(p for p, _ in items) / nk, 9)
+        ok = round(sum(y for _, y in items) / nk, 9)
+        rel += nk * (pbar - ok) ** 2
+        res += nk * (ok - obar) ** 2
+    rel, res = rel / n, res / n
+    unc = obar * (1 - obar)
+    row = brier_decomposition_documents(spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert abs(row["brier_score"] - bs) < 1e-5
+    assert abs(row["reliability"] - rel) < 1e-5
+    assert abs(row["resolution"] - res) < 1e-5
+    assert abs(row["uncertainty"] - unc) < 1e-5
+    assert (
+        abs(
+            row["brier_score"]
+            - (row["reliability"] - row["resolution"] + row["uncertainty"])
+            - row["decomp_gap"]
+        )
+        < 5e-6
+    )
+
+
+def test_hosmer_lemeshow_matches_python_mirror(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.classifier import (
+        N_CALIB_BINS,
+        _train,
+        hosmer_lemeshow_documents,
+    )
+    import math
+
+    hist = _train(spark, sf_dir)
+    _, w0, w1, w2 = hist[-1]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    bins = defaultdict(list)
+    for r in docs:
+        nw = max(len(r["text"].strip().split()), 1)
+        x1 = r["n_chars"] / 1000.0
+        x2 = r["n_chars"] / nw / 10.0
+        p = round(1.0 / (1.0 + math.exp(-(w0 + w1 * x1 + w2 * x2))), 9)
+        bins[min(int(p * N_CALIB_BINS), N_CALIB_BINS - 1)].append(
+            (p, 1 if r["lang"] == "en" else 0)
+        )
+    hl = 0.0
+    for b, items in bins.items():
+        nk = len(items)
+        pbar = round(sum(p for p, _ in items) / nk, 9)
+        ok = sum(y for _, y in items)
+        den = nk * pbar * (1 - pbar)
+        if den > 0:
+            hl += round((ok - nk * pbar) ** 2 / den, 9)
+    row = hosmer_lemeshow_documents(spark, sf_dir).collect()[0]
+    assert row["k_bins"] == len(bins)
+    assert row["df"] == len(bins) - 2
+    assert abs(row["hl_stat"] - hl) < 1e-4
+    assert row["miscalibrated"] == (round(hl, 6) > 15.507313)
+
+
+def _retention_durations(spark, sf_dir):
+    import datetime
+    import hashlib
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts")
+        .collect()
+    )
+    first, last, end = {}, {}, None
+    for r in rows:
+        u, t = r["user_id"], r["ts"]
+        first[u] = min(first.get(u, t), t)
+        last[u] = max(last.get(u, t), t)
+        end = t if end is None else max(end, t)
+
+    def hour_floor(t):
+        return t.replace(minute=0, second=0, microsecond=0)
+
+    out = []
+    for u in first:
+        hrs = int(
+            (hour_floor(last[u]) - hour_floor(first[u])).total_seconds()
+            // 3600
+        )
+        churn = last[u] < end - datetime.timedelta(days=1)
+        arm_a = (
+            int(hashlib.md5(str(u).encode()).hexdigest()[:6], 16) % 2 == 0
+        )
+        out.append((hrs, churn, arm_a))
+    return out
+
+
+def test_fleming_harrington_matches_python_mirror(spark, sf_dir):
+    """G^1 weighted logrank recomputed brute-force: pooled KM left
+    limit, weighted O−E sums, weighted hypergeometric variance."""
+    import math
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        fleming_harrington_test_retention_arms,
+    )
+
+    per = defaultdict(lambda: [0, 0, 0, 0])  # d_a, d_b, exit_a, exit_b
+    for hrs, churn, arm_a in _retention_durations(spark, sf_dir):
+        e = per[hrs]
+        if churn and arm_a:
+            e[0] += 1
+        if churn and not arm_a:
+            e[1] += 1
+        if arm_a:
+            e[2] += 1
+        else:
+            e[3] += 1
+    tot_a = sum(e[2] for e in per.values())
+    tot_b = sum(e[3] for e in per.values())
+    seen_a = seen_b = 0
+    s_prev = 1.0
+    num = var = 0.0
+    obs_a = obs_b = 0
+    for t in sorted(per):
+        d_a, d_b, xa, xb = per[t]
+        n_a, n_b = tot_a - seen_a, tot_b - seen_b
+        seen_a += xa
+        seen_b += xb
+        d, n = d_a + d_b, n_a + n_b
+        if d == 0:
+            continue
+        wt = round(s_prev, 9)
+        obs_a += d_a
+        obs_b += d_b
+        e_a = d * n_a / n
+        v = (
+            d * (n_a / n) * (1 - n_a / n) * (n - d) / (n - 1)
+            if n > 1
+            else 0.0
+        )
+        num += round(wt * (d_a - e_a), 12)
+        var += round(wt * wt * v, 12)
+        f = 1 - d / n
+        s_prev = 0.0 if f <= 0 or s_prev == 0.0 else s_prev * f
+    chi2 = num * num / var if var > 0 else 0.0
+    row = fleming_harrington_test_retention_arms(spark, sf_dir).collect()[0]
+    assert row["obs_a"] == obs_a and row["obs_b"] == obs_b
+    assert abs(row["weighted_diff_a"] - num) < 1e-4
+    assert abs(row["chi2_fh"] - chi2) < 1e-3
+    assert row["significant"] == (round(chi2, 6) > 3.841459)
+
+
+def test_life_table_matches_python_mirror(spark, sf_dir):
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        _LIFE_TABLE_W,
+        life_table_retention,
+    )
+
+    per = defaultdict(lambda: [0, 0])
+    for hrs, churn, _ in _retention_durations(spark, sf_dir):
+        per[hrs // _LIFE_TABLE_W][0 if churn else 1] += 1
+    tot = sum(d + c for d, c in per.values())
+    seen = 0
+    s = 1.0
+    rows = life_table_retention(spark, sf_dir).collect()
+    got = {r["interval"]: r for r in rows}
+    assert len(got) == len(per)
+    for k in sorted(per):
+        d, c = per[k]
+        n_enter = tot - seen
+        seen += d + c
+        n_eff = n_enter - c / 2.0
+        q = d / n_eff if n_eff > 0 else 0.0
+        s = s * (1 - q) if (1 - q) > 0 and s > 0 else 0.0
+        r = got[k]
+        assert r["t_start_hours"] == k * _LIFE_TABLE_W
+        assert r["n_enter"] == n_enter
+        assert r["d_events"] == d
+        assert r["n_withdrawn"] == c
+        assert abs(r["n_effective"] - n_eff) < 1e-9
+        assert abs(r["cond_hazard"] - q) < 1e-5
+        assert abs(r["cum_survival"] - s) < 1e-4

@@ -320,6 +320,10 @@ PROBES = [
     ("kmv_distinct_users_events", ["events"]),
     ("ams_f2_user_activity_events", ["events"]),
     ("binned_range_join_orders_bands", ["orders"]),
+    ("brier_decomposition_documents", ["documents"]),
+    ("hosmer_lemeshow_documents", ["documents"]),
+    ("fleming_harrington_test_retention_arms", ["events"]),
+    ("life_table_retention", ["events"]),
 ]
 
 KEY_OFFSETS = {
