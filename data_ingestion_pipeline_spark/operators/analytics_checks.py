@@ -60,6 +60,7 @@ __all__ = [
     "goodman_kruskal_priority_price_orders",
     "wilcoxon_signed_rank_purchase_view_daily",
     "cochran_armitage_trend_priority_orders",
+    "theils_u_event_type_dow",
     "mutual_information_event_dow",
     "robust_outliers_mad",
     "twap_user_day",
@@ -9691,4 +9692,154 @@ SELECT n, r AS fulfilled,
                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
                        / CAST(n AS DOUBLE))), 6)) > 1.959964 AS significant
 FROM agg
+"""
+
+
+def theils_u_event_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient between event type and ISO
+    weekday — the NORMALIZED and DIRECTIONAL member of the association
+    family: χ²/Cramér's V read departure-from-independence, the MI scan
+    reports nats; U(X|Y) = I(X;Y)/H(X) rescales that to "what fraction
+    of event-type uncertainty does knowing the weekday remove" (0..1),
+    and its asymmetry (U(X|Y) ≠ U(Y|X)) tells WHICH variable predicts
+    which — the categorical analogue of R². Publishes both directions
+    plus the symmetric form 2I/(H(X)+H(Y)).
+
+    Exactness: one 35-cell contingency aggregate; all three entropies
+    use the integer-log policy (ln of bigint counts rounded at 9,
+    weighted by exact count ratios, decimal-folded) so I = H_x+H_y−H_xy
+    is engine-identical; the ratios round at 6. Scale shape: one facts
+    pass, then cell-grade algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.weekday("ts") + F.lit(1)).cast("int").alias("isodow")
+    ).agg(F.count("*").cast("bigint").alias("obs"))
+    nx = F.sum("obs").over(Window.partitionBy("event_type")).cast("bigint")
+    ny = F.sum("obs").over(Window.partitionBy("isodow")).cast("bigint")
+    n = F.sum("obs").over(Window.partitionBy()).cast("bigint")
+    m = cells.select(
+        "event_type",
+        "isodow",
+        "obs",
+        nx.alias("nx"),
+        ny.alias("ny"),
+        n.alias("n"),
+    )
+
+    def ln9(c: Column) -> Column:
+        return F.round(F.log(c.cast("double")), 9)
+
+    nD = F.col("n").cast("double")
+    # H(XY) folds over all cells; H(X)/H(Y) fold the same cells weighted
+    # by 1/(cells in the margin) — instead fold margins exactly by
+    # summing each margin term once via the distinct margin relations
+    hx = (
+        m.select("event_type", "nx", "n")
+        .distinct()
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("nx").cast("double") / F.col("n").cast("double"))
+                    * (ln9(F.col("n")) - ln9(F.col("nx"))),
+                    12,
+                ).cast("decimal(27,12)")
+            )
+            .cast("double")
+            .alias("h_x"),
+            F.lit(1).alias("one"),
+        )
+    )
+    hy = (
+        m.select("isodow", "ny", "n")
+        .distinct()
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("ny").cast("double") / F.col("n").cast("double"))
+                    * (ln9(F.col("n")) - ln9(F.col("ny"))),
+                    12,
+                ).cast("decimal(27,12)")
+            )
+            .cast("double")
+            .alias("h_y"),
+            F.lit(1).alias("one"),
+        )
+    )
+    hxy = m.agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.round(
+                (F.col("obs").cast("double") / nD)
+                * (ln9(F.col("n")) - ln9(F.col("obs"))),
+                12,
+            ).cast("decimal(27,12)")
+        )
+        .cast("double")
+        .alias("h_xy"),
+        F.lit(1).alias("one"),
+    )
+    j = hxy.join(F.broadcast(hx), "one").join(F.broadcast(hy), "one")
+    i = F.col("h_x") + F.col("h_y") - F.col("h_xy")
+    return j.select(
+        F.col("n"),
+        F.round(F.col("h_x"), 6).cast("double").alias("h_type"),
+        F.round(F.col("h_y"), 6).cast("double").alias("h_dow"),
+        F.round(F.col("h_xy"), 6).cast("double").alias("h_joint"),
+        F.round(i / F.col("h_x"), 6)
+        .cast("double")
+        .alias("u_type_given_dow"),
+        F.round(i / F.col("h_y"), 6)
+        .cast("double")
+        .alias("u_dow_given_type"),
+        F.round(2.0 * i / (F.col("h_x") + F.col("h_y")), 6)
+        .cast("double")
+        .alias("u_symmetric"),
+    )
+
+
+THEILS_U_EVENT_TYPE_DOW_ORACLE = """
+WITH cells AS (
+    SELECT event_type, CAST(isodow(ts) AS INTEGER) AS isodow,
+           CAST(COUNT(*) AS BIGINT) AS obs
+    FROM events GROUP BY 1, 2
+), m AS (
+    SELECT event_type, isodow, obs,
+           CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT) AS nx,
+           CAST(SUM(obs) OVER (PARTITION BY isodow) AS BIGINT) AS ny,
+           CAST(SUM(obs) OVER () AS BIGINT) AS n
+    FROM cells
+), hx AS (
+    SELECT CAST(SUM(CAST(ROUND(
+               (CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+               * (ROUND(ln(CAST(n AS DOUBLE)), 9)
+                  - ROUND(ln(CAST(nx AS DOUBLE)), 9)), 12)
+               AS DECIMAL(27,12))) AS DOUBLE) AS h_x
+    FROM (SELECT DISTINCT event_type, nx, n FROM m)
+), hy AS (
+    SELECT CAST(SUM(CAST(ROUND(
+               (CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+               * (ROUND(ln(CAST(n AS DOUBLE)), 9)
+                  - ROUND(ln(CAST(ny AS DOUBLE)), 9)), 12)
+               AS DECIMAL(27,12))) AS DOUBLE) AS h_y
+    FROM (SELECT DISTINCT isodow, ny, n FROM m)
+), hxy AS (
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(
+               (CAST(obs AS DOUBLE) / CAST(n AS DOUBLE))
+               * (ROUND(ln(CAST(n AS DOUBLE)), 9)
+                  - ROUND(ln(CAST(obs AS DOUBLE)), 9)), 12)
+               AS DECIMAL(27,12))) AS DOUBLE) AS h_xy
+    FROM m
+)
+SELECT n,
+       CAST(ROUND(h_x, 6) AS DOUBLE) AS h_type,
+       CAST(ROUND(h_y, 6) AS DOUBLE) AS h_dow,
+       CAST(ROUND(h_xy, 6) AS DOUBLE) AS h_joint,
+       CAST(ROUND((h_x + h_y - h_xy) / h_x, 6) AS DOUBLE)
+           AS u_type_given_dow,
+       CAST(ROUND((h_x + h_y - h_xy) / h_y, 6) AS DOUBLE)
+           AS u_dow_given_type,
+       CAST(ROUND(2.0 * (h_x + h_y - h_xy) / (h_x + h_y), 6) AS DOUBLE)
+           AS u_symmetric
+FROM hxy CROSS JOIN hx CROSS JOIN hy
 """

@@ -34,6 +34,9 @@ __all__ = [
     "pettitt_changepoint_daily",
     "adf_test_daily_values",
     "breusch_godfrey_daily_trend",
+    "permutation_entropy_daily_values",
+    "bartels_rank_test_daily_values",
+    "cox_stuart_trend_daily",
     "rolling_corr_purchase_view_14d",
     "autocorr_daily_value",
     "ar2_yule_walker_daily",
@@ -3260,4 +3263,311 @@ SELECT n AS n_days,
                 / (syy - sy * sy / CAST(n AS DOUBLE))), 6) > 3.841459
            AS serial_correlation
 FROM p
+"""
+
+
+def permutation_entropy_daily_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Permutation entropy (Bandt & Pompe 2002) of the daily value
+    series at embedding order m=3 — the COMPLEXITY member of the
+    daily-series panel: autocorrelation/periodogram read linear
+    structure, ``runs_test_daily_values`` reads sign alternation;
+    permutation entropy reads how evenly the 6 possible ordinal
+    patterns of consecutive triples occur — ≈1 (normalized) for white
+    noise, low for deterministic dynamics, and it is invariant to any
+    monotone transform of the values. Ties break by time index (the
+    Bandt–Pompe stable-sort convention).
+
+    Exactness: each triple's pattern code is a pure integer comparison
+    expression (r_i = #{j: v_j<v_i or (v_j=v_i ∧ j<i)} folded to
+    100r₀+10r₁+r₂); pattern counts are bigint; the entropy fold
+    rounds each −p·ln p term at 12 into a 6-row decimal sum and the
+    normalized H/ln6 rounds at 6. Scale shape: one daily aggregation,
+    one bounded day-grain lead window, a ≤6-row fold."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    w = Window.partitionBy(F.month("day") % 1).orderBy("day")
+    trip = daily.select(
+        F.col("x").alias("a"),
+        F.lead("x", 1).over(w).alias("b"),
+        F.lead("x", 2).over(w).alias("c"),
+    ).filter(F.col("c").isNotNull())
+    r0 = (F.col("b") < F.col("a")).cast("int") + (
+        F.col("c") < F.col("a")
+    ).cast("int")
+    r1 = (F.col("a") <= F.col("b")).cast("int") + (
+        F.col("c") < F.col("b")
+    ).cast("int")
+    r2 = (F.col("a") <= F.col("c")).cast("int") + (
+        F.col("b") <= F.col("c")
+    ).cast("int")
+    pats = trip.select(
+        (r0 * 100 + r1 * 10 + r2).cast("int").alias("pat")
+    ).groupBy("pat").agg(F.count("*").cast("bigint").alias("cnt"))
+    tot = pats.agg(F.sum("cnt").cast("bigint").alias("n"), F.lit(1).alias("one"))
+    p = F.col("cnt").cast("double") / F.col("n").cast("double")
+    ent = (
+        pats.withColumn("one", F.lit(1))
+        .join(F.broadcast(tot), "one")
+        .groupBy("n")
+        .agg(
+            F.count("*").cast("int").alias("n_patterns"),
+            F.sum(F.round(-p * F.log(p), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("h"),
+        )
+    )
+    return ent.select(
+        F.col("n").alias("n_triples"),
+        "n_patterns",
+        F.round(F.col("h"), 6).cast("double").alias("perm_entropy"),
+        F.round(F.col("h") / F.lit(1.791759469228055), 6)
+        .cast("double")
+        .alias("perm_entropy_norm"),
+    )
+
+
+PERMUTATION_ENTROPY_DAILY_VALUES_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), trip AS (
+    SELECT x AS a,
+           LEAD(x, 1) OVER (ORDER BY day) AS b,
+           LEAD(x, 2) OVER (ORDER BY day) AS c
+    FROM daily
+), pats AS (
+    SELECT (CAST(b < a AS INT) + CAST(c < a AS INT)) * 100
+           + (CAST(a <= b AS INT) + CAST(c < b AS INT)) * 10
+           + (CAST(a <= c AS INT) + CAST(b <= c AS INT)) AS pat,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM trip WHERE c IS NOT NULL
+    GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM pats
+), ent AS (
+    SELECT n, CAST(COUNT(*) AS INT) AS n_patterns,
+           CAST(SUM(CAST(ROUND(
+               -(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+               * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+               AS DECIMAL(38,12))) AS DOUBLE) AS h
+    FROM pats CROSS JOIN tot
+    GROUP BY n
+)
+SELECT n AS n_triples, n_patterns,
+       CAST(ROUND(h, 6) AS DOUBLE) AS perm_entropy,
+       CAST(ROUND(h / 1.791759469228055, 6) AS DOUBLE) AS perm_entropy_norm
+FROM ent
+"""
+
+
+def bartels_rank_test_daily_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bartels rank test of randomness (Bartels 1982 — the rank version
+    of von Neumann's successive-difference ratio) on the daily value
+    series: RVN = Σ(R_t−R_{t+1})²/Σ(R_t−R̄)², ≈2 under randomness,
+    →0 under positive serial dependence, →4 under alternation. The
+    rank-based member between ``runs_test_daily_values`` (signs only)
+    and ``ljung_box_daily_values`` (raw values): immune to outliers
+    AND to monotone trend-free level shifts.
+
+    Exactness: DOUBLED average ranks are exact integers (the
+    Mann–Whitney value-grain construction), the doubled-rank mean is
+    exactly n+1, so the numerator and denominator are EXACT bigint
+    sums of squared integer differences (the doubling cancels in the
+    ratio); z = (RVN−2)/√(20/(5n+7)) is the only float, rounded at 6.
+    Scale shape: one daily aggregation, value-grain rank join, one
+    bounded day-grain lead window, one fold."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    gv = daily.groupBy("x").agg(F.count("*").cast("bigint").alias("t"))
+    wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = gv.select(
+        "x",
+        (
+            2 * F.coalesce(F.sum("t").over(wv), F.lit(0)) + F.col("t") + 1
+        ).cast("bigint").alias("dr"),
+    )
+    w = Window.partitionBy(F.month("day") % 1).orderBy("day")
+    seq = (
+        daily.join(ranked, "x")
+        .select("day", "dr")
+        .select("dr", F.lead("dr").over(w).alias("dr_next"))
+    )
+    # mean doubled rank is exactly n+1 (Σ2r̄ = n(n+1)), so DEN is an
+    # exact integer sum against that constant — joined in so the same
+    # pass folds NUM and DEN
+    den_df = (
+        seq.withColumn("one", F.lit(1))
+        .join(
+            F.broadcast(
+                seq.agg(
+                    F.count("*").cast("bigint").alias("n"),
+                    F.lit(1).alias("one"),
+                )
+            ),
+            "one",
+        )
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(
+                (F.col("dr") - (F.col("n") + 1))
+                * (F.col("dr") - (F.col("n") + 1))
+            )
+            .cast("bigint")
+            .alias("den"),
+            F.sum(
+                F.when(
+                    F.col("dr_next").isNotNull(),
+                    (F.col("dr") - F.col("dr_next"))
+                    * (F.col("dr") - F.col("dr_next")),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("num"),
+        )
+    )
+    nD = F.col("n").cast("double")
+    rvn = F.col("num").cast("double") / F.col("den").cast("double")
+    z = F.round(
+        (rvn - F.lit(2.0))
+        / F.sqrt(F.lit(20.0) / (F.lit(5.0) * nD + F.lit(7.0))),
+        6,
+    )
+    return den_df.select(
+        F.col("n").alias("n_days"),
+        F.round(rvn, 6).cast("double").alias("rvn_ratio"),
+        z.cast("double").alias("z_score"),
+        (F.abs(z) > F.lit(1.959964)).alias("nonrandom"),
+    )
+
+
+BARTELS_RANK_TEST_DAILY_VALUES_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), gv AS (
+    SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY x
+), ranked AS (
+    SELECT x,
+           CAST(2 * COALESCE(SUM(t) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + t + 1 AS BIGINT) AS dr
+    FROM gv
+), seq AS (
+    SELECT d.day, r.dr,
+           LEAD(r.dr) OVER (ORDER BY d.day) AS dr_next
+    FROM daily d JOIN ranked r USING (x)
+), nn AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seq
+), s AS (
+    SELECT nn.n,
+           CAST(SUM((dr - (nn.n + 1)) * (dr - (nn.n + 1))) AS BIGINT) AS den,
+           CAST(SUM(CASE WHEN dr_next IS NOT NULL
+                         THEN (dr - dr_next) * (dr - dr_next)
+                         ELSE 0 END) AS BIGINT) AS num
+    FROM seq CROSS JOIN nn
+    GROUP BY nn.n
+)
+SELECT n AS n_days,
+       CAST(ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DOUBLE)
+           AS rvn_ratio,
+       CAST(ROUND((CAST(num AS DOUBLE) / CAST(den AS DOUBLE) - 2.0)
+                  / SQRT(20.0 / (5.0 * CAST(n AS DOUBLE) + 7.0)), 6)
+            AS DOUBLE) AS z_score,
+       ABS(ROUND((CAST(num AS DOUBLE) / CAST(den AS DOUBLE) - 2.0)
+                 / SQRT(20.0 / (5.0 * CAST(n AS DOUBLE) + 7.0)), 6))
+           > 1.959964 AS nonrandom
+FROM s
+"""
+
+
+def cox_stuart_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox–Stuart trend test (Cox & Stuart 1955) on the daily value
+    series — the SIGN-only trend test: pair each of the first ⌊n/2⌋
+    days with its opposite ⌈n/2⌉ positions later, count strictly
+    positive differences among the non-tied pairs, and read the count
+    against Binomial(m, ½). The assumption-free floor under
+    ``mann_kendall_daily_trend`` (all O(n²)-mass pairs) and
+    ``theil_sen_daily_trend`` (magnitudes): Cox–Stuart uses only n/2
+    signs, so agreement across the three is evidence the trend is not
+    an artifact of any one statistic's weighting.
+
+    Exactness: positions are ROW_NUMBER over the bounded day grain
+    (calendar gaps don't shift the pairing), the pair join is an exact
+    integer-key self-join, S and m are bigint, z = (2S−m)/√m rounds at
+    6. Scale shape: one daily aggregation, one bounded-grain self-join,
+    constant-size algebra."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    w = Window.partitionBy(F.month("day") % 1).orderBy("day")
+    idx = daily.select(
+        F.row_number().over(w).cast("bigint").alias("i"), "x"
+    )
+    nn = idx.agg(F.count("*").cast("bigint").alias("n"), F.lit(1).alias("one"))
+    shift = nn.select(
+        F.ceil(F.col("n").cast("double") / 2.0).cast("bigint").alias("c"),
+        F.floor(F.col("n").cast("double") / 2.0).cast("bigint").alias("m_max"),
+        F.lit(1).alias("one"),
+    )
+    a = idx.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = idx.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+    pairs = (
+        a.withColumn("one", F.lit(1))
+        .join(F.broadcast(shift), "one")
+        .filter(F.col("ia") <= F.col("m_max"))
+        .join(b, F.col("ib") == F.col("ia") + F.col("c"))
+    )
+    s = pairs.agg(
+        F.sum((F.col("xb") > F.col("xa")).cast("long"))
+        .cast("bigint")
+        .alias("s_pos"),
+        F.sum((F.col("xb") != F.col("xa")).cast("long"))
+        .cast("bigint")
+        .alias("m"),
+        F.max("m_max").cast("bigint").alias("n_pairs"),
+    )
+    mD = F.col("m").cast("double")
+    z = F.round(
+        (2.0 * F.col("s_pos").cast("double") - mD) / F.sqrt(mD), 6
+    )
+    return s.select(
+        "n_pairs",
+        F.col("m").alias("m_untied"),
+        "s_pos",
+        z.cast("double").alias("z_score"),
+        (F.abs(z) > F.lit(1.959964)).alias("significant"),
+    )
+
+
+COX_STUART_TREND_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), idx AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i, x
+    FROM daily
+), shift AS (
+    SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / 2.0) AS BIGINT) AS c,
+           CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) / 2.0) AS BIGINT) AS m_max
+    FROM idx
+), pairs AS (
+    SELECT a.x AS xa, b.x AS xb, s.m_max
+    FROM idx a CROSS JOIN shift s
+    JOIN idx b ON b.i = a.i + s.c
+    WHERE a.i <= s.m_max
+), agg AS (
+    SELECT CAST(SUM(CASE WHEN xb > xa THEN 1 ELSE 0 END) AS BIGINT) AS s_pos,
+           CAST(SUM(CASE WHEN xb <> xa THEN 1 ELSE 0 END) AS BIGINT) AS m,
+           CAST(MAX(m_max) AS BIGINT) AS n_pairs
+    FROM pairs
+)
+SELECT n_pairs, m AS m_untied, s_pos,
+       CAST(ROUND((2.0 * CAST(s_pos AS DOUBLE) - CAST(m AS DOUBLE))
+                  / SQRT(CAST(m AS DOUBLE)), 6) AS DOUBLE) AS z_score,
+       ABS(ROUND((2.0 * CAST(s_pos AS DOUBLE) - CAST(m AS DOUBLE))
+                 / SQRT(CAST(m AS DOUBLE)), 6)) > 1.959964 AS significant
+FROM agg
 """

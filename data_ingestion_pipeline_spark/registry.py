@@ -551,6 +551,10 @@ _ROUND12_QUEUE: list[str] = [
     "hosmer_lemeshow_documents",
     "fleming_harrington_test_retention_arms",
     "life_table_retention",
+    "permutation_entropy_daily_values",
+    "bartels_rank_test_daily_values",
+    "cox_stuart_trend_daily",
+    "theils_u_event_type_dow",
 ]
 
 
@@ -3262,4 +3266,28 @@ register(
     "life_table_retention",
     inference_stats.life_table_retention,
     inference_stats.LIFE_TABLE_RETENTION_ORACLE,
+)
+
+register(
+    "permutation_entropy_daily_values",
+    timeseries_checks.permutation_entropy_daily_values,
+    timeseries_checks.PERMUTATION_ENTROPY_DAILY_VALUES_ORACLE,
+)
+
+register(
+    "bartels_rank_test_daily_values",
+    timeseries_checks.bartels_rank_test_daily_values,
+    timeseries_checks.BARTELS_RANK_TEST_DAILY_VALUES_ORACLE,
+)
+
+register(
+    "cox_stuart_trend_daily",
+    timeseries_checks.cox_stuart_trend_daily,
+    timeseries_checks.COX_STUART_TREND_DAILY_ORACLE,
+)
+
+register(
+    "theils_u_event_type_dow",
+    analytics_checks.theils_u_event_type_dow,
+    analytics_checks.THEILS_U_EVENT_TYPE_DOW_ORACLE,
 )

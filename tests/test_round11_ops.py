@@ -1812,3 +1812,128 @@ def test_life_table_matches_python_mirror(spark, sf_dir):
         assert abs(r["n_effective"] - n_eff) < 1e-9
         assert abs(r["cond_hazard"] - q) < 1e-5
         assert abs(r["cum_survival"] - s) < 1e-4
+
+
+def _daily_series(spark, sf_dir):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(ts AS DATE) AS day", "value")
+        .collect()
+    )
+    acc = defaultdict(Decimal)
+    for r in rows:
+        acc[r["day"]] += Decimal(str(r["value"]))
+    days = sorted(acc)
+    return [float(acc[d]) for d in days]
+
+
+def test_permutation_entropy_matches_python_mirror(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        permutation_entropy_daily_values,
+    )
+
+    x = _daily_series(spark, sf_dir)
+    pats = Counter()
+    for a, b, c in zip(x, x[1:], x[2:]):
+        r0 = (b < a) + (c < a)
+        r1 = (a <= b) + (c < b)
+        r2 = (a <= c) + (b <= c)
+        pats[r0 * 100 + r1 * 10 + r2] += 1
+    n = sum(pats.values())
+    h = sum(-(c / n) * math.log(c / n) for c in pats.values())
+    row = permutation_entropy_daily_values(spark, sf_dir).collect()[0]
+    assert row["n_triples"] == n
+    assert row["n_patterns"] == len(pats)
+    assert abs(row["perm_entropy"] - h) < 1e-5
+    assert abs(row["perm_entropy_norm"] - h / math.log(6)) < 1e-5
+    assert 0.0 <= row["perm_entropy_norm"] <= 1.0 + 1e-9
+
+
+def test_bartels_rank_matches_python_mirror(spark, sf_dir):
+    import math
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        bartels_rank_test_daily_values,
+    )
+
+    x = _daily_series(spark, sf_dir)
+    n = len(x)
+    sx = sorted(x)
+    # doubled average ranks with ties
+    dr = []
+    for v in x:
+        lo = sum(1 for u in sx if u < v)
+        t = sum(1 for u in sx if u == v)
+        dr.append(2 * lo + t + 1)
+    num = sum((a - b) ** 2 for a, b in zip(dr, dr[1:]))
+    den = sum((a - (n + 1)) ** 2 for a in dr)
+    rvn = num / den
+    z = (rvn - 2.0) / math.sqrt(20.0 / (5 * n + 7))
+    row = bartels_rank_test_daily_values(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["rvn_ratio"] - rvn) < 1e-5
+    assert abs(row["z_score"] - z) < 1e-4
+    assert row["nonrandom"] == (abs(round(z, 6)) > 1.959964)
+
+
+def test_cox_stuart_matches_python_mirror(spark, sf_dir):
+    import math
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        cox_stuart_trend_daily,
+    )
+
+    x = _daily_series(spark, sf_dir)
+    n = len(x)
+    c = math.ceil(n / 2)
+    pairs = [(x[i], x[i + c]) for i in range(n - c)]
+    m = sum(1 for a, b in pairs if a != b)
+    s = sum(1 for a, b in pairs if b > a)
+    z = (2 * s - m) / math.sqrt(m)
+    row = cox_stuart_trend_daily(spark, sf_dir).collect()[0]
+    assert row["n_pairs"] == n // 2
+    assert row["m_untied"] == m
+    assert row["s_pos"] == s
+    assert abs(row["z_score"] - z) < 1e-5
+
+
+def test_theils_u_matches_python_mirror(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        theils_u_event_type_dow,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("event_type", "CAST(weekday(ts) + 1 AS INT) AS isodow")
+        .collect()
+    )
+    xy = Counter((r["event_type"], r["isodow"]) for r in rows)
+    xs = Counter(k[0] for k in xy.elements())
+    ys = Counter(k[1] for k in xy.elements())
+    n = len(rows)
+
+    def ent(counter):
+        return sum(
+            (c / n) * (math.log(n) - math.log(c)) for c in counter.values()
+        )
+
+    hx, hy, hxy = ent(xs), ent(ys), ent(xy)
+    i = hx + hy - hxy
+    row = theils_u_event_type_dow(spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert abs(row["h_type"] - hx) < 1e-5
+    assert abs(row["h_dow"] - hy) < 1e-5
+    assert abs(row["h_joint"] - hxy) < 1e-5
+    assert abs(row["u_type_given_dow"] - i / hx) < 1e-4
+    assert abs(row["u_dow_given_type"] - i / hy) < 1e-4
+    assert abs(row["u_symmetric"] - 2 * i / (hx + hy)) < 1e-4
+    assert 0.0 - 1e-9 <= row["u_type_given_dow"] <= 1.0 + 1e-9

@@ -324,6 +324,10 @@ PROBES = [
     ("hosmer_lemeshow_documents", ["documents"]),
     ("fleming_harrington_test_retention_arms", ["events"]),
     ("life_table_retention", ["events"]),
+    ("permutation_entropy_daily_values", ["events"]),
+    ("bartels_rank_test_daily_values", ["events"]),
+    ("cox_stuart_trend_daily", ["events"]),
+    ("theils_u_event_type_dow", ["events"]),
 ]
 
 KEY_OFFSETS = {
