@@ -61,6 +61,7 @@ __all__ = [
     "wilcoxon_signed_rank_purchase_view_daily",
     "cochran_armitage_trend_priority_orders",
     "theils_u_event_type_dow",
+    "local_clustering_topk_parts",
     "mutual_information_event_dow",
     "robust_outliers_mad",
     "twap_user_day",
@@ -9842,4 +9843,169 @@ SELECT n,
        CAST(ROUND(2.0 * (h_x + h_y - h_xy) / (h_x + h_y), 6) AS DOUBLE)
            AS u_symmetric
 FROM hxy CROSS JOIN hx CROSS JOIN hy
+"""
+
+
+def local_clustering_topk_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-node local clustering coefficients (Watts & Strogatz 1998)
+    on the support-≥2 co-purchase graph — the NODE-level refinement of
+    ``transitivity_copurchase_parts``: global transitivity answers "how
+    clustered is the catalog", c_v = 2T_v/(d_v(d_v−1)) answers WHICH
+    parts sit inside tight co-purchase communities (candidate bundles)
+    versus hub parts bridging unrelated baskets (c_v→0 at equal
+    degree). Publishes the top 15 by coefficient (degree ≥ 2,
+    deterministic tiebreak) with the graph-wide average as a context
+    column.
+
+    Reuses the degree-orientation triangle enumeration verbatim; each
+    triangle's 3 corners explode to per-node counts, so T_v is an
+    exact bigint and c_v an exact ratio rounded at 6. Scale shape:
+    identical to the triangle census (fan-out bounded by out-degree
+    ≤ O(√E)) plus one node-grain aggregate and a TakeOrdered(15)."""
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pa = po.select("l_orderkey", F.col("l_partkey").alias("a"))
+    pb = po.select("l_orderkey", F.col("l_partkey").alias("b"))
+    und = (
+        pa.join(pb, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    ori = (
+        und.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    e1 = ori.select(F.col("u").alias("u1"), F.col("v").alias("v1"))
+    e2 = ori.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    wedges_j = e1.join(e2, "v1")
+    closing = ori.select(F.col("u").alias("u1"), F.col("v").alias("v2"))
+    tri_nodes = (
+        wedges_j.join(closing, ["u1", "v2"])
+        .select(
+            F.explode(
+                F.array(F.col("u1"), F.col("v1"), F.col("v2"))
+            ).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("t"))
+    )
+    cc = (
+        deg.join(tri_nodes, "node", "left")
+        .select(
+            "node",
+            "d",
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("t"),
+        )
+        .filter(F.col("d") >= 2)
+        .withColumn(
+            "c",
+            F.round(
+                2.0
+                * F.col("t").cast("double")
+                / (F.col("d").cast("double") * (F.col("d").cast("double") - 1.0)),
+                6,
+            ),
+        )
+    )
+    avg_cc = cc.agg(
+        F.round(
+            F.sum(F.col("c").cast("decimal(27,12)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("avg_cc"),
+        F.lit(1).alias("one"),
+    )
+    return (
+        cc.withColumn("one", F.lit(1))
+        .join(F.broadcast(avg_cc), "one")
+        .orderBy(F.col("c").desc(), F.col("node").asc())
+        .limit(15)
+        .select(
+            F.col("node").alias("part"),
+            F.col("d").alias("degree"),
+            F.col("t").alias("triangles"),
+            F.col("c").cast("double").alias("local_cc"),
+            F.col("avg_cc").cast("double").alias("avg_local_cc"),
+        )
+    )
+
+
+LOCAL_CLUSTERING_TOPK_PARTS_ORACLE = """
+WITH po AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), und AS (
+    SELECT a.l_partkey AS a, b.l_partkey AS b
+    FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+), deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+    GROUP BY node
+), ori AS (
+    SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                THEN u.a ELSE u.b END AS u,
+           CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+                THEN u.b ELSE u.a END AS v
+    FROM und u
+    JOIN deg da ON da.node = u.a
+    JOIN deg db ON db.node = u.b
+), tri AS (
+    SELECT e1.u AS u1, e1.v AS v1, e2.v AS v2
+    FROM ori e1
+    JOIN ori e2 ON e2.u = e1.v
+    JOIN ori c ON c.u = e1.u AND c.v = e2.v
+), tri_nodes AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+    FROM (
+        SELECT u1 AS node FROM tri
+        UNION ALL SELECT v1 FROM tri
+        UNION ALL SELECT v2 FROM tri
+    )
+    GROUP BY node
+), cc AS (
+    SELECT d.node, d.d,
+           CAST(COALESCE(t.t, 0) AS BIGINT) AS t,
+           ROUND(2.0 * CAST(COALESCE(t.t, 0) AS DOUBLE)
+                 / (CAST(d.d AS DOUBLE) * (CAST(d.d AS DOUBLE) - 1.0)), 6)
+               AS c
+    FROM deg d LEFT JOIN tri_nodes t ON t.node = d.node
+    WHERE d.d >= 2
+), avg_cc AS (
+    SELECT ROUND(CAST(SUM(CAST(c AS DECIMAL(27,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_cc
+    FROM cc
+)
+SELECT node AS part, d AS degree, t AS triangles,
+       CAST(c AS DOUBLE) AS local_cc,
+       CAST(avg_cc AS DOUBLE) AS avg_local_cc
+FROM cc CROSS JOIN avg_cc
+ORDER BY c DESC, node ASC
+LIMIT 15
 """

@@ -555,6 +555,7 @@ _ROUND12_QUEUE: list[str] = [
     "bartels_rank_test_daily_values",
     "cox_stuart_trend_daily",
     "theils_u_event_type_dow",
+    "local_clustering_topk_parts",
 ]
 
 
@@ -3290,4 +3291,10 @@ register(
     "theils_u_event_type_dow",
     analytics_checks.theils_u_event_type_dow,
     analytics_checks.THEILS_U_EVENT_TYPE_DOW_ORACLE,
+)
+
+register(
+    "local_clustering_topk_parts",
+    analytics_checks.local_clustering_topk_parts,
+    analytics_checks.LOCAL_CLUSTERING_TOPK_PARTS_ORACLE,
 )

@@ -1937,3 +1937,51 @@ def test_theils_u_matches_python_mirror(spark, sf_dir):
     assert abs(row["u_dow_given_type"] - i / hy) < 1e-4
     assert abs(row["u_symmetric"] - 2 * i / (hx + hy)) < 1e-4
     assert 0.0 - 1e-9 <= row["u_type_given_dow"] <= 1.0 + 1e-9
+
+
+def test_local_clustering_matches_python_mirror(spark, sf_dir):
+    """c_v recomputed from an explicit adjacency-set graph build."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        local_clustering_topk_parts,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    per_order = defaultdict(set)
+    for r in rows:
+        per_order[r["l_orderkey"]].add(r["l_partkey"])
+    support = defaultdict(int)
+    for parts in per_order.values():
+        for a, b in combinations(sorted(parts), 2):
+            support[(a, b)] += 1
+    adj = defaultdict(set)
+    for (a, b), s in support.items():
+        if s >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    cc = {}
+    for v, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        t = sum(
+            1 for a, b in combinations(sorted(nb), 2) if b in adj[a]
+        )
+        cc[v] = (d, t, round(2.0 * t / (d * (d - 1)), 6))
+    avg = round(sum(c for _, _, c in cc.values()) / len(cc), 6)
+    expect = sorted(cc.items(), key=lambda kv: (-kv[1][2], kv[0]))[:15]
+    got = local_clustering_topk_parts(spark, sf_dir).collect()
+    assert len(got) == min(15, len(cc))
+    for row, (node, (d, t, c)) in zip(got, expect):
+        assert row["part"] == node
+        assert row["degree"] == d
+        assert row["triangles"] == t
+        assert abs(row["local_cc"] - c) < 1e-9
+        assert abs(row["avg_local_cc"] - avg) < 1e-5

@@ -328,6 +328,7 @@ PROBES = [
     ("bartels_rank_test_daily_values", ["events"]),
     ("cox_stuart_trend_daily", ["events"]),
     ("theils_u_event_type_dow", ["events"]),
+    ("local_clustering_topk_parts", ["orders", "lineitem"]),
 ]
 
 KEY_OFFSETS = {
