@@ -37,6 +37,9 @@ __all__ = [
     "permutation_entropy_daily_values",
     "bartels_rank_test_daily_values",
     "cox_stuart_trend_daily",
+    "hurst_rs_daily_values",
+    "esd_outliers_daily",
+    "transfer_entropy_view_purchase_daily",
     "rolling_corr_purchase_view_14d",
     "autocorr_daily_value",
     "ar2_yule_walker_daily",
@@ -3570,4 +3573,500 @@ SELECT n_pairs, m AS m_untied, s_pos,
        ABS(ROUND((2.0 * CAST(s_pos AS DOUBLE) - CAST(m AS DOUBLE))
                  / SQRT(CAST(m AS DOUBLE)), 6)) > 1.959964 AS significant
 FROM agg
+"""
+
+
+_HURST_SIZES = (8, 16, 32, 64, 128)
+
+
+def hurst_rs_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951;
+    Mandelbrot & Wallis 1969) of the daily value series — the
+    LONG-MEMORY member of the daily panel: ACF/Ljung–Box read fixed
+    lags, ADF reads mean reversion; H reads how the range of cumulative
+    deviations scales with window length (H≈0.5 random walk increments,
+    H>0.5 persistent, H<0.5 anti-persistent). For each block size
+    s ∈ {8..128} that fits, the series splits into ⌊n/s⌋ full blocks;
+    per block R = max−min of the cumulative demeaned sums and S = the
+    population σ; H is the log-log OLS slope of mean(R/S) on s.
+
+    Exactness: block means and Σdev² are decimal folds rounded at 9;
+    the cumulative deviation is a sequential ordered-window sum of
+    identical doubles (engine-identical left fold); per-block R/S
+    rounds at 9, per-size means at 9, and the ≤5-point log-log OLS
+    uses the integer-log policy inputs with one closed-form slope
+    rounded at 6. Scale shape: one daily aggregation, then
+    (size × day)-grain ≤ 5n rows with REAL (size, block) partition
+    keys — no single-partition window."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    w0 = Window.partitionBy(F.month("day") % 1).orderBy("day")
+    idx = daily.select(
+        F.row_number().over(w0).cast("bigint").alias("i"), "x"
+    )
+    nn = idx.agg(F.count("*").cast("bigint").alias("n"), F.lit(1).alias("one"))
+    sizes = spark.createDataFrame(
+        [(s,) for s in _HURST_SIZES], "s bigint"
+    ).withColumn("one", F.lit(1))
+    fit = sizes.join(F.broadcast(nn), "one").filter(
+        F.col("s") <= F.col("n")
+    ).select("s")
+    rows = idx.crossJoin(F.broadcast(fit)).select(
+        "s",
+        "x",
+        "i",
+        F.floor((F.col("i") - 1) / F.col("s")).cast("bigint").alias("b"),
+    )
+    full = (
+        rows.withColumn("one", F.lit(1))
+        .join(F.broadcast(nn), "one")
+        .filter((F.col("b") + 1) * F.col("s") <= F.col("n"))
+        .select("s", "b", "i", "x")
+    )
+    m = full.groupBy("s", "b").agg(
+        F.round(
+            dec_sum(F.col("x"), 38, 12).cast("double")
+            / F.count("*").cast("double"),
+            9,
+        ).alias("m")
+    )
+    dev = full.join(m, ["s", "b"]).select(
+        "s", "b", "i", (F.col("x") - F.col("m")).alias("dv")
+    )
+    wz = Window.partitionBy("s", "b").orderBy("i")
+    z = dev.select(
+        "s", "b", "dv", F.sum("dv").over(wz).alias("z")
+    )
+    blocks = z.groupBy("s", "b").agg(
+        (F.max("z") - F.min("z")).alias("r"),
+        F.sqrt(
+            F.round(
+                dec_sum(F.col("dv") * F.col("dv"), 38, 12).cast("double")
+                / F.count("*").cast("double"),
+                9,
+            )
+        ).alias("sd"),
+    )
+    rs = blocks.filter(F.col("sd") > 0.0).select(
+        "s", F.round(F.col("r") / F.col("sd"), 9).alias("rs")
+    )
+    per_size = rs.groupBy("s").agg(
+        F.round(
+            F.sum(F.col("rs").cast("decimal(27,12)")).cast("double")
+            / F.count("*").cast("double"),
+            9,
+        ).alias("mean_rs"),
+        F.count("*").cast("bigint").alias("n_blocks"),
+    ).filter(F.col("mean_rs") > 0.0)
+    pts = per_size.select(
+        F.round(F.log(F.col("s").cast("double")), 9).alias("u"),
+        F.round(F.log("mean_rs"), 9).alias("v"),
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("u").cast("decimal(27,12)")).cast("double").alias("su"),
+        F.sum(F.col("v").cast("decimal(27,12)")).cast("double").alias("sv"),
+        F.sum((F.col("u") * F.col("v")).cast("decimal(27,12)"))
+        .cast("double")
+        .alias("suv"),
+        F.sum((F.col("u") * F.col("u")).cast("decimal(27,12)"))
+        .cast("double")
+        .alias("suu"),
+    )
+    kD = F.col("k").cast("double")
+    h = F.round(
+        (kD * F.col("suv") - F.col("su") * F.col("sv"))
+        / (kD * F.col("suu") - F.col("su") * F.col("su")),
+        6,
+    )
+    return s.select(
+        F.col("k").alias("n_sizes"),
+        h.cast("double").alias("hurst_h"),
+        (h > F.lit(0.5)).alias("persistent"),
+    )
+
+
+def _hurst_oracle() -> str:
+    sizes = ", ".join(f"({s})" for s in _HURST_SIZES)
+    return f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), idx AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i, x
+    FROM daily
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idx),
+fit AS (
+    SELECT CAST(s AS BIGINT) AS s FROM (VALUES {sizes}) t(s)
+    CROSS JOIN nn WHERE s <= n
+), rows_ AS (
+    SELECT f.s, d.x, d.i,
+           CAST(FLOOR((d.i - 1) / f.s) AS BIGINT) AS b
+    FROM idx d CROSS JOIN fit f
+), full_b AS (
+    SELECT s, b, i, x FROM rows_ CROSS JOIN nn
+    WHERE (b + 1) * s <= n
+), m AS (
+    SELECT s, b,
+           ROUND(CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS m
+    FROM full_b GROUP BY s, b
+), dev AS (
+    SELECT f.s, f.b, f.i, f.x - m.m AS dv
+    FROM full_b f JOIN m USING (s, b)
+), z AS (
+    SELECT s, b, dv,
+           SUM(dv) OVER (PARTITION BY s, b ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS z
+    FROM dev
+), blocks AS (
+    SELECT s, b,
+           MAX(z) - MIN(z) AS r,
+           SQRT(ROUND(CAST(SUM(CAST(dv * dv AS DECIMAL(38,12))) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 9)) AS sd
+    FROM z GROUP BY s, b
+), rs AS (
+    SELECT s, ROUND(r / sd, 9) AS rs FROM blocks WHERE sd > 0.0
+), per_size AS (
+    SELECT s,
+           ROUND(CAST(SUM(CAST(rs AS DECIMAL(27,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS mean_rs
+    FROM rs GROUP BY s
+    HAVING ROUND(CAST(SUM(CAST(rs AS DECIMAL(27,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) > 0.0
+), pts AS (
+    SELECT ROUND(ln(CAST(s AS DOUBLE)), 9) AS u,
+           ROUND(ln(mean_rs), 9) AS v
+    FROM per_size
+), agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(CAST(u AS DECIMAL(27,12))) AS DOUBLE) AS su,
+           CAST(SUM(CAST(v AS DECIMAL(27,12))) AS DOUBLE) AS sv,
+           CAST(SUM(CAST(u * v AS DECIMAL(27,12))) AS DOUBLE) AS suv,
+           CAST(SUM(CAST(u * u AS DECIMAL(27,12))) AS DOUBLE) AS suu
+    FROM pts
+)
+SELECT k AS n_sizes,
+       CAST(ROUND((CAST(k AS DOUBLE) * suv - su * sv)
+                  / (CAST(k AS DOUBLE) * suu - su * su), 6) AS DOUBLE)
+           AS hurst_h,
+       ROUND((CAST(k AS DOUBLE) * suv - su * sv)
+             / (CAST(k AS DOUBLE) * suu - su * su), 6) > 0.5 AS persistent
+FROM agg
+"""
+
+
+HURST_RS_DAILY_VALUES_ORACLE = _hurst_oracle()
+
+
+_ESD_K = 3  # outlier candidates examined (unrolled passes)
+
+
+def esd_outliers_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized-ESD-style iterative outlier sweep (Rosner 1983's
+    remove-and-retest scheme, with the fixed 3σ gate in place of the
+    t-based λ_i table) over the daily value series — the ITERATIVE
+    member next to ``rolling_zscore_anomaly_daily`` (rolling local z)
+    and ``robust_outliers_mad`` (single-pass robust): a single gross
+    outlier inflates σ and MASKS a second one; ESD removes the current
+    extreme and retests with the shrunken σ, exactly the masking
+    failure mode single-pass rules have. Publishes the 3 examined
+    extremes (iteration, day, value, z at examination time, flag).
+
+    Exactness: each pass's mean/σ are decimal folds rounded at 9; the
+    extreme is argmax |x−mean| with a deterministic day tiebreak; z
+    rounds at 6. The loop is _ESD_K bounded driver passes, each ONE
+    day-grain aggregate + one TakeOrdered(1) (the kmeans-loop policy —
+    collected state is one row per pass); the oracle replays the
+    identical unrolled chain. Scale shape: one daily aggregation, then
+    bounded day-grain passes."""
+    daily = _daily(spark, sf_dir, by_type=False).select("day", "x")
+    cur = daily
+    out_rows = []
+    for it in range(1, _ESD_K + 1):
+        stats = cur.agg(
+            F.count("*").cast("bigint").alias("n"),
+            dec_sum(F.col("x"), 38, 12).cast("double").alias("sx"),
+            dec_sum(F.col("x") * F.col("x"), 38, 9)
+            .cast("double")
+            .alias("sxx"),
+        )
+        nd = F.col("n").cast("double")
+        mean = F.round(F.col("sx") / nd, 9)
+        sd = F.round(
+            F.sqrt(
+                F.round(
+                    (F.col("sxx") - F.col("sx") * F.col("sx") / nd)
+                    / (nd - F.lit(1.0)),
+                    9,
+                )
+            ),
+            9,
+        )
+        st = stats.select(
+            mean.alias("m"), sd.alias("sd"), F.lit(1).alias("one")
+        )
+        top = (
+            cur.withColumn("one", F.lit(1))
+            .join(F.broadcast(st), "one")
+            .select(
+                "day",
+                "x",
+                F.round(
+                    F.abs(F.col("x") - F.col("m")) / F.col("sd"), 6
+                ).alias("z"),
+            )
+            .orderBy(F.col("z").desc(), F.col("day").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        out_rows.append(
+            (it, top["day"], float(top["x"]), float(top["z"]), top["z"] > 3.0)
+        )
+        cur = cur.filter(F.col("day") != F.lit(top["day"]))
+    return spark.createDataFrame(
+        out_rows,
+        "iteration int, day date, x double, z double, flagged boolean",
+    )
+
+
+def _esd_oracle() -> str:
+    ctes = [
+        """
+WITH d1 AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+)"""
+    ]
+    selects = []
+    for i in range(1, _ESD_K + 1):
+        ctes.append(f"""
+, s{i} AS (
+    SELECT ROUND(sx / nd, 9) AS m,
+           ROUND(SQRT(ROUND((sxx - sx * sx / nd) / (nd - 1.0), 9)), 9) AS sd
+    FROM (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+        FROM d{i}
+    )
+), t{i} AS (
+    SELECT day, x, ROUND(ABS(x - m) / sd, 6) AS z
+    FROM d{i} CROSS JOIN s{i}
+    ORDER BY z DESC, day ASC LIMIT 1
+), d{i + 1} AS (
+    SELECT d.day, d.x FROM d{i} d CROSS JOIN t{i} t WHERE d.day <> t.day
+)""")
+        selects.append(
+            f"SELECT CAST({i} AS INT) AS iteration, day, x, z,"
+            f" z > 3.0 AS flagged FROM t{i}"
+        )
+    return "".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ESD_OUTLIERS_DAILY_ORACLE = _esd_oracle()
+
+
+def transfer_entropy_view_purchase_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lag-1 transfer entropy (Schreiber 2000) between the binarized
+    daily view and purchase dollar series, both directions — the
+    DIRECTED information-flow companion of
+    ``granger_lag1_view_to_purchase_daily``: Granger tests linear
+    predictive lift; TE(X→Y) = Σ p(y₁,y₀,x₀)·ln[p(y₁|y₀,x₀)/p(y₁|y₀)]
+    measures ANY (nonlinear included) reduction of next-day-Y
+    uncertainty from today's X beyond Y's own history. Series binarize
+    at their corpus means; the asymmetry TE(X→Y) − TE(Y→X) reads the
+    net direction of flow.
+
+    Exactness: transition counts over the 8 (y₁,y₀,x₀) cells are exact
+    bigints from one bounded day-grain lead pass; each term uses the
+    integer-log policy ln c(y₁y₀x₀) + ln c(y₀·) − ln c(y₀x₀) −
+    ln c(y₁y₀), decimal-folded and rounded at 6. Scale shape: one
+    daily aggregation, one lead window, 8-cell algebra twice."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        dec_sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                F.lit(0.0)
+            ),
+            27,
+            12,
+        )
+        .cast("double")
+        .alias("p"),
+        dec_sum(
+            F.when(F.col("event_type") == "view", F.col("value")).otherwise(
+                F.lit(0.0)
+            ),
+            27,
+            12,
+        )
+        .cast("double")
+        .alias("v"),
+    )
+    means = daily.agg(
+        F.round(
+            dec_sum(F.col("p"), 38, 12).cast("double")
+            / F.count("*").cast("double"),
+            9,
+        ).alias("mp"),
+        F.round(
+            dec_sum(F.col("v"), 38, 12).cast("double")
+            / F.count("*").cast("double"),
+            9,
+        ).alias("mv"),
+        F.lit(1).alias("one"),
+    )
+    w = Window.partitionBy(F.month("day") % 1).orderBy("day")
+    bits = (
+        daily.withColumn("one", F.lit(1))
+        .join(F.broadcast(means), "one")
+        .select(
+            "day",
+            (F.col("p") > F.col("mp")).cast("int").alias("y"),
+            (F.col("v") > F.col("mv")).cast("int").alias("x"),
+        )
+        .select(
+            F.col("y").alias("y0"),
+            F.col("x").alias("x0"),
+            F.lead("y").over(w).alias("y1"),
+            F.lead("x").over(w).alias("x1"),
+        )
+        .filter(F.col("y1").isNotNull())
+    )
+    cells = bits.groupBy("y1", "y0", "x1", "x0").agg(
+        F.count("*").cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)  # both TE directions read it
+
+    def ln9(c):
+        return F.round(F.log(c.cast("double")), 9)
+
+    def te(cells, tgt1, tgt0, src0):
+        g3 = cells.groupBy(tgt1, tgt0, src0).agg(
+            F.sum("c").cast("bigint").alias("c3")
+        )
+        n = F.sum("c3").over(Window.partitionBy())
+        cy0 = F.sum("c3").over(Window.partitionBy(tgt0))
+        c2a = F.sum("c3").over(Window.partitionBy(tgt0, src0))
+        c2b = F.sum("c3").over(Window.partitionBy(tgt1, tgt0))
+        m = g3.select(
+            "c3",
+            n.cast("bigint").alias("n"),
+            cy0.cast("bigint").alias("cy0"),
+            c2a.cast("bigint").alias("c2a"),
+            c2b.cast("bigint").alias("c2b"),
+        )
+        term = (F.col("c3").cast("double") / F.col("n").cast("double")) * (
+            ln9(F.col("c3"))
+            + ln9(F.col("cy0"))
+            - ln9(F.col("c2a"))
+            - ln9(F.col("c2b"))
+        )
+        return m.agg(
+            F.max("n").alias("n"),
+            F.round(
+                F.sum(F.round(term, 12).cast("decimal(27,12)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("te"),
+            F.lit(1).alias("one"),
+        )
+    fwd = te(cells, "y1", "y0", "x0").select(
+        "n", F.col("te").alias("te_view_to_purchase"), "one"
+    )
+    rev = te(cells, "x1", "x0", "y0").select(
+        F.col("te").alias("te_purchase_to_view"), "one"
+    )
+    j = fwd.join(F.broadcast(rev), "one")
+    return j.select(
+        F.col("n").alias("n_transitions"),
+        F.col("te_view_to_purchase").cast("double"),
+        F.col("te_purchase_to_view").cast("double"),
+        F.round(
+            F.col("te_view_to_purchase") - F.col("te_purchase_to_view"), 6
+        )
+        .cast("double")
+        .alias("net_flow_view_to_purchase"),
+    )
+
+
+TRANSFER_ENTROPY_VIEW_PURCHASE_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                              ELSE 0.0 END AS DECIMAL(27,12))) AS DOUBLE) AS p,
+           CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value
+                              ELSE 0.0 END AS DECIMAL(27,12))) AS DOUBLE) AS v
+    FROM events WHERE event_type IN ('purchase', 'view')
+    GROUP BY 1
+), means AS (
+    SELECT ROUND(CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS mp,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS mv
+    FROM daily
+), bits AS (
+    SELECT CAST(p > mp AS INT) AS y, CAST(v > mv AS INT) AS x, day
+    FROM daily CROSS JOIN means
+), trans AS (
+    SELECT y AS y0, x AS x0,
+           LEAD(y) OVER (ORDER BY day) AS y1,
+           LEAD(x) OVER (ORDER BY day) AS x1
+    FROM bits
+), cells AS (
+    SELECT y1, y0, x1, x0, CAST(COUNT(*) AS BIGINT) AS c
+    FROM trans WHERE y1 IS NOT NULL
+    GROUP BY 1, 2, 3, 4
+), fwd3 AS (
+    SELECT y1, y0, x0, CAST(SUM(c) AS BIGINT) AS c3
+    FROM cells GROUP BY 1, 2, 3
+), fwd AS (
+    SELECT MAX(n) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(
+               (CAST(c3 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (ROUND(ln(CAST(c3 AS DOUBLE)), 9)
+                  + ROUND(ln(CAST(cy0 AS DOUBLE)), 9)
+                  - ROUND(ln(CAST(c2a AS DOUBLE)), 9)
+                  - ROUND(ln(CAST(c2b AS DOUBLE)), 9)), 12)
+               AS DECIMAL(27,12))) AS DOUBLE), 6) AS te
+    FROM (
+        SELECT c3,
+               CAST(SUM(c3) OVER () AS BIGINT) AS n,
+               CAST(SUM(c3) OVER (PARTITION BY y0) AS BIGINT) AS cy0,
+               CAST(SUM(c3) OVER (PARTITION BY y0, x0) AS BIGINT) AS c2a,
+               CAST(SUM(c3) OVER (PARTITION BY y1, y0) AS BIGINT) AS c2b
+        FROM fwd3
+    )
+), rev3 AS (
+    SELECT x1, x0, y0, CAST(SUM(c) AS BIGINT) AS c3
+    FROM cells GROUP BY 1, 2, 3
+), rev AS (
+    SELECT ROUND(CAST(SUM(CAST(ROUND(
+               (CAST(c3 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (ROUND(ln(CAST(c3 AS DOUBLE)), 9)
+                  + ROUND(ln(CAST(cy0 AS DOUBLE)), 9)
+                  - ROUND(ln(CAST(c2a AS DOUBLE)), 9)
+                  - ROUND(ln(CAST(c2b AS DOUBLE)), 9)), 12)
+               AS DECIMAL(27,12))) AS DOUBLE), 6) AS te
+    FROM (
+        SELECT c3,
+               CAST(SUM(c3) OVER () AS BIGINT) AS n,
+               CAST(SUM(c3) OVER (PARTITION BY x0) AS BIGINT) AS cy0,
+               CAST(SUM(c3) OVER (PARTITION BY x0, y0) AS BIGINT) AS c2a,
+               CAST(SUM(c3) OVER (PARTITION BY x1, x0) AS BIGINT) AS c2b
+        FROM rev3
+    )
+)
+SELECT f.n AS n_transitions,
+       CAST(f.te AS DOUBLE) AS te_view_to_purchase,
+       CAST(r.te AS DOUBLE) AS te_purchase_to_view,
+       CAST(ROUND(f.te - r.te, 6) AS DOUBLE) AS net_flow_view_to_purchase
+FROM fwd f CROSS JOIN rev r
 """

@@ -556,6 +556,9 @@ _ROUND12_QUEUE: list[str] = [
     "cox_stuart_trend_daily",
     "theils_u_event_type_dow",
     "local_clustering_topk_parts",
+    "hurst_rs_daily_values",
+    "esd_outliers_daily",
+    "transfer_entropy_view_purchase_daily",
 ]
 
 
@@ -3297,4 +3300,22 @@ register(
     "local_clustering_topk_parts",
     analytics_checks.local_clustering_topk_parts,
     analytics_checks.LOCAL_CLUSTERING_TOPK_PARTS_ORACLE,
+)
+
+register(
+    "hurst_rs_daily_values",
+    timeseries_checks.hurst_rs_daily_values,
+    timeseries_checks.HURST_RS_DAILY_VALUES_ORACLE,
+)
+
+register(
+    "esd_outliers_daily",
+    timeseries_checks.esd_outliers_daily,
+    timeseries_checks.ESD_OUTLIERS_DAILY_ORACLE,
+)
+
+register(
+    "transfer_entropy_view_purchase_daily",
+    timeseries_checks.transfer_entropy_view_purchase_daily,
+    timeseries_checks.TRANSFER_ENTROPY_VIEW_PURCHASE_DAILY_ORACLE,
 )

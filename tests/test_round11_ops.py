@@ -1985,3 +1985,154 @@ def test_local_clustering_matches_python_mirror(spark, sf_dir):
         assert row["triangles"] == t
         assert abs(row["local_cc"] - c) < 1e-9
         assert abs(row["avg_local_cc"] - avg) < 1e-5
+
+
+def test_hurst_rs_matches_python_mirror(spark, sf_dir):
+    import math
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        _HURST_SIZES,
+        hurst_rs_daily_values,
+    )
+
+    x = _daily_series(spark, sf_dir)
+    n = len(x)
+    pts = []
+    for s in _HURST_SIZES:
+        if s > n:
+            continue
+        rss = []
+        for b in range(n // s):
+            blk = x[b * s : (b + 1) * s]
+            m = round(sum(blk) / s, 9)
+            dv = [v - m for v in blk]
+            z, cum = [], 0.0
+            for d in dv:
+                cum += d
+                z.append(cum)
+            r = max(z) - min(z)
+            sd = math.sqrt(round(sum(d * d for d in dv) / s, 9))
+            if sd > 0:
+                rss.append(round(r / sd, 9))
+        if rss:
+            mean_rs = round(sum(rss) / len(rss), 9)
+            if mean_rs > 0:
+                pts.append(
+                    (round(math.log(s), 9), round(math.log(mean_rs), 9))
+                )
+    k = len(pts)
+    su = sum(u for u, _ in pts)
+    sv = sum(v for _, v in pts)
+    suv = sum(u * v for u, v in pts)
+    suu = sum(u * u for u, _ in pts)
+    h = (k * suv - su * sv) / (k * suu - su * su)
+    row = hurst_rs_daily_values(spark, sf_dir).collect()[0]
+    assert row["n_sizes"] == k
+    assert abs(row["hurst_h"] - h) < 1e-4
+    assert row["persistent"] == (round(h, 6) > 0.5)
+
+
+def test_esd_outliers_matches_python_mirror(spark, sf_dir):
+    """Three remove-and-retest passes replayed in python, including the
+    shrinking-σ masking behavior."""
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        esd_outliers_daily,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(ts AS DATE) AS day", "value")
+        .collect()
+    )
+    acc = defaultdict(Decimal)
+    for r in rows:
+        acc[r["day"]] += Decimal(str(r["value"]))
+    cur = {d: float(v) for d, v in acc.items()}
+    expect = []
+    for it in range(1, 4):
+        n = len(cur)
+        sx = sum(cur.values())
+        sxx = sum(v * v for v in cur.values())
+        m = round(sx / n, 9)
+        sd = round(math.sqrt(round((sxx - sx * sx / n) / (n - 1), 9)), 9)
+        day = min(cur, key=lambda d: (-abs(cur[d] - m), d))
+        z = round(abs(cur[day] - m) / sd, 6)
+        expect.append((it, day, cur[day], z))
+        del cur[day]
+    got = esd_outliers_daily(spark, sf_dir).collect()
+    assert len(got) == 3
+    for row, (it, day, x, z) in zip(got, expect):
+        assert row["iteration"] == it
+        assert row["day"] == day
+        assert abs(row["x"] - x) < 1e-6
+        assert abs(row["z"] - z) < 1e-4
+        assert row["flagged"] == (z > 3.0)
+
+
+def test_transfer_entropy_matches_python_mirror(spark, sf_dir):
+    import math
+    from collections import Counter, defaultdict
+    from decimal import Decimal
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        transfer_entropy_view_purchase_daily,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .selectExpr("CAST(ts AS DATE) AS day", "event_type", "value")
+        .collect()
+    )
+    acc = defaultdict(lambda: [Decimal(0), Decimal(0)])
+    for r in rows:
+        acc[r["day"]][0 if r["event_type"] == "purchase" else 1] += Decimal(
+            str(r["value"])
+        )
+    days = sorted(acc)
+    p = [float(acc[d][0]) for d in days]
+    v = [float(acc[d][1]) for d in days]
+    mp = round(sum(p) / len(p), 9)
+    mv = round(sum(v) / len(v), 9)
+    y = [1 if a > mp else 0 for a in p]
+    x = [1 if a > mv else 0 for a in v]
+
+    def te(tgt, src):
+        c3 = Counter(
+            (tgt[i + 1], tgt[i], src[i]) for i in range(len(tgt) - 1)
+        )
+        n = sum(c3.values())
+        cy0 = Counter()
+        c2a = Counter()
+        c2b = Counter()
+        for (t1, t0, s0), c in c3.items():
+            cy0[t0] += c
+            c2a[(t0, s0)] += c
+            c2b[(t1, t0)] += c
+        out = 0.0
+        for (t1, t0, s0), c in c3.items():
+            out += round(
+                (c / n)
+                * (
+                    round(math.log(c), 9)
+                    + round(math.log(cy0[t0]), 9)
+                    - round(math.log(c2a[(t0, s0)]), 9)
+                    - round(math.log(c2b[(t1, t0)]), 9)
+                ),
+                12,
+            )
+        return n, round(out, 6)
+
+    n, fwd = te(y, x)
+    _, rev = te(x, y)
+    row = transfer_entropy_view_purchase_daily(spark, sf_dir).collect()[0]
+    assert row["n_transitions"] == n
+    assert abs(row["te_view_to_purchase"] - fwd) < 1e-6
+    assert abs(row["te_purchase_to_view"] - rev) < 1e-6
+    assert (
+        abs(row["net_flow_view_to_purchase"] - round(fwd - rev, 6)) < 1e-6
+    )

@@ -329,6 +329,9 @@ PROBES = [
     ("cox_stuart_trend_daily", ["events"]),
     ("theils_u_event_type_dow", ["events"]),
     ("local_clustering_topk_parts", ["orders", "lineitem"]),
+    ("hurst_rs_daily_values", ["events"]),
+    ("esd_outliers_daily", ["events"]),
+    ("transfer_entropy_view_purchase_daily", ["events"]),
 ]
 
 KEY_OFFSETS = {
