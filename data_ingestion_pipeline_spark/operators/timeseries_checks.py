@@ -40,6 +40,9 @@ __all__ = [
     "hurst_rs_daily_values",
     "esd_outliers_daily",
     "transfer_entropy_view_purchase_daily",
+    "croston_intermittent_demand_part",
+    "theta_method_forecast_daily",
+    "spectral_entropy_daily_events",
     "rolling_corr_purchase_view_14d",
     "autocorr_daily_value",
     "ar2_yule_walker_daily",
@@ -4069,4 +4072,396 @@ SELECT f.n AS n_transitions,
        CAST(r.te AS DOUBLE) AS te_purchase_to_view,
        CAST(ROUND(f.te - r.te, 6) AS DOUBLE) AS net_flow_view_to_purchase
 FROM fwd f CROSS JOIN rev r
+"""
+
+
+_CROSTON_ALPHA = 0.1
+
+
+def croston_intermittent_demand_part(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Croston's method (Croston 1972) for INTERMITTENT demand,
+    forecasting daily demand for part 0 (ships on ~1% of calendar days
+    — exactly the sparse-SKU series where SES/Holt collapse toward
+    zero between orders): separate exponential smoothers (α=0.1) over
+    the nonzero demand SIZES z_i and the inter-demand INTERVALS q_i
+    (calendar-day gaps; q₁ = days from the corpus ship-date start),
+    demand rate = ẑ/q̂ — the spare-parts forecasting standard.
+
+    Exactness: day indexes are exact datediffs, demand sizes exact
+    decimal sums; both smoothers fold LEFT over the (index, size)
+    struct array with the same lambda on both engines (the
+    ``holt_linear_daily_forecast`` recurrence policy — identical IEEE
+    op chain, no decimal trick needed); outputs round at 6. Scale
+    shape: one filtered aggregation to the ~34-row nonzero-day grain,
+    one single-row array fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d0 = li.agg(F.min(F.to_date("l_shipdate")).alias("d0"))
+    days = (
+        li.filter(F.col("l_partkey") == 0)
+        .groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(dec_sum(F.col("l_quantity"), 27, 6).cast("double").alias("z"))
+        .crossJoin(F.broadcast(d0))
+        .select(
+            (F.datediff("day", "d0") + 1).cast("double").alias("i"), "z"
+        )
+    )
+    series = days.agg(
+        F.array_sort(F.collect_list(F.struct("i", "z"))).alias("pts")
+    )
+    a = F.lit(_CROSTON_ALPHA)
+
+    def step(acc, p):
+        # acc = [ses_z, ses_q, prev_i]
+        q = p.i - F.element_at(acc, 3)
+        return F.array(
+            a * p.z + (F.lit(1.0) - a) * F.element_at(acc, 1),
+            a * q + (F.lit(1.0) - a) * F.element_at(acc, 2),
+            p.i,
+        )
+
+    first = F.element_at(F.col("pts"), 1)
+    init = F.array(first.z, first.i, first.i)
+    folded = F.aggregate(
+        F.slice(F.col("pts"), 2, F.greatest(F.size("pts") - 1, F.lit(0))),
+        init,
+        step,
+    )
+    out = series.select(
+        F.size("pts").cast("bigint").alias("n_demand_days"),
+        F.element_at(folded, 1).alias("sz"),
+        F.element_at(folded, 2).alias("sq"),
+    )
+    return out.select(
+        F.lit(0).cast("bigint").alias("part"),
+        "n_demand_days",
+        F.round("sz", 6).cast("double").alias("ses_demand"),
+        F.round("sq", 6).cast("double").alias("ses_interval_days"),
+        F.round(F.col("sz") / F.col("sq"), 6)
+        .cast("double")
+        .alias("croston_daily_rate"),
+    )
+
+
+CROSTON_INTERMITTENT_DEMAND_PART_ORACLE = f"""
+WITH d0 AS (
+    SELECT MIN(CAST(l_shipdate AS DATE)) AS d0 FROM lineitem
+), days_ AS (
+    SELECT CAST(datediff('day', d0, CAST(l_shipdate AS DATE)) + 1 AS DOUBLE)
+               AS i,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS z
+    FROM lineitem CROSS JOIN d0
+    WHERE l_partkey = 0
+    GROUP BY 1
+), series AS (
+    SELECT list([i, z, 0.0] ORDER BY i) AS pts
+    FROM days_
+), folded AS (
+    SELECT len(pts) AS n_demand_days,
+           list_reduce(
+               list_prepend([pts[1][2], pts[1][1], pts[1][1]], pts[2:]),
+               (acc, p) -> [
+                   {_CROSTON_ALPHA} * p[2]
+                       + (1.0 - {_CROSTON_ALPHA}) * acc[1],
+                   {_CROSTON_ALPHA} * (p[1] - acc[3])
+                       + (1.0 - {_CROSTON_ALPHA}) * acc[2],
+                   p[1]
+               ]) AS sf
+    FROM series
+)
+SELECT CAST(0 AS BIGINT) AS part,
+       CAST(n_demand_days AS BIGINT) AS n_demand_days,
+       CAST(ROUND(sf[1], 6) AS DOUBLE) AS ses_demand,
+       CAST(ROUND(sf[2], 6) AS DOUBLE) AS ses_interval_days,
+       CAST(ROUND(sf[1] / sf[2], 6) AS DOUBLE) AS croston_daily_rate
+FROM folded
+"""
+
+
+def theta_method_forecast_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 — the
+    M3-competition winner) of the daily value series: decompose into
+    the θ=0 line (the pure linear trend) and the θ=2 line (2x_t minus
+    the trend, doubling local curvature), smooth the θ=2 line with
+    SES(α=0.5), and forecast X̂(n+h) = ½[SES + (a + b·(n+h))] — the
+    documented equivalence to SES-with-drift that beats both parents:
+    ``holt_linear_daily_forecast`` (trend from smoothing) and the raw
+    OLS line (no local adaptation).
+
+    Exactness: the trend OLS comes from exact decimal power sums with
+    a,b rounded at 9 (the durbin-watson contract); the θ=2 line is
+    fixed algebra over those; the SES folds LEFT with the shared
+    lambda (the holt recurrence policy); forecasts round at 6. Scale
+    shape: one daily aggregation, one 5-sum fold, one single-row array
+    fold."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    d0 = daily.agg(F.min("day").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("day", "d0").cast("double").alias("t"), "x", "day"
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        dec_sum(F.col("t"), 27, 12).cast("double").alias("st"),
+        dec_sum(F.col("x"), 27, 12).cast("double").alias("sx"),
+        dec_sum(F.col("t") * F.col("x"), 38, 12).cast("double").alias("stx"),
+        dec_sum(F.col("t") * F.col("t"), 38, 12).cast("double").alias("stt"),
+    )
+    slope = (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")) / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    icept = (F.col("sx") - slope * F.col("st")) / F.col("n")
+    params = s.select(
+        F.col("n"),
+        F.round(slope, 9).alias("b1"),
+        F.round(icept, 9).alias("b0"),
+        F.lit(1).alias("one"),
+    )
+    theta2 = (
+        pts.withColumn("one", F.lit(1))
+        .join(F.broadcast(params), "one")
+        .select(
+            "day",
+            "n",
+            "b0",
+            "b1",
+            (
+                2.0 * F.col("x") - (F.col("b0") + F.col("b1") * F.col("t"))
+            ).alias("y2"),
+        )
+    )
+    series = theta2.groupBy("n", "b0", "b1").agg(
+        F.array_sort(F.collect_list(F.struct("day", "y2"))).alias("pts")
+    )
+    a = F.lit(0.5)
+
+    def step(acc, p):
+        return F.array(a * p.y2 + (F.lit(1.0) - a) * F.element_at(acc, 1))
+
+    folded = F.aggregate(
+        F.slice(F.col("pts"), 2, F.greatest(F.size("pts") - 1, F.lit(0))),
+        F.array(F.element_at(F.col("pts"), 1).y2),
+        step,
+    )
+    out = series.select(
+        "n",
+        "b0",
+        "b1",
+        F.element_at(folded, 1).alias("ses2"),
+    )
+    nD = F.col("n")
+    fc = lambda h: F.round(
+        0.5
+        * (
+            F.col("ses2")
+            + (F.col("b0") + F.col("b1") * (nD - 1.0 + F.lit(float(h))))
+        ),
+        6,
+    )
+    return out.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("b1").cast("double").alias("drift_per_day"),
+        F.round("ses2", 6).cast("double").alias("ses_theta2"),
+        fc(1).cast("double").alias("forecast_1d"),
+        fc(7).cast("double").alias("forecast_7d"),
+    )
+
+
+THETA_METHOD_FORECAST_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), d0 AS (SELECT MIN(day) AS d0 FROM daily),
+pts AS (
+    SELECT CAST(datediff('day', d0, day) AS DOUBLE) AS t, x, day
+    FROM daily CROSS JOIN d0
+), s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(t AS DECIMAL(27,12))) AS DOUBLE) AS st,
+           CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(t * x AS DECIMAL(38,12))) AS DOUBLE) AS stx,
+           CAST(SUM(CAST(t * t AS DECIMAL(38,12))) AS DOUBLE) AS stt
+    FROM pts
+), params AS (
+    SELECT n,
+           ROUND((n * stx - st * sx) / (n * stt - st * st), 9) AS b1,
+           ROUND((sx - ((n * stx - st * sx) / (n * stt - st * st)) * st) / n,
+                 9) AS b0
+    FROM s
+), series AS (
+    SELECT n, b0, b1,
+           list(2.0 * x - (b0 + b1 * t) ORDER BY day) AS pts
+    FROM pts CROSS JOIN params
+    GROUP BY n, b0, b1
+), folded AS (
+    SELECT n, b0, b1,
+           list_reduce(pts, (acc, p) -> 0.5 * p + (1.0 - 0.5) * acc) AS ses2
+    FROM series
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(b1 AS DOUBLE) AS drift_per_day,
+       CAST(ROUND(ses2, 6) AS DOUBLE) AS ses_theta2,
+       CAST(ROUND(0.5 * (ses2 + (b0 + b1 * (n - 1.0 + 1.0))), 6) AS DOUBLE)
+           AS forecast_1d,
+       CAST(ROUND(0.5 * (ses2 + (b0 + b1 * (n - 1.0 + 7.0))), 6) AS DOUBLE)
+           AS forecast_7d
+FROM folded
+"""
+
+
+_SPEC_K = 14
+
+
+def spectral_entropy_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spectral entropy of the daily event-count periodogram — the
+    one-number summary of ``periodogram_daily_events``: normalize the
+    K=14 harmonic powers to a distribution and take −Σp·ln p / ln K;
+    ≈1 means white-noise-flat spectrum, low means power concentrates
+    in few frequencies (a strong cycle). The standard feature in
+    forecastability scoring (tsfeatures' ent): low spectral entropy →
+    the series is predictable by a seasonal model.
+
+    Exactness: the same trig-round-at-9 DFT folds as the periodogram
+    (DECIMAL(38,15) products); powers round at 9, the entropy terms at
+    12 into a ≤K-row decimal fold, the outputs at 6. Scale shape: one
+    daily aggregation, (day×K) bounded trig grain, K-row algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("y")
+    )
+    wd = Window.orderBy("day")
+    idx = daily.select(
+        (F.row_number().over(wd) - 1).cast("bigint").alias("d"), "y"
+    )
+    tot = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    base = idx.join(F.broadcast(tot)).select(
+        "d",
+        (
+            F.col("y").cast("double")
+            - F.col("sy").cast("double") / F.col("n").cast("double")
+        ).alias("yc"),
+        "n",
+    )
+    ks = spark.range(1, _SPEC_K + 1).select(
+        F.col("id").cast("bigint").alias("k")
+    )
+    ang = (
+        F.lit(6.283185307179586)
+        * F.col("k").cast("double")
+        * F.col("d").cast("double")
+        / F.col("n").cast("double")
+    )
+    grid = base.crossJoin(F.broadcast(ks)).filter(
+        F.col("k") <= F.floor(F.col("n") / 2)
+    )
+    per_k = grid.groupBy("k").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            (F.round(F.cos(ang), 9) * F.col("yc")).cast("decimal(38,15)")
+        )
+        .cast("double")
+        .alias("ak"),
+        F.sum(
+            (F.round(F.sin(ang), 9) * F.col("yc")).cast("decimal(38,15)")
+        )
+        .cast("double")
+        .alias("bk"),
+    )
+    power = per_k.select(
+        "k",
+        F.round(
+            (F.col("ak") * F.col("ak") + F.col("bk") * F.col("bk"))
+            * 2.0
+            / F.col("n").cast("double"),
+            9,
+        ).alias("p"),
+    ).filter(F.col("p") > 0.0)
+    tots = power.agg(
+        F.count("*").cast("bigint").alias("kk"),
+        F.sum(F.col("p").cast("decimal(38,9)")).cast("double").alias("ptot"),
+        F.lit(1).alias("one"),
+    )
+    frac = F.col("p") / F.col("ptot")
+    ent = (
+        power.withColumn("one", F.lit(1))
+        .join(F.broadcast(tots), "one")
+        .groupBy("kk")
+        .agg(
+            F.sum(
+                F.round(-frac * F.log(frac), 12).cast("decimal(27,12)")
+            )
+            .cast("double")
+            .alias("h")
+        )
+    )
+    return ent.select(
+        F.col("kk").cast("int").alias("n_harmonics"),
+        F.round(F.col("h"), 6).cast("double").alias("spectral_entropy"),
+        F.round(
+            F.col("h") / F.log(F.col("kk").cast("double")), 6
+        )
+        .cast("double")
+        .alias("spectral_entropy_norm"),
+    )
+
+
+SPECTRAL_ENTROPY_DAILY_EVENTS_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+), idx AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS d, y
+    FROM daily
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+    FROM idx
+), base AS (
+    SELECT d,
+           CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS yc,
+           n
+    FROM idx CROSS JOIN tot
+), ks AS (
+    SELECT CAST(i AS BIGINT) AS k FROM range(1, {_SPEC_K + 1}) t(i)
+), per_k AS (
+    SELECT k, MAX(n) AS n,
+           CAST(SUM(CAST(ROUND(cos(6.283185307179586 * CAST(k AS DOUBLE)
+                                   * CAST(d AS DOUBLE)
+                                   / CAST(n AS DOUBLE)), 9) * yc
+                         AS DECIMAL(38,15))) AS DOUBLE) AS ak,
+           CAST(SUM(CAST(ROUND(sin(6.283185307179586 * CAST(k AS DOUBLE)
+                                   * CAST(d AS DOUBLE)
+                                   / CAST(n AS DOUBLE)), 9) * yc
+                         AS DECIMAL(38,15))) AS DOUBLE) AS bk
+    FROM base CROSS JOIN ks
+    WHERE k <= CAST(FLOOR(n / 2) AS BIGINT)
+    GROUP BY k
+), power AS (
+    SELECT k,
+           ROUND((ak * ak + bk * bk) * 2.0 / CAST(n AS DOUBLE), 9) AS p
+    FROM per_k
+    WHERE ROUND((ak * ak + bk * bk) * 2.0 / CAST(n AS DOUBLE), 9) > 0.0
+), tots AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+           CAST(SUM(CAST(p AS DECIMAL(38,9))) AS DOUBLE) AS ptot
+    FROM power
+), ent AS (
+    SELECT kk,
+           CAST(SUM(CAST(ROUND(-(p / ptot) * ln(p / ptot), 12)
+                         AS DECIMAL(27,12))) AS DOUBLE) AS h
+    FROM power CROSS JOIN tots
+    GROUP BY kk
+)
+SELECT CAST(kk AS INT) AS n_harmonics,
+       CAST(ROUND(h, 6) AS DOUBLE) AS spectral_entropy,
+       CAST(ROUND(h / ln(CAST(kk AS DOUBLE)), 6) AS DOUBLE)
+           AS spectral_entropy_norm
+FROM ent
 """

@@ -559,6 +559,9 @@ _ROUND12_QUEUE: list[str] = [
     "hurst_rs_daily_values",
     "esd_outliers_daily",
     "transfer_entropy_view_purchase_daily",
+    "croston_intermittent_demand_part",
+    "theta_method_forecast_daily",
+    "spectral_entropy_daily_events",
 ]
 
 
@@ -3318,4 +3321,22 @@ register(
     "transfer_entropy_view_purchase_daily",
     timeseries_checks.transfer_entropy_view_purchase_daily,
     timeseries_checks.TRANSFER_ENTROPY_VIEW_PURCHASE_DAILY_ORACLE,
+)
+
+register(
+    "croston_intermittent_demand_part",
+    timeseries_checks.croston_intermittent_demand_part,
+    timeseries_checks.CROSTON_INTERMITTENT_DEMAND_PART_ORACLE,
+)
+
+register(
+    "theta_method_forecast_daily",
+    timeseries_checks.theta_method_forecast_daily,
+    timeseries_checks.THETA_METHOD_FORECAST_DAILY_ORACLE,
+)
+
+register(
+    "spectral_entropy_daily_events",
+    timeseries_checks.spectral_entropy_daily_events,
+    timeseries_checks.SPECTRAL_ENTROPY_DAILY_EVENTS_ORACLE,
 )

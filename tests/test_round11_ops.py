@@ -2136,3 +2136,105 @@ def test_transfer_entropy_matches_python_mirror(spark, sf_dir):
     assert (
         abs(row["net_flow_view_to_purchase"] - round(fwd - rev, 6)) < 1e-6
     )
+
+
+def test_croston_matches_python_mirror(spark, sf_dir):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        _CROSTON_ALPHA,
+        croston_intermittent_demand_part,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+    d0 = min(r["l_shipdate"].date() for r in rows)
+    acc = defaultdict(Decimal)
+    for r in rows:
+        if r["l_partkey"] == 0:
+            acc[r["l_shipdate"].date()] += Decimal(str(r["l_quantity"]))
+    pts = sorted(
+        ((d - d0).days + 1, float(z)) for d, z in acc.items()
+    )
+    i1, z1 = pts[0]
+    sz, sq, prev = z1, float(i1), i1
+    a = _CROSTON_ALPHA
+    for i, z in pts[1:]:
+        sz = a * z + (1 - a) * sz
+        sq = a * (i - prev) + (1 - a) * sq
+        prev = i
+    row = croston_intermittent_demand_part(spark, sf_dir).collect()[0]
+    assert row["n_demand_days"] == len(pts)
+    assert abs(row["ses_demand"] - sz) < 1e-5
+    assert abs(row["ses_interval_days"] - sq) < 1e-5
+    assert abs(row["croston_daily_rate"] - sz / sq) < 1e-5
+
+
+def test_theta_method_matches_python_mirror(spark, sf_dir):
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        theta_method_forecast_daily,
+    )
+
+    x = _daily_series(spark, sf_dir)
+    # NB: t here is the positional index; events cover every calendar
+    # day in the fixtures so it equals the datediff index
+    n = len(x)
+    t = list(range(n))
+    st, sx = sum(t), sum(x)
+    stx = sum(a * b for a, b in zip(t, x))
+    stt = sum(a * a for a in t)
+    b1 = round((n * stx - st * sx) / (n * stt - st * st), 9)
+    b0 = round((sx - ((n * stx - st * sx) / (n * stt - st * st)) * st) / n, 9)
+    y2 = [2 * v - (b0 + b1 * i) for i, v in zip(t, x)]
+    ses = y2[0]
+    for v in y2[1:]:
+        ses = 0.5 * v + 0.5 * ses
+    f1 = 0.5 * (ses + (b0 + b1 * (n - 1 + 1)))
+    f7 = 0.5 * (ses + (b0 + b1 * (n - 1 + 7)))
+    row = theta_method_forecast_daily(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["drift_per_day"] - b1) < 1e-6
+    assert abs(row["ses_theta2"] - ses) < 1e-4
+    assert abs(row["forecast_1d"] - f1) < 1e-3
+    assert abs(row["forecast_7d"] - f7) < 1e-3
+
+
+def test_spectral_entropy_matches_python_mirror(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        _SPEC_K,
+        spectral_entropy_daily_events,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(ts AS DATE) AS day")
+        .collect()
+    )
+    counts = Counter(r["day"] for r in rows)
+    days = sorted(counts)
+    y = [counts[d] for d in days]
+    n = len(y)
+    mean = sum(y) / n
+    yc = [v - mean for v in y]
+    powers = []
+    for k in range(1, min(_SPEC_K, n // 2) + 1):
+        ak = sum(
+            round(math.cos(2 * math.pi * k * d / n), 9) * yc[d]
+            for d in range(n)
+        )
+        bk = sum(
+            round(math.sin(2 * math.pi * k * d / n), 9) * yc[d]
+            for d in range(n)
+        )
+        p = round((ak * ak + bk * bk) * 2.0 / n, 9)
+        if p > 0:
+            powers.append(p)
+    ptot = sum(powers)
+    h = sum(-(p / ptot) * math.log(p / ptot) for p in powers)
+    row = spectral_entropy_daily_events(spark, sf_dir).collect()[0]
+    assert row["n_harmonics"] == len(powers)
+    assert abs(row["spectral_entropy"] - h) < 1e-4
+    assert abs(row["spectral_entropy_norm"] - h / math.log(len(powers))) < 1e-4

@@ -332,6 +332,9 @@ PROBES = [
     ("hurst_rs_daily_values", ["events"]),
     ("esd_outliers_daily", ["events"]),
     ("transfer_entropy_view_purchase_daily", ["events"]),
+    ("croston_intermittent_demand_part", ["orders", "lineitem"]),
+    ("theta_method_forecast_daily", ["events"]),
+    ("spectral_entropy_daily_events", ["events"]),
 ]
 
 KEY_OFFSETS = {
