@@ -20,6 +20,7 @@ __all__ = [
     "kmv_distinct_users_events",
     "ams_f2_user_activity_events",
     "binned_range_join_orders_bands",
+    "zone_map_skip_report_orders",
     "misra_gries_heavy_hitters_events",
     "hll_merge_users_weekly",
     "approx_top_k_event_types",
@@ -2074,4 +2075,141 @@ SELECT b.band_id, b.lo, b.hi,
        CAST(COALESCE(a.revenue, 0.0) AS DOUBLE) AS revenue
 FROM bands b JOIN agg a ON a.band_id = b.band_id
 ORDER BY b.band_id
+"""
+
+
+_ZONE_BUCKETS = 64
+
+
+def zone_map_skip_report_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zone-map (min/max statistics) file-skipping report for orders
+    under two physical layouts — the quantified WHY behind
+    ``zorder_clustered_orders`` and ``partition_pruning_report_orders``:
+    every columnar engine keeps per-file/rowgroup min/max zone maps and
+    skips units whose range misses the predicate; how much that buys
+    depends entirely on LAYOUT. 64 buckets are built two ways —
+    'hash_scatter' (orderkey % 64: arrival order, every bucket spans
+    the whole date range) and 'date_range' (orderdate range-bucketed:
+    each bucket owns a narrow slice) — probed with 12 one-month
+    windows, reporting the fraction of (bucket, query) scans the zone
+    maps eliminate. The date-range layout should approach 63/64; the
+    scatter layout ~0 — the number a table-layout advisor acts on.
+
+    Exactness: bucket ids, zone bounds, and skip counts are exact
+    integer/date algebra; the fraction rounds at 6. Scale shape: one
+    facts pass per layout to the 64-bucket zone-map grain, a ≤(128×12)
+    broadcast probe — the facts never shuffle for the probe."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("d")
+    )
+    span = o.agg(
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+        F.lit(1).alias("one"),
+    )
+    keyed = o.withColumn("one", F.lit(1)).join(F.broadcast(span), "one")
+    width = (
+        F.floor(
+            F.datediff("dmax", "dmin") / F.lit(_ZONE_BUCKETS)
+        ).cast("bigint")
+        + 1
+    )
+    zones = (
+        keyed.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("hash_scatter").alias("layout"),
+                        (F.col("o_orderkey") % _ZONE_BUCKETS)
+                        .cast("bigint")
+                        .alias("bucket"),
+                        F.col("d"),
+                    ),
+                    F.struct(
+                        F.lit("date_range").alias("layout"),
+                        F.floor(F.datediff("d", "dmin") / width)
+                        .cast("bigint")
+                        .alias("bucket"),
+                        F.col("d"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.layout", "r.bucket", "r.d")
+        .groupBy("layout", "bucket")
+        .agg(F.min("d").alias("zmin"), F.max("d").alias("zmax"))
+    )
+    months = (
+        spark.range(12)
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(span), "one")
+        .select(
+            F.add_months(
+                F.trunc("dmin", "MM"), (F.col("id") + 24).cast("int")
+            ).alias("qs")
+        )
+        .select("qs", F.add_months("qs", 1).alias("qe"))
+    )
+    probes = zones.crossJoin(F.broadcast(months)).select(
+        "layout",
+        (
+            (F.col("zmax") < F.col("qs")) | (F.col("zmin") >= F.col("qe"))
+        ).cast("long").alias("skip"),
+    )
+    agg = probes.groupBy("layout").agg(
+        (F.count("*") / 12).cast("bigint").alias("n_buckets"),
+        F.lit(12).cast("int").alias("n_queries"),
+        F.sum("skip").cast("bigint").alias("skippable_pairs"),
+        F.round(
+            F.sum("skip").cast("double") / F.count("*").cast("double"), 6
+        )
+        .cast("double")
+        .alias("skip_fraction"),
+    )
+    return agg.orderBy("layout")
+
+
+ZONE_MAP_SKIP_REPORT_ORDERS_ORACLE = f"""
+WITH o AS (
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders
+), span AS (
+    SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM o
+), zones AS (
+    SELECT layout, bucket, MIN(d) AS zmin, MAX(d) AS zmax
+    FROM (
+        SELECT 'hash_scatter' AS layout,
+               CAST(o_orderkey % {_ZONE_BUCKETS} AS BIGINT) AS bucket, d
+        FROM o
+        UNION ALL
+        SELECT 'date_range' AS layout,
+               CAST(FLOOR(datediff('day', dmin, d)
+                    / (FLOOR(datediff('day', dmin, dmax)
+                             / {_ZONE_BUCKETS}) + 1)) AS BIGINT) AS bucket,
+               d
+        FROM o CROSS JOIN span
+    )
+    GROUP BY layout, bucket
+), months AS (
+    SELECT qs, qs + INTERVAL 1 MONTH AS qe
+    FROM (
+        SELECT date_trunc('month', dmin)
+               + to_months(CAST(i + 24 AS INTEGER)) AS qs
+        FROM range(12) t(i) CROSS JOIN span
+    )
+), probes AS (
+    SELECT layout,
+           CASE WHEN zmax < qs OR zmin >= qe THEN 1 ELSE 0 END AS skip
+    FROM zones CROSS JOIN months
+)
+SELECT layout,
+       CAST(COUNT(*) / 12 AS BIGINT) AS n_buckets,
+       CAST(12 AS INT) AS n_queries,
+       CAST(SUM(skip) AS BIGINT) AS skippable_pairs,
+       CAST(ROUND(CAST(SUM(skip) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+            AS DOUBLE) AS skip_fraction
+FROM probes
+GROUP BY layout
+ORDER BY layout
 """

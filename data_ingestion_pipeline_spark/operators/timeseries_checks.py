@@ -43,6 +43,7 @@ __all__ = [
     "croston_intermittent_demand_part",
     "theta_method_forecast_daily",
     "spectral_entropy_daily_events",
+    "dagostino_k2_daily_values",
     "rolling_corr_purchase_view_14d",
     "autocorr_daily_value",
     "ar2_yule_walker_daily",
@@ -4464,4 +4465,202 @@ SELECT CAST(kk AS INT) AS n_harmonics,
        CAST(ROUND(h / ln(CAST(kk AS DOUBLE)), 6) AS DOUBLE)
            AS spectral_entropy_norm
 FROM ent
+"""
+
+
+def dagostino_k2_daily_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """D'Agostino–Pearson K² omnibus normality test (D'Agostino,
+    Belanger & D'Agostino 1990 — scipy's ``normaltest``) on the daily
+    value series — the FINITE-SAMPLE-calibrated upgrade of
+    ``jarque_bera_daily_values``: JB compares raw √b₁ and b₂ against
+    their ASYMPTOTIC normal limits (badly mis-sized below n≈1000, the
+    regime every daily series lives in); K² pushes each moment through
+    its exact-moment normalizing transform (Johnson SU for skewness,
+    Anscombe–Glynn cube-root for kurtosis) before squaring, K² =
+    Z₁²+Z₂² ~ χ²(2) at practical n.
+
+    Exactness: the four power sums fold in decimal; the mean rounds at
+    9; every downstream scalar is one fixed double expression shared
+    with the oracle (signed cube root as sign·|·|^⅓ on both engines —
+    POWER of a negative base is NaN in both); Z₁/Z₂ round at 6. Scale
+    shape: one daily aggregation, one 4-sum fold, constant algebra."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    s = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("x"), 38, 12).cast("double").alias("s1"),
+        dec_sum(F.col("x") * F.col("x"), 38, 9).cast("double").alias("s2"),
+        dec_sum(F.col("x") * F.col("x") * F.col("x"), 38, 6)
+        .cast("double")
+        .alias("s3"),
+        dec_sum(
+            F.col("x") * F.col("x") * F.col("x") * F.col("x"), 38, 3
+        )
+        .cast("double")
+        .alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.round(F.col("s1") / nd, 9)
+    st = s.select("n", mean.alias("mu"), "s2", "s3", "s4")
+    mu = F.col("mu")
+    m2 = F.col("s2") / nd - mu * mu
+    m3 = F.col("s3") / nd - 3.0 * mu * (F.col("s2") / nd) + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("s4") / nd
+        - 4.0 * mu * (F.col("s3") / nd)
+        + 6.0 * mu * mu * (F.col("s2") / nd)
+        - 3.0 * mu * mu * mu * mu
+    )
+    mom = st.select(
+        "n",
+        F.round(m2, 9).alias("m2"),
+        F.round(m3, 9).alias("m3"),
+        F.round(m4, 9).alias("m4"),
+    )
+    nd2 = F.col("n").cast("double")
+    # m2^1.5 as m2*sqrt(m2) and cbrt as exp(ln/3): POWER has the
+    # documented sub-ULP cross-engine parity risk (the Mood precedent)
+    g1 = F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))
+    b2 = F.col("m4") / (F.col("m2") * F.col("m2"))
+    # skewness transform (Johnson SU)
+    y = g1 * F.sqrt((nd2 + 1.0) * (nd2 + 3.0) / (6.0 * (nd2 - 2.0)))
+    beta2 = (
+        3.0
+        * (nd2 * nd2 + 27.0 * nd2 - 70.0)
+        * (nd2 + 1.0)
+        * (nd2 + 3.0)
+        / ((nd2 - 2.0) * (nd2 + 5.0) * (nd2 + 7.0) * (nd2 + 9.0))
+    )
+    w2 = F.sqrt(2.0 * (beta2 - 1.0)) - 1.0
+    delta = 1.0 / F.sqrt(F.log(F.sqrt(w2)))
+    alpha = F.sqrt(2.0 / (w2 - 1.0))
+    z1 = F.round(
+        delta * F.log(y / alpha + F.sqrt((y / alpha) * (y / alpha) + 1.0)),
+        6,
+    )
+    # kurtosis transform (Anscombe-Glynn)
+    eb2 = 3.0 * (nd2 - 1.0) / (nd2 + 1.0)
+    vb2 = (
+        24.0
+        * nd2
+        * (nd2 - 2.0)
+        * (nd2 - 3.0)
+        / ((nd2 + 1.0) * (nd2 + 1.0) * (nd2 + 3.0) * (nd2 + 5.0))
+    )
+    xk = (b2 - eb2) / F.sqrt(vb2)
+    sb1 = (
+        6.0
+        * (nd2 * nd2 - 5.0 * nd2 + 2.0)
+        / ((nd2 + 7.0) * (nd2 + 9.0))
+        * F.sqrt(
+            6.0 * (nd2 + 3.0) * (nd2 + 5.0)
+            / (nd2 * (nd2 - 2.0) * (nd2 - 3.0))
+        )
+    )
+    aa = 6.0 + 8.0 / sb1 * (2.0 / sb1 + F.sqrt(1.0 + 4.0 / (sb1 * sb1)))
+    inner = (1.0 - 2.0 / aa) / (1.0 + xk * F.sqrt(2.0 / (aa - 4.0)))
+    cbrt = F.when(inner == 0.0, F.lit(0.0)).otherwise(
+        F.signum(inner) * F.exp(F.log(F.abs(inner)) / 3.0)
+    )
+    z2 = F.round(
+        (1.0 - 2.0 / (9.0 * aa) - cbrt) * F.sqrt(9.0 * aa / 2.0), 6
+    )
+    k2 = F.round(z1 * z1 + z2 * z2, 6)
+    return mom.select(
+        "n",
+        F.round(g1, 6).cast("double").alias("skewness"),
+        F.round(b2, 6).cast("double").alias("kurtosis"),
+        z1.cast("double").alias("z_skew"),
+        z2.cast("double").alias("z_kurt"),
+        k2.cast("double").alias("k2_stat"),
+        (k2 > F.lit(5.991465)).alias("non_normal"),
+    )
+
+
+DAGOSTINO_K2_DAILY_VALUES_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) AS s2,
+           CAST(SUM(CAST(x * x * x AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+           CAST(SUM(CAST(x * x * x * x AS DECIMAL(38,3))) AS DOUBLE) AS s4
+    FROM daily
+), st AS (
+    SELECT n, ROUND(s1 / CAST(n AS DOUBLE), 9) AS mu, s2, s3, s4
+    FROM s
+), mom AS (
+    SELECT n,
+           ROUND(s2 / CAST(n AS DOUBLE) - mu * mu, 9) AS m2,
+           ROUND(s3 / CAST(n AS DOUBLE)
+                 - 3.0 * mu * (s2 / CAST(n AS DOUBLE))
+                 + 2.0 * mu * mu * mu, 9) AS m3,
+           ROUND(s4 / CAST(n AS DOUBLE)
+                 - 4.0 * mu * (s3 / CAST(n AS DOUBLE))
+                 + 6.0 * mu * mu * (s2 / CAST(n AS DOUBLE))
+                 - 3.0 * mu * mu * mu * mu, 9) AS m4
+    FROM st
+), d AS (
+    SELECT n, CAST(n AS DOUBLE) AS nd,
+           m3 / (m2 * SQRT(m2)) AS g1,
+           m4 / (m2 * m2) AS b2
+    FROM mom
+), sk AS (
+    SELECT *,
+           g1 * SQRT((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0))) AS y,
+           SQRT(2.0 * (3.0 * (nd * nd + 27.0 * nd - 70.0) * (nd + 1.0)
+                       * (nd + 3.0)
+                       / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0))
+                       - 1.0)) - 1.0 AS w2
+    FROM d
+), z1t AS (
+    SELECT *,
+           ROUND((1.0 / SQRT(ln(SQRT(w2))))
+                 * ln(y / SQRT(2.0 / (w2 - 1.0))
+                      + SQRT((y / SQRT(2.0 / (w2 - 1.0)))
+                             * (y / SQRT(2.0 / (w2 - 1.0))) + 1.0)), 6)
+               AS z1
+    FROM sk
+), kt AS (
+    SELECT *,
+           (b2 - 3.0 * (nd - 1.0) / (nd + 1.0))
+           / SQRT(24.0 * nd * (nd - 2.0) * (nd - 3.0)
+                  / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0)))
+               AS xk,
+           6.0 * (nd * nd - 5.0 * nd + 2.0) / ((nd + 7.0) * (nd + 9.0))
+           * SQRT(6.0 * (nd + 3.0) * (nd + 5.0)
+                  / (nd * (nd - 2.0) * (nd - 3.0))) AS sb1
+    FROM z1t
+), at AS (
+    SELECT *,
+           6.0 + 8.0 / sb1 * (2.0 / sb1 + SQRT(1.0 + 4.0 / (sb1 * sb1)))
+               AS aa
+    FROM kt
+), z2t AS (
+    SELECT *,
+           ROUND((1.0 - 2.0 / (9.0 * aa)
+                  - CASE WHEN (1.0 - 2.0 / aa)
+                              / (1.0 + xk * SQRT(2.0 / (aa - 4.0))) = 0.0
+                         THEN 0.0
+                         ELSE SIGN((1.0 - 2.0 / aa)
+                                   / (1.0 + xk * SQRT(2.0 / (aa - 4.0))))
+                              * EXP(ln(ABS((1.0 - 2.0 / aa)
+                                           / (1.0 + xk
+                                              * SQRT(2.0 / (aa - 4.0)))))
+                                    / 3.0) END)
+                 * SQRT(9.0 * aa / 2.0), 6) AS z2
+    FROM at
+)
+SELECT n,
+       CAST(ROUND(g1, 6) AS DOUBLE) AS skewness,
+       CAST(ROUND(b2, 6) AS DOUBLE) AS kurtosis,
+       CAST(z1 AS DOUBLE) AS z_skew,
+       CAST(z2 AS DOUBLE) AS z_kurt,
+       CAST(ROUND(z1 * z1 + z2 * z2, 6) AS DOUBLE) AS k2_stat,
+       ROUND(z1 * z1 + z2 * z2, 6) > 5.991465 AS non_normal
+FROM z2t
 """

@@ -562,6 +562,10 @@ _ROUND12_QUEUE: list[str] = [
     "croston_intermittent_demand_part",
     "theta_method_forecast_daily",
     "spectral_entropy_daily_events",
+    "seasonal_mann_kendall_daily",
+    "kendalls_w_weekday_event_types",
+    "dagostino_k2_daily_values",
+    "zone_map_skip_report_orders",
 ]
 
 
@@ -3339,4 +3343,28 @@ register(
     "spectral_entropy_daily_events",
     timeseries_checks.spectral_entropy_daily_events,
     timeseries_checks.SPECTRAL_ENTROPY_DAILY_EVENTS_ORACLE,
+)
+
+register(
+    "seasonal_mann_kendall_daily",
+    analytics_checks.seasonal_mann_kendall_daily,
+    analytics_checks.SEASONAL_MANN_KENDALL_DAILY_ORACLE,
+)
+
+register(
+    "kendalls_w_weekday_event_types",
+    analytics_checks.kendalls_w_weekday_event_types,
+    analytics_checks.KENDALLS_W_WEEKDAY_EVENT_TYPES_ORACLE,
+)
+
+register(
+    "dagostino_k2_daily_values",
+    timeseries_checks.dagostino_k2_daily_values,
+    timeseries_checks.DAGOSTINO_K2_DAILY_VALUES_ORACLE,
+)
+
+register(
+    "zone_map_skip_report_orders",
+    relational.zone_map_skip_report_orders,
+    relational.ZONE_MAP_SKIP_REPORT_ORDERS_ORACLE,
 )

@@ -2238,3 +2238,220 @@ def test_spectral_entropy_matches_python_mirror(spark, sf_dir):
     assert row["n_harmonics"] == len(powers)
     assert abs(row["spectral_entropy"] - h) < 1e-4
     assert abs(row["spectral_entropy_norm"] - h / math.log(len(powers))) < 1e-4
+
+
+def test_seasonal_mann_kendall_matches_python_mirror(spark, sf_dir):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        seasonal_mann_kendall_daily,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(ts AS DATE) AS day", "value")
+        .collect()
+    )
+    acc = defaultdict(Decimal)
+    for r in rows:
+        acc[r["day"]] += Decimal(str(r["value"]))
+    per_g = defaultdict(list)
+    for d in sorted(acc):
+        per_g[d.isoweekday()].append(float(acc[d]))
+    s_tot = pairs = n = 0
+    var_tot = 0.0
+    for g, xs in per_g.items():
+        ng = len(xs)
+        n += ng
+        s = 0
+        for i in range(ng):
+            for j in range(i + 1, ng):
+                pairs += 1
+                s += (xs[j] > xs[i]) - (xs[j] < xs[i])
+        s_tot += s
+        ties = defaultdict(int)
+        for v in xs:
+            ties[v] += 1
+        tt = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var_tot += round((ng * (ng - 1) * (2 * ng + 5) - tt) / 18.0, 9)
+    import math
+
+    if s_tot > 0:
+        z = (s_tot - 1) / math.sqrt(var_tot)
+    elif s_tot < 0:
+        z = (s_tot + 1) / math.sqrt(var_tot)
+    else:
+        z = 0.0
+    row = seasonal_mann_kendall_daily(spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert row["n_seasons"] == len(per_g)
+    assert row["n_pairs"] == pairs
+    assert row["s_total"] == s_tot
+    assert abs(row["var_total"] - var_tot) < 1e-4
+    assert abs(row["z"] - z) < 1e-6
+
+
+def test_kendalls_w_matches_python_mirror(spark, sf_dir):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        kendalls_w_weekday_event_types,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "CAST(weekday(ts) + 1 AS INT) AS g", "event_type", "value"
+        )
+        .collect()
+    )
+    acc = defaultdict(Decimal)
+    for r in rows:
+        acc[(r["g"], r["event_type"])] += Decimal(str(r["value"]))
+    cells = {k: round(float(v), 9) for k, v in acc.items()}
+    judges = sorted({g for g, _ in cells})
+    items = sorted({e for _, e in cells})
+    m, k = len(judges), len(items)
+    r2 = defaultdict(int)
+    tt = 0
+    for g in judges:
+        vals = [(cells[(g, e)], e) for e in items if (g, e) in cells]
+        by_v = defaultdict(list)
+        for v, e in vals:
+            by_v[v].append(e)
+        seen = 0
+        for v in sorted(by_v):
+            t = len(by_v[v])
+            dr = 2 * seen + t + 1
+            for e in by_v[v]:
+                r2[e] += dr
+            seen += t
+            tt += t**3 - t
+    sd2 = sum((r2[e] - m * (k + 1)) ** 2 for e in items)
+    w = 3.0 * sd2 / (m * m * (k**3 - k) - m * tt)
+    chi2 = round(m * (k - 1) * round(w, 6), 6)
+    row = kendalls_w_weekday_event_types(spark, sf_dir).collect()[0]
+    assert row["n_judges"] == m
+    assert row["n_items"] == k
+    assert abs(row["kendalls_w"] - w) < 1e-6
+    assert abs(row["chi2"] - chi2) < 1e-6
+    assert 0.0 <= row["kendalls_w"] <= 1.0 + 1e-9
+
+
+def test_dagostino_k2_matches_scipy_formula(spark, sf_dir):
+    """Z1/Z2/K² recomputed with the published transform chain (scipy's
+    normaltest algebra) from the same rounded moments."""
+    import math
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        dagostino_k2_daily_values,
+    )
+
+    x = _daily_series(spark, sf_dir)
+    n = len(x)
+    mu = round(sum(x) / n, 9)
+    m2 = round(sum(v * v for v in x) / n - mu * mu, 9)
+    m3 = round(
+        sum(v**3 for v in x) / n
+        - 3 * mu * (sum(v * v for v in x) / n)
+        + 2 * mu**3,
+        9,
+    )
+    m4 = round(
+        sum(v**4 for v in x) / n
+        - 4 * mu * (sum(v**3 for v in x) / n)
+        + 6 * mu * mu * (sum(v * v for v in x) / n)
+        - 3 * mu**4,
+        9,
+    )
+    g1 = m3 / (m2 * math.sqrt(m2))
+    b2 = m4 / (m2 * m2)
+    y = g1 * math.sqrt((n + 1) * (n + 3) / (6 * (n - 2)))
+    beta2 = (
+        3
+        * (n * n + 27 * n - 70)
+        * (n + 1)
+        * (n + 3)
+        / ((n - 2) * (n + 5) * (n + 7) * (n + 9))
+    )
+    w2 = math.sqrt(2 * (beta2 - 1)) - 1
+    delta = 1 / math.sqrt(math.log(math.sqrt(w2)))
+    alpha = math.sqrt(2 / (w2 - 1))
+    z1 = delta * math.log(y / alpha + math.sqrt((y / alpha) ** 2 + 1))
+    eb2 = 3 * (n - 1) / (n + 1)
+    vb2 = 24 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
+    xk = (b2 - eb2) / math.sqrt(vb2)
+    sb1 = (
+        6
+        * (n * n - 5 * n + 2)
+        / ((n + 7) * (n + 9))
+        * math.sqrt(6 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+    )
+    aa = 6 + 8 / sb1 * (2 / sb1 + math.sqrt(1 + 4 / sb1**2))
+    inner = (1 - 2 / aa) / (1 + xk * math.sqrt(2 / (aa - 4)))
+    cbrt = math.copysign(abs(inner) ** (1 / 3), inner)
+    z2 = (1 - 2 / (9 * aa) - cbrt) * math.sqrt(9 * aa / 2)
+    k2 = round(z1, 6) ** 2 + round(z2, 6) ** 2
+    row = dagostino_k2_daily_values(spark, sf_dir).collect()[0]
+    assert row["n"] == n
+    assert abs(row["skewness"] - g1) < 1e-5
+    assert abs(row["kurtosis"] - b2) < 1e-5
+    assert abs(row["z_skew"] - z1) < 1e-4
+    assert abs(row["z_kurt"] - z2) < 1e-4
+    assert abs(row["k2_stat"] - k2) < 1e-3
+    assert row["non_normal"] == (row["k2_stat"] > 5.991465)
+
+
+def test_zone_map_skip_matches_python_mirror(spark, sf_dir):
+    """Both layouts' zone maps and the 12-window probe replayed in
+    python; date_range must dominate hash_scatter."""
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.relational import (
+        _ZONE_BUCKETS,
+        zone_map_skip_report_orders,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("o_orderkey", "CAST(o_orderdate AS DATE) AS d")
+        .collect()
+    )
+    dmin = min(r["d"] for r in rows)
+    dmax = max(r["d"] for r in rows)
+    width = (dmax - dmin).days // _ZONE_BUCKETS + 1
+    zones = defaultdict(lambda: [None, None])
+    for r in rows:
+        for layout, b in (
+            ("hash_scatter", r["o_orderkey"] % _ZONE_BUCKETS),
+            ("date_range", (r["d"] - dmin).days // width),
+        ):
+            z = zones[(layout, b)]
+            z[0] = r["d"] if z[0] is None else min(z[0], r["d"])
+            z[1] = r["d"] if z[1] is None else max(z[1], r["d"])
+
+    def add_months(d, k):
+        y, m = d.year, d.month - 1 + k
+        return d.replace(year=y + m // 12, month=m % 12 + 1, day=1)
+
+    windows = [
+        (add_months(dmin, 24 + i), add_months(dmin, 25 + i))
+        for i in range(12)
+    ]
+    per = defaultdict(lambda: [0, 0])
+    for (layout, b), (zmin, zmax) in zones.items():
+        for qs, qe in windows:
+            per[layout][1] += 1
+            if zmax < qs or zmin >= qe:
+                per[layout][0] += 1
+    got = {r["layout"]: r for r in zone_map_skip_report_orders(spark, sf_dir).collect()}
+    for layout in ("hash_scatter", "date_range"):
+        skip, tot = per[layout]
+        assert got[layout]["skippable_pairs"] == skip
+        assert abs(got[layout]["skip_fraction"] - skip / tot) < 1e-6
+    assert (
+        got["date_range"]["skip_fraction"]
+        >= got["hash_scatter"]["skip_fraction"]
+    )

@@ -335,6 +335,10 @@ PROBES = [
     ("croston_intermittent_demand_part", ["orders", "lineitem"]),
     ("theta_method_forecast_daily", ["events"]),
     ("spectral_entropy_daily_events", ["events"]),
+    ("seasonal_mann_kendall_daily", ["events"]),
+    ("kendalls_w_weekday_event_types", ["events"]),
+    ("dagostino_k2_daily_values", ["events"]),
+    ("zone_map_skip_report_orders", ["orders"]),
 ]
 
 KEY_OFFSETS = {
