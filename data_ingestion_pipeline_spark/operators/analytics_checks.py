@@ -64,6 +64,7 @@ __all__ = [
     "local_clustering_topk_parts",
     "seasonal_mann_kendall_daily",
     "kendalls_w_weekday_event_types",
+    "ansari_bradley_purchase_view",
     "mutual_information_event_dow",
     "robust_outliers_mad",
     "twap_user_day",
@@ -10276,4 +10277,184 @@ SELECT m AS n_judges, k AS n_items,
                      / CAST(m * m * (k * k * k - k) - m * tt AS DOUBLE), 6),
              6) > 9.487729 AS significant
 FROM dev CROSS JOIN tie
+"""
+
+
+def ansari_bradley_purchase_view(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ansari–Bradley rank test of SCALE (dispersion) between purchase
+    and view values — the rank member of the spread family:
+    ``levene_bf_event_values``/``bartlett_test_event_values`` compare
+    variances through moments (outlier-sensitive), AB scores each
+    pooled observation by its distance from the ends, a_i =
+    min(rank, N+1−rank) — small at the extremes, large in the middle —
+    so a sample concentrated centrally (smaller spread) collects a
+    LARGER score sum. Ties take the average score of the tied span;
+    the z reads W against the conditional linear-rank moments
+    E[W] = n₁s̄, Var[W] = n₁n₂(Σs²−Ns̄²)/(N(N−1)) — exact given the
+    observed (tied) score vector.
+
+    Exactness: the end-distance score prefix M(p) = Σ min(q, N+1−q)
+    has an integer closed form, so every tied span's DOUBLED score sum
+    M₂(cb+t)−M₂(cb) is exact bigint; per-span score means and the
+    moment sums round at 12 into decimal folds; z rounds at 6. Scale
+    shape: one value-grain aggregation, one stitched-free bounded
+    cumulative (the mann-whitney window class), constant algebra."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    g = ev.groupBy("value").agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("t1"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    nn = g.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum("t1").cast("bigint").alias("n1"),
+        F.lit(1).alias("one"),
+    )
+    spans = (
+        g.withColumn(
+            "cb", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("bigint")
+        )
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(nn), "one")
+    )
+
+    def m2(p):
+        # 2·Σ_{q=1..p} min(q, N+1-q): m = (N+1) DIV 2 midpoint
+        m = F.floor((F.col("n") + 1) / 2).cast("bigint")
+        lo = F.least(p, m)
+        head = lo * (lo + 1)
+        tail = F.when(
+            p > m,
+            ((F.col("n") + 1 - p) + (F.col("n") - m)) * (p - m),
+        ).otherwise(F.lit(0))
+        return head + tail
+
+    s2span = (m2(F.col("cb") + F.col("t")) - m2(F.col("cb"))).cast("bigint")
+    avg = s2span.cast("double") / (2.0 * F.col("t").cast("double"))
+    terms = spans.select(
+        "t",
+        "t1",
+        "n",
+        "n1",
+        F.round(F.col("t1").cast("double") * avg, 12).alias("w_term"),
+        F.round(F.col("t").cast("double") * avg, 12).alias("s_term"),
+        F.round(F.col("t").cast("double") * avg * avg, 12).alias("ss_term"),
+    )
+    agg = terms.groupBy("n", "n1").agg(
+        F.sum(F.col("w_term").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("w_stat"),
+        F.sum(F.col("s_term").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s_tot"),
+        F.sum(F.col("ss_term").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("ss_tot"),
+    )
+    nD = F.col("n").cast("double")
+    n1D = F.col("n1").cast("double")
+    n2D = nD - n1D
+    sbar = F.col("s_tot") / nD
+    ew = n1D * sbar
+    varw = (
+        n1D
+        * n2D
+        * (F.col("ss_tot") - nD * sbar * sbar)
+        / (nD * (nD - 1.0))
+    )
+    z = F.round((F.col("w_stat") - ew) / F.sqrt(varw), 6)
+    return agg.select(
+        F.col("n1"),
+        (F.col("n") - F.col("n1")).cast("bigint").alias("n2"),
+        F.round(F.col("w_stat"), 4).cast("double").alias("ab_w"),
+        F.round(ew, 4).cast("double").alias("expected_w"),
+        z.cast("double").alias("z_score"),
+        (F.abs(z) > F.lit(1.959964)).alias("scale_differs"),
+    )
+
+
+ANSARI_BRADLEY_PURCHASE_VIEW_ORACLE = """
+WITH ev AS (
+    SELECT event_type, value FROM events
+    WHERE event_type IN ('purchase', 'view')
+), g AS (
+    SELECT value, CAST(COUNT(*) AS BIGINT) AS t,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                AS BIGINT) AS t1
+    FROM ev GROUP BY value
+), nn AS (
+    SELECT CAST(SUM(t) AS BIGINT) AS n, CAST(SUM(t1) AS BIGINT) AS n1
+    FROM g
+), spans AS (
+    SELECT t, t1, n, n1,
+           CAST(COALESCE(SUM(t) OVER (ORDER BY value
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS cb
+    FROM g CROSS JOIN nn
+), scored AS (
+    SELECT t, t1, n, n1,
+           (LEAST(cb + t, CAST(FLOOR((n + 1) / 2) AS BIGINT))
+              * (LEAST(cb + t, CAST(FLOOR((n + 1) / 2) AS BIGINT)) + 1)
+            + CASE WHEN cb + t > CAST(FLOOR((n + 1) / 2) AS BIGINT)
+                   THEN ((n + 1 - (cb + t))
+                         + (n - CAST(FLOOR((n + 1) / 2) AS BIGINT)))
+                        * ((cb + t) - CAST(FLOOR((n + 1) / 2) AS BIGINT))
+                   ELSE 0 END)
+           - (LEAST(cb, CAST(FLOOR((n + 1) / 2) AS BIGINT))
+                * (LEAST(cb, CAST(FLOOR((n + 1) / 2) AS BIGINT)) + 1)
+              + CASE WHEN cb > CAST(FLOOR((n + 1) / 2) AS BIGINT)
+                     THEN ((n + 1 - cb)
+                           + (n - CAST(FLOOR((n + 1) / 2) AS BIGINT)))
+                          * (cb - CAST(FLOOR((n + 1) / 2) AS BIGINT))
+                     ELSE 0 END) AS s2span
+    FROM spans
+), terms AS (
+    SELECT n, n1,
+           ROUND(CAST(t1 AS DOUBLE)
+                 * (CAST(s2span AS DOUBLE) / (2.0 * CAST(t AS DOUBLE))),
+                 12) AS w_term,
+           ROUND(CAST(t AS DOUBLE)
+                 * (CAST(s2span AS DOUBLE) / (2.0 * CAST(t AS DOUBLE))),
+                 12) AS s_term,
+           ROUND(CAST(t AS DOUBLE)
+                 * (CAST(s2span AS DOUBLE) / (2.0 * CAST(t AS DOUBLE)))
+                 * (CAST(s2span AS DOUBLE) / (2.0 * CAST(t AS DOUBLE))),
+                 12) AS ss_term
+    FROM scored
+), agg AS (
+    SELECT n, n1,
+           CAST(SUM(CAST(w_term AS DECIMAL(38,12))) AS DOUBLE) AS w_stat,
+           CAST(SUM(CAST(s_term AS DECIMAL(38,12))) AS DOUBLE) AS s_tot,
+           CAST(SUM(CAST(ss_term AS DECIMAL(38,12))) AS DOUBLE) AS ss_tot
+    FROM terms GROUP BY n, n1
+)
+SELECT n1, CAST(n - n1 AS BIGINT) AS n2,
+       CAST(ROUND(w_stat, 4) AS DOUBLE) AS ab_w,
+       CAST(ROUND(CAST(n1 AS DOUBLE) * (s_tot / CAST(n AS DOUBLE)), 4)
+            AS DOUBLE) AS expected_w,
+       CAST(ROUND((w_stat - CAST(n1 AS DOUBLE) * (s_tot / CAST(n AS DOUBLE)))
+                  / SQRT(CAST(n1 AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE))
+                         * (ss_tot - CAST(n AS DOUBLE)
+                            * (s_tot / CAST(n AS DOUBLE))
+                            * (s_tot / CAST(n AS DOUBLE)))
+                         / (CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0))), 6) AS DOUBLE)
+           AS z_score,
+       ABS(ROUND((w_stat - CAST(n1 AS DOUBLE) * (s_tot / CAST(n AS DOUBLE)))
+                 / SQRT(CAST(n1 AS DOUBLE)
+                        * (CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE))
+                        * (ss_tot - CAST(n AS DOUBLE)
+                           * (s_tot / CAST(n AS DOUBLE))
+                           * (s_tot / CAST(n AS DOUBLE)))
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - 1.0))), 6)) > 1.959964
+           AS scale_differs
+FROM agg
 """

@@ -28,6 +28,7 @@ __all__ = [
     "white_test_price_quantity",
     "fleming_harrington_test_retention_arms",
     "life_table_retention",
+    "competing_risks_cif_retention",
     "welch_anova_event_values",
     "bartlett_test_event_values",
     "rmst_user_retention",
@@ -4730,4 +4731,261 @@ SELECT CAST(k AS INTEGER) AS interval,
        CAST(CASE WHEN zero_seen > 0 THEN 0.0
                  ELSE ROUND(EXP(ln_sum), 6) END AS DOUBLE) AS cum_survival
 FROM s
+"""
+
+
+def competing_risks_cif_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Aalen–Johansen cumulative incidence functions under COMPETING
+    exit causes: a churned user's lifetime ends either in a
+    purchase-exit (their final event was a purchase — left satisfied)
+    or an other-exit (abandoned mid-journey); 1−KM over-counts each
+    cause's risk because a user removed by one cause can no longer
+    experience the other, the classic competing-risks bias. CIF_k(t) =
+    Σ_{u≤t} Ŝ(u−)·d_k(u)/n(u) with the ALL-cause KM left limit Ŝ —
+    published per event time with both CIFs, and the identity
+    CIF₁+CIF₂ = 1−Ŝ holds exactly (pinned by the mirror test). Same
+    lifetimes/censoring as the KM tier; the last event breaks ts ties
+    deterministically by event-type.
+
+    Exactness: per-time (d₁, d₂, n) are exact bigints; Ŝ(u−) folds as
+    the KM exp(Σln) construction with the zero guard and rounds at 9;
+    CIF increments round at 12 into decimal cumulative sums; outputs
+    round at 6. Scale shape: one user-grain aggregate (window keyed BY
+    user for the last event), then bounded duration-grain windows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    wl = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_type").desc()
+    )
+    per_user = (
+        ev.withColumn("rn", F.row_number().over(wl))
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
+                "last_type"
+            ),
+        )
+    )
+    end = ev.agg(F.max("ts").alias("end_ts"))
+    hours = (
+        (
+            F.unix_micros(F.date_trunc("hour", F.col("last_ts")))
+            - F.unix_micros(F.date_trunc("hour", F.col("first_ts")))
+        )
+        / F.lit(3_600_000_000)
+    ).cast("bigint")
+    churned = F.col("last_ts") < F.col("end_ts") - F.expr("INTERVAL 1 DAYS")
+    grain = (
+        per_user.join(F.broadcast(end))
+        .select(
+            hours.alias("t"),
+            (churned & (F.col("last_type") == "purchase"))
+            .cast("long")
+            .alias("c1"),
+            (churned & (F.col("last_type") != "purchase"))
+            .cast("long")
+            .alias("c2"),
+            (~churned).cast("long").alias("cc"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("c1").cast("bigint").alias("d1"),
+            F.sum("c2").cast("bigint").alias("d2"),
+            F.sum("cc").cast("bigint").alias("c"),
+        )
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = grain.agg(
+        F.sum(F.col("d1") + F.col("d2") + F.col("c")).alias("n_total")
+    )
+    curve = (
+        grain.join(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            (
+                F.col("n_total")
+                - F.coalesce(
+                    F.sum(F.col("d1") + F.col("d2") + F.col("c")).over(w),
+                    F.lit(0),
+                )
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "factor",
+            F.lit(1.0)
+            - (F.col("d1") + F.col("d2")).cast("double")
+            / F.col("n_at_risk").cast("double"),
+        )
+        .withColumn(
+            "ln_prev",
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("factor") > 0.0, F.log("factor")
+                    ).otherwise(F.lit(0.0))
+                ).over(w),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn(
+            "zero_prev",
+            F.coalesce(
+                F.sum((F.col("factor") <= 0.0).cast("long")).over(w),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "s_prev",
+            F.when(F.col("zero_prev") > 0, F.lit(0.0)).otherwise(
+                F.round(F.exp("ln_prev"), 9)
+            ),
+        )
+        .withColumn(
+            "cif1",
+            F.sum(
+                F.round(
+                    F.col("s_prev")
+                    * F.col("d1").cast("double")
+                    / F.col("n_at_risk").cast("double"),
+                    12,
+                ).cast("decimal(27,12)")
+            ).over(wc),
+        )
+        .withColumn(
+            "cif2",
+            F.sum(
+                F.round(
+                    F.col("s_prev")
+                    * F.col("d2").cast("double")
+                    / F.col("n_at_risk").cast("double"),
+                    12,
+                ).cast("decimal(27,12)")
+            ).over(wc),
+        )
+        .withColumn(
+            "ln_cur",
+            F.sum(
+                F.when(F.col("factor") > 0.0, F.log("factor")).otherwise(
+                    F.lit(0.0)
+                )
+            ).over(wc),
+        )
+        .withColumn(
+            "zero_cur",
+            F.sum((F.col("factor") <= 0.0).cast("long")).over(wc),
+        )
+    )
+    return (
+        curve.filter(F.col("d1") + F.col("d2") > 0)
+        .select(
+            F.col("t").cast("int").alias("t_hours"),
+            "n_at_risk",
+            F.col("d1").alias("d_purchase_exit"),
+            F.col("d2").alias("d_other_exit"),
+            F.round(F.col("cif1").cast("double"), 6)
+            .cast("double")
+            .alias("cif_purchase"),
+            F.round(F.col("cif2").cast("double"), 6)
+            .cast("double")
+            .alias("cif_other"),
+            F.when(F.col("zero_cur") > 0, F.lit(0.0))
+            .otherwise(F.round(F.exp("ln_cur"), 6))
+            .cast("double")
+            .alias("km_overall"),
+        )
+    )
+
+
+COMPETING_RISKS_CIF_RETENTION_ORACLE = """
+WITH ev AS (
+    SELECT user_id, ts, event_type FROM events
+), lastt AS (
+    SELECT user_id, ts, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_type DESC) AS rn
+    FROM ev
+), per_user AS (
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           MAX(CASE WHEN rn = 1 THEN event_type END) AS last_type
+    FROM lastt GROUP BY user_id
+), ends AS (SELECT MAX(ts) AS end_ts FROM ev),
+grain AS (
+    SELECT datediff('hour', first_ts, last_ts) AS t,
+           CAST(SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                          AND last_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+           CAST(SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                          AND last_type <> 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+           CAST(SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                         THEN 0 ELSE 1 END) AS BIGINT) AS c
+    FROM per_user CROSS JOIN ends
+    GROUP BY 1
+), tot AS (SELECT SUM(d1 + d2 + c) AS n_total FROM grain),
+curve AS (
+    SELECT t, d1, d2, c,
+           CAST(n_total - COALESCE(SUM(d1 + d2 + c) OVER (
+                    ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_at_risk
+    FROM grain CROSS JOIN tot
+), fac AS (
+    SELECT *,
+           1.0 - CAST(d1 + d2 AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+               AS factor
+    FROM curve
+), sp AS (
+    SELECT *,
+           CASE WHEN COALESCE(SUM(CASE WHEN factor <= 0.0 THEN 1 ELSE 0 END)
+                    OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) > 0
+                THEN 0.0
+                ELSE ROUND(EXP(COALESCE(
+                    SUM(CASE WHEN factor > 0.0 THEN ln(factor) ELSE 0.0 END)
+                    OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0.0)), 9)
+           END AS s_prev,
+           SUM(CASE WHEN factor > 0.0 THEN ln(factor) ELSE 0.0 END)
+               OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ln_cur,
+           SUM(CASE WHEN factor <= 0.0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS zero_cur
+    FROM fac
+), cif AS (
+    SELECT *,
+           SUM(CAST(ROUND(s_prev * CAST(d1 AS DOUBLE)
+                          / CAST(n_at_risk AS DOUBLE), 12)
+                    AS DECIMAL(27,12)))
+               OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cif1,
+           SUM(CAST(ROUND(s_prev * CAST(d2 AS DOUBLE)
+                          / CAST(n_at_risk AS DOUBLE), 12)
+                    AS DECIMAL(27,12)))
+               OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cif2
+    FROM sp
+)
+SELECT CAST(t AS INTEGER) AS t_hours, n_at_risk,
+       d1 AS d_purchase_exit, d2 AS d_other_exit,
+       CAST(ROUND(CAST(cif1 AS DOUBLE), 6) AS DOUBLE) AS cif_purchase,
+       CAST(ROUND(CAST(cif2 AS DOUBLE), 6) AS DOUBLE) AS cif_other,
+       CAST(CASE WHEN zero_cur > 0 THEN 0.0
+                 ELSE ROUND(EXP(ln_cur), 6) END AS DOUBLE) AS km_overall
+FROM cif
+WHERE d1 + d2 > 0
 """

@@ -21,6 +21,7 @@ __all__ = [
     "ams_f2_user_activity_events",
     "binned_range_join_orders_bands",
     "zone_map_skip_report_orders",
+    "bloom_index_probe_orders",
     "misra_gries_heavy_hitters_events",
     "hll_merge_users_weekly",
     "approx_top_k_event_types",
@@ -2212,4 +2213,193 @@ SELECT layout,
 FROM probes
 GROUP BY layout
 ORDER BY layout
+"""
+
+
+_BLOOM_IDX_BITS = 2048
+_BLOOM_IDX_K = 4
+
+
+def bloom_index_probe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket Bloom-filter secondary index probe — the POINT-LOOKUP
+    companion of ``zone_map_skip_report_orders``: zone maps skip scans
+    for RANGE predicates on the clustering key, but a customer lookup
+    on a date-clustered table hits every bucket; a tiny per-bucket
+    Bloom filter over o_custkey (here 2048 bits, 4 md5-derived hashes)
+    lets the planner skip buckets that provably lack the key. Probes
+    the 10 customers with custkey ∈ [0,10) and reports, per probe:
+    buckets the Bloom passes, buckets that truly contain the key, and
+    the false-positive count — the expected-FPR row rides along.
+
+    Exactness: the filter is materialized as the exact SET of set bit
+    positions per bucket (a (bucket, pos) relation — the relational
+    form of the bitset, bounded by 64·2048), positions replay from md5
+    on both engines, and a probe passes iff all 4 of its positions
+    semi-join — pure integer counting. Scale shape: one facts pass to
+    build (bucket, pos), a broadcast 40-row probe relation, one
+    grouped count — the facts never reshuffle at probe time."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    span = o.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    width = (
+        F.floor(F.datediff("dmax", "dmin") / F.lit(_ZONE_BUCKETS)).cast(
+            "bigint"
+        )
+        + 1
+    )
+    bucketed = o.join(F.broadcast(span)).select(
+        "o_custkey",
+        F.floor(F.datediff("d", "dmin") / width).cast("bigint").alias("b"),
+    )
+    ks = spark.range(_BLOOM_IDX_K).select(
+        F.col("id").cast("int").alias("k")
+    )
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("k").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BLOOM_IDX_BITS
+    )
+    bits = (
+        bucketed.crossJoin(F.broadcast(ks))
+        .select("b", pos.alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)  # probed once per probe customer
+    )
+    probes = spark.range(10).select(F.col("id").cast("bigint").alias("ck"))
+    probe_pos = probes.crossJoin(F.broadcast(ks)).select(
+        "ck",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("k").cast("string"),
+                        F.col("ck").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint") % _BLOOM_IDX_BITS,
+    )
+    probe_pos = probe_pos.toDF("ck", "p").distinct()
+    need = probe_pos.groupBy("ck").agg(
+        F.count("*").cast("bigint").alias("need")
+    )
+    passed = (
+        probe_pos.join(bits, "p")
+        .groupBy("ck", "b")
+        .agg(F.count("*").cast("bigint").alias("hit"))
+        .join(F.broadcast(need), "ck")
+        .filter(F.col("hit") == F.col("need"))
+        .groupBy("ck")
+        .agg(F.count("*").cast("bigint").alias("bloom_pass"))
+    )
+    actual = (
+        bucketed.filter(F.col("o_custkey") < 10)
+        .select(F.col("o_custkey").alias("ck"), "b")
+        .distinct()
+        .groupBy("ck")
+        .agg(F.count("*").cast("bigint").alias("true_buckets"))
+    )
+    nb = bits.select("b").distinct().agg(
+        F.count("*").cast("bigint").alias("n_buckets"), F.lit(1).alias("one")
+    )
+    out = (
+        probes.join(passed, "ck", "left")
+        .join(actual, "ck", "left")
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(nb), "one")
+        .select(
+            F.col("ck").alias("probe_custkey"),
+            "n_buckets",
+            F.coalesce(F.col("bloom_pass"), F.lit(0))
+            .cast("bigint")
+            .alias("bloom_pass"),
+            F.coalesce(F.col("true_buckets"), F.lit(0))
+            .cast("bigint")
+            .alias("true_buckets"),
+            (
+                F.coalesce(F.col("bloom_pass"), F.lit(0))
+                - F.coalesce(F.col("true_buckets"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("false_positive_buckets"),
+        )
+        .orderBy("probe_custkey")
+    )
+    return out
+
+
+BLOOM_INDEX_PROBE_ORDERS_ORACLE = f"""
+WITH o AS (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+), span AS (
+    SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM o
+), bucketed AS (
+    SELECT o_custkey,
+           CAST(FLOOR(datediff('day', dmin, d)
+                / (FLOOR(datediff('day', dmin, dmax)
+                         / {_ZONE_BUCKETS}) + 1)) AS BIGINT) AS b
+    FROM o CROSS JOIN span
+), ks AS (
+    SELECT CAST(i AS INT) AS k FROM range({_BLOOM_IDX_K}) t(i)
+), bits AS (
+    SELECT DISTINCT b,
+           ('0x' || substr(md5(k::VARCHAR || ':' || o_custkey::VARCHAR),
+                           1, 8))::BIGINT % {_BLOOM_IDX_BITS} AS p
+    FROM bucketed CROSS JOIN ks
+), probes AS (
+    SELECT CAST(i AS BIGINT) AS ck FROM range(10) t(i)
+), probe_pos AS (
+    SELECT DISTINCT ck,
+           ('0x' || substr(md5(k::VARCHAR || ':' || ck::VARCHAR),
+                           1, 8))::BIGINT % {_BLOOM_IDX_BITS} AS p
+    FROM probes CROSS JOIN ks
+), need AS (
+    SELECT ck, CAST(COUNT(*) AS BIGINT) AS need FROM probe_pos GROUP BY ck
+), passed AS (
+    SELECT ck, CAST(COUNT(*) AS BIGINT) AS bloom_pass
+    FROM (
+        SELECT pp.ck, bt.b, CAST(COUNT(*) AS BIGINT) AS hit
+        FROM probe_pos pp JOIN bits bt USING (p)
+        GROUP BY pp.ck, bt.b
+    ) h JOIN need USING (ck)
+    WHERE h.hit = need.need
+    GROUP BY ck
+), actual AS (
+    SELECT o_custkey AS ck, CAST(COUNT(DISTINCT b) AS BIGINT)
+               AS true_buckets
+    FROM bucketed WHERE o_custkey < 10
+    GROUP BY o_custkey
+), nb AS (
+    SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_buckets FROM bits
+)
+SELECT p.ck AS probe_custkey,
+       nb.n_buckets,
+       COALESCE(ps.bloom_pass, 0) AS bloom_pass,
+       COALESCE(a.true_buckets, 0) AS true_buckets,
+       COALESCE(ps.bloom_pass, 0) - COALESCE(a.true_buckets, 0)
+           AS false_positive_buckets
+FROM probes p
+LEFT JOIN passed ps USING (ck)
+LEFT JOIN actual a USING (ck)
+CROSS JOIN nb
+ORDER BY p.ck
 """

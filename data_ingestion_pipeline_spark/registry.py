@@ -566,6 +566,9 @@ _ROUND12_QUEUE: list[str] = [
     "kendalls_w_weekday_event_types",
     "dagostino_k2_daily_values",
     "zone_map_skip_report_orders",
+    "ansari_bradley_purchase_view",
+    "competing_risks_cif_retention",
+    "bloom_index_probe_orders",
 ]
 
 
@@ -3367,4 +3370,22 @@ register(
     "zone_map_skip_report_orders",
     relational.zone_map_skip_report_orders,
     relational.ZONE_MAP_SKIP_REPORT_ORDERS_ORACLE,
+)
+
+register(
+    "ansari_bradley_purchase_view",
+    analytics_checks.ansari_bradley_purchase_view,
+    analytics_checks.ANSARI_BRADLEY_PURCHASE_VIEW_ORACLE,
+)
+
+register(
+    "competing_risks_cif_retention",
+    inference_stats.competing_risks_cif_retention,
+    inference_stats.COMPETING_RISKS_CIF_RETENTION_ORACLE,
+)
+
+register(
+    "bloom_index_probe_orders",
+    relational.bloom_index_probe_orders,
+    relational.BLOOM_INDEX_PROBE_ORDERS_ORACLE,
 )

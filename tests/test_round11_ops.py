@@ -2455,3 +2455,171 @@ def test_zone_map_skip_matches_python_mirror(spark, sf_dir):
         got["date_range"]["skip_fraction"]
         >= got["hash_scatter"]["skip_fraction"]
     )
+
+
+def test_ansari_bradley_matches_python_mirror(spark, sf_dir):
+    """AB scores recomputed naively (per-position min(rank, N+1-rank)
+    with tie averaging) and the conditional moments from the observed
+    score vector."""
+    import math
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        ansari_bradley_purchase_view,
+    )
+
+    xs, ys = _pv_values(spark, sf_dir)
+    pooled = sorted([(v, 1) for v in xs] + [(v, 2) for v in ys])
+    n = len(pooled)
+    base = [min(p, n + 1 - p) for p in range(1, n + 1)]
+    by_v = defaultdict(list)
+    for pos, (v, grp) in enumerate(pooled):
+        by_v[v].append((pos, grp))
+    scores = {}
+    for v, members in by_v.items():
+        avg = sum(base[pos] for pos, _ in members) / len(members)
+        scores[v] = avg
+    w = sum(scores[v] for v in xs)
+    all_scores = [scores[v] for v, _ in pooled]
+    s_tot = sum(all_scores)
+    ss_tot = sum(s * s for s in all_scores)
+    n1, n2 = len(xs), len(ys)
+    sbar = s_tot / n
+    ew = n1 * sbar
+    var = n1 * n2 * (ss_tot - n * sbar * sbar) / (n * (n - 1))
+    z = (w - ew) / math.sqrt(var)
+    row = ansari_bradley_purchase_view(spark, sf_dir).collect()[0]
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert abs(row["ab_w"] - w) < 1e-3
+    assert abs(row["expected_w"] - ew) < 1e-3
+    assert abs(row["z_score"] - z) < 1e-4
+
+
+def test_competing_risks_cif_matches_python_mirror(spark, sf_dir):
+    """Aalen–Johansen CIFs recomputed in python, plus the identity
+    CIF1 + CIF2 = 1 − KM at every published time."""
+    import datetime
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        competing_risks_cif_retention,
+    )
+
+    per = {}
+    end = None
+    for r in rows:
+        u = r["user_id"]
+        cur = per.get(u)
+        if cur is None:
+            per[u] = [r["ts"], r["ts"], r["event_type"]]
+        else:
+            if r["ts"] < cur[0]:
+                cur[0] = r["ts"]
+            if (r["ts"], r["event_type"]) > (cur[1], cur[2]):
+                if r["ts"] > cur[1]:
+                    cur[1], cur[2] = r["ts"], r["event_type"]
+                elif r["ts"] == cur[1] and r["event_type"] > cur[2]:
+                    cur[2] = r["event_type"]
+        end = r["ts"] if end is None else max(end, r["ts"])
+
+    def hour_floor(t):
+        return t.replace(minute=0, second=0, microsecond=0)
+
+    grain = defaultdict(lambda: [0, 0, 0])
+    for u, (f, l, lt) in per.items():
+        t = int((hour_floor(l) - hour_floor(f)).total_seconds() // 3600)
+        churn = l < end - datetime.timedelta(days=1)
+        if churn and lt == "purchase":
+            grain[t][0] += 1
+        elif churn:
+            grain[t][1] += 1
+        else:
+            grain[t][2] += 1
+    tot = sum(sum(v) for v in grain.values())
+    seen = 0
+    s = 1.0
+    cif1 = cif2 = 0.0
+    expect = {}
+    for t in sorted(grain):
+        d1, d2, c = grain[t]
+        n_risk = tot - seen
+        seen += d1 + d2 + c
+        sp = round(s, 9)
+        if d1 + d2 > 0:
+            cif1 += round(sp * d1 / n_risk, 12)
+            cif2 += round(sp * d2 / n_risk, 12)
+            f = 1 - (d1 + d2) / n_risk
+            s = 0.0 if f <= 0 or s == 0.0 else s * f
+            expect[t] = (n_risk, d1, d2, round(cif1, 6), round(cif2, 6), round(s, 6))
+        else:
+            f = 1 - (d1 + d2) / n_risk
+            s = 0.0 if f <= 0 or s == 0.0 else s * f
+    got = {r["t_hours"]: r for r in competing_risks_cif_retention(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for t, (n_risk, d1, d2, c1, c2, km) in expect.items():
+        r = got[t]
+        assert r["n_at_risk"] == n_risk
+        assert r["d_purchase_exit"] == d1
+        assert r["d_other_exit"] == d2
+        assert abs(r["cif_purchase"] - c1) < 1e-5
+        assert abs(r["cif_other"] - c2) < 1e-5
+        assert abs(r["km_overall"] - km) < 1e-5
+        assert (
+            abs(
+                (r["cif_purchase"] + r["cif_other"]) - (1.0 - r["km_overall"])
+            )
+            < 1e-4
+        )
+
+
+def test_bloom_index_probe_matches_python_mirror(spark, sf_dir):
+    """Bitset replayed with hashlib; bloom_pass must superset
+    true_buckets (no false negatives) for every probe."""
+    import hashlib
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.relational import (
+        _BLOOM_IDX_BITS,
+        _BLOOM_IDX_K,
+        _ZONE_BUCKETS,
+        bloom_index_probe_orders,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) AS d")
+        .collect()
+    )
+    dmin = min(r["d"] for r in rows)
+    dmax = max(r["d"] for r in rows)
+    width = (dmax - dmin).days // _ZONE_BUCKETS + 1
+
+    def h(k, key):
+        return (
+            int(hashlib.md5(f"{k}:{key}".encode()).hexdigest()[:8], 16)
+            % _BLOOM_IDX_BITS
+        )
+
+    bits = defaultdict(set)
+    truth = defaultdict(set)
+    for r in rows:
+        b = (r["d"] - dmin).days // width
+        for k in range(_BLOOM_IDX_K):
+            bits[b].add(h(k, r["o_custkey"]))
+        if r["o_custkey"] < 10:
+            truth[r["o_custkey"]].add(b)
+    got = {r["probe_custkey"]: r for r in bloom_index_probe_orders(spark, sf_dir).collect()}
+    assert len(got) == 10
+    for ck in range(10):
+        pos = {h(k, ck) for k in range(_BLOOM_IDX_K)}
+        passed = sum(1 for b, s in bits.items() if pos <= s)
+        r = got[ck]
+        assert r["bloom_pass"] == passed
+        assert r["true_buckets"] == len(truth.get(ck, set()))
+        assert r["false_positive_buckets"] == passed - len(truth.get(ck, set()))
+        assert r["bloom_pass"] >= r["true_buckets"]  # no false negatives

@@ -339,6 +339,9 @@ PROBES = [
     ("kendalls_w_weekday_event_types", ["events"]),
     ("dagostino_k2_daily_values", ["events"]),
     ("zone_map_skip_report_orders", ["orders"]),
+    ("ansari_bradley_purchase_view", ["events"]),
+    ("competing_risks_cif_retention", ["events"]),
+    ("bloom_index_probe_orders", ["orders"]),
 ]
 
 KEY_OFFSETS = {
