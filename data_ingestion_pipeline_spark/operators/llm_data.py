@@ -51,6 +51,8 @@ from data_ingestion_pipeline_spark.sources.catalog import load_table
 EMB_DIM = 64
 
 __all__ = [
+    "near_dup_threshold_sweep_documents",
+    "ann_ivf_nprobe_sweep_embeddings",
     "doc_tokens_exploded",
     "tfidf_top_terms",
     "bm25_search_documents",
@@ -4583,4 +4585,234 @@ SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
                   / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) AS mean_jaccard,
        CAST(ROUND(MAX(jaccard), 6) AS DOUBLE) AS max_jaccard
 FROM labeled GROUP BY 1, 2
+"""
+
+
+def near_dup_threshold_sweep_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup YIELD CURVE: exact 3-gram Jaccard near-dup pairs on the
+    planted corpus swept across retention thresholds τ ∈ {0.3 … 0.9} —
+    the threshold-picking evidence every dedup rollout needs before
+    committing (``ngram_jaccard_documents`` fixes one τ; curation teams
+    choose τ by exactly this curve): per τ, the surviving pair count,
+    the documents dropped under the keep-smallest-id survivor policy,
+    and the corpus drop fraction. The planted 80%-prefix copies sit at
+    J≈0.8, so the curve's knee between 0.7 and 0.9 is structural.
+
+    Exactness: ONE candidate-pair build at the loosest τ=0.3 (the
+    size-band pruning is recall-complete for every τ ≥ 0.3 since
+    J ≥ τ forces |A|/|B| ≥ τ), then the sweep is a broadcast 7-row
+    fan-out over the bounded pair relation — integer counts, fractions
+    round at 6. Scale shape: the shingle inverted-index join builds
+    pairs once; the sweep adds zero corpus passes."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = _near_dup_corpus(docs)
+    pairs = jaccard_pairs(aug, "text", "doc_id", n=3, threshold=0.3)
+    taus = spark.createDataFrame(
+        [(t,) for t in (30, 40, 50, 60, 70, 80, 90)], "tau int"
+    )
+    tot = aug.agg(
+        F.count("*").cast("bigint").alias("n_docs"), F.lit(1).alias("one")
+    )
+    swept = (
+        pairs.crossJoin(F.broadcast(taus))
+        .filter(
+            F.col("jaccard") >= F.col("tau").cast("double") / F.lit(100.0)
+        )
+        .groupBy("tau")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.countDistinct("id_b").cast("bigint").alias("docs_dropped"),
+        )
+    )
+    return (
+        taus.join(swept, "tau", "left")
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(tot), "one")
+        .select(
+            (F.col("tau").cast("double") / F.lit(100.0)).alias("threshold"),
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.coalesce(F.col("docs_dropped"), F.lit(0))
+            .cast("bigint")
+            .alias("docs_dropped"),
+            "n_docs",
+            F.round(
+                F.coalesce(F.col("docs_dropped"), F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("drop_fraction"),
+        )
+        .orderBy("threshold")
+    )
+
+
+NEAR_DUP_THRESHOLD_SWEEP_DOCUMENTS_ORACLE = r"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), aug AS (
+    SELECT doc_id, toks FROM base
+    UNION ALL
+    SELECT doc_id + 1000000,
+           toks[1:GREATEST(CAST(CEIL(len(toks) * 0.8) AS INTEGER), 1)]
+    FROM base WHERE doc_id % 20 = 0
+), sets AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, GREATEST(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')
+           )) AS sset
+    FROM aug
+), exploded AS (
+    SELECT doc_id, unnest(sset) AS shingle FROM sets
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+    FROM exploded a JOIN exploded b USING (shingle)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT id_a, id_b,
+           ROUND(CAST(n_common AS DOUBLE) /
+                 CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN (SELECT doc_id, len(sset) AS sz FROM sets) sa ON sa.doc_id = id_a
+    JOIN (SELECT doc_id, len(sset) AS sz FROM sets) sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / CAST(sa.sz + sb.sz - n_common AS DOUBLE)
+          >= 0.3
+), taus AS (
+    SELECT CAST(t AS INT) AS tau FROM (VALUES (30), (40), (50), (60),
+                                              (70), (80), (90)) v(t)
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM aug
+), swept AS (
+    SELECT tau,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT id_b) AS BIGINT) AS docs_dropped
+    FROM pairs CROSS JOIN taus
+    WHERE jaccard >= CAST(tau AS DOUBLE) / 100.0
+    GROUP BY tau
+)
+SELECT CAST(t.tau AS DOUBLE) / 100.0 AS threshold,
+       COALESCE(s.n_pairs, 0) AS n_pairs,
+       COALESCE(s.docs_dropped, 0) AS docs_dropped,
+       tot.n_docs,
+       CAST(ROUND(CAST(COALESCE(s.docs_dropped, 0) AS DOUBLE)
+                  / CAST(tot.n_docs AS DOUBLE), 6) AS DOUBLE)
+           AS drop_fraction
+FROM taus t LEFT JOIN swept s USING (tau) CROSS JOIN tot
+ORDER BY threshold
+"""
+
+
+def ann_ivf_nprobe_sweep_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF recall-vs-cost SWEEP: the same 16-cell index probed at
+    nprobe ∈ {1, 2, 4, 8, 16} — the tuning curve behind
+    ``ann_ivf_recall_embeddings``'s single point (nprobe is THE knob an
+    IVF deployment turns; candidate cost scales ~nprobe/C while recall
+    climbs toward exact): per nprobe, the scanned-cell fraction and two
+    structural gates — per-query recall@10 clears a with-margin floor,
+    and the sweep-wide property that MEAN recall is nondecreasing in
+    nprobe AND nprobe=C reproduces the exhaustive top-10 EXACTLY (at
+    full probe the pruned index scans every cell, so any deviation is a
+    probe-join or tie-break bug — both rankers break ties by vec_id).
+
+    Oracle style: the data-derived boolean contract of the recall-gate
+    family (floors hold with margin across fixture regenerations).
+    Scale shape: 5 probe joins over the ONE assigned corpus — the
+    sweep shares the centroid collect and the assignment pass."""
+    from data_ingestion_pipeline_spark.similarity.brute_force import (
+        topk_cosine_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _ann_query_batch(emb)
+    brute = topk_cosine_batch(emb, q, k=10).localCheckpoint(eager=False)
+    floors = {1: 0.05, 2: 0.05, 4: 0.2, 8: 0.3, 16: 0.99}
+    per = []
+    for nprobe in (1, 2, 4, 8, 16):
+        ann = ivf_topk(emb, q, k=10, n_centroids=16, nprobe=nprobe)
+        hits = (
+            ann.join(
+                brute.select("query_id", "vec_id"), ["query_id", "vec_id"]
+            )
+            .groupBy("query_id")
+            .agg(F.count("*").alias("h"))
+        )
+        rec = (
+            brute.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                "query_id",
+                (F.coalesce(F.col("h"), F.lit(0)).cast("double") / 10.0).alias(
+                    "recall"
+                ),
+            )
+        )
+        per.append(rec)
+    allrec = per[0]
+    for r in per[1:]:
+        allrec = allrec.unionByName(r)
+    flr = F.create_map(
+        *[F.lit(x) for kv in floors.items() for x in kv]
+    )
+    stats = allrec.groupBy("nprobe").agg(
+        F.min("recall").alias("min_recall"),
+        F.avg("recall").alias("mean_recall"),
+    )
+    wmono = Window.partitionBy(F.lit(1) % 1).orderBy("nprobe")
+    sweep = stats.select(
+        "nprobe",
+        "min_recall",
+        "mean_recall",
+        F.lag("mean_recall").over(wmono).alias("prev_mean"),
+    )
+    mono_all = sweep.agg(
+        F.min(
+            F.when(
+                F.col("prev_mean").isNull()
+                | (F.col("mean_recall") >= F.col("prev_mean") - 1e-9),
+                True,
+            ).otherwise(False)
+        ).alias("monotone"),
+        F.min(
+            F.when(F.col("nprobe") == 16, F.col("min_recall") >= 1.0)
+        ).alias("exact_at_full"),
+        F.lit(1).alias("one"),
+    )
+    return (
+        sweep.withColumn("one", F.lit(1))
+        .join(F.broadcast(mono_all), "one")
+        .select(
+            "nprobe",
+            F.lit(10).cast("int").alias("k"),
+            F.round(F.col("nprobe").cast("double") / 16.0, 6)
+            .cast("double")
+            .alias("cell_fraction"),
+            (F.col("min_recall") >= flr[F.col("nprobe")]).alias(
+                "recall_ok"
+            ),
+            (F.col("monotone") & F.col("exact_at_full")).alias(
+                "sweep_sound"
+            ),
+        )
+        .orderBy("nprobe")
+    )
+
+
+ANN_IVF_NPROBE_SWEEP_EMBEDDINGS_ORACLE = """
+SELECT CAST(np AS INT) AS nprobe, CAST(10 AS INT) AS k,
+       CAST(ROUND(CAST(np AS DOUBLE) / 16.0, 6) AS DOUBLE)
+           AS cell_fraction,
+       TRUE AS recall_ok,
+       TRUE AS sweep_sound
+FROM (VALUES (1), (2), (4), (8), (16)) v(np)
+ORDER BY np
 """

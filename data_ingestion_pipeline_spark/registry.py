@@ -569,6 +569,8 @@ _ROUND12_QUEUE: list[str] = [
     "ansari_bradley_purchase_view",
     "competing_risks_cif_retention",
     "bloom_index_probe_orders",
+    "near_dup_threshold_sweep_documents",
+    "ann_ivf_nprobe_sweep_embeddings",
 ]
 
 
@@ -3388,4 +3390,16 @@ register(
     "bloom_index_probe_orders",
     relational.bloom_index_probe_orders,
     relational.BLOOM_INDEX_PROBE_ORDERS_ORACLE,
+)
+
+register(
+    "near_dup_threshold_sweep_documents",
+    llm_data.near_dup_threshold_sweep_documents,
+    llm_data.NEAR_DUP_THRESHOLD_SWEEP_DOCUMENTS_ORACLE,
+)
+
+register(
+    "ann_ivf_nprobe_sweep_embeddings",
+    llm_data.ann_ivf_nprobe_sweep_embeddings,
+    llm_data.ANN_IVF_NPROBE_SWEEP_EMBEDDINGS_ORACLE,
 )

@@ -2623,3 +2623,97 @@ def test_bloom_index_probe_matches_python_mirror(spark, sf_dir):
         assert r["true_buckets"] == len(truth.get(ck, set()))
         assert r["false_positive_buckets"] == passed - len(truth.get(ck, set()))
         assert r["bloom_pass"] >= r["true_buckets"]  # no false negatives
+
+
+def test_near_dup_threshold_sweep_matches_python_mirror(spark, sf_dir):
+    """Pairs and keep-first drops recomputed with brute-force python
+    shingle sets; the curve must be monotone nonincreasing in τ."""
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.llm_data import (
+        near_dup_threshold_sweep_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    corpus = {}
+    for r in docs:
+        toks = r["text"].strip().split()
+        corpus[r["doc_id"]] = toks
+        if r["doc_id"] % 20 == 0:
+            keep = max(-(-len(toks) * 4 // 5), 1)
+            corpus[r["doc_id"] + 1000000] = toks[:keep]
+    sets = {
+        d: {
+            " ".join(t[i : i + 3])
+            for i in range(max(len(t) - 2, 1))
+        }
+        for d, t in corpus.items()
+    }
+    ids = sorted(sets)
+    pairs = []
+    inv = defaultdict(set)
+    for d, ss in sets.items():
+        for sh in ss:
+            inv[sh].add(d)
+    cand = set()
+    for ds in inv.values():
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cand.add((ds[i], ds[j]))
+    for a, b in cand:
+        inter = len(sets[a] & sets[b])
+        jac = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+        if jac >= 0.3:
+            pairs.append((a, b, jac))
+    got = near_dup_threshold_sweep_documents(spark, sf_dir).collect()
+    assert len(got) == 7
+    prev_pairs = None
+    for row in got:
+        tau = row["threshold"]
+        keep = [(a, b) for a, b, j in pairs if j >= tau]
+        dropped = {b for _, b in keep}
+        assert row["n_pairs"] == len(keep)
+        assert row["docs_dropped"] == len(dropped)
+        assert row["n_docs"] == len(corpus)
+        assert abs(row["drop_fraction"] - len(dropped) / len(corpus)) < 1e-6
+        if prev_pairs is not None:
+            assert row["n_pairs"] <= prev_pairs
+        prev_pairs = row["n_pairs"]
+
+
+def test_ann_ivf_nprobe_sweep_structure_and_full_probe_exactness(
+    spark, sf_dir
+):
+    """All gates must hold, and independently: probing all 16 cells must
+    reproduce the exhaustive top-10 row set exactly."""
+    from data_ingestion_pipeline_spark.operators.llm_data import (
+        _ann_query_batch,
+        ann_ivf_nprobe_sweep_embeddings,
+    )
+    from data_ingestion_pipeline_spark.similarity.brute_force import (
+        topk_cosine_batch,
+    )
+    from data_ingestion_pipeline_spark.similarity.ivf import ivf_topk
+
+    got = ann_ivf_nprobe_sweep_embeddings(spark, sf_dir).collect()
+    assert [r["nprobe"] for r in got] == [1, 2, 4, 8, 16]
+    for r in got:
+        assert r["recall_ok"] is True
+        assert r["sweep_sound"] is True
+        assert abs(r["cell_fraction"] - r["nprobe"] / 16.0) < 1e-9
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _ann_query_batch(emb)
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, q, k=10, n_centroids=16, nprobe=16).select(
+            "query_id", "vec_id"
+        ).collect()
+    }
+    brute = {
+        (r["query_id"], r["vec_id"])
+        for r in topk_cosine_batch(emb, q, k=10)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    assert full == brute

@@ -342,6 +342,8 @@ PROBES = [
     ("ansari_bradley_purchase_view", ["events"]),
     ("competing_risks_cif_retention", ["events"]),
     ("bloom_index_probe_orders", ["orders"]),
+    ("near_dup_threshold_sweep_documents", ["documents"]),
+    ("ann_ivf_nprobe_sweep_embeddings", ["embeddings"]),
 ]
 
 KEY_OFFSETS = {
