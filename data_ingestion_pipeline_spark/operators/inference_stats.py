@@ -29,6 +29,10 @@ __all__ = [
     "fleming_harrington_test_retention_arms",
     "life_table_retention",
     "competing_risks_cif_retention",
+    "hotelling_t2_weekpart_daily",
+    "mahalanobis_outliers_lineitem",
+    "cronbach_alpha_event_types_users",
+    "odds_ratio_ci_priority_status_orders",
     "welch_anova_event_values",
     "bartlett_test_event_values",
     "rmst_user_retention",
@@ -4988,4 +4992,607 @@ SELECT CAST(t AS INTEGER) AS t_hours, n_at_risk,
                  ELSE ROUND(EXP(ln_cur), 6) END AS DOUBLE) AS km_overall
 FROM cif
 WHERE d1 + d2 > 0
+"""
+
+
+def hotelling_t2_weekpart_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hotelling's T² two-sample test (Hotelling 1931) comparing the
+    JOINT daily (purchase $, view $) mean vector between weekday and
+    weekend days — the MULTIVARIATE member of the two-sample family:
+    running ``welch_ttest_purchase_view_daily``-style tests per metric
+    ignores their correlation and inflates the family error; T² =
+    n₁n₂/(n₁+n₂)·d'S_p⁻¹d tests both means at once through the pooled
+    covariance, catching joint shifts a per-metric scan dilutes. The
+    verdict reads the F form F = (n−p−1)/(p(n−2))·T² against the
+    asymptotic χ²(2)/2-grade 5% point (dfs published; n is in the
+    hundreds, where F(2, n−3) ≈ χ²(2)/2 to the 3rd decimal —
+    documented).
+
+    Exactness: per-group sums and cross-products fold in decimal;
+    means and (co)variances round at 9; the 2×2 inverse is the closed
+    adjugate over one determinant; T²/F round at 6. Scale shape: one
+    daily aggregation, two group folds, constant algebra."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        dec_sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).otherwise(F.lit(0.0)),
+            27,
+            12,
+        )
+        .cast("double")
+        .alias("x"),
+        dec_sum(
+            F.when(F.col("event_type") == "view", F.col("value")).otherwise(
+                F.lit(0.0)
+            ),
+            27,
+            12,
+        )
+        .cast("double")
+        .alias("y"),
+    ).withColumn("wk", (F.weekday("day") >= 5).cast("int"))
+    g = daily.groupBy("wk").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("x"), 38, 12).cast("double").alias("sx"),
+        dec_sum(F.col("y"), 38, 12).cast("double").alias("sy"),
+        dec_sum(F.col("x") * F.col("x"), 38, 9).cast("double").alias("sxx"),
+        dec_sum(F.col("y") * F.col("y"), 38, 9).cast("double").alias("syy"),
+        dec_sum(F.col("x") * F.col("y"), 38, 9).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.round(F.col("sx") / nd, 9)
+    my = F.round(F.col("sy") / nd, 9)
+    cxx = F.round(F.col("sxx") - F.col("sx") * F.col("sx") / nd, 9)
+    cyy = F.round(F.col("syy") - F.col("sy") * F.col("sy") / nd, 9)
+    cxy = F.round(F.col("sxy") - F.col("sx") * F.col("sy") / nd, 9)
+    stats = g.select(
+        "wk", "n", mx.alias("mx"), my.alias("my"),
+        cxx.alias("cxx"), cyy.alias("cyy"), cxy.alias("cxy"),
+    )
+    a = stats.filter(F.col("wk") == 0).select(
+        F.col("n").alias("n1"), F.col("mx").alias("mx1"),
+        F.col("my").alias("my1"), F.col("cxx").alias("cxx1"),
+        F.col("cyy").alias("cyy1"), F.col("cxy").alias("cxy1"),
+        F.lit(1).alias("one"),
+    )
+    b = stats.filter(F.col("wk") == 1).select(
+        F.col("n").alias("n2"), F.col("mx").alias("mx2"),
+        F.col("my").alias("my2"), F.col("cxx").alias("cxx2"),
+        F.col("cyy").alias("cyy2"), F.col("cxy").alias("cxy2"),
+        F.lit(1).alias("one"),
+    )
+    j = a.join(F.broadcast(b), "one")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    sxx = (F.col("cxx1") + F.col("cxx2")) / (n1 + n2 - 2.0)
+    syy = (F.col("cyy1") + F.col("cyy2")) / (n1 + n2 - 2.0)
+    sxy = (F.col("cxy1") + F.col("cxy2")) / (n1 + n2 - 2.0)
+    det = sxx * syy - sxy * sxy
+    dx = F.col("mx1") - F.col("mx2")
+    dy = F.col("my1") - F.col("my2")
+    quad = (dx * (syy * dx - sxy * dy) + dy * (sxx * dy - sxy * dx)) / det
+    t2 = F.round(n1 * n2 / (n1 + n2) * quad, 6)
+    f = F.round(
+        (n1 + n2 - 3.0) / (2.0 * (n1 + n2 - 2.0)) * t2, 6
+    )
+    return j.select(
+        F.col("n1").alias("n_weekday"),
+        F.col("n2").alias("n_weekend"),
+        t2.cast("double").alias("t2_stat"),
+        f.cast("double").alias("f_stat"),
+        F.lit(2).cast("int").alias("df1"),
+        (F.col("n1") + F.col("n2") - 3).cast("bigint").alias("df2"),
+        (t2 > F.lit(5.991465)).alias("significant_chi2"),
+    )
+
+
+HOTELLING_T2_WEEKPART_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                              ELSE 0.0 END AS DECIMAL(27,12))) AS DOUBLE) AS x,
+           CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value
+                              ELSE 0.0 END AS DECIMAL(27,12))) AS DOUBLE) AS y
+    FROM events WHERE event_type IN ('purchase', 'view')
+    GROUP BY 1
+), keyed AS (
+    SELECT x, y, CASE WHEN isodow(day) >= 6 THEN 1 ELSE 0 END AS wk
+    FROM daily
+), g AS (
+    SELECT wk, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,9))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,9))) AS DOUBLE) AS sxy
+    FROM keyed GROUP BY wk
+), stats AS (
+    SELECT wk, n,
+           ROUND(sx / CAST(n AS DOUBLE), 9) AS mx,
+           ROUND(sy / CAST(n AS DOUBLE), 9) AS my,
+           ROUND(sxx - sx * sx / CAST(n AS DOUBLE), 9) AS cxx,
+           ROUND(syy - sy * sy / CAST(n AS DOUBLE), 9) AS cyy,
+           ROUND(sxy - sx * sy / CAST(n AS DOUBLE), 9) AS cxy
+    FROM g
+), j AS (
+    SELECT a.n AS n1, a.mx AS mx1, a.my AS my1,
+           a.cxx AS cxx1, a.cyy AS cyy1, a.cxy AS cxy1,
+           b.n AS n2, b.mx AS mx2, b.my AS my2,
+           b.cxx AS cxx2, b.cyy AS cyy2, b.cxy AS cxy2
+    FROM (SELECT * FROM stats WHERE wk = 0) a
+    CROSS JOIN (SELECT * FROM stats WHERE wk = 1) b
+), alg AS (
+    SELECT n1, n2,
+           ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                 * (((mx1 - mx2)
+                     * (((cyy1 + cyy2) / (CAST(n1 AS DOUBLE)
+                                          + CAST(n2 AS DOUBLE) - 2.0))
+                          * (mx1 - mx2)
+                        - ((cxy1 + cxy2) / (CAST(n1 AS DOUBLE)
+                                            + CAST(n2 AS DOUBLE) - 2.0))
+                          * (my1 - my2))
+                     + (my1 - my2)
+                       * (((cxx1 + cxx2) / (CAST(n1 AS DOUBLE)
+                                            + CAST(n2 AS DOUBLE) - 2.0))
+                            * (my1 - my2)
+                          - ((cxy1 + cxy2) / (CAST(n1 AS DOUBLE)
+                                              + CAST(n2 AS DOUBLE) - 2.0))
+                            * (mx1 - mx2)))
+                    / (((cxx1 + cxx2) / (CAST(n1 AS DOUBLE)
+                                         + CAST(n2 AS DOUBLE) - 2.0))
+                       * ((cyy1 + cyy2) / (CAST(n1 AS DOUBLE)
+                                           + CAST(n2 AS DOUBLE) - 2.0))
+                       - ((cxy1 + cxy2) / (CAST(n1 AS DOUBLE)
+                                           + CAST(n2 AS DOUBLE) - 2.0))
+                         * ((cxy1 + cxy2) / (CAST(n1 AS DOUBLE)
+                                             + CAST(n2 AS DOUBLE) - 2.0)))),
+                 6) AS t2
+    FROM j
+)
+SELECT n1 AS n_weekday, n2 AS n_weekend,
+       CAST(t2 AS DOUBLE) AS t2_stat,
+       CAST(ROUND((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 3.0)
+                  / (2.0 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))
+                  * t2, 6) AS DOUBLE) AS f_stat,
+       CAST(2 AS INT) AS df1,
+       CAST(n1 + n2 - 3 AS BIGINT) AS df2,
+       t2 > 5.991465 AS significant_chi2
+FROM alg
+"""
+
+
+def mahalanobis_outliers_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-10 bivariate Mahalanobis outliers over (quantity, extended
+    price) — the MULTIVARIATE member of the outlier family:
+    ``robust_outliers_mad``/``event_value_outliers`` read one column at
+    a time and miss points that are unremarkable marginally but
+    IMPOSSIBLE jointly (tiny quantity at a huge price); d² =
+    (v−μ)'Σ⁻¹(v−μ) whitens by the 2×2 covariance so the correlated
+    price~quantity ridge doesn't drown the off-ridge anomalies, and
+    under normality d² ~ χ²(2), giving the 13.815511 (99.9%) flag.
+
+    Exactness: μ/Σ come from one decimal 5-sum fold rounded at 9; d²
+    is one fixed double expression per row (closed 2×2 adjugate
+    inverse) rounded at 6; the top-10 is TakeOrdered on (d² desc,
+    orderkey, linenumber) — fully deterministic under ties. Scale
+    shape: two corpus passes (moments, then score+top-k), no joins
+    beyond the 1-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    s = li.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("x"), 27, 12).cast("double").alias("sx"),
+        dec_sum(F.col("y"), 38, 12).cast("double").alias("sy"),
+        dec_sum(F.col("x") * F.col("x"), 38, 9).cast("double").alias("sxx"),
+        dec_sum(F.col("y") * F.col("y"), 38, 6).cast("double").alias("syy"),
+        dec_sum(F.col("x") * F.col("y"), 38, 9).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    p = s.select(
+        F.round(F.col("sx") / nd, 9).alias("mx"),
+        F.round(F.col("sy") / nd, 9).alias("my"),
+        F.round((F.col("sxx") - F.col("sx") * F.col("sx") / nd) / (nd - 1.0), 9).alias("cxx"),
+        F.round((F.col("syy") - F.col("sy") * F.col("sy") / nd) / (nd - 1.0), 9).alias("cyy"),
+        F.round((F.col("sxy") - F.col("sx") * F.col("sy") / nd) / (nd - 1.0), 9).alias("cxy"),
+        F.lit(1).alias("one"),
+    )
+    j = li.withColumn("one", F.lit(1)).join(F.broadcast(p), "one")
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    det = F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy")
+    d2 = F.round(
+        (
+            dx * (F.col("cyy") * dx - F.col("cxy") * dy)
+            + dy * (F.col("cxx") * dy - F.col("cxy") * dx)
+        )
+        / det,
+        6,
+    )
+    return (
+        j.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("x").alias("quantity"),
+            F.col("y").alias("price"),
+            d2.cast("double").alias("mahalanobis_d2"),
+        )
+        .orderBy(
+            F.col("mahalanobis_d2").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(10)
+        .withColumn(
+            "outlier_999", F.col("mahalanobis_d2") > F.lit(13.815511)
+        )
+    )
+
+
+MAHALANOBIS_OUTLIERS_LINEITEM_ORACLE = """
+WITH base AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS x,
+           CAST(l_extendedprice AS DOUBLE) AS y
+    FROM lineitem
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,9))) AS DOUBLE) AS sxy
+    FROM base
+), p AS (
+    SELECT ROUND(sx / CAST(n AS DOUBLE), 9) AS mx,
+           ROUND(sy / CAST(n AS DOUBLE), 9) AS my,
+           ROUND((sxx - sx * sx / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0), 9) AS cxx,
+           ROUND((syy - sy * sy / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0), 9) AS cyy,
+           ROUND((sxy - sx * sy / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0), 9) AS cxy
+    FROM s
+), scored AS (
+    SELECT l_orderkey, l_linenumber, x AS quantity, y AS price,
+           ROUND(((x - mx) * (cyy * (x - mx) - cxy * (y - my))
+                  + (y - my) * (cxx * (y - my) - cxy * (x - mx)))
+                 / (cxx * cyy - cxy * cxy), 6) AS mahalanobis_d2
+    FROM base CROSS JOIN p
+)
+SELECT l_orderkey, l_linenumber, quantity, price,
+       CAST(mahalanobis_d2 AS DOUBLE) AS mahalanobis_d2,
+       mahalanobis_d2 > 13.815511 AS outlier_999
+FROM scored
+ORDER BY mahalanobis_d2 DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 10
+"""
+
+
+def cronbach_alpha_event_types_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cronbach's α (Cronbach 1951) treating the 5 event types as scale
+    ITEMS and users as subjects (per-user dollar totals per type) —
+    the RELIABILITY member next to ``cohens_kappa_quality_flags`` (two
+    raters, categorical) and ``kendalls_w_weekday_event_types`` (many
+    judges, ranks): α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total) asks whether the
+    per-type engagement signals cohere into one "activity" construct
+    (α→1) or measure unrelated things (α→0); the item-dropped α
+    column is the standard item-diagnostic.
+
+    Exactness: the user×item matrix folds from ONE facts pass (missing
+    cells are true zeros); per-item and total-score variances come
+    from decimal power sums rounded at 9; α rounds at 6. Item-dropped
+    variance uses the identity σ²(T−i) = σ²_T + σ²ᵢ − 2cov(T,i) from
+    the same sums — no second pass. Scale shape: one user-grain
+    pivot-free fold, k-row algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy("user_id", "event_type").agg(
+        dec_sum(F.col("value"), 27, 12).cast("double").alias("v")
+    )
+    types = [r[0] for r in cells.select("event_type").distinct().orderBy("event_type").collect()]
+    wide = cells.groupBy("user_id").pivot("event_type", types).agg(
+        F.first("v")
+    )
+    for t in types:
+        wide = wide.withColumn(t, F.coalesce(F.col(t), F.lit(0.0)))
+    tot = wide.withColumn(
+        "total", sum(F.col(t) for t in types)
+    )
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for t in types:
+        aggs.append(dec_sum(F.col(t), 38, 12).cast("double").alias(f"s_{t}"))
+        aggs.append(
+            dec_sum(F.col(t) * F.col(t), 38, 9)
+            .cast("double")
+            .alias(f"ss_{t}")
+        )
+        aggs.append(
+            dec_sum(F.col(t) * F.col("total"), 38, 9)
+            .cast("double")
+            .alias(f"st_{t}")
+        )
+    aggs.append(dec_sum(F.col("total"), 38, 12).cast("double").alias("s_tot"))
+    aggs.append(
+        dec_sum(F.col("total") * F.col("total"), 38, 9)
+        .cast("double")
+        .alias("ss_tot")
+    )
+    s = tot.agg(*aggs)
+    nd = F.col("n").cast("double")
+
+    def var(ss, sm):
+        return F.round((ss - sm * sm / nd) / (nd - 1.0), 9)
+
+    def cov(sp, sa, sb):
+        return F.round((sp - sa * sb / nd) / (nd - 1.0), 9)
+
+    var_tot = var(F.col("ss_tot"), F.col("s_tot"))
+    sum_var_items = None
+    for t in types:
+        v = var(F.col(f"ss_{t}"), F.col(f"s_{t}"))
+        sum_var_items = v if sum_var_items is None else sum_var_items + v
+    k = float(len(types))
+    alpha = F.round(
+        F.lit(k) / F.lit(k - 1.0) * (F.lit(1.0) - sum_var_items / var_tot), 6
+    )
+    base = s.select(
+        "n",
+        F.lit(int(k)).cast("int").alias("k_items"),
+        alpha.alias("alpha"),
+        var_tot.alias("vt"),
+        *[var(F.col(f"ss_{t}"), F.col(f"s_{t}")).alias(f"v_{t}") for t in types],
+        *[
+            cov(F.col(f"st_{t}"), F.col(f"s_{t}"), F.col("s_tot")).alias(
+                f"c_{t}"
+            )
+            for t in types
+        ],
+    )
+    rows = []
+    for t in types:
+        # dropped-item variance: var(T - i) = vT + vi - 2 cov(T, i)
+        vd = F.col("vt") + F.col(f"v_{t}") - 2.0 * F.col(f"c_{t}")
+        others = [u for u in types if u != t]
+        sv = None
+        for u in others:
+            sv = F.col(f"v_{u}") if sv is None else sv + F.col(f"v_{u}")
+        km1 = float(len(others))
+        a_drop = F.round(
+            F.lit(km1) / F.lit(km1 - 1.0) * (F.lit(1.0) - sv / vd), 6
+        )
+        rows.append(
+            base.select(
+                F.lit(t).alias("item"),
+                "n",
+                "k_items",
+                F.col("alpha").cast("double").alias("alpha"),
+                a_drop.cast("double").alias("alpha_if_dropped"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("item")
+
+
+def _cronbach_oracle() -> str:
+    types = ["click", "error", "purchase", "signup", "view"]
+    k = len(types)
+    cols = ",\n           ".join(
+        f"COALESCE(SUM(CASE WHEN event_type = '{t}' THEN"
+        f" CAST(value AS DECIMAL(27,12)) END), 0) AS v_{t}"
+        for t in types
+    )
+    sums = []
+    for t in types:
+        sums.append(
+            f"CAST(SUM(CAST(v_{t} AS DECIMAL(38,12))) AS DOUBLE) AS s_{t}"
+        )
+        sums.append(
+            f"CAST(SUM(CAST(v_{t} * v_{t} AS DECIMAL(38,9))) AS DOUBLE)"
+            f" AS ss_{t}"
+        )
+        sums.append(
+            f"CAST(SUM(CAST(v_{t} * total AS DECIMAL(38,9))) AS DOUBLE)"
+            f" AS st_{t}"
+        )
+    # total adds the DOUBLE-cast items left-to-right — the exact order
+    # Spark's python sum() builds — NOT a decimal sum cast once (ULP risk)
+    total_expr = " + ".join(f"CAST(v_{t} AS DOUBLE)" for t in types)
+    var = (
+        lambda ss, sm: f"ROUND(({ss} - {sm} * {sm} / CAST(n AS DOUBLE))"
+        f" / (CAST(n AS DOUBLE) - 1.0), 9)"
+    )
+    sum_vi = " + ".join(var(f"ss_{t}", f"s_{t}") for t in types)
+    joined_sums = ",\n           ".join(sums)
+    pieces = []
+    for t in types:
+        others = [u for u in types if u != t]
+        sv = " + ".join(var(f"ss_{u}", f"s_{u}") for u in others)
+        vd = (
+            f"({var('ss_tot', 's_tot')} + {var(f'ss_{t}', f's_{t}')}"
+            f" - 2.0 * ROUND((st_{t} - s_{t} * s_tot / CAST(n AS DOUBLE))"
+            f" / (CAST(n AS DOUBLE) - 1.0), 9))"
+        )
+        km1 = float(k - 1)
+        pieces.append(f"""
+SELECT '{t}' AS item, n, CAST({k} AS INT) AS k_items,
+       CAST(ROUND({float(k)} / {float(k - 1)}
+                  * (1.0 - ({sum_vi}) / {var('ss_tot', 's_tot')}), 6)
+            AS DOUBLE) AS alpha,
+       CAST(ROUND({km1} / {km1 - 1.0} * (1.0 - ({sv}) / {vd}), 6)
+            AS DOUBLE) AS alpha_if_dropped
+FROM s""")
+    return f"""
+WITH wide AS (
+    SELECT user_id,
+           {cols}
+    FROM events GROUP BY user_id
+), tot AS (
+    SELECT *, {total_expr} AS total,
+           {", ".join(f"CAST(v_{t} AS DOUBLE) AS d_{t}" for t in types)}
+    FROM wide
+), cast_ AS (
+    SELECT user_id, total,
+           {", ".join(f"d_{t} AS v_{t}" for t in types)}
+    FROM tot
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           {joined_sums},
+           CAST(SUM(CAST(total AS DECIMAL(38,12))) AS DOUBLE) AS s_tot,
+           CAST(SUM(CAST(total * total AS DECIMAL(38,9))) AS DOUBLE)
+               AS ss_tot
+    FROM cast_
+)
+{chr(10).join("UNION ALL" + piece if i else piece for i, piece in enumerate(pieces))}
+ORDER BY item
+"""
+
+
+CRONBACH_ALPHA_EVENT_TYPES_USERS_ORACLE = _cronbach_oracle()
+
+
+def odds_ratio_ci_priority_status_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Odds ratio with Woolf's logit 95% CI for the 2×2 of
+    high-priority (1-URGENT/2-HIGH) × fulfilled (status F) orders —
+    the EFFECT-SIZE companion the 2×2 test family lacks:
+    ``fisher_exact_region_priority_orders`` and
+    ``mcnemar_weekday_weekend_purchase`` emit p-values, but a rollout
+    decision needs the magnitude and its interval; OR = ad/bc with
+    se(ln OR) = √(1/a+1/b+1/c+1/d) (Woolf 1955), CI = exp(ln OR ±
+    1.96·se). The Haldane–Anscombe +0.5 correction applies on BOTH
+    engines when any cell is empty.
+
+    Exactness: the four cells are exact bigints from one pass;
+    ln/exp ride the house libm policy on bit-identical doubles; OR and
+    bounds round at 6. Scale shape: one grouped count, constant
+    algebra."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.agg(
+        F.sum(
+            (
+                (F.substring("o_orderpriority", 1, 1) <= "2")
+                & (F.col("o_orderstatus") == "F")
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("a"),
+        F.sum(
+            (
+                (F.substring("o_orderpriority", 1, 1) <= "2")
+                & (F.col("o_orderstatus") != "F")
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            (
+                (F.substring("o_orderpriority", 1, 1) > "2")
+                & (F.col("o_orderstatus") == "F")
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("c"),
+        F.sum(
+            (
+                (F.substring("o_orderpriority", 1, 1) > "2")
+                & (F.col("o_orderstatus") != "F")
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+    anyz = (
+        (F.col("a") == 0)
+        | (F.col("b") == 0)
+        | (F.col("c") == 0)
+        | (F.col("d") == 0)
+    )
+    corr = F.when(anyz, F.lit(0.5)).otherwise(F.lit(0.0))
+    ad = F.col("a").cast("double") + corr
+    bd = F.col("b").cast("double") + corr
+    cd = F.col("c").cast("double") + corr
+    dd = F.col("d").cast("double") + corr
+    lor = F.log(ad * dd / (bd * cd))
+    se = F.sqrt(1.0 / ad + 1.0 / bd + 1.0 / cd + 1.0 / dd)
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(F.exp(lor), 6).cast("double").alias("odds_ratio"),
+        F.round(F.exp(lor - 1.959964 * se), 6)
+        .cast("double")
+        .alias("ci_low"),
+        F.round(F.exp(lor + 1.959964 * se), 6)
+        .cast("double")
+        .alias("ci_high"),
+        (
+            (F.round(F.exp(lor - 1.959964 * se), 6) > 1.0)
+            | (F.round(F.exp(lor + 1.959964 * se), 6) < 1.0)
+        ).alias("significant"),
+    )
+
+
+ODDS_RATIO_CI_PRIORITY_STATUS_ORDERS_ORACLE = """
+WITH cells AS (
+    SELECT CAST(SUM(CASE WHEN SUBSTRING(o_orderpriority, 1, 1) <= '2'
+                          AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN SUBSTRING(o_orderpriority, 1, 1) <= '2'
+                          AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN SUBSTRING(o_orderpriority, 1, 1) > '2'
+                          AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN SUBSTRING(o_orderpriority, 1, 1) > '2'
+                          AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS d
+    FROM orders
+), adj AS (
+    SELECT a, b, c, d,
+           CAST(a AS DOUBLE) + corr AS ad,
+           CAST(b AS DOUBLE) + corr AS bd,
+           CAST(c AS DOUBLE) + corr AS cd,
+           CAST(d AS DOUBLE) + corr AS dd
+    FROM (
+        SELECT *, CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+                       THEN 0.5 ELSE 0.0 END AS corr
+        FROM cells
+    )
+)
+SELECT a, b, c, d,
+       CAST(ROUND(EXP(ln(ad * dd / (bd * cd))), 6) AS DOUBLE) AS odds_ratio,
+       CAST(ROUND(EXP(ln(ad * dd / (bd * cd))
+                      - 1.959964 * SQRT(1.0 / ad + 1.0 / bd
+                                        + 1.0 / cd + 1.0 / dd)), 6)
+            AS DOUBLE) AS ci_low,
+       CAST(ROUND(EXP(ln(ad * dd / (bd * cd))
+                      + 1.959964 * SQRT(1.0 / ad + 1.0 / bd
+                                        + 1.0 / cd + 1.0 / dd)), 6)
+            AS DOUBLE) AS ci_high,
+       ROUND(EXP(ln(ad * dd / (bd * cd))
+                 - 1.959964 * SQRT(1.0 / ad + 1.0 / bd
+                                   + 1.0 / cd + 1.0 / dd)), 6) > 1.0
+       OR ROUND(EXP(ln(ad * dd / (bd * cd))
+                    + 1.959964 * SQRT(1.0 / ad + 1.0 / bd
+                                      + 1.0 / cd + 1.0 / dd)), 6) < 1.0
+           AS significant
+FROM adj
 """

@@ -571,6 +571,10 @@ _ROUND12_QUEUE: list[str] = [
     "bloom_index_probe_orders",
     "near_dup_threshold_sweep_documents",
     "ann_ivf_nprobe_sweep_embeddings",
+    "hotelling_t2_weekpart_daily",
+    "mahalanobis_outliers_lineitem",
+    "cronbach_alpha_event_types_users",
+    "odds_ratio_ci_priority_status_orders",
 ]
 
 
@@ -3402,4 +3406,28 @@ register(
     "ann_ivf_nprobe_sweep_embeddings",
     llm_data.ann_ivf_nprobe_sweep_embeddings,
     llm_data.ANN_IVF_NPROBE_SWEEP_EMBEDDINGS_ORACLE,
+)
+
+register(
+    "hotelling_t2_weekpart_daily",
+    inference_stats.hotelling_t2_weekpart_daily,
+    inference_stats.HOTELLING_T2_WEEKPART_DAILY_ORACLE,
+)
+
+register(
+    "mahalanobis_outliers_lineitem",
+    inference_stats.mahalanobis_outliers_lineitem,
+    inference_stats.MAHALANOBIS_OUTLIERS_LINEITEM_ORACLE,
+)
+
+register(
+    "cronbach_alpha_event_types_users",
+    inference_stats.cronbach_alpha_event_types_users,
+    inference_stats.CRONBACH_ALPHA_EVENT_TYPES_USERS_ORACLE,
+)
+
+register(
+    "odds_ratio_ci_priority_status_orders",
+    inference_stats.odds_ratio_ci_priority_status_orders,
+    inference_stats.ODDS_RATIO_CI_PRIORITY_STATUS_ORDERS_ORACLE,
 )

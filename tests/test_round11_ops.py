@@ -2717,3 +2717,158 @@ def test_ann_ivf_nprobe_sweep_structure_and_full_probe_exactness(
         .collect()
     }
     assert full == brute
+
+
+def test_hotelling_t2_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        hotelling_t2_weekpart_daily,
+    )
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .selectExpr("CAST(ts AS DATE) AS day", "event_type", "value")
+        .collect()
+    )
+    acc = defaultdict(lambda: [Decimal(0), Decimal(0)])
+    for r in rows:
+        acc[r["day"]][0 if r["event_type"] == "purchase" else 1] += Decimal(
+            str(r["value"])
+        )
+    wk = {0: [], 1: []}
+    for d, (p, v) in acc.items():
+        wk[1 if d.isoweekday() >= 6 else 0].append((float(p), float(v)))
+    a = np.array(wk[0])
+    b = np.array(wk[1])
+    n1, n2 = len(a), len(b)
+    d = a.mean(axis=0) - b.mean(axis=0)
+    sp = (
+        (a - a.mean(axis=0)).T @ (a - a.mean(axis=0))
+        + (b - b.mean(axis=0)).T @ (b - b.mean(axis=0))
+    ) / (n1 + n2 - 2)
+    t2 = n1 * n2 / (n1 + n2) * float(d @ np.linalg.inv(sp) @ d)
+    f = (n1 + n2 - 3) / (2 * (n1 + n2 - 2)) * t2
+    row = hotelling_t2_weekpart_daily(spark, sf_dir).collect()[0]
+    assert row["n_weekday"] == n1 and row["n_weekend"] == n2
+    assert abs(row["t2_stat"] - t2) < max(1e-3, abs(t2) * 1e-4)
+    assert abs(row["f_stat"] - f) < max(1e-3, abs(f) * 1e-4)
+    assert row["df1"] == 2 and row["df2"] == n1 + n2 - 3
+
+
+def test_mahalanobis_outliers_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        mahalanobis_outliers_lineitem,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "l_orderkey",
+            "l_linenumber",
+            "CAST(l_quantity AS DOUBLE) AS x",
+            "CAST(l_extendedprice AS DOUBLE) AS y",
+        )
+        .collect()
+    )
+    m = np.array([[r["x"], r["y"]] for r in rows])
+    mu = m.mean(axis=0)
+    cov = np.cov(m.T, ddof=1)
+    inv = np.linalg.inv(cov)
+    d2 = [
+        (float((v - mu) @ inv @ (v - mu)), r["l_orderkey"], r["l_linenumber"])
+        for v, r in zip(m, rows)
+    ]
+    d2.sort(key=lambda t: (-t[0], t[1], t[2]))
+    got = mahalanobis_outliers_lineitem(spark, sf_dir).collect()
+    assert len(got) == 10
+    for row, (dd, ok, ln) in zip(got, d2[:10]):
+        assert row["l_orderkey"] == ok and row["l_linenumber"] == ln
+        assert abs(row["mahalanobis_d2"] - dd) < max(1e-3, dd * 1e-4)
+        assert row["outlier_999"] == (row["mahalanobis_d2"] > 13.815511)
+
+
+def test_cronbach_alpha_matches_python_mirror(spark, sf_dir):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        cronbach_alpha_event_types_users,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type", "value")
+        .collect()
+    )
+    acc = defaultdict(lambda: defaultdict(Decimal))
+    types = set()
+    for r in rows:
+        acc[r["user_id"]][r["event_type"]] += Decimal(str(r["value"]))
+        types.add(r["event_type"])
+    types = sorted(types)
+    mat = {
+        u: [float(acc[u].get(t, Decimal(0))) for t in types] for u in acc
+    }
+    n = len(mat)
+    k = len(types)
+
+    def var(vals):
+        s = sum(vals)
+        ss = sum(v * v for v in vals)
+        return (ss - s * s / n) / (n - 1)
+
+    item_vars = [var([mat[u][i] for u in mat]) for i in range(k)]
+    totals = [sum(mat[u]) for u in mat]
+    vt = var(totals)
+    alpha = k / (k - 1) * (1 - sum(item_vars) / vt)
+    got = {r["item"]: r for r in cronbach_alpha_event_types_users(spark, sf_dir).collect()}
+    assert set(got) == set(types)
+    for i, t in enumerate(types):
+        r = got[t]
+        assert r["n"] == n and r["k_items"] == k
+        assert abs(r["alpha"] - alpha) < 1e-4
+        dropped = [
+            [mat[u][j] for j in range(k) if j != i] for u in mat
+        ]
+        dt = [sum(row) for row in dropped]
+        vd = var(dt)
+        sv = sum(item_vars[j] for j in range(k) if j != i)
+        a_drop = (k - 1) / (k - 2) * (1 - sv / vd)
+        assert abs(r["alpha_if_dropped"] - a_drop) < 1e-3
+
+
+def test_odds_ratio_ci_matches_python_mirror(spark, sf_dir):
+    import math
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        odds_ratio_ci_priority_status_orders,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "SUBSTRING(o_orderpriority, 1, 1) <= '2' AS hi",
+            "o_orderstatus = 'F' AS f",
+        )
+        .collect()
+    )
+    a = sum(1 for r in rows if r["hi"] and r["f"])
+    b = sum(1 for r in rows if r["hi"] and not r["f"])
+    c = sum(1 for r in rows if not r["hi"] and r["f"])
+    d = sum(1 for r in rows if not r["hi"] and not r["f"])
+    corr = 0.5 if 0 in (a, b, c, d) else 0.0
+    ad, bd, cd, dd = a + corr, b + corr, c + corr, d + corr
+    lor = math.log(ad * dd / (bd * cd))
+    se = math.sqrt(1 / ad + 1 / bd + 1 / cd + 1 / dd)
+    row = odds_ratio_ci_priority_status_orders(spark, sf_dir).collect()[0]
+    assert (row["a"], row["b"], row["c"], row["d"]) == (a, b, c, d)
+    assert abs(row["odds_ratio"] - math.exp(lor)) < 1e-5
+    assert abs(row["ci_low"] - math.exp(lor - 1.959964 * se)) < 1e-5
+    assert abs(row["ci_high"] - math.exp(lor + 1.959964 * se)) < 1e-5
+    assert row["ci_low"] <= row["odds_ratio"] <= row["ci_high"]

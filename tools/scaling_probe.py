@@ -344,6 +344,10 @@ PROBES = [
     ("bloom_index_probe_orders", ["orders"]),
     ("near_dup_threshold_sweep_documents", ["documents"]),
     ("ann_ivf_nprobe_sweep_embeddings", ["embeddings"]),
+    ("hotelling_t2_weekpart_daily", ["events"]),
+    ("mahalanobis_outliers_lineitem", ["orders", "lineitem"]),
+    ("cronbach_alpha_event_types_users", ["events"]),
+    ("odds_ratio_ci_priority_status_orders", ["orders"]),
 ]
 
 KEY_OFFSETS = {
