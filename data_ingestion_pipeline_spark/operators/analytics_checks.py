@@ -65,6 +65,8 @@ __all__ = [
     "seasonal_mann_kendall_daily",
     "kendalls_w_weekday_event_types",
     "ansari_bradley_purchase_view",
+    "canonical_correlation_daily",
+    "quade_test_event_type_values",
     "mutual_information_event_dow",
     "robust_outliers_mad",
     "twap_user_day",
@@ -10456,5 +10458,366 @@ SELECT n1, CAST(n - n1 AS BIGINT) AS n2,
                         / (CAST(n AS DOUBLE)
                            * (CAST(n AS DOUBLE) - 1.0))), 6)) > 1.959964
            AS scale_differs
+FROM agg
+"""
+
+
+def canonical_correlation_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Canonical correlation analysis (Hotelling 1936) between the
+    daily DOLLAR pair X = (purchase $, view $) and the daily COUNT
+    pair Y = (click #, error #) — the SET-to-SET member of the
+    association family: pairwise correlations scan 4 numbers and miss
+    the aligned linear combinations; CCA finds the ρ₁ ≥ ρ₂ between
+    the best-aligned projections, with Wilks' Λ = Π(1−ρᵢ²) and
+    Bartlett's χ² = −(n−1−(p+q+1)/2)·ln Λ on pq = 4 df as the joint
+    independence test.
+
+    Exactness: the 2×2 blocks S_xx, S_yy, S_xy come from ONE daily
+    pass of decimal cross-product folds, each entry rounded at 9; the
+    eigenvalues of S_xx⁻¹S_xyS_yy⁻¹S_yx come from the CLOSED 2×2
+    trace/determinant quadratic (tr via the adjugate contraction,
+    det = det(C)²/(det A·det B)) — no iteration; ρ/Λ/χ² round at 6.
+    Scale shape: one daily aggregation, one 15-sum fold, constant
+    algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        dec_sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).otherwise(F.lit(0.0)),
+            27,
+            12,
+        )
+        .cast("double")
+        .alias("x1"),
+        dec_sum(
+            F.when(F.col("event_type") == "view", F.col("value")).otherwise(
+                F.lit(0.0)
+            ),
+            27,
+            12,
+        )
+        .cast("double")
+        .alias("x2"),
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("double")
+        .alias("y1"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .cast("double")
+        .alias("y2"),
+    )
+    cols = ["x1", "x2", "y1", "y2"]
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for c in cols:
+        aggs.append(dec_sum(F.col(c), 38, 12).cast("double").alias(f"s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                dec_sum(F.col(a) * F.col(b), 38, 9)
+                .cast("double")
+                .alias(f"p_{a}{b}")
+            )
+    s = daily.agg(*aggs)
+    nd = F.col("n").cast("double")
+
+    def c(a, b):
+        key = f"p_{a}{b}" if f"p_{a}{b}" in [
+            f"p_{x}{y}" for i, x in enumerate(cols) for y in cols[i:]
+        ] else f"p_{b}{a}"
+        return F.round(
+            F.col(key) - F.col(f"s_{a}") * F.col(f"s_{b}") / nd, 9
+        )
+
+    m = s.select(
+        "n",
+        c("x1", "x1").alias("a11"),
+        c("x1", "x2").alias("a12"),
+        c("x2", "x2").alias("a22"),
+        c("y1", "y1").alias("b11"),
+        c("y1", "y2").alias("b12"),
+        c("y2", "y2").alias("b22"),
+        c("x1", "y1").alias("c11"),
+        c("x1", "y2").alias("c12"),
+        c("x2", "y1").alias("c21"),
+        c("x2", "y2").alias("c22"),
+    )
+    detA = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    detB = F.col("b11") * F.col("b22") - F.col("b12") * F.col("b12")
+    detC = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c21")
+    e11 = F.col("c11") * F.col("b22") - F.col("c12") * F.col("b12")
+    e12 = -F.col("c11") * F.col("b12") + F.col("c12") * F.col("b11")
+    e21 = F.col("c21") * F.col("b22") - F.col("c22") * F.col("b12")
+    e22 = -F.col("c21") * F.col("b12") + F.col("c22") * F.col("b11")
+    d11 = e11 * F.col("c11") + e12 * F.col("c12")
+    d12 = e11 * F.col("c21") + e12 * F.col("c22")
+    d21 = e21 * F.col("c11") + e22 * F.col("c12")
+    d22 = e21 * F.col("c21") + e22 * F.col("c22")
+    tr = (
+        F.col("a22") * d11 - F.col("a12") * (d12 + d21) + F.col("a11") * d22
+    ) / (detA * detB)
+    dt = detC * detC / (detA * detB)
+    disc = F.sqrt(F.greatest(tr * tr - 4.0 * dt, F.lit(0.0)))
+    l1 = F.least(F.greatest((tr + disc) / 2.0, F.lit(0.0)), F.lit(1.0))
+    l2 = F.least(F.greatest((tr - disc) / 2.0, F.lit(0.0)), F.lit(1.0))
+    wilks = (1.0 - l1) * (1.0 - l2)
+    chi2 = F.round(
+        -(nd - 1.0 - 2.5) * F.log(wilks), 6
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(F.sqrt(l1), 6).cast("double").alias("rho1"),
+        F.round(F.sqrt(l2), 6).cast("double").alias("rho2"),
+        F.round(wilks, 6).cast("double").alias("wilks_lambda"),
+        chi2.cast("double").alias("bartlett_chi2"),
+        F.lit(4).cast("int").alias("df"),
+        (chi2 > F.lit(9.487729)).alias("significant"),
+    )
+
+
+CANONICAL_CORRELATION_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                              ELSE 0.0 END AS DECIMAL(27,12))) AS DOUBLE)
+               AS x1,
+           CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value
+                              ELSE 0.0 END AS DECIMAL(27,12))) AS DOUBLE)
+               AS x2,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS DOUBLE) AS y1,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS DOUBLE) AS y2
+    FROM events GROUP BY 1
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x1 AS DECIMAL(38,12))) AS DOUBLE) AS s_x1,
+           CAST(SUM(CAST(x2 AS DECIMAL(38,12))) AS DOUBLE) AS s_x2,
+           CAST(SUM(CAST(y1 AS DECIMAL(38,12))) AS DOUBLE) AS s_y1,
+           CAST(SUM(CAST(y2 AS DECIMAL(38,12))) AS DOUBLE) AS s_y2,
+           CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,9))) AS DOUBLE) AS p_x1x1,
+           CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,9))) AS DOUBLE) AS p_x1x2,
+           CAST(SUM(CAST(x1 * y1 AS DECIMAL(38,9))) AS DOUBLE) AS p_x1y1,
+           CAST(SUM(CAST(x1 * y2 AS DECIMAL(38,9))) AS DOUBLE) AS p_x1y2,
+           CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,9))) AS DOUBLE) AS p_x2x2,
+           CAST(SUM(CAST(x2 * y1 AS DECIMAL(38,9))) AS DOUBLE) AS p_x2y1,
+           CAST(SUM(CAST(x2 * y2 AS DECIMAL(38,9))) AS DOUBLE) AS p_x2y2,
+           CAST(SUM(CAST(y1 * y1 AS DECIMAL(38,9))) AS DOUBLE) AS p_y1y1,
+           CAST(SUM(CAST(y1 * y2 AS DECIMAL(38,9))) AS DOUBLE) AS p_y1y2,
+           CAST(SUM(CAST(y2 * y2 AS DECIMAL(38,9))) AS DOUBLE) AS p_y2y2
+    FROM daily
+), m AS (
+    SELECT n,
+           ROUND(p_x1x1 - s_x1 * s_x1 / CAST(n AS DOUBLE), 9) AS a11,
+           ROUND(p_x1x2 - s_x1 * s_x2 / CAST(n AS DOUBLE), 9) AS a12,
+           ROUND(p_x2x2 - s_x2 * s_x2 / CAST(n AS DOUBLE), 9) AS a22,
+           ROUND(p_y1y1 - s_y1 * s_y1 / CAST(n AS DOUBLE), 9) AS b11,
+           ROUND(p_y1y2 - s_y1 * s_y2 / CAST(n AS DOUBLE), 9) AS b12,
+           ROUND(p_y2y2 - s_y2 * s_y2 / CAST(n AS DOUBLE), 9) AS b22,
+           ROUND(p_x1y1 - s_x1 * s_y1 / CAST(n AS DOUBLE), 9) AS c11,
+           ROUND(p_x1y2 - s_x1 * s_y2 / CAST(n AS DOUBLE), 9) AS c12,
+           ROUND(p_x2y1 - s_x2 * s_y1 / CAST(n AS DOUBLE), 9) AS c21,
+           ROUND(p_x2y2 - s_x2 * s_y2 / CAST(n AS DOUBLE), 9) AS c22
+    FROM s
+), alg AS (
+    SELECT n,
+           ((a22 * (( c11 * b22 - c12 * b12) * c11
+                    + (-c11 * b12 + c12 * b11) * c12)
+             - a12 * ((( c11 * b22 - c12 * b12) * c21
+                       + (-c11 * b12 + c12 * b11) * c22)
+                      + (( c21 * b22 - c22 * b12) * c11
+                         + (-c21 * b12 + c22 * b11) * c12))
+             + a11 * (( c21 * b22 - c22 * b12) * c21
+                      + (-c21 * b12 + c22 * b11) * c22))
+            / ((a11 * a22 - a12 * a12) * (b11 * b22 - b12 * b12))) AS tr,
+           ((c11 * c22 - c12 * c21) * (c11 * c22 - c12 * c21)
+            / ((a11 * a22 - a12 * a12) * (b11 * b22 - b12 * b12))) AS dt
+    FROM m
+), eig AS (
+    SELECT n,
+           LEAST(GREATEST((tr + SQRT(GREATEST(tr * tr - 4.0 * dt, 0.0)))
+                          / 2.0, 0.0), 1.0) AS l1,
+           LEAST(GREATEST((tr - SQRT(GREATEST(tr * tr - 4.0 * dt, 0.0)))
+                          / 2.0, 0.0), 1.0) AS l2
+    FROM alg
+)
+SELECT n AS n_days,
+       CAST(ROUND(SQRT(l1), 6) AS DOUBLE) AS rho1,
+       CAST(ROUND(SQRT(l2), 6) AS DOUBLE) AS rho2,
+       CAST(ROUND((1.0 - l1) * (1.0 - l2), 6) AS DOUBLE) AS wilks_lambda,
+       CAST(ROUND(-(CAST(n AS DOUBLE) - 1.0 - 2.5)
+                  * ln((1.0 - l1) * (1.0 - l2)), 6) AS DOUBLE)
+           AS bartlett_chi2,
+       CAST(4 AS INT) AS df,
+       ROUND(-(CAST(n AS DOUBLE) - 1.0 - 2.5)
+             * ln((1.0 - l1) * (1.0 - l2)), 6) > 9.487729 AS significant
+FROM eig
+"""
+
+
+def quade_test_event_type_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quade test (Quade 1979) for treatment differences across event
+    types with ISO-weekday blocks — the WEIGHTED member of the blocked
+    trio: Friedman ranks within blocks and weights every weekday
+    equally; Quade multiplies each block's centered ranks by the rank
+    of the block's RANGE, so weekdays where the types actually spread
+    apart carry more evidence — uniformly more powerful than Friedman
+    at k ≤ 5 (Conover's recommendation). F = (n−1)B/(A−B) on
+    (k−1, (n−1)(k−1)) df; perfect concordance (A=B) publishes a NULL F
+    with the significant flag forced true on both engines (the
+    textbook convention).
+
+    Exactness: cell means round at 9; within-block treatment ranks AND
+    the cross-block range ranks use the doubled-rank integer
+    construction, so the scores S₄ = dQ·(dr−(k+1)) are exact bigints
+    and A = ΣS₄²/16, B = Σ(ΣS₄)²/(16n) are exact rationals — F is one
+    double expression rounded at 6. Scale shape: one facts pass to the
+    35-cell grain, block-keyed windows, constant algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.weekday("ts") + F.lit(1)).cast("int").alias("g"), "event_type"
+    ).agg(
+        F.round(
+            dec_sum(F.col("value"), 38, 12).cast("double")
+            / F.count("*").cast("double"),
+            9,
+        ).alias("m")
+    ).localCheckpoint(eager=False)  # 4 consumers read the 35-cell relation
+    gv = cells.groupBy("g", "m").agg(F.count("*").cast("bigint").alias("t"))
+    wv = Window.partitionBy("g").orderBy("m").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = gv.select(
+        "g",
+        "m",
+        (
+            2 * F.coalesce(F.sum("t").over(wv), F.lit(0)) + F.col("t") + 1
+        ).cast("bigint").alias("dr"),
+    )
+    ranges = cells.groupBy("g").agg(
+        (F.max("m") - F.min("m")).alias("rng")
+    )
+    rv = ranges.groupBy("rng").agg(F.count("*").cast("bigint").alias("t"))
+    wr = Window.orderBy("rng").rowsBetween(Window.unboundedPreceding, -1)
+    rranked = rv.select(
+        "rng",
+        (
+            2 * F.coalesce(F.sum("t").over(wr), F.lit(0)) + F.col("t") + 1
+        ).cast("bigint").alias("dq"),
+    )
+    kk = cells.agg(
+        F.countDistinct("event_type").cast("bigint").alias("k"),
+        F.countDistinct("g").cast("bigint").alias("n"),
+        F.lit(1).alias("one"),
+    )
+    scored = (
+        cells.join(ranked, ["g", "m"])
+        .join(ranges, "g")
+        .join(F.broadcast(rranked), "rng")
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(kk), "one")
+        .select(
+            "event_type",
+            "n",
+            "k",
+            (F.col("dq") * (F.col("dr") - (F.col("k") + 1)))
+            .cast("bigint")
+            .alias("s4"),
+        )
+    )
+    per_t = scored.groupBy("event_type", "n", "k").agg(
+        F.sum("s4").cast("bigint").alias("t4"),
+        F.sum(F.col("s4") * F.col("s4")).cast("bigint").alias("sa_part"),
+    )
+    agg = per_t.groupBy("n", "k").agg(
+        F.sum("sa_part").cast("bigint").alias("sa"),
+        F.sum(F.col("t4") * F.col("t4")).cast("bigint").alias("sb"),
+    )
+    nd = F.col("n").cast("double")
+    a_minus_b = F.col("sa").cast("double") - F.col("sb").cast("double") / nd
+    f = F.when(
+        a_minus_b > 0.0,
+        F.round(
+            (nd - 1.0) * (F.col("sb").cast("double") / nd) / a_minus_b, 6
+        ),
+    )
+    return agg.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        f.cast("double").alias("f_stat"),
+        ((F.col("k") - 1)).cast("int").alias("df1"),
+        ((F.col("n") - 1) * (F.col("k") - 1)).cast("int").alias("df2"),
+        F.coalesce(f > F.lit(2.776289), F.lit(True)).alias("significant"),
+    )
+
+
+QUADE_TEST_EVENT_TYPE_VALUES_ORACLE = """
+WITH cells AS (
+    SELECT CAST(isodow(ts) AS INTEGER) AS g, event_type,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS m
+    FROM events GROUP BY 1, 2
+), gv AS (
+    SELECT g, m, CAST(COUNT(*) AS BIGINT) AS t FROM cells GROUP BY g, m
+), ranked AS (
+    SELECT g, m,
+           CAST(2 * COALESCE(SUM(t) OVER (PARTITION BY g ORDER BY m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + t + 1 AS BIGINT) AS dr
+    FROM gv
+), ranges AS (
+    SELECT g, MAX(m) - MIN(m) AS rng FROM cells GROUP BY g
+), rv AS (
+    SELECT rng, CAST(COUNT(*) AS BIGINT) AS t FROM ranges GROUP BY rng
+), rranked AS (
+    SELECT rng,
+           CAST(2 * COALESCE(SUM(t) OVER (ORDER BY rng
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + t + 1 AS BIGINT) AS dq
+    FROM rv
+), kk AS (
+    SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n
+    FROM cells
+), scored AS (
+    SELECT c.event_type, kk.n, kk.k,
+           CAST(rr.dq * (r.dr - (kk.k + 1)) AS BIGINT) AS s4
+    FROM cells c
+    JOIN ranked r USING (g, m)
+    JOIN ranges ra USING (g)
+    JOIN rranked rr USING (rng)
+    CROSS JOIN kk
+), per_t AS (
+    SELECT event_type, n, k,
+           CAST(SUM(s4) AS BIGINT) AS t4,
+           CAST(SUM(s4 * s4) AS BIGINT) AS sa_part
+    FROM scored GROUP BY event_type, n, k
+), agg AS (
+    SELECT n, k,
+           CAST(SUM(sa_part) AS BIGINT) AS sa,
+           CAST(SUM(t4 * t4) AS BIGINT) AS sb
+    FROM per_t GROUP BY n, k
+)
+SELECT n AS n_blocks, k AS k_treatments,
+       CAST(CASE WHEN CAST(sa AS DOUBLE)
+                      - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE) > 0.0
+                 THEN ROUND((CAST(n AS DOUBLE) - 1.0)
+                            * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))
+                            / (CAST(sa AS DOUBLE)
+                               - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+            END AS DOUBLE) AS f_stat,
+       CAST(k - 1 AS INT) AS df1,
+       CAST((n - 1) * (k - 1) AS INT) AS df2,
+       COALESCE(CASE WHEN CAST(sa AS DOUBLE)
+                          - CAST(sb AS DOUBLE) / CAST(n AS DOUBLE) > 0.0
+                     THEN ROUND((CAST(n AS DOUBLE) - 1.0)
+                                * (CAST(sb AS DOUBLE) / CAST(n AS DOUBLE))
+                                / (CAST(sa AS DOUBLE)
+                                   - CAST(sb AS DOUBLE)
+                                     / CAST(n AS DOUBLE)), 6) > 2.776289
+                END, TRUE) AS significant
 FROM agg
 """

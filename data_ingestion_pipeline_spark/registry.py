@@ -575,6 +575,8 @@ _ROUND12_QUEUE: list[str] = [
     "mahalanobis_outliers_lineitem",
     "cronbach_alpha_event_types_users",
     "odds_ratio_ci_priority_status_orders",
+    "canonical_correlation_daily",
+    "quade_test_event_type_values",
 ]
 
 
@@ -3430,4 +3432,16 @@ register(
     "odds_ratio_ci_priority_status_orders",
     inference_stats.odds_ratio_ci_priority_status_orders,
     inference_stats.ODDS_RATIO_CI_PRIORITY_STATUS_ORDERS_ORACLE,
+)
+
+register(
+    "canonical_correlation_daily",
+    analytics_checks.canonical_correlation_daily,
+    analytics_checks.CANONICAL_CORRELATION_DAILY_ORACLE,
+)
+
+register(
+    "quade_test_event_type_values",
+    analytics_checks.quade_test_event_type_values,
+    analytics_checks.QUADE_TEST_EVENT_TYPE_VALUES_ORACLE,
 )

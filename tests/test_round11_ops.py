@@ -2872,3 +2872,118 @@ def test_odds_ratio_ci_matches_python_mirror(spark, sf_dir):
     assert abs(row["ci_low"] - math.exp(lor - 1.959964 * se)) < 1e-5
     assert abs(row["ci_high"] - math.exp(lor + 1.959964 * se)) < 1e-5
     assert row["ci_low"] <= row["odds_ratio"] <= row["ci_high"]
+
+
+def test_canonical_correlation_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        canonical_correlation_daily,
+    )
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(ts AS DATE) AS day", "event_type", "value")
+        .collect()
+    )
+    acc = defaultdict(lambda: [Decimal(0), Decimal(0), 0, 0])
+    for r in rows:
+        e = acc[r["day"]]
+        if r["event_type"] == "purchase":
+            e[0] += Decimal(str(r["value"]))
+        elif r["event_type"] == "view":
+            e[1] += Decimal(str(r["value"]))
+        elif r["event_type"] == "click":
+            e[2] += 1
+        elif r["event_type"] == "error":
+            e[3] += 1
+    m = np.array(
+        [[float(a), float(b), c, d] for a, b, c, d in acc.values()]
+    )
+    n = len(m)
+    mc = m - m.mean(axis=0)
+    S = mc.T @ mc
+    A, B, C = S[:2, :2], S[2:, 2:], S[:2, 2:]
+    M = np.linalg.inv(A) @ C @ np.linalg.inv(B) @ C.T
+    lams = sorted(np.linalg.eigvals(M).real, reverse=True)
+    row = canonical_correlation_daily(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    import math
+
+    assert abs(row["rho1"] - math.sqrt(max(lams[0], 0))) < 1e-4
+    assert abs(row["rho2"] - math.sqrt(max(lams[1], 0))) < 1e-4
+    wilks = (1 - lams[0]) * (1 - lams[1])
+    assert abs(row["wilks_lambda"] - wilks) < 1e-4
+    chi2 = -(n - 1 - 2.5) * math.log(wilks)
+    assert abs(row["bartlett_chi2"] - chi2) < 1e-2
+    assert 0 <= row["rho2"] <= row["rho1"] <= 1.0 + 1e-9
+
+
+def test_quade_matches_python_mirror(spark, sf_dir):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from data_ingestion_pipeline_spark.operators.analytics_checks import (
+        quade_test_event_type_values,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "CAST(weekday(ts) + 1 AS INT) AS g", "event_type", "value"
+        )
+        .collect()
+    )
+    acc = defaultdict(lambda: [Decimal(0), 0])
+    for r in rows:
+        e = acc[(r["g"], r["event_type"])]
+        e[0] += Decimal(str(r["value"]))
+        e[1] += 1
+    cells = {k: round(float(v[0]) / v[1], 9) for k, v in acc.items()}
+    blocks = sorted({g for g, _ in cells})
+    items = sorted({t for _, t in cells})
+    n, k = len(blocks), len(items)
+
+    def dranks(vals):
+        """value -> doubled average rank."""
+        from collections import Counter
+
+        cnt = Counter(vals)
+        out = {}
+        seen = 0
+        for v in sorted(cnt):
+            t = cnt[v]
+            out[v] = 2 * seen + t + 1
+            seen += t
+        return out
+
+    rngs = {}
+    dr = {}
+    for g in blocks:
+        vals = [cells[(g, t)] for t in items]
+        rk = dranks(vals)
+        for t in items:
+            dr[(g, t)] = rk[cells[(g, t)]]
+        rngs[g] = max(vals) - min(vals)
+    dq = dranks(list(rngs.values()))
+    s4 = {
+        (g, t): dq[rngs[g]] * (dr[(g, t)] - (k + 1))
+        for g in blocks
+        for t in items
+    }
+    sa = sum(v * v for v in s4.values())
+    sb = sum(
+        sum(s4[(g, t)] for g in blocks) ** 2 for t in items
+    )
+    a_minus_b = sa - sb / n
+    f = (n - 1) * (sb / n) / a_minus_b if a_minus_b > 0 else None
+    row = quade_test_event_type_values(spark, sf_dir).collect()[0]
+    assert row["n_blocks"] == n and row["k_treatments"] == k
+    assert row["df1"] == k - 1 and row["df2"] == (n - 1) * (k - 1)
+    if f is None:
+        assert row["f_stat"] is None and row["significant"] is True
+    else:
+        assert abs(row["f_stat"] - f) < 1e-4
+        assert row["significant"] == (round(f, 6) > 2.776289)

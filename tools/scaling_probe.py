@@ -348,6 +348,8 @@ PROBES = [
     ("mahalanobis_outliers_lineitem", ["orders", "lineitem"]),
     ("cronbach_alpha_event_types_users", ["events"]),
     ("odds_ratio_ci_priority_status_orders", ["orders"]),
+    ("canonical_correlation_daily", ["events"]),
+    ("quade_test_event_type_values", ["events"]),
 ]
 
 KEY_OFFSETS = {

@@ -79,6 +79,35 @@ DOCUMENTED_BOUNDED = {
     "ljung_box_daily_values",  # calendar-bounded daily index (lag join)
     "runs_test_daily_values",  # calendar-bounded daily lag/sign windows
     "newey_west_daily_trend",  # calendar-bounded daily index + lag join
+    # -- round-11 continuation additions (this session), each audited --
+    "competing_risks_cif_retention",  # duration grain <= corpus hour span
+    "rmst_user_retention",  # duration grain <= corpus hour span
+    "fleming_harrington_test_retention_arms",  # duration grain (logrank class)
+    "life_table_retention",  # interval grain <= span/6h
+    "pettitt_changepoint_daily",  # calendar-bounded daily grain
+    "bartels_rank_test_daily_values",  # value+day grain (rank construction)
+    "wilcoxon_signed_rank_purchase_view_daily",  # |d|-grain <= day count
+    "ansari_bradley_purchase_view",  # value-grain (mann-whitney class)
+    "theils_u_event_type_dow",  # 35-cell contingency windows
+    "spectral_entropy_daily_events",  # day x K<=14 trig grain
+    "transfer_entropy_view_purchase_daily",  # day grain + 8-cell windows
+    "ann_ivf_nprobe_sweep_embeddings",  # 5-row sweep + queriesxk windows
+    "adf_test_daily_values",  # calendar-bounded daily lag windows
+    "breusch_godfrey_daily_trend",  # calendar-bounded daily lag windows
+    "permutation_entropy_daily_values",  # daily lead windows + <=6 patterns
+    "cox_stuart_trend_daily",  # daily row_number (bounded)
+    "hurst_rs_daily_values",  # day grain; (size,block) windows are keyed
+    "esd_outliers_daily",  # 3 bounded day-grain passes
+    "theta_method_forecast_daily",  # daily grain + single-row fold
+    "dagostino_k2_daily_values",  # daily grain fold
+    "seasonal_mann_kendall_daily",  # within-season day-grain pairs
+    "kendalls_w_weekday_event_types",  # 35-cell judge windows
+    "anderson_darling_purchase_view",  # stitched value-grain (CvM class)
+    "wasserstein_purchase_view",  # stitched value-grain + bounds lead
+    "energy_distance_purchase_view",  # stitched value-grain
+    "canonical_correlation_daily",  # daily grain fold
+    "hotelling_t2_weekpart_daily",  # daily grain fold
+    "near_dup_threshold_sweep_documents",  # pair relation windows (bounded)
 }
 
 
