@@ -33,6 +33,8 @@ __all__ = [
     "mahalanobis_outliers_lineitem",
     "cronbach_alpha_event_types_users",
     "odds_ratio_ci_priority_status_orders",
+    "box_m_test_weekpart_daily",
+    "mardia_normality_daily",
     "welch_anova_event_values",
     "bartlett_test_event_values",
     "rmst_user_retention",
@@ -5595,4 +5597,366 @@ SELECT a, b, c, d,
                                       + 1.0 / cd + 1.0 / dd)), 6) < 1.0
            AS significant
 FROM adj
+"""
+
+
+def box_m_test_weekpart_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box's M test (Box 1949) for equality of the weekday/weekend
+    covariance matrices of the daily (purchase $, view $) vector — the
+    ASSUMPTION CHECK ``hotelling_t2_weekpart_daily`` rests on: T²
+    pools the two covariances; if they differ, its level is wrong (the
+    multivariate Behrens–Fisher problem). M = (n−2)ln|S_p| −
+    Σ(nᵢ−1)ln|Sᵢ| with Box's χ² scaling (1−c)M on p(p+1)/2 = 3 df,
+    c = (2p²+3p−1)/(6(p+1)(k−1))·(Σ1/(nᵢ−1) − 1/(n−2)).
+
+    Exactness: the same decimal 6-sum group folds as Hotelling with
+    entries rounded at 9; determinants are closed 2×2 forms; ln rides
+    the house libm policy; M/χ² round at 6. Scale shape: one daily
+    aggregation, two group folds, constant algebra."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        dec_sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).otherwise(F.lit(0.0)),
+            27,
+            12,
+        )
+        .cast("double")
+        .alias("x"),
+        dec_sum(
+            F.when(F.col("event_type") == "view", F.col("value")).otherwise(
+                F.lit(0.0)
+            ),
+            27,
+            12,
+        )
+        .cast("double")
+        .alias("y"),
+    ).withColumn("wk", (F.weekday("day") >= 5).cast("int"))
+    g = daily.groupBy("wk").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("x"), 38, 12).cast("double").alias("sx"),
+        dec_sum(F.col("y"), 38, 12).cast("double").alias("sy"),
+        dec_sum(F.col("x") * F.col("x"), 38, 9).cast("double").alias("sxx"),
+        dec_sum(F.col("y") * F.col("y"), 38, 9).cast("double").alias("syy"),
+        dec_sum(F.col("x") * F.col("y"), 38, 9).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    st = g.select(
+        "wk",
+        "n",
+        F.round((F.col("sxx") - F.col("sx") * F.col("sx") / nd) / (nd - 1.0), 9).alias("cxx"),
+        F.round((F.col("syy") - F.col("sy") * F.col("sy") / nd) / (nd - 1.0), 9).alias("cyy"),
+        F.round((F.col("sxy") - F.col("sx") * F.col("sy") / nd) / (nd - 1.0), 9).alias("cxy"),
+    )
+    a = st.filter(F.col("wk") == 0).select(
+        F.col("n").alias("n1"), F.col("cxx").alias("cxx1"),
+        F.col("cyy").alias("cyy1"), F.col("cxy").alias("cxy1"),
+        F.lit(1).alias("one"),
+    )
+    b = st.filter(F.col("wk") == 1).select(
+        F.col("n").alias("n2"), F.col("cxx").alias("cxx2"),
+        F.col("cyy").alias("cyy2"), F.col("cxy").alias("cxy2"),
+        F.lit(1).alias("one"),
+    )
+    j = a.join(F.broadcast(b), "one")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    pxx = ((n1 - 1.0) * F.col("cxx1") + (n2 - 1.0) * F.col("cxx2")) / (
+        n1 + n2 - 2.0
+    )
+    pyy = ((n1 - 1.0) * F.col("cyy1") + (n2 - 1.0) * F.col("cyy2")) / (
+        n1 + n2 - 2.0
+    )
+    pxy = ((n1 - 1.0) * F.col("cxy1") + (n2 - 1.0) * F.col("cxy2")) / (
+        n1 + n2 - 2.0
+    )
+    det1 = F.col("cxx1") * F.col("cyy1") - F.col("cxy1") * F.col("cxy1")
+    det2 = F.col("cxx2") * F.col("cyy2") - F.col("cxy2") * F.col("cxy2")
+    detp = pxx * pyy - pxy * pxy
+    m = (
+        (n1 + n2 - 2.0) * F.log(detp)
+        - (n1 - 1.0) * F.log(det1)
+        - (n2 - 1.0) * F.log(det2)
+    )
+    c = (
+        F.lit(13.0 / 18.0)
+        * (
+            1.0 / (n1 - 1.0)
+            + 1.0 / (n2 - 1.0)
+            - 1.0 / (n1 + n2 - 2.0)
+        )
+    )
+    chi2 = F.round(m * (F.lit(1.0) - c), 6)
+    return j.select(
+        F.col("n1").alias("n_weekday"),
+        F.col("n2").alias("n_weekend"),
+        F.round(m, 6).cast("double").alias("box_m"),
+        chi2.cast("double").alias("chi2"),
+        F.lit(3).cast("int").alias("df"),
+        (chi2 > F.lit(7.814728)).alias("covariances_differ"),
+    )
+
+
+BOX_M_TEST_WEEKPART_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                              ELSE 0.0 END AS DECIMAL(27,12))) AS DOUBLE) AS x,
+           CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value
+                              ELSE 0.0 END AS DECIMAL(27,12))) AS DOUBLE) AS y
+    FROM events WHERE event_type IN ('purchase', 'view')
+    GROUP BY 1
+), keyed AS (
+    SELECT x, y, CASE WHEN isodow(day) >= 6 THEN 1 ELSE 0 END AS wk
+    FROM daily
+), g AS (
+    SELECT wk, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,9))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,9))) AS DOUBLE) AS sxy
+    FROM keyed GROUP BY wk
+), st AS (
+    SELECT wk, n,
+           ROUND((sxx - sx * sx / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0), 9) AS cxx,
+           ROUND((syy - sy * sy / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0), 9) AS cyy,
+           ROUND((sxy - sx * sy / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0), 9) AS cxy
+    FROM g
+), j AS (
+    SELECT a.n AS n1, a.cxx AS cxx1, a.cyy AS cyy1, a.cxy AS cxy1,
+           b.n AS n2, b.cxx AS cxx2, b.cyy AS cyy2, b.cxy AS cxy2
+    FROM (SELECT * FROM st WHERE wk = 0) a
+    CROSS JOIN (SELECT * FROM st WHERE wk = 1) b
+), alg AS (
+    SELECT n1, n2,
+           (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)
+           * ln((((CAST(n1 AS DOUBLE) - 1.0) * cxx1
+                  + (CAST(n2 AS DOUBLE) - 1.0) * cxx2)
+                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))
+                * (((CAST(n1 AS DOUBLE) - 1.0) * cyy1
+                    + (CAST(n2 AS DOUBLE) - 1.0) * cyy2)
+                   / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))
+                - (((CAST(n1 AS DOUBLE) - 1.0) * cxy1
+                    + (CAST(n2 AS DOUBLE) - 1.0) * cxy2)
+                   / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))
+                  * (((CAST(n1 AS DOUBLE) - 1.0) * cxy1
+                      + (CAST(n2 AS DOUBLE) - 1.0) * cxy2)
+                     / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)))
+           - (CAST(n1 AS DOUBLE) - 1.0) * ln(cxx1 * cyy1 - cxy1 * cxy1)
+           - (CAST(n2 AS DOUBLE) - 1.0) * ln(cxx2 * cyy2 - cxy2 * cxy2)
+               AS m,
+           (13.0 / 18.0) * (1.0 / (CAST(n1 AS DOUBLE) - 1.0)
+                            + 1.0 / (CAST(n2 AS DOUBLE) - 1.0)
+                            - 1.0 / (CAST(n1 AS DOUBLE)
+                                     + CAST(n2 AS DOUBLE) - 2.0)) AS c
+    FROM j
+)
+SELECT n1 AS n_weekday, n2 AS n_weekend,
+       CAST(ROUND(m, 6) AS DOUBLE) AS box_m,
+       CAST(ROUND(m * (1.0 - c), 6) AS DOUBLE) AS chi2,
+       CAST(3 AS INT) AS df,
+       ROUND(m * (1.0 - c), 6) > 7.814728 AS covariances_differ
+FROM alg
+"""
+
+
+def mardia_normality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mardia's multivariate skewness/kurtosis normality test (Mardia
+    1970) on the daily (purchase $, view $) vector — the NORMALITY
+    check the parametric multivariate pair assumes
+    (``hotelling_t2_weekpart_daily``/``box_m_test_weekpart_daily`` are
+    both likelihood-ratio-grade under MVN): b₁,₂ = n⁻²ΣᵢΣⱼ dᵢⱼ³ over
+    the Mahalanobis ANGLES dᵢⱼ = (vᵢ−μ)'S⁻¹(vⱼ−μ) and b₂,₂ = n⁻¹Σdᵢᵢ²,
+    with A = n·b₁/6 ~ χ²(4) and z = (b₂−p(p+2))/√(8p(p+2)/n). The
+    univariate ``dagostino_k2_daily_values`` can pass while the JOINT
+    tails are wrong — Mardia reads the joint.
+
+    Exactness: μ and the ML covariance (÷n) round at 9; dᵢⱼ is a fixed
+    closed-adjugate double per pair; cubes round at 12 into
+    DECIMAL(38,12) folds; A/z round at 6. Scale shape: the pair
+    relation is days² over the CALENDAR-bounded aggregate (the
+    mann-kendall pair class — days don't grow with corpus scale), via
+    a broadcast nested-loop, never a fact-grain pair join."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        dec_sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).otherwise(F.lit(0.0)),
+            27,
+            12,
+        )
+        .cast("double")
+        .alias("x"),
+        dec_sum(
+            F.when(F.col("event_type") == "view", F.col("value")).otherwise(
+                F.lit(0.0)
+            ),
+            27,
+            12,
+        )
+        .cast("double")
+        .alias("y"),
+    )
+    s = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dec_sum(F.col("x"), 38, 12).cast("double").alias("sx"),
+        dec_sum(F.col("y"), 38, 12).cast("double").alias("sy"),
+        dec_sum(F.col("x") * F.col("x"), 38, 9).cast("double").alias("sxx"),
+        dec_sum(F.col("y") * F.col("y"), 38, 9).cast("double").alias("syy"),
+        dec_sum(F.col("x") * F.col("y"), 38, 9).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    p = s.select(
+        "n",
+        F.round(F.col("sx") / nd, 9).alias("mx"),
+        F.round(F.col("sy") / nd, 9).alias("my"),
+        F.round((F.col("sxx") - F.col("sx") * F.col("sx") / nd) / nd, 9).alias("cxx"),
+        F.round((F.col("syy") - F.col("sy") * F.col("sy") / nd) / nd, 9).alias("cyy"),
+        F.round((F.col("sxy") - F.col("sx") * F.col("sy") / nd) / nd, 9).alias("cxy"),
+        F.lit(1).alias("one"),
+    )
+    cent = (
+        daily.withColumn("one", F.lit(1))
+        .join(F.broadcast(p), "one")
+        .select(
+            "day",
+            "n",
+            "cxx",
+            "cyy",
+            "cxy",
+            (F.col("x") - F.col("mx")).alias("u"),
+            (F.col("y") - F.col("my")).alias("w"),
+        )
+        .localCheckpoint(eager=False)  # both pair sides + diag read it
+    )
+    a = cent.select(
+        F.col("u").alias("ua"), F.col("w").alias("wa"),
+        "n", "cxx", "cyy", "cxy",
+    )
+    b = cent.select(F.col("u").alias("ub"), F.col("w").alias("wb"))
+    det = F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy")
+    dij = (
+        F.col("ua") * (F.col("cyy") * F.col("ub") - F.col("cxy") * F.col("wb"))
+        + F.col("wa")
+        * (F.col("cxx") * F.col("wb") - F.col("cxy") * F.col("ub"))
+    ) / det
+    b1 = (
+        a.join(F.broadcast(b))
+        .select(F.round(dij * dij * dij, 12).alias("d3"), "n")
+        .groupBy("n")
+        .agg(
+            F.sum(F.col("d3").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("sum_d3")
+        )
+    )
+    dii = (
+        F.col("u") * (F.col("cyy") * F.col("u") - F.col("cxy") * F.col("w"))
+        + F.col("w") * (F.col("cxx") * F.col("w") - F.col("cxy") * F.col("u"))
+    ) / (F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy"))
+    b2 = cent.select(
+        F.round(dii * dii, 12).alias("d2"), F.lit(1).alias("one")
+    ).groupBy("one").agg(
+        F.sum(F.col("d2").cast("decimal(38,12)")).cast("double").alias("sum_d2")
+    )
+    j = b1.withColumn("one", F.lit(1)).join(F.broadcast(b2), "one")
+    ndd = F.col("n").cast("double")
+    b1v = F.col("sum_d3") / (ndd * ndd)
+    b2v = F.col("sum_d2") / ndd
+    skew_a = F.round(ndd * b1v / 6.0, 6)
+    kurt_z = F.round((b2v - 8.0) / F.sqrt(64.0 / ndd), 6)
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.round(b1v, 6).cast("double").alias("mardia_b1"),
+        F.round(b2v, 6).cast("double").alias("mardia_b2"),
+        skew_a.cast("double").alias("skew_chi2"),
+        kurt_z.cast("double").alias("kurt_z"),
+        (
+            (skew_a > F.lit(9.487729)) | (F.abs(kurt_z) > F.lit(1.959964))
+        ).alias("non_normal"),
+    )
+
+
+MARDIA_NORMALITY_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+                              ELSE 0.0 END AS DECIMAL(27,12))) AS DOUBLE) AS x,
+           CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value
+                              ELSE 0.0 END AS DECIMAL(27,12))) AS DOUBLE) AS y
+    FROM events WHERE event_type IN ('purchase', 'view')
+    GROUP BY 1
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,9))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,9))) AS DOUBLE) AS sxy
+    FROM daily
+), p AS (
+    SELECT n,
+           ROUND(sx / CAST(n AS DOUBLE), 9) AS mx,
+           ROUND(sy / CAST(n AS DOUBLE), 9) AS my,
+           ROUND((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 9)
+               AS cxx,
+           ROUND((syy - sy * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 9)
+               AS cyy,
+           ROUND((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 9)
+               AS cxy
+    FROM s
+), cent AS (
+    SELECT day, n, cxx, cyy, cxy, x - mx AS u, y - my AS w
+    FROM daily CROSS JOIN p
+), b1 AS (
+    SELECT a.n,
+           CAST(SUM(CAST(ROUND(
+               ((a.u * (a.cyy * b.u - a.cxy * b.w)
+                 + a.w * (a.cxx * b.w - a.cxy * b.u))
+                / (a.cxx * a.cyy - a.cxy * a.cxy))
+               * ((a.u * (a.cyy * b.u - a.cxy * b.w)
+                   + a.w * (a.cxx * b.w - a.cxy * b.u))
+                  / (a.cxx * a.cyy - a.cxy * a.cxy))
+               * ((a.u * (a.cyy * b.u - a.cxy * b.w)
+                   + a.w * (a.cxx * b.w - a.cxy * b.u))
+                  / (a.cxx * a.cyy - a.cxy * a.cxy)), 12)
+               AS DECIMAL(38,12))) AS DOUBLE) AS sum_d3
+    FROM cent a CROSS JOIN cent b
+    GROUP BY a.n
+), b2 AS (
+    SELECT CAST(SUM(CAST(ROUND(
+               ((u * (cyy * u - cxy * w) + w * (cxx * w - cxy * u))
+                / (cxx * cyy - cxy * cxy))
+               * ((u * (cyy * u - cxy * w) + w * (cxx * w - cxy * u))
+                  / (cxx * cyy - cxy * cxy)), 12)
+               AS DECIMAL(38,12))) AS DOUBLE) AS sum_d2
+    FROM cent
+)
+SELECT n AS n_days,
+       CAST(ROUND(sum_d3 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+            AS DOUBLE) AS mardia_b1,
+       CAST(ROUND(sum_d2 / CAST(n AS DOUBLE), 6) AS DOUBLE) AS mardia_b2,
+       CAST(ROUND(CAST(n AS DOUBLE)
+                  * (sum_d3 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                  / 6.0, 6) AS DOUBLE) AS skew_chi2,
+       CAST(ROUND((sum_d2 / CAST(n AS DOUBLE) - 8.0)
+                  / SQRT(64.0 / CAST(n AS DOUBLE)), 6) AS DOUBLE) AS kurt_z,
+       ROUND(CAST(n AS DOUBLE)
+             * (sum_d3 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 6.0, 6)
+           > 9.487729
+       OR ABS(ROUND((sum_d2 / CAST(n AS DOUBLE) - 8.0)
+                    / SQRT(64.0 / CAST(n AS DOUBLE)), 6)) > 1.959964
+           AS non_normal
+FROM b1 CROSS JOIN b2
 """

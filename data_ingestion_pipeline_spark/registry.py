@@ -577,6 +577,8 @@ _ROUND12_QUEUE: list[str] = [
     "odds_ratio_ci_priority_status_orders",
     "canonical_correlation_daily",
     "quade_test_event_type_values",
+    "box_m_test_weekpart_daily",
+    "mardia_normality_daily",
 ]
 
 
@@ -3444,4 +3446,16 @@ register(
     "quade_test_event_type_values",
     analytics_checks.quade_test_event_type_values,
     analytics_checks.QUADE_TEST_EVENT_TYPE_VALUES_ORACLE,
+)
+
+register(
+    "box_m_test_weekpart_daily",
+    inference_stats.box_m_test_weekpart_daily,
+    inference_stats.BOX_M_TEST_WEEKPART_DAILY_ORACLE,
+)
+
+register(
+    "mardia_normality_daily",
+    inference_stats.mardia_normality_daily,
+    inference_stats.MARDIA_NORMALITY_DAILY_ORACLE,
 )

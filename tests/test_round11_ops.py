@@ -2987,3 +2987,83 @@ def test_quade_matches_python_mirror(spark, sf_dir):
     else:
         assert abs(row["f_stat"] - f) < 1e-4
         assert row["significant"] == (round(f, 6) > 2.776289)
+
+
+def _daily_pv_matrix(spark, sf_dir):
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .selectExpr("CAST(ts AS DATE) AS day", "event_type", "value")
+        .collect()
+    )
+    acc = defaultdict(lambda: [Decimal(0), Decimal(0)])
+    for r in rows:
+        acc[r["day"]][0 if r["event_type"] == "purchase" else 1] += Decimal(
+            str(r["value"])
+        )
+    return {d: (float(p), float(v)) for d, (p, v) in acc.items()}
+
+
+def test_box_m_matches_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        box_m_test_weekpart_daily,
+    )
+
+    mat = _daily_pv_matrix(spark, sf_dir)
+    g = {0: [], 1: []}
+    for d, xy in mat.items():
+        g[1 if d.isoweekday() >= 6 else 0].append(xy)
+    a, b = np.array(g[0]), np.array(g[1])
+    n1, n2 = len(a), len(b)
+    s1 = np.cov(a.T, ddof=1)
+    s2 = np.cov(b.T, ddof=1)
+    sp = ((n1 - 1) * s1 + (n2 - 1) * s2) / (n1 + n2 - 2)
+    m = (
+        (n1 + n2 - 2) * math.log(np.linalg.det(sp))
+        - (n1 - 1) * math.log(np.linalg.det(s1))
+        - (n2 - 1) * math.log(np.linalg.det(s2))
+    )
+    c = (13.0 / 18.0) * (
+        1 / (n1 - 1) + 1 / (n2 - 1) - 1 / (n1 + n2 - 2)
+    )
+    chi2 = m * (1 - c)
+    row = box_m_test_weekpart_daily(spark, sf_dir).collect()[0]
+    assert row["n_weekday"] == n1 and row["n_weekend"] == n2
+    assert abs(row["box_m"] - m) < max(1e-3, abs(m) * 1e-3)
+    assert abs(row["chi2"] - chi2) < max(1e-3, abs(chi2) * 1e-3)
+    assert row["df"] == 3
+
+
+def test_mardia_matches_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        mardia_normality_daily,
+    )
+
+    mat = np.array(list(_daily_pv_matrix(spark, sf_dir).values()))
+    n = len(mat)
+    mu = mat.mean(axis=0)
+    c = (mat - mu).T @ (mat - mu) / n
+    inv = np.linalg.inv(c)
+    z = mat - mu
+    d = z @ inv @ z.T
+    b1 = float((d**3).sum()) / (n * n)
+    b2 = float((np.diag(d) ** 2).sum()) / n
+    skew_a = n * b1 / 6
+    kurt_z = (b2 - 8.0) / math.sqrt(64.0 / n)
+    row = mardia_normality_daily(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["mardia_b1"] - b1) < max(1e-3, abs(b1) * 1e-3)
+    assert abs(row["mardia_b2"] - b2) < max(1e-3, abs(b2) * 1e-3)
+    assert abs(row["skew_chi2"] - skew_a) < max(1e-2, abs(skew_a) * 1e-3)
+    assert abs(row["kurt_z"] - kurt_z) < max(1e-3, abs(kurt_z) * 1e-3)

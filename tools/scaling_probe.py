@@ -350,6 +350,8 @@ PROBES = [
     ("odds_ratio_ci_priority_status_orders", ["orders"]),
     ("canonical_correlation_daily", ["events"]),
     ("quade_test_event_type_values", ["events"]),
+    ("box_m_test_weekpart_daily", ["events"]),
+    ("mardia_normality_daily", ["events"]),
 ]
 
 KEY_OFFSETS = {

@@ -108,6 +108,9 @@ DOCUMENTED_BOUNDED = {
     "canonical_correlation_daily",  # daily grain fold
     "hotelling_t2_weekpart_daily",  # daily grain fold
     "near_dup_threshold_sweep_documents",  # pair relation windows (bounded)
+    "box_m_test_weekpart_daily",  # daily grain fold
+    "mardia_normality_daily",  # calendar-bounded day-pair relation
+    "quade_test_event_type_values",  # 35-cell + 7-range windows
 }
 
 
