@@ -35,6 +35,7 @@ __all__ = [
     "odds_ratio_ci_priority_status_orders",
     "box_m_test_weekpart_daily",
     "mardia_normality_daily",
+    "greenwood_km_ci_retention",
     "welch_anova_event_values",
     "bartlett_test_event_values",
     "rmst_user_retention",
@@ -5959,4 +5960,201 @@ SELECT n AS n_days,
                     / SQRT(64.0 / CAST(n AS DOUBLE)), 6)) > 1.959964
            AS non_normal
 FROM b1 CROSS JOIN b2
+"""
+
+
+def greenwood_km_ci_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan–Meier curve with Greenwood standard errors and log-log
+    95% confidence bands (Greenwood 1926; Kalbfleisch–Prentice cloglog
+    transform) — the UNCERTAINTY layer the survival tier's point
+    estimates lack: ``kaplan_meier_user_retention`` publishes Ŝ(t)
+    alone; decisions need the band, and the cloglog form keeps it
+    inside (0,1) where the naive ±1.96·se band escapes. Per event
+    time: Ŝ, se via Greenwood's cumulative Σd/(n(n−d)), and
+    Ŝ^exp(±1.96·√Σ/|ln Ŝ|). Same lifetimes/censoring as the KM tier.
+
+    Exactness: the Greenwood sum accumulates per-time terms rounded at
+    12 in a DECIMAL(27,12) cumulative window; Ŝ folds as the KM
+    exp(Σln) construction; bands round at 6 with the degenerate Ŝ=1 /
+    Ŝ=0 rows NULLed identically on both engines (ln Ŝ = 0 pole).
+    Scale shape: one user-grain aggregate, bounded duration-grain
+    windows (documented class)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    end = ev.agg(F.max("ts").alias("end_ts"))
+    hours = (
+        (
+            F.unix_micros(F.date_trunc("hour", F.col("last_ts")))
+            - F.unix_micros(F.date_trunc("hour", F.col("first_ts")))
+        )
+        / F.lit(3_600_000_000)
+    ).cast("bigint")
+    grain = (
+        per_user.join(F.broadcast(end))
+        .select(
+            hours.alias("t"),
+            (
+                F.col("last_ts") < F.col("end_ts") - F.expr("INTERVAL 1 DAYS")
+            ).alias("churned"),
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.col("churned").cast("long")).cast("bigint").alias("d"),
+            F.sum((~F.col("churned")).cast("long")).cast("bigint").alias("c"),
+        )
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = grain.agg(F.sum(F.col("d") + F.col("c")).alias("n_total"))
+    curve = (
+        grain.join(F.broadcast(total))
+        .withColumn(
+            "n",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0))
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "factor",
+            F.lit(1.0)
+            - F.col("d").cast("double") / F.col("n").cast("double"),
+        )
+        .withColumn(
+            "ln_sum",
+            F.sum(
+                F.when(F.col("factor") > 0.0, F.log("factor")).otherwise(
+                    F.lit(0.0)
+                )
+            ).over(wc),
+        )
+        .withColumn(
+            "zero_seen", F.sum((F.col("factor") <= 0.0).cast("long")).over(wc)
+        )
+        .withColumn(
+            "gw",
+            F.sum(
+                F.round(
+                    F.when(
+                        F.col("n") > F.col("d"),
+                        F.col("d").cast("double")
+                        / (
+                            F.col("n").cast("double")
+                            * (F.col("n") - F.col("d")).cast("double")
+                        ),
+                    ).otherwise(F.lit(0.0)),
+                    12,
+                ).cast("decimal(27,12)")
+            ).over(wc),
+        )
+    )
+    s_hat = F.when(F.col("zero_seen") > 0, F.lit(0.0)).otherwise(
+        F.round(F.exp("ln_sum"), 9)
+    )
+    scored = curve.filter(F.col("d") > 0).select(
+        F.col("t").cast("int").alias("t_hours"),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("d_events"),
+        s_hat.alias("s"),
+        F.col("gw").cast("double").alias("gw_sum"),
+    )
+    se = F.round(F.col("s") * F.sqrt(F.col("gw_sum")), 6)
+    se_theta = F.sqrt(F.col("gw_sum")) / F.abs(F.log(F.col("s")))
+    # s^q as EXP(ln s · q): POWER carries the documented sub-ULP
+    # cross-engine parity risk (the Mood precedent)
+    lo = F.round(
+        F.exp(F.log(F.col("s")) * F.exp(F.lit(1.959964) * se_theta)), 6
+    )
+    hi = F.round(
+        F.exp(F.log(F.col("s")) * F.exp(F.lit(-1.959964) * se_theta)), 6
+    )
+    degen = (F.col("s") <= 0.0) | (F.col("s") >= 1.0)
+    return scored.select(
+        "t_hours",
+        "n_at_risk",
+        "d_events",
+        F.round(F.col("s"), 6).cast("double").alias("survival"),
+        F.when(degen, F.lit(None)).otherwise(se).cast("double").alias(
+            "greenwood_se"
+        ),
+        F.when(degen, F.lit(None)).otherwise(lo).cast("double").alias(
+            "ci_low"
+        ),
+        F.when(degen, F.lit(None)).otherwise(hi).cast("double").alias(
+            "ci_high"
+        ),
+    )
+
+
+GREENWOOD_KM_CI_RETENTION_ORACLE = """
+WITH per_user AS (
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events
+    GROUP BY user_id
+), ends AS (SELECT MAX(ts) AS end_ts FROM events),
+grain AS (
+    SELECT datediff('hour', first_ts, last_ts) AS t,
+           CAST(SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d,
+           CAST(SUM(CASE WHEN last_ts < end_ts - INTERVAL 1 DAY
+                         THEN 0 ELSE 1 END) AS BIGINT) AS c
+    FROM per_user CROSS JOIN ends
+    GROUP BY 1
+), tot AS (SELECT SUM(d + c) AS n_total FROM grain),
+curve AS (
+    SELECT t, d, c,
+           CAST(n_total - COALESCE(SUM(d + c) OVER (
+                    ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n
+    FROM grain CROSS JOIN tot
+), fac AS (
+    SELECT *,
+           1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS factor
+    FROM curve
+), sums AS (
+    SELECT t, d, n,
+           SUM(CASE WHEN factor > 0.0 THEN ln(factor) ELSE 0.0 END)
+               OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ln_sum,
+           SUM(CASE WHEN factor <= 0.0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS zero_seen,
+           CAST(SUM(CAST(ROUND(CASE WHEN n > d
+                    THEN CAST(d AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n - d AS DOUBLE))
+                    ELSE 0.0 END, 12) AS DECIMAL(27,12)))
+               OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS gw
+    FROM fac
+), scored AS (
+    SELECT CAST(t AS INTEGER) AS t_hours, n AS n_at_risk, d AS d_events,
+           CASE WHEN zero_seen > 0 THEN 0.0
+                ELSE ROUND(EXP(ln_sum), 9) END AS s,
+           gw AS gw_sum
+    FROM sums
+    WHERE d > 0
+)
+SELECT t_hours, n_at_risk, d_events,
+       CAST(ROUND(s, 6) AS DOUBLE) AS survival,
+       CAST(CASE WHEN s <= 0.0 OR s >= 1.0 THEN NULL
+                 ELSE ROUND(s * SQRT(gw_sum), 6) END AS DOUBLE)
+           AS greenwood_se,
+       CAST(CASE WHEN s <= 0.0 OR s >= 1.0 THEN NULL
+                 ELSE ROUND(EXP(ln(s) * EXP(1.959964
+                      * (SQRT(gw_sum) / ABS(ln(s))))), 6) END AS DOUBLE)
+           AS ci_low,
+       CAST(CASE WHEN s <= 0.0 OR s >= 1.0 THEN NULL
+                 ELSE ROUND(EXP(ln(s) * EXP(-1.959964
+                      * (SQRT(gw_sum) / ABS(ln(s))))), 6) END AS DOUBLE)
+           AS ci_high
+FROM scored
 """

@@ -44,6 +44,7 @@ __all__ = [
     "theta_method_forecast_daily",
     "spectral_entropy_daily_events",
     "dagostino_k2_daily_values",
+    "siegel_slope_daily_trend",
     "rolling_corr_purchase_view_14d",
     "autocorr_daily_value",
     "ar2_yule_walker_daily",
@@ -4663,4 +4664,157 @@ SELECT n,
        CAST(ROUND(z1 * z1 + z2 * z2, 6) AS DOUBLE) AS k2_stat,
        ROUND(z1 * z1 + z2 * z2, 6) > 5.991465 AS non_normal
 FROM z2t
+"""
+
+
+def siegel_slope_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel repeated-medians slope (Siegel 1982) of the daily value
+    series — the HIGHEST-breakdown member of the robust-trend pair:
+    ``theil_sen_daily_trend``'s median-of-all-pairs breaks down at 29%
+    contamination; the median-of-per-point-medians tolerates 50% —
+    half the days can be arbitrarily corrupted before the slope moves.
+    Published with the per-day median count and the Theil–Sen-style
+    intercept med(v − slope·t).
+
+    Exactness: pairwise slopes are identical doubles on both engines
+    (same subtraction/division on exact decimal-fold dailies); both
+    median layers select by EXPLICIT row_number positions
+    ⌊(m+1)/2⌋..⌊(m+2)/2⌋ and average the ≤2 picked values — no
+    engine median() whose interpolation could differ; outputs round at
+    6. Scale shape: the pair relation is days² over the
+    calendar-bounded aggregate (the mann-kendall pair class) with
+    per-day windows keyed by day — no single-partition fact windows."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    d0 = daily.agg(F.min("day").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("day", "d0").cast("double").alias("t"), "x"
+    ).localCheckpoint(eager=False)  # both pair sides + intercept read it
+    a = pts.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = pts.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("ta") != F.col("tb"))
+        .select(
+            "ta",
+            ((F.col("xb") - F.col("xa")) / (F.col("tb") - F.col("ta"))).alias(
+                "s"
+            ),
+        )
+    )
+    wm = Window.partitionBy("ta").orderBy("s")
+    ranked = slopes.select(
+        "ta",
+        "s",
+        F.row_number().over(wm).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy("ta")).cast("bigint").alias("m"),
+    )
+    med_i = (
+        ranked.filter(
+            (F.col("rn") >= F.floor((F.col("m") + 1) / 2))
+            & (F.col("rn") <= F.floor((F.col("m") + 2) / 2))
+        )
+        .groupBy("ta")
+        .agg((F.sum("s") / F.count("*")).alias("mi"))
+    )
+    wg = Window.partitionBy(F.lit(1) % 1).orderBy("mi")
+    final = med_i.select(
+        "mi",
+        F.row_number().over(wg).cast("bigint").alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy(F.lit(1) % 1))
+        .cast("bigint")
+        .alias("m"),
+    )
+    slope = (
+        final.filter(
+            (F.col("rn") >= F.floor((F.col("m") + 1) / 2))
+            & (F.col("rn") <= F.floor((F.col("m") + 2) / 2))
+        )
+        .agg(
+            (F.sum("mi") / F.count("*")).alias("slope"),
+            F.max("m").alias("n_days"),
+        )
+        .withColumn("one", F.lit(1))
+    )
+    resid = (
+        pts.withColumn("one", F.lit(1))
+        .join(F.broadcast(slope), "one")
+        .select(
+            (F.col("x") - F.col("slope") * F.col("t")).alias("r"),
+            "slope",
+            "n_days",
+        )
+    )
+    wr = Window.partitionBy(F.lit(1) % 1).orderBy("r")
+    rranked = resid.select(
+        "r",
+        "slope",
+        "n_days",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy(F.lit(1) % 1))
+        .cast("bigint")
+        .alias("m"),
+    )
+    return (
+        rranked.filter(
+            (F.col("rn") >= F.floor((F.col("m") + 1) / 2))
+            & (F.col("rn") <= F.floor((F.col("m") + 2) / 2))
+        )
+        .groupBy("slope", "n_days")
+        .agg((F.sum("r") / F.count("*")).alias("icept"))
+        .select(
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.round("slope", 6).cast("double").alias("siegel_slope"),
+            F.round("icept", 6).cast("double").alias("siegel_intercept"),
+        )
+    )
+
+
+SIEGEL_SLOPE_DAILY_TREND_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), d0 AS (SELECT MIN(day) AS d0 FROM daily),
+pts AS (
+    SELECT CAST(datediff('day', d0, day) AS DOUBLE) AS t, x
+    FROM daily CROSS JOIN d0
+), slopes AS (
+    SELECT a.t AS ta, (b.x - a.x) / (b.t - a.t) AS s
+    FROM pts a JOIN pts b ON a.t <> b.t
+), ranked AS (
+    SELECT ta, s,
+           CAST(ROW_NUMBER() OVER (PARTITION BY ta ORDER BY s) AS BIGINT)
+               AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY ta) AS BIGINT) AS m
+    FROM slopes
+), med_i AS (
+    SELECT ta, SUM(s) / COUNT(*) AS mi
+    FROM ranked
+    WHERE rn >= FLOOR((m + 1) / 2) AND rn <= FLOOR((m + 2) / 2)
+    GROUP BY ta
+), final AS (
+    SELECT mi,
+           CAST(ROW_NUMBER() OVER (ORDER BY mi) AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS m
+    FROM med_i
+), sl AS (
+    SELECT SUM(mi) / COUNT(*) AS slope, MAX(m) AS n_days
+    FROM final
+    WHERE rn >= FLOOR((m + 1) / 2) AND rn <= FLOOR((m + 2) / 2)
+), resid AS (
+    SELECT x - sl.slope * t AS r, sl.slope, sl.n_days
+    FROM pts CROSS JOIN sl
+), rranked AS (
+    SELECT r, slope, n_days,
+           CAST(ROW_NUMBER() OVER (ORDER BY r) AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS m
+    FROM resid
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(ROUND(slope, 6) AS DOUBLE) AS siegel_slope,
+       CAST(ROUND(SUM(r) / COUNT(*), 6) AS DOUBLE) AS siegel_intercept
+FROM rranked
+WHERE rn >= FLOOR((m + 1) / 2) AND rn <= FLOOR((m + 2) / 2)
+GROUP BY slope, n_days
 """

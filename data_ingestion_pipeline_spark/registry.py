@@ -579,6 +579,8 @@ _ROUND12_QUEUE: list[str] = [
     "quade_test_event_type_values",
     "box_m_test_weekpart_daily",
     "mardia_normality_daily",
+    "greenwood_km_ci_retention",
+    "siegel_slope_daily_trend",
 ]
 
 
@@ -3458,4 +3460,16 @@ register(
     "mardia_normality_daily",
     inference_stats.mardia_normality_daily,
     inference_stats.MARDIA_NORMALITY_DAILY_ORACLE,
+)
+
+register(
+    "greenwood_km_ci_retention",
+    inference_stats.greenwood_km_ci_retention,
+    inference_stats.GREENWOOD_KM_CI_RETENTION_ORACLE,
+)
+
+register(
+    "siegel_slope_daily_trend",
+    timeseries_checks.siegel_slope_daily_trend,
+    timeseries_checks.SIEGEL_SLOPE_DAILY_TREND_ORACLE,
 )

@@ -3067,3 +3067,96 @@ def test_mardia_matches_numpy(spark, sf_dir):
     assert abs(row["mardia_b2"] - b2) < max(1e-3, abs(b2) * 1e-3)
     assert abs(row["skew_chi2"] - skew_a) < max(1e-2, abs(skew_a) * 1e-3)
     assert abs(row["kurt_z"] - kurt_z) < max(1e-3, abs(kurt_z) * 1e-3)
+
+
+def test_greenwood_km_ci_matches_python_mirror(spark, sf_dir):
+    """Greenwood SE and cloglog bands recomputed from the KM replay;
+    bands must bracket the estimate."""
+    import math
+    from collections import defaultdict
+
+    from data_ingestion_pipeline_spark.operators.inference_stats import (
+        greenwood_km_ci_retention,
+    )
+
+    per = defaultdict(lambda: [0, 0])
+    for hrs, churn, _ in _retention_durations(spark, sf_dir):
+        per[hrs][0 if churn else 1] += 1
+    tot = sum(d + c for d, c in per.values())
+    seen = 0
+    s = 1.0
+    gw = 0.0
+    expect = {}
+    for t in sorted(per):
+        d, c = per[t]
+        n = tot - seen
+        seen += d + c
+        f = 1 - d / n
+        s = 0.0 if f <= 0 or s == 0.0 else s * f
+        if n > d:
+            gw += round(d / (n * (n - d)), 12)
+        if d > 0:
+            sr = round(s, 9)
+            row = [n, d, round(sr, 6), None, None, None]
+            if 0.0 < sr < 1.0:
+                se_t = math.sqrt(gw) / abs(math.log(sr))
+                row[3] = round(sr * math.sqrt(gw), 6)
+                row[4] = round(
+                    math.exp(math.log(sr) * math.exp(1.959964 * se_t)), 6
+                )
+                row[5] = round(
+                    math.exp(math.log(sr) * math.exp(-1.959964 * se_t)), 6
+                )
+            expect[t] = row
+    got = {r["t_hours"]: r for r in greenwood_km_ci_retention(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for t, (n, d, sv, se, lo, hi) in expect.items():
+        r = got[t]
+        assert r["n_at_risk"] == n and r["d_events"] == d
+        assert abs(r["survival"] - sv) < 1e-6
+        if se is None:
+            assert r["greenwood_se"] is None
+        else:
+            assert abs(r["greenwood_se"] - se) < 1e-5
+            assert abs(r["ci_low"] - lo) < 1e-4
+            assert abs(r["ci_high"] - hi) < 1e-4
+            assert r["ci_low"] <= r["survival"] <= r["ci_high"]
+
+
+def test_siegel_slope_matches_python_mirror(spark, sf_dir):
+    """Median-of-per-point-medians replayed with the explicit
+    position-selection convention; plus the 50% breakdown sanity that
+    Siegel lies within the range of per-point medians."""
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        siegel_slope_daily_trend,
+    )
+
+    x = _daily_series(spark, sf_dir)
+    n = len(x)
+    t = list(range(n))
+
+    def med(vals):
+        vs = sorted(vals)
+        m = len(vs)
+        lo, hi = (m + 1) // 2, (m + 2) // 2
+        picked = vs[lo - 1 : hi]
+        return sum(picked) / len(picked)
+
+    mis = []
+    for i in range(n):
+        mis.append(
+            med(
+                [
+                    (x[j] - x[i]) / (t[j] - t[i])
+                    for j in range(n)
+                    if j != i
+                ]
+            )
+        )
+    slope = med(mis)
+    icept = med([x[i] - slope * t[i] for i in range(n)])
+    row = siegel_slope_daily_trend(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["siegel_slope"] - slope) < 1e-5
+    assert abs(row["siegel_intercept"] - icept) < 1e-4
+    assert min(mis) - 1e-9 <= row["siegel_slope"] <= max(mis) + 1e-9

@@ -352,6 +352,8 @@ PROBES = [
     ("quade_test_event_type_values", ["events"]),
     ("box_m_test_weekpart_daily", ["events"]),
     ("mardia_normality_daily", ["events"]),
+    ("greenwood_km_ci_retention", ["events"]),
+    ("siegel_slope_daily_trend", ["events"]),
 ]
 
 KEY_OFFSETS = {

@@ -111,6 +111,8 @@ DOCUMENTED_BOUNDED = {
     "box_m_test_weekpart_daily",  # daily grain fold
     "mardia_normality_daily",  # calendar-bounded day-pair relation
     "quade_test_event_type_values",  # 35-cell + 7-range windows
+    "greenwood_km_ci_retention",  # duration grain <= corpus hour span
+    "siegel_slope_daily_trend",  # day-grain pair medians (bounded)
 }
 
 
