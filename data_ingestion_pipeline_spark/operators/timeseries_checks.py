@@ -45,6 +45,10 @@ __all__ = [
     "spectral_entropy_daily_events",
     "dagostino_k2_daily_values",
     "siegel_slope_daily_trend",
+    "cochrane_orcutt_daily_trend",
+    "cusum_squares_daily",
+    "variance_ratio_daily",
+    "turning_points_daily",
     "rolling_corr_purchase_view_14d",
     "autocorr_daily_value",
     "ar2_yule_walker_daily",
@@ -4817,4 +4821,482 @@ SELECT CAST(n_days AS BIGINT) AS n_days,
 FROM rranked
 WHERE rn >= FLOOR((m + 1) / 2) AND rn <= FLOOR((m + 2) / 2)
 GROUP BY slope, n_days
+"""
+
+
+def cochrane_orcutt_daily_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochrane–Orcutt AR(1) correction (Cochrane & Orcutt 1949) of the
+    daily-trend OLS — the ESTIMATE-side fix the serial-correlation pair
+    stops short of: ``durbin_watson``/``breusch_godfrey`` DETECT lag-1
+    residual correlation and ``newey_west`` fixes only the standard
+    errors; CO re-fits on the quasi-differences (x_t − ρ̂x_{t−1} on
+    t − ρ̂(t−1)) so the slope itself sheds the autocorrelation bias.
+    Publishes ρ̂, both slopes, and the relative shift.
+
+    Exactness: stage 1 is the durbin-watson closed-form OLS (β rounded
+    at 9); ρ̂ = Σe_te_{t−1}/Σe²_{t−1} from decimal folds rounded at 9;
+    stage 2 re-runs the SAME closed-form 5-sum on the transformed
+    series (first row dropped, the classic CO convention); outputs
+    round at 6. Scale shape: one daily aggregation, one bounded lag
+    window, two constant folds."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    d0 = daily.agg(F.min("day").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("day", "d0").cast("double").alias("t"), "x", "day"
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        dec_sum(F.col("t"), 27, 12).cast("double").alias("st"),
+        dec_sum(F.col("x"), 27, 12).cast("double").alias("sx"),
+        dec_sum(F.col("t") * F.col("x"), 38, 12).cast("double").alias("stx"),
+        dec_sum(F.col("t") * F.col("t"), 38, 12).cast("double").alias("stt"),
+    )
+    slope = (F.col("n") * F.col("stx") - F.col("st") * F.col("sx")) / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    )
+    icept = (F.col("sx") - slope * F.col("st")) / F.col("n")
+    params = s.select(
+        F.round(slope, 9).alias("b1"), F.round(icept, 9).alias("b0")
+    )
+    w = Window.partitionBy(F.month("day") % 1).orderBy("day")
+    resid = (
+        pts.crossJoin(F.broadcast(params))
+        .select(
+            "day",
+            "t",
+            "x",
+            (F.col("x") - (F.col("b0") + F.col("b1") * F.col("t"))).alias(
+                "e"
+            ),
+            "b1",
+        )
+        .select(
+            "day",
+            "t",
+            "x",
+            "e",
+            "b1",
+            F.lag("e").over(w).alias("ep"),
+            F.lag("t").over(w).alias("tp"),
+            F.lag("x").over(w).alias("xp"),
+        )
+    )
+    rho_agg = resid.filter(F.col("ep").isNotNull()).agg(
+        F.max("b1").alias("b1"),
+        F.round(
+            dec_sum(F.col("e") * F.col("ep"), 38, 9).cast("double")
+            / dec_sum(F.col("ep") * F.col("ep"), 38, 9).cast("double"),
+            9,
+        ).alias("rho"),
+        F.lit(1).alias("one"),
+    )
+    trans = (
+        resid.filter(F.col("xp").isNotNull())
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(rho_agg.select("rho", "one")), "one")
+        .select(
+            (F.col("x") - F.col("rho") * F.col("xp")).alias("xs"),
+            (F.col("t") - F.col("rho") * F.col("tp")).alias("ts"),
+        )
+    )
+    s2 = trans.agg(
+        F.count("*").cast("double").alias("n"),
+        dec_sum(F.col("ts"), 38, 12).cast("double").alias("st"),
+        dec_sum(F.col("xs"), 38, 12).cast("double").alias("sx"),
+        dec_sum(F.col("ts") * F.col("xs"), 38, 9).cast("double").alias("stx"),
+        dec_sum(F.col("ts") * F.col("ts"), 38, 9).cast("double").alias("stt"),
+        F.lit(1).alias("one"),
+    )
+    b1_co = F.round(
+        (F.col("n") * F.col("stx") - F.col("st") * F.col("sx"))
+        / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")),
+        9,
+    )
+    j = s2.join(F.broadcast(rho_agg), "one")
+    return j.select(
+        (F.col("n") + 1).cast("bigint").alias("n_days"),
+        F.col("rho").cast("double").alias("rho_hat"),
+        F.round(F.col("b1"), 6).cast("double").alias("slope_ols"),
+        F.round(b1_co, 6).cast("double").alias("slope_co"),
+        F.round(
+            (b1_co - F.col("b1")) / F.abs(F.col("b1")), 6
+        )
+        .cast("double")
+        .alias("rel_shift"),
+    )
+
+
+COCHRANE_ORCUTT_DAILY_TREND_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), d0 AS (SELECT MIN(day) AS d0 FROM daily),
+pts AS (
+    SELECT CAST(datediff('day', d0, day) AS DOUBLE) AS t, x, day
+    FROM daily CROSS JOIN d0
+), s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(t AS DECIMAL(27,12))) AS DOUBLE) AS st,
+           CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(t * x AS DECIMAL(38,12))) AS DOUBLE) AS stx,
+           CAST(SUM(CAST(t * t AS DECIMAL(38,12))) AS DOUBLE) AS stt
+    FROM pts
+), params AS (
+    SELECT ROUND((n * stx - st * sx) / (n * stt - st * st), 9) AS b1,
+           ROUND((sx - ((n * stx - st * sx) / (n * stt - st * st)) * st) / n,
+                 9) AS b0
+    FROM s
+), resid AS (
+    SELECT day, t, x, x - (b0 + b1 * t) AS e, b1,
+           LAG(x - (b0 + b1 * t)) OVER (ORDER BY day) AS ep,
+           LAG(t) OVER (ORDER BY day) AS tp,
+           LAG(x) OVER (ORDER BY day) AS xp
+    FROM pts CROSS JOIN params
+), rho_agg AS (
+    SELECT MAX(b1) AS b1,
+           ROUND(CAST(SUM(CAST(e * ep AS DECIMAL(38,9))) AS DOUBLE)
+                 / CAST(SUM(CAST(ep * ep AS DECIMAL(38,9))) AS DOUBLE), 9)
+               AS rho
+    FROM resid WHERE ep IS NOT NULL
+), trans AS (
+    SELECT x - rho * xp AS xs, t - rho * tp AS ts
+    FROM resid CROSS JOIN rho_agg
+    WHERE xp IS NOT NULL
+), s2 AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(ts AS DECIMAL(38,12))) AS DOUBLE) AS st,
+           CAST(SUM(CAST(xs AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(ts * xs AS DECIMAL(38,9))) AS DOUBLE) AS stx,
+           CAST(SUM(CAST(ts * ts AS DECIMAL(38,9))) AS DOUBLE) AS stt
+    FROM trans
+)
+SELECT CAST(n + 1 AS BIGINT) AS n_days,
+       CAST(rho AS DOUBLE) AS rho_hat,
+       CAST(ROUND(b1, 6) AS DOUBLE) AS slope_ols,
+       CAST(ROUND(ROUND((n * stx - st * sx) / (n * stt - st * st), 9), 6)
+            AS DOUBLE) AS slope_co,
+       CAST(ROUND((ROUND((n * stx - st * sx) / (n * stt - st * st), 9) - b1)
+                  / ABS(b1), 6) AS DOUBLE) AS rel_shift
+FROM s2 CROSS JOIN rho_agg
+"""
+
+
+def cusum_squares_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM-of-squares test (Brown, Durbin & Evans 1975) on the daily
+    first differences — the VARIANCE-stability member of the
+    changepoint family: ``cusum_changepoint_daily``/``pettitt``/
+    ``binseg`` hunt MEAN shifts; C_k = Σ_{≤k}r²/Σr² drifts off its k/m
+    diagonal exactly when the VOLATILITY regime changes (a variance
+    break leaves every mean test blind). Statistic = max|C_k − k/m|
+    with the KS-style 1.358/√m 5% band and the argmax day published.
+
+    Exactness: r² folds in decimal cumulative windows; C_k is an exact
+    ratio of decimal-fold doubles; the argmax tiebreaks by day. Scale
+    shape: one daily aggregation, bounded day-grain windows, one
+    TakeOrdered(1)."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    w = Window.partitionBy(F.month("day") % 1).orderBy("day")
+    r = daily.select(
+        "day", (F.col("x") - F.lag("x").over(w)).alias("r")
+    ).filter(F.col("r").isNotNull())
+    wc = Window.partitionBy(F.month("day") % 1).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = r.select(
+        "day",
+        F.sum(F.round(F.col("r") * F.col("r"), 9).cast("decimal(38,9)"))
+        .over(wc)
+        .cast("double")
+        .alias("ck"),
+        F.row_number().over(w).cast("bigint").alias("k"),
+    )
+    tot = r.agg(
+        dec_sum(F.round(F.col("r") * F.col("r"), 9), 38, 9)
+        .cast("double")
+        .alias("stot"),
+        F.count("*").cast("bigint").alias("m"),
+        F.lit(1).alias("one"),
+    )
+    dev = (
+        cum.withColumn("one", F.lit(1))
+        .join(F.broadcast(tot), "one")
+        .select(
+            "day",
+            "m",
+            F.abs(
+                F.col("ck") / F.col("stot")
+                - F.col("k").cast("double") / F.col("m").cast("double")
+            ).alias("d"),
+        )
+    )
+    best = dev.orderBy(F.col("d").desc(), F.col("day").asc()).limit(1)
+    stat = F.round(F.col("d"), 6)
+    crit = F.lit(1.358) / F.sqrt(F.col("m").cast("double"))
+    return best.select(
+        F.col("m").alias("n_diffs"),
+        F.col("day").alias("break_day"),
+        stat.cast("double").alias("cusum_sq_stat"),
+        F.round(crit, 6).cast("double").alias("crit_05"),
+        (stat > F.round(crit, 6)).alias("variance_break"),
+    )
+
+
+CUSUM_SQUARES_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), r AS (
+    SELECT day, r FROM (
+        SELECT day, x - LAG(x) OVER (ORDER BY day) AS r FROM daily
+    ) WHERE r IS NOT NULL
+), cum AS (
+    SELECT day,
+           CAST(SUM(CAST(ROUND(r * r, 9) AS DECIMAL(38,9)))
+                OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS ck,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
+    FROM r
+), tot AS (
+    SELECT CAST(SUM(CAST(ROUND(r * r, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               AS stot,
+           CAST(COUNT(*) AS BIGINT) AS m
+    FROM r
+), dev AS (
+    SELECT day, m,
+           ABS(ck / stot - CAST(k AS DOUBLE) / CAST(m AS DOUBLE)) AS d
+    FROM cum CROSS JOIN tot
+), best AS (
+    SELECT * FROM dev ORDER BY d DESC, day ASC LIMIT 1
+)
+SELECT m AS n_diffs, day AS break_day,
+       CAST(ROUND(d, 6) AS DOUBLE) AS cusum_sq_stat,
+       CAST(ROUND(1.358 / SQRT(CAST(m AS DOUBLE)), 6) AS DOUBLE) AS crit_05,
+       ROUND(d, 6) > ROUND(1.358 / SQRT(CAST(m AS DOUBLE)), 6)
+           AS variance_break
+FROM best
+"""
+
+
+_VR_Q = 5
+
+
+def variance_ratio_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test (Lo & MacKinlay 1988) at q=5 on
+    the daily value level series — the RANDOM-WALK member of the daily
+    panel: under a random walk the variance of 5-day changes is
+    exactly 5× the 1-day variance; VR<1 reads mean reversion, VR>1
+    momentum — the scaling lens ``hurst_rs_daily_values`` reads via
+    R/S, here with the classic unbiased overlapping estimator and its
+    homoscedastic asymptotic z = (VR−1)/√(2(2q−1)(q−1)/(3qn)).
+
+    Exactness: μ̂ = (x_n−x_1)/n is one exact double; both squared-sum
+    folds accumulate round-at-9 terms in decimal; VR and z round at 6.
+    Scale shape: one daily aggregation, bounded lag windows, two
+    folds."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    w = Window.partitionBy(F.month("day") % 1).orderBy("day")
+    lagged = daily.select(
+        "day",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", _VR_Q).over(w).alias("xq"),
+    )
+    ends = daily.agg(
+        F.count("*").cast("bigint").alias("nn"),
+        F.min_by("x", "day").alias("x_first"),
+        F.max_by("x", "day").alias("x_last"),
+        F.lit(1).alias("one"),
+    )
+    mu = (F.col("x_last") - F.col("x_first")) / (
+        F.col("nn").cast("double") - 1.0
+    )
+    m = ends.select(
+        "nn", F.round(mu, 9).alias("mu"), "one"
+    )
+    j = lagged.withColumn("one", F.lit(1)).join(F.broadcast(m), "one")
+    d1 = F.col("x") - F.col("x1") - F.col("mu")
+    dq = (
+        F.col("x")
+        - F.col("xq")
+        - F.lit(float(_VR_Q)) * F.col("mu")
+    )
+    s = j.agg(
+        F.max("nn").alias("nn"),
+        F.sum(
+            F.when(
+                F.col("x1").isNotNull(),
+                F.round(d1 * d1, 9),
+            ).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("s1"),
+        F.sum(
+            F.when(
+                F.col("xq").isNotNull(),
+                F.round(dq * dq, 9),
+            ).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("sq"),
+    )
+    nD = (F.col("nn").cast("double") - 1.0)  # number of 1-day returns
+    q = float(_VR_Q)
+    mden = q * (nD - q + 1.0) * (1.0 - q / nD)
+    var1 = F.col("s1") / (nD - 1.0)
+    varq = F.col("sq") / mden
+    vr = F.round(varq / (F.lit(q) * var1), 6)
+    z = F.round(
+        (varq / (F.lit(q) * var1) - 1.0)
+        / F.sqrt(
+            2.0 * (2.0 * q - 1.0) * (q - 1.0) / (3.0 * q * nD)
+        ),
+        6,
+    )
+    return s.select(
+        (F.col("nn") - 1).cast("bigint").alias("n_returns"),
+        F.lit(_VR_Q).cast("int").alias("q"),
+        vr.cast("double").alias("variance_ratio"),
+        z.cast("double").alias("z_score"),
+        (F.abs(z) > F.lit(1.959964)).alias("rejects_random_walk"),
+    )
+
+
+VARIANCE_RATIO_DAILY_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), lagged AS (
+    SELECT day, x,
+           LAG(x, 1) OVER (ORDER BY day) AS x1,
+           LAG(x, {_VR_Q}) OVER (ORDER BY day) AS xq
+    FROM daily
+), ends AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+           MIN_BY(x, day) AS x_first,
+           MAX_BY(x, day) AS x_last
+    FROM daily
+), m AS (
+    SELECT nn,
+           ROUND((x_last - x_first) / (CAST(nn AS DOUBLE) - 1.0), 9) AS mu
+    FROM ends
+), s AS (
+    SELECT MAX(nn) AS nn,
+           CAST(SUM(CAST(CASE WHEN x1 IS NOT NULL
+                THEN ROUND((x - x1 - mu) * (x - x1 - mu), 9) END
+                AS DECIMAL(38,9))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(CASE WHEN xq IS NOT NULL
+                THEN ROUND((x - xq - {float(_VR_Q)} * mu)
+                           * (x - xq - {float(_VR_Q)} * mu), 9) END
+                AS DECIMAL(38,9))) AS DOUBLE) AS sq
+    FROM lagged CROSS JOIN m
+)
+SELECT CAST(nn - 1 AS BIGINT) AS n_returns,
+       CAST({_VR_Q} AS INT) AS q,
+       CAST(ROUND((sq / ({float(_VR_Q)} * (CAST(nn AS DOUBLE) - 1.0
+                          - {float(_VR_Q)} + 1.0)
+                         * (1.0 - {float(_VR_Q)}
+                            / (CAST(nn AS DOUBLE) - 1.0))))
+                  / ({float(_VR_Q)} * (s1 / (CAST(nn AS DOUBLE) - 1.0 - 1.0))),
+                  6) AS DOUBLE) AS variance_ratio,
+       CAST(ROUND(((sq / ({float(_VR_Q)} * (CAST(nn AS DOUBLE) - 1.0
+                           - {float(_VR_Q)} + 1.0)
+                          * (1.0 - {float(_VR_Q)}
+                             / (CAST(nn AS DOUBLE) - 1.0))))
+                   / ({float(_VR_Q)} * (s1 / (CAST(nn AS DOUBLE) - 1.0 - 1.0)))
+                   - 1.0)
+                  / SQRT(2.0 * (2.0 * {float(_VR_Q)} - 1.0)
+                         * ({float(_VR_Q)} - 1.0)
+                         / (3.0 * {float(_VR_Q)}
+                            * (CAST(nn AS DOUBLE) - 1.0))), 6) AS DOUBLE)
+           AS z_score,
+       ABS(ROUND(((sq / ({float(_VR_Q)} * (CAST(nn AS DOUBLE) - 1.0
+                          - {float(_VR_Q)} + 1.0)
+                         * (1.0 - {float(_VR_Q)}
+                            / (CAST(nn AS DOUBLE) - 1.0))))
+                  / ({float(_VR_Q)} * (s1 / (CAST(nn AS DOUBLE) - 1.0 - 1.0)))
+                  - 1.0)
+                 / SQRT(2.0 * (2.0 * {float(_VR_Q)} - 1.0)
+                        * ({float(_VR_Q)} - 1.0)
+                        / (3.0 * {float(_VR_Q)}
+                           * (CAST(nn AS DOUBLE) - 1.0))), 6)) > 1.959964
+           AS rejects_random_walk
+FROM s
+"""
+
+
+def turning_points_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points test of randomness (Kendall's classic) on the
+    daily value series — the CHEAPEST member of the randomness panel:
+    count strict local extrema (x_{t−1}−x_t)(x_{t+1}−x_t) > 0 … i.e.
+    sign-change triples — against E[T] = 2(n−2)/3, Var = (16n−29)/90;
+    too FEW turns reads momentum, too MANY reads alternation — one
+    integer count where ``bartels``/``runs_test`` build whole rank
+    machineries, the quick first look. Flat triples (a tie with a
+    neighbor) are not turns — the strict-inequality convention,
+    identical on both engines.
+
+    Exactness: T and n are exact bigints; z rounds at 6. Scale shape:
+    one daily aggregation, one bounded lead window, one fold."""
+    daily = _daily(spark, sf_dir, by_type=False)
+    w = Window.partitionBy(F.month("day") % 1).orderBy("day")
+    trip = daily.select(
+        F.col("x").alias("a"),
+        F.lead("x", 1).over(w).alias("b"),
+        F.lead("x", 2).over(w).alias("c"),
+    ).filter(F.col("c").isNotNull())
+    turn = (
+        ((F.col("b") > F.col("a")) & (F.col("b") > F.col("c")))
+        | ((F.col("b") < F.col("a")) & (F.col("b") < F.col("c")))
+    ).cast("long")
+    s = trip.agg(
+        (F.count("*") + 2).cast("bigint").alias("n"),
+        F.sum(turn).cast("bigint").alias("t"),
+    )
+    nD = F.col("n").cast("double")
+    e = 2.0 * (nD - 2.0) / 3.0
+    v = (16.0 * nD - 29.0) / 90.0
+    z = F.round((F.col("t").cast("double") - e) / F.sqrt(v), 6)
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.col("t").alias("turning_points"),
+        F.round(e, 6).cast("double").alias("expected"),
+        z.cast("double").alias("z_score"),
+        (F.abs(z) > F.lit(1.959964)).alias("nonrandom"),
+    )
+
+
+TURNING_POINTS_DAILY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+), trip AS (
+    SELECT x AS a,
+           LEAD(x, 1) OVER (ORDER BY day) AS b,
+           LEAD(x, 2) OVER (ORDER BY day) AS c
+    FROM daily
+), s AS (
+    SELECT CAST(COUNT(*) + 2 AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN (b > a AND b > c) OR (b < a AND b < c)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS t
+    FROM trip WHERE c IS NOT NULL
+)
+SELECT n AS n_days, t AS turning_points,
+       CAST(ROUND(2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0, 6) AS DOUBLE)
+           AS expected,
+       CAST(ROUND((CAST(t AS DOUBLE)
+                   - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+                  / SQRT((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 6)
+            AS DOUBLE) AS z_score,
+       ABS(ROUND((CAST(t AS DOUBLE)
+                  - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+                 / SQRT((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 6))
+           > 1.959964 AS nonrandom
+FROM s
 """

@@ -581,6 +581,10 @@ _ROUND12_QUEUE: list[str] = [
     "mardia_normality_daily",
     "greenwood_km_ci_retention",
     "siegel_slope_daily_trend",
+    "cochrane_orcutt_daily_trend",
+    "cusum_squares_daily",
+    "variance_ratio_daily",
+    "turning_points_daily",
 ]
 
 
@@ -3472,4 +3476,28 @@ register(
     "siegel_slope_daily_trend",
     timeseries_checks.siegel_slope_daily_trend,
     timeseries_checks.SIEGEL_SLOPE_DAILY_TREND_ORACLE,
+)
+
+register(
+    "cochrane_orcutt_daily_trend",
+    timeseries_checks.cochrane_orcutt_daily_trend,
+    timeseries_checks.COCHRANE_ORCUTT_DAILY_TREND_ORACLE,
+)
+
+register(
+    "cusum_squares_daily",
+    timeseries_checks.cusum_squares_daily,
+    timeseries_checks.CUSUM_SQUARES_DAILY_ORACLE,
+)
+
+register(
+    "variance_ratio_daily",
+    timeseries_checks.variance_ratio_daily,
+    timeseries_checks.VARIANCE_RATIO_DAILY_ORACLE,
+)
+
+register(
+    "turning_points_daily",
+    timeseries_checks.turning_points_daily,
+    timeseries_checks.TURNING_POINTS_DAILY_ORACLE,
 )

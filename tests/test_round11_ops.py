@@ -3160,3 +3160,128 @@ def test_siegel_slope_matches_python_mirror(spark, sf_dir):
     assert abs(row["siegel_slope"] - slope) < 1e-5
     assert abs(row["siegel_intercept"] - icept) < 1e-4
     assert min(mis) - 1e-9 <= row["siegel_slope"] <= max(mis) + 1e-9
+
+
+def test_cochrane_orcutt_matches_python_mirror(spark, sf_dir):
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        cochrane_orcutt_daily_trend,
+    )
+
+    x = _daily_series(spark, sf_dir)
+    n = len(x)
+    t = list(range(n))
+
+    def ols(tt, xx):
+        m = len(tt)
+        st, sx = sum(tt), sum(xx)
+        stx = sum(a * b for a, b in zip(tt, xx))
+        stt = sum(a * a for a in tt)
+        b1 = round((m * stx - st * sx) / (m * stt - st * st), 9)
+        b0 = round((sx - ((m * stx - st * sx) / (m * stt - st * st)) * st) / m, 9)
+        return b0, b1
+
+    b0, b1 = ols(t, x)
+    e = [x[i] - (b0 + b1 * t[i]) for i in range(n)]
+    rho = round(
+        sum(e[i] * e[i - 1] for i in range(1, n))
+        / sum(e[i - 1] ** 2 for i in range(1, n)),
+        9,
+    )
+    ts = [t[i] - rho * t[i - 1] for i in range(1, n)]
+    xs = [x[i] - rho * x[i - 1] for i in range(1, n)]
+    _, b1_co = ols(ts, xs)
+    row = cochrane_orcutt_daily_trend(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["rho_hat"] - rho) < 1e-8
+    assert abs(row["slope_ols"] - b1) < 1e-6
+    assert abs(row["slope_co"] - b1_co) < 1e-5
+    assert abs(row["rel_shift"] - (b1_co - b1) / abs(b1)) < 1e-4
+
+
+def test_cusum_squares_matches_python_mirror(spark, sf_dir):
+    import math
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        cusum_squares_daily,
+    )
+    from collections import defaultdict
+    from decimal import Decimal
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("CAST(ts AS DATE) AS day", "value")
+        .collect()
+    )
+    acc = defaultdict(Decimal)
+    for r in rows:
+        acc[r["day"]] += Decimal(str(r["value"]))
+    days = sorted(acc)
+    x = [float(acc[d]) for d in days]
+    rs = [
+        (days[i], round((x[i] - x[i - 1]) ** 2, 9))
+        for i in range(1, len(x))
+    ]
+    m = len(rs)
+    tot = sum(v for _, v in rs)
+    best = (-1.0, None)
+    cum = 0.0
+    for k, (d, v) in enumerate(rs, start=1):
+        cum += v
+        dev = abs(cum / tot - k / m)
+        if dev > best[0] + 1e-15:
+            best = (dev, d)
+    row = cusum_squares_daily(spark, sf_dir).collect()[0]
+    assert row["n_diffs"] == m
+    assert row["break_day"] == best[1]
+    assert abs(row["cusum_sq_stat"] - best[0]) < 1e-5
+    assert abs(row["crit_05"] - 1.358 / math.sqrt(m)) < 1e-6
+
+
+def test_variance_ratio_matches_python_mirror(spark, sf_dir):
+    import math
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        _VR_Q,
+        variance_ratio_daily,
+    )
+
+    x = _daily_series(spark, sf_dir)
+    nn = len(x)
+    n = nn - 1  # returns
+    mu = round((x[-1] - x[0]) / n, 9)
+    s1 = sum(round((x[i] - x[i - 1] - mu) ** 2, 9) for i in range(1, nn))
+    q = _VR_Q
+    sq = sum(
+        round((x[i] - x[i - q] - q * mu) ** 2, 9) for i in range(q, nn)
+    )
+    var1 = s1 / (n - 1)
+    varq = sq / (q * (n - q + 1) * (1 - q / n))
+    vr = varq / (q * var1)
+    z = (vr - 1) / math.sqrt(2 * (2 * q - 1) * (q - 1) / (3 * q * n))
+    row = variance_ratio_daily(spark, sf_dir).collect()[0]
+    assert row["n_returns"] == n and row["q"] == q
+    assert abs(row["variance_ratio"] - vr) < 1e-5
+    assert abs(row["z_score"] - z) < 1e-4
+
+
+def test_turning_points_matches_python_mirror(spark, sf_dir):
+    import math
+
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import (
+        turning_points_daily,
+    )
+
+    x = _daily_series(spark, sf_dir)
+    n = len(x)
+    t = sum(
+        1
+        for a, b, c in zip(x, x[1:], x[2:])
+        if (b > a and b > c) or (b < a and b < c)
+    )
+    e = 2 * (n - 2) / 3
+    z = (t - e) / math.sqrt((16 * n - 29) / 90)
+    row = turning_points_daily(spark, sf_dir).collect()[0]
+    assert row["n_days"] == n
+    assert row["turning_points"] == t
+    assert abs(row["expected"] - e) < 1e-6
+    assert abs(row["z_score"] - z) < 1e-5

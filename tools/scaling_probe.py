@@ -354,6 +354,10 @@ PROBES = [
     ("mardia_normality_daily", ["events"]),
     ("greenwood_km_ci_retention", ["events"]),
     ("siegel_slope_daily_trend", ["events"]),
+    ("cochrane_orcutt_daily_trend", ["events"]),
+    ("cusum_squares_daily", ["events"]),
+    ("variance_ratio_daily", ["events"]),
+    ("turning_points_daily", ["events"]),
 ]
 
 KEY_OFFSETS = {

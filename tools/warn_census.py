@@ -113,6 +113,10 @@ DOCUMENTED_BOUNDED = {
     "quade_test_event_type_values",  # 35-cell + 7-range windows
     "greenwood_km_ci_retention",  # duration grain <= corpus hour span
     "siegel_slope_daily_trend",  # day-grain pair medians (bounded)
+    "cochrane_orcutt_daily_trend",  # daily lag windows (bounded)
+    "cusum_squares_daily",  # daily cumulative windows (bounded)
+    "variance_ratio_daily",  # daily lag windows (bounded)
+    "turning_points_daily",  # daily lead windows (bounded)
 }
 
 
