@@ -1013,6 +1013,14 @@ def markov_removal_attribution_events(
                 )
                 .alias("t"),
             )
+            # (removed+1)·|types| rows — pin each iterate like pm/grid:
+            # without it the horizon-6 recursion nests every prior
+            # iteration's joins into one 3,989-line physical plan
+            # (268 Exchange references; measured r11) that re-plans,
+            # re-codegens and re-broadcasts the whole chain; pinned, each
+            # iteration is one shallow join over a materialized
+            # |types|²-grade relation (plan: 50 lines, 7.5 s → ~2 s).
+            .localCheckpoint(eager=False)
         )
     first = (
         ev.select(

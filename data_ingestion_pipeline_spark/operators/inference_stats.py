@@ -2131,10 +2131,20 @@ def huber_regression_price_quantity(
     # clearCache() per query, so nothing leaks.
     from pyspark import StorageLevel
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.col("l_quantity").cast("double").alias("x"),
-        F.col("l_extendedprice").cast("double").alias("y"),
+    from data_ingestion_pipeline_spark.functions.partitioning import fan_out
+
+    # fan the 3-column projection BEFORE the persist: the single-file
+    # fixture scans as ~3 partitions, so without it every IRLS pass's
+    # decimal-fold aggregation (the CPU-dense part — BigDecimal per term
+    # past precision 18) runs on 3 of 32 cores. Measured r11: the bare
+    # dec38 5-sum pass goes 1.98 s → 0.74 s at 32 partitions; on a real
+    # cluster the scan already splits and fan_out is a no-op.
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            F.col("l_quantity").cast("double").alias("x"),
+            F.col("l_extendedprice").cast("double").alias("y"),
+        )
     ).persist(StorageLevel.MEMORY_AND_DISK)
     agg = li.groupBy("l_returnflag").agg(
         F.count("*").cast("bigint").alias("n"),
@@ -2842,10 +2852,17 @@ def lad_regression_price_quantity(
     # bench/driver sessions clearCache() per query
     from pyspark import StorageLevel
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.col("l_quantity").cast("double").alias("x"),
-        F.col("l_extendedprice").cast("double").alias("y"),
+    from data_ingestion_pipeline_spark.functions.partitioning import fan_out
+
+    # fan BEFORE the persist — same rationale and measurement as Huber's
+    # comment above: 5 decimal-fold passes on a 3-partition cached
+    # relation serialize onto 3 of 32 cores; no-op on a real cluster.
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            F.col("l_quantity").cast("double").alias("x"),
+            F.col("l_extendedprice").cast("double").alias("y"),
+        )
     ).persist(StorageLevel.MEMORY_AND_DISK)
     agg = li.groupBy("l_returnflag").agg(
         F.count("*").cast("bigint").alias("n"),
@@ -3614,10 +3631,24 @@ def breusch_pagan_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded at 6 against the shared 3.841459 literal. Scale shape: TWO
     corpus passes total (fit sums, then residual sums) — no joins, no
     iteration."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("double").alias("x"),
-        F.col("l_extendedprice").cast("double").alias("y"),
-    )
+    from pyspark import StorageLevel
+
+    from data_ingestion_pipeline_spark.functions.partitioning import fan_out
+
+    # fan + pin the 2-column projection: the single-row-group fixture scans
+    # as ONE task, so both decimal-fold passes (fit sums, residual sums —
+    # BigDecimal per term past precision 18) would serialize onto 1 of 32
+    # cores. Same measured rationale as the regression ladder (LAD/Huber):
+    # bare dec38 fold 1.98 s → 0.74 s at 32 partitions; no-op on a real
+    # cluster where the scan already splits. Decimal folds are exact, so
+    # partitioning cannot change the result; bench/driver clearCache() per
+    # query, so the pin never leaks.
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_quantity").cast("double").alias("x"),
+            F.col("l_extendedprice").cast("double").alias("y"),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     agg = li.agg(
         F.count("*").cast("bigint").alias("n"),
         dec_sum(F.col("x"), 27, 12).cast("double").alias("sx"),
@@ -4194,10 +4225,21 @@ def white_test_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual pass for R²: ESS = b'X'y − (Σu)²/n. LM rounds at 6.
     Scale shape: TWO corpus passes (fit sums, then auxiliary sums),
     no joins, no iteration."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_quantity").cast("double").alias("x"),
-        F.col("l_extendedprice").cast("double").alias("y"),
-    )
+    from pyspark import StorageLevel
+
+    from data_ingestion_pipeline_spark.functions.partitioning import fan_out
+
+    # fan + pin, same rationale and measurement as breusch_pagan above:
+    # TWO decimal-dense corpus passes (the auxiliary pass folds TEN
+    # dec38 power sums) on a single-row-group scan otherwise run on 1 of
+    # 32 cores; exact folds are partition-invariant, cache cleared per
+    # query, no-op on a real cluster.
+    li = fan_out(
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_quantity").cast("double").alias("x"),
+            F.col("l_extendedprice").cast("double").alias("y"),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     agg = li.agg(
         F.count("*").cast("bigint").alias("n"),
         dec_sum(F.col("x"), 27, 12).cast("double").alias("sx"),

@@ -432,6 +432,9 @@ def python_datasource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical arithmetic stream from range(). Proves the streaming
     connector extension point end to end: offsets, replay, micro-batch
     aggregation."""
+    from data_ingestion_pipeline_spark.operators.streaming_checks import (
+        _stream_state_partitions,
+    )
     from data_ingestion_pipeline_spark.sources.python_datasource import (
         synthetic_events_stream,
     )
@@ -445,17 +448,21 @@ def python_datasource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    # pin state partitions like every other stateful stream here: 7 state
+    # rows per micro-batch do not need 32 per-partition store commits
+    # (the _stream_state_partitions contract — env-sized on a cluster)
+    with _stream_state_partitions(spark):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     return spark.table(name)
 
 

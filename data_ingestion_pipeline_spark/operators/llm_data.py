@@ -427,8 +427,14 @@ def minhash_scale_recall_documents(spark: SparkSession, sf_dir: str) -> DataFram
     scale = minhash_near_dup_pairs(aug, "text", "doc_id", threshold=0.5).select(
         "id_a", "id_b"
     )
-    exact = jaccard_pairs(aug, "text", "doc_id", n=3, threshold=0.7).select(
-        "id_a", "id_b"
+    # pin the exact pair set — it feeds BOTH count branches and Spark
+    # re-plans the whole inverted-index Jaccard pipeline per reference
+    # (no exchange reuse across these shapes; the pinned result is the
+    # tiny verified pair list)
+    exact = (
+        jaccard_pairs(aug, "text", "doc_id", n=3, threshold=0.7)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     n_hit = scale.join(exact, ["id_a", "id_b"]).agg(F.count("*").alias("n_hit"))
@@ -460,8 +466,12 @@ def simhash_exact_copy_recall_documents(spark: SparkSession, sf_dir: str) -> Dat
     by_text = aug.select("doc_id", F.md5("text").alias("_h"))
     a = by_text.select(F.col("doc_id").alias("id_a"), "_h")
     b = by_text.select(F.col("doc_id").alias("id_b"), "_h")
+    # pinned: feeds both count branches (see minhash_scale_recall)
     exact_copies = (
-        a.join(b, "_h").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        a.join(b, "_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     n_exact = exact_copies.agg(F.count("*").alias("n_exact"))
     n_miss = exact_copies.join(sim, ["id_a", "id_b"], "left_anti").agg(
@@ -488,11 +498,19 @@ def embedding_lsh_pair_recall_embeddings(spark: SparkSession, sf_dir: str) -> Da
     from data_ingestion_pipeline_spark.dedup.embedding import cosine_pairs_blas
 
     aug = _near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
-    scale = lsh_cosine_pairs(
-        aug, "vec_id", "embedding", threshold=0.8, dim=EMB_DIM
-    ).select("id_a", "id_b")
-    exact = cosine_pairs_blas(aug, "vec_id", "embedding", threshold=0.8).select(
-        "id_a", "id_b"
+    # pin both pair pipelines: exact feeds THREE branches (count, hit
+    # join, fp anti-join) and scale two — unpinned, the blocked-BLAS
+    # kernel and the LSH banding each re-planned per branch (60 parquet
+    # scans in the r11 plan audit, 0 ReusedExchange)
+    scale = (
+        lsh_cosine_pairs(aug, "vec_id", "embedding", threshold=0.8, dim=EMB_DIM)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    exact = (
+        cosine_pairs_blas(aug, "vec_id", "embedding", threshold=0.8)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     n_hit = scale.join(exact, ["id_a", "id_b"]).agg(F.count("*").alias("n_hit"))
@@ -551,6 +569,9 @@ def semantic_dedup_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFr
     b = assigned.select(
         F.col("vec_id").alias("id_b"), "list_id", F.col("_v").alias("_vb")
     )
+    # both pair sets pinned: each feeds 2-3 count branches and Spark
+    # re-plans the full blocking/BLAS pipeline per reference (see
+    # embedding_lsh_pair_recall)
     within = (
         a.join(b, "list_id")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -559,9 +580,12 @@ def semantic_dedup_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .filter(F.col("s") >= 0.8)
         .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
-    exact = cosine_pairs_blas(aug, "vec_id", "embedding", threshold=0.8).select(
-        "id_a", "id_b"
+    exact = (
+        cosine_pairs_blas(aug, "vec_id", "embedding", threshold=0.8)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     n_hit = within.join(exact, ["id_a", "id_b"]).agg(F.count("*").alias("n_hit"))
@@ -1518,19 +1542,20 @@ def matryoshka_truncation_recall_embeddings(
     projection so the unrolled dot indexes bound attributes. Exactness:
     both engines fold the (identically sliced) dot sequentially in
     double, and rank ties break on vec_id — the published overlap counts
-    are integers, immune to rounding. At this fixture scale the full
-    ranking subtree re-executes per truncation branch (4 cheap scans); at
-    100 TB you'd localCheckpoint the full top-k once and sample probes —
-    noted here rather than pre-optimized, since the probe batch is the
-    scale knob (corpus side stays one scan per width regardless)."""
+    are integers, immune to rounding. The full top-k is pinned (lazy
+    localCheckpoint) exactly as the original note here prescribed for
+    scale: it feeds all three truncation branches and Spark re-plans the
+    whole ranking subtree per reference (r11 measurement; ~30-row pin)."""
     from data_ingestion_pipeline_spark.similarity.brute_force import (
         topk_cosine_batch,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = _ann_query_batch(emb)
-    full = topk_cosine_batch(emb, q, k=10).select(
-        "query_id", "vec_id", F.lit(1).alias("hit")
+    full = (
+        topk_cosine_batch(emb, q, k=10)
+        .select("query_id", "vec_id", F.lit(1).alias("hit"))
+        .localCheckpoint(eager=False)
     )
     parts = []
     for d in (8, 16, 32):
@@ -2296,7 +2321,17 @@ def _recall_gate(
     stable across fixture regenerations yet flips red the moment a
     structural regression (broken banding/probing/encoding) sends recall
     toward zero. Both inputs carry (query_id, vec_id); the brute side is
-    ~queries·k rows, so the overlap join broadcasts."""
+    ~queries·k rows, so the overlap join broadcasts.
+
+    Both inputs are PINNED (lazy localCheckpoint): Spark plans duplicate
+    subtrees per reference and exchange-reuse does not fire across these
+    shapes (measured r11: the brute top-k subtree — a full corpus scoring
+    pass — appeared twice per gate, the ANN pipeline once more in the
+    anti/hit branches; plan showed 16-60 parquet scans per gate, 0
+    ReusedExchange). Pinning the ≤ queries·k-row results computes each
+    pipeline exactly once; values are unchanged."""
+    ann = ann.localCheckpoint(eager=False)
+    brute = brute.localCheckpoint(eager=False)
     hits = (
         ann.join(brute.select("query_id", "vec_id"), ["query_id", "vec_id"])
         .groupBy("query_id")
@@ -4730,13 +4765,21 @@ def ann_ivf_nprobe_sweep_embeddings(
         topk_cosine_batch,
     )
 
+    from data_ingestion_pipeline_spark.similarity.ivf import ivf_build_index
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = _ann_query_batch(emb)
     brute = topk_cosine_batch(emb, q, k=10).localCheckpoint(eager=False)
+    # ONE centroid sample + ONE pinned assignment pass + ONE query collect
+    # shared by all five probe depths (the sweep paid 5× each before r11 —
+    # 5 mapInPandas assignment passes and 10 bounded collects; the shared
+    # index is exactly what ivf_topk computed inline, so per-nprobe results
+    # are unchanged)
+    index = ivf_build_index(emb, q, n_centroids=16)
     floors = {1: 0.05, 2: 0.05, 4: 0.2, 8: 0.3, 16: 0.99}
     per = []
     for nprobe in (1, 2, 4, 8, 16):
-        ann = ivf_topk(emb, q, k=10, n_centroids=16, nprobe=nprobe)
+        ann = ivf_topk(emb, q, k=10, n_centroids=16, nprobe=nprobe, index=index)
         hits = (
             ann.join(
                 brute.select("query_id", "vec_id"), ["query_id", "vec_id"]

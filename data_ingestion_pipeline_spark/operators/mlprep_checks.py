@@ -462,6 +462,10 @@ def als_rank1_part_factors(
     iterative contract), u init = 1.0. Degenerate zero denominators
     yield NULL identically in both engines (unreachable on r ≥ 1 data,
     guarded anyway)."""
+    from data_ingestion_pipeline_spark.plans.join_strategies import (
+        auto_broadcast_threshold,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity"
     )
@@ -478,11 +482,33 @@ def als_rank1_part_factors(
         )
         .localCheckpoint(eager=False)  # feeds every half-iteration
     )
+    # Factor maps are node-grain (O(customers) / O(parts)) vs the
+    # edge-grain ratings relation — broadcast them into the ratings scan
+    # while n·32 B fits the SESSION's broadcast ceiling (the
+    # PageRank/HITS gate; honors a lowered/disabled threshold), so no
+    # half-iteration ever shuffles the ratings table. Plan: 16
+    # SortMergeJoin (ratings re-shuffled by c/p every half-iteration) →
+    # BroadcastHashJoin + map-side partial agg; only the ≤|c|/≤|p|-row
+    # partial-aggregate outputs cross the wire. Past the ceiling the same
+    # joins run as shuffles — the correct strategy for factor vectors
+    # that outgrew the broadcast. Aggregation values are decimal folds
+    # (order-invariant), so the join strategy cannot change the result.
+    ceiling = auto_broadcast_threshold(spark)
+    n_c = ratings.select("c").distinct().count()  # bounded scalar actions,
+    n_p = ratings.select("p").distinct().count()  # the PageRank-n policy
+
+    def gated(node_map: DataFrame, n: int) -> DataFrame:
+        return (
+            F.broadcast(node_map)
+            if (ceiling >= 0 and n * 32 <= ceiling)
+            else node_map
+        )
+
     u = ratings.select("c").distinct().select("c", F.lit(1.0).alias("u"))
     v = None
     for _ in range(n_iters):
         v = (
-            ratings.join(u, "c")
+            ratings.join(gated(u, n_c), "c")
             .groupBy("p")
             .agg(
                 F.sum((F.col("r") * F.col("u")).cast("decimal(38,12)"))
@@ -501,7 +527,7 @@ def als_rank1_part_factors(
             )
         )
         u = (
-            ratings.join(v, "p")
+            ratings.join(gated(v, n_p), "p")
             .groupBy("c")
             .agg(
                 F.sum((F.col("r") * F.col("v")).cast("decimal(38,12)"))
@@ -522,7 +548,7 @@ def als_rank1_part_factors(
     raters = ratings.groupBy("p").agg(
         F.count("*").cast("bigint").alias("n_raters")
     )
-    return v.join(raters, "p").select(
+    return v.join(gated(raters, n_p), "p").select(
         F.col("p").alias("p_partkey"),
         "n_raters",
         F.round("v", 6).cast("double").alias("v_factor"),

@@ -155,18 +155,33 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
+    index: tuple[list[list[float]], DataFrame, list] | None = None,
 ) -> DataFrame:
     """Approximate top-k per query, scoring only the nprobe nearest lists.
 
     query_df: (query_id, qvec). The query side expands to nprobe rows per
     query (explode of its closest centroid ids) and equi-joins the assigned
     corpus on list_id — broadcast, since queries are few.
+
+    ``index``: optional (centroids, assigned, qrows) from
+    ``ivf_build_index`` so a CALLER SWEEPING nprobe shares ONE centroid
+    sample, ONE assignment pass and ONE query collect across calls (the
+    nprobe sweep paid 5× each before r11); identical math either way.
     """
-    centroids = sample_centroids(corpus, n_centroids, id_col=id_col)
-    corpus_d = fan_out(corpus).select(
-        F.col(id_col), as_double_array(F.col("embedding")).alias("_v")
-    )
-    assigned = _assign_batched(corpus_d, centroids)
+    if index is None:
+        # single-shot path: identical to pre-r11 — no pin (a checkpoint of
+        # the full assigned corpus only pays off when several probe passes
+        # share it; see ivf_build_index)
+        centroids = sample_centroids(corpus, n_centroids, id_col=id_col)
+        corpus_d = fan_out(corpus).select(
+            F.col(id_col), as_double_array(F.col("embedding")).alias("_v")
+        )
+        assigned = _assign_batched(corpus_d, centroids)
+        qrows = query_df.select(
+            "query_id", as_double_array(F.col("qvec")).alias("_qv")
+        ).collect()
+    else:
+        centroids, assigned, qrows = index
 
     # Probe selection runs on the DRIVER: queries are few by contract
     # (broadcast side), so C·nq dot products in numpy beat compiling a
@@ -177,9 +192,6 @@ def ivf_topk(
 
     cents = np.array(centroids)
     spark = corpus.sparkSession
-    qrows = query_df.select(
-        "query_id", as_double_array(F.col("qvec")).alias("_qv")
-    ).collect()
     pairs = []
     for r in qrows:
         qv = np.asarray(r["_qv"], dtype="float64")
@@ -199,3 +211,26 @@ def ivf_topk(
     from data_ingestion_pipeline_spark.similarity.brute_force import topk_per_query
 
     return topk_per_query(scored, k, id_col)
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    query_df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], DataFrame, list]:
+    """The shareable, query-independent part of ``ivf_topk``: centroid
+    sample, assigned corpus (PINNED — every probe pass reads the one
+    materialized assignment instead of re-running the mapInPandas kernel),
+    and the collected query rows. Returns exactly what ``ivf_topk``
+    computed inline before r11, so passing it through ``index=`` cannot
+    change any result."""
+    centroids = sample_centroids(corpus, n_centroids, id_col=id_col)
+    corpus_d = fan_out(corpus).select(
+        F.col(id_col), as_double_array(F.col("embedding")).alias("_v")
+    )
+    assigned = _assign_batched(corpus_d, centroids).localCheckpoint(eager=False)
+    qrows = query_df.select(
+        "query_id", as_double_array(F.col("qvec")).alias("_qv")
+    ).collect()
+    return centroids, assigned, qrows

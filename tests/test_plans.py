@@ -413,23 +413,43 @@ def test_rfm_approx_has_no_window(spark):
     assert "BroadcastExchange" in plan, "boundary broadcast lost"
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "ann_pq_recall_embeddings",
-        "ann_lsh_recall_embeddings",
-        "hard_negative_mining_embeddings",
-    ],
-)
-def test_brute_force_topk_is_two_phase(spark, name):
+def test_brute_force_topk_is_two_phase(spark):
     """topk_cosine_batch must rank in two phases — a local window keyed by
     (spark_partition_id, query) then the per-query global window over ≤k·P
     survivors — and never a partition-less window (the foldable-literal
-    query_id degradation observed on the PQ gate)."""
-    plan = _plan(spark, name)
+    query_id degradation observed on the PQ gate).
+
+    Since r11 the recall gates pin their brute/ann inputs with a lazy
+    localCheckpoint (each pipeline runs once instead of per count branch),
+    so the composed gate plan no longer *contains* the top-k subtree — and
+    the checkpoint boundary also stops gate-side constant folding from
+    reaching into it. The property therefore lives on the standalone
+    subtree plan the gates pin: assert it there (plus one composed,
+    unpinned consumer, hard_negative_mining)."""
+    from data_ingestion_pipeline_spark.operators.llm_data import (
+        _ann_query_batch,
+    )
+    from data_ingestion_pipeline_spark.similarity.brute_force import (
+        topk_cosine_batch,
+    )
+    from data_ingestion_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    for k in (10, 20):
+        plan = (
+            topk_cosine_batch(emb, _ann_query_batch(emb), k=k)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SPARK_PARTITION_ID" in plan, "local top-k phase lost"
+        assert _unpartitioned_window_count(plan) == 0, (
+            "partition-less ranking window over the scored corpus"
+        )
+    plan = _plan(spark, "hard_negative_mining_embeddings")
     assert "SPARK_PARTITION_ID" in plan, "local top-k phase lost"
     assert _unpartitioned_window_count(plan) == 0, (
-        f"{name} has a partition-less ranking window over the scored corpus"
+        "hard_negative_mining has a partition-less ranking window"
     )
 
 

@@ -1,8 +1,11 @@
 """Quiet min-of-N timer for individual registered queries.
 
 Usage: python tools/time_queries.py [sf_dir] [reps] query [query ...]
-Prints one line per query: name, min, all reps. Mirrors bench.py's
-count-style execution (df.count() materializes without driver transfer).
+Prints one line per query: name, min, all reps. Times the bench's noop-sink
+action (``df.write.format("noop")`` materializes EVERY column of every row;
+``.count()`` lets Catalyst prune aggregate values and whole join subtrees —
+measured 6x cheaper than the real query on 1-row stat outputs, so count
+timings are NOT comparable with BENCH_DETAIL).
 """
 
 from __future__ import annotations
@@ -25,14 +28,15 @@ def main() -> None:
     spark = get_spark("time_queries")
     qs = entrymod.queries()
     # one warmup of a trivial query to absorb JVM/codegen startup
-    qs["low_stock"](spark, sf_dir).count()
+    qs["low_stock"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     for name in args:
         fn = qs[name]
         times = []
         for _ in range(reps):
             t0 = time.monotonic()
-            fn(spark, sf_dir).count()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(round(time.monotonic() - t0, 3))
+            spark.catalog.clearCache()
         print(f"{name}: min={min(times)} reps={times}", flush=True)
 
 
