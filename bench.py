@@ -40,24 +40,56 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench")
+def _engine_warmup(spark, sf_dir: str) -> None:
+    """JVM/JIT warmup so the first timed queries measure the engine, not
+    the cold interpreter (r11 measurement finding: the queries at bench
+    positions 0-10 ran 2-5x their steady-state cost because even their
+    SECOND rep executes on a barely-warmed JVM — isolated min-of-3 showed
+    rep1/rep2/rep3 of 33.8/8.0/5.2 s for the same query). Every op below
+    drives a shared execution path the book uses (none touches a corpus
+    table beyond a bounded LIMIT, and nothing is cached — each timed query
+    still computes from parquet):
 
-    # JVM/codegen warmup so the first timed query isn't charged for session
-    # startup (measures the engine, not the cold JIT), plus one tiny Arrow
-    # round-trip so the Python-worker pool exists before the first pandas op.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.range(64).repartition(32).mapInPandas(
-        lambda it: it, "id long"
-    ).write.format("noop").mode("overwrite").save()
-    # ... and the parquet-reader / broadcast-join / WindowExec codegen
-    # paths on the 5-row region table, so the FIRST rotation query isn't
-    # charged their one-time JIT either (observed +0.3-0.6 s on whichever
-    # query happens to sit at position 1).
+    - bulk HashAggregate with decimal folds (BigDecimal arithmetic),
+    - one exchange + SortMergeJoin and one ShuffledHashJoin,
+    - a partitioned WindowExec,
+    - the vectorized parquet reader on a bounded slice of the largest table,
+    - hash/codegen expression kernels (xxhash64, md5) + noop committer,
+    - the Arrow Python-worker pool (mapInPandas),
+    - the RDD block store (localCheckpoint),
+    - the streaming micro-batch machinery (file source -> stateful agg ->
+      memory sink) so the first streaming query isn't charged its one-time
+      state-store/WAL class-loading either.
+    """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    spark.range(2_000_000).selectExpr(
+        "sum(cast(id as decimal(38,18)))", "avg(id)", "bit_xor(xxhash64(id))"
+    ).collect()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    r = spark.range(200_000).select(
+        F.col("id"), (F.col("id") % 512).alias("k"), F.md5(F.col("id").cast("string")).alias("s")
+    )
+    r.hint("merge").join(r.select(F.col("id"), F.col("s").alias("s2")), "id").agg(
+        F.count("*")
+    ).collect()
+    r.join(r.groupBy("k").agg(F.count("*").alias("c")).hint("shuffle_hash"), "k").agg(
+        F.sum("c")
+    ).collect()
+    r.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    ).agg(F.sum("rn")).collect()
+    r.limit(10_000).localCheckpoint(eager=True).count()
+    # bounded slice of the biggest fact table: vectorized parquet reader +
+    # noop sink (LIMIT keeps this O(1) in the scale factor)
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    if os.path.exists(li):
+        spark.read.parquet(li).limit(60_000).write.format("noop").mode(
+            "overwrite"
+        ).save()
     warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
     warm.join(F.broadcast(warm.select("r_regionkey")), "r_regionkey").withColumn(
         "rn",
@@ -65,6 +97,36 @@ def main() -> None:
             Window.partitionBy("r_regionkey").orderBy("r_name")
         ),
     ).agg(F.sum("rn")).collect()
+    # one tiny end-to-end streaming run (availableNow over the 5-row region
+    # table): micro-batch planner, state store provider, memory sink
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            spark.readStream.schema(warm.schema)
+            .option("pathGlobFilter", "region.parquet")
+            .parquet(sf_dir)
+            .groupBy("r_regionkey")
+            .count()
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("_bench_warmup_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        if q.isActive:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    spark.catalog.clearCache()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+
+    _engine_warmup(spark, sf_dir)
 
     # Two passes per query, keep the min: this box is shared (load spikes
     # of 2-4x observed run-to-run) and min-of-2 measures the engine rather

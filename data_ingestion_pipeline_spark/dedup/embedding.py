@@ -194,9 +194,16 @@ def lsh_cosine_pairs(
     then computed only for candidates, and a distinct() collapses pairs that
     collide in several bands.
     """
-    vecs = fan_out(df).select(
-        F.col(id_col).alias("_id"),
-        as_double_array(F.col(vec_col)).alias("_v"),
+    vecs = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            as_double_array(F.col(vec_col)).alias("_v"),
+        )
+        # three consumers (the banding kernel + both vector re-attach joins)
+        # each replay the scan/augment/cast lineage un-pinned — materialize
+        # the N×(id, dim doubles) relation once, like `banded` below
+        .localCheckpoint(eager=False)
     )
     # All band buckets in one Arrow-batched matmul (similarity/lsh.py::
     # band_buckets) — the expression form is O(B·planes·dim) codegen terms

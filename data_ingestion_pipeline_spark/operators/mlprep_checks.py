@@ -911,12 +911,21 @@ def khop_reach_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= 2)
         .select("s", "t")
     )
-    edges = pairs.union(pairs.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    edges = pairs.union(
+        pairs.select(F.col("t").alias("s"), F.col("s").alias("t"))
+        # 4 consumers (the seed agg + one join per BFS round) each replay
+        # the distinct + self-join + support filter un-pinned — materialize
+        # the 2-long edge table once (the pagerank/LPA edge-pin discipline)
+    ).localCheckpoint(eager=False)
     seed = edges.agg(F.min("s").alias("node")).select(
         "node", F.lit(0).cast("int").alias("hop")
     )
     dist = seed
     for k in range(1, 4):
+        # dist feeds TWO consumers per round (the frontier filter and the
+        # min-fold union), so un-pinned the round-k plan holds 2^k copies
+        # of every earlier round — pin the node-grain state per round
+        dist = dist.localCheckpoint(eager=False)
         frontier = dist.filter(F.col("hop") == k - 1).select("node")
         reached = frontier.join(
             edges, frontier["node"] == edges["s"]
@@ -1791,20 +1800,17 @@ def pca_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     by the exact trace. Scale: the only corpus-∝ work is the covariance
     scan (shuffle = 2080 cells × batches); iterations are dimension-sized.
     """
-    n_row, _centered, upper, w, norm_col = _pca_state(spark, sf_dir)
+    n_row, _centered, upper, _w, nrm = _pca_state(spark, sf_dir)
     trace = upper.filter(F.col("i") == F.col("j")).agg(
         F.sum(F.col("c").cast("decimal(38,20)")).cast("double").alias("trace")
     )
-    return (
-        norm_col.crossJoin(F.broadcast(trace))
-        .select(
-            F.lit(n_row).cast("bigint").alias("n_vectors"),
-            F.round("trace", 6).cast("double").alias("variance_total"),
-            F.round("nrm", 6).cast("double").alias("lambda1"),
-            F.round(F.col("nrm") / F.col("trace"), 6)
-            .cast("double")
-            .alias("explained_share"),
-        )
+    return trace.select(
+        F.lit(n_row).cast("bigint").alias("n_vectors"),
+        F.round("trace", 6).cast("double").alias("variance_total"),
+        F.round(F.lit(nrm), 6).cast("double").alias("lambda1"),
+        F.round(F.lit(nrm) / F.col("trace"), 6)
+        .cast("double")
+        .alias("explained_share"),
     )
 
 
@@ -1882,7 +1888,10 @@ def _pca_state(spark: SparkSession, sf_dir: str):
             F.sum(F.col("v").cast("decimal(27,18)")).cast("double")
             / F.lit(n_row).cast("double")
         ).alias("mu")
-    )
+        # 64-row relation with a corpus-sized lineage (scan + posexplode +
+        # agg) and TWO consumers (the mu_vals collect below and the
+        # broadcast into `centered`): pin it so the explode pass runs once
+    ).localCheckpoint(eager=False)
     centered = ve.join(F.broadcast(means), "d").select(
         "vec_id", "d", (F.col("v") - F.col("mu")).alias("x")
     )
@@ -1919,43 +1928,57 @@ def _pca_state(spark: SparkSession, sf_dir: str):
         # checkpoint it so the corpus-sized covariance pass runs exactly once
         .localCheckpoint(eager=False)
     )
-    # symmetric expansion: mirror the strict upper triangle
-    full = upper.unionByName(
-        upper.filter(F.col("i") < F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "c"
-        )
-    )
-    # w0 = uniform unit vector (1/8 exactly — dim 64)
-    w = spark.range(64).select(
-        F.col("id").cast("int").alias("j"), F.lit(0.125).alias("w")
-    )
-    norm_col = None
+    # Power iteration DRIVER-SIDE over the collected 2080-cell triangle —
+    # dimension-bounded state (64×64 doubles), the same bounded-driver
+    # policy as mu_vals above. The previous Spark-side loop (3 rounds of
+    # broadcast-join + decimal agg + crossJoin over ≤64-row relations) was
+    # pure fixed overhead at ANY corpus size: ~2.3 s of tiny stages and six
+    # broadcasts per query (r11 measurement). Arithmetic replicates the old
+    # chain (and the oracle's unrolled CTEs) BITWISE:
+    #   u_i  = cast(sum(cast(c_ij*w_j as decimal(38,20))) as double)
+    #   nrm  = sqrt(cast(sum(cast(u_i² as decimal(38,20))) as double))
+    #   w_i' = round(u_i/nrm, 9)
+    # Spark's double→decimal cast goes through the shortest decimal string
+    # (BigDecimal.valueOf) then HALF_UP at the target scale; Python's
+    # Decimal(repr(x)).quantize(…, ROUND_HALF_UP) is the identical mapping
+    # (both reprs are shortest round-trip strings, HALF_UP is away-from-zero
+    # in both), decimal sums are exact on both, float(Decimal) and
+    # BigDecimal.doubleValue both round correctly to nearest, and ROUND(x,9)
+    # is the same valueOf+setScale(9, HALF_UP) pair. Hash-verified tri-SF
+    # against the unchanged DuckDB oracle chain.
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q20 = Decimal(1).scaleb(-20)
+    q9 = Decimal(1).scaleb(-9)
+
+    def _d20(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(q20, rounding=ROUND_HALF_UP)
+
+    cells = upper.collect()  # ≤ dim·(dim+1)/2 rows — bounded driver state
+    mat: dict[int, list[tuple[int, float]]] = {i: [] for i in range(64)}
+    for r in cells:
+        mat[r["i"]].append((r["j"], r["c"]))
+        if r["i"] < r["j"]:
+            mat[r["j"]].append((r["i"], r["c"]))
+    wv = [0.125] * 64
+    nrm_val = float("nan")
     for _ in range(_POWER_ITERS):
-        u = (
-            full.join(F.broadcast(w), "j")
-            .groupBy("i")
-            .agg(
-                F.sum((F.col("c") * F.col("w")).cast("decimal(38,20)"))
-                .cast("double")
-                .alias("u")
+        u = [
+            float(sum((_d20(c * wv[j]) for j, c in mat[i]), Decimal(0)))
+            for i in range(64)
+        ]
+        nrm_val = math.sqrt(float(sum((_d20(x * x) for x in u), Decimal(0))))
+        wv = [
+            float(
+                Decimal(repr(x / nrm_val)).quantize(q9, rounding=ROUND_HALF_UP)
             )
-        )
-        nrm = u.agg(
-            F.sqrt(
-                F.sum((F.col("u") * F.col("u")).cast("decimal(38,20)")).cast(
-                    "double"
-                )
-            ).alias("nrm")
-        )
-        w = (
-            u.crossJoin(F.broadcast(nrm))
-            .select(
-                F.col("i").alias("j"),
-                F.round(F.col("u") / F.col("nrm"), 9).alias("w"),
-            )
-        )
-        norm_col = nrm
-    return n_row, centered, upper, w, norm_col
+            for x in u
+        ]
+    w = spark.createDataFrame(
+        [(int(j), float(v)) for j, v in enumerate(wv)], "j int, w double"
+    )
+    return n_row, centered, upper, w, nrm_val
 
 
 def _pca_oracle_chain(iters: int = _POWER_ITERS) -> str:
@@ -2047,13 +2070,15 @@ def whitening_isotropy_gain_embeddings(spark: SparkSession, sf_dir: str) -> Data
     sample (pairs of a sample, never of the corpus), exactly how an
     isotropy audit would run at 100 TB."""
     _n_row, centered, _upper, w, _norm = _pca_state(spark, sf_dir)
-    # the PC1 iterate's lineage is the whole 5-step chain — pin it (64
-    # rows) so the audit's four downstream uses don't replay the chain
-    w = w.localCheckpoint(eager=False)
+    # w is a 64-row LocalTableScan (driver-computed iterate) — no lineage
+    # to pin
     sample = centered.filter(F.col("vec_id") % 37 == 0)
     sw = sample.join(
         F.broadcast(w.select(F.col("j").alias("d"), "w")), "d"
-    )
+        # sample-sized (corpus/37 × dim) with a corpus lineage (scan +
+        # posexplode + means join) and TWO consumers (`dots` and the
+        # projection join below): pin so the sample pass runs once
+    ).localCheckpoint(eager=False)
     dots = sw.groupBy("vec_id").agg(
         F.sum((F.col("x") * F.col("w")).cast("decimal(38,20)"))
         .cast("double")
@@ -2434,9 +2459,13 @@ def jl_projection_distortion_embeddings(
     engines (chain neighbors are distinct vectors on the fixture, but
     duplicate embeddings must not fabricate a ratio)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ve = emb.select(
-        "vec_id", F.posexplode("embedding").alias("i", "x")
-    ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    ve = (
+        emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+        .select("vec_id", "i", F.col("x").cast("double").alias("x"))
+        # three consumers (the projection join + both chain-pair sides of
+        # dx) — pin the corpus×dim relation so the scan+explode runs once
+        .localCheckpoint(eager=False)
+    )
     dims = spark.range(EMB_DIM).select(F.col("id").cast("int").alias("i"))
     proj = spark.range(m).select(F.col("id").cast("int").alias("j"))
     signs = dims.crossJoin(proj).select(
@@ -2467,6 +2496,9 @@ def jl_projection_distortion_embeddings(
                 9,
             ).alias("y")
         )
+        # two consumers (both chain-pair sides of dy) — pin the corpus×m
+        # projected relation so the sign join + fold runs once
+        .localCheckpoint(eager=False)
     )
     ya = y.select(F.col("vec_id").alias("a"), "j", F.col("y").alias("y_a"))
     yb = y.select(
