@@ -41,7 +41,9 @@ def connected_components(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the first iteration's action materializes it (r11 — one
+        # fewer job; see connected_components_star)
+        .localCheckpoint(eager=False)
     )
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -63,7 +65,7 @@ def connected_components(
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = joined.filter(F.col("label") != F.col("_old")).count()
         labels = joined.select("node", "label")
@@ -150,8 +152,12 @@ def connected_components_star(
     # near_dup_clusters_star at sf0.1 — the round-7 regression).
     raw = pairs.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
-    ).localCheckpoint(eager=True)
-    edges = _canonical(raw).localCheckpoint(eager=True)
+        # lazy pins throughout (r11): the _sig action below materializes
+        # raw+edges in ONE job instead of one eager-checkpoint job per pin
+        # plus the sig job — the contraction loop runs on tiny edge sets
+        # where per-job overhead, not data, is the cost
+    ).localCheckpoint(eager=False)
+    edges = _canonical(raw).localCheckpoint(eager=False)
     # nodes come from the RAW pairs, not the canonicalized edges: a node
     # that appears only in self-pairs (id_a == id_b) has every edge dropped
     # by _canonical, but the contract (same as connected_components) still
@@ -160,7 +166,8 @@ def connected_components_star(
         raw.select(F.col("u").alias("node"))
         .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # consumed once, by the final roots anti-join, over the pinned raw
+        .localCheckpoint(eager=False)
     )
     # fixpoint check on the materialized canonical sets: equal counts AND
     # an order-insensitive 64-bit hash fold (1-row aggregate, no
@@ -175,7 +182,7 @@ def connected_components_star(
 
     prev_sig = _sig(edges)
     for _ in range(max_iter):
-        contracted = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        contracted = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         sig = _sig(contracted)
         edges = contracted
         if sig == prev_sig:

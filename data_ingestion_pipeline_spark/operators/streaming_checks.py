@@ -120,9 +120,12 @@ def _stream_state_partitions(spark: SparkSession):
     query start) for a stateful streaming run. Per-partition state commit
     is a fixed cost per micro-batch — at fixture volumes 32 partitions pay
     32 commits for ~3k rows of state (measured 8.6s → 2.9s on the
-    stream-stream join at 8). On a real cluster size this to state volume /
-    executor count instead (SPARK_GRAFT_STREAM_PARTS)."""
-    n = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "8")
+    stream-stream join at 8; r11 re-measured the 6 state-heavy streams
+    min-of-3 across {1,2,4,8,16}: 15.8/13.3-17.5/15.7-17.6/21.5/38.8 s —
+    commit overhead keeps dominating below 8, so the local default is 4).
+    On a real cluster size this to state volume / executor count instead
+    (SPARK_GRAFT_STREAM_PARTS)."""
+    n = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "4")
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n)
     try:
