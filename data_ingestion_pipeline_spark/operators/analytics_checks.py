@@ -437,6 +437,12 @@ def adamic_adar_link_prediction_parts(
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= 2)
         .select("s", "t")
+        # |edges|-grade relation with a fact-scan + self-join lineage and
+        # SEVEN consumers (edges×2 → deg×2/eu×2/ev×2 + the anti-join):
+        # unpinned, every consumer replayed the distinct + self-join +
+        # support agg — 28 parquet scans in one plan (r11 census). Pin it
+        # so the build runs once; deterministic content, lineage-only.
+        .localCheckpoint()
     )
     edges = und.unionByName(und.select(F.col("t").alias("s"), F.col("s").alias("t")))
     deg = edges.groupBy(F.col("s").alias("z")).agg(
@@ -2228,6 +2234,11 @@ def item_item_cosine_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cosine"),
         )
+        # support≥2 pair-grain relation with the basket self-join in its
+        # lineage and TWO consumers (both sym branches): unpinned, the
+        # whole co-occurrence pipeline ran twice (16 parquet-scan refs,
+        # r11 census). Pin — deterministic, lineage-only.
+        .localCheckpoint()
     )
     sym = cos.select(
         F.col("a").alias("item"),
@@ -5053,6 +5064,14 @@ def fk_inclusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     parts = []
     for label, child, parent, bcast in cands:
+        # ck is deliberately NOT pinned (r11): the five candidates' count
+        # and anti-join branches all run CONCURRENTLY in one action, so
+        # the duplicated distinct is wall-clock-hidden; pinning serialized
+        # five materialization jobs and measured +0.6-0.9 s in every
+        # alternating pass (1.43-1.69 s unpinned vs 2.17-2.58 s pinned,
+        # quiet min-of-2 ×3). The duplication is a flat 2× per candidate,
+        # not a pass-count multiplier — the same branch parallelism hides
+        # it on a cluster.
         ck = child.filter(F.col("k").isNotNull()).distinct()
         pk = parent.distinct()
         orphans = ck.join(F.broadcast(pk) if bcast else pk, "k", "left_anti")
@@ -6539,7 +6558,13 @@ def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n").cast("double")
             / F.sum("n").over(rowtot).cast("double")
         ).alias("p"),
-    )
+        # ≤|types|²-row matrix with a corpus lineage (the per-user lead()
+        # bigram pass) and 9+ consumers (types + every one of the 8 power
+        # steps re-broadcasts it): unpinned, each consumer replayed the
+        # corpus window pass (20 parquet scans / 92 Exchange refs, r11
+        # census). Pin — the markov_removal precedent; deterministic,
+        # lineage-only; mirrors the oracle's MATERIALIZED pmat.
+    ).localCheckpoint()
     types = pmat.select(F.col("src").alias("t")).distinct()
     ntypes = Window.partitionBy(F.col("t").substr(0, 0))  # constant non-foldable
     pi = types.select(
@@ -7616,6 +7641,14 @@ def dunn_posthoc_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tg").cast("bigint").alias("n_g"),
             F.sum(F.col("tg").cast("decimal(38,0)") * F.col("r2")).alias("r2_sum"),
         )
+        # ≤k-row per-group relation with the full corpus rank-stitch in its
+        # lineage and THREE consumers (counts + both pair sides): unpinned,
+        # the stitch replayed 3× (20 parquet scans, r11 census). The pin is
+        # DOWNSTREAM of the chunk-offset stitch, so the load-bearing
+        # shared-range-exchange invariant (comment at kruskal/cliffs) is
+        # untouched — the stitch still runs intact, once, inside this
+        # pin's materialization. Deterministic content, lineage-only.
+        .localCheckpoint()
     )
     ties = pts.agg(
         F.sum("t").cast("bigint").alias("n"),
@@ -7840,7 +7873,12 @@ def friedman_test_event_type_values(spark: SparkSession, sf_dir: str) -> DataFra
             / F.count("*").cast("double"),
             9,
         ).alias("m")
-    )
+        # (user,type)-grain corpus aggregate with MULTIPLE transitive
+        # consumers (complete + utc, and utc itself is referenced by the
+        # gv-rank chain AND the ur join): unpinned, the events scan + agg
+        # replayed ~12× in one plan (36 parquet scans, r11 census). Pin —
+        # deterministic content, lineage-only.
+    ).localCheckpoint()
     complete = (
         ut.groupBy("user_id")
         .agg(F.count("*").cast("bigint").alias("kt"), F.lit(1).alias("one"))
@@ -7861,7 +7899,13 @@ def friedman_test_event_type_values(spark: SparkSession, sf_dir: str) -> DataFra
         "m",
         (2 * F.col("cum_before") + F.col("t") + 1).cast("bigint").alias("r2"),
     )
-    ur = utc.join(ranked, ["user_id", "m"]).select("user_id", "event_type", "r2")
+    ur = (
+        utc.join(ranked, ["user_id", "m"])
+        .select("user_id", "event_type", "r2")
+        # (user,type)-grain, THREE consumers (per_type, blocks, stats) —
+        # pin so the rank chain runs once
+        .localCheckpoint()
+    )
     per_type = ur.groupBy("event_type").agg(
         F.sum("r2").cast("decimal(38,0)").alias("r2_sum")
     )
@@ -8003,7 +8047,11 @@ def cochrans_q_event_types_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*").cast("double"),
             9,
         ).alias("m")
-    )
+        # (user,type)-grain corpus aggregate, consumed by the median pass
+        # AND the outcome relation (whose own consumers multiply it to ~5
+        # replays / 20 parquet scans, r11 census): pin — deterministic,
+        # lineage-only (the friedman `ut` fix, same grain).
+    ).localCheckpoint()
     med = um.agg(F.round(F.percentile("m", F.lit(0.5)), 6).alias("med"))
     ut = um.join(F.broadcast(med), how="cross").select(
         "user_id",
@@ -8017,7 +8065,9 @@ def cochrans_q_event_types_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kt") == F.col("k"))
         .select("user_id")
     )
-    utc = ut.join(complete, "user_id")
+    # complete-block outcome relation, TWO consumers (column and row
+    # totals): pin so the completeness join runs once
+    utc = ut.join(complete, "user_id").localCheckpoint()
     cols = utc.groupBy("event_type").agg(F.sum("x").cast("bigint").alias("c_j"))
     rows_ = utc.groupBy("user_id").agg(F.sum("x").cast("bigint").alias("r_u"))
     cj = cols.agg(

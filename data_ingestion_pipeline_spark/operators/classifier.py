@@ -511,7 +511,12 @@ def isotonic_calibration_documents(spark: SparkSession, sf_dir: str) -> DataFram
     per = binned.groupBy("bin").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("pos"),
-    )
+        # ≤10-row bin relation with the corpus feature+score pipeline in
+        # its lineage and FOUR consumers (cum → lo/hi, ks, the final
+        # join): unpinned, the pipeline replayed per consumer (16
+        # parquet-scan refs, r11 census). Pin — deterministic,
+        # lineage-only.
+    ).localCheckpoint()
     # constant-key window: cumulative sums over the ≤10-row bin relation
     wcum = (
         Window.partitionBy(F.col("bin") % 1)

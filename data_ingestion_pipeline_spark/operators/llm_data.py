@@ -4759,13 +4759,28 @@ def ann_ivf_nprobe_sweep_embeddings(
 
     Oracle style: the data-derived boolean contract of the recall-gate
     family (floors hold with margin across fixture regenerations).
-    Scale shape: 5 probe joins over the ONE assigned corpus — the
-    sweep shares the centroid collect and the assignment pass."""
+    Scale shape: ONE probe join + ONE cosine pass over the assigned
+    corpus at full probe (every cell), each candidate tagged with its
+    cell's per-query probe RANK; every depth is then a prefix filter
+    (rank < nprobe) plus the shared top-k over the pinned scored
+    relation. Per depth the candidate set — and therefore the top-k —
+    is byte-identical to an ``ivf_topk(nprobe=d)`` call, because
+    ``select_probe_cells(…, d)`` is exactly the first d entries of
+    ``select_probe_cells(…, C)`` (same total order, prefix slice), and
+    the scoring expression is the same ``cosine(_v, _qv)``. The
+    pre-r11 shape paid the scoring join 5× (31/16 of the corpus in
+    total); this pays it once (16/16)."""
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.functions.vector import cosine
     from data_ingestion_pipeline_spark.similarity.brute_force import (
         topk_cosine_batch,
+        topk_per_query,
     )
-
-    from data_ingestion_pipeline_spark.similarity.ivf import ivf_build_index
+    from data_ingestion_pipeline_spark.similarity.ivf import (
+        ivf_build_index,
+        select_probe_cells,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = _ann_query_batch(emb)
@@ -4775,11 +4790,36 @@ def ann_ivf_nprobe_sweep_embeddings(
     # 5 mapInPandas assignment passes and 10 bounded collects; the shared
     # index is exactly what ivf_topk computed inline, so per-nprobe results
     # are unchanged)
-    index = ivf_build_index(emb, q, n_centroids=16)
+    centroids, assigned, qrows = ivf_build_index(emb, q, n_centroids=16)
+    cents = np.array(centroids)
+    pairs = []
+    for r in qrows:
+        qv = np.asarray(r["_qv"], dtype="float64")
+        pairs.extend(
+            (li, int(r["query_id"]), [float(x) for x in qv], rank)
+            for rank, li in enumerate(select_probe_cells(cents, qv, len(centroids)))
+        )
+    probes = spark.createDataFrame(
+        pairs, "list_id int, query_id long, _qv array<double>, prank int"
+    )
+    # nq × N candidate rows (3 queries here) — pinned so the one scoring
+    # join materializes once and all five depths read it
+    scored = (
+        assigned.join(F.broadcast(probes), ["list_id"])
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("_v"), F.col("_qv")).alias("score"),
+            "prank",
+        )
+        .localCheckpoint(eager=False)
+    )
     floors = {1: 0.05, 2: 0.05, 4: 0.2, 8: 0.3, 16: 0.99}
     per = []
     for nprobe in (1, 2, 4, 8, 16):
-        ann = ivf_topk(emb, q, k=10, n_centroids=16, nprobe=nprobe, index=index)
+        ann = topk_per_query(
+            scored.filter(F.col("prank") < nprobe).drop("prank"), 10, "vec_id"
+        )
         hits = (
             ann.join(
                 brute.select("query_id", "vec_id"), ["query_id", "vec_id"]

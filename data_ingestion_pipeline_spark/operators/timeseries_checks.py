@@ -81,10 +81,20 @@ def _daily(spark: SparkSession, sf_dir: str, by_type: bool) -> DataFrame:
 
     One shuffle on the grouping key; the decimal sum is mergeable so the
     map-side partial aggregation still applies. ``x`` is the decimal total
-    cast to double — bitwise-identical across engines."""
+    cast to double — bitwise-identical across engines.
+
+    The by_type=False variant is localCheckpoint-PINNED: nearly every
+    daily-series test references it through several branches (moment
+    passes, lag windows, residual re-joins), and unpinned each branch
+    replayed the corpus day-aggregation — cochrane_orcutt ran it ~6×
+    (24 parquet-scan refs, r11 census). The relation is day-grain
+    (calendar-bounded), the pin is lineage-only, and no caller filters
+    it by a literal, so no scan pushdown is lost. by_type=True stays
+    unpinned: its callers may filter on event_type, which must keep
+    reaching the parquet scan."""
     ev = load_table(spark, sf_dir, "events")
     keys = (["event_type"] if by_type else []) + ["day"]
-    return (
+    out = (
         ev.select(
             *(["event_type"] if by_type else []),
             F.col("ts").cast("date").alias("day"),
@@ -94,6 +104,7 @@ def _daily(spark: SparkSession, sf_dir: str, by_type: bool) -> DataFrame:
         .agg(dec_sum(F.col("value"), 27, 12).alias("xd"))
         .withColumn("x", F.col("xd").cast("double"))
     )
+    return out if by_type else out.localCheckpoint()
 
 
 # ---------------------------------------------------------------------------

@@ -702,3 +702,44 @@ def test_tpch_q13_zero_order_customers_survive(spark, sf_dir):
         .count()
     )
     assert rows.get(0, 0) == n_cust - holders
+
+
+def test_daily_helper_pin_contract(spark):
+    """r11 batch-6 pin contract for the shared ``_daily`` helper: the
+    by_type=False variant is localCheckpoint-pinned (its ~21 daily-series
+    consumers must read ONE materialized day-grain relation, never replay
+    the corpus aggregation per branch), while the by_type=True variant
+    keeps its parquet lineage so a caller's event_type filter can still
+    push down to the scan."""
+    from data_ingestion_pipeline_spark.operators.timeseries_checks import _daily
+
+    pinned = _daily(spark, SF_SMOKE, by_type=False)
+    p = pinned._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in p and "Scan parquet" not in p
+
+    unpinned = _daily(spark, SF_SMOKE, by_type=True)
+    u = unpinned._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in u and "Scan ExistingRDD" not in u
+
+
+def test_duplicated_subtree_pins_hold(spark):
+    """r11 batch-6: the census offenders' final plans must stay free of
+    replayed corpus scans — each pinned relation shows up as an RDD scan
+    and the parquet scans that remain are the by-design direct reads
+    (markov's empirical-share pass, dunn's tie pass)."""
+    for name, max_scans in [
+        ("adamic_adar_link_prediction_parts", 0),
+        ("friedman_test_event_type_values", 0),
+        ("markov_stationary_event_types", 1),
+        ("dunn_posthoc_event_values", 1),
+        ("cochrans_q_event_types_users", 0),
+        ("item_item_cosine_topk_parts", 0),
+        ("isotonic_calibration_documents", 0),
+    ]:
+        plan = _plan(spark, name)
+        n_scans = plan.count("Scan parquet")
+        assert n_scans <= max_scans, (
+            f"{name}: {n_scans} parquet scans in the final plan "
+            f"(expected <= {max_scans}) — a batch-6 pin was dropped"
+        )
+        assert "Scan ExistingRDD" in plan, f"{name} lost its pin"

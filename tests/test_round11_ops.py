@@ -2719,6 +2719,70 @@ def test_ann_ivf_nprobe_sweep_structure_and_full_probe_exactness(
     assert full == brute
 
 
+def test_ann_ivf_sweep_prefix_filter_matches_per_depth_ivf_topk(spark, sf_dir):
+    """The r11 sweep optimization scores ONCE at full probe with a per-query
+    probe-rank column and derives each depth as the prefix filter
+    rank < nprobe. Pin its load-bearing contracts: (a) select_probe_cells
+    at depth d is exactly the first d entries of the full-probe order, and
+    (b) the prefix-filtered top-k is row-identical to an independent
+    ivf_topk(nprobe=d) call for every swept depth."""
+    import numpy as np
+
+    from data_ingestion_pipeline_spark.functions.vector import cosine
+    from data_ingestion_pipeline_spark.operators.llm_data import _ann_query_batch
+    from data_ingestion_pipeline_spark.similarity.brute_force import topk_per_query
+    from data_ingestion_pipeline_spark.similarity.ivf import (
+        ivf_build_index,
+        ivf_topk,
+        select_probe_cells,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = _ann_query_batch(emb)
+    index = ivf_build_index(emb, q, n_centroids=16)
+    centroids, assigned, qrows = index
+    cents = np.array(centroids)
+    pairs = []
+    for r in qrows:
+        qv = np.asarray(r["_qv"], dtype="float64")
+        full = select_probe_cells(cents, qv, len(centroids))
+        for d in (1, 2, 4, 8, 16):
+            assert select_probe_cells(cents, qv, d) == full[:d]
+        pairs.extend(
+            (li, int(r["query_id"]), [float(x) for x in qv], rank)
+            for rank, li in enumerate(full)
+        )
+    probes = spark.createDataFrame(
+        pairs, "list_id int, query_id long, _qv array<double>, prank int"
+    )
+    scored = assigned.join(F.broadcast(probes), ["list_id"]).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("_v"), F.col("_qv")).alias("score"),
+        "prank",
+    )
+    for nprobe in (1, 2, 4, 8, 16):
+        direct = sorted(
+            map(
+                tuple,
+                ivf_topk(
+                    emb, q, k=10, n_centroids=16, nprobe=nprobe, index=index
+                ).collect(),
+            )
+        )
+        prefix = sorted(
+            map(
+                tuple,
+                topk_per_query(
+                    scored.filter(F.col("prank") < nprobe).drop("prank"),
+                    10,
+                    "vec_id",
+                ).collect(),
+            )
+        )
+        assert direct == prefix
+
+
 def test_hotelling_t2_matches_numpy(spark, sf_dir):
     import numpy as np
 
