@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_pipeline_spark.functions.numeric import dec_sum
+from data_ingestion_pipeline_spark.functions.pairs import basket_pairs
 from data_ingestion_pipeline_spark.sources.catalog import load_table
 
 __all__ = [
@@ -420,28 +421,23 @@ def adamic_adar_link_prediction_parts(
     (a deg-count join on the small degree relation), and each ln rounds
     to 9 decimals pre-sum (house libm policy). Top-20 cut is sort-limit
     then rank over 20 survivors."""
-    po = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        .repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions")), "l_orderkey"
-        )
-    )
-    a = po.select("l_orderkey", F.col("l_partkey").alias("s"))
-    b = po.select("l_orderkey", F.col("l_partkey").alias("t"))
     und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("s") < F.col("t"))
+        basket_pairs(
+            load_table(spark, sf_dir, "lineitem"),
+            "l_orderkey",
+            "l_partkey",
+            a="s",
+            b="t",
+        )
         .groupBy("s", "t")
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= 2)
         .select("s", "t")
-        # |edges|-grade relation with a fact-scan + self-join lineage and
-        # SEVEN consumers (edges×2 → deg×2/eu×2/ev×2 + the anti-join):
-        # unpinned, every consumer replayed the distinct + self-join +
-        # support agg — 28 parquet scans in one plan (r11 census). Pin it
-        # so the build runs once; deterministic content, lineage-only.
+        # |edges|-grade relation with a fact-scan lineage and SEVEN
+        # consumers (edges×2 → deg×2/eu×2/ev×2 + the anti-join):
+        # unpinned, every consumer replayed the basket build + support
+        # agg — 28 parquet scans in one plan (r11 census). Pin it so the
+        # build runs once; deterministic content, lineage-only.
         .localCheckpoint()
     )
     edges = und.unionByName(und.select(F.col("t").alias("s"), F.col("s").alias("t")))
@@ -1566,28 +1562,19 @@ def pagerank_copurchase_parts(
     the decimal sum is order-independent, so every intermediate rank
     vector (not just the rounded output) matches the oracle bitwise.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()  # dedup (order, part) BEFORE the self-join, not after
-        # explicit co-partitioning on the join key: AQE's byte-sized
-        # coalescing under-parallelizes this CPU-dense self-join (observed
-        # 3 tasks on 32 cores); both aliases reuse this one exchange
-        .repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions")), "l_orderkey"
-        )
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    # Build the ORIENTED pair set (src < dst) and mirror it afterwards:
-    # the self-join emits half the rows (k(k-1)/2 per order instead of
-    # k(k-1)) and the dedup distinct shuffles half the volume — the edge
-    # build was the dominant cost (r7 verdict ask #7). The mirror union is
-    # narrow (no shuffle); the symmetric edge set is identical, so degrees,
-    # every rank vector, and the oracle are unchanged.
+    # ORIENTED pair set (src < dst) straight from per-order baskets
+    # (functions/pairs.py, r12): one groupBy(l_orderkey) exchange replaces
+    # the old distinct + repartition + self-join (three exchanges of the
+    # fact projection); the pair multiset is identical, so the dedup
+    # distinct, degrees, every rank vector, and the oracle are unchanged.
     ori = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") < F.col("dst"))
+        basket_pairs(
+            load_table(spark, sf_dir, "lineitem"),
+            "l_orderkey",
+            "l_partkey",
+            a="src",
+            b="dst",
+        )
         .select(F.col("src").cast("bigint"), F.col("dst").cast("bigint"))
         .distinct()
     )
@@ -2126,11 +2113,11 @@ def copurchase_lift_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a = po.select("l_orderkey", F.col("l_partkey").alias("a"))
-    b = po.select("l_orderkey", F.col("l_partkey").alias("b"))
+    # pair space from per-order baskets (functions/pairs.py, r12): one
+    # exchange, no self-join; identical pair multiset, so support counts
+    # and the oracle are unchanged
     co = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
+        basket_pairs(load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
         .groupBy("a", "b")
         .agg(F.count("*").cast("bigint").alias("support"))
         .filter(F.col("support") >= 2)
@@ -2201,11 +2188,11 @@ def item_item_cosine_topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a = po.select("l_orderkey", F.col("l_partkey").alias("a"))
-    b = po.select("l_orderkey", F.col("l_partkey").alias("b"))
+    # pair space from per-order baskets (functions/pairs.py, r12): one
+    # exchange, no self-join; identical pair multiset, so support counts
+    # and the oracle are unchanged
     co = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
+        basket_pairs(load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
         .groupBy("a", "b")
         .agg(F.count("*").cast("bigint").alias("support"))
         .filter(F.col("support") >= 2)
@@ -2310,16 +2297,8 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation's small side). Two equi-joins, no cartesian; the support
     threshold is the same sparsity prune the lift query applies.
     """
-    po = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    pa = po.select("l_orderkey", F.col("l_partkey").alias("a"))
-    pb = po.select("l_orderkey", F.col("l_partkey").alias("b"))
     und = (
-        pa.join(pb, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
+        basket_pairs(load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
         .groupBy("a", "b")
         .agg(F.count("*").alias("s"))
         .filter(F.col("s") >= 2)
@@ -2417,16 +2396,8 @@ def kcore_peel_copurchase_parts(
         auto_broadcast_threshold,
     )
 
-    po = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    pa = po.select("l_orderkey", F.col("l_partkey").alias("a"))
-    pb = po.select("l_orderkey", F.col("l_partkey").alias("b"))
     edges = (
-        pa.join(pb, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
+        basket_pairs(load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
         .groupBy("a", "b")
         .agg(F.count("*").alias("s"))
         .filter(F.col("s") >= 2)
@@ -6950,16 +6921,8 @@ def label_propagation_communities_parts(
         auto_broadcast_threshold,
     )
 
-    po = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    pa = po.select("l_orderkey", F.col("l_partkey").alias("a"))
-    pb = po.select("l_orderkey", F.col("l_partkey").alias("b"))
     edges = (
-        pa.join(pb, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
+        basket_pairs(load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
         .groupBy("a", "b")
         .agg(F.count("*").alias("s"))
         .filter(F.col("s") >= 2)
@@ -7081,16 +7044,8 @@ def degree_assortativity_copurchase_parts(
     one fixed double expression — no float policy beyond the shared
     expression shape. A regular graph (zero degree variance) yields
     NULL identically in both engines."""
-    po = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    pa = po.select("l_orderkey", F.col("l_partkey").alias("a"))
-    pb = po.select("l_orderkey", F.col("l_partkey").alias("b"))
     edges = (
-        pa.join(pb, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
+        basket_pairs(load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
         .groupBy("a", "b")
         .agg(F.count("*").alias("s"))
         .filter(F.col("s") >= 2)
@@ -8175,16 +8130,8 @@ def transitivity_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame
     degree relation. Exactness: triangles, degrees and the wedge sum
     are exact bigints (wedge products fold in DECIMAL(38,0)); C is one
     double ratio rounded at 6."""
-    po = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    pa = po.select("l_orderkey", F.col("l_partkey").alias("a"))
-    pb = po.select("l_orderkey", F.col("l_partkey").alias("b"))
     und = (
-        pa.join(pb, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
+        basket_pairs(load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
         .groupBy("a", "b")
         .agg(F.count("*").alias("s"))
         .filter(F.col("s") >= 2)
@@ -9927,16 +9874,8 @@ def local_clustering_topk_parts(
     exact bigint and c_v an exact ratio rounded at 6. Scale shape:
     identical to the triangle census (fan-out bounded by out-degree
     ≤ O(√E)) plus one node-grain aggregate and a TakeOrdered(15)."""
-    po = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    pa = po.select("l_orderkey", F.col("l_partkey").alias("a"))
-    pb = po.select("l_orderkey", F.col("l_partkey").alias("b"))
     und = (
-        pa.join(pb, "l_orderkey")
-        .filter(F.col("a") < F.col("b"))
+        basket_pairs(load_table(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey")
         .groupBy("a", "b")
         .agg(F.count("*").alias("s"))
         .filter(F.col("s") >= 2)

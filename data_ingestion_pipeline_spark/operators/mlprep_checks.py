@@ -494,8 +494,13 @@ def als_rank1_part_factors(
     # that outgrew the broadcast. Aggregation values are decimal folds
     # (order-invariant), so the join strategy cannot change the result.
     ceiling = auto_broadcast_threshold(spark)
-    n_c = ratings.select("c").distinct().count()  # bounded scalar actions,
-    n_p = ratings.select("p").distinct().count()  # the PageRank-n policy
+    # bounded scalar actions (the PageRank-n policy) — ONE pass over the
+    # pinned ratings for both distinct counts (r12: was two distinct+count
+    # jobs; a two-distinct aggregate plans one Expand pass instead)
+    _cnts = ratings.agg(
+        F.countDistinct("c").alias("nc"), F.countDistinct("p").alias("np")
+    ).first()
+    n_c, n_p = int(_cnts["nc"]), int(_cnts["np"])
 
     def gated(node_map: DataFrame, n: int) -> DataFrame:
         return (
@@ -506,26 +511,38 @@ def als_rank1_part_factors(
 
     u = ratings.select("c").distinct().select("c", F.lit(1.0).alias("u"))
     v = None
-    for _ in range(n_iters):
+    for it in range(n_iters):
+        last = it == n_iters - 1
+        # r12: the final half-iteration's part-grain aggregate also carries
+        # count(*) — that IS n_raters (u has exactly one row per c, so the
+        # inner join preserves every ratings row), which removes the old
+        # separate raters aggregation pass and its join. The v values are
+        # untouched.
+        v_aggs = [
+            F.sum((F.col("r") * F.col("u")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("num"),
+            F.sum((F.col("u") * F.col("u")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("den"),
+        ]
+        if last:
+            v_aggs.append(F.count("*").cast("bigint").alias("n_raters"))
         v = (
             ratings.join(gated(u, n_c), "c")
             .groupBy("p")
-            .agg(
-                F.sum((F.col("r") * F.col("u")).cast("decimal(38,12)"))
-                .cast("double")
-                .alias("num"),
-                F.sum((F.col("u") * F.col("u")).cast("decimal(38,12)"))
-                .cast("double")
-                .alias("den"),
-            )
+            .agg(*v_aggs)
             .select(
                 "p",
+                *(["n_raters"] if last else []),
                 F.when(
                     F.col("den") > F.lit(0.0),
                     F.round(F.col("num") / F.col("den"), 9),
                 ).alias("v"),
             )
         )
+        if last:
+            break
         u = (
             ratings.join(gated(v, n_p), "p")
             .groupBy("c")
@@ -545,10 +562,7 @@ def als_rank1_part_factors(
                 ).alias("u"),
             )
         )
-    raters = ratings.groupBy("p").agg(
-        F.count("*").cast("bigint").alias("n_raters")
-    )
-    return v.join(gated(raters, n_p), "p").select(
+    return v.select(
         F.col("p").alias("p_partkey"),
         "n_raters",
         F.round("v", 6).cast("double").alias("v_factor"),
@@ -891,21 +905,16 @@ def khop_reach_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     with localCheckpoint-per-round is the unbounded-diameter pattern
     (``dedup/clustering.py``).
     """
-    po = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-        # co-partition on the basket key: same under-parallelized-self-join
-        # fix as pagerank_copurchase_parts
-        .repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions")), "l_orderkey"
-        )
-    )
-    a = po.select("l_orderkey", F.col("l_partkey").alias("s"))
-    b = po.select("l_orderkey", F.col("l_partkey").alias("t"))
+    from data_ingestion_pipeline_spark.functions.pairs import basket_pairs
+
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("s") < F.col("t"))
+        basket_pairs(
+            load_table(spark, sf_dir, "lineitem"),
+            "l_orderkey",
+            "l_partkey",
+            a="s",
+            b="t",
+        )
         .groupBy("s", "t")
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= 2)
