@@ -203,7 +203,9 @@ def lsh_cosine_pairs(
         # three consumers (the banding kernel + both vector re-attach joins)
         # each replay the scan/augment/cast lineage un-pinned — materialize
         # the N×(id, dim doubles) relation once, like `banded` below
-        .localCheckpoint(eager=False)
+        # (eager, r12: the consumers race a lazy pin's materializing job
+        # and recompute partitions — "Block already exists")
+        .localCheckpoint()
     )
     # All band buckets in one Arrow-batched matmul (similarity/lsh.py::
     # band_buckets) — the expression form is O(B·planes·dim) codegen terms
@@ -216,7 +218,7 @@ def lsh_cosine_pairs(
     banded = vecs.select(
         "_id",
         band_buckets(F.col("_v"), dim, n_bands, planes_per_band).alias("_bkts"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     # Candidates-first: only (id, band, bucket) flows through the banding
     # self-join — the collision volume is B × Σ bucket², and a collision row
     # is 3 longs, not two dim-wide vectors. Carrying vectors through this

@@ -430,11 +430,13 @@ def minhash_scale_recall_documents(spark: SparkSession, sf_dir: str) -> DataFram
     # pin the exact pair set — it feeds BOTH count branches and Spark
     # re-plans the whole inverted-index Jaccard pipeline per reference
     # (no exchange reuse across these shapes; the pinned result is the
-    # tiny verified pair list)
+    # tiny verified pair list). Eager (r12): both branches read the pin
+    # concurrently in the gate's one action, and a lazy pin does not
+    # dedupe concurrent readers inside its materializing job.
     exact = (
         jaccard_pairs(aug, "text", "doc_id", n=3, threshold=0.7)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     n_hit = scale.join(exact, ["id_a", "id_b"]).agg(F.count("*").alias("n_hit"))
@@ -466,12 +468,15 @@ def simhash_exact_copy_recall_documents(spark: SparkSession, sf_dir: str) -> Dat
     by_text = aug.select("doc_id", F.md5("text").alias("_h"))
     a = by_text.select(F.col("doc_id").alias("id_a"), "_h")
     b = by_text.select(F.col("doc_id").alias("id_b"), "_h")
-    # pinned: feeds both count branches (see minhash_scale_recall)
+    # pinned EAGER: feeds both count branches (see minhash_scale_recall);
+    # the r11 lazy pin regressed at bench grain in both independent runs
+    # (3.40 → 4.64/5.29 s) — its two branches race the materializing job
+    # and recompute partitions ("Block already exists")
     exact_copies = (
         a.join(b, "_h")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     n_exact = exact_copies.agg(F.count("*").alias("n_exact"))
     n_miss = exact_copies.join(sim, ["id_a", "id_b"], "left_anti").agg(
@@ -498,19 +503,20 @@ def embedding_lsh_pair_recall_embeddings(spark: SparkSession, sf_dir: str) -> Da
     from data_ingestion_pipeline_spark.dedup.embedding import cosine_pairs_blas
 
     aug = _near_dup_embeddings(load_table(spark, sf_dir, "embeddings"))
-    # pin both pair pipelines: exact feeds THREE branches (count, hit
-    # join, fp anti-join) and scale two — unpinned, the blocked-BLAS
+    # pin both pair pipelines EAGER: exact feeds THREE branches (count,
+    # hit join, fp anti-join) and scale two — unpinned, the blocked-BLAS
     # kernel and the LSH banding each re-planned per branch (60 parquet
-    # scans in the r11 plan audit, 0 ReusedExchange)
+    # scans in the r11 plan audit, 0 ReusedExchange); lazy (r11), the
+    # branches raced the materializing job and recomputed partitions
     scale = (
         lsh_cosine_pairs(aug, "vec_id", "embedding", threshold=0.8, dim=EMB_DIM)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     exact = (
         cosine_pairs_blas(aug, "vec_id", "embedding", threshold=0.8)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     n_hit = scale.join(exact, ["id_a", "id_b"]).agg(F.count("*").alias("n_hit"))
@@ -580,12 +586,12 @@ def semantic_dedup_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .filter(F.col("s") >= 0.8)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     exact = (
         cosine_pairs_blas(aug, "vec_id", "embedding", threshold=0.8)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     n_hit = within.join(exact, ["id_a", "id_b"]).agg(F.count("*").alias("n_hit"))
@@ -1107,7 +1113,7 @@ def minhash_md5_replay_near_dup_documents(
     sets = (
         aug.select("doc_id", tok.alias("_tok"))
         .select("doc_id", F.array_distinct(win).alias("sset"))
-        .localCheckpoint(eager=False)  # feeds sigs + both verify sides
+        .localCheckpoint()  # feeds sigs + both verify sides (eager, r12)
     )
     x32 = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("bigint")
     hashed = sets.select(
@@ -1542,8 +1548,8 @@ def matryoshka_truncation_recall_embeddings(
     projection so the unrolled dot indexes bound attributes. Exactness:
     both engines fold the (identically sliced) dot sequentially in
     double, and rank ties break on vec_id — the published overlap counts
-    are integers, immune to rounding. The full top-k is pinned (lazy
-    localCheckpoint) exactly as the original note here prescribed for
+    are integers, immune to rounding. The full top-k is pinned (eager
+    localCheckpoint, r12) exactly as the original note here prescribed for
     scale: it feeds all three truncation branches and Spark re-plans the
     whole ranking subtree per reference (r11 measurement; ~30-row pin)."""
     from data_ingestion_pipeline_spark.similarity.brute_force import (
@@ -1555,7 +1561,7 @@ def matryoshka_truncation_recall_embeddings(
     full = (
         topk_cosine_batch(emb, q, k=10)
         .select("query_id", "vec_id", F.lit(1).alias("hit"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     parts = []
     for d in (8, 16, 32):
@@ -2323,15 +2329,20 @@ def _recall_gate(
     toward zero. Both inputs carry (query_id, vec_id); the brute side is
     ~queries·k rows, so the overlap join broadcasts.
 
-    Both inputs are PINNED (lazy localCheckpoint): Spark plans duplicate
+    Both inputs are PINNED (EAGER localCheckpoint): Spark plans duplicate
     subtrees per reference and exchange-reuse does not fire across these
     shapes (measured r11: the brute top-k subtree — a full corpus scoring
     pass — appeared twice per gate, the ANN pipeline once more in the
     anti/hit branches; plan showed 16-60 parquet scans per gate, 0
     ReusedExchange). Pinning the ≤ queries·k-row results computes each
-    pipeline exactly once; values are unchanged."""
-    ann = ann.localCheckpoint(eager=False)
-    brute = brute.localCheckpoint(eager=False)
+    pipeline exactly once; values are unchanged. Eager (r12): the gate's
+    single action reads both pins through 2-3 concurrent branches, and a
+    lazily-pinned RDD does not dedupe concurrent readers inside its own
+    materializing job ("Block already exists" duplicate compute) — eager
+    materializes each pipeline once, with full parallelism, before the
+    branches fan out."""
+    ann = ann.localCheckpoint()
+    brute = brute.localCheckpoint()
     hits = (
         ann.join(brute.select("query_id", "vec_id"), ["query_id", "vec_id"])
         .groupBy("query_id")
@@ -4784,7 +4795,7 @@ def ann_ivf_nprobe_sweep_embeddings(
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = _ann_query_batch(emb)
-    brute = topk_cosine_batch(emb, q, k=10).localCheckpoint(eager=False)
+    brute = topk_cosine_batch(emb, q, k=10).localCheckpoint()
     # ONE centroid sample + ONE pinned assignment pass + ONE query collect
     # shared by all five probe depths (the sweep paid 5× each before r11 —
     # 5 mapInPandas assignment passes and 10 bounded collects; the shared
@@ -4812,7 +4823,7 @@ def ann_ivf_nprobe_sweep_embeddings(
             cosine(F.col("_v"), F.col("_qv")).alias("score"),
             "prank",
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     floors = {1: 0.05, 2: 0.05, 4: 0.2, 8: 0.3, 16: 0.99}
     per = []

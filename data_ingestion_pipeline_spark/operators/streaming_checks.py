@@ -115,7 +115,7 @@ def _events_stream_schema(spark: SparkSession, sample_file: str) -> T.StructType
 
 
 @contextmanager
-def _stream_state_partitions(spark: SparkSession):
+def _stream_state_partitions(spark: SparkSession, default: str = "4"):
     """Pin shuffle partitions (= state-store partitions, fixed at first
     query start) for a stateful streaming run. Per-partition state commit
     is a fixed cost per micro-batch — at fixture volumes 32 partitions pay
@@ -123,9 +123,13 @@ def _stream_state_partitions(spark: SparkSession):
     stream-stream join at 8; r11 re-measured the 6 state-heavy streams
     min-of-3 across {1,2,4,8,16}: 15.8/13.3-17.5/15.7-17.6/21.5/38.8 s —
     commit overhead keeps dominating below 8, so the local default is 4).
-    On a real cluster size this to state volume / executor count instead
-    (SPARK_GRAFT_STREAM_PARTS)."""
-    n = os.environ.get("SPARK_GRAFT_STREAM_PARTS", "4")
+    ``default`` is per-stream: the commit-bound JVM-stateful streams take
+    the shared 4, while Python-compute-bound stateful streams
+    (applyInPandasWithState: per-partition Arrow worker round-trips are
+    the cost, not commits) pass a higher one — the r11→r12 adjudication
+    of the stateful_user_profile regression. On a real cluster size this
+    to state volume / executor count instead (SPARK_GRAFT_STREAM_PARTS)."""
+    n = os.environ.get("SPARK_GRAFT_STREAM_PARTS", default)
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n)
     try:
@@ -329,7 +333,10 @@ def stateful_user_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     events = normalize_event_ts(raw)
     profiles = user_profile_stream(events)
-    with _stream_state_partitions(spark):
+    # Python-compute-bound stateful stream: measured sweep {4,8,16} =
+    # 4.80/3.43/7.30 s — 8 partitions beat the commit-bound default 4
+    # (r11 regression, VERDICT ask #3)
+    with _stream_state_partitions(spark, default="8"):
         query = (
             profiles.writeStream.outputMode("update")
             .format("memory")
@@ -388,7 +395,7 @@ def stateful_event_type_counts_events(spark: SparkSession, sf_dir: str) -> DataF
         .parquet(src_dir)
     )
     counts = user_event_type_counts_stream(normalize_event_ts(raw))
-    with _stream_state_partitions(spark):
+    with _stream_state_partitions(spark, default="8"):
         query = (
             counts.writeStream.outputMode("update")
             .format("memory")
@@ -442,7 +449,8 @@ def stateful_event_type_counts_pandas_events(spark: SparkSession, sf_dir: str) -
         .parquet(src_dir)
     )
     counts = user_event_type_counts_pandas_stream(normalize_event_ts(raw))
-    with _stream_state_partitions(spark):
+    # measured sweep {4,8,16} = 4.33/3.05/4.78 s (see profile stream above)
+    with _stream_state_partitions(spark, default="8"):
         query = (
             counts.writeStream.outputMode("update")
             .format("memory")
