@@ -40,6 +40,61 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+# Cross-round comparability anchors (r11 driver slowest-10): these names are
+# always included in the final line's bounded "queries" map so the driver can
+# join per-query times round-over-round even though the full 444-name map only
+# fits in BENCH_DETAIL.json (the driver's stdout capture is 2000 chars).
+_QUERIES_LINE_ANCHORS = [
+    "dunn_posthoc_event_values",
+    "stateful_event_type_counts_pandas_events",
+    "als_rank1_part_factors",
+    "huber_regression_price_quantity",
+    "near_dup_clusters_documents",
+    "label_propagation_communities_parts",
+    "embedding_lsh_pair_recall_embeddings",
+    "pagerank_copurchase_parts",
+    "whitening_isotropy_gain_embeddings",
+    "leakage_safe_split_documents",
+]
+
+
+def _bounded_queries_map(timings: dict[str, float], budget: int) -> dict[str, float]:
+    """Deterministic bounded subset of the per-query map for the final JSON
+    line: the anchor names, the slowest 10 of this run, then an alphabetical
+    stride sample over the rest, greedily added while the serialized map fits
+    ``budget`` bytes. Full map always lands in BENCH_DETAIL.json."""
+    slowest = [
+        k for k, _ in sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    ]
+    rest = sorted(k for k in timings if k not in set(_QUERIES_LINE_ANCHORS + slowest))
+    # stride the remainder so the sample spans the whole book alphabetically
+    stride = max(1, len(rest) // 40)
+    sampled = rest[::stride]
+    out: dict[str, float] = {}
+    used = 2  # braces
+    for name in _QUERIES_LINE_ANCHORS + slowest + sampled:
+        if name not in timings or name in out:
+            continue
+        cost = len(json.dumps({name: timings[name]}, separators=(",", ":"))) - 1
+        if used + cost > budget:
+            continue
+        out[name] = timings[name]
+        used += cost
+    return out
+
+
+def _quiesce_state_store(spark) -> None:
+    """Stop the StateStore maintenance thread before the final print: the
+    warmup/bench streaming queries start a background maintenance task that
+    otherwise fires AFTER SparkEnv shuts down and dumps a WARN stack trace
+    past the final JSON line — eating the driver's 2000-char stdout capture
+    (observed in the r11 bench tail)."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass
+
+
 def _engine_warmup(spark, sf_dir: str) -> None:
     """JVM/JIT warmup so the first timed queries measure the engine, not
     the cold interpreter (r11 measurement finding: the queries at bench
@@ -125,6 +180,12 @@ def _engine_warmup(spark, sf_dir: str) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
+    # Belt-and-braces for last-line hygiene: push the state-store maintenance
+    # interval past any bench duration so the background task never fires
+    # (it is pure housekeeping — snapshot/cleanup — irrelevant to these
+    # short availableNow drains), then stop the thread again before the
+    # final print. Session-scoped; queries are unaffected.
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
 
     _engine_warmup(spark, sf_dir)
 
@@ -185,11 +246,19 @@ def main() -> None:
         "slowest": slowest,
         "detail": "BENCH_DETAIL.json",
     }
+    # Bounded per-query map in the final line (r11 PERF had per_query: {} /
+    # n_common: 0 because the driver joins on this key and only BENCH_DETAIL
+    # carried it). The driver's stdout capture is the LAST 2000 chars, so the
+    # full 444-name map cannot ride the line — a deterministic subset
+    # (anchors + slowest + alphabetical stride) fills the byte budget instead.
+    base_len = len(json.dumps(final, separators=(",", ":")))
+    final["queries"] = _bounded_queries_map(timings, budget=1880 - base_len - 12)
     line = json.dumps(final, separators=(",", ":"))
     if len(line) > 1900:  # never let the final line outgrow the capture
         final.pop("slowest")
         line = json.dumps(final, separators=(",", ":"))
-    print(line)
+    _quiesce_state_store(spark)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
