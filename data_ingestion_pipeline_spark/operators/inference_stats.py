@@ -2158,23 +2158,29 @@ def huber_regression_price_quantity(
     b1_0 = F.round(
         (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / det0, 9
     )
+    # r12: b0 comes from a CHAINED select over the same aggregate (the LAD
+    # shape), not a self-join of agg — the join form referenced the corpus
+    # OLS fold twice and Spark replays duplicated subtrees per reference
+    # (0 ReusedExchange, r11 census). Values identical: b0 uses the same
+    # rounded b1.
     ols = agg.select(
         "l_returnflag",
         "n",
         F.when(det0 > F.lit(0.0), b1_0).alias("b1"),
-    )
-    ols = ols.select(
-        "l_returnflag",
-        "n",
-        "b1",
-    ).join(
-        agg.select("l_returnflag", "sx", "sy"), "l_returnflag"
+        "sx",
+        "sy",
     ).select(
         "l_returnflag",
         "n",
         "b1",
-        F.round((F.col("sy") - F.col("b1") * F.col("sx")) / nd, 9).alias("b0"),
-    )
+        F.round(
+            (F.col("sy") - F.col("b1") * F.col("sx")) / F.col("n").cast("double"),
+            9,
+        ).alias("b0"),
+        # ≤|flags| rows with the corpus OLS fold in the lineage and THREE
+        # transitive references (params + med's r0 + mad's r0): pinned
+        # EAGER so the fold runs once before the med/MAD branches fan out
+    ).localCheckpoint()
     resid = F.col("y") - F.round(F.col("b0") + F.col("b1") * F.col("x"), 9)
     r0 = li.join(F.broadcast(ols), "l_returnflag").select(
         "l_returnflag", resid.alias("r")
@@ -2237,16 +2243,18 @@ def huber_regression_price_quantity(
                 9,
             ),
         )
+        # r12: chained select (the LAD shape) instead of the sums self-join
+        # — the join form folded the corpus weighted sums TWICE per
+        # iteration (duplicate-subtree replay). Values identical.
         params = sums.select(
-            "l_returnflag", "n", "ols_slope", "delta", b1n.alias("b1")
-        ).select(
             "l_returnflag",
             "n",
             "ols_slope",
             "delta",
-            "b1",
-        ).join(
-            sums.select("l_returnflag", "w", "wx", "wy"), "l_returnflag"
+            b1n.alias("b1"),
+            "w",
+            "wx",
+            "wy",
         ).select(
             "l_returnflag",
             "n",

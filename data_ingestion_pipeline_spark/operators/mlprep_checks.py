@@ -1809,7 +1809,7 @@ def pca_power_iteration_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     by the exact trace. Scale: the only corpus-∝ work is the covariance
     scan (shuffle = 2080 cells × batches); iterations are dimension-sized.
     """
-    n_row, _centered, upper, _w, nrm = _pca_state(spark, sf_dir)
+    n_row, _centered, upper, _w, nrm, _mu, _wv = _pca_state(spark, sf_dir)
     trace = upper.filter(F.col("i") == F.col("j")).agg(
         F.sum(F.col("c").cast("decimal(38,20)")).cast("double").alias("trace")
     )
@@ -1987,7 +1987,7 @@ def _pca_state(spark: SparkSession, sf_dir: str):
     w = spark.createDataFrame(
         [(int(j), float(v)) for j, v in enumerate(wv)], "j int, w double"
     )
-    return n_row, centered, upper, w, nrm_val
+    return n_row, centered, upper, w, nrm_val, mu_vals, wv
 
 
 def _pca_oracle_chain(iters: int = _POWER_ITERS) -> str:
@@ -2060,6 +2060,78 @@ PCA_POWER_ITERATION_EMBEDDINGS_ORACLE = _pca_oracle()
 # Whitening ("all-but-the-top"): remove PC1, measure the isotropy gain
 # ---------------------------------------------------------------------------
 
+def _whiten_sample_kernel(sample_emb: DataFrame, mu_vals: list, wv: list) -> DataFrame:
+    """(vec_id, d, x, xp) for the sampled vectors as ONE ``mapInArrow``
+    pass — replicates centered (x = v − mu), the DECIMAL(38,20) dot fold
+    dw = cast(sum(cast(x·w as decimal(38,20))) as double), and the
+    projection xp = x − dw·w bitwise (the ``_pca_state`` driver-iterate
+    argument: both engines' double→decimal cast goes shortest-repr then
+    HALF_UP at the target scale, decimal sums are exact, double arithmetic
+    is IEEE-identical in numpy/JVM/DuckDB; hash-verified tri-SF against
+    the unchanged oracle chain). Replaces five sample-grain stages and two
+    pins (posexplode → means join → broadcast-w join → dots exchange →
+    projection join) with zero shuffles; per-vector work is linear and
+    fully partition-parallel. A NaN x (NULL embedding element) flows
+    through: its products cast to NULL decimals downstream and drop from
+    every SUM, exactly the old NULL semantics."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        q20 = Decimal(1).scaleb(-20)
+        zero = Decimal(0)
+        mu = np.asarray(mu_vals, dtype=np.float64)
+        wvec = np.asarray(wv, dtype=np.float64)
+        dim = len(mu_vals)
+        for batch in batches:
+            flat = pc.list_flatten(batch.column("embedding"))
+            if len(flat) != dim * batch.num_rows:
+                raise ValueError(
+                    "embedding column must be non-null fixed-width "
+                    f"{dim} (got {len(flat)} values for {batch.num_rows} rows)"
+                )
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            x = np.asarray(flat, dtype=np.float64).reshape(-1, dim) - mu
+            terms = x * wvec  # float64 products — bitwise the JVM's
+            dws = np.fromiter(
+                (
+                    float(
+                        sum(
+                            (
+                                Decimal(repr(float(t))).quantize(
+                                    q20, rounding=ROUND_HALF_UP
+                                )
+                                for t in row
+                                if t == t  # NULL (NaN) terms drop from SUM
+                            ),
+                            zero,
+                        )
+                    )
+                    for row in terms
+                ),
+                dtype=np.float64,
+                count=x.shape[0],
+            )
+            xp = x - dws[:, None] * wvec
+            n = x.shape[0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, dim).astype("int64")),
+                    pa.array(np.tile(np.arange(dim, dtype=np.int32), n)),
+                    pa.array(x.reshape(-1)),
+                    pa.array(xp.reshape(-1)),
+                ],
+                names=["vec_id", "d", "x", "xp"],
+            )
+
+    return sample_emb.select("vec_id", "embedding").mapInArrow(
+        _kernel, "vec_id long, d int, x double, xp double"
+    )
+
+
 def whitening_isotropy_gain_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-but-the-top whitening (Mu & Viswanath, ICLR 2018) applied and
     MEASURED: project the dominant component
@@ -2078,33 +2150,16 @@ def whitening_isotropy_gain_embeddings(spark: SparkSession, sf_dir: str) -> Data
     (shared); the pairwise audit runs on a hash-deterministic ~1/37
     sample (pairs of a sample, never of the corpus), exactly how an
     isotropy audit would run at 100 TB."""
-    _n_row, centered, _upper, w, _norm = _pca_state(spark, sf_dir)
-    # w is a 64-row LocalTableScan (driver-computed iterate) — no lineage
-    # to pin
-    sample = centered.filter(F.col("vec_id") % 37 == 0)
-    sw = sample.join(
-        F.broadcast(w.select(F.col("j").alias("d"), "w")), "d"
-        # sample-sized (corpus/37 × dim) with a corpus lineage (scan +
-        # posexplode + means join) and TWO consumers (`dots` and the
-        # projection join below): pin so the sample pass runs once
-    ).localCheckpoint(eager=False)
-    dots = sw.groupBy("vec_id").agg(
-        F.sum((F.col("x") * F.col("w")).cast("decimal(38,20)"))
-        .cast("double")
-        .alias("dw")
-    )
-    primed = (
-        sw.join(dots, "vec_id")
-        .select(
-            "vec_id",
-            "d",
-            "x",
-            (F.col("x") - F.col("dw") * F.col("w")).alias("xp"),
-        )
-        # sample-sized (corpus/37 × dim); pinned so the self-join's two
-        # sides don't each replay the projection
-        .localCheckpoint(eager=False)
-    )
+    _n_row, _centered, _upper, _w, _norm, mu_vals, wv = _pca_state(spark, sf_dir)
+    # Sample centering + PC1 projection as ONE mapInArrow kernel (r12,
+    # VERDICT ask #9) — see _whiten_sample_kernel for the bitwise decimal-
+    # fold replication argument. Pinned EAGER: the pair self-join below
+    # reads it through two concurrent sides.
+    primed = _whiten_sample_kernel(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 37 == 0),
+        mu_vals,
+        wv,
+    ).localCheckpoint()
     a = primed.select(
         F.col("vec_id").alias("ida"),
         "d",
