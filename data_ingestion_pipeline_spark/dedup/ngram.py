@@ -96,7 +96,8 @@ def containment_pairs(
     fragment has J ≈ 0.1 but C(A→B) ≈ 1. Same inverted-index equi-join
     shape as ``jaccard_pairs``; the size filter is one-sided
     (|A∩B| ≤ |B| ⇒ C ≥ t requires |B| ≥ t·|A|)."""
-    sets = shingle_sets(df, text_col, id_col, n)
+    # eager pin — same two-sided self-join as jaccard_pairs (r12)
+    sets = shingle_sets(df, text_col, id_col, n).localCheckpoint()
     ex = sets.select(
         F.col(id_col), F.col("set_size"), F.explode_outer("sset").alias("sh")
     ).filter(F.col("sh").isNotNull())
@@ -126,7 +127,12 @@ def jaccard_pairs(
     max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with Jaccard ≥ threshold — exact."""
-    sets = shingle_sets(df, text_col, id_col, n)
+    # EAGER pin (r12): the inverted-index self-join below references the
+    # shingle relation through BOTH sides (a and b project different
+    # columns, so the exchanges don't dedupe) — unpinned, the CPU-dense
+    # shingling transform ran twice per call; lazily pinned, the two sides
+    # race the materializing job. One row per doc (arrays), tiny blocks.
+    sets = shingle_sets(df, text_col, id_col, n).localCheckpoint()
     # explode_outer, not explode: Catalyst infers `size(sset) > 0` from a
     # plain explode and pushes it below the fan_out exchange into the scan,
     # re-evaluating the whole shingle transform single-threaded on the

@@ -1717,8 +1717,13 @@ def hits_authorities_parts(
         .localCheckpoint()
     )
     ceiling = auto_broadcast_threshold(spark)
-    n_c = edges.select("c").distinct().count()  # bounded scalar actions,
-    n_p = edges.select("p").distinct().count()  # same policy as PageRank's n
+    # bounded scalar actions, same policy as PageRank's n — ONE two-distinct
+    # aggregate pass over the pinned edges instead of two distinct+count
+    # jobs (r12, the ALS fusion)
+    _cnts = edges.agg(
+        F.countDistinct("c").alias("nc"), F.countDistinct("p").alias("np")
+    ).first()
+    n_c, n_p = int(_cnts["nc"]), int(_cnts["np"])
 
     def gated(node_map: DataFrame, n: int) -> DataFrame:
         return F.broadcast(node_map) if (ceiling >= 0 and n * 32 <= ceiling) else node_map
@@ -2413,8 +2418,15 @@ def kcore_peel_copurchase_parts(
             .agg(F.count("*").cast("bigint").alias("d"))
         )
 
-    m = edges.count()  # bounded scalar actions (PageRank's n policy)
-    n = degrees(edges).count()
+    # bounded scalar actions (PageRank's n policy) — ONE pass over the
+    # exploded endpoints yields both scalars (r12, the ALS count fusion):
+    # the exploded row count is exactly 2m, the distinct node count is n
+    _mn = (
+        edges.select(F.explode(F.array("a", "b")).alias("node"))
+        .agg(F.count("*").alias("m2"), F.countDistinct("node").alias("n"))
+        .first()
+    )
+    m, n = int(_mn["m2"]) // 2, int(_mn["n"])
     k = max(m // max(n, 1), 2)
     ceiling = auto_broadcast_threshold(spark)
 

@@ -588,8 +588,76 @@ _ROUND12_QUEUE: list[str] = [
 ]
 
 
+# ---- Round-12 rotation (round-11 verdict ask #7) ----
+# CORRECTNESS_r11 landed 50/50 green over the round-11 front, so that tier
+# retires to the remainder. The round-12 front leads with the queries whose
+# PLANS this round (and r11) rewrote — the basket-pair graph family, the
+# eager-pinned recall gates, the IRLS/spectral restructures, the re-sized
+# stateful streams, and the batch-6 pinned statistics — so the driver
+# verifies exactly the operators the optimizer touched.
+_ROUND12_FRONT: list[str] = [
+    # r12 basket-pair rewrite (11 queries) + fused ALS/HITS scalars
+    "pagerank_copurchase_parts",
+    "adamic_adar_link_prediction_parts",
+    "copurchase_lift_parts",
+    "item_item_cosine_topk_parts",
+    "triangle_count_copurchase",
+    "kcore_peel_copurchase_parts",
+    "label_propagation_communities_parts",
+    "degree_assortativity_copurchase_parts",
+    "transitivity_copurchase_parts",
+    "local_clustering_topk_parts",
+    "khop_reach_copurchase",
+    "als_rank1_part_factors",
+    "hits_authorities_parts",
+    # r12 IRLS double-fold fix + whitening kernel (+ the r11 spectral pair)
+    "huber_regression_price_quantity",
+    "lad_regression_price_quantity",
+    "whitening_isotropy_gain_embeddings",
+    "pca_power_iteration_embeddings",
+    "breusch_pagan_price_quantity",
+    "white_test_price_quantity",
+    # r12 eager-pin recall family
+    "ann_pq_recall_embeddings",
+    "ann_ivfpq_recall_embeddings",
+    "ann_lsh_recall_embeddings",
+    "ann_ivf_recall_embeddings",
+    "ann_ivf_nprobe_sweep_embeddings",
+    "minhash_scale_recall_documents",
+    "simhash_exact_copy_recall_documents",
+    "embedding_lsh_pair_recall_embeddings",
+    "semantic_dedup_recall_embeddings",
+    "matryoshka_truncation_recall_embeddings",
+    "minhash_md5_replay_near_dup_documents",
+    "simhash_md5_replay_near_dup_documents",
+    "embedding_lsh_near_dup",
+    "embedding_lsh_verified_near_dup",
+    # r12 stream-partition re-sizing
+    "stateful_user_profile_events",
+    "stateful_event_type_counts_pandas_events",
+    # r11 batch-6 pins (re-adjudicated r12) + markov_removal's r11 rewrite
+    "friedman_test_event_type_values",
+    "markov_stationary_event_types",
+    "dunn_posthoc_event_values",
+    "cochrans_q_event_types_users",
+    "isotonic_calibration_documents",
+    "markov_removal_attribution_events",
+    # _daily pin consumers (representatives)
+    "cochrane_orcutt_daily_trend",
+    "durbin_watson_daily_trend",
+    "autocorr_daily_value",
+    "hurst_rs_daily_values",
+    "holt_winters_seasonal_daily",
+    "holt_linear_daily_forecast",
+    # examined-at-floor spot checks
+    "kmeans_lloyd_embeddings",
+    "leakage_safe_split_documents",
+    "near_dup_clusters_documents",
+]
+
+
 def _ordered_names() -> list[str]:
-    front = [n for n in _ROUND11_FRONT if n in _REGISTRY]
+    front = [n for n in _ROUND12_FRONT if n in _REGISTRY]
     queue = [n for n in _ROUND12_QUEUE if n in _REGISTRY and n not in front]
     seen = set(front) | set(queue)
     # remainder: every name holds a driver row green at its latest check;

@@ -11,6 +11,11 @@ round) + the two r8/r9 oracle promotions whose latest rows are r03
 rows-only records, followed by the 28 oldest-stale names. Round 11's
 front is the 35 round-10 additions (never checked, `_ROUND11_QUEUE`
 verbatim) followed by the 15 oldest-stale names (all r04 vintage).
+Round 12's front is the re-verification of RESTRUCTURED PLANS: the 50
+operators whose physical plans the r11/r12 optimization rounds rewrote
+(basket-pair graph family, eager-pinned recall gates, IRLS double-fold
+fix, whitening kernel, stream re-sizing, batch-6 pins) — the round-11
+verdict's ask #7.
 """
 
 import json
@@ -67,10 +72,13 @@ def _latest_green_round() -> dict[str, int]:
 
 def test_priority_lists_cover_registry_names():
     names = set(registry._REGISTRY)
-    for n in registry._ROUND11_FRONT + registry._ROUND12_QUEUE:
+    for n in (
+        registry._ROUND11_FRONT + registry._ROUND12_QUEUE + registry._ROUND12_FRONT
+    ):
         assert n in names or n in _ENV_GATED, f"priority list names unknown query {n!r}"
     combined = registry._ROUND11_FRONT + registry._ROUND12_QUEUE
     assert len(combined) == len(set(combined)), "duplicate priority entries"
+    assert len(registry._ROUND12_FRONT) == len(set(registry._ROUND12_FRONT))
 
 
 def test_retired_names_stay_out_of_the_registry():
@@ -79,40 +87,49 @@ def test_retired_names_stay_out_of_the_registry():
 
 
 def test_export_order_spends_driver_budget_on_stale_evidence():
-    """Round-11 rotation contract: the front of queries() is exactly
-    _ROUND11_FRONT (= 50 so the whole tier lands inside the driver
-    budget), followed by the round-12 queue, then the retired remainder."""
+    """Round-12 rotation contract: the front of queries() is exactly
+    _ROUND12_FRONT (= 50 so the whole tier lands inside the driver
+    budget), followed by the round-12 queue leftover, then the retired
+    remainder."""
     ordered = list(registry.queries())
     assert set(ordered) == set(registry._REGISTRY)
-    front = [n for n in registry._ROUND11_FRONT if n in registry._REGISTRY]
+    front = [n for n in registry._ROUND12_FRONT if n in registry._REGISTRY]
     assert ordered[: len(front)] == front
     assert len(front) <= 50, "front tier overflows the 50-slot driver budget"
-    assert front[0] == "ann_ivfpq_sample_adc_topk_embeddings"
+    assert front[0] == "pagerank_copurchase_parts"
 
 
-def test_front_tier_holds_only_stale_or_new_evidence():
-    """The freshness inversion, pinned: every budget slot is spent on a
-    query that either has NO driver row yet (round-10 addition), changed
-    schema this round, or whose latest row predates the r5-r10 refactor
-    waves (round <= 4) — no slot re-verifies fresh evidence."""
-    latest = _latest_green_round()
-    for n in registry._ROUND11_FRONT:
-        if n in _ROUND11_NEVER_CHECKED:
-            assert n not in latest, f"{n!r} claims never-checked but has a row"
-            continue
-        if n in _SCHEMA_CHANGED:
-            continue
-        assert n in latest, f"front name {n!r} unexpectedly has no driver row"
-        assert latest[n] <= 4, (
-            f"front slot wasted on {n!r} whose evidence is already fresh "
-            f"(latest row r{latest[n]:02d})"
-        )
+def test_front_tier_re_verifies_the_restructured_operators():
+    """Round-12 policy (r11 verdict ask #7): every operator whose plan the
+    optimization rounds rewrote must sit in the driver's 50-slot front —
+    their oracle evidence predates the restructure."""
+    must_include = {
+        # r12 basket-pair rewrite core
+        "pagerank_copurchase_parts",
+        "khop_reach_copurchase",
+        "triangle_count_copurchase",
+        "als_rank1_part_factors",
+        # r12 IRLS/spectral restructures
+        "huber_regression_price_quantity",
+        "whitening_isotropy_gain_embeddings",
+        "pca_power_iteration_embeddings",
+        # r12 eager-pin recall family + streams
+        "ann_ivf_nprobe_sweep_embeddings",
+        "simhash_exact_copy_recall_documents",
+        "stateful_user_profile_events",
+        # r11 batch-6 pins, r12-adjudicated
+        "friedman_test_event_type_values",
+        "dunn_posthoc_event_values",
+    }
+    assert must_include <= set(registry._ROUND12_FRONT)
 
 
 def test_env_gated_queries_stay_out_of_the_budget():
     # a query that cannot register in this sandbox must not be granted a
     # front-tier slot the driver would report as absent
-    for n in registry._ROUND11_FRONT + registry._ROUND12_QUEUE:
+    for n in (
+        registry._ROUND11_FRONT + registry._ROUND12_QUEUE + registry._ROUND12_FRONT
+    ):
         assert n not in _ENV_GATED
 
 
